@@ -1,0 +1,322 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.derive.Extractor
+import graft.exec.{DimPopulate, FactPopulate}
+import graft.functions.RegisterSketch
+import graft.model._
+
+/** The executable query catalog behind [[SparkEntry]]: one entry per
+  * operator family from SURVEY §2, each with a DuckDB oracle where
+  * SQL-expressible. All queries read the driver parquet testdata.
+  */
+object Queries {
+  import Fixtures._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // window bounds used by the windowed queries (events span Jan 2024;
+  // lineitem ships 1995-2001)
+  private val EV_HI     = ts("2024-02-01 00:00:00")
+  private val EV_SPLIT  = ts("2024-01-02 00:00:00")
+  private val EV_INC_HI = ts("2024-01-31 00:00:00")
+  private val TP_HI     = ts("2002-01-01 00:00:00")
+
+  private def src(s: SparkSession, dir: String)(name: String): DataFrame =
+    graft.sources.ParquetTables.readTable(s, dir, name)
+
+  private def fact(env: Env, name: String): Fact = env.findFact(name).get
+
+  /** All derived dims for a fact, populated in-memory for lookup joins
+    * (full refresh over `window`). */
+  private def dimsFor(
+      env: Env, f: Fact, reader: String => DataFrame, window: TimeWindow
+  ): Map[String, DataFrame] =
+    Extractor
+      .extractAllDimensionTables(env, f)
+      .filterNot { case (_, t) => env.tables.contains(t) }
+      .map { case (df, dt) =>
+        dt.name -> DimPopulate.full(env, df, dt.name, reader(df.tableName), window)
+      }
+      .toMap
+
+  private def factPopulate(
+      env: Env, factName: String, window: TimeWindow, dimWindow: TimeWindow
+  )(s: SparkSession, dir: String): DataFrame = {
+    val f      = fact(env, factName)
+    val reader = src(s, dir) _
+    val dims   = dimsFor(env, f, reader, dimWindow)
+    FactPopulate.populate(env, f, window, reader, dims(_))
+  }
+
+  /** Cast exact-decimal measure columns to double for the hash compare
+    * (the oracle does the same) — presentation only. */
+  private def decimalsToDouble(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+
+  // ================================================================ P1/P3
+  def dimPopulateFull(s: SparkSession, dir: String): DataFrame =
+    DimPopulate.full(eventsEnv, fact(eventsEnv, "event"), "dim_event_type",
+      src(s, dir)("events"), TimeWindow.upTo(EV_HI))
+
+  val dimPopulateFullSql: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY event_type) AS INTEGER) AS id, event_type
+       |FROM (SELECT DISTINCT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type
+       |      FROM events
+       |      WHERE event_type IS NOT NULL AND ts < TIMESTAMP '2024-02-01 00:00:00')
+       |""".stripMargin
+
+  def dimPopulateMulti(s: SparkSession, dir: String): DataFrame =
+    DimPopulate.full(tpchEnv, fact(tpchEnv, "line"), "dim_line_status",
+      src(s, dir)("lineitem"), TimeWindow.upTo(TP_HI))
+
+  val dimPopulateMultiSql: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY l_returnflag, l_linestatus) AS INTEGER) AS id,
+       |       l_returnflag, l_linestatus
+       |FROM (SELECT DISTINCT coalesce(l_returnflag, '__UNKNOWN_VAL__') AS l_returnflag,
+       |             coalesce(l_linestatus, '__UNKNOWN_VAL__') AS l_linestatus
+       |      FROM lineitem
+       |      WHERE (l_returnflag IS NOT NULL OR l_linestatus IS NOT NULL)
+       |        AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00')
+       |""".stripMargin
+
+  // ================================================================ P2
+  /** Incremental dim load: full load of window 1, anti-join append of
+    * window 2, surrogate ids continuing after the existing max. */
+  def dimPopulateIncremental(s: SparkSession, dir: String): DataFrame = {
+    val f        = fact(eventsEnv, "user_activity")
+    val events   = src(s, dir)("events")
+    val existing = DimPopulate.full(eventsEnv, f, "dim_app_user", events, TimeWindow.upTo(EV_SPLIT))
+    val newRows = DimPopulate.incremental(
+      eventsEnv, f, "dim_app_user", events, existing, TimeWindow.between(EV_SPLIT, EV_INC_HI))
+    existing.unionByName(newRows)
+  }
+
+  val dimPopulateIncrementalSql: String =
+    s"""WITH w1 AS (SELECT DISTINCT coalesce(user_id, -1) AS user_id FROM events
+       |            WHERE user_id IS NOT NULL AND ts < TIMESTAMP '2024-01-02 00:00:00'),
+       |d1 AS (SELECT CAST(row_number() OVER (ORDER BY user_id) AS INTEGER) AS id, user_id FROM w1),
+       |w2 AS (SELECT DISTINCT coalesce(user_id, -1) AS user_id FROM events
+       |       WHERE user_id IS NOT NULL
+       |         AND ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'),
+       |nw AS (SELECT user_id FROM w2 WHERE user_id NOT IN (SELECT user_id FROM d1)),
+       |d2 AS (SELECT CAST((SELECT count(*) FROM d1) + row_number() OVER (ORDER BY user_id) AS INTEGER) AS id,
+       |              user_id FROM nw)
+       |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+       |""".stripMargin
+
+  // ================================================================ F1-F4/F6
+  def factPopulateFull(s: SparkSession, dir: String): DataFrame =
+    decimalsToDouble(
+      factPopulate(eventsEnv, "event", TimeWindow.upTo(EV_HI), TimeWindow.upTo(EV_HI))(s, dir)
+        .drop("user_count"),
+      Seq("value_sum", "value_avg_sum", "value_max", "value_min"))
+
+  val factPopulateFullSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY event_type) AS INTEGER) AS id, event_type
+       |  FROM (SELECT DISTINCT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type
+       |        FROM events WHERE event_type IS NOT NULL AND ts < TIMESTAMP '2024-02-01 00:00:00'))
+       |SELECT CAST(floor(epoch(e.ts)/60) AS BIGINT) AS ts_minute_id,
+       |       coalesce(e.user_id, -1) AS user_id,
+       |       CAST(count(*) AS INTEGER) AS event_count,
+       |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       |       CAST(count(e.value) AS INTEGER) AS value_avg_count,
+       |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_avg_sum,
+       |       CAST(max(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_max,
+       |       CAST(min(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_min,
+       |       CAST(coalesce(d.id, -1) AS INTEGER) AS event_type_id
+       |FROM events e
+       |LEFT JOIN d ON d.event_type = coalesce(e.event_type, '__UNKNOWN_VAL__')
+       |WHERE e.ts < TIMESTAMP '2024-02-01 00:00:00'
+       |GROUP BY 1, 2, 9
+       |""".stripMargin
+
+  def factPopulateIncremental(s: SparkSession, dir: String): DataFrame =
+    decimalsToDouble(
+      factPopulate(eventsEnv, "event",
+        TimeWindow.between(EV_SPLIT, EV_INC_HI), TimeWindow.upTo(EV_INC_HI))(s, dir)
+        .drop("user_count"),
+      Seq("value_sum", "value_avg_sum", "value_max", "value_min"))
+
+  val factPopulateIncrementalSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY event_type) AS INTEGER) AS id, event_type
+       |  FROM (SELECT DISTINCT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type
+       |        FROM events WHERE event_type IS NOT NULL AND ts < TIMESTAMP '2024-01-31 00:00:00'))
+       |SELECT CAST(floor(epoch(e.ts)/60) AS BIGINT) AS ts_minute_id,
+       |       coalesce(e.user_id, -1) AS user_id,
+       |       CAST(count(*) AS INTEGER) AS event_count,
+       |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       |       CAST(count(e.value) AS INTEGER) AS value_avg_count,
+       |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_avg_sum,
+       |       CAST(max(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_max,
+       |       CAST(min(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_min,
+       |       CAST(coalesce(d.id, -1) AS INTEGER) AS event_type_id
+       |FROM events e
+       |LEFT JOIN d ON d.event_type = coalesce(e.event_type, '__UNKNOWN_VAL__')
+       |WHERE e.ts >= TIMESTAMP '2024-01-02 00:00:00' AND e.ts < TIMESTAMP '2024-01-31 00:00:00'
+       |GROUP BY 1, 2, 9
+       |""".stripMargin
+
+  // ================================================================ F5
+  /** Parent-fact source join: fact_line_by_day joins lineitem to orders
+    * on the declared FK and resolves dims from both sources. */
+  def factPopulateParent(s: SparkSession, dir: String): DataFrame =
+    decimalsToDouble(
+      factPopulate(tpchEnv, "line", TimeWindow.upTo(TP_HI), TimeWindow.upTo(TP_HI))(s, dir)
+        .drop("part_count"),
+      Seq("qty", "price"))
+
+  val factPopulateParentSql: String =
+    s"""WITH dls AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY l_returnflag, l_linestatus) AS INTEGER) AS id,
+       |         l_returnflag, l_linestatus
+       |  FROM (SELECT DISTINCT coalesce(l_returnflag,'__UNKNOWN_VAL__') AS l_returnflag,
+       |               coalesce(l_linestatus,'__UNKNOWN_VAL__') AS l_linestatus
+       |        FROM lineitem
+       |        WHERE (l_returnflag IS NOT NULL OR l_linestatus IS NOT NULL)
+       |          AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00')),
+       |dos AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY o_orderstatus) AS INTEGER) AS id, o_orderstatus
+       |  FROM (SELECT DISTINCT coalesce(o_orderstatus,'__UNKNOWN_VAL__') AS o_orderstatus
+       |        FROM orders
+       |        WHERE o_orderstatus IS NOT NULL AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00')),
+       |dop AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS INTEGER) AS id, o_orderpriority
+       |  FROM (SELECT DISTINCT coalesce(o_orderpriority,'__UNKNOWN_VAL__') AS o_orderpriority
+       |        FROM orders
+       |        WHERE o_orderpriority IS NOT NULL AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'))
+       |SELECT CAST(floor(epoch(l.l_shipdate)/86400) AS BIGINT) AS l_shipdate_day_id,
+       |       CAST(count(*) AS INTEGER) AS line_count,
+       |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+       |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price,
+       |       CAST(coalesce(dls.id, -1) AS INTEGER) AS line_status_id,
+       |       CAST(coalesce(dos.id, -1) AS INTEGER) AS order_status_id,
+       |       CAST(coalesce(dop.id, -1) AS INTEGER) AS order_priority_id
+       |FROM lineitem l
+       |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |LEFT JOIN dls ON dls.l_returnflag = coalesce(l.l_returnflag,'__UNKNOWN_VAL__')
+       |            AND dls.l_linestatus = coalesce(l.l_linestatus,'__UNKNOWN_VAL__')
+       |LEFT JOIN dos ON dos.o_orderstatus = coalesce(o.o_orderstatus,'__UNKNOWN_VAL__')
+       |LEFT JOIN dop ON dop.o_orderpriority = coalesce(o.o_orderpriority,'__UNKNOWN_VAL__')
+       |WHERE l.l_shipdate < TIMESTAMP '2002-01-01 00:00:00'
+       |GROUP BY 1, 5, 6, 7
+       |""".stripMargin
+
+  // ================================================================ F7
+  /** Exact distinct-count per day (built-in expand+two-phase agg) —
+    * the oracle-checkable companion of the sketch. */
+  def aggCountDistinctExact(s: SparkSession, dir: String): DataFrame =
+    src(s, dir)("lineitem")
+      .groupBy((floor(unix_timestamp(col("l_shipdate")) / 86400L).cast("long"))
+        .as("l_shipdate_day_id"))
+      .agg(countDistinct(col("l_partkey")).as("part_count"))
+
+  val aggCountDistinctExactSql: String =
+    s"""SELECT CAST(floor(epoch(l_shipdate)/86400) AS BIGINT) AS l_shipdate_day_id,
+       |       count(DISTINCT l_partkey) AS part_count
+       |FROM lineitem GROUP BY 1
+       |""".stripMargin
+
+  /** The mergeable register sketch (SURVEY §2.8): per-day sketches of
+    * distinct users, merged across days register-wise, plus estimates.
+    * No SQL oracle (sketch bytes are engine-specific); the driver does
+    * a rows-only check and SketchSpec asserts estimate accuracy. */
+  def sketchCountDistinct(s: SparkSession, dir: String): DataFrame = {
+    val m     = RegisterSketch.bucketCount(0.05)
+    val build = RegisterSketch.buildAgg(m)
+    val merge = RegisterSketch.mergeAgg(m)
+    val est   = RegisterSketch.estimateUdf(m)
+    val daily = src(s, dir)("events")
+      .groupBy(floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("ts_day_id"))
+      .agg(build(RegisterSketch.hashColumn(col("user_id"))).as("user_sketch"))
+    // re-aggregate: merge the daily sketches into one overall sketch
+    daily
+      .agg(merge(col("user_sketch")).as("sketch"))
+      .select(
+        est(col("sketch")).as("approx_users"),
+        lit(true).as("merged"))
+  }
+
+  // ================================================================ derivation golden (E1-E4, V1)
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+  private val schemaRowType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("column_type", StringType, nullable = false),
+    StructField("is_nullable", StringType, nullable = false),
+    StructField("position", IntegerType, nullable = false)
+  ))
+
+  private def schemaRows(s: SparkSession, tables: Seq[Table]): DataFrame = {
+    val rows = tables.flatMap { t =>
+      t.columns.zipWithIndex.map { case (c, i) =>
+        Row(t.name, c.name, c.columnType,
+          if (c.isNullable) "NULL" else "NOT NULL", i + 1)
+      }
+    }
+    s.createDataFrame(new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schemaRowType)
+  }
+
+  private def valuesOracle(tables: Seq[Table]): String = {
+    val rows = tables.flatMap { t =>
+      t.columns.zipWithIndex.map { case (c, i) =>
+        val n = if (c.isNullable) "NULL" else "NOT NULL"
+        s"('${t.name}', '${c.name}', '${c.columnType.replace("'", "''")}', '$n', ${i + 1})"
+      }
+    }
+    s"""SELECT * FROM (VALUES ${rows.mkString(",\n  ")})
+       |AS t(table_name, column_name, column_type, is_nullable, position)""".stripMargin
+  }
+
+  /** Derived dim + fact schemas for the reference's own doctest fixture
+    * — golden-checked against a VALUES literal transcribed from the
+    * reference's expected outputs (`src/Ringo.hs:147-195`). */
+  def deriveSchemas(s: SparkSession, dir: String): DataFrame = {
+    val env = ringoEnv
+    val tables =
+      env.facts.flatMap(f => Extractor.extractDimensionTables(env, f)).distinctBy(_.name)
+        .filterNot(t => env.tables.contains(t)) ++
+        env.facts.map(f => Extractor.extractFactTable(env, f))
+    schemaRows(s, tables)
+  }
+
+  lazy val deriveSchemasSql: String = {
+    val env = ringoEnv
+    val tables =
+      env.facts.flatMap(f => Extractor.extractDimensionTables(env, f)).distinctBy(_.name)
+        .filterNot(t => env.tables.contains(t)) ++
+        env.facts.map(f => Extractor.extractFactTable(env, f))
+    valuesOracle(tables)
+  }
+
+  /** Dependency DAG rows for the reference fixture (E4). */
+  def deriveDependencies(s: SparkSession, dir: String): DataFrame = {
+    val env  = ringoEnv
+    val deps = Extractor.allDependencies(env)
+    val rows = deps.toSeq.sortBy(_._1).flatMap { case (t, ds) =>
+      ds.zipWithIndex.map { case (d, i) => Row(t, d, i + 1) }
+    }
+    val tp = StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("depends_on", StringType, nullable = false),
+      StructField("position", IntegerType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), tp)
+  }
+
+  lazy val deriveDependenciesSql: String = {
+    val deps = Extractor.allDependencies(ringoEnv)
+    val rows = deps.toSeq.sortBy(_._1).flatMap { case (t, ds) =>
+      ds.zipWithIndex.map { case (d, i) => s"('$t', '$d', ${i + 1})" }
+    }
+    s"""SELECT * FROM (VALUES ${rows.mkString(",\n  ")})
+       |AS t(table_name, depends_on, position)""".stripMargin
+  }
+}

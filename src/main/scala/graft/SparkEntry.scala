@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each `queries` entry is one operator family from SURVEY §2; each has
+  * a DuckDB oracle in `oracleSql` unless the result is not
+  * SQL-expressible (sketch bytes), where the driver records a weaker
+  * rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full fact_event_by_minute populate (time bucketing, NULL
+    * defaults, broadcast dim lookup, grouped aggregation, sketch). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.factPopulateFull(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dimension populate: P1 (filter -> coalesce-project -> distinct), P3 (surrogate keys)
+    "dim_populate_full"        -> (Queries.dimPopulateFull _),
+    "dim_populate_multi"       -> (Queries.dimPopulateMulti _),
+    // P2: incremental anti-join append with continuing ids
+    "dim_populate_incremental" -> (Queries.dimPopulateIncremental _),
+    // F1-F4/F6: time bucket, defaults, broadcast dim lookup, window, grouped agg
+    "fact_populate_full"        -> (Queries.factPopulateFull _),
+    "fact_populate_incremental" -> (Queries.factPopulateIncremental _),
+    // F5: parent-fact source join (lineitem -> orders) + cross-fact dims
+    "fact_populate_parent" -> (Queries.factPopulateParent _),
+    // F7: exact companion + mergeable register sketch
+    "agg_count_distinct_exact" -> (Queries.aggCountDistinctExact _),
+    "sketch_count_distinct"    -> (Queries.sketchCountDistinct _),
+    // E1-E4: derivation layer exposed as rows (golden-checked in tests
+    // against the reference doctest outputs)
+    "derive_schemas"      -> (Queries.deriveSchemas _),
+    "derive_dependencies" -> (Queries.deriveDependencies _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "dim_populate_full"         -> Queries.dimPopulateFullSql,
+    "dim_populate_multi"        -> Queries.dimPopulateMultiSql,
+    "dim_populate_incremental"  -> Queries.dimPopulateIncrementalSql,
+    "fact_populate_full"        -> Queries.factPopulateFullSql,
+    "fact_populate_incremental" -> Queries.factPopulateIncrementalSql,
+    "fact_populate_parent"      -> Queries.factPopulateParentSql,
+    "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
+    "derive_schemas"            -> Queries.deriveSchemasSql,
+    "derive_dependencies"       -> Queries.deriveDependenciesSql
+  )
 }

@@ -1,0 +1,180 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.derive.{Extractor, SqlTypes}
+import graft.functions.RegisterSketch
+import graft.model._
+import graft.model.FactColumnKind._
+
+/** Fact populate pipeline (F1-F9 in SURVEY §2.0), the reference's main
+  * generated INSERT...SELECT (`src/Ringo/Generator/Populate/Fact.hs:127-230`)
+  * re-expressed as one declarative DataFrame plan:
+  *
+  * {{{
+  * src LEFT OUTER JOIN parent sources (FK pairs)            // F5
+  *     .filter(ts in window)                                 // F6 — pushed to scan
+  *     LEFT OUTER JOIN broadcast(derived dims) (natural keys)// F4 — replaces the
+  *                                                           //  per-row correlated subquery
+  *     .groupBy(time bucket, degenerate dims, fk ids)        // F1/F3
+  *     .agg(count/sum/min/max, avg->count+sum, sketch)       // F3/F7
+  * }}}
+  *
+  * Scale notes: dimension lookups broadcast (dims are
+  * cardinality-bounded); the single shuffle is the final hash
+  * aggregation on the group keys with map-side partial aggregation;
+  * the sketch is one more aggregate expression in the same pass —
+  * the reference's second scan + UPDATE (F8) collapses away.
+  */
+object FactPopulate {
+
+  /** Populate the extracted fact table for `fact`.
+    *
+    * @param readSource source OLTP table reader (by table name)
+    * @param readDim    populated dimension table reader (by dim table
+    *                   name, including prefix); must contain the id
+    *                   column and natural key columns
+    */
+  def populate(
+      env: Env,
+      fact: Fact,
+      window: TimeWindow,
+      readSource: String => DataFrame,
+      readDim: String => DataFrame
+  ): DataFrame = {
+    val s       = env.settings
+    val allDims = Extractor.extractAllDimensionTables(env, fact)
+    val fTable = env
+      .findTable(fact.tableName)
+      .getOrElse(throw new IllegalStateException(s"missing table ${fact.tableName}"))
+
+    def srcColumn(table: Table, cName: String): graft.model.Column =
+      table
+        .findColumn(cName)
+        .getOrElse(throw new IllegalStateException(s"missing column ${table.name}.$cName"))
+
+    // ---- FROM: fact source LEFT OUTER JOIN each parent fact's source (F5)
+    val parentTables =
+      allDims.map(_._1.tableName).distinct.filter(_ != fact.tableName)
+    val base = readSource(fact.tableName).alias(fact.tableName)
+    val joinedSources = parentTables.foldLeft(base) { (acc, oTableName) =>
+      val fkPairs = fTable.constraints.collectFirst {
+        case TableConstraint.ForeignKey(t, pairs) if t == oTableName => pairs
+      }.getOrElse(throw new IllegalStateException(
+        s"no FK from ${fact.tableName} to parent source $oTableName"))
+      val cond = fkPairs
+        .map { case (c1, c2) => col(s"${fact.tableName}.$c1") === col(s"$oTableName.$c2") }
+        .reduce(_ && _)
+      acc.join(readSource(oTableName).alias(oTableName), cond, "left_outer")
+    }
+
+    // ---- WHERE: refresh window on the raw event time (F6)
+    val timeColName = DimPopulate.timeColumnOf(fact)
+    val timeCol     = col(s"${fact.tableName}.$timeColName")
+    val filtered    = joinedSources.filter(DimPopulate.windowPred(timeCol, window))
+
+    // ---- derived-dimension lookups: broadcast left outer joins (F4)
+    val withDims = allDims.foldLeft(filtered) { case (acc, (dimFact, dimTable)) =>
+      if (env.tables.contains(dimTable)) acc // existing dim: FK col is already in a source
+      else {
+        val srcTableName = dimFact.tableName
+        val srcTable = env
+          .findTable(srcTableName)
+          .getOrElse(throw new IllegalStateException(s"missing table $srcTableName"))
+        val cond = Naming
+          .dimColumnMapping(s.dimPrefix, dimFact, dimTable.name)
+          .map { case (dimColName, sourceColName) =>
+            col(s"${dimTable.name}.$dimColName") ===
+              Defaults.coalesced(
+                col(s"$srcTableName.$sourceColName"),
+                srcColumn(srcTable, sourceColName),
+                env.typeDefaults)
+          }
+          .reduce(_ && _)
+        acc.join(broadcast(readDim(dimTable.name).alias(dimTable.name)), cond, "left_outer")
+      }
+    }
+
+    // ---- select list: group keys + aggregates (F1/F2/F3/F7)
+    val coalesceFKId: Column => Column =
+      c => coalesce(c, lit(s.foreignKeyIdCoalesceValue))
+
+    // (outputName, expression, isGroupKey)
+    val factColMap: Seq[(String, Column, Boolean)] = fact.columns.flatMap {
+      case FactColumn(cName, kind) =>
+        def qual(c: String) = col(s"${fact.tableName}.$c")
+        kind match {
+          case DimTime =>
+            val outName = Naming.timeUnitColumnName(s.dimTableIdColumnName, cName, s.timeUnit)
+            Seq((
+              outName,
+              floor(unix_timestamp(qual(cName)) / lit(s.timeUnit.seconds)).cast("long"),
+              true))
+          case NoDimId | TenantId =>
+            Seq((
+              cName,
+              Defaults.coalesced(qual(cName), srcColumn(fTable, cName), env.typeDefaults),
+              true))
+          case FactCount(srcOpt) =>
+            val cnt = srcOpt.map(c => count(qual(c))).getOrElse(count(lit(1)))
+            Seq((cName, cnt.cast(SqlTypes.toDataType(s.factCountColumnType)), false))
+          case FactCountDistinct(srcOpt) =>
+            val srcName = srcOpt.getOrElse(
+              fTable.constraints.collectFirst { case TableConstraint.PrimaryKey(c) => c }
+                .getOrElse(throw new IllegalStateException(
+                  s"FactCountDistinct with no source column needs a PK on ${fTable.name}")))
+            val m = RegisterSketch.bucketCount(s.factCountDistinctErrorRate)
+            Seq((cName, RegisterSketch.buildAgg(m)(RegisterSketch.hashColumn(qual(srcName))), false))
+          // Measures are cast to their declared SQL type BEFORE
+          // aggregation: declaring a measure `numeric(p,s)` makes the
+          // sum exact decimal arithmetic — deterministic under any
+          // partitioning / aggregation order, which double sums are
+          // not. Essential for reproducible results on a real cluster.
+          case FactSum(src) =>
+            val t = SqlTypes.toDataType(srcColumn(fTable, src).columnType)
+            Seq((cName, sum(qual(src).cast(t)), false))
+          case FactMax(src) =>
+            val t = SqlTypes.toDataType(srcColumn(fTable, src).columnType)
+            Seq((cName, max(qual(src).cast(t)), false))
+          case FactMin(src) =>
+            val t = SqlTypes.toDataType(srcColumn(fTable, src).columnType)
+            Seq((cName, min(qual(src).cast(t)), false))
+          case FactAverage(src) =>
+            val t = SqlTypes.toDataType(srcColumn(fTable, src).columnType)
+            Seq(
+              (cName + s.avgCountColumnSuffix,
+                count(qual(src)).cast(SqlTypes.toDataType(s.factCountColumnType)), false),
+              (cName + s.avgSumColumnSuffix, sum(qual(src).cast(t)), false))
+          case DimId(_) | DimVal(_) => Nil
+        }
+    }
+
+    val dimColMap: Seq[(String, Column, Boolean)] = allDims.map { case (dimFact, dimTable) =>
+      val fkColName =
+        Naming.factDimFKIdColumnName(s.dimPrefix, s.dimTableIdColumnName, dimFact, dimTable, env.tables)
+      val expr =
+        if (env.tables.contains(dimTable)) {
+          // existing dimension: the FK column lives in the declaring
+          // fact's source table; coalesce only if nullable (Fact.hs:182-184)
+          val srcTableName = dimFact.tableName
+          val srcTable     = env.findTable(srcTableName).get
+          val fkCol        = srcColumn(srcTable, fkColName)
+          val raw          = col(s"$srcTableName.$fkColName")
+          if (fkCol.isNullable) coalesceFKId(raw) else raw
+        } else
+          coalesceFKId(col(s"${dimTable.name}.${s.dimTableIdColumnName}"))
+      (fkColName, expr.cast(SqlTypes.toDataType(
+        Naming.idColTypeToFKIdColType(s.dimTableIdColumnType))), true)
+    }
+
+    val colMap    = factColMap ++ dimColMap
+    val groupCols = colMap.collect { case (n, e, true) => e.as(n) }
+    val aggCols   = colMap.collect { case (n, e, false) => e.as(n) }
+    val grouped =
+      if (aggCols.isEmpty) withDims.select(groupCols: _*).distinct()
+      else withDims.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    // final column order = derived fact-table schema order
+    grouped.select(colMap.map { case (n, _, _) => col(n) }: _*)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet source reader (S-layer).
+  *
+  * Spark refuses parquet TIMESTAMP(NANOS) columns outright; with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` they surface as
+  * nanosecond longs instead. This reader inspects the parquet footer,
+  * finds nano-timestamp columns, and converts them back to proper
+  * TimestampType (microsecond truncation — Spark's native resolution).
+  * Sessions created by [[graft.Verify]] / [[graft.Bench]] set the flag.
+  */
+object ParquetTables {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    nanoTimestampColumns(spark, path).foldLeft(df) { (d, c) =>
+      d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+    }
+  }
+
+  def readTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    read(spark, s"$dir/$table.parquet")
+
+  /** Column names whose parquet logical type is TIMESTAMP with NANOS
+    * unit, read from the footer of the first data file. */
+  private def nanoTimestampColumns(spark: SparkSession, path: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p    = new Path(path)
+    val fs   = p.getFileSystem(conf)
+    val firstFile: Option[Path] =
+      if (fs.getFileStatus(p).isFile) Some(p)
+      else
+        fs.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .headOption
+          .map(_.getPath)
+    firstFile match {
+      case None => Nil
+      case Some(f) =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+            case field
+                if field.isPrimitive &&
+                  (field.getLogicalTypeAnnotation match {
+                    case t: TimestampLogicalTypeAnnotation =>
+                      t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                    case _ => false
+                  }) =>
+              field.getName
+          }.toSeq
+        } finally reader.close()
+    }
+  }
+}
