@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.derive.Extractor
+import graft.model._
+import graft.model.Nullable._
+import graft.model.TableConstraint._
+
+/** Golden tests for the derivation layer, transcribed from the
+  * reference's doctest outputs (`/root/reference/src/Ringo.hs:147-221`).
+  */
+class DerivationSpec extends AnyFunSuite {
+  import Fixtures.{ringoEnv => env}
+
+  private def fact(n: String) = env.findFact(n).get
+
+  private def colTriples(t: Table): Seq[(String, String, Nullable)] =
+    t.columns.map(c => (c.name, c.columnType, c.nullable))
+
+  test("extractFactTable fact_session_by_minute (Ringo.hs:147-155)") {
+    val t = Extractor.extractFactTable(env, fact("session"))
+    assert(t.name == "fact_session_by_minute")
+    assert(colTriples(t) == Seq(
+      ("created_at_minute_id", "bigint", NotNull),
+      ("publisher_id", "integer", NotNull),
+      ("session_count", "integer", NotNull),
+      ("geo_id", "integer", NotNull),
+      ("user_agent_id", "integer", NotNull)
+    ))
+    assert(t.constraints == Seq(UniqueKey(Seq(
+      "created_at_minute_id", "publisher_id", "geo_id", "user_agent_id"))))
+  }
+
+  test("extractFactTable fact_page_view_by_minute (Ringo.hs:156-166)") {
+    val t = Extractor.extractFactTable(env, fact("page_view"))
+    assert(t.name == "fact_page_view_by_minute")
+    assert(colTriples(t) == Seq(
+      ("created_at_minute_id", "bigint", NotNull),
+      ("publisher_id", "integer", NotNull),
+      ("view_count", "integer", NotNull),
+      ("referrer_id", "integer", NotNull),
+      ("page_type_id", "integer", NotNull),
+      ("geo_id", "integer", NotNull),
+      ("user_agent_id", "integer", NotNull)
+    ))
+    assert(t.constraints == Seq(UniqueKey(Seq(
+      "created_at_minute_id", "publisher_id", "referrer_id", "page_type_id",
+      "geo_id", "user_agent_id"))))
+  }
+
+  test("extractDimensionTables session fact (Ringo.hs:172-186)") {
+    val dims = Extractor.extractDimensionTables(env, fact("session"))
+    assert(dims.map(_.name) == Seq("dim_geo", "dim_user_agent"))
+    val geo = dims.head
+    assert(colTriples(geo) == Seq(
+      ("id", "serial", NotNull),
+      ("country_name", "character varying(50)", NotNull),
+      ("city_name", "character varying(50)", NotNull),
+      ("continent_name", "character varying(15)", NotNull)
+    ))
+    assert(geo.constraints == Seq(
+      PrimaryKey("id"), UniqueKey(Seq("country_name", "city_name", "continent_name"))))
+    val ua = dims(1)
+    assert(colTriples(ua) == Seq(
+      ("id", "serial", NotNull),
+      ("browser_name", "character varying(50)", NotNull),
+      ("os", "character varying(50)", NotNull),
+      ("name", "character varying(100)", NotNull)
+    ))
+    assert(ua.constraints == Seq(
+      PrimaryKey("id"), UniqueKey(Seq("browser_name", "os", "name"))))
+  }
+
+  test("extractDimensionTables page_view fact incl. existing dim (Ringo.hs:188-195)") {
+    val dims = Extractor.extractDimensionTables(env, fact("page_view"))
+    // referrers resolves to the declared table; dim_page_type is derived
+    assert(dims.map(_.name) == Seq("referrers", "dim_page_type"))
+    val pt = dims(1)
+    assert(colTriples(pt) == Seq(
+      ("id", "serial", NotNull),
+      ("page_type", "character varying(20)", NotNull)
+    ))
+    assert(pt.constraints == Seq(PrimaryKey("id"), UniqueKey(Seq("page_type"))))
+  }
+
+  test("extractAllDimensionTables dedups parent dims") {
+    val all = Extractor.extractAllDimensionTables(env, fact("page_view"))
+    assert(all.map(_._2.name) == Seq("referrers", "dim_page_type", "dim_geo", "dim_user_agent"))
+    assert(all.map(_._1.name) == Seq("page_view", "page_view", "session", "session"))
+  }
+
+  test("extractDependencies session (Ringo.hs:201-208)") {
+    val deps = Extractor.extractDependencies(env, fact("session"))
+    assert(deps == Map(
+      "dim_geo"                -> Seq("session_events"),
+      "dim_user_agent"         -> Seq("session_events"),
+      "fact_session_by_minute" -> Seq("session_events", "dim_user_agent", "dim_geo")
+    ))
+  }
+
+  test("extractDependencies page_view (Ringo.hs:209-221)") {
+    val deps = Extractor.extractDependencies(env, fact("page_view"))
+    assert(deps == Map(
+      "dim_page_type" -> Seq("page_view_events"),
+      "fact_page_view_by_minute" -> Seq(
+        "page_view_events", "session_events", "dim_page_type", "referrers",
+        "dim_user_agent", "dim_geo")
+    ))
+  }
+
+  test("topoOrder puts dims before facts, parents before children") {
+    val order = Extractor.topoOrder(Extractor.allDependencies(env))
+    def idx(s: String) = order.indexOf(s)
+    assert(order.toSet == Set(
+      "dim_geo", "dim_user_agent", "dim_page_type",
+      "fact_session_by_minute", "fact_page_view_by_minute"))
+    assert(idx("dim_geo") < idx("fact_session_by_minute"))
+    assert(idx("dim_page_type") < idx("fact_page_view_by_minute"))
+  }
+
+  test("naming: serial family FK types (Extractor/Internal.hs:54-59)") {
+    assert(Naming.idColTypeToFKIdColType("serial") == "integer")
+    assert(Naming.idColTypeToFKIdColType("smallserial") == "smallint")
+    assert(Naming.idColTypeToFKIdColType("bigserial") == "bigint")
+    assert(Naming.idColTypeToFKIdColType("uuid") == "uuid")
+  }
+
+  test("naming: dim column prefix strip") {
+    assert(Naming.dimColumnName("geo", "geo_country_name") == "country_name")
+    assert(Naming.dimColumnName("user_agent", "os") == "os")
+    assert(Naming.dimColumnName("user_agent", "user_agent_name") == "name")
+  }
+
+  test("type defaults: longest prefix wins, prefix semantics (Generator/Internal.hs:32-36)") {
+    val d = TypeDefaults(Map("timestamp" -> "'e'", "character" -> "'__UNKNOWN_VAL__'"))
+    assert(d.forType("timestamp without time zone").contains("'e'"))
+    assert(d.forType("character varying(50)").contains("'__UNKNOWN_VAL__'"))
+    assert(d.forType("bigint").isEmpty)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.exec.{DimPopulate, FactPopulate}
+import graft.model._
+
+/** Physical-plan assertions (SURVEY §4): dim lookups must broadcast,
+  * window predicates must reach the parquet scan as pushed filters,
+  * and scans must prune columns. These guard the 100 TB posture — a
+  * regression here is a performance bug even if results match.
+  */
+class PlanSpec extends SparkSpec {
+  import Fixtures._
+
+  private def explainOf(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("fact populate: dim lookup is a broadcast hash join, no sort-merge") {
+    val df = Queries.factPopulateFull(spark, sf("sf0.001"))
+    val plan = explainOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "dim lookup must not shuffle both sides")
+  }
+
+  test("fact populate: time-window filter is pushed to the parquet scan") {
+    val env  = tpchEnv
+    val fact = env.findFact("line").get
+    val src  = (n: String) => sources.ParquetTables.readTable(spark, sf("sf0.001"), n)
+    val hi   = TimeWindow.upTo(java.sql.Timestamp.valueOf("2002-01-01 00:00:00"))
+    val dims = derive.Extractor
+      .extractAllDimensionTables(env, fact)
+      .filterNot { case (_, t) => env.tables.contains(t) }
+      .map { case (df2, dt) => dt.name -> DimPopulate.full(env, df2, dt.name, src(df2.tableName), hi) }
+      .toMap
+    val df = FactPopulate.populate(
+      env, fact,
+      TimeWindow.upTo(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")),
+      src, dims.apply _)
+    val plan = explainOf(df)
+    // lineitem scan (no nano cols) must carry the pushed timestamp filter
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), plan)
+  }
+
+  test("dim populate: distinct happens as hash aggregate (partial+final)") {
+    // candidates() is the declarative part; id assignment afterwards is
+    // an RDD zipWithIndex that hides the upstream plan behind an
+    // ExistingRDD scan
+    val env  = tpchEnv
+    val fact = env.findFact("line").get
+    val df = DimPopulate.candidates(
+      env, fact, "dim_line_status",
+      sources.ParquetTables.readTable(spark, sf("sf0.001"), "lineitem"),
+      TimeWindow.unbounded)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("parent join scans prune columns") {
+    val df   = Queries.factPopulateParent(spark, sf("sf0.001"))
+    val plan = explainOf(df)
+    // the orders scan must not read o_totalprice (unused by the line fact)
+    val ordersSchema = plan.linesIterator.filter(_.contains("orders.parquet")).mkString
+    assert(!plan.contains("o_totalprice") || !ordersSchema.contains("o_totalprice"), plan)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RegisterSketch
+
+/** Register sketch (SURVEY §2.8): estimate accuracy vs exact distinct
+  * counts, and the register-wise-max merge algebra. */
+class SketchSpec extends SparkSpec {
+
+  private val m = RegisterSketch.bucketCount(0.05)
+
+  test("bucket count matches the reference formula: eps=0.05 -> m=512") {
+    assert(m == 512)
+    assert(RegisterSketch.bucketCount(0.1) == 128)
+  }
+
+  test("estimate within tolerance of exact distinct count (events users)") {
+    val ev    = sources.ParquetTables.readTable(spark, sf("sf0.01"), "events")
+    val build = RegisterSketch.buildAgg(m)
+    val row = ev
+      .agg(
+        build(RegisterSketch.hashColumn(col("user_id"))).as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+      .select(RegisterSketch.estimateUdf(m)(col("sk")), col("exact"))
+      .head()
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    // 512 buckets -> ~4.6% standard error; allow 3 sigma
+    assert(math.abs(est - exact) <= math.max(3, (exact * 0.15).toLong),
+      s"estimate $est vs exact $exact")
+  }
+
+  test("merge of partial sketches equals sketch of the union") {
+    val ev    = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val build = RegisterSketch.buildAgg(m)
+    val merge = RegisterSketch.mergeAgg(m)
+    val whole = ev
+      .agg(build(RegisterSketch.hashColumn(col("user_id"))).as("sk"))
+      .head().getMap[Int, Int](0)
+    val merged = ev
+      .groupBy(dayofmonth(col("ts")).as("d"))
+      .agg(build(RegisterSketch.hashColumn(col("user_id"))).as("sk"))
+      .agg(merge(col("sk")).as("sk"))
+      .head().getMap[Int, Int](0)
+    assert(whole == merged)
+  }
+
+  test("property: estimate scales with true cardinality") {
+    for (n <- Seq(100, 500, 1000, 2500, 5000, 10000, 20000)) {
+      val sketch = (1 to n).foldLeft(Array.fill(m)(-1)) { (buf, i) =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"v$i") & 0x7FFFFFFF
+        val b = h & (m - 1)
+        val r = Integer.numberOfLeadingZeros(if (h == 0) 1 else h)
+        if (r > buf(b)) buf(b) = r
+        buf
+      }
+      val map = sketch.zipWithIndex.collect { case (r, b) if r >= 0 => b -> r }.toMap
+      val est = RegisterSketch.estimate(map, m)
+      assert(math.abs(est - n) < n * 0.25 + 10, s"est $est for true $n")
+    }
+  }
+
+  test("empty sketch estimates zero") {
+    assert(RegisterSketch.estimate(Map.empty, m) == 0L)
+  }
+}
