@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline queries (SURVEY §7.1 step 7): dedup,
+  * similarity search, text analysis, multimodal plumbing — with DuckDB
+  * oracles generated from the same formulas where SQL-expressible.
+  */
+object QueriesExt {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    sources.ParquetTables.readTable(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    sources.ParquetTables.readTable(s, dir, "embeddings")
+
+  // ---------------------------------------------------------- oracle SQL builders
+  /** DuckDB expression mirroring TextAnalysis.normalized. */
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** DuckDB expression mirroring TextAnalysis.wordOccurrences on
+    * padded text column `p`. */
+  private def occSql(w: String): String = {
+    val needle = s" $w "
+    s"((length(p) - length(replace(p, ' $w ', ''))) // ${needle.length})"
+  }
+  private def hitsSql(lang: String): String =
+    TextAnalysis.stopwords(lang).map(occSql).mkString("(", " + ", ")")
+
+  // ================================================================ text stats
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(docs(s, dir), "doc_id", "text")
+
+  lazy val textStatsSql: String = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val langScores = langs.map(l => s"${hitsSql(l)} AS s_$l").mkString(",\n         ")
+    val caseBranches = langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n              ")
+    s"""WITH n AS (
+       |  SELECT doc_id, $normSql AS t FROM documents
+       |), b AS (
+       |  SELECT doc_id, t,
+       |         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+       |         length(t) AS n_chars,
+       |         ' ' || t || ' ' AS p
+       |  FROM n
+       |), o AS (
+       |  SELECT doc_id, t, n_tokens, n_chars,
+       |         $langScores,
+       |         CASE WHEN length(t) = 0 THEN 0.0
+       |              ELSE CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(t)
+       |         END AS punct_ratio,
+       |         CASE WHEN n_tokens = 0 THEN 0.0
+       |              ELSE CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+       |         END AS avg_token_len
+       |  FROM b
+       |)
+       |SELECT doc_id, n_tokens, n_chars, punct_ratio, avg_token_len,
+       |       CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(s_en AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |       0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |         + 0.25 * (1.0 - punct_ratio)
+       |         + 0.30 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(s_en AS DOUBLE) / n_tokens END) * 4.0)
+       |         + 0.20 * least(1.0, avg_token_len / 8.0) AS quality_score,
+       |       CASE WHEN (s_en + s_de + s_es + s_fr + s_zh) = 0 THEN 'und'
+       |              $caseBranches
+       |            ELSE 'zh' END AS lang_pred,
+       |       md5(t) AS fingerprint
+       |FROM o
+       |""".stripMargin
+  }
+
+  // ================================================================ exact dedup
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+
+  lazy val dedupExactSql: String =
+    s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keep_id,
+       |       count(*) AS dup_count
+       |FROM documents GROUP BY 1
+       |""".stripMargin
+
+  // ================================================================ n-gram jaccard
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+
+  lazy val dedupNgramJaccardSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), ngr AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ng
+       |  FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM ngr GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icount
+       |  FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(icount AS DOUBLE) / (sa.sz + sb.sz - icount) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(icount AS DOUBLE) / (sa.sz + sb.sz - icount) >= 0.5
+       |""".stripMargin
+
+  // ================================================================ minhash / simhash (no SQL oracle)
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3, k = 64, r = 4, minJaccard = 0.5)
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+
+  // ================================================================ embedding similarity
+  def embedKnnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnBruteExactSum(emb(s, dir), "vec_id", "embedding", numQueries = 10, k = 5)
+
+  lazy val embedKnnBruteSql: String =
+    s"""WITH pos AS (
+       |  SELECT vec_id AS vid, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |), norms AS (
+       |  SELECT vid, sum(CAST(v * v AS DECIMAL(30,15))) AS n2 FROM pos GROUP BY 1
+       |), q AS (
+       |  SELECT vid AS query_id, pos, v AS qv FROM pos WHERE vid < 10
+       |), dots AS (
+       |  SELECT q.query_id, c.vid AS neighbor_id,
+       |         sum(CAST(q.qv * c.v AS DECIMAL(30,15))) AS dot
+       |  FROM q JOIN pos c USING (pos)
+       |  WHERE q.query_id <> c.vid
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN norms qn ON qn.vid = query_id
+       |  JOIN norms cn ON cn.vid = neighbor_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |""".stripMargin
+
+  def embedCosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", minCosine = 0.45)
+
+  lazy val embedCosineNearDupSql: String =
+    s"""WITH pos AS (
+       |  SELECT vec_id AS vid, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |), norms AS (
+       |  SELECT vid, sum(CAST(v * v AS DECIMAL(30,15))) AS n2 FROM pos GROUP BY 1
+       |), dots AS (
+       |  SELECT a.vid AS vec_a, b.vid AS vec_b,
+       |         sum(CAST(a.v * b.v AS DECIMAL(30,15))) AS dot
+       |  FROM pos a JOIN pos b ON a.pos = b.pos AND a.vid < b.vid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT vec_a, vec_b,
+       |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+       |FROM dots
+       |JOIN norms na ON na.vid = vec_a
+       |JOIN norms nb ON nb.vid = vec_b
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45
+       |""".stripMargin
+
+  def embedKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.lshKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  // ================================================================ multimodal
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(docs(s, dir), "doc_id", "text")
+
+  lazy val multimodalDecodeSql: String =
+    s"""SELECT doc_id,
+       |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       |       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       |       CAST(1 + (ascii(text) * 256 + ascii(substr(text, 2, 1))) % 480 AS INTEGER) AS height,
+       |       3 AS channels,
+       |       md5(text) AS checksum
+       |FROM documents
+       |""".stripMargin
+}

@@ -34,7 +34,20 @@ object SparkEntry {
     // E1-E4: derivation layer exposed as rows (golden-checked in tests
     // against the reference doctest outputs)
     "derive_schemas"      -> (Queries.deriveSchemas _),
-    "derive_dependencies" -> (Queries.deriveDependencies _)
+    "derive_dependencies" -> (Queries.deriveDependencies _),
+    // training-data extensions: text analysis
+    "text_stats" -> (QueriesExt.textStats _),
+    // dedup family
+    "dedup_exact"         -> (QueriesExt.dedupExact _),
+    "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
+    "dedup_minhash_lsh"   -> (QueriesExt.dedupMinhashLsh _),
+    "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
+    // similarity search
+    "embed_knn_brute"       -> (QueriesExt.embedKnnBrute _),
+    "embed_knn_lsh"         -> (QueriesExt.embedKnnLsh _),
+    "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
+    // multimodal binary plumbing (stubbed decode)
+    "multimodal_decode" -> (QueriesExt.multimodalDecode _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,6 +61,12 @@ object SparkEntry {
     "fact_populate_parent"      -> Queries.factPopulateParentSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
-    "derive_dependencies"       -> Queries.deriveDependenciesSql
+    "derive_dependencies"       -> Queries.deriveDependenciesSql,
+    "text_stats"                -> QueriesExt.textStatsSql,
+    "dedup_exact"               -> QueriesExt.dedupExactSql,
+    "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
+    "embed_knn_brute"           -> QueriesExt.embedKnnBruteSql,
+    "embed_cosine_neardup"      -> QueriesExt.embedCosineNearDupSql,
+    "multimodal_decode"         -> QueriesExt.multimodalDecodeSql
   )
 }

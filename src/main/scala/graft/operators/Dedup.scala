@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design: everything is expressed as joins/aggregations on
+  * blocking keys (hash buckets, band signatures, shared n-grams) — no
+  * cross join ever materializes the O(n^2) pair space. Bucket-size caps
+  * bound worst-case skew (a degenerate bucket of k docs creates k^2
+  * candidate pairs).
+  */
+object Dedup {
+
+  /** Exact duplicate groups, keyed by md5 of normalized text (one
+    * shuffle on the hash; map-side partial agg). Output one row per
+    * distinct content: the survivor (min id), the duplicate count. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-grams per document: (id, ng). The inverted-index
+    * building block shared by Jaccard and MinHash. Documents with fewer
+    * than `n` tokens produce no shingles. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(
+        col(idCol),
+        explode(expr(
+          s"""transform(sequence(1, size(w) - ${n - 1}),
+             |  i -> concat_ws(' ', ${(0 until n).map(o => s"element_at(w, i + $o)").mkString(", ")}))
+             |""".stripMargin)).as("ng"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity join via inverted index: explode
+    * shingles, equi-join on the shingle (only docs sharing >=1 shingle
+    * ever pair up), count intersections, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). This IS the scalable exact formulation —
+    * the shuffle key is the shingle, not the pair. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5
+  ): DataFrame = {
+    val ngr   = shingles(docs, idCol, textCol, n)
+    val sizes = ngr.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = ngr
+      .as("a")
+      .join(ngr.as("b"),
+        col("a.ng") === col("b.ng") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("icount"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("icount").cast("double") / (col("sz_a") + col("sz_b") - col("icount")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: k per-seed minimum xxhash64 values over the
+    * document's shingle set, computed as array expressions (no UDF, one
+    * scan). */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3, k: Int = 64
+  ): DataFrame =
+    shingles(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("ng")).as("ngs"))
+      .select(
+        col(idCol),
+        expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform(ngs, s -> xxhash64(s, j))))")
+          .as("sig"))
+
+  /** MinHash + LSH near-duplicate pairs: band the signature (bands of
+    * `r` rows), bucket-join on (band, band-hash), then verify candidate
+    * pairs with exact Jaccard. Buckets larger than `maxBucket` are
+    * dropped (logged skew guard — a degenerate bucket is evidence the
+    * band is non-discriminative, not useful candidates). */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, r: Int = 4,
+      minJaccard: Double = 0.5, maxBucket: Int = 1000
+  ): DataFrame = {
+    val bands = k / r
+    val sigs  = minhashSignatures(docs, idCol, textCol, n, k)
+    val banded = sigs.select(
+      col(idCol),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',', slice(sig, b * $r + 1, $r)), b)))"))
+        .as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bucketed = banded
+      .groupBy("band", "bh")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val candidates = bucketed
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', least(x, y), 'b', greatest(x, y)))))"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (inverted-index restricted
+    // to candidate pairs)
+    ngramJaccardForPairs(docs, idCol, textCol, candidates, n, minJaccard)
+  }
+
+  /** Exact Jaccard evaluated only for the given candidate (doc_a, doc_b)
+    * pairs. */
+  def ngramJaccardForPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int, minJaccard: Double
+  ): DataFrame = {
+    val ngr   = shingles(docs, idCol, textCol, n)
+    val sizes = ngr.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(ngr.as("a"), col("doc_a") === col(s"a.$idCol"))
+      .join(ngr.as("b"), col("doc_b") === col(s"b.$idCol") && col("a.ng") === col("b.ng"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("icount"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("icount").cast("double") / (col("sz_a") + col("sz_b") - col("icount")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document: sign-aggregate the per-token hash
+    * bits (+1/-1 weighting), emitted as a long. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(
+        col(idCol),
+        expr(
+          """aggregate(
+            |  sequence(0, 63),
+            |  0L,
+            |  (acc, j) -> acc + if(
+            |    aggregate(transform(w, t -> if(((shiftright(xxhash64(t), j) & 1) = 1), 1, -1)), 0, (s, x) -> s + x) > 0,
+            |    shiftleft(1L, j), 0L))
+            |""".stripMargin).as("simhash"))
+
+  /** SimHash near-duplicate pairs: band the 64-bit hash into four
+    * 16-bit chunks (pigeonhole: hamming distance <= 3 implies at least
+    * one identical chunk), bucket-join, verify by exact bit_count of
+    * the xor. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000
+  ): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val banded = sh.select(
+      col(idCol), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'chunk', shiftright(simhash, b * 16) & 65535))"))
+        .as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    val pairs = banded
+      .as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.simhash").as("sha"), col("b.simhash").as("shb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Survivor view: keep the lowest id of each near-duplicate cluster
+    * (single-link via union of pairs; one connected-component round is
+    * enough for typical near-dup chains, documented approximation). */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(greatest(col("doc_a"), col("doc_b")).as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+}

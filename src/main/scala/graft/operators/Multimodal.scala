@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extraction runs as a
+  * typed `mapPartitions` (the Scala analogue of `mapInPandas` batch
+  * UDFs) so heavyweight codec state can be initialized once per
+  * partition.
+  *
+  * The decode itself is a STUB: this container has no image/audio
+  * codecs, so `decodeStub` derives deterministic fake metadata from the
+  * bytes. The Spark-side plumbing — schema, batching, partition-level
+  * execution, deterministic output — is real and tested; swapping in a
+  * real codec changes only the function body marked below.
+  */
+object Multimodal {
+
+  /** Extracted media features. `checksum` is the content address for
+    * downstream exact dedup of media. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      checksum: String
+  )
+
+  /** Attach a binary payload column. Real pipelines read binary from
+    * parquet/`binaryFile`; the testdata has no media, so text bytes
+    * stand in. */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("binary").as("payload"))
+
+  /** Per-partition decode: one codec init per partition, streaming over
+    * rows (no per-row setup, no collect). */
+  def decodeStub(payloads: DataFrame): Dataset[MediaFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        // real codec/session initialization would happen HERE, once per
+        // partition (cf. mapInPandas batch UDF pattern)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          // ---- STUB DECODE: deterministic fake metadata from bytes.
+          // A real implementation would decode image/audio here.
+          val b0  = if (bytes.length > 0) bytes(0) & 0xFF else 0
+          val b1  = if (bytes.length > 1) bytes(1) & 0xFF else 0
+          md.reset()
+          val sum = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaFeatures(
+            doc_id = id,
+            byte_len = bytes.length,
+            width = 1 + bytes.length % 640,
+            height = 1 + (b0 * 256 + b1) % 480,
+            channels = 3,
+            checksum = sum)
+        }
+    }
+  }
+
+  /** Full stub pipeline over a text table standing in for media. */
+  def features(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    decodeStub(withPayload(docs, idCol, textCol)).toDF()
+}

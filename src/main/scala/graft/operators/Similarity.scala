@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (`knnBrute`): broadcast the query set,
+  *    one codegen'd array-fold per (query, candidate) — the exact
+  *    baseline; O(|Q| * N) work, no shuffle of the corpus.
+  *  - LSH-bucketed (`lshKnn`): random-hyperplane signs bucket the
+  *    corpus; search only within the query's bucket (and its 1-bit
+  *    neighbors for recall) — the 100 TB path; the corpus shuffles once
+  *    on bucket id.
+  *
+  * `knnBruteExactSum` is the cross-engine-deterministic variant used by
+  * the oracle gate: per-position products are cast to exact decimal
+  * before summing, so the result is identical under any aggregation
+  * order (and identical to DuckDB's).
+  */
+object Similarity {
+
+  /** cos(a, b) as a single codegen'd fold; arrays must be same length. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * Queries (small) are broadcast; rank by (cosine desc, id). */
+  def knnBrute(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Deterministic-sum variant for the oracle gate: relational
+    * explode-join formulation with per-product decimal casts. Same
+    * results as [[knnBrute]] up to float rounding of the cosine; order
+    * independence makes it bit-identical to the DuckDB oracle. */
+  def knnBruteExactSum(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int, k: Int
+  ): DataFrame = {
+    val pos = embeddings.select(
+      col(idCol).as("vid"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("vid"), col("pos"), col("v").cast("double").as("v"))
+    val norms = pos
+      .groupBy("vid")
+      .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("n2"))
+    val q = pos.filter(col("vid") < numQueries)
+      .select(col("vid").as("query_id"), col("pos"), col("v").as("qv"))
+    val dots = q
+      .join(pos.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("v", "cv"), Seq("pos"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("qv") * col("cv")).cast("decimal(30,15)")).as("dot"))
+    dots
+      .join(norms.withColumnRenamed("vid", "query_id").withColumnRenamed("n2", "qn"), "query_id")
+      .join(norms.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("n2", "cn"), "neighbor_id")
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      // last-ulp cast differences between engines are below 1e-12;
+      // present at 6 decimals for the cross-engine hash compare
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** All pairs with cosine >= `minCosine` (embedding near-duplicate
+    * detection), deterministic-sum formulation. */
+  def cosineNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String, minCosine: Double
+  ): DataFrame = {
+    val pos = embeddings.select(
+      col(idCol).as("vid"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("vid"), col("pos"), col("v").cast("double").as("v"))
+    val norms = pos
+      .groupBy("vid")
+      .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("n2"))
+    val dots = pos.as("a")
+      .join(pos.as("b"), col("a.pos") === col("b.pos") && col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
+      .agg(sum((col("a.v") * col("b.v")).cast("decimal(30,15)")).as("dot"))
+    dots
+      .join(norms.withColumnRenamed("vid", "vec_a").withColumnRenamed("n2", "na"), "vec_a")
+      .join(norms.withColumnRenamed("vid", "vec_b").withColumnRenamed("n2", "nb"), "vec_b")
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `i`: a hash-derived value in [-1, 1). No RNG state —
+    * reproducible on any cluster. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p) * 100003 + i), lit(2000000)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-LSH bucket id from `nPlanes` random hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map { p =>
+        val dotP = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (v, i) => v.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(dotP > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's LSH bucket or any
+    * bucket at hamming distance 1 (multi-probe), exact cosine rerank
+    * within candidates. The corpus is shuffled once on bucket id; each
+    * query probes nPlanes+1 buckets. */
+  def lshKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nPlanes: Int = 12
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val qBase = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), nPlanes).as("qbucket"))
+    // multi-probe: the exact bucket plus all 1-bit flips
+    val probes = qBase.select(
+      col("query_id"), col("qv"),
+      explode(expr(
+        s"concat(array(qbucket), transform(sequence(0, ${nPlanes - 1}), p -> cast(qbucket as bigint) ^ shiftleft(1L, p)))"))
+        .as("bucket"))
+    probes
+      .join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup operators: MinHash-LSH recall vs exact Jaccard, SimHash on
+  * constructed near-identical docs, survivor semantics. */
+class DedupSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+
+  test("minhash LSH finds the exact-jaccard pairs (recall >= 0.9 at j>=0.5)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 4, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain near-duplicates")
+    // LSH verifies candidates with exact jaccard -> no false positives
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (found ${lsh.size} of ${exact.size})")
+  }
+
+  test("simhash: near-identical docs collide, unrelated docs don't") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w100", "zz") // one token differs
+    val far  = (1 to 200).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exact(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("survivors removes the higher id of each pair") {
+    import spark.implicits._
+    val df    = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L)).toDF("doc_a", "doc_b")
+    val kept  = Dedup.survivors(df, "doc_id", pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("langId identifies real multilingual samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it is happy that the sun is out"),
+      ("de", "der hund ist nicht das problem und die katze ist ein freund"),
+      ("es", "el perro es de la casa y los gatos son una familia que es feliz"),
+      ("fr", "le chien est dans la maison et les chats sont une famille"),
+      ("zh", "我 的 猫 是 在 家 里 了 和 我 不 出")
+    ).toDF("expected", "text")
+    val out = samples.withColumn("pred", TextAnalysis.langId(col("text")))
+      .filter(col("pred") =!= col("expected")).collect()
+    assert(out.isEmpty, out.mkString(","))
+  }
+
+  test("text stats: token and char counts") {
+    import spark.implicits._
+    val df = Seq((1L, "  The   quick brown  fox  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_chars") == "the quick brown fox".length)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+
+/** Similarity search: brute-force agreement between the codegen'd fold
+  * and the exact-sum relational formulation; LSH recall on clustered
+  * vectors; multimodal stub plumbing. */
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = sources.ParquetTables.readTable(spark, sf("sf0.001"), "embeddings")
+
+  test("knnBrute (fold) and knnBruteExactSum (relational) agree on neighbor sets") {
+    val q = emb.filter(col("vec_id") < 10)
+    val fast = Similarity.knnBrute(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.knnBruteExactSum(emb, "vec_id", "embedding", 10, 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == exact)
+  }
+
+  test("lshKnn achieves usable recall on clustered vectors") {
+    import spark.implicits._
+    // 20 clusters x 20 members: cluster centroid +- small deterministic noise
+    val dim = 16
+    def vec(cluster: Int, member: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val centroid = math.sin(cluster * 31 + d).toFloat
+        val noise    = (((cluster * 997 + member * 131 + d * 17) % 100) / 1000.0f)
+        centroid + noise
+      }
+    val rows = for (c <- 0 until 20; m <- 0 until 20)
+      yield ((c * 20 + m).toLong, vec(c, m))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 20 === 0) // one per cluster
+    val brute = Similarity.knnBrute(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(df, queries, "vec_id", "embedding", 5, nPlanes = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("multimodal stub decode: deterministic features, one row per doc") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val f = Multimodal.features(docs, "doc_id", "text")
+    assert(f.count() == docs.count())
+    val r = f.filter(col("doc_id") === 0).head()
+    assert(r.getAs[Int]("byte_len") > 0)
+    assert(r.getAs[Int]("width") == 1 + r.getAs[Int]("byte_len") % 640)
+    assert(r.getAs[String]("checksum").length == 32)
+    // deterministic across runs
+    val again = Multimodal.features(docs, "doc_id", "text")
+      .filter(col("doc_id") === 0).head()
+    assert(r == again)
+  }
+
+  test("cosine fold handles zero vectors without NaN poisoning ranks") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnBrute(df, df.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L))
+    assert(out.filter(_.getAs[Int]("rank") == 1).head.getAs[Long]("neighbor_id") == 1L)
+  }
+}
