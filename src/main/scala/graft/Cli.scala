@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.exec.Runner
+import graft.model._
+import graft.sources.{MetadataSink, ModelParser}
+
+/** CLI entry point — the executable analogue of the reference's
+  * `ringo INPUT OUTPUT` (`app/Main.hs:24-83`), except the generated
+  * dataflows are *run*, not written out as SQL text:
+  *
+  * {{{
+  * runMain graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR \
+  *   [--incremental LO HI]  [--upper HI]  [--no-partition]
+  * }}}
+  *
+  * Emits dependencies.json / dimensions.json / facts.json metadata and
+  * per-table physical plans alongside the populated parquet tables.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR [--incremental LO HI] [--upper HI] [--no-partition]")
+      sys.exit(2)
+    }
+    val Array(modelPath, sourceDir, outDir) = args.take(3)
+    val rest = args.drop(3).toSeq
+
+    val window =
+      if (rest.contains("--incremental")) {
+        val i = rest.indexOf("--incremental")
+        TimeWindow.between(Timestamp.valueOf(rest(i + 1)), Timestamp.valueOf(rest(i + 2)))
+      } else if (rest.contains("--upper")) {
+        TimeWindow.upTo(Timestamp.valueOf(rest(rest.indexOf("--upper") + 1)))
+      } else TimeWindow.unbounded
+
+    val parsed = ModelParser.parseFile(modelPath) match {
+      case Left(err) => System.err.println(err); sys.exit(1); throw new IllegalStateException
+      case Right(p)  => p
+    }
+    val (tables, facts, defaults) = parsed
+    val env = Validator.validateEnv(tables, facts, Settings(), defaults) match {
+      case Left(errors) =>
+        errors.foreach(e => System.err.println(s"validation: $e"))
+        sys.exit(1); throw new IllegalStateException
+      case Right(e) => e
+    }
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val runner =
+      new Runner(spark, env, sourceDir, outDir, partitionFactsByDay = !rest.contains("--no-partition"))
+    val written =
+      if (window.lower.nonEmpty) runner.incrementalRefresh(window)
+      else runner.fullRefresh(window)
+    written.foreach(t => println(s"populated: $outDir/$t"))
+
+    MetadataSink.writeAll(env, outDir)
+    val plansDir = Paths.get(outDir, "plans")
+    Files.createDirectories(plansDir)
+    runner.emitPlans(window).foreach { case (table, plan) =>
+      Files.writeString(plansDir.resolve(s"$table.txt"), plan)
+    }
+    val violations = runner.checkUniqueKeys().filter(_._3 > 0)
+    violations.foreach { case (t, c, n) =>
+      System.err.println(s"QUALITY VIOLATION: $t $c has $n duplicate keys")
+    }
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(3)
+  }
+}

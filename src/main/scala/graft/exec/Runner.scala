@@ -3,15 +3,31 @@ package graft.exec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.derive.Extractor
+import graft.derive.{Extractor, SqlTypes}
 import graft.model._
 
 /** End-to-end ETL runner: derives the dimensional model from an [[Env]]
   * and executes the populate pipelines in dependency order, writing
   * parquet. Replaces the reference's emit-SQL-and-let-an-orchestrator-
   * run-it lifecycle (SURVEY §3.1 step 5) with a single in-session run.
+  *
+  * Physical design (D1-D3, re-expressed for parquet/Spark):
+  *  - every output is written with the *derived* schema enforced (cast)
+  *    — the executable analogue of CREATE TABLE column types;
+  *  - fact tables are partitioned by day (`p_day`, derived from the
+  *    time bucket) so incremental windows prune partitions on read —
+  *    the analogue of the reference's time index, load-bearing at
+  *    100 TB;
+  *  - declared UNIQUE keys become post-load data-quality assertions
+  *    (`assertUnique`) — Spark cannot enforce them, so we verify them.
   */
-final class Runner(spark: SparkSession, env: Env, sourceDir: String, outDir: String) {
+final class Runner(
+    spark: SparkSession,
+    env: Env,
+    sourceDir: String,
+    outDir: String,
+    partitionFactsByDay: Boolean = true
+) {
 
   def readSource(name: String): DataFrame =
     graft.sources.ParquetTables.readTable(spark, sourceDir, name)
@@ -29,16 +45,17 @@ final class Runner(spark: SparkSession, env: Env, sourceDir: String, outDir: Str
 
   /** Full refresh of every derived table: dims first, then facts in
     * parent-before-child order. Each table is written once; fact reads
-    * resolve dims from the just-written parquet. */
+    * resolve dims from the just-written parquet. Returns written table
+    * names. */
   def fullRefresh(window: TimeWindow = TimeWindow.unbounded): Seq[String] = {
     val dimNames = derivedDims.map { case (fact, dimTable) =>
       val df = DimPopulate.full(env, fact, dimTable.name, readSource(fact.tableName), window)
-      write(df, dimTable.name)
+      writeDim(df, dimTable)
       dimTable.name
     }
     val factNames = factsInTopoOrder.filter(_.persistent).map { fact =>
       val df = FactPopulate.populate(env, fact, window, readSource, readOut)
-      write(df, factTableNameOf(fact))
+      writeFact(df, fact)
       factTableNameOf(fact)
     }
     dimNames ++ factNames
@@ -54,15 +71,60 @@ final class Runner(spark: SparkSession, env: Env, sourceDir: String, outDir: Str
     val dimNames = derivedDims.map { case (fact, dimTable) =>
       val newRows = DimPopulate.incremental(
         env, fact, dimTable.name, readSource(fact.tableName), readOut(dimTable.name), window)
-      append(newRows, dimTable.name)
+      writeDim(newRows, dimTable, append = true)
       dimTable.name
     }
     val factNames = factsInTopoOrder.filter(_.persistent).map { fact =>
       val df = FactPopulate.populate(env, fact, window, readSource, readOut)
-      append(df, factTableNameOf(fact))
+      writeFact(df, fact, append = true)
       factTableNameOf(fact)
     }
     dimNames ++ factNames
+  }
+
+  /** Data-quality checks (the executable form of PK/UK constraints):
+    * returns (table, constraint-description, violation count) for every
+    * declared uniqueness on derived tables; all counts must be 0. */
+  def checkUniqueKeys(): Seq[(String, String, Long)] = {
+    val dimChecks = derivedDims.map { case (_, dimTable) =>
+      val uk = dimTable.constraints.collectFirst {
+        case TableConstraint.UniqueKey(cols) => cols
+      }.getOrElse(Seq.empty)
+      (dimTable.name, s"UniqueKey(${uk.mkString(",")})",
+        countDuplicates(readOut(dimTable.name), uk))
+    }
+    val factChecks = factsInTopoOrder.filter(_.persistent).map { fact =>
+      val derived = Extractor.extractFactTable(env, fact)
+      val uk = derived.constraints.collectFirst {
+        case TableConstraint.UniqueKey(cols) => cols
+      }.getOrElse(Seq.empty)
+      (factTableNameOf(fact), s"UniqueKey(${uk.mkString(",")})",
+        countDuplicates(readOut(factTableNameOf(fact)), uk))
+    }
+    dimChecks ++ factChecks
+  }
+
+  private def countDuplicates(df: DataFrame, keys: Seq[String]): Long =
+    if (keys.isEmpty) 0L
+    else df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+
+  /** Emit the optimized physical plan per derived table — the
+    * debuggability analogue of the reference's SQL-text artifacts. */
+  def emitPlans(window: TimeWindow = TimeWindow.unbounded): Map[String, String] = {
+    def planOf(df: DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString
+    }
+    val dims = derivedDims.map { case (fact, dimTable) =>
+      dimTable.name -> planOf(
+        DimPopulate.candidates(env, fact, dimTable.name, readSource(fact.tableName), window))
+    }
+    val facts = factsInTopoOrder.filter(_.persistent).map { fact =>
+      factTableNameOf(fact) -> planOf(
+        FactPopulate.populate(env, fact, window, readSource, readOut))
+    }
+    (dims ++ facts).toMap
   }
 
   def factTableNameOf(fact: Fact): String = {
@@ -83,9 +145,32 @@ final class Runner(spark: SparkSession, env: Env, sourceDir: String, outDir: Str
     seen.toSeq.map(byName)
   }
 
-  private def write(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").parquet(s"$outDir/$table")
+  /** Cast to the derived schema (D1: declared column types win). */
+  private def enforceSchema(df: DataFrame, derived: Table): DataFrame = {
+    val target = SqlTypes.toStructType(derived)
+    df.select(target.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
 
-  private def append(df: DataFrame, table: String): Unit =
-    df.write.mode("append").parquet(s"$outDir/$table")
+  private def writeDim(df: DataFrame, dimTable: Table, append: Boolean = false): Unit =
+    enforceSchema(df, dimTable)
+      .write.mode(if (append) "append" else "overwrite")
+      .parquet(s"$outDir/${dimTable.name}")
+
+  private def writeFact(df: DataFrame, fact: Fact, append: Boolean = false): Unit = {
+    val derived = Extractor.extractFactTable(env, fact)
+    val out     = enforceSchema(df, derived)
+    val name    = factTableNameOf(fact)
+    val s       = env.settings
+    if (partitionFactsByDay) {
+      val timeCol = derived.constraints.collectFirst {
+        case TableConstraint.UniqueKey(cols) => cols.head // time bucket is first UK col
+      }.getOrElse(derived.columns.head.name)
+      out
+        .withColumn("p_day", floor(col(timeCol) * s.timeUnit.seconds / 86400L).cast("long"))
+        .write.partitionBy("p_day")
+        .mode(if (append) "append" else "overwrite")
+        .parquet(s"$outDir/$name")
+    } else
+      out.write.mode(if (append) "append" else "overwrite").parquet(s"$outDir/$name")
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.exec.Runner
+import graft.model.TimeWindow
+import graft.sources.{MetadataSink, ModelParser}
+
+/** End-to-end Runner + ModelParser + MetadataSink: YAML model ->
+  * validate -> derive -> populate -> parquet, with quality checks. */
+class RunnerSpec extends SparkSpec {
+
+  private def tempDir(): String =
+    Files.createTempDirectory("graft-runner").toString
+
+  test("YAML model parses and matches the programmatic fixture") {
+    val Right((tables, facts, defaults)) =
+      ModelParser.parseFile("examples/events_model.yaml"): @unchecked
+    assert(tables.map(_.name) == Seq("events"))
+    assert(tables.head.columns.map(_.name) ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(facts.head.name == "event")
+    assert(facts.head.columns.length == 7)
+    assert(defaults.forType("numeric(18,6)").contains("-1"))
+    val env = model.Validator.validateEnv(tables, facts, model.Settings(), defaults)
+    assert(env.isRight)
+  }
+
+  test("full refresh populates dims and facts; schemas and quality hold") {
+    val out = tempDir()
+    val runner = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out)
+    val written = runner.fullRefresh(TimeWindow.unbounded)
+    assert(written.toSet ==
+      Set("dim_event_type", "dim_app_user", "fact_event_by_minute", "fact_user_activity_by_minute"))
+
+    val dim = spark.read.parquet(s"$out/dim_event_type")
+    assert(dim.columns.toSeq == Seq("id", "event_type"))
+    assert(dim.count() == 5)
+
+    val fact = spark.read.parquet(s"$out/fact_event_by_minute")
+    // derived schema + day partition column
+    assert(fact.columns.contains("ts_minute_id") && fact.columns.contains("p_day"))
+    assert(fact.count() > 0)
+    // sketch column materialized as map<int,int>
+    assert(fact.schema("user_count").dataType.typeName == "map")
+
+    assert(runner.checkUniqueKeys().forall(_._3 == 0))
+  }
+
+  test("incremental refresh appends without double-counting") {
+    val out = tempDir()
+    val lo  = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val hi  = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val r1  = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out)
+    r1.fullRefresh(TimeWindow.upTo(lo))
+    val before = spark.read.parquet(s"$out/fact_event_by_minute").count()
+    r1.incrementalRefresh(TimeWindow.between(lo, hi))
+    val after = spark.read.parquet(s"$out/fact_event_by_minute")
+    assert(after.count() > before)
+    assert(r1.checkUniqueKeys().forall(_._3 == 0))
+    // equivalent single full load over the whole range
+    val out2 = tempDir()
+    new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out2).fullRefresh(TimeWindow.upTo(hi))
+    val whole = spark.read.parquet(s"$out2/fact_event_by_minute")
+    assert(after.count() == whole.count())
+    val a = after.drop("p_day", "user_count").collect().map(_.toString).sorted
+    val b = whole.drop("p_day", "user_count").collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("day partitioning enables partition pruning on the fact read") {
+    val out = tempDir()
+    new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out).fullRefresh(TimeWindow.unbounded)
+    val pruned = spark.read.parquet(s"$out/fact_event_by_minute")
+      .filter(col("p_day") === lit(19724L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_day"), plan)
+  }
+
+  test("metadata JSON sinks") {
+    val env = Fixtures.ringoEnv
+    val deps = MetadataSink.dependenciesJson(env)
+    assert(deps.contains("\"fact_session_by_minute\""))
+    assert(deps.contains("\"dim_geo\""))
+    val dims = MetadataSink.dimensionsJson(env)
+    assert(dims.contains("\"session\":[\"dim_geo\",\"dim_user_agent\"]"))
+    val facts = MetadataSink.factsJson(env)
+    assert(facts.contains("\"page_view\":\"fact_page_view_by_minute\""))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.exec.{DimPopulate, FactPopulate}
+import graft.model.TimeWindow
+import graft.streaming.StreamingFactPopulate
+
+/** Streaming fact populate: a file-source stream aggregated with the
+  * streaming surface must converge to the batch populate over the same
+  * data (complete output mode; the append/watermark path shares the
+  * same plan shape). */
+class StreamingSpec extends SparkSpec {
+  import Fixtures._
+
+  test("streaming aggregation converges to the batch fact populate") {
+    val fact = eventsEnv.findFact("user_activity").get
+    val ev   = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+
+    // stage the source as two micro-batch files
+    val stage = Files.createTempDirectory("graft-stream-src").toString
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    half1.write.mode("append").parquet(stage)
+    half2.write.mode("append").parquet(stage)
+
+    val dim = DimPopulate.full(eventsEnv, fact, "dim_app_user", ev, TimeWindow.unbounded)
+    dim.cache().count()
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+
+    val agg = StreamingFactPopulate.aggregate(eventsEnv, fact, stream, _ => dim)
+
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("stream_fact")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_fact")
+    val batch: DataFrame =
+      FactPopulate.populate(eventsEnv, fact, TimeWindow.unbounded, _ => ev, _ => dim)
+
+    val a = streamed
+      .select("ts_minute_id", "activity_count", "app_user_id")
+      .collect().map(_.toString).sorted.toSeq
+    val b = batch
+      .select("ts_minute_id", "activity_count", "app_user_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}
