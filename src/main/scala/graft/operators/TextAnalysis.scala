@@ -94,19 +94,53 @@ object TextAnalysis {
     * key (identical to DuckDB's md5 for cross-engine checks). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** All per-document text statistics in one scan-only projection. */
+  /** All per-document text statistics in one scan-only projection.
+    * Normalization and occurrence counts are materialized once per row
+    * (staged projections) instead of once per feature — the naive
+    * compose-the-helpers version re-runs the normalization regex ~50x
+    * per row. Formulas are identical to the helper functions. */
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    docs.select(
-      col(idCol),
-      tokenCount(t).as("n_tokens"),
-      charCount(t).as("n_chars"),
-      punctRatio(t).as("punct_ratio"),
-      avgTokenLength(t).as("avg_token_len"),
-      stopwordRatio(t).as("stopword_ratio"),
-      qualityScore(t).as("quality_score"),
-      langId(t).as("lang_pred"),
-      fingerprint(t).as("fingerprint")
-    )
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    def occP(word: String): Column = {
+      val needle = s" $word "
+      ((length(col("__p")) - length(call_function("replace", col("__p"), lit(needle))))
+        / lit(needle.length)).cast("long")
+    }
+    val staged = docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__n", normalized(col("__t")))
+      .withColumn("__p", concat(lit(" "), col("__n"), lit(" ")))
+      .withColumn("n_tokens",
+        when(col("__n") === "", lit(0)).otherwise(size(split(col("__n"), " "))))
+      .withColumn("n_chars", length(col("__n")))
+      .withColumn("punct_ratio",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(
+            length(regexp_replace(col("__n"), "[a-z0-9 ]", "")).cast("double") / col("n_chars")))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
+    val withScores = langs.foldLeft(staged) { (d, l) =>
+      d.withColumn(s"__s_$l", stopwords(l).map(occP).reduce(_ + _))
+    }
+    val best = langs.foldRight(lit(langs.last)) { (l, acc) =>
+      when(langs.filter(_ != l).map(o => col(s"__s_$l") >= col(s"__s_$o")).reduce(_ && _), lit(l))
+        .otherwise(acc)
+    }
+    withScores
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("__s_en").cast("double") / col("n_tokens")))
+      .withColumn("quality_score",
+        lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.30) * least(lit(1.0), col("stopword_ratio") * 4.0) +
+          lit(0.20) * least(lit(1.0), col("avg_token_len") / 8.0))
+      .withColumn("lang_pred",
+        when(langs.map(l => col(s"__s_$l")).reduce(_ + _) === 0, lit("und")).otherwise(best))
+      .withColumn("fingerprint", md5(col("__n")))
+      .select(col(idCol), col("n_tokens"), col("n_chars"), col("punct_ratio"),
+        col("avg_token_len"), col("stopword_ratio"), col("quality_score"),
+        col("lang_pred"), col("fingerprint"))
   }
 }
