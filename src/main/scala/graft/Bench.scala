@@ -46,14 +46,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // warm up Spark machinery (scheduler, codegen pipeline, parquet
+    // reader) so the first timed query does not absorb session startup;
+    // BASELINE.md's protocol excludes JVM startup
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    sources.ParquetTables.readTable(spark, sfDir, "nation")
+      .write.format("noop").mode("overwrite").save()
+
+    def run(fn: (SparkSession, String) => DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     val results = headline.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        run(fn) // untimed warm pass: codegen + JIT compile
+        val t0 = System.nanoTime()
+        run(fn)
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

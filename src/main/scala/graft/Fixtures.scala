@@ -155,6 +155,26 @@ object Fixtures {
 
   val tpchSettings: Settings = Settings(timeUnit = TimeUnit.Day)
 
+  /** Variant exercising TenantId (degenerate dim + composite
+    * (tenant, time) physical-design role) and FactCount(Some col). */
+  val tenantFacts: Seq[Fact] = Seq(
+    Fact(
+      name = "order_by_tenant",
+      tableName = "orders",
+      columns = Seq(
+        FactColumn("o_orderdate", DimTime),
+        FactColumn("o_custkey", TenantId),
+        FactColumn("status_count", FactCount(Some("o_orderstatus"))),
+        FactColumn("max_price", FactMax("o_totalprice")),
+        FactColumn("min_price", FactMin("o_totalprice"))
+      )
+    ))
+
+  lazy val tenantEnv: Env =
+    Validator
+      .validateEnv(tpchTables, tenantFacts, tpchSettings, testTypeDefaults)
+      .fold(es => throw new IllegalStateException(s"invalid tenant model: $es"), identity)
+
   lazy val tpchEnv: Env =
     Validator
       .validateEnv(tpchTables, tpchFacts, tpchSettings, testTypeDefaults)

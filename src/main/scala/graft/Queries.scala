@@ -208,6 +208,23 @@ object Queries {
        |GROUP BY 1, 5, 6, 7
        |""".stripMargin
 
+  // ================================================================ TenantId / count(col) / max / min
+  def factPopulateTenant(s: SparkSession, dir: String): DataFrame =
+    decimalsToDouble(
+      factPopulate(tenantEnv, "order_by_tenant", TimeWindow.upTo(TP_HI), TimeWindow.upTo(TP_HI))(s, dir),
+      Seq("max_price", "min_price"))
+
+  val factPopulateTenantSql: String =
+    s"""SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS o_orderdate_day_id,
+       |       o_custkey,
+       |       CAST(count(o_orderstatus) AS INTEGER) AS status_count,
+       |       CAST(max(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS max_price,
+       |       CAST(min(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS min_price
+       |FROM orders
+       |WHERE o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
+       |GROUP BY 1, 2
+       |""".stripMargin
+
   // ================================================================ F7
   /** Exact distinct-count per day (built-in expand+two-phase agg) —
     * the oracle-checkable companion of the sketch. */

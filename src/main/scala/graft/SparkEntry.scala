@@ -28,6 +28,8 @@ object SparkEntry {
     "fact_populate_incremental" -> (Queries.factPopulateIncremental _),
     // F5: parent-fact source join (lineitem -> orders) + cross-fact dims
     "fact_populate_parent" -> (Queries.factPopulateParent _),
+    // TenantId degenerate dim + count(col) + max/min measures
+    "fact_populate_tenant" -> (Queries.factPopulateTenant _),
     // F7: exact companion + mergeable register sketch
     "agg_count_distinct_exact" -> (Queries.aggCountDistinctExact _),
     "sketch_count_distinct"    -> (Queries.sketchCountDistinct _),
@@ -59,6 +61,7 @@ object SparkEntry {
     "fact_populate_full"        -> Queries.factPopulateFullSql,
     "fact_populate_incremental" -> Queries.factPopulateIncrementalSql,
     "fact_populate_parent"      -> Queries.factPopulateParentSql,
+    "fact_populate_tenant"      -> Queries.factPopulateTenantSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,

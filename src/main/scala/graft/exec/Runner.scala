@@ -26,8 +26,37 @@ final class Runner(
     env: Env,
     sourceDir: String,
     outDir: String,
-    partitionFactsByDay: Boolean = true
+    partitionFactsByDay: Boolean = true,
+    stagingSuffix: String = ""
 ) {
+
+  /** Full-refresh writes target `<table><stagingSuffix>`; incremental
+    * writes target the live table (`Generator/Internal.hs:38-41`) —
+    * [[swapStaging]] then promotes staging to live atomically per
+    * table. Empty suffix = write in place. */
+  private def stagedName(name: String, popMode: PopulationMode): String =
+    Naming.suffixTableName(popMode, stagingSuffix, name)
+
+  /** Promote staged tables: move `<table><suffix>` over `<table>`. */
+  def swapStaging(tables: Seq[String]): Unit = {
+    require(stagingSuffix.nonEmpty, "no staging suffix configured")
+    import java.nio.file.{Files, Paths}
+    tables.foreach { t =>
+      val live    = Paths.get(outDir, t)
+      val staging = Paths.get(outDir, t + stagingSuffix)
+      if (Files.exists(staging)) {
+        if (Files.exists(live)) {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (Files.isDirectory(p))
+              Files.list(p).forEach(rm(_))
+            Files.delete(p)
+          }
+          rm(live)
+        }
+        Files.move(staging, live)
+      }
+    }
+  }
 
   def readSource(name: String): DataFrame =
     graft.sources.ParquetTables.readTable(spark, sourceDir, name)
@@ -50,12 +79,15 @@ final class Runner(
   def fullRefresh(window: TimeWindow = TimeWindow.unbounded): Seq[String] = {
     val dimNames = derivedDims.map { case (fact, dimTable) =>
       val df = DimPopulate.full(env, fact, dimTable.name, readSource(fact.tableName), window)
-      writeDim(df, dimTable)
+      writeDim(df, dimTable, targetName = stagedName(dimTable.name, PopulationMode.Full))
       dimTable.name
     }
     val factNames = factsInTopoOrder.filter(_.persistent).map { fact =>
-      val df = FactPopulate.populate(env, fact, window, readSource, readOut)
-      writeFact(df, fact)
+      // in full mode the dim lookups read the staged dims too
+      // (`Fact.hs:189`: the subquery targets the suffixed table)
+      val df = FactPopulate.populate(env, fact, window, readSource,
+        d => readOut(stagedName(d, PopulationMode.Full)))
+      writeFact(df, fact, targetName = stagedName(factTableNameOf(fact), PopulationMode.Full))
       factTableNameOf(fact)
     }
     dimNames ++ factNames
@@ -151,15 +183,19 @@ final class Runner(
     df.select(target.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
-  private def writeDim(df: DataFrame, dimTable: Table, append: Boolean = false): Unit =
+  private def writeDim(
+      df: DataFrame, dimTable: Table,
+      append: Boolean = false, targetName: String = ""): Unit =
     enforceSchema(df, dimTable)
       .write.mode(if (append) "append" else "overwrite")
-      .parquet(s"$outDir/${dimTable.name}")
+      .parquet(s"$outDir/${if (targetName.nonEmpty) targetName else dimTable.name}")
 
-  private def writeFact(df: DataFrame, fact: Fact, append: Boolean = false): Unit = {
+  private def writeFact(
+      df: DataFrame, fact: Fact,
+      append: Boolean = false, targetName: String = ""): Unit = {
     val derived = Extractor.extractFactTable(env, fact)
     val out     = enforceSchema(df, derived)
-    val name    = factTableNameOf(fact)
+    val name    = if (targetName.nonEmpty) targetName else factTableNameOf(fact)
     val s       = env.settings
     if (partitionFactsByDay) {
       val timeCol = derived.constraints.collectFirst {

@@ -79,6 +79,19 @@ class RunnerSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(p_day"), plan)
   }
 
+  test("staging suffix: full refresh writes staged tables, swap promotes them") {
+    val out = tempDir()
+    val runner = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out,
+      stagingSuffix = "_staging")
+    val written = runner.fullRefresh(TimeWindow.unbounded)
+    assert(Files.exists(java.nio.file.Paths.get(out, "dim_event_type_staging")))
+    assert(!Files.exists(java.nio.file.Paths.get(out, "dim_event_type")))
+    runner.swapStaging(written)
+    assert(Files.exists(java.nio.file.Paths.get(out, "dim_event_type")))
+    assert(!Files.exists(java.nio.file.Paths.get(out, "dim_event_type_staging")))
+    assert(spark.read.parquet(s"$out/fact_event_by_minute").count() > 0)
+  }
+
   test("metadata JSON sinks") {
     val env = Fixtures.ringoEnv
     val deps = MetadataSink.dependenciesJson(env)
