@@ -22,8 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cos(a, b) as a single codegen'd fold; arrays must be same length. */
-  def cosine(a: Column, b: Column): Column = {
+  /** cos(a, b): native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** The composable built-in formulation (interpreted lambdas) — kept
+    * for cross-checking the native expression. */
+  def cosineFold(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

@@ -60,6 +60,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("native CosineSimilarity expression matches the fold bit-exactly and codegens") {
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(
+        graft.functions.CosineSimilarity(col("a.embedding"), col("b.embedding")).as("native"),
+        operators.Similarity.cosineFold(col("a.embedding"), col("b.embedding")).as("fold"))
+    assert(pairs.filter(col("native") =!= col("fold")).count() == 0)
+    // the native expression participates in whole-stage codegen — check
+    // it alone: the fold's higher-order functions are CodegenFallback
+    // and would disable codegen for any projection containing them
+    val nativeOnly = emb.select(
+      graft.functions.CosineSimilarity(col("embedding"), col("embedding")).as("c"))
+    nativeOnly.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact plan
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_similarity"), plan)
+    val foldOnly = emb.select(
+      operators.Similarity.cosineFold(col("embedding"), col("embedding")).as("c"))
+    foldOnly.collect()
+    assert(!foldOnly.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      "fold unexpectedly codegens now - native expression may be unnecessary")
+  }
+
   test("cosine fold handles zero vectors without NaN poisoning ranks") {
     import spark.implicits._
     val df = Seq(
