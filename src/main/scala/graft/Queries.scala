@@ -328,6 +328,53 @@ object Queries {
     s.createDataFrame(new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), tp)
   }
 
+  /** V1: the validator's error taxonomy over a deliberately broken
+    * model, emitted as rows. The oracle is a hand-written VALUES
+    * literal (true golden — not derived from the implementation). */
+  def validateErrors(s: SparkSession, dir: String): DataFrame = {
+    import graft.model._
+    import graft.model.FactColumnKind._
+    import graft.model.TableConstraint._
+    val tables = Seq(
+      Table("evts", Seq(
+        Column("id", "bigint", Nullable.NotNull),
+        Column("ts", "timestamp without time zone", Nullable.Null), // nullable DimTime
+        Column("ts", "timestamp without time zone", Nullable.Null), // duplicate column
+        Column("widget", "interval", Nullable.Null)                 // no type default
+      ), Seq(PrimaryKey("nope"),                                    // missing PK column
+        ForeignKey("ghost_table", Seq("id" -> "id")))),             // missing FK table
+      Table("evts2", Seq(Column("id", "bigint", Nullable.NotNull)), Nil)
+    )
+    val facts = Seq(
+      Fact("f1", "evts", columns = Seq(
+        FactColumn("ts", DimTime),
+        FactColumn("widget", DimVal("widgets")),
+        FactColumn("gone", FactSum("gone")))),                      // missing source col
+      Fact("f2", "missing_src", columns = Seq(FactColumn("x", DimTime))),
+      Fact("f3", "evts2", parentNames = Seq("ghost_fact"),          // missing parent
+        columns = Seq()))                                           // no DimTime
+    val errors = Validator
+      .validateEnv(tables, facts, Settings(), Fixtures.testTypeDefaults)
+      .left.getOrElse(Nil)
+    val rows = errors.map(e => Row(e.toString)).sortBy(_.getString(0))
+    val tp = StructType(Seq(StructField("error", StringType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), tp)
+  }
+
+  /** Hand-transcribed expected errors (the golden). */
+  val validateErrorsSql: String =
+    """SELECT * FROM (VALUES
+      |  ('DuplicateColumn(evts,ts)'),
+      |  ('MissingColumn(evts,gone)'),
+      |  ('MissingColumn(evts,nope)'),
+      |  ('MissingFact(ghost_fact)'),
+      |  ('MissingNotNullConstraint(evts,ts)'),
+      |  ('MissingTable(ghost_table)'),
+      |  ('MissingTable(missing_src)'),
+      |  ('MissingTimeColumn(evts2)'),
+      |  ('MissingTypeDefault(interval)')
+      |) AS t(error)""".stripMargin
+
   lazy val deriveDependenciesSql: String = {
     val deps = Extractor.allDependencies(ringoEnv)
     val rows = deps.toSeq.sortBy(_._1).flatMap { case (t, ds) =>

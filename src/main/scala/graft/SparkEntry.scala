@@ -37,6 +37,7 @@ object SparkEntry {
     // against the reference doctest outputs)
     "derive_schemas"      -> (Queries.deriveSchemas _),
     "derive_dependencies" -> (Queries.deriveDependencies _),
+    "validate_errors"     -> (Queries.validateErrors _),
     // training-data extensions: text analysis
     "text_stats" -> (QueriesExt.textStats _),
     // dedup family
@@ -65,6 +66,7 @@ object SparkEntry {
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
+    "validate_errors"           -> Queries.validateErrorsSql,
     "text_stats"                -> QueriesExt.textStatsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,

@@ -92,6 +92,19 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/fact_event_by_minute").count() > 0)
   }
 
+  test("non-persistent facts derive dims but skip fact-table writes") {
+    val out = tempDir()
+    val env = model.Validator.validateEnv(
+      Fixtures.eventsTables,
+      Fixtures.eventsFacts.map(f =>
+        if (f.name == "user_activity") f.copy(persistent = false) else f),
+      Fixtures.eventsSettings, Fixtures.testTypeDefaults).toOption.get
+    val written = new Runner(spark, env, sf("sf0.001"), out).fullRefresh(TimeWindow.unbounded)
+    assert(written.contains("dim_app_user"))
+    assert(!written.contains("fact_user_activity_by_minute"))
+    assert(written.contains("fact_event_by_minute"))
+  }
+
   test("metadata JSON sinks") {
     val env = Fixtures.ringoEnv
     val deps = MetadataSink.dependenciesJson(env)
