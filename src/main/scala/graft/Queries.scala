@@ -208,6 +208,41 @@ object Queries {
        |GROUP BY 1, 5, 6, 7
        |""".stripMargin
 
+  // ================================================================ roll-up (re-aggregability)
+  /** Roll the minute-grain fact up to hours WITHOUT rescanning events.
+    * Oracle: the hour-grain populate computed directly from the source —
+    * equality is the re-aggregability property (counts/sums add, min/max
+    * fold, avg stays decomposed). */
+  def factRollupHour(s: SparkSession, dir: String): DataFrame = {
+    val minuteGrain = factPopulate(
+      eventsEnv, "event", TimeWindow.upTo(EV_HI), TimeWindow.upTo(EV_HI))(s, dir)
+    val rolled = graft.exec.Rollup.toCoarser(
+      eventsEnv, fact(eventsEnv, "event"), minuteGrain, TimeUnit.Hour)
+    decimalsToDouble(
+      rolled.drop("user_count"),
+      Seq("value_sum", "value_avg_sum", "value_max", "value_min"))
+  }
+
+  val factRollupHourSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY event_type) AS INTEGER) AS id, event_type
+       |  FROM (SELECT DISTINCT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type
+       |        FROM events WHERE event_type IS NOT NULL AND ts < TIMESTAMP '2024-02-01 00:00:00'))
+       |SELECT CAST(floor(epoch(e.ts)/3600) AS BIGINT) AS ts_hour_id,
+       |       coalesce(e.user_id, -1) AS user_id,
+       |       CAST(count(*) AS INTEGER) AS event_count,
+       |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       |       CAST(count(e.value) AS INTEGER) AS value_avg_count,
+       |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_avg_sum,
+       |       CAST(max(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_max,
+       |       CAST(min(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_min,
+       |       CAST(coalesce(d.id, -1) AS INTEGER) AS event_type_id
+       |FROM events e
+       |LEFT JOIN d ON d.event_type = coalesce(e.event_type, '__UNKNOWN_VAL__')
+       |WHERE e.ts < TIMESTAMP '2024-02-01 00:00:00'
+       |GROUP BY 1, 2, 9
+       |""".stripMargin
+
   // ================================================================ TenantId / count(col) / max / min
   def factPopulateTenant(s: SparkSession, dir: String): DataFrame =
     decimalsToDouble(

@@ -30,6 +30,8 @@ object SparkEntry {
     "fact_populate_parent" -> (Queries.factPopulateParent _),
     // TenantId degenerate dim + count(col) + max/min measures
     "fact_populate_tenant" -> (Queries.factPopulateTenant _),
+    // re-aggregability: minute fact rolled to hours == hour-grain populate
+    "fact_rollup_hour" -> (Queries.factRollupHour _),
     // F7: exact companion + mergeable register sketch
     "agg_count_distinct_exact" -> (Queries.aggCountDistinctExact _),
     "sketch_count_distinct"    -> (Queries.sketchCountDistinct _),
@@ -63,6 +65,7 @@ object SparkEntry {
     "fact_populate_incremental" -> Queries.factPopulateIncrementalSql,
     "fact_populate_parent"      -> Queries.factPopulateParentSql,
     "fact_populate_tenant"      -> Queries.factPopulateTenantSql,
+    "fact_rollup_hour"          -> Queries.factRollupHourSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,

@@ -1,0 +1,82 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.derive.Extractor
+import graft.functions.RegisterSketch
+import graft.model._
+import graft.model.FactColumnKind._
+
+/** Time roll-up of a populated fact table to a coarser bucket — the
+  * reason the schema stores re-aggregable pieces (FactAverage as
+  * count+sum, count-distinct as mergeable registers; SURVEY §2.0 row
+  * FactAverage, §2.8):
+  *
+  *  - counts and sums add, min/max fold, avg re-derives from its parts;
+  *  - sketches merge register-wise (max);
+  *
+  * so `rollup(populate(minute), Hour) == populate(Hour)` exactly —
+  * no rescan of the source. At 100 TB this is the difference between
+  * re-reading the fact table (small) and re-reading raw events (huge).
+  */
+object Rollup {
+
+  def toCoarser(env: Env, fact: Fact, populated: DataFrame, target: TimeUnit): DataFrame = {
+    val s = env.settings
+    require(target.seconds % s.timeUnit.seconds == 0,
+      s"${target.unitName} is not a multiple of ${s.timeUnit.unitName}")
+    val factor = target.seconds / s.timeUnit.seconds
+
+    val timeColName = fact.columns.collectFirst { case FactColumn(c, DimTime) => c }
+      .getOrElse(throw new IllegalStateException("fact has no DimTime column"))
+    val oldTimeId = Naming.timeUnitColumnName(s.dimTableIdColumnName, timeColName, s.timeUnit)
+    val newTimeId = Naming.timeUnitColumnName(s.dimTableIdColumnName, timeColName, target)
+
+    val allDims = Extractor.extractAllDimensionTables(env, fact)
+    val fkNames = allDims.map { case (dimFact, dimTable) =>
+      Naming.factDimFKIdColumnName(s.dimPrefix, s.dimTableIdColumnName, dimFact, dimTable, env.tables)
+    }
+    val degenerate = fact.columns.collect {
+      case FactColumn(c, k) if k == NoDimId || k == TenantId => c
+    }
+
+    val groupKeys: Seq[Column] =
+      floor(col(oldTimeId) / factor).cast("long").as(newTimeId) +:
+        (degenerate ++ fkNames).map(col)
+
+    val m = RegisterSketch.bucketCount(s.factCountDistinctErrorRate)
+    val aggs: Seq[Column] = fact.columns.flatMap { case FactColumn(cName, kind) =>
+      kind match {
+        case FactCount(_) =>
+          Seq(sum(col(cName)).cast(populated.schema(cName).dataType).as(cName))
+        case FactCountDistinct(_) =>
+          Seq(RegisterSketch.mergeAgg(m)(col(cName)).as(cName))
+        case FactSum(_) => Seq(sum(col(cName)).as(cName))
+        case FactMax(_) => Seq(max(col(cName)).as(cName))
+        case FactMin(_) => Seq(min(col(cName)).as(cName))
+        case FactAverage(_) =>
+          val cnt = cName + s.avgCountColumnSuffix
+          val sm  = cName + s.avgSumColumnSuffix
+          Seq(
+            sum(col(cnt)).cast(populated.schema(cnt).dataType).as(cnt),
+            sum(col(sm)).as(sm))
+        case _ => Nil
+      }
+    }
+
+    val outCols = newTimeId +: (fact.columns.flatMap {
+      case FactColumn(cName, FactAverage(_)) =>
+        Seq(cName + s.avgCountColumnSuffix, cName + s.avgSumColumnSuffix)
+      case FactColumn(cName, FactCount(_) | FactCountDistinct(_) | FactSum(_) | FactMax(_) | FactMin(_)) =>
+        Seq(cName)
+      case FactColumn(cName, k) if k == NoDimId || k == TenantId => Seq(cName)
+      case _ => Nil
+    } ++ fkNames)
+
+    populated
+      .groupBy(groupKeys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outCols.map(col): _*)
+  }
+}

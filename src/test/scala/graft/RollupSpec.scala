@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exec.Rollup
+import graft.model.{TimeUnit, TimeWindow}
+
+/** Roll-up re-aggregability including the sketch column: merging the
+  * minute-grain register sketches must give byte-identical registers to
+  * building the sketch at hour grain directly (merge-max is
+  * associative). */
+class RollupSpec extends SparkSpec {
+  import Fixtures._
+
+  test("rolled-up sketches equal directly-built hour sketches") {
+    val s   = spark
+    val dir = sf("sf0.001")
+    val ev  = sources.ParquetTables.readTable(s, dir, "events")
+
+    val fact = eventsEnv.findFact("event").get
+    val dim = graft.exec.DimPopulate.full(
+      eventsEnv, fact, "dim_event_type", ev, TimeWindow.unbounded)
+    val minuteGrain = graft.exec.FactPopulate.populate(
+      eventsEnv, fact, TimeWindow.unbounded, _ => ev, _ => dim)
+    val rolled = Rollup.toCoarser(eventsEnv, fact, minuteGrain, TimeUnit.Hour)
+
+    val hourEnv = model.Validator.validateEnv(
+      eventsTables, eventsFacts, eventsSettings.copy(timeUnit = TimeUnit.Hour),
+      testTypeDefaults).toOption.get
+    val hourFact = hourEnv.findFact("event").get
+    val hourDim = graft.exec.DimPopulate.full(
+      hourEnv, hourFact, "dim_event_type", ev, TimeWindow.unbounded)
+    val direct = graft.exec.FactPopulate.populate(
+      hourEnv, hourFact, TimeWindow.unbounded, _ => ev, _ => hourDim)
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ts_hour_id"), col("user_id"), col("event_type_id"), col("user_count"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getInt(2)), r.getMap[Int, Int](3).toMap))
+      .toMap
+    val a = keyed(rolled)
+    val b = keyed(direct)
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (k, m) => b(k) == m })
+  }
+}
