@@ -68,7 +68,8 @@ object QueriesExt {
        |       CASE WHEN (s_en + s_de + s_es + s_fr + s_zh) = 0 THEN 'und'
        |              $caseBranches
        |            ELSE 'zh' END AS lang_pred,
-       |       md5(t) AS fingerprint
+       |       md5(t) AS fingerprint,
+       |       CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
        |FROM o
        |""".stripMargin
   }

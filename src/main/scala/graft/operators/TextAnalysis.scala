@@ -139,8 +139,13 @@ object TextAnalysis {
       .withColumn("lang_pred",
         when(langs.map(l => col(s"__s_$l")).reduce(_ + _) === 0, lit("und")).otherwise(best))
       .withColumn("fingerprint", md5(col("__n")))
+      // BPE-ish subword proxy: letter runs, digit runs, and single
+      // non-alphanumeric marks each count as one token (the usual cheap
+      // stand-in for a real tokenizer when budgeting training data)
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col("__n"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
       .select(col(idCol), col("n_tokens"), col("n_chars"), col("punct_ratio"),
         col("avg_token_len"), col("stopword_ratio"), col("quality_score"),
-        col("lang_pred"), col("fingerprint"))
+        col("lang_pred"), col("fingerprint"), col("n_bpe_tokens"))
   }
 }
