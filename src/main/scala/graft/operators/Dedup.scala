@@ -188,11 +188,46 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Survivor view: keep the lowest id of each near-duplicate cluster
-    * (single-link via union of pairs; one connected-component round is
-    * enough for typical near-dup chains, documented approximation). */
+  /** Cluster near-duplicate pairs into connected components by
+    * label propagation: every doc converges to the minimum id reachable
+    * through the pair graph. Iterations are bounded by the graph
+    * diameter (near-dup chains are short; `maxIter` is a safety net).
+    * Returns (doc, cluster_rep). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("doc"))
+      .union(edges.select(col("b").as("doc")))
+      .distinct()
+      .withColumn("rep", col("doc"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each doc adopts the smallest rep among itself and its neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc", "b").withColumnRenamed("rep", "nrep"), Seq("b"))
+        .groupBy(col("a").as("doc"))
+        .agg(min(col("nrep")).as("nrep"))
+      val updated = labels
+        .join(viaNeighbors, Seq("doc"), "left_outer")
+        .select(col("doc"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .cache()
+      converged = updated.join(labels.withColumnRenamed("rep", "prev"), Seq("doc"))
+        .filter(col("rep") =!= col("prev")).isEmpty
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Survivor view: keep one doc (the minimum id) per near-duplicate
+    * cluster; unpaired docs survive untouched. */
   def survivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = pairs.select(greatest(col("doc_a"), col("doc_b")).as(idCol)).distinct()
+    val comps  = connectedComponents(pairs)
+    val losers = comps.filter(col("doc") =!= col("rep")).select(col("doc").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -56,6 +56,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("survivors collapses transitive chains to one representative") {
+    import spark.implicits._
+    val df = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // chain 1-2, 2-3, 3-4 (one cluster) and 5-6 (another)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.survivors(df, "doc_id", pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("langId identifies real multilingual samples") {
     import spark.implicits._
     val samples = Seq(
