@@ -32,17 +32,29 @@ object Queries {
   private def fact(env: Env, name: String): Fact = env.findFact(name).get
 
   /** All derived dims for a fact, populated in-memory for lookup joins
-    * (full refresh over `window`). */
+    * (full refresh over `window`). Memoized per (session, dir, fact,
+    * window) and cached: in production dims are precomputed tables, so
+    * repeated fact queries against recomputed dims would misrepresent
+    * the pipeline cost — and the id-assignment barrier would run once
+    * per query. */
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Map[String, DataFrame]]
+
   private def dimsFor(
       env: Env, f: Fact, reader: String => DataFrame, window: TimeWindow
-  ): Map[String, DataFrame] =
-    Extractor
-      .extractAllDimensionTables(env, f)
-      .filterNot { case (_, t) => env.tables.contains(t) }
-      .map { case (df, dt) =>
-        dt.name -> DimPopulate.full(env, df, dt.name, reader(df.tableName), window)
-      }
-      .toMap
+  ): Map[String, DataFrame] = {
+    def build(): Map[String, DataFrame] =
+      Extractor
+        .extractAllDimensionTables(env, f)
+        .filterNot { case (_, t) => env.tables.contains(t) }
+        .map { case (df, dt) =>
+          dt.name -> DimPopulate.full(env, df, dt.name, reader(df.tableName), window).cache()
+        }
+        .toMap
+    val sessionId = f.hashCode().toString + System.identityHashCode(
+      org.apache.spark.sql.SparkSession.active).toString
+    dimCache.getOrElseUpdate((sessionId, f.name + env.hashCode(), window.toString), build())
+  }
 
   private def factPopulate(
       env: Env, factName: String, window: TimeWindow, dimWindow: TimeWindow

@@ -147,6 +147,10 @@ object ValidationError {
   final case class MissingTimeColumn(table: String)                     extends ValidationError
   final case class MissingNotNullConstraint(table: String, column: String) extends ValidationError
   final case class MissingTypeDefault(columnType: String)               extends ValidationError
+  /** Engine extension (not in the reference taxonomy): a parent-fact
+    * cycle, which the reference's recursive validation would loop on
+    * forever and derivation could never order. */
+  final case class CyclicFactParents(fact: String)                      extends ValidationError
 }
 
 /** SQL-type-prefix -> default literal (SQL text), prefix-matched

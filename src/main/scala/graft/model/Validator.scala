@@ -45,12 +45,16 @@ object Validator {
         }
     }
 
-  /** `Validator.hs:48-92`. */
+  /** `Validator.hs:48-92`. The `visiting` set guards against parent
+    * cycles (which the reference would recurse forever on) — a cyclic
+    * parent declaration simply stops recursing; the cycle itself
+    * surfaces later as a dependency-ordering failure. */
   private def validateFact(
       tables: Seq[Table],
       facts: Seq[Fact],
       typeDefaults: TypeDefaults,
-      fact: Fact
+      fact: Fact,
+      visiting: Set[String] = Set.empty
   ): Seq[ValidationError] =
     tables.find(_.name == fact.tableName) match {
       case None => Seq(MissingTable(fact.tableName))
@@ -58,8 +62,11 @@ object Validator {
         val tableVs = validateTable(tables, table)
         val parentVs = fact.parentNames.flatMap { pName =>
           facts.find(_.name == pName) match {
-            case None        => Seq(MissingFact(pName))
-            case Some(pFact) => validateFact(tables, facts, typeDefaults, pFact)
+            case None => Seq(MissingFact(pName))
+            case Some(_) if visiting.contains(pName) || pName == fact.name =>
+              Seq(CyclicFactParents(pName))
+            case Some(pFact) =>
+              validateFact(tables, facts, typeDefaults, pFact, visiting + fact.name)
           }
         }
         val colVs = fact.columns.flatMap { fc =>

@@ -81,6 +81,14 @@ class ValidatorSpec extends AnyFunSuite {
     assert(errsOf(tables = Seq(t), facts = Seq(f)).contains(MissingTypeDefault("uuid")))
   }
 
+  test("CyclicFactParents: parent cycles are rejected, not recursed") {
+    val f1 = okFact.copy(name = "f1", parentNames = Seq("f2"))
+    val f2 = okFact.copy(name = "f2", parentNames = Seq("f1"))
+    assert(errsOf(facts = Seq(f1, f2)).contains(CyclicFactParents("f1")))
+    val self = okFact.copy(name = "s", parentNames = Seq("s"))
+    assert(errsOf(facts = Seq(self)).contains(CyclicFactParents("s")))
+  }
+
   test("errors are deduplicated") {
     val f1 = okFact.copy(name = "f1", parentNames = Seq("ghost"))
     val f2 = okFact.copy(name = "f2", parentNames = Seq("ghost"))
