@@ -132,6 +132,26 @@ class DerivationSpec extends AnyFunSuite {
     assert(Naming.dimColumnName("user_agent", "user_agent_name") == "name")
   }
 
+  test("non-default settings flow through naming and schemas") {
+    val settings = Settings(
+      dimPrefix = "d_", factPrefix = "f_", factInfix = "_per_",
+      timeUnit = TimeUnit.Week, dimTableIdColumnName = "pk",
+      dimTableIdColumnType = "bigserial", avgCountColumnSuffix = "_n",
+      avgSumColumnSuffix = "_total")
+    val customEnv = Validator.validateEnv(
+      Fixtures.ringoTables, Fixtures.ringoFacts, settings, Fixtures.ringoTypeDefaults)
+      .toOption.get
+    val t = Extractor.extractFactTable(customEnv, customEnv.findFact("session").get)
+    assert(t.name == "f_session_per_week")
+    assert(t.columns.head.name == "created_at_week_pk")
+    // derived dim fk columns use the custom id name/type mapping
+    assert(t.columns.map(_.name).contains("geo_pk"))
+    assert(t.columns.find(_.name == "geo_pk").get.columnType == "bigint") // bigserial->bigint
+    val dims = Extractor.extractDimensionTables(customEnv, customEnv.findFact("session").get)
+    assert(dims.map(_.name) == Seq("d_geo", "d_user_agent"))
+    assert(dims.head.columns.head == Column("pk", "bigserial", Nullable.NotNull))
+  }
+
   test("type defaults: longest prefix wins, prefix semantics (Generator/Internal.hs:32-36)") {
     val d = TypeDefaults(Map("timestamp" -> "'e'", "character" -> "'__UNKNOWN_VAL__'"))
     assert(d.forType("timestamp without time zone").contains("'e'"))

@@ -63,4 +63,23 @@ class SketchSpec extends SparkSpec {
   test("empty sketch estimates zero") {
     assert(RegisterSketch.estimate(Map.empty, m) == 0L)
   }
+
+  test("FactCountDistinct(None) falls back to the source table PK") {
+    import graft.model._
+    import graft.model.FactColumnKind._
+    val env = Validator.validateEnv(
+      Fixtures.eventsTables,
+      Seq(Fact("epk", "events", columns = Seq(
+        FactColumn("ts", DimTime),
+        FactColumn("distinct_events", FactCountDistinct(None))))),
+      Settings(timeUnit = TimeUnit.Day), Fixtures.testTypeDefaults).toOption.get
+    val ev = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val out = graft.exec.FactPopulate.populate(
+      env, env.findFact("epk").get, TimeWindow.unbounded, _ => ev, _ => ev)
+    val est = out
+      .agg(RegisterSketch.mergeAgg(m)(col("distinct_events")).as("sk"))
+      .select(RegisterSketch.estimateUdf(m)(col("sk"))).head().getLong(0)
+    val exact = ev.count() // event_id is unique
+    assert(math.abs(est - exact) <= exact * 0.15, s"est $est vs exact $exact")
+  }
 }
