@@ -32,12 +32,28 @@ object Cli {
     val Array(modelPath, sourceDir, outDir) = args.take(3)
     val rest = args.drop(3).toSeq
 
+    def usageExit(msg: String): Nothing = {
+      System.err.println(msg)
+      System.err.println(
+        "usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR [--incremental LO HI] [--upper HI] [--no-partition]")
+      sys.exit(2)
+    }
+    def parseTs(flag: String, s: Option[String]): Timestamp =
+      s.map(v =>
+        try Timestamp.valueOf(v)
+        catch {
+          case _: IllegalArgumentException =>
+            usageExit(s"$flag: invalid timestamp '$v' (expected 'yyyy-MM-dd HH:mm:ss')")
+        }).getOrElse(usageExit(s"$flag requires timestamp operand(s)"))
+
     val window =
       if (rest.contains("--incremental")) {
         val i = rest.indexOf("--incremental")
-        TimeWindow.between(Timestamp.valueOf(rest(i + 1)), Timestamp.valueOf(rest(i + 2)))
+        TimeWindow.between(
+          parseTs("--incremental", rest.lift(i + 1)),
+          parseTs("--incremental", rest.lift(i + 2)))
       } else if (rest.contains("--upper")) {
-        TimeWindow.upTo(Timestamp.valueOf(rest(rest.indexOf("--upper") + 1)))
+        TimeWindow.upTo(parseTs("--upper", rest.lift(rest.indexOf("--upper") + 1)))
       } else TimeWindow.unbounded
 
     val parsed = ModelParser.parseFile(modelPath) match {

@@ -38,10 +38,10 @@ object Queries {
     * the pipeline cost — and the id-assignment barrier would run once
     * per query. */
   private val dimCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), Map[String, DataFrame]]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String, String), Map[String, DataFrame]]
 
   private def dimsFor(
-      env: Env, f: Fact, reader: String => DataFrame, window: TimeWindow
+      env: Env, f: Fact, dir: String, reader: String => DataFrame, window: TimeWindow
   ): Map[String, DataFrame] = {
     def build(): Map[String, DataFrame] =
       Extractor
@@ -51,9 +51,9 @@ object Queries {
           dt.name -> DimPopulate.full(env, df, dt.name, reader(df.tableName), window).cache()
         }
         .toMap
-    val sessionId = f.hashCode().toString + System.identityHashCode(
-      org.apache.spark.sql.SparkSession.active).toString
-    dimCache.getOrElseUpdate((sessionId, f.name + env.hashCode(), window.toString), build())
+    val sessionId = System.identityHashCode(org.apache.spark.sql.SparkSession.active)
+    dimCache.getOrElseUpdate(
+      (sessionId, dir, f.name + env.hashCode(), window.toString), build())
   }
 
   private def factPopulate(
@@ -61,7 +61,7 @@ object Queries {
   )(s: SparkSession, dir: String): DataFrame = {
     val f      = fact(env, factName)
     val reader = src(s, dir) _
-    val dims   = dimsFor(env, f, reader, dimWindow)
+    val dims   = dimsFor(env, f, dir, reader, dimWindow)
     FactPopulate.populate(env, f, window, reader, dims(_))
   }
 

@@ -74,9 +74,9 @@ object Rollup {
       case _ => Nil
     } ++ fkNames)
 
-    populated
-      .groupBy(groupKeys: _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(outCols.map(col): _*)
+    val grouped =
+      if (aggs.isEmpty) populated.select(groupKeys: _*).distinct()
+      else populated.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
+    grouped.select(outCols.map(col): _*)
   }
 }

@@ -37,23 +37,31 @@ final class Runner(
   private def stagedName(name: String, popMode: PopulationMode): String =
     Naming.suffixTableName(popMode, stagingSuffix, name)
 
-  /** Promote staged tables: move `<table><suffix>` over `<table>`. */
+  /** Promote staged tables: move `<table><suffix>` over `<table>`.
+    * Promotion per table is move-aside -> move-in -> delete-old, so a
+    * crash mid-swap leaves either the old live table or a recoverable
+    * `<table><suffix>__old` — never a deleted live table. */
   def swapStaging(tables: Seq[String]): Unit = {
     require(stagingSuffix.nonEmpty, "no staging suffix configured")
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: Path): Unit = {
+      val walked = {
+        val s = Files.walk(p)
+        try s.iterator().asScala.toList finally s.close()
+      }
+      walked.reverse.foreach(Files.delete)
+    }
     tables.foreach { t =>
       val live    = Paths.get(outDir, t)
       val staging = Paths.get(outDir, t + stagingSuffix)
       if (Files.exists(staging)) {
-        if (Files.exists(live)) {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (Files.isDirectory(p))
-              Files.list(p).forEach(rm(_))
-            Files.delete(p)
-          }
-          rm(live)
-        }
+        val old = Paths.get(outDir, t + stagingSuffix + "__old")
+        if (Files.exists(old)) rmTree(old)
+        val hadLive = Files.exists(live)
+        if (hadLive) Files.move(live, old)
         Files.move(staging, live)
+        if (hadLive) rmTree(old)
       }
     }
   }
@@ -198,9 +206,10 @@ final class Runner(
     val name    = if (targetName.nonEmpty) targetName else factTableNameOf(fact)
     val s       = env.settings
     if (partitionFactsByDay) {
-      val timeCol = derived.constraints.collectFirst {
-        case TableConstraint.UniqueKey(cols) => cols.head // time bucket is first UK col
-      }.getOrElse(derived.columns.head.name)
+      val timeColSrc = fact.columns.collectFirst {
+        case FactColumn(c, FactColumnKind.DimTime) => c
+      }.getOrElse(throw new IllegalStateException(s"fact ${fact.name} has no DimTime column"))
+      val timeCol = Naming.timeUnitColumnName(s.dimTableIdColumnName, timeColSrc, s.timeUnit)
       out
         .withColumn("p_day", floor(col(timeCol) * s.timeUnit.seconds / 86400L).cast("long"))
         .write.partitionBy("p_day")

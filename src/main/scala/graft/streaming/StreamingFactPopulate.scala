@@ -114,6 +114,8 @@ object StreamingFactPopulate {
     val timeIdName = Naming.timeUnitColumnName(s.dimTableIdColumnName, timeColName, s.timeUnit)
     val bucket     = window(col(s"$srcAlias.$timeColName"), s"${s.timeUnit.seconds} seconds")
 
+    require(aggs.nonEmpty,
+      "streaming populate needs at least one aggregate fact column")
     withDims
       .groupBy(bucket.as("w") +: groupKeys.map { case (n, e) => e.as(n) }: _*)
       .agg(aggs.head, aggs.tail: _*)
