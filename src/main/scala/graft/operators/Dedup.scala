@@ -94,7 +94,16 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucket: Int = 1000
   ): DataFrame = {
     val bands = k / r
-    val sigs  = minhashSignatures(docs, idCol, textCol, n, k)
+    // the shingle table feeds both the signatures and the verification
+    // join — persist it so the normalization+explode runs once
+    // (MEMORY_AND_DISK: spills rather than recomputes at scale)
+    val ngr = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until k).map(j => min(xxhash64(col("ng"), lit(j))).as(s"h$j"))
+    val sigs = ngr
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
     val banded = sigs.select(
       col(idCol),
       explode(expr(
@@ -112,8 +121,8 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard (inverted-index restricted
-    // to candidate pairs)
-    ngramJaccardForPairs(docs, idCol, textCol, candidates, n, minJaccard)
+    // to candidate pairs), reusing the persisted shingles
+    jaccardForPairs(ngr, idCol, candidates, minJaccard)
   }
 
   /** Exact Jaccard evaluated only for the given candidate (doc_a, doc_b)
@@ -121,8 +130,12 @@ object Dedup {
   def ngramJaccardForPairs(
       docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, n: Int, minJaccard: Double
+  ): DataFrame =
+    jaccardForPairs(shingles(docs, idCol, textCol, n), idCol, pairs, minJaccard)
+
+  private def jaccardForPairs(
+      ngr: DataFrame, idCol: String, pairs: DataFrame, minJaccard: Double
   ): DataFrame = {
-    val ngr   = shingles(docs, idCol, textCol, n)
     val sizes = ngr.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(ngr.as("a"), col("doc_a") === col(s"a.$idCol"))
