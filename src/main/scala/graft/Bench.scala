@@ -31,6 +31,7 @@ object Bench {
       operators.Similarity.knnBrute(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
     "embed_knn_lsh"     -> (QueriesExt.embedKnnLsh _),
+    "embed_knn_ivf"     -> (QueriesExt.embedKnnIvf _),
     "multimodal_decode" -> (QueriesExt.multimodalDecode _)
   )
 

@@ -177,6 +177,11 @@ object QueriesExt {
     Similarity.lshKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  def embedKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
   // ================================================================ multimodal
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(docs(s, dir), "doc_id", "text")

@@ -50,6 +50,7 @@ object SparkEntry {
     // similarity search
     "embed_knn_brute"       -> (QueriesExt.embedKnnBrute _),
     "embed_knn_lsh"         -> (QueriesExt.embedKnnLsh _),
+    "embed_knn_ivf"         -> (QueriesExt.embedKnnIvf _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // multimodal binary plumbing (stubbed decode)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _)

@@ -135,6 +135,61 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** IVF approximate top-k: a KMeans coarse quantizer assigns every
+    * corpus vector to a centroid cell (one pass + small shuffle); each
+    * query probes its `nProbe` nearest cells and reranks exactly within
+    * them. The standard scale path when the corpus is too large to scan
+    * per query: work per query drops from O(N) to O(N * nProbe / k).
+    * Deterministic: fixed seed, fixed init. */
+  def ivfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val spark = corpus.sparkSession
+    val prepared = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .fit(prepared)
+    val cells = model.clusterCenters.zipWithIndex
+    val assigned = model.transform(prepared)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+
+    // per query: the nProbe nearest centroids (centroids are tiny ->
+    // computed driver-side into a probe list, broadcast by the join)
+    val centroidArrs: Seq[(Int, Array[Double])] =
+      cells.map { case (c, i) => i -> c.toArray }.toSeq
+    val probeUdf = udf { (qv: Seq[Float]) =>
+      centroidArrs
+        .map { case (i, cArr) =>
+          var dot = 0.0; var nq = 0.0; var nc = 0.0
+          var j = 0
+          val n = math.min(qv.length, cArr.length)
+          while (j < n) {
+            dot += qv(j) * cArr(j); nq += qv(j) * qv(j); nc += cArr(j) * cArr(j); j += 1
+          }
+          i -> dot / (math.sqrt(nq) * math.sqrt(nc))
+        }
+        .sortBy(-_._2).take(nProbe).map(_._1)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    q.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket or any
     * bucket at hamming distance 1 (multi-probe), exact cosine rerank
     * within candidates. The corpus is shuffled once on bucket id; each
