@@ -95,10 +95,10 @@ object Dedup {
   ): DataFrame = {
     val bands = k / r
     // the shingle table feeds both the signatures and the verification
-    // join — persist it so the normalization+explode runs once
-    // (MEMORY_AND_DISK: spills rather than recomputes at scale)
+    // join; recomputed rather than persisted — at corpus scale caching
+    // the shingle table is infeasible, and the explode+normalize is a
+    // cheap scan-local pass
     val ngr = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mins = (0 until k).map(j => min(xxhash64(col("ng"), lit(j))).as(s"h$j"))
     val sigs = ngr
       .groupBy(col(idCol))
