@@ -15,13 +15,55 @@ import graft.sources.{MetadataSink, ModelParser}
   *
   * {{{
   * runMain graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR \
-  *   [--incremental LO HI]  [--upper HI]  [--no-partition]
+  *   [--incremental LO HI]  [--upper HI]  [--no-partition]  [settings...]
   * }}}
+  *
+  * Every Settings knob has a flag, mirroring the reference's arg parser
+  * (`app/Ringo/ArgParser.hs:23-90`): `--dim-prefix`, `--fact-prefix`,
+  * `--time-unit second|minute|hour|day|week`, `--avg-count-col-suffix`,
+  * `--avg-sum-col-suffix`, `--dim-id-col-name`, `--dim-id-col-type`,
+  * `--fact-count-col-type`, `--count-distinct-error-rate`,
+  * `--fact-infix`, `--dependencies-json`, `--facts-json`,
+  * `--dimensions-json`, `--fk-id-coalesce-value`, `--suffix-template`.
   *
   * Emits dependencies.json / dimensions.json / facts.json metadata and
   * per-table physical plans alongside the populated parquet tables.
   */
 object Cli {
+
+  private[graft] def parseSettings(
+      rest: Seq[String], usageExit: String => Nothing): Settings = {
+    def flag(name: String): Option[String] = {
+      val i = rest.indexOf(name)
+      if (i < 0) None
+      else rest.lift(i + 1).orElse(usageExit(s"$name requires a value"))
+    }
+    var s = Settings()
+    flag("--dim-prefix").foreach(v => s = s.copy(dimPrefix = v))
+    flag("--fact-prefix").foreach(v => s = s.copy(factPrefix = v))
+    flag("--time-unit").foreach { v =>
+      s = s.copy(timeUnit =
+        try TimeUnit.fromName(v)
+        catch { case _: IllegalArgumentException => usageExit(s"--time-unit: unknown unit '$v'") })
+    }
+    flag("--avg-count-col-suffix").foreach(v => s = s.copy(avgCountColumnSuffix = v))
+    flag("--avg-sum-col-suffix").foreach(v => s = s.copy(avgSumColumnSuffix = v))
+    flag("--dim-id-col-name").foreach(v => s = s.copy(dimTableIdColumnName = v))
+    flag("--dim-id-col-type").foreach(v => s = s.copy(dimTableIdColumnType = v))
+    flag("--fact-count-col-type").foreach(v => s = s.copy(factCountColumnType = v))
+    flag("--count-distinct-error-rate").foreach(v =>
+      s = s.copy(factCountDistinctErrorRate =
+        v.toDoubleOption.getOrElse(usageExit(s"--count-distinct-error-rate: bad double '$v'"))))
+    flag("--fact-infix").foreach(v => s = s.copy(factInfix = v))
+    flag("--dependencies-json").foreach(v => s = s.copy(dependenciesJsonFileName = v))
+    flag("--facts-json").foreach(v => s = s.copy(factsJsonFileName = v))
+    flag("--dimensions-json").foreach(v => s = s.copy(dimensionsJsonFileName = v))
+    flag("--fk-id-coalesce-value").foreach(v =>
+      s = s.copy(foreignKeyIdCoalesceValue =
+        v.toIntOption.getOrElse(usageExit(s"--fk-id-coalesce-value: bad int '$v'"))))
+    flag("--suffix-template").foreach(v => s = s.copy(tableNameSuffixTemplate = v))
+    s
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
@@ -61,7 +103,8 @@ object Cli {
       case Right(p)  => p
     }
     val (tables, facts, defaults) = parsed
-    val env = Validator.validateEnv(tables, facts, Settings(), defaults) match {
+    val settings = parseSettings(rest, usageExit)
+    val env = Validator.validateEnv(tables, facts, settings, defaults) match {
       case Left(errors) =>
         errors.foreach(e => System.err.println(s"validation: $e"))
         sys.exit(1); throw new IllegalStateException

@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("text stats and multimodal decode are scan-only (no exchange)") {
+    val stats = QueriesExt.textStats(spark, sf("sf0.001"))
+    assert(!stats.queryExecution.executedPlan.toString.contains("Exchange"),
+      "text_stats must be a pure projection over the scan")
+    val mm = QueriesExt.multimodalDecode(spark, sf("sf0.001"))
+    assert(!mm.queryExecution.executedPlan.toString.contains("Exchange"),
+      "multimodal decode must be partition-local")
+  }
+
   test("parent join scans prune columns") {
     val df   = Queries.factPopulateParent(spark, sf("sf0.001"))
     val plan = explainOf(df)

@@ -28,6 +28,14 @@ class RunnerSpec extends SparkSpec {
     assert(env.isRight)
   }
 
+  test("tpch YAML with parentfacts parses to exactly the programmatic fixture") {
+    val Right((tables, facts, defaults)) =
+      ModelParser.parseFile("examples/tpch_model.yaml"): @unchecked
+    assert(tables == Fixtures.tpchTables)
+    assert(facts == Fixtures.tpchFacts)
+    assert(defaults == Fixtures.testTypeDefaults)
+  }
+
   test("full refresh populates dims and facts; schemas and quality hold") {
     val out = tempDir()
     val runner = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out)
