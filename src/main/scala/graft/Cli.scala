@@ -31,8 +31,21 @@ import graft.sources.{MetadataSink, ModelParser}
   */
 object Cli {
 
+  private[graft] val settingsFlags: Set[String] = Set(
+    "--dim-prefix", "--fact-prefix", "--time-unit", "--avg-count-col-suffix",
+    "--avg-sum-col-suffix", "--dim-id-col-name", "--dim-id-col-type",
+    "--fact-count-col-type", "--count-distinct-error-rate", "--fact-infix",
+    "--dependencies-json", "--facts-json", "--dimensions-json",
+    "--fk-id-coalesce-value", "--suffix-template")
+  private[graft] val modeFlags: Set[String] =
+    Set("--incremental", "--upper", "--no-partition")
+
   private[graft] def parseSettings(
       rest: Seq[String], usageExit: String => Nothing): Settings = {
+    rest.filter(_.startsWith("--")).foreach { f =>
+      if (!settingsFlags.contains(f) && !modeFlags.contains(f))
+        usageExit(s"unknown flag: $f")
+    }
     def flag(name: String): Option[String] = {
       val i = rest.indexOf(name)
       if (i < 0) None

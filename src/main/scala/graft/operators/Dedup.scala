@@ -94,16 +94,10 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucket: Int = 1000
   ): DataFrame = {
     val bands = k / r
-    // the shingle table feeds both the signatures and the verification
-    // join; recomputed rather than persisted — at corpus scale caching
-    // the shingle table is infeasible, and the explode+normalize is a
-    // cheap scan-local pass
-    val ngr = shingles(docs, idCol, textCol, n)
-    val mins = (0 until k).map(j => min(xxhash64(col("ng"), lit(j))).as(s"h$j"))
-    val sigs = ngr
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+    // the shingle subtree is recomputed by both the signature and the
+    // verification branches — at corpus scale caching it is infeasible,
+    // and the explode+normalize is a cheap scan-local pass
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
     val banded = sigs.select(
       col(idCol),
       explode(expr(
@@ -121,8 +115,8 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard (inverted-index restricted
-    // to candidate pairs), reusing the persisted shingles
-    jaccardForPairs(ngr, idCol, candidates, minJaccard)
+    // to candidate pairs)
+    ngramJaccardForPairs(docs, idCol, textCol, candidates, n, minJaccard)
   }
 
   /** Exact Jaccard evaluated only for the given candidate (doc_a, doc_b)
@@ -215,6 +209,7 @@ object Dedup {
       .union(edges.select(col("b").as("doc")))
       .distinct()
       .withColumn("rep", col("doc"))
+      .cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -229,6 +224,7 @@ object Dedup {
         .cache()
       converged = updated.join(labels.withColumnRenamed("rep", "prev"), Seq("doc"))
         .filter(col("rep") =!= col("prev")).isEmpty
+      labels.unpersist()
       labels = updated
       i += 1
     }

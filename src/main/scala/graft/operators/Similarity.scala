@@ -148,12 +148,16 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
 
-    val spark = corpus.sparkSession
+    // L2-normalize before clustering so Euclidean cell assignment and
+    // cosine probing agree (the standard IVF-for-cosine construction) —
+    // without this, vectors of differing magnitude land in cells the
+    // cosine probe never visits
+    val normalized = expr(
+      s"transform($vecCol, x -> cast(x as double) / sqrt(aggregate($vecCol, 0D, (a, v) -> a + cast(v as double) * cast(v as double))))")
     val prepared = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      array_to_vector(normalized).as("features"))
     val model = new KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
       .fit(prepared)
@@ -165,7 +169,7 @@ object Similarity {
     // computed driver-side into a probe list, broadcast by the join)
     val centroidArrs: Seq[(Int, Array[Double])] =
       cells.map { case (c, i) => i -> c.toArray }.toSeq
-    val probeUdf = udf { (qv: Seq[Float]) =>
+    val probeUdf = udf { (qv: Seq[Double]) =>
       centroidArrs
         .map { case (i, cArr) =>
           var dot = 0.0; var nq = 0.0; var nc = 0.0
@@ -179,7 +183,7 @@ object Similarity {
         .sortBy(-_._2).take(nProbe).map(_._1)
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("cell", explode(probeUdf(col("qv").cast("array<double>"))))
     q.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))

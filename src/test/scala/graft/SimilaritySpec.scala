@@ -68,6 +68,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("ivfKnn recall holds with mixed vector magnitudes (cosine-correct cells)") {
+    import spark.implicits._
+    val dim = 16
+    def vec(cluster: Int, member: Int): Array[Float] = {
+      // alternate clusters carry 10x magnitude: cells must still form
+      // by direction, not norm
+      val scale = if (cluster % 2 == 0) 1.0f else 10.0f
+      Array.tabulate(dim) { d =>
+        (math.sin(cluster * 31 + d).toFloat +
+          (((cluster * 997 + member * 131 + d * 17) % 100) / 1000.0f)) * scale
+      }
+    }
+    val rows = for (c <- 0 until 10; m <- 0 until 20)
+      yield ((c * 20 + m).toLong, vec(c, m))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 20 === 0)
+    val brute = Similarity.knnBrute(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(df, queries, "vec_id", "embedding", 5, nCells = 10, nProbe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("multimodal stub decode: deterministic features, one row per doc") {
     val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
     val f = Multimodal.features(docs, "doc_id", "text")
