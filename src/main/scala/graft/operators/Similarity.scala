@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** cos(a, b): native codegen'd Catalyst expression
-    * ([[graft.functions.CosineSimilarity]]). */
-  def cosine(a: Column, b: Column): Column =
-    graft.functions.CosineSimilarity(a, b)
+    * ([[graft.functions.CosineSimilarity]]) when the session has
+    * [[graft.GraftExtensions]] registered; falls back to the built-in
+    * fold in sessions built without the extension (e.g. a
+    * driver-provided session). */
+  def cosine(a: Column, b: Column): Column = {
+    val registered = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists(graft.functions.CosineSimilarity.FUNC_NAME)).getOrElse(false)
+    if (registered) graft.functions.CosineSimilarity(a, b) else cosineFold(a, b)
+  }
 
   /** The composable built-in formulation (interpreted lambdas) — kept
     * for cross-checking the native expression. */

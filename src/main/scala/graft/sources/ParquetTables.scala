@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
 object ParquetTables {
 
   def read(spark: SparkSession, path: String): DataFrame = {
+    // defensively enable the nanos handling: the driver may hand us a
+    // session built without it (it is a runtime-settable SQL conf)
+    scala.util.Try(
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
     val df = spark.read.parquet(path)
     nanoTimestampColumns(spark, path).foldLeft(df) { (d, c) =>
       d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
