@@ -42,9 +42,11 @@ object Extractor {
       )
 
     val dimsFromVals: Seq[Table] = grouped.toSeq.map { case (dim, cols) =>
-      val renamed = cols
+      // nub BEFORE renaming, like the reference's `map rename . nub`
+      // (`Extractor/Internal.hs:83-86`): two source columns that only
+      // become identical after the prefix strip stay distinct
+      val renamed = cols.distinct
         .map(c => c.copy(name = Naming.dimColumnName(dim, c.name), nullable = Nullable.NotNull))
-        .distinct
       Table(
         name = settings.dimPrefix + dim,
         columns =
@@ -173,11 +175,16 @@ object Extractor {
     dimDeps + (extractedName -> (factSourceDeps ++ factDimDeps))
   }
 
-  /** Union of per-fact DAGs for all facts in the env (`app/Main.hs:44-46`). */
+  /** Union of per-fact DAGs for all facts in the env (`app/Main.hs:44-46`).
+    * Left-biased like the reference's `foldl Map.union`: the first fact
+    * to define a key keeps its dependency list; later facts' entries
+    * for the same key are dropped (dim deps differing per fact is the
+    * case this decides).
+    */
   def allDependencies(env: Env): Map[String, Seq[String]] =
     env.facts.foldLeft(Map.empty[String, Seq[String]]) { (acc, f) =>
       extractDependencies(env, f).foldLeft(acc) { case (m, (k, v)) =>
-        m.updated(k, (m.getOrElse(k, Nil) ++ v).distinct)
+        if (m.contains(k)) m else m.updated(k, v)
       }
     }
 

@@ -46,10 +46,28 @@ object Rollup {
         (degenerate ++ fkNames).map(col)
 
     val m = RegisterSketch.bucketCount(s.factCountDistinctErrorRate)
+
+    // Counts are stored in the fact schema's (narrow, default integer)
+    // type; a coarser roll-up can legitimately exceed it. Fail loudly
+    // instead of the silent wrap a plain cast would do — at 100 TB a
+    // wrapped count is a corrupt table nobody notices.
+    def checkedNarrow(summed: Column, cName: String): Column = {
+      val dt = populated.schema(cName).dataType
+      dt match {
+        case org.apache.spark.sql.types.IntegerType =>
+          when(summed > Int.MaxValue.toLong || summed < Int.MinValue.toLong,
+            raise_error(concat(
+              lit(s"rollup count overflow in '$cName': "), summed.cast("string"),
+              lit(" does not fit integer"))).cast(dt))
+            .otherwise(summed.cast(dt)).as(cName)
+        case _ => summed.cast(dt).as(cName)
+      }
+    }
+
     val aggs: Seq[Column] = fact.columns.flatMap { case FactColumn(cName, kind) =>
       kind match {
         case FactCount(_) =>
-          Seq(sum(col(cName)).cast(populated.schema(cName).dataType).as(cName))
+          Seq(checkedNarrow(sum(col(cName)), cName))
         case FactCountDistinct(_) =>
           Seq(RegisterSketch.mergeAgg(m)(col(cName)).as(cName))
         case FactSum(_) => Seq(sum(col(cName)).as(cName))
@@ -59,7 +77,7 @@ object Rollup {
           val cnt = cName + s.avgCountColumnSuffix
           val sm  = cName + s.avgSumColumnSuffix
           Seq(
-            sum(col(cnt)).cast(populated.schema(cnt).dataType).as(cnt),
+            checkedNarrow(sum(col(cnt)), cnt),
             sum(col(sm)).as(sm))
         case _ => Nil
       }

@@ -154,15 +154,16 @@ object ValidationError {
 }
 
 /** SQL-type-prefix -> default literal (SQL text), prefix-matched
-  * (`src/Ringo/Generator/Internal.hs:32-36`). Ordered: longest prefix
-  * wins deterministically regardless of insertion order. */
+  * (`src/Ringo/Generator/Internal.hs:32-36`): first match in ascending
+  * key order, exactly like the reference's `find` over `Map.toList`
+  * (so "timestamp" shadows "timestamp without time zone" when both are
+  * declared, because it sorts first). */
 final case class TypeDefaults(defaults: Map[String, String]) {
   /** Default literal for a column type, matching by prefix. */
   def forType(columnType: String): Option[String] =
     defaults.toSeq
-      .filter { case (prefix, _) => columnType.startsWith(prefix) }
-      .sortBy { case (prefix, _) => -prefix.length }
-      .headOption
+      .sortBy { case (prefix, _) => prefix }
+      .find { case (prefix, _) => columnType.startsWith(prefix) }
       .map(_._2)
 }
 

@@ -7,7 +7,11 @@ import graft.model.Env
 
 /** JSON metadata sinks (S3): dependencies.json, dimensions.json,
   * facts.json — the orchestration metadata the reference emits
-  * (`app/Main.hs:43-52`), same shapes.
+  * (`app/Main.hs:43-52`), same shapes: dependencies as an object
+  * `{table: [deps...]}` (left-biased union across facts),
+  * dimensions/facts as flat arrays of table names in declared fact
+  * order (dimensions keeps per-fact duplicates, as the reference's
+  * list comprehension does).
   */
 object MetadataSink {
 
@@ -29,22 +33,24 @@ object MetadataSink {
   def dependenciesJson(env: Env): String =
     obj(Extractor.allDependencies(env).toSeq.sortBy(_._1).map { case (t, ds) => t -> arr(ds) })
 
-  /** `{factName: [derived dimension tables...]}`. */
+  /** Flat array of derived dimension table names, in fact order
+    * (`app/Main.hs:48-49`); per-fact duplicates are kept.
+    */
   def dimensionsJson(env: Env): String =
-    obj(env.facts.map { f =>
-      val dims = Extractor
+    arr(env.facts.flatMap { f =>
+      Extractor
         .extractDimensionTables(env, f)
         .filterNot(env.tables.contains)
         .map(_.name)
-      f.name -> arr(dims)
     })
 
-  /** `{factName: extractedFactTableName}` for persistent facts. */
+  /** Flat array of extracted fact table names for persistent facts, in
+    * fact order (`app/Main.hs:51-52`).
+    */
   def factsJson(env: Env): String =
-    obj(env.facts.filter(_.persistent).map { f =>
+    arr(env.facts.filter(_.persistent).map { f =>
       val s = env.settings
-      f.name -> esc(
-        graft.model.Naming.extractedFactTableName(s.factPrefix, s.factInfix, f.name, s.timeUnit))
+      graft.model.Naming.extractedFactTableName(s.factPrefix, s.factInfix, f.name, s.timeUnit)
     })
 
   def writeAll(env: Env, outDir: String): Unit = {

@@ -28,7 +28,10 @@ object ParquetTables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
     val df = spark.read.parquet(path)
     nanoTimestampColumns(spark, path).foldLeft(df) { (d, c) =>
-      d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+      // `div` is exact integral division; `/` would be double division,
+      // and epoch nanos (~1.8e18) exceed 2^53, so the rounded quotient
+      // can be off by +/-1us and flip time-bucket boundaries
+      d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000L")))
     }
   }
 

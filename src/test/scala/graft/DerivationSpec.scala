@@ -152,10 +152,52 @@ class DerivationSpec extends AnyFunSuite {
     assert(dims.head.columns.head == Column("pk", "bigserial", Nullable.NotNull))
   }
 
-  test("type defaults: longest prefix wins, prefix semantics (Generator/Internal.hs:32-36)") {
+  test("type defaults: first match in ascending key order (Generator/Internal.hs:32-36)") {
     val d = TypeDefaults(Map("timestamp" -> "'e'", "character" -> "'__UNKNOWN_VAL__'"))
     assert(d.forType("timestamp without time zone").contains("'e'"))
     assert(d.forType("character varying(50)").contains("'__UNKNOWN_VAL__'"))
     assert(d.forType("bigint").isEmpty)
+    // when several prefixes match, the reference's `find` over
+    // `Map.toList` takes the ascending-order first, NOT the longest
+    val overlapping = TypeDefaults(Map(
+      "timestamp without time zone" -> "'long'", "timestamp" -> "'short'"))
+    assert(overlapping.forType("timestamp without time zone").contains("'short'"))
+  }
+
+  test("allDependencies union is left-biased like foldl Map.union (Main.hs:44-46)") {
+    // two facts over different sources sharing the derived dim name:
+    // the first fact's entry for dim_geo must win wholesale
+    val tables = Seq(
+      Table("a", Seq(
+        Column("t", "timestamp without time zone", Nullable.NotNull),
+        Column("geo_city", "text", Nullable.NotNull)), Nil),
+      Table("b", Seq(
+        Column("t", "timestamp without time zone", Nullable.NotNull),
+        Column("geo_city", "text", Nullable.NotNull)), Nil))
+    import graft.model.FactColumnKind._
+    val facts = Seq(
+      Fact("fa", "a", columns = Seq(FactColumn("t", DimTime), FactColumn("geo_city", DimVal("geo")))),
+      Fact("fb", "b", columns = Seq(FactColumn("t", DimTime), FactColumn("geo_city", DimVal("geo")))))
+    val e = Validator.validateEnv(tables, facts, Settings(), Fixtures.testTypeDefaults).toOption.get
+    val deps = Extractor.allDependencies(e)
+    assert(deps("dim_geo") == Seq("a")) // fa's entry, not merged with fb's
+  }
+
+  test("derived-dim columns nub before rename (Extractor/Internal.hs:83-86)") {
+    // geo_city and city both rename to dim_geo.city after the prefix
+    // strip; the reference nubs the ORIGINAL columns, so both survive
+    val tables = Seq(
+      Table("src", Seq(
+        Column("t", "timestamp without time zone", Nullable.NotNull),
+        Column("geo_city", "text", Nullable.NotNull),
+        Column("city", "text", Nullable.NotNull)), Nil))
+    import graft.model.FactColumnKind._
+    val facts = Seq(Fact("f", "src", columns = Seq(
+      FactColumn("t", DimTime),
+      FactColumn("geo_city", DimVal("geo")),
+      FactColumn("city", DimVal("geo")))))
+    val e = Validator.validateEnv(tables, facts, Settings(), Fixtures.testTypeDefaults).toOption.get
+    val dim = Extractor.extractDimensionTables(e, e.findFact("f").get).head
+    assert(dim.columns.map(_.name) == Seq("id", "city", "city"))
   }
 }

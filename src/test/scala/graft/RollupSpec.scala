@@ -43,4 +43,25 @@ class RollupSpec extends SparkSpec {
     assert(a.keySet == b.keySet)
     assert(a.forall { case (k, m) => b(k) == m })
   }
+
+  test("rollup fails loudly when a count overflows its stored integer type") {
+    val s   = spark
+    val dir = sf("sf0.001")
+    val ev  = sources.ParquetTables.readTable(s, dir, "events")
+
+    val fact = eventsEnv.findFact("event").get
+    val dim = graft.exec.DimPopulate.full(
+      eventsEnv, fact, "dim_event_type", ev, TimeWindow.unbounded)
+    val minuteGrain = graft.exec.FactPopulate.populate(
+      eventsEnv, fact, TimeWindow.unbounded, _ => ev, _ => dim)
+    // inflate the stored count so the hour roll-up sum exceeds 2^31
+    val inflated = minuteGrain.withColumn(
+      "event_count", lit(Int.MaxValue - 10).cast("int"))
+    val ex = intercept[Exception] {
+      Rollup.toCoarser(eventsEnv, fact, inflated, TimeUnit.Hour).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("rollup count overflow")))
+  }
 }

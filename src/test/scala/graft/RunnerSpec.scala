@@ -118,9 +118,12 @@ class RunnerSpec extends SparkSpec {
     val deps = MetadataSink.dependenciesJson(env)
     assert(deps.contains("\"fact_session_by_minute\""))
     assert(deps.contains("\"dim_geo\""))
+    // flat arrays in fact order, like the reference's app/Main.hs:48-52
     val dims = MetadataSink.dimensionsJson(env)
-    assert(dims.contains("\"session\":[\"dim_geo\",\"dim_user_agent\"]"))
+    assert(dims.startsWith("[") && dims.endsWith("]"))
+    assert(dims.contains("\"dim_geo\"") && dims.contains("\"dim_user_agent\""))
     val facts = MetadataSink.factsJson(env)
-    assert(facts.contains("\"page_view\":\"fact_page_view_by_minute\""))
+    assert(facts.startsWith("[") && facts.endsWith("]"))
+    assert(facts.contains("\"fact_page_view_by_minute\""))
   }
 }
