@@ -27,7 +27,12 @@ object Dedup {
   /** Distinct word n-grams per document: (id, ng). The inverted-index
     * building block shared by Jaccard and MinHash. Documents with fewer
     * than `n` tokens produce no shingles. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** (id, ng) exploded shingle stream WITH duplicates — for consumers
+    * whose aggregate is duplicate-insensitive (minhash `min`), where
+    * paying any dedup (shuffle `.distinct()` or per-row
+    * `array_distinct`, which is quadratic on string arrays) buys
+    * nothing. */
+  def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     docs
       .select(col(idCol), toks.as("w"))
@@ -38,8 +43,13 @@ object Dedup {
           s"""transform(sequence(1, size(w) - ${n - 1}),
              |  i -> concat_ws(' ', ${(0 until n).map(o => s"element_at(w, i + $o)").mkString(", ")}))
              |""".stripMargin)).as("ng"))
-      .distinct()
   }
+
+  /** Distinct (id, ng) shingle set — set semantics for Jaccard. The
+    * `.distinct()` exchange doubles as a reuse point: both sides of the
+    * inverted-index self-join read the same shuffled output. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shinglesRaw(docs, idCol, textCol, n).distinct()
 
   /** Exact n-gram Jaccard similarity join via inverted index: explode
     * shingles, equi-join on the shingle (only docs sharing >=1 shingle
@@ -75,7 +85,10 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3, k: Int = 64
   ): DataFrame = {
-    val ngr  = shingles(docs, idCol, textCol, n)
+    // raw (duplicated) shingles: min() is duplicate-insensitive, so
+    // the signature needs no dedup pass at all — the only shuffle is
+    // the tiny partially-aggregated groupBy(id)
+    val ngr  = shinglesRaw(docs, idCol, textCol, n)
     val mins = (0 until k).map(j => min(xxhash64(col("ng"), lit(j))).as(s"h$j"))
     ngr
       .groupBy(col(idCol))

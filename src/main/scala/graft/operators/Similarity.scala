@@ -153,9 +153,6 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 3
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     // L2-normalize before clustering so Euclidean cell assignment and
     // cosine probing agree (the standard IVF-for-cosine construction) —
     // without this, vectors of differing magnitude land in cells the
@@ -163,19 +160,45 @@ object Similarity {
     val normalized = expr(
       s"transform($vecCol, x -> cast(x as double) / sqrt(aggregate($vecCol, 0D, (a, v) -> a + cast(v as double) * cast(v as double))))")
     val prepared = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_to_vector(normalized).as("features"))
-    val model = new KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
-      .fit(prepared)
-    val cells = model.clusterCenters.zipWithIndex
-    val assigned = model.transform(prepared)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"), normalized.as("nv"))
+
+    // Train the coarse quantizer on a bounded deterministic sample,
+    // driver-side (kmeans++ init + Lloyd's, seeded). This is the
+    // standard IVF construction at scale: the quantizer never needs the
+    // full corpus — a fixed-size sample bounds training at O(sample *
+    // nCells * iters) on the driver regardless of corpus size, where a
+    // distributed KMeans would pay a full corpus pass per iteration.
+    val sample: Array[Array[Double]] = prepared
+      .select(col("neighbor_id"), col("nv"))
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(4096)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val centroids = Quantizer.lloyd(sample, nCells, iters = 10, seed = 42L)
+
+    // distributed assignment: normalized vectors -> nearest centroid
+    // (max dot == min L2 on the unit sphere); centroids ride the UDF
+    // closure (tiny, broadcast with the task)
+    val assignUdf = udf { (nv: Seq[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var i = 0
+      while (i < centroids.length) {
+        val cArr = centroids(i)
+        var dot = 0.0; var j = 0
+        val n = math.min(nv.length, cArr.length)
+        while (j < n) { dot += nv(j) * cArr(j); j += 1 }
+        if (dot > bestDot) { bestDot = dot; best = i }
+        i += 1
+      }
+      best
+    }
+    val assigned = prepared
+      .select(col("neighbor_id"), col("cv"), assignUdf(col("nv")).as("cell"))
 
     // per query: the nProbe nearest centroids (centroids are tiny ->
     // computed driver-side into a probe list, broadcast by the join)
     val centroidArrs: Seq[(Int, Array[Double])] =
-      cells.map { case (c, i) => i -> c.toArray }.toSeq
+      centroids.zipWithIndex.map { case (c, i) => i -> c }.toSeq
     val probeUdf = udf { (qv: Seq[Double]) =>
       centroidArrs
         .map { case (i, cArr) =>
