@@ -117,6 +117,75 @@ object QueriesExt {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
 
+  // ================================================================ near-dup clustering
+  /** Connected components over the exact-Jaccard near-dup graph:
+    * every doc in a pair converges to the min doc_id reachable through
+    * the graph. Oracle: DuckDB recursive CTE transitive closure. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
+  lazy val dedupClusterSql: String = {
+    // same inverted-index Jaccard CTEs as dedupNgramJaccardSql, then a
+    // recursive min-label closure over the pair graph
+    s"""WITH RECURSIVE ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), ngr AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ng
+       |  FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM ngr GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icount
+       |  FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(icount AS DOUBLE) / (sa.sz + sb.sz - icount) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs
+       |), reach AS (
+       |  SELECT a AS doc, a AS rep FROM edges
+       |  UNION
+       |  SELECT e.a AS doc, r.rep FROM edges e JOIN reach r ON r.doc = e.b
+       |)
+       |SELECT doc AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY 1
+       |""".stripMargin
+  }
+
+  // ================================================================ salted skew join
+  /** Salted equi-join (lineitem to orders on the order key) + grouped
+    * aggregation — must equal the plain join bit-for-bit; the oracle IS
+    * the plain join. Exercises [[graft.exec.Skew.saltedJoin]] in the
+    * gate (deterministic row-hash salt, build side replicated). */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li  = sources.ParquetTables.readTable(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val ord = sources.ParquetTables.readTable(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    graft.exec.Skew.saltedJoin(li, ord, "okey", salt = 8)
+      .groupBy(col("o_orderstatus").as("order_status"))
+      .agg(
+        count(lit(1)).cast("int").as("line_count"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
+  }
+
+  lazy val skewSaltedJoinSql: String =
+    s"""SELECT o.o_orderstatus AS order_status,
+       |       CAST(count(*) AS INTEGER) AS line_count,
+       |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |GROUP BY 1
+       |""".stripMargin
+
   // ================================================================ embedding similarity
   def embedKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.knnBruteExactSum(emb(s, dir), "vec_id", "embedding", numQueries = 10, k = 5)
@@ -194,5 +263,23 @@ object QueriesExt {
        |       3 AS channels,
        |       md5(text) AS checksum
        |FROM documents
+       |""".stripMargin
+
+  /** Frame sampling over the payload (one row per 256-byte window) —
+    * the mapPartitions batch-UDF plumbing with a fully SQL-checkable
+    * output shape. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.withPayload(docs(s, dir), "doc_id", "text"), frameBytes = 256).toDF()
+
+  lazy val multimodalFramesSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(i AS INTEGER) AS frame_idx,
+       |       CAST(i * 256 AS INTEGER) AS frame_offset,
+       |       CAST(least(256, blen - i * 256) AS INTEGER) AS frame_bytes
+       |FROM p, unnest(generate_series(0, CAST(ceil(blen / 256.0) AS BIGINT) - 1)) AS t(i)
        |""".stripMargin
 }

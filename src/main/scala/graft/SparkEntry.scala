@@ -47,13 +47,18 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
+    // near-dup clustering (connected components over the pair graph)
+    "dedup_cluster"       -> (QueriesExt.dedupCluster _),
+    // deterministic salted join == plain join (skew mitigation)
+    "skew_salted_join"    -> (QueriesExt.skewSaltedJoin _),
     // similarity search
     "embed_knn_brute"       -> (QueriesExt.embedKnnBrute _),
     "embed_knn_lsh"         -> (QueriesExt.embedKnnLsh _),
     "embed_knn_ivf"         -> (QueriesExt.embedKnnIvf _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
-    // multimodal binary plumbing (stubbed decode)
-    "multimodal_decode" -> (QueriesExt.multimodalDecode _)
+    // multimodal binary plumbing (stubbed decode, frame sampling)
+    "multimodal_decode" -> (QueriesExt.multimodalDecode _),
+    "multimodal_frames" -> (QueriesExt.multimodalFrames _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,8 +79,11 @@ object SparkEntry {
     "text_stats"                -> QueriesExt.textStatsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
+    "dedup_cluster"             -> QueriesExt.dedupClusterSql,
+    "skew_salted_join"          -> QueriesExt.skewSaltedJoinSql,
     "embed_knn_brute"           -> QueriesExt.embedKnnBruteSql,
     "embed_cosine_neardup"      -> QueriesExt.embedCosineNearDupSql,
-    "multimodal_decode"         -> QueriesExt.multimodalDecodeSql
+    "multimodal_decode"         -> QueriesExt.multimodalDecodeSql,
+    "multimodal_frames"         -> QueriesExt.multimodalFramesSql
   )
 }

@@ -65,4 +65,31 @@ object Multimodal {
   /** Full stub pipeline over a text table standing in for media. */
   def features(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     decodeStub(withPayload(docs, idCol, textCol)).toDF()
+
+  /** One sampled frame: byte window `[frame_offset, frame_offset +
+    * frame_bytes)` of the payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_bytes: Int)
+
+  /** Frame sampling over a video-like payload: emit one row per
+    * fixed-size byte window (a stand-in for every-Nth-frame sampling;
+    * a real decoder would seek timestamps instead of byte offsets).
+    * Same per-partition batch-UDF shape as [[decodeStub]]: rows stream
+    * through one iterator per partition, output fan-out is bounded by
+    * payload size — no driver involvement, no collect. */
+  def frameSample(payloads: DataFrame, frameBytes: Int = 256): Dataset[Frame] = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        // real frame decoder/seeker init would happen HERE, per partition
+        it.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          (0 until nFrames).iterator.map { i =>
+            val off = i * frameBytes
+            Frame(id, i, off, math.min(frameBytes, bytes.length - off))
+          }
+        }
+    }
+  }
 }

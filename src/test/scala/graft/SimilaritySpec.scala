@@ -108,6 +108,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("multimodal frame sampling: full coverage, bounded windows, edge sizes") {
+    val s = spark
+    import s.implicits._
+    // payload sizes: empty, under one frame, exact multiple, one over
+    val payloads = Seq(
+      (0L, Array.empty[Byte]),
+      (1L, Array.fill[Byte](100)(1)),
+      (2L, Array.fill[Byte](512)(2)),
+      (3L, Array.fill[Byte](513)(3))
+    ).toDF("doc_id", "payload")
+    val frames = Multimodal.frameSample(payloads, frameBytes = 256).collect()
+    assert(!frames.exists(_.doc_id == 0L)) // empty payload -> no frames
+    assert(frames.filter(_.doc_id == 1L).map(f => (f.frame_idx, f.frame_offset, f.frame_bytes)).toSeq ==
+      Seq((0, 0, 100)))
+    assert(frames.filter(_.doc_id == 2L).map(_.frame_bytes).toSeq == Seq(256, 256))
+    assert(frames.filter(_.doc_id == 3L).map(_.frame_bytes).sorted.toSeq == Seq(1, 256, 256))
+    // windows tile the payload exactly
+    val cover = frames.groupBy(_.doc_id).view.mapValues(_.map(_.frame_bytes).sum).toMap
+    assert(cover == Map(1L -> 100, 2L -> 512, 3L -> 513))
+  }
+
   test("native CosineSimilarity expression matches the fold bit-exactly and codegens") {
     val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
       .select(
