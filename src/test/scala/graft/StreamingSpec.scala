@@ -93,4 +93,38 @@ class StreamingSpec extends SparkSpec {
     assert(emittedRows.length == emittedRows.toSet.size, "duplicate appends")
     assert(emittedRows.nonEmpty)
   }
+
+  test("streaming dim maintenance: new keys appended with continuing ids, replay is a no-op") {
+    import graft.streaming.StreamingDimPopulate
+    val fact = eventsEnv.findFact("user_activity").get
+    val ev   = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+
+    // seed the dim from a subset of USERS so the second micro-batch
+    // genuinely introduces new natural keys
+    val half1 = ev.filter(col("user_id") % 3 =!= 0)
+    val half2 = ev.filter(col("user_id") % 3 === 0)
+    val dimDir = Files.createTempDirectory("graft-stream-dim").toString + "/dim_app_user"
+    DimPopulate.full(eventsEnv, fact, "dim_app_user", half1, TimeWindow.unbounded)
+      .write.parquet(dimDir)
+    val seeded = spark.read.parquet(dimDir)
+    val seedCount = seeded.count()
+    val seedMaxId = seeded.agg(max(col("id"))).head().getInt(0)
+
+    // micro-batch 2 arrives: only genuinely new users get rows, ids continue
+    val newRows = StreamingDimPopulate.step(
+      eventsEnv, fact, "dim_app_user", half2, spark.read.parquet(dimDir))
+    newRows.write.mode("append").parquet(dimDir)
+    val after = spark.read.parquet(dimDir)
+    val batchWhole = DimPopulate.full(eventsEnv, fact, "dim_app_user", ev, TimeWindow.unbounded)
+    assert(after.count() == batchWhole.count())
+    assert(after.select("user_id").distinct().count() == after.count(), "duplicate natural keys")
+    if (!newRows.isEmpty)
+      assert(newRows.agg(min(col("id"))).head().getInt(0) == seedMaxId + 1, "ids must continue")
+    assert(seedCount < after.count()) // the stream actually added keys
+
+    // replayed micro-batch (failure recovery): anti-join yields nothing
+    val replay = StreamingDimPopulate.step(
+      eventsEnv, fact, "dim_app_user", half2, spark.read.parquet(dimDir))
+    assert(replay.isEmpty, "replay must be idempotent")
+  }
 }
