@@ -52,15 +52,22 @@ object Rollup {
     // instead of the silent wrap a plain cast would do — at 100 TB a
     // wrapped count is a corrupt table nobody notices.
     def checkedNarrow(summed: Column, cName: String): Column = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
       val dt = populated.schema(cName).dataType
-      dt match {
-        case org.apache.spark.sql.types.IntegerType =>
-          when(summed > Int.MaxValue.toLong || summed < Int.MinValue.toLong,
+      val bounds: Option[(Long, Long)] = dt match {
+        case IntegerType => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+        case ShortType   => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
+        case ByteType    => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
+        case _           => None // long/decimal: sum's own type already holds it
+      }
+      bounds match {
+        case Some((lo, hi)) =>
+          when(summed > hi || summed < lo,
             raise_error(concat(
               lit(s"rollup count overflow in '$cName': "), summed.cast("string"),
-              lit(" does not fit integer"))).cast(dt))
+              lit(s" does not fit ${dt.simpleString}"))).cast(dt))
             .otherwise(summed.cast(dt)).as(cName)
-        case _ => summed.cast(dt).as(cName)
+        case None => summed.cast(dt).as(cName)
       }
     }
 

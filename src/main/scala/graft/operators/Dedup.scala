@@ -24,9 +24,6 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word n-grams per document: (id, ng). The inverted-index
-    * building block shared by Jaccard and MinHash. Documents with fewer
-    * than `n` tokens produce no shingles. */
   /** (id, ng) exploded shingle stream WITH duplicates — for consumers
     * whose aggregate is duplicate-insensitive (minhash `min`), where
     * paying any dedup (shuffle `.distinct()` or per-row
@@ -208,21 +205,29 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Cluster near-duplicate pairs into connected components by
-    * label propagation: every doc converges to the minimum id reachable
-    * through the pair graph. Iterations are bounded by the graph
-    * diameter (near-dup chains are short; `maxIter` is a safety net).
+  /** Cluster near-duplicate pairs into connected components:
+    * every doc converges to the minimum id reachable through the pair
+    * graph. Each round combines one hop of neighbor-min propagation
+    * with pointer jumping (rep := rep's rep), so rounds needed grow
+    * with log(diameter) — `maxIter = 20` covers any realistic
+    * component; if a pathological graph still hasn't converged the
+    * call FAILS rather than silently returning partial clusters
+    * (callers compare against exact transitive closures).
     * Returns (doc, cluster_rep). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .cache()
+    // every round re-derives from the previous round's MATERIALIZED
+    // labels: localCheckpoint truncates lineage, without which the
+    // self-referencing joins double the logical plan per round and
+    // Catalyst planning blows up after ~8 rounds
     var labels = edges.select(col("a").as("doc"))
       .union(edges.select(col("b").as("doc")))
       .distinct()
       .withColumn("rep", col("doc"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -231,17 +236,26 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "b").withColumnRenamed("rep", "nrep"), Seq("b"))
         .groupBy(col("a").as("doc"))
         .agg(min(col("nrep")).as("nrep"))
-      val updated = labels
+      val oneHop = labels
         .join(viaNeighbors, Seq("doc"), "left_outer")
         .select(col("doc"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .cache()
+        .localCheckpoint(true)
+      // pointer jumping: rep := min(rep, rep's rep) — path lengths halve
+      // per round, so long chains converge in O(log diameter) rounds
+      // instead of one hop per round
+      val updated = oneHop
+        .join(oneHop.select(col("doc").as("rep"), col("rep").as("rep2")), Seq("rep"), "left_outer")
+        .select(col("doc"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
       converged = updated.join(labels.withColumnRenamed("rep", "prev"), Seq("doc"))
         .filter(col("rep") =!= col("prev")).isEmpty
-      labels.unpersist()
       labels = updated
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds")
     labels
   }
 

@@ -174,7 +174,15 @@ object Similarity {
       .limit(4096)
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    val centroids = Quantizer.lloyd(sample, nCells, iters = 10, seed = 42L)
+    // L2-normalize the centroids: Lloyd's means of unit vectors are NOT
+    // unit norm, so raw dot against them disagrees with the cosine the
+    // probe ranks by. Unit centroids make dot == cosine == nearest-L2
+    // orderings coincide for unit inputs — assignment and probing use
+    // the same metric.
+    val centroids = Quantizer.lloyd(sample, nCells, iters = 10, seed = 42L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) c.map(_ / n) else c
+    }
 
     // distributed assignment: normalized vectors -> nearest centroid
     // (max dot == min L2 on the unit sphere); centroids ride the UDF

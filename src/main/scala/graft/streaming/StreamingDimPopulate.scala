@@ -59,12 +59,19 @@ object StreamingDimPopulate {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        dimNames.foreach { dimName =>
+        // one materialization of the micro-batch feeds every dim's
+        // candidate scan; without it each dim re-evaluates the source
+        batch.persist()
+        try dimNames.foreach { dimName =>
           val existing = spark.read.parquet(dimPath(dimName))
-          val newRows  = step(env, fact, dimName, batch, existing)
-          if (!newRows.isEmpty)
-            newRows.write.mode(SaveMode.Append).parquet(dimPath(dimName))
-        }
+          val newRows  = step(env, fact, dimName, batch, existing).persist()
+          try {
+            // persisted so the emptiness probe and the append share one
+            // run of the candidates + anti-join + id-assignment pipeline
+            if (!newRows.isEmpty)
+              newRows.write.mode(SaveMode.Append).parquet(dimPath(dimName))
+          } finally newRows.unpersist()
+        } finally batch.unpersist()
       }
     writer.start()
   }

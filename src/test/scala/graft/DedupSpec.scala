@@ -69,6 +69,18 @@ class DedupSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents converges on a chain far longer than the round cap") {
+    import spark.implicits._
+    // a 60-node chain has diameter 59: one-hop-per-round propagation
+    // would need 59 rounds; pointer jumping must close it within the
+    // default 20 (in ~log2(59) + const rounds)
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 60)
+    assert(comps.values.forall(_ == 1L))
+  }
+
   test("langId identifies real multilingual samples") {
     import spark.implicits._
     val samples = Seq(

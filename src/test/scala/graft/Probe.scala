@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc timing probe (dev only, not part of the driver contract). */
+/** Ad-hoc timing probe (dev/test only, not part of the driver contract):
+  * `sbt "Test/runMain graft.Probe"`. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
