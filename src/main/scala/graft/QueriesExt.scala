@@ -161,6 +161,28 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  /** Survivor set after near-dup collapse: every doc keeps its row
+    * unless a smaller doc_id is reachable through the pair graph. The
+    * end-to-end shape a training-data pipeline actually materializes. */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val d     = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.5)
+    Dedup.survivors(d, "doc_id", pairs).select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  lazy val dedupSurvivorsSql: String = {
+    // keep docs that are their own cluster minimum (or unpaired)
+    val closure = dedupClusterSql.trim.stripSuffix("\n")
+    s"""WITH c AS (
+       |$closure
+       |)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d
+       |LEFT JOIN c ON c.doc_id = d.doc_id
+       |WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
+       |""".stripMargin
+  }
+
   // ================================================================ salted skew join
   /** Salted equi-join (lineitem to orders on the order key) + grouped
     * aggregation — must equal the plain join bit-for-bit; the oracle IS

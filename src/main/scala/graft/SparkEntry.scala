@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
     // near-dup clustering (connected components over the pair graph)
     "dedup_cluster"       -> (QueriesExt.dedupCluster _),
+    "dedup_survivors"     -> (QueriesExt.dedupSurvivors _),
     // deterministic salted join == plain join (skew mitigation)
     "skew_salted_join"    -> (QueriesExt.skewSaltedJoin _),
     // similarity search
@@ -80,6 +81,7 @@ object SparkEntry {
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,
+    "dedup_survivors"           -> QueriesExt.dedupSurvivorsSql,
     "skew_salted_join"          -> QueriesExt.skewSaltedJoinSql,
     "embed_knn_brute"           -> QueriesExt.embedKnnBruteSql,
     "embed_cosine_neardup"      -> QueriesExt.embedCosineNearDupSql,

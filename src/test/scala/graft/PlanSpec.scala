@@ -73,4 +73,20 @@ class PlanSpec extends SparkSpec {
     val ordersSchema = plan.linesIterator.filter(_.contains("orders.parquet")).mkString
     assert(!plan.contains("o_totalprice") || !ordersSchema.contains("o_totalprice"), plan)
   }
+
+  test("minhash signatures: exactly one exchange (the partial-agg groupBy)") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+    val plan = sigs.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges == 1,
+      s"signature path must shuffle once (partially-aggregated ids), saw $exchanges:\n$plan")
+  }
+
+  test("frame sampling keeps the scan's parallelism (no exchange, no coalesce-to-1)") {
+    val frames = QueriesExt.multimodalFrames(spark, sf("sf0.001"))
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "frame fan-out must be partition-local:\n" + plan)
+  }
 }
