@@ -19,11 +19,13 @@ import graft.model.FactColumnKind._
   * count/sum/min/max/avg-decomposed measures) so streamed rows append
   * into the identical fact table layout.
   *
-  * FactCountDistinct is intentionally excluded here: the batch register
-  * sketch stays mergeable across incremental loads, so the streaming
-  * path emits counts/sums and the periodic batch pass back-fills
-  * sketches — the same division of labor as the reference's two-phase
-  * sketch UPDATE.
+  * FactCountDistinct rides the same streaming aggregation when
+  * `includeSketches = true` (default): the register sketch is an
+  * ordinary mergeable aggregate, so each emitted window carries its
+  * registers and downstream roll-ups merge them register-wise — no
+  * second scan. Set it false to fall back to the batch-backfill
+  * division of labor (counts/sums streamed, sketches built by the
+  * periodic batch pass, as in the reference's two-phase UPDATE).
   */
 object StreamingFactPopulate {
 
@@ -36,7 +38,8 @@ object StreamingFactPopulate {
       fact: Fact,
       stream: DataFrame,
       readDim: String => DataFrame,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      includeSketches: Boolean = true
   ): DataFrame = {
     val s = env.settings
     val fTable = env
@@ -92,6 +95,15 @@ object StreamingFactPopulate {
 
     val aggs: Seq[Column] = fact.columns.flatMap { case FactColumn(cName, kind) =>
       kind match {
+        case FactCountDistinct(srcOpt) if includeSketches =>
+          import graft.functions.RegisterSketch
+          val srcName = srcOpt.getOrElse(
+            fTable.constraints.collectFirst { case TableConstraint.PrimaryKey(c) => c }
+              .getOrElse(throw new IllegalStateException(
+                s"FactCountDistinct with no source column needs a PK on ${fTable.name}")))
+          val m = RegisterSketch.bucketCount(s.factCountDistinctErrorRate)
+          Seq(RegisterSketch.buildAgg(m)(
+            RegisterSketch.hashColumn(col(s"$srcAlias.$srcName"))).as(cName))
         case FactCount(srcOpt) =>
           val cnt = srcOpt.map(c => count(col(s"$srcAlias.$c"))).getOrElse(count(lit(1)))
           Seq(cnt.cast(SqlTypes.toDataType(s.factCountColumnType)).as(cName))

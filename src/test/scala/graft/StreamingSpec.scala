@@ -94,6 +94,40 @@ class StreamingSpec extends SparkSpec {
     assert(emittedRows.nonEmpty)
   }
 
+  test("streamed count-distinct sketches equal the batch registers per window") {
+    val fact = eventsEnv.findFact("event").get
+    val ev   = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+
+    val stage = Files.createTempDirectory("graft-stream-sketch").toString
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(stage)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(stage)
+
+    val dim = DimPopulate.full(eventsEnv, fact, "dim_event_type", ev, TimeWindow.unbounded)
+    dim.cache().count()
+
+    val stream = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(stage)
+    val agg = StreamingFactPopulate.aggregate(eventsEnv, fact, stream, _ => dim)
+
+    val q = agg.writeStream
+      .format("memory").queryName("stream_sketch").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    def keyed(df: DataFrame) = df
+      .select(col("ts_minute_id"), col("user_id"), col("event_type_id"), col("user_count"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getInt(2)), r.getMap[Int, Int](3).toMap))
+      .toMap
+    val streamed = keyed(spark.table("stream_sketch"))
+    val batch = keyed(
+      FactPopulate.populate(eventsEnv, fact, TimeWindow.unbounded, _ => ev, _ => dim))
+    assert(streamed.keySet == batch.keySet)
+    // registers byte-identical: the sketch merged across micro-batches
+    // must equal the one built in a single batch pass
+    assert(streamed.forall { case (k, m) => batch(k) == m })
+  }
+
   test("streaming dim maintenance: new keys appended with continuing ids, replay is a no-op") {
     import graft.streaming.StreamingDimPopulate
     val fact = eventsEnv.findFact("user_activity").get
