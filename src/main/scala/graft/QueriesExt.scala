@@ -172,7 +172,7 @@ object QueriesExt {
 
   lazy val dedupSurvivorsSql: String = {
     // keep docs that are their own cluster minimum (or unpaired)
-    val closure = dedupClusterSql.trim.stripSuffix("\n")
+    val closure = dedupClusterSql.trim
     s"""WITH c AS (
        |$closure
        |)

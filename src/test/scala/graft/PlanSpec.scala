@@ -88,5 +88,6 @@ class PlanSpec extends SparkSpec {
     val frames = QueriesExt.multimodalFrames(spark, sf("sf0.001"))
     val plan = frames.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "frame fan-out must be partition-local:\n" + plan)
+    assert(!plan.contains("Coalesce"), "frame fan-out must not collapse partitions:\n" + plan)
   }
 }

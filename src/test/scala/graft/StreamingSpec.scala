@@ -95,19 +95,36 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streamed count-distinct sketches equal the batch registers per window") {
-    val fact = eventsEnv.findFact("event").get
+    // a fact whose sketch source (user_id) is NOT a group key — each
+    // (minute, event_type) group sketches MANY users split across the
+    // two micro-batches, so the cross-batch register merge is exercised
+    // for real (grouping by the sketched column would make every
+    // sketch single-valued and the merge vacuous)
+    import graft.model._
+    import graft.model.FactColumnKind._
+    val sketchFacts = Seq(Fact("event", "events", columns = Seq(
+      FactColumn("ts", DimTime),
+      FactColumn("event_type", DimVal("event_type")),
+      FactColumn("event_count", FactCount(None)),
+      FactColumn("user_count", FactCountDistinct(Some("user_id"))))))
+    // hour buckets: sf0.001 has ~1 event per (minute, type) group, which
+    // would leave every sketch single-valued
+    val env = Validator.validateEnv(
+      eventsTables, sketchFacts, eventsSettings.copy(timeUnit = TimeUnit.Hour),
+      testTypeDefaults).toOption.get
+    val fact = env.findFact("event").get
     val ev   = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
 
     val stage = Files.createTempDirectory("graft-stream-sketch").toString
     ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(stage)
     ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(stage)
 
-    val dim = DimPopulate.full(eventsEnv, fact, "dim_event_type", ev, TimeWindow.unbounded)
+    val dim = DimPopulate.full(env, fact, "dim_event_type", ev, TimeWindow.unbounded)
     dim.cache().count()
 
     val stream = spark.readStream
       .schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(stage)
-    val agg = StreamingFactPopulate.aggregate(eventsEnv, fact, stream, _ => dim)
+    val agg = StreamingFactPopulate.aggregate(env, fact, stream, _ => dim)
 
     val q = agg.writeStream
       .format("memory").queryName("stream_sketch").outputMode("complete").start()
@@ -115,14 +132,16 @@ class StreamingSpec extends SparkSpec {
     finally q.stop()
 
     def keyed(df: DataFrame) = df
-      .select(col("ts_minute_id"), col("user_id"), col("event_type_id"), col("user_count"))
+      .select(col("ts_hour_id"), col("event_type_id"), col("user_count"))
       .collect()
-      .map(r => ((r.getLong(0), r.getLong(1), r.getInt(2)), r.getMap[Int, Int](3).toMap))
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getMap[Int, Int](2).toMap))
       .toMap
     val streamed = keyed(spark.table("stream_sketch"))
     val batch = keyed(
-      FactPopulate.populate(eventsEnv, fact, TimeWindow.unbounded, _ => ev, _ => dim))
+      FactPopulate.populate(env, fact, TimeWindow.unbounded, _ => ev, _ => dim))
     assert(streamed.keySet == batch.keySet)
+    // multi-register sketches must actually merge across micro-batches
+    assert(streamed.values.exists(_.size > 1), "sketches are single-valued; merge not exercised")
     // registers byte-identical: the sketch merged across micro-batches
     // must equal the one built in a single batch pass
     assert(streamed.forall { case (k, m) => batch(k) == m })
