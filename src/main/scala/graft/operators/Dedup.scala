@@ -124,9 +124,15 @@ object Dedup {
         .as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard (inverted-index restricted
-    // to candidate pairs)
-    ngramJaccardForPairs(docs, idCol, textCol, candidates, n, minJaccard)
+    // verify candidates with exact Jaccard, re-shingling ONLY docs that
+    // appear in a candidate pair (left-semi pushdown): at corpus scale
+    // candidates are a vanishing fraction, so the verification pass
+    // tokenizes thousands of docs, not billions
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    val restricted = docs.join(candDocs, Seq(idCol), "left_semi")
+    ngramJaccardForPairs(restricted, idCol, textCol, candidates, n, minJaccard)
   }
 
   /** Exact Jaccard evaluated only for the given candidate (doc_a, doc_b)
