@@ -149,6 +149,12 @@ object Cli {
     runner.emitPlans(window).foreach { case (table, plan) =>
       Files.writeString(plansDir.resolve(s"$table.txt"), plan)
     }
+    // create/<table>.sql, like the reference's DDL artifact directory
+    val createDir = Paths.get(outDir, "create")
+    Files.createDirectories(createDir)
+    runner.emitDdl().foreach { case (table, ddl) =>
+      Files.writeString(createDir.resolve(s"$table.sql"), ddl)
+    }
     val violations = runner.checkUniqueKeys().filter(_._3 > 0)
     violations.foreach { case (t, c, n) =>
       System.err.println(s"QUALITY VIOLATION: $t $c has $n duplicate keys")

@@ -148,6 +148,40 @@ final class Runner(
     if (keys.isEmpty) 0L
     else df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
 
+  /** Emit Spark-SQL CREATE TABLE DDL per derived table — the direct
+    * analogue of the reference's `create/<table>.sql` artifacts
+    * (`app/Main.hs:36-41`, `src/Ringo/Generator/Create.hs:27-56`).
+    * Constraints Spark cannot enforce (PK/UK) are emitted as trailing
+    * comments; they are verified post-load by [[checkUniqueKeys]]. */
+  def emitDdl(): Map[String, String] = {
+    def ddlOf(t: Table, partitioned: Boolean): String = {
+      val cols = t.columns.map { c =>
+        val notNull = if (c.nullable == Nullable.NotNull) " NOT NULL" else ""
+        s"  ${c.name} ${SqlTypes.toDataType(c.columnType).sql}$notNull"
+      } ++ (if (partitioned) Seq("  p_day DATE") else Nil)
+      val constraints = t.constraints.map {
+        case TableConstraint.PrimaryKey(c)     => s"-- PRIMARY KEY ($c) [verified post-load]"
+        case TableConstraint.UniqueKey(cs)     => s"-- UNIQUE (${cs.mkString(", ")}) [verified post-load]"
+        case TableConstraint.ForeignKey(o, ps) =>
+          s"-- FOREIGN KEY (${ps.map(_._1).mkString(", ")}) REFERENCES $o (${ps.map(_._2).mkString(", ")})"
+      }
+      val part = if (partitioned) "\nPARTITIONED BY (p_day)" else ""
+      s"""CREATE TABLE ${t.name} (
+         |${cols.mkString(",\n")}
+         |) USING PARQUET$part;
+         |${constraints.mkString("\n")}
+         |""".stripMargin
+    }
+    val dims = derivedDims.map { case (_, dimTable) =>
+      dimTable.name -> ddlOf(dimTable, partitioned = false)
+    }
+    val facts = factsInTopoOrder.filter(_.persistent).map { fact =>
+      val t = Extractor.extractFactTable(env, fact)
+      factTableNameOf(fact) -> ddlOf(t, partitioned = partitionFactsByDay)
+    }
+    (dims ++ facts).toMap
+  }
+
   /** Emit the optimized physical plan per derived table — the
     * debuggability analogue of the reference's SQL-text artifacts. */
   def emitPlans(window: TimeWindow = TimeWindow.unbounded): Map[String, String] = {

@@ -113,6 +113,23 @@ class RunnerSpec extends SparkSpec {
     assert(written.contains("fact_event_by_minute"))
   }
 
+  test("DDL emission mirrors the reference's create/ artifacts") {
+    val out = tempDir()
+    val runner = new Runner(spark, Fixtures.ringoEnv, sf("sf0.001"), out)
+    val ddl = runner.emitDdl()
+    assert(ddl.keySet.contains("dim_geo"))
+    assert(ddl.keySet.contains("fact_session_by_minute"))
+    val geo = ddl("dim_geo")
+    assert(geo.contains("CREATE TABLE dim_geo ("))
+    assert(geo.contains("id INT NOT NULL"))
+    assert(geo.contains("USING PARQUET"))
+    assert(geo.contains("-- PRIMARY KEY (id)"))
+    assert(geo.contains("-- UNIQUE (country_name, city_name, continent_name)"))
+    val fact = ddl("fact_session_by_minute")
+    assert(fact.contains("created_at_minute_id BIGINT NOT NULL"))
+    assert(fact.contains("PARTITIONED BY (p_day)"))
+  }
+
   test("metadata JSON sinks") {
     val env = Fixtures.ringoEnv
     val deps = MetadataSink.dependenciesJson(env)
