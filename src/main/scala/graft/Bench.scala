@@ -61,9 +61,14 @@ object Bench {
     val results = headline.map { case (name, fn) =>
       try {
         run(fn) // untimed warm pass: codegen + JIT compile
-        val t0 = System.nanoTime()
-        run(fn)
-        name -> (System.nanoTime() - t0) / 1e9
+        // median of 3 timed runs (BASELINE.md protocol) — single-shot
+        // numbers at this scale swing +/-30% on JIT/GC noise
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run(fn)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(1)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
