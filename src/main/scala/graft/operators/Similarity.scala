@@ -153,14 +153,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 3
   ): DataFrame = {
-    // L2-normalize before clustering so Euclidean cell assignment and
-    // cosine probing agree (the standard IVF-for-cosine construction) —
-    // without this, vectors of differing magnitude land in cells the
-    // cosine probe never visits
-    val normalized = expr(
-      s"transform($vecCol, x -> cast(x as double) / sqrt(aggregate($vecCol, 0D, (a, v) -> a + cast(v as double) * cast(v as double))))")
-    val prepared = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"), normalized.as("nv"))
+    val prepared = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
 
     // Train the coarse quantizer on a bounded deterministic sample,
     // driver-side (kmeans++ init + Lloyd's, seeded). This is the
@@ -168,40 +161,45 @@ object Similarity {
     // full corpus — a fixed-size sample bounds training at O(sample *
     // nCells * iters) on the driver regardless of corpus size, where a
     // distributed KMeans would pay a full corpus pass per iteration.
+    // L2 normalization happens HERE, on the collected sample — the
+    // distributed path never runs a (interpreted higher-order-function)
+    // normalize pass.
     val sample: Array[Array[Double]] = prepared
-      .select(col("neighbor_id"), col("nv"))
       .orderBy(xxhash64(col("neighbor_id")))
       .limit(4096)
       .collect()
-      .map(_.getSeq[Double](1).toArray)
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
     // L2-normalize the centroids: Lloyd's means of unit vectors are NOT
-    // unit norm, so raw dot against them disagrees with the cosine the
-    // probe ranks by. Unit centroids make dot == cosine == nearest-L2
-    // orderings coincide for unit inputs — assignment and probing use
-    // the same metric.
+    // unit norm. With UNIT centroids, argmax dot(v, c) is the cosine
+    // argmax for ANY v (|v| is constant across cells), so assignment
+    // needs no input normalization and agrees exactly with the cosine
+    // the probe ranks cells by.
     val centroids = Quantizer.lloyd(sample, nCells, iters = 10, seed = 42L).map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n > 0) c.map(_ / n) else c
     }
 
-    // distributed assignment: normalized vectors -> nearest centroid
-    // (max dot == min L2 on the unit sphere); centroids ride the UDF
-    // closure (tiny, broadcast with the task)
-    val assignUdf = udf { (nv: Seq[Double]) =>
+    // distributed assignment: raw vectors -> argmax dot with the unit
+    // centroids; centroids ride the UDF closure (tiny, task-broadcast)
+    val assignUdf = udf { (cv: Seq[Float]) =>
       var best = 0; var bestDot = Double.NegativeInfinity
       var i = 0
       while (i < centroids.length) {
         val cArr = centroids(i)
         var dot = 0.0; var j = 0
-        val n = math.min(nv.length, cArr.length)
-        while (j < n) { dot += nv(j) * cArr(j); j += 1 }
+        val n = math.min(cv.length, cArr.length)
+        while (j < n) { dot += cv(j) * cArr(j); j += 1 }
         if (dot > bestDot) { bestDot = dot; best = i }
         i += 1
       }
       best
     }
     val assigned = prepared
-      .select(col("neighbor_id"), col("cv"), assignUdf(col("nv")).as("cell"))
+      .select(col("neighbor_id"), col("cv"), assignUdf(col("cv")).as("cell"))
 
     // per query: the nProbe nearest centroids (centroids are tiny ->
     // computed driver-side into a probe list, broadcast by the join)
