@@ -31,15 +31,34 @@ object Dedup {
     * nothing. */
   def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
+    // JVM udf, not a transform(...) lambda: higher-order-function
+    // lambdas evaluate INTERPRETED per n-gram, and this runs once per
+    // token of the corpus — the single hottest expression in the dedup
+    // family
+    val ngramUdf = udf { (w: Seq[String]) =>
+      if (w.length < n) Array.empty[String]
+      else {
+        val out = new Array[String](w.length - n + 1)
+        val sb  = new java.lang.StringBuilder()
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(w(i + j))
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
     docs
       .select(col(idCol), toks.as("w"))
       .filter(size(col("w")) >= n)
-      .select(
-        col(idCol),
-        explode(expr(
-          s"""transform(sequence(1, size(w) - ${n - 1}),
-             |  i -> concat_ws(' ', ${(0 until n).map(o => s"element_at(w, i + $o)").mkString(", ")}))
-             |""".stripMargin)).as("ng"))
+      .select(col(idCol), explode(ngramUdf(col("w"))).as("ng"))
   }
 
   /** Distinct (id, ng) shingle set — set semantics for Jaccard. The
