@@ -125,22 +125,36 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for plane `p`,
-    * dimension `i`: a hash-derived value in [-1, 1). No RNG state —
-    * reproducible on any cluster. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p) * 100003 + i), lit(2000000)).cast("double") / 1000000.0) - 1.0
+    * dimension `i`: a splitmix64-finalized hash of (p, i) mapped to
+    * [-1, 1). No RNG state — identical on every executor and cluster,
+    * which is all sign-LSH needs (corpus and queries must agree). */
+  private def planeComponent(p: Int, i: Int): Double = {
+    var h = (p.toLong * 100003L + i) * 0x9E3779B97F4A7C15L
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^= h >>> 31
+    (java.lang.Math.floorMod(h, 2000000L).toDouble / 1000000.0) - 1.0
+  }
 
-  /** Sign-LSH bucket id from `nPlanes` random hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes)
-      .map { p =>
-        val dotP = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (v, i) => v.cast("double") * planeComponent(p, i)),
-          lit(0.0), (acc, v) => acc + v)
-        when(dotP > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Sign-LSH bucket id from `nPlanes` random hyperplanes. A JVM udf:
+    * the lambda formulation (aggregate over zip_with per plane) runs
+    * INTERPRETED per element x per plane — nPlanes * dim interpreted
+    * evaluations per row vs one compiled loop. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bucketUdf = udf { (v: Seq[Float]) =>
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * planeComponent(p, i); i += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
       }
-      .reduce(_ + _)
+      bucket
+    }
+    bucketUdf(vec)
+  }
 
   /** IVF approximate top-k: a KMeans coarse quantizer assigns every
     * corpus vector to a centroid cell (one pass + small shuffle); each
