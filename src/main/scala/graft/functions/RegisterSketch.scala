@@ -144,4 +144,17 @@ object RegisterSketch {
     * values are excluded from the sketch. */
   def hashColumn(c: Column): Column =
     when(c.isNotNull, xxhash64(c.cast("string")))
+
+  /** Register the sketch algebra as SQL functions so fact tables with
+    * sketch columns stay queryable from plain `spark.sql`:
+    * {{{
+    * SELECT sketch_estimate(sketch_merge(user_sketch)) FROM fact_...
+    * SELECT sketch_estimate(sketch_build(xxhash64(cast(uid AS STRING)))) FROM src
+    * }}}
+    * `m` defaults to the error rate the model declares. Idempotent. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession, m: Int): Unit = {
+    spark.udf.register("sketch_build", udaf(new Build(m)))
+    spark.udf.register("sketch_merge", udaf(new Merge(m)))
+    spark.udf.register("sketch_estimate", (s: Map[Int, Int]) => estimate(s, m))
+  }
 }

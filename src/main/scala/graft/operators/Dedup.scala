@@ -103,9 +103,12 @@ object Dedup {
   ): DataFrame = {
     // raw (duplicated) shingles: min() is duplicate-insensitive, so
     // the signature needs no dedup pass at all — the only shuffle is
-    // the tiny partially-aggregated groupBy(id)
-    val ngr  = shinglesRaw(docs, idCol, textCol, n)
-    val mins = (0 until k).map(j => min(xxhash64(col("ng"), lit(j))).as(s"h$j"))
+    // the tiny partially-aggregated groupBy(id). Hash the shingle
+    // STRING once; the k per-seed hashes re-hash the resulting 8-byte
+    // long, not the string (k x string-bytes -> k x 8 bytes of hashing)
+    val ngr = shinglesRaw(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("ng")).as("ngh"))
+    val mins = (0 until k).map(j => min(xxhash64(col("ngh"), lit(j))).as(s"h$j"))
     ngr
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)

@@ -64,6 +64,20 @@ class SketchSpec extends SparkSpec {
     assert(RegisterSketch.estimate(Map.empty, m) == 0L)
   }
 
+  test("SQL-registered sketch algebra: build/merge/estimate from spark.sql") {
+    RegisterSketch.registerSql(spark, m)
+    sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+      .createOrReplaceTempView("sk_events")
+    val viaSql = spark.sql(
+      """SELECT sketch_estimate(sketch_merge(s)) AS est
+        |FROM (SELECT sketch_build(xxhash64(cast(user_id AS STRING))) AS s
+        |      FROM sk_events GROUP BY event_type)""".stripMargin)
+      .head().getLong(0)
+    val exact = spark.sql("SELECT count(DISTINCT user_id) FROM sk_events").head().getLong(0)
+    assert(math.abs(viaSql - exact).toDouble / exact <= 0.15,
+      s"sql-path estimate $viaSql vs exact $exact")
+  }
+
   test("FactCountDistinct(None) falls back to the source table PK") {
     import graft.model._
     import graft.model.FactColumnKind._
