@@ -93,26 +93,60 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signatures: k per-seed minimum xxhash64 values over the
-    * document's shingle set. Computed as k parallel `min` aggregates
-    * over the exploded shingle table — fully codegen'd (a lambda-based
-    * array formulation is ~10x slower: higher-order functions are
-    * interpreted per element). One shuffle on the doc id. */
+  /** splitmix64 finalizer — the per-seed mixer for minhash. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 * 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64 over a token window joined by single spaces — the
+    * shingle hash, computed without building the shingle string. */
+  @inline private def fnvShingle(w: Seq[String], start: Int, n: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var t = 0
+    while (t < n) {
+      if (t > 0) { h ^= ' '.toLong; h *= 0x100000001B3L }
+      val s = w(start + t)
+      var c = 0
+      while (c < s.length) { h ^= s.charAt(c).toLong; h *= 0x100000001B3L; c += 1 }
+      t += 1
+    }
+    h
+  }
+
+  /** MinHash signatures: k per-seed minimum hashes over the document's
+    * shingle set, computed in ONE compiled pass per document — the
+    * signature is a pure function of the token list, so it needs no
+    * shingle explode, no groupBy, and therefore NO SHUFFLE at any
+    * corpus size (the previous k-parallel-aggregate form shuffled
+    * partially-aggregated rows per doc). Duplicate shingles are
+    * harmless: min is duplicate-insensitive. */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3, k: Int = 64
   ): DataFrame = {
-    // raw (duplicated) shingles: min() is duplicate-insensitive, so
-    // the signature needs no dedup pass at all — the only shuffle is
-    // the tiny partially-aggregated groupBy(id). Hash the shingle
-    // STRING once; the k per-seed hashes re-hash the resulting 8-byte
-    // long, not the string (k x string-bytes -> k x 8 bytes of hashing)
-    val ngr = shinglesRaw(docs, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("ng")).as("ngh"))
-    val mins = (0 until k).map(j => min(xxhash64(col("ngh"), lit(j))).as(s"h$j"))
-    ngr
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sigUdf = udf { (w: Seq[String]) =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      val last = w.length - n
+      while (i <= last) {
+        val h = fnvShingle(w, i, n)
+        var j = 0
+        while (j < k) {
+          val hj = mix64(h + j * 0xD1B54A32D192ED03L)
+          if (hj < sig(j)) sig(j) = hj
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    }
+    docs
+      .select(col(idCol), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), sigUdf(col("w")).as("sig"))
   }
 
   /** MinHash + LSH near-duplicate pairs: band the signature (bands of
@@ -130,12 +164,25 @@ object Dedup {
     // verification branches — at corpus scale caching it is infeasible,
     // and the explode+normalize is a cheap scan-local pass
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
-    val banded = sigs.select(
-      col(idCol),
-      explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',', slice(sig, b * $r + 1, $r)), b)))"))
-        .as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // compiled band hashing (FNV fold of the band's rows, band index
+    // mixed in); the lambda/concat_ws formulation interpreted 16
+    // string-builds per doc
+    val bandUdf = udf { (sig: Seq[Long]) =>
+      Array.tabulate(bands) { b =>
+        var h = 0xCBF29CE484222325L
+        var i = b * r
+        val end = b * r + r
+        while (i < end) {
+          var x = sig(i)
+          var byte = 0
+          while (byte < 8) { h ^= (x & 0xFFL); h *= 0x100000001B3L; x >>>= 8; byte += 1 }
+          i += 1
+        }
+        mix64(h + b)
+      }
+    }
+    val banded = sigs
+      .select(col(idCol), posexplode(bandUdf(col("sig"))).as(Seq("band", "bh")))
     val bucketed = banded
       .groupBy("band", "bh")
       .agg(collect_list(col(idCol)).as("ids"))
@@ -184,23 +231,35 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: sign-aggregate the per-token hash
-    * bits (+1/-1 weighting), emitted as a long. Like
-    * [[minhashSignatures]], computed as 64 parallel integer-bit-sum
-    * aggregates over the exploded token table (codegen'd) rather than
-    * nested array lambdas (interpreted, ~30x slower). */
+    * bits (+1/-1 weighting), emitted as a long. Scan-local like
+    * [[minhashSignatures]]. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col(idCol), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
-    val sh = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    toks
-      .groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), sh.as("simhash"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one compiled pass per doc: the 64 signed bit counters are a pure
+    // function of the token list — no token explode, no groupBy, no
+    // shuffle (the aggregate formulation shuffled 64 sums per doc)
+    val shUdf = udf { (w: Seq[String]) =>
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < w.length) {
+        val h = mix64(fnvShingle(w, i, 1))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var sh = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) > 0) sh |= (1L << j); j += 1 }
+      sh
+    }
+    // token-less docs emit no signature (as the exploded formulation did)
+    docs
+      .select(col(idCol), toks.as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col(idCol), shUdf(col("w")).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: band the 64-bit hash into four

@@ -74,14 +74,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("o_totalprice") || !ordersSchema.contains("o_totalprice"), plan)
   }
 
-  test("minhash signatures: exactly one exchange (the partial-agg groupBy)") {
+  test("minhash signatures and simhash are scan-local (zero exchanges)") {
     val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
     val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
-    val plan = sigs.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("ReusedExchange") && !l.contains("BroadcastExchange"))
-    assert(exchanges == 1,
-      s"signature path must shuffle once (partially-aggregated ids), saw $exchanges:\n$plan")
+    assert(!sigs.queryExecution.executedPlan.toString.contains("Exchange"),
+      "signatures are a pure per-doc function; they must not shuffle")
+    val sh = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+    assert(!sh.queryExecution.executedPlan.toString.contains("Exchange"),
+      "simhash is a pure per-doc function; it must not shuffle")
   }
 
   test("frame sampling keeps the scan's parallelism (no exchange, no coalesce-to-1)") {
