@@ -158,7 +158,7 @@ final class Runner(
       val cols = t.columns.map { c =>
         val notNull = if (c.nullable == Nullable.NotNull) " NOT NULL" else ""
         s"  ${c.name} ${SqlTypes.toDataType(c.columnType).sql}$notNull"
-      } ++ (if (partitioned) Seq("  p_day DATE") else Nil)
+      } ++ (if (partitioned) Seq("  p_day BIGINT") else Nil) // epoch-day index, as written
       val constraints = t.constraints.map {
         case TableConstraint.PrimaryKey(c)     => s"-- PRIMARY KEY ($c) [verified post-load]"
         case TableConstraint.UniqueKey(cs)     => s"-- UNIQUE (${cs.mkString(", ")}) [verified post-load]"

@@ -151,8 +151,14 @@ object RegisterSketch {
     * SELECT sketch_estimate(sketch_merge(user_sketch)) FROM fact_...
     * SELECT sketch_estimate(sketch_build(xxhash64(cast(uid AS STRING)))) FROM src
     * }}}
-    * `m` defaults to the error rate the model declares. Idempotent. */
-  def registerSql(spark: org.apache.spark.sql.SparkSession, m: Int): Unit = {
+    * `m` MUST equal the bucket count the stored sketches were built
+    * with (`bucketCount(settings.factCountDistinctErrorRate)`) —
+    * merging/estimating with a smaller m silently drops registers. The
+    * default is the Settings-default error rate 0.05 (m = 512).
+    * Idempotent. */
+  def registerSql(
+      spark: org.apache.spark.sql.SparkSession,
+      m: Int = bucketCount(graft.model.Settings().factCountDistinctErrorRate)): Unit = {
     spark.udf.register("sketch_build", udaf(new Build(m)))
     spark.udf.register("sketch_merge", udaf(new Merge(m)))
     spark.udf.register("sketch_estimate", (s: Map[Int, Int]) => estimate(s, m))

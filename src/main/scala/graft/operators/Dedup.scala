@@ -93,28 +93,7 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** splitmix64 finalizer — the per-seed mixer for minhash. */
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0 * 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
-  /** FNV-1a 64 over a token window joined by single spaces — the
-    * shingle hash, computed without building the shingle string. */
-  @inline private def fnvShingle(w: Seq[String], start: Int, n: Int): Long = {
-    var h = 0xCBF29CE484222325L
-    var t = 0
-    while (t < n) {
-      if (t > 0) { h ^= ' '.toLong; h *= 0x100000001B3L }
-      val s = w(start + t)
-      var c = 0
-      while (c < s.length) { h ^= s.charAt(c).toLong; h *= 0x100000001B3L; c += 1 }
-      t += 1
-    }
-    h
-  }
+  import Hashing.{fnvShingle, mix64}
 
   /** MinHash signatures: k per-seed minimum hashes over the document's
     * shingle set, computed in ONE compiled pass per document — the
@@ -160,9 +139,6 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucket: Int = 1000
   ): DataFrame = {
     val bands = k / r
-    // the shingle subtree is recomputed by both the signature and the
-    // verification branches — at corpus scale caching it is infeasible,
-    // and the explode+normalize is a cheap scan-local pass
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
     // compiled band hashing (FNV fold of the band's rows, band index
     // mixed in); the lambda/concat_ws formulation interpreted 16

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Executor-local cache of the sign-LSH hyperplane matrix, keyed by
+    * plane count (values grow to the widest vector seen). Contents are
+    * deterministic pure functions of (p, i), so racing rebuilds are
+    * harmless. */
+  private object PlaneCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+    def get(nPlanes: Int): Array[Array[Double]] = cache.get(nPlanes)
+    def put(nPlanes: Int, m: Array[Array[Double]]): Unit = cache.put(nPlanes, m)
+  }
+
   /** cos(a, b): native codegen'd Catalyst expression
     * ([[graft.functions.CosineSimilarity]]) when the session has
     * [[graft.GraftExtensions]] registered; falls back to the built-in
@@ -129,29 +140,39 @@ object Similarity {
     * [-1, 1). No RNG state — identical on every executor and cluster,
     * which is all sign-LSH needs (corpus and queries must agree). */
   private def planeComponent(p: Int, i: Int): Double = {
-    var h = (p.toLong * 100003L + i) * 0x9E3779B97F4A7C15L
-    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-    h ^= h >>> 31
+    val h = Hashing.mix64(p.toLong * 100003L + i)
     (java.lang.Math.floorMod(h, 2000000L).toDouble / 1000000.0) - 1.0
   }
 
   /** Sign-LSH bucket id from `nPlanes` random hyperplanes. A JVM udf:
     * the lambda formulation (aggregate over zip_with per plane) runs
     * INTERPRETED per element x per plane — nPlanes * dim interpreted
-    * evaluations per row vs one compiled loop. */
+    * evaluations per row vs one compiled loop. The hyperplane matrix is
+    * row-invariant, so it is materialized once per task (grown lazily
+    * to the widest vector seen) instead of re-hashed per row. NULL
+    * vectors yield a NULL bucket (they join to nothing), matching the
+    * null-propagating expression formulation this replaced. */
   def lshBucket(vec: Column, nPlanes: Int): Column = {
     val bucketUdf = udf { (v: Seq[Float]) =>
-      var bucket = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) { dot += v(i) * planeComponent(p, i); i += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
+      if (v == null) null
+      else {
+        var planes = PlaneCache.get(nPlanes)
+        if (planes == null || planes(0).length < v.length) {
+          planes = Array.tabulate(nPlanes, v.length)((p, i) => planeComponent(p, i))
+          PlaneCache.put(nPlanes, planes)
+        }
+        var bucket = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val row = planes(p)
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i) * row(i); i += 1 }
+          if (dot > 0) bucket |= (1L << p)
+          p += 1
+        }
+        java.lang.Long.valueOf(bucket)
       }
-      bucket
     }
     bucketUdf(vec)
   }

@@ -127,6 +127,7 @@ class RunnerSpec extends SparkSpec {
     assert(geo.contains("-- UNIQUE (country_name, city_name, continent_name)"))
     val fact = ddl("fact_session_by_minute")
     assert(fact.contains("created_at_minute_id BIGINT NOT NULL"))
+    assert(fact.contains("p_day BIGINT")) // matches the written epoch-day long, not DATE
     assert(fact.contains("PARTITIONED BY (p_day)"))
   }
 

@@ -108,6 +108,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("lshBucket yields NULL for null embeddings (row drops out of the join)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(Seq(1.0f, 0.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val out = df.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty, "null embedding must produce a null bucket, not an NPE")
+  }
+
   test("multimodal frame sampling: full coverage, bounded windows, edge sizes") {
     val s = spark
     import s.implicits._
