@@ -265,6 +265,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Scalable embedding near-dup: sign-LSH bucketing (exact bucket +
+    * 1-bit-flip multi-probe) proposes candidate pairs, exact cosine
+    * verifies them — the embedding analogue of MinHash+LSH for text.
+    * [[cosineNearDupPairs]] is the exact O(n^2) oracle companion; this
+    * is the one a cluster runs: the corpus shuffles once on bucket id,
+    * pair work is bounded by bucket sizes. High-cosine pairs disagree
+    * on few hyperplane signs, so multi-probe recall tracks the
+    * threshold (spec-checked against the exact variant). */
+  def cosineNearDupPairsLsh(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nPlanes: Int = 32, bandBits: Int = 4
+  ): DataFrame = {
+    require(nPlanes % bandBits == 0 && nPlanes <= 64, "nPlanes must be a multiple of bandBits, <= 64")
+    val bands = nPlanes / bandBits
+    val sig = embeddings.select(
+      col(idCol).as("vid"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nPlanes).as("sig"))
+    // band the sign signature minhash-style: a pair is proposed when
+    // ANY band of `bandBits` sign bits matches. For cos >= 0.85 each
+    // plane agrees w.p. ~0.82, a 4-bit band w.p. ~0.46, so 8 bands
+    // find the pair w.p. ~0.99 — tune bands/bits to the threshold.
+    val banded = sig.select(
+      col("vid"), col("v"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'chunk', shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1}))"))
+        .as("bb"))
+      .select(col("vid"), col("v"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.vid") < col("b.vid"))
+      .select(
+        col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+    pairs
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket or any
     * bucket at hamming distance 1 (multi-probe), exact cosine rerank
     * within candidates. The corpus is shuffled once on bucket id; each

@@ -108,6 +108,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("LSH near-dup pairs: high recall vs the exact all-pairs variant, no false positives") {
+    // near-dup regime: tight clusters (cos >= ~0.9 within), threshold 0.85
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian()))
+    val rows = (0L until 200L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(x => (x + 0.12 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", minCosine = 0.85)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding", minCosine = 0.85)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-cosine verification admits no false positives
+    assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
+    assert(exact.size >= 50, s"fixture too sparse: ${exact.size} exact pairs")
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${approx.size}/${exact.size})")
+  }
+
   test("lshBucket yields NULL for null embeddings (row drops out of the join)") {
     val s = spark
     import s.implicits._
