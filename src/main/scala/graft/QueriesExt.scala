@@ -300,6 +300,21 @@ object QueriesExt {
     Multimodal.frameSample(
       Multimodal.withPayload(docs(s, dir), "doc_id", "text"), frameBytes = 256).toDF()
 
+  /** Resize plumbing: the driver gate checks the metadata shape (one
+    * row per doc, exact output buffer size); pixel bytes are exercised
+    * by SimilaritySpec (deterministic stride sampling). */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(
+      Multimodal.withPayload(docs(s, dir), "doc_id", "text"), outW = 64, outH = 48).toDF()
+      .select(col("doc_id"), col("out_width"), col("out_height"), col("out_bytes"))
+
+  lazy val multimodalResizeSql: String =
+    s"""SELECT doc_id,
+       |       64 AS out_width, 48 AS out_height,
+       |       CAST(64 * 48 * 3 AS INTEGER) AS out_bytes
+       |FROM documents
+       |""".stripMargin
+
   lazy val multimodalFramesSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents

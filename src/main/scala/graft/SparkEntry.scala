@@ -60,7 +60,8 @@ object SparkEntry {
     "embed_neardup_lsh"     -> (QueriesExt.embedNearDupLsh _),
     // multimodal binary plumbing (stubbed decode, frame sampling)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
-    "multimodal_frames" -> (QueriesExt.multimodalFrames _)
+    "multimodal_frames" -> (QueriesExt.multimodalFrames _),
+    "multimodal_resize" -> (QueriesExt.multimodalResize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +88,7 @@ object SparkEntry {
     "embed_knn_brute"           -> QueriesExt.embedKnnBruteSql,
     "embed_cosine_neardup"      -> QueriesExt.embedCosineNearDupSql,
     "multimodal_decode"         -> QueriesExt.multimodalDecodeSql,
-    "multimodal_frames"         -> QueriesExt.multimodalFramesSql
+    "multimodal_frames"         -> QueriesExt.multimodalFramesSql,
+    "multimodal_resize"         -> QueriesExt.multimodalResizeSql
   )
 }

@@ -66,6 +66,41 @@ object Multimodal {
   def features(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     decodeStub(withPayload(docs, idCol, textCol)).toDF()
 
+  /** Resized media: stub decode -> scale to (outW, outH) -> stub
+    * re-encode. `pixels` is the re-encoded payload (deterministic fake:
+    * outW*outH*channels bytes sampled from the source by stride). */
+  final case class Resized(
+      doc_id: Long, out_width: Int, out_height: Int, out_bytes: Int, pixels: Array[Byte])
+
+  /** Resize pipeline: same per-partition batch shape as [[decodeStub]].
+    * The decode/rescale is STUBBED (no codecs in this container): the
+    * output buffer is the right size and a deterministic function of
+    * the input bytes (stride sampling), so schema, partitioning and
+    * downstream content-addressing are real while only the pixel math
+    * is fake. */
+  def resizeStub(payloads: DataFrame, outW: Int, outH: Int, channels: Int = 3): Dataset[Resized] = {
+    require(outW > 0 && outH > 0, "resize dims must be positive")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        // real decoder/scaler init would happen HERE, once per partition
+        val outLen = outW * outH * channels
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte](outLen)
+          if (bytes.length > 0) {
+            var i = 0
+            while (i < outLen) {
+              // stride-sample the source buffer (stand-in for bilinear)
+              out(i) = bytes((i.toLong * bytes.length / outLen).toInt)
+              i += 1
+            }
+          }
+          Resized(id, outW, outH, outLen, out)
+        }
+    }
+  }
+
   /** One sampled frame: byte window `[frame_offset, frame_offset +
     * frame_bytes)` of the payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_bytes: Int)

@@ -143,6 +143,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L).isEmpty, "null embedding must produce a null bucket, not an NPE")
   }
 
+  test("multimodal resize stub: exact buffer size, deterministic, content-addressed") {
+    val s = spark
+    import s.implicits._
+    val payloads = Seq(
+      (1L, Array.tabulate[Byte](1000)(_.toByte)),
+      (2L, Array.tabulate[Byte](10)(i => (i * 7).toByte)),
+      (3L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.resizeStub(payloads, outW = 8, outH = 4).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.pixels.length == 8 * 4 * 3 && r.out_bytes == 96))
+    // deterministic across runs, distinct content -> distinct pixels
+    val again = Multimodal.resizeStub(payloads, outW = 8, outH = 4).collect()
+    def px(rs: Array[Multimodal.Resized]) = rs.sortBy(_.doc_id).map(_.pixels.toSeq).toSeq
+    assert(px(out) == px(again))
+    assert(px(out)(0) != px(out)(1))
+  }
+
   test("multimodal frame sampling: full coverage, bounded windows, edge sizes") {
     val s = spark
     import s.implicits._
