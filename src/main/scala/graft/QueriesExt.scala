@@ -263,12 +263,6 @@ object QueriesExt {
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45
        |""".stripMargin
 
-  /** Scale path for near-dup (banded sign-LSH + exact verify); the
-    * exact all-pairs variant above is its oracle-checked companion. */
-  def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairsLsh(emb(s, dir), "vec_id", "embedding", minCosine = 0.45,
-      nPlanes = 16, bandBits = 2)
-
   def embedKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)

@@ -57,7 +57,6 @@ object SparkEntry {
     "embed_knn_lsh"         -> (QueriesExt.embedKnnLsh _),
     "embed_knn_ivf"         -> (QueriesExt.embedKnnIvf _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
-    "embed_neardup_lsh"     -> (QueriesExt.embedNearDupLsh _),
     // multimodal binary plumbing (stubbed decode, frame sampling)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
     "multimodal_frames" -> (QueriesExt.multimodalFrames _),

@@ -44,7 +44,8 @@ object Multimodal {
         // real codec/session initialization would happen HERE, once per
         // partition (cf. mapInPandas batch UDF pattern)
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.empty[Byte] else bytes0
           // ---- STUB DECODE: deterministic fake metadata from bytes.
           // A real implementation would decode image/audio here.
           val b0  = if (bytes.length > 0) bytes(0) & 0xFF else 0
@@ -86,7 +87,8 @@ object Multimodal {
       it =>
         // real decoder/scaler init would happen HERE, once per partition
         val outLen = outW * outH * channels
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.empty[Byte] else bytes0
           val out = new Array[Byte](outLen)
           if (bytes.length > 0) {
             var i = 0

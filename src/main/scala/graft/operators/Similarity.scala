@@ -265,18 +265,24 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Scalable embedding near-dup: sign-LSH bucketing (exact bucket +
-    * 1-bit-flip multi-probe) proposes candidate pairs, exact cosine
-    * verifies them — the embedding analogue of MinHash+LSH for text.
-    * [[cosineNearDupPairs]] is the exact O(n^2) oracle companion; this
-    * is the one a cluster runs: the corpus shuffles once on bucket id,
-    * pair work is bounded by bucket sizes. High-cosine pairs disagree
-    * on few hyperplane signs, so multi-probe recall tracks the
-    * threshold (spec-checked against the exact variant). */
+  /** Scalable embedding near-dup: banded sign-LSH (any identical band
+    * of `bandBits` sign bits proposes the pair — the minhash
+    * OR-of-ANDs construction, no multi-probe) with exact cosine
+    * verification. [[cosineNearDupPairs]] is the exact O(n^2) oracle
+    * companion.
+    *
+    * REGIME: effective only for tight thresholds (cos >= ~0.8), where
+    * per-plane agreement is high for true pairs and near 1/2 for
+    * unrelated ones; at loose thresholds (cos ~0.5) sign-LSH cannot
+    * separate pairs from noise and the candidate set approaches
+    * all-pairs — use the exact variant there. Tune recall/cost via
+    * bands x bandBits: P(candidate) = 1 - (1 - p^bandBits)^bands with
+    * p = 1 - acos(cos)/pi. */
   def cosineNearDupPairsLsh(
       embeddings: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nPlanes: Int = 32, bandBits: Int = 4
   ): DataFrame = {
+    require(bandBits > 0 && bandBits < 32, "bandBits must be in [1, 31]")
     require(nPlanes % bandBits == 0 && nPlanes <= 64, "nPlanes must be a multiple of bandBits, <= 64")
     val bands = nPlanes / bandBits
     val sig = embeddings.select(
@@ -289,7 +295,7 @@ object Similarity {
     val banded = sig.select(
       col("vid"), col("v"),
       explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'chunk', shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1}))"))
+        s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'chunk', shiftright(sig, b * $bandBits) & ${(1L << bandBits) - 1}L))"))
         .as("bb"))
       .select(col("vid"), col("v"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
     val pairs = banded.as("a")
@@ -299,7 +305,9 @@ object Similarity {
       .select(
         col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
         col("a.v").as("va"), col("b.v").as("vb"))
-      .distinct()
+      // dedup on the id pair alone: distinct() over the full row would
+      // shuffle and compare both embedding arrays for nothing
+      .dropDuplicates("vec_a", "vec_b")
     pairs
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
