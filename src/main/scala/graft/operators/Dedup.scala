@@ -131,8 +131,12 @@ object Dedup {
   /** MinHash + LSH near-duplicate pairs: band the signature (bands of
     * `r` rows), bucket-join on (band, band-hash), then verify candidate
     * pairs with exact Jaccard. Buckets larger than `maxBucket` are
-    * dropped (logged skew guard — a degenerate bucket is evidence the
-    * band is non-discriminative, not useful candidates). */
+    * dropped SILENTLY by construction (a degenerate bucket means the
+    * band is non-discriminative — boilerplate-heavy corpora — and
+    * would quadratically blow up candidate generation); operators who
+    * need to see what was dropped can run
+    * `Skew.keyHistogram(bandedSignatures, "bh")` as a diagnostic
+    * before committing to a maxBucket. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, r: Int = 4,
