@@ -50,31 +50,32 @@ object Rollup {
     // Counts are stored in the fact schema's (narrow, default integer)
     // type; a coarser roll-up can legitimately exceed it. Fail loudly
     // instead of the silent wrap a plain cast would do — at 100 TB a
-    // wrapped count is a corrupt table nobody notices.
-    def checkedNarrow(summed: Column, cName: String): Column = {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    // wrapped count is a corrupt table nobody notices. LongType counts
+    // get the same guarantee by summing in decimal(38,0) (sum(long) is
+    // long and wraps silently in non-ANSI sessions) and range-checking
+    // against Long bounds.
+    def checkedSum(cName: String): Column = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val dt = populated.schema(cName).dataType
-      val bounds: Option[(Long, Long)] = dt match {
-        case IntegerType => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
-        case ShortType   => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
-        case ByteType    => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
-        case _           => None // long/decimal: sum's own type already holds it
-      }
-      bounds match {
-        case Some((lo, hi)) =>
-          when(summed > hi || summed < lo,
-            raise_error(concat(
-              lit(s"rollup count overflow in '$cName': "), summed.cast("string"),
-              lit(s" does not fit ${dt.simpleString}"))).cast(dt))
-            .otherwise(summed.cast(dt)).as(cName)
-        case None => summed.cast(dt).as(cName)
+      def guarded(summed: Column, lo: Long, hi: Long): Column =
+        when(summed > hi || summed < lo,
+          raise_error(concat(
+            lit(s"rollup count overflow in '$cName': "), summed.cast("string"),
+            lit(s" does not fit ${dt.simpleString}"))).cast(dt))
+          .otherwise(summed.cast(dt)).as(cName)
+      dt match {
+        case IntegerType => guarded(sum(col(cName)), Int.MinValue.toLong, Int.MaxValue.toLong)
+        case ShortType   => guarded(sum(col(cName)), Short.MinValue.toLong, Short.MaxValue.toLong)
+        case ByteType    => guarded(sum(col(cName)), Byte.MinValue.toLong, Byte.MaxValue.toLong)
+        case LongType    => guarded(sum(col(cName).cast("decimal(38,0)")), Long.MinValue, Long.MaxValue)
+        case _           => sum(col(cName)).cast(dt).as(cName) // decimal: sum widens, holds it
       }
     }
 
     val aggs: Seq[Column] = fact.columns.flatMap { case FactColumn(cName, kind) =>
       kind match {
         case FactCount(_) =>
-          Seq(checkedNarrow(sum(col(cName)), cName))
+          Seq(checkedSum(cName))
         case FactCountDistinct(_) =>
           Seq(RegisterSketch.mergeAgg(m)(col(cName)).as(cName))
         case FactSum(_) => Seq(sum(col(cName)).as(cName))
@@ -84,7 +85,7 @@ object Rollup {
           val cnt = cName + s.avgCountColumnSuffix
           val sm  = cName + s.avgSumColumnSuffix
           Seq(
-            checkedNarrow(sum(col(cnt)), cnt),
+            checkedSum(cnt),
             sum(col(sm)).as(sm))
         case _ => Nil
       }

@@ -71,12 +71,29 @@ object Dedup {
     * shingles, equi-join on the shingle (only docs sharing >=1 shingle
     * ever pair up), count intersections, compute
     * |A∩B| / (|A|+|B|-|A∩B|). This IS the scalable exact formulation —
-    * the shuffle key is the shingle, not the pair. */
+    * the shuffle key is the shingle, not the pair.
+    *
+    * `maxDf` bounds the inverted index's worst case: a shingle present
+    * in k documents emits k² intersection rows, so one boilerplate
+    * shingle (a license header, a nav bar) shared by millions of docs
+    * is a job-killer. Shingles with document frequency > maxDf are
+    * dropped from BOTH the intersection and the size counts — the
+    * result is exact Jaccard over the reduced shingle universe. Such
+    * shingles carry ~zero discrimination signal (they intersect nearly
+    * every pair), so near-dup ranking is preserved. The default never
+    * triggers below 100k-doc corpora; set it to the scale where a
+    * shingle is plainly boilerplate. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.5
+      n: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 100000
   ): DataFrame = {
-    val ngr   = shingles(docs, idCol, textCol, n)
+    val all = shingles(docs, idCol, textCol, n)
+    // document frequency per shingle shuffles on the same key as the
+    // self-join below, and the anti-join is a shingle-key equi-join —
+    // no new shuffle shape, just a second pass over the shingle stream
+    val hot = all.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("ng"))
+    val ngr   = all.join(hot, Seq("ng"), "left_anti")
     val sizes = ngr.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = ngr
       .as("a")
@@ -245,7 +262,12 @@ object Dedup {
   /** SimHash near-duplicate pairs: band the 64-bit hash into four
     * 16-bit chunks (pigeonhole: hamming distance <= 3 implies at least
     * one identical chunk), bucket-join, verify by exact bit_count of
-    * the xor. */
+    * the xor. Buckets larger than `maxBucket` are dropped silently,
+    * like [[minhashLshPairs]]: a degenerate (band, chunk) bucket —
+    * boilerplate-heavy or near-empty docs sharing a 16-bit chunk —
+    * would otherwise make candidate generation quadratic in the bucket.
+    * The simhash value rides inside the bucket so verification needs no
+    * second corpus scan. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000
@@ -257,14 +279,23 @@ object Dedup {
         "transform(sequence(0, 3), b -> named_struct('band', b, 'chunk', shiftright(simhash, b * 16) & 65535))"))
         .as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-    val pairs = banded
-      .as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(
-        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col("a.simhash").as("sha"), col("b.simhash").as("shb"))
+    val bucketed = banded
+      .groupBy("band", "chunk")
+      .agg(collect_list(struct(col(idCol), col("simhash"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    // sort_array orders struct members by id (first field), so x always
+    // precedes y and the emitted pair is already (min, max) — the same
+    // slice-based intra-bucket pairing as minhashLshPairs
+    val pairs = bucketed
+      .withColumn("ms", sort_array(col("members")))
+      .select(explode(expr(
+        s"""flatten(transform(ms, (x, i) ->
+           |  transform(slice(ms, i + 2, size(ms)), y ->
+           |    named_struct('doc_a', x.$idCol, 'doc_b', y.$idCol,
+           |                 'sha', x.simhash, 'shb', y.simhash))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sha").as("sha"), col("p.shb").as("shb"))
       .distinct()
     pairs
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
@@ -316,6 +347,12 @@ object Dedup {
         .localCheckpoint(true)
       converged = updated.join(labels.withColumnRenamed("rep", "prev"), Seq("doc"))
         .filter(col("rep") =!= col("prev")).isEmpty
+      // updated is eagerly materialized and the convergence probe has
+      // consumed the old labels — drop the superseded checkpoints now,
+      // or a slow-converging graph pins up to 2*maxIter label sets in
+      // executor storage
+      labels.unpersist()
+      oneHop.unpersist()
       labels = updated
       i += 1
     }

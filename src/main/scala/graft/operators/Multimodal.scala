@@ -120,7 +120,8 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
       it =>
         // real frame decoder/seeker init would happen HERE, per partition
-        it.flatMap { case (id, bytes) =>
+        it.flatMap { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.empty[Byte] else bytes0
           val nFrames = (bytes.length + frameBytes - 1) / frameBytes
           (0 until nFrames).iterator.map { i =>
             val off = i * frameBytes

@@ -153,25 +153,41 @@ object Similarity {
     * vectors yield a NULL bucket (they join to nothing), matching the
     * null-propagating expression formulation this replaced. */
   def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val bucketUdf = udf { (v: Seq[Float]) =>
+    val bucketUdf = udf { (v: Seq[java.lang.Float]) =>
       if (v == null) null
       else {
-        var planes = PlaneCache.get(nPlanes)
-        if (planes == null || planes(0).length < v.length) {
-          planes = Array.tabulate(nPlanes, v.length)((p, i) => planeComponent(p, i))
-          PlaneCache.put(nPlanes, planes)
+        // one boxed pass: null-element detection (a null component makes
+        // the dot undefined -> null bucket, like the expression
+        // formulation) + copy to a primitive array so the nPlanes x dim
+        // hot loop runs unboxed with no Seq.apply overhead
+        val dim = v.length
+        val arr = new Array[Float](dim)
+        var i = 0
+        var hasNull = false
+        while (i < dim) {
+          val x = v(i)
+          if (x eq null) hasNull = true else arr(i) = x.floatValue
+          i += 1
         }
-        var bucket = 0L
-        var p = 0
-        while (p < nPlanes) {
-          val row = planes(p)
-          var dot = 0.0
-          var i = 0
-          while (i < v.length) { dot += v(i) * row(i); i += 1 }
-          if (dot > 0) bucket |= (1L << p)
-          p += 1
+        if (hasNull) null
+        else {
+          var planes = PlaneCache.get(nPlanes)
+          if (planes == null || planes(0).length < dim) {
+            planes = Array.tabulate(nPlanes, dim)((p, i) => planeComponent(p, i))
+            PlaneCache.put(nPlanes, planes)
+          }
+          var bucket = 0L
+          var p = 0
+          while (p < nPlanes) {
+            val row = planes(p)
+            var dot = 0.0
+            var j = 0
+            while (j < dim) { dot += arr(j) * row(j); j += 1 }
+            if (dot > 0) bucket |= (1L << p)
+            p += 1
+          }
+          java.lang.Long.valueOf(bucket)
         }
-        java.lang.Long.valueOf(bucket)
       }
     }
     bucketUdf(vec)

@@ -36,6 +36,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("simhash pairs: a degenerate (band, chunk) bucket is bounded by maxBucket") {
+    import spark.implicits._
+    // 50 byte-identical docs: every one of the four (band, chunk)
+    // buckets holds all 50 simhashes — the quadratic worst case
+    val df = (1L to 50L).map(i => (i, "identical boilerplate content repeated for all docs"))
+      .toDF("doc_id", "text")
+    val unbounded = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, maxBucket = 1000)
+    assert(unbounded.count() == 50L * 49 / 2)
+    // the degenerate bucket exceeds maxBucket and is dropped whole
+    val bounded = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, maxBucket = 10)
+    assert(bounded.count() == 0)
+  }
+
+  test("ngram jaccard: document-frequency cap kills the hot-shingle blowup") {
+    import spark.implicits._
+    // 40 docs sharing exactly one boilerplate trigram, otherwise disjoint:
+    // the inverted index pairs all of them through that one shingle
+    val docs = (1L to 40L).map { i =>
+      (i, s"standard legal boilerplate u${i}a u${i}b u${i}c u${i}d")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.01)
+    assert(uncapped.count() == 40L * 39 / 2)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.01, maxDf = 10)
+    assert(capped.count() == 0)
+    // a true near-duplicate still matches through its non-boilerplate
+    // shingles (jaccard computed over the reduced shingle universe)
+    val withDup = docs.union(
+      Seq((100L, "standard legal boilerplate u1a u1b u1c u1d")).toDF("doc_id", "text"))
+    val pairs = Dedup.ngramJaccardPairs(withDup, "doc_id", "text", 3, 0.5, maxDf = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L)))
+  }
+
   test("exact dedup groups identical normalized text") {
     import spark.implicits._
     val df = Seq(
