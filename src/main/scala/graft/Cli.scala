@@ -78,21 +78,23 @@ object Cli {
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    if (args.length < 3) {
-      System.err.println(
-        "usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR [--incremental LO HI] [--upper HI] [--no-partition]")
-      sys.exit(2)
-    }
-    val Array(modelPath, sourceDir, outDir) = args.take(3)
-    val rest = args.drop(3).toSeq
+  private val usage =
+    "usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR [--incremental LO HI] [--upper HI] [--no-partition]"
 
-    def usageExit(msg: String): Nothing = {
-      System.err.println(msg)
-      System.err.println(
-        "usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR [--incremental LO HI] [--upper HI] [--no-partition]")
-      sys.exit(2)
-    }
+  /** Argument/model problem; [[main]] prints the message and exits with
+    * the carried code (2 = usage, 1 = validation), tests catch it. */
+  final case class CliError(msg: String, code: Int) extends RuntimeException(msg)
+
+  /** The whole CLI pipeline against a provided session (does not stop
+    * it, does not call `sys.exit`): parse -> validate -> populate ->
+    * swap staging -> emit artifacts -> quality checks. Returns the
+    * UNIQUE-key violations (empty = clean run). */
+  private[graft] def run(args: Seq[String], spark: SparkSession): Seq[(String, String, Long)] = {
+    if (args.length < 3) throw CliError(usage, 2)
+    val Seq(modelPath, sourceDir, outDir) = args.take(3)
+    val rest = args.drop(3)
+
+    def usageExit(msg: String): Nothing = throw CliError(s"$msg\n$usage", 2)
     def parseTs(flag: String, s: Option[String]): Timestamp =
       s.map(v =>
         try Timestamp.valueOf(v)
@@ -112,18 +114,66 @@ object Cli {
       } else TimeWindow.unbounded
 
     val parsed = ModelParser.parseFile(modelPath) match {
-      case Left(err) => System.err.println(err); sys.exit(1); throw new IllegalStateException
+      case Left(err) => throw CliError(err, 1)
       case Right(p)  => p
     }
     val (tables, facts, defaults) = parsed
     val settings = parseSettings(rest, usageExit)
     val env = Validator.validateEnv(tables, facts, settings, defaults) match {
       case Left(errors) =>
-        errors.foreach(e => System.err.println(s"validation: $e"))
-        sys.exit(1); throw new IllegalStateException
+        throw CliError(errors.map(e => s"validation: $e").mkString("\n"), 1)
       case Right(e) => e
     }
 
+    // Full refresh stages into `<table><suffix>` and swaps in-place
+    // after populate — the reference's suffixed-target rebuild contract
+    // (`Generator/Internal.hs:38-41`; the orchestrator substitutes
+    // `{{suff}}` and swaps). Cli is its own orchestrator, so it
+    // substitutes `{{suff}}` -> `_staging` and swaps itself;
+    // `--suffix-template ""` disables staging (write live in place).
+    val stagingSuffix =
+      if (window.lower.nonEmpty) "" // incremental appends to live tables
+      else Naming.resolveSuffixTemplate(settings.tableNameSuffixTemplate, "_staging")
+    val runner =
+      new Runner(spark, env, sourceDir, outDir,
+        partitionFactsByDay = !rest.contains("--no-partition"),
+        stagingSuffix = stagingSuffix)
+    val written =
+      if (window.lower.nonEmpty) runner.incrementalRefresh(window)
+      else {
+        val w = runner.fullRefresh(window)
+        if (stagingSuffix.nonEmpty) runner.swapStaging(w)
+        w
+      }
+    written.foreach(t => println(s"populated: $outDir/$t"))
+
+    MetadataSink.writeAll(env, outDir)
+    val plansDir = Paths.get(outDir, "plans")
+    Files.createDirectories(plansDir)
+    runner.emitPlans(window).foreach { case (table, plan) =>
+      Files.writeString(plansDir.resolve(s"$table.txt"), plan)
+    }
+    // create/ fullrefresh/ increfresh/ <table>.sql — the reference's
+    // three artifact directories (`app/Main.hs:36-41,75-81`)
+    val createDir = Paths.get(outDir, "create")
+    Files.createDirectories(createDir)
+    runner.emitDdl().foreach { case (table, ddl) =>
+      Files.writeString(createDir.resolve(s"$table.sql"), ddl)
+    }
+    Seq(
+      "fullrefresh" -> PopulationMode.Full,
+      "increfresh"  -> PopulationMode.Incremental
+    ).foreach { case (dirName, mode) =>
+      val dir = Paths.get(outDir, dirName)
+      Files.createDirectories(dir)
+      runner.emitPopulateSql(mode).foreach { case (table, sql) =>
+        Files.writeString(dir.resolve(s"$table.sql"), sql)
+      }
+    }
+    runner.checkUniqueKeys().filter(_._3 > 0)
+  }
+
+  def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -135,27 +185,14 @@ object Cli {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val runner =
-      new Runner(spark, env, sourceDir, outDir, partitionFactsByDay = !rest.contains("--no-partition"))
-    val written =
-      if (window.lower.nonEmpty) runner.incrementalRefresh(window)
-      else runner.fullRefresh(window)
-    written.foreach(t => println(s"populated: $outDir/$t"))
-
-    MetadataSink.writeAll(env, outDir)
-    val plansDir = Paths.get(outDir, "plans")
-    Files.createDirectories(plansDir)
-    runner.emitPlans(window).foreach { case (table, plan) =>
-      Files.writeString(plansDir.resolve(s"$table.txt"), plan)
-    }
-    // create/<table>.sql, like the reference's DDL artifact directory
-    val createDir = Paths.get(outDir, "create")
-    Files.createDirectories(createDir)
-    runner.emitDdl().foreach { case (table, ddl) =>
-      Files.writeString(createDir.resolve(s"$table.sql"), ddl)
-    }
-    val violations = runner.checkUniqueKeys().filter(_._3 > 0)
+    val violations =
+      try run(args.toSeq, spark)
+      catch {
+        case CliError(msg, code) =>
+          System.err.println(msg)
+          spark.stop()
+          sys.exit(code)
+      }
     violations.foreach { case (t, c, n) =>
       System.err.println(s"QUALITY VIOLATION: $t $c has $n duplicate keys")
     }

@@ -40,28 +40,28 @@ final class Runner(
   /** Promote staged tables: move `<table><suffix>` over `<table>`.
     * Promotion per table is move-aside -> move-in -> delete-old, so a
     * crash mid-swap leaves either the old live table or a recoverable
-    * `<table><suffix>__old` — never a deleted live table. */
+    * `<table><suffix>__old` — never a deleted live table. Uses the
+    * Hadoop FileSystem API resolved from `outDir`'s scheme, so the same
+    * swap works on local disk, HDFS, or an object store with a
+    * rename-capable committer. */
   def swapStaging(tables: Seq[String]): Unit = {
     require(stagingSuffix.nonEmpty, "no staging suffix configured")
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
-    def rmTree(p: Path): Unit = {
-      val walked = {
-        val s = Files.walk(p)
-        try s.iterator().asScala.toList finally s.close()
-      }
-      walked.reverse.foreach(Files.delete)
-    }
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def renameOrFail(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"swapStaging: rename $src -> $dst failed")
     tables.foreach { t =>
-      val live    = Paths.get(outDir, t)
-      val staging = Paths.get(outDir, t + stagingSuffix)
-      if (Files.exists(staging)) {
-        val old = Paths.get(outDir, t + stagingSuffix + "__old")
-        if (Files.exists(old)) rmTree(old)
-        val hadLive = Files.exists(live)
-        if (hadLive) Files.move(live, old)
-        Files.move(staging, live)
-        if (hadLive) rmTree(old)
+      val live    = new Path(root, t)
+      val staging = new Path(root, t + stagingSuffix)
+      if (fs.exists(staging)) {
+        val old = new Path(root, t + stagingSuffix + "__old")
+        if (fs.exists(old)) fs.delete(old, true)
+        val hadLive = fs.exists(live)
+        if (hadLive) renameOrFail(live, old)
+        renameOrFail(staging, live)
+        if (hadLive) fs.delete(old, true)
       }
     }
   }
@@ -178,6 +178,22 @@ final class Runner(
     val facts = factsInTopoOrder.filter(_.persistent).map { fact =>
       val t = Extractor.extractFactTable(env, fact)
       factTableNameOf(fact) -> ddlOf(t, partitioned = partitionFactsByDay)
+    }
+    (dims ++ facts).toMap
+  }
+
+  /** Emit per-table populate SQL — the reference's `fullrefresh/` and
+    * `increfresh/` artifact directories (`app/Main.hs:75-81`). The text
+    * is the Spark-SQL form of the pipelines this Runner executes; see
+    * [[SqlEmit]] for the contract (`?` window parameters, `{{suff}}`
+    * staging template on full-refresh targets). */
+  def emitPopulateSql(popMode: PopulationMode): Map[String, String] = {
+    val dims = derivedDims.map { case (fact, dimTable) =>
+      dimTable.name -> SqlEmit.dimensionPopulateSql(env, fact, dimTable.name, popMode)
+    }
+    val facts = factsInTopoOrder.filter(_.persistent).map { fact =>
+      factTableNameOf(fact) ->
+        SqlEmit.factPopulateSql(env, fact, popMode, includePartitionDay = partitionFactsByDay)
     }
     (dims ++ facts).toMap
   }

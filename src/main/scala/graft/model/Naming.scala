@@ -69,6 +69,15 @@ object Naming {
       case PopulationMode.Incremental => tableName
     }
 
+  /** Resolve the mustache-style suffix template to a concrete staging
+    * suffix. The reference emits the template literally into its SQL
+    * (`{{suff}}` by default) and leaves substitution to the
+    * orchestrator; an executable run must substitute it itself.
+    * A template with no placeholder is already concrete and passes
+    * through; an empty template disables staging. */
+  def resolveSuffixTemplate(template: String, suff: String): String =
+    template.replace("{{suff}}", suff)
+
   /** Column-name mapping (dimCol -> factSourceCol) for a derived dim
     * (`Generator/Internal.hs:16-21`). */
   def dimColumnMapping(dimPrefix: String, fact: Fact, dimTableName: String): Seq[(String, String)] =

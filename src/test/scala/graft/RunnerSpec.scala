@@ -100,6 +100,26 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/fact_event_by_minute").count() > 0)
   }
 
+  test("staged rebuild leaves the live table readable until the swap") {
+    val out = tempDir()
+    val lo  = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    // v1 live load
+    val v1 = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out)
+    v1.fullRefresh(TimeWindow.upTo(lo))
+    val liveBefore = spark.read.parquet(s"$out/fact_event_by_minute").count()
+    assert(liveBefore > 0)
+    // v2 rebuild into staging: live content is untouched while it runs
+    val v2 = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out,
+      stagingSuffix = "_staging")
+    val written = v2.fullRefresh(TimeWindow.unbounded)
+    assert(spark.read.parquet(s"$out/fact_event_by_minute").count() == liveBefore)
+    // swap promotes v2 atomically; the __old recovery dir is cleaned up
+    v2.swapStaging(written)
+    assert(spark.read.parquet(s"$out/fact_event_by_minute").count() > liveBefore)
+    assert(!Files.exists(java.nio.file.Paths.get(out, "fact_event_by_minute_staging__old")))
+    assert(v2.checkUniqueKeys().forall(_._3 == 0))
+  }
+
   test("non-persistent facts derive dims but skip fact-table writes") {
     val out = tempDir()
     val env = model.Validator.validateEnv(
