@@ -329,17 +329,6 @@ object Queries {
     s.createDataFrame(new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schemaRowType)
   }
 
-  private def valuesOracle(tables: Seq[Table]): String = {
-    val rows = tables.flatMap { t =>
-      t.columns.zipWithIndex.map { case (c, i) =>
-        val n = if (c.isNullable) "NULL" else "NOT NULL"
-        s"('${t.name}', '${c.name}', '${c.columnType.replace("'", "''")}', '$n', ${i + 1})"
-      }
-    }
-    s"""SELECT * FROM (VALUES ${rows.mkString(",\n  ")})
-       |AS t(table_name, column_name, column_type, is_nullable, position)""".stripMargin
-  }
-
   /** Derived dim + fact schemas for the reference's own doctest fixture
     * — golden-checked against a VALUES literal transcribed from the
     * reference's expected outputs (`src/Ringo.hs:147-195`). */
@@ -352,14 +341,35 @@ object Queries {
     schemaRows(s, tables)
   }
 
-  lazy val deriveSchemasSql: String = {
-    val env = ringoEnv
-    val tables =
-      env.facts.flatMap(f => Extractor.extractDimensionTables(env, f)).distinctBy(_.name)
-        .filterNot(t => env.tables.contains(t)) ++
-        env.facts.map(f => Extractor.extractFactTable(env, f))
-    valuesOracle(tables)
-  }
+  /** Hand-transcribed from the reference doctest goldens
+    * (`src/Ringo.hs:147-196`: `extractFactTable env sessionFact`,
+    * `extractFactTable env pageViewFact`, `extractDimensionTables`) —
+    * implementation-independent, like [[validateErrorsSql]]. */
+  val deriveSchemasSql: String =
+    """SELECT * FROM (VALUES
+      |  ('dim_geo', 'id', 'serial', 'NOT NULL', 1),
+      |  ('dim_geo', 'country_name', 'character varying(50)', 'NOT NULL', 2),
+      |  ('dim_geo', 'city_name', 'character varying(50)', 'NOT NULL', 3),
+      |  ('dim_geo', 'continent_name', 'character varying(15)', 'NOT NULL', 4),
+      |  ('dim_user_agent', 'id', 'serial', 'NOT NULL', 1),
+      |  ('dim_user_agent', 'browser_name', 'character varying(50)', 'NOT NULL', 2),
+      |  ('dim_user_agent', 'os', 'character varying(50)', 'NOT NULL', 3),
+      |  ('dim_user_agent', 'name', 'character varying(100)', 'NOT NULL', 4),
+      |  ('dim_page_type', 'id', 'serial', 'NOT NULL', 1),
+      |  ('dim_page_type', 'page_type', 'character varying(20)', 'NOT NULL', 2),
+      |  ('fact_session_by_minute', 'created_at_minute_id', 'bigint', 'NOT NULL', 1),
+      |  ('fact_session_by_minute', 'publisher_id', 'integer', 'NOT NULL', 2),
+      |  ('fact_session_by_minute', 'session_count', 'integer', 'NOT NULL', 3),
+      |  ('fact_session_by_minute', 'geo_id', 'integer', 'NOT NULL', 4),
+      |  ('fact_session_by_minute', 'user_agent_id', 'integer', 'NOT NULL', 5),
+      |  ('fact_page_view_by_minute', 'created_at_minute_id', 'bigint', 'NOT NULL', 1),
+      |  ('fact_page_view_by_minute', 'publisher_id', 'integer', 'NOT NULL', 2),
+      |  ('fact_page_view_by_minute', 'view_count', 'integer', 'NOT NULL', 3),
+      |  ('fact_page_view_by_minute', 'referrer_id', 'integer', 'NOT NULL', 4),
+      |  ('fact_page_view_by_minute', 'page_type_id', 'integer', 'NOT NULL', 5),
+      |  ('fact_page_view_by_minute', 'geo_id', 'integer', 'NOT NULL', 6),
+      |  ('fact_page_view_by_minute', 'user_agent_id', 'integer', 'NOT NULL', 7)
+      |) AS t(table_name, column_name, column_type, is_nullable, position)""".stripMargin
 
   /** Dependency DAG rows for the reference fixture (E4). */
   def deriveDependencies(s: SparkSession, dir: String): DataFrame = {
@@ -422,12 +432,23 @@ object Queries {
       |  ('MissingTypeDefault(interval)')
       |) AS t(error)""".stripMargin
 
-  lazy val deriveDependenciesSql: String = {
-    val deps = Extractor.allDependencies(ringoEnv)
-    val rows = deps.toSeq.sortBy(_._1).flatMap { case (t, ds) =>
-      ds.zipWithIndex.map { case (d, i) => s"('$t', '$d', ${i + 1})" }
-    }
-    s"""SELECT * FROM (VALUES ${rows.mkString(",\n  ")})
-       |AS t(table_name, depends_on, position)""".stripMargin
-  }
+  /** Hand-transcribed from the reference doctest goldens
+    * (`src/Ringo.hs:201-224`: `extractDependencies env sessionFact` and
+    * `... pageViewFact`) — implementation-independent. Positions are
+    * the reference's dependency-list order. */
+  val deriveDependenciesSql: String =
+    """SELECT * FROM (VALUES
+      |  ('dim_geo', 'session_events', 1),
+      |  ('dim_page_type', 'page_view_events', 1),
+      |  ('dim_user_agent', 'session_events', 1),
+      |  ('fact_session_by_minute', 'session_events', 1),
+      |  ('fact_session_by_minute', 'dim_user_agent', 2),
+      |  ('fact_session_by_minute', 'dim_geo', 3),
+      |  ('fact_page_view_by_minute', 'page_view_events', 1),
+      |  ('fact_page_view_by_minute', 'session_events', 2),
+      |  ('fact_page_view_by_minute', 'dim_page_type', 3),
+      |  ('fact_page_view_by_minute', 'referrers', 4),
+      |  ('fact_page_view_by_minute', 'dim_user_agent', 5),
+      |  ('fact_page_view_by_minute', 'dim_geo', 6)
+      |) AS t(table_name, depends_on, position)""".stripMargin
 }
