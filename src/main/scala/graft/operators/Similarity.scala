@@ -350,7 +350,14 @@ object Similarity {
       explode(expr(
         s"concat(array(qbucket), transform(sequence(0, ${nPlanes - 1}), p -> cast(qbucket as bigint) ^ shiftleft(1L, p)))"))
         .as("bucket"))
-    probes
+    // broadcast the probe set, NOT the corpus: Spark's size estimate
+    // can pick the corpus as build side here (it is the one with file
+    // stats), which collects every corpus vector to the driver per run
+    // and is impossible at real corpus scale. The probe set is
+    // queries x (nPlanes+1) rows — always the small side by
+    // construction; the corpus then streams through scan tasks with
+    // its bucket UDF evaluated in parallel, no corpus shuffle at all.
+    broadcast(probes)
       .join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))

@@ -25,27 +25,24 @@ object Probe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
-    time("shinglesRaw exploded") {
-      operators.Dedup.shinglesRaw(docs, "doc_id", "text").write
-        .format("noop").mode("overwrite").save()
+    import org.apache.spark.sql.functions._
+    println(s"[probe] docs rows: ${docs.count()}")
+    def timeNoop3(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      def run(): Unit = f.write.format("noop").mode("overwrite").save()
+      run() // warm
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[probe] $name: median ${times(1)}%.3f s (${times.map(t => f"$t%.3f").mkString(", ")})")
     }
-    time("shingles distinct") {
-      operators.Dedup.shingles(docs, "doc_id", "text").write
-        .format("noop").mode("overwrite").save()
-    }
-    time("minhashSignatures") {
-      operators.Dedup.minhashSignatures(docs, "doc_id", "text").write
-        .format("noop").mode("overwrite").save()
-    }
-    time("minhashLshPairs") {
-      operators.Dedup.minhashLshPairs(docs, "doc_id", "text").write
-        .format("noop").mode("overwrite").save()
-    }
-    time("fact_populate_parent") {
-      Queries.factPopulateParent(spark, sfDir).write
-        .format("noop").mode("overwrite").save()
-    }
-    println(Queries.factPopulateParent(spark, sfDir).queryExecution.executedPlan.toString.take(8000))
+    timeNoop3("docs scan only")(docs.select("doc_id", "text"))
+    timeNoop3("multimodal_decode (current)")(QueriesExt.multimodalDecode(spark, sfDir))
+    timeNoop3("decode columnar (md5/octet_length only)")(
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+        octet_length(col("text").cast("binary")).as("byte_len"),
+        md5(col("text").cast("binary")).as("checksum")))
+    timeNoop3("embed_knn_lsh (current)")(QueriesExt.embedKnnLsh(spark, sfDir))
+    timeNoop3("embed_knn_ivf")(QueriesExt.embedKnnIvf(spark, sfDir))
     spark.stop()
   }
 }
