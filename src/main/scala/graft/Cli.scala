@@ -38,7 +38,7 @@ object Cli {
     "--dependencies-json", "--facts-json", "--dimensions-json",
     "--fk-id-coalesce-value", "--suffix-template")
   private[graft] val modeFlags: Set[String] =
-    Set("--incremental", "--upper", "--no-partition")
+    Set("--incremental", "--upper", "--no-partition", "--bucket-parents")
 
   private[graft] def parseSettings(
       rest: Seq[String], usageExit: String => Nothing): Settings = {
@@ -138,6 +138,14 @@ object Cli {
       new Runner(spark, env, sourceDir, outDir,
         partitionFactsByDay = !rest.contains("--no-partition"),
         stagingSuffix = stagingSuffix)
+    // optional ingest-side bucketing: co-locate parent-join sources so
+    // this and every later refresh runs the parent SMJ exchange-free
+    if (rest.contains("--bucket-parents")) {
+      val i = rest.indexOf("--bucket-parents")
+      val n = rest.lift(i + 1).flatMap(_.toIntOption).filter(_ > 0)
+        .getOrElse(usageExit("--bucket-parents requires a positive bucket count"))
+      runner.bucketParentSources(n)
+    }
     val written =
       if (window.lower.nonEmpty) runner.incrementalRefresh(window)
       else {

@@ -2,6 +2,8 @@ package graft.exec
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.model.{Env, TableConstraint}
+
 /** Bucketed managed-table writes (the D3 `bucketBy` path, SURVEY §2.9):
   * co-locating two tables on their join key lets repeated joins run
   * shuffle-free — at 100 TB the dominant cost of a fact-to-fact or
@@ -24,6 +26,49 @@ object Bucketing {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Bucket keys for every source table participating in a parent-fact
+    * join ([[FactPopulate]]'s F5 LEFT OUTER joins): each child fact
+    * source keyed by its FK columns, each parent source keyed by the
+    * referenced columns. A table pulled into several joins keeps the
+    * first key set (one physical layout per table). */
+  def parentJoinKeys(env: Env): Map[String, Seq[String]] = {
+    import graft.derive.Extractor
+    val keyed = for {
+      fact    <- env.facts
+      fTable  <- env.findTable(fact.tableName).toSeq
+      parent  <- Extractor.extractAllDimensionTables(env, fact)
+                   .map(_._1.tableName).distinct.filter(_ != fact.tableName)
+      fkPairs <- fTable.constraints.collectFirst {
+                   case TableConstraint.ForeignKey(t, ps) if t == parent => ps
+                 }.toSeq
+      entry   <- Seq(fact.tableName -> fkPairs.map(_._1), parent -> fkPairs.map(_._2))
+    } yield entry
+    keyed.groupBy(_._1).map { case (t, ks) => t -> ks.head._2 }
+  }
+
+  /** One-time ingest-side preparation: write every parent-join source
+    * as a managed bucketed table on its join keys (same bucket count on
+    * both sides -> co-located). Returns source name -> bucketed table
+    * name; [[Runner.readSource]] prefers these, after which the
+    * large-large parent SMJ plans with NO exchange on either side —
+    * the shuffle is paid once here instead of on every refresh. */
+  def writeBucketedSources(
+      env: Env,
+      readSource: String => DataFrame,
+      numBuckets: Int,
+      tablePrefix: String = "bkt_"
+  ): Map[String, String] =
+    parentJoinKeys(env).map { case (table, keys) =>
+      val name = tablePrefix + table
+      readSource(table).write
+        .mode("overwrite")
+        .bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+        .saveAsTable(name)
+      table -> name
+    }
 
   /** Join two same-bucketed tables on the bucket column — planner emits
     * a sort-merge join with NO exchange on either side. */

@@ -66,8 +66,28 @@ final class Runner(
     }
   }
 
+  /** Source name -> bucketed managed table, populated by
+    * [[bucketParentSources]]; [[readSource]] prefers these. */
+  private var bucketedSources: Map[String, String] = Map.empty
+
+  /** Pay the parent-join shuffle once at ingest: write each source
+    * table participating in a parent-fact join as a bucketed managed
+    * table on its FK columns. Every subsequent populate reads the
+    * bucketed copies, so the large-large parent sort-merge join plans
+    * without an exchange on either side — at 100 TB that exchange is
+    * the dominant cost of the parent-fact pipeline, and it amortizes
+    * across every refresh after this call. */
+  def bucketParentSources(numBuckets: Int): Map[String, String] = {
+    bucketedSources = Bucketing.writeBucketedSources(
+      env, graft.sources.ParquetTables.readTable(spark, sourceDir, _), numBuckets)
+    bucketedSources
+  }
+
   def readSource(name: String): DataFrame =
-    graft.sources.ParquetTables.readTable(spark, sourceDir, name)
+    bucketedSources.get(name) match {
+      case Some(bucketed) => spark.table(bucketed)
+      case None => graft.sources.ParquetTables.readTable(spark, sourceDir, name)
+    }
 
   def readOut(name: String): DataFrame =
     spark.read.parquet(s"$outDir/$name")

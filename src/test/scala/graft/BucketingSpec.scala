@@ -40,4 +40,42 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     dropTable("b_events"); dropTable("b_users")
   }
+
+  test("parent-fact populate over bucketed sources: exchange-free SMJ, identical result") {
+    import graft.exec.{FactPopulate, Runner}
+    import graft.model.TimeWindow
+    dropTable("bkt_lineitem"); dropTable("bkt_orders")
+    val out    = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val runner = new Runner(spark, Fixtures.tpchEnv, sf("sf0.001"), out)
+    runner.fullRefresh(TimeWindow.unbounded) // dims + plain-path facts
+    val plain = spark.read.parquet(s"$out/fact_line_by_day")
+
+    val mapping = runner.bucketParentSources(8)
+    assert(mapping == Map("lineitem" -> "bkt_lineitem", "orders" -> "bkt_orders"))
+    val lineFact = Fixtures.tpchFacts.find(_.name == "line").get
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the SMJ path for the parent join (at real scale both
+      // sides exceed any broadcast threshold); the explicit broadcast()
+      // on dim lookups is unaffected by the conf
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = FactPopulate.populate(
+        Fixtures.tpchEnv, lineFact, TimeWindow.unbounded, runner.readSource, runner.readOut)
+      bucketed.collect()
+      // AQE plan strings repeat the initial plan; judge the final one
+      val plan = bucketed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // the ONLY shuffle left is the final hash aggregation — the
+      // lineitem/orders join itself moves no data
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+      val a = bucketed.drop("part_count").collect().map(_.toString).sorted.toSeq
+      val b = plain.drop("p_day", "part_count").collect().map(_.toString).sorted.toSeq
+      assert(a == b, "bucketed parent join changed the populate result")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      dropTable("bkt_lineitem"); dropTable("bkt_orders")
+    }
+  }
 }
