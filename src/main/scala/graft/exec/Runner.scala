@@ -174,7 +174,7 @@ final class Runner(
     * Constraints Spark cannot enforce (PK/UK) are emitted as trailing
     * comments; they are verified post-load by [[checkUniqueKeys]]. */
   def emitDdl(): Map[String, String] = {
-    def ddlOf(t: Table, partitioned: Boolean): String = {
+    def ddlOf(t: Table, partitioned: Boolean, indexes: Seq[Seq[String]]): String = {
       val cols = t.columns.map { c =>
         val notNull = if (c.nullable == Nullable.NotNull) " NOT NULL" else ""
         s"  ${c.name} ${SqlTypes.toDataType(c.columnType).sql}$notNull"
@@ -185,19 +185,53 @@ final class Runner(
         case TableConstraint.ForeignKey(o, ps) =>
           s"-- FOREIGN KEY (${ps.map(_._1).mkString(", ")}) REFERENCES $o (${ps.map(_._2).mkString(", ")})"
       }
+      // D2/D3 index selection (`Generator/Create.hs:61-97`), recorded as
+      // comments: parquet has no secondary indexes — the engine-side
+      // analogues are the p_day partition (time) and bucketing (keys)
+      val indexComments = indexes.map(cols =>
+        s"-- create index on ${t.name} (${cols.mkString(", ")}) [parquet analogue: partition/bucket]")
       val part = if (partitioned) "\nPARTITIONED BY (p_day)" else ""
       s"""CREATE TABLE ${t.name} (
          |${cols.mkString(",\n")}
          |) USING PARQUET$part;
-         |${constraints.mkString("\n")}
+         |${(constraints ++ indexComments).mkString("\n")}
          |""".stripMargin
     }
+    // dim rule (`Create.hs:61-69`): index every non-PK column iff the
+    // table has more than one of them
+    def dimIndexes(t: Table): Seq[Seq[String]] = {
+      val pk = t.constraints.collectFirst { case TableConstraint.PrimaryKey(c) => c }
+      val nonPK = t.columns.map(_.name).filterNot(pk.contains)
+      if (nonPK.length > 1) nonPK.map(Seq(_)) else Nil
+    }
+    // fact rule (`Create.hs:75-97`): the time bucket, each degenerate
+    // dim (NoDimId/TenantId), each dim FK id, and (tenant, time bucket)
+    def factIndexes(fact: Fact): Seq[Seq[String]] = {
+      val s = env.settings
+      val timeIdCol = Naming.timeUnitColumnName(
+        s.dimTableIdColumnName, DimPopulate.timeColumnOf(fact), s.timeUnit)
+      val tenantCol = fact.columns.collectFirst {
+        case FactColumn(c, FactColumnKind.TenantId) => c
+      }
+      val factCols = fact.columns.collect {
+        case FactColumn(_, FactColumnKind.DimTime)  => timeIdCol
+        case FactColumn(c, FactColumnKind.NoDimId)  => c
+        case FactColumn(c, FactColumnKind.TenantId) => c
+      }
+      val dimCols = Extractor.extractAllDimensionTables(env, fact).map {
+        case (dimFact, dimTable) =>
+          Naming.factDimFKIdColumnName(
+            s.dimPrefix, s.dimTableIdColumnName, dimFact, dimTable, env.tables)
+      }
+      factCols.map(Seq(_)) ++ dimCols.map(Seq(_)) ++
+        tenantCol.map(c => Seq(c, timeIdCol)).toSeq
+    }
     val dims = derivedDims.map { case (_, dimTable) =>
-      dimTable.name -> ddlOf(dimTable, partitioned = false)
+      dimTable.name -> ddlOf(dimTable, partitioned = false, dimIndexes(dimTable))
     }
     val facts = factsInTopoOrder.filter(_.persistent).map { fact =>
       val t = Extractor.extractFactTable(env, fact)
-      factTableNameOf(fact) -> ddlOf(t, partitioned = partitionFactsByDay)
+      factTableNameOf(fact) -> ddlOf(t, partitioned = partitionFactsByDay, factIndexes(fact))
     }
     (dims ++ facts).toMap
   }

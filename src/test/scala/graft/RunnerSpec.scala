@@ -149,6 +149,18 @@ class RunnerSpec extends SparkSpec {
     assert(fact.contains("created_at_minute_id BIGINT NOT NULL"))
     assert(fact.contains("p_day BIGINT")) // matches the written epoch-day long, not DATE
     assert(fact.contains("PARTITIONED BY (p_day)"))
+    // D2/D3 index selection recorded as comments (reference golden
+    // Ringo.hs:247-257, 300-310)
+    for (c <- Seq("country_name", "city_name", "continent_name"))
+      assert(geo.contains(s"-- create index on dim_geo ($c)"), c)
+    for (c <- Seq("created_at_minute_id", "publisher_id", "geo_id", "user_agent_id"))
+      assert(fact.contains(s"-- create index on fact_session_by_minute ($c)"), c)
+    // single-non-PK-column dims get no indexes (Create.hs:68 guard)
+    assert(!ddl("dim_page_type").contains("create index"))
+    // TenantId facts get the composite (tenant, time) index
+    val tenant = new Runner(spark, Fixtures.tenantEnv, sf("sf0.001"), tempDir()).emitDdl()
+    assert(tenant("fact_order_by_tenant_by_day").contains(
+      "-- create index on fact_order_by_tenant_by_day (o_custkey, o_orderdate_day_id)"))
   }
 
   test("metadata JSON sinks") {
