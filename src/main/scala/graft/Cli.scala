@@ -79,7 +79,14 @@ object Cli {
   }
 
   private val usage =
-    "usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR [--incremental LO HI] [--upper HI] [--no-partition]"
+    """usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR
+      |  [--incremental LO HI | --upper HI]  [--no-partition]  [--bucket-parents N]
+      |  [--dim-prefix P] [--fact-prefix P] [--time-unit U] [--fact-infix I]
+      |  [--avg-count-col-suffix S] [--avg-sum-col-suffix S]
+      |  [--dim-id-col-name N] [--dim-id-col-type T] [--fact-count-col-type T]
+      |  [--count-distinct-error-rate R] [--fk-id-coalesce-value V]
+      |  [--dependencies-json F] [--facts-json F] [--dimensions-json F]
+      |  [--suffix-template T]""".stripMargin
 
   /** Argument/model problem; [[main]] prints the message and exits with
     * the carried code (2 = usage, 1 = validation), tests catch it. */
@@ -88,8 +95,10 @@ object Cli {
   /** The whole CLI pipeline against a provided session (does not stop
     * it, does not call `sys.exit`): parse -> validate -> populate ->
     * swap staging -> emit artifacts -> quality checks. Returns the
-    * UNIQUE-key violations (empty = clean run). */
-  private[graft] def run(args: Seq[String], spark: SparkSession): Seq[(String, String, Long)] = {
+    * UNIQUE-key violations (empty = clean run). The session is by-name
+    * and only forced AFTER argument + model validation, so usage errors
+    * never pay Spark startup. */
+  private[graft] def run(args: Seq[String], sparkSession: => SparkSession): Seq[(String, String, Long)] = {
     if (args.length < 3) throw CliError(usage, 2)
     val Seq(modelPath, sourceDir, outDir) = args.take(3)
     val rest = args.drop(3)
@@ -134,6 +143,7 @@ object Cli {
     val stagingSuffix =
       if (window.lower.nonEmpty) "" // incremental appends to live tables
       else Naming.resolveSuffixTemplate(settings.tableNameSuffixTemplate, "_staging")
+    val spark = sparkSession // first use: validation passed, start Spark
     val runner =
       new Runner(spark, env, sourceDir, outDir,
         partitionFactsByDay = !rest.contains("--no-partition"),
@@ -182,23 +192,29 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the session is built lazily by run() AFTER arg/model validation:
+    // usage errors print immediately instead of booting Spark first
+    lazy val spark: SparkSession = {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var started = false
     val violations =
-      try run(args.toSeq, spark)
+      try run(args.toSeq, { started = true; spark })
       catch {
         case CliError(msg, code) =>
           System.err.println(msg)
-          spark.stop()
+          if (started) spark.stop()
           sys.exit(code)
       }
     violations.foreach { case (t, c, n) =>

@@ -48,27 +48,57 @@ object Bucketing {
   }
 
   /** One-time ingest-side preparation: write every parent-join source
-    * as a managed bucketed table on its join keys (same bucket count on
-    * both sides -> co-located). Returns source name -> bucketed table
-    * name; [[Runner.readSource]] prefers these, after which the
+    * as an EXTERNAL bucketed table on its join keys (same bucket count
+    * on both sides -> co-located). Returns source name -> bucketed
+    * table name; [[Runner.readSource]] prefers these, after which the
     * large-large parent SMJ plans with NO exchange on either side —
-    * the shuffle is paid once here instead of on every refresh. */
+    * the shuffle is paid once here and amortizes across refreshes:
+    *
+    *  - data lives under `<dataDir>/<table>` (NOT the session
+    *    warehouse), so two pipelines with different output dirs never
+    *    clobber each other's buckets;
+    *  - catalog names carry a hash of `dataDir` for the same reason;
+    *  - if the bucketed data already exists on disk (a previous run,
+    *    possibly a previous SESSION), it is re-registered instead of
+    *    rewritten — the ingest shuffle is genuinely paid once.
+    */
   def writeBucketedSources(
+      spark: SparkSession,
       env: Env,
       readSource: String => DataFrame,
       numBuckets: Int,
-      tablePrefix: String = "bkt_"
-  ): Map[String, String] =
+      dataDir: String
+  ): Map[String, String] = {
+    val scope = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dataDir).toLong & 0xFFFFFFFFL)
     parentJoinKeys(env).map { case (table, keys) =>
-      val name = tablePrefix + table
-      readSource(table).write
-        .mode("overwrite")
-        .bucketBy(numBuckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .format("parquet")
-        .saveAsTable(name)
+      val name = s"bkt_${table}_$scope"
+      val path = new org.apache.hadoop.fs.Path(dataDir, table)
+      val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (spark.catalog.tableExists(name)) {
+        // same-session rerun: buckets already written and registered
+      } else if (fs.exists(path)) {
+        // cross-session reuse: data on disk, catalog (in-memory) forgot
+        // it — re-register the external bucketed table over the path
+        val schemaDdl = readSource(table).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
+             |CLUSTERED BY (${keys.mkString(", ")})
+             |SORTED BY (${keys.mkString(", ")})
+             |INTO $numBuckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      } else {
+        readSource(table).write
+          .mode("overwrite")
+          .bucketBy(numBuckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .option("path", path.toString)
+          .format("parquet")
+          .saveAsTable(name)
+      }
       table -> name
     }
+  }
 
   /** Join two same-bucketed tables on the bucket column — planner emits
     * a sort-merge join with NO exchange on either side. */

@@ -55,20 +55,31 @@ object Rollup {
     // long and wraps silently in non-ANSI sessions) and range-checking
     // against Long bounds.
     def checkedSum(cName: String): Column = {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
       val dt = populated.schema(cName).dataType
-      def guarded(summed: Column, lo: Long, hi: Long): Column =
+      def guarded(summed: Column, lo: Column, hi: Column): Column =
         when(summed > hi || summed < lo,
           raise_error(concat(
             lit(s"rollup count overflow in '$cName': "), summed.cast("string"),
             lit(s" does not fit ${dt.simpleString}"))).cast(dt))
           .otherwise(summed.cast(dt)).as(cName)
+      def longGuard(summed: Column, lo: Long, hi: Long): Column =
+        guarded(summed, lit(lo), lit(hi))
       dt match {
-        case IntegerType => guarded(sum(col(cName)), Int.MinValue.toLong, Int.MaxValue.toLong)
-        case ShortType   => guarded(sum(col(cName)), Short.MinValue.toLong, Short.MaxValue.toLong)
-        case ByteType    => guarded(sum(col(cName)), Byte.MinValue.toLong, Byte.MaxValue.toLong)
-        case LongType    => guarded(sum(col(cName).cast("decimal(38,0)")), Long.MinValue, Long.MaxValue)
-        case _           => sum(col(cName)).cast(dt).as(cName) // decimal: sum widens, holds it
+        case IntegerType => longGuard(sum(col(cName)), Int.MinValue.toLong, Int.MaxValue.toLong)
+        case ShortType   => longGuard(sum(col(cName)), Short.MinValue.toLong, Short.MaxValue.toLong)
+        case ByteType    => longGuard(sum(col(cName)), Byte.MinValue.toLong, Byte.MaxValue.toLong)
+        case LongType    => longGuard(sum(col(cName).cast("decimal(38,0)")), Long.MinValue, Long.MaxValue)
+        case d: DecimalType =>
+          // sum() widens the decimal, but casting the widened sum back
+          // to the DECLARED precision NULLs (non-ANSI) or throws with a
+          // generic message — guard explicitly so narrow decimal counts
+          // fail as loudly as integer ones
+          val bound = BigDecimal(10).pow(d.precision - d.scale) -
+            BigDecimal(1) / BigDecimal(10).pow(d.scale) // max representable
+          guarded(sum(col(cName)), lit(-bound).cast(s"decimal(38,${d.scale})"),
+            lit(bound).cast(s"decimal(38,${d.scale})"))
+        case _ => sum(col(cName)).cast(dt).as(cName)
       }
     }
 

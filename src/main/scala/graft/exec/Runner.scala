@@ -79,7 +79,8 @@ final class Runner(
     * across every refresh after this call. */
   def bucketParentSources(numBuckets: Int): Map[String, String] = {
     bucketedSources = Bucketing.writeBucketedSources(
-      env, graft.sources.ParquetTables.readTable(spark, sourceDir, _), numBuckets)
+      spark, env, graft.sources.ParquetTables.readTable(spark, sourceDir, _),
+      numBuckets, dataDir = s"$outDir/_bucketed")
     bucketedSources
   }
 

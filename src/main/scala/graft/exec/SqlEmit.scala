@@ -263,7 +263,16 @@ object SqlEmit {
     val distinct = if (hasAggs) "" else "DISTINCT\n    "
     val groupBy =
       if (hasAggs) s"\n  GROUP BY\n    ${groupKeys.mkString(",\n    ")}" else ""
-    s"""$insertVerb $target (${allCols.map(_._1).mkString(", ")})
+    // record the sketch width the engine uses: sketch_build must be
+    // registered with the SAME m or merged sketches silently mix
+    // incompatible widths (RegisterSketch.registerSql scaladoc)
+    val sketchHeader =
+      if (fact.columns.exists(_.kind.isInstanceOf[FactCountDistinct])) {
+        val m = graft.functions.RegisterSketch.bucketCount(s.factCountDistinctErrorRate)
+        s"-- requires: RegisterSketch.registerSql(spark, m = $m)  " +
+          s"-- error rate ${s.factCountDistinctErrorRate}\n"
+      } else ""
+    s"""$sketchHeader$insertVerb $target (${allCols.map(_._1).mkString(", ")})
        |SELECT $broadcastHint$distinct
        |    $selectSql
        |  FROM

@@ -180,10 +180,9 @@ object Dedup {
     }
     val banded = sigs
       .select(col(idCol), posexplode(bandUdf(col("sig"))).as(Seq("band", "bh")))
-    val bucketed = banded
+    val bucketed = capBuckets(banded, Seq("band", "bh"), maxBucket)
       .groupBy("band", "bh")
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
     val candidates = bucketed
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', least(x, y), 'b', greatest(x, y)))))"))
@@ -199,6 +198,24 @@ object Dedup {
       .distinct()
     val restricted = docs.join(candDocs, Seq(idCol), "left_semi")
     ngramJaccardForPairs(restricted, idCol, textCol, candidates, n, minJaccard)
+  }
+
+  /** Keep only rows whose bucket has between 2 and `maxBucket` members,
+    * BEFORE any collect_list materializes the bucket: filtering on
+    * `size(collect_list(...))` would first build the full member array
+    * of a degenerate bucket in a single aggregation buffer — the guard
+    * itself OOMing on exactly the bucket it exists to drop. The
+    * pre-count is a cheap partial-aggregated count shuffle; the
+    * follow-up semi join lands on the same (key) partitioning the
+    * caller's collect_list groupBy needs, so it adds no third
+    * exchange. */
+  private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val ok = rows
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+      .select(keys.map(col): _*)
+    rows.join(ok, keys, "left_semi")
   }
 
   /** Exact Jaccard evaluated only for the given candidate (doc_a, doc_b)
@@ -279,10 +296,9 @@ object Dedup {
         "transform(sequence(0, 3), b -> named_struct('band', b, 'chunk', shiftright(simhash, b * 16) & 65535))"))
         .as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-    val bucketed = banded
+    val bucketed = capBuckets(banded, Seq("band", "chunk"), maxBucket)
       .groupBy("band", "chunk")
       .agg(collect_list(struct(col(idCol), col("simhash"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
     // sort_array orders struct members by id (first field), so x always
     // precedes y and the emitted pair is already (min, max) — the same
     // slice-based intra-bucket pairing as minhashLshPairs
@@ -312,47 +328,68 @@ object Dedup {
     * call FAILS rather than silently returning partial clusters
     * (callers compare against exact transitive closures).
     * Returns (doc, cluster_rep). */
+  /** A materialized label snapshot with a RELEASABLE storage handle.
+    * `Dataset.unpersist` cannot free `localCheckpoint` blocks (the
+    * CacheManager never tracked them), so rounds checkpoint manually:
+    * persist the Row RDD, wrap it in a fresh leaf plan (the Catalyst
+    * lineage truncation that keeps per-round self-joins from doubling
+    * the logical plan), and `release()` the RDD blocks once superseded.
+    * MEMORY_AND_DISK persistence (unlike localCheckpoint's truncated
+    * RDD lineage) also stays recomputable if an executor drops a
+    * block. */
+  private final case class Snapshot(
+      df: DataFrame, private val rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) {
+    def release(): Unit = rdd.unpersist(blocking = false)
+  }
+
+  private def snapshot(df: DataFrame): Snapshot = {
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager materialization, like localCheckpoint(true)
+    Snapshot(df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .cache()
     // every round re-derives from the previous round's MATERIALIZED
-    // labels: localCheckpoint truncates lineage, without which the
-    // self-referencing joins double the logical plan per round and
-    // Catalyst planning blows up after ~8 rounds
-    var labels = edges.select(col("a").as("doc"))
-      .union(edges.select(col("b").as("doc")))
-      .distinct()
-      .withColumn("rep", col("doc"))
-      .localCheckpoint(true)
+    // labels ([[snapshot]]), without which the self-referencing joins
+    // double the logical plan per round and Catalyst planning blows up
+    // after ~8 rounds
+    var labels = snapshot(
+      edges.select(col("a").as("doc"))
+        .union(edges.select(col("b").as("doc")))
+        .distinct()
+        .withColumn("rep", col("doc")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // each doc adopts the smallest rep among itself and its neighbors
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc", "b").withColumnRenamed("rep", "nrep"), Seq("b"))
+        .join(labels.df.withColumnRenamed("doc", "b").withColumnRenamed("rep", "nrep"), Seq("b"))
         .groupBy(col("a").as("doc"))
         .agg(min(col("nrep")).as("nrep"))
-      val oneHop = labels
-        .join(viaNeighbors, Seq("doc"), "left_outer")
-        .select(col("doc"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
+      val oneHop = snapshot(
+        labels.df
+          .join(viaNeighbors, Seq("doc"), "left_outer")
+          .select(col("doc"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")))
       // pointer jumping: rep := min(rep, rep's rep) — path lengths halve
       // per round, so long chains converge in O(log diameter) rounds
       // instead of one hop per round
-      val updated = oneHop
-        .join(oneHop.select(col("doc").as("rep"), col("rep").as("rep2")), Seq("rep"), "left_outer")
-        .select(col("doc"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("rep", "prev"), Seq("doc"))
+      val updated = snapshot(
+        oneHop.df
+          .join(oneHop.df.select(col("doc").as("rep"), col("rep").as("rep2")), Seq("rep"), "left_outer")
+          .select(col("doc"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep")))
+      converged = updated.df.join(labels.df.withColumnRenamed("rep", "prev"), Seq("doc"))
         .filter(col("rep") =!= col("prev")).isEmpty
-      // updated is eagerly materialized and the convergence probe has
-      // consumed the old labels — drop the superseded checkpoints now,
-      // or a slow-converging graph pins up to 2*maxIter label sets in
+      // updated is materialized and the convergence probe has consumed
+      // the old labels — release the superseded snapshots now, or a
+      // slow-converging graph pins up to 2*maxIter label sets in
       // executor storage
-      labels.unpersist()
-      oneHop.unpersist()
+      labels.release()
+      oneHop.release()
       labels = updated
       i += 1
     }
@@ -360,7 +397,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter rounds")
-    labels
+    labels.df
   }
 
   /** Survivor view: keep one doc (the minimum id) per near-duplicate

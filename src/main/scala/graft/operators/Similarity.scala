@@ -333,7 +333,13 @@ object Similarity {
   /** Approximate top-k: candidates share the query's LSH bucket or any
     * bucket at hamming distance 1 (multi-probe), exact cosine rerank
     * within candidates. The corpus is shuffled once on bucket id; each
-    * query probes nPlanes+1 buckets. */
+    * query probes nPlanes+1 buckets.
+    *
+    * Contract: `queries` is a LOOKUP SET and must be broadcastable —
+    * it is explicitly broadcast (times nPlanes+1 probe rows) so the
+    * corpus streams shuffle-free. For corpus-scale "neighbors of
+    * everything" passes use [[cosineNearDupPairsLsh]] (banded self-join,
+    * no broadcast) instead of passing the corpus as queries. */
   def lshKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nPlanes: Int = 12

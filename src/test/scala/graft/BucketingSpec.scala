@@ -44,14 +44,24 @@ class BucketingSpec extends SparkSpec {
   test("parent-fact populate over bucketed sources: exchange-free SMJ, identical result") {
     import graft.exec.{FactPopulate, Runner}
     import graft.model.TimeWindow
-    dropTable("bkt_lineitem"); dropTable("bkt_orders")
     val out    = java.nio.file.Files.createTempDirectory("graft-bkt").toString
     val runner = new Runner(spark, Fixtures.tpchEnv, sf("sf0.001"), out)
     runner.fullRefresh(TimeWindow.unbounded) // dims + plain-path facts
     val plain = spark.read.parquet(s"$out/fact_line_by_day")
 
     val mapping = runner.bucketParentSources(8)
-    assert(mapping == Map("lineitem" -> "bkt_lineitem", "orders" -> "bkt_orders"))
+    assert(mapping.keySet == Set("lineitem", "orders"))
+    // data lives under outDir (not the shared warehouse) so parallel
+    // pipelines never clobber each other's buckets
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_bucketed", "lineitem")))
+    // rerun reuses the registered tables; a fresh session would
+    // re-register over the existing path — simulate by dropping the
+    // catalog entries (keeping the data) and calling again
+    mapping.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_bucketed", "lineitem")),
+      "DROP TABLE of the external bucketed table must keep the data")
+    val remapped = runner.bucketParentSources(8)
+    assert(remapped == mapping)
     val lineFact = Fixtures.tpchFacts.find(_.name == "line").get
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -75,7 +85,7 @@ class BucketingSpec extends SparkSpec {
       assert(a == b, "bucketed parent join changed the populate result")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      dropTable("bkt_lineitem"); dropTable("bkt_orders")
+      mapping.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }

@@ -63,5 +63,17 @@ class RollupSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("rollup count overflow")))
+
+    // narrow DECIMAL counts get the same fail-loud guard (a plain cast
+    // of the widened sum would NULL in non-ANSI sessions)
+    val decimalCounts = minuteGrain.withColumn(
+      "event_count", lit(BigDecimal(99999)).cast("decimal(5,0)"))
+    val ex2 = intercept[Exception] {
+      Rollup.toCoarser(eventsEnv, fact, decimalCounts, TimeUnit.Hour).collect()
+    }
+    assert(messages(ex2).exists(_.contains("rollup count overflow")))
+    // and a non-overflowing decimal count rolls up cleanly
+    val small = minuteGrain.withColumn("event_count", lit(BigDecimal(1)).cast("decimal(5,0)"))
+    Rollup.toCoarser(eventsEnv, fact, small, TimeUnit.Hour).collect()
   }
 }
