@@ -131,4 +131,34 @@ class SqlEmitSpec extends SparkSpec {
       spark.catalog.dropTempView("events")
     }
   }
+
+  test("emitted SQL reproduces the parent-join + sketch pipeline (tpch model)") {
+    RegisterSketch.registerSql(spark)
+    val hi = java.sql.Timestamp.valueOf("2002-01-01 00:00:00")
+
+    val out    = Files.createTempDirectory("graft-sqlemit-tpch").toString
+    val runner = new Runner(spark, Fixtures.tpchEnv, sf("sf0.001"), out)
+    runner.fullRefresh(TimeWindow.upTo(hi))
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS sqlemit2")
+    spark.catalog.setCurrentDatabase("sqlemit2")
+    try {
+      Seq("orders", "lineitem", "customer")
+        .foreach(t => runner.readSource(t).createOrReplaceTempView(t))
+      runner.emitDdl().foreach { case (_, ddl) => runDdl(ddl) }
+      val full = runner.emitPopulateSql(PopulationMode.Full)
+      val tables = Seq(
+        "dim_order_status", "dim_order_priority", "dim_line_status",
+        "fact_order_by_day", "fact_line_by_day")
+      tables.foreach(t => runSql(full(t), hi))
+      tables.foreach { t =>
+        assert(contents(spark.table(t)) == contents(spark.read.parquet(s"$out/$t")),
+          s"emitted SQL diverged from the engine for $t")
+      }
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP DATABASE IF EXISTS sqlemit2 CASCADE")
+      Seq("orders", "lineitem", "customer").foreach(spark.catalog.dropTempView)
+    }
+  }
 }
