@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (SURVEY §7.1 step 7): dedup,
   * similarity search, text analysis, multimodal plumbing — with DuckDB
@@ -318,5 +318,50 @@ object QueriesExt {
        |       CAST(i * 256 AS INTEGER) AS frame_offset,
        |       CAST(least(256, blen - i * 256) AS INTEGER) AS frame_bytes
        |FROM p, unnest(generate_series(0, CAST(ceil(blen / 256.0) AS BIGINT) - 1)) AS t(i)
+       |""".stripMargin
+
+  // ================================================================ sampling
+  /** Deterministic 10% decimation keyed by doc_id (salt "graft"): the
+    * oracle checks literal MEMBERSHIP, not just the count — the whole
+    * point of hash sampling is that any engine reproduces the same
+    * subset. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(docs(s, dir), "doc_id", fraction = 0.1, salt = "graft")
+      .select(col("doc_id"), length(col("text")).cast("int").as("text_len"))
+
+  lazy val sampleHashSql: String =
+    // hexThreshold(0.1) = floor(0.1 * 65536) = 6553 = 0x1999
+    s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len
+       |FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < '1999'
+       |""".stripMargin
+
+  /** Stable train/valid/test assignment (80/10/10) keyed by doc_id:
+    * a row's split never changes when other rows come or go. */
+  def sampleSplits(s: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplits(docs(s, dir), "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+
+  lazy val sampleSplitsSql: String =
+    // cumulative thresholds: 0.8 -> 0xcccc, 0.9 -> 0xe666
+    s"""SELECT doc_id,
+       |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+       |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+       |            ELSE 'test' END AS split
+       |FROM documents
+       |""".stripMargin
+
+  // ================================================================ text normalization
+  /** Normalized text as a materialized column (the shared preprocessing
+    * of every text operator, exposed as its own output). */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.normalized(col("text")).as("norm_text"))
+
+  lazy val textNormalizeSql: String =
+    s"""SELECT doc_id, $normSql AS norm_text
+       |FROM documents
        |""".stripMargin
 }

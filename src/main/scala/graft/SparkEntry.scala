@@ -40,8 +40,12 @@ object SparkEntry {
     "derive_schemas"      -> (Queries.deriveSchemas _),
     "derive_dependencies" -> (Queries.deriveDependencies _),
     "validate_errors"     -> (Queries.validateErrors _),
-    // training-data extensions: text analysis
-    "text_stats" -> (QueriesExt.textStats _),
+    // training-data extensions: text analysis + normalization
+    "text_stats"     -> (QueriesExt.textStats _),
+    "text_normalize" -> (QueriesExt.textNormalize _),
+    // deterministic hash sampling / split assignment
+    "sample_hash"   -> (QueriesExt.sampleHash _),
+    "sample_splits" -> (QueriesExt.sampleSplits _),
     // dedup family
     "dedup_exact"         -> (QueriesExt.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
@@ -79,6 +83,9 @@ object SparkEntry {
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,
     "text_stats"                -> QueriesExt.textStatsSql,
+    "text_normalize"            -> QueriesExt.textNormalizeSql,
+    "sample_hash"               -> QueriesExt.sampleHashSql,
+    "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,

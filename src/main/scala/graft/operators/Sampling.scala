@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling — the reproducibility primitive
+  * of a training-data pipeline (corpus decimation, held-out splits,
+  * A/B slices). Where `rand()`-based sampling changes membership on
+  * every run/partitioning, hash sampling is a pure per-row function of
+  * (key, salt): stable across runs, engines and cluster layouts, and
+  * exactly reproducible by any system with md5 (the DuckDB oracles
+  * compare the literal membership, not just counts).
+  *
+  * Mechanics: the first `HexDigits` hex chars of `md5(key || salt)`
+  * are compared lexically against a threshold — uniform over 16^4
+  * buckets, scan-local (codegen'd md5, zero shuffle), O(1) state.
+  * Different salts give independent samples; the same salt gives the
+  * same sample anywhere.
+  */
+object Sampling {
+
+  private val HexDigits = 4
+  private val Buckets   = 1 << (4 * HexDigits) // 65536
+
+  /** Zero-padded lowercase hex threshold for `fraction`: rows with
+    * hash prefix strictly below it are in-sample — exactly
+    * `floor(fraction * 65536)` of the 65536 buckets. */
+  private[graft] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    val b = math.floor(fraction * Buckets).toLong
+    // "g" sorts above every hex char, so fraction 1.0 keeps everything
+    // (a 5-char "10000" would compare lexically BELOW "ffff")
+    if (b >= Buckets) "g" else f"$b%04x"
+  }
+
+  /** The 4-hex-char bucket key of a row. */
+  private def bucketKey(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, HexDigits)
+
+  /** Keep a deterministic `fraction` of rows, keyed by `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame =
+    df.filter(bucketKey(col(keyCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Assign every row to a named split with the given weights (summing
+    * to <= 1; any remainder falls into the LAST split, so (train 0.8,
+    * valid 0.1, test 0.1) is exhaustive and disjoint by construction).
+    * Membership is stable under corpus growth: a row's split never
+    * changes when other rows are added or removed. */
+  def assignSplits(
+      df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], salt: String = ""
+  ): DataFrame = {
+    require(weights.nonEmpty, "at least one split required")
+    require(weights.map(_._2).sum <= 1.0 + 1e-9, "split weights must sum to <= 1")
+    val key = bucketKey(col(keyCol), salt)
+    val cumulative = weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .zip(weights.init.map(_._1))
+    // thresholds are cumulative, so the FIRST matching when-branch must
+    // win: build the chain inside-out so branches keep declaration order
+    val ordered = cumulative.reverse.foldLeft(lit(weights.last._1): Column) {
+      case (elseCol, (cum, name)) => when(key < lit(hexThreshold(cum)), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", ordered)
+  }
+}

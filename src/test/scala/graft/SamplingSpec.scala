@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic hash sampling: reproducible membership, weight
+  * accuracy, disjoint/exhaustive splits, salt independence, and
+  * stability under corpus growth (the properties rand()-sampling
+  * lacks). */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs =
+    sources.ParquetTables.readTable(spark, sf("sf0.01"), "documents")
+
+  test("hexThreshold boundaries") {
+    assert(Sampling.hexThreshold(0.0) == "0000") // empty sample
+    assert(Sampling.hexThreshold(0.1) == "1999")
+    assert(Sampling.hexThreshold(0.8) == "cccc")
+    assert(Sampling.hexThreshold(1.0) == "g") // sorts above every hex char
+  }
+
+  test("hash sample: deterministic membership, fraction within tolerance") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.2, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.2, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same key+salt must give the same sample")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.2) < 0.03, s"got ${a.size / n}, wanted ~0.2")
+    // a different salt draws an independent sample (not the same set)
+    val c = Sampling.hashSample(docs, "doc_id", 0.2, salt = "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c != a)
+    // independence: overlap ~ 0.2 * 0.2 of the corpus
+    assert(math.abs(a.intersect(c).size / n - 0.04) < 0.02)
+    // fraction 1.0 keeps everything ("g" threshold edge)
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == n.toLong)
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
+  }
+
+  test("splits: disjoint, exhaustive, weighted, stable under growth") {
+    val weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.assignSplits(docs, "doc_id", weights)
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts.values.sum == n.toLong, "splits must be exhaustive")
+    assert(math.abs(counts("train") / n - 0.8) < 0.03)
+    assert(math.abs(counts("valid") / n - 0.1) < 0.02)
+    assert(math.abs(counts("test") / n - 0.1) < 0.02)
+    // membership is a pure function of the key: assigning over a SUBSET
+    // of the corpus gives every surviving row the same split
+    val subsetAssign = Sampling.assignSplits(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", weights)
+      .select("doc_id", "split")
+    val full = assigned.select("doc_id", "split")
+      .withColumnRenamed("split", "full_split")
+    assert(subsetAssign.join(full, "doc_id")
+      .filter(col("split") =!= col("full_split")).count() == 0L)
+  }
+}
