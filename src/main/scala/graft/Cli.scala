@@ -143,6 +143,15 @@ object Cli {
     val stagingSuffix =
       if (window.lower.nonEmpty) "" // incremental appends to live tables
       else Naming.resolveSuffixTemplate(settings.tableNameSuffixTemplate, "_staging")
+    // validate the bucket count BEFORE forcing the session: every usage
+    // error must print without paying Spark startup
+    val bucketParents: Option[Int] =
+      if (!rest.contains("--bucket-parents")) None
+      else {
+        val i = rest.indexOf("--bucket-parents")
+        Some(rest.lift(i + 1).flatMap(_.toIntOption).filter(_ > 0)
+          .getOrElse(usageExit("--bucket-parents requires a positive bucket count")))
+      }
     val spark = sparkSession // first use: validation passed, start Spark
     val runner =
       new Runner(spark, env, sourceDir, outDir,
@@ -150,12 +159,7 @@ object Cli {
         stagingSuffix = stagingSuffix)
     // optional ingest-side bucketing: co-locate parent-join sources so
     // this and every later refresh runs the parent SMJ exchange-free
-    if (rest.contains("--bucket-parents")) {
-      val i = rest.indexOf("--bucket-parents")
-      val n = rest.lift(i + 1).flatMap(_.toIntOption).filter(_ > 0)
-        .getOrElse(usageExit("--bucket-parents requires a positive bucket count"))
-      runner.bucketParentSources(n)
-    }
+    bucketParents.foreach(runner.bucketParentSources)
     val written =
       if (window.lower.nonEmpty) runner.incrementalRefresh(window)
       else {

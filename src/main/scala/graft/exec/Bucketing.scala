@@ -67,36 +67,80 @@ object Bucketing {
       env: Env,
       readSource: String => DataFrame,
       numBuckets: Int,
-      dataDir: String
+      dataDir: String,
+      sourceSignature: String => String = _ => ""
   ): Map[String, String] = {
+    import org.apache.hadoop.fs.Path
     val scope = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dataDir).toLong & 0xFFFFFFFFL)
     parentJoinKeys(env).map { case (table, keys) =>
-      val name = s"bkt_${table}_$scope"
-      val path = new org.apache.hadoop.fs.Path(dataDir, table)
-      val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (spark.catalog.tableExists(name)) {
-        // same-session rerun: buckets already written and registered
-      } else if (fs.exists(path)) {
-        // cross-session reuse: data on disk, catalog (in-memory) forgot
-        // it — re-register the external bucketed table over the path
-        val schemaDdl = readSource(table).schema.toDDL
+      val name     = s"bkt_${table}_$scope"
+      val path     = new Path(dataDir, table)
+      val fs       = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val df       = readSource(table)
+      // the marker is written only AFTER a successful bucket write and
+      // encodes everything reuse depends on: a crashed write leaves no
+      // marker (partial data is rewritten, never trusted); a different
+      // bucket count/key set (would silently lose rows from bucketed
+      // scans) or refreshed/reshaped source data forces a rewrite
+      val expectedMeta = Seq(
+        s"numBuckets=$numBuckets",
+        s"keys=${keys.mkString(",")}",
+        s"schema=${df.schema.toDDL}",
+        s"source=${sourceSignature(table)}").mkString("\n")
+      val metaPath = new Path(dataDir, s"$table._graft_buckets")
+      def readMeta(): Option[String] =
+        if (!fs.exists(metaPath)) None
+        else {
+          val in = fs.open(metaPath)
+          try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        }
+      val reusable = readMeta().contains(expectedMeta)
+      if (reusable && spark.catalog.tableExists(name)) {
+        // same-session rerun over unchanged sources: nothing to do
+      } else if (reusable) {
+        // cross-session reuse: valid data on disk, catalog (in-memory)
+        // forgot it — re-register the external bucketed table
         spark.sql(
-          s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
+          s"""CREATE TABLE $name (${df.schema.toDDL}) USING PARQUET
              |CLUSTERED BY (${keys.mkString(", ")})
              |SORTED BY (${keys.mkString(", ")})
              |INTO $numBuckets BUCKETS
              |LOCATION '$path'""".stripMargin)
       } else {
-        readSource(table).write
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        if (fs.exists(metaPath)) fs.delete(metaPath, false)
+        df.write
           .mode("overwrite")
           .bucketBy(numBuckets, keys.head, keys.tail: _*)
           .sortBy(keys.head, keys.tail: _*)
           .option("path", path.toString)
           .format("parquet")
           .saveAsTable(name)
+        val out = fs.create(metaPath, true)
+        try out.write(expectedMeta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
       table -> name
+    }
+  }
+
+  /** Cheap change signature of a source parquet path: file count +
+    * total bytes + newest modification time. Any ingest that adds,
+    * rewrites or grows files changes it, invalidating bucket reuse. */
+  def pathSignature(spark: SparkSession, path: String): String = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L; var bytes = 0L; var mtime = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        n += 1; bytes += f.getLen; mtime = math.max(mtime, f.getModificationTime)
+      }
+      s"$n:$bytes:$mtime"
     }
   }
 

@@ -62,10 +62,10 @@ object Rollup {
           raise_error(concat(
             lit(s"rollup count overflow in '$cName': "), summed.cast("string"),
             lit(s" does not fit ${dt.simpleString}"))).cast(dt))
-          .otherwise(summed.cast(dt)).as(cName)
+          .otherwise(summed.cast(dt))
       def longGuard(summed: Column, lo: Long, hi: Long): Column =
         guarded(summed, lit(lo), lit(hi))
-      dt match {
+      val checked = dt match {
         case IntegerType => longGuard(sum(col(cName)), Int.MinValue.toLong, Int.MaxValue.toLong)
         case ShortType   => longGuard(sum(col(cName)), Short.MinValue.toLong, Short.MaxValue.toLong)
         case ByteType    => longGuard(sum(col(cName)), Byte.MinValue.toLong, Byte.MaxValue.toLong)
@@ -74,13 +74,22 @@ object Rollup {
           // sum() widens the decimal, but casting the widened sum back
           // to the DECLARED precision NULLs (non-ANSI) or throws with a
           // generic message — guard explicitly so narrow decimal counts
-          // fail as loudly as integer ones
+          // fail as loudly as integer ones. For precision near 38 the
+          // widened SUM itself caps at decimal(38,s) and can overflow
+          // to NULL before the range check sees it, so a null sum over
+          // non-null inputs also raises.
           val bound = BigDecimal(10).pow(d.precision - d.scale) -
             BigDecimal(1) / BigDecimal(10).pow(d.scale) // max representable
-          guarded(sum(col(cName)), lit(-bound).cast(s"decimal(38,${d.scale})"),
-            lit(bound).cast(s"decimal(38,${d.scale})"))
-        case _ => sum(col(cName)).cast(dt).as(cName)
+          val summed = sum(col(cName))
+          when(summed.isNull && count(col(cName)) > 0,
+            raise_error(lit(s"rollup count overflow in '$cName': " +
+              s"sum exceeded decimal(38,${d.scale})")).cast(dt))
+            .otherwise(guarded(summed,
+              lit(-bound).cast(s"decimal(38,${d.scale})"),
+              lit(bound).cast(s"decimal(38,${d.scale})")))
+        case _ => sum(col(cName)).cast(dt)
       }
+      checked.as(cName)
     }
 
     val aggs: Seq[Column] = fact.columns.flatMap { case FactColumn(cName, kind) =>

@@ -80,7 +80,9 @@ final class Runner(
   def bucketParentSources(numBuckets: Int): Map[String, String] = {
     bucketedSources = Bucketing.writeBucketedSources(
       spark, env, graft.sources.ParquetTables.readTable(spark, sourceDir, _),
-      numBuckets, dataDir = s"$outDir/_bucketed")
+      numBuckets, dataDir = s"$outDir/_bucketed",
+      sourceSignature =
+        t => Bucketing.pathSignature(spark, s"$sourceDir/$t.parquet"))
     bucketedSources
   }
 

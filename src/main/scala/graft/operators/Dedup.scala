@@ -204,18 +204,18 @@ object Dedup {
     * BEFORE any collect_list materializes the bucket: filtering on
     * `size(collect_list(...))` would first build the full member array
     * of a degenerate bucket in a single aggregation buffer — the guard
-    * itself OOMing on exactly the bucket it exists to drop. The
-    * pre-count is a cheap partial-aggregated count shuffle; the
-    * follow-up semi join lands on the same (key) partitioning the
-    * caller's collect_list groupBy needs, so it adds no third
-    * exchange. */
+    * itself OOMing on exactly the bucket it exists to drop. A window
+    * count does it in the SAME single shuffle the caller's groupBy
+    * needs (WindowExec buffers each bucket in a spillable row array,
+    * disk-backed, never one in-memory aggregation buffer), and the
+    * input — the expensive signature scan — is evaluated exactly once,
+    * where a count + semi-join formulation would scan it twice. */
   private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val ok = rows
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, maxBucket))
-      .select(keys.map(col): _*)
-    rows.join(ok, keys, "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    rows
+      .withColumn("__bucket_n", count(lit(1)).over(w))
+      .filter(col("__bucket_n").between(2, maxBucket))
+      .drop("__bucket_n")
   }
 
   /** Exact Jaccard evaluated only for the given candidate (doc_a, doc_b)

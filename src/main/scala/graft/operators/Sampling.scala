@@ -51,6 +51,10 @@ object Sampling {
       weights: Seq[(String, Double)], salt: String = ""
   ): DataFrame = {
     require(weights.nonEmpty, "at least one split required")
+    require(weights.forall(_._2 >= 0.0),
+      s"split weights must be non-negative: $weights") // a negative weight
+    // would make the cumulative thresholds non-monotonic and silently
+    // starve the following split
     require(weights.map(_._2).sum <= 1.0 + 1e-9, "split weights must sum to <= 1")
     val key = bucketKey(col(keyCol), salt)
     val cumulative = weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail

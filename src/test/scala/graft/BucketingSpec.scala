@@ -62,6 +62,18 @@ class BucketingSpec extends SparkSpec {
       "DROP TABLE of the external bucketed table must keep the data")
     val remapped = runner.bucketParentSources(8)
     assert(remapped == mapping)
+    // a DIFFERENT bucket count must rewrite, not reuse: registering
+    // 8-bucket files as N buckets silently drops rows from bucketed
+    // scans
+    runner.bucketParentSources(4)
+    val numBuckets = spark.sql(s"DESCRIBE TABLE EXTENDED ${mapping("lineitem")}")
+      .collect().collectFirst {
+        case r if r.getString(0) == "Num Buckets" => r.getString(1).trim
+      }
+    assert(numBuckets.contains("4"), s"expected rewrite to 4 buckets, got $numBuckets")
+    val srcRows = sources.ParquetTables.readTable(spark, sf("sf0.001"), "lineitem").count()
+    assert(spark.table(mapping("lineitem")).count() == srcRows)
+    runner.bucketParentSources(8) // restore for the plan assertions below
     val lineFact = Fixtures.tpchFacts.find(_.name == "line").get
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

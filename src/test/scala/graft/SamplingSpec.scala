@@ -39,6 +39,13 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
   }
 
+  test("splits reject negative weights (silently-starved split otherwise)") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.5, "valid" -> -0.2, "test" -> 0.7))
+    }
+  }
+
   test("splits: disjoint, exhaustive, weighted, stable under growth") {
     val weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
     val assigned = Sampling.assignSplits(docs, "doc_id", weights)
