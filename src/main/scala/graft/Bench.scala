@@ -20,6 +20,9 @@ object Bench {
     "fact_populate_full"        -> (Queries.factPopulateFull _),
     "fact_populate_incremental" -> (Queries.factPopulateIncremental _),
     "fact_populate_parent"      -> (Queries.factPopulateParent _),
+    // same populate over pre-bucketed sources: the amortized steady
+    // state (co-location written once in the warm pass, reused after)
+    "fact_populate_parent_bucketed" -> (Queries.factPopulateParentBucketed _),
     "agg_count_distinct_exact"  -> (Queries.aggCountDistinctExact _),
     "sketch_count_distinct"     -> (Queries.sketchCountDistinct _),
     "text_stats"                -> (QueriesExt.textStats _),

@@ -220,6 +220,25 @@ object Queries {
        |GROUP BY 1, 5, 6, 7
        |""".stripMargin
 
+  /** The parent-join populate over BUCKETED sources — the amortized
+    * steady state [[graft.exec.Bucketing]] buys: `bucketParentSources`
+    * pays the co-location write once (the bench warm pass; later calls
+    * reuse via the metadata marker), after which every refresh plans
+    * the lineitem⋈orders sort-merge join with no exchange on either
+    * side. Result is identical to [[factPopulateParent]]
+    * (BucketingSpec asserts it); bench-only, not a gate query. */
+  def factPopulateParentBucketed(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-buckets-${math.abs(dir.hashCode)}"
+    val runner = new graft.exec.Runner(s, tpchEnv, dir, out)
+    runner.bucketParentSources(32)
+    val f    = fact(tpchEnv, "line")
+    val dims = dimsFor(tpchEnv, f, dir, src(s, dir) _, TimeWindow.upTo(TP_HI))
+    decimalsToDouble(
+      FactPopulate.populate(tpchEnv, f, TimeWindow.upTo(TP_HI), runner.readSource, dims(_))
+        .drop("part_count"),
+      Seq("qty", "price"))
+  }
+
   // ================================================================ roll-up (re-aggregability)
   /** Roll the minute-grain fact up to hours WITHOUT rescanning events.
     * Oracle: the hour-grain populate computed directly from the source —
