@@ -28,6 +28,17 @@ class RunnerSpec extends SparkSpec {
     assert(env.isRight)
   }
 
+  test("the reference's own doctest model parses from YAML to the exact fixture") {
+    val Right((tables, facts, defaults)) =
+      ModelParser.parseFile("examples/ringo_model.yaml"): @unchecked
+    assert(tables == Fixtures.ringoTables)
+    assert(facts == Fixtures.ringoFacts)
+    assert(defaults == Fixtures.ringoTypeDefaults)
+    // and it validates under the reference settings
+    assert(model.Validator
+      .validateEnv(tables, facts, Fixtures.ringoSettings, defaults).isRight)
+  }
+
   test("tpch YAML with parentfacts parses to exactly the programmatic fixture") {
     val Right((tables, facts, defaults)) =
       ModelParser.parseFile("examples/tpch_model.yaml"): @unchecked
