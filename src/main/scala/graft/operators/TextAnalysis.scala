@@ -94,34 +94,83 @@ object TextAnalysis {
     * key (identical to DuckDB's md5 for cross-engine checks). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** All per-document text statistics in one scan-only projection.
-    * Normalization and occurrence counts are materialized once per row
-    * (staged projections) instead of once per feature — the naive
-    * compose-the-helpers version re-runs the normalization regex ~50x
-    * per row. Formulas are identical to the helper functions. */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val langs = Seq("en", "de", "es", "fr", "zh")
-    def occP(word: String): Column = {
-      val needle = s" $word "
-      ((length(col("__p")) - length(call_function("replace", col("__p"), lit(needle))))
-        / lit(needle.length)).cast("long")
+  /** One compiled pass over the normalized text computing every count
+    * the stats projection needs. Semantics replicate the column-formula
+    * helpers EXACTLY (the text_stats DuckDB oracle and the multilingual
+    * specs pin this):
+    *  - tokens: `size(split(n, " "))` == spaces + 1 (0 for empty);
+    *  - punct: `length(regexp_replace(n, "[a-z0-9 ]", ""))` counts
+    *    non-matching CODE POINTS (regex classes and Spark's length both
+    *    operate on code points, so the scan does too);
+    *  - bpe: matches of `[a-z]+|[0-9]+|[^a-z0-9 ]` — run transitions
+    *    for letter/digit runs, one per other code point;
+    *  - stopword scores: left-to-right NON-OVERLAPPING ` word `
+    *    occurrences in the space-padded text (replace()'s scan order —
+    *    "the the" counts once because the middle space is shared).
+    * The formula version allocated ~40 replaced strings + two regex
+    * passes + a split array per row; this is one scan and zero
+    * intermediate strings. */
+  private case class TextCounts(n_tokens: Long, punct: Long, bpe: Long, scores: Array[Long])
+
+  private val statsLangs = Seq("en", "de", "es", "fr", "zh")
+
+  private val countsUdf = {
+    val needles = statsLangs.map(l => stopwords(l).map(w => s" $w ").toArray).toArray
+    udf { (n: String) =>
+      if (n == null) null
+      else {
+        var tokens = if (n.isEmpty) 0L else 1L
+        var punct  = 0L
+        var bpe    = 0L
+        var prev   = -1 // 0 = letter run, 1 = digit run, -1 = boundary
+        var i      = 0
+        while (i < n.length) {
+          val cp = n.codePointAt(i)
+          if (cp == ' ') { tokens += 1L; prev = -1 }
+          else if (cp >= 'a' && cp <= 'z') { if (prev != 0) bpe += 1L; prev = 0 }
+          else if (cp >= '0' && cp <= '9') { if (prev != 1) bpe += 1L; prev = 1 }
+          else { punct += 1L; bpe += 1L; prev = -1 }
+          i += Character.charCount(cp)
+        }
+        val padded = " " + n + " "
+        val scores = new Array[Long](needles.length)
+        var l = 0
+        while (l < needles.length) {
+          var s = 0L
+          var w = 0
+          while (w < needles(l).length) {
+            val needle = needles(l)(w)
+            var idx = padded.indexOf(needle)
+            while (idx >= 0) { s += 1L; idx = padded.indexOf(needle, idx + needle.length) }
+            w += 1
+          }
+          scores(l) = s
+          l += 1
+        }
+        TextCounts(tokens, punct, bpe, scores)
+      }
     }
+  }
+
+  /** All per-document text statistics in one scan-only projection:
+    * normalization (one native regex) + [[countsUdf]] (one compiled
+    * pass) + md5. Zero shuffles; scales linearly with the scan. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = statsLangs
     val staged = docs
       .select(col(idCol), col(textCol).as("__t"))
       .withColumn("__n", normalized(col("__t")))
-      .withColumn("__p", concat(lit(" "), col("__n"), lit(" ")))
-      .withColumn("n_tokens",
-        when(col("__n") === "", lit(0)).otherwise(size(split(col("__n"), " "))))
+      .withColumn("__c", countsUdf(col("__n")))
+      .withColumn("n_tokens", col("__c.n_tokens").cast("int"))
       .withColumn("n_chars", length(col("__n")))
       .withColumn("punct_ratio",
         when(col("n_chars") === 0, lit(0.0))
-          .otherwise(
-            length(regexp_replace(col("__n"), "[a-z0-9 ]", "")).cast("double") / col("n_chars")))
+          .otherwise(col("__c.punct").cast("double") / col("n_chars")))
       .withColumn("avg_token_len",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
-    val withScores = langs.foldLeft(staged) { (d, l) =>
-      d.withColumn(s"__s_$l", stopwords(l).map(occP).reduce(_ + _))
+    val withScores = langs.zipWithIndex.foldLeft(staged) { case (d, (l, i)) =>
+      d.withColumn(s"__s_$l", col("__c.scores").getItem(i))
     }
     val best = langs.foldRight(lit(langs.last)) { (l, acc) =>
       when(langs.filter(_ != l).map(o => col(s"__s_$l") >= col(s"__s_$o")).reduce(_ && _), lit(l))
@@ -142,8 +191,7 @@ object TextAnalysis {
       // BPE-ish subword proxy: letter runs, digit runs, and single
       // non-alphanumeric marks each count as one token (the usual cheap
       // stand-in for a real tokenizer when budgeting training data)
-      .withColumn("n_bpe_tokens",
-        size(regexp_extract_all(col("__n"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .withColumn("n_bpe_tokens", col("__c.bpe").cast("int"))
       .select(col(idCol), col("n_tokens"), col("n_chars"), col("punct_ratio"),
         col("avg_token_len"), col("stopword_ratio"), col("quality_score"),
         col("lang_pred"), col("fingerprint"), col("n_bpe_tokens"))
