@@ -243,7 +243,12 @@ object SqlEmit {
       else Nil
     val allCols   = colMap ++ pDay
     val selectSql = allCols.map { case (n, e, _) => s"$e AS $n" }.mkString(",\n    ")
-    val groupKeys = allCols.collect { case (n, _, true) => n }
+    // GROUP BY ordinals, not aliases: an alias that shadows a source
+    // column present in several joined tables (e.g. publisher_id on
+    // both parent and child) resolves ambiguously — the reference
+    // dodges this with its xxff_ alias prefix, ordinals dodge it
+    // without uglifying the artifact
+    val groupKeys = allCols.zipWithIndex.collect { case ((_, _, true), i) => (i + 1).toString }
     val hasAggs   = allCols.exists(!_._3)
 
     val window = popMode match {

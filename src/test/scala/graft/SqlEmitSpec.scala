@@ -161,4 +161,54 @@ class SqlEmitSpec extends SparkSpec {
       Seq("orders", "lineitem", "customer").foreach(spark.catalog.dropTempView)
     }
   }
+
+  test("emitted SQL reproduces the TenantId + count(col) + max/min pipeline") {
+    val hi     = java.sql.Timestamp.valueOf("2002-01-01 00:00:00")
+    val out    = Files.createTempDirectory("graft-sqlemit-tenant").toString
+    val runner = new Runner(spark, Fixtures.tenantEnv, sf("sf0.001"), out)
+    runner.fullRefresh(TimeWindow.upTo(hi))
+    spark.sql("CREATE DATABASE IF NOT EXISTS sqlemit3")
+    spark.catalog.setCurrentDatabase("sqlemit3")
+    try {
+      runner.readSource("orders").createOrReplaceTempView("orders")
+      runner.emitDdl().foreach { case (_, ddl) => runDdl(ddl) }
+      val t = "fact_order_by_tenant_by_day"
+      runSql(runner.emitPopulateSql(PopulationMode.Full)(t), hi)
+      assert(contents(spark.table(t)) == contents(spark.read.parquet(s"$out/$t")),
+        s"emitted SQL diverged from the engine for $t")
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP DATABASE IF EXISTS sqlemit3 CASCADE")
+      spark.catalog.dropTempView("orders")
+    }
+  }
+
+  test("emitted SQL reproduces the reference doctest model (DimId + composite FK)") {
+    val hi     = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+    val src    = RingoData.writeSources(spark)
+    val out    = Files.createTempDirectory("graft-sqlemit-ringo").toString
+    val runner = new Runner(spark, Fixtures.ringoEnv, src, out, partitionFactsByDay = false)
+    runner.fullRefresh(TimeWindow.upTo(hi))
+    spark.sql("CREATE DATABASE IF NOT EXISTS sqlemit4")
+    spark.catalog.setCurrentDatabase("sqlemit4")
+    try {
+      Seq("session_events", "page_view_events", "referrers")
+        .foreach(t => runner.readSource(t).createOrReplaceTempView(t))
+      runner.emitDdl().foreach { case (_, ddl) => runDdl(ddl) }
+      val full = runner.emitPopulateSql(PopulationMode.Full)
+      val tables = Seq(
+        "dim_geo", "dim_user_agent", "dim_page_type",
+        "fact_session_by_minute", "fact_page_view_by_minute")
+      tables.foreach(t => runSql(full(t), hi))
+      tables.foreach { t =>
+        assert(contents(spark.table(t)) == contents(spark.read.parquet(s"$out/$t")),
+          s"emitted SQL diverged from the engine for $t")
+      }
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP DATABASE IF EXISTS sqlemit4 CASCADE")
+      Seq("session_events", "page_view_events", "referrers")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
 }
