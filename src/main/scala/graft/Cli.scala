@@ -38,7 +38,7 @@ object Cli {
     "--dependencies-json", "--facts-json", "--dimensions-json",
     "--fk-id-coalesce-value", "--suffix-template")
   private[graft] val modeFlags: Set[String] =
-    Set("--incremental", "--upper", "--no-partition", "--bucket-parents")
+    Set("--incremental", "--upper", "--no-partition", "--bucket-parents", "--compact")
 
   private[graft] def parseSettings(
       rest: Seq[String], usageExit: String => Nothing): Settings = {
@@ -80,7 +80,8 @@ object Cli {
 
   private val usage =
     """usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR
-      |  [--incremental LO HI | --upper HI]  [--no-partition]  [--bucket-parents N]
+      |  [--incremental LO HI | --upper HI | --compact]
+      |  [--no-partition]  [--bucket-parents N]
       |  [--dim-prefix P] [--fact-prefix P] [--time-unit U] [--fact-infix I]
       |  [--avg-count-col-suffix S] [--avg-sum-col-suffix S]
       |  [--dim-id-col-name N] [--dim-id-col-type T] [--fact-count-col-type T]
@@ -161,7 +162,15 @@ object Cli {
     // this and every later refresh runs the parent SMJ exchange-free
     bucketParents.foreach(runner.bucketParentSources)
     val written =
-      if (window.lower.nonEmpty) runner.incrementalRefresh(window)
+      if (rest.contains("--compact")) {
+        // maintenance mode: collapse the small files the incremental
+        // appends accumulate; atomic per-table promotion, live
+        // tables stay readable throughout
+        val tables = runner.derivedDims.map(_._2.name) ++
+          runner.factsInTopoOrder.filter(_.persistent).map(runner.factTableNameOf)
+        tables.foreach(runner.compact(_))
+        tables
+      } else if (window.lower.nonEmpty) runner.incrementalRefresh(window)
       else {
         val w = runner.fullRefresh(window)
         if (stagingSuffix.nonEmpty) runner.swapStaging(w)

@@ -46,24 +46,53 @@ final class Runner(
     * rename-capable committer. */
   def swapStaging(tables: Seq[String]): Unit = {
     require(stagingSuffix.nonEmpty, "no staging suffix configured")
+    tables.foreach(promoteStaged(_, stagingSuffix))
+  }
+
+  /** Promote `<table><suffix>` over `<table>` (move-aside -> move-in ->
+    * delete-old; see [[swapStaging]]'s crash-safety contract). */
+  private def promoteStaged(t: String, suffix: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(outDir)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def renameOrFail(src: Path, dst: Path): Unit =
       if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"swapStaging: rename $src -> $dst failed")
-    tables.foreach { t =>
-      val live    = new Path(root, t)
-      val staging = new Path(root, t + stagingSuffix)
-      if (fs.exists(staging)) {
-        val old = new Path(root, t + stagingSuffix + "__old")
-        if (fs.exists(old)) fs.delete(old, true)
-        val hadLive = fs.exists(live)
-        if (hadLive) renameOrFail(live, old)
-        renameOrFail(staging, live)
-        if (hadLive) fs.delete(old, true)
-      }
+        throw new java.io.IOException(s"promoteStaged: rename $src -> $dst failed")
+    val live    = new Path(root, t)
+    val staging = new Path(root, t + suffix)
+    if (fs.exists(staging)) {
+      val old = new Path(root, t + suffix + "__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      val hadLive = fs.exists(live)
+      if (hadLive) renameOrFail(live, old)
+      renameOrFail(staging, live)
+      if (hadLive) fs.delete(old, true)
     }
+  }
+
+  /** Compact a derived table's parquet layout. Every incremental
+    * refresh appends a file batch per touched `p_day` partition; after
+    * months of windows a fact table's scan cost is dominated by FILE
+    * COUNT (open/footer/seek per file), not data size — the classic
+    * small-files problem. Rewrites the table with one write task per
+    * day partition (files split only past `maxRecordsPerFile`), then
+    * promotes atomically via the same move-aside/move-in/delete-old
+    * path as staged rebuilds — the live table stays readable during
+    * the rewrite and a crash leaves it untouched. */
+  def compact(table: String, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val df      = readOut(table)
+    val staged  = table + "__compact"
+    val writer0 = (
+      if (df.columns.contains("p_day"))
+        // one shuffle task per day partition -> one file per partition
+        df.repartition(col("p_day")).write.partitionBy("p_day")
+      else df.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4)).write
+    )
+    writer0
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(s"$outDir/$staged")
+    promoteStaged(table, "__compact")
   }
 
   /** Source name -> bucketed managed table, populated by

@@ -51,6 +51,21 @@ class CliSpec extends SparkSpec {
     assert(fullSql.contains("INSERT OVERWRITE TABLE dim_event_type ("))
   }
 
+  test("--compact maintenance mode keeps content, live tables untouched mid-run") {
+    val out = tempDir()
+    Cli.run(Seq("examples/events_model.yaml", sf("sf0.001"), out,
+      "--upper", "2024-01-15 00:00:00"), spark)
+    Cli.run(Seq("examples/events_model.yaml", sf("sf0.001"), out,
+      "--incremental", "2024-01-15 00:00:00", "2024-02-01 00:00:00"), spark)
+    val before = spark.read.parquet(s"$out/fact_event_by_minute")
+      .collect().map(_.toString).sorted.toSeq
+    val v = Cli.run(Seq("examples/events_model.yaml", sf("sf0.001"), out, "--compact"), spark)
+    assert(v.isEmpty)
+    val after = spark.read.parquet(s"$out/fact_event_by_minute")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+  }
+
   test("usage errors throw CliError instead of exiting") {
     val e1 = intercept[Cli.CliError](Cli.run(Seq("model.yaml"), spark))
     assert(e1.code == 2)

@@ -131,6 +131,43 @@ class RunnerSpec extends SparkSpec {
     assert(v2.checkUniqueKeys().forall(_._3 == 0))
   }
 
+  test("compaction collapses incremental small files without changing content") {
+    val out = tempDir()
+    val t0  = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // sub-day window cuts: the SAME p_day partitions receive several
+    // append batches, accumulating small files
+    val cuts = Seq(
+      "2024-01-12 06:00:00", "2024-01-14 12:00:00",
+      "2024-01-16 18:00:00", "2024-01-20 00:00:00")
+      .map(java.sql.Timestamp.valueOf)
+    val runner = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out)
+    runner.fullRefresh(TimeWindow.upTo(t0))
+    (t0 +: cuts).sliding(2).foreach { case Seq(lo, hi) =>
+      runner.incrementalRefresh(TimeWindow.between(lo, hi))
+    }
+    def parquetFiles(t: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out, t)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    val t = "fact_event_by_minute"
+    val before = spark.read.parquet(s"$out/$t").collect().map(_.toString).sorted.toSeq
+    val filesBefore = parquetFiles(t)
+    runner.compact(t)
+    val after = spark.read.parquet(s"$out/$t").collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed table content")
+    assert(parquetFiles(t) < filesBefore,
+      s"expected fewer files after compaction (before=$filesBefore, after=${parquetFiles(t)})")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, s"${t}__compact")))
+    // day-partition layout (and thus pruning) is preserved
+    val pruned = spark.read.parquet(s"$out/$t").filter(col("p_day") === lit(19737L))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(p_day"))
+    // unpartitioned dims compact too
+    val dimBefore = spark.read.parquet(s"$out/dim_event_type").collect().map(_.toString).sorted.toSeq
+    runner.compact("dim_event_type")
+    assert(spark.read.parquet(s"$out/dim_event_type").collect().map(_.toString).sorted.toSeq == dimBefore)
+  }
+
   test("non-persistent facts derive dims but skip fact-table writes") {
     val out = tempDir()
     val env = model.Validator.validateEnv(
