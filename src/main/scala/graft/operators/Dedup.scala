@@ -219,27 +219,55 @@ object Dedup {
   }
 
   /** Exact Jaccard evaluated only for the given candidate (doc_a, doc_b)
-    * pairs. */
+    * pairs, as a PAIR-LOCAL computation. Each doc's distinct shingle set
+    * is computed scan-side in one compiled pass (a sorted array of the
+    * same 64-bit FNV shingle hashes [[minhashSignatures]] minimizes —
+    * identity up to a ~2^-64 collision), the pair list joins its two
+    * sides, and a merge-intersection over the two sorted arrays yields
+    * the exact Jaccard. Two equi-joins total — no shingle explode, no
+    * per-shingle shuffle, no pair groupBy, no size-lookup joins; the
+    * relational formulation this replaced needed six exchanges for what
+    * is a per-pair scalar. At corpus scale the pair list is small by
+    * construction (LSH candidates), so both joins broadcast the pairs
+    * and the shingle-set scan streams. */
   def ngramJaccardForPairs(
       docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, n: Int, minJaccard: Double
-  ): DataFrame =
-    jaccardForPairs(shingles(docs, idCol, textCol, n), idCol, pairs, minJaccard)
-
-  private def jaccardForPairs(
-      ngr: DataFrame, idCol: String, pairs: DataFrame, minJaccard: Double
   ): DataFrame = {
-    val sizes = ngr.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(ngr.as("a"), col("doc_a") === col(s"a.$idCol"))
-      .join(ngr.as("b"), col("doc_b") === col(s"b.$idCol") && col("a.ng") === col("b.ng"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("icount"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        col("icount").cast("double") / (col("sz_a") + col("sz_b") - col("icount")))
+    import Hashing.fnvShingle
+    val setUdf = udf { (w: Seq[String]) =>
+      val m = w.length - n + 1
+      if (m <= 0) Array.empty[Long]
+      else {
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) { hs(i) = fnvShingle(w, i, n); i += 1 }
+        java.util.Arrays.sort(hs)
+        var out = 1
+        var j = 1
+        while (j < m) { if (hs(j) != hs(j - 1)) { hs(out) = hs(j); out += 1 }; j += 1 }
+        if (out == m) hs else java.util.Arrays.copyOf(hs, out)
+      }
+    }
+    val jaccUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i)
+        val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    val sets = docs.select(col(idCol), setUdf(TextAnalysis.tokens(col(textCol))).as("sh"))
+    pairs
+      .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
