@@ -110,7 +110,17 @@ object TextAnalysis {
     * The formula version allocated ~40 replaced strings + two regex
     * passes + a split array per row; this is one scan and zero
     * intermediate strings. */
-  private case class TextCounts(n_tokens: Long, punct: Long, bpe: Long, scores: Array[Long])
+  // counts are returned as one flat Array[Long] — layout below — because
+  // a (private, nested) case-class return makes the encoder's generated
+  // accessors UNCOMPILABLE for Janino: the whole stats projection then
+  // silently falls back to INTERPRETED UnsafeProjection (observed via
+  // "Expr codegen error" warnings), exactly the per-row hot path this
+  // operator exists to keep compiled. An array return serializes
+  // natively with no struct encoder.
+  private val IdxTokens = 0
+  private val IdxPunct  = 1
+  private val IdxBpe    = 2
+  private val IdxScores = 3 // then one slot per statsLangs entry
 
   private val statsLangs = Seq("en", "de", "es", "fr", "zh")
 
@@ -133,7 +143,10 @@ object TextAnalysis {
           i += Character.charCount(cp)
         }
         val padded = " " + n + " "
-        val scores = new Array[Long](needles.length)
+        val out = new Array[Long](IdxScores + needles.length)
+        out(IdxTokens) = tokens
+        out(IdxPunct)  = punct
+        out(IdxBpe)    = bpe
         var l = 0
         while (l < needles.length) {
           var s = 0L
@@ -144,10 +157,10 @@ object TextAnalysis {
             while (idx >= 0) { s += 1L; idx = padded.indexOf(needle, idx + needle.length) }
             w += 1
           }
-          scores(l) = s
+          out(IdxScores + l) = s
           l += 1
         }
-        TextCounts(tokens, punct, bpe, scores)
+        out
       }
     }
   }
@@ -161,16 +174,16 @@ object TextAnalysis {
       .select(col(idCol), col(textCol).as("__t"))
       .withColumn("__n", normalized(col("__t")))
       .withColumn("__c", countsUdf(col("__n")))
-      .withColumn("n_tokens", col("__c.n_tokens").cast("int"))
+      .withColumn("n_tokens", col("__c").getItem(IdxTokens).cast("int"))
       .withColumn("n_chars", length(col("__n")))
       .withColumn("punct_ratio",
         when(col("n_chars") === 0, lit(0.0))
-          .otherwise(col("__c.punct").cast("double") / col("n_chars")))
+          .otherwise(col("__c").getItem(IdxPunct).cast("double") / col("n_chars")))
       .withColumn("avg_token_len",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
     val withScores = langs.zipWithIndex.foldLeft(staged) { case (d, (l, i)) =>
-      d.withColumn(s"__s_$l", col("__c.scores").getItem(i))
+      d.withColumn(s"__s_$l", col("__c").getItem(IdxScores + i))
     }
     val best = langs.foldRight(lit(langs.last)) { (l, acc) =>
       when(langs.filter(_ != l).map(o => col(s"__s_$l") >= col(s"__s_$o")).reduce(_ && _), lit(l))
@@ -191,7 +204,7 @@ object TextAnalysis {
       // BPE-ish subword proxy: letter runs, digit runs, and single
       // non-alphanumeric marks each count as one token (the usual cheap
       // stand-in for a real tokenizer when budgeting training data)
-      .withColumn("n_bpe_tokens", col("__c.bpe").cast("int"))
+      .withColumn("n_bpe_tokens", col("__c").getItem(IdxBpe).cast("int"))
       .select(col(idCol), col("n_tokens"), col("n_chars"), col("punct_ratio"),
         col("avg_token_len"), col("stopword_ratio"), col("quality_score"),
         col("lang_pred"), col("fingerprint"), col("n_bpe_tokens"))
