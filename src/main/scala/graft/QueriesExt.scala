@@ -88,13 +88,23 @@ object QueriesExt {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
 
+  /** Mirrors [[graft.operators.Dedup.ngramJaccardPairs]] INCLUDING its
+    * `maxDf` hot-shingle cap (default 100000): shingles above that
+    * document frequency are excluded from both the intersection and the
+    * size counts on BOTH sides, so the oracle stays equivalent even on
+    * a corpus where the cap actually fires (below it the `hot` CTE is
+    * empty and this is plain full-universe Jaccard). */
   lazy val dedupNgramJaccardSql: String =
     s"""WITH ws AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
-       |), ngr AS (
+       |), ngr0 AS (
        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ng
        |  FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
        |  WHERE len(w) >= 3
+       |), hot AS (
+       |  SELECT ng FROM ngr0 GROUP BY 1 HAVING count(*) > 100000
+       |), ngr AS (
+       |  SELECT * FROM ngr0 WHERE ng NOT IN (SELECT ng FROM hot)
        |), sizes AS (
        |  SELECT doc_id, count(*) AS sz FROM ngr GROUP BY 1
        |), inter AS (
@@ -117,6 +127,48 @@ object QueriesExt {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
 
+  /** Oracle-checkable LSH verification: LSH emits PAIRS VERIFIED WITH
+    * EXACT JACCARD, so its output must be a subset of the exact
+    * all-pairs result with identical jaccard values. The union with the
+    * exact pairs therefore EQUALS the exact pairs — any false positive,
+    * any jaccard disagreement (down to the last double ulp), or any
+    * sub-threshold pair leaking through LSH adds a row and breaks the
+    * hash match against [[dedupNgramJaccardSql]]. Recall (how many of
+    * the exact pairs LSH finds) stays spec-side in DedupSpec — a recall
+    * miss keeps the union equal to the exact pairs by construction. */
+  def dedupMinhashLshVerified(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashLsh(s, dir).select("doc_a", "doc_b", "jaccard")
+      .union(dedupNgramJaccard(s, dir).select("doc_a", "doc_b", "jaccard"))
+      .distinct()
+
+  /** Oracle-checkable SimHash verification on the exact-duplicate
+    * subgraph: identical normalized text implies identical simhash, so
+    * every exact-duplicate pair MUST surface from the banded bucket
+    * join with hamming 0 (pigeonhole is trivially satisfied — all four
+    * chunks collide). Restricting the SimHash pairs to
+    * fingerprint-equal pairs must therefore yield EXACTLY the exact-dup
+    * pair set, with hamming 0 on every row — which DuckDB recomputes
+    * from scratch via md5 of the normalized text. Verifies signature
+    * determinism, banding completeness, and the hamming computation;
+    * near-dup (hamming 1-3) behavior stays spec-side in DedupSpec. */
+  def dedupSimhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    dedupSimhash(s, dir)
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .filter(col("fp_a") === col("fp_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  lazy val dedupSimhashVerifiedSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5($normSql) AS fp FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+       |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |""".stripMargin
+
   // ================================================================ near-dup clustering
   /** Connected components over the exact-Jaccard near-dup graph:
     * every doc in a pair converges to the min doc_id reachable through
@@ -132,10 +184,14 @@ object QueriesExt {
     // recursive min-label closure over the pair graph
     s"""WITH RECURSIVE ws AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
-       |), ngr AS (
+       |), ngr0 AS (
        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ng
        |  FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
        |  WHERE len(w) >= 3
+       |), hot AS (
+       |  SELECT ng FROM ngr0 GROUP BY 1 HAVING count(*) > 100000
+       |), ngr AS (
+       |  SELECT * FROM ngr0 WHERE ng NOT IN (SELECT ng FROM hot)
        |), sizes AS (
        |  SELECT doc_id, count(*) AS sz FROM ngr GROUP BY 1
        |), inter AS (

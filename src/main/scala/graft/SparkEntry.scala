@@ -51,6 +51,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
+    // oracle-checked verification companions: LSH pairs subset-of exact
+    // pairs with equal jaccard; simhash pairs restricted to the
+    // exact-dup subgraph == the recomputed exact-dup pair set
+    "dedup_minhash_lsh_verified" -> (QueriesExt.dedupMinhashLshVerified _),
+    "dedup_simhash_verified"     -> (QueriesExt.dedupSimhashVerified _),
     // near-dup clustering (connected components over the pair graph)
     "dedup_cluster"       -> (QueriesExt.dedupCluster _),
     "dedup_survivors"     -> (QueriesExt.dedupSurvivors _),
@@ -79,6 +84,9 @@ object SparkEntry {
     "fact_populate_tenant"      -> Queries.factPopulateTenantSql,
     "fact_rollup_hour"          -> Queries.factRollupHourSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
+    "sketch_count_distinct"     -> Queries.sketchCountDistinctSql,
+    "dedup_minhash_lsh_verified" -> QueriesExt.dedupNgramJaccardSql,
+    "dedup_simhash_verified"     -> QueriesExt.dedupSimhashVerifiedSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,
