@@ -29,6 +29,25 @@ import graft.model.FactColumnKind._
   */
 object FactPopulate {
 
+  /** Should this dim be force-broadcast for the lookup join?
+    *
+    * The hint overrides Spark's own size threshold, so applying it
+    * unconditionally is the classic broadcast scale-killer: nothing
+    * bounds a DimVal-derived dimension (user-agent strings, URLs), and
+    * at 100x a multi-GB dim hinted onto every executor OOMs the job.
+    * The guard uses Catalyst's plan-statistics estimate — exact file
+    * bytes for a dim read back from parquet (the production Runner
+    * path), exact cached bytes for a materialized in-memory dim, and
+    * conservatively huge for plans Spark cannot estimate (fresh
+    * RDD-backed frames) — and only hints when the estimate fits under
+    * `maxBytes`. Above or unknown, the join is left unhinted: AQE still
+    * converts it to a broadcast join at runtime if the actual size is
+    * small, so the only cost of a false negative is planning from
+    * runtime stats instead of the hint. Driver-side only, no job.
+    */
+  private[graft] def broadcastable(dim: DataFrame, maxBytes: Long): Boolean =
+    dim.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+
   /** Populate the extracted fact table for `fact`.
     *
     * @param readSource source OLTP table reader (by table name)
@@ -41,7 +60,8 @@ object FactPopulate {
       fact: Fact,
       window: TimeWindow,
       readSource: String => DataFrame,
-      readDim: String => DataFrame
+      readDim: String => DataFrame,
+      saltParents: Option[Int] = None
   ): DataFrame = {
     val s       = env.settings
     val allDims = Extractor.extractAllDimensionTables(env, fact)
@@ -55,9 +75,33 @@ object FactPopulate {
         .getOrElse(throw new IllegalStateException(s"missing column ${table.name}.$cName"))
 
     // ---- FROM: fact source LEFT OUTER JOIN each parent fact's source (F5)
+    //
+    // Optional skew salting (`saltParents = Some(n)`): TPC-H FKs are
+    // uniform, but real parent joins skew (one hot order/tenant/null
+    // bucket holding a double-digit share of child rows), and AQE's
+    // skew splitting cannot help when a SINGLE key exceeds a task. The
+    // child side carries a deterministic whole-row-hash salt in [0, n)
+    // computed once before any join; every parent is replicated n ways
+    // (explode) and each join key gains the salt equality — a hot key's
+    // child rows scatter over n tasks, bounding per-task work, while
+    // the join result is row-identical to the unsalted plan (each child
+    // row matches exactly the one replica with its salt; unmatched rows
+    // stay unmatched). The salt columns never reach the output: the
+    // final groupBy/select lists only the derived fact columns.
     val parentTables =
       allDims.map(_._1.tableName).distinct.filter(_ != fact.tableName)
-    val base = readSource(fact.tableName).alias(fact.tableName)
+    val saltOpt = saltParents.filter(_ => parentTables.nonEmpty)
+    saltOpt.foreach(n => require(n > 1, s"--salt-parents must be > 1, got $n"))
+    val base = {
+      val raw = readSource(fact.tableName)
+      saltOpt match {
+        case Some(n) =>
+          raw.withColumn("__fact_salt",
+            pmod(xxhash64(struct(raw.columns.map(col).toSeq: _*)), lit(n.toLong)).cast("int"))
+            .alias(fact.tableName)
+        case None => raw.alias(fact.tableName)
+      }
+    }
     val joinedSources = parentTables.foldLeft(base) { (acc, oTableName) =>
       val fkPairs = fTable.constraints.collectFirst {
         case TableConstraint.ForeignKey(t, pairs) if t == oTableName => pairs
@@ -66,7 +110,17 @@ object FactPopulate {
       val cond = fkPairs
         .map { case (c1, c2) => col(s"${fact.tableName}.$c1") === col(s"$oTableName.$c2") }
         .reduce(_ && _)
-      acc.join(readSource(oTableName).alias(oTableName), cond, "left_outer")
+      saltOpt match {
+        case Some(n) =>
+          val parent = readSource(oTableName)
+            .withColumn("__parent_salt", explode(sequence(lit(0), lit(n - 1))))
+            .alias(oTableName)
+          acc.join(parent,
+            cond && col(s"${fact.tableName}.__fact_salt") === col(s"$oTableName.__parent_salt"),
+            "left_outer")
+        case None =>
+          acc.join(readSource(oTableName).alias(oTableName), cond, "left_outer")
+      }
     }
 
     // ---- WHERE: refresh window on the raw event time (F6)
@@ -92,7 +146,10 @@ object FactPopulate {
                 env.typeDefaults)
           }
           .reduce(_ && _)
-        acc.join(broadcast(readDim(dimTable.name).alias(dimTable.name)), cond, "left_outer")
+        val dim = readDim(dimTable.name)
+        val aliased = dim.alias(dimTable.name)
+        val side = if (broadcastable(dim, s.dimBroadcastMaxBytes)) broadcast(aliased) else aliased
+        acc.join(side, cond, "left_outer")
       }
     }
 

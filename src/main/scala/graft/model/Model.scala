@@ -133,7 +133,14 @@ final case class Settings(
     factsJsonFileName: String = "facts.json",
     dimensionsJsonFileName: String = "dimensions.json",
     foreignKeyIdCoalesceValue: Int = -1,
-    tableNameSuffixTemplate: String = "{{suff}}"
+    tableNameSuffixTemplate: String = "{{suff}}",
+    // Engine extension (no reference analogue — Postgres has no
+    // broadcast): the largest estimated dim size FactPopulate may
+    // force-broadcast for its lookup joins. Dims above this (a
+    // DimVal-derived dimension over a high-cardinality natural key can
+    // be arbitrarily large) join WITHOUT the hint, leaving the
+    // build-side choice to Catalyst/AQE runtime statistics.
+    dimBroadcastMaxBytes: Long = 256L * 1024 * 1024
 )
 
 sealed trait ValidationError

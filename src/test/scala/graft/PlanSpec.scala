@@ -18,10 +18,32 @@ class PlanSpec extends SparkSpec {
   }
 
   test("fact populate: dim lookup is a broadcast hash join, no sort-merge") {
+    // materialize the cached dims first: the broadcast guard
+    // (FactPopulate.broadcastable) hints only when Catalyst can SEE the
+    // dim is small, which for an in-memory dim means its cache is built
+    Queries.factPopulateFull(spark, sf("sf0.001")).count()
     val df = Queries.factPopulateFull(spark, sf("sf0.001"))
     val plan = explainOf(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), "dim lookup must not shuffle both sides")
+  }
+
+  test("broadcast guard: hint below the size threshold, none above it") {
+    // a dim read from parquet has exact file-size statistics — the
+    // production Runner path the guard is designed around
+    val dim = sources.ParquetTables.readTable(spark, sf("sf0.001"), "nation")
+    assert(FactPopulate.broadcastable(dim, maxBytes = 256L * 1024 * 1024),
+      "a small parquet dim must qualify for the broadcast hint")
+    assert(!FactPopulate.broadcastable(dim, maxBytes = 1L),
+      "a dim above the threshold must NOT be force-broadcast")
+    // unknown statistics (fresh RDD-backed plan) must fail closed: no
+    // hint, leave the build-side choice to AQE runtime stats
+    val unknown = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType))))
+    assert(!FactPopulate.broadcastable(unknown, maxBytes = 256L * 1024 * 1024),
+      "unestimatable plans must not be force-broadcast")
   }
 
   test("fact populate: time-window filter is pushed to the parquet scan") {

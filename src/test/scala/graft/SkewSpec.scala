@@ -31,6 +31,73 @@ class SkewSpec extends SparkSpec {
     assert(out.filter(col("k") === 99 && col("attr").isNull).count() == 1)
   }
 
+  test("salted parent join through the populate path: identical fact, salt bounds the task key") {
+    import graft.derive.Extractor
+    import graft.exec.{DimPopulate, FactPopulate}
+    import graft.model.TimeWindow
+    val env = Fixtures.tpchEnv
+    val f   = env.findFact("line").get
+    def reader(t: String) = sources.ParquetTables.readTable(spark, sf("sf0.001"), t)
+    val dims = Extractor.extractAllDimensionTables(env, f)
+      .filterNot { case (_, t) => env.tables.contains(t) }
+      .map { case (df, dt) =>
+        dt.name -> DimPopulate.full(env, df, dt.name, reader(df.tableName), TimeWindow.unbounded).cache()
+      }.toMap
+    val plain  = FactPopulate.populate(env, f, TimeWindow.unbounded, reader, dims(_))
+    val salted = FactPopulate.populate(env, f, TimeWindow.unbounded, reader, dims(_),
+      saltParents = Some(8))
+    // row-identical through the whole pipeline (joins + defaults +
+    // grouped agg + sketch), and no salt column leaks into the schema
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(
+      salted.collect().map(_.toString).sorted.toSeq ==
+        plain.collect().map(_.toString).sorted.toSeq)
+    // with broadcast off (at real scale the parent exceeds any
+    // threshold), the parent join must shuffle on (fk, salt): a hot
+    // orderkey then spans up to 8 shuffle buckets instead of one —
+    // the bounded-per-task-work property salting exists for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val replanned = FactPopulate.populate(env, f, TimeWindow.unbounded, reader, dims(_),
+        saltParents = Some(8))
+      val plan = replanned.queryExecution.executedPlan.toString
+      assert(plan.contains("__fact_salt"), plan)
+      assert(plan.contains("__parent_salt"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join spreads a hot key across shuffle partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.spark_partition_id
+    // one key owns ~95% of the probe side
+    val left = (1 to 2000).map(i => (if (i % 20 == 0) i.toLong else 7L, s"v$i"))
+      .toDF("k", "payload")
+    val right = (1 to 300).map(i => (i.toLong, s"dim$i")).toDF("k", "attr")
+    val prev  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevC = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE would re-merge these tiny test partitions into one and mask
+      // the spread; at scale the partitions are large and stay apart
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      def hotPartitions(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(col("k") === 7L)
+          .withColumn("pid", spark_partition_id())
+          .select("pid").distinct().count()
+      assert(hotPartitions(left.join(right, Seq("k"), "inner")) == 1L,
+        "unsalted: the hot key must collapse into a single task")
+      // murmur3(k, salt) % 32 collides some of the salt values into
+      // shared buckets (deterministically), so assert spread, not a
+      // 1:1 salt-to-partition mapping
+      assert(hotPartitions(Skew.saltedJoin(left, right, "k", salt = 16, "inner")) >= 4L,
+        "salted: the hot key must spread across salt buckets")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevC)
+    }
+  }
+
   test("key histogram surfaces the hot key") {
     import spark.implicits._
     val df = ((1 to 100).map(_ => 7L) ++ Seq(1L, 2L, 3L)).toDF("k")
