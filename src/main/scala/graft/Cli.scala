@@ -38,7 +38,8 @@ object Cli {
     "--dependencies-json", "--facts-json", "--dimensions-json",
     "--fk-id-coalesce-value", "--suffix-template")
   private[graft] val modeFlags: Set[String] =
-    Set("--incremental", "--upper", "--no-partition", "--bucket-parents", "--compact")
+    Set("--incremental", "--upper", "--no-partition", "--bucket-parents", "--compact",
+      "--salt-parents")
 
   private[graft] def parseSettings(
       rest: Seq[String], usageExit: String => Nothing): Settings = {
@@ -78,11 +79,24 @@ object Cli {
     s
   }
 
+  /** `--version` output, mirroring the reference's `progName ++ version`
+    * banner (`app/Ringo/ArgParser.hs:106-113`). */
+  private[graft] val versionString = "graft 0.4.0"
+
+  /** Short aliases for the most-used settings flags, mirroring the
+    * reference's `short 'd'` / `short 'f'` / `short 't'`
+    * (`app/Ringo/ArgParser.hs:27-41`). Normalized to the long form
+    * before parsing. */
+  private[graft] val shortAliases: Map[String, String] = Map(
+    "-d" -> "--dim-prefix",
+    "-f" -> "--fact-prefix",
+    "-t" -> "--time-unit")
+
   private val usage =
     """usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR
       |  [--incremental LO HI | --upper HI | --compact]
-      |  [--no-partition]  [--bucket-parents N]
-      |  [--dim-prefix P] [--fact-prefix P] [--time-unit U] [--fact-infix I]
+      |  [--no-partition]  [--bucket-parents N]  [--salt-parents N]  [--version]
+      |  [-d|--dim-prefix P] [-f|--fact-prefix P] [-t|--time-unit U] [--fact-infix I]
       |  [--avg-count-col-suffix S] [--avg-sum-col-suffix S]
       |  [--dim-id-col-name N] [--dim-id-col-type T] [--fact-count-col-type T]
       |  [--count-distinct-error-rate R] [--fk-id-coalesce-value V]
@@ -99,12 +113,21 @@ object Cli {
     * UNIQUE-key violations (empty = clean run). The session is by-name
     * and only forced AFTER argument + model validation, so usage errors
     * never pay Spark startup. */
-  private[graft] def run(args: Seq[String], sparkSession: => SparkSession): Seq[(String, String, Long)] = {
+  private[graft] def run(args0: Seq[String], sparkSession: => SparkSession): Seq[(String, String, Long)] = {
+    if (args0.contains("--version")) throw CliError(versionString, 0)
+    val args = args0.map(a => shortAliases.getOrElse(a, a))
     if (args.length < 3) throw CliError(usage, 2)
     val Seq(modelPath, sourceDir, outDir) = args.take(3)
     val rest = args.drop(3)
 
     def usageExit(msg: String): Nothing = throw CliError(s"$msg\n$usage", 2)
+    // the three refresh modes are exclusive alternatives (the usage text
+    // presents them as such): silently ignoring a window under
+    // --compact would look like a compacted incremental ran
+    if (rest.contains("--compact") && (rest.contains("--incremental") || rest.contains("--upper")))
+      usageExit("--compact cannot be combined with --incremental/--upper")
+    if (rest.contains("--incremental") && rest.contains("--upper"))
+      usageExit("--incremental and --upper are mutually exclusive")
     def parseTs(flag: String, s: Option[String]): Timestamp =
       s.map(v =>
         try Timestamp.valueOf(v)
@@ -153,11 +176,24 @@ object Cli {
         Some(rest.lift(i + 1).flatMap(_.toIntOption).filter(_ > 0)
           .getOrElse(usageExit("--bucket-parents requires a positive bucket count")))
       }
+    // skew mitigation for hot parent-join keys; exclusive with
+    // bucketing (salt equality on the join key would defeat the
+    // co-located bucketed layout and force the exchange back)
+    val saltParents: Option[Int] =
+      if (!rest.contains("--salt-parents")) None
+      else {
+        val i = rest.indexOf("--salt-parents")
+        Some(rest.lift(i + 1).flatMap(_.toIntOption).filter(_ > 1)
+          .getOrElse(usageExit("--salt-parents requires a salt count > 1")))
+      }
+    if (saltParents.nonEmpty && bucketParents.nonEmpty)
+      usageExit("--salt-parents cannot be combined with --bucket-parents")
     val spark = sparkSession // first use: validation passed, start Spark
     val runner =
       new Runner(spark, env, sourceDir, outDir,
         partitionFactsByDay = !rest.contains("--no-partition"),
-        stagingSuffix = stagingSuffix)
+        stagingSuffix = stagingSuffix,
+        saltParents = saltParents)
     // optional ingest-side bucketing: co-locate parent-join sources so
     // this and every later refresh runs the parent SMJ exchange-free
     bucketParents.foreach(runner.bucketParentSources)
@@ -222,18 +258,26 @@ object Cli {
       s
     }
     var started = false
-    val violations =
-      try run(args.toSeq, { started = true; spark })
-      catch {
-        case CliError(msg, code) =>
-          System.err.println(msg)
-          if (started) spark.stop()
-          sys.exit(code)
+    var exitCode = 0
+    // stop the session in a finally so a non-CliError failure (an
+    // executor crash, an IO error mid-populate) still shuts Spark down
+    // cleanly; sys.exit is deferred past the finally because
+    // System.exit skips finally blocks
+    try {
+      val violations = run(args.toSeq, { started = true; spark })
+      violations.foreach { case (t, c, n) =>
+        System.err.println(s"QUALITY VIOLATION: $t $c has $n duplicate keys")
       }
-    violations.foreach { case (t, c, n) =>
-      System.err.println(s"QUALITY VIOLATION: $t $c has $n duplicate keys")
+      if (violations.nonEmpty) exitCode = 3
+    } catch {
+      case CliError(msg, 0) =>
+        println(msg) // --version: informational, stdout, success
+      case CliError(msg, code) =>
+        System.err.println(msg)
+        exitCode = code
+    } finally {
+      if (started) spark.stop()
     }
-    spark.stop()
-    if (violations.nonEmpty) sys.exit(3)
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

@@ -12,6 +12,8 @@ import graft.model.{Env, TableConstraint}
   */
 object Bucketing {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Write `df` as a managed bucketed table (sorted within buckets for
     * merge-friendly reads). */
   def writeBucketed(
@@ -31,7 +33,10 @@ object Bucketing {
     * join ([[FactPopulate]]'s F5 LEFT OUTER joins): each child fact
     * source keyed by its FK columns, each parent source keyed by the
     * referenced columns. A table pulled into several joins keeps the
-    * first key set (one physical layout per table). */
+    * FIRST key set (one physical layout per table) — joins on the other
+    * key sets still plan an exchange, so each skip is logged: silently
+    * eating it would let `--bucket-parents` look like it covered a join
+    * it didn't. */
   def parentJoinKeys(env: Env): Map[String, Seq[String]] = {
     import graft.derive.Extractor
     val keyed = for {
@@ -44,7 +49,16 @@ object Bucketing {
                  }.toSeq
       entry   <- Seq(fact.tableName -> fkPairs.map(_._1), parent -> fkPairs.map(_._2))
     } yield entry
-    keyed.groupBy(_._1).map { case (t, ks) => t -> ks.head._2 }
+    keyed.groupBy(_._1).map { case (t, ks) =>
+      val distinctKeySets = ks.map(_._2).distinct
+      distinctKeySets.drop(1).foreach { skipped =>
+        log.warn(
+          s"bucketing: table '$t' joins on multiple key sets; bucketed on " +
+            s"${distinctKeySets.head.mkString("(", ",", ")")} — joins on " +
+            s"${skipped.mkString("(", ",", ")")} will still shuffle")
+      }
+      t -> ks.head._2
+    }
   }
 
   /** One-time ingest-side preparation: write every parent-join source
@@ -60,7 +74,16 @@ object Bucketing {
     *  - catalog names carry a hash of `dataDir` for the same reason;
     *  - if the bucketed data already exists on disk (a previous run,
     *    possibly a previous SESSION), it is re-registered instead of
-    *    rewritten — the ingest shuffle is genuinely paid once.
+    *    rewritten — the ingest shuffle is genuinely paid once;
+    *  - rewrites take a PER-TABLE LEASE (`<table>._graft_buckets.lock`,
+    *    atomic create-if-absent) so two pipelines sharing a dataDir
+    *    cannot concurrently decide to rewrite and clobber each other
+    *    mid-read: the second writer fails loudly instead. A crashed
+    *    writer's stale lock is stolen after `lockLeaseMs` (it also left
+    *    no marker, so the next run rewrites). Readers of an
+    *    already-registered table are unaffected — the lease serializes
+    *    WRITERS only; the documented contract remains one writing
+    *    pipeline per dataDir at a time.
     */
   def writeBucketedSources(
       spark: SparkSession,
@@ -68,7 +91,8 @@ object Bucketing {
       readSource: String => DataFrame,
       numBuckets: Int,
       dataDir: String,
-      sourceSignature: String => String = _ => ""
+      sourceSignature: String => String = _ => "",
+      lockLeaseMs: Long = 60L * 60 * 1000
   ): Map[String, String] = {
     import org.apache.hadoop.fs.Path
     val scope = java.lang.Long.toHexString(
@@ -109,18 +133,37 @@ object Bucketing {
              |INTO $numBuckets BUCKETS
              |LOCATION '$path'""".stripMargin)
       } else {
-        spark.sql(s"DROP TABLE IF EXISTS $name")
-        if (fs.exists(metaPath)) fs.delete(metaPath, false)
-        df.write
-          .mode("overwrite")
-          .bucketBy(numBuckets, keys.head, keys.tail: _*)
-          .sortBy(keys.head, keys.tail: _*)
-          .option("path", path.toString)
-          .format("parquet")
-          .saveAsTable(name)
-        val out = fs.create(metaPath, true)
-        try out.write(expectedMeta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        val lockPath = new Path(dataDir, s"$table._graft_buckets.lock")
+        val stale = fs.exists(lockPath) &&
+          System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime > lockLeaseMs
+        if (stale) fs.delete(lockPath, false)
+        // overwrite=false: atomic create-if-absent is the lease acquire
+        val lock =
+          try fs.create(lockPath, false)
+          catch {
+            case e: java.io.IOException =>
+              throw new IllegalStateException(
+                s"another pipeline is rewriting bucketed source '$table' under $dataDir " +
+                  s"(lease $lockPath held; stolen after ${lockLeaseMs / 1000}s if its owner " +
+                  "crashed) — bucketed dataDirs are single-writer", e)
+          }
+        try {
+          lock.write(java.lang.Long.toString(System.currentTimeMillis())
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          lock.close()
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          if (fs.exists(metaPath)) fs.delete(metaPath, false)
+          df.write
+            .mode("overwrite")
+            .bucketBy(numBuckets, keys.head, keys.tail: _*)
+            .sortBy(keys.head, keys.tail: _*)
+            .option("path", path.toString)
+            .format("parquet")
+            .saveAsTable(name)
+          val out = fs.create(metaPath, true)
+          try out.write(expectedMeta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } finally fs.delete(lockPath, false)
       }
       table -> name
     }

@@ -27,7 +27,8 @@ final class Runner(
     sourceDir: String,
     outDir: String,
     partitionFactsByDay: Boolean = true,
-    stagingSuffix: String = ""
+    stagingSuffix: String = "",
+    saltParents: Option[Int] = None
 ) {
 
   /** Full-refresh writes target `<table><stagingSuffix>`; incremental
@@ -44,7 +45,7 @@ final class Runner(
     * Hadoop FileSystem API resolved from `outDir`'s scheme, so the same
     * swap works on local disk, HDFS, or an object store with a
     * rename-capable committer. */
-  def swapStaging(tables: Seq[String]): Unit = {
+  def swapStaging(tables: Seq[String]): Unit = withWriterLease {
     require(stagingSuffix.nonEmpty, "no staging suffix configured")
     tables.foreach(promoteStaged(_, stagingSuffix))
   }
@@ -79,7 +80,7 @@ final class Runner(
     * promotes atomically via the same move-aside/move-in/delete-old
     * path as staged rebuilds — the live table stays readable during
     * the rewrite and a crash leaves it untouched. */
-  def compact(table: String, maxRecordsPerFile: Long = 5000000L): Unit = {
+  def compact(table: String, maxRecordsPerFile: Long = 5000000L): Unit = withWriterLease {
     val df      = readOut(table)
     val staged  = table + "__compact"
     val writer0 = (
@@ -93,6 +94,43 @@ final class Runner(
       .mode("overwrite")
       .parquet(s"$outDir/$staged")
     promoteStaged(table, "__compact")
+  }
+
+  /** Serialize MUTATING pipeline runs against `outDir`: an incremental
+    * append racing `--compact`'s promote could write into a directory
+    * mid-rename, and two staged full refreshes would fight over the
+    * same `<table>_staging` paths. Writers take an outDir-wide lease
+    * (`_graft_writer.lock`, atomic create-if-absent); the second writer
+    * fails loudly instead of corrupting the first one's run. A crashed
+    * writer's stale lease is stolen after `leaseMs`. READERS never take
+    * the lease — every rewrite promotes via whole-directory rename, so
+    * live tables stay readable throughout; the contract is
+    * single-WRITER-per-outDir, enforced here, documented in README. */
+  private def withWriterLease[T](body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val lock    = new Path(root, "_graft_writer.lock")
+    val leaseMs = 60L * 60 * 1000
+    val stale = fs.exists(lock) &&
+      System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > leaseMs
+    if (stale) fs.delete(lock, false)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"another pipeline is writing derived tables under $outDir (writer lease $lock " +
+              s"held; stolen after ${leaseMs / 1000}s if its owner crashed) — outDirs are " +
+              "single-writer; concurrent readers are always safe", e)
+      }
+    try {
+      out.write(java.lang.Long.toString(System.currentTimeMillis())
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      body
+    } finally fs.delete(lock, false)
   }
 
   /** Source name -> bucketed managed table, populated by
@@ -136,7 +174,7 @@ final class Runner(
     * parent-before-child order. Each table is written once; fact reads
     * resolve dims from the just-written parquet. Returns written table
     * names. */
-  def fullRefresh(window: TimeWindow = TimeWindow.unbounded): Seq[String] = {
+  def fullRefresh(window: TimeWindow = TimeWindow.unbounded): Seq[String] = withWriterLease {
     val dimNames = derivedDims.map { case (fact, dimTable) =>
       val df = DimPopulate.full(env, fact, dimTable.name, readSource(fact.tableName), window)
       writeDim(df, dimTable, targetName = stagedName(dimTable.name, PopulationMode.Full))
@@ -146,7 +184,7 @@ final class Runner(
       // in full mode the dim lookups read the staged dims too
       // (`Fact.hs:189`: the subquery targets the suffixed table)
       val df = FactPopulate.populate(env, fact, window, readSource,
-        d => readOut(stagedName(d, PopulationMode.Full)))
+        d => readOut(stagedName(d, PopulationMode.Full)), saltParents)
       writeFact(df, fact, targetName = stagedName(factTableNameOf(fact), PopulationMode.Full))
       factTableNameOf(fact)
     }
@@ -157,7 +195,7 @@ final class Runner(
     * (anti-join, ids continuing after the existing max) and appends the
     * window's fact rows. Bucket keys are disjoint across aligned
     * windows, so appends never double-count (SURVEY §4, last row). */
-  def incrementalRefresh(window: TimeWindow): Seq[String] = {
+  def incrementalRefresh(window: TimeWindow): Seq[String] = withWriterLease {
     require(window.lower.nonEmpty && window.upper.nonEmpty,
       "incremental refresh needs both window bounds")
     val dimNames = derivedDims.map { case (fact, dimTable) =>
@@ -167,7 +205,7 @@ final class Runner(
       dimTable.name
     }
     val factNames = factsInTopoOrder.filter(_.persistent).map { fact =>
-      val df = FactPopulate.populate(env, fact, window, readSource, readOut)
+      val df = FactPopulate.populate(env, fact, window, readSource, readOut, saltParents)
       writeFact(df, fact, append = true)
       factTableNameOf(fact)
     }
@@ -298,7 +336,7 @@ final class Runner(
     }
     val facts = factsInTopoOrder.filter(_.persistent).map { fact =>
       factTableNameOf(fact) -> planOf(
-        FactPopulate.populate(env, fact, window, readSource, readOut))
+        FactPopulate.populate(env, fact, window, readSource, readOut, saltParents))
     }
     (dims ++ facts).toMap
   }

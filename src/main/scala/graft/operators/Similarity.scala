@@ -337,13 +337,23 @@ object Similarity {
     *
     * Contract: `queries` is a LOOKUP SET and must be broadcastable —
     * it is explicitly broadcast (times nPlanes+1 probe rows) so the
-    * corpus streams shuffle-free. For corpus-scale "neighbors of
-    * everything" passes use [[cosineNearDupPairsLsh]] (banded self-join,
-    * no broadcast) instead of passing the corpus as queries. */
+    * corpus streams shuffle-free. The contract is ENFORCED, not just
+    * documented: a `limit(maxQueryRows+1)` probe (short-circuits after
+    * maxQueryRows+1 rows — never a full scan) fails fast with a pointer
+    * at [[cosineNearDupPairsLsh]] before the broadcast can OOM the
+    * driver. Raise `maxQueryRows` deliberately if your query set is
+    * genuinely large AND your driver is sized for it. */
   def lshKnn(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nPlanes: Int = 12
+      idCol: String, vecCol: String, k: Int, nPlanes: Int = 12,
+      maxQueryRows: Long = 100000L
   ): DataFrame = {
+    val qCount = queries.select(col(idCol)).limit((maxQueryRows + 1).toInt).count()
+    require(qCount <= maxQueryRows,
+      s"lshKnn broadcasts the query set times ${nPlanes + 1} probe rows, but `queries` has " +
+        s"more than $maxQueryRows rows — for corpus-scale all-pairs passes use " +
+        "cosineNearDupPairsLsh (banded self-join, no broadcast), or raise maxQueryRows " +
+        "if the driver is sized for the broadcast")
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))

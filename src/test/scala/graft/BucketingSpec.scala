@@ -41,6 +41,27 @@ class BucketingSpec extends SparkSpec {
     dropTable("b_events"); dropTable("b_users")
   }
 
+  test("bucket rewrite takes a per-table lease; a held fresh lock fails loudly") {
+    import graft.exec.Runner
+    val out     = java.nio.file.Files.createTempDirectory("graft-bkt-lock").toString
+    val dataDir = java.nio.file.Paths.get(out, "_bucketed")
+    java.nio.file.Files.createDirectories(dataDir)
+    // simulate a concurrent writer: fresh lock on one parent source
+    val lock = dataDir.resolve("lineitem._graft_buckets.lock")
+    java.nio.file.Files.writeString(lock, java.lang.Long.toString(System.currentTimeMillis()))
+    val runner = new Runner(spark, Fixtures.tpchEnv, sf("sf0.001"), out)
+    val e = intercept[IllegalStateException](runner.bucketParentSources(4))
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // a STALE lock (crashed writer) is stolen: backdate it past the lease
+    java.nio.file.Files.setLastModifiedTime(
+      lock, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val mapping = runner.bucketParentSources(4)
+    assert(mapping.nonEmpty)
+    assert(!java.nio.file.Files.exists(lock), "lease must be released after the write")
+    mapping.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("parent-fact populate over bucketed sources: exchange-free SMJ, identical result") {
     import graft.exec.{FactPopulate, Runner}
     import graft.model.TimeWindow

@@ -66,6 +66,50 @@ class CliSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("--version prints the banner with exit code 0, short aliases parse") {
+    // --version anywhere in the args wins, before any validation
+    // (`ArgParser.hs:106-113`)
+    val v = intercept[Cli.CliError](Cli.run(Seq("--version"), spark))
+    assert(v.code == 0 && v.msg.startsWith("graft "))
+    // -d/-f/-t normalize to their long forms (`ArgParser.hs:27-41`):
+    // a prefixed run through the aliases must produce the renamed tables
+    val out = tempDir()
+    val violations = Cli.run(
+      Seq("examples/events_model.yaml", sf("sf0.001"), out,
+        "--upper", "2024-01-15 00:00:00",
+        "-d", "d_", "-f", "f_", "-t", "hour"), spark)
+    assert(violations.isEmpty)
+    assert(Files.exists(Paths.get(out, "d_event_type")), "-d alias ignored")
+    assert(Files.exists(Paths.get(out, "f_event_by_hour")), "-f/-t aliases ignored")
+  }
+
+  test("--salt-parents validates and excludes --bucket-parents") {
+    val e1 = intercept[Cli.CliError](
+      Cli.run(Seq("examples/events_model.yaml", sf("sf0.001"), tempDir(),
+        "--salt-parents", "1"), spark))
+    assert(e1.code == 2 && e1.msg.contains("salt count > 1"))
+    val e2 = intercept[Cli.CliError](
+      Cli.run(Seq("examples/events_model.yaml", sf("sf0.001"), tempDir(),
+        "--salt-parents", "4", "--bucket-parents", "8"), spark))
+    assert(e2.code == 2 && e2.msg.contains("cannot be combined"))
+  }
+
+  test("refresh modes are mutually exclusive") {
+    val e1 = intercept[Cli.CliError](
+      Cli.run(Seq("examples/events_model.yaml", sf("sf0.001"), tempDir(),
+        "--compact", "--incremental", "2024-01-01 00:00:00", "2024-02-01 00:00:00"), spark))
+    assert(e1.code == 2 && e1.msg.contains("--compact cannot be combined"))
+    val e2 = intercept[Cli.CliError](
+      Cli.run(Seq("examples/events_model.yaml", sf("sf0.001"), tempDir(),
+        "--compact", "--upper", "2024-01-01 00:00:00"), spark))
+    assert(e2.code == 2)
+    val e3 = intercept[Cli.CliError](
+      Cli.run(Seq("examples/events_model.yaml", sf("sf0.001"), tempDir(),
+        "--incremental", "2024-01-01 00:00:00", "2024-02-01 00:00:00",
+        "--upper", "2024-01-01 00:00:00"), spark))
+    assert(e3.code == 2 && e3.msg.contains("mutually exclusive"))
+  }
+
   test("usage errors throw CliError instead of exiting") {
     val e1 = intercept[Cli.CliError](Cli.run(Seq("model.yaml"), spark))
     assert(e1.code == 2)

@@ -131,6 +131,30 @@ class RunnerSpec extends SparkSpec {
     assert(v2.checkUniqueKeys().forall(_._3 == 0))
   }
 
+  test("writer lease: concurrent mutating runs against one outDir fail loudly") {
+    val out = tempDir()
+    val runner = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out)
+    val hi = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    runner.fullRefresh(TimeWindow.upTo(hi))
+    // simulate a second pipeline holding the lease: compact and
+    // incremental must refuse rather than race the other writer's
+    // renames (the compact-vs-incremental interplay)
+    val lock = java.nio.file.Paths.get(out, "_graft_writer.lock")
+    java.nio.file.Files.writeString(lock, java.lang.Long.toString(System.currentTimeMillis()))
+    val e1 = intercept[IllegalStateException](runner.compact("fact_event_by_minute"))
+    assert(e1.getMessage.contains("single-writer"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      runner.incrementalRefresh(
+        TimeWindow.between(hi, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))))
+    assert(e2.getMessage.contains("single-writer"))
+    // a crashed writer's stale lease is stolen
+    java.nio.file.Files.setLastModifiedTime(
+      lock, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    runner.compact("fact_event_by_minute")
+    assert(!java.nio.file.Files.exists(lock), "lease must be released after the run")
+  }
+
   test("compaction collapses incremental small files without changing content") {
     val out = tempDir()
     val t0  = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")

@@ -46,6 +46,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("lshKnn enforces the broadcastable-queries contract, short-circuit count") {
+    // 10 queries against maxQueryRows = 5: must fail fast with the
+    // pointer at the banded self-join alternative, BEFORE building the
+    // probe broadcast
+    val queries = emb.filter(col("vec_id") < 10)
+    val e = intercept[IllegalArgumentException](
+      Similarity.lshKnn(emb, queries, "vec_id", "embedding", k = 5, maxQueryRows = 5))
+    assert(e.getMessage.contains("cosineNearDupPairsLsh"))
+    // at or under the cap the guard is invisible
+    val ok = Similarity.lshKnn(emb, queries, "vec_id", "embedding", k = 5, maxQueryRows = 10)
+    assert(ok.count() > 0)
+  }
+
   test("ivfKnn recall on clustered vectors; fewer candidates than brute force") {
     import spark.implicits._
     val dim = 16
