@@ -24,7 +24,8 @@ object Bench {
     // state (co-location written once in the warm pass, reused after)
     "fact_populate_parent_bucketed" -> (Queries.factPopulateParentBucketed _),
     "agg_count_distinct_exact"  -> (Queries.aggCountDistinctExact _),
-    "sketch_count_distinct"     -> (Queries.sketchCountDistinct _),
+    // production sketch shape (no exact-distinct oracle companion)
+    "sketch_count_distinct"     -> (Queries.sketchCountDistinctBench _),
     "text_stats"                -> (QueriesExt.textStats _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),

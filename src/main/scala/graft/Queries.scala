@@ -363,6 +363,23 @@ object Queries {
     perDay.unionAll(total)
   }
 
+  /** Bench-only production shape of the sketch pipeline (the r1-r3
+    * bench series): daily build -> register-wise merge -> estimate,
+    * WITHOUT the exact countDistinct companion the correctness gate
+    * adds for its within-eps oracle — on a cluster the sketch exists
+    * precisely to avoid paying the exact distinct expand+shuffle. */
+  def sketchCountDistinctBench(s: SparkSession, dir: String): DataFrame = {
+    val m     = RegisterSketch.bucketCount(0.05)
+    val build = RegisterSketch.buildAgg(m)
+    val merge = RegisterSketch.mergeAgg(m)
+    val est   = RegisterSketch.estimateUdf(m)
+    src(s, dir)("events")
+      .groupBy(floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("ts_day_id"))
+      .agg(build(RegisterSketch.hashColumn(col("user_id"))).as("user_sketch"))
+      .agg(merge(col("user_sketch")).as("sketch"))
+      .select(est(col("sketch")).as("approx_users"), lit(true).as("merged"))
+  }
+
   val sketchCountDistinctSql: String =
     s"""SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS ts_day_id,
        |       count(DISTINCT user_id) AS exact_users,
