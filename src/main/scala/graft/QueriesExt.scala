@@ -329,6 +329,52 @@ object QueriesExt {
     Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** Oracle-checkable ANN verification (same construction as
+    * [[dedupMinhashLshVerified]]): every (query, neighbor, cosine) an
+    * approximate index returns must be a REAL pair with a correctly
+    * computed cosine, so the union with the exact all-pairs cosine
+    * table equals that table — a fabricated neighbor id, a duplicate,
+    * or a cosine diverging from the exact-decimal value even at the
+    * 6th decimal adds a row and breaks the hash match. Recall (did the
+    * index return the BEST neighbors) stays spec-side in
+    * SimilaritySpec; rank is positional within the returned set and is
+    * dropped here. */
+  private def knnVerified(ann: DataFrame, e: DataFrame): DataFrame =
+    ann.select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .union(Similarity.allPairsCosineExact(e, "vec_id", "embedding", numQueries = 10))
+      .distinct()
+
+  def embedKnnLshVerified(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnLsh(s, dir), emb(s, dir))
+
+  def embedKnnIvfVerified(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnIvf(s, dir), emb(s, dir))
+
+  /** The exact all-pairs cosine universe for query ids < 10 — shared
+    * oracle for both ANN verification gates ([[embedKnnBruteSql]]'s
+    * CTEs without the top-k ranking). */
+  lazy val embedKnnVerifiedSql: String =
+    s"""WITH pos AS (
+       |  SELECT vec_id AS vid, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |), norms AS (
+       |  SELECT vid, sum(CAST(v * v AS DECIMAL(30,15))) AS n2 FROM pos GROUP BY 1
+       |), q AS (
+       |  SELECT vid AS query_id, pos, v AS qv FROM pos WHERE vid < 10
+       |), dots AS (
+       |  SELECT q.query_id, c.vid AS neighbor_id,
+       |         sum(CAST(q.qv * c.v AS DECIMAL(30,15))) AS dot
+       |  FROM q JOIN pos c USING (pos)
+       |  WHERE q.query_id <> c.vid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id,
+       |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))), 6) AS cosine
+       |FROM dots
+       |JOIN norms qn ON qn.vid = query_id
+       |JOIN norms cn ON cn.vid = neighbor_id
+       |""".stripMargin
+
   // ================================================================ multimodal
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(docs(s, dir), "doc_id", "text")

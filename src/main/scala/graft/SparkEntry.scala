@@ -65,6 +65,10 @@ object SparkEntry {
     "embed_knn_brute"       -> (QueriesExt.embedKnnBrute _),
     "embed_knn_lsh"         -> (QueriesExt.embedKnnLsh _),
     "embed_knn_ivf"         -> (QueriesExt.embedKnnIvf _),
+    // ANN verification companions: union with the exact all-pairs
+    // cosine table must equal that table
+    "embed_knn_lsh_verified" -> (QueriesExt.embedKnnLshVerified _),
+    "embed_knn_ivf_verified" -> (QueriesExt.embedKnnIvfVerified _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // multimodal binary plumbing (stubbed decode, frame sampling)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
@@ -87,6 +91,8 @@ object SparkEntry {
     "sketch_count_distinct"     -> Queries.sketchCountDistinctSql,
     "dedup_minhash_lsh_verified" -> QueriesExt.dedupNgramJaccardSql,
     "dedup_simhash_verified"     -> QueriesExt.dedupSimhashVerifiedSql,
+    "embed_knn_lsh_verified"     -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_ivf_verified"     -> QueriesExt.embedKnnVerifiedSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,

@@ -77,9 +77,11 @@ object Similarity {
     * explode-join formulation with per-product decimal casts. Same
     * results as [[knnBrute]] up to float rounding of the cosine; order
     * independence makes it bit-identical to the DuckDB oracle. */
-  def knnBruteExactSum(
-      embeddings: DataFrame, idCol: String, vecCol: String,
-      numQueries: Int, k: Int
+  /** Exact-decimal (query, neighbor, cosine) scores for all query ids
+    * below `numQueries` — the shared core of [[knnBruteExactSum]] and
+    * [[allPairsCosineExact]]. */
+  private def exactScored(
+      embeddings: DataFrame, idCol: String, vecCol: String, numQueries: Int
   ): DataFrame = {
     val pos = embeddings.select(
       col(idCol).as("vid"),
@@ -100,6 +102,13 @@ object Similarity {
       .join(norms.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("n2", "cn"), "neighbor_id")
       .withColumn("cosine",
         col("dot").cast("double") / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+  }
+
+  def knnBruteExactSum(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int, k: Int
+  ): DataFrame =
+    exactScored(embeddings, idCol, vecCol, numQueries)
       .withColumn("rank",
         row_number().over(
           Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
@@ -108,7 +117,16 @@ object Similarity {
       // present at 6 decimals for the cross-engine hash compare
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
-  }
+
+  /** EVERY (query, neighbor) exact cosine for query ids below
+    * `numQueries` — the verification universe for the approximate-knn
+    * gates: an ANN result unioned with this must equal this (any
+    * fabricated neighbor or miscomputed cosine adds a row). */
+  def allPairsCosineExact(
+      embeddings: DataFrame, idCol: String, vecCol: String, numQueries: Int
+  ): DataFrame =
+    exactScored(embeddings, idCol, vecCol, numQueries)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
 
   /** All pairs with cosine >= `minCosine` (embedding near-duplicate
     * detection), deterministic-sum formulation. */
