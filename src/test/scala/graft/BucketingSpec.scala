@@ -41,6 +41,54 @@ class BucketingSpec extends SparkSpec {
     dropTable("b_events"); dropTable("b_users")
   }
 
+  test("AQE skew splitting works on shuffled joins but NOT bucketed scans") {
+    // The documented reason --salt-parents exists alongside
+    // --bucket-parents: AQE's OptimizeSkewedJoin can only split the
+    // partitions of a SHUFFLE — a bucketed scan has no exchange to
+    // split, so a hot key inside one bucket stays one task. This test
+    // pins both halves of that fact.
+    import spark.implicits._
+    dropTable("sk_left"); dropTable("sk_right")
+    // ~98% of left rows share one hot key, payload pads bytes so the
+    // hot partition crosses the (lowered) skew threshold
+    val left = (1 to 20000)
+      .map(i => (if (i % 50 == 0) i.toLong else 7L, "x" * 100)).toDF("k", "payload")
+    val right = (1 to 500).map(i => (i.toLong, s"dim$i")).toDF("k", "attr")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // thresholds are against COMPRESSED shuffle sizes; the hot
+      // partition's repetitive payload compresses to a few tens of KB
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (c, _) => c -> spark.conf.get(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      // shuffled join: AQE detects and splits the hot partition
+      // collect() executes THIS queryExecution, so executedPlan shows
+      // the final AQE plan (a write would plan its own execution)
+      val shuffled = left.join(right, Seq("k"), "inner")
+      shuffled.collect()
+      val shuffledPlan = shuffled.queryExecution.executedPlan.toString
+      assert(shuffledPlan.contains("skew=true"), shuffledPlan)
+      // bucketed join: no exchange, so AQE has nothing to split — the
+      // hot bucket is one task no matter the configs
+      Bucketing.writeBucketed(left, "sk_left", "k", 8)
+      Bucketing.writeBucketed(right, "sk_right", "k", 8)
+      val bucketed = Bucketing.bucketedJoin(spark, "sk_left", "sk_right", "k")
+      bucketed.collect()
+      val bucketedPlan = bucketed.queryExecution.executedPlan.toString
+      assert(!bucketedPlan.contains("Exchange"), bucketedPlan)
+      assert(!bucketedPlan.contains("skew=true"),
+        "AQE must not (cannot) split a bucketed scan — salting is the skew remedy here")
+    } finally {
+      prev.foreach { case (c, v) => spark.conf.set(c, v) }
+      dropTable("sk_left"); dropTable("sk_right")
+    }
+  }
+
   test("bucket rewrite takes a per-table lease; a held fresh lock fails loudly") {
     import graft.exec.Runner
     val out     = java.nio.file.Files.createTempDirectory("graft-bkt-lock").toString
