@@ -236,7 +236,10 @@ object Dedup {
   ): DataFrame = {
     import Hashing.fnvShingle
     val setUdf = udf { (w: Seq[String]) =>
-      val m = w.length - n + 1
+      // null text -> empty shingle set (jaccard 0 to everything), not
+      // an executor NPE: at corpus scale a few null documents are a
+      // certainty and must not kill the verification pass
+      val m = if (w == null) 0 else w.length - n + 1
       if (m <= 0) Array.empty[Long]
       else {
         val hs = new Array[Long](m)

@@ -65,6 +65,10 @@ object Similarity {
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
+      // a NULL embedding yields a NULL cosine; without this filter such
+      // rows would surface at the tail ranks whenever a query has fewer
+      // than k real neighbors
+      .filter(col("cosine").isNotNull)
     scored
       .withColumn("rank",
         row_number().over(
@@ -237,10 +241,15 @@ object Similarity {
       .orderBy(xxhash64(col("neighbor_id")))
       .limit(4096)
       .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n > 0) v.map(_ / n) else v
+      .flatMap { r =>
+        // null embeddings carry no geometry — skip them in quantizer
+        // training (their corpus rows get a null cell below anyway)
+        if (r.isNullAt(1)) None
+        else {
+          val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+          val n = math.sqrt(v.map(x => x * x).sum)
+          Some(if (n > 0) v.map(_ / n) else v)
+        }
       }
     // L2-normalize the centroids: Lloyd's means of unit vectors are NOT
     // unit norm. With UNIT centroids, argmax dot(v, c) is the cosine
@@ -254,7 +263,11 @@ object Similarity {
 
     // distributed assignment: raw vectors -> argmax dot with the unit
     // centroids; centroids ride the UDF closure (tiny, task-broadcast)
+    // boxed return so a NULL embedding yields a NULL cell (the row
+    // drops out of the cell join) instead of an executor NPE
     val assignUdf = udf { (cv: Seq[Float]) =>
+      if (cv == null) null.asInstanceOf[java.lang.Integer]
+      else {
       var best = 0; var bestDot = Double.NegativeInfinity
       var i = 0
       while (i < centroids.length) {
@@ -265,7 +278,8 @@ object Similarity {
         if (dot > bestDot) { bestDot = dot; best = i }
         i += 1
       }
-      best
+      java.lang.Integer.valueOf(best)
+      }
     }
     val assigned = prepared
       .select(col("neighbor_id"), col("cv"), assignUdf(col("cv")).as("cell"))
@@ -275,7 +289,10 @@ object Similarity {
     val centroidArrs: Seq[(Int, Array[Double])] =
       centroids.zipWithIndex.map { case (c, i) => i -> c }.toSeq
     val probeUdf = udf { (qv: Seq[Double]) =>
-      centroidArrs
+      // null query embedding -> no probes -> the query drops out of
+      // the explode, mirroring lshKnn's null-bucket behavior
+      if (qv == null) Array.empty[Int]
+      else centroidArrs
         .map { case (i, cArr) =>
           var dot = 0.0; var nq = 0.0; var nc = 0.0
           var j = 0
@@ -285,7 +302,7 @@ object Similarity {
           }
           i -> dot / (math.sqrt(nq) * math.sqrt(nc))
         }
-        .sortBy(-_._2).take(nProbe).map(_._1)
+        .sortBy(-_._2).take(nProbe).map(_._1).toArray
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv").cast("array<double>"))))

@@ -69,6 +69,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 100L)))
   }
 
+  test("null documents flow through every dedup operator without executor NPEs") {
+    import spark.implicits._
+    // at corpus scale null text rows are a certainty; each operator
+    // must ignore them, not kill the job
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "completely different content here with many words")
+    ).toDF("doc_id", "text")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, k = 16, r = 4, minJaccard = 0.5)
+    assert(lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+    assert(jac.count() == 1)
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    assert(sim.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 3) // null group + 2 contents
+    // the pair-local verifier is also null-safe when handed an
+    // arbitrary pair list including a null doc
+    val pairs = Seq((1L, 3L)).toDF("doc_a", "doc_b")
+    val verified = Dedup.ngramJaccardForPairs(docs, "doc_id", "text", pairs, n = 3, minJaccard = 0.0)
+    assert(verified.collect().map(_.getDouble(2)).toSeq == Seq(0.0))
+  }
+
   test("exact dedup groups identical normalized text") {
     import spark.implicits._
     val df = Seq(

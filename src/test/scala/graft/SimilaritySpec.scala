@@ -148,6 +148,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${approx.size}/${exact.size})")
   }
 
+  test("null embeddings flow through brute/LSH/IVF knn without NPEs or rank pollution") {
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 30L).map(i => i -> vec(i.toInt)) :+ (30L -> null.asInstanceOf[Array[Float]])
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3 || col("vec_id") === 30L)
+    for (knn <- Seq(
+        Similarity.knnBrute(df, queries, "vec_id", "embedding", 5),
+        Similarity.lshKnn(df, queries, "vec_id", "embedding", 5, nPlanes = 6),
+        Similarity.ivfKnn(df, queries, "vec_id", "embedding", 5, nCells = 4))) {
+      val out = knn.collect()
+      // the null corpus row is never a neighbor, the null query returns
+      // nothing, and no null cosine reaches the ranking
+      assert(!out.exists(_.getLong(1) == 30L), "null corpus row surfaced as neighbor")
+      assert(!out.exists(_.getLong(0) == 30L), "null query returned results")
+      assert(out.forall(!_.isNullAt(3)), "null cosine leaked into ranks")
+      assert(out.nonEmpty)
+    }
+  }
+
   test("lshBucket yields NULL for null embeddings (row drops out of the join)") {
     val s = spark
     import s.implicits._
