@@ -466,4 +466,43 @@ object QueriesExt {
     s"""SELECT doc_id, $normSql AS norm_text
        |FROM documents
        |""".stripMargin
+
+  // ================================================================ PII redaction
+  /** The synthetic corpus carries no organic PII, so the gate
+    * CONSTRUCTS it deterministically from corpus columns — both engines
+    * build the identical email/URL/phone/IP-bearing text, redact it,
+    * and must agree byte-for-byte. A regex divergence between Spark's
+    * Java regex and DuckDB's RE2, a missed match, or an over-eager
+    * match all break the hash. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(
+      col("text"),
+      lit(" contact "), col("source"), lit("@example.com via http://"),
+      col("lang"), lit(".example.org/d?id="), col("doc_id").cast("string"),
+      lit(" or +1 (555) 010-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") / 256).cast("long") % 256).cast("string"))
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.redact(pii).as("redacted"))
+  }
+
+  lazy val textRedactSql: String = {
+    val pii =
+      """text || ' contact ' || source || '@example.com via http://' ||
+        | lang || '.example.org/d?id=' || CAST(doc_id AS VARCHAR) ||
+        | ' or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        | ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        | '.' || CAST((doc_id // 256) % 256 AS VARCHAR)""".stripMargin.replace("\n", "")
+    val redacted = TextAnalysis.redactionPatterns.foldLeft(s"($pii)") {
+      case (expr, (pat, tag)) =>
+        // DuckDB standard strings keep backslashes literal — only
+        // quotes need escaping for the embedded regex
+        val escaped = pat.replace("'", "''")
+        s"regexp_replace($expr, '$escaped', '$tag', 'g')"
+    }
+    s"""SELECT doc_id, $redacted AS redacted
+       |FROM documents
+       |""".stripMargin
+  }
 }

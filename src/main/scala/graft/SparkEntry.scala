@@ -43,6 +43,8 @@ object SparkEntry {
     // training-data extensions: text analysis + normalization
     "text_stats"     -> (QueriesExt.textStats _),
     "text_normalize" -> (QueriesExt.textNormalize _),
+    // PII scrub over deterministically constructed emails/URLs/phones/IPs
+    "text_redact"    -> (QueriesExt.textRedact _),
     // deterministic hash sampling / split assignment
     "sample_hash"   -> (QueriesExt.sampleHash _),
     "sample_splits" -> (QueriesExt.sampleSplits _),
@@ -98,6 +100,7 @@ object SparkEntry {
     "validate_errors"           -> Queries.validateErrorsSql,
     "text_stats"                -> QueriesExt.textStatsSql,
     "text_normalize"            -> QueriesExt.textNormalizeSql,
+    "text_redact"               -> QueriesExt.textRedactSql,
     "sample_hash"               -> QueriesExt.sampleHashSql,
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,

@@ -94,6 +94,24 @@ object TextAnalysis {
     * key (identical to DuckDB's md5 for cross-engine checks). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** PII redaction patterns, applied in order (emails before URLs so a
+    * mailto-ish token cannot be half-eaten by the URL rule; IPs last so
+    * URL hosts keep priority). Kept to constructs with identical
+    * semantics in Java regex and RE2 (DuckDB) — no backreferences, no
+    * lookaround — so the DuckDB oracle can mirror the pipeline
+    * verbatim. */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+"                                -> "<URL>",
+    "\\+\\d{1,3}\\s?\\(\\d{3}\\)\\s?\\d{3}-\\d{4}"    -> "<PHONE>",
+    "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"                  -> "<IP>")
+
+  /** Scrub emails / URLs / phone numbers / IPv4 addresses — the
+    * standard pre-training PII pass. Scan-local (a chain of compiled
+    * regexp_replace, no shuffle); replace-all per pattern. */
+  def redact(text: Column): Column =
+    redactionPatterns.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
   /** One compiled pass over the normalized text computing every count
     * the stats projection needs. Semantics replicate the column-formula
     * helpers EXACTLY (the text_stats DuckDB oracle and the multilingual

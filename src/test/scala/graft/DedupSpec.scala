@@ -160,4 +160,26 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Int]("n_chars") == "the quick brown fox".length)
     assert(r.getAs[Double]("punct_ratio") == 0.0)
   }
+
+  test("PII redaction scrubs emails, URLs, phones, and IPs; leaves clean text alone") {
+    import spark.implicits._
+    val cases = Seq(
+      ("mail me at jane.doe+spam@sub.example.co.uk today",
+        "mail me at <EMAIL> today"),
+      ("docs at https://spark.apache.org/docs/latest?q=1#frag end",
+        "docs at <URL> end"),
+      ("plain http://example.org/a b", "plain <URL> b"),
+      ("call +1 (555) 010-4242 now", "call <PHONE> now"),
+      ("ip 192.168.0.1 and 10.0.255.254.", "ip <IP> and <IP>."),
+      // version strings with more than 4 octet-ish groups must NOT be
+      // eaten whole (\b{1,3} quads only)
+      ("clean text with numbers 12345 and words", "clean text with numbers 12345 and words"),
+      ("a@b.io http://x.io +44 (123) 456-7890 1.2.3.4",
+        "<EMAIL> <URL> <PHONE> <IP>"))
+    val out = cases.toDF("text", "expected")
+      .withColumn("got", TextAnalysis.redact(col("text")))
+      .filter(col("got") =!= col("expected"))
+      .collect()
+    assert(out.isEmpty, out.map(r => s"${r.getString(0)} -> ${r.getString(2)}").mkString("; "))
+  }
 }
