@@ -467,6 +467,44 @@ object QueriesExt {
        |FROM documents
        |""".stripMargin
 
+  // ================================================================ term frequencies
+  /** Corpus-level term frequencies with document frequencies — the
+    * vocabulary-building / tokenizer-training primitive. One explode +
+    * one shuffle on the token (map-side partial agg); document
+    * frequency rides the same aggregation via a distinct-doc count.
+    * Top 100 by (tf desc, token) for a deterministic gate. */
+  def textTermFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+      .select(col("token"), col("tf"), col("df"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("tf").desc, col("token")))
+          .cast("int").as("rank"))
+
+  lazy val textTermFreqSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.token
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |       unnest(w) AS t(token)
+       |  WHERE t.token <> ''
+       |), agg AS (
+       |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM toks GROUP BY 1
+       |)
+       |SELECT token, tf, df,
+       |       CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER) AS rank
+       |FROM agg
+       |ORDER BY tf DESC, token
+       |LIMIT 100
+       |""".stripMargin
+
   // ================================================================ PII redaction
   /** The synthetic corpus carries no organic PII, so the gate
     * CONSTRUCTS it deterministically from corpus columns — both engines

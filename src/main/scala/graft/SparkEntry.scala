@@ -45,6 +45,8 @@ object SparkEntry {
     "text_normalize" -> (QueriesExt.textNormalize _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
+    // corpus vocabulary: term + document frequencies, top-100
+    "text_term_freq" -> (QueriesExt.textTermFreq _),
     // deterministic hash sampling / split assignment
     "sample_hash"   -> (QueriesExt.sampleHash _),
     "sample_splits" -> (QueriesExt.sampleSplits _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "text_stats"                -> QueriesExt.textStatsSql,
     "text_normalize"            -> QueriesExt.textNormalizeSql,
     "text_redact"               -> QueriesExt.textRedactSql,
+    "text_term_freq"            -> QueriesExt.textTermFreqSql,
     "sample_hash"               -> QueriesExt.sampleHashSql,
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
