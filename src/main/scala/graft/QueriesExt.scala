@@ -505,6 +505,115 @@ object QueriesExt {
        |LIMIT 100
        |""".stripMargin
 
+  // ================================================================ token chunking
+  /** Overlapping 32-token windows with stride 24 — the context-window
+    * packing step of a training pipeline, scan-local on both sides. */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text", size = 32, stride = 24)
+
+  lazy val textChunksSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |  WHERE $normSql <> ''
+       |)
+       |SELECT doc_id,
+       |       CAST(st // 24 AS INTEGER) AS chunk_id,
+       |       CAST(len(w[st + 1:st + 32]) AS INTEGER) AS n_chunk_tokens,
+       |       array_to_string(w[st + 1:st + 32], ' ') AS chunk_text
+       |FROM ws, unnest(generate_series(0, len(w) - 1, 24)) AS t(st)
+       |""".stripMargin
+
+  // ================================================================ repetition stats
+  /** Gopher-style repetition quality filter: duplicate-token fraction,
+    * top-token share, duplicate-bigram fraction, and the curation flag.
+    * Spark computes them in one compiled pass per document; the oracle
+    * recomputes via explode + group-by from scratch. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+
+  lazy val textRepetitionSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |  WHERE $normSql <> ''
+       |), tok AS (
+       |  SELECT doc_id, t.token FROM ws, unnest(w) AS t(token)
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |         CAST(count(*) AS BIGINT) AS d, CAST(max(c) AS BIGINT) AS m
+       |  FROM tf GROUP BY 1
+       |), bi AS (
+       |  SELECT doc_id, array_to_string(w[i:i + 1], ' ') AS bg
+       |  FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+       |  WHERE len(w) >= 2
+       |), biagg AS (
+       |  SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db FROM bi GROUP BY 1
+       |), r AS (
+       |  SELECT a.doc_id,
+       |         CAST(n AS INTEGER) AS n_tokens,
+       |         CAST(m AS DOUBLE) / n AS top_token_ratio,
+       |         CAST(n - d AS DOUBLE) / n AS dup_token_ratio,
+       |         CASE WHEN nb IS NULL OR nb = 0 THEN 0.0
+       |              ELSE CAST(nb - db AS DOUBLE) / nb END AS dup_bigram_ratio
+       |  FROM agg a LEFT JOIN biagg b ON a.doc_id = b.doc_id
+       |)
+       |SELECT doc_id, n_tokens, top_token_ratio, dup_token_ratio, dup_bigram_ratio,
+       |       (top_token_ratio > 0.20 OR dup_bigram_ratio > 0.30) AS flagged
+       |FROM r
+       |""".stripMargin
+
+  // ================================================================ decontamination
+  /** Train/benchmark n-gram contamination: the benchmark set is the
+    * deterministic doc_id % 97 slice, train is the rest; a train doc is
+    * contaminated when it shares any distinct 3-gram with the benchmark
+    * set. The bench n-gram set broadcasts (eval suites are small by
+    * construction) so the pass is scan-shaped over the train corpus. */
+  def deconNgramOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    operators.Decontaminate.overlap(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3)
+  }
+
+  lazy val deconNgramOverlapSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), ngr AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i + 2], ' ') AS ng
+       |  FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3
+       |), bench AS (
+       |  SELECT DISTINCT ng FROM ngr WHERE doc_id % 97 = 0
+       |)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM ngr JOIN bench USING (ng)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY 1
+       |""".stripMargin
+
+  /** The decontaminated survivor corpus (left anti against any-overlap
+    * contamination) — what the pipeline actually materializes. */
+  def deconClean(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    operators.Decontaminate.clean(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  lazy val deconCleanSql: String = {
+    val overlap = deconNgramOverlapSql.trim
+    s"""WITH c AS (
+       |$overlap
+       |)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d
+       |LEFT JOIN c ON c.doc_id = d.doc_id
+       |WHERE d.doc_id % 97 <> 0 AND c.doc_id IS NULL
+       |""".stripMargin
+  }
+
   // ================================================================ PII redaction
   /** The synthetic corpus carries no organic PII, so the gate
     * CONSTRUCTS it deterministically from corpus columns — both engines

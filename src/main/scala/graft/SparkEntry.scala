@@ -47,6 +47,15 @@ object SparkEntry {
     "text_redact"    -> (QueriesExt.textRedact _),
     // corpus vocabulary: term + document frequencies, top-100
     "text_term_freq" -> (QueriesExt.textTermFreq _),
+    // context-window chunking + repetition quality filter
+    "text_chunks"     -> (QueriesExt.textChunks _),
+    "text_repetition" -> (QueriesExt.textRepetition _),
+    // benchmark decontamination: n-gram overlap + clean survivor corpus
+    "decon_ngram_overlap" -> (QueriesExt.deconNgramOverlap _),
+    "decon_clean"         -> (QueriesExt.deconClean _),
+    // event streams: gap sessionization + as-of attribution join
+    "events_sessionize" -> (QueriesEvents.eventsSessionize _),
+    "events_asof_join"  -> (QueriesEvents.eventsAsofJoin _),
     // deterministic hash sampling / split assignment
     "sample_hash"   -> (QueriesExt.sampleHash _),
     "sample_splits" -> (QueriesExt.sampleSplits _),
@@ -104,6 +113,12 @@ object SparkEntry {
     "text_normalize"            -> QueriesExt.textNormalizeSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,
+    "text_chunks"               -> QueriesExt.textChunksSql,
+    "text_repetition"           -> QueriesExt.textRepetitionSql,
+    "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,
+    "decon_clean"               -> QueriesExt.deconCleanSql,
+    "events_sessionize"         -> QueriesEvents.eventsSessionizeSql,
+    "events_asof_join"          -> QueriesEvents.eventsAsofJoinSql,
     "sample_hash"               -> QueriesExt.sampleHashSql,
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,

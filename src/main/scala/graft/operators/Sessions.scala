@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators for clickstream/telemetry analytics:
+  * gap-based sessionization and as-of (most-recent-prior) joins.
+  *
+  * Scale design: both are SINGLE-SHUFFLE constructions — the only
+  * exchange is the hash partition on the entity key; everything else is
+  * a within-partition window sort. Downstream per-(entity, session)
+  * aggregations reuse the same partitioning (HashPartitioning(entity)
+  * satisfies ClusteredDistribution(entity, session), so Catalyst plans
+  * no second exchange — SessionsSpec pins this). Skew follows entity
+  * activity: a pathological single entity is bounded by that entity's
+  * event count, not the corpus, and can be pre-split with
+  * [[graft.exec.Skew]] if one entity's stream outgrows a task.
+  *
+  * The reference has no event-stream operators (it aggregates events
+  * into time-bucketed facts, `/root/reference/src/Ringo/Generator/
+  * Populate/Fact.hs:60-125`); these extend the same events table to the
+  * session/attribution queries a product-analytics deployment of it
+  * invariably needs next.
+  */
+object Sessions {
+
+  /** Assign gap-based sessions: a new session starts when the time
+    * since the entity's previous event exceeds `gapSeconds`. Adds
+    * `session_seq` (1-based per entity, in time order) to every input
+    * row.
+    *
+    * Ordering ties on `tsCol` are broken by `tieCol` so the assignment
+    * is deterministic; equal-timestamp events always land in the same
+    * session regardless of tie order (their gap is 0 <= gapSeconds).
+    */
+  def sessionize(
+      events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      gapSeconds: Long
+  ): DataFrame = {
+    require(gapSeconds >= 0, s"gapSeconds must be >= 0, got $gapSeconds")
+    val order  = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val prevTs = lag(col(tsCol), 1).over(order)
+    // micros arithmetic, not double epoch: epoch micros fit a long
+    // exactly; double seconds lose sub-ms precision above 2^53 ns
+    val isNew = when(prevTs.isNull, lit(1L)).otherwise(
+      when(unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L, lit(1L))
+        .otherwise(lit(0L)))
+    events
+      .withColumn("__is_new", isNew)
+      // running sum over the SAME window spec: one exchange, one sort
+      .withColumn("session_seq",
+        sum(col("__is_new")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__is_new")
+  }
+
+  /** Per-session summary over a sessionized stream: event count, span,
+    * and a decimal-stable value sum. The groupBy keys extend the
+    * window's partition key, so this adds NO exchange after
+    * [[sessionize]] (the map-side partial agg feeds the already-correct
+    * partitioning). */
+  def sessionStats(
+      sessionized: DataFrame, entityCol: String, tsCol: String, valueCol: String
+  ): DataFrame =
+    sessionized
+      .groupBy(col(entityCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col(tsCol))).as("start_us"),
+        unix_micros(max(col(tsCol))).as("end_us"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("value_sum"))
+
+  /** As-of join: attach to every `left` row the values of the most
+    * recent `right` row with `right.ts <= left.ts` for the same key
+    * ("at or before" semantics). Returns the left rows plus one
+    * `asof_<v>` column per requested value column (null when no right
+    * row precedes).
+    *
+    * Built as union + running `last(ignoreNulls)` window rather than a
+    * join: a range/inequality join would either cross-join within key
+    * groups or need an interval index, while the union form is ONE
+    * shuffle on the key and one partition-local sort — the scalable
+    * formulation at any key cardinality. Right rows sort BEFORE left
+    * rows at equal timestamps (at-or-before); ties among right rows are
+    * broken by `tieCol`, the later one winning. Right rows whose value
+    * is genuinely NULL are treated as absent (the window reaches
+    * further back).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCols: Seq[String]
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    val leftCarry = left.columns.toSeq
+    // common schema: left payload (null on right rows) + prefixed right
+    // values (null on left rows) + the sort triple
+    val taggedLeft = valueCols
+      .foldLeft(left.withColumn("__tag", lit(1))) { (d, v) =>
+        d.withColumn(s"asof_$v", lit(null).cast(right.schema(v).dataType))
+      }
+    val taggedRight = {
+      val base = right.select(
+        Seq(col(keyCol), col(tsCol), col(tieCol), lit(0).as("__tag")) ++
+          valueCols.map(v => col(v).as(s"asof_$v")): _*)
+      leftCarry.filterNot(Set(keyCol, tsCol, tieCol)).foldLeft(base) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+    val unioned = taggedRight.select(taggedLeft.columns.map(col): _*)
+      .unionByName(taggedLeft)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tag"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = valueCols.foldLeft(unioned) { (d, v) =>
+      d.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__tag") === 1).drop("__tag")
+  }
+}

@@ -183,6 +183,104 @@ object TextAnalysis {
     }
   }
 
+  /** Chunk each document into overlapping token windows — the
+    * training-sample preparation step (context-window packing) that
+    * follows cleaning/dedup in an LLM data pipeline. Emits one row per
+    * chunk: `chunk_id` (0-based), the chunk's token count, and the
+    * re-joined chunk text. The final chunk may be shorter than `size`;
+    * documents whose normalized text is empty emit no chunks.
+    *
+    * Scan-local and zero-shuffle: chunk starts are a `sequence` +
+    * `posexplode` over the token array, the chunk itself a `slice` —
+    * all built-in, codegen'd functions. Output volume is bounded by
+    * ceil(size/stride) x input tokens (the overlap factor). */
+  def chunkTokens(
+      docs: DataFrame, idCol: String, textCol: String, size: Int, stride: Int
+  ): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive, got $size/$stride")
+    docs
+      .select(col(idCol), normalized(col(textCol)).as("__n"))
+      .filter(col("__n") =!= "" && col("__n").isNotNull)
+      .select(col(idCol), split(col("__n"), " ").as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), org.apache.spark.sql.functions.size(col("__w")) - 1, lit(stride))))
+      .withColumnRenamed("pos", "chunk_id")
+      .select(
+        col(idCol),
+        col("chunk_id").cast("int").as("chunk_id"),
+        slice(col("__w"), col("col") + 1, lit(size)).as("__c"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("__c")).as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Per-document repetition statistics — the Gopher-style "repetitious
+    * document" quality filter: fraction of duplicate tokens, the top
+    * token's share, and the duplicate-bigram fraction, plus a flag at
+    * the usual curation thresholds. One compiled pass per document
+    * (same design as [[stats]]' countsUdf — a flat Array[Long] return
+    * keeps the projection codegen'd), zero shuffles. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = docs
+      // null text counts as empty: zero rates, not a null-poisoned row
+      .select(col(idCol), coalesce(normalized(col(textCol)), lit("")).as("__n"))
+      .withColumn("__c", repUdf(col("__n")))
+      .withColumn("n_tokens", col("__c").getItem(RepIdxTokens).cast("int"))
+      .withColumn("top_token_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("__c").getItem(RepIdxMaxFreq).cast("double") / col("n_tokens")))
+      .withColumn("dup_token_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(
+            (col("n_tokens") - col("__c").getItem(RepIdxDistinct)).cast("double") / col("n_tokens")))
+      .withColumn("dup_bigram_ratio",
+        when(col("__c").getItem(RepIdxBigrams) === 0, lit(0.0))
+          .otherwise(
+            (col("__c").getItem(RepIdxBigrams) - col("__c").getItem(RepIdxDistinctBi)).cast("double") /
+              col("__c").getItem(RepIdxBigrams)))
+    staged
+      .withColumn("flagged",
+        col("top_token_ratio") > 0.20 || col("dup_bigram_ratio") > 0.30)
+      .select(col(idCol), col("n_tokens"), col("top_token_ratio"),
+        col("dup_token_ratio"), col("dup_bigram_ratio"), col("flagged"))
+  }
+
+  // flat-array layout for repUdf (see countsUdf's note on why an array,
+  // not a case class: Janino cannot compile private nested struct
+  // encoders and the projection would silently go interpreted)
+  private val RepIdxTokens     = 0
+  private val RepIdxDistinct   = 1
+  private val RepIdxMaxFreq    = 2
+  private val RepIdxBigrams    = 3
+  private val RepIdxDistinctBi = 4
+
+  private val repUdf = udf { (n: String) =>
+    if (n == null) null
+    else if (n.isEmpty) Array(0L, 0L, 0L, 0L, 0L)
+    else {
+      val toks = n.split(' ')
+      val freq = new java.util.HashMap[String, Long]()
+      var maxFreq = 0L
+      var i = 0
+      while (i < toks.length) {
+        val c = freq.merge(toks(i), 1L, (a, b) => a + b)
+        if (c > maxFreq) maxFreq = c
+        i += 1
+      }
+      val bigrams = new java.util.HashSet[String]()
+      var nBi = 0L
+      i = 0
+      while (i < toks.length - 1) {
+        bigrams.add(toks(i) + " " + toks(i + 1))
+        nBi += 1L
+        i += 1
+      }
+      Array(toks.length.toLong, freq.size.toLong, maxFreq, nBi, bigrams.size.toLong)
+    }
+  }
+
   /** All per-document text statistics in one scan-only projection:
     * normalization (one native regex) + [[countsUdf]] (one compiled
     * pass) + md5. Zero shuffles; scales linearly with the scan. */

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessions
+
+/** Sessionization + as-of join: gap semantics, tie determinism, null
+  * right values, and the single-exchange plan shape both operators
+  * promise (the window and the downstream per-session aggregation share
+  * the entity-hash partitioning).
+  */
+class SessionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, Long, Double)*): DataFrame =
+    rows.toSeq
+      .map { case (id, t, u, v) => (id, ts(t), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+
+  test("sessionize: gap boundary is strict (> gap starts a session, == gap does not)") {
+    val events = ev(
+      (1L, "2024-01-01 00:00:00", 7L, 1.0),
+      (2L, "2024-01-01 00:10:00", 7L, 1.0), // 600s later
+      (3L, "2024-01-01 00:20:00", 7L, 1.0), // exactly gap later
+      (4L, "2024-01-01 01:20:01", 7L, 1.0), // gap + 1s -> new session
+      (5L, "2024-01-01 01:20:30", 7L, 1.0))
+    val got = Sessions.sessionize(events, "user_id", "ts", "event_id", gapSeconds = 3600)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("sessionize: entities are independent; equal timestamps share a session") {
+    val events = ev(
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (2L, "2024-01-01 00:00:00", 1L, 1.0), // same instant, tie on event_id
+      (3L, "2024-01-01 00:00:00", 2L, 1.0), // other user starts at 1
+      (4L, "2024-01-02 00:00:00", 1L, 1.0))
+    val got = Sessions.sessionize(events, "user_id", "ts", "event_id", gapSeconds = 60)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("sessionStats matches a hand computation and adds no second exchange") {
+    val events = ev(
+      (1L, "2024-01-01 00:00:00", 7L, 1.5),
+      (2L, "2024-01-01 00:30:00", 7L, 2.5),
+      (3L, "2024-01-01 05:00:00", 7L, 4.0))
+    val stats = Sessions.sessionStats(
+      Sessions.sessionize(events, "user_id", "ts", "event_id", gapSeconds = 3600),
+      "user_id", "ts", "value")
+    val rows = stats.orderBy("session_seq")
+      .select("session_seq", "n_events", "start_us", "end_us", "value_sum")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val base = ts("2024-01-01 00:00:00").getTime * 1000L
+    assert(rows == Seq(
+      (1L, 2L, base, base + 1800L * 1000000L, 4.0),
+      (2L, 1L, base + 18000L * 1000000L, base + 18000L * 1000000L, 4.0)))
+
+    // ONE exchange total: the window's hash partition on user_id also
+    // satisfies the (user_id, session_seq) aggregation's distribution
+    val plan = stats.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single exchange, got $exchanges:\n$plan")
+  }
+
+  test("asofJoin: at-or-before semantics, tie-breaks, and null right values") {
+    val left = ev(
+      (10L, "2024-01-01 00:00:00", 1L, 0.0), // before any right row -> null
+      (11L, "2024-01-01 01:00:00", 1L, 0.0), // equal-ts right row attaches
+      (12L, "2024-01-01 02:00:00", 1L, 0.0), // two right rows at same ts: later event_id wins
+      (13L, "2024-01-01 03:00:00", 2L, 0.0)) // other key: only its own right rows
+    val right = Seq(
+      (100L, ts("2024-01-01 01:00:00"), 1L, java.lang.Double.valueOf(1.0)),
+      (101L, ts("2024-01-01 01:30:00"), 1L, java.lang.Double.valueOf(2.0)),
+      (102L, ts("2024-01-01 01:30:00"), 1L, java.lang.Double.valueOf(3.0)),
+      // null value right row: treated as absent, window reaches back
+      (103L, ts("2024-01-01 01:45:00"), 1L, null.asInstanceOf[java.lang.Double]),
+      (104L, ts("2024-01-01 02:59:00"), 2L, java.lang.Double.valueOf(9.0)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Sessions.asofJoin(left, right, "user_id", "ts", "event_id", Seq("value"))
+      .select("event_id", "asof_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      10L -> None,
+      11L -> Some(1.0),
+      12L -> Some(3.0), // ts 01:30 tie: event_id 102 sorts after 101
+      13L -> Some(9.0)))
+  }
+
+  test("asofJoin: attaches multiple value columns and keeps left payload") {
+    val left  = ev((10L, "2024-01-01 02:00:00", 1L, 42.0))
+    val right = ev((100L, "2024-01-01 01:00:00", 1L, 5.0))
+    val row = Sessions.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("value", "event_id")).collect().head
+    assert(row.getAs[Double]("value") == 42.0, "left payload must survive")
+    assert(row.getAs[Double]("asof_value") == 5.0)
+    assert(row.getAs[Long]("asof_event_id") == 100L)
+  }
+
+  test("asofJoin plans one exchange (union + window, no inequality join)") {
+    val events = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val joined = Sessions.asofJoin(
+      events.filter(col("event_type") === "purchase"),
+      events.filter(col("event_type") === "signup"),
+      "user_id", "ts", "event_id", Seq("value"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single exchange, got $exchanges:\n$plan")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, TextAnalysis}
+
+/** Token chunking, repetition stats, and decontamination: exact window
+  * arithmetic, Gopher-filter formulas, null hardening, and the plan
+  * shapes (scan-local chunking/stats; broadcast bench side).
+  */
+class TextPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("chunkTokens: window starts, overlap, short tail, empty/null docs") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "a b"),
+      (3L, "   "),                       // normalizes to empty: no chunks
+      (4L, null.asInstanceOf[String]))   // null: no chunks
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(docs, "doc_id", "text", size = 3, stride = 2)
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 3, "t1 t2 t3"),
+      (1L, 1, 3, "t3 t4 t5"),
+      (1L, 2, 3, "t5 t6 t7"),
+      (1L, 3, 1, "t7"),
+      (2L, 0, 2, "a b")))
+  }
+
+  test("chunkTokens rejects non-positive size/stride") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](TextAnalysis.chunkTokens(docs, "doc_id", "text", 0, 1))
+    intercept[IllegalArgumentException](TextAnalysis.chunkTokens(docs, "doc_id", "text", 4, -1))
+  }
+
+  test("repetitionStats: formulas on a hand-checked document") {
+    val docs = Seq(
+      (1L, "a a a b"),   // top 3/4, dup (4-2)/4, bigrams {a a, a a, a b}: (3-2)/3
+      (2L, "w x y z"),   // all unique: clean
+      (3L, ""),          // empty: zero rates, unflagged
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "top_token_ratio", "dup_token_ratio",
+        "dup_bigram_ratio", "flagged")
+      .as[(Long, Int, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4, 0.75, 0.5, 1.0 / 3.0, true)))
+    assert(got(2L) == ((2L, 4, 0.25, 0.0, 0.0, true)))  // 1/4 > 0.20 on a tiny doc
+    assert(got(3L) == ((3L, 0, 0.0, 0.0, 0.0, false)))
+    assert(got(4L) == ((4L, 0, 0.0, 0.0, 0.0, false)), "null text must not poison the row")
+    // a long unique document is NOT flagged (1/n below both thresholds)
+    val long = Seq((9L, (1 to 50).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(long, "doc_id", "text")
+      .select("flagged").as[Boolean].collect().head
+    assert(!r)
+  }
+
+  test("chunking and repetition stats are scan-local (no exchange)") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val chunks = TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24)
+    assert(!chunks.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must not shuffle")
+    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+    assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"),
+      "repetition stats must not shuffle")
+  }
+
+  test("decontaminate: overlap counts and the clean survivor set") {
+    val bench = Seq((100L, "x y z w")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "p q x y z w r"), // shares 3-grams "x y z", "y z w" -> 2
+      (2L, "x y q z w p"),   // no shared 3-gram
+      (3L, "x y z"))         // shares exactly one
+      .toDF("doc_id", "text")
+    val overlap = Decontaminate.overlap(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(overlap == Map(1L -> 2L, 3L -> 1L))
+    val clean = Decontaminate.clean(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+    // shuffled-bench fallback agrees
+    val shuffled = Decontaminate.overlap(train, bench, "doc_id", "text", n = 3,
+      broadcastBench = false).as[(Long, Long)].collect().toMap
+    assert(shuffled == overlap)
+  }
+
+  test("decontaminate broadcasts the bench n-gram set") {
+    val docs  = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val plan = Decontaminate.overlap(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side must broadcast-hash-join:\n$plan")
+  }
+}
