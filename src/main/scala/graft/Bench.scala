@@ -27,6 +27,10 @@ object Bench {
     // production sketch shape (no exact-distinct oracle companion)
     "sketch_count_distinct"     -> (Queries.sketchCountDistinctBench _),
     "text_stats"                -> (QueriesExt.textStats _),
+    "text_chunks"               -> (QueriesExt.textChunks _),
+    "decon_ngram_overlap"       -> (QueriesExt.deconNgramOverlap _),
+    "events_sessionize"         -> (QueriesEvents.eventsSessionize _),
+    "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"             -> (QueriesExt.dedupSimhash _),

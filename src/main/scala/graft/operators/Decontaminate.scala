@@ -28,9 +28,14 @@ object Decontaminate {
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int = 8, broadcastBench: Boolean = true
   ): DataFrame = {
-    val trainNg = Dedup.shingles(train, idCol, textCol, n)
+    // scan-local per-doc distinct: the train n-gram stream is larger
+    // than the corpus text, and it has exactly one consumer here, so a
+    // global .distinct() exchange would shuffle it to disk for nothing
+    val trainNg = Dedup.shinglesLocal(train, idCol, textCol, n)
     val benchNg = {
-      val ng = Dedup.shingles(bench, idCol, textCol, n).select(col("ng")).distinct()
+      // cross-document distinct still needed on the bench side (its
+      // set is small by construction; the exchange moves almost nothing)
+      val ng = Dedup.shinglesLocal(bench, idCol, textCol, n).select(col("ng")).distinct()
       if (broadcastBench) broadcast(ng) else ng
     }
     trainNg

@@ -67,6 +67,44 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     shinglesRaw(docs, idCol, textCol, n).distinct()
 
+  /** Scan-local per-document distinct shingles: identical set semantics
+    * to [[shingles]] (dedup only ever applies within a document — the
+    * id rides along), but deduped inside the per-row UDF, so the stream
+    * plans NO exchange. Prefer this when the stream has a SINGLE
+    * consumer (e.g. [[Decontaminate]]'s broadcast join): the n-gram
+    * stream is larger than the input text, and shuffling it to disk
+    * costs more than the hash-set it avoids. [[shingles]]' global
+    * `.distinct()` still wins when several plan branches read the same
+    * stream ([[ngramJaccardPairs]] has five) — there the exchange is
+    * the one materialization they all reuse. */
+  def shinglesLocal(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val ngramSetUdf = udf { (w: Seq[String]) =>
+      if (w.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String](w.length * 2)
+        val sb   = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= w.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(w(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+    docs
+      .select(col(idCol), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(ngramSetUdf(col("w"))).as("ng"))
+  }
+
   /** Exact n-gram Jaccard similarity join via inverted index: explode
     * shingles, equi-join on the shingle (only docs sharing >=1 shingle
     * ever pair up), count intersections, compute

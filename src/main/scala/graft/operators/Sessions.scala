@@ -106,7 +106,7 @@ object Sessions {
         d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
-    val unioned = taggedRight.select(taggedLeft.columns.map(col): _*)
+    val unioned = taggedRight.select(taggedLeft.columns.toIndexedSeq.map(col): _*)
       .unionByName(taggedLeft)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__tag"), col(tieCol))

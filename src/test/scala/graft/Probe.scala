@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc timing probe (dev/test only, not part of the driver contract):
-  * `sbt "Test/runMain graft.Probe"`. */
+/** Ad-hoc timing/plan probe (dev/test only, not part of the driver
+  * contract): `sbt "Test/runMain graft.Probe"`. Rewritten per
+  * investigation; currently: the round-4 second-batch operators
+  * (sessionize / as-of / chunks / repetition / decontaminate). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,17 +18,7 @@ object Probe {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = sources.ParquetTables.readTable(spark, sfDir, "documents")
 
-    def time(name: String)(f: => Unit): Unit = {
-      f // warm
-      val t0 = System.nanoTime()
-      f
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    }
-
-    import org.apache.spark.sql.functions._
-    println(s"[probe] docs rows: ${docs.count()}")
     def timeNoop3(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       def run(): Unit = f.write.format("noop").mode("overwrite").save()
       run() // warm
@@ -35,14 +27,18 @@ object Probe {
       }.sorted
       println(f"[probe] $name: median ${times(1)}%.3f s (${times.map(t => f"$t%.3f").mkString(", ")})")
     }
-    timeNoop3("docs scan only")(docs.select("doc_id", "text"))
-    timeNoop3("multimodal_decode (current)")(QueriesExt.multimodalDecode(spark, sfDir))
-    timeNoop3("decode columnar (md5/octet_length only)")(
-      docs.select(col("doc_id").cast("long").as("doc_id"),
-        octet_length(col("text").cast("binary")).as("byte_len"),
-        md5(col("text").cast("binary")).as("checksum")))
-    timeNoop3("embed_knn_lsh (current)")(QueriesExt.embedKnnLsh(spark, sfDir))
-    timeNoop3("embed_knn_ivf")(QueriesExt.embedKnnIvf(spark, sfDir))
+    val explain = sys.env.get("PROBE_EXPLAIN").contains("1")
+    def probe(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      if (explain) { println(s"===== $name ====="); f.explain("formatted") }
+      timeNoop3(name)(f)
+    }
+
+    probe("events_sessionize")(QueriesEvents.eventsSessionize(spark, sfDir))
+    probe("events_asof_join")(QueriesEvents.eventsAsofJoin(spark, sfDir))
+    probe("text_chunks")(QueriesExt.textChunks(spark, sfDir))
+    probe("text_repetition")(QueriesExt.textRepetition(spark, sfDir))
+    probe("decon_ngram_overlap")(QueriesExt.deconNgramOverlap(spark, sfDir))
+    probe("decon_clean")(QueriesExt.deconClean(spark, sfDir))
     spark.stop()
   }
 }

@@ -88,12 +88,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(shuffled == overlap)
   }
 
-  test("decontaminate broadcasts the bench n-gram set") {
+  test("decontaminate broadcasts the bench set; the train stream never shuffles") {
     val docs  = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
     val plan = Decontaminate.overlap(
       docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
       "doc_id", "text", n = 3).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"bench side must broadcast-hash-join:\n$plan")
+    // exactly three exchanges: bench-side distinct, the broadcast, and
+    // the final per-doc aggregation — the big train n-gram stream flows
+    // scan-to-join with no shuffle (shinglesLocal, not a .distinct())
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 3, s"expected 3 exchanges (bench distinct, broadcast, " +
+      s"final agg), got $exchanges:\n$plan")
+  }
+
+  test("shinglesLocal == shingles (set semantics, no exchange)") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val local  = graft.operators.Dedup.shinglesLocal(docs, "doc_id", "text", 3)
+    val global = graft.operators.Dedup.shingles(docs, "doc_id", "text", 3)
+    assert(local.exceptAll(global).isEmpty && global.exceptAll(local).isEmpty,
+      "per-doc UDF dedup must equal the global distinct")
+    assert(!local.queryExecution.executedPlan.toString.contains("Exchange"),
+      "shinglesLocal must be scan-local")
   }
 }
