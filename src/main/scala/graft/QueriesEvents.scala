@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sessions
+import graft.operators.{Funnel, Sessions}
 
 /** Event-stream gate queries: sessionization and as-of attribution over
   * the events table, with ANSI-window DuckDB oracles that mirror the
@@ -47,6 +47,111 @@ object QueriesEvents {
        |FROM assigned
        |GROUP BY 1, 2
        |""".stripMargin
+
+  // ================================================================ funnel
+  /** Ordered view -> click -> purchase funnel, one row per user that
+    * ever viewed: stage timestamps in epoch micros, null once the
+    * funnel was abandoned. Stage filters push to the scan; every join
+    * and aggregation is keyed on user_id. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.funnel(events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts_1")).as("view_us"),
+        unix_micros(col("ts_2")).as("click_us"),
+        unix_micros(col("ts_3")).as("purchase_us"))
+
+  lazy val eventsFunnelSql: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(ts) AS t1 FROM events
+       |  WHERE event_type = 'view' GROUP BY 1
+       |), s2 AS (
+       |  SELECT e.user_id, min(e.ts) AS t2
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+       |), s3 AS (
+       |  SELECT e.user_id, min(e.ts) AS t3
+       |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+       |)
+       |SELECT s1.user_id, epoch_us(t1) AS view_us, epoch_us(t2) AS click_us,
+       |       epoch_us(t3) AS purchase_us
+       |FROM s1
+       |LEFT JOIN s2 ON s1.user_id = s2.user_id
+       |LEFT JOIN s3 ON s1.user_id = s3.user_id
+       |""".stripMargin
+
+  // ================================================================ retention
+  /** Weekly cohort retention: users cohorted by first-activity week,
+    * each (cohort, offset) cell counting users active that many weeks
+    * later. One distinct pass over (user, week); the cohort join reuses
+    * the user-hash partitioning. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    Funnel.retention(events(s, dir), "user_id", "ts", periodSeconds = 604800L)
+
+  lazy val eventsRetentionSql: String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id,
+       |         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period
+       |  FROM events
+       |), cohorts AS (
+       |  SELECT user_id, min(period) AS cohort_period FROM active GROUP BY 1
+       |)
+       |SELECT c.cohort_period,
+       |       a.period - c.cohort_period AS period_offset,
+       |       count(DISTINCT a.user_id) AS n_entities
+       |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+       |GROUP BY 1, 2
+       |""".stripMargin
+
+  // ================================================================ percentiles
+  /** Exact per-type value percentiles (p50/p95/p99, linear
+    * interpolation) — the latency/value distribution query. Rounded to
+    * 6 decimals on both sides (the interpolation arithmetic agrees well
+    * past that; the raw doubles could differ in the last ulp). */
+  def eventsPercentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+
+  lazy val eventsPercentilesSql: String =
+    s"""SELECT event_type,
+       |       round(quantile_cont(value, 0.5), 6) AS p50,
+       |       round(quantile_cont(value, 0.95), 6) AS p95,
+       |       round(quantile_cont(value, 0.99), 6) AS p99
+       |FROM events
+       |GROUP BY 1
+       |""".stripMargin
+
+  // ================================================================ pivot
+  /** Per-user event-type count matrix — the relational pivot surface
+    * (one shuffle on user_id, conditional-count rewrite underneath). */
+  private val PivotTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", PivotTypes)
+      .count()
+    PivotTypes.foldLeft(pivoted) { (d, t) =>
+      d.withColumn(s"n_$t", coalesce(col(t), lit(0L)))
+    }.select(col("user_id") +: PivotTypes.map(t => col(s"n_$t")): _*)
+  }
+
+  lazy val eventsPivotSql: String = {
+    val cols = PivotTypes.map { t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t"
+    }.mkString(",\n       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events
+       |GROUP BY 1
+       |""".stripMargin
+  }
 
   // ================================================================ as-of join
   /** As-of attribution: every purchase event picks up the value and id

@@ -56,6 +56,11 @@ object SparkEntry {
     // event streams: gap sessionization + as-of attribution join
     "events_sessionize" -> (QueriesEvents.eventsSessionize _),
     "events_asof_join"  -> (QueriesEvents.eventsAsofJoin _),
+    // product analytics over events: funnel, retention, percentiles, pivot
+    "events_funnel"      -> (QueriesEvents.eventsFunnel _),
+    "events_retention"   -> (QueriesEvents.eventsRetention _),
+    "events_percentiles" -> (QueriesEvents.eventsPercentiles _),
+    "events_pivot"       -> (QueriesEvents.eventsPivot _),
     // deterministic hash sampling / split assignment
     "sample_hash"   -> (QueriesExt.sampleHash _),
     "sample_splits" -> (QueriesExt.sampleSplits _),
@@ -119,6 +124,10 @@ object SparkEntry {
     "decon_clean"               -> QueriesExt.deconCleanSql,
     "events_sessionize"         -> QueriesEvents.eventsSessionizeSql,
     "events_asof_join"          -> QueriesEvents.eventsAsofJoinSql,
+    "events_funnel"             -> QueriesEvents.eventsFunnelSql,
+    "events_retention"          -> QueriesEvents.eventsRetentionSql,
+    "events_percentiles"        -> QueriesEvents.eventsPercentilesSql,
+    "events_pivot"              -> QueriesEvents.eventsPivotSql,
     "sample_hash"               -> QueriesExt.sampleHashSql,
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,

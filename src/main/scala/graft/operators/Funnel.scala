@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Funnel and cohort-retention analysis over event streams — the two
+  * product-analytics queries every event-fact deployment (the
+  * reference's domain) runs on top of its populated facts.
+  *
+  * Scale design: both are ONE-PASS, ONE-SHUFFLE constructions. The
+  * naive formulation (per-stage min-ts frames chained by joins) scans
+  * the event table once per stage and — because Spark plans common
+  * DataFrame subplans independently — recomputes every earlier stage
+  * inside every later one: k stages cost O(k²) scans and 2k+ shuffles.
+  * Instead, the stage walk happens inside one per-entity aggregation
+  * (the ClickHouse windowFunnel shape): filter to stage events (an
+  * `In` filter pushed to the scan), shuffle once on the entity, walk
+  * the entity's time-sorted events greedily. Per-entity state is that
+  * entity's stage-event list — the same bound as any per-entity window
+  * operator; a pathological entity is bounded by its own event count,
+  * never the corpus.
+  */
+object Funnel {
+
+  /** Ordered-funnel timestamps: for each entity, the earliest time it
+    * completed each stage IN ORDER — stage k+1 counts only STRICTLY
+    * after the entity's stage-k time (standard ordered-funnel
+    * semantics; the greedy walk over time-sorted events is equivalent
+    * to the min-ts chain `ts_k = min ts of stage k with ts > ts_{k-1}`,
+    * which the DuckDB oracle recomputes relationally). One row per
+    * entity that completed stage 1; `ts_k` is null once a stage was
+    * never reached (and so are all later stages, by construction).
+    */
+  def funnel(
+      events: DataFrame, entityCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, s"stages must be distinct, got $stages")
+    val k = stages.length
+    // stage index replaces the type string BEFORE the shuffle: ints
+    // travel the wire, repeated strings don't
+    val idxCol = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, i)) =>
+      when(col(typeCol) === st, lit(i)).otherwise(acc)
+    }
+    val walkUdf = udf { (evs: Seq[Row]) =>
+      val sorted = evs.sortBy(_.getLong(0))
+      val out    = Array.fill(k)(-1L)
+      var stage  = 0
+      val it     = sorted.iterator
+      while (stage < k && it.hasNext) {
+        val r = it.next()
+        if (r.getInt(1) == stage &&
+          (stage == 0 || r.getLong(0) > out(stage - 1))) {
+          out(stage) = r.getLong(0)
+          stage += 1
+        }
+      }
+      out
+    }
+    val walked = events
+      .filter(col(typeCol).isin(stages: _*)) // pushed In filter
+      .select(col(entityCol),
+        struct(unix_micros(col(tsCol)).as("us"), idxCol.as("si")).as("__e"))
+      .groupBy(col(entityCol))
+      .agg(walkUdf(collect_list(col("__e"))).as("__f"))
+    val stageCols = stages.indices.map { i =>
+      when(col("__f").getItem(i) >= 0, timestamp_micros(col("__f").getItem(i)))
+        .as(s"ts_${i + 1}")
+    }
+    walked
+      .select(col(entityCol) +: stageCols: _*)
+      .filter(col("ts_1").isNotNull)
+  }
+
+  /** Funnel stage counts: how many entities reached each stage (the
+    * headline conversion table). `stage` is 1-based, in input order. */
+  def funnelCounts(
+      events: DataFrame, entityCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    val f = funnel(events, entityCol, tsCol, typeCol, stages)
+    val counts = stages.indices.map { i =>
+      count(col(s"ts_${i + 1}")).as(s"n_${i + 1}")
+    }
+    val wide = f.agg(counts.head, counts.tail: _*)
+    // unpivot to (stage, stage_name, n_entities)
+    val rows = stages.zipWithIndex.map { case (name, i) =>
+      struct(lit(i + 1).as("stage"), lit(name).as("stage_name"),
+        col(s"n_${i + 1}").as("n_entities"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Cohort retention: entities are cohorted by the period of their
+    * first event; each (cohort, offset) cell counts entities active
+    * `offset` periods after their cohort period. Periods are epoch
+    * buckets of `periodSeconds` (e.g. 604800 for weekly cohorts).
+    *
+    * One scan, two shuffles: the per-entity period set aggregates in
+    * one pass (map-side partial `collect_set`); the cohort is its min,
+    * so no join back — each exploded (cohort, offset) pair is already
+    * unique per entity and the final cell count is a plain count. */
+  def retention(
+      events: DataFrame, entityCol: String, tsCol: String, periodSeconds: Long
+  ): DataFrame = {
+    require(periodSeconds > 0, s"periodSeconds must be positive, got $periodSeconds")
+    val period = floor(unix_timestamp(col(tsCol)) / periodSeconds).cast("long")
+    events
+      .select(col(entityCol), period.as("__p"))
+      .groupBy(col(entityCol))
+      .agg(collect_set(col("__p")).as("__ps"))
+      .select(array_min(col("__ps")).as("cohort_period"),
+        explode(col("__ps")).as("__period"))
+      .groupBy(col("cohort_period"),
+        (col("__period") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Funnel
+
+/** Ordered-funnel and cohort-retention semantics: strict stage
+  * ordering, abandonment nulls, counts, cohort assignment, and the
+  * reuse of the entity-hash partitioning across stages.
+  */
+class FunnelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*): DataFrame =
+    rows.toSeq
+      .map { case (u, t, ty) => (u, ts(t), ty) }
+      .toDF("user_id", "ts", "event_type")
+
+  test("funnel: strict order — a click BEFORE the first view does not count") {
+    val events = ev(
+      (1L, "2024-01-01 00:00:00", "click"), // pre-view click: ignored
+      (1L, "2024-01-01 01:00:00", "view"),
+      (1L, "2024-01-01 02:00:00", "click"),
+      (1L, "2024-01-01 03:00:00", "purchase"),
+      (2L, "2024-01-01 00:00:00", "view"),  // abandons after view
+      (3L, "2024-01-01 00:00:00", "purchase")) // never views: absent
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select("user_id", "ts_1", "ts_2", "ts_3")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((1L, Some(ts("2024-01-01 01:00:00")),
+      Some(ts("2024-01-01 02:00:00")), Some(ts("2024-01-01 03:00:00")))))
+    assert(got(2L) == ((2L, Some(ts("2024-01-01 00:00:00")), None, None)))
+  }
+
+  test("funnel: same-instant events do NOT advance the stage (strictly after)") {
+    val events = ev(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:00:00", "click")) // not strictly after the view
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type", Seq("view", "click"))
+      .select("ts_2").as[Option[Timestamp]].collect().head
+    assert(got.isEmpty)
+  }
+
+  test("funnelCounts: monotone stage counts in stage order") {
+    val events = ev(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 01:00:00", "click"),
+      (2L, "2024-01-01 00:00:00", "view"),
+      (3L, "2024-01-01 00:00:00", "view"),
+      (3L, "2024-01-01 01:00:00", "click"),
+      (3L, "2024-01-01 02:00:00", "purchase"))
+    val got = Funnel.funnelCounts(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select("stage", "stage_name", "n_entities")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel rejects duplicate stages") {
+    val events = ev((1L, "2024-01-01 00:00:00", "view"))
+    intercept[IllegalArgumentException](
+      Funnel.funnel(events, "user_id", "ts", "event_type", Seq("view", "view")))
+    intercept[IllegalArgumentException](
+      Funnel.funnel(events, "user_id", "ts", "event_type", Nil))
+  }
+
+  test("retention: cohort by first period, offsets count active entities") {
+    val day = 86400L
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"), // cohort day D
+      (1L, "2024-01-02 10:00:00", "view"), // D+1
+      (1L, "2024-01-02 11:00:00", "view"), // same period: counted once
+      (2L, "2024-01-01 23:00:00", "view"), // cohort D
+      (3L, "2024-01-02 00:00:00", "view")) // cohort D+1
+    val d0 = ts("2024-01-01 00:00:00").getTime / 1000 / day
+    val got = Funnel.retention(events, "user_id", "ts", day)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (d0, 0L, 2L),     // users 1,2 active in their cohort period
+      (d0, 1L, 1L),     // user 1 returns next day
+      (d0 + 1, 0L, 1L))) // user 3's own cohort
+  }
+
+  test("funnel is one scan + one shuffle; the stage filter pushes to the scan") {
+    val events = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val f = Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val plan = f.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected ONE exchange (the entity shuffle), got $exchanges:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1, s"expected ONE event scan:\n$plan")
+    assert(plan.contains("In(event_type"), s"stage filter must push to the scan:\n$plan")
+  }
+
+  test("retention is one scan + two shuffles (no cohort join)") {
+    val events = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val plan = Funnel.retention(events, "user_id", "ts", 604800L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges (entity agg, cell agg), got $exchanges:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1, s"expected ONE event scan:\n$plan")
+    assert(!plan.contains("Join"), s"cohorting must not join:\n$plan")
+  }
+}
