@@ -31,6 +31,8 @@ object Bench {
     "decon_ngram_overlap"       -> (QueriesExt.deconNgramOverlap _),
     "events_sessionize"         -> (QueriesEvents.eventsSessionize _),
     "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
+    "events_funnel"             -> (QueriesEvents.eventsFunnel _),
+    "text_tfidf"                -> (QueriesExt.textTfidf _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"             -> (QueriesExt.dedupSimhash _),

@@ -153,6 +153,34 @@ object QueriesEvents {
        |""".stripMargin
   }
 
+  // ================================================================ grouped top-k
+  /** Top-3 events per user by value — the grouped top-k surface. The
+    * rank filter is recognized by Spark's RankLimit rewrite and planned
+    * as WindowGroupLimit: each task keeps a bounded per-group heap
+    * BEFORE the shuffle, so the exchange moves at most k rows per
+    * (partition, group) instead of the full stream (SessionsSpec pins
+    * the operator). Deterministic tie-break on event_id. */
+  def eventsTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+  }
+
+  lazy val eventsTopkSql: String =
+    s"""SELECT user_id, event_id, value, CAST(rk AS INTEGER) AS rk
+       |FROM (
+       |  SELECT user_id, event_id, value,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY value DESC, event_id) AS rk
+       |  FROM events
+       |)
+       |WHERE rk <= 3
+       |""".stripMargin
+
   // ================================================================ as-of join
   /** As-of attribution: every purchase event picks up the value and id
     * of the user's most recent at-or-before signup event (null when the

@@ -614,6 +614,58 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  // ================================================================ tf-idf terms
+  /** Top-5 characteristic terms per document: ranked by (tf desc,
+    * df asc, token) — integer-exact keys, so the ranking is
+    * bit-reproducible across engines — with the classic
+    * tf·ln(N/df) score emitted as a 6-decimal output column (ln is not
+    * correctly-rounded IEEE, so it must not participate in ranking).
+    * Shape at scale: one (doc, token) shuffle for tf, one token
+    * shuffle for df, a token-keyed join, and a WindowGroupLimit top-k
+    * on the doc — the standard relational TF-IDF dataflow. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    val tokens = d
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        row_number().over(w).as("rk"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .filter(col("rk") <= 5)
+  }
+
+  lazy val textTfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.token
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |       unnest(w) AS t(token)
+       |  WHERE t.token <> ''
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), df AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+       |), n AS (
+       |  SELECT count(*) AS n_docs FROM documents
+       |), ranked AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |         row_number() OVER (PARTITION BY tf.doc_id
+       |                            ORDER BY tf.tf DESC, df.df, tf.token) AS rk,
+       |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+       |  FROM tf JOIN df USING (token), n
+       |)
+       |SELECT doc_id, token, tf, df, CAST(rk AS INTEGER) AS rk, tfidf
+       |FROM ranked WHERE rk <= 5
+       |""".stripMargin
+
   // ================================================================ PII redaction
   /** The synthetic corpus carries no organic PII, so the gate
     * CONSTRUCTS it deterministically from corpus columns — both engines

@@ -47,6 +47,10 @@ object SparkEntry {
     "text_redact"    -> (QueriesExt.textRedact _),
     // corpus vocabulary: term + document frequencies, top-100
     "text_term_freq" -> (QueriesExt.textTermFreq _),
+    // per-doc characteristic terms (integer-exact ranking, ln score)
+    "text_tfidf" -> (QueriesExt.textTfidf _),
+    // grouped top-k via the WindowGroupLimit rank rewrite
+    "events_topk" -> (QueriesEvents.eventsTopk _),
     // context-window chunking + repetition quality filter
     "text_chunks"     -> (QueriesExt.textChunks _),
     "text_repetition" -> (QueriesExt.textRepetition _),
@@ -118,6 +122,8 @@ object SparkEntry {
     "text_normalize"            -> QueriesExt.textNormalizeSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,
+    "text_tfidf"                -> QueriesExt.textTfidfSql,
+    "events_topk"               -> QueriesEvents.eventsTopkSql,
     "text_chunks"               -> QueriesExt.textChunksSql,
     "text_repetition"           -> QueriesExt.textRepetitionSql,
     "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,

@@ -103,6 +103,19 @@ class SessionsSpec extends SparkSpec {
     assert(row.getAs[Long]("asof_event_id") == 100L)
   }
 
+  test("grouped top-k plans a WindowGroupLimit (bounded per-group state pre-shuffle)") {
+    val plan = QueriesEvents.eventsTopk(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must rewrite to WindowGroupLimit:\n$plan")
+    // partial mode runs BELOW the exchange (printed after it): the
+    // shuffle moves at most k rows per (task, group), not the stream
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2,
+      s"expected partial + final WindowGroupLimit:\n$plan")
+    assert(plan.lastIndexOf("WindowGroupLimit") > plan.indexOf("Exchange"),
+      s"expected the partial WindowGroupLimit below the exchange:\n$plan")
+  }
+
   test("asofJoin plans one exchange (union + window, no inequality join)") {
     val events = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
     val joined = Sessions.asofJoin(
