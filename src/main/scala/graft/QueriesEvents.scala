@@ -153,6 +153,68 @@ object QueriesEvents {
        |""".stripMargin
   }
 
+  // ================================================================ rolling window
+  /** Per-type daily counts with a 7-day rolling window (RANGE frame
+    * over the integer day, so gap days weigh correctly). Two shuffles:
+    * the daily aggregation and the per-type window sort. */
+  def eventsRolling(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day")).rangeBetween(-6, 0)
+    daily.select(
+      col("event_type"), col("day"), col("n"),
+      sum(col("n")).over(w).as("n_7d"),
+      sum(col("__v")).over(w).cast("double").as("value_7d"))
+  }
+
+  lazy val eventsRollingSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(value AS DECIMAL(18,6))) AS v
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, day, n,
+       |       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+       |       CAST(sum(v) OVER w AS DOUBLE) AS value_7d
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |""".stripMargin
+
+  // ================================================================ transitions
+  /** Event-type transition matrix: (type, next type) counts per user
+    * timeline — the Markov/path-analysis primitive. One entity shuffle
+    * for the lead window, one small aggregation on the type pair. */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  lazy val eventsTransitionsSql: String =
+    s"""WITH nxt AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id) AS to_type
+       |  FROM events
+       |)
+       |SELECT from_type, to_type, count(*) AS n
+       |FROM nxt WHERE to_type IS NOT NULL
+       |GROUP BY 1, 2
+       |""".stripMargin
+
   // ================================================================ grouped top-k
   /** Top-3 events per user by value — the grouped top-k surface. The
     * rank filter is recognized by Spark's RankLimit rewrite and planned

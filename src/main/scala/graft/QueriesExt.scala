@@ -454,6 +454,25 @@ object QueriesExt {
        |FROM documents
        |""".stripMargin
 
+  /** Exactly-20-per-language stratified sample (md5-ranked, ties by
+    * key): the balanced-eval-slice primitive. Literal-membership
+    * oracle, like the other sampling gates. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang", k = 20, salt = "graft")
+      .select(col("doc_id"), col("lang"), col("stratum_rank"))
+
+  lazy val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, CAST(rk AS INTEGER) AS stratum_rank
+       |FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'),
+       |                                     doc_id) AS rk
+       |  FROM documents
+       |)
+       |WHERE rk <= 20
+       |""".stripMargin
+
   // ================================================================ text normalization
   /** Normalized text as a materialized column (the shared preprocessing
     * of every text operator, exposed as its own output). */

@@ -65,9 +65,13 @@ object SparkEntry {
     "events_retention"   -> (QueriesEvents.eventsRetention _),
     "events_percentiles" -> (QueriesEvents.eventsPercentiles _),
     "events_pivot"       -> (QueriesEvents.eventsPivot _),
-    // deterministic hash sampling / split assignment
-    "sample_hash"   -> (QueriesExt.sampleHash _),
-    "sample_splits" -> (QueriesExt.sampleSplits _),
+    // deterministic hash sampling / split assignment / stratified quota
+    "sample_hash"       -> (QueriesExt.sampleHash _),
+    "sample_splits"     -> (QueriesExt.sampleSplits _),
+    "sample_stratified" -> (QueriesExt.sampleStratified _),
+    // rolling time-window aggregation + transition matrix
+    "events_rolling"     -> (QueriesEvents.eventsRolling _),
+    "events_transitions" -> (QueriesEvents.eventsTransitions _),
     // dedup family
     "dedup_exact"         -> (QueriesExt.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
@@ -136,6 +140,9 @@ object SparkEntry {
     "events_pivot"              -> QueriesEvents.eventsPivotSql,
     "sample_hash"               -> QueriesExt.sampleHashSql,
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
+    "sample_stratified"         -> QueriesExt.sampleStratifiedSql,
+    "events_rolling"            -> QueriesEvents.eventsRollingSql,
+    "events_transitions"        -> QueriesEvents.eventsTransitionsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,

@@ -66,4 +66,24 @@ object Sampling {
     }
     df.withColumn("split", ordered)
   }
+
+  /** Exactly-k-per-stratum deterministic sample: rows are ranked within
+    * each stratum by `md5(key || salt)` (ties broken by the key itself,
+    * so the rank is total) and the top `k` kept. Unlike [[hashSample]],
+    * membership is NOT stable under corpus growth — an exact per-group
+    * quota is a ranking, and a new row can displace an old one; use
+    * [[hashSample]] when stability matters more than exact counts.
+    * Plans as a WindowGroupLimit: each task keeps a bounded per-stratum
+    * heap BEFORE the shuffle, so the exchange moves at most k rows per
+    * (task, stratum) — never the corpus. */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, stratumCol: String, k: Int, salt: String = ""
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))), col(keyCol))
+    df.withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= k)
+  }
 }

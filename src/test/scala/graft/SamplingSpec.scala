@@ -67,4 +67,27 @@ class SamplingSpec extends SparkSpec {
     assert(subsetAssign.join(full, "doc_id")
       .filter(col("split") =!= col("full_split")).count() == 0L)
   }
+
+  test("stratified sample: exactly k per stratum, deterministic, WindowGroupLimit plan") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", k = 10, salt = "s")
+    val counts = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.select("lang").distinct().count()
+    assert(counts.size == strata.toInt)
+    assert(counts.values.forall(_ == 10L), s"every stratum must yield exactly k: $counts")
+    // deterministic: the same call selects the same rows
+    val a = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(docs, "doc_id", "lang", k = 10, salt = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // a stratum smaller than k yields all its rows (no padding, no error)
+    val tiny = Sampling.stratifiedSample(
+      docs.filter(col("doc_id") < 3), "doc_id", "lang", k = 10)
+    assert(tiny.count() == docs.filter(col("doc_id") < 3).count())
+    // bounded pre-shuffle state: the rank filter plans as WindowGroupLimit
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, "doc_id", "lang", k = 0))
+  }
 }
