@@ -39,7 +39,10 @@ object Sessions {
       gapSeconds: Long
   ): DataFrame = {
     require(gapSeconds >= 0, s"gapSeconds must be >= 0, got $gapSeconds")
-    val order  = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    // nulls-last pinned explicitly: Spark defaults asc to NULLS FIRST,
+    // ANSI engines (and the DuckDB oracle) to NULLS LAST
+    val order = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc_nulls_last, col(tieCol))
     val prevTs = lag(col(tsCol), 1).over(order)
     // micros arithmetic, not double epoch: epoch micros fit a long
     // exactly; double seconds lose sub-ms precision above 2^53 ns
@@ -73,8 +76,8 @@ object Sessions {
   /** As-of join: attach to every `left` row the values of the most
     * recent `right` row with `right.ts <= left.ts` for the same key
     * ("at or before" semantics). Returns the left rows plus one
-    * `asof_<v>` column per requested value column (null when no right
-    * row precedes).
+    * `asof_<v>` column per requested value column (all null when no
+    * right row precedes).
     *
     * Built as union + running `last(ignoreNulls)` window rather than a
     * join: a range/inequality join would either cross-join within key
@@ -82,9 +85,14 @@ object Sessions {
     * shuffle on the key and one partition-local sort — the scalable
     * formulation at any key cardinality. Right rows sort BEFORE left
     * rows at equal timestamps (at-or-before); ties among right rows are
-    * broken by `tieCol`, the later one winning. Right rows whose value
-    * is genuinely NULL are treated as absent (the window reaches
-    * further back).
+    * broken by `tieCol`, the later one winning.
+    *
+    * Attribution is ROW-ATOMIC (pandas merge_asof semantics): the value
+    * columns travel in ONE struct through the window, so every output
+    * row carries the values of a single real right row — a right row
+    * whose value is null attaches that null rather than reaching back
+    * to an older row (a per-column `last(ignoreNulls)` would stitch
+    * together fields of DIFFERENT right rows when some are null).
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
@@ -92,28 +100,31 @@ object Sessions {
   ): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     val leftCarry = left.columns.toSeq
-    // common schema: left payload (null on right rows) + prefixed right
-    // values (null on left rows) + the sort triple
-    val taggedLeft = valueCols
-      .foldLeft(left.withColumn("__tag", lit(1))) { (d, v) =>
-        d.withColumn(s"asof_$v", lit(null).cast(right.schema(v).dataType))
-      }
+    // common schema: left payload (null on right rows) + one struct of
+    // right values (null on left rows) + the sort triple. The struct
+    // itself is non-null on every right row (even all-null fields), so
+    // last(ignoreNulls) skips exactly the left rows.
+    val rowStruct = struct(valueCols.map(col): _*)
+    val taggedLeft = left
+      .withColumn("__tag", lit(1))
+      .withColumn("__asof", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          valueCols.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))))
     val taggedRight = {
       val base = right.select(
-        Seq(col(keyCol), col(tsCol), col(tieCol), lit(0).as("__tag")) ++
-          valueCols.map(v => col(v).as(s"asof_$v")): _*)
+        col(keyCol), col(tsCol), col(tieCol), lit(0).as("__tag"), rowStruct.as("__asof"))
       leftCarry.filterNot(Set(keyCol, tsCol, tieCol)).foldLeft(base) { (d, c) =>
         d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
-    val unioned = taggedRight.select(taggedLeft.columns.toIndexedSeq.map(col): _*)
-      .unionByName(taggedLeft)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__tag"), col(tieCol))
+      .orderBy(col(tsCol).asc_nulls_last, col("__tag"), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valueCols.foldLeft(unioned) { (d, v) =>
-      d.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("__tag") === 1).drop("__tag")
+    val attached = taggedRight.select(taggedLeft.columns.toIndexedSeq.map(col): _*)
+      .unionByName(taggedLeft)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(attached) { (d, v) =>
+      d.withColumn(s"asof_$v", col("__asof").getField(v))
+    }.filter(col("__tag") === 1).drop("__tag", "__asof")
   }
 }
