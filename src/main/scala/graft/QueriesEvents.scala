@@ -248,12 +248,21 @@ object QueriesEvents {
     * of the user's most recent at-or-before signup event (null when the
     * purchase precedes any signup). Exercises the union + running
     * last(ignoreNulls) construction — one shuffle on user_id, no
-    * inequality join. */
+    * inequality join.
+    *
+    * Signup values are deterministically nulled on `event_id % 7 == 0`
+    * (mirrored in the oracle) so the gate EXERCISES row-atomic
+    * attribution: a purchase whose latest at-or-before signup carries a
+    * null value must attach (null value, that signup's id) — not reach
+    * back to an older signup's value. A per-column reach-back oracle
+    * hash-mismatches on this data. */
   def eventsAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     Sessions.asofJoin(
       left  = ev.filter(col("event_type") === "purchase"),
-      right = ev.filter(col("event_type") === "signup"),
+      right = ev.filter(col("event_type") === "signup")
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))),
       keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
       valueCols = Seq("value", "event_id"))
       .select(
@@ -262,24 +271,30 @@ object QueriesEvents {
         col("asof_value"), col("asof_event_id"))
   }
 
+  /** Row-atomic oracle: the right row's values travel in ONE struct
+    * through last_value(IGNORE NULLS) — the struct is non-null on every
+    * signup row (even with a null value field), so attribution picks a
+    * single real signup row, matching pandas-merge_asof semantics. */
   lazy val eventsAsofJoinSql: String =
     s"""WITH u AS (
        |  SELECT user_id, ts, 0 AS tag, event_id,
-       |         value AS r_value, event_id AS r_event_id
+       |         {'r_value': CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END,
+       |          'r_event_id': event_id} AS r
        |  FROM events WHERE event_type = 'signup'
        |  UNION ALL
        |  SELECT user_id, ts, 1 AS tag, event_id,
-       |         NULL AS r_value, NULL AS r_event_id
+       |         CAST(NULL AS STRUCT(r_value DOUBLE, r_event_id BIGINT)) AS r
        |  FROM events WHERE event_type = 'purchase'
        |), a AS (
        |  SELECT user_id, ts, tag, event_id,
-       |         last_value(r_value IGNORE NULLS) OVER w AS asof_value,
-       |         last_value(r_event_id IGNORE NULLS) OVER w AS asof_event_id
+       |         last_value(r IGNORE NULLS) OVER w AS att
        |  FROM u
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
        |               ROWS UNBOUNDED PRECEDING)
        |)
-       |SELECT event_id, user_id, epoch_us(ts) AS ts_us, asof_value, asof_event_id
+       |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |       struct_extract(att, 'r_value') AS asof_value,
+       |       struct_extract(att, 'r_event_id') AS asof_event_id
        |FROM a WHERE tag = 1
        |""".stripMargin
 }

@@ -73,24 +73,29 @@ class SessionsSpec extends SparkSpec {
     val left = ev(
       (10L, "2024-01-01 00:00:00", 1L, 0.0), // before any right row -> null
       (11L, "2024-01-01 01:00:00", 1L, 0.0), // equal-ts right row attaches
-      (12L, "2024-01-01 02:00:00", 1L, 0.0), // two right rows at same ts: later event_id wins
+      (12L, "2024-01-01 01:40:00", 1L, 0.0), // two right rows at same ts: later event_id wins
+      (14L, "2024-01-01 02:00:00", 1L, 0.0), // latest right row carries null -> attaches null (row-atomic)
       (13L, "2024-01-01 03:00:00", 2L, 0.0)) // other key: only its own right rows
     val right = Seq(
       (100L, ts("2024-01-01 01:00:00"), 1L, java.lang.Double.valueOf(1.0)),
       (101L, ts("2024-01-01 01:30:00"), 1L, java.lang.Double.valueOf(2.0)),
       (102L, ts("2024-01-01 01:30:00"), 1L, java.lang.Double.valueOf(3.0)),
-      // null value right row: treated as absent, window reaches back
+      // null value right row: row-atomic attribution attaches this row's
+      // null rather than reaching back to 102 (pandas merge_asof semantics)
       (103L, ts("2024-01-01 01:45:00"), 1L, null.asInstanceOf[java.lang.Double]),
       (104L, ts("2024-01-01 02:59:00"), 2L, java.lang.Double.valueOf(9.0)))
       .toDF("event_id", "ts", "user_id", "value")
-    val got = Sessions.asofJoin(left, right, "user_id", "ts", "event_id", Seq("value"))
-      .select("event_id", "asof_value")
-      .as[(Long, Option[Double])].collect().toMap
+    val got = Sessions.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("value", "event_id"))
+      .select(col("event_id"), col("asof_value"), col("asof_event_id"))
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map { case (id, v, rid) => id -> ((v, rid)) }.toMap
     assert(got == Map(
-      10L -> None,
-      11L -> Some(1.0),
-      12L -> Some(3.0), // ts 01:30 tie: event_id 102 sorts after 101
-      13L -> Some(9.0)))
+      10L -> ((None, None)),
+      11L -> ((Some(1.0), Some(100L))),
+      12L -> ((Some(3.0), Some(102L))), // ts 01:30 tie: event_id 102 sorts after 101
+      14L -> ((None, Some(103L))),      // 103's null value travels WITH its event_id
+      13L -> ((Some(9.0), Some(104L)))))
   }
 
   test("asofJoin: attaches multiple value columns and keeps left payload") {
