@@ -85,6 +85,22 @@ object Bench {
           name -> -1.0
       }
     }
+    // Bucketed-mode integrity diagnostic: the whole point of
+    // fact_populate_parent_bucketed is the missing exchange, so make a
+    // silent fallback (catalog miss, failed reuse, disabled bucketed
+    // scan) LOUD in the bench output instead of just a slow number.
+    // Printed adjacent to the JSON line so log tails keep it.
+    try {
+      def exchanges(df: DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val plain    = exchanges(Queries.factPopulateParent(spark, sfDir))
+      val bucketed = exchanges(Queries.factPopulateParentBucketed(spark, sfDir))
+      System.err.println(
+        s"[bench] parent-join exchanges: plain=$plain bucketed=$bucketed" +
+          (if (bucketed >= plain) " — BUCKETED FALLBACK, amortization not active" else ""))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] plan diagnostic failed: ${e.getMessage}")
+    }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

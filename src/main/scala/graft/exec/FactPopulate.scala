@@ -45,8 +45,31 @@ object FactPopulate {
     * small, so the only cost of a false negative is planning from
     * runtime stats instead of the hint. Driver-side only, no job.
     */
-  private[graft] def broadcastable(dim: DataFrame, maxBytes: Long): Boolean =
-    dim.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+  private[graft] def broadcastable(dim: DataFrame, maxBytes: Long): Boolean = {
+    // The probe runs Catalyst analysis+optimization of the dim plan to
+    // get a size estimate — driver-side only, but not free, and a
+    // steady-state refresh loop re-probes the SAME dim every cycle.
+    // Memoize per (canonicalized plan, threshold): a dim re-read after
+    // a staged {{suff}} swap scans a NEW path, which canonicalizes to a
+    // different plan, so snapshot changes invalidate naturally. Bounded
+    // LRU so long-lived sessions over many dims cannot grow without
+    // limit. A semanticHash collision could only mis-steer the HINT
+    // (never results): the guard fails toward AQE's runtime decision.
+    val key = (dim.queryExecution.analyzed.canonicalized.semanticHash(), maxBytes)
+    broadcastableCache.synchronized {
+      Option(broadcastableCache.get(key)).map(Boolean.unbox).getOrElse {
+        val fits = dim.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+        broadcastableCache.put(key, fits)
+        fits
+      }
+    }
+  }
+
+  private val broadcastableCache =
+    new java.util.LinkedHashMap[(Int, Long), java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Long), java.lang.Boolean]): Boolean = size() > 256
+    }
 
   /** Populate the extracted fact table for `fact`.
     *

@@ -46,6 +46,21 @@ class PlanSpec extends SparkSpec {
       "unestimatable plans must not be force-broadcast")
   }
 
+  test("broadcast guard memoization: same path shares a cache key, another path does not") {
+    // The steady-state refresh loop re-reads its dims each cycle; the
+    // guard memoizes on the canonicalized plan, which for a parquet
+    // scan keys on the root path (InMemoryFileIndex equality), NOT the
+    // DataFrame instance. Two fresh reads of one path must collide;
+    // a different path (the staged {{suff}} swap case) must not.
+    def hash(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.canonicalized.semanticHash()
+    val a = sources.ParquetTables.readTable(spark, sf("sf0.001"), "nation")
+    val b = sources.ParquetTables.readTable(spark, sf("sf0.001"), "nation")
+    val c = sources.ParquetTables.readTable(spark, sf("sf0.001"), "region")
+    assert(hash(a) == hash(b), "fresh reads of the same path must share the memo key")
+    assert(hash(a) != hash(c), "a different path (post-swap snapshot) must miss the memo")
+  }
+
   test("fact populate: time-window filter is pushed to the parquet scan") {
     val env  = tpchEnv
     val fact = env.findFact("line").get
