@@ -32,6 +32,16 @@ object Bench {
     "events_sessionize"         -> (QueriesEvents.eventsSessionize _),
     "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
     "events_funnel"             -> (QueriesEvents.eventsFunnel _),
+    // product-analytics family (r4): regressions here must be visible
+    // to the driver, not just to specs
+    "events_retention"          -> (QueriesEvents.eventsRetention _),
+    "events_pivot"              -> (QueriesEvents.eventsPivot _),
+    "events_rolling"            -> (QueriesEvents.eventsRolling _),
+    "events_transitions"        -> (QueriesEvents.eventsTransitions _),
+    "events_topk"               -> (QueriesEvents.eventsTopk _),
+    // production percentile shape (bounded sketch, no exact companion)
+    "events_percentiles_approx" -> (QueriesEvents.eventsPercentilesApproxBench _),
+    "sample_stratified"         -> (QueriesExt.sampleStratified _),
     "text_tfidf"                -> (QueriesExt.textTfidf _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),

@@ -127,6 +127,64 @@ object QueriesEvents {
        |GROUP BY 1
        |""".stripMargin
 
+  // ================================================================ approx percentiles (scale path)
+  /** The 100 TB percentile path: `approx_percentile` keeps a bounded
+    * GK/QuantileSummaries sketch per group (O(accuracy·log n) entries),
+    * where exact `percentile` buffers EVERY distinct value per group in
+    * the aggregation buffer — correct at sf0.1, OOM at 100×. Gated like
+    * the count-distinct sketch: the gate emits the exact percentiles
+    * (hash-checked against DuckDB `quantile_cont`) PLUS a deterministic
+    * within-bracket flag — the approx value must land between the exact
+    * percentiles at rank p ± 0.02, a huge margin over the sketch's
+    * guaranteed 1/accuracy = 1e-4 rank error — against a constant-true
+    * oracle column. The bench times the approx-only production shape
+    * ([[eventsPercentilesApproxBench]]); the exact companion exists for
+    * the oracle, not for the cluster path. */
+  def eventsPercentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val acc   = 10000
+    val delta = 0.02
+    val ps    = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+    val aggs = ps.flatMap { case (nm, p) =>
+      Seq(
+        percentile(col("value"), lit(p)).as(s"__ex_$nm"),
+        percentile(col("value"), lit(math.max(p - delta, 0.0))).as(s"__lo_$nm"),
+        percentile(col("value"), lit(math.min(p + delta, 1.0))).as(s"__hi_$nm"),
+        approx_percentile(col("value"), lit(p), lit(acc)).as(s"__ap_$nm"))
+    }
+    val base = events(s, dir).groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    val outCols = ps.flatMap { case (nm, _) =>
+      Seq(
+        round(col(s"__ex_$nm"), 6).as(nm),
+        // all-null value group: every side is null — vacuously within
+        coalesce(
+          (col(s"__ap_$nm") >= col(s"__lo_$nm") && col(s"__ap_$nm") <= col(s"__hi_$nm"))
+            .cast("int"),
+          lit(1)).as(s"ok_$nm"))
+    }
+    base.select(col("event_type") +: outCols: _*)
+  }
+
+  lazy val eventsPercentilesApproxSql: String =
+    s"""SELECT event_type,
+       |       round(quantile_cont(value, 0.5), 6) AS p50,
+       |       CAST(1 AS INTEGER) AS ok_p50,
+       |       round(quantile_cont(value, 0.95), 6) AS p95,
+       |       CAST(1 AS INTEGER) AS ok_p95,
+       |       round(quantile_cont(value, 0.99), 6) AS p99,
+       |       CAST(1 AS INTEGER) AS ok_p99
+       |FROM events
+       |GROUP BY 1
+       |""".stripMargin
+
+  /** Bench-only production shape: approx sketches only, no exact
+    * companion — on a cluster the sketch exists precisely to avoid
+    * buffering every value per group. */
+  def eventsPercentilesApproxBench(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_percentile(
+        col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pcts"))
+
   // ================================================================ pivot
   /** Per-user event-type count matrix — the relational pivot surface
     * (one shuffle on user_id, conditional-count rewrite underneath). */

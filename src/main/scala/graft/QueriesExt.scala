@@ -548,11 +548,20 @@ object QueriesExt {
     * Spark computes them in one compiled pass per document; the oracle
     * recomputes via explode + group-by from scratch. */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+    TextAnalysis.repetitionStats(
+      // null out a deterministic slice so the gate EXERCISES the
+      // empty-doc zeros-row contract (the corpus has no empty docs);
+      // mirrored in the oracle's documents CTE
+      docs(s, dir).withColumn("text",
+        when(col("doc_id") % 101 === 0, lit(null)).otherwise(col("text"))),
+      "doc_id", "text")
 
   lazy val textRepetitionSql: String =
-    s"""WITH ws AS (
-       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+    s"""WITH dset AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 101 = 0 THEN NULL ELSE text END AS text
+       |  FROM documents
+       |), ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM dset
        |  WHERE $normSql <> ''
        |), tok AS (
        |  SELECT doc_id, t.token FROM ws, unnest(w) AS t(token)
@@ -569,13 +578,18 @@ object QueriesExt {
        |), biagg AS (
        |  SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db FROM bi GROUP BY 1
        |), r AS (
-       |  SELECT a.doc_id,
-       |         CAST(n AS INTEGER) AS n_tokens,
-       |         CAST(m AS DOUBLE) / n AS top_token_ratio,
-       |         CAST(n - d AS DOUBLE) / n AS dup_token_ratio,
+       |  -- LEFT JOIN from documents: an empty/null-normalized doc has no
+       |  -- token rows but must still emit a zeros row, matching the
+       |  -- engine's coalesce-to-empty contract in repetitionStats
+       |  SELECT ds.doc_id,
+       |         CAST(coalesce(n, 0) AS INTEGER) AS n_tokens,
+       |         CASE WHEN n IS NULL THEN 0.0 ELSE CAST(m AS DOUBLE) / n END AS top_token_ratio,
+       |         CASE WHEN n IS NULL THEN 0.0 ELSE CAST(n - d AS DOUBLE) / n END AS dup_token_ratio,
        |         CASE WHEN nb IS NULL OR nb = 0 THEN 0.0
        |              ELSE CAST(nb - db AS DOUBLE) / nb END AS dup_bigram_ratio
-       |  FROM agg a LEFT JOIN biagg b ON a.doc_id = b.doc_id
+       |  FROM dset ds
+       |  LEFT JOIN agg a ON a.doc_id = ds.doc_id
+       |  LEFT JOIN biagg b ON b.doc_id = ds.doc_id
        |)
        |SELECT doc_id, n_tokens, top_token_ratio, dup_token_ratio, dup_bigram_ratio,
        |       (top_token_ratio > 0.20 OR dup_bigram_ratio > 0.30) AS flagged
@@ -639,9 +653,16 @@ object QueriesExt {
     * bit-reproducible across engines — with the classic
     * tf·ln(N/df) score emitted as a 6-decimal output column (ln is not
     * correctly-rounded IEEE, so it must not participate in ranking).
-    * Shape at scale: one (doc, token) shuffle for tf, one token
-    * shuffle for df, a token-keyed join, and a WindowGroupLimit top-k
-    * on the doc — the standard relational TF-IDF dataflow. */
+    * Shape at scale: ONE tokenize + (doc, token) shuffle builds tf;
+    * df is a whole-partition window count over tf (tf rows are
+    * distinct per (doc, token), so rows-per-token == docs-per-token) —
+    * a reshuffle of the small AGGREGATE, never a second scan/explode
+    * of the corpus — then a WindowGroupLimit top-k on the doc. The
+    * join formulation (tf ⋈ tf.groupBy(token)) was rejected on plan
+    * evidence: Spark plans common DataFrame subplans independently, so
+    * the df side re-tokenized the whole corpus (two Generate nodes).
+    * The window form makes the single tokenize STRUCTURAL, and
+    * TextPipelineSpec pins it. */
   def textTfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val nDocs = d.select(count(lit(1)).as("n_docs"))
@@ -649,12 +670,11 @@ object QueriesExt {
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tokens.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df"), col("token"))
-    tf.join(df, "token")
+    tf.withColumn("df", count(lit(1)).over(wTok))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         row_number().over(w).as("rk"),

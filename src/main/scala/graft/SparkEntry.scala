@@ -64,6 +64,7 @@ object SparkEntry {
     "events_funnel"      -> (QueriesEvents.eventsFunnel _),
     "events_retention"   -> (QueriesEvents.eventsRetention _),
     "events_percentiles" -> (QueriesEvents.eventsPercentiles _),
+    "events_percentiles_approx" -> (QueriesEvents.eventsPercentilesApprox _),
     "events_pivot"       -> (QueriesEvents.eventsPivot _),
     // deterministic hash sampling / split assignment / stratified quota
     "sample_hash"       -> (QueriesExt.sampleHash _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
     "events_retention"          -> QueriesEvents.eventsRetentionSql,
     "events_percentiles"        -> QueriesEvents.eventsPercentilesSql,
+    "events_percentiles_approx" -> QueriesEvents.eventsPercentilesApproxSql,
     "events_pivot"              -> QueriesEvents.eventsPivotSql,
     "sample_hash"               -> QueriesExt.sampleHashSql,
     "sample_splits"             -> QueriesExt.sampleSplitsSql,

@@ -59,7 +59,10 @@ object Funnel {
       out
     }
     val walked = events
-      .filter(col(typeCol).isin(stages: _*)) // pushed In filter
+      // null timestamps cannot participate in an ordered walk (and
+      // unguarded they would NPE in walkUdf's getLong) — drop them,
+      // like sessionize's asc_nulls_last places them out of band
+      .filter(col(typeCol).isin(stages: _*) && col(tsCol).isNotNull)
       .select(col(entityCol),
         struct(unix_micros(col(tsCol)).as("us"), idxCol.as("si")).as("__e"))
       .groupBy(col(entityCol))

@@ -40,6 +40,17 @@ class FunnelSpec extends SparkSpec {
     assert(got(2L) == ((2L, Some(ts("2024-01-01 00:00:00")), None, None)))
   }
 
+  test("funnel: a null-timestamp event is ignored, not an NPE") {
+    val events = Seq(
+      (1L, Some(ts("2024-01-01 00:00:00")), "view"),
+      (1L, None: Option[Timestamp], "click"), // null ts: cannot order, dropped
+      (1L, Some(ts("2024-01-01 02:00:00")), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type", Seq("view", "click"))
+      .select("ts_2").as[Option[Timestamp]].collect().head
+    assert(got == Some(ts("2024-01-01 02:00:00")))
+  }
+
   test("funnel: same-instant events do NOT advance the stage (strictly after)") {
     val events = ev(
       (1L, "2024-01-01 00:00:00", "view"),

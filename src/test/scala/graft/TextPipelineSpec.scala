@@ -112,4 +112,12 @@ class TextPipelineSpec extends SparkSpec {
     assert(!local.queryExecution.executedPlan.toString.contains("Exchange"),
       "shinglesLocal must be scan-local")
   }
+
+  test("textTfidf tokenizes the corpus once (df re-aggregates tf, no second explode)") {
+    val plan = QueriesExt.textTfidf(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes == 1,
+      s"df must derive from the tf aggregate, not re-explode the corpus — got $explodes explodes:\n$plan")
+  }
 }
