@@ -131,6 +131,60 @@ class RunnerSpec extends SparkSpec {
     assert(v2.checkUniqueKeys().forall(_._3 == 0))
   }
 
+  test("reader-during-swap race: a concurrent read loop sees only full snapshots") {
+    // Backs the README "readers stay lock-free" contract with an actual
+    // race: a reader thread re-reads the live table in a loop while the
+    // writer promotes a staged rebuild. Every successful read must
+    // return exactly the v1 or the v2 row count — never a partial or
+    // empty snapshot — and a read that catches the swap mid-rename
+    // (file listing raced the directory move) must be TRANSIENT: the
+    // next read succeeds. That is the promoted contract: whole-directory
+    // rename gives snapshot isolation, not wait-freedom of one read.
+    val out = tempDir()
+    val lo  = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val v1 = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out)
+    v1.fullRefresh(TimeWindow.upTo(lo))
+    val count1 = spark.read.parquet(s"$out/fact_event_by_minute").count()
+    val v2 = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out,
+      stagingSuffix = "_staging")
+    val written = v2.fullRefresh(TimeWindow.unbounded)
+    val count2 = spark.read.parquet(s"$out/fact_event_by_minute_staging").count()
+    assert(count2 > count1, "the rebuild must be distinguishable from v1")
+
+    val seen       = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val transients = new java.util.concurrent.atomic.AtomicInteger()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try seen.add(spark.read.parquet(s"$out/fact_event_by_minute").count())
+        catch { case _: Exception => transients.incrementAndGet() }
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    try {
+      val warmupDeadline = System.currentTimeMillis() + 10000
+      while (seen.isEmpty && System.currentTimeMillis() < warmupDeadline) Thread.sleep(10)
+      assert(!seen.isEmpty, "reader thread must observe v1 before the swap")
+      v2.swapStaging(written)
+      // keep reading until the new snapshot is observed (bounded wait)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!seen.contains(count2) && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    } finally {
+      stop = true
+      reader.join(10000)
+    }
+    import scala.jdk.CollectionConverters._
+    val counts = seen.asScala.toSet
+    assert(counts.subsetOf(Set(count1, count2)),
+      s"reads during the swap must see a full v1 or v2 snapshot, got $counts " +
+        s"(v1=$count1, v2=$count2)")
+    assert(counts.contains(count2), "the post-swap snapshot must become visible")
+    // any mid-rename failure must not persist: a fresh read succeeds
+    assert(spark.read.parquet(s"$out/fact_event_by_minute").count() == count2,
+      s"post-swap reads must succeed (transient failures during swap: ${transients.get()})")
+  }
+
   test("writer lease: concurrent mutating runs against one outDir fail loudly") {
     val out = tempDir()
     val runner = new Runner(spark, Fixtures.eventsEnv, sf("sf0.001"), out)
