@@ -211,6 +211,47 @@ object QueriesEvents {
        |""".stripMargin
   }
 
+  // ================================================================ cube / grouping sets
+  /** Multi-grain OLAP aggregation in one pass: `cube(event_type, day)`
+    * computes the (type, day) cells plus both marginals and the grand
+    * total in a single shuffle (Spark expands the grouping sets
+    * map-side, partial-aggregates each, and shares one exchange —
+    * re-aggregating a populated fact per grain would scan it G times).
+    * `grouping_id()` disambiguates a subtotal's null from a data null;
+    * the sum is exact-decimal before the double cast so every grain is
+    * order-independent. DuckDB mirrors with GROUP BY CUBE + GROUPING. */
+  def eventsCube(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day_id"),
+        col("value"))
+      .cube(col("event_type"), col("day_id"))
+      .agg(
+        // grouping_id() must live in the aggregate list (Spark resolves
+        // it against the expanded grouping sets, not the output)
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .select(
+        col("event_type"), col("day_id"), col("gid"),
+        col("n_events"), col("value_sum"))
+
+  lazy val eventsCubeSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_id,
+       |         value
+       |  FROM events
+       |)
+       |SELECT event_type, day_id,
+       |       CAST(GROUPING(event_type, day_id) AS INTEGER) AS gid,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e
+       |GROUP BY CUBE (event_type, day_id)
+       |""".stripMargin
+
   // ================================================================ rolling window
   /** Per-type daily counts with a 7-day rolling window (RANGE frame
     * over the integer day, so gap days weigh correctly). Two shuffles:
@@ -328,6 +369,58 @@ object QueriesEvents {
         unix_micros(col("ts")).as("ts_us"),
         col("asof_value"), col("asof_event_id"))
   }
+
+  // ================================================================ as-of with tolerance
+  /** As-of attribution with an expiry window (pandas merge_asof
+    * `tolerance`): a purchase attributes its most recent at-or-before
+    * signup only while that signup is at most 3 days old — stale
+    * attributions drop to all-null, row-atomically. Same single-shuffle
+    * union+window plan; the expiry check is a scan-local projection
+    * (the attributed row's timestamp rides the attribution struct).
+    * 52/401/4408 attributions expire at sf0.001/0.01/0.1, so the gate
+    * exercises the tolerance path at every sf. */
+  def eventsAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    Sessions.asofJoin(
+      left  = ev.filter(col("event_type") === "purchase"),
+      right = ev.filter(col("event_type") === "signup"),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      valueCols = Seq("value", "event_id"),
+      toleranceMicros = Some(3L * 86400L * 1000000L))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_value"), col("asof_event_id"))
+  }
+
+  lazy val eventsAsofToleranceSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, ts, 0 AS tag, event_id,
+       |         {'r_value': value, 'r_event_id': event_id,
+       |          'r_ts': epoch_us(ts)} AS r
+       |  FROM events WHERE event_type = 'signup'
+       |  UNION ALL
+       |  SELECT user_id, ts, 1 AS tag, event_id,
+       |         CAST(NULL AS STRUCT(r_value DOUBLE, r_event_id BIGINT, r_ts BIGINT)) AS r
+       |  FROM events WHERE event_type = 'purchase'
+       |), a AS (
+       |  SELECT user_id, ts, tag, event_id,
+       |         last_value(r IGNORE NULLS) OVER w AS att
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+       |               ROWS UNBOUNDED PRECEDING)
+       |), t AS (
+       |  SELECT event_id, user_id, ts,
+       |         CASE WHEN epoch_us(ts) - struct_extract(att, 'r_ts')
+       |                   <= CAST(259200000000 AS BIGINT)
+       |              THEN att END AS att
+       |  FROM a WHERE tag = 1
+       |)
+       |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |       struct_extract(att, 'r_value') AS asof_value,
+       |       struct_extract(att, 'r_event_id') AS asof_event_id
+       |FROM t
+       |""".stripMargin
 
   /** Row-atomic oracle: the right row's values travel in ONE struct
     * through last_value(IGNORE NULLS) — the struct is non-null on every

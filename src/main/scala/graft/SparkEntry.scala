@@ -60,6 +60,7 @@ object SparkEntry {
     // event streams: gap sessionization + as-of attribution join
     "events_sessionize" -> (QueriesEvents.eventsSessionize _),
     "events_asof_join"  -> (QueriesEvents.eventsAsofJoin _),
+    "events_asof_tolerance" -> (QueriesEvents.eventsAsofTolerance _),
     // product analytics over events: funnel, retention, percentiles, pivot
     "events_funnel"      -> (QueriesEvents.eventsFunnel _),
     "events_retention"   -> (QueriesEvents.eventsRetention _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "sample_stratified" -> (QueriesExt.sampleStratified _),
     // rolling time-window aggregation + transition matrix
     "events_rolling"     -> (QueriesEvents.eventsRolling _),
+    "events_cube"        -> (QueriesEvents.eventsCube _),
     "events_transitions" -> (QueriesEvents.eventsTransitions _),
     // dedup family
     "dedup_exact"         -> (QueriesExt.dedupExact _),
@@ -135,6 +137,7 @@ object SparkEntry {
     "decon_clean"               -> QueriesExt.deconCleanSql,
     "events_sessionize"         -> QueriesEvents.eventsSessionizeSql,
     "events_asof_join"          -> QueriesEvents.eventsAsofJoinSql,
+    "events_asof_tolerance"     -> QueriesEvents.eventsAsofToleranceSql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
     "events_retention"          -> QueriesEvents.eventsRetentionSql,
     "events_percentiles"        -> QueriesEvents.eventsPercentilesSql,
@@ -144,6 +147,7 @@ object SparkEntry {
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "sample_stratified"         -> QueriesExt.sampleStratifiedSql,
     "events_rolling"            -> QueriesEvents.eventsRollingSql,
+    "events_cube"               -> QueriesEvents.eventsCubeSql,
     "events_transitions"        -> QueriesEvents.eventsTransitionsSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,

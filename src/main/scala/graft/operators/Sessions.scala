@@ -93,23 +93,34 @@ object Sessions {
     * whose value is null attaches that null rather than reaching back
     * to an older row (a per-column `last(ignoreNulls)` would stitch
     * together fields of DIFFERENT right rows when some are null).
+    *
+    * `toleranceMicros` (pandas merge_asof `tolerance`): when set, an
+    * attribution older than the tolerance is dropped — every `asof_*`
+    * column is null, as if no right row preceded. The right row's
+    * timestamp rides the same struct, so the expiry check is a
+    * scan-local projection after the window; the plan shape (one
+    * exchange, no join) is unchanged.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      tieCol: String, valueCols: Seq[String]
+      tieCol: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None
   ): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    require(toleranceMicros.forall(_ >= 0L), "tolerance must be non-negative")
     val leftCarry = left.columns.toSeq
     // common schema: left payload (null on right rows) + one struct of
-    // right values (null on left rows) + the sort triple. The struct
-    // itself is non-null on every right row (even all-null fields), so
+    // right values + the right row's own timestamp (for tolerance
+    // expiry; null on left rows) + the sort triple. The struct itself
+    // is non-null on every right row (even all-null fields), so
     // last(ignoreNulls) skips exactly the left rows.
-    val rowStruct = struct(valueCols.map(col): _*)
+    val rowStruct = struct(valueCols.map(col) :+ unix_micros(col(tsCol)).as("__rts"): _*)
     val taggedLeft = left
       .withColumn("__tag", lit(1))
       .withColumn("__asof", lit(null).cast(
         org.apache.spark.sql.types.StructType(
-          valueCols.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))))
+          valueCols.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)) :+
+            org.apache.spark.sql.types.StructField("__rts", org.apache.spark.sql.types.LongType))))
     val taggedRight = {
       val base = right.select(
         col(keyCol), col(tsCol), col(tieCol), lit(0).as("__tag"), rowStruct.as("__asof"))
@@ -123,7 +134,14 @@ object Sessions {
     val attached = taggedRight.select(taggedLeft.columns.toIndexedSeq.map(col): _*)
       .unionByName(taggedLeft)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
-    valueCols.foldLeft(attached) { (d, v) =>
+    // tolerance expiry: the attribution stands only while the attributed
+    // right row is within the window; expired -> whole struct nulled
+    // (row-atomic even in expiry — fields never outlive each other)
+    val expired = toleranceMicros.foldLeft(attached) { (d, tol) =>
+      d.withColumn("__asof",
+        when(unix_micros(col(tsCol)) - col("__asof").getField("__rts") <= tol, col("__asof")))
+    }
+    valueCols.foldLeft(expired) { (d, v) =>
       d.withColumn(s"asof_$v", col("__asof").getField(v))
     }.filter(col("__tag") === 1).drop("__tag", "__asof")
   }

@@ -46,6 +46,16 @@ class PlanSpec extends SparkSpec {
       "unestimatable plans must not be force-broadcast")
   }
 
+  test("cube computes every grain in one pass: Expand + a single aggregation exchange") {
+    val plan = QueriesEvents.eventsCube(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"cube must expand grouping sets map-side, not scan per grain:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"all grains must share ONE aggregation exchange:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1, s"expected ONE event scan:\n$plan")
+  }
+
   test("broadcast guard memoization: same path shares a cache key, another path does not") {
     // The steady-state refresh loop re-reads its dims each cycle; the
     // guard memoizes on the canonicalized plan, which for a parquet

@@ -98,6 +98,23 @@ class SessionsSpec extends SparkSpec {
       13L -> ((Some(9.0), Some(104L)))))
   }
 
+  test("asofJoin tolerance: stale attributions expire to all-null, row-atomically") {
+    val left = ev(
+      (10L, "2024-01-01 00:30:00", 1L, 0.0), // 30 min after signup: within 1h tolerance
+      (11L, "2024-01-01 01:00:00", 1L, 0.0), // exactly tolerance: still attached (<=)
+      (12L, "2024-01-01 01:00:01", 1L, 0.0)) // tolerance + 1s: expired
+    val right = ev((100L, "2024-01-01 00:00:00", 1L, 5.0))
+    val got = Sessions.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("value", "event_id"), toleranceMicros = Some(3600L * 1000000L))
+      .select(col("event_id"), col("asof_value"), col("asof_event_id"))
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map { case (id, v, rid) => id -> ((v, rid)) }.toMap
+    assert(got == Map(
+      10L -> ((Some(5.0), Some(100L))),
+      11L -> ((Some(5.0), Some(100L))),
+      12L -> ((None, None)))) // BOTH fields expire together
+  }
+
   test("asofJoin: attaches multiple value columns and keeps left payload") {
     val left  = ev((10L, "2024-01-01 02:00:00", 1L, 42.0))
     val right = ev((100L, "2024-01-01 01:00:00", 1L, 5.0))
