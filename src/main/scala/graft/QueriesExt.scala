@@ -542,6 +542,127 @@ object QueriesExt {
        |FROM ws, unnest(generate_series(0, len(w) - 1, 24)) AS t(st)
        |""".stripMargin
 
+  // ================================================================ curation decision
+  /** One-scan keep-or-drop curation ([[TextAnalysis.curate]]): quality
+    * score, language, and repetition signals composed into a boolean +
+    * machine-readable reasons. The oracle recomputes every signal from
+    * scratch (the textStats and textRepetition SQL bodies joined on the
+    * doc) and rebuilds the same reason list; keep decisions compare the
+    * UNROUNDED doubles, which match bit-for-bit because both engines
+    * evaluate the identical IEEE expression tree (the text_stats gate
+    * already hash-matches unrounded quality_score). */
+  def textCurate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curate(docs(s, dir), "doc_id", "text", minTokens = 20, minQuality = 0.4)
+
+  lazy val textCurateSql: String = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val langScores = langs.map(l => s"${hitsSql(l)} AS s_$l").mkString(",\n         ")
+    val caseBranches = langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n              ")
+    s"""WITH n AS (
+       |  SELECT doc_id, $normSql AS t FROM documents
+       |), b AS (
+       |  SELECT doc_id, t,
+       |         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+       |         length(t) AS n_chars,
+       |         ' ' || t || ' ' AS p
+       |  FROM n
+       |), o AS (
+       |  SELECT doc_id, n_tokens, n_chars,
+       |         $langScores,
+       |         CASE WHEN length(t) = 0 THEN 0.0
+       |              ELSE CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(t)
+       |         END AS punct_ratio,
+       |         CASE WHEN n_tokens = 0 THEN 0.0
+       |              ELSE CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+       |         END AS avg_token_len
+       |  FROM b
+       |), q AS (
+       |  SELECT doc_id, n_tokens,
+       |         0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |           + 0.25 * (1.0 - punct_ratio)
+       |           + 0.30 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(s_en AS DOUBLE) / n_tokens END) * 4.0)
+       |           + 0.20 * least(1.0, avg_token_len / 8.0) AS quality,
+       |         CASE WHEN (s_en + s_de + s_es + s_fr + s_zh) = 0 THEN 'und'
+       |                $caseBranches
+       |              ELSE 'zh' END AS lang_pred
+       |  FROM o
+       |), ws AS (
+       |  SELECT doc_id, string_split(t, ' ') AS w FROM n WHERE t <> ''
+       |), tok AS (
+       |  SELECT doc_id, u.token FROM ws, unnest(w) AS u(token)
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tn,
+       |         CAST(count(*) AS BIGINT) AS d, CAST(max(c) AS BIGINT) AS m
+       |  FROM tf GROUP BY 1
+       |), bi AS (
+       |  SELECT doc_id, array_to_string(w[i:i + 1], ' ') AS bg
+       |  FROM ws, unnest(generate_series(1, len(w) - 1)) AS t2(i)
+       |  WHERE len(w) >= 2
+       |), biagg AS (
+       |  SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db FROM bi GROUP BY 1
+       |), rr AS (
+       |  SELECT n.doc_id,
+       |         CASE WHEN tn IS NULL THEN 0.0 ELSE CAST(m AS DOUBLE) / tn END AS ttr,
+       |         CASE WHEN nb IS NULL OR nb = 0 THEN 0.0
+       |              ELSE CAST(nb - db AS DOUBLE) / nb END AS dbr
+       |  FROM n
+       |  LEFT JOIN agg a ON a.doc_id = n.doc_id
+       |  LEFT JOIN biagg bb ON bb.doc_id = n.doc_id
+       |)
+       |SELECT q.doc_id, CAST(q.n_tokens AS INTEGER) AS n_tokens,
+       |       round(q.quality, 6) AS quality_score, q.lang_pred,
+       |       round(rr.ttr, 6) AS top_token_ratio,
+       |       round(rr.dbr, 6) AS dup_bigram_ratio,
+       |       NOT (q.n_tokens < 20 OR q.quality < 0.4
+       |            OR rr.ttr > 0.20 OR rr.dbr > 0.30) AS keep,
+       |       concat_ws(',',
+       |         CASE WHEN q.n_tokens < 20 THEN 'too_short' END,
+       |         CASE WHEN q.quality < 0.4 THEN 'low_quality' END,
+       |         CASE WHEN rr.ttr > 0.20 OR rr.dbr > 0.30 THEN 'repetitive' END) AS reasons
+       |FROM q JOIN rr ON rr.doc_id = q.doc_id
+       |""".stripMargin
+  }
+
+  // ================================================================ sequence packing
+  /** Chunk → training-sequence packing: non-overlapping 32-token chunks
+    * packed 8-per-sequence across 16 deterministic md5 shards
+    * ([[operators.Packing]]). The oracle replays the identical
+    * closed-form assignment — hex-shard, per-shard (doc, chunk) order,
+    * row_number arithmetic — so any drift in shard hashing, ordering,
+    * or boundary arithmetic breaks the hash match. */
+  def textPack(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packChunks(
+      TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text", size = 32, stride = 32),
+      "doc_id", "chunk_id", chunksPerSeq = 8, shards = 16)
+      .select(col("shard"), col("seq_id"), col("seq_pos"),
+        col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+
+  lazy val textPackSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |  WHERE $normSql <> ''
+       |), ch AS (
+       |  SELECT doc_id,
+       |         CAST(st // 32 AS INTEGER) AS chunk_id,
+       |         CAST(len(w[st + 1:st + 32]) AS INTEGER) AS n_chunk_tokens
+       |  FROM ws, unnest(generate_series(0, len(w) - 1, 32)) AS t(st)
+       |), sh AS (
+       |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 16 AS shard
+       |  FROM ch
+       |), rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id, chunk_id) - 1 AS r
+       |  FROM sh
+       |)
+       |SELECT shard, CAST(r // 8 AS INTEGER) AS seq_id, CAST(r % 8 AS INTEGER) AS seq_pos,
+       |       doc_id, chunk_id, n_chunk_tokens
+       |FROM rn
+       |""".stripMargin
+
   // ================================================================ repetition stats
   /** Gopher-style repetition quality filter: duplicate-token fraction,
     * top-token share, duplicate-bigram fraction, and the curation flag.

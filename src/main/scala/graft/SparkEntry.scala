@@ -53,6 +53,8 @@ object SparkEntry {
     "events_topk" -> (QueriesEvents.eventsTopk _),
     // context-window chunking + repetition quality filter
     "text_chunks"     -> (QueriesExt.textChunks _),
+    "text_pack"       -> (QueriesExt.textPack _),
+    "text_curate"     -> (QueriesExt.textCurate _),
     "text_repetition" -> (QueriesExt.textRepetition _),
     // benchmark decontamination: n-gram overlap + clean survivor corpus
     "decon_ngram_overlap" -> (QueriesExt.deconNgramOverlap _),
@@ -132,6 +134,8 @@ object SparkEntry {
     "text_tfidf"                -> QueriesExt.textTfidfSql,
     "events_topk"               -> QueriesEvents.eventsTopkSql,
     "text_chunks"               -> QueriesExt.textChunksSql,
+    "text_pack"                 -> QueriesExt.textPackSql,
+    "text_curate"               -> QueriesExt.textCurateSql,
     "text_repetition"           -> QueriesExt.textRepetitionSql,
     "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,
     "decon_clean"               -> QueriesExt.deconCleanSql,

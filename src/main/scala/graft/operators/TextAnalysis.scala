@@ -222,30 +222,36 @@ object TextAnalysis {
     * the usual curation thresholds. One compiled pass per document
     * (same design as [[stats]]' countsUdf — a flat Array[Long] return
     * keeps the projection codegen'd), zero shuffles. */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val staged = docs
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    repEnrich(docs
       // null text counts as empty: zero rates, not a null-poisoned row
-      .select(col(idCol), coalesce(normalized(col(textCol)), lit("")).as("__n"))
-      .withColumn("__c", repUdf(col("__n")))
-      .withColumn("n_tokens", col("__c").getItem(RepIdxTokens).cast("int"))
-      .withColumn("top_token_ratio",
-        when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(col("__c").getItem(RepIdxMaxFreq).cast("double") / col("n_tokens")))
-      .withColumn("dup_token_ratio",
-        when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(
-            (col("n_tokens") - col("__c").getItem(RepIdxDistinct)).cast("double") / col("n_tokens")))
-      .withColumn("dup_bigram_ratio",
-        when(col("__c").getItem(RepIdxBigrams) === 0, lit(0.0))
-          .otherwise(
-            (col("__c").getItem(RepIdxBigrams) - col("__c").getItem(RepIdxDistinctBi)).cast("double") /
-              col("__c").getItem(RepIdxBigrams)))
+      .select(col(idCol), coalesce(normalized(col(textCol)), lit("")).as("__n")))
+      .select(col(idCol), col("rep_n_tokens").as("n_tokens"), col("top_token_ratio"),
+        col("dup_token_ratio"), col("dup_bigram_ratio"), col("flagged"))
+
+  /** Add the repetition columns to a frame that already carries the
+    * normalized text as `__n` (non-null). Internal columns are
+    * `__rc`-prefixed so the enrichment composes with [[statsEnrich]] in
+    * one projection ([[curate]]) without name collisions. */
+  private def repEnrich(staged: DataFrame): DataFrame =
     staged
+      .withColumn("__rc", repUdf(col("__n")))
+      .withColumn("rep_n_tokens", col("__rc").getItem(RepIdxTokens).cast("int"))
+      .withColumn("top_token_ratio",
+        when(col("rep_n_tokens") === 0, lit(0.0))
+          .otherwise(col("__rc").getItem(RepIdxMaxFreq).cast("double") / col("rep_n_tokens")))
+      .withColumn("dup_token_ratio",
+        when(col("rep_n_tokens") === 0, lit(0.0))
+          .otherwise(
+            (col("rep_n_tokens") - col("__rc").getItem(RepIdxDistinct)).cast("double") /
+              col("rep_n_tokens")))
+      .withColumn("dup_bigram_ratio",
+        when(col("__rc").getItem(RepIdxBigrams) === 0, lit(0.0))
+          .otherwise(
+            (col("__rc").getItem(RepIdxBigrams) - col("__rc").getItem(RepIdxDistinctBi)).cast("double") /
+              col("__rc").getItem(RepIdxBigrams)))
       .withColumn("flagged",
         col("top_token_ratio") > 0.20 || col("dup_bigram_ratio") > 0.30)
-      .select(col(idCol), col("n_tokens"), col("top_token_ratio"),
-        col("dup_token_ratio"), col("dup_bigram_ratio"), col("flagged"))
-  }
 
   // flat-array layout for repUdf (see countsUdf's note on why an array,
   // not a case class: Janino cannot compile private nested struct
@@ -284,11 +290,20 @@ object TextAnalysis {
   /** All per-document text statistics in one scan-only projection:
     * normalization (one native regex) + [[countsUdf]] (one compiled
     * pass) + md5. Zero shuffles; scales linearly with the scan. */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val langs = statsLangs
-    val staged = docs
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    statsEnrich(docs
       .select(col(idCol), col(textCol).as("__t"))
-      .withColumn("__n", normalized(col("__t")))
+      .withColumn("__n", normalized(col("__t"))))
+      .select(col(idCol), col("n_tokens"), col("n_chars"), col("punct_ratio"),
+        col("avg_token_len"), col("stopword_ratio"), col("quality_score"),
+        col("lang_pred"), col("fingerprint"), col("n_bpe_tokens"))
+
+  /** Add the full stats column set to a frame that already carries the
+    * normalized text as `__n`. Composes with [[repEnrich]] in one
+    * projection ([[curate]]). */
+  private def statsEnrich(input: DataFrame): DataFrame = {
+    val langs = statsLangs
+    val staged = input
       .withColumn("__c", countsUdf(col("__n")))
       .withColumn("n_tokens", col("__c").getItem(IdxTokens).cast("int"))
       .withColumn("n_chars", length(col("__n")))
@@ -321,8 +336,36 @@ object TextAnalysis {
       // non-alphanumeric marks each count as one token (the usual cheap
       // stand-in for a real tokenizer when budgeting training data)
       .withColumn("n_bpe_tokens", col("__c").getItem(IdxBpe).cast("int"))
-      .select(col(idCol), col("n_tokens"), col("n_chars"), col("punct_ratio"),
-        col("avg_token_len"), col("stopword_ratio"), col("quality_score"),
-        col("lang_pred"), col("fingerprint"), col("n_bpe_tokens"))
+  }
+
+  /** One-scan curation decision: the quality/language/repetition
+    * signals composed into keep-or-drop with machine-readable reasons.
+    * [[statsEnrich]] and [[repEnrich]] stack in a single projection —
+    * the corpus is scanned ONCE, zero shuffles (joining the public
+    * `stats` and `repetitionStats` outputs would scan it twice and
+    * shuffle on the id; TextPipelineSpec pins the scan-local plan).
+    * Null text is an empty doc: dropped as too_short, never a crash. */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, minQuality: Double = 0.4
+  ): DataFrame = {
+    val staged = docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__n", coalesce(normalized(col("__t")), lit("")))
+    val enriched = repEnrich(statsEnrich(staged))
+    val tooShort   = col("n_tokens") < minTokens
+    val lowQuality = col("quality_score") < minQuality
+    enriched
+      .withColumn("keep", !(tooShort || lowQuality || col("flagged")))
+      // concat_ws skips nulls, so the reason list is dense and ordered
+      .withColumn("reasons", concat_ws(",",
+        when(tooShort, lit("too_short")),
+        when(lowQuality, lit("low_quality")),
+        when(col("flagged"), lit("repetitive"))))
+      .select(col(idCol), col("n_tokens"),
+        round(col("quality_score"), 6).as("quality_score"),
+        col("lang_pred"), round(col("top_token_ratio"), 6).as("top_token_ratio"),
+        round(col("dup_bigram_ratio"), 6).as("dup_bigram_ratio"),
+        col("keep"), col("reasons"))
   }
 }

@@ -113,6 +113,69 @@ class TextPipelineSpec extends SparkSpec {
       "shinglesLocal must be scan-local")
   }
 
+  test("curate: one scan, zero exchanges; reasons compose; null text drops cleanly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and a dog ran to a park in a field it was nice for all of them today"), // 24 tokens, stopword-rich, no repeated bigrams
+      (2L, "short text"),                        // too_short (and low quality)
+      (3L, (1 to 30).map(_ => "spam").mkString(" ")), // repetitive (+low quality: zero stopwords)
+      (4L, null.asInstanceOf[String]))           // null text: empty doc, too_short
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.curate(docs, "doc_id", "text")
+      .select("doc_id", "keep", "reasons")
+      .as[(Long, Boolean, String)].collect()
+      .map { case (id, k, r) => id -> ((k, r)) }.toMap
+    assert(got(1L)._1, s"doc 1 must survive: ${got(1L)}")
+    assert(got(1L)._2 == "")
+    assert(!got(2L)._1 && got(2L)._2.startsWith("too_short"))
+    assert(!got(3L)._1 && got(3L)._2.contains("repetitive"))
+    assert(got(4L) == ((false, "too_short,low_quality")))
+    val plan = graft.operators.TextAnalysis.curate(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"curate must compose the signals in ONE scan, not join two passes:\n$plan")
+  }
+
+  test("packChunks: contiguous per-shard fill, document adjacency, k boundary") {
+    import spark.implicits._
+    // one shard so the fill order is fully observable
+    val chunks = Seq(
+      (1L, 0, 10), (1L, 1, 10), (1L, 2, 4),
+      (2L, 0, 10), (2L, 1, 7))
+      .toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    val got = graft.operators.Packing
+      .packChunks(chunks, "doc_id", "chunk_id", chunksPerSeq = 2, shards = 1)
+      .select("doc_id", "chunk_id", "seq_id", "seq_pos")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 0, 0), (1L, 1, 0, 1),   // doc 1 fills seq 0
+      (1L, 2, 1, 0), (2L, 0, 1, 1),   // seq 1 spans the doc boundary
+      (2L, 1, 2, 0)))                 // tail sequence is short, never padded here
+  }
+
+  test("packChunks is deterministic and exhaustive across shards") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val chunks = graft.operators.TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 32)
+    val a = QueriesExt.textPack(spark, sf("sf0.001"))
+    val b = QueriesExt.textPack(spark, sf("sf0.001"))
+    assert(a.exceptAll(b).isEmpty, "packing must be a pure function of the corpus")
+    assert(a.count() == chunks.count(), "every chunk must land in exactly one sequence")
+    // no sequence holds more than k chunks, and positions are dense
+    import org.apache.spark.sql.functions.{col, countDistinct, count, max}
+    val bad = a.groupBy(col("shard"), col("seq_id"))
+      .agg(count(col("seq_pos")).as("n"), countDistinct(col("seq_pos")).as("d"),
+        max(col("seq_pos")).as("m"))
+      .filter(col("n") > 8 || col("d") =!= col("n") || col("m") =!= col("n") - 1)
+    assert(bad.isEmpty, "sequences must hold <= k chunks at dense positions")
+  }
+
+  test("packing after chunking is ONE exchange (the shard hash); chunking stays scan-local") {
+    val plan = QueriesExt.textPack(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shard exchange, got $exchanges:\n$plan")
+  }
+
   test("textTfidf tokenizes the corpus once (df re-aggregates tf, no second explode)") {
     val plan = QueriesExt.textTfidf(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
