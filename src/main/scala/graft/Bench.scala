@@ -31,6 +31,8 @@ object Bench {
     "decon_ngram_overlap"       -> (QueriesExt.deconNgramOverlap _),
     "events_sessionize"         -> (QueriesEvents.eventsSessionize _),
     "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
+    "events_asof_tolerance"     -> (QueriesEvents.eventsAsofTolerance _),
+    "events_cube"               -> (QueriesEvents.eventsCube _),
     "events_funnel"             -> (QueriesEvents.eventsFunnel _),
     // product-analytics family (r4): regressions here must be visible
     // to the driver, not just to specs
@@ -43,6 +45,8 @@ object Bench {
     "events_percentiles_approx" -> (QueriesEvents.eventsPercentilesApproxBench _),
     "sample_stratified"         -> (QueriesExt.sampleStratified _),
     "text_tfidf"                -> (QueriesExt.textTfidf _),
+    "text_pack"                 -> (QueriesExt.textPack _),
+    "text_curate"               -> (QueriesExt.textCurate _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"             -> (QueriesExt.dedupSimhash _),
