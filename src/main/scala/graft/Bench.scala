@@ -33,6 +33,9 @@ object Bench {
     "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance"     -> (QueriesEvents.eventsAsofTolerance _),
     "events_cube"               -> (QueriesEvents.eventsCube _),
+    "events_debounce"           -> (QueriesEvents.eventsDebounce _),
+    "events_paths"              -> (QueriesEvents.eventsPaths _),
+    "events_anomaly"            -> (QueriesEvents.eventsAnomaly _),
     "events_funnel"             -> (QueriesEvents.eventsFunnel _),
     // product-analytics family (r4): regressions here must be visible
     // to the driver, not just to specs

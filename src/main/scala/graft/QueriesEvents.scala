@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Funnel, Sessions}
@@ -210,6 +211,135 @@ object QueriesEvents {
        |GROUP BY 1
        |""".stripMargin
   }
+
+  // ================================================================ debounce
+  /** Duplicate-event suppression: within each user's time-ordered
+    * stream, a run of same-type events arriving within 5s of their
+    * predecessor collapses to its first event ([[Sessions.debounce]]).
+    * The oracle replays the lag-flag construction clause-for-clause. */
+  def eventsDebounce(s: SparkSession, dir: String): DataFrame =
+    Sessions.debounce(events(s, dir), "user_id", "ts", "event_id", "event_type",
+      windowMicros = 5L * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+
+  lazy val eventsDebounceSql: String =
+    s"""WITH flagged AS (
+       |  SELECT event_id, user_id, ts, event_type,
+       |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |              WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1
+       |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 5000000 THEN 1
+       |              ELSE 0 END AS new_run
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |)
+       |SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+       |FROM flagged WHERE new_run = 1
+       |""".stripMargin
+
+  // ================================================================ path trigrams
+  /** User-journey path analysis: the 20 most frequent 3-step event-type
+    * sequences across all users (consecutive steps in each user's
+    * time-ordered stream; sequences never span users). One entity
+    * exchange for the lead() windows, one small aggregation of the
+    * trigram keys, a bounded top-k — the standard flow-analysis
+    * dataflow. Ranked by (count desc, path asc): integer-exact keys,
+    * bit-reproducible order. */
+  def eventsPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id"))
+    val rank = Window.orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(w))
+      .withColumn("s3", lead(col("s1"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(rank).cast("int"))
+      .filter(col("rk") <= 20)
+  }
+
+  lazy val eventsPathsSql: String =
+    s"""WITH steps AS (
+       |  SELECT event_type AS s1,
+       |         lead(event_type, 1) OVER w AS s2,
+       |         lead(event_type, 2) OVER w AS s3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), paths AS (
+       |  SELECT s1, s2, s3, count(*) AS n
+       |  FROM steps WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT s1, s2, s3, n,
+       |       CAST(row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS INTEGER) AS rk
+       |FROM paths
+       |QUALIFY rk <= 20
+       |""".stripMargin
+
+  // ================================================================ daily anomaly z-scores
+  /** Volume-anomaly detection: each (event_type, day) count scored
+    * against the trailing 7 days (RANGE frame on the integer day, so
+    * gap days weigh correctly). Mean and variance derive from EXACT
+    * integer window sums (sum, sum of squares — BIGINT in both
+    * engines), so the double arithmetic is one mirrored expression and
+    * the z-score and |z|>3 flag are bit-reproducible; no
+    * order-dependent stddev aggregate is involved. Two shuffles: the
+    * daily rollup and the per-type window sort — the window runs over
+    * DAYS, thousands of rows, not events. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_id"))
+      .rangeBetween(-7, -1)
+    val trailing = daily
+      .withColumn("w_days", count(col("n")).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+    // sample variance from exact sums: (sumsq - sum^2/k) / (k - 1)
+    val mean = col("w_sum").cast("double") / col("w_days")
+    val varS = (col("w_sumsq").cast("double") - col("w_sum").cast("double") * col("w_sum") / col("w_days")) /
+      (col("w_days") - lit(1))
+    val z = (col("n").cast("double") - mean) / sqrt(varS)
+    trailing
+      .withColumn("z", when(col("w_days") >= 2 && varS > 0, z))
+      .select(col("event_type"), col("day_id"), col("n"),
+        col("w_days").as("window_days"),
+        round(col("z"), 6).as("z_score"),
+        coalesce(abs(col("z")) > 3.0, lit(false)).as("anomalous"))
+  }
+
+  lazy val eventsAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_id,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT event_type, day_id, n,
+       |         CAST(count(n) OVER w AS BIGINT) AS w_days,
+       |         CAST(sum(n) OVER w AS BIGINT) AS w_sum,
+       |         CAST(sum(n * n) OVER w AS BIGINT) AS w_sumsq
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_id
+       |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+       |), scored AS (
+       |  SELECT event_type, day_id, n, w_days,
+       |         CASE WHEN w_days >= 2
+       |                   AND (CAST(w_sumsq AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / w_days) / (w_days - 1) > 0
+       |              THEN (CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_days)
+       |                   / sqrt((CAST(w_sumsq AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / w_days) / (w_days - 1))
+       |              END AS z
+       |  FROM t
+       |)
+       |SELECT event_type, day_id, n, w_days AS window_days,
+       |       round(z, 6) AS z_score,
+       |       coalesce(abs(z) > 3.0, FALSE) AS anomalous
+       |FROM scored
+       |""".stripMargin
 
   // ================================================================ cube / grouping sets
   /** Multi-grain OLAP aggregation in one pass: `cube(event_type, day)`

@@ -63,6 +63,9 @@ object SparkEntry {
     "events_sessionize" -> (QueriesEvents.eventsSessionize _),
     "events_asof_join"  -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance" -> (QueriesEvents.eventsAsofTolerance _),
+    "events_debounce"   -> (QueriesEvents.eventsDebounce _),
+    "events_paths"      -> (QueriesEvents.eventsPaths _),
+    "events_anomaly"    -> (QueriesEvents.eventsAnomaly _),
     // product analytics over events: funnel, retention, percentiles, pivot
     "events_funnel"      -> (QueriesEvents.eventsFunnel _),
     "events_retention"   -> (QueriesEvents.eventsRetention _),
@@ -142,6 +145,9 @@ object SparkEntry {
     "events_sessionize"         -> QueriesEvents.eventsSessionizeSql,
     "events_asof_join"          -> QueriesEvents.eventsAsofJoinSql,
     "events_asof_tolerance"     -> QueriesEvents.eventsAsofToleranceSql,
+    "events_debounce"           -> QueriesEvents.eventsDebounceSql,
+    "events_paths"              -> QueriesEvents.eventsPathsSql,
+    "events_anomaly"            -> QueriesEvents.eventsAnomalySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
     "events_retention"          -> QueriesEvents.eventsRetentionSql,
     "events_percentiles"        -> QueriesEvents.eventsPercentilesSql,

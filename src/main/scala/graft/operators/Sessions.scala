@@ -57,6 +57,39 @@ object Sessions {
       .drop("__is_new")
   }
 
+  /** Debounce an event stream: within each entity's time-ordered
+    * stream, keep only the FIRST event of every run of same-type
+    * events arriving within `windowMicros` of their predecessor
+    * (duplicate-click / retry-storm suppression).
+    *
+    * This is RUN debounce, not raw-predecessor filtering: a run is
+    * closed by a type change OR a gap > window measured between
+    * CONSECUTIVE raw events, so a storm of rapid-fire duplicates
+    * collapses to one survivor no matter how long it lasts. One
+    * exchange, one sort (the [[sessionize]] window shape); the
+    * run-boundary flag IS the survivor predicate, so no running sum is
+    * needed. Deterministic via the `tieCol` tie-break.
+    */
+  def debounce(
+      events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      typeCol: String, windowMicros: Long
+  ): DataFrame = {
+    require(windowMicros >= 0, s"windowMicros must be >= 0, got $windowMicros")
+    val order = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc_nulls_last, col(tieCol))
+    val prevTs   = lag(col(tsCol), 1).over(order)
+    val prevType = lag(col(typeCol), 1).over(order)
+    // <=> : a type change to/from null must OPEN a run, not null the flag
+    val newRun = when(prevTs.isNull, lit(1L)).otherwise(
+      when(not(col(typeCol) <=> prevType) ||
+        unix_micros(col(tsCol)) - unix_micros(prevTs) > windowMicros, lit(1L))
+        .otherwise(lit(0L)))
+    events
+      .withColumn("__new_run", newRun)
+      .filter(col("__new_run") === 1L) // first event of each run survives
+      .drop("__new_run")
+  }
+
   /** Per-session summary over a sessionized stream: event count, span,
     * and a decimal-stable value sum. The groupBy keys extend the
     * window's partition key, so this adds NO exchange after

@@ -98,6 +98,35 @@ class SessionsSpec extends SparkSpec {
       13L -> ((Some(9.0), Some(104L)))))
   }
 
+  test("debounce: a same-type storm collapses to its first event; boundaries reopen runs") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00.0"), 7L, "click"), // run 1 opens -> kept
+      (2L, ts("2024-01-01 00:00:03.0"), 7L, "click"), // 3s later, same type -> dropped
+      (3L, ts("2024-01-01 00:00:06.0"), 7L, "click"), // 3s after RAW predecessor -> still the same run, dropped
+      (4L, ts("2024-01-01 00:00:08.0"), 7L, "view"),  // type change -> kept
+      (5L, ts("2024-01-01 00:00:09.0"), 7L, "click"), // type change back -> kept (new run)
+      (6L, ts("2024-01-01 00:00:15.0"), 7L, "click"), // 6s gap > 5s window -> kept
+      (7L, ts("2024-01-01 00:00:03.0"), 8L, "click")) // other user: own first event, kept
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val kept = Sessions.debounce(events, "user_id", "ts", "event_id", "event_type",
+      windowMicros = 5000000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L))
+  }
+
+  test("debounce and paths are one entity exchange each") {
+    val d = QueriesEvents.eventsDebounce(spark, sf("sf0.001"))
+    val dPlan = d.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(dPlan).size == 1,
+      s"debounce must be one entity shuffle:\n$dPlan")
+    val p = QueriesEvents.eventsPaths(spark, sf("sf0.001"))
+    val pPlan = p.queryExecution.executedPlan.toString
+    // entity window + trigram aggregation + the tiny global rank (the
+    // aggregate is <= |types|^3 rows, so the single-partition rank
+    // window is bounded by construction, not by the corpus)
+    assert("FileScan".r.findAllIn(pPlan).size == 1, s"paths must scan events once:\n$pPlan")
+  }
+
   test("asofJoin tolerance: stale attributions expire to all-null, row-atomically") {
     val left = ev(
       (10L, "2024-01-01 00:30:00", 1L, 0.0), // 30 min after signup: within 1h tolerance
