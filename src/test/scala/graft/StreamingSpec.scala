@@ -180,4 +180,40 @@ class StreamingSpec extends SparkSpec {
       eventsEnv, fact, "dim_app_user", half2, spark.read.parquet(dimDir))
     assert(replay.isEmpty, "replay must be idempotent")
   }
+
+  test("streaming debounce equals batch debounce, including a run across the batch boundary") {
+    import graft.operators.Sessions
+    import graft.streaming.StreamingDebounce
+    import spark.implicits._
+    val ev = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+
+    // split by TIME so per-entity order holds across micro-batches —
+    // the operator's documented arrival-order contract — which also
+    // makes runs straddling the boundary continue via carried state
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val stage = Files.createTempDirectory("graft-stream-deb").toString
+    ev.filter(col("ts") < split).coalesce(1).write.mode("append").parquet(stage)
+    ev.filter(col("ts") >= split).coalesce(1).write.mode("append").parquet(stage)
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    // a WIDE window (12h) so same-type runs certainly span the split
+    val q = StreamingDebounce.debounce(
+      stream, "user_id", "ts", "event_id", "event_type",
+      windowMicros = 12L * 3600L * 1000000L)
+      .writeStream.format("memory").queryName("stream_debounce")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_debounce")
+      .select("tie").as[Long].collect().sorted.toSeq
+    val batch = Sessions.debounce(ev, "user_id", "ts", "event_id", "event_type",
+      windowMicros = 12L * 3600L * 1000000L)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch, "stream survivors must equal the batch operator's")
+    assert(batch.size < ev.count(), "the window must actually suppress events")
+  }
 }
