@@ -214,12 +214,16 @@ object QueriesEvents {
 
   // ================================================================ debounce
   /** Duplicate-event suppression: within each user's time-ordered
-    * stream, a run of same-type events arriving within 5s of their
+    * stream, a run of same-type events arriving within 12h of their
     * predecessor collapses to its first event ([[Sessions.debounce]]).
-    * The oracle replays the lag-flag construction clause-for-clause. */
+    * The window is sized to the synthetic data's inter-event spacing so
+    * the gate actually suppresses at every sf (135/1345/13237 events at
+    * sf0.001/0.01/0.1 — a 5s click-storm window suppressed almost
+    * nothing here). The oracle replays the lag-flag construction
+    * clause-for-clause. */
   def eventsDebounce(s: SparkSession, dir: String): DataFrame =
     Sessions.debounce(events(s, dir), "user_id", "ts", "event_id", "event_type",
-      windowMicros = 5L * 1000000L)
+      windowMicros = 12L * 3600L * 1000000L)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
 
@@ -228,7 +232,7 @@ object QueriesEvents {
        |  SELECT event_id, user_id, ts, event_type,
        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
        |              WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1
-       |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 5000000 THEN 1
+       |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(43200000000 AS BIGINT) THEN 1
        |              ELSE 0 END AS new_run
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

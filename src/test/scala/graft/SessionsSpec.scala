@@ -127,6 +127,26 @@ class SessionsSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(pPlan).size == 1, s"paths must scan events once:\n$pPlan")
   }
 
+  test("debounce is idempotent: adjacent same-type survivors are provably > window apart") {
+    // if two adjacent survivors shared a type within the window, the
+    // second could only have opened a run via a type change against its
+    // raw predecessor — contradiction — so a second pass drops nothing
+    val ev = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val win = 12L * 3600L * 1000000L // wide enough that this sparse data actually debounces
+    val once = Sessions.debounce(ev, "user_id", "ts", "event_id", "event_type", win)
+    val twice = Sessions.debounce(once, "user_id", "ts", "event_id", "event_type", win)
+    assert(once.count() == twice.count(), "debounce must be idempotent")
+    assert(once.count() < ev.count(), "the window must actually suppress events")
+  }
+
+  test("anomaly scoring is two exchanges (daily rollup + per-type day window)") {
+    val plan = QueriesEvents.eventsAnomaly(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected daily-agg + type-window exchanges, got $exchanges:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1, s"expected ONE event scan:\n$plan")
+  }
+
   test("asofJoin tolerance: stale attributions expire to all-null, row-atomically") {
     val left = ev(
       (10L, "2024-01-01 00:30:00", 1L, 0.0), // 30 min after signup: within 1h tolerance
