@@ -247,12 +247,15 @@ object QueriesEvents {
     * time-ordered stream; sequences never span users). One entity
     * exchange for the lead() windows, one small aggregation of the
     * trigram keys, a bounded top-k — the standard flow-analysis
-    * dataflow. Ranked by (count desc, path asc): integer-exact keys,
-    * bit-reproducible order. */
+    * dataflow. The top-k is `orderBy(...).limit(k)` — a
+    * TakeOrderedAndProject bounded heap, not a single-partition rank
+    * window, so the shape survives ANY type cardinality; the (count
+    * desc, path asc) order is a total order over integer-exact keys,
+    * so the selected set is bit-reproducible (ties at the boundary
+    * break on the path). */
   def eventsPaths(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc_nulls_last, col("event_id"))
-    val rank = Window.orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
     events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("s1"))
       .withColumn("s2", lead(col("s1"), 1).over(w))
@@ -260,8 +263,8 @@ object QueriesEvents {
       .filter(col("s2").isNotNull && col("s3").isNotNull)
       .groupBy(col("s1"), col("s2"), col("s3"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(rank).cast("int"))
-      .filter(col("rk") <= 20)
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(20)
   }
 
   lazy val eventsPathsSql: String =
@@ -276,10 +279,10 @@ object QueriesEvents {
        |  FROM steps WHERE s2 IS NOT NULL AND s3 IS NOT NULL
        |  GROUP BY 1, 2, 3
        |)
-       |SELECT s1, s2, s3, n,
-       |       CAST(row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS INTEGER) AS rk
+       |SELECT s1, s2, s3, n
        |FROM paths
-       |QUALIFY rk <= 20
+       |ORDER BY n DESC, s1, s2, s3
+       |LIMIT 20
        |""".stripMargin
 
   // ================================================================ daily anomaly z-scores

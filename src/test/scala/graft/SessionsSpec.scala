@@ -121,10 +121,9 @@ class SessionsSpec extends SparkSpec {
       s"debounce must be one entity shuffle:\n$dPlan")
     val p = QueriesEvents.eventsPaths(spark, sf("sf0.001"))
     val pPlan = p.queryExecution.executedPlan.toString
-    // entity window + trigram aggregation + the tiny global rank (the
-    // aggregate is <= |types|^3 rows, so the single-partition rank
-    // window is bounded by construction, not by the corpus)
     assert("FileScan".r.findAllIn(pPlan).size == 1, s"paths must scan events once:\n$pPlan")
+    assert(pPlan.contains("TakeOrderedAndProject"),
+      s"the top-k must be a bounded heap, not a single-partition rank window:\n$pPlan")
   }
 
   test("debounce is idempotent: adjacent same-type survivors are provably > window apart") {
