@@ -552,7 +552,13 @@ object QueriesExt {
     * evaluate the identical IEEE expression tree (the text_stats gate
     * already hash-matches unrounded quality_score). */
   def textCurate(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.curate(docs(s, dir), "doc_id", "text", minTokens = 20, minQuality = 0.4)
+    TextAnalysis.curate(
+      // null out a deterministic slice (the text_repetition trick) so
+      // the gate exercises the null-text -> too_short contract; the
+      // oracle mirrors the slice AND the coalesce-to-empty
+      docs(s, dir).withColumn("text",
+        when(col("doc_id") % 101 === 0, lit(null)).otherwise(col("text"))),
+      "doc_id", "text", minTokens = 20, minQuality = 0.4)
 
   lazy val textCurateSql: String = {
     val langs = Seq("en", "de", "es", "fr", "zh")
@@ -561,8 +567,12 @@ object QueriesExt {
       val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("\n              ")
-    s"""WITH n AS (
-       |  SELECT doc_id, $normSql AS t FROM documents
+    s"""WITH dset AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 101 = 0 THEN NULL ELSE text END AS text
+       |  FROM documents
+       |), n AS (
+       |  -- the engine coalesces null text to '' before scoring
+       |  SELECT doc_id, coalesce($normSql, '') AS t FROM dset
        |), b AS (
        |  SELECT doc_id, t,
        |         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,

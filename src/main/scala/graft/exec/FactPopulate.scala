@@ -49,26 +49,44 @@ object FactPopulate {
     // The probe runs Catalyst analysis+optimization of the dim plan to
     // get a size estimate — driver-side only, but not free, and a
     // steady-state refresh loop re-probes the SAME dim every cycle.
-    // Memoize per (canonicalized plan, threshold): a dim re-read after
-    // a staged {{suff}} swap scans a NEW path, which canonicalizes to a
-    // different plan, so snapshot changes invalidate naturally. Bounded
-    // LRU so long-lived sessions over many dims cannot grow without
-    // limit. A semanticHash collision could only mis-steer the HINT
-    // (never results): the guard fails toward AQE's runtime decision.
-    val key = (dim.queryExecution.analyzed.canonicalized.semanticHash(), maxBytes)
-    broadcastableCache.synchronized {
-      Option(broadcastableCache.get(key)).map(Boolean.unbox).getOrElse {
-        val fits = dim.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
-        broadcastableCache.put(key, fits)
-        fits
-      }
+    // Memoize per (canonicalized plan, scanned-bytes signature,
+    // threshold):
+    //  - a staged {{suff}} swap scans a NEW path -> new canonical plan;
+    //  - an IN-PLACE append/compact at the same path is caught by the
+    //    signature — each fresh read lists files eagerly, so its
+    //    FileIndex carries the new total bytes (an in-memory field, no
+    //    IO here), and a grown dim re-probes instead of riding a stale
+    //    fits=true hint into a multi-GB broadcast;
+    //  - a stale DataFrame re-probed after the data changed keys on ITS
+    //    OWN listing — consistent with what that frame would scan.
+    // Bounded LRU so long-lived sessions cannot grow without limit. A
+    // hash collision could only mis-steer the HINT (never results).
+    val analyzed = dim.queryExecution.analyzed
+    val scanBytes = analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.sizeInBytes
+          case other => other.sizeInBytes
+        }
+    }.sum
+    val key = (analyzed.canonicalized.semanticHash(), scanBytes, maxBytes)
+    val cached = broadcastableCache.synchronized(Option(broadcastableCache.get(key)))
+    cached.map(Boolean.unbox).getOrElse {
+      // compute OUTSIDE the lock: the stats probe runs the optimizer,
+      // and serializing concurrent populate planning behind one monitor
+      // would stall unrelated facts; a duplicate race is benign (the
+      // value is deterministic per key)
+      val fits = dim.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+      broadcastableCache.synchronized(broadcastableCache.put(key, fits))
+      fits
     }
   }
 
   private val broadcastableCache =
-    new java.util.LinkedHashMap[(Int, Long), java.lang.Boolean](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, Long, Long), java.lang.Boolean](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Long), java.lang.Boolean]): Boolean = size() > 256
+          e: java.util.Map.Entry[(Int, Long, Long), java.lang.Boolean]): Boolean = size() > 256
     }
 
   /** Populate the extracted fact table for `fact`.

@@ -51,6 +51,10 @@ object Packing {
   ): DataFrame = {
     require(chunksPerSeq > 0, s"chunksPerSeq must be positive, got $chunksPerSeq")
     require(shards > 0, s"shards must be positive, got $shards")
+    Seq("shard", "seq_id", "seq_pos", "__rn").foreach { c =>
+      require(!chunks.columns.contains(c),
+        s"packChunks would overwrite existing column '$c' — rename it first")
+    }
     val w = Window.partitionBy(col("shard")).orderBy(col(docCol), col(chunkCol))
     chunks
       .withColumn("shard", shardOf(col(docCol), shards))

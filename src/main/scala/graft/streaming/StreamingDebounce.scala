@@ -88,8 +88,11 @@ object StreamingDebounce {
             last.foreach { s =>
               state.update(s)
               // expire once the watermark is a full window past the last
-              // raw event — after that, every arrival opens a run anyway
-              state.setTimeoutTimestamp(s.lastTsUs / 1000L + windowMicros / 1000L + 1L)
+              // raw event — after that, every arrival opens a run anyway.
+              // CEIL of the micros horizon: flooring each term separately
+              // could expire up to ~1ms early and mis-keep a sub-ms-window
+              // run continuation
+              state.setTimeoutTimestamp(math.floorDiv(s.lastTsUs + windowMicros, 1000L) + 1L)
             }
             kept.result().iterator
           }

@@ -71,6 +71,26 @@ class PlanSpec extends SparkSpec {
     assert(hash(a) != hash(c), "a different path (post-swap snapshot) must miss the memo")
   }
 
+  test("broadcast guard memoization: an in-place append at the SAME path re-probes") {
+    // the steady-state incremental loop appends to a constant dim path;
+    // a stale fits=true verdict on a since-grown dim would ride the
+    // explicit broadcast hint into an OOM, so the memo must key on the
+    // scanned-bytes signature, not the path alone
+    val dir = java.nio.file.Files.createTempDirectory("graft-bcast-memo").toString
+    val small = sources.ParquetTables.readTable(spark, sf("sf0.001"), "nation")
+    small.write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val sizeBefore = before.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val threshold = sizeBefore + 1
+    assert(FactPopulate.broadcastable(before, threshold), "fits before the append")
+    // grow the dim past the threshold IN PLACE (no new path)
+    small.write.mode("append").parquet(dir)
+    small.write.mode("append").parquet(dir)
+    val after = spark.read.parquet(dir)
+    assert(!FactPopulate.broadcastable(after, threshold),
+      "a fresh read of the grown dim must re-probe, not reuse the stale fits=true")
+  }
+
   test("fact populate: time-window filter is pushed to the parquet scan") {
     val env  = tpchEnv
     val fact = env.findFact("line").get

@@ -193,7 +193,22 @@ class StreamingSpec extends SparkSpec {
     val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
     val stage = Files.createTempDirectory("graft-stream-deb").toString
     ev.filter(col("ts") < split).coalesce(1).write.mode("append").parquet(stage)
+    // FileStreamSource orders files by MODIFICATION TIME; back-to-back
+    // writes can share an mtime on coarse-granularity filesystems and
+    // invert the arrival order the in-order contract requires — pin the
+    // order explicitly
+    java.nio.file.Files.list(java.nio.file.Paths.get(stage)).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    }
     ev.filter(col("ts") >= split).coalesce(1).write.mode("append").parquet(stage)
+    java.nio.file.Files.list(java.nio.file.Paths.get(stage)).forEach { p =>
+      if (p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.getLastModifiedTime(p).toMillis != 1000000L)
+        java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    }
 
     val stream = spark.readStream
       .schema(ev.schema)
