@@ -36,6 +36,9 @@ object Bench {
     "events_debounce"           -> (QueriesEvents.eventsDebounce _),
     "events_paths"              -> (QueriesEvents.eventsPaths _),
     "events_anomaly"            -> (QueriesEvents.eventsAnomaly _),
+    "events_interval_join"      -> (QueriesEvents.eventsIntervalJoin _),
+    "events_conversion"         -> (QueriesEvents.eventsConversion _),
+    "dim_scd2_history"          -> (QueriesEvents.dimScd2History _),
     "events_funnel"             -> (QueriesEvents.eventsFunnel _),
     // product-analytics family (r4): regressions here must be visible
     // to the driver, not just to specs

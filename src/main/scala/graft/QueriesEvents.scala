@@ -585,4 +585,164 @@ object QueriesEvents {
        |       struct_extract(att, 'r_event_id') AS asof_event_id
        |FROM a WHERE tag = 1
        |""".stripMargin
+
+  // ================================================================ SCD Type-2 history
+  /** SCD2 dimension history from the click change log: each user's
+    * props.k band (k % 4, coarse so consecutive-duplicate compression
+    * is exercised — 210 changes collapse to 153 versions at sf0.001)
+    * becomes versioned rows with half-open validity intervals. One
+    * exchange (Scd2Spec pins it); extends the reference's Type-1
+    * populate family to the "what was the value THEN" shape. */
+  def dimScd2History(s: SparkSession, dir: String): DataFrame = {
+    val log = events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") % 4).as("band"))
+    operators.Scd2.history(log, "user_id", "ts", "event_id", Seq("band"))
+      .select(col("user_id"), col("event_id"), col("band"),
+        col("valid_from_us"), col("valid_to_us"), col("version"), col("is_current"))
+  }
+
+  lazy val dimScd2HistorySql: String =
+    s"""WITH log AS (
+       |  SELECT user_id, ts, event_id,
+       |         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 4 AS band
+       |  FROM events WHERE event_type = 'click'
+       |), f AS (
+       |  SELECT user_id, ts, event_id, band,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR band IS DISTINCT FROM lag(band) OVER w
+       |              THEN 1 ELSE 0 END AS opens
+       |  FROM log
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), v AS (
+       |  SELECT user_id, ts, event_id, band FROM f WHERE opens = 1
+       |)
+       |SELECT user_id, event_id, band,
+       |       epoch_us(ts) AS valid_from_us,
+       |       lead(epoch_us(ts)) OVER w2 AS valid_to_us,
+       |       CAST(row_number() OVER w2 AS INTEGER) AS version,
+       |       (lead(ts) OVER w2 IS NULL) AS is_current
+       |FROM v
+       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |""".stripMargin
+
+  // ================================================================ interval (range) join
+  /** Point-in-interval join: purchases matched into the same user's
+    * 1-day-gap CLICK sessions (which purchase happened during an
+    * active browsing session). The inequality predicate is rewritten
+    * as an equi-join on a 1-day time bin ([[operators.Intervals]]) —
+    * the plan is a plain shuffled join, not the
+    * BroadcastNestedLoopJoin a raw BETWEEN join degenerates to
+    * (IntervalsSpec pins the plan shape). 16/144/1435 hits at
+    * sf0.001/0.01/0.1. */
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val sessions = Sessions.sessionStats(
+      Sessions.sessionize(ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "event_id", gapSeconds = 86400L),
+      "user_id", "ts", "value")
+      .select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    operators.Intervals.intervalJoin(
+      purchases, sessions, Seq("user_id"),
+      pointUsCol = "ts_us", startUsCol = "start_us", endUsCol = "end_us",
+      binMicros = 86400L * 1000000L)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("session_seq"), col("start_us"), col("end_us"))
+  }
+
+  lazy val eventsIntervalJoinSql: String =
+    s"""WITH clicks AS (
+       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+       |), flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000 THEN 1
+       |              ELSE 0 END AS is_new
+       |  FROM clicks
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), assigned AS (
+       |  SELECT user_id, ts,
+       |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT user_id, session_seq,
+       |         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+       |  FROM assigned GROUP BY 1, 2
+       |)
+       |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+       |       s.session_seq, s.start_us, s.end_us
+       |FROM events p
+       |JOIN sess s ON p.user_id = s.user_id
+       |           AND epoch_us(p.ts) BETWEEN s.start_us AND s.end_us
+       |WHERE p.event_type = 'purchase'
+       |""".stripMargin
+
+  // ================================================================ conversion lag
+  /** Daily view->purchase conversion: per (user, day), the first view
+    * and the first purchase at-or-after it; cohorted by day into
+    * viewer-days, conversions, rate, and mean lag. ONE exchange: the
+    * seen-view running flag, the (user, day) aggregation, and the
+    * day cohort rollup all derive from the same (user, day) hash
+    * partitioning (the cohort agg is a map-side-combined re-shuffle of
+    * 30 x |users| rows — negligible). 32/343/3290 of 153/1617/16125
+    * viewer-days convert at sf0.001/0.01/0.1, so both outcomes are
+    * exercised at every sf. */
+  def eventsConversion(s: SparkSession, dir: String): DataFrame = {
+    val withDay = events(s, dir)
+      .withColumn("day_id", floor(unix_timestamp(col("ts")) / 86400L).cast("long"))
+    val order = Window.partitionBy(col("user_id"), col("day_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seenView = max(when(col("event_type") === "view", 1).otherwise(0)).over(order)
+    val perUserDay = withDay
+      .withColumn("seen_view", seenView)
+      .groupBy(col("user_id"), col("day_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("fv"),
+        min(when(col("event_type") === "purchase" && col("seen_view") === 1,
+          unix_micros(col("ts")))).as("fp"))
+      .filter(col("fv").isNotNull)
+    perUserDay
+      .groupBy(col("day_id"))
+      .agg(
+        count(lit(1)).as("viewer_days"),
+        count(col("fp")).as("converted"),
+        sum(col("fp") - col("fv")).as("sum_lag_us"))
+      .withColumn("conv_rate",
+        col("converted").cast("double") / col("viewer_days").cast("double"))
+      .withColumn("avg_lag_us",
+        when(col("converted") > 0,
+          col("sum_lag_us").cast("double") / col("converted").cast("double")))
+  }
+
+  lazy val eventsConversionSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_id,
+       |         ts, event_id, event_type,
+       |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)
+       |                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seen_view
+       |  FROM events
+       |), ud AS (
+       |  SELECT user_id, day_id,
+       |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+       |         min(CASE WHEN event_type = 'purchase' AND seen_view = 1
+       |                  THEN epoch_us(ts) END) AS fp
+       |  FROM o GROUP BY 1, 2
+       |)
+       |SELECT day_id,
+       |       CAST(count(*) AS BIGINT) AS viewer_days,
+       |       CAST(count(fp) AS BIGINT) AS converted,
+       |       CAST(sum(fp - fv) AS BIGINT) AS sum_lag_us,
+       |       CAST(count(fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate,
+       |       CASE WHEN count(fp) > 0
+       |            THEN CAST(sum(fp - fv) AS DOUBLE) / CAST(count(fp) AS DOUBLE)
+       |       END AS avg_lag_us
+       |FROM ud WHERE fv IS NOT NULL
+       |GROUP BY 1
+       |""".stripMargin
 }

@@ -66,6 +66,11 @@ object SparkEntry {
     "events_debounce"   -> (QueriesEvents.eventsDebounce _),
     "events_paths"      -> (QueriesEvents.eventsPaths _),
     "events_anomaly"    -> (QueriesEvents.eventsAnomaly _),
+    "events_interval_join" -> (QueriesEvents.eventsIntervalJoin _),
+    "events_conversion"    -> (QueriesEvents.eventsConversion _),
+    // SCD Type-2 dimension history (the Type-1 populate family's
+    // "what was the value THEN" extension)
+    "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
     // product analytics over events: funnel, retention, percentiles, pivot
     "events_funnel"      -> (QueriesEvents.eventsFunnel _),
     "events_retention"   -> (QueriesEvents.eventsRetention _),
@@ -148,6 +153,9 @@ object SparkEntry {
     "events_debounce"           -> QueriesEvents.eventsDebounceSql,
     "events_paths"              -> QueriesEvents.eventsPathsSql,
     "events_anomaly"            -> QueriesEvents.eventsAnomalySql,
+    "events_interval_join"      -> QueriesEvents.eventsIntervalJoinSql,
+    "events_conversion"         -> QueriesEvents.eventsConversionSql,
+    "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
     "events_retention"          -> QueriesEvents.eventsRetentionSql,
     "events_percentiles"        -> QueriesEvents.eventsPercentilesSql,
