@@ -53,6 +53,8 @@ object Bench {
     "text_tfidf"                -> (QueriesExt.textTfidf _),
     "text_pack"                 -> (QueriesExt.textPack _),
     "text_curate"               -> (QueriesExt.textCurate _),
+    "text_lm_score"             -> (QueriesExt.textLmScore _),
+    "table_profile"             -> (QueriesExt.tableProfile _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"             -> (QueriesExt.dedupSimhash _),

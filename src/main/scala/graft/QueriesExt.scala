@@ -874,4 +874,74 @@ object QueriesExt {
        |FROM documents
        |""".stripMargin
   }
+
+  // ---------------------------------------------------------- table profile
+  /** Per-column profile of the documents table (row/null/distinct
+    * counts, min/max). Floating columns are excluded by design — their
+    * string forms are engine-specific (Profile scaladoc); the profiled
+    * four are BIGINT/VARCHAR, whose casts match everywhere. */
+  def tableProfile(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.profile(docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
+
+  lazy val tableProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count($c) AS BIGINT) AS n_nonnull,
+         |       CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
+         |       min(CAST($c AS VARCHAR)) AS min_val,
+         |       max(CAST($c AS VARCHAR)) AS max_val
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one).mkString("", "\nUNION ALL\n", "\n")
+  }
+
+  // ---------------------------------------------------------- bigram LM scoring
+  /** CCNet-style LM quality score: a bigram LM built from the 5%
+    * md5-split reference slice (doc_id hash < '0ccc'), every document
+    * scored by mean smoothed in-model probability. The small slice
+    * keeps the OOV path non-vacuous (2539/3641/127 OOV bigrams at
+    * sf0.001/0.01/0.1); the unseen-context 1/V branch fires at the two
+    * smaller sfs and is spec-pinned deterministically
+    * (LanguageModelSpec). */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ref = d.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccc")
+    operators.LanguageModel.score(d, ref, "doc_id", "text")
+  }
+
+  lazy val textLmScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split($normSql, ' '), t -> t <> '') AS w,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc' AS is_train
+       |  FROM documents
+       |), big AS (
+       |  SELECT doc_id, is_train,
+       |         w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER)+1] AS w2
+       |  FROM (SELECT doc_id, is_train, w, unnest(range(1, len(w))) AS i FROM toks)
+       |), c12 AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM big WHERE is_train GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+       |), vv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS v FROM c1
+       |), scored AS (
+       |  SELECT b.doc_id, c.c12 IS NULL AS is_oov,
+       |         CASE WHEN u.c1 IS NULL THEN CAST(1.0 AS DOUBLE) / CAST(vv.v AS DOUBLE)
+       |              ELSE CAST(coalesce(c.c12, 0) + 1 AS DOUBLE)
+       |                   / CAST(u.c1 + vv.v AS DOUBLE)
+       |         END AS p
+       |  FROM big b
+       |  LEFT JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+       |  LEFT JOIN c1 u ON b.w1 = u.w1
+       |  CROSS JOIN vv
+       |)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(count(CASE WHEN is_oov THEN 1 END) AS BIGINT) AS n_oov,
+       |       CAST(sum(CAST(round(p, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_p,
+       |       CAST(sum(CAST(round(p, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS mean_p
+       |FROM scored GROUP BY 1
+       |""".stripMargin
 }

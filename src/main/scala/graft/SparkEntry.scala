@@ -56,6 +56,9 @@ object SparkEntry {
     "text_pack"       -> (QueriesExt.textPack _),
     "text_curate"     -> (QueriesExt.textCurate _),
     "text_repetition" -> (QueriesExt.textRepetition _),
+    "text_lm_score"   -> (QueriesExt.textLmScore _),
+    // warehouse data-quality profile
+    "table_profile"   -> (QueriesExt.tableProfile _),
     // benchmark decontamination: n-gram overlap + clean survivor corpus
     "decon_ngram_overlap" -> (QueriesExt.deconNgramOverlap _),
     "decon_clean"         -> (QueriesExt.deconClean _),
@@ -145,6 +148,8 @@ object SparkEntry {
     "text_pack"                 -> QueriesExt.textPackSql,
     "text_curate"               -> QueriesExt.textCurateSql,
     "text_repetition"           -> QueriesExt.textRepetitionSql,
+    "text_lm_score"             -> QueriesExt.textLmScoreSql,
+    "table_profile"             -> QueriesExt.tableProfileSql,
     "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,
     "decon_clean"               -> QueriesExt.deconCleanSql,
     "events_sessionize"         -> QueriesEvents.eventsSessionizeSql,

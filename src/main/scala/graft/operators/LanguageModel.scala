@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model quality scoring: build a bigram LM on a
+  * reference corpus (typically the high-quality or held-out split) and
+  * score every document by its mean in-model conditional probability —
+  * the CCNet-style "does this read like the reference corpus" signal
+  * used to curate LLM training data.
+  *
+  * Probabilities are add-one smoothed: p(w2|w1) = (c12 + 1)/(c1 + V)
+  * for a seen context w1, and 1/V for an out-of-vocabulary context,
+  * with V = |seen contexts|. The per-document score is the mean of
+  * per-bigram probabilities each rounded to 6 decimals and summed in
+  * exact DECIMAL — every floating step is a single mirrored IEEE
+  * operation, so results are bit-reproducible across engines and
+  * partitionings (a log-space sum would be both order-dependent and
+  * libm-dependent; rank by `mean_p` instead).
+  *
+  * Scale design: bigram extraction is SCAN-LOCAL (array zip on the
+  * token array — no per-token explode before counting on the scoring
+  * side's join key). The LM tables are vocabulary-sized, not
+  * corpus-sized: c12/c1 build with map-side-combined aggregations, the
+  * scoring joins key on vocabulary (AQE broadcasts them when small),
+  * and V attaches as a broadcast single-row cross join. No collects.
+  */
+object LanguageModel {
+
+  /** (doc, w1, w2) bigram stream; empty tokens dropped, docs with
+    * fewer than two tokens contribute nothing. Scan-local. */
+  def bigrams(df: DataFrame, docCol: String, textCol: String): DataFrame = {
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    df.select(col(docCol), toks.as("__w"))
+      .withColumn("__big",
+        zip_with(
+          slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+          slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .select(col(docCol), explode(col("__big")).as("__p"))
+      .select(col(docCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+  }
+
+  /** Bigram counts (w1, w2, c12) of the reference corpus. */
+  def bigramCounts(ref: DataFrame, docCol: String, textCol: String): DataFrame =
+    bigrams(ref, docCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+
+  /** Score `docs` against an LM built from `ref`. Output: one row per
+    * document with at least one bigram — (docCol, n_bigrams, n_oov,
+    * sum_p, mean_p), where n_oov counts bigrams unseen in the
+    * reference and sum_p/mean_p aggregate the smoothed probabilities.
+    */
+  def score(
+      docs: DataFrame, ref: DataFrame, docCol: String, textCol: String
+  ): DataFrame =
+    // the LM table feeds three consumers (c12 join, c1 agg, V count);
+    // without materialization Catalyst replans the subtree per
+    // consumer and the reference corpus is tokenized three times (the
+    // TF-IDF lesson). The table is vocabulary-sized, not corpus-sized
+    // — MEMORY_AND_DISK is safe at any corpus scale; Spark's LRU
+    // evicts it when the session moves on. Callers scoring several
+    // corpora against one LM should persist bigramCounts themselves
+    // and call scoreWith.
+    scoreWith(docs,
+      bigramCounts(ref, docCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      docCol, textCol)
+
+  /** [[score]] against pre-built (ideally persisted) bigram counts. */
+  def scoreWith(
+      docs: DataFrame, c12: DataFrame, docCol: String, textCol: String
+  ): DataFrame = {
+    // context counts derive FROM the bigram counts (no second tokenize
+    // of the reference)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val scored = bigrams(docs, docCol, textCol)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab)) // 1 row
+    val p: Column = when(col("c1").isNull,
+      lit(1.0) / col("v").cast("double"))
+      .otherwise(
+        (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double"))
+    scored
+      .withColumn("__p6", round(p, 6).cast("decimal(18,6)"))
+      .groupBy(col(docCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("c12").isNull, lit(1))).as("n_oov"),
+        sum(col("__p6")).as("__sum"))
+      .withColumn("sum_p", col("__sum").cast("double"))
+      .withColumn("mean_p",
+        col("__sum").cast("double") / col("n_bigrams").cast("double"))
+      .drop("__sum")
+  }
+}

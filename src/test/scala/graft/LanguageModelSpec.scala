@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.LanguageModel
+
+/** Bigram LM scoring: extraction semantics, hand-computed smoothed
+  * probabilities through every branch (seen / OOV bigram / OOV
+  * context), short-doc exclusion, and the single-tokenize LM build.
+  */
+class LanguageModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("bigrams: adjacency, normalization, short and empty docs") {
+    val d = docsOf(
+      (1L, "The  quick brown fox"), // double space collapses
+      (2L, "one"),                  // 1 token -> no bigrams
+      (3L, ""), (4L, null))
+    val got = LanguageModel.bigrams(d, "doc_id", "text")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "the", "quick"), (1L, "quick", "brown"), (1L, "brown", "fox")))
+  }
+
+  test("score: hand-computed p through seen, OOV-bigram, and OOV-context branches") {
+    // reference: "a b a b c"  ->  bigrams ab, ba, ab, bc
+    //   c12: (a,b)=2  (b,a)=1  (b,c)=1 ;  c1: a=2, b=2 ;  V=2
+    val ref = docsOf((1L, "a b a b c"))
+    // scored doc: "a b c z"  ->  ab   (seen:      (2+1)/(2+2) = 0.75)
+    //                            bc   (seen:      (1+1)/(2+2) = 0.5)
+    //                            cz   (OOV ctx c: 1/V         = 0.5)
+    val got = LanguageModel.score(docsOf((10L, "a b c z")), ref, "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"sum_p", $"mean_p")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((10L, 3L, 1L, 1.75, 1.75 / 3.0)), got.toString)
+  }
+
+  test("score: OOV bigram with a SEEN context smooths, not 1/V") {
+    val ref = docsOf((1L, "a b a c"))
+    // c12: (a,b)=1 (b,a)=1 (a,c)=1 ; c1: a=2 b=1 ; V=2
+    // doc "a z": context a seen, bigram az unseen -> (0+1)/(2+2) = 0.25
+    val got = LanguageModel.score(docsOf((10L, "a z")), ref, "doc_id", "text")
+      .select($"n_bigrams", $"n_oov", $"sum_p").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0.25)))
+  }
+
+  test("docs without bigrams produce no score row") {
+    val ref = docsOf((1L, "a b"))
+    val got = LanguageModel.score(
+      docsOf((10L, "single"), (11L, ""), (12L, null)), ref, "doc_id", "text")
+    assert(got.count() == 0L)
+  }
+
+  test("LM is materialized once and reused by all three consumers") {
+    val ref = docsOf((1L, "a b c"))
+    val scored = LanguageModel.score(docsOf((10L, "a b")), ref, "doc_id", "text")
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    // c12 join, c1 agg, and V count must all read the cached LM — a
+    // replanned subtree would re-tokenize the reference corpus per
+    // consumer (the round-4 TF-IDF df lesson)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"expected the three LM consumers to scan the cache:\n$plan")
+  }
+}
