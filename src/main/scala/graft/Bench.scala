@@ -39,6 +39,7 @@ object Bench {
     "events_interval_join"      -> (QueriesEvents.eventsIntervalJoin _),
     "events_conversion"         -> (QueriesEvents.eventsConversion _),
     "dim_scd2_history"          -> (QueriesEvents.dimScd2History _),
+    "events_zorder"             -> (QueriesEvents.eventsZorder _),
     "events_funnel"             -> (QueriesEvents.eventsFunnel _),
     // product-analytics family (r4): regressions here must be visible
     // to the driver, not just to specs

@@ -681,6 +681,31 @@ object QueriesEvents {
        |WHERE p.event_type = 'purchase'
        |""".stripMargin
 
+  // ================================================================ z-order layout key
+  /** Morton key over (user_id, day): the multi-dimensional layout
+    * primitive — files sorted by this key have tight min/max ranges in
+    * BOTH dimensions, so scans filtered on either prune (the
+    * Delta/Iceberg OPTIMIZE ZORDER trick, as a plain sort key). Pure
+    * integer shift/mask pipeline, fully codegen'd, scan-local; the
+    * oracle mirrors the exact constants (ZOrderSpec also checks the
+    * curve against an independent bit-by-bit Morton reference). */
+  def eventsZorder(s: SparkSession, dir: String): DataFrame = {
+    val dayId = floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+    events(s, dir).select(
+      col("event_id"), col("user_id"), dayId.as("day_id"),
+      graft.functions.ZOrder.zValue(col("user_id"), dayId).as("zval"))
+  }
+
+  lazy val eventsZorderSql: String = {
+    val z = graft.functions.ZOrder.zValueSql(
+      "user_id", "CAST(floor(epoch(ts)/86400) AS BIGINT)")
+    s"""SELECT event_id, user_id,
+       |       CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_id,
+       |       $z AS zval
+       |FROM events
+       |""".stripMargin
+  }
+
   // ================================================================ conversion lag
   /** Daily view->purchase conversion: per (user, day), the first view
     * and the first purchase at-or-after it; cohorted by day into

@@ -71,6 +71,7 @@ object SparkEntry {
     "events_anomaly"    -> (QueriesEvents.eventsAnomaly _),
     "events_interval_join" -> (QueriesEvents.eventsIntervalJoin _),
     "events_conversion"    -> (QueriesEvents.eventsConversion _),
+    "events_zorder"        -> (QueriesEvents.eventsZorder _),
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
     "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "events_anomaly"            -> QueriesEvents.eventsAnomalySql,
     "events_interval_join"      -> QueriesEvents.eventsIntervalJoinSql,
     "events_conversion"         -> QueriesEvents.eventsConversionSql,
+    "events_zorder"             -> QueriesEvents.eventsZorderSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
     "events_retention"          -> QueriesEvents.eventsRetentionSql,
