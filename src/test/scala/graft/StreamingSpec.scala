@@ -231,4 +231,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "stream survivors must equal the batch operator's")
     assert(batch.size < ev.count(), "the window must actually suppress events")
   }
+
+  test("streaming dedup drops within-watermark duplicates across and within batches") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"),
+        (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000L) +
+          col("doc_id")).cast("timestamp").as("ts"))
+    // duplicates: every 5th doc re-arrives an hour later under a new id,
+    // plus one SAME-batch duplicate pair
+    val redeliveries = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        (col("ts").cast("long") + 3600L).cast("timestamp").as("ts"))
+
+    val stage = Files.createTempDirectory("graft-stream-dedup").toString
+    docs.union(docs.filter(col("doc_id") === 3)
+        .select(col("doc_id") + 200000L, col("text"), col("ts")))
+      .coalesce(1).write.mode("append").parquet(stage)
+    java.nio.file.Files.list(java.nio.file.Paths.get(stage)).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    }
+    redeliveries.coalesce(1).write.mode("append").parquet(stage)
+    java.nio.file.Files.list(java.nio.file.Paths.get(stage)).forEach { p =>
+      if (p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.getLastModifiedTime(p).toMillis != 1000000L)
+        java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    }
+
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = StreamingDedup.dedupe(stream, "ts", "text", watermark = "7 days")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val survivors = spark.table("stream_dedup")
+      .select("doc_id").as[Long].collect().toSet
+    val originals = docs.select("doc_id").as[Long].collect().toSet
+    // every original text survives exactly once (first arrival), every
+    // redelivery — cross-batch or same-batch — is suppressed
+    assert(survivors == originals,
+      s"unexpected: extra=${survivors -- originals} missing=${originals -- survivors}")
+  }
 }
