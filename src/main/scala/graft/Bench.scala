@@ -40,6 +40,8 @@ object Bench {
     "events_conversion"         -> (QueriesEvents.eventsConversion _),
     "dim_scd2_history"          -> (QueriesEvents.dimScd2History _),
     "events_zorder"             -> (QueriesEvents.eventsZorder _),
+    "events_props_typed"        -> (QueriesEvents.eventsPropsTyped _),
+    "embed_quantize"            -> (QueriesExt.embedQuantize _),
     "events_funnel"             -> (QueriesEvents.eventsFunnel _),
     // product-analytics family (r4): regressions here must be visible
     // to the driver, not just to specs

@@ -681,6 +681,39 @@ object QueriesEvents {
        |WHERE p.event_type = 'purchase'
        |""".stripMargin
 
+  // ================================================================ typed JSON extraction
+  /** Semi-structured handling: the props JSON column parsed with a
+    * TYPED schema (`from_json`, not regexp) and aggregated per event
+    * type — the "land raw JSON, query it typed" capability every
+    * event pipeline needs. Parsing is scan-local and codegen'd; the
+    * aggregate is one map-side-combined shuffle of 5 groups. */
+  def eventsPropsTyped(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .withColumn("avg_k",
+        col("sum_k").cast("double") / col("n_k").cast("double"))
+
+  lazy val eventsPropsTypedSql: String =
+    s"""SELECT event_type,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(count(k) AS BIGINT) AS n_k,
+       |       CAST(sum(k) AS BIGINT) AS sum_k,
+       |       min(k) AS min_k, max(k) AS max_k,
+       |       CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k
+       |FROM (SELECT event_type,
+       |             CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
+       |      FROM events)
+       |GROUP BY 1
+       |""".stripMargin
+
   // ================================================================ z-order layout key
   /** Morton key over (user_id, day): the multi-dimensional layout
     * primitive — files sorted by this key have tight min/max ranges in

@@ -875,6 +875,36 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------- int8 quantization
+  /** Symmetric per-vector int8 embedding quantization, exploded to
+    * (vec_id, pos, scale, q) rows so the oracle can value-compare the
+    * codes; the operator itself keeps packed arrays (scan-local, no
+    * shuffle — QuantizeSpec pins the plan and the reconstruction
+    * error bound). */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    operators.Quantize.int8(emb(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"), posexplode(col("q")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("scale"), col("col").as("q"))
+
+  lazy val embedQuantizeSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |         CAST(list_max(list_transform(embedding,
+       |                x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS scale,
+       |         embedding
+       |  FROM embeddings
+       |)
+       |SELECT vec_id, CAST(i AS INTEGER) AS pos, scale,
+       |       CAST(CASE WHEN scale = 0 THEN 0
+       |                 ELSE round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+       |                            * 127.0 / scale)
+       |            END AS INTEGER) AS q
+       |FROM (SELECT vec_id, scale, embedding,
+       |             unnest(range(1, len(embedding) + 1)) AS i
+       |      FROM s)
+       |""".stripMargin
+
   // ---------------------------------------------------------- table profile
   /** Per-column profile of the documents table (row/null/distinct
     * counts, min/max). Floating columns are excluded by design — their

@@ -72,6 +72,8 @@ object SparkEntry {
     "events_interval_join" -> (QueriesEvents.eventsIntervalJoin _),
     "events_conversion"    -> (QueriesEvents.eventsConversion _),
     "events_zorder"        -> (QueriesEvents.eventsZorder _),
+    "events_props_typed"   -> (QueriesEvents.eventsPropsTyped _),
+    "embed_quantize"       -> (QueriesExt.embedQuantize _),
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
     "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
@@ -162,6 +164,8 @@ object SparkEntry {
     "events_interval_join"      -> QueriesEvents.eventsIntervalJoinSql,
     "events_conversion"         -> QueriesEvents.eventsConversionSql,
     "events_zorder"             -> QueriesEvents.eventsZorderSql,
+    "events_props_typed"        -> QueriesEvents.eventsPropsTypedSql,
+    "embed_quantize"            -> QueriesExt.embedQuantizeSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
     "events_retention"          -> QueriesEvents.eventsRetentionSql,
