@@ -41,6 +41,8 @@ object Bench {
     "dim_scd2_history"          -> (QueriesEvents.dimScd2History _),
     "events_zorder"             -> (QueriesEvents.eventsZorder _),
     "events_props_typed"        -> (QueriesEvents.eventsPropsTyped _),
+    "events_histogram"          -> (QueriesEvents.eventsHistogram _),
+    "dim_merge_latest"          -> (QueriesEvents.dimMergeLatest _),
     "embed_quantize"            -> (QueriesExt.embedQuantize _),
     "events_funnel"             -> (QueriesEvents.eventsFunnel _),
     // product-analytics family (r4): regressions here must be visible

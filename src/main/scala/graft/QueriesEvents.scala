@@ -681,6 +681,59 @@ object QueriesEvents {
        |WHERE p.event_type = 'purchase'
        |""".stripMargin
 
+  // ================================================================ CDC latest-wins merge
+  /** Latest-wins compaction of a change stream (the CDC/upsert
+    * primitive behind SCD Type-1 MERGE): one surviving row per key,
+    * the (ts, tie)-greatest. Built as `max_by` over a payload struct —
+    * a PARTIAL-AGGREGABLE form: map-side combine keeps one candidate
+    * row per key per task before the single shuffle, where the
+    * window-row_number alternative must shuffle and sort EVERY change.
+    * The oracle is that window form — proving the aggregate shortcut
+    * equals the sort-based definition. */
+  def dimMergeLatest(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        unix_micros(col("last.ts")).as("ts_us"),
+        col("last.event_id"), col("last.event_type"), col("last.value"))
+
+  lazy val dimMergeLatestSql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, ts, event_id, event_type, value,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events
+       |)
+       |SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+       |FROM r WHERE rn = 1
+       |""".stripMargin
+
+  // ================================================================ value histogram
+  /** Equal-width value histogram per event type (bin = floor(v/10)):
+    * the distribution-profiling primitive. One map-side-combined
+    * shuffle of |types| x |bins| groups; counts and decimal-exact sums
+    * re-aggregate to coarser bins without rescanning. */
+  def eventsHistogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / 10.0).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .withColumn("bin_lo", col("bin").cast("double") * 10.0)
+
+  lazy val eventsHistogramSql: String =
+    s"""SELECT event_type, CAST(floor(value/10.0) AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       |       CAST(CAST(floor(value/10.0) AS BIGINT) AS DOUBLE) * 10.0 AS bin_lo
+       |FROM events
+       |GROUP BY 1, 2
+       |""".stripMargin
+
   // ================================================================ typed JSON extraction
   /** Semi-structured handling: the props JSON column parsed with a
     * TYPED schema (`from_json`, not regexp) and aggregated per event

@@ -73,6 +73,8 @@ object SparkEntry {
     "events_conversion"    -> (QueriesEvents.eventsConversion _),
     "events_zorder"        -> (QueriesEvents.eventsZorder _),
     "events_props_typed"   -> (QueriesEvents.eventsPropsTyped _),
+    "events_histogram"     -> (QueriesEvents.eventsHistogram _),
+    "dim_merge_latest"     -> (QueriesEvents.dimMergeLatest _),
     "embed_quantize"       -> (QueriesExt.embedQuantize _),
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
@@ -165,6 +167,8 @@ object SparkEntry {
     "events_conversion"         -> QueriesEvents.eventsConversionSql,
     "events_zorder"             -> QueriesEvents.eventsZorderSql,
     "events_props_typed"        -> QueriesEvents.eventsPropsTypedSql,
+    "events_histogram"          -> QueriesEvents.eventsHistogramSql,
+    "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,

@@ -91,6 +91,15 @@ class PlanSpec extends SparkSpec {
       "a fresh read of the grown dim must re-probe, not reuse the stale fits=true")
   }
 
+  test("merge-latest is a partial-aggregable max_by, not a window sort") {
+    val df = QueriesEvents.dimMergeLatest(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert("max_by".r.findAllIn(plan).size >= 2,
+      s"expected partial+final max_by (map-side candidate per key):\n$plan")
+    assert(!plan.contains("Window"), "the window form shuffles+sorts every change")
+  }
+
   test("fact populate: time-window filter is pushed to the parquet scan") {
     val env  = tpchEnv
     val fact = env.findFact("line").get
