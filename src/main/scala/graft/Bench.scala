@@ -69,6 +69,7 @@ object Bench {
     }),
     "embed_knn_lsh"     -> (QueriesExt.embedKnnLsh _),
     "embed_knn_ivf"     -> (QueriesExt.embedKnnIvf _),
+    "embed_knn_quantized" -> (QueriesExt.embedKnnQuantized _),
     "multimodal_decode" -> (QueriesExt.multimodalDecode _)
   )
 

@@ -344,6 +344,14 @@ object QueriesExt {
       .union(Similarity.allPairsCosineExact(e, "vec_id", "embedding", numQueries = 10))
       .distinct()
 
+  def embedKnnQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.quantizedKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  def embedKnnQuantizedVerified(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnQuantized(s, dir), emb(s, dir))
+
   def embedKnnLshVerified(s: SparkSession, dir: String): DataFrame =
     knnVerified(embedKnnLsh(s, dir), emb(s, dir))
 

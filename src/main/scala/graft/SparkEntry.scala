@@ -112,10 +112,12 @@ object SparkEntry {
     "embed_knn_brute"       -> (QueriesExt.embedKnnBrute _),
     "embed_knn_lsh"         -> (QueriesExt.embedKnnLsh _),
     "embed_knn_ivf"         -> (QueriesExt.embedKnnIvf _),
+    "embed_knn_quantized"   -> (QueriesExt.embedKnnQuantized _),
     // ANN verification companions: union with the exact all-pairs
     // cosine table must equal that table
     "embed_knn_lsh_verified" -> (QueriesExt.embedKnnLshVerified _),
     "embed_knn_ivf_verified" -> (QueriesExt.embedKnnIvfVerified _),
+    "embed_knn_quantized_verified" -> (QueriesExt.embedKnnQuantizedVerified _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // multimodal binary plumbing (stubbed decode, frame sampling)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
@@ -140,6 +142,7 @@ object SparkEntry {
     "dedup_simhash_verified"     -> QueriesExt.dedupSimhashVerifiedSql,
     "embed_knn_lsh_verified"     -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivf_verified"     -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_quantized_verified" -> QueriesExt.embedKnnVerifiedSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,

@@ -418,4 +418,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** Two-stage quantized retrieval: stage 1 ranks the WHOLE corpus
+    * against each query on int8 codes ([[Quantize.int8]]) — the scan
+    * streams 4x fewer bytes than float32 brute force and the dot
+    * product is exact integer arithmetic — keeping a per-query
+    * `shortlist` via a bounded window heap; stage 2 rescores ONLY the
+    * shortlisted pairs with the exact float cosine and keeps top-k.
+    *
+    * The per-vector scales cancel out of the code-space cosine
+    * (q_i ~ v_i * 127/s), so stage-1 ranking needs no float metadata
+    * at all. Like [[lshKnn]], the query side broadcasts and the corpus
+    * never shuffles; unlike it, stage 1 is exhaustive — recall is
+    * bounded by quantization error alone (no bucketing misses), the
+    * trade being a full (cheap, int8) corpus pass per query batch.
+    */
+  def quantizedKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int = 32
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cz = Quantize.int8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("q").as("cq"))
+    val qz = Quantize.int8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("q").as("qq"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    // code-space cosine for RANKING only; null codes (null embedding)
+    // and zero norms (cosine undefined — and an unguarded 0/0 throws
+    // under ANSI) drop to null and are filtered, mirroring knnBrute's
+    // null-cosine contract
+    val denom = sqrt(idot(col("qq"), col("qq")).cast("double")) *
+      sqrt(idot(col("cq"), col("cq")).cast("double"))
+    val approx = when(denom === 0.0, lit(null))
+      .otherwise(idot(col("qq"), col("cq")).cast("double") / denom)
+    val cand = cz
+      .join(broadcast(qz), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", approx)
+      .filter(col("approx").isNotNull)
+      .withColumn("arank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // stage 2: exact rescoring of the shortlist only. The candidate
+    // set (|queries| x shortlist rows, query vectors attached) is the
+    // broadcast side BOTH times — the corpus streams through its scan
+    // and never shuffles or collects (the lshKnn build-side lesson)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    cv
+      .join(broadcast(cand.join(broadcast(qv), Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .filter(col("cosine").isNotNull)
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
 }

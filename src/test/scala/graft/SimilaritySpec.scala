@@ -170,6 +170,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizedKnn matches brute top-k on separated vectors; nulls and zeros harden") {
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 30L).map(i => i -> vec(i.toInt)) ++
+        Seq(30L -> null.asInstanceOf[Array[Float]],
+          31L -> Array.fill(dim)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3 || col("vec_id") >= 30L)
+    val qk = Similarity.quantizedKnn(df, queries, "vec_id", "embedding", k = 3, shortlist = 12)
+    val out = qk.collect()
+    assert(!out.exists(r => r.getLong(1) == 30L || r.getLong(1) == 31L),
+      "null/zero corpus rows surfaced as neighbors")
+    assert(!out.exists(r => r.getLong(0) == 30L || r.getLong(0) == 31L),
+      "null/zero queries returned results")
+    assert(out.forall(!_.isNullAt(3)), "null cosine leaked into ranks")
+    // rescoring is exact: on these well-separated vectors the top-k
+    // equals brute force, cosine to the double
+    val brute = Similarity.knnBrute(
+        df.filter(col("vec_id") < 30L), queries.filter(col("vec_id") < 3), "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val quant = out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(quant == brute, s"diff: ${(quant diff brute) ++ (brute diff quant)}")
+  }
+
+  test("quantizedKnn stage-1 shortlist is a pre-shuffle bounded heap (WindowGroupLimit)") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i =>
+      i -> Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat)).toDF("vec_id", "embedding")
+    val plan = Similarity.quantizedKnn(df, df.filter(col("vec_id") < 2), "vec_id", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the |C|x|Q| stage-1 score stream must be heap-limited before its exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("lshBucket yields NULL for null embeddings (row drops out of the join)") {
     val s = spark
     import s.implicits._
