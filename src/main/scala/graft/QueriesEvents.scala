@@ -594,10 +594,13 @@ object QueriesEvents {
     * exchange (Scd2Spec pins it); extends the reference's Type-1
     * populate family to the "what was the value THEN" shape. */
   def dimScd2History(s: SparkSession, dir: String): DataFrame = {
+    // a non-matching props row extracts '' — null the band instead of
+    // letting the ANSI cast throw (mirrored with NULLIF in the oracle)
+    val raw = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
     val log = events(s, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"),
-        (regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") % 4).as("band"))
+        (when(raw === "", lit(null)).otherwise(raw).cast("int") % 4).as("band"))
     operators.Scd2.history(log, "user_id", "ts", "event_id", Seq("band"))
       .select(col("user_id"), col("event_id"), col("band"),
         col("valid_from_us"), col("valid_to_us"), col("version"), col("is_current"))
@@ -606,7 +609,7 @@ object QueriesEvents {
   lazy val dimScd2HistorySql: String =
     s"""WITH log AS (
        |  SELECT user_id, ts, event_id,
-       |         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 4 AS band
+       |         CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS INTEGER) % 4 AS band
        |  FROM events WHERE event_type = 'click'
        |), f AS (
        |  SELECT user_id, ts, event_id, band,
@@ -782,15 +785,14 @@ object QueriesEvents {
       graft.functions.ZOrder.zValue(col("user_id"), dayId).as("zval"))
   }
 
-  lazy val eventsZorderSql: String = {
-    val z = graft.functions.ZOrder.zValueSql(
-      "user_id", "CAST(floor(epoch(ts)/86400) AS BIGINT)")
-    s"""SELECT event_id, user_id,
-       |       CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_id,
-       |       $z AS zval
-       |FROM events
-       |""".stripMargin
-  }
+  lazy val eventsZorderSql: String =
+    graft.functions.ZOrder.zValueQuerySql(
+      fromSql =
+        """(SELECT event_id, user_id,
+          |        CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_id
+          | FROM events)""".stripMargin,
+      keepCols = Seq("event_id", "user_id", "day_id"),
+      a = "user_id", b = "day_id") + "\n"
 
   // ================================================================ conversion lag
   /** Daily view->purchase conversion: per (user, day), the first view

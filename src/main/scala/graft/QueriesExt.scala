@@ -922,12 +922,14 @@ object QueriesExt {
     operators.Profile.profile(docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
 
   lazy val tableProfileSql: String = {
+    // min/max are TYPED (numeric extremes, not lexicographic), cast to
+    // string after aggregation — mirroring Profile.profile
     def one(c: String) =
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
          |       CAST(count($c) AS BIGINT) AS n_nonnull,
          |       CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
-         |       min(CAST($c AS VARCHAR)) AS min_val,
-         |       max(CAST($c AS VARCHAR)) AS max_val
+         |       CAST(min($c) AS VARCHAR) AS min_val,
+         |       CAST(max($c) AS VARCHAR) AS max_val
          |FROM documents""".stripMargin
     Seq("doc_id", "lang", "source", "n_chars").map(one).mkString("", "\nUNION ALL\n", "\n")
   }

@@ -43,20 +43,38 @@ object ZOrder {
     x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** The same spread chain as DuckDB SQL (decimal constants), for
-    * oracle mirroring. */
-  def spreadSql(expr: String): String = {
+  /** The same interleave as a DuckDB QUERY (decimal constants), for
+    * oracle mirroring: each spread step binds to an alias in a nested
+    * subquery, so every input expression appears exactly once per step
+    * — the inline-expression form doubles the text per fold step (32
+    * copies of each coordinate by step five) and grows exponentially
+    * with curve width. `fromSql` supplies the source relation (a table
+    * name or parenthesized subquery) exposing `keepCols`, `a` and `b`;
+    * the result adds a `zval` column. */
+  def zValueQuerySql(fromSql: String, keepCols: Seq[String], a: String, b: String): String = {
+    val keep  = keepCols.mkString(", ")
     val masks = Seq(
       16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
       4  -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
       1  -> 0x5555555555555555L)
-    masks.foldLeft(s"(CAST($expr AS BIGINT) & 4294967295)") {
-      case (x, (shift, mask)) => s"(($x | ($x << $shift)) & $mask)"
+    val seed =
+      s"""SELECT $keep,
+         |       (CAST($a AS BIGINT) & 4294967295) AS xa,
+         |       (CAST($b AS BIGINT) & 4294967295) AS xb
+         |FROM $fromSql""".stripMargin
+    val spread = masks.foldLeft(seed) { case (inner, (shift, mask)) =>
+      s"""SELECT $keep,
+         |       ((xa | (xa << $shift)) & $mask) AS xa,
+         |       ((xb | (xb << $shift)) & $mask) AS xb
+         |FROM (
+         |$inner
+         |)""".stripMargin
     }
+    s"""SELECT $keep, (xa | (xb << 1)) AS zval
+       |FROM (
+       |$spread
+       |)""".stripMargin
   }
-
-  def zValueSql(a: String, b: String): String =
-    s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
 
   /** Lay `df` out on the z-curve of (aCol, bCol): range-partition on
     * the Morton key into `numPartitions` output files, sorted within

@@ -70,6 +70,10 @@ object Intervals {
 
   private def floorDiv(c: org.apache.spark.sql.Column, d: Long) =
     // floor semantics for negative epochs too (pre-1970 timestamps):
-    // SQL integer division truncates toward zero
-    ((c - pmod(c, lit(d))) / d).cast("long")
+    // pmod makes the numerator the exact floor multiple, and INTEGRAL
+    // `div` keeps the quotient exact at any magnitude — Spark's `/` on
+    // longs is DOUBLE division, which silently rounds above 2^53 and
+    // would drop a point into the wrong bin (losing a true match, not
+    // erroring) for epoch-nanos-scale inputs
+    call_function("div", c - pmod(c, lit(d)), lit(d))
 }

@@ -7,23 +7,28 @@ import org.apache.spark.sql.functions._
   * the data-quality primitive behind "did this load look sane"
   * dashboards and schema-drift alerts over warehouse tables.
   *
-  * Scale design: the table is MELTED to (column, value-as-string)
-  * pairs in a scan-local projection, then one grouped aggregation
-  * computes every statistic. This deliberately avoids the
-  * N-aggregate alternative (`agg(countDistinct(a), countDistinct(b),
-  * ...)`), which Catalyst plans as an Expand of N copies of every row
-  * feeding N distinct aggregates — the melt does the same data
-  * multiplication but through ONE uniform shuffle keyed by
-  * (column, value), where partial map-side aggregation collapses
-  * repeated values before the exchange. Distinct counting is exact
-  * (two-phase hash aggregate); swap in approx_count_distinct upstream
-  * if a 2% error is acceptable at extreme cardinalities.
+  * Scale design, two scans:
+  * - counts/distincts: the table is MELTED to (column,
+  *   value-as-string) pairs in a scan-local projection feeding one
+  *   grouped aggregation. This deliberately avoids the N-countDistinct
+  *   alternative, which Catalyst plans as an Expand of N copies of
+  *   every row feeding N distinct aggregates — the melt does the same
+  *   data multiplication but through ONE uniform shuffle keyed by
+  *   (column, value), where map-side partial aggregation collapses
+  *   repeated values before the exchange. Distinct counting is exact;
+  *   swap in approx_count_distinct upstream if ~2% error is acceptable
+  *   at extreme cardinalities.
+  * - min/max: one single-row wide aggregation over the TYPED columns
+  *   (numeric columns get numeric extremes, not lexicographic ones —
+  *   min of {9, 10, 100} is 9, never "10"), cast to string AFTER
+  *   aggregating for the uniform output schema. Plain min/max need no
+  *   Expand, so one pass computes all 2N.
   *
-  * Values are compared as their string forms (UTF-8 byte order in
-  * both Spark and ANSI engines — identical for min/max). Floating
-  * columns round-trip through engine-specific formatting
-  * (`1.0E7` vs `10000000.0`): profile integral/string/date columns
-  * for cross-engine-reproducible output, or pre-cast.
+  * Distinct counting keys on the STRING form (engine-independent for
+  * integral/string/date columns). Floating columns round-trip through
+  * engine-specific formatting (`1.0E7` vs `10000000.0`): profile
+  * integral/string/date columns for cross-engine-reproducible output,
+  * or pre-cast.
   */
 object Profile {
 
@@ -36,13 +41,23 @@ object Profile {
       struct(lit(c).as("col_name"), col(c).cast("string").as("val")).as(c)): _*)
       .select(explode(array(cols.map(col): _*)).as("cell"))
       .select(col("cell.col_name"), col("cell.val"))
-    pairs
+    val counts = pairs
       .groupBy(col("col_name"))
       .agg(
         count(lit(1)).as("n_rows"),
         count(col("val")).as("n_nonnull"),
-        countDistinct(col("val")).as("n_distinct"),
-        min(col("val")).as("min_val"),
-        max(col("val")).as("max_val"))
+        countDistinct(col("val")).as("n_distinct"))
+    // typed extremes: one wide single-row agg, unpivoted to a row per
+    // column and broadcast onto the counts (both sides are N rows)
+    val extremes = df
+      .agg(
+        min(col(cols.head)).cast("string").as(s"min_${cols.head}"),
+        cols.tail.map(c => min(col(c)).cast("string").as(s"min_$c")) ++
+          cols.map(c => max(col(c)).cast("string").as(s"max_$c")): _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))): _*)).as("m"))
+      .select(col("m.col_name"), col("m.min_val"), col("m.max_val"))
+    counts.join(broadcast(extremes), Seq("col_name"), "left")
   }
 }

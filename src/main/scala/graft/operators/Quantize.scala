@@ -25,11 +25,16 @@ object Quantize {
     }
     val maxAbs: Column =
       array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    val codes: Column = transform(col(vecCol), x =>
-      when(maxAbs === 0.0, lit(0))
-        .otherwise(round(x.cast("double") * lit(127.0) / maxAbs, 0))
-        .cast("int"))
-    emb.select(col(idCol), maxAbs.as("scale"), codes.as("q"))
+    // materialize the scale BEFORE the per-element lambda: higher-order
+    // functions are interpreted with no subexpression caching, so an
+    // inlined maxAbs would re-reduce the whole vector for EVERY element
+    // (O(d^2) per vector instead of O(d))
+    emb.select(col(idCol), maxAbs.as("scale"), col(vecCol).as("__v"))
+      .select(col(idCol), col("scale"),
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x.cast("double") * lit(127.0) / col("scale"), 0))
+            .cast("int")).as("q"))
   }
 
   /** Reconstruct approximate double vectors from [[int8]] output. */

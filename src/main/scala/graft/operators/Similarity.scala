@@ -439,19 +439,23 @@ object Similarity {
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val cz = Quantize.int8(corpus, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("q").as("cq"))
-    val qz = Quantize.int8(queries, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col("q").as("qq"))
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
         lit(0L), (acc, v) => acc + v)
+    // norms are per-ROW constants: compute them once per vector before
+    // the join, not per candidate pair (inlined, each |C|x|Q| pair
+    // would re-reduce both vectors — ~5x the stage-1 arithmetic)
+    val cz = Quantize.int8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("q").as("cq"))
+      .withColumn("cn", sqrt(idot(col("cq"), col("cq")).cast("double")))
+    val qz = Quantize.int8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("q").as("qq"))
+      .withColumn("qn", sqrt(idot(col("qq"), col("qq")).cast("double")))
     // code-space cosine for RANKING only; null codes (null embedding)
     // and zero norms (cosine undefined — and an unguarded 0/0 throws
     // under ANSI) drop to null and are filtered, mirroring knnBrute's
     // null-cosine contract
-    val denom = sqrt(idot(col("qq"), col("qq")).cast("double")) *
-      sqrt(idot(col("cq"), col("cq")).cast("double"))
+    val denom = col("qn") * col("cn")
     val approx = when(denom === 0.0, lit(null))
       .otherwise(idot(col("qq"), col("cq")).cast("double") / denom)
     val cand = cz

@@ -21,6 +21,15 @@ class ProfileSpec extends SparkSpec {
     assert(got("s") == ("s", 4L, 3L, 2L, Some("x"), Some("y")))
   }
 
+  test("numeric extremes are NUMERIC, not lexicographic") {
+    val d = Seq(9L, 10L, 100L).toDF("n")
+    val got = Profile.profile(d, Seq("n"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().head
+    // a lexicographic min/max would report ("10", "9")
+    assert(got._5 == Some("9") && got._6 == Some("100"), got.toString)
+  }
+
   test("an all-null column profiles to zero distinct and null extremes") {
     val d = Seq[(Long, Option[String])]((1L, None), (2L, None)).toDF("id", "s")
     val got = Profile.profile(d, Seq("s"))
@@ -38,12 +47,17 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
-  test("plans ONE shuffle pair (melt feeds a two-phase distinct agg), no Expand-per-column") {
-    val plan = Profile.profile(fixture, Seq("id", "s"))
+  test("no Expand-per-column; exchange count is column-count-independent") {
+    // counts ride the uniform melt shuffle, typed min/max ride one
+    // single-row wide agg — the N-countDistinct alternative plans an
+    // Expand of N row copies
+    val plan2 = Profile.profile(fixture, Seq("id", "s"))
       .queryExecution.executedPlan.toString
-    // two-phase exact distinct = 2 exchanges regardless of column
-    // count; the N-countDistinct alternative plans an Expand
-    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
-    assert(!plan.contains("Expand"), plan)
+    assert(!plan2.contains("Expand"), plan2)
+    val wide = fixture.withColumn("t", $"s").withColumn("u", $"s")
+    val plan4 = Profile.profile(wide, Seq("id", "s", "t", "u"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan4).size == "Exchange".r.findAllIn(plan2).size,
+      s"exchanges must not grow with profiled columns:\n$plan4")
   }
 }
