@@ -39,6 +39,7 @@ object Bench {
     "events_interval_join"      -> (QueriesEvents.eventsIntervalJoin _),
     "events_conversion"         -> (QueriesEvents.eventsConversion _),
     "dim_scd2_history"          -> (QueriesEvents.dimScd2History _),
+    "dim_scd2_incremental"      -> (QueriesEvents.dimScd2Incremental _),
     "events_zorder"             -> (QueriesEvents.eventsZorder _),
     "events_props_typed"        -> (QueriesEvents.eventsPropsTyped _),
     "events_histogram"          -> (QueriesEvents.eventsHistogram _),

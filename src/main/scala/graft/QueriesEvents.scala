@@ -630,6 +630,30 @@ object QueriesEvents {
        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
        |""".stripMargin
 
+  // ================================================================ SCD2 incremental merge
+  /** Incremental SCD2 maintenance gated against the FULL-history
+    * oracle: history built from the first 20 days of clicks, then the
+    * remaining days merged in ([[operators.Scd2.merge]] — untouched
+    * keys pass through a left-anti, only keys with new changes
+    * re-derive). The global time split keeps per-key arrival order, so
+    * the merged result must hash-match the one-shot rebuild — the same
+    * incremental-equals-full contract `dim_populate_incremental` pins
+    * for Type-1 populates. */
+  def dimScd2Incremental(s: SparkSession, dir: String): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+    val log = events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (when(raw === "", lit(null)).otherwise(raw).cast("int") % 4).as("band"))
+    val split = lit("2024-01-21 00:00:00").cast("timestamp")
+    val base = operators.Scd2.history(
+      log.filter(col("ts") < split), "user_id", "ts", "event_id", Seq("band"))
+    operators.Scd2.merge(
+      base, log.filter(col("ts") >= split), "user_id", "ts", "event_id", Seq("band"))
+      .select(col("user_id"), col("event_id"), col("band"),
+        col("valid_from_us"), col("valid_to_us"), col("version"), col("is_current"))
+  }
+
   // ================================================================ interval (range) join
   /** Point-in-interval join: purchases matched into the same user's
     * 1-day-gap CLICK sessions (which purchase happened during an

@@ -79,6 +79,9 @@ object SparkEntry {
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
     "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
+    // incremental merge must reproduce the one-shot rebuild (checked
+    // against the SAME full-history oracle)
+    "dim_scd2_incremental" -> (QueriesEvents.dimScd2Incremental _),
     // product analytics over events: funnel, retention, percentiles, pivot
     "events_funnel"      -> (QueriesEvents.eventsFunnel _),
     "events_retention"   -> (QueriesEvents.eventsRetention _),
@@ -174,6 +177,7 @@ object SparkEntry {
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
+    "dim_scd2_incremental"      -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
     "events_retention"          -> QueriesEvents.eventsRetentionSql,
     "events_percentiles"        -> QueriesEvents.eventsPercentilesSql,

@@ -74,4 +74,41 @@ object Scd2 {
     history.filter(
       col("valid_from_us") <= asOfUs &&
         (col("valid_to_us").isNull || col("valid_to_us") > asOfUs))
+
+  /** Incremental maintenance: fold a batch of new change rows into an
+    * existing [[history]] without rebuilding untouched keys. Keys
+    * absent from `changes` pass through verbatim (a left-anti join —
+    * at 100 TB the overwhelming majority of the dimension); only the
+    * affected keys' histories are re-derived, from their EXISTING
+    * version rows (each version row IS a change record at its
+    * valid_from — history keeps the original ts/tie/attr columns)
+    * unioned with the new changes.
+    *
+    * For arrivals at-or-after each key's last raw change (the normal
+    * incremental feed), rebuilding from the COMPRESSED old log equals
+    * the full raw rebuild: compression only drops rows equal to their
+    * predecessor, and nothing downstream of the drop changes (Scd2Spec
+    * pins merge == full rebuild across random in-order splits). A LATE
+    * row landing between existing changes is attributed against the
+    * COMPACTED history — a re-statement that compression already
+    * dropped cannot re-split an interval, because the compacted table
+    * is all a warehouse merge ever has (same contract as Delta-style
+    * SCD2 MERGE; the deterministic late-arrival behavior is
+    * spec-pinned too).
+    */
+  def merge(
+      history: DataFrame, changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCols: Seq[String]
+  ): DataFrame = {
+    val derived = Seq("valid_from_us", "valid_to_us", "version", "is_current")
+    val affectedKeys = changes.select(col(keyCol)).distinct()
+    val untouched = history.join(affectedKeys, Seq(keyCol), "left_anti")
+    val oldLog = history.join(affectedKeys, Seq(keyCol), "left_semi")
+      .drop(derived: _*)
+    val logCols = oldLog.columns.map(col)
+    val rebuilt = this.history(
+      oldLog.unionByName(changes.select(logCols: _*)),
+      keyCol, tsCol, tieCol, attrCols)
+    untouched.unionByName(rebuilt)
+  }
 }

@@ -82,6 +82,44 @@ class Scd2Spec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("merge equals full rebuild across random in-order splits") {
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 120).map { i =>
+      (rnd.nextInt(6).toLong, ts(f"2024-01-${1 + i % 28}%02d ${i % 24}%02d:00:00"),
+        i.toLong, Integer.valueOf(rnd.nextInt(3)))
+    }
+    val all = rows.toDF("key", "ts", "tie", "attr")
+    val full = Scd2.history(all, "key", "ts", "tie", Seq("attr"))
+      .select($"key", $"tie", $"attr", $"valid_from_us", $"valid_to_us", $"version", $"is_current")
+    for (day <- Seq(8, 15, 22)) {
+      val split = ts(f"2024-01-$day%02d 00:00:00")
+      val base = Scd2.history(all.filter($"ts" < split), "key", "ts", "tie", Seq("attr"))
+      val merged = Scd2.merge(base, all.filter($"ts" >= split), "key", "ts", "tie", Seq("attr"))
+        .select($"key", $"tie", $"attr", $"valid_from_us", $"valid_to_us", $"version", $"is_current")
+      assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
+        s"split at day $day diverges from the one-shot rebuild")
+    }
+  }
+
+  test("merge: untouched keys pass through; late rows attribute against the compacted log") {
+    val base = Scd2.history(log(
+      (1L, "2024-01-01 00:00:00", 1L, 10),
+      (1L, "2024-01-05 00:00:00", 2L, 20),
+      (2L, "2024-01-02 00:00:00", 3L, 7)), "key", "ts", "tie", Seq("attr"))
+    // a LATE change for key 1 landing between the existing versions;
+    // key 2 receives nothing and must pass through bit-identically
+    val merged = Scd2.merge(base, log((1L, "2024-01-03 00:00:00", 4L, 10)),
+      "key", "ts", "tie", Seq("attr"))
+    val k1 = merged.filter($"key" === 1L)
+      .select($"version", $"attr", $"is_current").as[(Int, Int, Boolean)]
+      .collect().sortBy(_._1)
+    // 10(t1) -> 10(t3, compressed away) -> 20(t5): two versions
+    assert(k1.toSeq == Seq((1, 10, false), (2, 20, true)), k1.toSeq.toString)
+    val k2 = merged.filter($"key" === 2L)
+      .select($"version", $"attr", $"is_current").as[(Int, Int, Boolean)].collect()
+    assert(k2.toSeq == Seq((1, 7, true)))
+  }
+
   test("history rejects inputs whose columns its output would overwrite") {
     val bad = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 1, true))
       .toDF("key", "ts", "tie", "attr", "is_current")
