@@ -29,6 +29,8 @@ object Bench {
     "text_stats"                -> (QueriesExt.textStats _),
     "text_chunks"               -> (QueriesExt.textChunks _),
     "decon_ngram_overlap"       -> (QueriesExt.deconNgramOverlap _),
+    "decon_bloom_clean"         -> (QueriesExt.deconBloomClean _),
+    "text_heavy_hitters"        -> (QueriesExt.textHeavyHitters _),
     "events_sessionize"         -> (QueriesEvents.eventsSessionize _),
     "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance"     -> (QueriesEvents.eventsAsofTolerance _),

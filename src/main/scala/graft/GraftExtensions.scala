@@ -2,22 +2,47 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.CosineSimilarity
 
 /** Session extensions: registers the engine's native Catalyst
   * expressions. Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  *
+  * Besides the engine's own [[graft.functions.CosineSimilarity]], this
+  * surfaces Spark's internal bloom-filter pair (the codegen'd
+  * expressions behind runtime row-level filtering) as callable
+  * functions: `bloom_filter_build(xxhash64(v), estItems, numBits)` →
+  * binary, and `bloom_filter_contains(filterBinary, xxhash64(v))` →
+  * boolean. The filter argument of `bloom_filter_contains` must be
+  * foldable (a literal), which is exactly how
+  * [[graft.operators.Decontaminate]] uses it: build distributed,
+  * collect the one serialized filter row, embed as a literal.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(CosineSimilarity.FUNC_NAME),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.FUNC_NAME),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, s"${CosineSimilarity.FUNC_NAME} takes 2 arguments")
         CosineSimilarity(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_build"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_build"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "bloom_filter_build takes (hash, estItems, numBits)")
+        new BloomFilterAggregate(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_filter_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bloom_filter_contains takes (filter, hash)")
+        BloomFilterMightContain(children(0), children(1))
       }))
   }
 }

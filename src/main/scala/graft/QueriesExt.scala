@@ -786,6 +786,51 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  /** The SAME survivor corpus computed through the bloom-filter
+    * shortlist ([[operators.Decontaminate.bloomClean]]) and gated
+    * against the SAME exact oracle: blooms have no false negatives and
+    * the exact-verify join removes false positives, so the outputs are
+    * identical — but the full-corpus pass here is a pure scan with a
+    * codegen'd `bloom_filter_contains` predicate (no join, no shuffle
+    * of the n-gram stream), the shape that survives a bench n-gram set
+    * too large to broadcast. */
+  def deconBloomClean(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    operators.Decontaminate.bloomClean(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3, fpp = 0.03)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  // ================================================================ heavy hitters
+  /** Exact heavy-hitter tokens (frequency > 1/200 of the corpus token
+    * stream) via the two-pass Misra-Gries construction
+    * ([[operators.HeavyHitters]]): candidates from a k=200-counter
+    * mergeable sketch (bounded memory at any cardinality), exact
+    * recount with a scan-local IN-set (no join). The threshold compare
+    * is integer-exact (`cnt * 200 > total`), so the gate hash-matches
+    * the plain GROUP BY / HAVING oracle. */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    operators.HeavyHitters.exact(toks, "token", denom = 200)
+      .withColumnRenamed("value", "token")
+  }
+
+  lazy val textHeavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT t.token
+       |  FROM (SELECT string_split($normSql, ' ') AS w FROM documents),
+       |       unnest(w) AS t(token)
+       |  WHERE t.token <> ''
+       |), tot AS (SELECT count(*) AS n FROM toks)
+       |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |FROM toks, tot
+       |GROUP BY token, n
+       |HAVING count(*) * 200 > n
+       |""".stripMargin
+
   // ================================================================ tf-idf terms
   /** Top-5 characteristic terms per document: ranked by (tf desc,
     * df asc, token) — integer-exact keys, so the ranking is

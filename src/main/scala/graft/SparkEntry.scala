@@ -62,6 +62,11 @@ object SparkEntry {
     // benchmark decontamination: n-gram overlap + clean survivor corpus
     "decon_ngram_overlap" -> (QueriesExt.deconNgramOverlap _),
     "decon_clean"         -> (QueriesExt.deconClean _),
+    // bloom-shortlist path must reproduce the exact survivor set
+    // (checked against the SAME exact oracle)
+    "decon_bloom_clean"   -> (QueriesExt.deconBloomClean _),
+    // exact heavy hitters through the Misra-Gries two-pass
+    "text_heavy_hitters"  -> (QueriesExt.textHeavyHitters _),
     // event streams: gap sessionization + as-of attribution join
     "events_sessionize" -> (QueriesEvents.eventsSessionize _),
     "events_asof_join"  -> (QueriesEvents.eventsAsofJoin _),
@@ -163,6 +168,8 @@ object SparkEntry {
     "table_profile"             -> QueriesExt.tableProfileSql,
     "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,
     "decon_clean"               -> QueriesExt.deconCleanSql,
+    "decon_bloom_clean"         -> QueriesExt.deconCleanSql,
+    "text_heavy_hitters"        -> QueriesExt.textHeavyHittersSql,
     "events_sessionize"         -> QueriesEvents.eventsSessionizeSql,
     "events_asof_join"          -> QueriesEvents.eventsAsofJoinSql,
     "events_asof_tolerance"     -> QueriesEvents.eventsAsofToleranceSql,

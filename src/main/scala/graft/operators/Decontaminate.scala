@@ -56,4 +56,69 @@ object Decontaminate {
       .select(col(idCol))
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Spark's runtime-filter default cap (8 MiB of bits): above this the
+    * filter stops being a cheap broadcast, and fpp degrades instead. */
+  private val MaxNumBits = 1L << 26
+
+  /** EXACT overlap counts via a bloom-filter shortlist — same result as
+    * [[overlap]], different scale regime. [[overlap]] broadcasts the
+    * bench n-gram SET; at a few hundred million bench n-grams that
+    * broadcast is GBs. A bloom filter at `fpp` is ~1.2 bytes/item at 1%
+    * — 10-20× smaller — and turns the full-corpus pass into a pure
+    * scan: explode train n-grams, apply the codegen'd
+    * `bloom_filter_contains` PREDICATE (no join, no shuffle, no build
+    * relation touches the full n-gram stream). Only the flagged residue
+    * (true contamination + fpp of the stream) enters the exact-verify
+    * join that removes false positives, so the result is exactly
+    * [[overlap]]'s: blooms have no false negatives, and the verify join
+    * re-checks every flagged n-gram against the real set.
+    *
+    * Build is distributed (partial filters OR-merged map-side via
+    * Spark's `BloomFilterAggregate`); only the final serialized filter
+    * — `numBits/8` bytes, driver-bounded by [[MaxNumBits]] — is
+    * collected, then embedded as a foldable literal (the same
+    * shape Spark's own runtime row-level filtering produces). */
+  def bloomOverlap(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, fpp: Double = 0.01, broadcastVerify: Boolean = true
+  ): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val benchNg = Dedup.shinglesLocal(bench, idCol, textCol, n).select(col("ng"))
+    // sizing scan: row count upper-bounds the distinct count, so the
+    // realized fpp is at most the requested one (bench is small by
+    // construction — eval suites, not corpora)
+    val nItems = benchNg.count()
+    if (nItems == 0)
+      return train.select(col(idCol)).limit(0).withColumn("n_shared", lit(0L))
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp), MaxNumBits)
+    val filterBytes = benchNg
+      .agg(call_function("bloom_filter_build",
+        xxhash64(col("ng")), lit(nItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val trainNg = Dedup.shinglesLocal(train, idCol, textCol, n)
+    val flagged = trainNg.filter(
+      call_function("bloom_filter_contains", lit(filterBytes), xxhash64(col("ng"))))
+    val benchSet = benchNg.distinct()
+    val verify = if (broadcastVerify) broadcast(benchSet) else benchSet
+    flagged
+      .join(verify, "ng")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[clean]] computed through the bloom shortlist — identical output
+    * (the gate checks it against the same exact oracle), scan-shaped
+    * over the corpus. */
+  def bloomClean(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxShared: Long = 1, fpp: Double = 0.01,
+      broadcastVerify: Boolean = true
+  ): DataFrame = {
+    val contaminated = bloomOverlap(train, bench, idCol, textCol, n, fpp, broadcastVerify)
+      .filter(col("n_shared") >= maxShared)
+      .select(col(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -103,6 +103,60 @@ class TextPipelineSpec extends SparkSpec {
       s"final agg), got $exchanges:\n$plan")
   }
 
+  test("bloom decontamination == exact decontamination (no false negatives survive)") {
+    val bench = Seq((100L, "x y z w")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "p q x y z w r"),
+      (2L, "x y q z w p"),
+      (3L, "x y z"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val exact = Decontaminate.overlap(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Decontaminate.bloomOverlap(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact && exact == Map(1L -> 2L, 3L -> 1L))
+    val cleanExact = Decontaminate.clean(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val cleanBloom = Decontaminate.bloomClean(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanBloom == cleanExact && cleanExact == Set(2L, 4L, 5L))
+    // corpus-scale agreement on real data (both paths, full result)
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val tr = docs.filter(col("doc_id") % 97 =!= 0)
+    val be = docs.filter(col("doc_id") % 97 === 0)
+    val a = Decontaminate.overlap(tr, be, "doc_id", "text", n = 3)
+    val b = Decontaminate.bloomOverlap(tr, be, "doc_id", "text", n = 3, fpp = 0.03)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("bloom pass is scan-shaped: the corpus n-gram stream meets a predicate, not a join") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val plan = Decontaminate.bloomOverlap(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3).queryExecution.executedPlan.toString
+    // the filter predicate is the codegen'd bloom probe...
+    assert(plan.contains("might_contain"), s"bloom predicate missing from plan:\n$plan")
+    // ...and the only join in the plan is the exact-verify of the
+    // (tiny) flagged residue — the full stream itself is never joined
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1,
+      s"expected exactly the verify join:\n$plan")
+    // filter must sit BELOW the join: the join's streamed side plans a
+    // Filter containing the bloom probe
+    val joinIdx  = plan.indexOf("BroadcastHashJoin")
+    val probeIdx = plan.indexOf("might_contain")
+    assert(probeIdx > joinIdx, s"bloom probe must be under the verify join:\n$plan")
+  }
+
+  test("bloom decontamination: empty bench set contaminates nothing") {
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontaminate.bloomOverlap(train, bench, "doc_id", "text", n = 3).isEmpty)
+    assert(Decontaminate.bloomClean(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("shinglesLocal == shingles (set semantics, no exchange)") {
     val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
     val local  = graft.operators.Dedup.shinglesLocal(docs, "doc_id", "text", 3)
