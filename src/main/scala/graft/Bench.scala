@@ -76,6 +76,29 @@ object Bench {
     "multimodal_decode" -> (QueriesExt.multimodalDecode _)
   )
 
+  /** Cumulative CPU time of THIS JVM across all threads, seconds.
+    * Under external machine load, wall-clock inflates while process CPU
+    * stays put — emitting both makes the bench self-adjudicating: a
+    * wall regression with flat cpu_s is contention, not a plan change.
+    */
+  private def processCpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+
+  /** 1/5/15-min machine load at a point in time (whole machine, not
+    * just this JVM) — the other half of the adjudication signal.
+    */
+  private def loadavg: String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+      finally src.close()
+    } catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -106,21 +129,33 @@ object Bench {
     def run(fn: (SparkSession, String) => DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    val loadStart = loadavg
+    val cpuStart  = processCpuSec
+
+    // per query: (wall median-of-3, wall min-of-3, cpu_s of the median
+    // run). min is far more contention-robust than median; cpu_s is
+    // load-invariant. All three go into the JSON line.
+    case class Timing(wallMed: Double, wallMin: Double, cpuMed: Double)
+    val failed = Timing(-1.0, -1.0, -1.0)
+
     val results = headline.map { case (name, fn) =>
       try {
         run(fn) // untimed warm pass: codegen + JIT compile
         // median of 3 timed runs (BASELINE.md protocol) — single-shot
         // numbers at this scale swing +/-30% on JIT/GC noise
-        val times = (1 to 3).map { _ =>
+        val runs = (1 to 3).map { _ =>
+          val c0 = processCpuSec
           val t0 = System.nanoTime()
           run(fn)
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> times(1)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu  = if (c0 < 0) -1.0 else processCpuSec - c0
+          (wall, cpu)
+        }.sortBy(_._1)
+        name -> Timing(runs(1)._1, runs(0)._1, runs(1)._2)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          name -> failed
       }
     }
     // Bucketed-mode integrity diagnostic: the whole point of
@@ -143,14 +178,28 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] plan diagnostic failed: ${e.getMessage}")
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val loadEnd   = loadavg
+    val cpuTotal  = if (cpuStart < 0) -1.0 else processCpuSec - cpuStart
+
+    def jmap(f: Timing => Double): String = results
+      .map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
       .mkString("{", ",", "}")
-    // failed queries carry a -1.0 sentinel in the per-query map but must
-    // not subtract from the headline total
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // failed queries carry a -1.0 sentinel in the per-query maps but
+    // must not subtract from the headline totals
+    def jtotal(f: Timing => Double): Double =
+      results.map(t => f(t._2)).filter(_ >= 0).sum
+    val total = jtotal(_.wallMed)
+    // `queries` stays median-wall (the driver's contract shape);
+    // `queries_min`/`queries_cpu_s` + loadavg make the line
+    // self-adjudicating against bench-machine load (VERDICT r5 #1)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+        f""""total_min":${jtotal(_.wallMin)}%.3f,"cpu_total_s":$cpuTotal%.3f,""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""queries":${jmap(_.wallMed)},""" +
+        s""""queries_min":${jmap(_.wallMin)},""" +
+        s""""queries_cpu_s":${jmap(_.cpuMed)},""" +
+        s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   *
   *  1. a single aggregation runs a mergeable Misra-Gries summary with
   *     `k = denom` counters (map-side partials merge like any other
-  *     aggregate; each buffer holds ≤ k entries, so executor memory is
+  *     aggregate; each buffer holds ≤ 2k entries, so executor memory is
   *     bounded by k, not by the value cardinality);
-  *  2. the ≤ k surviving CANDIDATES — provably a superset of every
+  *  2. the ≤ 2k surviving CANDIDATES — provably a superset of every
   *     true heavy hitter — are recounted exactly with a scan-local
   *     `IN`-set predicate (no join) and filtered by the exact integer
   *     threshold `cnt * denom > total`.
@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   * positive merged estimate and survives pass 1. Pass 2's exact
   * recount then removes every false candidate, so the output is exact
   * — which is why the gate can hash-match a plain `GROUP BY / HAVING`
-  * oracle while the plan never shuffles more than k counters per task.
+  * oracle while the plan never shuffles more than O(k) counters per
+  * task.
   *
   * Contrast with the naive exact form (`groupBy(value).count()` then
   * filter): that shuffles the FULL value cardinality — fine for token
@@ -38,63 +39,135 @@ object HeavyHitters {
   private[operators] val mapEncoder: Encoder[Map[String, Long]] =
     ExpressionEncoder[Map[String, Long]]()
 
-  /** Mergeable Misra-Gries sketch over strings; buffer is the counter
-    * map, always ≤ k entries. Null inputs are skipped. */
-  final class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-    require(k > 0, s"counter count must be positive: $k")
+  /** Mutable Misra-Gries buffer: a hash map of stored counts plus a
+    * global `offset`, where an entry's true counter is
+    * `stored - offset` (dead if ≤ 0). The classic decrement-all step is
+    * O(k) per unseen arrival — on a natural token stream, where most
+    * arrivals are unseen once the sketch is full, that was hundreds of
+    * map allocations per input token (the r5 `weak` flag). Here it is
+    * amortized O(1): unseen values insert at `offset + 1` until the map
+    * reaches 2k entries, then ONE O(k log k) compaction applies the
+    * merge-rule cut (raise `offset` by the (k+1)-th largest relative
+    * count, drop entries at or below it), leaving ≤ k survivors — so a
+    * cut runs at most once per k unseen arrivals.
+    *
+    * The error bound is unchanged: each cut of size c removes
+    * ≥ (k+1)·c mass from the summary, and the summary only ever gains
+    * 1 per arrival, so the total underestimate stays ≤ N/(k+1)
+    * [Agarwal et al., "Mergeable Summaries", PODS 2012] — the same
+    * bound the immutable decrement-all form had, at ~1/k of the
+    * allocation cost.
+    */
+  final class MGBuffer(val k: Int) extends Serializable {
+    private[operators] var offset: Long = 0L
+    private[operators] val m =
+      new java.util.HashMap[String, java.lang.Long](4 * k)
 
-    override def zero: Map[String, Long] = Map.empty
-
-    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
-      if (v == null) b
-      else b.get(v) match {
-        case Some(c)              => b.updated(v, c + 1L)
-        case None if b.size < k   => b.updated(v, 1L)
-        case None                 =>
-          // classic decrement-all step: pays one unit from every
-          // counter instead of admitting v
-          b.flatMap { case (key, c) => if (c > 1L) Some(key -> (c - 1L)) else None }
-      }
-
-    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
-      val combined = b2.foldLeft(b1) { case (acc, (key, c)) =>
-        acc.updated(key, acc.getOrElse(key, 0L) + c)
-      }
-      if (combined.size <= k) combined
-      else {
-        // subtract the (k+1)-th largest count from everything and drop
-        // non-positives — the merge rule that keeps the N/(k+1) bound
-        val cut = combined.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
-        combined.flatMap { case (key, c) => if (c > cut) Some(key -> (c - cut)) else None }
+    def add(v: String): Unit = {
+      val cur = m.get(v)
+      if (cur != null) {
+        // max(..) resurrects a dead (stored ≤ offset) entry at count 1
+        m.put(v, math.max(cur.longValue(), offset) + 1L)
+      } else {
+        m.put(v, offset + 1L)
+        if (m.size > 2 * k) cutToK()
       }
     }
 
-    override def finish(b: Map[String, Long]): Map[String, Long] = b
-    override def bufferEncoder: Encoder[Map[String, Long]] = mapEncoder
+    /** Merge-rule cut over relative counts: raise `offset` by the
+      * (k+1)-th largest and evict everything at or below it; ≤ k
+      * strictly-greater entries survive. No-op when already ≤ k.
+      */
+    private[operators] def cutToK(): Unit = if (m.size > k) {
+      val rel = new Array[Long](m.size)
+      var i   = 0
+      val it  = m.values.iterator()
+      while (it.hasNext) {
+        rel(i) = math.max(it.next().longValue() - offset, 0L)
+        i += 1
+      }
+      java.util.Arrays.sort(rel)
+      offset += rel(rel.length - 1 - k)
+      val eit = m.entrySet().iterator()
+      while (eit.hasNext) if (eit.next().getValue.longValue() <= offset) eit.remove()
+    }
+
+    /** Alive entries as immutable relative counts (the finish shape). */
+    def snapshot: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      m.forEach { (key, s) =>
+        val c = s.longValue() - offset
+        if (c > 0L) b += key -> c
+      }
+      b.result()
+    }
+
+    /** Physical map size — bounded by 2k after every `add`. */
+    def physicalSize: Int = m.size
+  }
+
+  /** Mergeable Misra-Gries sketch over strings; the buffer is mutated
+    * in place (Spark's typed-imperative aggregation holds it as a JVM
+    * object between rows and only serializes at shuffle boundaries).
+    * Null inputs are skipped. */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, MGBuffer, Map[String, Long]] {
+    require(k > 0, s"counter count must be positive: $k")
+
+    override def zero: MGBuffer = new MGBuffer(k)
+
+    override def reduce(b: MGBuffer, v: String): MGBuffer = {
+      if (v != null) b.add(v)
+      b
+    }
+
+    override def merge(b1: MGBuffer, b2: MGBuffer): MGBuffer = {
+      // sum relative counts, then one cut to ≤ k — the Mergeable
+      // Summaries merge rule, unchanged from the immutable form
+      val res = new MGBuffer(k)
+      def addAll(b: MGBuffer): Unit = b.m.forEach { (key, s) =>
+        val c = s.longValue() - b.offset
+        if (c > 0L) {
+          val cur = res.m.get(key)
+          res.m.put(key, if (cur == null) c else cur.longValue() + c)
+        }
+      }
+      addAll(b1)
+      addAll(b2)
+      res.cutToK()
+      res
+    }
+
+    override def finish(b: MGBuffer): Map[String, Long] = b.snapshot
+    override def bufferEncoder: Encoder[MGBuffer]       = Encoders.kryo[MGBuffer]
     override def outputEncoder: Encoder[Map[String, Long]] = mapEncoder
   }
 
   /** All values of `valueCol` with frequency strictly greater than
     * `1/denom` of the non-null total, with their EXACT counts, as
-    * `(value, cnt)`. `denom` is both the threshold denominator and the
-    * sketch size — k = denom counters are provably enough (scaladoc
-    * above). The candidate map (≤ denom entries) is the only data the
-    * driver ever holds. */
+    * `(value string, cnt)`. `denom` is both the threshold denominator
+    * and the sketch size — k = denom counters are provably enough
+    * (scaladoc above). The value column is cast to string ONCE up
+    * front, so the sketch input, the recount group key, and the
+    * empty-result branch all agree on type (no implicit casts in the
+    * `isin` probe). The candidate map (≤ 2·denom entries) is the only
+    * data the driver ever holds. */
   def exact(df: DataFrame, valueCol: String, denom: Int): DataFrame = {
     val mg = udaf(new MisraGries(denom))
-    val nonNull = df.filter(col(valueCol).isNotNull)
+    val nonNull = df
+      .select(col(valueCol).cast("string").as("__hh_value"))
+      .filter(col("__hh_value").isNotNull)
     val row = nonNull
-      .agg(mg(col(valueCol)).as("cand"), count(lit(1)).as("n"))
+      .agg(mg(col("__hh_value")).as("cand"), count(lit(1)).as("n"))
       .head
-    val total = row.getAs[Long]("n")
+    val total      = row.getAs[Long]("n")
     val candidates = row.getAs[Map[String, Long]]("cand").keys.toSeq
     if (candidates.isEmpty)
-      return df.select(col(valueCol).cast("string").as("value")).limit(0)
+      return nonNull.select(col("__hh_value").as("value")).limit(0)
         .withColumn("cnt", lit(0L))
     nonNull
-      .filter(col(valueCol).isin(candidates: _*))
-      .groupBy(col(valueCol).as("value"))
+      .filter(col("__hh_value").isin(candidates: _*))
+      .groupBy(col("__hh_value").as("value"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(denom.toLong) > lit(total))
   }

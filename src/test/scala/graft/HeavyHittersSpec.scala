@@ -53,20 +53,40 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == Map("a" -> 3L))
   }
 
-  test("Misra-Gries buffer never exceeds k under reduce or merge") {
+  test("Misra-Gries buffer stays bounded: ≤2k physical under reduce, ≤k after merge") {
     val mg = new HeavyHitters.MisraGries(5)
     val rnd = new scala.util.Random(13)
     var b = mg.zero
     for (_ <- 1 to 5000) {
       b = mg.reduce(b, s"t${rnd.nextInt(100)}")
-      assert(b.size <= 5)
+      assert(b.physicalSize <= 10) // lazy-cut buffer compacts at 2k
+      assert(b.snapshot.size <= 10)
     }
     var m = mg.zero
     for (_ <- 1 to 50) {
       var p = mg.zero
       for (_ <- 1 to 100) p = mg.reduce(p, s"t${rnd.nextInt(100)}")
       m = mg.merge(m, p)
-      assert(m.size <= 5)
+      assert(m.physicalSize <= 5) // merge applies the cut-to-k rule
+    }
+  }
+
+  test("buffer underestimate stays within N/(k+1) of true counts") {
+    // the superset guarantee rests on this bound; check it directly on
+    // a skewed stream against true counts
+    val k   = 8
+    val mg  = new HeavyHitters.MisraGries(k)
+    val rnd = new scala.util.Random(29)
+    val stream = Seq.fill(4000)(s"t${(rnd.nextGaussian().abs * 20).toInt}")
+    var b = mg.zero
+    stream.foreach(v => b = mg.reduce(b, v))
+    val est  = b.snapshot
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = stream.size.toLong / (k + 1)
+    truth.foreach { case (v, c) =>
+      val e = est.getOrElse(v, 0L)
+      assert(e <= c, s"$v overestimated: $e > $c")
+      assert(e >= c - bound, s"$v underestimated beyond N/(k+1): $e < $c - $bound")
     }
   }
 
