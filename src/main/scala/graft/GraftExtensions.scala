@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, IntDotProduct}
 
 /** Session extensions: registers the engine's native Catalyst
   * expressions. Enable with
@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"${CosineSimilarity.FUNC_NAME} takes 2 arguments")
         CosineSimilarity(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(IntDotProduct.FUNC_NAME),
+      new ExpressionInfo(classOf[IntDotProduct].getName, IntDotProduct.FUNC_NAME),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"${IntDotProduct.FUNC_NAME} takes 2 arguments")
+        IntDotProduct(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_build"),

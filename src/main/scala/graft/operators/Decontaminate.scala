@@ -61,8 +61,52 @@ object Decontaminate {
     * filter stops being a cheap broadcast, and fpp degrades instead. */
   private val MaxNumBits = 1L << 26
 
-  /** EXACT overlap counts via a bloom-filter shortlist — same result as
-    * [[overlap]], different scale regime. [[overlap]] broadcasts the
+  /** A built decontamination filter: the serialized bloom bytes plus
+    * the PERSISTED distinct bench n-gram set it was built from (the
+    * exact-verify side) and the shingle width `n` it applies to.
+    * Build once with [[buildFilter]], share across [[bloomOverlapWith]]
+    * and [[bloomCleanWith]] — the r5 shape rebuilt the same filter in
+    * each entry point — then [[release]] when the pipeline moves on.
+    * `bytes == null` iff the bench set had no n-grams. */
+  final case class BenchBloom private[operators] (
+      bytes: Array[Byte], benchSet: DataFrame, nItems: Long, n: Int) {
+    def isEmpty: Boolean = bytes == null
+    def release(): Unit  = benchSet.unpersist(blocking = false)
+  }
+
+  /** Build the bloom shortlist filter for `bench`: ONE count job (on
+    * the persisted DISTINCT n-gram set — sizing from the exact distinct
+    * count, so heavily duplicated bench text no longer oversizes the
+    * filter) and ONE distributed build job (partial filters OR-merged
+    * map-side via Spark's `BloomFilterAggregate`, only the final
+    * `numBits/8 ≤ 8 MiB` bytes collected). The distinct set stays
+    * persisted for the verify joins; callers own [[BenchBloom.release]].
+    */
+  def buildFilter(
+      bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, fpp: Double = 0.01
+  ): BenchBloom = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val set0 = Dedup.shinglesLocal(bench, idCol, textCol, n).select(col("ng")).distinct()
+    // plan-based cache lookup: re-building over the same bench plan
+    // reuses the existing entry instead of stacking persists
+    val benchSet =
+      if (set0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        set0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else set0
+    val nItems = benchSet.count()
+    if (nItems == 0) return BenchBloom(null, benchSet, 0L, n)
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp), MaxNumBits)
+    val bytes = benchSet
+      .agg(call_function("bloom_filter_build",
+        xxhash64(col("ng")), lit(nItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    BenchBloom(bytes, benchSet, nItems, n)
+  }
+
+  /** EXACT overlap counts via a pre-built bloom shortlist — same result
+    * as [[overlap]], different scale regime. [[overlap]] broadcasts the
     * bench n-gram SET; at a few hundred million bench n-grams that
     * broadcast is GBs. A bloom filter at `fpp` is ~1.2 bytes/item at 1%
     * — 10-20× smaller — and turns the full-corpus pass into a pure
@@ -72,53 +116,56 @@ object Decontaminate {
     * (true contamination + fpp of the stream) enters the exact-verify
     * join that removes false positives, so the result is exactly
     * [[overlap]]'s: blooms have no false negatives, and the verify join
-    * re-checks every flagged n-gram against the real set.
-    *
-    * Build is distributed (partial filters OR-merged map-side via
-    * Spark's `BloomFilterAggregate`); only the final serialized filter
-    * — `numBits/8` bytes, driver-bounded by [[MaxNumBits]] — is
-    * collected, then embedded as a foldable literal (the same
-    * shape Spark's own runtime row-level filtering produces). */
-  def bloomOverlap(
-      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, fpp: Double = 0.01, broadcastVerify: Boolean = true
+    * re-checks every flagged n-gram against the real (persisted) set. */
+  def bloomOverlapWith(
+      train: DataFrame, filter: BenchBloom, idCol: String, textCol: String,
+      broadcastVerify: Boolean = true
   ): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
-    val benchNg = Dedup.shinglesLocal(bench, idCol, textCol, n).select(col("ng"))
-    // sizing scan: row count upper-bounds the distinct count, so the
-    // realized fpp is at most the requested one (bench is small by
-    // construction — eval suites, not corpora)
-    val nItems = benchNg.count()
-    if (nItems == 0)
+    if (filter.isEmpty)
       return train.select(col(idCol)).limit(0).withColumn("n_shared", lit(0L))
-    val numBits = math.min(
-      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp), MaxNumBits)
-    val filterBytes = benchNg
-      .agg(call_function("bloom_filter_build",
-        xxhash64(col("ng")), lit(nItems), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
-    val trainNg = Dedup.shinglesLocal(train, idCol, textCol, n)
+    val trainNg = Dedup.shinglesLocal(train, idCol, textCol, filter.n)
     val flagged = trainNg.filter(
-      call_function("bloom_filter_contains", lit(filterBytes), xxhash64(col("ng"))))
-    val benchSet = benchNg.distinct()
-    val verify = if (broadcastVerify) broadcast(benchSet) else benchSet
+      call_function("bloom_filter_contains", lit(filter.bytes), xxhash64(col("ng"))))
+    val verify = if (broadcastVerify) broadcast(filter.benchSet) else filter.benchSet
     flagged
       .join(verify, "ng")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** [[clean]] computed through the bloom shortlist — identical output
-    * (the gate checks it against the same exact oracle), scan-shaped
-    * over the corpus. */
-  def bloomClean(
-      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, maxShared: Long = 1, fpp: Double = 0.01,
-      broadcastVerify: Boolean = true
+  /** [[clean]] computed through a pre-built bloom shortlist — identical
+    * output (the gate checks it against the same exact oracle),
+    * scan-shaped over the corpus. */
+  def bloomCleanWith(
+      train: DataFrame, filter: BenchBloom, idCol: String, textCol: String,
+      maxShared: Long = 1, broadcastVerify: Boolean = true
   ): DataFrame = {
-    val contaminated = bloomOverlap(train, bench, idCol, textCol, n, fpp, broadcastVerify)
+    val contaminated = bloomOverlapWith(train, filter, idCol, textCol, broadcastVerify)
       .filter(col("n_shared") >= maxShared)
       .select(col(idCol))
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** One-shot convenience: [[buildFilter]] + [[bloomOverlapWith]]. The
+    * bench set stays in the session cache (plan-keyed, reused on
+    * re-call) because the returned frame is lazy; pipelines wanting
+    * deterministic release or overlap+clean off one build should call
+    * [[buildFilter]] themselves. */
+  def bloomOverlap(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, fpp: Double = 0.01, broadcastVerify: Boolean = true
+  ): DataFrame =
+    bloomOverlapWith(train, buildFilter(bench, idCol, textCol, n, fpp),
+      idCol, textCol, broadcastVerify)
+
+  /** One-shot convenience: [[buildFilter]] + [[bloomCleanWith]] — ONE
+    * filter build (the r5 shape built it twice: once in its own
+    * overlap call and once in the caller's). */
+  def bloomClean(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxShared: Long = 1, fpp: Double = 0.01,
+      broadcastVerify: Boolean = true
+  ): DataFrame =
+    bloomCleanWith(train, buildFilter(bench, idCol, textCol, n, fpp),
+      idCol, textCol, maxShared, broadcastVerify)
 }

@@ -47,6 +47,16 @@ object Intervals {
       s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
       "intervalJoin would overwrite existing column '__bin' — rename it first")
+    // any OTHER shared non-key column (e.g. both sides carrying a `ts`)
+    // would surface post-join as an ambiguous-reference analysis error
+    // with no useful message — reject it up front, like the __bin guard
+    val shared = points.columns.toSet
+      .intersect(intervals.columns.toSet)
+      .diff(keyCols.toSet)
+    require(shared.isEmpty,
+      s"intervalJoin: non-key columns ${shared.toSeq.sorted.mkString("[", ", ", "]")} " +
+        "exist on both sides — rename or drop them on one side first " +
+        "(only join keys may be shared)")
     val startBin = floorDiv(col(startUsCol), binMicros)
     val endBin   = floorDiv(col(endUsCol), binMicros)
     // fail-loud explosion guard: raise_error inside the sequence bound

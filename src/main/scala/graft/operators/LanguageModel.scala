@@ -47,26 +47,57 @@ object LanguageModel {
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
 
+  /** PRODUCTION entry for repeated scoring: builds and persists the
+    * bigram LM, loans it to `f` (run your actions inside), and ALWAYS
+    * releases the cache handle afterwards — no vocabulary-sized tables
+    * accumulate across corpora in a long-lived pipeline session.
+    *
+    * {{{
+    * LanguageModel.withModel(ref, "doc_id", "text") { c12 =>
+    *   corpora.foreach { docs =>
+    *     LanguageModel.scoreWith(docs, c12, "doc_id", "text").write...
+    *   }
+    * }
+    * }}}
+    */
+  def withModel[A](ref: DataFrame, docCol: String, textCol: String)(
+      f: DataFrame => A): A = {
+    val c12 = bigramCounts(ref, docCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(c12)
+    finally c12.unpersist(blocking = false)
+  }
+
   /** Score `docs` against an LM built from `ref`. Output: one row per
     * document with at least one bigram — (docCol, n_bigrams, n_oov,
     * sum_p, mean_p), where n_oov counts bigrams unseen in the
     * reference and sum_p/mean_p aggregate the smoothed probabilities.
+    *
+    * One-shot convenience: because the returned frame is lazy, the LM
+    * cache entry must outlive this call, so it stays in the session
+    * cache (ONE entry per reference plan — re-calls reuse it instead
+    * of re-persisting — until LRU eviction or session end). Pipelines
+    * scoring several corpora or wanting deterministic release should
+    * use [[withModel]] + [[scoreWith]].
     */
   def score(
       docs: DataFrame, ref: DataFrame, docCol: String, textCol: String
-  ): DataFrame =
+  ): DataFrame = {
     // the LM table feeds three consumers (c12 join, c1 agg, V count);
     // without materialization Catalyst replans the subtree per
     // consumer and the reference corpus is tokenized three times (the
     // TF-IDF lesson). The table is vocabulary-sized, not corpus-sized
-    // — MEMORY_AND_DISK is safe at any corpus scale; Spark's LRU
-    // evicts it when the session moves on. Callers scoring several
-    // corpora against one LM should persist bigramCounts themselves
-    // and call scoreWith.
-    scoreWith(docs,
-      bigramCounts(ref, docCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      docCol, textCol)
+    // — MEMORY_AND_DISK is safe at any corpus scale. `storageLevel`
+    // does a plan-based cache lookup, so a second score() over the
+    // same reference reuses the existing entry instead of stacking a
+    // new persist (the CacheManager "already cached" WARN).
+    val counts = bigramCounts(ref, docCol, textCol)
+    val cached =
+      if (counts.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else counts
+    scoreWith(docs, cached, docCol, textCol)
+  }
 
   /** [[score]] against pre-built (ideally persisted) bigram counts. */
   def scoreWith(

@@ -53,7 +53,11 @@ object Scd2 {
     val changed: Column = attrCols
       .map(a => not(col(a) <=> lag(col(a), 1).over(order)))
       .reduce(_ || _)
-    val opens = lag(col(tsCol), 1).over(order).isNull || changed
+    // partition-start sentinel is row_number, NOT lag(ts).isNull: with
+    // more than one null-ts change row per key (nulls sort last), the
+    // row AFTER a null-ts row would falsely open a version even with
+    // unchanged attrs
+    val opens = row_number().over(order) === 1 || changed
     changes
       .withColumn("__opens", opens)
       .filter(col("__opens"))

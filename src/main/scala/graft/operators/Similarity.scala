@@ -439,9 +439,20 @@ object Similarity {
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, v) => acc + v)
+    // stage-1 hot loop: native codegen'd int_dot when the session has
+    // GraftExtensions (the interpreted aggregate/zip_with pair made the
+    // "cheap int8 pass" the expensive part — r5 verdict #3); the
+    // higher-order form stays as the extension-less fallback with
+    // identical null algebra
+    val idot: (Column, Column) => Column = {
+      val registered = scala.util.Try(
+        org.apache.spark.sql.SparkSession.active.catalog
+          .functionExists(graft.functions.IntDotProduct.FUNC_NAME)).getOrElse(false)
+      if (registered) graft.functions.IntDotProduct(_, _)
+      else (a, b) =>
+        aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, v) => acc + v)
+    }
     // norms are per-ROW constants: compute them once per vector before
     // the join, not per candidate pair (inlined, each |C|x|Q| pair
     // would re-reduce both vectors — ~5x the stage-1 arithmetic)

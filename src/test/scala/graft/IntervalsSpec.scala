@@ -90,6 +90,15 @@ class IntervalsSpec extends SparkSpec {
       s"the naive form is the plan this operator exists to avoid:\n$naivePlan")
   }
 
+  test("shared non-key columns are rejected up front, not as an ambiguous-reference error") {
+    val p = points((1L, 1L, 100L)).withColumn("ts", lit(1L))
+    val i = intervals((1L, 10L, 50L, 150L)).withColumn("ts", lit(2L))
+    val e = intercept[IllegalArgumentException] {
+      Intervals.intervalJoin(p, i, Seq("k"), "p_us", "s_us", "e_us", binMicros = 50L)
+    }
+    assert(e.getMessage.contains("ts") && e.getMessage.contains("both sides"), e.getMessage)
+  }
+
   test("a pathological interval fails loudly instead of exploding the build side") {
     val p = points((1L, 1L, 100L))
     val i = intervals((1L, 10L, 0L, 1000000L))

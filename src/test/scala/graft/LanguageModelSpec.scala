@@ -66,4 +66,36 @@ class LanguageModelSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
       s"expected the three LM consumers to scan the cache:\n$plan")
   }
+
+  test("repeated score() calls reuse ONE cache entry (no re-persist stacking)") {
+    val ref  = docsOf((1L, "p q r p q"))
+    val docs = docsOf((10L, "p q"))
+    LanguageModel.score(docs, ref, "doc_id", "text").collect()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    // second and third calls over the same reference plan must hit the
+    // existing entry, not persist a duplicate (the r5 CacheManager
+    // "already cached" WARN)
+    LanguageModel.score(docs, ref, "doc_id", "text").collect()
+    LanguageModel.score(docs, ref, "doc_id", "text").collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == after1,
+      "score() stacked a new cache entry on re-call")
+    // cleanup so other tests see a quiet cache
+    LanguageModel.bigramCounts(ref, "doc_id", "text").unpersist(blocking = true)
+  }
+
+  test("withModel loans a persisted LM and releases it afterwards") {
+    val ref  = docsOf((1L, "x y z x y"))
+    val docs = docsOf((10L, "x y"), (11L, "z z"))
+    var insideLevel: org.apache.spark.storage.StorageLevel = null
+    val out = LanguageModel.withModel(ref, "doc_id", "text") { c12 =>
+      insideLevel = c12.storageLevel
+      val scored = LanguageModel.scoreWith(docs, c12, "doc_id", "text").collect()
+      (scored.length, c12)
+    }
+    assert(insideLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "LM must be persisted inside the loan scope")
+    assert(out._1 == 2)
+    assert(out._2.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "withModel must unpersist the LM after the loan")
+  }
 }

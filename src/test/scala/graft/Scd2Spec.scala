@@ -120,6 +120,21 @@ class Scd2Spec extends SparkSpec {
     assert(k2.toSeq == Seq((1, 7, true)))
   }
 
+  test("multiple null-ts rows with unchanged attrs do not open phantom versions") {
+    // nulls sort last; the r5 sentinel (lag(ts).isNull) falsely opened
+    // a version on the row AFTER a null-ts row — row_number()==1 doesn't
+    val changes = Seq(
+      (1L, Option(ts("2024-01-01 00:00:00")), 1L, 10),
+      (1L, Option.empty[Timestamp], 2L, 10), // null ts, re-statement
+      (1L, Option.empty[Timestamp], 3L, 10)  // second null ts, re-statement
+    ).toDF("key", "ts", "tie", "attr")
+    val h = Scd2.history(changes, "key", "ts", "tie", Seq("attr")).collect()
+    assert(h.length == 1, h.mkString("\n"))
+    assert(h.head.getAs[Int]("version") == 1)
+    assert(h.head.getAs[Boolean]("is_current"))
+    assert(h.head.getAs[Long]("valid_from_us") == ts("2024-01-01 00:00:00").getTime * 1000L)
+  }
+
   test("history rejects inputs whose columns its output would overwrite") {
     val bad = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 1, true))
       .toDF("key", "ts", "tie", "attr", "is_current")

@@ -280,6 +280,36 @@ class SimilaritySpec extends SparkSpec {
       "fold unexpectedly codegens now - native expression may be unnecessary")
   }
 
+  test("native IntDotProduct matches the higher-order fold (incl. null algebra) and codegens") {
+    def fold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val df = spark.range(1).selectExpr(
+      "array(1,2,3) as a1", "array(4,5,6) as b1",
+      "array(1,2) as a2", "array(1,2,3) as b2",          // length mismatch
+      "array(1, cast(null as int)) as a3", "array(5,6) as b3", // null element
+      "array(127,-127) as a4", "array(127,127) as b4")
+    val row = df.select(
+      graft.functions.IntDotProduct(col("a1"), col("b1")).as("n1"), fold(col("a1"), col("b1")).as("f1"),
+      graft.functions.IntDotProduct(col("a2"), col("b2")).as("n2"), fold(col("a2"), col("b2")).as("f2"),
+      graft.functions.IntDotProduct(col("a3"), col("b3")).as("n3"), fold(col("a3"), col("b3")).as("f3"),
+      graft.functions.IntDotProduct(col("a4"), col("b4")).as("n4"), fold(col("a4"), col("b4")).as("f4")
+    ).head
+    assert(row.getLong(0) == 32L && row.getLong(1) == 32L)
+    assert(row.isNullAt(2) && row.isNullAt(3)) // mismatch poisons the fold — and the native
+    assert(row.isNullAt(4) && row.isNullAt(5)) // null element likewise
+    assert(row.getLong(6) == 0L && row.getLong(7) == 0L)
+    // whole-stage codegen marker on the real stage-1 shape: int codes
+    val codes = operators.Quantize.int8(emb, "vec_id", "embedding")
+    val nativeOnly = codes.select(
+      graft.functions.IntDotProduct(col("q"), col("q")).as("d"))
+    nativeOnly.collect()
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("int_dot"), plan)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("int_dot")),
+      s"int_dot must sit inside a WholeStageCodegen stage:\n$plan")
+  }
+
   test("cosine fold handles zero vectors without NaN poisoning ranks") {
     import spark.implicits._
     val df = Seq(

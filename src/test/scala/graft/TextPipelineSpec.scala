@@ -131,6 +131,47 @@ class TextPipelineSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("buildFilter: one count + one build job; one filter serves overlap AND clean; release() frees") {
+    // duplicated bench text exercises the distinct-count sizing
+    val bench = Seq((100L, "x y z w"), (101L, "x y z w")).toDF("doc_id", "text")
+    val train = Seq((1L, "p q x y z w r"), (2L, "a b c d")).toDF("doc_id", "text")
+    // count SQL executions (one per action) — job counts are AQE-stage
+    // granular and meaningless here. r5 ran TWO counts + TWO builds
+    // across the overlap/clean pair; the contract is now one of each.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    val f =
+      try {
+        val built = Decontaminate.buildFilter(bench, "doc_id", "text", n = 3)
+        // the execution-listener bus is async — settle before counting
+        val deadline = System.currentTimeMillis() + 10000
+        while (actions.get() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        Thread.sleep(300)
+        built
+      } finally spark.listenerManager.unregister(ql)
+    assert(actions.get() == 2,
+      s"buildFilter must run exactly one count + one build action, saw ${actions.get()}")
+    assert(f.benchSet.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE, "bench set must be persisted for verify")
+    // the ONE filter serves both entry points and matches the exact path
+    val overlap = Decontaminate.bloomOverlapWith(train, f, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val clean = Decontaminate.bloomCleanWith(train, f, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(overlap == Map(1L -> 2L))
+    assert(clean == Set(2L))
+    f.release()
+    assert(f.benchSet.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("bloom pass is scan-shaped: the corpus n-gram stream meets a predicate, not a join") {
     val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
     val plan = Decontaminate.bloomOverlap(
