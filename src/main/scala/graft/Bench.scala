@@ -63,6 +63,8 @@ object Bench {
     "text_curate"               -> (QueriesExt.textCurate _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),
     "table_profile"             -> (QueriesExt.tableProfile _),
+    // production approx-distinct profile (no exact companion)
+    "table_profile_approx"      -> (QueriesExt.tableProfileApproxBench _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"             -> (QueriesExt.dedupSimhash _),

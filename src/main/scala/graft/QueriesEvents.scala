@@ -818,6 +818,30 @@ object QueriesEvents {
       keepCols = Seq("event_id", "user_id", "day_id"),
       a = "user_id", b = "day_id") + "\n"
 
+  /** 3-dimensional Morton key over (user_id, day, hour-of-day): the
+    * N-column generalization ([[graft.functions.ZOrder.zValueN]], 21
+    * bits per lane). Same gate shape as [[eventsZorder]]; the oracle
+    * mirrors the flat shift/mask term list bit-for-bit. */
+  def eventsZorder3(s: SparkSession, dir: String): DataFrame = {
+    val dayId  = floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+    val hourId = pmod(floor(unix_timestamp(col("ts")) / 3600L), lit(24L)).cast("long")
+    events(s, dir).select(
+      col("event_id"), col("user_id"),
+      dayId.as("day_id"), hourId.as("hour_id"),
+      graft.functions.ZOrder.zValueN(
+        Seq(col("user_id"), dayId, hourId)).as("zval"))
+  }
+
+  lazy val eventsZorder3Sql: String =
+    graft.functions.ZOrder.zValueNQuerySql(
+      fromSql =
+        """(SELECT event_id, user_id,
+          |        CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_id,
+          |        CAST(floor(epoch(ts)/3600) % 24 AS BIGINT) AS hour_id
+          | FROM events)""".stripMargin,
+      keepCols = Seq("event_id", "user_id", "day_id", "hour_id"),
+      coords = Seq("user_id", "day_id", "hour_id")) + "\n"
+
   // ================================================================ conversion lag
   /** Daily view->purchase conversion: per (user, day), the first view
     * and the first purchase at-or-after it; cohorted by day into

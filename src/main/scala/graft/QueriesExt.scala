@@ -979,6 +979,46 @@ object QueriesExt {
     Seq("doc_id", "lang", "source", "n_chars").map(one).mkString("", "\nUNION ALL\n", "\n")
   }
 
+  /** The approx-distinct profile ([[operators.Profile.profileApprox]])
+    * gated like the HLL sketch: the HLL++ estimate is checked within-ε
+    * against the exact distinct count, and the oracle asserts the flag
+    * (`1`) plus all the exactly-reproducible columns. ε = 0.15 = 3
+    * standard errors at rsd 0.05 (small cardinalities run HLL++'s
+    * exact sparse mode, so the slack is for the big columns). */
+  def tableProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val eps  = 0.15
+    val d    = docs(s, dir)
+    val approx = operators.Profile.profileApprox(d, cols, rsd = 0.05)
+    val exact  = operators.Profile.profile(d, cols)
+      .select(col("col_name"), col("n_distinct"))
+    approx.join(exact, Seq("col_name"))
+      .select(
+        col("col_name"), col("n_rows"), col("n_nonnull"), col("n_distinct"),
+        (abs(col("n_distinct_approx").cast("double") - col("n_distinct").cast("double")) /
+          col("n_distinct").cast("double") <= lit(eps)).cast("int").as("within_eps"),
+        col("min_val"), col("max_val"))
+  }
+
+  /** Bench-only production shape: the approx profile WITHOUT the exact
+    * companion the gate adds — on a cluster the sketch exists precisely
+    * to avoid the exact distinct state. */
+  def tableProfileApproxBench(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.profileApprox(
+      docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"), rsd = 0.05)
+
+  lazy val tableProfileApproxSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count($c) AS BIGINT) AS n_nonnull,
+         |       CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
+         |       CAST(1 AS INTEGER) AS within_eps,
+         |       CAST(min($c) AS VARCHAR) AS min_val,
+         |       CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one).mkString("", "\nUNION ALL\n", "\n")
+  }
+
   // ---------------------------------------------------------- bigram LM scoring
   /** CCNet-style LM quality score: a bigram LM built from the 5%
     * md5-split reference slice (doc_id hash < '0ccc'), every document

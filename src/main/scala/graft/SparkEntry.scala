@@ -59,6 +59,8 @@ object SparkEntry {
     "text_lm_score"   -> (QueriesExt.textLmScore _),
     // warehouse data-quality profile
     "table_profile"   -> (QueriesExt.tableProfile _),
+    // approx-distinct profile (HLL++), within-eps gated like the sketch
+    "table_profile_approx" -> (QueriesExt.tableProfileApprox _),
     // benchmark decontamination: n-gram overlap + clean survivor corpus
     "decon_ngram_overlap" -> (QueriesExt.deconNgramOverlap _),
     "decon_clean"         -> (QueriesExt.deconClean _),
@@ -77,6 +79,7 @@ object SparkEntry {
     "events_interval_join" -> (QueriesEvents.eventsIntervalJoin _),
     "events_conversion"    -> (QueriesEvents.eventsConversion _),
     "events_zorder"        -> (QueriesEvents.eventsZorder _),
+    "events_zorder3"       -> (QueriesEvents.eventsZorder3 _),
     "events_props_typed"   -> (QueriesEvents.eventsPropsTyped _),
     "events_histogram"     -> (QueriesEvents.eventsHistogram _),
     "dim_merge_latest"     -> (QueriesEvents.dimMergeLatest _),
@@ -166,6 +169,7 @@ object SparkEntry {
     "text_repetition"           -> QueriesExt.textRepetitionSql,
     "text_lm_score"             -> QueriesExt.textLmScoreSql,
     "table_profile"             -> QueriesExt.tableProfileSql,
+    "table_profile_approx"      -> QueriesExt.tableProfileApproxSql,
     "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,
     "decon_clean"               -> QueriesExt.deconCleanSql,
     "decon_bloom_clean"         -> QueriesExt.deconCleanSql,
@@ -179,6 +183,7 @@ object SparkEntry {
     "events_interval_join"      -> QueriesEvents.eventsIntervalJoinSql,
     "events_conversion"         -> QueriesEvents.eventsConversionSql,
     "events_zorder"             -> QueriesEvents.eventsZorderSql,
+    "events_zorder3"            -> QueriesEvents.eventsZorder3Sql,
     "events_props_typed"        -> QueriesEvents.eventsPropsTypedSql,
     "events_histogram"          -> QueriesEvents.eventsHistogramSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,

@@ -43,6 +43,55 @@ object ZOrder {
     x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
+  /** N-column Morton key: bit i of coordinate j lands at position
+    * `i*N + j` — column 0 in the lowest lane, so the 2-column case is
+    * bit-identical to [[zValue]] (spec-pinned). The 63-bit non-negative
+    * budget splits as `floor(63/N)` bits per coordinate; every input
+    * must be in `[0, 2^(63/N))`, enforced fail-loud like [[zValue]] (a
+    * silently wrapped coordinate would scramble the curve, not error).
+    *
+    * Built as a flat OR of shift/mask terms — pure integer arithmetic,
+    * whole-stage-codegen'd; the range guard wraps the whole key once
+    * per row rather than once per term.
+    */
+  def zValueN(coords: Seq[Column]): Column = {
+    val n = coords.size
+    require(n >= 2, s"zValueN needs at least 2 coordinates, got $n")
+    require(n <= 21, s"zValueN supports at most 21 coordinates (63-bit budget), got $n")
+    val bitsPer = 63 / n
+    val limit   = 1L << bitsPer
+    val longs   = coords.map(_.cast("long"))
+    val bad     = longs.map(c => c < 0L || c >= limit).reduce(_ || _)
+    val terms = longs.zipWithIndex.flatMap { case (c, j) =>
+      (0 until bitsPer).map(i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+    }
+    when(bad, raise_error(concat(
+      lit(s"zValueN coordinate out of [0, 2^$bitsPer): ("),
+      concat_ws(", ", longs.map(_.cast("string")): _*), lit(")"))))
+      .otherwise(terms.reduce(_ bitwiseOR _))
+  }
+
+  /** The [[zValueN]] interleave as a DuckDB QUERY for oracle
+    * mirroring: one flat OR of `((c >> i) & 1) << (i*N + j)` terms —
+    * text grows linearly with the bit budget (unlike the inline
+    * magic-mask fold, which doubles per step). `fromSql` exposes
+    * `keepCols` and the coordinate columns; the result adds `zval`. */
+  def zValueNQuerySql(fromSql: String, keepCols: Seq[String], coords: Seq[String]): String = {
+    val n = coords.size
+    require(n >= 2, s"zValueNQuerySql needs at least 2 coordinates, got $n")
+    val bitsPer = 63 / n
+    val terms = coords.zipWithIndex.flatMap { case (c, j) =>
+      (0 until bitsPer).map(i =>
+        s"(((CAST($c AS BIGINT) >> $i) & 1) << ${i * n + j})")
+    }
+    // OR operators go at line END: a line-leading "|" would be eaten
+    // as a margin by the stripMargin below.
+    s"""SELECT ${keepCols.mkString(", ")},
+       |       (${terms.mkString(" |\n        ")}) AS zval
+       |FROM $fromSql""".stripMargin
+  }
+
   /** The same interleave as a DuckDB QUERY (decimal constants), for
     * oracle mirroring: each spread step binds to an alias in a nested
     * subquery, so every input expression appears exactly once per step
@@ -84,11 +133,23 @@ object ZOrder {
     */
   def zorderBy(
       df: DataFrame, aCol: String, bCol: String, numPartitions: Int
-  ): DataFrame = {
+  ): DataFrame =
+    layoutByKey(df, zValue(col(aCol), col(bCol)), numPartitions)
+
+  /** [[zorderBy]] over N columns via [[zValueN]]: file-level min/max
+    * ranges become hypercubes on the N-dimensional curve — every
+    * filtered dimension prunes. Note the coverage trade: each extra
+    * dimension costs interleave bits (63/N per column), so ranges get
+    * coarser — 2-4 dimensions is the useful regime, matching the
+    * Delta/Iceberg ZORDER guidance. */
+  def zorderByN(df: DataFrame, cols: Seq[String], numPartitions: Int): DataFrame =
+    layoutByKey(df, zValueN(cols.map(col)), numPartitions)
+
+  private def layoutByKey(df: DataFrame, key: Column, numPartitions: Int): DataFrame = {
     require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
     require(!df.columns.contains("__z"),
-      "zorderBy would overwrite existing column '__z' — rename it first")
-    df.withColumn("__z", zValue(col(aCol), col(bCol)))
+      "zorder layout would overwrite existing column '__z' — rename it first")
+    df.withColumn("__z", key)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *   every row feeding N distinct aggregates — the melt does the same
   *   data multiplication but through ONE uniform shuffle keyed by
   *   (column, value), where map-side partial aggregation collapses
-  *   repeated values before the exchange. Distinct counting is exact;
-  *   swap in approx_count_distinct upstream if ~2% error is acceptable
-  *   at extreme cardinalities.
+  *   repeated values before the exchange. Distinct counting is exact
+  *   in [[profile]]; [[profileApprox]] swaps in approx_count_distinct
+  *   for extreme cardinalities.
   * - min/max: one single-row wide aggregation over the TYPED columns
   *   (numeric columns get numeric extremes, not lexicographic ones —
   *   min of {9, 10, 100} is 9, never "10"), cast to string AFTER
@@ -32,32 +32,60 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def checkCols(df: DataFrame, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
-    // melt: one (col_name, value) row per profiled cell, scan-local
-    val pairs = df.select(cols.map(c =>
+  }
+
+  /** melt: one (col_name, value) row per profiled cell, scan-local */
+  private def melted(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("string").as("val")).as(c)): _*)
       .select(explode(array(cols.map(col): _*)).as("cell"))
       .select(col("cell.col_name"), col("cell.val"))
-    val counts = pairs
+
+  /** typed extremes: one wide single-row agg, unpivoted to a row per
+    * column (numeric columns get numeric extremes, cast to string
+    * AFTER aggregating for the uniform output schema) */
+  private def extremes(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      min(col(cols.head)).cast("string").as(s"min_${cols.head}"),
+      cols.tail.map(c => min(col(c)).cast("string").as(s"min_$c")) ++
+        cols.map(c => max(col(c)).cast("string").as(s"max_$c")): _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))): _*)).as("m"))
+      .select(col("m.col_name"), col("m.min_val"), col("m.max_val"))
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    checkCols(df, cols)
+    val counts = melted(df, cols)
       .groupBy(col("col_name"))
       .agg(
         count(lit(1)).as("n_rows"),
         count(col("val")).as("n_nonnull"),
         countDistinct(col("val")).as("n_distinct"))
-    // typed extremes: one wide single-row agg, unpivoted to a row per
-    // column and broadcast onto the counts (both sides are N rows)
-    val extremes = df
+    // both sides are N (= |cols|) rows; broadcast skips the exchange
+    counts.join(broadcast(extremes(df, cols)), Seq("col_name"), "left")
+  }
+
+  /** [[profile]] with `approx_count_distinct(rsd)` in place of the
+    * exact distinct — the extreme-cardinality swap point documented
+    * above, now a first-class entry: the melted pairs feed the same
+    * ONE uniform shuffle, but per-group state is a bounded HLL++
+    * sketch instead of a distinct hash set, so a column with billions
+    * of distinct values profiles in fixed memory. Output column is
+    * `n_distinct_approx`; everything else matches [[profile]]. */
+  def profileApprox(
+      df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    checkCols(df, cols)
+    val counts = melted(df, cols)
+      .groupBy(col("col_name"))
       .agg(
-        min(col(cols.head)).cast("string").as(s"min_${cols.head}"),
-        cols.tail.map(c => min(col(c)).cast("string").as(s"min_$c")) ++
-          cols.map(c => max(col(c)).cast("string").as(s"max_$c")): _*)
-      .select(explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"),
-          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))): _*)).as("m"))
-      .select(col("m.col_name"), col("m.min_val"), col("m.max_val"))
-    counts.join(broadcast(extremes), Seq("col_name"), "left")
+        count(lit(1)).as("n_rows"),
+        count(col("val")).as("n_nonnull"),
+        approx_count_distinct(col("val"), rsd).as("n_distinct_approx"))
+    counts.join(broadcast(extremes(df, cols)), Seq("col_name"), "left")
   }
 }

@@ -60,4 +60,26 @@ class ProfileSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan4).size == "Exchange".r.findAllIn(plan2).size,
       s"exchanges must not grow with profiled columns:\n$plan4")
   }
+
+  test("profileApprox: exact at sparse cardinality, within rsd bounds at scale, no Expand") {
+    // HLL++ sparse mode is exact at small cardinality — every column of
+    // the fixture must match profile() bit-for-bit except the column name
+    val exact = Profile.profile(fixture, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    val approx = Profile.profileApprox(fixture, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(approx == exact)
+    // larger cardinality: estimate within 3x the configured rsd
+    val big = spark.range(20000).selectExpr("id", "cast(id % 97 as string) as m")
+    val got = Profile.profileApprox(big, Seq("id", "m"), rsd = 0.05)
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(math.abs(got("id") - 20000L).toDouble / 20000 <= 0.15, got.toString)
+    assert(math.abs(got("m") - 97L).toDouble / 97 <= 0.15, got.toString)
+    val plan = Profile.profileApprox(fixture, Seq("id", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
 }

@@ -47,6 +47,72 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  private def mortonRefN(cs: Seq[Long]): Long = {
+    val n = cs.size
+    val bitsPer = 63 / n
+    cs.zipWithIndex.foldLeft(0L) { case (acc, (c, j)) =>
+      (0 until bitsPer).foldLeft(acc) { (a, i) =>
+        a | (((c >> i) & 1L) << (i * n + j))
+      }
+    }
+  }
+
+  test("zValueN(2) is bit-identical to zValue") {
+    val rnd = new scala.util.Random(11)
+    val coords = Seq((0L, 0L), (0x7FFFFFFFL, 0x7FFFFFFFL)) ++
+      (1 to 200).map(_ => (rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    val got = coords.toDF("a", "b")
+      .select(ZOrder.zValue($"a", $"b").as("z2"),
+        ZOrder.zValueN(Seq($"a", $"b")).as("zn"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (z2, zn) => assert(z2 == zn) }
+  }
+
+  test("zValueN(3) matches the bit-by-bit reference on a grid and at the 21-bit bounds") {
+    val lim = (1L << 21) - 1
+    val coords = (for { a <- 0L to 3L; b <- 0L to 3L; c <- 0L to 3L } yield (a, b, c)) ++
+      Seq((lim, 0L, 0L), (0L, lim, 0L), (0L, 0L, lim), (lim, lim, lim),
+        (1234567L, 2000000L, 42L))
+    val got = coords.toDF("a", "b", "c")
+      .select($"a", $"b", $"c", ZOrder.zValueN(Seq($"a", $"b", $"c")).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (a, b, c, z) =>
+      assert(z == mortonRefN(Seq(a, b, c)), s"z($a, $b, $c)")
+      assert(z >= 0L)
+    }
+    // unit steps in each coordinate hit bits 0, 1, 2
+    val unit = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L)).toDF("a", "b", "c")
+      .select(ZOrder.zValueN(Seq($"a", $"b", $"c"))).as[Long].collect().toSeq
+    assert(unit == Seq(1L, 2L, 4L))
+  }
+
+  test("zValueN rejects out-of-lane coordinates and degenerate arity") {
+    intercept[Exception] {
+      Seq((1L << 21, 0L, 0L)).toDF("a", "b", "c")
+        .select(ZOrder.zValueN(Seq($"a", $"b", $"c"))).collect()
+    }
+    intercept[Exception] {
+      Seq((-1L, 0L, 0L)).toDF("a", "b", "c")
+        .select(ZOrder.zValueN(Seq($"a", $"b", $"c"))).collect()
+    }
+    intercept[IllegalArgumentException] { ZOrder.zValueN(Seq($"a")) }
+  }
+
+  test("zorderByN(3) range-partitions on the curve key") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 256).map(_ =>
+      (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+      .toDF("a", "b", "c")
+    val laid = ZOrder.zorderByN(df, Seq("a", "b", "c"), numPartitions = 4)
+    assert(laid.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    assert(laid.columns.toSeq == Seq("a", "b", "c"))
+    val ordered = laid
+      .select(ZOrder.zValueN(Seq($"a", $"b", $"c")).as("z")).as[Long]
+      .mapPartitions(it => Iterator.single(it.toSeq))
+      .collect()
+    ordered.foreach(zs => assert(zs == zs.sorted))
+  }
+
   test("zorderBy range-partitions on the key and sorts within partitions") {
     val rnd = new scala.util.Random(7)
     val df = (1 to 512).map(_ => (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
