@@ -280,4 +280,110 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == originals,
       s"unexpected: extra=${survivors -- originals} missing=${originals -- survivors}")
   }
+
+  // -------------------------------------------------------- upsert maintenance
+
+  private def upsertLog: DataFrame =
+    sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+      .select("user_id", "ts", "event_id", "event_type", "value")
+
+  private def storeContents(path: String): Set[org.apache.spark.sql.Row] = {
+    val df = spark.read.parquet(path).drop(graft.streaming.StreamingUpsert.BucketCol)
+    df.select(df.columns.sorted.map(col): _*).collect().toSet
+  }
+
+  private def bucketFiles(path: String): Set[String] = {
+    val root = java.nio.file.Paths.get(path)
+    val out = scala.collection.mutable.Set[String]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".parquet")) out += root.relativize(p).toString
+    }
+    out.toSet
+  }
+
+  test("streaming SCD2 maintenance equals the batch history; replay and pruning are surgical") {
+    import graft.streaming.StreamingUpsert
+    import graft.operators.Scd2
+    val log   = upsertLog
+    val attrs = Seq("event_type", "value")
+    // split by TIME so each key's half2 changes arrive at-or-after its
+    // half1 changes — the in-order incremental feed merge() documents
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val half1 = log.filter(col("ts") < split)
+    val half2 = log.filter(col("ts") >= split)
+    val path  = Files.createTempDirectory("graft-stream-scd2").toString + "/dim_hist"
+    val B     = 8
+
+    StreamingUpsert.initializeScd2(half1, "user_id", "ts", "event_id", attrs, path, B)
+
+    // micro-batch 2 through the REAL foreachBatch wiring (file stream)
+    val stage = Files.createTempDirectory("graft-stream-scd2-src").toString
+    half2.coalesce(1).write.mode("append").parquet(stage)
+    val q = StreamingUpsert.maintainScd2(
+      spark.readStream.schema(log.schema).parquet(stage),
+      "user_id", "ts", "event_id", attrs, path, B,
+      Files.createTempDirectory("graft-stream-scd2-ck").toString)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // batch parity: store == full-log Scd2.history (itself oracle-gated)
+    val expect = Scd2.history(log, "user_id", "ts", "event_id", attrs)
+    val expectSet = expect.select(expect.columns.sorted.map(col): _*).collect().toSet
+    val got = storeContents(path)
+    assert(got == expectSet,
+      s"store != batch history: extra=${(got -- expectSet).take(3)} missing=${(expectSet -- got).take(3)}")
+
+    // replayed micro-batch (failure recovery): content no-op
+    StreamingUpsert.applyScd2Batch(half2, "user_id", "ts", "event_id", attrs, path, B)
+    assert(storeContents(path) == expectSet, "replay must be a content no-op")
+
+    // pruning is surgical: a one-key batch rewrites ONLY that key's bucket
+    val oneKey = log.orderBy("user_id", "ts").limit(1)
+      .select(col("user_id"), (col("ts") + expr("INTERVAL 400 DAYS")).as("ts"),
+        (col("event_id") + 1000000L).as("event_id"),
+        lit("relabeled").as("event_type"), col("value"))
+    val keyBucket = oneKey
+      .select(pmod(hash(col("user_id")), lit(B))).head().getInt(0)
+    val before = bucketFiles(path)
+    StreamingUpsert.applyScd2Batch(oneKey, "user_id", "ts", "event_id", attrs, path, B)
+    val after = bucketFiles(path)
+    val otherBuckets = (f: String) => !f.startsWith(s"${StreamingUpsert.BucketCol}=$keyBucket/")
+    assert(before.filter(otherBuckets) == after.filter(otherBuckets),
+      "buckets the batch does not touch must not be rewritten")
+    assert(before.filter(f => !otherBuckets(f)) != after.filter(f => !otherBuckets(f)),
+      "the touched bucket must actually have been rewritten")
+
+    // bucket-count mismatch is fail-loud, not silent key loss
+    val boom = intercept[IllegalArgumentException] {
+      StreamingUpsert.applyScd2Batch(oneKey, "user_id", "ts", "event_id", attrs, path, B + 1)
+    }
+    assert(boom.getMessage.contains("bucket-count mismatch"))
+  }
+
+  test("streaming latest-wins CDC equals the window-form batch merge; replay is a no-op") {
+    import graft.streaming.StreamingUpsert
+    val log   = upsertLog
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val path  = Files.createTempDirectory("graft-stream-cdc").toString + "/dim_latest"
+    val B     = 8
+
+    StreamingUpsert.initializeLatest(
+      log.filter(col("ts") < split), "user_id", "ts", "event_id", path, B)
+    StreamingUpsert.applyLatestBatch(
+      log.filter(col("ts") >= split), "user_id", "ts", "event_id", path, B)
+
+    // expectation built the INDEPENDENT way (window row_number, the
+    // oracle form of dim_merge_latest), not via latestWins itself
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val expect = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val expectSet = expect.select(expect.columns.sorted.map(col): _*).collect().toSet
+    assert(storeContents(path) == expectSet, "store != batch latest-wins")
+
+    // replay: max is idempotent
+    StreamingUpsert.applyLatestBatch(
+      log.filter(col("ts") >= split), "user_id", "ts", "event_id", path, B)
+    assert(storeContents(path) == expectSet, "replay must be a content no-op")
+  }
 }
