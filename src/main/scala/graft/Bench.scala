@@ -23,6 +23,8 @@ object Bench {
     // same populate over pre-bucketed sources: the amortized steady
     // state (co-location written once in the warm pass, reused after)
     "fact_populate_parent_bucketed" -> (Queries.factPopulateParentBucketed _),
+    // nightly-load maintenance: delta folded into the maintained rollup
+    "fact_rollup_incremental"   -> (Queries.factRollupIncremental _),
     "agg_count_distinct_exact"  -> (Queries.aggCountDistinctExact _),
     // production sketch shape (no exact-distinct oracle companion)
     "sketch_count_distinct"     -> (Queries.sketchCountDistinctBench _),

@@ -283,6 +283,29 @@ object Queries {
        |GROUP BY 1, 2, 9
        |""".stripMargin
 
+  /** Incremental hour-rollup maintenance: the maintained rollup over
+    * events before EV_SPLIT folded with the delta batch
+    * [EV_SPLIT, EV_HI) via [[graft.exec.Rollup.mergeIncremental]] —
+    * the result must equal the FULL rollup, so the oracle is the same
+    * SQL as `fact_rollup_hour`. Both loads look up the same dim
+    * snapshot (dim maintenance runs upstream of fact maintenance), so
+    * type ids agree across batches — the production ordering. */
+  def factRollupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val f = fact(eventsEnv, "event")
+    def rolled(w: TimeWindow) = graft.exec.Rollup.toCoarser(
+      eventsEnv, f,
+      factPopulate(eventsEnv, "event", w, TimeWindow.upTo(EV_HI))(s, dir),
+      TimeUnit.Hour)
+    val prior = rolled(TimeWindow.upTo(EV_SPLIT))
+    val delta = rolled(TimeWindow.between(EV_SPLIT, EV_HI))
+    val merged = graft.exec.Rollup.mergeIncremental(eventsEnv, f, prior, delta, TimeUnit.Hour)
+    decimalsToDouble(
+      merged.drop("user_count"),
+      Seq("value_sum", "value_avg_sum", "value_max", "value_min"))
+  }
+
+  val factRollupIncrementalSql: String = factRollupHourSql
+
   // ================================================================ TenantId / count(col) / max / min
   def factPopulateTenant(s: SparkSession, dir: String): DataFrame =
     decimalsToDouble(

@@ -32,6 +32,8 @@ object SparkEntry {
     "fact_populate_tenant" -> (Queries.factPopulateTenant _),
     // re-aggregability: minute fact rolled to hours == hour-grain populate
     "fact_rollup_hour" -> (Queries.factRollupHour _),
+    // incremental maintenance: prior rollup + delta batch == full rollup
+    "fact_rollup_incremental" -> (Queries.factRollupIncremental _),
     // F7: exact companion + mergeable register sketch
     "agg_count_distinct_exact" -> (Queries.aggCountDistinctExact _),
     "sketch_count_distinct"    -> (Queries.sketchCountDistinct _),
@@ -147,6 +149,7 @@ object SparkEntry {
     "fact_populate_parent"      -> Queries.factPopulateParentSql,
     "fact_populate_tenant"      -> Queries.factPopulateTenantSql,
     "fact_rollup_hour"          -> Queries.factRollupHourSql,
+    "fact_rollup_incremental"   -> Queries.factRollupIncrementalSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "sketch_count_distinct"     -> Queries.sketchCountDistinctSql,
     "dedup_minhash_lsh_verified" -> QueriesExt.dedupNgramJaccardSql,

@@ -44,6 +44,74 @@ class RollupSpec extends SparkSpec {
     assert(a.forall { case (k, m) => b(k) == m })
   }
 
+  test("mergeIncremental(rollup(a), rollup(b)) == rollup(a ∪ b), sketches included") {
+    val s   = spark
+    val dir = sf("sf0.001")
+    val ev  = sources.ParquetTables.readTable(s, dir, "events")
+
+    val fact = eventsEnv.findFact("event").get
+    val dim = graft.exec.DimPopulate.full(
+      eventsEnv, fact, "dim_event_type", ev, TimeWindow.unbounded)
+    def rolledOver(rows: org.apache.spark.sql.DataFrame) =
+      Rollup.toCoarser(eventsEnv, fact,
+        graft.exec.FactPopulate.populate(
+          eventsEnv, fact, TimeWindow.unbounded, _ => rows, _ => dim),
+        TimeUnit.Hour)
+
+    // split mid-stream so some hour buckets exist in BOTH halves
+    // (merged) and some in exactly one (passthrough)
+    val cut   = ev.selectExpr("percentile_approx(ts, 0.5)").head.getTimestamp(0)
+    val prior = rolledOver(ev.filter(col("ts") < lit(cut)))
+    val delta = rolledOver(ev.filter(col("ts") >= lit(cut)))
+    val full  = rolledOver(ev)
+
+    val merged = Rollup.mergeIncremental(eventsEnv, fact, prior, delta, TimeUnit.Hour)
+    assert(merged.schema == full.schema) // overflow-guarded casts keep declared types
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      ((r.getLong(r.fieldIndex("ts_hour_id")), r.getLong(r.fieldIndex("user_id")),
+        r.getInt(r.fieldIndex("event_type_id"))),
+       (r.getInt(r.fieldIndex("event_count")),
+        r.getMap[Int, Int](r.fieldIndex("user_count")).toMap,
+        Option(r.getDecimal(r.fieldIndex("value_sum")))))
+    }.toMap
+    val a = keyed(merged)
+    val b = keyed(full)
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (k, v) => b(k) == v })
+    // the split actually exercised both paths
+    val priorKeys = prior.select("ts_hour_id").distinct().collect().map(_.getLong(0)).toSet
+    val deltaKeys = delta.select("ts_hour_id").distinct().collect().map(_.getLong(0)).toSet
+    assert((priorKeys intersect deltaKeys).nonEmpty, "no bucket spans the split")
+    assert((priorKeys diff deltaKeys).nonEmpty, "no untouched passthrough bucket")
+  }
+
+  test("mergeIncremental never shuffles the maintained table (broadcast anti/semi)") {
+    val s   = spark
+    val dir = sf("sf0.001")
+    val ev  = sources.ParquetTables.readTable(s, dir, "events")
+    val fact = eventsEnv.findFact("event").get
+    val dim = graft.exec.DimPopulate.full(
+      eventsEnv, fact, "dim_event_type", ev, TimeWindow.unbounded)
+    def rolledOver(rows: org.apache.spark.sql.DataFrame) =
+      Rollup.toCoarser(eventsEnv, fact,
+        graft.exec.FactPopulate.populate(
+          eventsEnv, fact, TimeWindow.unbounded, _ => rows, _ => dim),
+        TimeUnit.Hour)
+    val cut    = ev.selectExpr("percentile_approx(ts, 0.5)").head.getTimestamp(0)
+    val merged = Rollup.mergeIncremental(
+      eventsEnv, fact,
+      rolledOver(ev.filter(col("ts") < lit(cut))),
+      rolledOver(ev.filter(col("ts") >= lit(cut))), TimeUnit.Hour)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    // the prior side joins the delta's key set without an exchange of
+    // its own rows: both prior probes must be broadcast joins
+    val broadcastJoins = "BroadcastHashJoin.*Left(Anti|Semi)".r
+      .findAllIn(plan).size
+    assert(broadcastJoins >= 2, s"expected broadcast anti+semi probes, plan:\n$plan")
+  }
+
   test("rollup fails loudly when a count overflows its stored integer type") {
     val s   = spark
     val dir = sf("sf0.001")
