@@ -481,6 +481,32 @@ object QueriesExt {
        |WHERE rk <= 20
        |""".stripMargin
 
+  /** Corpus mixing to a token budget: 60/25/10/5 over four sources,
+    * 20k chars total — src0's target exceeds its corpus at small sf,
+    * exercising the keep-all cap alongside partial sampling. */
+  def sampleDomainMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.domainMix(
+      docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars",
+      weights = Seq("src0" -> 60L, "src1" -> 25L, "src2" -> 10L, "src3" -> 5L),
+      budgetTokens = 20000L, salt = "mix")
+
+  lazy val sampleDomainMixSql: String =
+    s"""WITH w(source, wgt) AS (VALUES ('src0', 60), ('src1', 25), ('src2', 10), ('src3', 5)),
+       |tot AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS toks
+       |        FROM documents GROUP BY 1),
+       |thr AS (
+       |  SELECT t.source,
+       |         CASE WHEN (CAST(65536 AS HUGEINT) * 20000 * w.wgt) // (100 * t.toks) >= 65536
+       |              THEN 'g'
+       |              ELSE lpad(to_hex((CAST(65536 AS HUGEINT) * 20000 * w.wgt) // (100 * t.toks)), 4, '0')
+       |         END AS th
+       |  FROM tot t JOIN w ON w.source = t.source)
+       |SELECT d.doc_id, d.source, d.n_chars
+       |FROM documents d JOIN thr ON d.source = thr.source
+       |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4) < thr.th
+       |""".stripMargin
+
   // ================================================================ text normalization
   /** Normalized text as a materialized column (the shared preprocessing
     * of every text operator, exposed as its own output). */

@@ -102,6 +102,8 @@ object SparkEntry {
     "sample_hash"       -> (QueriesExt.sampleHash _),
     "sample_splits"     -> (QueriesExt.sampleSplits _),
     "sample_stratified" -> (QueriesExt.sampleStratified _),
+    // corpus mixing: per-domain hash sample sized to a token budget
+    "sample_domain_mix" -> (QueriesExt.sampleDomainMix _),
     // rolling time-window aggregation + transition matrix
     "events_rolling"     -> (QueriesEvents.eventsRolling _),
     "events_cube"        -> (QueriesEvents.eventsCube _),
@@ -201,6 +203,7 @@ object SparkEntry {
     "sample_hash"               -> QueriesExt.sampleHashSql,
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "sample_stratified"         -> QueriesExt.sampleStratifiedSql,
+    "sample_domain_mix"         -> QueriesExt.sampleDomainMixSql,
     "events_rolling"            -> QueriesEvents.eventsRollingSql,
     "events_cube"               -> QueriesEvents.eventsCubeSql,
     "events_transitions"        -> QueriesEvents.eventsTransitionsSql,

@@ -67,6 +67,55 @@ object Sampling {
     df.withColumn("split", ordered)
   }
 
+  /** Domain-mixture downsampling to a token budget — the corpus-mixing
+    * primitive of a training run ("60% web, 25% books, …, capped at N
+    * tokens total"). Each listed domain keeps a deterministic hash
+    * sample sized so its expected token mass is
+    * `budget * weight / sum(weights)`; a domain whose corpus is
+    * already below its target keeps everything (acceptance capped at
+    * 1), and domains not listed are dropped. Membership is a pure
+    * function of (key, salt) — stable across runs and engines like
+    * [[hashSample]], and the per-domain acceptance thresholds are
+    * computed in exact integer arithmetic (decimal div, no float
+    * rounding) so any md5-capable system reproduces the sample
+    * bit-for-bit.
+    *
+    * Plan shape: one partial-aggregated groupBy over the corpus for
+    * per-domain token totals (|domains| rows), a broadcast join of the
+    * thresholds, and a scan-local codegen'd md5 filter — the corpus is
+    * never shuffled.
+    */
+  def domainMix(
+      df: DataFrame, keyCol: String, domainCol: String, tokenCol: String,
+      weights: Seq[(String, Long)], budgetTokens: Long, salt: String = ""
+  ): DataFrame = {
+    require(weights.nonEmpty, "at least one domain weight required")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val sumW = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toDF(domainCol, "__w")
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("decimal(38,0)").as("__toks"))
+    // buckets-in-sample of 65536, floored exactly: decimal `div` is a
+    // true integral divide (no intermediate float, no decimal-scale
+    // rounding), so engines agree even when the quotient grazes an
+    // integer boundary
+    val thr = totals.join(wDf, Seq(domainCol))
+      .withColumn("__buckets", expr(
+        s"(CAST($Buckets AS DECIMAL(38,0)) * CAST($budgetTokens AS DECIMAL(38,0))" +
+          s" * CAST(__w AS DECIMAL(38,0))) div (CAST($sumW AS DECIMAL(38,0)) * __toks)"))
+      .withColumn("__thr",
+        when(col("__buckets") >= Buckets, lit("g")) // keep-all (see hexThreshold)
+          .otherwise(format_string("%04x", col("__buckets"))))
+      .select(col(domainCol), col("__thr"))
+    df.join(broadcast(thr), Seq(domainCol))
+      .filter(bucketKey(col(keyCol), salt) < col("__thr"))
+      .drop("__thr")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Exactly-k-per-stratum deterministic sample: rows are ranked within
     * each stratum by `md5(key || salt)` (ties broken by the key itself,
     * so the rank is total) and the top `k` kept. Unlike [[hashSample]],

@@ -39,6 +39,46 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
   }
 
+  test("domain mix: budget-proportional mixture, keep-all cap, drops unlisted") {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val weights = Seq("src0" -> 60L, "src1" -> 25L, "src2" -> 10L, "src3" -> 5L)
+    val mixed = Sampling.domainMix(base, "doc_id", "source", "n_chars",
+      weights, budgetTokens = 20000L, salt = "mix")
+    // deterministic
+    val ids = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.domainMix(base, "doc_id", "source", "n_chars",
+      weights, budgetTokens = 20000L, salt = "mix")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+    // unlisted domains are excluded
+    val kept = mixed.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(kept.subsetOf(weights.map(_._1).toSet))
+    // src0's target (12k chars) exceeds its ~8k corpus -> keep-all
+    val perSrc = mixed.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src0All = base.filter(col("source") === "src0").count()
+    assert(perSrc("src0")._1 == src0All, "capped domain must keep everything")
+    // partial domains keep a strict, non-empty subset near their target
+    val src1Target = 20000.0 * 25 / 100
+    val src1Total  = base.filter(col("source") === "src1").count()
+    assert(perSrc("src1")._1 > 0 && perSrc("src1")._1 < src1Total)
+    assert(math.abs(perSrc("src1")._2 - src1Target) / src1Target < 0.5,
+      s"src1 kept ${perSrc("src1")._2} chars, target ~$src1Target")
+    // scale shape: thresholds broadcast, corpus never exchanged
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("domain mix: huge budget keeps every listed domain in full") {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val all = Sampling.domainMix(base, "doc_id", "source", "n_chars",
+      Seq("src4" -> 1L, "src5" -> 1L), budgetTokens = 100000000L)
+    val want = base.filter(col("source").isin("src4", "src5")).count()
+    assert(all.count() == want)
+    assert(all.columns.toSeq == base.columns.toSeq)
+  }
+
   test("splits reject negative weights (silently-starved split otherwise)") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplits(docs, "doc_id",
