@@ -56,10 +56,12 @@ object Bench {
     "events_pivot"              -> (QueriesEvents.eventsPivot _),
     "events_rolling"            -> (QueriesEvents.eventsRolling _),
     "events_transitions"        -> (QueriesEvents.eventsTransitions _),
+    "events_pagerank"           -> (QueriesEvents.eventsPagerank _),
     "events_topk"               -> (QueriesEvents.eventsTopk _),
     // production percentile shape (bounded sketch, no exact companion)
     "events_percentiles_approx" -> (QueriesEvents.eventsPercentilesApproxBench _),
     "sample_stratified"         -> (QueriesExt.sampleStratified _),
+    "sample_domain_mix"         -> (QueriesExt.sampleDomainMix _),
     "text_tfidf"                -> (QueriesExt.textTfidf _),
     "text_pack"                 -> (QueriesExt.textPack _),
     "text_curate"               -> (QueriesExt.textCurate _),

@@ -451,6 +451,52 @@ object QueriesEvents {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  /** Link centrality of the event-type transition graph: 3 iterations
+    * of fixed-point integer PageRank over the same edge list as
+    * `events_transitions`. Exact integer arithmetic end-to-end, so the
+    * unrolled DuckDB oracle matches bit-for-bit. */
+  def eventsPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Centrality.pageRank(
+      eventsTransitions(s, dir), "from_type", "to_type", "n", iterations = 3)
+      .withColumnRenamed("node", "event_type")
+
+  lazy val eventsPagerankSql: String = {
+    // one unrolled iteration: inflow via LEFT JOIN of the per-dst sum,
+    // teleport floor for nodes with no inbound mass
+    def it(prev: String, out: String): String =
+      s"""c_$out AS (
+         |  SELECT e.d AS v,
+         |         sum((85 * $prev.r * e.n) // (CAST(100 AS HUGEINT) * ow.w)) AS infl
+         |  FROM e
+         |  JOIN $prev ON $prev.v = e.s
+         |  JOIN ow ON ow.s = e.s
+         |  GROUP BY 1),
+         |$out AS (
+         |  SELECT nodes.v,
+         |         (CAST(15 AS HUGEINT) * 1000000000) // (100 * nn.n)
+         |           + coalesce(c_$out.infl, 0) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c_$out ON c_$out.v = nodes.v)""".stripMargin
+    s"""WITH nxt AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id) AS to_type
+       |  FROM events
+       |),
+       |e AS (SELECT from_type AS s, to_type AS d, count(*) AS n
+       |      FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
+       |ow AS (SELECT s, CAST(sum(n) AS HUGEINT) AS w FROM e GROUP BY 1),
+       |r0 AS (SELECT v, CAST(1000000000 AS HUGEINT) // nn.n AS r
+       |       FROM nodes CROSS JOIN nn),
+       |${it("r0", "r1")},
+       |${it("r1", "r2")},
+       |${it("r2", "r3")}
+       |SELECT v AS event_type, CAST(r AS BIGINT) AS rank_fp FROM r3
+       |""".stripMargin
+  }
+
   // ================================================================ grouped top-k
   /** Top-3 events per user by value — the grouped top-k surface. The
     * rank filter is recognized by Spark's RankLimit rewrite and planned

@@ -108,6 +108,8 @@ object SparkEntry {
     "events_rolling"     -> (QueriesEvents.eventsRolling _),
     "events_cube"        -> (QueriesEvents.eventsCube _),
     "events_transitions" -> (QueriesEvents.eventsTransitions _),
+    // fixed-point integer PageRank over the transition graph
+    "events_pagerank"    -> (QueriesEvents.eventsPagerank _),
     // dedup family
     "dedup_exact"         -> (QueriesExt.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
@@ -207,6 +209,7 @@ object SparkEntry {
     "events_rolling"            -> QueriesEvents.eventsRollingSql,
     "events_cube"               -> QueriesEvents.eventsCubeSql,
     "events_transitions"        -> QueriesEvents.eventsTransitionsSql,
+    "events_pagerank"           -> QueriesEvents.eventsPagerankSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Centrality
+
+/** Fixed-point PageRank: hand-computed exact values on tiny graphs
+  * (the arithmetic is integral, so equality is exact, not within-ε),
+  * ordering on asymmetric graphs, and conservation bounds. */
+class CentralitySpec extends SparkSpec {
+
+  private def ranksOf(edges: Seq[(String, String, Long)], iters: Int) = {
+    val s = spark
+    import s.implicits._
+    Centrality.pageRank(edges.toDF("s", "d", "w"), "s", "d", "w", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("symmetric 2-cycle is the exact fixed point") {
+    // A<->B: r0 = 5e8 each; teleport = 15e9 div 200 = 75e6;
+    // inflow = (85 * 5e8 * 1) div (100 * 1) = 425e6; rank = 5e8 again
+    val r = ranksOf(Seq(("A", "B", 1L), ("B", "A", 1L)), iters = 3)
+    assert(r == Map("A" -> 500000000L, "B" -> 500000000L))
+  }
+
+  test("one-way edge: source decays to the teleport floor, sink accumulates") {
+    // A->B only. r1(A) = teleport = 75e6 exactly; r1(B) = 75e6 + 425e6
+    val r1 = ranksOf(Seq(("A", "B", 1L)), iters = 1)
+    assert(r1 == Map("A" -> 75000000L, "B" -> 500000000L))
+    // iteration 2: inflow(B) = (85 * 75e6) div 100 = 63,750,000
+    val r2 = ranksOf(Seq(("A", "B", 1L)), iters = 2)
+    assert(r2 == Map("A" -> 75000000L, "B" -> 138750000L))
+  }
+
+  test("weighted out-edges split mass proportionally, exactly") {
+    // A->B w=3, A->C w=1: W(A)=4
+    // inflow(B) = (85 * 5e8 * 3) div (100 * 4) wait N=3: r0 = 1e9 div 3
+    val r0 = 1000000000L / 3 // 333333333
+    val tele = 15L * 1000000000L / (100L * 3L) // 50000000
+    val inB = 85L * r0 * 3L / (100L * 4L)
+    val inC = 85L * r0 * 1L / (100L * 4L)
+    val r = ranksOf(Seq(("A", "B", 3L), ("A", "C", 1L)), iters = 1)
+    assert(r("A") == tele)
+    assert(r("B") == tele + inB)
+    assert(r("C") == tele + inC)
+    assert(r("B") > r("C"))
+  }
+
+  test("total rank stays positive and bounded by scale; hub outranks leaves") {
+    val edges = Seq(
+      ("a", "hub", 5L), ("b", "hub", 4L), ("c", "hub", 6L),
+      ("hub", "a", 1L), ("hub", "b", 1L), ("hub", "c", 1L))
+    val r = ranksOf(edges, iters = 3)
+    assert(r.values.forall(_ > 0))
+    assert(r.values.sum <= 1000000000L)
+    assert(r("hub") > r("a") && r("hub") > r("b") && r("hub") > r("c"))
+  }
+
+  test("node count enters the plan as a broadcast, not a driver collect") {
+    val s = spark
+    import s.implicits._
+    val df = Centrality.pageRank(
+      Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("s", "d", "w"), "s", "d", "w", 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected the 1-row count to broadcast:\n$plan")
+  }
+}
