@@ -323,6 +323,40 @@ object Queries {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  /** Referential-integrity audit across the declared star joins, plus
+    * a late-arriving-member check (events whose user first appears
+    * after the dim snapshot cut): the synthetic star is clean (0
+    * orphans) while the events check is deliberately non-zero, so both
+    * branches of the audit are exercised. */
+  def auditReferential(s: SparkSession, dir: String): DataFrame = {
+    val t  = src(s, dir) _
+    val ev = t("events")
+    graft.operators.Audit.referential(Seq(
+      ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+      ("orders.o_custkey->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+      ("events.user_id->early_users", ev, "user_id",
+        ev.filter(col("ts") < lit(EV_SPLIT)), "user_id")))
+  }
+
+  lazy val auditReferentialSql: String = {
+    def one(fk: String, child: String, key: String, orphanPred: String): String =
+      s"""SELECT '$fk' AS fk,
+         |  (SELECT count(*) FROM $child) AS child_rows,
+         |  (SELECT count($key) FROM $child) AS keyed_rows,
+         |  (SELECT count(*) FROM $child c
+         |     WHERE c.$key IS NOT NULL AND $orphanPred) AS orphan_rows,
+         |  (SELECT count(DISTINCT c.$key) FROM $child c
+         |     WHERE c.$key IS NOT NULL AND $orphanPred) AS orphan_keys""".stripMargin
+    Seq(
+      one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey)"),
+      one("orders.o_custkey->customer", "orders", "o_custkey",
+        "NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey)"),
+      one("events.user_id->early_users", "events", "user_id",
+        "NOT EXISTS (SELECT 1 FROM events p WHERE p.ts < TIMESTAMP '2024-01-02 00:00:00' AND p.user_id = c.user_id)")
+    ).mkString("", "\nUNION ALL\n", "\n")
+  }
+
   // ================================================================ F7
   /** Exact distinct-count per day (built-in expand+two-phase agg) —
     * the oracle-checkable companion of the sketch. */

@@ -37,6 +37,8 @@ object SparkEntry {
     // F7: exact companion + mergeable register sketch
     "agg_count_distinct_exact" -> (Queries.aggCountDistinctExact _),
     "sketch_count_distinct"    -> (Queries.sketchCountDistinct _),
+    // data-quality: per-FK orphan audit over the declared star joins
+    "audit_referential" -> (Queries.auditReferential _),
     // E1-E4: derivation layer exposed as rows (golden-checked in tests
     // against the reference doctest outputs)
     "derive_schemas"      -> (Queries.deriveSchemas _),
@@ -154,6 +156,7 @@ object SparkEntry {
     "fact_populate_tenant"      -> Queries.factPopulateTenantSql,
     "fact_rollup_hour"          -> Queries.factRollupHourSql,
     "fact_rollup_incremental"   -> Queries.factRollupIncrementalSql,
+    "audit_referential"         -> Queries.auditReferentialSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "sketch_count_distinct"     -> Queries.sketchCountDistinctSql,
     "dedup_minhash_lsh_verified" -> QueriesExt.dedupNgramJaccardSql,
