@@ -807,6 +807,37 @@ object QueriesEvents {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  /** Equi-depth histogram: 8 equal-count bins per event type via
+    * ntile over a TOTAL order (value, event_id tie-break — both
+    * engines agree on every bin boundary). Bin edges are existing
+    * input doubles (min/max picks, no float arithmetic), so the
+    * oracle matches exactly. One per-group sort exchange; at extreme
+    * per-group cardinality the approx-percentile sketch
+    * (`events_percentiles_approx`) is the documented edge-estimation
+    * swap, with this as the exact shape. */
+  def eventsHistogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), ntile(8).over(w).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
+  lazy val eventsHistogramEquidepthSql: String =
+    s"""SELECT event_type, bin, min(value) AS lo, max(value) AS hi,
+       |       count(*) AS n
+       |FROM (
+       |  SELECT event_type, value,
+       |         ntile(8) OVER (PARTITION BY event_type
+       |                        ORDER BY value, event_id) AS bin
+       |  FROM events WHERE value IS NOT NULL
+       |)
+       |GROUP BY 1, 2
+       |""".stripMargin
+
   // ================================================================ typed JSON extraction
   /** Semi-structured handling: the props JSON column parsed with a
     * TYPED schema (`from_json`, not regexp) and aggregated per event

@@ -86,6 +86,7 @@ object SparkEntry {
     "events_zorder3"       -> (QueriesEvents.eventsZorder3 _),
     "events_props_typed"   -> (QueriesEvents.eventsPropsTyped _),
     "events_histogram"     -> (QueriesEvents.eventsHistogram _),
+    "events_histogram_equidepth" -> (QueriesEvents.eventsHistogramEquidepth _),
     "dim_merge_latest"     -> (QueriesEvents.dimMergeLatest _),
     "embed_quantize"       -> (QueriesExt.embedQuantize _),
     // SCD Type-2 dimension history (the Type-1 populate family's
@@ -196,6 +197,7 @@ object SparkEntry {
     "events_zorder3"            -> QueriesEvents.eventsZorder3Sql,
     "events_props_typed"        -> QueriesEvents.eventsPropsTypedSql,
     "events_histogram"          -> QueriesEvents.eventsHistogramSql,
+    "events_histogram_equidepth" -> QueriesEvents.eventsHistogramEquidepthSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
