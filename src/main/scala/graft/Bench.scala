@@ -57,6 +57,9 @@ object Bench {
     "events_rolling"            -> (QueriesEvents.eventsRolling _),
     "events_transitions"        -> (QueriesEvents.eventsTransitions _),
     "events_pagerank"           -> (QueriesEvents.eventsPagerank _),
+    "events_twa"                -> (QueriesEvents.eventsTwa _),
+    "events_histogram_equidepth" -> (QueriesEvents.eventsHistogramEquidepth _),
+    "audit_referential"         -> (Queries.auditReferential _),
     "events_topk"               -> (QueriesEvents.eventsTopk _),
     // production percentile shape (bounded sketch, no exact companion)
     "events_percentiles_approx" -> (QueriesEvents.eventsPercentilesApproxBench _),

@@ -807,6 +807,33 @@ object QueriesEvents {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  /** Time-weighted average value per user: each reading held until the
+    * next, exact decimal*us mass, one final double division — see
+    * [[graft.operators.Temporal.timeWeightedAvg]]. */
+  def eventsTwa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.timeWeightedAvg(
+      events(s, dir), Seq("user_id"), "ts", "value", "event_id")
+
+  lazy val eventsTwaSql: String =
+    // mass in exact integral micro-units; `//` is floor division,
+    // mirroring the operator's explicit floor — the only float step is
+    // small-int -> double / 1e6
+    s"""WITH seg AS (
+       |  SELECT user_id,
+       |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS vu,
+       |         epoch_us(ts) AS tus,
+       |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                  ORDER BY ts, event_id) AS nxt
+       |  FROM events WHERE value IS NOT NULL)
+       |SELECT user_id,
+       |       CAST((sum(vu * (nxt - tus)) // CAST(sum(nxt - tus) AS HUGEINT)) AS DOUBLE)
+       |         / 1000000.0 AS twa,
+       |       CAST(sum(nxt - tus) AS BIGINT) AS span_us,
+       |       count(*) AS segments
+       |FROM seg WHERE nxt IS NOT NULL
+       |GROUP BY 1
+       |""".stripMargin
+
   /** Equi-depth histogram: 8 equal-count bins per event type via
     * ntile over a TOTAL order (value, event_id tie-break — both
     * engines agree on every bin boundary). Bin edges are existing

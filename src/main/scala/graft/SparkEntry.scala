@@ -87,6 +87,8 @@ object SparkEntry {
     "events_props_typed"   -> (QueriesEvents.eventsPropsTyped _),
     "events_histogram"     -> (QueriesEvents.eventsHistogram _),
     "events_histogram_equidepth" -> (QueriesEvents.eventsHistogramEquidepth _),
+    // held-value integration over irregular timelines
+    "events_twa"           -> (QueriesEvents.eventsTwa _),
     "dim_merge_latest"     -> (QueriesEvents.dimMergeLatest _),
     "embed_quantize"       -> (QueriesExt.embedQuantize _),
     // SCD Type-2 dimension history (the Type-1 populate family's
@@ -198,6 +200,7 @@ object SparkEntry {
     "events_props_typed"        -> QueriesEvents.eventsPropsTypedSql,
     "events_histogram"          -> QueriesEvents.eventsHistogramSql,
     "events_histogram_equidepth" -> QueriesEvents.eventsHistogramEquidepthSql,
+    "events_twa"                -> QueriesEvents.eventsTwaSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
