@@ -58,7 +58,9 @@ object Bench {
     "events_transitions"        -> (QueriesEvents.eventsTransitions _),
     "events_pagerank"           -> (QueriesEvents.eventsPagerank _),
     "events_twa"                -> (QueriesEvents.eventsTwa _),
+    "events_winsorize"          -> (QueriesEvents.eventsWinsorize _),
     "events_histogram_equidepth" -> (QueriesEvents.eventsHistogramEquidepth _),
+    "dim_snapshot_diff"         -> (QueriesEvents.dimSnapshotDiff _),
     "audit_referential"         -> (Queries.auditReferential _),
     "events_topk"               -> (QueriesEvents.eventsTopk _),
     // production percentile shape (bounded sketch, no exact companion)

@@ -784,6 +784,79 @@ object QueriesEvents {
        |FROM r WHERE rn = 1
        |""".stripMargin
 
+  /** Snapshot diff of the CDC latest-wins state at two cutoffs: users
+    * first seen after the cut are `added`, users with later activity
+    * are `changed` (nothing is `removed` in an append-only log — the
+    * branch is spec-covered). */
+  def dimSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def stateBefore(hi: Option[java.sql.Timestamp]): DataFrame = {
+      val base = events(s, dir)
+      hi.fold(base)(h => base.filter(col("ts") < lit(h)))
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"),
+          unix_micros(col("last.ts")).as("ts_us"),
+          col("last.event_id"), col("last.event_type"), col("last.value"))
+    }
+    graft.operators.Snapshot.diff(
+      stateBefore(Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))),
+      stateBefore(None), Seq("user_id"))
+  }
+
+  lazy val dimSnapshotDiffSql: String = {
+    def state(where: String, name: String): String =
+      s"""r_$name AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events $where),
+         |$name AS (SELECT user_id, ts_us, event_id, event_type, value
+         |          FROM r_$name WHERE rn = 1)""".stripMargin
+    s"""WITH ${state("WHERE ts < TIMESTAMP '2024-01-02 00:00:00'", "b")},
+       |${state("", "a")}
+       |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       |       CASE WHEN b.user_id IS NULL THEN 'added'
+       |            WHEN a.user_id IS NULL THEN 'removed'
+       |            WHEN (b.ts_us IS DISTINCT FROM a.ts_us)
+       |              OR (b.event_id IS DISTINCT FROM a.event_id)
+       |              OR (b.event_type IS DISTINCT FROM a.event_type)
+       |              OR (b.value IS DISTINCT FROM a.value) THEN 'changed'
+       |       END AS change
+       |FROM b FULL OUTER JOIN a ON a.user_id = b.user_id
+       |WHERE (b.user_id IS NULL OR a.user_id IS NULL
+       |       OR (b.ts_us IS DISTINCT FROM a.ts_us)
+       |       OR (b.event_id IS DISTINCT FROM a.event_id)
+       |       OR (b.event_type IS DISTINCT FROM a.event_type)
+       |       OR (b.value IS DISTINCT FROM a.value))
+       |""".stripMargin
+  }
+
+  /** Per-type winsorization of `value` at the discrete [p05, p95]
+    * band — exact order-statistic edges, no interpolation. */
+  def eventsWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winsorize.winsorize(
+      events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+      Seq("event_type"), "value", "event_id", loPct = 5, hiPct = 95)
+
+  lazy val eventsWinsorizeSql: String =
+    s"""WITH rk AS (
+       |  SELECT event_id, event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY value, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events WHERE value IS NOT NULL),
+       |bounds AS (
+       |  SELECT event_type,
+       |         max(CASE WHEN rn = ((5 * n) + 99) // 100 THEN value END) AS lo,
+       |         max(CASE WHEN rn = ((95 * n) + 99) // 100 THEN value END) AS hi
+       |  FROM rk GROUP BY 1)
+       |SELECT r.event_id, r.event_type, r.value,
+       |       least(greatest(r.value, b.lo), b.hi) AS value_wins
+       |FROM rk r JOIN bounds b USING (event_type)
+       |""".stripMargin
+
   // ================================================================ value histogram
   /** Equal-width value histogram per event type (bin = floor(v/10)):
     * the distribution-profiling primitive. One map-side-combined

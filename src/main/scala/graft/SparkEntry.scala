@@ -89,6 +89,10 @@ object SparkEntry {
     "events_histogram_equidepth" -> (QueriesEvents.eventsHistogramEquidepth _),
     // held-value integration over irregular timelines
     "events_twa"           -> (QueriesEvents.eventsTwa _),
+    // exact order-statistic outlier clamping
+    "events_winsorize"     -> (QueriesEvents.eventsWinsorize _),
+    // added/removed/changed between two keyed snapshots
+    "dim_snapshot_diff"    -> (QueriesEvents.dimSnapshotDiff _),
     "dim_merge_latest"     -> (QueriesEvents.dimMergeLatest _),
     "embed_quantize"       -> (QueriesExt.embedQuantize _),
     // SCD Type-2 dimension history (the Type-1 populate family's
@@ -201,6 +205,8 @@ object SparkEntry {
     "events_histogram"          -> QueriesEvents.eventsHistogramSql,
     "events_histogram_equidepth" -> QueriesEvents.eventsHistogramEquidepthSql,
     "events_twa"                -> QueriesEvents.eventsTwaSql,
+    "events_winsorize"          -> QueriesEvents.eventsWinsorizeSql,
+    "dim_snapshot_diff"         -> QueriesEvents.dimSnapshotDiffSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
