@@ -28,6 +28,7 @@ object Bench {
     "agg_count_distinct_exact"  -> (Queries.aggCountDistinctExact _),
     // production sketch shape (no exact-distinct oracle companion)
     "sketch_count_distinct"     -> (Queries.sketchCountDistinctBench _),
+    "sketch_rolling_distinct"   -> (Queries.sketchRollingDistinct _),
     "text_stats"                -> (QueriesExt.textStats _),
     "text_chunks"               -> (QueriesExt.textChunks _),
     "decon_ngram_overlap"       -> (QueriesExt.deconNgramOverlap _),

@@ -437,6 +437,51 @@ object Queries {
       .select(est(col("sketch")).as("approx_users"), lit(true).as("merged"))
   }
 
+  /** Rolling 7-day distinct users per day from MERGEABLE daily
+    * sketches: the corpus is scanned once to build per-day registers,
+    * then each day's trailing window merges <=7 register maps
+    * (|days|-row data, no second corpus pass) — the reason the fact
+    * schema stores registers instead of resolved counts. Exact
+    * companion computed in-plan by exploding each (user, day) pair
+    * over the <=7 window anchors it covers (shuffle ops only, no
+    * range join); the gate pins the estimate within eps of it. */
+  def sketchRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val m     = RegisterSketch.bucketCount(0.05)
+    val build = RegisterSketch.buildAgg(m)
+    val merge = RegisterSketch.mergeAgg(m)
+    val est   = RegisterSketch.estimateUdf(m)
+    val ev    = src(s, dir)("events")
+    val day   = floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+    val daily = ev.groupBy(day.as("ts_day_id"))
+      .agg(build(RegisterSketch.hashColumn(col("user_id"))).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts_day_id")).rangeBetween(-6, 0)
+    val rolled = daily.withColumn("rsk", merge(col("sk")).over(w))
+    val pairs = ev.select(day.as("d"), col("user_id")).distinct()
+    val exact = pairs
+      .withColumn("ts_day_id", explode(sequence(col("d"), col("d") + 6)))
+      .join(daily.select(col("ts_day_id")), Seq("ts_day_id"), "left_semi")
+      .groupBy(col("ts_day_id"))
+      .agg(countDistinct(col("user_id")).as("exact_rolling_users"))
+    rolled.join(exact, Seq("ts_day_id"))
+      .select(col("ts_day_id"), col("exact_rolling_users"),
+        ((abs(est(col("rsk")).cast("double") - col("exact_rolling_users").cast("double"))
+          / col("exact_rolling_users").cast("double")) <= lit(0.12)).cast("int")
+          .as("within_eps"))
+  }
+
+  val sketchRollingDistinctSql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS d, user_id
+       |  FROM events),
+       |days AS (SELECT DISTINCT d AS ts_day_id FROM pairs)
+       |SELECT y.ts_day_id,
+       |       count(DISTINCT p.user_id) AS exact_rolling_users,
+       |       CAST(1 AS INTEGER) AS within_eps
+       |FROM days y JOIN pairs p ON p.d BETWEEN y.ts_day_id - 6 AND y.ts_day_id
+       |GROUP BY 1
+       |""".stripMargin
+
   val sketchCountDistinctSql: String =
     s"""SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS ts_day_id,
        |       count(DISTINCT user_id) AS exact_users,

@@ -37,6 +37,8 @@ object SparkEntry {
     // F7: exact companion + mergeable register sketch
     "agg_count_distinct_exact" -> (Queries.aggCountDistinctExact _),
     "sketch_count_distinct"    -> (Queries.sketchCountDistinct _),
+    // mergeable registers over a trailing window: rolling 7d distinct
+    "sketch_rolling_distinct"  -> (Queries.sketchRollingDistinct _),
     // data-quality: per-FK orphan audit over the declared star joins
     "audit_referential" -> (Queries.auditReferential _),
     // E1-E4: derivation layer exposed as rows (golden-checked in tests
@@ -166,6 +168,7 @@ object SparkEntry {
     "audit_referential"         -> Queries.auditReferentialSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "sketch_count_distinct"     -> Queries.sketchCountDistinctSql,
+    "sketch_rolling_distinct"   -> Queries.sketchRollingDistinctSql,
     "dedup_minhash_lsh_verified" -> QueriesExt.dedupNgramJaccardSql,
     "dedup_simhash_verified"     -> QueriesExt.dedupSimhashVerifiedSql,
     "embed_knn_lsh_verified"     -> QueriesExt.embedKnnVerifiedSql,

@@ -33,7 +33,24 @@ import org.apache.spark.sql.functions._
   */
 object Centrality {
 
-  /** @param edges     weighted edge list
+  /** Scoped edge-list lifecycle for pipelines that rank repeatedly:
+    * persists the (node^2-bounded) aggregated edge list, runs `f`,
+    * releases — the [[graft.operators.LanguageModel.withModel]]
+    * loan shape. */
+  def withEdges[A](edges: DataFrame)(f: DataFrame => A): A = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(e)
+    finally e.unpersist(blocking = false)
+  }
+
+  /** @param edges     AGGREGATED weighted edge list (one row per edge;
+    *                  node^2-bounded, NOT the raw event stream). The
+    *                  plan references it from every iteration plus the
+    *                  node set and out-weights, so it is persisted
+    *                  idempotently (plan-based lookup — a second call
+    *                  over the same edges reuses the entry rather than
+    *                  stacking persists); scoped pipelines use
+    *                  [[withEdges]] to release it.
     * @param iterations unrolled iteration count (each adds one
     *                   join+agg stage to the plan)
     * @param dampingPct damping factor in percent (85 = the canonical 0.85)
@@ -48,19 +65,27 @@ object Centrality {
     require(dampingPct > 0 && dampingPct < 100, s"dampingPct in (0,100), got $dampingPct")
     require(scale >= 1000000L, s"scale too small for meaningful fixed-point ranks: $scale")
 
+    // without materialization Catalyst replans the edge subtree for
+    // every reference (3 iterations x (join + nodes + out-weights) =
+    // ~7 rebuilds of whatever scan/window/agg produced the edges)
+    val e0 =
+      if (edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else edges
+
     val src = col(srcCol)
     val dst = col(dstCol)
 
-    val nodes = edges.select(src.as("node"))
-      .union(edges.select(dst.as("node")))
+    val nodes = e0.select(src.as("node"))
+      .union(e0.select(dst.as("node")))
       .distinct()
     // 1-row node count, attached by broadcast crossJoin (stays lazy)
     val nDf = nodes.agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
 
     // loop-invariant: edges with their source's total out-weight
-    val outW = edges.groupBy(src)
+    val outW = e0.groupBy(src)
       .agg(sum(col(weightCol)).cast("decimal(38,0)").as("__w"))
-    val weighted = edges
+    val weighted = e0
       .select(src.as("__s"), dst.as("__d"),
         col(weightCol).cast("decimal(38,0)").as("__e"))
       .join(outW.select(src.as("__s"), col("__w")), Seq("__s"))

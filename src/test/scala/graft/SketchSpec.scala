@@ -45,6 +45,33 @@ class SketchSpec extends SparkSpec {
     assert(whole == merged)
   }
 
+  test("windowed merge == merging exactly the covered daily sketches") {
+    val s = spark
+    import s.implicits._
+    val m     = RegisterSketch.bucketCount(0.05)
+    val build = RegisterSketch.buildAgg(m)
+    val merge = RegisterSketch.mergeAgg(m)
+    // 5 days, users overlapping across days; day 9 missing (gap):
+    // a RANGE frame must skip it, not slide over row positions
+    val rows = Seq(
+      (7L, 1L), (7L, 2L), (8L, 2L), (8L, 3L), (10L, 4L), (11L, 1L), (11L, 5L))
+    val daily = rows.toDF("d", "u")
+      .groupBy($"d").agg(build(RegisterSketch.hashColumn($"u")).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"d").rangeBetween(-2, 0)
+    val rolled = daily.withColumn("rsk", merge($"sk").over(w))
+      .select($"d", $"rsk").collect()
+      .map(r => r.getLong(0) -> r.getMap[Int, Int](1).toMap).toMap
+    // expected: merge dailies with day in [d-2, d]
+    val dailyMaps = daily.collect()
+      .map(r => r.getLong(0) -> r.getMap[Int, Int](1).toMap).toMap
+    def manualMerge(ds: Seq[Long]): Map[Int, Int] =
+      ds.flatMap(dailyMaps(_).toSeq).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(rolled(8L) == manualMerge(Seq(7L, 8L)))
+    assert(rolled(10L) == manualMerge(Seq(8L, 10L))) // 9 absent, RANGE frame
+    assert(rolled(11L) == manualMerge(Seq(10L, 11L)))
+  }
+
   test("property: estimate scales with true cardinality") {
     for (n <- Seq(100, 500, 1000, 2500, 5000, 10000, 20000)) {
       val sketch = (1 to n).foldLeft(Array.fill(m)(-1)) { (buf, i) =>
