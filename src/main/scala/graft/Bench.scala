@@ -76,6 +76,8 @@ object Bench {
     // production approx-distinct profile (no exact companion)
     "table_profile_approx"      -> (QueriesExt.tableProfileApproxBench _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
+    "dedup_incremental"         -> (QueriesExt.dedupIncremental _),
+    "text_postings"             -> (QueriesExt.textPostings _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"             -> (QueriesExt.dedupSimhash _),
     "embed_knn_fold" -> ((s: SparkSession, dir: String) => {

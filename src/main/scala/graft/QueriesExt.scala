@@ -558,6 +558,50 @@ object QueriesExt {
        |LIMIT 100
        |""".stripMargin
 
+  /** Inverted-index postings (cap 20): df over all docs, posting list
+    * capped pre-shuffle (WindowGroupLimit). Arrays flatten to a
+    * comma-joined string for the gate. */
+  def textPostings(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.postings(docs(s, dir), "doc_id", "text", cap = 20)
+      .select(col("token"), col("df"),
+        array_join(col("postings"), ",").as("postings"))
+
+  lazy val textPostingsSql: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, t.token
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |       unnest(w) AS t(token)
+       |  WHERE t.token <> '')
+       |SELECT token, CAST(count(*) AS BIGINT) AS df,
+       |       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+       |FROM toks GROUP BY 1
+       |""".stripMargin
+
+  /** Incremental exact dedup: an 80/20 deterministic split plays
+    * corpus vs new batch; batch docs whose fingerprint exists in the
+    * corpus (or in a smaller-id batch-mate) are dropped. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val h = substring(md5(concat(col("doc_id").cast("string"), lit("inc"))), 1, 4)
+    val batch  = d.filter(h >= "cccc").select(col("doc_id"), col("text"), col("n_chars"))
+    val corpus = Dedup.fingerprints(d.filter(h < "cccc"), "text")
+    Dedup.exactIncremental(batch, corpus, "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  lazy val dedupIncrementalSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars, md5($normSql) AS fp,
+       |         substr(md5(CAST(doc_id AS VARCHAR) || 'inc'), 1, 4) AS h
+       |  FROM documents),
+       |b AS (SELECT * FROM f WHERE h >= 'cccc'),
+       |c AS (SELECT DISTINCT fp FROM f WHERE h < 'cccc')
+       |SELECT b.doc_id, b.n_chars FROM b
+       |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp)
+       |  AND NOT EXISTS (SELECT 1 FROM b b2
+       |                  WHERE b2.fp = b.fp AND b2.doc_id < b.doc_id)
+       |""".stripMargin
+
   // ================================================================ token chunking
   /** Overlapping 32-token windows with stride 24 — the context-window
     * packing step of a training pipeline, scan-local on both sides. */

@@ -53,6 +53,8 @@ object SparkEntry {
     "text_redact"    -> (QueriesExt.textRedact _),
     // corpus vocabulary: term + document frequencies, top-100
     "text_term_freq" -> (QueriesExt.textTermFreq _),
+    // capped inverted-index postings
+    "text_postings"  -> (QueriesExt.textPostings _),
     // per-doc characteristic terms (integer-exact ranking, ln score)
     "text_tfidf" -> (QueriesExt.textTfidf _),
     // grouped top-k via the WindowGroupLimit rank rewrite
@@ -123,6 +125,8 @@ object SparkEntry {
     "events_pagerank"    -> (QueriesEvents.eventsPagerank _),
     // dedup family
     "dedup_exact"         -> (QueriesExt.dedupExact _),
+    // batch admission against a maintained fingerprint set
+    "dedup_incremental"   -> (QueriesExt.dedupIncremental _),
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
@@ -181,6 +185,7 @@ object SparkEntry {
     "text_normalize"            -> QueriesExt.textNormalizeSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,
+    "text_postings"             -> QueriesExt.textPostingsSql,
     "text_tfidf"                -> QueriesExt.textTfidfSql,
     "events_topk"               -> QueriesEvents.eventsTopkSql,
     "text_chunks"               -> QueriesExt.textChunksSql,
@@ -228,6 +233,7 @@ object SparkEntry {
     "events_transitions"        -> QueriesEvents.eventsTransitionsSql,
     "events_pagerank"           -> QueriesEvents.eventsPagerankSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
+    "dedup_incremental"         -> QueriesExt.dedupIncrementalSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,
     "dedup_survivors"           -> QueriesExt.dedupSurvivorsSql,

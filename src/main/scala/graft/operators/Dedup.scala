@@ -24,6 +24,35 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup — admit a NEW batch against an existing
+    * corpus. A batch doc is dropped if its content fingerprint already
+    * exists in the corpus, or if a batch-mate with the same
+    * fingerprint has a smaller id (the [[exact]] survivor rule applied
+    * within the batch, so admitting a batch then re-running full
+    * [[exact]] changes nothing). The corpus contributes only its
+    * DISTINCT fingerprint aggregate, which anti-joins the batch —
+    * cost proportional to the batch plus one fingerprint pass; at
+    * 100 TB the fingerprint set is a maintained table and the corpus
+    * is never rescanned (pass it as `corpusFingerprints`). */
+  def exactIncremental(
+      batch: DataFrame, corpusFingerprints: DataFrame, idCol: String, textCol: String
+  ): DataFrame = {
+    val fresh = batch
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .join(corpusFingerprints.select(col("fingerprint")).distinct(),
+        Seq("fingerprint"), "left_anti")
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "fingerprint")
+  }
+
+  /** The maintained fingerprint set of a corpus (the other input of
+    * [[exactIncremental]]; after admitting a batch, union the batch's
+    * fingerprints in). */
+  def fingerprints(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")).distinct()
+
   /** (id, ng) exploded shingle stream WITH duplicates — for consumers
     * whose aggregate is duplicate-insensitive (minhash `min`), where
     * paying any dedup (shuffle `.distinct()` or per-row

@@ -94,6 +94,30 @@ object TextAnalysis {
     * key (identical to DuckDB's md5 for cross-engine checks). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Inverted-index postings: per token, document frequency plus the
+    * first `cap` doc ids (sorted). The per-term cap is enforced
+    * BEFORE the shuffle — the rank filter plans as WindowGroupLimit,
+    * a bounded per-term heap in each task — so a stopword's postings
+    * never materialize corpus-wide; `df` still counts every document
+    * via the partial-aggregated pair count. One distinct pass over
+    * (doc, token) pairs feeds both. */
+  def postings(df: DataFrame, docCol: String, textCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val td = df
+      .select(col(docCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("__doc"))
+    val capped = td
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("__doc"))).as("postings"))
+    td.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .join(capped, Seq("token"))
+  }
+
   /** PII redaction patterns, applied in order (emails before URLs so a
     * mailto-ish token cannot be half-eaten by the URL rule; IPs last so
     * URL hosts keep priority). Kept to constructs with identical

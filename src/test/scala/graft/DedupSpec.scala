@@ -12,6 +12,27 @@ class DedupSpec extends SparkSpec {
   private def docs: DataFrame =
     sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
 
+  test("exactIncremental: corpus hits dropped, batch survivor rule, fresh kept") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),  // fingerprint exists in corpus -> dropped
+      (11L, "delta"), (12L, "delta"), // batch-internal dup -> min id 11 survives
+      (13L, "epsilon")      // fresh -> kept
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.exactIncremental(
+      batch, Dedup.fingerprints(corpus, "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(11L, 13L))
+    // admission is consistent with full exact dedup: re-running exact
+    // over corpus + admitted changes nothing (every fingerprint unique)
+    val merged = corpus.unionByName(
+      batch.filter(org.apache.spark.sql.functions.col("doc_id").isin(11L, 13L)))
+    val groups = Dedup.exact(merged, "doc_id", "text")
+    assert(groups.count() == merged.count())
+  }
+
   test("minhash LSH finds the exact-jaccard pairs (recall >= 0.9 at j>=0.5)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

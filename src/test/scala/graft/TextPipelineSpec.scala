@@ -12,6 +12,20 @@ class TextPipelineSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("postings: df counts all docs, list caps at the smallest ids, pre-shuffle limit") {
+    val docs = ((1L to 30L).map(i => (i, "common")) ++
+      Seq((31L, "rare common"), (32L, "rare"))).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.postings(docs, "doc_id", "text", cap = 5)
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(rows("common")._1 == 31L)                       // df over ALL docs
+    assert(rows("common")._2 == Seq(1L, 2L, 3L, 4L, 5L))   // capped, smallest ids
+    assert(rows("rare") == ((2L, Seq(31L, 32L))))          // under cap: complete
+    // the cap happens before the exchange (bounded per-term heaps)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("chunkTokens: window starts, overlap, short tail, empty/null docs") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"),
