@@ -386,4 +386,66 @@ class StreamingSpec extends SparkSpec {
       log.filter(col("ts") >= split), "user_id", "ts", "event_id", path, B)
     assert(storeContents(path) == expectSet, "replay must be a content no-op")
   }
+
+  test("streaming sketch maintenance equals batch registers; replay no-op; m guard") {
+    import graft.streaming.StreamingSketch
+    import graft.functions.RegisterSketch
+    val m     = RegisterSketch.bucketCount(0.05)
+    val ev    = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val path  = Files.createTempDirectory("graft-stream-sk").toString + "/daily_sk"
+
+    StreamingSketch.initialize(ev.filter(col("ts") < split), "ts", "user_id", path, m)
+
+    // micro-batch 2 through the REAL foreachBatch wiring (file stream)
+    val stage = Files.createTempDirectory("graft-stream-sk-src").toString
+    ev.filter(col("ts") >= split).coalesce(1).write.mode("append").parquet(stage)
+    val q = StreamingSketch.maintain(
+      spark.readStream.schema(ev.schema).parquet(stage),
+      "ts", "user_id", path, m,
+      Files.createTempDirectory("graft-stream-sk-ck").toString)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // batch parity: stored registers == one-shot batch build per day
+    def registers(df: DataFrame) = df.collect()
+      .map(r => r.get(r.fieldIndex(StreamingSketch.DayCol)).toString.toLong ->
+        r.getMap[Int, Int](r.fieldIndex("sk")).toMap).toMap
+    val expect = registers(
+      ev.groupBy(floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+          .as(StreamingSketch.DayCol))
+        .agg(RegisterSketch.buildAgg(m)(RegisterSketch.hashColumn(col("user_id"))).as("sk")))
+    val got = registers(spark.read.parquet(path))
+    assert(got == expect, "store registers != batch registers")
+
+    // replay (failure recovery): register max is idempotent
+    StreamingSketch.applyBatch(ev.filter(col("ts") >= split), "ts", "user_id", path, m)
+    assert(registers(spark.read.parquet(path)) == expect, "replay must be a no-op")
+
+    // surgical: a one-day batch rewrites only that day's partition
+    def fileSet = {
+      val out = scala.collection.mutable.Set[String]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) out += p.toString
+      }
+      out.toSet
+    }
+    val before = fileSet
+    val oneDay = ev.filter(col("ts") >= split).orderBy("ts").limit(5)
+    StreamingSketch.applyBatch(oneDay, "ts", "user_id", path, m)
+    val changed = (fileSet -- before) ++ (before -- fileSet)
+    val touchedDirs = changed.map(_.split("/").takeWhile(!_.endsWith(".parquet"))
+      .find(_.startsWith(s"${StreamingSketch.DayCol}=")).getOrElse("?"))
+    assert(touchedDirs.size <= 1, s"expected one day partition rewritten, got $touchedDirs")
+
+    // rolling query off the store estimates sensibly
+    val rolling = StreamingSketch.rollingDistinct(spark, path, m, windowDays = 7)
+    assert(rolling.count() == got.size)
+    assert(rolling.agg(min(col("approx_users"))).head.getLong(0) > 0)
+
+    // register-count mismatch is fail-loud, not a silent corruption
+    intercept[IllegalArgumentException] {
+      StreamingSketch.applyBatch(oneDay, "ts", "user_id", path, m * 2)
+    }
+  }
 }
