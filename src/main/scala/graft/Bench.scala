@@ -63,6 +63,7 @@ object Bench {
     "events_histogram_equidepth" -> (QueriesEvents.eventsHistogramEquidepth _),
     "dim_snapshot_diff"         -> (QueriesEvents.dimSnapshotDiff _),
     "audit_referential"         -> (Queries.auditReferential _),
+    "skew_diagnose"             -> (Queries.skewDiagnose _),
     "events_topk"               -> (QueriesEvents.eventsTopk _),
     // production percentile shape (bounded sketch, no exact companion)
     "events_percentiles_approx" -> (QueriesEvents.eventsPercentilesApproxBench _),

@@ -323,6 +323,25 @@ object Queries {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  /** Skew diagnosis of the events join key: top-10 heaviest user_ids
+    * with exact ppm share and the salt factor [[graft.exec.Skew]]
+    * would need — measure-then-salt. */
+  def skewDiagnose(s: SparkSession, dir: String): DataFrame =
+    graft.exec.Skew.diagnose(src(s, dir)("events"), "user_id", topK = 10, parallelism = 32)
+
+  lazy val skewDiagnoseSql: String =
+    s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+       |r AS (SELECT user_id, n,
+       |             CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank
+       |      FROM c)
+       |SELECT r.user_id, r.n, r.rank,
+       |       CAST((CAST(r.n AS HUGEINT) * 1000000) // t.total AS BIGINT) AS share_ppm,
+       |       CAST(greatest(1, (CAST(r.n AS HUGEINT) * 32 + t.total - 1) // t.total) AS BIGINT)
+       |         AS suggested_salt
+       |FROM r CROSS JOIN t WHERE r.rank <= 10
+       |""".stripMargin
+
   /** Referential-integrity audit across the declared star joins, plus
     * a late-arriving-member check (events whose user first appears
     * after the dim snapshot cut): the synthetic star is clean (0

@@ -41,6 +41,8 @@ object SparkEntry {
     "sketch_rolling_distinct"  -> (Queries.sketchRollingDistinct _),
     // data-quality: per-FK orphan audit over the declared star joins
     "audit_referential" -> (Queries.auditReferential _),
+    // measure-then-salt: heavy join keys + suggested salt factor
+    "skew_diagnose"     -> (Queries.skewDiagnose _),
     // E1-E4: derivation layer exposed as rows (golden-checked in tests
     // against the reference doctest outputs)
     "derive_schemas"      -> (Queries.deriveSchemas _),
@@ -170,6 +172,7 @@ object SparkEntry {
     "fact_rollup_hour"          -> Queries.factRollupHourSql,
     "fact_rollup_incremental"   -> Queries.factRollupIncrementalSql,
     "audit_referential"         -> Queries.auditReferentialSql,
+    "skew_diagnose"             -> Queries.skewDiagnoseSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "sketch_count_distinct"     -> Queries.sketchCountDistinctSql,
     "sketch_rolling_distinct"   -> Queries.sketchRollingDistinctSql,

@@ -14,6 +14,41 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Measure-then-salt: the diagnosis that decides whether
+    * [[saltedJoin]] is needed and with which factor. Reports the
+    * top-k heaviest join keys with exact integer share
+    * (parts-per-million, floor `div` — engine-portable) and a
+    * suggested salt: the number of `parallelism`-wide task slots this
+    * key's rows should scatter over so no task holds more than ~1/P
+    * of the relation, `max(1, ceil(share * P))`. A suggestion of 1
+    * means the key is fine unsalted. One partial-aggregated groupBy +
+    * a top-k rank over |distinct keys| rows (WindowGroupLimit bounds
+    * the exchange); the 1-row total attaches by broadcast crossJoin,
+    * no driver collect. NULL keys group together deliberately — the
+    * null bucket IS the classic hot key. */
+  def diagnose(df: DataFrame, keyCol: String, topK: Int, parallelism: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(parallelism > 0, s"parallelism must be positive, got $parallelism")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total  = counts.agg(sum(col("n")).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col(keyCol))
+    counts
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(total))
+      // decimal operands: n * 1e6 overflows a long once a key holds
+      // ~1e13 rows — exactly the regime this diagnosis exists for
+      .withColumn("share_ppm",
+        expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div CAST(__total AS DECIMAL(38,0))"))
+      .withColumn("suggested_salt",
+        greatest(lit(1L), expr(
+          s"(CAST(n AS DECIMAL(38,0)) * $parallelism + __total - 1)" +
+            " div CAST(__total AS DECIMAL(38,0))")))
+      .select(col(keyCol), col("n"), col("rank"),
+        col("share_ppm"), col("suggested_salt"))
+  }
+
   /** Equi-join `left.key == right.key` with the right side replicated
     * `salt` ways. Produces exactly the same rows as the plain join for
     * any join type where right side is the build/lookup side

@@ -8,6 +8,29 @@ import graft.exec.Skew
   * with the build side replicated. */
 class SkewSpec extends SparkSpec {
 
+  test("diagnose: hot key gets ceil(share*P) salt, uniform keys get 1, nulls bucket") {
+    val s = spark
+    import s.implicits._
+    // 100 rows for key 1 (50%), 50 for key 2 (25%), 25 singletons, 25 nulls
+    val rows = Seq.fill(100)(Option(1L)) ++ Seq.fill(50)(Option(2L)) ++
+      (10L to 34L).map(Option(_)) ++ Seq.fill(25)(None: Option[Long])
+    val df = rows.toDF("k")
+    val out = graft.exec.Skew.diagnose(df, "k", topK = 3, parallelism = 32)
+      .collect().map(r => Option(r.get(0)).map(_.toString.toLong) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    // total 200: key 1 -> 500000 ppm, ceil(100*32/200) = 16
+    assert(out(Some(1L)) == ((100L, 1, 500000L, 16L)))
+    // key 2 -> 250000 ppm, ceil(50*32/200) = 8
+    assert(out(Some(2L)) == ((50L, 2, 250000L, 8L)))
+    // the null bucket ranks third at 125000 ppm, ceil(25*32/200) = 4
+    assert(out(None) == ((25L, 3, 125000L, 4L)))
+    // a uniform relation needs no salt
+    val uniform = (1L to 64L).toDF("k")
+    val u = graft.exec.Skew.diagnose(uniform, "k", topK = 2, parallelism = 32)
+      .select("suggested_salt").collect().map(_.getLong(0)).toSet
+    assert(u == Set(1L))
+  }
+
   test("salted inner join equals plain join on skewed data") {
     import spark.implicits._
     // 90% of left rows share one hot key
