@@ -333,7 +333,7 @@ object Queries {
     s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
        |r AS (SELECT user_id, n,
-       |             CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank
+       |             CAST(row_number() OVER (ORDER BY n DESC, user_id NULLS LAST) AS INTEGER) AS rank
        |      FROM c)
        |SELECT r.user_id, r.n, r.rank,
        |       CAST((CAST(r.n AS HUGEINT) * 1000000) // t.total AS BIGINT) AS share_ppm,

@@ -28,18 +28,12 @@ object Rollup {
       s"${target.unitName} is not a multiple of ${s.timeUnit.unitName}")
     val factor = target.seconds / s.timeUnit.seconds
 
-    val timeColName = fact.columns.collectFirst { case FactColumn(c, DimTime) => c }
-      .getOrElse(throw new IllegalStateException("fact has no DimTime column"))
-    val oldTimeId = Naming.timeUnitColumnName(s.dimTableIdColumnName, timeColName, s.timeUnit)
-    val newTimeId = Naming.timeUnitColumnName(s.dimTableIdColumnName, timeColName, target)
-
-    val allDims = Extractor.extractAllDimensionTables(env, fact)
-    val fkNames = allDims.map { case (dimFact, dimTable) =>
-      Naming.factDimFKIdColumnName(s.dimPrefix, s.dimTableIdColumnName, dimFact, dimTable, env.tables)
-    }
-    val degenerate = fact.columns.collect {
-      case FactColumn(c, k) if k == NoDimId || k == TenantId => c
-    }
+    val oldTimeId = Naming.timeUnitColumnName(
+      s.dimTableIdColumnName, dimTimeColName(fact), s.timeUnit)
+    val newTimeId = Naming.timeUnitColumnName(
+      s.dimTableIdColumnName, dimTimeColName(fact), target)
+    val fkNames    = factFkNames(env, fact)
+    val degenerate = degenerateCols(fact)
 
     val groupKeys: Seq[Column] =
       floor(col(oldTimeId) / factor).cast("long").as(newTimeId) +:
@@ -143,20 +137,32 @@ object Rollup {
       .as(cName)
   }
 
+  // Shared key derivation — toCoarser and merge/mergeIncremental MUST
+  // group by the same names or the merge(rollup(a) ∪ rollup(b)) ==
+  // rollup(a ∪ b) contract silently breaks; a single source of truth
+  // per piece keeps them from drifting.
+  private def dimTimeColName(fact: Fact): String =
+    fact.columns.collectFirst { case FactColumn(c, DimTime) => c }
+      .getOrElse(throw new IllegalStateException("fact has no DimTime column"))
+
+  private def factFkNames(env: Env, fact: Fact): Seq[String] = {
+    val s = env.settings
+    Extractor.extractAllDimensionTables(env, fact).map { case (dimFact, dimTable) =>
+      Naming.factDimFKIdColumnName(s.dimPrefix, s.dimTableIdColumnName, dimFact, dimTable, env.tables)
+    }
+  }
+
+  private def degenerateCols(fact: Fact): Seq[String] =
+    fact.columns.collect {
+      case FactColumn(c, k) if k == NoDimId || k == TenantId => c
+    }
+
   /** Column names keying a rolled-up fact at `target` grain: the
     * coarser time id + degenerate keys + dim FKs. */
   private def rolledKeyNames(env: Env, fact: Fact, target: TimeUnit): Seq[String] = {
-    val s = env.settings
-    val timeColName = fact.columns.collectFirst { case FactColumn(c, DimTime) => c }
-      .getOrElse(throw new IllegalStateException("fact has no DimTime column"))
-    val newTimeId = Naming.timeUnitColumnName(s.dimTableIdColumnName, timeColName, target)
-    val fkNames = Extractor.extractAllDimensionTables(env, fact).map { case (dimFact, dimTable) =>
-      Naming.factDimFKIdColumnName(s.dimPrefix, s.dimTableIdColumnName, dimFact, dimTable, env.tables)
-    }
-    val degenerate = fact.columns.collect {
-      case FactColumn(c, k) if k == NoDimId || k == TenantId => c
-    }
-    newTimeId +: (degenerate ++ fkNames)
+    val newTimeId = Naming.timeUnitColumnName(
+      env.settings.dimTableIdColumnName, dimTimeColName(fact), target)
+    newTimeId +: (degenerateCols(fact) ++ factFkNames(env, fact))
   }
 
   /** Re-aggregate rows of an ALREADY-rolled fact that share the same
@@ -202,11 +208,20 @@ object Rollup {
   def mergeIncremental(
       env: Env, fact: Fact, prior: DataFrame, deltaRolled: DataFrame, target: TimeUnit
   ): DataFrame = {
-    val keys     = rolledKeyNames(env, fact, target)
-    val affected = broadcast(deltaRolled.select(keys.map(col): _*).distinct())
+    val keys = rolledKeyNames(env, fact, target)
+    // the delta rollup feeds two consumers (key set + touched union)
+    // with different column pruning — no exchange reuse applies, so
+    // without materialization the whole delta aggregation runs twice.
+    // Delta-sized, so MEMORY_AND_DISK is safe; plan-based idempotent
+    // persist (the LanguageModel pattern), scoped callers unpersist.
+    val delta0 =
+      if (deltaRolled.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        deltaRolled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else deltaRolled
+    val affected = broadcast(delta0.select(keys.map(col): _*).distinct())
     val untouched = prior.join(affected, keys, "left_anti")
     val touched = prior.join(affected, keys, "left_semi")
-      .unionByName(deltaRolled.select(prior.columns.toIndexedSeq.map(col): _*))
+      .unionByName(delta0.select(prior.columns.toIndexedSeq.map(col): _*))
     untouched.unionByName(merge(env, fact, touched, target))
       // a using-columns join fronts the key columns; restore the
       // maintained table's declared order

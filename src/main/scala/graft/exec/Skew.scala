@@ -31,8 +31,11 @@ object Skew {
     require(parallelism > 0, s"parallelism must be positive, got $parallelism")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
     val total  = counts.agg(sum(col("n")).as("__total"))
+    // nulls-last pinned explicitly: Spark defaults ASC NULLS FIRST,
+    // DuckDB NULLS LAST — a count tie against the null bucket would
+    // otherwise rank differently across engines
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col(keyCol))
+      .orderBy(col("n").desc, col(keyCol).asc_nulls_last)
     counts
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= topK)

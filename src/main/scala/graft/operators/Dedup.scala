@@ -37,9 +37,12 @@ object Dedup {
   def exactIncremental(
       batch: DataFrame, corpusFingerprints: DataFrame, idCol: String, textCol: String
   ): DataFrame = {
+    // no distinct on the corpus side: anti-join output is unaffected
+    // by right-side duplicates, and the maintained set is the LARGE
+    // side — an extra aggregation over it per admission buys nothing
     val fresh = batch
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
-      .join(corpusFingerprints.select(col("fingerprint")).distinct(),
+      .join(corpusFingerprints.select(col("fingerprint")),
         Seq("fingerprint"), "left_anti")
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
     fresh.withColumn("__rn", row_number().over(w))

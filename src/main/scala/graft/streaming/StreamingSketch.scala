@@ -74,10 +74,16 @@ object StreamingSketch {
   def initialize(
       events: DataFrame, tsCol: String, valueCol: String, path: String, m: Int
   ): Unit = {
-    writeMarker(path, m)
+    // STATIC overwrite: a re-initialize must truncate the whole store.
+    // Dynamic partition overwrite would leave day partitions absent
+    // from the bootstrap data on disk — stale days (or registers built
+    // with a previous m, whose marker this call rewrites) would then
+    // merge silently into every rolling window. Marker written AFTER
+    // the data so the truncation cannot orphan it.
     dailySketches(events, tsCol, valueCol, m)
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .write.mode("overwrite")
       .partitionBy(DayCol).parquet(path)
+    writeMarker(path, m)
   }
 
   /** Fold one micro-batch of events into the store: sketch the batch

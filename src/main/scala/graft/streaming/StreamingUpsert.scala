@@ -86,11 +86,15 @@ object StreamingUpsert {
       attrCols: Seq[String], path: String, numBuckets: Int
   ): Unit = {
     requireNoBucketCol(changes)
-    writeMarker(path, numBuckets)
+    // STATIC overwrite: re-initializing must truncate the store —
+    // dynamic overwrite would leave buckets absent from the bootstrap
+    // (or laid out with a previous modulus) on disk behind a fresh
+    // marker. Marker written AFTER the data survives the truncation.
     Scd2.history(changes, keyCol, tsCol, tieCol, attrCols)
       .withColumn(BucketCol, bucketOf(keyCol, numBuckets))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .write.mode("overwrite")
       .partitionBy(BucketCol).parquet(path)
+    writeMarker(path, numBuckets)
   }
 
   /** Fold one micro-batch of change rows into the stored history:
@@ -161,11 +165,12 @@ object StreamingUpsert {
       path: String, numBuckets: Int
   ): Unit = {
     requireNoBucketCol(changes)
-    writeMarker(path, numBuckets)
+    // static overwrite + marker-after-data, same grounds as initializeScd2
     latestWins(changes, keyCol, tsCol, tieCol)
       .withColumn(BucketCol, bucketOf(keyCol, numBuckets))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .write.mode("overwrite")
       .partitionBy(BucketCol).parquet(path)
+    writeMarker(path, numBuckets)
   }
 
   /** Fold one micro-batch of upserts into the Type-1 store: prune to
