@@ -69,6 +69,7 @@ object Bench {
     "events_percentiles_approx" -> (QueriesEvents.eventsPercentilesApproxBench _),
     "sample_stratified"         -> (QueriesExt.sampleStratified _),
     "sample_domain_mix"         -> (QueriesExt.sampleDomainMix _),
+    "sample_weighted"           -> (QueriesExt.sampleWeighted _),
     "text_tfidf"                -> (QueriesExt.textTfidf _),
     "text_pack"                 -> (QueriesExt.textPack _),
     "text_curate"               -> (QueriesExt.textCurate _),

@@ -481,6 +481,28 @@ object QueriesExt {
        |WHERE rk <= 20
        |""".stripMargin
 
+  /** Systematic PPS sample of ~50 docs weighted by n_chars — exact
+    * integer prefix-sum arithmetic, distributed two-phase prefix. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSystematic(
+      docs(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 50)
+
+  lazy val sampleWeightedSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(sum(n_chars) OVER (ORDER BY doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+       |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+       |t AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS total FROM documents
+       |      WHERE n_chars IS NOT NULL AND n_chars >= 0)
+       |SELECT c.doc_id, c.n_chars,
+       |       CAST((c.cum // (t.total // 50))
+       |            - ((c.cum - c.n_chars) // (t.total // 50)) AS BIGINT) AS picks
+       |FROM c CROSS JOIN t
+       |WHERE (c.cum // (t.total // 50)) - ((c.cum - c.n_chars) // (t.total // 50)) > 0
+       |""".stripMargin
+
   /** Corpus mixing to a token budget: 60/25/10/5 over four sources,
     * 20k chars total — src0's target exceeds its corpus at small sf,
     * exercising the keep-all cap alongside partial sampling. */

@@ -119,6 +119,8 @@ object SparkEntry {
     "sample_stratified" -> (QueriesExt.sampleStratified _),
     // corpus mixing: per-domain hash sample sized to a token budget
     "sample_domain_mix" -> (QueriesExt.sampleDomainMix _),
+    // systematic PPS: pick ~k rows proportional to integral weight
+    "sample_weighted"   -> (QueriesExt.sampleWeighted _),
     // rolling time-window aggregation + transition matrix
     "events_rolling"     -> (QueriesEvents.eventsRolling _),
     "events_cube"        -> (QueriesEvents.eventsCube _),
@@ -231,6 +233,7 @@ object SparkEntry {
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "sample_stratified"         -> QueriesExt.sampleStratifiedSql,
     "sample_domain_mix"         -> QueriesExt.sampleDomainMixSql,
+    "sample_weighted"           -> QueriesExt.sampleWeightedSql,
     "events_rolling"            -> QueriesEvents.eventsRollingSql,
     "events_cube"               -> QueriesEvents.eventsCubeSql,
     "events_transitions"        -> QueriesEvents.eventsTransitionsSql,

@@ -116,6 +116,66 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Systematic probability-proportional-to-size sampling (Madow
+    * 1949): pick ~k rows with inclusion probability proportional to
+    * an integral weight — the "sample documents proportional to token
+    * count" primitive. Deterministic and engine-exact: rows are laid
+    * on the integer number line by a prefix sum of weights in key
+    * order, and a row is picked once per multiple of `step = total
+    * div k` its weight interval covers (`picks = cum div step -
+    * (cum-w) div step`, all floor division — a row heavier than
+    * `step` is picked multiple times, zero-weight rows never).
+    *
+    * The global prefix sum does NOT use a single-partition window
+    * (the classic driver-melting mistake): the weights are
+    * range-partitioned by key, each partition prefix-sums locally,
+    * and the per-partition offsets — a |partitions|-row aggregate —
+    * broadcast back (the two-phase shape of
+    * [[graft.exec.SurrogateKeys]]). The cumulative value of a row
+    * depends only on the data and key order, never on partitioning,
+    * so the DuckDB oracle reproduces it with a plain window. */
+  def weightedSystematic(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int, partitions: Int = 0
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val w = org.apache.spark.sql.expressions.Window
+    val sorted = df
+      .filter(col(weightCol).isNotNull && col(weightCol) >= 0)
+      .repartitionByRange(p, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    val localCum = sorted.withColumn("__local",
+      sum(col(weightCol)).over(w.partitionBy(col("__pid")).orderBy(col(keyCol))))
+    // |partitions|-row frames: per-partition totals and their running offsets
+    val ptot = sorted.groupBy(col("__pid"))
+      .agg(sum(col(weightCol)).cast("decimal(38,0)").as("__psum"))
+    val offs = ptot
+      .withColumn("__off",
+        coalesce(sum(col("__psum")).over(
+          w.orderBy(col("__pid")).rowsBetween(Long.MinValue, -1)), lit(0)))
+      .select(col("__pid"), col("__off"))
+    val total = ptot.agg(sum(col("__psum")).as("__total"))
+    localCum
+      .join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", (col("__local").cast("decimal(38,0)") + col("__off")))
+      .withColumn("__step",
+        expr(s"CAST(__total AS DECIMAL(38,0)) div CAST($k AS DECIMAL(38,0))"))
+      .withColumn("__step",
+        when(col("__step") <= 0, raise_error(
+          lit(s"weightedSystematic: k=$k exceeds the total weight — every step is empty"))
+          .cast("long"))
+          .otherwise(col("__step")))
+      .withColumn("picks", expr(
+        s"(CAST(__cum AS DECIMAL(38,0)) div CAST(__step AS DECIMAL(38,0)))" +
+          s" - ((CAST(__cum AS DECIMAL(38,0)) - CAST($weightCol AS DECIMAL(38,0)))" +
+          s" div CAST(__step AS DECIMAL(38,0)))"))
+      .filter(col("picks") > 0)
+      .drop("__pid", "__local", "__off", "__cum", "__step", "__total")
+  }
+
   /** Exactly-k-per-stratum deterministic sample: rows are ranked within
     * each stratum by `md5(key || salt)` (ties broken by the key itself,
     * so the rank is total) and the top `k` kept. Unlike [[hashSample]],

@@ -39,6 +39,35 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
   }
 
+  test("weighted systematic PPS: exact hand-computed picks, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // weights 1,2,3,4 -> total 10, k=5, step=2; cums 1,3,6,10
+    // picks: 1//2-0//2=0, 3//2-1//2=1, 6//2-3//2=2, 10//2-6//2=2
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "w")
+    def run(p: Int) = Sampling.weightedSystematic(df, "id", "w", k = 5, partitions = p)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("picks"))).toMap
+    val one = run(1)
+    assert(one == Map(2L -> 1L, 3L -> 2L, 4L -> 2L)) // id 1 gets 0 picks
+    assert(one.values.sum == 5L) // exactly k when step divides total
+    // the cumulative line depends on data + key order only, never on
+    // the partition count (the two-phase offsets are exact)
+    assert(run(7) == one && run(3) == one)
+    // zero-weight rows are never picked
+    val z = Sampling.weightedSystematic(
+      Seq((1L, 0L), (2L, 10L)).toDF("id", "w"), "id", "w", k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(z == Set(2L))
+    // k beyond the total weight fails loudly, not silently empty
+    val ex = intercept[Exception] {
+      Sampling.weightedSystematic(
+        Seq((1L, 2L), (2L, 1L)).toDF("id", "w"), "id", "w", k = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("exceeds the total weight")))
+  }
+
   test("domain mix: budget-proportional mixture, keep-all cap, drops unlisted") {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
     val weights = Seq("src0" -> 60L, "src1" -> 25L, "src2" -> 10L, "src3" -> 5L)
