@@ -209,15 +209,16 @@ object Rollup {
       env: Env, fact: Fact, prior: DataFrame, deltaRolled: DataFrame, target: TimeUnit
   ): DataFrame = {
     val keys = rolledKeyNames(env, fact, target)
-    // the delta rollup feeds two consumers (key set + touched union)
-    // with different column pruning — no exchange reuse applies, so
-    // without materialization the whole delta aggregation runs twice.
-    // Delta-sized, so MEMORY_AND_DISK is safe; plan-based idempotent
-    // persist (the LanguageModel pattern), scoped callers unpersist.
-    val delta0 =
-      if (deltaRolled.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        deltaRolled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else deltaRolled
+    // The delta rollup feeds two consumers (key set + touched union),
+    // so its aggregation pipeline runs twice. DELIBERATELY not
+    // persisted: measured at sf0.1, caching the delta (wide sketch
+    // map column) costs 1.5x more than recomputing the pipelined,
+    // partial-aggregated delta-sized pass (2.28s vs 1.52s median) —
+    // serialization of the materialized registers dominates. A caller
+    // whose delta is expensive to rebuild (e.g. derived from a long
+    // transform chain rather than a scan) can pass an
+    // already-persisted DataFrame; both consumers see it cached.
+    val delta0 = deltaRolled
     val affected = broadcast(delta0.select(keys.map(col): _*).distinct())
     val untouched = prior.join(affected, keys, "left_anti")
     val touched = prior.join(affected, keys, "left_semi")
