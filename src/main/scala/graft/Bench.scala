@@ -59,6 +59,7 @@ object Bench {
     "events_transitions"        -> (QueriesEvents.eventsTransitions _),
     "events_pagerank"           -> (QueriesEvents.eventsPagerank _),
     "events_twa"                -> (QueriesEvents.eventsTwa _),
+    "events_gapfill"            -> (QueriesEvents.eventsGapfill _),
     "events_winsorize"          -> (QueriesEvents.eventsWinsorize _),
     "events_histogram_equidepth" -> (QueriesEvents.eventsHistogramEquidepth _),
     "dim_snapshot_diff"         -> (QueriesEvents.dimSnapshotDiff _),

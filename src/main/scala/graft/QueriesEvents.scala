@@ -880,6 +880,34 @@ object QueriesEvents {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  /** Calendar densification (gap-fill): daily event counts per type
+    * INCLUDING explicit zero rows for days with no events of that
+    * type — the scaffolding every downstream rolling/anomaly window
+    * needs (a missing row is silently skipped by a window frame; an
+    * explicit zero participates). The day spine is a 1-row min/max
+    * aggregate exploded via sequence (|days| rows, broadcast), cross
+    * joined with the |types| dimension — scaffold size is
+    * |days|x|types| regardless of event volume, then one left join
+    * against the partial-aggregated counts. */
+  def eventsGapfill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.gapFillDaily(events(s, dir), "ts", "event_type")
+
+  lazy val eventsGapfillSql: String =
+    s"""WITH bounds AS (
+       |  SELECT CAST(min(floor(epoch(ts)/86400)) AS BIGINT) AS lo,
+       |         CAST(max(floor(epoch(ts)/86400)) AS BIGINT) AS hi
+       |  FROM events),
+       |spine AS (SELECT unnest(generate_series(lo, hi)) AS ts_day_id FROM bounds),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |c AS (
+       |  SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS ts_day_id,
+       |         event_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT s.ts_day_id, t.event_type, coalesce(c.n, 0) AS n
+       |FROM spine s CROSS JOIN types t
+       |LEFT JOIN c ON c.ts_day_id = s.ts_day_id AND c.event_type = t.event_type
+       |""".stripMargin
+
   /** Time-weighted average value per user: each reading held until the
     * next, exact decimal*us mass, one final double division — see
     * [[graft.operators.Temporal.timeWeightedAvg]]. */

@@ -93,6 +93,8 @@ object SparkEntry {
     "events_props_typed"   -> (QueriesEvents.eventsPropsTyped _),
     "events_histogram"     -> (QueriesEvents.eventsHistogram _),
     "events_histogram_equidepth" -> (QueriesEvents.eventsHistogramEquidepth _),
+    // calendar densification: explicit zeros for missing day x type
+    "events_gapfill"       -> (QueriesEvents.eventsGapfill _),
     // held-value integration over irregular timelines
     "events_twa"           -> (QueriesEvents.eventsTwa _),
     // exact order-statistic outlier clamping
@@ -218,6 +220,7 @@ object SparkEntry {
     "events_histogram"          -> QueriesEvents.eventsHistogramSql,
     "events_histogram_equidepth" -> QueriesEvents.eventsHistogramEquidepthSql,
     "events_twa"                -> QueriesEvents.eventsTwaSql,
+    "events_gapfill"            -> QueriesEvents.eventsGapfillSql,
     "events_winsorize"          -> QueriesEvents.eventsWinsorizeSql,
     "dim_snapshot_diff"         -> QueriesEvents.dimSnapshotDiffSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,

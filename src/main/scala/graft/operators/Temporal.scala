@@ -29,6 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Calendar densification (gap-fill): per-(day, dimension) counts
+    * INCLUDING explicit zero rows for combinations with no events — a
+    * missing row is silently skipped by a window frame downstream; an
+    * explicit zero participates (rolling averages, anomaly z-scores).
+    * The day spine is a 1-row min/max aggregate exploded via sequence
+    * and cross-joined with the distinct dimension — scaffold size is
+    * |days| x |dim| regardless of event volume — then one left join
+    * against the partial-aggregated counts. */
+  def gapFillDaily(df: DataFrame, tsCol: String, dimCol: String): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L).cast("long")
+    val counts = df.groupBy(day.as("ts_day_id"), col(dimCol))
+      .agg(count(lit(1)).as("n"))
+    val spine = df.agg(min(day).as("lo"), max(day).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("ts_day_id"))
+    val dims = df.select(col(dimCol)).distinct()
+    spine.crossJoin(dims)
+      .join(counts, Seq("ts_day_id", dimCol), "left")
+      .select(col("ts_day_id"), col(dimCol), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** @param tieCol breaks ts ties so lead() is deterministic
     * @return (groupCols*, twa, span_us, segments) — twa is the
     *         time-weighted mean of `valueCol`, span_us the observed

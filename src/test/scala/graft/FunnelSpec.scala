@@ -14,6 +14,25 @@ class FunnelSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("gap-fill: contiguous day spine, full cross product, explicit zeros") {
+    // day 19724 has only type 'a' events; day 19725 has NO events at
+    // all; day 19726 has only 'b' — the scaffold must still carry all
+    // 3 days x 2 types with zeros where nothing happened
+    val df = ev(
+      (1L, "2024-01-02 10:00:00", "a"),
+      (2L, "2024-01-02 11:00:00", "a"),
+      (3L, "2024-01-04 09:00:00", "b"))
+    val out = graft.operators.Temporal.gapFillDaily(df, "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.size == 6, s"expected 3 days x 2 types, got ${out.keys}")
+    val days = out.keys.map(_._1).toSeq.sorted.distinct
+    assert(days.last - days.head == 2 && days.length == 3, "spine must be gapless")
+    assert(out((days.head, "a")) == 2L && out((days.head, "b")) == 0L)
+    assert(out((days(1), "a")) == 0L && out((days(1), "b")) == 0L) // empty day materialized
+    assert(out((days.last, "b")) == 1L && out((days.last, "a")) == 0L)
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   private def ev(rows: (Long, String, String)*): DataFrame =
