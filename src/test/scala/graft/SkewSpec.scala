@@ -29,6 +29,16 @@ class SkewSpec extends SparkSpec {
     val u = graft.exec.Skew.diagnose(uniform, "k", topK = 2, parallelism = 32)
       .select("suggested_salt").collect().map(_.getLong(0)).toSet
     assert(u == Set(1L))
+    // the global top-k rank is bounded BEFORE any single-partition
+    // step: Spark plans the rank<=k filter as a distributed
+    // TakeOrderedAndProject (per-partition heaps, merge of tasks*k
+    // rows) — at any key cardinality the distinct-key space is never
+    // moved to one partition (WindowGroupLimit is the equivalent
+    // bound when a partition spec is present)
+    val plan = graft.exec.Skew.diagnose(df, "k", topK = 3, parallelism = 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
+      s"expected a bounded top-k plan:\n$plan")
   }
 
   test("salted inner join equals plain join on skewed data") {
