@@ -122,6 +122,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE: spark.sql.adaptive.coalescePartitions.parallelismFirst
+      // =false (the Spark-docs production recommendation) was measured
+      // here and is WORSE at this scale (33.8s vs 31.7s total at equal
+      // load): with local[32] and fixture-sized shuffles, maximizing
+      // parallelism beats fewer-larger partitions. Left at default.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
