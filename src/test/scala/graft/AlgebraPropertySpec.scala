@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.operators.{Sampling, Snapshot, Winsorize}
+
+/** Properties of the round-6 maintenance/curation algebra, each checked
+  * against an independent in-Scala reference on small random inputs
+  * (few cases — every case runs Spark jobs):
+  *
+  *  - rollup merge: mergeIncremental(rollup(a), rollup(b)) ==
+  *    rollup(a ∪ b) for ANY hash split, not just the time split the
+  *    gate uses;
+  *  - systematic PPS: picks are a pure function of (data, key order) —
+  *    partition-count invariant — and total picks == total div step;
+  *  - winsorize: output values live exactly in the brute-force
+  *    discrete-percentile band, row count preserved;
+  *  - snapshot diff: classification matches a map-based reference.
+  */
+class AlgebraPropertySpec extends SparkSpec {
+  import Fixtures._
+
+  private def check(name: String, prop: Prop, n: Int = 4): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("property: rollup merge equals full rollup for arbitrary hash splits") {
+    val s   = spark
+    val ev  = sources.ParquetTables.readTable(s, sf("sf0.001"), "events")
+    val fact = eventsEnv.findFact("event").get
+    val dim = graft.exec.DimPopulate.full(
+      eventsEnv, fact, "dim_event_type", ev, graft.model.TimeWindow.unbounded)
+    def rolled(rows: org.apache.spark.sql.DataFrame) =
+      graft.exec.Rollup.toCoarser(eventsEnv, fact,
+        graft.exec.FactPopulate.populate(
+          eventsEnv, fact, graft.model.TimeWindow.unbounded, _ => rows, _ => dim),
+        graft.model.TimeUnit.Hour)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      ((r.getLong(r.fieldIndex("ts_hour_id")), r.getLong(r.fieldIndex("user_id")),
+        r.getInt(r.fieldIndex("event_type_id"))),
+       (r.getInt(r.fieldIndex("event_count")),
+        Option(r.getDecimal(r.fieldIndex("value_sum"))).map(_.toString)))
+    }.toMap
+    val full = keyed(rolled(ev))
+    check("merge==full", Prop.forAll(Gen.choose(2, 11)) { mod =>
+      // hash split: nothing about hour buckets aligns with it
+      val a = ev.filter(pmod(col("event_id"), lit(mod)) === 0)
+      val b = ev.filter(pmod(col("event_id"), lit(mod)) =!= 0)
+      val merged = graft.exec.Rollup.mergeIncremental(
+        eventsEnv, fact, rolled(a), rolled(b), graft.model.TimeUnit.Hour)
+      keyed(merged) == full
+    }, n = 3)
+  }
+
+  test("property: PPS picks are partition-invariant and sum to total div step") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n  <- Gen.choose(3, 25)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      k  <- Gen.choose(1, 5)
+      p  <- Gen.choose(1, 8)
+    } yield (ws, k, p)
+    check("pps", Prop.forAll(gen) { case (ws, k, p) =>
+      val total = ws.sum
+      (total >= k) ==> {
+        val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+        def run(parts: Int) = Sampling.weightedSystematic(df, "id", "w", k, parts)
+          .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("picks"))).toMap
+        val one = run(1)
+        val step = total / k
+        Prop.all(
+          Prop(one == run(p)) :| "partition invariance",
+          Prop(one.values.sum == total / step) :| "total picks",
+          Prop(one.keys.forall(id => ws(id.toInt) > 0)) :| "no zero-weight picks")
+      }
+    }, n = 5)
+  }
+
+  test("property: winsorize clamps exactly to the brute-force discrete band") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n  <- Gen.choose(2, 40)
+      vs <- Gen.listOfN(n, Gen.choose(-100, 100).map(_.toDouble))
+    } yield vs
+    check("winsorize", Prop.forAll(gen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
+      val out = Winsorize.winsorize(df, Seq("g"), "v", "id", 10, 90)
+        .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+          r.getDouble(r.fieldIndex("v_wins"))).toMap
+      // brute-force reference: sort, pick ranks ceil(p*n/100)
+      val sorted = vs.zipWithIndex.sortBy { case (v, i) => (v, i) }.map(_._1)
+      val lo = sorted((10 * vs.length + 99) / 100 - 1)
+      val hi = sorted((90 * vs.length + 99) / 100 - 1)
+      Prop.all(
+        Prop(out.size == vs.length) :| "row count preserved",
+        Prop(vs.zipWithIndex.forall { case (v, i) =>
+          out(i.toLong) == math.min(math.max(v, lo), hi)
+        }) :| "clamped to the discrete band")
+    }, n = 5)
+  }
+
+  test("property: snapshot diff matches a map-based reference") {
+    val s = spark
+    import s.implicits._
+    val genState = Gen.mapOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 3)))
+    check("diff", Prop.forAll(Gen.zip(genState, genState)) { case (before, after) =>
+      (before.nonEmpty || after.nonEmpty) ==> {
+        val b = before.toSeq.toDF("k", "v")
+        val a = after.toSeq.toDF("k", "v")
+        val got = Snapshot.diff(b, a, Seq("k"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val want = (before.keySet ++ after.keySet).flatMap { k =>
+          (before.get(k), after.get(k)) match {
+            case (None, Some(_))              => Some(k -> "added")
+            case (Some(_), None)              => Some(k -> "removed")
+            case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+            case _                            => None
+          }
+        }.toMap
+        got == want
+      }
+    }, n = 5)
+  }
+}
