@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Streaming corpus admission — the foreachBatch twin of
+  * [[graft.operators.Dedup.exactIncremental]]: every micro-batch of
+  * documents is admitted against a PERSISTENT fingerprint store (drop
+  * if the content was ever seen; in-batch min-id survivor rule),
+  * admitted docs append to the corpus sink and their fingerprints
+  * join the store — the "never train on the same text twice" loop.
+  *
+  * Store layout mirrors [[StreamingUpsert]]: fingerprints partitioned
+  * by a fingerprint-hash bucket, so a micro-batch READS only the
+  * buckets its own fingerprints land in and REWRITES only those
+  * (dynamic partition overwrite of the union — set semantics, so a
+  * replay rebuilds byte-identical buckets). The corpus sink is
+  * partitioned by batch id and each batch overwrites ITS partition —
+  * the standard idempotent foreachBatch sink: a replayed batch
+  * replaces its own output instead of duplicating it. Both writes are
+  * idempotent, so failure recovery is a content no-op end to end.
+  *
+  * `numBuckets` is a table property recorded in a `_graft_buckets`
+  * sidecar and re-checked fail-loud (a reader pruning with the wrong
+  * modulus would silently re-admit known content).
+  */
+object StreamingAdmission {
+
+  val BucketCol = "__kb"
+  val BatchCol  = "__batch_id"
+
+  private def bucketOf(numBuckets: Int) =
+    pmod(hash(col("fingerprint")), lit(numBuckets))
+
+  private def marker(path: String) = Paths.get(path, "_graft_buckets")
+
+  private def writeMarker(path: String, numBuckets: Int): Unit = {
+    Files.createDirectories(Paths.get(path))
+    Files.write(marker(path), numBuckets.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def checkMarker(path: String, numBuckets: Int): Unit = {
+    require(Files.exists(marker(path)),
+      s"$path has no _graft_buckets marker — initialize() the store first")
+    val stored = new String(Files.readAllBytes(marker(path)), StandardCharsets.UTF_8).trim.toInt
+    require(stored == numBuckets,
+      s"bucket-count mismatch for $path: store laid out with $stored buckets, " +
+        s"caller passed $numBuckets — pruning with the wrong modulus re-admits known content")
+  }
+
+  /** Bootstrap the fingerprint store from the existing corpus
+    * (static overwrite: re-initializing truncates; marker after
+    * data). */
+  def initialize(
+      corpus: DataFrame, textCol: String, fpStorePath: String, numBuckets: Int
+  ): Unit = {
+    Dedup.fingerprints(corpus, textCol)
+      .withColumn(BucketCol, bucketOf(numBuckets))
+      .write.mode("overwrite")
+      .partitionBy(BucketCol).parquet(fpStorePath)
+    writeMarker(fpStorePath, numBuckets)
+  }
+
+  /** Admit one micro-batch: anti-join the touched store buckets,
+    * in-batch survivor rule, write admitted docs to
+    * `corpusOutPath/<BatchCol>=<batchId>` (overwriting that partition
+    * — replay-idempotent) and the union of fingerprints back to the
+    * touched buckets (set semantics — replay-idempotent). Exposed for
+    * tests and custom sinks. */
+  def applyBatch(
+      batch: DataFrame, idCol: String, textCol: String,
+      fpStorePath: String, corpusOutPath: String, numBuckets: Int, batchId: Long
+  ): Unit = {
+    if (batch.isEmpty) return
+    checkMarker(fpStorePath, numBuckets)
+    val spark = batch.sparkSession
+    val withFp = batch
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn(BucketCol, bucketOf(numBuckets))
+    withFp.persist()
+    try {
+      // bounded driver materialization: at most numBuckets ints
+      val touched = withFp.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val stored = spark.read.parquet(fpStorePath)
+        .filter(col(BucketCol).isin(touched: _*))
+        .select(col("fingerprint"))
+      val admitted = Dedup.exactIncremental(batch, stored, idCol, textCol)
+      admitted
+        .withColumn(BatchCol, lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol).parquet(corpusOutPath)
+      stored.withColumn(BucketCol, bucketOf(numBuckets))
+        .unionByName(withFp.select(col("fingerprint"), col(BucketCol)))
+        .distinct()
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol).parquet(fpStorePath)
+    } finally withFp.unpersist()
+  }
+
+  /** Wire a document stream to corpus admission. */
+  def maintain(
+      stream: DataFrame, idCol: String, textCol: String,
+      fpStorePath: String, corpusOutPath: String, numBuckets: Int,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, idCol, textCol, fpStorePath, corpusOutPath, numBuckets, batchId)
+      }
+      .start()
+}

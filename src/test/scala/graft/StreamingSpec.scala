@@ -387,6 +387,49 @@ class StreamingSpec extends SparkSpec {
     assert(storeContents(path) == expectSet, "replay must be a content no-op")
   }
 
+  test("streaming admission equals batch exactIncremental; replay is idempotent end to end") {
+    import graft.streaming.StreamingAdmission
+    import graft.operators.Dedup
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)  // 80% pre-existing
+    val batch  = docs.filter(col("doc_id") % 5 === 0)  // 20% arriving batch
+    val root = Files.createTempDirectory("graft-adm").toString
+    val (fpStore, corpusOut) = (root + "/fps", root + "/admitted")
+    val B = 8
+
+    StreamingAdmission.initialize(corpus, "text", fpStore, B)
+    StreamingAdmission.applyBatch(batch, "doc_id", "text", fpStore, corpusOut, B, batchId = 7L)
+
+    // batch parity: admitted == the batch operator against the same corpus
+    val expect = Dedup.exactIncremental(
+      batch, Dedup.fingerprints(corpus, "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def admittedIds = spark.read.parquet(corpusOut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admittedIds == expect, "streamed admission != batch exactIncremental")
+    assert(expect.nonEmpty)
+
+    def storeFps = spark.read.parquet(fpStore)
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+    val fpsAfter = storeFps
+
+    // replay the SAME batch (failure recovery): corpus partition is
+    // overwritten in place, store buckets rebuild to the same set
+    StreamingAdmission.applyBatch(batch, "doc_id", "text", fpStore, corpusOut, B, batchId = 7L)
+    assert(admittedIds == expect, "replay duplicated corpus output")
+    assert(storeFps == fpsAfter, "replay changed the fingerprint store")
+
+    // a SECOND batch re-sending admitted content admits nothing new
+    StreamingAdmission.applyBatch(batch, "doc_id", "text", fpStore, corpusOut, B, batchId = 8L)
+    assert(admittedIds == expect, "re-sent content must not re-admit")
+
+    // modulus mismatch is fail-loud
+    intercept[IllegalArgumentException] {
+      StreamingAdmission.applyBatch(batch, "doc_id", "text", fpStore, corpusOut, B * 2, 9L)
+    }
+  }
+
   test("streaming sketch maintenance equals batch registers; replay no-op; m guard") {
     import graft.streaming.StreamingSketch
     import graft.functions.RegisterSketch
