@@ -612,8 +612,10 @@ object QueriesExt {
   }
 
   lazy val dedupIncrementalSql: String =
+    // coalesce mirrors the operator's null-text sentinel (no null rows
+    // in the fixture, but the semantics are declared identical)
     s"""WITH f AS (
-       |  SELECT doc_id, n_chars, md5($normSql) AS fp,
+       |  SELECT doc_id, n_chars, coalesce(md5($normSql), '__NULL_TEXT__') AS fp,
        |         substr(md5(CAST(doc_id AS VARCHAR) || 'inc'), 1, 4) AS h
        |  FROM documents),
        |b AS (SELECT * FROM f WHERE h >= 'cccc'),

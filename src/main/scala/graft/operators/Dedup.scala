@@ -41,7 +41,7 @@ object Dedup {
     // by right-side duplicates, and the maintained set is the LARGE
     // side — an extra aggregation over it per admission buys nothing
     val fresh = batch
-      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("fingerprint", contentFingerprint(col(textCol)))
       .join(corpusFingerprints.select(col("fingerprint")),
         Seq("fingerprint"), "left_anti")
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
@@ -50,11 +50,20 @@ object Dedup {
       .drop("__rn", "fingerprint")
   }
 
+  /** Fingerprint with nulls collapsed to a sentinel: [[exact]] groups
+    * null-text docs together (groupBy treats null as a key), but an
+    * anti-JOIN on a null fingerprint never matches — without the
+    * sentinel a null-text doc would be "fresh" in every batch,
+    * re-admitted forever, and the incremental path would disagree
+    * with the batch one. */
+  private[graft] def contentFingerprint(text: Column): Column =
+    coalesce(TextAnalysis.fingerprint(text), lit("__NULL_TEXT__"))
+
   /** The maintained fingerprint set of a corpus (the other input of
     * [[exactIncremental]]; after admitting a batch, union the batch's
     * fingerprints in). */
   def fingerprints(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")).distinct()
+    corpus.select(contentFingerprint(col(textCol)).as("fingerprint")).distinct()
 
   /** (id, ng) exploded shingle stream WITH duplicates — for consumers
     * whose aggregate is duplicate-insensitive (minhash `min`), where

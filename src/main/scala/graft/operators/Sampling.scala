@@ -126,6 +126,11 @@ object Sampling {
     * (cum-w) div step`, all floor division — a row heavier than
     * `step` is picked multiple times, zero-weight rows never).
     *
+    * `keyCol` must be a UNIQUE key: it is the total order the number
+    * line is built on. With duplicate keys the ROWS-frame prefix sum
+    * keeps the total pick count exact, but WHICH duplicate carries a
+    * pick depends on tie order — not reproducible across engines.
+    *
     * The global prefix sum does NOT use a single-partition window
     * (the classic driver-melting mistake): the weights are
     * range-partitioned by key, each partition prefix-sums locally,
@@ -146,8 +151,13 @@ object Sampling {
       .repartitionByRange(p, col(keyCol))
       .sortWithinPartitions(col(keyCol))
       .withColumn("__pid", spark_partition_id())
+    // ROWS frame, not the default RANGE: RANGE gives peer rows (equal
+    // keys) one shared cumulative value, which double-counts picks —
+    // the oracle's ROWS UNBOUNDED PRECEDING is the semantics
     val localCum = sorted.withColumn("__local",
-      sum(col(weightCol)).over(w.partitionBy(col("__pid")).orderBy(col(keyCol))))
+      sum(col(weightCol)).over(w.partitionBy(col("__pid")).orderBy(col(keyCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
     // |partitions|-row frames: per-partition totals and their running offsets
     val ptot = sorted.groupBy(col("__pid"))
       .agg(sum(col(weightCol)).cast("decimal(38,0)").as("__psum"))
@@ -168,10 +178,15 @@ object Sampling {
           lit(s"weightedSystematic: k=$k exceeds the total weight — every step is empty"))
           .cast("long"))
           .otherwise(col("__step")))
-      .withColumn("picks", expr(
-        s"(CAST(__cum AS DECIMAL(38,0)) div CAST(__step AS DECIMAL(38,0)))" +
-          s" - ((CAST(__cum AS DECIMAL(38,0)) - CAST($weightCol AS DECIMAL(38,0)))" +
-          s" div CAST(__step AS DECIMAL(38,0)))"))
+      .withColumn("picks", {
+        // Column API, not a spliced SQL string: a weight column named
+        // e.g. "n-chars" must resolve, not parse as a subtraction
+        val dec  = "decimal(38,0)"
+        val cumD  = col("__cum").cast(dec)
+        val stepD = col("__step").cast(dec)
+        val befD  = (col("__cum") - col(weightCol).cast(dec)).cast(dec)
+        call_function("div", cumD, stepD) - call_function("div", befD, stepD)
+      })
       .filter(col("picks") > 0)
       .drop("__pid", "__local", "__off", "__cum", "__step", "__total")
   }

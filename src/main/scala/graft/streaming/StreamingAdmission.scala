@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.Dedup
 
 /** Streaming corpus admission — the foreachBatch twin of
   * [[graft.operators.Dedup.exactIncremental]]: every micro-batch of
@@ -54,6 +54,20 @@ object StreamingAdmission {
         s"caller passed $numBuckets — pruning with the wrong modulus re-admits known content")
   }
 
+  // explicit schema: an empty-corpus bootstrap writes a marker but no
+  // parquet files, and schema inference over the empty directory would
+  // throw on the FIRST micro-batch — the natural cold start (begin
+  // streaming with no pre-existing corpus) must work
+  private def readStore(spark: org.apache.spark.sql.SparkSession, path: String) =
+    spark.read.schema(s"fingerprint STRING, $BucketCol INT").parquet(path)
+
+  private def requireCleanColumns(df: DataFrame): Unit =
+    Seq("fingerprint", BucketCol, BatchCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it first (it would be " +
+          "silently overwritten by the admission plumbing)")
+    }
+
   /** Bootstrap the fingerprint store from the existing corpus
     * (static overwrite: re-initializing truncates; marker after
     * data). */
@@ -78,20 +92,32 @@ object StreamingAdmission {
       fpStorePath: String, corpusOutPath: String, numBuckets: Int, batchId: Long
   ): Unit = {
     if (batch.isEmpty) return
+    requireCleanColumns(batch)
     checkMarker(fpStorePath, numBuckets)
     val spark = batch.sparkSession
+    // fingerprint the batch ONCE (normalize+md5 is the hottest
+    // expression of the loop) and feed every consumer from the cached
+    // frame — the anti-join/survivor logic below is the
+    // Dedup.exactIncremental algebra inlined over the same columns
+    // (batch parity is spec-pinned against the batch operator)
     val withFp = batch
-      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("fingerprint", Dedup.contentFingerprint(col(textCol)))
       .withColumn(BucketCol, bucketOf(numBuckets))
     withFp.persist()
     try {
       // bounded driver materialization: at most numBuckets ints
       val touched = withFp.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      val stored = spark.read.parquet(fpStorePath)
+      val stored = readStore(spark, fpStorePath)
         .filter(col(BucketCol).isin(touched: _*))
         .select(col("fingerprint"))
-      val admitted = Dedup.exactIncremental(batch, stored, idCol, textCol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fingerprint")).orderBy(col(idCol))
+      val admitted = withFp
+        .join(stored, Seq("fingerprint"), "left_anti")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "fingerprint", BucketCol)
       admitted
         .withColumn(BatchCol, lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -41,13 +41,13 @@ object StreamingSketch {
   private def dayOf(tsCol: String) =
     floor(unix_timestamp(col(tsCol)) / 86400L).cast("long").as(DayCol)
 
-  // partition-directory type inference narrows the day id to int on
-  // read-back; pin it to long so unions against freshly-built daily
-  // sketches stay schema-exact
-  private def readStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
-    df.withColumn(DayCol, col(DayCol).cast("long"))
-  }
+  // explicit schema on read-back: pins the partition-directory day id
+  // to long (inference narrows it to int, breaking unions against
+  // freshly-built daily sketches) AND survives an empty store (an
+  // empty-events bootstrap writes a marker but no parquet files;
+  // inference over the empty dir would throw on the first batch)
+  private def readStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.schema(s"sk MAP<INT, INT>, $DayCol BIGINT").parquet(path)
 
   private def marker(path: String) = Paths.get(path, "_graft_sketch_m")
 

@@ -58,6 +58,15 @@ class SamplingSpec extends SparkSpec {
       Seq((1L, 0L), (2L, 10L)).toDF("id", "w"), "id", "w", k = 2)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(z == Set(2L))
+    // duplicate keys: totals stay exact (ROWS frame, not RANGE —
+    // RANGE would give peers one shared cumulative value and
+    // double-count); per-row attribution is tie-order-dependent and
+    // deliberately not asserted
+    val dup = Sampling.weightedSystematic(
+      Seq((1L, 3L), (1L, 1L), (2L, 4L)).toDF("id", "w"), "id", "w", k = 4)
+      .agg(sum(col("picks"))).head.getLong(0)
+    assert(dup == 4L, s"total 8, step 2 -> exactly 4 picks, got $dup")
+
     // k beyond the total weight fails loudly, not silently empty
     val ex = intercept[Exception] {
       Sampling.weightedSystematic(

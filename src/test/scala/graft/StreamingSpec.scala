@@ -430,6 +430,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming admission cold start: empty-corpus bootstrap admits the first batch") {
+    import graft.streaming.StreamingAdmission
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text")
+    val root = Files.createTempDirectory("graft-adm-cold").toString
+    val (fpStore, corpusOut) = (root + "/fps", root + "/admitted")
+    // no pre-existing corpus at all — the store starts with zero files
+    StreamingAdmission.initialize(docs.limit(0), "text", fpStore, 8)
+    val batch = docs.filter(col("doc_id") < 50)
+    StreamingAdmission.applyBatch(batch, "doc_id", "text", fpStore, corpusOut, 8, 0L)
+    val admitted = spark.read.parquet(corpusOut).count()
+    assert(admitted > 0 && admitted <= batch.count())
+    // and the second, identical batch admits nothing new
+    StreamingAdmission.applyBatch(batch, "doc_id", "text", fpStore, corpusOut, 8, 1L)
+    assert(spark.read.parquet(corpusOut).count() == admitted)
+  }
+
   test("streaming sketch maintenance equals batch registers; replay no-op; m guard") {
     import graft.streaming.StreamingSketch
     import graft.functions.RegisterSketch
