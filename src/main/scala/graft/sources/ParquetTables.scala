@@ -26,8 +26,30 @@ object ParquetTables {
     // session built without it (it is a runtime-settable SQL conf)
     scala.util.Try(
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    // MICROS columns written without isAdjustedToUTC (pandas/pyarrow
+    // default) would otherwise infer as TIMESTAMP_NTZ under Spark 4,
+    // breaking every unix_micros/time-bucket consumer; with inference
+    // off they read as plain TimestampType carrying the same raw
+    // micros DuckDB sees — byte-identical oracle semantics
+    scala.util.Try(
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false"))
     val df = spark.read.parquet(path)
-    nanoTimestampColumns(spark, path).foldLeft(df) { (d, c) =>
+    val sessionTz = scala.util.Try(
+      spark.conf.get("spark.sql.session.timeZone")).getOrElse("UTC")
+    val deNtz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df) { (d, c) =>
+      // fallback when the conf cannot apply (Spark-written files carry
+      // their NTZ schema in footer metadata, which wins over inference):
+      // reinterpret the NTZ wall clock as a UTC instant. The cast shifts
+      // the wall clock INTO the session tz (+offset-at-wall);
+      // from_utc_timestamp shifts back OUT (-offset-at-instant) — exact
+      // identity on the raw micros for any session tz, except wall
+      // clocks inside that tz's spring-forward gap (nonexistent local
+      // times; the pinned UTC sessions of Verify/Bench have none)
+      d.withColumn(c, from_utc_timestamp(col(c).cast("timestamp"), sessionTz))
+    }
+    nanoTimestampColumns(spark, path).foldLeft(deNtz) { (d, c) =>
       // `div` is exact integral division; `/` would be double division,
       // and epoch nanos (~1.8e18) exceed 2^53, so the rounded quotient
       // can be off by +/-1us and flip time-bucket boundaries
