@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{CosineSimilarity, IntDotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, IntDotProduct}
 
 /** Session extensions: registers the engine's native Catalyst
   * expressions. Enable with
@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"${IntDotProduct.FUNC_NAME} takes 2 arguments")
         IntDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(DotProduct.FUNC_NAME),
+      new ExpressionInfo(classOf[DotProduct].getName, DotProduct.FUNC_NAME),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"${DotProduct.FUNC_NAME} takes 2 arguments")
+        DotProduct(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_build"),

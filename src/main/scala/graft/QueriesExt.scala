@@ -1052,6 +1052,51 @@ object QueriesExt {
        |      FROM s)
        |""".stripMargin
 
+  // ---------------------------------------------------------- distributed k-means
+  /** Full-corpus nearest-centroid assignment (the scan-local half of
+    * distributed k-means) against deterministic centroids — the k
+    * lowest-id embeddings, so the oracle can name them as `vid < k`.
+    * KmeansSpec pins the Lloyd iterations (not SQL-expressible) and
+    * the zero-exchange assignment plan. */
+  def embedKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e     = emb(s, dir)
+    val cents = operators.Kmeans.initLowestIds(e, "vec_id", "embedding", 8)
+    operators.Kmeans.assign(e, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cluster"),
+        round(col("dist2"), 6).as("dist2"))
+  }
+
+  /** Oracle: exact decimal dot products, the same
+    * `|v|^2 + (|c|^2 - 2 v·c)` parenthesization as the operator, and
+    * row_number over (d2, cid) mirroring the lowest-index tie-break. */
+  lazy val embedKmeansAssignSql: String =
+    s"""WITH pos AS (
+       |  SELECT vec_id AS vid, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |), c AS (
+       |  SELECT vid AS cid, pos, v AS cv FROM pos WHERE vid < 8
+       |), cn AS (
+       |  SELECT cid, sum(CAST(cv * cv AS DECIMAL(30,15))) AS n2 FROM c GROUP BY 1
+       |), vn AS (
+       |  SELECT vid, sum(CAST(v * v AS DECIMAL(30,15))) AS n2 FROM pos GROUP BY 1
+       |), dots AS (
+       |  SELECT p.vid, c.cid, sum(CAST(p.v * c.cv AS DECIMAL(30,15))) AS dot
+       |  FROM pos p JOIN c USING (pos) GROUP BY 1, 2
+       |), d2 AS (
+       |  SELECT vid, cid,
+       |         CAST(vn.n2 AS DOUBLE)
+       |           + (CAST(cn.n2 AS DOUBLE) - 2 * CAST(dot AS DOUBLE)) AS d2
+       |  FROM dots JOIN vn USING (vid) JOIN cn USING (cid)
+       |), ranked AS (
+       |  SELECT vid, cid, d2,
+       |         row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+       |  FROM d2
+       |)
+       |SELECT vid AS vec_id, CAST(cid AS INTEGER) AS cluster,
+       |       round(d2, 6) AS dist2
+       |FROM ranked WHERE rn = 1
+       |""".stripMargin
+
   // ---------------------------------------------------------- table profile
   /** Per-column profile of the documents table (row/null/distinct
     * counts, min/max). Floating columns are excluded by design — their

@@ -103,6 +103,8 @@ object SparkEntry {
     "dim_snapshot_diff"    -> (QueriesEvents.dimSnapshotDiff _),
     "dim_merge_latest"     -> (QueriesEvents.dimMergeLatest _),
     "embed_quantize"       -> (QueriesExt.embedQuantize _),
+    // distributed k-means: scan-local codegen'd assignment half
+    "embed_kmeans_assign"  -> (QueriesExt.embedKmeansAssign _),
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
     "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
@@ -225,6 +227,7 @@ object SparkEntry {
     "dim_snapshot_diff"         -> QueriesEvents.dimSnapshotDiffSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
+    "embed_kmeans_assign"       -> QueriesExt.embedKmeansAssignSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "dim_scd2_incremental"      -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
