@@ -1097,6 +1097,41 @@ object QueriesExt {
        |FROM ranked WHERE rn = 1
        |""".stripMargin
 
+  // ---------------------------------------------------------- random projection
+  /** JL random projection 64 → 8 dims with the deterministic
+    * md5-Rademacher matrix, exploded to (vec_id, dim, proj) so the
+    * oracle can regenerate the same matrix in SQL and value-compare.
+    * ProjectionSpec pins the packed-array operator shape and the
+    * zero-exchange plan. */
+  def embedRandomProjection(s: SparkSession, dir: String): DataFrame =
+    operators.Projection.randomProject(emb(s, dir), "vec_id", "embedding", d = 64, r = 8)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+        round(col("col"), 6).as("proj"))
+
+  /** Oracle: the sign matrix is regenerated in SQL from the same rule
+    * (+1 iff md5("j_i") starts with a 0–7 hex digit), summed in exact
+    * decimal, divided by √r AFTER the sum like the operator. */
+  lazy val embedRandomProjectionSql: String =
+    s"""WITH pos AS (
+       |  SELECT vec_id AS vid, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |), signs AS (
+       |  SELECT j, i,
+       |         CASE WHEN strpos('01234567', substr(md5(j || '_' || i), 1, 1)) > 0
+       |              THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM unnest(generate_series(1, 8)) AS tj(j),
+       |       unnest(generate_series(1, 64)) AS ti(i)
+       |), proj AS (
+       |  SELECT vid, j, sum(CAST(v * sgn AS DECIMAL(30,15))) AS s
+       |  FROM pos JOIN signs ON signs.i = pos.pos
+       |  GROUP BY 1, 2
+       |)
+       |SELECT vid AS vec_id, CAST(j AS INTEGER) AS dim,
+       |       round(CAST(s AS DOUBLE) / sqrt(8.0), 6) AS proj
+       |FROM proj
+       |""".stripMargin
+
   // ---------------------------------------------------------- table profile
   /** Per-column profile of the documents table (row/null/distinct
     * counts, min/max). Floating columns are excluded by design — their

@@ -105,6 +105,8 @@ object SparkEntry {
     "embed_quantize"       -> (QueriesExt.embedQuantize _),
     // distributed k-means: scan-local codegen'd assignment half
     "embed_kmeans_assign"  -> (QueriesExt.embedKmeansAssign _),
+    // JL random projection with a regenerable md5-Rademacher matrix
+    "embed_random_projection" -> (QueriesExt.embedRandomProjection _),
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
     "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
@@ -228,6 +230,7 @@ object SparkEntry {
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
     "embed_kmeans_assign"       -> QueriesExt.embedKmeansAssignSql,
+    "embed_random_projection"   -> QueriesExt.embedRandomProjectionSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "dim_scd2_incremental"      -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
