@@ -1097,6 +1097,31 @@ object QueriesExt {
        |FROM ranked WHERE rn = 1
        |""".stripMargin
 
+  // ---------------------------------------------------------- BPE-ish token estimate
+  /** Per-document pre-tokenizer piece count and ~4-chars-per-token LLM
+    * token estimate — the budget-planning companion to the whitespace
+    * tokenCount the stats gate already verifies. Scan-local. */
+  def textTokenEstimate(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.bpePieces(col("text"))).cast("long").as("n_pieces"),
+      TextAnalysis.bpeTokenEstimate(col("text")).as("n_tokens_est"))
+
+  /** Oracle: the same pure-alternation regex is valid RE2, and the
+    * per-piece cost is mirrored with integer division. */
+  lazy val textTokenEstimateSql: String = {
+    val pat = TextAnalysis.bpePiecePattern
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(coalesce(text, ''), '$pat')) AS BIGINT)
+       |         AS n_pieces,
+       |       CAST(coalesce(list_sum(list_transform(
+       |              regexp_extract_all(coalesce(text, ''), '$pat'),
+       |              p -> greatest(1, (length(p) + 3) // 4))), 0) AS BIGINT)
+       |         AS n_tokens_est
+       |FROM documents
+       |""".stripMargin
+  }
+
   // ---------------------------------------------------------- random projection
   /** JL random projection 64 → 8 dims with the deterministic
     * md5-Rademacher matrix, exploded to (vec_id, dim, proj) so the

@@ -107,6 +107,8 @@ object SparkEntry {
     "embed_kmeans_assign"  -> (QueriesExt.embedKmeansAssign _),
     // JL random projection with a regenerable md5-Rademacher matrix
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),
+    // BPE-ish pre-tokenizer pieces + ~4-chars/token LLM budget estimate
+    "text_token_estimate"  -> (QueriesExt.textTokenEstimate _),
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
     "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
@@ -231,6 +233,7 @@ object SparkEntry {
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
     "embed_kmeans_assign"       -> QueriesExt.embedKmeansAssignSql,
     "embed_random_projection"   -> QueriesExt.embedRandomProjectionSql,
+    "text_token_estimate"       -> QueriesExt.textTokenEstimateSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "dim_scd2_incremental"      -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,

@@ -292,4 +292,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(explodes == 1,
       s"df must derive from the tf aggregate, not re-explode the corpus — got $explodes explodes:\n$plan")
   }
+
+  test("bpe pieces split words, digits, punctuation, and CJK the documented way") {
+    import spark.implicits._
+    val got = Seq("Hello, world42! 你好 extraordinarily")
+      .toDF("text")
+      .select(
+        operators.TextAnalysis.bpePieces(col("text")).as("p"),
+        operators.TextAnalysis.bpeTokenEstimate(col("text")).as("est"))
+      .head()
+    // letter runs whole, digits single, punct runs together, CJK per char
+    assert(got.getSeq[String](0) ===
+      Seq("Hello", ",", "world", "4", "2", "!", "你", "好", "extraordinarily"))
+    // ceil(len/4) per piece: 2+1+2+1+1+1+1+1+4 = 14
+    assert(got.getLong(1) === 14L)
+  }
+
+  test("bpe estimate: null and empty text cost zero, never null") {
+    import spark.implicits._
+    val got = Seq(Some(""), None).toDF("text")
+      .select(operators.TextAnalysis.bpeTokenEstimate(col("text")).as("est"))
+      .collect()
+    assert(got.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+  }
 }
