@@ -90,7 +90,11 @@ object Bench {
     "embed_knn_lsh"     -> (QueriesExt.embedKnnLsh _),
     "embed_knn_ivf"     -> (QueriesExt.embedKnnIvf _),
     "embed_knn_quantized" -> (QueriesExt.embedKnnQuantized _),
-    "multimodal_decode" -> (QueriesExt.multimodalDecode _)
+    "multimodal_decode" -> (QueriesExt.multimodalDecode _),
+    // r6: codegen'd scan-local embedding transforms + token budgeting
+    "embed_kmeans_assign"     -> (QueriesExt.embedKmeansAssign _),
+    "embed_random_projection" -> (QueriesExt.embedRandomProjection _),
+    "text_token_estimate"     -> (QueriesExt.textTokenEstimate _)
   )
 
   /** Cumulative CPU time of THIS JVM across all threads, seconds.

@@ -1097,6 +1097,43 @@ object QueriesExt {
        |FROM ranked WHERE rn = 1
        |""".stripMargin
 
+  // ---------------------------------------------------------- expectations
+  /** Data-quality expectations over documents: four row checks share
+    * ONE scan + ONE global aggregate (2 accumulators per check per
+    * task), uniqueness adds the one groupBy it needs. `min_length_100`
+    * genuinely fails on short docs, so the gate exercises a nonzero
+    * violation count and its deterministic min-key repro pointer. */
+  def tableExpectations(s: SparkSession, dir: String): DataFrame = {
+    import operators.Expectations.Check
+    operators.Expectations.validate(
+      docs(s, dir), "doc_id",
+      Seq(
+        Check("doc_id_nonnull", col("doc_id").isNotNull),
+        Check("lang_known", col("lang").isin("en", "de", "es", "fr", "zh")),
+        Check("n_chars_consistent", col("n_chars") === length(col("text"))),
+        Check("min_length_100", col("n_chars") >= 100)),
+      uniqueKey = Some("doc_id"))
+  }
+
+  lazy val tableExpectationsSql: String = {
+    def row(name: String, badWhere: String): String =
+      s"""SELECT '$name' AS "check",
+         |       CAST(count(*) FILTER (WHERE $badWhere) AS BIGINT) AS n_violations,
+         |       min(doc_id) FILTER (WHERE $badWhere) AS sample_key
+         |FROM documents""".stripMargin
+    Seq(
+      row("doc_id_nonnull", "doc_id IS NULL"),
+      row("lang_known",
+        "NOT coalesce(lang IN ('en','de','es','fr','zh'), FALSE)"),
+      row("n_chars_consistent", "NOT coalesce(n_chars = length(text), FALSE)"),
+      row("min_length_100", "NOT coalesce(n_chars >= 100, FALSE)"),
+      s"""SELECT 'doc_id_unique' AS "check",
+         |       CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_violations,
+         |       min(CASE WHEN c > 1 THEN doc_id END) AS sample_key
+         |FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY 1)""".stripMargin
+    ).mkString("", "\nUNION ALL\n", "\n")
+  }
+
   // ---------------------------------------------------------- BPE-ish token estimate
   /** Per-document pre-tokenizer piece count and ~4-chars-per-token LLM
     * token estimate — the budget-planning companion to the whitespace

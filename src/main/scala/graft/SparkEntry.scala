@@ -109,6 +109,8 @@ object SparkEntry {
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),
     // BPE-ish pre-tokenizer pieces + ~4-chars/token LLM budget estimate
     "text_token_estimate"  -> (QueriesExt.textTokenEstimate _),
+    // one-scan declarative data-quality expectations + uniqueness
+    "table_expectations"   -> (QueriesExt.tableExpectations _),
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
     "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
@@ -234,6 +236,7 @@ object SparkEntry {
     "embed_kmeans_assign"       -> QueriesExt.embedKmeansAssignSql,
     "embed_random_projection"   -> QueriesExt.embedRandomProjectionSql,
     "text_token_estimate"       -> QueriesExt.textTokenEstimateSql,
+    "table_expectations"        -> QueriesExt.tableExpectationsSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "dim_scd2_incremental"      -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
