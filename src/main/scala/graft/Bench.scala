@@ -94,7 +94,9 @@ object Bench {
     // r6: codegen'd scan-local embedding transforms + token budgeting
     "embed_kmeans_assign"     -> (QueriesExt.embedKmeansAssign _),
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),
-    "text_token_estimate"     -> (QueriesExt.textTokenEstimate _)
+    "embed_knn_projected"     -> (QueriesExt.embedKnnProjected _),
+    "text_token_estimate"     -> (QueriesExt.textTokenEstimate _),
+    "table_expectations"      -> (QueriesExt.tableExpectations _)
   )
 
   /** Cumulative CPU time of THIS JVM across all threads, seconds.

@@ -1194,6 +1194,78 @@ object QueriesExt {
        |FROM proj
        |""".stripMargin
 
+  // ---------------------------------------------------------- projected KNN
+  /** The project-then-search composition: cosine top-5 computed in the
+    * 8-dim JL-projected space (8x less per-pair arithmetic and IO than
+    * full-space brute force — the candidate-generation regime at
+    * 100 TB, rescored in full space when precision demands). Both
+    * stages are deterministic, so the whole pipeline is hash-gated:
+    * the oracle regenerates the matrix, projects, and ranks in SQL.
+    * Norms are hoisted per row BEFORE the pair join (the r5 lesson:
+    * inlined, each |Q|x|C| pair would re-reduce both vectors). */
+  def embedKnnProjected(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotProduct
+    import org.apache.spark.sql.expressions.Window
+    val p = operators.Projection.randomProject(emb(s, dir), "vec_id", "embedding", d = 64, r = 8)
+    val withNorm = p.select(col("vec_id"), col("proj"),
+      sqrt(DotProduct(col("proj"), col("proj"))).as("nrm"))
+    val q = withNorm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("proj").as("qv"), col("nrm").as("qn"))
+    val c = withNorm
+      .select(col("vec_id").as("neighbor_id"), col("proj").as("cv"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  lazy val embedKnnProjectedSql: String =
+    s"""WITH pos AS (
+       |  SELECT vec_id AS vid, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |), signs AS (
+       |  SELECT j, i,
+       |         CASE WHEN strpos('01234567', substr(md5(j || '_' || i), 1, 1)) > 0
+       |              THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM unnest(generate_series(1, 8)) AS tj(j),
+       |       unnest(generate_series(1, 64)) AS ti(i)
+       |), proj AS (
+       |  SELECT vid, j,
+       |         CAST(sum(CAST(v * sgn AS DECIMAL(30,15))) AS DOUBLE) / sqrt(8.0) AS p
+       |  FROM pos JOIN signs ON signs.i = pos.pos
+       |  GROUP BY 1, 2
+       |), n2 AS (
+       |  SELECT vid, sum(CAST(p * p AS DECIMAL(30,15))) AS n2 FROM proj GROUP BY 1
+       |), q AS (
+       |  SELECT vid AS query_id, j, p AS qp FROM proj WHERE vid < 10
+       |), dots AS (
+       |  SELECT q.query_id, c.vid AS neighbor_id,
+       |         sum(CAST(q.qp * c.p AS DECIMAL(30,15))) AS dot
+       |  FROM q JOIN proj c USING (j)
+       |  WHERE q.query_id <> c.vid
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN n2 qn ON qn.vid = query_id
+       |  JOIN n2 cn ON cn.vid = neighbor_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       |       round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |""".stripMargin
+
   // ---------------------------------------------------------- table profile
   /** Per-column profile of the documents table (row/null/distinct
     * counts, min/max). Floating columns are excluded by design — their

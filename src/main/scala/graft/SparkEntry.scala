@@ -111,6 +111,8 @@ object SparkEntry {
     "text_token_estimate"  -> (QueriesExt.textTokenEstimate _),
     // one-scan declarative data-quality expectations + uniqueness
     "table_expectations"   -> (QueriesExt.tableExpectations _),
+    // project-then-search composition: top-5 in JL-projected space
+    "embed_knn_projected"  -> (QueriesExt.embedKnnProjected _),
     // SCD Type-2 dimension history (the Type-1 populate family's
     // "what was the value THEN" extension)
     "dim_scd2_history"  -> (QueriesEvents.dimScd2History _),
@@ -237,6 +239,7 @@ object SparkEntry {
     "embed_random_projection"   -> QueriesExt.embedRandomProjectionSql,
     "text_token_estimate"       -> QueriesExt.textTokenEstimateSql,
     "table_expectations"        -> QueriesExt.tableExpectationsSql,
+    "embed_knn_projected"       -> QueriesExt.embedKnnProjectedSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "dim_scd2_incremental"      -> QueriesEvents.dimScd2HistorySql,
     "events_funnel"             -> QueriesEvents.eventsFunnelSql,
