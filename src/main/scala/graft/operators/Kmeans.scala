@@ -26,26 +26,36 @@ import graft.functions.DotProduct
   */
 object Kmeans {
 
+  /** The argmin struct `(rel, cluster)` over the literal centroids,
+    * where `rel = |c_j|^2 - 2 v·c_j` (struct ordering is lexicographic:
+    * minimal relative distance, ties to the lowest cluster index). */
+  private def bestOf(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val d = centroids.head.length
+    require(centroids.forall(_.length == d),
+      s"centroid dimensions differ: ${centroids.map(_.length).distinct}")
+    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+      val n2c = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (lit(n2c) - lit(2.0) * DotProduct(vec, lit(c))).as("rel"),
+        lit(j).as("cluster"))
+    }: _*))
+  }
+
+  /** Nearest-centroid index of `vec` as a column (null for a null
+    * vector) — the scan-local assignment reusable inside any
+    * projection (streaming stats, enrichment) without a join. */
+  def clusterColumn(vec: Column, centroids: Seq[Array[Double]]): Column =
+    when(vec.isNotNull, bestOf(vec, centroids).getField("cluster"))
+
   /** Nearest-centroid assignment: `(id, cluster, dist2)` per input row,
     * `cluster` = index into `centroids`, ties to the lowest index.
     * Scan-local and codegen'd; `centroids` ride the plan as literals. */
   def assign(
       emb: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]]): DataFrame = {
-    require(centroids.nonEmpty, "assign needs at least one centroid")
-    val d = centroids.head.length
-    require(centroids.forall(_.length == d),
-      s"centroid dimensions differ: ${centroids.map(_.length).distinct}")
-    val vec = col(vecCol)
-    // struct ordering is lexicographic (rel, then cluster): array_min
-    // is the argmin with deterministic lowest-index tie-break
-    val scored: Column = array(centroids.zipWithIndex.map { case (c, j) =>
-      val n2c = c.foldLeft(0.0)((a, x) => a + x * x)
-      struct(
-        (lit(n2c) - lit(2.0) * DotProduct(vec, lit(c))).as("rel"),
-        lit(j).as("cluster"))
-    }: _*)
-    val best = array_min(scored)
+    val vec  = col(vecCol)
+    val best = bestOf(vec, centroids)
     // a null vector has no geometry: null cluster + dist2, not an
     // executor NPE (mirrors ivfKnn's null-cell rule)
     emb.select(
@@ -84,13 +94,7 @@ object Kmeans {
     var iter = 0
     while (iter < maxIters) {
       val assigned = live
-        .withColumn("__cluster",
-          array_min(array(centroids.zipWithIndex.map { case (c, j) =>
-            val n2c = c.foldLeft(0.0)((a, x) => a + x * x)
-            struct(
-              (lit(n2c) - lit(2.0) * DotProduct(col(vecCol), lit(c))).as("rel"),
-              lit(j).as("cluster"))
-          }: _*)).getField("cluster"))
+        .withColumn("__cluster", clusterColumn(col(vecCol), centroids))
       // one exchange: (cluster, dim) partial means — ≤ k*d rows survive
       // the map side of the hash aggregate
       val means = assigned
