@@ -96,7 +96,8 @@ object Bench {
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),
     "embed_knn_projected"     -> (QueriesExt.embedKnnProjected _),
     "text_token_estimate"     -> (QueriesExt.textTokenEstimate _),
-    "table_expectations"      -> (QueriesExt.tableExpectations _)
+    "table_expectations"      -> (QueriesExt.tableExpectations _),
+    "graph_triangles"         -> (QueriesEvents.graphTriangles _)
   )
 
   /** Cumulative CPU time of THIS JVM across all threads, seconds.

@@ -451,6 +451,41 @@ object QueriesEvents {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  /** Per-node triangle counts of the (undirected) event-type
+    * transition graph — degree-oriented wedge counting
+    * ([[graft.operators.Centrality.triangles]]); the oracle counts
+    * a<b<c triples the naive way, proving the oriented plan computes
+    * the same set. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Centrality.triangles(
+      eventsTransitions(s, dir), "from_type", "to_type")
+      .withColumnRenamed("node", "event_type")
+
+  lazy val graphTrianglesSql: String =
+    s"""WITH nxt AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id) AS to_type
+       |  FROM events
+       |), ed AS (
+       |  SELECT DISTINCT least(from_type, to_type) AS a,
+       |                  greatest(from_type, to_type) AS b
+       |  FROM nxt
+       |  WHERE to_type IS NOT NULL AND from_type <> to_type
+       |), tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM ed e1
+       |  JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b
+       |), nodes AS (
+       |  SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri
+       |)
+       |SELECT node AS event_type, count(*) AS n_triangles
+       |FROM nodes GROUP BY 1
+       |""".stripMargin
+
   /** Link centrality of the event-type transition graph: 3 iterations
     * of fixed-point integer PageRank over the same edge list as
     * `events_transitions`. Exact integer arithmetic end-to-end, so the

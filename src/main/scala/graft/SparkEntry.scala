@@ -139,6 +139,8 @@ object SparkEntry {
     "events_transitions" -> (QueriesEvents.eventsTransitions _),
     // fixed-point integer PageRank over the transition graph
     "events_pagerank"    -> (QueriesEvents.eventsPagerank _),
+    // degree-oriented triangle counting on the transition graph
+    "graph_triangles"    -> (QueriesEvents.graphTriangles _),
     // dedup family
     "dedup_exact"         -> (QueriesExt.dedupExact _),
     // batch admission against a maintained fingerprint set
@@ -256,6 +258,7 @@ object SparkEntry {
     "events_cube"               -> QueriesEvents.eventsCubeSql,
     "events_transitions"        -> QueriesEvents.eventsTransitionsSql,
     "events_pagerank"           -> QueriesEvents.eventsPagerankSql,
+    "graph_triangles"           -> QueriesEvents.graphTrianglesSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_incremental"         -> QueriesExt.dedupIncrementalSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,

@@ -65,4 +65,48 @@ class CentralitySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected the 1-row count to broadcast:\n$plan")
   }
+
+  // ------------------------------------------------------------ triangles
+  private def triOf(edges: Seq[(String, String)]): Map[String, Long] = {
+    val s = spark
+    import s.implicits._
+    Centrality.triangles(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: K4 gives every node C(3,2)=3 triangles") {
+    val k4 = for {
+      a <- Seq("A", "B", "C", "D"); b <- Seq("A", "B", "C", "D") if a < b
+    } yield (a, b)
+    assert(triOf(k4) === Map("A" -> 3L, "B" -> 3L, "C" -> 3L, "D" -> 3L))
+  }
+
+  test("triangles: direction, duplicates, and self-loops are canonicalized away") {
+    // one triangle A-B-C plus noise: reversed duplicates, a self-loop,
+    // and a pendant edge that closes nothing
+    val edges = Seq(
+      ("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"),
+      ("C", "A"), ("A", "A"), ("C", "D"))
+    assert(triOf(edges) === Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
+  }
+
+  test("triangles match a brute-force reference on a pseudo-random graph") {
+    // deterministic 12-node graph via a multiplicative hash
+    val nodes = (0 until 12).map(i => f"n$i%02d")
+    val edges = for {
+      i <- 0 until 12; j <- 0 until 12 if i < j
+      if ((i * 31 + j * 17) % 5) < 2
+    } yield (nodes(i), nodes(j))
+    val eset = edges.toSet
+    def hasEdge(a: String, b: String) =
+      eset.contains((a, b)) || eset.contains((b, a))
+    val want = nodes.map { n =>
+      n -> (for {
+        a <- nodes; b <- nodes
+        if a < b && a != n && b != n
+        if hasEdge(n, a) && hasEdge(n, b) && hasEdge(a, b)
+      } yield 1).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(triOf(edges) === want)
+  }
 }
