@@ -127,4 +127,63 @@ class AlgebraPropertySpec extends SparkSpec {
       }
     }, n = 5)
   }
+
+  test("property: expectation violations are additive under union") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Check
+    val genRows = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 50L), Gen.choose(-5, 20)))
+    def report(rows: Seq[(Long, Int)]) =
+      Expectations.rowChecks(rows.toDF("id", "v"), "id",
+        Seq(Check("v_nonneg", col("v") >= 0), Check("v_small", col("v") < 10)))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    check("additivity", Prop.forAll(Gen.zip(genRows, genRows)) { case (xs, ys) =>
+      val a = report(xs); val b = report(ys); val ab = report(xs ++ ys)
+      ab.keySet.forall { k =>
+        ab(k)._1 == a(k)._1 + b(k)._1 &&
+        ab(k)._2 == (a(k)._2 ++ b(k)._2).reduceOption(_ min _)
+      }
+    }, n = 5)
+  }
+
+  test("property: triangle counts are invariant under edge direction and duplication") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Centrality
+    val genEdges = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 7), Gen.choose(0, 7))).map(_.filter(e => e._1 != e._2))
+    def tri(edges: Seq[(Int, Int)]) =
+      Centrality.triangles(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    check("invariance", Prop.forAll(genEdges) { edges =>
+      edges.nonEmpty ==> {
+        val base = tri(edges)
+        // flip every edge and duplicate the list — same triangles
+        val noisy = tri(edges ++ edges.map(_.swap))
+        base == noisy
+      }
+    }, n = 5)
+  }
+
+  test("property: centroids assign to themselves at distance zero") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Kmeans
+    val genCents = Gen.nonEmptyListOf(
+      Gen.listOfN(3, Gen.choose(-8, 8).map(_.toDouble))).map(_.distinct)
+    check("identity", Prop.forAll(genCents) { cs =>
+      val cents = cs.map(_.toArray)
+      val rows  = cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.map(_.toFloat).toSeq) }
+      val got = Kmeans.assign(rows.toDF("id", "v"), "id", "v", cents)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      got.forall { case (id, cluster, d2) =>
+        // a duplicate-free centroid list assigns each to itself exactly
+        cluster == id.toInt && math.abs(d2) < 1e-9
+      }
+    }, n = 5)
+  }
 }
