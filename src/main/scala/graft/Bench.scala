@@ -97,7 +97,8 @@ object Bench {
     "embed_knn_projected"     -> (QueriesExt.embedKnnProjected _),
     "text_token_estimate"     -> (QueriesExt.textTokenEstimate _),
     "table_expectations"      -> (QueriesExt.tableExpectations _),
-    "graph_triangles"         -> (QueriesEvents.graphTriangles _)
+    "graph_triangles"         -> (QueriesEvents.graphTriangles _),
+    "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _)
   )
 
   /** Cumulative CPU time of THIS JVM across all threads, seconds.

@@ -120,6 +120,13 @@ object QueriesExt {
        |WHERE CAST(icount AS DOUBLE) / (sa.sz + sb.sz - icount) >= 0.5
        |""".stripMargin
 
+  /** Prefix-filtered exact Jaccard join — gated against the SAME
+    * full-universe oracle as the inverted-index form: the prefix
+    * filter is provably lossless, so any completeness bug (a missed
+    * candidate) hash-mismatches here. */
+  def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+
   // ================================================================ minhash / simhash (no SQL oracle)
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3, k = 64, r = 4, minJaccard = 0.5)

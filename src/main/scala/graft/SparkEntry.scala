@@ -146,6 +146,8 @@ object SparkEntry {
     // batch admission against a maintained fingerprint set
     "dedup_incremental"   -> (QueriesExt.dedupIncremental _),
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
+    // prefix-filtered exact Jaccard: same oracle, bounded candidates
+    "dedup_jaccard_prefix" -> (QueriesExt.dedupJaccardPrefix _),
     "dedup_minhash_lsh"   -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
     // oracle-checked verification companions: LSH pairs subset-of exact
@@ -262,6 +264,7 @@ object SparkEntry {
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_incremental"         -> QueriesExt.dedupIncrementalSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
+    "dedup_jaccard_prefix"      -> QueriesExt.dedupNgramJaccardSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,
     "dedup_survivors"           -> QueriesExt.dedupSurvivorsSql,
     "skew_salted_join"          -> QueriesExt.skewSaltedJoinSql,

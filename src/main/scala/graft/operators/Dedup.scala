@@ -189,6 +189,62 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard join via PREFIX FILTERING [Chaudhuri, Ganti
+    * & Kaushik, ICDE 2006; Xiao et al., WWW 2008 (PPJoin)] — the
+    * candidate-bounded alternative to [[ngramJaccardPairs]]' full
+    * inverted index. Order every document's shingles by ascending
+    * document frequency (rarest first, ties by shingle text): any pair
+    * with Jaccard ≥ θ MUST share a shingle inside each side's first
+    * `|A| − ceil(θ·|A|) + 1` shingles, so only those prefixes are
+    * indexed. A boilerplate shingle (license header, nav bar) has
+    * maximal df, sorts LAST, and lands in almost no prefix — the k²
+    * posting blowup [[ngramJaccardPairs]] needs `maxDf` to cap simply
+    * never forms, with NO reduced-universe approximation: candidates
+    * are verified with the full shingle sets (scan-local
+    * `array_intersect` on the pair rows), so the result is exact
+    * Jaccard over the FULL universe — gated against the same oracle
+    * as the inverted-index form.
+    *
+    * Shuffle shape: df agg + rank join on the shingle key, ONE window
+    * exchange on the doc id (prefix rank + set size share it), the
+    * prefix equi-join on the shingle key, and two id-key joins
+    * attaching the packed sets to the (few) candidates. The pair space
+    * never materializes beyond prefix collisions. */
+  def jaccardPrefixPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5
+  ): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"prefix filtering needs 0 < minJaccard <= 1, got $minJaccard")
+    import org.apache.spark.sql.expressions.Window
+    val all   = shingles(docs, idCol, textCol, n)
+    val dfreq = all.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("ng"))
+    val bySet    = Window.partitionBy(col(idCol))
+    val prefix = all.join(dfreq, "ng")
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(bySet))
+      .filter(col("rn") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col(idCol), col("ng"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.ng") === col("b.ng") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val sets = all.groupBy(col(idCol))
+      .agg(collect_set(col("ng")).as("st"), count(lit(1)).as("sz"))
+    cands
+      .join(sets.select(col(idCol).as("doc_a"),
+        col("st").as("sa"), col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"),
+        col("st").as("sb"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("icount", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("icount").cast("double") / (col("sz_a") + col("sz_b") - col("icount")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   import Hashing.{fnvShingle, mix64}
 
   /** MinHash signatures: k per-seed minimum hashes over the document's
