@@ -98,7 +98,8 @@ object Bench {
     "text_token_estimate"     -> (QueriesExt.textTokenEstimate _),
     "table_expectations"      -> (QueriesExt.tableExpectations _),
     "graph_triangles"         -> (QueriesEvents.graphTriangles _),
-    "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _)
+    "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _),
+    "text_diversity"          -> (QueriesExt.textDiversity _)
   )
 
   /** Cumulative CPU time of THIS JVM across all threads, seconds.

@@ -1104,6 +1104,47 @@ object QueriesExt {
        |FROM ranked WHERE rn = 1
        |""".stripMargin
 
+  // ---------------------------------------------------------- token diversity
+  /** Per-document lexical diversity: token count, distinct tokens, and
+    * the Gini–Simpson index `1 − Σ tf² / n²` — the log-free diversity
+    * signal (entropy's cross-engine hazard is libm `log`, whose last
+    * ulp differs between JVMs and DuckDB; Σ tf² is EXACT integer, so
+    * the one final division is bit-identical everywhere). Low gini =
+    * the doc repeats a few tokens (template/spam smell); high =
+    * diverse vocabulary. One explode + one partial-aggregated groupBy
+    * on (doc, token), re-aggregated per doc. */
+  def textDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("sum_tf2").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"), 9).as("gini"))
+
+  lazy val textDiversitySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t AS token
+       |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |       count(*) AS n_distinct,
+       |       round(1.0 - CAST(sum(tf * tf) AS DOUBLE)
+       |                   / CAST(sum(tf) * sum(tf) AS DOUBLE), 9) AS gini
+       |FROM tf GROUP BY 1
+       |""".stripMargin
+
   // ---------------------------------------------------------- expectations
   /** Data-quality expectations over documents: four row checks share
     * ONE scan + ONE global aggregate (2 accumulators per check per

@@ -111,6 +111,8 @@ object SparkEntry {
     "text_token_estimate"  -> (QueriesExt.textTokenEstimate _),
     // one-scan declarative data-quality expectations + uniqueness
     "table_expectations"   -> (QueriesExt.tableExpectations _),
+    // log-free Gini-Simpson lexical diversity (exact integer sums)
+    "text_diversity"       -> (QueriesExt.textDiversity _),
     // project-then-search composition: top-5 in JL-projected space
     "embed_knn_projected"  -> (QueriesExt.embedKnnProjected _),
     // SCD Type-2 dimension history (the Type-1 populate family's
@@ -243,6 +245,7 @@ object SparkEntry {
     "embed_random_projection"   -> QueriesExt.embedRandomProjectionSql,
     "text_token_estimate"       -> QueriesExt.textTokenEstimateSql,
     "table_expectations"        -> QueriesExt.tableExpectationsSql,
+    "text_diversity"            -> QueriesExt.textDiversitySql,
     "embed_knn_projected"       -> QueriesExt.embedKnnProjectedSql,
     "dim_scd2_history"          -> QueriesEvents.dimScd2HistorySql,
     "dim_scd2_incremental"      -> QueriesEvents.dimScd2HistorySql,
