@@ -870,6 +870,27 @@ object QueriesEvents {
 
   /** Per-type winsorization of `value` at the discrete [p05, p95]
     * band — exact order-statistic edges, no interpolation. */
+  /** Per-type CDF normalization: percent_rank of each value within its
+    * event type — the score-normalization primitive that puts
+    * heterogeneous quality signals (LM score, length, diversity) on a
+    * common [0,1] scale before combining them in a curation policy.
+    * `(rank−1)/(n−1)` is one IEEE division of exact integers, so both
+    * engines agree bit-for-bit; ties share a rank by definition, which
+    * makes the result order-independent. One exchange (the window). */
+  def eventsPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value").asc_nulls_first)
+    events(s, dir).select(col("event_id"), col("event_type"),
+      round(percent_rank().over(w), 9).as("pct"))
+  }
+
+  lazy val eventsPercentRankSql: String =
+    s"""SELECT event_id, event_type,
+       |       round(percent_rank() OVER (PARTITION BY event_type
+       |                                  ORDER BY value ASC NULLS FIRST), 9) AS pct
+       |FROM events
+       |""".stripMargin
+
   def eventsWinsorize(s: SparkSession, dir: String): DataFrame =
     graft.operators.Winsorize.winsorize(
       events(s, dir).select(col("event_id"), col("event_type"), col("value")),

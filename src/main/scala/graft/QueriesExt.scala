@@ -469,6 +469,27 @@ object QueriesExt {
        |FROM documents
        |""".stripMargin
 
+  /** Leakage-free GROUPED split: the split key is the `source` column,
+    * not the doc id, so every document of a source lands in the same
+    * split by construction — near-duplicates inside a source can never
+    * straddle train/test (the split-contamination hazard doc-keyed
+    * splits carry). Same scan-local md5 rule as [[sampleSplits]]; the
+    * oracle re-derives the split from the source per ROW, which is
+    * only consistent because membership is a pure function of the
+    * group key — group atomicity is what the hash-match proves. */
+  def sampleSplitsGrouped(s: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplits(docs(s, dir), "source",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("source"), col("split"))
+
+  lazy val sampleSplitsGroupedSql: String =
+    s"""SELECT doc_id, source,
+       |       CASE WHEN substr(md5(source), 1, 4) < 'cccc' THEN 'train'
+       |            WHEN substr(md5(source), 1, 4) < 'e666' THEN 'valid'
+       |            ELSE 'test' END AS split
+       |FROM documents
+       |""".stripMargin
+
   /** Exactly-20-per-language stratified sample (md5-ranked, ties by
     * key): the balanced-eval-slice primitive. Literal-membership
     * oracle, like the other sampling gates. */

@@ -99,6 +99,10 @@ object SparkEntry {
     "events_twa"           -> (QueriesEvents.eventsTwa _),
     // exact order-statistic outlier clamping
     "events_winsorize"     -> (QueriesEvents.eventsWinsorize _),
+    // per-type CDF (percent_rank) score normalization
+    "events_percent_rank"  -> (QueriesEvents.eventsPercentRank _),
+    // leakage-free grouped split: whole sources stay in one split
+    "sample_splits_grouped" -> (QueriesExt.sampleSplitsGrouped _),
     // added/removed/changed between two keyed snapshots
     "dim_snapshot_diff"    -> (QueriesEvents.dimSnapshotDiff _),
     "dim_merge_latest"     -> (QueriesEvents.dimMergeLatest _),
@@ -238,6 +242,8 @@ object SparkEntry {
     "events_twa"                -> QueriesEvents.eventsTwaSql,
     "events_gapfill"            -> QueriesEvents.eventsGapfillSql,
     "events_winsorize"          -> QueriesEvents.eventsWinsorizeSql,
+    "events_percent_rank"       -> QueriesEvents.eventsPercentRankSql,
+    "sample_splits_grouped"     -> QueriesExt.sampleSplitsGroupedSql,
     "dim_snapshot_diff"         -> QueriesEvents.dimSnapshotDiffSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,
