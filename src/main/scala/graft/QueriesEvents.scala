@@ -891,6 +891,41 @@ object QueriesEvents {
        |FROM events
        |""".stripMargin
 
+  /** Median/MAD robust z-score per event type
+    * ([[graft.operators.Winsorize.robustZ]]) — discrete order-statistic
+    * medians, bit-identical across engines. */
+  def eventsRobustZ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winsorize
+      .robustZ(events(s, dir), Seq("event_type"), "value", "event_id")
+      .select(col("event_id"), col("event_type"),
+        round(col("value_rz"), 9).as("rz"))
+
+  lazy val eventsRobustZSql: String =
+    s"""WITH ranked AS (
+       |  SELECT event_id, event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY value, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events WHERE value IS NOT NULL
+       |), med AS (
+       |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN value END)
+       |              OVER (PARTITION BY event_type) AS m
+       |  FROM ranked
+       |), dev AS (
+       |  SELECT *, abs(value - m) AS d,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY abs(value - m), event_id) AS dn
+       |  FROM med
+       |), mad AS (
+       |  SELECT *, max(CASE WHEN dn = (n + 1) // 2 THEN d END)
+       |              OVER (PARTITION BY event_type) AS md
+       |  FROM dev
+       |)
+       |SELECT event_id, event_type,
+       |       round(CASE WHEN md > 0 THEN (value - m) / md END, 9) AS rz
+       |FROM mad
+       |""".stripMargin
+
   def eventsWinsorize(s: SparkSession, dir: String): DataFrame =
     graft.operators.Winsorize.winsorize(
       events(s, dir).select(col("event_id"), col("event_type"), col("value")),

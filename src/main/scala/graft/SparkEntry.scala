@@ -101,6 +101,8 @@ object SparkEntry {
     "events_winsorize"     -> (QueriesEvents.eventsWinsorize _),
     // per-type CDF (percent_rank) score normalization
     "events_percent_rank"  -> (QueriesEvents.eventsPercentRank _),
+    // median/MAD robust z-score (discrete order statistics)
+    "events_robust_z"      -> (QueriesEvents.eventsRobustZ _),
     // leakage-free grouped split: whole sources stay in one split
     "sample_splits_grouped" -> (QueriesExt.sampleSplitsGrouped _),
     // added/removed/changed between two keyed snapshots
@@ -243,6 +245,7 @@ object SparkEntry {
     "events_gapfill"            -> QueriesEvents.eventsGapfillSql,
     "events_winsorize"          -> QueriesEvents.eventsWinsorizeSql,
     "events_percent_rank"       -> QueriesEvents.eventsPercentRankSql,
+    "events_robust_z"           -> QueriesEvents.eventsRobustZSql,
     "sample_splits_grouped"     -> QueriesExt.sampleSplitsGroupedSql,
     "dim_snapshot_diff"         -> QueriesEvents.dimSnapshotDiffSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,

@@ -50,4 +50,41 @@ object Winsorize {
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__rn", "__n", "__lo", "__hi")
   }
+
+  /** Robust z-score: `(v − median) / MAD` per group — the
+    * outlier-resistant twin of the mean/σ z-score (one 10^6× spike
+    * shifts a mean-based score for every row; the median and the
+    * median absolute deviation ignore it). Medians are DISCRETE order
+    * statistics (value at rank ceil(n/2), the [[winsorize]] rule) —
+    * exact integer rank arithmetic, no interpolation — and the
+    * deviation `|v − median|`, its ranking, and the final division are
+    * single IEEE operations on identical inputs, so the DuckDB oracle
+    * matches bit-for-bit. A group with MAD = 0 (over half its values
+    * identical) yields null scores rather than ±∞.
+    *
+    * Shape: two window passes over the SAME group-key exchange — the
+    * deviation ranking re-partitions by the key it is already
+    * partitioned by, which Catalyst collapses to one exchange. */
+  def robustZ(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, tieCol: String
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val part     = Window.partitionBy(groupCols.map(col): _*)
+    val byValue  = part.orderBy(col(valueCol), col(tieCol))
+    val medRank  = expr("(__n + 1) div 2") // ceil(n/2), exact
+    val withMed = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(byValue))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__med",
+        max(when(col("__rn") === medRank, col(valueCol))).over(part))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val byDev = part.orderBy(col("__dev"), col(tieCol))
+    withMed
+      .withColumn("__dn", row_number().over(byDev))
+      .withColumn("__mad",
+        max(when(col("__dn") === medRank, col("__dev"))).over(part))
+      .withColumn(s"${valueCol}_rz",
+        when(col("__mad") > 0.0, (col(valueCol) - col("__med")) / col("__mad")))
+      .drop("__rn", "__n", "__med", "__dev", "__dn", "__mad")
+  }
 }

@@ -51,4 +51,36 @@ class WinsorizeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected one hash exchange, plan:\n$plan")
   }
+
+  // ------------------------------------------------------------ robust z
+  test("robustZ matches the hand-computed median/MAD score") {
+    val s = spark
+    import s.implicits._
+    // values 1..5 and an outlier 1000: median = 3 (lower median of 6),
+    // devs = {2,1,0,1,2,997} -> MAD = 1 (rank 3 of sorted {0,1,1,2,2,997})
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 1000.0)).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
+    val got = Winsorize.robustZ(df, Seq("g"), "v", "id")
+      .orderBy("id").collect().map(_.getDouble(3))
+    assert(got.toSeq === Seq(-2.0, -1.0, 0.0, 1.0, 2.0, 997.0))
+  }
+
+  test("robustZ yields null, not infinity, when MAD is zero") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 5.0, 1L), ("g", 5.0, 2L), ("g", 5.0, 3L), ("g", 9.0, 4L))
+      .toDF("g", "v", "id")
+    val out = Winsorize.robustZ(df, Seq("g"), "v", "id")
+    assert(out.collect().forall(_.isNullAt(3)))
+  }
+
+  test("robustZ keeps all windows on one group-key exchange") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val plan = Winsorize.robustZ(df, Seq("g"), "v", "id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected one hash exchange, plan:\n$plan")
+  }
 }
