@@ -99,7 +99,9 @@ object Bench {
     "table_expectations"      -> (QueriesExt.tableExpectations _),
     "graph_triangles"         -> (QueriesEvents.graphTriangles _),
     "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _),
-    "text_diversity"          -> (QueriesExt.textDiversity _)
+    "text_diversity"          -> (QueriesExt.textDiversity _),
+    "events_robust_z"         -> (QueriesEvents.eventsRobustZ _),
+    "sketch_intersection"     -> (Queries.sketchIntersection _)
   )
 
   /** Cumulative CPU time of THIS JVM across all threads, seconds.

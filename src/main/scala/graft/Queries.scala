@@ -501,6 +501,63 @@ object Queries {
        |GROUP BY 1
        |""".stripMargin
 
+  /** Sketched audience OVERLAP via inclusion–exclusion on mergeable
+    * registers: `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, where the union
+    * sketch is a SCALAR register-wise max of the two per-type sketches
+    * (`map_zip_with` + greatest — no rescan, no re-aggregation; the
+    * same algebra that powers rollups and rolling windows, applied
+    * pairwise). This is the segment-overlap question ("how many users
+    * do click and purchase share?") answered entirely from k
+    * per-segment sketches instead of k² pairwise scans — at 100 TB
+    * the event log is read ONCE for all pairs.
+    *
+    * Tolerance: I–E compounds three estimates and the intersections
+    * here are large fractions of the unions (shared user base), so
+    * eps = 0.25 on the exact intersection — like the other sketch
+    * gates, the boolean is the deterministic oracle surface and
+    * tighter-accuracy checks stay spec-side. */
+  def sketchIntersection(s: SparkSession, dir: String): DataFrame = {
+    val m     = RegisterSketch.bucketCount(0.05)
+    val build = RegisterSketch.buildAgg(m)
+    val est   = RegisterSketch.estimateUdf(m)
+    val eps   = 0.25
+    val ev = src(s, dir)("events")
+    val perType = ev.groupBy(col("event_type"))
+      .agg(build(RegisterSketch.hashColumn(col("user_id"))).as("sk"))
+    val pairs = perType.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      .join(perType.select(col("event_type").as("type_b"), col("sk").as("skb")),
+        col("type_a") < col("type_b"))
+    // scalar register union: key-wise max over the sparse maps
+    val unionSk = map_zip_with(col("ska"), col("skb"),
+      (_, v1, v2) => greatest(coalesce(v1, lit(0)), coalesce(v2, lit(0))))
+    val users = ev.select(col("event_type"), col("user_id")).distinct()
+    val exact = users.as("x")
+      .join(users.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pairs
+      .withColumn("est_inter",
+        est(col("ska")).cast("double") + est(col("skb")).cast("double")
+          - est(unionSk).cast("double"))
+      .join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_inter"),
+        (abs(col("est_inter") - col("exact_inter").cast("double"))
+          / col("exact_inter").cast("double") <= lit(eps)).cast("int")
+          .as("within_eps"))
+  }
+
+  val sketchIntersectionSql: String =
+    s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |       count(*) AS exact_inter,
+       |       CAST(1 AS INTEGER) AS within_eps
+       |FROM u a JOIN u b ON a.user_id = b.user_id
+       |                 AND a.event_type < b.event_type
+       |GROUP BY 1, 2
+       |""".stripMargin
+
   val sketchCountDistinctSql: String =
     s"""SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS ts_day_id,
        |       count(DISTINCT user_id) AS exact_users,

@@ -37,6 +37,8 @@ object SparkEntry {
     // F7: exact companion + mergeable register sketch
     "agg_count_distinct_exact" -> (Queries.aggCountDistinctExact _),
     "sketch_count_distinct"    -> (Queries.sketchCountDistinct _),
+    // audience overlap from per-segment sketches (inclusion-exclusion)
+    "sketch_intersection"      -> (Queries.sketchIntersection _),
     // mergeable registers over a trailing window: rolling 7d distinct
     "sketch_rolling_distinct"  -> (Queries.sketchRollingDistinct _),
     // data-quality: per-FK orphan audit over the declared star joins
@@ -201,6 +203,7 @@ object SparkEntry {
     "skew_diagnose"             -> Queries.skewDiagnoseSql,
     "agg_count_distinct_exact"  -> Queries.aggCountDistinctExactSql,
     "sketch_count_distinct"     -> Queries.sketchCountDistinctSql,
+    "sketch_intersection"       -> Queries.sketchIntersectionSql,
     "sketch_rolling_distinct"   -> Queries.sketchRollingDistinctSql,
     "dedup_minhash_lsh_verified" -> QueriesExt.dedupNgramJaccardSql,
     "dedup_simhash_verified"     -> QueriesExt.dedupSimhashVerifiedSql,
