@@ -296,17 +296,12 @@ object Dedup {
     * need to see what was dropped can run
     * `Skew.keyHistogram(bandedSignatures, "bh")` as a diagnostic
     * before committing to a maxBucket. */
-  def minhashLshPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, r: Int = 4,
-      minJaccard: Double = 0.5, maxBucket: Int = 1000
-  ): DataFrame = {
+  /** Compiled band hashing (FNV fold of the band's rows, band index
+    * mixed in); the lambda/concat_ws formulation interpreted 16
+    * string-builds per doc. */
+  private def bandHashUdf(k: Int, r: Int) = {
     val bands = k / r
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
-    // compiled band hashing (FNV fold of the band's rows, band index
-    // mixed in); the lambda/concat_ws formulation interpreted 16
-    // string-builds per doc
-    val bandUdf = udf { (sig: Seq[Long]) =>
+    udf { (sig: Seq[Long]) =>
       Array.tabulate(bands) { b =>
         var h = 0xCBF29CE484222325L
         var i = b * r
@@ -320,8 +315,27 @@ object Dedup {
         mix64(h + b)
       }
     }
-    val banded = sigs
-      .select(col(idCol), posexplode(bandUdf(col("sig"))).as(Seq("band", "bh")))
+  }
+
+  /** The LSH band postings of a corpus: one `(id, band, bh)` row per
+    * document per band — scan-local (signature + band hash inside the
+    * projection). This is the maintained artifact of incremental
+    * near-dup admission ([[minhashIncremental]]): keep it as a table,
+    * append each admitted batch's postings, and the corpus text is
+    * only ever re-read for bucket-colliding docs. */
+  def bandPostings(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, r: Int = 4
+  ): DataFrame =
+    minhashSignatures(docs, idCol, textCol, n, k)
+      .select(col(idCol), posexplode(bandHashUdf(k, r)(col("sig"))).as(Seq("band", "bh")))
+
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, r: Int = 4,
+      minJaccard: Double = 0.5, maxBucket: Int = 1000
+  ): DataFrame = {
+    val banded = bandPostings(docs, idCol, textCol, n, k, r)
     val bucketed = capBuckets(banded, Seq("band", "bh"), maxBucket)
       .groupBy("band", "bh")
       .agg(collect_list(col(idCol)).as("ids"))
@@ -340,6 +354,58 @@ object Dedup {
       .distinct()
     val restricted = docs.join(candDocs, Seq(idCol), "left_semi")
     ngramJaccardForPairs(restricted, idCol, textCol, candidates, n, minJaccard)
+  }
+
+  /** Incremental NEAR-dup admission: the [[exactIncremental]] contract
+    * lifted from fingerprints to MinHash-LSH. A batch doc is admitted
+    * iff (a) it is the min-id representative of its within-batch
+    * near-dup component ([[survivors]]' rule, so batch-mates of a
+    * rejected doc stay rejected — they are transitively near the
+    * corpus), and (b) no verified corpus near-dup exists.
+    *
+    * Cost is proportional to the batch: batch signatures/bands are
+    * scan-local, corpus candidates come from an equi-join of the
+    * batch's postings against the maintained `corpusBands` table
+    * (bucket-capped on the corpus side like the in-batch path), and
+    * the corpus TEXT is re-read only for colliding docs (left-semi
+    * pushdown into the verification). After admission, append
+    * `bandPostings` of the admitted docs to the store — the corpus is
+    * never rescanned.
+    *
+    * Like all incremental admission, membership is judged against the
+    * ADMITTED corpus: a chain doc→rejected→corpus does not reject,
+    * because the middle doc never entered the corpus (the standard
+    * production semantics; the batch-internal component rule above is
+    * what keeps a single batch self-consistent). */
+  def minhashIncremental(
+      batch: DataFrame, corpus: DataFrame, corpusBands: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, r: Int = 4,
+      minJaccard: Double = 0.5, maxBucket: Int = 1000
+  ): DataFrame = {
+    val bb = bandPostings(batch, idCol, textCol, n, k, r)
+    // corpus-side bucket cap: a degenerate band hash (boilerplate) on
+    // the corpus side would blow up the candidate join exactly like an
+    // uncapped in-batch bucket
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val cb = corpusBands
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("band"), col("bh"), col(idCol).as("__corpus_id"))
+    val cross = bb.join(cb, Seq("band", "bh"))
+      .select(col("__corpus_id").as("doc_a"), col(idCol).as("doc_b"))
+      .distinct()
+    val crossDocIds = cross.select(col("doc_a").as(idCol))
+      .unionAll(cross.select(col("doc_b").as(idCol))).distinct()
+    val crossDocs = corpus.select(col(idCol), col(textCol))
+      .unionAll(batch.select(col(idCol), col(textCol)))
+      .join(crossDocIds, Seq(idCol), "left_semi")
+    val rejectedByCorpus = ngramJaccardForPairs(
+      crossDocs, idCol, textCol, cross, n, minJaccard)
+      .select(col("doc_b").as(idCol)).distinct()
+    val batchReps = survivors(batch, idCol, minhashLshPairs(
+      batch, idCol, textCol, n, k, r, minJaccard, maxBucket))
+    batchReps.join(rejectedByCorpus, Seq(idCol), "left_anti")
   }
 
   /** Keep only rows whose bucket has between 2 and `maxBucket` members,

@@ -235,4 +235,55 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 2L)))
   }
+
+  // ------------------------------------------------------------ minhash incremental
+  private def admitted(
+      batch: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame): Set[Long] = {
+    val bands = Dedup.bandPostings(corpus, "doc_id", "text")
+    Dedup.minhashIncremental(batch, corpus, bands, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("minhash admission: corpus near-dups rejected, novel docs admitted") {
+    import spark.implicits._
+    val base  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("mu", "nu")),                       // ~0.82 jaccard vs corpus
+      (11L, "completely different words about spark engines running at scale today")
+    ).toDF("doc_id", "text")
+    assert(admitted(batch, corpus) === Set(11L))
+  }
+
+  test("minhash admission: within-batch first-wins and transitive rejection") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("mu", "nu")),    // near corpus -> rejected
+      (11L, base.replace("mu", "xi")),    // near 10 (component mate) -> rejected
+      (12L, other),                        // novel, rep of its own component
+      (13L, other.replace("twelve", "dozen")) // near 12, non-rep -> rejected
+    ).toDF("doc_id", "text")
+    assert(admitted(batch, corpus) === Set(12L))
+  }
+
+  test("minhash admission is idempotent: re-admitting the batch adds nothing") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("mu", "nu")),
+      (11L, "completely different words about spark engines running at scale today")
+    ).toDF("doc_id", "text")
+    val first = admitted(batch, corpus)
+    val corpus2 = corpus.unionByName(
+      batch.filter(col("doc_id").isin(first.toSeq: _*)))
+    assert(admitted(batch, corpus2) === Set.empty)
+    // and the grown corpus is pair-free: admission introduced no near-dups
+    val pairs = Dedup.minhashLshPairs(corpus2, "doc_id", "text")
+    assert(pairs.isEmpty)
+  }
 }
