@@ -37,7 +37,10 @@ object Expectations {
       // satisfied — expectations fail closed
       val bad = not(coalesce(c.ok, lit(false)))
       Seq(
-        sum(when(bad, 1L).otherwise(0L)).as(s"__n_${c.name}"),
+        // coalesce: sum over an EMPTY table is null, but an empty
+        // table violates nothing — the report must say 0
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L))
+          .as(s"__n_${c.name}"),
         min(when(bad, col(keyCol))).as(s"__k_${c.name}"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)

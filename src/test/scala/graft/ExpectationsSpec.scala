@@ -48,6 +48,15 @@ class ExpectationsSpec extends SparkSpec {
     assert(clean.getLong(1) === 0L && clean.isNullAt(2))
   }
 
+  test("an empty table violates nothing: zero counts, not nulls") {
+    val empty = dirty.filter(col("id") < 0)
+    val got = Expectations.validate(empty, "id",
+      Seq(Check("age_nonneg", col("age") >= 0)), uniqueKey = Some("id"))
+      .collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+  }
+
   test("validate stitches row checks and uniqueness into one report") {
     val got = Expectations.validate(dirty, "id",
       Seq(Check("age_nonneg", col("age") >= 0)), uniqueKey = Some("id"))
