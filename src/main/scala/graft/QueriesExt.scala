@@ -490,6 +490,31 @@ object QueriesExt {
        |FROM documents
        |""".stripMargin
 
+  /** Quartile-stratified 50% sample of event values: the
+    * distribution-shape-preserving cut (a global sample lets the
+    * dominant quartile swamp the tails). ntile + md5 membership, both
+    * re-derived literally by the oracle. */
+  def sampleQuantileStrata(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.quantileStrata(
+      sources.ParquetTables.readTable(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value")),
+      Seq("event_type"), "value", "event_id",
+      buckets = 4, fraction = 0.5, salt = "qs")
+      .select(col("event_id"), col("event_type"),
+        col("quantile_bucket").cast("int").as("quantile_bucket"))
+
+  lazy val sampleQuantileStrataSql: String =
+    s"""WITH q AS (
+       |  SELECT event_id, event_type,
+       |         ntile(4) OVER (PARTITION BY event_type
+       |                        ORDER BY value, event_id) AS qb
+       |  FROM events WHERE value IS NOT NULL
+       |)
+       |SELECT event_id, event_type, CAST(qb AS INTEGER) AS quantile_bucket
+       |FROM q
+       |WHERE substr(md5(CAST(event_id AS VARCHAR) || 'qs'), 1, 4) < '8000'
+       |""".stripMargin
+
   /** Exactly-20-per-language stratified sample (md5-ranked, ties by
     * key): the balanced-eval-slice primitive. Literal-membership
     * oracle, like the other sampling gates. */

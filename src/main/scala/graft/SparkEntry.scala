@@ -107,6 +107,8 @@ object SparkEntry {
     "events_robust_z"      -> (QueriesEvents.eventsRobustZ _),
     // leakage-free grouped split: whole sources stay in one split
     "sample_splits_grouped" -> (QueriesExt.sampleSplitsGrouped _),
+    // distribution-shape-preserving quartile-stratified sample
+    "sample_quantile_strata" -> (QueriesExt.sampleQuantileStrata _),
     // added/removed/changed between two keyed snapshots
     "dim_snapshot_diff"    -> (QueriesEvents.dimSnapshotDiff _),
     "dim_merge_latest"     -> (QueriesEvents.dimMergeLatest _),
@@ -250,6 +252,7 @@ object SparkEntry {
     "events_percent_rank"       -> QueriesEvents.eventsPercentRankSql,
     "events_robust_z"           -> QueriesEvents.eventsRobustZSql,
     "sample_splits_grouped"     -> QueriesExt.sampleSplitsGroupedSql,
+    "sample_quantile_strata"    -> QueriesExt.sampleQuantileStrataSql,
     "dim_snapshot_diff"         -> QueriesEvents.dimSnapshotDiffSql,
     "dim_merge_latest"          -> QueriesEvents.dimMergeLatestSql,
     "embed_quantize"            -> QueriesExt.embedQuantizeSql,

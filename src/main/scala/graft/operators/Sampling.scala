@@ -41,6 +41,31 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame =
     df.filter(bucketKey(col(keyCol), salt) < lit(hexThreshold(fraction)))
 
+  /** Quantile-stratified sampling: label every row with its per-group
+    * value quantile bucket (ntile over the (value, tie) total order —
+    * engine-portable, no interpolation) and hash-sample UNIFORMLY
+    * WITHIN each bucket. The curation play this enables: "keep 25% of
+    * each quality quartile" preserves the score distribution's shape,
+    * where a global sample lets the dominant quartile swamp the tails
+    * and a top-k cut throws the tails away entirely. Membership stays
+    * a pure function of (tie key, salt); the quantile label is a pure
+    * function of the corpus — both deterministic, both scan-local
+    * after the one ntile window exchange. Null values carry no rank
+    * and are dropped (the [[graft.operators.Winsorize]] rule). */
+  def quantileStrata(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, tieCol: String,
+      buckets: Int, fraction: Double, salt: String = ""
+  ): DataFrame = {
+    require(buckets >= 2, s"need at least 2 quantile buckets, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    hashSample(
+      df.filter(col(valueCol).isNotNull)
+        .withColumn("quantile_bucket", ntile(buckets).over(w)),
+      tieCol, fraction, salt)
+  }
+
   /** Assign every row to a named split with the given weights (summing
     * to <= 1; any remainder falls into the LAST split, so (train 0.8,
     * valid 0.1, test 0.1) is exhaustive and disjoint by construction).

@@ -168,4 +168,28 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(docs, "doc_id", "lang", k = 0))
   }
+
+  test("quantileStrata keeps every quartile populated near the target fraction") {
+    val ev = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val out = Sampling.quantileStrata(
+      ev, Seq("event_type"), "value", "event_id",
+      buckets = 4, fraction = 0.5, salt = "qs")
+    // per (type, quartile): the kept share is binomial around 0.5 —
+    // with ~50 rows per cell, [0.25, 0.75] is a >6-sigma band
+    val shares = out.groupBy("event_type", "quantile_bucket")
+      .agg(count(lit(1)).as("kept"))
+      .collect().map(_.getLong(2))
+    val cells = ev.select("event_type").distinct().count() * 4
+    assert(shares.length == cells, s"every quartile cell must survive")
+    // determinism: same salt, same membership
+    val again = Sampling.quantileStrata(
+      ev, Seq("event_type"), "value", "event_id", 4, 0.5, "qs")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val first = out.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(again === first)
+    // quartile labels partition each group evenly (ntile property)
+    val byQ = ev.filter(col("value").isNotNull)
+      .count()
+    assert(first.size > byQ / 4 && first.size < 3 * byQ / 4)
+  }
 }
