@@ -101,7 +101,8 @@ object Bench {
     "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _),
     "text_diversity"          -> (QueriesExt.textDiversity _),
     "events_robust_z"         -> (QueriesEvents.eventsRobustZ _),
-    "sketch_intersection"     -> (Queries.sketchIntersection _)
+    "sketch_intersection"     -> (Queries.sketchIntersection _),
+    "sample_quantile_strata"  -> (QueriesExt.sampleQuantileStrata _)
   )
 
   /** Cumulative CPU time of THIS JVM across all threads, seconds.
