@@ -868,8 +868,6 @@ object QueriesEvents {
        |""".stripMargin
   }
 
-  /** Per-type winsorization of `value` at the discrete [p05, p95]
-    * band — exact order-statistic edges, no interpolation. */
   /** Per-type CDF normalization: percent_rank of each value within its
     * event type — the score-normalization primitive that puts
     * heterogeneous quality signals (LM score, length, diversity) on a
@@ -926,6 +924,8 @@ object QueriesEvents {
        |FROM mad
        |""".stripMargin
 
+  /** Per-type winsorization of `value` at the discrete [p05, p95]
+    * band — exact order-statistic edges, no interpolation. */
   def eventsWinsorize(s: SparkSession, dir: String): DataFrame =
     graft.operators.Winsorize.winsorize(
       events(s, dir).select(col("event_id"), col("event_type"), col("value")),

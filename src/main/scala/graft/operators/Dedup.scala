@@ -221,10 +221,18 @@ object Dedup {
     val dfreq = all.groupBy(col("ng")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("ng"))
     val bySet    = Window.partitionBy(col(idCol))
+    // the prefix bound ceil(θ·|A|) MUST be exact: in doubles,
+    // θ=0.07 · |A|=100 is 7.000000000000001 and ceil gives 8 — one
+    // prefix element too few, and a pair at exactly θ can silently
+    // miss. Decimal multiplication of the θ literal (shortest decimal
+    // rendering of the double) against the integer size is exact, so
+    // the ceil is the rational one
+    val thetaDec = lit(new java.math.BigDecimal(
+      java.lang.Double.toString(minJaccard)))
     val prefix = all.join(dfreq, "ng")
       .withColumn("rn", row_number().over(byRarity))
       .withColumn("sz", count(lit(1)).over(bySet))
-      .filter(col("rn") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceil(thetaDec * col("sz")) + 1)
       .select(col(idCol), col("ng"))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
@@ -287,15 +295,6 @@ object Dedup {
       .select(col(idCol), sigUdf(col("w")).as("sig"))
   }
 
-  /** MinHash + LSH near-duplicate pairs: band the signature (bands of
-    * `r` rows), bucket-join on (band, band-hash), then verify candidate
-    * pairs with exact Jaccard. Buckets larger than `maxBucket` are
-    * dropped SILENTLY by construction (a degenerate bucket means the
-    * band is non-discriminative — boilerplate-heavy corpora — and
-    * would quadratically blow up candidate generation); operators who
-    * need to see what was dropped can run
-    * `Skew.keyHistogram(bandedSignatures, "bh")` as a diagnostic
-    * before committing to a maxBucket. */
   /** Compiled band hashing (FNV fold of the band's rows, band index
     * mixed in); the lambda/concat_ws formulation interpreted 16
     * string-builds per doc. */
@@ -330,6 +329,15 @@ object Dedup {
     minhashSignatures(docs, idCol, textCol, n, k)
       .select(col(idCol), posexplode(bandHashUdf(k, r)(col("sig"))).as(Seq("band", "bh")))
 
+  /** MinHash + LSH near-duplicate pairs: band the signature (bands of
+    * `r` rows), bucket-join on (band, band-hash), then verify candidate
+    * pairs with exact Jaccard. Buckets larger than `maxBucket` are
+    * dropped SILENTLY by construction (a degenerate bucket means the
+    * band is non-discriminative — boilerplate-heavy corpora — and
+    * would quadratically blow up candidate generation); operators who
+    * need to see what was dropped can run
+    * `Skew.keyHistogram(bandedSignatures, "bh")` as a diagnostic
+    * before committing to a maxBucket. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, r: Int = 4,
@@ -384,11 +392,18 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucket: Int = 1000
   ): DataFrame = {
     val bb = bandPostings(batch, idCol, textCol, n, k, r)
-    // corpus-side bucket cap: a degenerate band hash (boilerplate) on
-    // the corpus side would blow up the candidate join exactly like an
-    // uncapped in-batch bucket
+    // restrict the corpus postings to the batch's (band, bh) keys FIRST
+    // (left-semi): admission cost must be proportional to the batch,
+    // not the store — a window over the whole posting table would pay
+    // a full-store exchange per micro-batch. The bucket cap then
+    // counts within the restricted set, which is the TRUE bucket size
+    // for those keys (the semi-join keeps whole buckets). A degenerate
+    // corpus bucket (boilerplate band hash) would otherwise blow up
+    // the candidate join exactly like an uncapped in-batch bucket.
     val w = Window.partitionBy(col("band"), col("bh"))
     val cb = corpusBands
+      .join(bb.select(col("band"), col("bh")).distinct(),
+        Seq("band", "bh"), "left_semi")
       .withColumn("__bn", count(lit(1)).over(w))
       .filter(col("__bn") <= maxBucket)
       .select(col("band"), col("bh"), col(idCol).as("__corpus_id"))

@@ -65,7 +65,11 @@ object Kmeans {
         .as("dist2"))
   }
 
-  /** Deterministic gate-friendly init: the k lowest-id vectors. */
+  /** Deterministic gate-friendly init: the k lowest-id vectors.
+    * Accepts array<float> AND array<double> columns — everything else
+    * in this family ([[graft.functions.DotProduct]], [[assign]]) does,
+    * so seeding from e.g. a [[Projection.randomProject]] output
+    * (array<double>) must not be the one path that throws. */
   def initLowestIds(
       emb: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Array[Double]] =
     emb.select(col(idCol), col(vecCol))
@@ -73,7 +77,12 @@ object Kmeans {
       .orderBy(col(idCol))
       .limit(k)
       .collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      .map(_.getSeq[Any](1).toArray.map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case x => throw new IllegalArgumentException(
+          s"$vecCol must be array<float|double>, found element $x")
+      })
       .toSeq
 
   /** Lloyd's iterations over the full corpus. Returns the final

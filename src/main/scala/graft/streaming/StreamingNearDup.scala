@@ -85,6 +85,13 @@ object StreamingNearDup {
   def initialize(
       corpus: DataFrame, idCol: String, textCol: String,
       storePath: String, corpusOutPath: String, p: Params): Unit = {
+    // the store read-back schema pins the id to BIGINT — fail at
+    // initialize (actionable) rather than on the first applyBatch's
+    // parquet schema-conversion error
+    require(corpus.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"StreamingNearDup requires a BIGINT id column; '$idCol' is " +
+        corpus.schema(idCol).dataType.simpleString)
     Dedup.bandPostings(corpus, idCol, textCol, p.n, p.k, p.r)
       .withColumn(BucketCol, bucketOf(p.numBuckets))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(storePath)
@@ -114,21 +121,28 @@ object StreamingNearDup {
       val corpus = scala.util.Try(
         spark.read.parquet(corpusOutPath).select(col(idCol), col(textCol)))
         .getOrElse(batch.select(col(idCol), col(textCol)).limit(0)) // cold start
+      // persist: the admission plan (signatures, candidate join, exact
+      // Jaccard verification over corpus text) feeds TWO actions — the
+      // corpus-sink write and the posting semi-join below; without the
+      // persist it would execute end-to-end twice per micro-batch, and
+      // the second run would race the corpus write it follows
       val admitted = Dedup.minhashIncremental(
         batch, corpus, stored.drop(BucketCol), idCol, textCol,
-        p.n, p.k, p.r, p.minJaccard, p.maxBucket)
-      admitted
-        .withColumn(BatchCol, lit(batchId))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol).parquet(corpusOutPath)
-      // posting union over the touched buckets (set semantics: replay
-      // rebuilds identical buckets). Admitted postings are a subset of
-      // the batch's, so they land only in touched buckets.
-      val admittedBands = batchBands
-        .join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
-      stored.unionByName(admittedBands).distinct()
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BucketCol).parquet(storePath)
+        p.n, p.k, p.r, p.minJaccard, p.maxBucket).persist()
+      try {
+        admitted
+          .withColumn(BatchCol, lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BatchCol).parquet(corpusOutPath)
+        // posting union over the touched buckets (set semantics: replay
+        // rebuilds identical buckets). Admitted postings are a subset of
+        // the batch's, so they land only in touched buckets.
+        val admittedBands = batchBands
+          .join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+        stored.unionByName(admittedBands).distinct()
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BucketCol).parquet(storePath)
+      } finally admitted.unpersist(blocking = false)
     } finally batchBands.unpersist()
   }
 

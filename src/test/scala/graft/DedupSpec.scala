@@ -213,6 +213,12 @@ class DedupSpec extends SparkSpec {
     val pre = keyed(Dedup.jaccardPrefixPairs(docs, "doc_id", "text", 3, 0.5))
     assert(pre === inv)
     assert(pre.nonEmpty, "gate data must actually contain near-dup pairs")
+    // theta=0.07: 0.07*sz is NOT exact in doubles (0.07*100 ->
+    // 7.000000000000001, FP ceil 8 = one prefix element short) — the
+    // decimal ceil must keep parity at awkward thresholds too
+    val inv07 = keyed(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.07))
+    val pre07 = keyed(Dedup.jaccardPrefixPairs(docs, "doc_id", "text", 3, 0.07))
+    assert(pre07 === inv07)
   }
 
   test("prefix filter indexes strictly fewer postings than the full index") {

@@ -44,13 +44,20 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     val before = StreamingHeavyHitters.approx(spark, path, k)
     StreamingHeavyHitters.applyBatch(batchB, 7L, "tok", path, k) // replay
     assert(StreamingHeavyHitters.approx(spark, path, k) === before)
-    StreamingHeavyHitters.compact(spark, path, k)
-    assert(StreamingHeavyHitters.approx(spark, path, k) === before)
-    // and the store really shrank to one bootstrap partition
-    val batches = spark.read.parquet(path)
+
+    def partitions = spark.read.parquet(path)
       .select(org.apache.spark.sql.functions.col("__batch_id").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
-    assert(batches === Set(-1L))
+    // compacting below the uncommitted batch leaves its partition
+    // untouched (replay safety) and changes no answer
+    StreamingHeavyHitters.compact(spark, path, k, upToBatchId = 0L)
+    assert(StreamingHeavyHitters.approx(spark, path, k) === before)
+    assert(partitions === Set(-1L, 7L))
+    // once batch 7 is committed, folding it shrinks the store to the
+    // bootstrap partition, still answer-preserving
+    StreamingHeavyHitters.compact(spark, path, k, upToBatchId = 7L)
+    assert(StreamingHeavyHitters.approx(spark, path, k) === before)
+    assert(partitions === Set(-1L))
   }
 
   test("mismatched sketch sizes fail loud") {
