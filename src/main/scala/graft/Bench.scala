@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.col
   */
 object Bench {
 
-  private def headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  private[graft] def headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dim_populate_full"         -> (Queries.dimPopulateFull _),
     "dim_populate_incremental"  -> (Queries.dimPopulateIncremental _),
     "fact_populate_full"        -> (Queries.factPopulateFull _),

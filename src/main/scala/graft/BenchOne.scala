@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query bench harness for iteration: times one named headline
+  * query (same warm-up + median-of-3 protocol as [[Bench]]) without
+  * paying the full 76-query sweep. `runMain graft.BenchOne <name>`.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <query-name> [sfDir]")
+    val name  = args(0)
+    val sfDir = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fn = Bench.headline.collectFirst { case (`name`, f) => f }
+      .getOrElse(sys.error(s"unknown bench query: $name"))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    run() // warm
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(f"""{"query":"$name","wall_med":${times(1)}%.3f,"wall_min":${times(0)}%.3f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

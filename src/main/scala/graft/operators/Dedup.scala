@@ -167,12 +167,14 @@ object Dedup {
       n: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 100000
   ): DataFrame = {
     val all = shingles(docs, idCol, textCol, n)
-    // document frequency per shingle shuffles on the same key as the
-    // self-join below, and the anti-join is a shingle-key equi-join —
-    // no new shuffle shape, just a second pass over the shingle stream
+    // hot shingles are FEW by definition — at df > maxDf their count is
+    // bounded by total_shingles / maxDf — so the anti-join broadcasts
+    // the hot side instead of re-shuffling the whole shingle stream on
+    // the ng key (the Decontaminate shortlist shape: tiny blocklist,
+    // streaming probe side)
     val hot = all.groupBy(col("ng")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("ng"))
-    val ngr   = all.join(hot, Seq("ng"), "left_anti")
+    val ngr   = all.join(broadcast(hot), Seq("ng"), "left_anti")
     val sizes = ngr.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = ngr
       .as("a")
@@ -200,16 +202,26 @@ object Dedup {
     * maximal df, sorts LAST, and lands in almost no prefix — the k²
     * posting blowup [[ngramJaccardPairs]] needs `maxDf` to cap simply
     * never forms, with NO reduced-universe approximation: candidates
-    * are verified with the full shingle sets (scan-local
-    * `array_intersect` on the pair rows), so the result is exact
-    * Jaccard over the FULL universe — gated against the same oracle
-    * as the inverted-index form.
+    * are verified against the full shingle sets (the scan-local sorted
+    * FNV hash sets of [[ngramJaccardForPairs]]), so the result is
+    * exact Jaccard over the FULL universe — gated against the same
+    * oracle as the inverted-index form.
+    *
+    * Candidates additionally pass PPJoin's LENGTH filter before they
+    * exist as rows: jaccard ≥ θ forces |A∩B| ≥ θ·|A∪B| ≥ θ·max(|A|,|B|)
+    * while |A∩B| ≤ min(|A|,|B|), so θ·max ≤ min is necessary. Both
+    * sizes already ride on the prefix rows, making the filter a free
+    * join predicate that drops every size-incompatible prefix collision
+    * before the distinct and the verification pass.
     *
     * Shuffle shape: df agg + rank join on the shingle key, ONE window
     * exchange on the doc id (prefix rank + set size share it), the
     * prefix equi-join on the shingle key, and two id-key joins
-    * attaching the packed sets to the (few) candidates. The pair space
-    * never materializes beyond prefix collisions. */
+    * attaching the scan-local hash sets to the (few) candidates — no
+    * packed `collect_set` arrays ever ride on a pair row (a pair of
+    * large web documents would otherwise carry both full shingle
+    * arrays through the join). The pair space never materializes
+    * beyond length-compatible prefix collisions. */
   def jaccardPrefixPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5
@@ -233,31 +245,67 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .withColumn("sz", count(lit(1)).over(bySet))
       .filter(col("rn") <= col("sz") - ceil(thetaDec * col("sz")) + 1)
-      .select(col(idCol), col("ng"))
+      .select(col(idCol), col("ng"), col("sz"), col("rn"))
+    // two join-side filters, both in exact decimal arithmetic so a
+    // pair at exactly θ survives (the prefix bound's discipline):
+    //  - LENGTH (PPJoin): jaccard ≥ θ forces θ·max(|A|,|B|) ≤ min.
+    //  - POSITIONAL (PPJoin): a collision at prefix ranks (rn_a, rn_b)
+    //    bounds the intersection by 1 + min(sz_a−rn_a, sz_b−rn_b),
+    //    which must reach the θ-equivalent count θ·(sz_a+sz_b)/(1+θ).
+    //    Lossless before the distinct: for any true pair the FIRST
+    //    common shingle in the global (df, ng) order lies inside BOTH
+    //    prefixes (else one prefix is disjoint from the other set and
+    //    the intersection can't reach θ·sz), and at that collision the
+    //    bound holds by construction — so at least one collision row
+    //    per true pair passes.
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.ng") === col("b.ng") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.ng") === col("b.ng") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          thetaDec * greatest(col("a.sz"), col("b.sz")) <=
+            least(col("a.sz"), col("b.sz")) &&
+          (lit(1) + thetaDec) *
+            (lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))) >=
+            thetaDec * (col("a.sz") + col("b.sz")))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-    // sets are packed for ALL docs in one pass over the shared distinct
-    // shingle exchange. Restricting to candidate docs via a semi-join
-    // was MEASURED SLOWER (4.9s vs 3.8s at sf0.1): the candidate pair
-    // stream then feeds two plan branches and the expensive prefix
-    // self-join recomputes — a lazy-plan cost no array-width saving
-    // repays without a persist this operator deliberately does not own
-    // (the LanguageModel lifecycle lesson)
+    // verification: sorted-xxhash64 shingle sets packed in ONE pass
+    // over the shared distinct-shingle exchange (the groupBy exchange
+    // is referenced twice and deduped by ReuseExchange), then a
+    // merge-intersection over the two sorted long arrays per candidate
+    // pair. Three wins over the packed-string form this replaced:
+    // ~3x smaller join payload (8 B/shingle vs the string), no per-row
+    // string hash-set build (`array_intersect` allocates one per pair),
+    // and identical Jaccard values up to a ~2^-64 hash collision (the
+    // same bound every verified LSH gate already accepts)
     val sets = all.groupBy(col(idCol))
-      .agg(collect_set(col("ng")).as("st"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_set(xxhash64(col("ng")))).as("sh"))
     cands
-      .join(sets.select(col(idCol).as("doc_a"),
-        col("st").as("sa"), col("sz").as("sz_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"),
-        col("st").as("sb"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("icount", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard",
-        col("icount").cast("double") / (col("sz_a") + col("sz_b") - col("icount")))
+      .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("jaccard", sortedJaccardUdf(col("sa"), col("sb")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard of two SORTED distinct arrays by merge-intersection
+    * — linear in the array lengths, no per-row hash-set allocation.
+    * Parameter type is PRIMITIVE Array[Long] on purpose: Spark feeds it
+    * via `ArrayData.toLongArray` (one memcpy), where a Seq[Long]
+    * parameter boxes every element — at 10^5 candidate pairs times
+    * hundreds of shingles that allocation dominates the verify. */
+  private lazy val sortedJaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   import Hashing.{fnvShingle, mix64}
@@ -475,25 +523,11 @@ object Dedup {
         if (out == m) hs else java.util.Arrays.copyOf(hs, out)
       }
     }
-    val jaccUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var i = 0
-      var j = 0
-      var inter = 0
-      while (i < a.length && j < b.length) {
-        val x = a(i)
-        val y = b(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      val union = a.length + b.length - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
     val sets = docs.select(col(idCol), setUdf(TextAnalysis.tokens(col(textCol))).as("sh"))
     pairs
       .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", jaccUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", sortedJaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
