@@ -110,11 +110,24 @@ object Centrality {
     *                   join+agg stage to the plan)
     * @param dampingPct damping factor in percent (85 = the canonical 0.85)
     * @param scale      fixed-point scale; ranks sum to ~scale
+    * @param checkpointInterval every N iterations the rank table is
+    *                   materialized through a [[Lineage]] snapshot and
+    *                   the plan restarts from the fresh leaf — without
+    *                   it plan depth and analysis cost grow per
+    *                   iteration and a single task failure recomputes
+    *                   the whole unrolled chain (real link ranking runs
+    *                   20–50 iterations). Checkpoint blocks are
+    *                   released as soon as a later one supersedes them;
+    *                   the LAST snapshot backs the returned plan and
+    *                   stays persisted (MEMORY_AND_DISK — evicted
+    *                   blocks recompute). `0` disables (the ranks are
+    *                   bit-identical either way — integral arithmetic).
     * @return (node, rank_fp) — rank_fp is the fixed-point rank at `scale`
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
-      iterations: Int, dampingPct: Int = 85, scale: Long = 1000000000L
+      iterations: Int, dampingPct: Int = 85, scale: Long = 1000000000L,
+      checkpointInterval: Int = 10
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct > 0 && dampingPct < 100, s"dampingPct in (0,100), got $dampingPct")
@@ -149,7 +162,8 @@ object Centrality {
     val ranks0 = withN.select(col("node"),
       expr(s"CAST($scale AS DECIMAL(38,0)) div __n").as("rank_fp"))
 
-    (1 to iterations).foldLeft(ranks0) { (ranks, _) =>
+    var prevSnap: Option[Lineage.Snapshot] = None
+    (1 to iterations).foldLeft(ranks0) { (ranks, i) =>
       val inflow = weighted
         .join(ranks.select(col("node").as("__s"), col("rank_fp")), Seq("__s"))
         .select(col("__d"), expr(
@@ -157,12 +171,21 @@ object Centrality {
             " div (CAST(100 AS DECIMAL(38,0)) * __w)").as("__c"))
         .groupBy(col("__d"))
         .agg(sum(col("__c")).as("__infl"))
-      withN
+      val next = withN
         .join(inflow.select(col("__d").as("node"), col("__infl")), Seq("node"), "left")
         .select(col("node"),
           (expr(s"CAST(${100 - dampingPct} AS DECIMAL(38,0)) * CAST($scale AS DECIMAL(38,0))" +
             " div (CAST(100 AS DECIMAL(38,0)) * __n)") +
             coalesce(col("__infl"), lit(0L))).cast("long").as("rank_fp"))
+      // truncate lineage every N rounds; the final iteration returns
+      // lazy (callers compose it — a snapshot there would force eager
+      // execution inside what is otherwise a declarative operator)
+      if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iterations) {
+        val snap = Lineage.snapshot(next)
+        prevSnap.foreach(_.release())
+        prevSnap = Some(snap)
+        snap.df
+      } else next
     }
   }
 }

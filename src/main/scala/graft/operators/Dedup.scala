@@ -616,26 +616,9 @@ object Dedup {
     * call FAILS rather than silently returning partial clusters
     * (callers compare against exact transitive closures).
     * Returns (doc, cluster_rep). */
-  /** A materialized label snapshot with a RELEASABLE storage handle.
-    * `Dataset.unpersist` cannot free `localCheckpoint` blocks (the
-    * CacheManager never tracked them), so rounds checkpoint manually:
-    * persist the Row RDD, wrap it in a fresh leaf plan (the Catalyst
-    * lineage truncation that keeps per-round self-joins from doubling
-    * the logical plan), and `release()` the RDD blocks once superseded.
-    * MEMORY_AND_DISK persistence (unlike localCheckpoint's truncated
-    * RDD lineage) also stays recomputable if an executor drops a
-    * block. */
-  private final case class Snapshot(
-      df: DataFrame, private val rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) {
-    def release(): Unit = rdd.unpersist(blocking = false)
-  }
-
-  private def snapshot(df: DataFrame): Snapshot = {
-    val rdd = df.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager materialization, like localCheckpoint(true)
-    Snapshot(df.sparkSession.createDataFrame(rdd, df.schema), rdd)
-  }
+  // rounds checkpoint through the shared [[Lineage]] snapshot (persisted
+  // Row RDD wrapped in a fresh leaf plan, releasable once superseded)
+  private def snapshot(df: DataFrame): Lineage.Snapshot = Lineage.snapshot(df)
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))

@@ -66,6 +66,32 @@ class CentralitySpec extends SparkSpec {
       s"expected the 1-row count to broadcast:\n$plan")
   }
 
+  test("checkpointing truncates the unrolled plan without changing a single rank") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      ("a", "hub", 5L), ("b", "hub", 4L), ("c", "hub", 6L),
+      ("hub", "a", 1L), ("hub", "b", 1L), ("hub", "c", 1L),
+      ("a", "b", 2L), ("c", "a", 1L)).toDF("s", "d", "w")
+    def run(ckpt: Int) =
+      Centrality.pageRank(edges, "s", "d", "w", iterations = 12,
+        checkpointInterval = ckpt)
+    val plain   = run(0)
+    val ckpted  = run(3)
+    // integral arithmetic: equality is exact, not within-epsilon
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toMap(ckpted) === toMap(plain))
+    // the truncation must be VISIBLE in the plan: 12 unrolled
+    // iterations carry ~12 rank-join stages; with interval 3 the
+    // returned plan holds only the rounds since the last snapshot
+    // (10..12) plus the leaf — well under half the joins
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      "Join".r.findAllIn(df.queryExecution.analyzed.toString).size
+    assert(joins(ckpted) * 2 < joins(plain),
+      s"checkpointed plan has ${joins(ckpted)} joins vs ${joins(plain)} unrolled")
+  }
+
   // ------------------------------------------------------------ triangles
   private def triOf(edges: Seq[(String, String)]): Map[String, Long] = {
     val s = spark
