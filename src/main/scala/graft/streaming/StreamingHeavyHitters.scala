@@ -60,9 +60,14 @@ object StreamingHeavyHitters {
 
   private def summarize(rows: DataFrame, valueCol: String, k: Int): DataFrame = {
     val mg = udaf(new HeavyHitters.MisraGries(k))
+    // a stream value literally equal to the reserved total sentinel is
+    // excluded from maintenance entirely (it would collide with the
+    // total's map key and fail the batch at runtime) — cheap insurance
+    // for an untrusted value column; the sentinel starts with NUL, so
+    // no real token ever pays this
     val agged = rows
       .select(col(valueCol).cast("string").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && col("__v") =!= lit(TotalKey))
       .agg(mg(col("__v")).as("cand"), count(lit(1)).as("n"))
     agged.select(
       explode(map_concat(col("cand"),
@@ -159,8 +164,23 @@ object StreamingHeavyHitters {
     * already collects (≤ batches·(k+1) rows — run compaction before
     * batch count makes that large); the merged summary keeps the
     * superset + error guarantees, so compaction never loses a true
-    * heavy hitter. */
+    * heavy hitter.
+    *
+    * Crash contract: the compacted store is written to a sibling temp
+    * directory and swapped in with two renames, so committed batch
+    * summaries (which Structured Streaming will never replay — they
+    * are behind the checkpoint) survive a crash at ANY point. Before
+    * the first rename the original store is untouched; between the
+    * renames there is no directory at `path` (readers fail loud on the
+    * missing marker) while the COMPLETE pre-compaction store sits at
+    * `<path>.__compact_old` for manual restore; stale temp/old
+    * directories from a crash are cleaned on the next compact. */
   def compact(spark: SparkSession, path: String, k: Int, upToBatchId: Long): Unit = {
+    // below -1 nothing folds, but the rewrite would still emit a fresh
+    // synthetic (TotalKey, 0) row NEXT TO the kept bootstrap rows in
+    // partition -1 — a duplicate map key that fails approx() at read
+    require(upToBatchId >= -1L,
+      s"upToBatchId must be >= -1 (the bootstrap partition), got $upToBatchId")
     checkMarker(path, k)
     val byBatch = readStore(spark, path)
       .groupBy(col(BatchCol))
@@ -174,8 +194,23 @@ object StreamingHeavyHitters {
       (merged + (TotalKey -> total)).toSeq.map { case (v, c) => (v, c, -1L) } ++
         keep.flatMap { case (b, m) => m.toSeq.map { case (v, c) => (v, c, b) } }
     import spark.implicits._
+    val tmp = Paths.get(path + ".__compact_tmp")
+    val old = Paths.get(path + ".__compact_old")
+    deleteRecursively(tmp)
+    deleteRecursively(old)
     rows.toDF("value", "cnt", BatchCol)
-      .write.mode("overwrite").partitionBy(BatchCol).parquet(path)
-    writeMarker(path, k)
+      .write.mode("overwrite").partitionBy(BatchCol).parquet(tmp.toString)
+    writeMarker(tmp.toString, k)
+    Files.move(Paths.get(path), old)
+    Files.move(tmp, Paths.get(path))
+    deleteRecursively(old)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 }

@@ -60,6 +60,37 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(partitions === Set(-1L))
   }
 
+  test("compact below the bootstrap partition fails loud instead of corrupting") {
+    val path = Files.createTempDirectory("graft-shh4").toString + "/store"
+    StreamingHeavyHitters.initialize(batchA, "tok", path, k)
+    val before = StreamingHeavyHitters.approx(spark, path, k)
+    val e = intercept[IllegalArgumentException] {
+      StreamingHeavyHitters.compact(spark, path, k, upToBatchId = -2L)
+    }
+    assert(e.getMessage.contains("upToBatchId"))
+    assert(StreamingHeavyHitters.approx(spark, path, k) === before)
+  }
+
+  test("a stream value equal to the total sentinel is excluded, not a runtime failure") {
+    val path = Files.createTempDirectory("graft-shh5").toString + "/store"
+    val poisoned = batchA.unionAll(
+      Seq(StreamingHeavyHitters.TotalKey, StreamingHeavyHitters.TotalKey).toDF("tok"))
+    StreamingHeavyHitters.initialize(poisoned, "tok", path, k)
+    val (total, cands) = StreamingHeavyHitters.approx(spark, path, k)
+    assert(total === batchA.count(), "sentinel rows must not count toward the total")
+    assert(!cands.contains(StreamingHeavyHitters.TotalKey))
+  }
+
+  test("compaction leaves no temp/old directories behind") {
+    val base = Files.createTempDirectory("graft-shh6").toString
+    val path = base + "/store"
+    StreamingHeavyHitters.initialize(batchA, "tok", path, k)
+    StreamingHeavyHitters.applyBatch(batchB, 1L, "tok", path, k)
+    StreamingHeavyHitters.compact(spark, path, k, upToBatchId = 1L)
+    val siblings = new java.io.File(base).list().toSet
+    assert(siblings === Set("store"), s"stray compaction dirs: $siblings")
+  }
+
   test("mismatched sketch sizes fail loud") {
     val path = Files.createTempDirectory("graft-shh3").toString + "/store"
     StreamingHeavyHitters.initialize(batchA, "tok", path, k)
