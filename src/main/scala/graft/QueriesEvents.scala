@@ -495,7 +495,21 @@ object QueriesEvents {
       eventsTransitions(s, dir), "from_type", "to_type", "n", iterations = 3)
       .withColumnRenamed("node", "event_type")
 
-  lazy val eventsPagerankSql: String = {
+  /** The production iteration count with lineage checkpointing every 3
+    * rounds (real link ranking runs tens of iterations; the checkpoint
+    * keeps plan depth and failure recovery bounded). Integral
+    * arithmetic means the 10-round unrolled oracle still matches
+    * bit-for-bit, checkpoints and all. */
+  def eventsPagerank10(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Centrality.pageRank(
+      eventsTransitions(s, dir), "from_type", "to_type", "n",
+      iterations = 10, checkpointInterval = 3)
+      .withColumnRenamed("node", "event_type")
+
+  lazy val eventsPagerankSql: String = pagerankSql(3)
+  lazy val eventsPagerank10Sql: String = pagerankSql(10)
+
+  private def pagerankSql(iterations: Int): String = {
     // one unrolled iteration: inflow via LEFT JOIN of the per-dst sum,
     // teleport floor for nodes with no inbound mass
     def it(prev: String, out: String): String =
@@ -525,10 +539,8 @@ object QueriesEvents {
        |ow AS (SELECT s, CAST(sum(n) AS HUGEINT) AS w FROM e GROUP BY 1),
        |r0 AS (SELECT v, CAST(1000000000 AS HUGEINT) // nn.n AS r
        |       FROM nodes CROSS JOIN nn),
-       |${it("r0", "r1")},
-       |${it("r1", "r2")},
-       |${it("r2", "r3")}
-       |SELECT v AS event_type, CAST(r AS BIGINT) AS rank_fp FROM r3
+       |${(1 to iterations).map(i => it(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT v AS event_type, CAST(r AS BIGINT) AS rank_fp FROM r$iterations
        |""".stripMargin
   }
 

@@ -94,7 +94,12 @@ object QueriesExt {
     * size counts on BOTH sides, so the oracle stays equivalent even on
     * a corpus where the cap actually fires (below it the `hot` CTE is
     * empty and this is plain full-universe Jaccard). */
-  lazy val dedupNgramJaccardSql: String =
+  lazy val dedupNgramJaccardSql: String = ngramJaccardSql("0.5")
+
+  /** The full-universe exact-Jaccard oracle at threshold `theta`
+    * (decimal literal string, so the SQL filter compares the same
+    * double both engines compute). */
+  private def ngramJaccardSql(theta: String): String =
     s"""WITH ws AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
        |), ngr0 AS (
@@ -117,7 +122,7 @@ object QueriesExt {
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(icount AS DOUBLE) / (sa.sz + sb.sz - icount) >= 0.5
+       |WHERE CAST(icount AS DOUBLE) / (sa.sz + sb.sz - icount) >= $theta
        |""".stripMargin
 
   /** Prefix-filtered exact Jaccard join — gated against the SAME
@@ -126,6 +131,17 @@ object QueriesExt {
     * candidate) hash-mismatches here. */
   def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+
+  /** The production-θ point (0.8): prefix pruning is regime-dependent —
+    * at loose θ=0.5 every doc indexes half its shingles and the
+    * candidate set balloons, while at the near-dup thresholds cluster
+    * curation actually runs the prefixes are short and candidates
+    * sparse. Benched alongside the θ=0.5 point so the driver sees both
+    * regimes; gated against the same full-universe oracle at 0.8. */
+  def dedupJaccardPrefixT08(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.8)
+
+  lazy val dedupJaccardPrefixT08Sql: String = ngramJaccardSql("0.8")
 
   // ================================================================ minhash / simhash (no SQL oracle)
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =

@@ -151,6 +151,8 @@ object SparkEntry {
     "events_transitions" -> (QueriesEvents.eventsTransitions _),
     // fixed-point integer PageRank over the transition graph
     "events_pagerank"    -> (QueriesEvents.eventsPagerank _),
+    // production iteration count, lineage-checkpointed every 3 rounds
+    "events_pagerank10"  -> (QueriesEvents.eventsPagerank10 _),
     // degree-oriented triangle counting on the transition graph
     "graph_triangles"    -> (QueriesEvents.graphTriangles _),
     // dedup family
@@ -160,6 +162,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
     // prefix-filtered exact Jaccard: same oracle, bounded candidates
     "dedup_jaccard_prefix" -> (QueriesExt.dedupJaccardPrefix _),
+    // the production-θ regime of the same operator (short prefixes)
+    "dedup_jaccard_prefix_t08" -> (QueriesExt.dedupJaccardPrefixT08 _),
     "dedup_minhash_lsh"   -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
     // oracle-checked verification companions: LSH pairs subset-of exact
@@ -278,11 +282,13 @@ object SparkEntry {
     "events_cube"               -> QueriesEvents.eventsCubeSql,
     "events_transitions"        -> QueriesEvents.eventsTransitionsSql,
     "events_pagerank"           -> QueriesEvents.eventsPagerankSql,
+    "events_pagerank10"         -> QueriesEvents.eventsPagerank10Sql,
     "graph_triangles"           -> QueriesEvents.graphTrianglesSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_incremental"         -> QueriesExt.dedupIncrementalSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
     "dedup_jaccard_prefix"      -> QueriesExt.dedupNgramJaccardSql,
+    "dedup_jaccard_prefix_t08"  -> QueriesExt.dedupJaccardPrefixT08Sql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,
     "dedup_survivors"           -> QueriesExt.dedupSurvivorsSql,
     "skew_salted_join"          -> QueriesExt.skewSaltedJoinSql,
