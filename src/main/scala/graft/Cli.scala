@@ -94,6 +94,7 @@ object Cli {
 
   private val usage =
     """usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR
+      |       graft.Cli pipeline JOB.yaml SOURCE_DIR OUT_DIR [--suffix-template T]
       |  [--incremental LO HI | --upper HI | --compact]
       |  [--no-partition]  [--bucket-parents N]  [--salt-parents N]  [--version]
       |  [-d|--dim-prefix P] [-f|--fact-prefix P] [-t|--time-unit U] [--fact-infix I]
@@ -115,6 +116,13 @@ object Cli {
     * never pay Spark startup. */
   private[graft] def run(args0: Seq[String], sparkSession: => SparkSession): Seq[(String, String, Long)] = {
     if (args0.contains("--version")) throw CliError(versionString, 0)
+    // curation-pipeline subcommand: YAML job spec -> topo-ordered
+    // operator steps materialized under OUT_DIR with the same staging/
+    // lease conventions as the warehouse path
+    if (args0.headOption.contains("pipeline")) {
+      runPipeline(args0.drop(1), sparkSession)
+      return Seq.empty
+    }
     val args = args0.map(a => shortAliases.getOrElse(a, a))
     if (args.length < 3) throw CliError(usage, 2)
     val Seq(modelPath, sourceDir, outDir) = args.take(3)
@@ -238,6 +246,36 @@ object Cli {
       }
     }
     runner.checkUniqueKeys().filter(_._3 > 0)
+  }
+
+  /** The `pipeline` subcommand: parse + validate the job spec BEFORE
+    * forcing the session (usage/spec errors never pay Spark startup),
+    * then execute through [[graft.pipeline.CurationPipeline]]. */
+  private def runPipeline(args: Seq[String], sparkSession: => SparkSession): Unit = {
+    def usageExit(msg: String): Nothing = throw CliError(s"$msg\n$usage", 2)
+    if (args.length < 3) throw CliError(usage, 2)
+    val Seq(jobPath, sourceDir, outDir) = args.take(3)
+    val rest = args.drop(3)
+    rest.filter(_.startsWith("--")).foreach { f =>
+      if (f != "--suffix-template") usageExit(s"unknown flag: $f")
+    }
+    val suffix = {
+      val i = rest.indexOf("--suffix-template")
+      if (i < 0) "_staging"
+      else Naming.resolveSuffixTemplate(
+        rest.lift(i + 1).getOrElse(usageExit("--suffix-template requires a value")),
+        "_staging")
+    }
+    val spec = graft.pipeline.CurationPipeline.parseFile(jobPath) match {
+      case Left(err) => throw CliError(err, 1)
+      case Right(s)  => s
+    }
+    graft.pipeline.CurationPipeline.validate(spec) match {
+      case Left(errs) => throw CliError(errs.map(e => s"pipeline: $e").mkString("\n"), 1)
+      case Right(_)   => ()
+    }
+    graft.pipeline.CurationPipeline.run(sparkSession, spec, sourceDir, outDir, suffix)
+      .foreach(t => println(s"written: $outDir/$t"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -51,25 +51,10 @@ final class Runner(
   }
 
   /** Promote `<table><suffix>` over `<table>` (move-aside -> move-in ->
-    * delete-old; see [[swapStaging]]'s crash-safety contract). */
-  private def promoteStaged(t: String, suffix: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(outDir)
-    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def renameOrFail(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"promoteStaged: rename $src -> $dst failed")
-    val live    = new Path(root, t)
-    val staging = new Path(root, t + suffix)
-    if (fs.exists(staging)) {
-      val old = new Path(root, t + suffix + "__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      val hadLive = fs.exists(live)
-      if (hadLive) renameOrFail(live, old)
-      renameOrFail(staging, live)
-      if (hadLive) fs.delete(old, true)
-    }
-  }
+    * delete-old; the [[Staging]] contract, shared with the curation
+    * pipeline). */
+  private def promoteStaged(t: String, suffix: String): Unit =
+    Staging.promoteStaged(spark, outDir, t, suffix)
 
   /** Compact a derived table's parquet layout. Every incremental
     * refresh appends a file batch per touched `p_day` partition; after
@@ -105,33 +90,11 @@ final class Runner(
     * writer's stale lease is stolen after `leaseMs`. READERS never take
     * the lease — every rewrite promotes via whole-directory rename, so
     * live tables stay readable throughout; the contract is
-    * single-WRITER-per-outDir, enforced here, documented in README. */
-  private def withWriterLease[T](body: => T): T = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(outDir)
-    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(root)
-    val lock    = new Path(root, "_graft_writer.lock")
-    val leaseMs = 60L * 60 * 1000
-    val stale = fs.exists(lock) &&
-      System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > leaseMs
-    if (stale) fs.delete(lock, false)
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"another pipeline is writing derived tables under $outDir (writer lease $lock " +
-              s"held; stolen after ${leaseMs / 1000}s if its owner crashed) — outDirs are " +
-              "single-writer; concurrent readers are always safe", e)
-      }
-    try {
-      out.write(java.lang.Long.toString(System.currentTimeMillis())
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
-      body
-    } finally fs.delete(lock, false)
-  }
+    * single-WRITER-per-outDir, enforced via the shared [[Staging]]
+    * lease (one convention for warehouse and curation writers),
+    * documented in README. */
+  private def withWriterLease[T](body: => T): T =
+    Staging.withWriterLease(spark, outDir)(body)
 
   /** Source name -> bucketed managed table, populated by
     * [[bucketParentSources]]; [[readSource]] prefers these. */

@@ -1,0 +1,280 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.yaml.snakeyaml.Yaml
+
+import graft.exec.Staging
+import graft.operators.{Decontaminate, Dedup, Packing, Sampling, TextAnalysis}
+
+/** Declarative training-data curation pipelines — the job-spec surface
+  * that makes the operator library a runnable product, the way the
+  * warehouse Runner makes the ringo-parity derivation one
+  * (`app/Main.hs:24-83` is the reference's equivalent orchestration
+  * entry; this applies the same YAML-in, tables-out contract to the
+  * curation operators).
+  *
+  * A job spec names a chain of steps over a documents-shaped corpus:
+  *
+  * {{{
+  * pipeline: curate_docs
+  * id: doc_id
+  * text: text
+  * steps:
+  *   - name: deduped
+  *     op: dedup_exact
+  *     input: documents            # a SOURCE_DIR table, or an earlier step
+  *   - name: clean
+  *     op: decontaminate           # input defaults to the previous step
+  *     params: { benchmark: bench_docs, n: 8 }
+  *   - name: kept
+  *     op: curate
+  *     params: { minTokens: 20, minQuality: 0.4 }
+  *   - name: sampled
+  *     op: sample_hash
+  *     params: { fraction: 0.5, salt: s1 }
+  *   - name: chunks
+  *     op: chunk
+  *     params: { size: 128, stride: 128 }
+  *   - name: packed
+  *     op: pack
+  *     params: { chunksPerSeq: 4, shards: 8 }
+  * }}}
+  *
+  * Steps execute in dependency (topological) order; each output is
+  * written to `OUT_DIR/<name>` through the [[Staging]] conventions the
+  * warehouse Runner uses — staged write, atomic whole-directory
+  * promotion, single-writer lease — so a crashed run never leaves a
+  * half-written table where a live one stood, and readers stay safe
+  * throughout. Every step boundary is a materialization: at corpus
+  * scale that is the production shape anyway (each stage restartable,
+  * lineage truncated, output inspectable), and downstream steps read
+  * the written parquet rather than recompute the plan.
+  */
+object CurationPipeline {
+
+  final case class Step(
+      name: String, op: String, input: Option[String], params: Map[String, String])
+
+  final case class Spec(name: String, idCol: String, textCol: String, steps: Seq[Step])
+
+  // ================================================================ parsing
+
+  def parseFile(path: String): Either[String, Spec] =
+    Try(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+      .toEither.left.map(e => s"cannot read $path: ${e.getMessage}")
+      .flatMap(parse)
+
+  def parse(yamlText: String): Either[String, Spec] =
+    Try {
+      val root = new Yaml().load[java.util.Map[String, AnyRef]](yamlText)
+      def str(key: String): String = Option(root.get(key)).map(String.valueOf(_))
+        .getOrElse(throw new IllegalArgumentException(s"missing top-level key: $key"))
+      val steps = Option(root.get("steps"))
+        .map(_.asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
+          .map(_.asInstanceOf[java.util.Map[String, AnyRef]]))
+        .getOrElse(throw new IllegalArgumentException("missing top-level key: steps"))
+        .map { s =>
+          def sstr(key: String): String = Option(s.get(key)).map(String.valueOf(_))
+            .getOrElse(throw new IllegalArgumentException(s"step missing key: $key in $s"))
+          val params = Option(s.get("params"))
+            .map(_.asInstanceOf[java.util.Map[String, AnyRef]].asScala.toMap
+              .map { case (k, v) => k -> String.valueOf(v) })
+            .getOrElse(Map.empty[String, String])
+          Step(sstr("name"), sstr("op"),
+            Option(s.get("input")).map(String.valueOf(_)), params)
+        }
+      Spec(str("pipeline"), str("id"), str("text"), steps)
+    }.toEither.left.map(e => s"cannot parse pipeline spec: ${e.getMessage}")
+
+  // ================================================================ validation
+
+  /** Structural validation (no Spark needed): unique step names, known
+    * ops with known params, resolvable inputs, acyclic dependencies.
+    * Returns the steps in execution (topological) order. */
+  def validate(spec: Spec): Either[Seq[String], Seq[Step]] = {
+    val errors = Seq.newBuilder[String]
+    if (spec.steps.isEmpty) errors += "pipeline has no steps"
+    spec.steps.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+      .foreach(n => errors += s"duplicate step name: $n")
+    spec.steps.filter(s => !ops.contains(s.op)).foreach(s =>
+      errors += s"step ${s.name}: unknown op '${s.op}' (known: ${ops.keys.toSeq.sorted.mkString(", ")})")
+    spec.steps.foreach { s =>
+      ops.get(s.op).foreach { op =>
+        (s.params.keySet -- op.paramKeys).foreach(k =>
+          errors += s"step ${s.name}: op ${s.op} does not take param '$k' " +
+            s"(accepted: ${op.paramKeys.toSeq.sorted.mkString(", ")})")
+      }
+    }
+    // the first step must name its input; later ones default to the
+    // previous step in file order
+    val withInputs: Seq[(Step, String)] = spec.steps.zipWithIndex.map { case (s, i) =>
+      val in = s.input.getOrElse {
+        if (i == 0) { errors += s"step ${s.name}: first step must name an input"; "" }
+        else spec.steps(i - 1).name
+      }
+      (s, in)
+    }
+    val stepNames = spec.steps.map(_.name).toSet
+    // Kahn's algorithm, stable in file order; inputs that are not step
+    // names resolve against SOURCE_DIR at run time
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      withInputs.map { case (s, in) => s.name -> (s, in) }: _*)
+    val ordered = Seq.newBuilder[Step]
+    val done    = scala.collection.mutable.Set.empty[String]
+    var progress = true
+    while (progress && remaining.nonEmpty) {
+      progress = false
+      remaining.find { case (_, (_, in)) => !stepNames.contains(in) || done.contains(in) }
+        .foreach { case (name, (s, _)) =>
+          ordered += s
+          done += name
+          remaining.remove(name)
+          progress = true
+        }
+    }
+    if (remaining.nonEmpty)
+      errors += s"dependency cycle among steps: ${remaining.keys.mkString(", ")}"
+    val errs = errors.result()
+    if (errs.nonEmpty) Left(errs) else Right(ordered.result())
+  }
+
+  // ================================================================ ops
+
+  /** Everything a step function may need: the resolved input frame, the
+    * corpus id/text column names, and a resolver for AUXILIARY tables
+    * (a decontamination benchmark) by the same step-or-source rule. */
+  final case class Ctx(
+      input: DataFrame, idCol: String, textCol: String,
+      resolve: String => DataFrame, params: Params)
+
+  /** Fail-loud typed access over a step's params map. */
+  final class Params(step: String, m: Map[String, String]) {
+    private def bad(key: String, want: String, v: String): Nothing =
+      throw new IllegalArgumentException(s"step $step: param $key: expected $want, got '$v'")
+    def str(key: String, default: String): String = m.getOrElse(key, default)
+    def reqStr(key: String): String = m.getOrElse(key,
+      throw new IllegalArgumentException(s"step $step: required param missing: $key"))
+    def int(key: String, default: Int): Int =
+      m.get(key).map(v => v.toIntOption.getOrElse(bad(key, "int", v))).getOrElse(default)
+    def reqInt(key: String): Int = {
+      val v = reqStr(key); v.toIntOption.getOrElse(bad(key, "int", v))
+    }
+    def long(key: String, default: Long): Long =
+      m.get(key).map(v => v.toLongOption.getOrElse(bad(key, "long", v))).getOrElse(default)
+    def double(key: String, default: Double): Double =
+      m.get(key).map(v => v.toDoubleOption.getOrElse(bad(key, "double", v))).getOrElse(default)
+    def reqDouble(key: String): Double = {
+      val v = reqStr(key); v.toDoubleOption.getOrElse(bad(key, "double", v))
+    }
+  }
+
+  final case class Op(paramKeys: Set[String], run: Ctx => DataFrame)
+
+  /** The step registry. Survivor-style steps (dedup/decontaminate/
+    * curate/sample) preserve the input's full schema — each emits the
+    * kept SUBSET of its input rows, so chains compose; shape-changing
+    * steps (chunk, pack, stats) are documented as such. */
+  val ops: Map[String, Op] = Map(
+    // exact content dedup: keep the min-id representative per
+    // normalized-content fingerprint
+    "dedup_exact" -> Op(Set.empty, { c =>
+      val keep = Dedup.exact(c.input, c.idCol, c.textCol)
+        .select(col("keep_id").as(c.idCol))
+      c.input.join(keep, Seq(c.idCol), "left_semi")
+    }),
+    // MinHash-LSH near-dup dedup: min-id survivor per near-dup cluster
+    "dedup_near" -> Op(Set("n", "k", "r", "minJaccard", "maxBucket"), { c =>
+      val pairs = Dedup.minhashLshPairs(c.input, c.idCol, c.textCol,
+        n = c.params.int("n", 3), k = c.params.int("k", 64),
+        r = c.params.int("r", 4), minJaccard = c.params.double("minJaccard", 0.5),
+        maxBucket = c.params.int("maxBucket", 1000))
+      Dedup.survivors(c.input, c.idCol, pairs)
+    }),
+    // drop rows sharing >= maxShared n-grams with the benchmark table
+    "decontaminate" -> Op(Set("benchmark", "n", "maxShared"), { c =>
+      Decontaminate.clean(c.input, c.resolve(c.params.reqStr("benchmark")),
+        c.idCol, c.textCol,
+        n = c.params.int("n", 8), maxShared = c.params.long("maxShared", 1L))
+    }),
+    // quality filter: keep docs passing the one-scan curation decision
+    "curate" -> Op(Set("minTokens", "minQuality"), { c =>
+      val keep = TextAnalysis.curate(c.input, c.idCol, c.textCol,
+        minTokens = c.params.int("minTokens", 20),
+        minQuality = c.params.double("minQuality", 0.4))
+        .filter(col("keep")).select(col(c.idCol))
+      c.input.join(keep, Seq(c.idCol), "left_semi")
+    }),
+    // normalize / redact rewrite the text column in place
+    "normalize" -> Op(Set.empty, { c =>
+      c.input.withColumn(c.textCol, TextAnalysis.normalized(col(c.textCol)))
+    }),
+    "redact" -> Op(Set.empty, { c =>
+      c.input.withColumn(c.textCol, TextAnalysis.redact(col(c.textCol)))
+    }),
+    // deterministic hash sample (scan-local, engine-portable)
+    "sample_hash" -> Op(Set("fraction", "salt"), { c =>
+      Sampling.hashSample(c.input, c.idCol,
+        c.params.reqDouble("fraction"), c.params.str("salt", ""))
+    }),
+    // shape change: one row per token chunk (id, chunk_id,
+    // n_chunk_tokens, chunk_text)
+    "chunk" -> Op(Set("size", "stride"), { c =>
+      val size = c.params.reqInt("size")
+      TextAnalysis.chunkTokens(c.input, c.idCol, c.textCol,
+        size = size, stride = c.params.int("stride", size))
+    }),
+    // shape change: pack chunk rows into (shard, seq_id, seq_pos)
+    // sequences; input must be a `chunk` step's output
+    "pack" -> Op(Set("chunksPerSeq", "shards"), { c =>
+      Packing.packChunks(c.input, c.idCol, "chunk_id",
+        chunksPerSeq = c.params.reqInt("chunksPerSeq"),
+        shards = c.params.reqInt("shards"))
+    }),
+    // annotation table: per-doc text statistics (id + signals)
+    "stats" -> Op(Set.empty, { c =>
+      TextAnalysis.stats(c.input, c.idCol, c.textCol)
+    }))
+
+  // ================================================================ execution
+
+  /** Run a validated spec: resolve each step's input (an earlier step's
+    * WRITTEN output, else a SOURCE_DIR table), execute, stage, promote.
+    * Returns the written table names in execution order. */
+  def run(spark: SparkSession, spec: Spec, sourceDir: String, outDir: String,
+      stagingSuffix: String = "_staging"): Seq[String] = {
+    val ordered = validate(spec) match {
+      case Left(errs) => throw new IllegalArgumentException(errs.mkString("\n"))
+      case Right(o)   => o
+    }
+    val stepNames = spec.steps.map(_.name).toSet
+    // a step name shadowing a source table would make `input:` ambiguous
+    ordered.foreach { s =>
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(sourceDir, s.name + ".parquet")),
+        s"step name '${s.name}' collides with a source table in $sourceDir")
+    }
+    def resolve(name: String): DataFrame =
+      if (stepNames.contains(name)) spark.read.parquet(s"$outDir/$name")
+      else graft.sources.ParquetTables.readTable(spark, sourceDir, name)
+    Staging.withWriterLease(spark, outDir) {
+      ordered.map { s =>
+        val in  = s.input.getOrElse(
+          spec.steps(spec.steps.indexWhere(_.name == s.name) - 1).name)
+        val ctx = Ctx(resolve(in), spec.idCol, spec.textCol, resolve,
+          new Params(s.name, s.params))
+        val out = ops(s.op).run(ctx)
+        if (stagingSuffix.isEmpty) {
+          out.write.mode("overwrite").parquet(s"$outDir/${s.name}")
+        } else {
+          out.write.mode("overwrite").parquet(s"$outDir/${s.name}$stagingSuffix")
+          Staging.promoteStaged(spark, outDir, s.name, stagingSuffix)
+        }
+        s.name
+      }
+    }
+  }
+}

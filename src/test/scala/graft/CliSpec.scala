@@ -66,6 +66,87 @@ class CliSpec extends SparkSpec {
     assert(after == before)
   }
 
+  // ------------------------------------------------------------ pipeline subcommand
+  test("pipeline subcommand: 5-step curation chain end-to-end from YAML") {
+    val out = tempDir()
+    Cli.run(Seq("pipeline", "examples/curate_pipeline.yaml", sf("sf0.001"), out), spark)
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    // every step materialized, no staging debris
+    for (t <- Seq("deduped", "kept", "sampled", "chunks", "packed")) {
+      assert(Files.exists(Paths.get(out, t)), s"step output $t missing")
+      assert(!Files.exists(Paths.get(out, t + "_staging")), s"staged $t left behind")
+    }
+    // dedup_exact keeps exactly one row per content fingerprint
+    val deduped = spark.read.parquet(s"$out/deduped")
+    assert(deduped.count() ==
+      graft.operators.Dedup.exact(docs, "doc_id", "text").count())
+    assert(deduped.columns.toSeq == docs.columns.toSeq, "survivor steps keep the schema")
+    // each survivor step emits a subset of its input's ids
+    def ids(t: String) = spark.read.parquet(s"$out/$t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids("kept").subsetOf(ids("deduped")))
+    assert(ids("sampled").subsetOf(ids("kept")))
+    assert(ids("sampled").nonEmpty)
+    // shape-changing tail: chunks carry text windows, packed sequences
+    val packed = spark.read.parquet(s"$out/packed")
+    for (c <- Seq("shard", "seq_id", "seq_pos", "chunk_text"))
+      assert(packed.columns.contains(c), s"packed missing $c")
+    assert(packed.count() == spark.read.parquet(s"$out/chunks").count())
+  }
+
+  test("pipeline subcommand: decontaminate resolves its benchmark from SOURCE_DIR") {
+    val src = tempDir()
+    val out = tempDir()
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    docs.write.parquet(s"$src/documents.parquet")
+    // benchmark = 5 real documents; decontamination must drop AT LEAST
+    // those (plus any doc sharing an 8-gram with them)
+    val bench = docs.orderBy("doc_id").limit(5)
+    bench.write.parquet(s"$src/bench_documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: decon_test
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: clean
+        |    op: decontaminate
+        |    input: documents
+        |    params: { benchmark: bench_documents, n: 8 }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val cleanIds = spark.read.parquet(s"$out/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(benchIds.intersect(cleanIds).isEmpty,
+      "benchmark documents must not survive decontamination")
+    assert(cleanIds.nonEmpty, "unrelated documents must survive")
+  }
+
+  test("pipeline subcommand: spec errors fail loud before Spark starts") {
+    def specError(body: String): String = {
+      val yaml = Files.createTempFile("graft-pipe-bad", ".yaml")
+      Files.writeString(yaml,
+        s"pipeline: bad\nid: doc_id\ntext: text\nsteps:\n$body")
+      val e = intercept[Cli.CliError] {
+        Cli.run(Seq("pipeline", yaml.toString, sf("sf0.001"), tempDir()),
+          fail("session must not be forced on a spec error"))
+      }
+      assert(e.code == 1)
+      e.msg
+    }
+    assert(specError("  - { name: a, op: nope, input: documents }\n")
+      .contains("unknown op"))
+    assert(specError("  - { name: a, op: dedup_exact, input: documents, params: { frac: 1 } }\n")
+      .contains("does not take param"))
+    assert(specError(
+      "  - { name: a, op: dedup_exact, input: b }\n" +
+        "  - { name: b, op: dedup_exact, input: a }\n")
+      .contains("cycle"))
+    assert(specError("  - { name: a, op: dedup_exact }\n")
+      .contains("first step must name an input"))
+  }
+
   test("--version prints the banner with exit code 0, short aliases parse") {
     // --version anywhere in the args wins, before any validation
     // (`ArgParser.hs:106-113`)
