@@ -143,6 +143,29 @@ object QueriesExt {
 
   lazy val dedupJaccardPrefixT08Sql: String = ngramJaccardSql("0.8")
 
+  /** Duplicated-span signal at 10-token spans — the exact-substring
+    * memorization-risk complement to whole-document Jaccard. */
+  def textDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", n = 10)
+
+  lazy val textDupSpansSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), ngr AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+9], ' ') AS ng
+       |  FROM ws, unnest(generate_series(1, len(w) - 9)) AS t(i)
+       |  WHERE len(w) >= 10
+       |), dup AS (
+       |  SELECT ng FROM ngr GROUP BY 1 HAVING count(*) >= 2
+       |)
+       |SELECT doc_id, count(*) AS n_ngrams,
+       |       count(CASE WHEN dup.ng IS NOT NULL THEN 1 END) AS n_dup_ngrams,
+       |       CAST(count(CASE WHEN dup.ng IS NOT NULL THEN 1 END) AS DOUBLE)
+       |         / count(*) AS dup_ratio
+       |FROM ngr LEFT JOIN dup ON dup.ng = ngr.ng
+       |GROUP BY 1
+       |""".stripMargin
+
   // ================================================================ minhash / simhash (no SQL oracle)
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3, k = 64, r = 4, minJaccard = 0.5)

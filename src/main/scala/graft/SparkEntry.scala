@@ -164,6 +164,8 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> (QueriesExt.dedupJaccardPrefix _),
     // the production-θ regime of the same operator (short prefixes)
     "dedup_jaccard_prefix_t08" -> (QueriesExt.dedupJaccardPrefixT08 _),
+    // per-doc duplicated-span (exact substring) memorization signal
+    "text_dup_spans" -> (QueriesExt.textDupSpans _),
     "dedup_minhash_lsh"   -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
     // oracle-checked verification companions: LSH pairs subset-of exact
@@ -289,6 +291,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
     "dedup_jaccard_prefix"      -> QueriesExt.dedupNgramJaccardSql,
     "dedup_jaccard_prefix_t08"  -> QueriesExt.dedupJaccardPrefixT08Sql,
+    "text_dup_spans"            -> QueriesExt.textDupSpansSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,
     "dedup_survivors"           -> QueriesExt.dedupSurvivorsSql,
     "skew_salted_join"          -> QueriesExt.skewSaltedJoinSql,

@@ -308,6 +308,36 @@ object Dedup {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Per-document duplicated-span signal [Lee et al., ACL 2022,
+    * "Deduplicating Training Data Makes Language Models Better"]: how
+    * many of a document's distinct n-token spans also occur in at
+    * least one OTHER document, plus the ratio. Exact-substring overlap
+    * at span granularity is the memorization-risk complement to
+    * whole-document Jaccard — a doc can be globally unique yet carry a
+    * large verbatim block (quoted article, license text) that span
+    * dedup flags and document dedup cannot.
+    *
+    * Shape: ONE distinct-shingle exchange feeds both the per-span
+    * document frequency (group on the span) and, through a left join
+    * back on the same key, a single per-doc aggregation — count vs
+    * conditional count in one pass, no second corpus scan. A span
+    * shared by k documents contributes k marker rows (linear), never
+    * k² pair rows — no cap needed, unlike the intersection joins.
+    * Documents shorter than n tokens emit no row (no spans exist). */
+  def duplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 10
+  ): DataFrame = {
+    val sh  = shingles(docs, idCol, textCol, n)
+    // distinct (id, ng) stream => count per ng IS the document frequency
+    val dup = sh.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("ng"), lit(1).as("__dup"))
+    sh.join(dup, Seq("ng"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("__dup")).as("n_dup_ngrams"))
+      .withColumn("dup_ratio",
+        col("n_dup_ngrams").cast("double") / col("n_ngrams"))
+  }
+
   import Hashing.{fnvShingle, mix64}
 
   /** MinHash signatures: k per-seed minimum hashes over the document's

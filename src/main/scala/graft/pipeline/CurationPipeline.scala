@@ -237,6 +237,33 @@ object CurationPipeline {
     // annotation table: per-doc text statistics (id + signals)
     "stats" -> Op(Set.empty, { c =>
       TextAnalysis.stats(c.input, c.idCol, c.textCol)
+    }),
+    // prefix-filtered exact-Jaccard near-dup dedup: min-id survivor per
+    // cluster, exact over the full shingle universe (the PPJoin path —
+    // prefer at near-dup thresholds where prefixes are short)
+    "dedup_prefix" -> Op(Set("n", "minJaccard"), { c =>
+      val pairs = Dedup.jaccardPrefixPairs(c.input, c.idCol, c.textCol,
+        n = c.params.int("n", 3), minJaccard = c.params.double("minJaccard", 0.8))
+      Dedup.survivors(c.input, c.idCol, pairs)
+    }),
+    // leakage-free train/valid/test assignment: adds a `split` column,
+    // keyed on `by` (default the doc id; name a grouping column to keep
+    // groups intact across splits)
+    "splits" -> Op(Set("train", "valid", "test", "by"), { c =>
+      Sampling.assignSplits(c.input, c.params.str("by", c.idCol), Seq(
+        "train" -> c.params.double("train", 0.8),
+        "valid" -> c.params.double("valid", 0.1),
+        "test"  -> c.params.double("test", 0.1)))
+    }),
+    // annotation: BPE-ish token count estimate column for budgeting
+    "token_estimate" -> Op(Set.empty, { c =>
+      c.input.withColumn("n_tokens_est",
+        TextAnalysis.bpeTokenEstimate(col(c.textCol)))
+    }),
+    // annotation table: per-doc duplicated-span (exact substring)
+    // memorization signal — id, n_ngrams, n_dup_ngrams, dup_ratio
+    "dup_spans" -> Op(Set("n"), { c =>
+      Dedup.duplicatedSpans(c.input, c.idCol, c.textCol, c.params.int("n", 10))
     }))
 
   // ================================================================ execution
@@ -261,11 +288,12 @@ object CurationPipeline {
       if (stepNames.contains(name)) spark.read.parquet(s"$outDir/$name")
       else graft.sources.ParquetTables.readTable(spark, sourceDir, name)
     Staging.withWriterLease(spark, outDir) {
-      ordered.map { s =>
+      val manifest = ordered.map { s =>
         val in  = s.input.getOrElse(
           spec.steps(spec.steps.indexWhere(_.name == s.name) - 1).name)
         val ctx = Ctx(resolve(in), spec.idCol, spec.textCol, resolve,
           new Params(s.name, s.params))
+        val t0  = System.nanoTime()
         val out = ops(s.op).run(ctx)
         if (stagingSuffix.isEmpty) {
           out.write.mode("overwrite").parquet(s"$outDir/${s.name}")
@@ -273,8 +301,23 @@ object CurationPipeline {
           out.write.mode("overwrite").parquet(s"$outDir/${s.name}$stagingSuffix")
           Staging.promoteStaged(spark, outDir, s.name, stagingSuffix)
         }
-        s.name
+        val sec = (System.nanoTime() - t0) / 1e9
+        // count on the WRITTEN parquet: row-group-metadata only (Spark's
+        // aggregate pushdown), never a data rescan
+        val rows = spark.read.parquet(s"$outDir/${s.name}").count()
+        (s, in, rows, sec)
       }
+      // run manifest: the observability record a scheduled pipeline
+      // needs (which step shrank the corpus, where the time went)
+      val json = manifest.map { case (s, in, rows, sec) =>
+        s"""{"name":"${s.name}","op":"${s.op}","input":"$in",""" +
+          f""""rows":$rows,"seconds":$sec%.3f}"""
+      }.mkString(
+        s"""{"pipeline":"${spec.name}","steps":[""", ",", "]}\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "pipeline_manifest.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      manifest.map(_._1.name)
     }
   }
 }

@@ -92,6 +92,48 @@ class CliSpec extends SparkSpec {
     for (c <- Seq("shard", "seq_id", "seq_pos", "chunk_text"))
       assert(packed.columns.contains(c), s"packed missing $c")
     assert(packed.count() == spark.read.parquet(s"$out/chunks").count())
+    // run manifest: one record per step, row counts matching the tables
+    val manifest = Files.readString(Paths.get(out, "pipeline_manifest.json"))
+    for (t <- Seq("deduped", "kept", "sampled", "chunks", "packed")) {
+      assert(manifest.contains(s""""name":"$t""""), s"manifest missing $t")
+      assert(manifest.contains(
+        s""""rows":${spark.read.parquet(s"$out/$t").count()}"""),
+        s"manifest row count for $t wrong:\n$manifest")
+    }
+  }
+
+  test("pipeline subcommand: splits, token_estimate, and dedup_prefix compose") {
+    val out  = tempDir()
+    val yaml = Files.createTempFile("graft-pipe-ops", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: budget_test
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: nearded
+        |    op: dedup_prefix
+        |    input: documents
+        |    params: { minJaccard: 0.8 }
+        |  - name: budgeted
+        |    op: token_estimate
+        |  - name: assigned
+        |    op: splits
+        |    params: { train: 0.8, valid: 0.1, test: 0.1, by: source }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, sf("sf0.001"), out), spark)
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val nearded = spark.read.parquet(s"$out/nearded")
+    // prefix survivors match the operator run directly
+    val wantSurvivors = graft.operators.Dedup.survivors(docs, "doc_id",
+      graft.operators.Dedup.jaccardPrefixPairs(docs, "doc_id", "text", 3, 0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nearded.select("doc_id").collect().map(_.getLong(0)).toSet == wantSurvivors)
+    val assigned = spark.read.parquet(s"$out/assigned")
+    assert(assigned.columns.contains("n_tokens_est"), "annotations must chain")
+    assert(assigned.columns.contains("split"))
+    // grouped split: every source lands wholly in one split
+    assert(assigned.select("source", "split").distinct().count() ==
+      assigned.select("source").distinct().count())
   }
 
   test("pipeline subcommand: decontaminate resolves its benchmark from SOURCE_DIR") {

@@ -242,6 +242,28 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ------------------------------------------------------------ duplicated spans
+  test("duplicated spans: shared verbatim blocks flagged, unique docs score zero") {
+    import spark.implicits._
+    val block = (1 to 12).map(i => s"blk$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $block z1 z2 z3 z4 z5"),
+      (2L, s"b1 b2 b3 b4 b5 $block y1 y2 y3 y4 y5"),
+      (3L, (1 to 22).map(i => s"u$i").mkString(" ")),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_ngrams")), r.getLong(r.fieldIndex("n_dup_ngrams"))))
+      .toMap
+    // 22 tokens -> 13 distinct 10-grams; only the 3 spans fully inside
+    // the shared 12-token block are duplicated (boundary spans mix in
+    // each doc's own words)
+    assert(out(1L) == (13L, 3L))
+    assert(out(2L) == (13L, 3L))
+    assert(out(3L) == (13L, 0L))
+    assert(!out.contains(4L), "docs below the span width emit no row")
+  }
+
   // ------------------------------------------------------------ minhash incremental
   private def admitted(
       batch: org.apache.spark.sql.DataFrame,
