@@ -1189,6 +1189,60 @@ object QueriesExt {
        |FROM ranked WHERE rn = 1
        |""".stripMargin
 
+  /** SemDeDup over the embeddings table: cluster with the lowest-8-id
+    * centroids (the [[embedKmeansAssign]] assignment, already gated),
+    * prune within clusters at the near-dup threshold the
+    * `embed_cosine_neardup` gate uses. */
+  def embedSemdedup(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
+      k = 8, minCosine = 0.45)
+
+  /** Oracle: the [[embedKmeansAssignSql]] assignment CTEs, then exact
+    * decimal pair dots within each cluster and the greedy
+    * smaller-id-wins prune. */
+  lazy val embedSemdedupSql: String =
+    s"""WITH pos AS (
+       |  SELECT vec_id AS vid, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |), c AS (
+       |  SELECT vid AS cid, pos, v AS cv FROM pos WHERE vid < 8
+       |), cn AS (
+       |  SELECT cid, sum(CAST(cv * cv AS DECIMAL(30,15))) AS n2 FROM c GROUP BY 1
+       |), vn AS (
+       |  SELECT vid, sum(CAST(v * v AS DECIMAL(30,15))) AS n2 FROM pos GROUP BY 1
+       |), cdots AS (
+       |  SELECT p.vid, c.cid, sum(CAST(p.v * c.cv AS DECIMAL(30,15))) AS dot
+       |  FROM pos p JOIN c USING (pos) GROUP BY 1, 2
+       |), d2 AS (
+       |  SELECT vid, cid,
+       |         CAST(vn.n2 AS DOUBLE)
+       |           + (CAST(cn.n2 AS DOUBLE) - 2 * CAST(dot AS DOUBLE)) AS d2
+       |  FROM cdots JOIN vn USING (vid) JOIN cn USING (cid)
+       |), assigned AS (
+       |  SELECT vid, CAST(cid AS INTEGER) AS cluster
+       |  FROM (SELECT vid, cid,
+       |               row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+       |        FROM d2)
+       |  WHERE rn = 1
+       |), pdots AS (
+       |  SELECT pa.vid AS hi, pb.vid AS lo,
+       |         sum(CAST(pa.v * pb.v AS DECIMAL(30,15))) AS dot
+       |  FROM pos pa
+       |  JOIN assigned aa ON aa.vid = pa.vid
+       |  JOIN pos pb ON pb.pos = pa.pos AND pb.vid < pa.vid
+       |  JOIN assigned ab ON ab.vid = pb.vid AND ab.cluster = aa.cluster
+       |  GROUP BY 1, 2
+       |), pruned AS (
+       |  SELECT DISTINCT hi AS vid FROM pdots
+       |  JOIN vn na ON na.vid = hi
+       |  JOIN vn nb ON nb.vid = lo
+       |  WHERE CAST(dot AS DOUBLE)
+       |          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45
+       |)
+       |SELECT vid AS vec_id, cluster FROM assigned
+       |WHERE vid NOT IN (SELECT vid FROM pruned)
+       |""".stripMargin
+
   // ---------------------------------------------------------- token diversity
   /** Per-document lexical diversity: token count, distinct tokens, and
     * the Gini–Simpson index `1 − Σ tf² / n²` — the log-free diversity

@@ -189,6 +189,9 @@ object SparkEntry {
     "embed_knn_ivf_verified" -> (QueriesExt.embedKnnIvfVerified _),
     "embed_knn_quantized_verified" -> (QueriesExt.embedKnnQuantizedVerified _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
+    // SemDeDup: cluster-then-prune semantic dedup (pair space bounded
+    // by the cluster structure, not N^2)
+    "embed_semdedup"        -> (QueriesExt.embedSemdedup _),
     // multimodal binary plumbing (stubbed decode, frame sampling)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
     "multimodal_frames" -> (QueriesExt.multimodalFrames _),
@@ -297,6 +300,7 @@ object SparkEntry {
     "skew_salted_join"          -> QueriesExt.skewSaltedJoinSql,
     "embed_knn_brute"           -> QueriesExt.embedKnnBruteSql,
     "embed_cosine_neardup"      -> QueriesExt.embedCosineNearDupSql,
+    "embed_semdedup"            -> QueriesExt.embedSemdedupSql,
     "multimodal_decode"         -> QueriesExt.multimodalDecodeSql,
     "multimodal_frames"         -> QueriesExt.multimodalFramesSql,
     "multimodal_resize"         -> QueriesExt.multimodalResizeSql

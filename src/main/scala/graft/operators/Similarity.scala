@@ -132,6 +132,65 @@ object Similarity {
     exactScored(embeddings, idCol, vecCol, numQueries)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
 
+  /** SemDeDup [Abbas et al. 2023, arXiv:2303.09540, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"]: semantic dedup by k-means clustering then
+    * WITHIN-CLUSTER cosine pruning — the pair space is Σ|cluster|²
+    * instead of N², bounded by the cluster count `k` (the paper's
+    * design point: k ~ √N keeps it ~N). A vector is pruned iff some
+    * SMALLER-id member of its cluster has cosine ≥ `minCosine` — the
+    * greedy keep-first rule, deterministic without the
+    * transitive-closure pass document dedup needs. Returns surviving
+    * `(id, cluster)` rows; null-vector rows carry no geometry and are
+    * absent (the [[Kmeans.assign]] null rule).
+    *
+    * Clusters larger than `maxCluster` are left UNPRUNED (members all
+    * survive): a degenerate cluster means k is too small for the
+    * corpus, and silently exploding the pair space would be worse than
+    * not pruning it — raise k (re-cluster) instead.
+    *
+    * Scale shape: centroids are a bounded k-row collect, assignment is
+    * the scan-local codegen'd [[Kmeans.assign]] path, pair dots
+    * shuffle on (cluster, pos) with decimal partial aggregation — the
+    * same engine-exact arithmetic as [[cosineNearDupPairs]], so a SQL
+    * oracle reproduces the prune bit-for-bit. */
+  def semDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, maxCluster: Int = 10000
+  ): DataFrame = {
+    val cents = Kmeans.initLowestIds(embeddings, idCol, vecCol, k)
+    val assigned = Kmeans.assign(embeddings, idCol, vecCol, cents)
+      .select(col(idCol).as("vid"), col("cluster"))
+      .filter(col("cluster").isNotNull)
+    val w = Window.partitionBy(col("cluster"))
+    val pairable = assigned
+      .withColumn("__cn", count(lit(1)).over(w))
+      .filter(col("__cn").between(2, maxCluster))
+      .drop("__cn")
+    val pos = embeddings.select(
+      col(idCol).as("vid"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("vid"), col("pos"), col("v").cast("double").as("v"))
+    val norms = pos.groupBy("vid")
+      .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("n2"))
+    val p = pos.join(pairable, "vid")
+    // oriented pairs: a.vid > b.vid, so `a` is the DROP candidate
+    val dots = p.as("a")
+      .join(p.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.pos") === col("b.pos") &&
+          col("a.vid") > col("b.vid"))
+      .groupBy(col("a.vid").as("hi"), col("b.vid").as("lo"))
+      .agg(sum((col("a.v") * col("b.v")).cast("decimal(30,15)")).as("dot"))
+    val pruned = dots
+      .join(norms.select(col("vid").as("hi"), col("n2").as("na")), "hi")
+      .join(norms.select(col("vid").as("lo"), col("n2").as("nb")), "lo")
+      .filter(col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= minCosine)
+      .select(col("hi").as("vid")).distinct()
+    assigned.join(pruned, Seq("vid"), "left_anti")
+      .select(col("vid").as(idCol), col("cluster"))
+  }
+
   /** All pairs with cosine >= `minCosine` (embedding near-duplicate
     * detection), deterministic-sum formulation. */
   def cosineNearDupPairs(

@@ -148,6 +148,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${approx.size}/${exact.size})")
   }
 
+  test("semDedup prunes the higher id of within-cluster near-dups, keeps cross-direction") {
+    import spark.implicits._
+    // centroids = lowest 2 ids: id0 along x, id1 along y
+    val vecs = Seq(
+      (0L, Seq(10f, 0f)),
+      (1L, Seq(0f, 10f)),
+      (2L, Seq(10.1f, 0.1f)),  // cluster 0, cos vs id0 ~ 1 -> pruned
+      (3L, Seq(0.1f, 9.9f)),   // cluster 1, cos vs id1 ~ 1 -> pruned
+      (4L, Seq(7f, 7f))        // lands in a cluster but cos ~ 0.71 < 0.9 -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", k = 2, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet === Set(0L, 1L, 4L), s"got $out")
+    assert(out(0L) != out(1L), "the two directions must land in different clusters")
+    // degenerate-cluster guard: maxCluster below any cluster size means
+    // no pairing anywhere — everything survives unpruned
+    val uncapped = Similarity.semDedup(
+      vecs, "vec_id", "embedding", k = 2, minCosine = 0.9, maxCluster = 1)
+    assert(uncapped.count() === 5)
+  }
+
   test("null embeddings flow through brute/LSH/IVF knn without NPEs or rank pollution") {
     import spark.implicits._
     val dim = 8
