@@ -95,9 +95,19 @@ object CurationPipeline {
   /** Structural validation (no Spark needed): unique step names, known
     * ops with known params, resolvable inputs, acyclic dependencies.
     * Returns the steps in execution (topological) order. */
+  /** Step names and input references become file paths under
+    * OUT_DIR / SOURCE_DIR — restrict them so a spec can never write or
+    * read outside its directories (`name: ../x` must be a spec error,
+    * not a traversal). */
+  private val SafeName = "^[A-Za-z0-9_][A-Za-z0-9_.-]*$".r
+
   def validate(spec: Spec): Either[Seq[String], Seq[Step]] = {
     val errors = Seq.newBuilder[String]
     if (spec.steps.isEmpty) errors += "pipeline has no steps"
+    (spec.name +: (spec.steps.map(_.name) ++ spec.steps.flatMap(_.input)))
+      .filterNot(n => SafeName.matches(n))
+      .foreach(n => errors += s"unsafe pipeline/step/input name '$n' " +
+        "(allowed: letters, digits, _ . - ; must not start with . or -)")
     spec.steps.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
       .foreach(n => errors += s"duplicate step name: $n")
     spec.steps.filter(s => !ops.contains(s.op)).foreach(s =>
@@ -264,6 +274,29 @@ object CurationPipeline {
     // memorization signal — id, n_ngrams, n_dup_ngrams, dup_ratio
     "dup_spans" -> Op(Set("n"), { c =>
       Dedup.duplicatedSpans(c.input, c.idCol, c.textCol, c.params.int("n", 10))
+    }),
+    // annotation table: bigram-LM quality score against a reference
+    // corpus (default: the input itself — within-corpus typicality).
+    // Uses the one-shot score() lifecycle: the vocabulary-sized LM
+    // table stays in the session cache (one entry per reference plan)
+    "lm_score" -> Op(Set("reference"), { c =>
+      val refName = c.params.str("reference", "")
+      val ref = if (refName.isEmpty) c.input else c.resolve(refName)
+      graft.operators.LanguageModel.score(c.input, ref, c.idCol, c.textCol)
+    }),
+    // the bloom-shortlist decontamination scale path: benchmark
+    // n-grams become a broadcast bloom probed scan-side, exact verify
+    // only on the shortlisted docs — prefer over `decontaminate` when
+    // the corpus is much larger than the benchmark
+    "decontaminate_bloom" -> Op(Set("benchmark", "n", "fpp", "maxShared"), { c =>
+      val filter = Decontaminate.buildFilter(
+        c.resolve(c.params.reqStr("benchmark")), c.idCol, c.textCol,
+        n = c.params.int("n", 8), fpp = c.params.double("fpp", 0.01))
+      // no release(): the returned frame is lazy, so the filter's
+      // persisted bench set must outlive this call (session-cache
+      // semantics, one entry per benchmark plan — the score() contract)
+      Decontaminate.bloomCleanWith(c.input, filter, c.idCol, c.textCol,
+        maxShared = c.params.long("maxShared", 1L))
     }))
 
   // ================================================================ execution

@@ -187,6 +187,42 @@ class CliSpec extends SparkSpec {
       .contains("cycle"))
     assert(specError("  - { name: a, op: dedup_exact }\n")
       .contains("first step must name an input"))
+    // path traversal must be a spec error, not a write outside OUT_DIR
+    assert(specError("  - { name: ../escape, op: dedup_exact, input: documents }\n")
+      .contains("unsafe"))
+    assert(specError("  - { name: a, op: dedup_exact, input: ../../etc }\n")
+      .contains("unsafe"))
+  }
+
+  test("pipeline subcommand: lm_score and decontaminate_bloom ops run in a chain") {
+    val src = tempDir()
+    val out = tempDir()
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    docs.write.parquet(s"$src/documents.parquet")
+    docs.orderBy("doc_id").limit(5).write.parquet(s"$src/bench_documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-lm", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: lm_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: clean
+        |    op: decontaminate_bloom
+        |    input: documents
+        |    params: { benchmark: bench_documents, n: 8 }
+        |  - name: scored
+        |    op: lm_score
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    // bloom path drops the benchmark docs like the exact path does
+    val cleanIds = spark.read.parquet(s"$out/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!cleanIds.contains(
+      docs.orderBy("doc_id").limit(1).collect()(0).getLong(0)))
+    assert(cleanIds.nonEmpty)
+    val scored = spark.read.parquet(s"$out/scored")
+    assert(scored.columns.contains("doc_id"))
+    assert(scored.count() == cleanIds.size, "self-referenced LM scores every input doc")
   }
 
   test("--version prints the banner with exit code 0, short aliases parse") {

@@ -242,6 +242,14 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("hot-shingle blocklist anti-join broadcasts (no shingle-stream re-shuffle)") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val plan = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).nonEmpty,
+      s"hot-set anti-join must broadcast the (tiny) hot side:\n$plan")
+  }
+
   // ------------------------------------------------------------ duplicated spans
   test("duplicated spans: shared verbatim blocks flagged, unique docs score zero") {
     import spark.implicits._
