@@ -328,6 +328,15 @@ object CurationPipeline {
           new Params(s.name, s.params))
         val t0  = System.nanoTime()
         val out = ops(s.op).run(ctx)
+        // plans/<step>.txt — the warehouse path's plan artifact, same
+        // contract: the optimized physical plan a reviewer audits for
+        // pushdown/broadcast/exchange shape without re-running the job
+        val plansDir = java.nio.file.Paths.get(outDir, "plans")
+        java.nio.file.Files.createDirectories(plansDir)
+        java.nio.file.Files.write(plansDir.resolve(s"${s.name}.txt"),
+          out.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         if (stagingSuffix.isEmpty) {
           out.write.mode("overwrite").parquet(s"$outDir/${s.name}")
         } else {

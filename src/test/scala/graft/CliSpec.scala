@@ -92,6 +92,9 @@ class CliSpec extends SparkSpec {
     for (c <- Seq("shard", "seq_id", "seq_pos", "chunk_text"))
       assert(packed.columns.contains(c), s"packed missing $c")
     assert(packed.count() == spark.read.parquet(s"$out/chunks").count())
+    // plan artifacts: one per step, same contract as the warehouse path
+    for (t <- Seq("deduped", "kept", "sampled", "chunks", "packed"))
+      assert(Files.exists(Paths.get(out, "plans", s"$t.txt")), s"plan for $t missing")
     // run manifest: one record per step, row counts matching the tables
     val manifest = Files.readString(Paths.get(out, "pipeline_manifest.json"))
     for (t <- Seq("deduped", "kept", "sampled", "chunks", "packed")) {
