@@ -285,6 +285,73 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  /** Quality-aware survivor set over the same near-dup graph: each
+    * cluster keeps its LONGEST doc (`n_chars` max, ties to smallest
+    * id) instead of the smallest id — the keep-the-best-copy curation
+    * policy. Oracle: the same recursive-CTE closure, then a per-cluster
+    * argmax via row_number. */
+  def dedupSurvivorsBest(s: SparkSession, dir: String): DataFrame = {
+    val d     = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.5)
+    Dedup.survivorsBest(d, "doc_id", pairs, "n_chars")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  lazy val dedupSurvivorsBestSql: String = {
+    val closure = dedupClusterSql.trim
+    s"""WITH c AS (
+       |$closure
+       |), ranked AS (
+       |  SELECT c.doc_id,
+       |         row_number() OVER (PARTITION BY c.cluster_rep
+       |                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |  FROM c JOIN documents d ON d.doc_id = c.doc_id
+       |)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d
+       |LEFT JOIN ranked r ON r.doc_id = d.doc_id
+       |WHERE r.doc_id IS NULL OR r.rn = 1
+       |""".stripMargin
+  }
+
+  // ================================================================ line-level boilerplate dedup
+  /** CCNet/RefinedWeb-style line-level boilerplate removal. The corpus
+    * has no newlines, so the gate deterministically re-lines it first —
+    * a line break after every 10th word (regex mirrored in the oracle;
+    * Java and RE2 agree on the pattern) — which makes the generator's
+    * duplicated spans surface as cross-document duplicate lines; any
+    * line found in >= 2 distinct docs is then stripped from all of
+    * them. */
+  def textLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lined = docs(s, dir).select(
+      col("doc_id"),
+      regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+    Dedup.lineDedup(lined, "doc_id", "text", minDf = 2)
+  }
+
+  lazy val textLineDedupSql: String =
+    s"""WITH lined AS (
+       |  SELECT doc_id,
+       |         regexp_replace(text, '((\\S+ ){9}\\S+) ', '\\1' || chr(10), 'g') AS t
+       |  FROM documents
+       |), ls AS (
+       |  SELECT doc_id, string_split(t, chr(10)) AS l FROM lined
+       |), lines AS (
+       |  SELECT doc_id, i AS idx, l[i] AS line
+       |  FROM ls, unnest(generate_series(1, len(l))) AS u(i)
+       |), hot AS (
+       |  SELECT line FROM lines WHERE trim(line) <> ''
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       |)
+       |SELECT l.doc_id,
+       |       count(*) AS n_lines,
+       |       count(h.line) AS n_removed,
+       |       coalesce(string_agg(CASE WHEN h.line IS NULL THEN l.line END,
+       |                           chr(10) ORDER BY l.idx), '') AS text_clean
+       |FROM lines l LEFT JOIN hot h ON h.line = l.line
+       |GROUP BY 1
+       |""".stripMargin
+
   // ================================================================ salted skew join
   /** Salted equi-join (lineitem to orders on the order key) + grouped
     * aggregation — must equal the plain join bit-for-bit; the oracle IS
@@ -490,6 +557,29 @@ object QueriesExt {
     s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len
        |FROM documents
        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < '1999'
+       |""".stripMargin
+
+  /** Deterministic global shuffle: shard + dense in-shard position,
+    * both pure functions of (doc_id, salt) — the corpus-order
+    * decorrelation step before packing/batching. The oracle recomputes
+    * the identical permutation from md5 alone. */
+  def sampleShuffleShards(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(docs(s, dir).select(col("doc_id")),
+      "doc_id", shards = 8, salt = "r7")
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  lazy val sampleShuffleShardsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'r7') AS hh FROM documents
+       |), sh AS (
+       |  SELECT doc_id, hh,
+       |         CAST('0x' || substr(hh, 1, 4) AS INTEGER) % 8 AS shard
+       |  FROM h
+       |)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+       |            AS BIGINT) AS pos
+       |FROM sh
        |""".stripMargin
 
   /** Stable train/valid/test assignment (80/10/10) keyed by doc_id:

@@ -708,4 +708,88 @@ object Dedup {
     val losers = comps.filter(col("doc") =!= col("rep")).select(col("doc").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Survivor view keeping the BEST doc per near-duplicate cluster
+    * instead of the smallest id: for each connected component of the
+    * pair graph the survivor maximizes `scoreCol` (ties broken by
+    * smallest id), so a dedup pass keeps the longest / highest-quality
+    * copy of each near-duplicate group — the curation policy most
+    * pipelines actually want (the boilerplate-stripped original beats
+    * its truncated syndication copy).
+    *
+    * Scale shape: the window runs over the CLUSTER table (only docs
+    * that appear in some pair — tiny relative to the corpus), keyed by
+    * the cluster representative; the corpus itself is touched once by
+    * the final anti-join. Determinism: (score desc, id asc) is a total
+    * order per cluster. */
+  def survivorsBest(
+      docs: DataFrame, idCol: String, pairs: DataFrame, scoreCol: String
+  ): DataFrame = {
+    val comps  = connectedComponents(pairs)
+    val scored = comps.join(
+      docs.select(col(idCol).as("doc"), col(scoreCol).as("__score")), Seq("doc"))
+    val w = Window.partitionBy(col("rep")).orderBy(col("__score").desc, col("doc"))
+    val losers = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("doc").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Line-level boilerplate removal [CCNet: Wenzek et al., LREC 2020;
+    * RefinedWeb: Penedo et al., NeurIPS 2023]: a line occurring in
+    * `minDf` or more DISTINCT documents is boilerplate (navigation
+    * bars, cookie banners, license headers) and is removed from EVERY
+    * document, including the first. Output one row per input doc:
+    * the id, `n_lines` (total lines), `n_removed` (boilerplate lines
+    * dropped), and `text_clean` (the remaining lines re-joined in
+    * original order; empty string when every line was boilerplate).
+    * Blank lines (whitespace-only) never count toward document
+    * frequency and are always kept.
+    *
+    * Scale shape: one exchange computes per-line document frequency
+    * (map-side partial agg on the line key), the flag join is a plain
+    * equi-join on the line key (AQE picks broadcast when the
+    * duplicated-line set is small — in real web corpora it is large,
+    * so the join is NOT hint-forced), and one groupBy on the doc id
+    * reassembles each document from its own lines (per-group state
+    * bounded by document size). No window, no collect, nothing
+    * quadratic: cost is linear in total line count.
+    *
+    * Docs with NULL text produce no line rows and are absent from the
+    * output (mirror a SQL `unnest`); guard upstream if they must
+    * survive. */
+  def lineDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, delim: String = "\n"
+  ): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (1 would drop every non-blank line), got $minDf")
+    require(delim.nonEmpty, "delim must be non-empty")
+    require(idCol != "line" && idCol != "n_lines" && idCol != "n_removed" && idCol != "text_clean",
+      s"idCol '$idCol' collides with a lineDedup output column")
+    val lines = docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("idx", "line")))
+    val hot = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("line"), lit(true).as("__hot"))
+    lines
+      .join(hot, Seq("line"), "left")
+      .withColumn("__hot", coalesce(col("__hot"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__hot"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("idx"), col("line"), col("__hot")))),
+              e => !e.getField("__hot")),
+            e => e.getField("line")),
+          delim).as("text_clean"))
+  }
 }

@@ -235,4 +235,34 @@ object Sampling {
     df.withColumn("stratum_rank", row_number().over(w))
       .filter(col("stratum_rank") <= k)
   }
+
+  /** Deterministic global shuffle for training export: every row gets a
+    * `shard` in [0, shards) and a dense 0-based `pos` within its shard,
+    * both pure functions of (key, salt) — the corpus-order
+    * decorrelation step before sequence packing / batch construction
+    * (adjacent source rows scatter across shards; within a shard, rows
+    * order by their hash, not their origin). Rerunning, or running on
+    * another engine, produces the identical permutation; a different
+    * salt produces an independent one.
+    *
+    * Scale shape: ONE exchange (the shard hash); each shard is one
+    * window partition whose sort spills to disk, so at 100 TB you raise
+    * `shards` (more parallel sorts, each smaller) rather than growing
+    * any per-task state — the [[graft.operators.Packing]] contract.
+    * Hash ties across distinct keys are broken by the key itself, so
+    * `pos` is a total order even under md5-prefix collisions. */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int, salt: String = ""): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    Seq("shard", "pos", "__h").foreach { c =>
+      require(!df.columns.contains(c),
+        s"shuffleShards would overwrite existing column '$c' — rename it first")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", md5(concat(col(keyCol).cast("string"), lit(salt))))
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("int") % shards))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
 }

@@ -184,6 +184,22 @@ object CurationPipeline {
 
   final case class Op(paramKeys: Set[String], run: Ctx => DataFrame)
 
+  /** Shared survivor policy for the pair-producing dedup steps:
+    * `keep: min_id` (default) keeps the smallest id per near-dup
+    * cluster; `keep: longest` keeps the longest text (ties to smallest
+    * id) — the keep-the-best-copy policy. */
+  private def keepSurvivors(c: Ctx, pairs: DataFrame): DataFrame =
+    c.params.str("keep", "min_id") match {
+      case "min_id"  => Dedup.survivors(c.input, c.idCol, pairs)
+      case "longest" =>
+        Dedup.survivorsBest(
+          c.input.withColumn("__len", length(col(c.textCol))),
+          c.idCol, pairs, "__len").drop("__len")
+      case other =>
+        throw new IllegalArgumentException(
+          s"keep must be min_id or longest, got '$other'")
+    }
+
   /** The step registry. Survivor-style steps (dedup/decontaminate/
     * curate/sample) preserve the input's full schema — each emits the
     * kept SUBSET of its input rows, so chains compose; shape-changing
@@ -196,13 +212,21 @@ object CurationPipeline {
         .select(col("keep_id").as(c.idCol))
       c.input.join(keep, Seq(c.idCol), "left_semi")
     }),
-    // MinHash-LSH near-dup dedup: min-id survivor per near-dup cluster
-    "dedup_near" -> Op(Set("n", "k", "r", "minJaccard", "maxBucket"), { c =>
+    // MinHash-LSH near-dup dedup: one survivor per near-dup cluster
+    // (keep: min_id | longest)
+    "dedup_near" -> Op(Set("n", "k", "r", "minJaccard", "maxBucket", "keep"), { c =>
       val pairs = Dedup.minhashLshPairs(c.input, c.idCol, c.textCol,
         n = c.params.int("n", 3), k = c.params.int("k", 64),
         r = c.params.int("r", 4), minJaccard = c.params.double("minJaccard", 0.5),
         maxBucket = c.params.int("maxBucket", 1000))
-      Dedup.survivors(c.input, c.idCol, pairs)
+      keepSurvivors(c, pairs)
+    }),
+    // SimHash near-dup dedup: bit-level near-identity blocking
+    "dedup_simhash" -> Op(Set("maxHamming", "maxBucket", "keep"), { c =>
+      val pairs = Dedup.simhashPairs(c.input, c.idCol, c.textCol,
+        maxHamming = c.params.int("maxHamming", 3),
+        maxBucket = c.params.int("maxBucket", 1000))
+      keepSurvivors(c, pairs)
     }),
     // drop rows sharing >= maxShared n-grams with the benchmark table
     "decontaminate" -> Op(Set("benchmark", "n", "maxShared"), { c =>
@@ -248,13 +272,46 @@ object CurationPipeline {
     "stats" -> Op(Set.empty, { c =>
       TextAnalysis.stats(c.input, c.idCol, c.textCol)
     }),
-    // prefix-filtered exact-Jaccard near-dup dedup: min-id survivor per
+    // prefix-filtered exact-Jaccard near-dup dedup: one survivor per
     // cluster, exact over the full shingle universe (the PPJoin path —
     // prefer at near-dup thresholds where prefixes are short)
-    "dedup_prefix" -> Op(Set("n", "minJaccard"), { c =>
+    "dedup_prefix" -> Op(Set("n", "minJaccard", "keep"), { c =>
       val pairs = Dedup.jaccardPrefixPairs(c.input, c.idCol, c.textCol,
         n = c.params.int("n", 3), minJaccard = c.params.double("minJaccard", 0.8))
-      Dedup.survivors(c.input, c.idCol, pairs)
+      keepSurvivors(c, pairs)
+    }),
+    // CCNet/RefinedWeb line-level boilerplate removal: lines occurring
+    // in >= minDf distinct docs are stripped from every doc; the text
+    // column is rewritten in place, all other columns ride along.
+    // Docs with NULL text are dropped (lineDedup's unnest contract).
+    "line_dedup" -> Op(Set("minDf", "delim"), { c =>
+      val cleaned = Dedup.lineDedup(c.input, c.idCol, c.textCol,
+        minDf = c.params.int("minDf", 2), delim = c.params.str("delim", "\n"))
+        .select(col(c.idCol), col("text_clean"))
+      c.input.drop(c.textCol).join(cleaned, Seq(c.idCol))
+        .withColumnRenamed("text_clean", c.textCol)
+    }),
+    // deterministic global shuffle: adds shard + dense in-shard pos
+    // (pure functions of id and salt) — the order-decorrelation step
+    // before packing/batch export
+    "shuffle_shards" -> Op(Set("shards", "salt"), { c =>
+      Sampling.shuffleShards(c.input, c.idCol,
+        c.params.reqInt("shards"), c.params.str("salt", ""))
+    }),
+    // SemDeDup semantic near-dup pruning [Abbas et al., 2023]: k-means
+    // cluster the aux embedding table, greedily prune within-cluster
+    // pairs with cosine >= minCosine (smaller id survives). Docs with
+    // an embedding row must survive the prune to pass; docs with no
+    // embedding row pass through untouched.
+    "semdedup" -> Op(Set("embeddings", "id", "vec", "k", "minCosine", "maxCluster"), { c =>
+      val eid = c.params.str("id", c.idCol)
+      val et  = c.resolve(c.params.reqStr("embeddings"))
+      val kept = graft.operators.Similarity.semDedup(et, eid, c.params.str("vec", "embedding"),
+        k = c.params.int("k", 64), minCosine = c.params.double("minCosine", 0.9),
+        maxCluster = c.params.int("maxCluster", 10000))
+        .select(col(eid).as(c.idCol))
+      val noEmb = c.input.join(et.select(col(eid).as(c.idCol)), Seq(c.idCol), "left_anti")
+      c.input.join(kept, Seq(c.idCol), "left_semi").unionByName(noEmb)
     }),
     // leakage-free train/valid/test assignment: adds a `split` column,
     // keyed on `by` (default the doc id; name a grouping column to keep

@@ -139,6 +139,86 @@ class CliSpec extends SparkSpec {
       assigned.select("source").distinct().count())
   }
 
+  test("pipeline subcommand: line_dedup, dedup_prefix keep:longest, shuffle_shards chain") {
+    val s = spark
+    import s.implicits._
+    val src = tempDir()
+    val out = tempDir()
+    Seq(
+      (1L, "HEADER\none two three four five six seven eight nine ten\nFOOTER", "en"),
+      (2L, "HEADER\none two three four five six seven eight nine ten eleven twelve\nFOOTER", "en"),
+      (3L, "totally different unique content here\nsecond line", "de")
+    ).toDF("doc_id", "text", "lang").write.parquet(s"$src/documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-line", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: line_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: unlined
+        |    op: line_dedup
+        |    input: documents
+        |  - name: best
+        |    op: dedup_prefix
+        |    params: { minJaccard: 0.5, keep: longest }
+        |  - name: shuffled
+        |    op: shuffle_shards
+        |    params: { shards: 4, salt: t }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    // line_dedup strips HEADER/FOOTER (df=2) everywhere, keeps ride-along cols
+    val unlined = spark.read.parquet(s"$out/unlined")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[String]("lang")))).toMap
+    assert(unlined(1L) == (("one two three four five six seven eight nine ten", "en")))
+    assert(unlined(2L) == (("one two three four five six seven eight nine ten eleven twelve", "en")))
+    assert(unlined(3L) == (("totally different unique content here\nsecond line", "de")))
+    // docs 1+2 are trigram-Jaccard 0.8 near-dups after the strip;
+    // keep:longest keeps doc 2 (NOT the min id)
+    val best = spark.read.parquet(s"$out/best")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 3L))
+    // shuffle annotation: shard in range, dense pos per shard
+    val shuffled = spark.read.parquet(s"$out/shuffled")
+    assert(shuffled.count() == 2)
+    val rows = shuffled.select("shard", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.forall { case (sh, _) => sh >= 0 && sh < 4 })
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (0L until g.size).toSeq)
+    }
+  }
+
+  test("pipeline subcommand: semdedup prunes embedded near-dups, passes docs without embeddings") {
+    val s = spark
+    import s.implicits._
+    val src = tempDir()
+    val out = tempDir()
+    Seq(
+      (1L, "first doc"), (2L, "second doc"), (3L, "third doc"), (4L, "no embedding doc")
+    ).toDF("doc_id", "text").write.parquet(s"$src/documents.parquet")
+    Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), // identical to 1 -> pruned (larger id)
+      (3L, Array(0.0f, 1.0f))  // orthogonal -> kept
+    ).toDF("doc_id", "embedding").write.parquet(s"$src/embeddings.parquet")
+    val yaml = Files.createTempFile("graft-pipe-sem", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: sem_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: pruned
+        |    op: semdedup
+        |    input: documents
+        |    params: { embeddings: embeddings, k: 1, minCosine: 0.9 }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val kept = spark.read.parquet(s"$out/pruned")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("pipeline subcommand: decontaminate resolves its benchmark from SOURCE_DIR") {
     val src = tempDir()
     val out = tempDir()

@@ -322,4 +322,87 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minhashLshPairs(corpus2, "doc_id", "text")
     assert(pairs.isEmpty)
   }
+
+  test("survivorsBest keeps the highest score per cluster, ties to min id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 30L), // cluster {1,2,3}: max score 30, tie -> 2
+      (4L, "d", 5L),                                  // unpaired -> kept
+      (5L, "e", 1L), (6L, "f", 9L)                    // cluster {5,6}: 6 wins
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.survivorsBest(df, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
+  test("survivorsBest with a constant score degenerates to min-id survivors") {
+    import spark.implicits._
+    val df    = (1L to 6L).map(i => (i, s"d$i", 7L)).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val best = Dedup.survivorsBest(df, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minId = Dedup.survivors(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == minId)
+  }
+
+  test("lineDedup strips cross-document boilerplate, keeps unique and blank lines") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "COOKIE BANNER\nreal content one\n\nfooter"),
+      (2L, "COOKIE BANNER\nreal content two\nfooter"),
+      (3L, "standalone doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "COOKIE BANNER" and "footer" appear in 2 docs -> removed everywhere;
+    // the blank line (df never counted) survives
+    assert(out(1L) == ((4L, 2L, "real content one\n")))
+    assert(out(2L) == ((3L, 2L, "real content two")))
+    assert(out(3L) == ((1L, 0L, "standalone doc")))
+  }
+
+  test("lineDedup: a doc that is ALL boilerplate keeps its row with empty text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "nav\nnav2"), (2L, "nav\nnav2"), (3L, "nav\nnav2 extra")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "")))
+    assert(out(2L) == ((2L, 2L, "")))
+    assert(out(3L) == ((2L, 1L, "nav2 extra")))
+  }
+
+  test("lineDedup is idempotent: the second pass removes nothing") {
+    import spark.implicits._
+    // seeded corpus with heavily shared lines: after one pass every
+    // surviving line has df < minDf by construction, so a second pass
+    // must be the identity on the text
+    val rnd   = new scala.util.Random(42)
+    val pool  = Vector("nav bar", "footer", "cookie notice", "alpha", "beta",
+      "gamma", "delta", "epsilon", "zeta")
+    val corpus = (1L to 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(6) + 1)(pool(rnd.nextInt(pool.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = Dedup.lineDedup(corpus, "doc_id", "text", minDf = 3)
+    assert(once.filter(col("n_removed") > 0).count() > 0, "fixture must exercise removal")
+    val twice = Dedup.lineDedup(
+      once.select(col("doc_id"), col("text_clean").as("text")), "doc_id", "text", minDf = 3)
+    assert(twice.filter(col("n_removed") =!= 0).isEmpty)
+    val a = once.select("doc_id", "text_clean").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = twice.select("doc_id", "text_clean").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("lineDedup: duplicate lines WITHIN one doc don't reach minDf (df is per-doc-distinct)") {
+    import spark.implicits._
+    val df = Seq((1L, "same\nsame\nsame"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "same\nsame\nsame")
+  }
 }

@@ -192,4 +192,40 @@ class SamplingSpec extends SparkSpec {
       .count()
     assert(first.size > byQ / 4 && first.size < 3 * byQ / 4)
   }
+
+  test("shuffleShards: every row kept, shard in range, pos dense from 0 per shard") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    val out = Sampling.shuffleShards(docs.select("doc_id"), "doc_id", shards = 8, salt = "t")
+    assert(out.count() == docs.count())
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("d"))
+      .collect()
+    assert(byShard.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    byShard.foreach { r =>
+      assert(r.getLong(2) == 0L, "pos starts at 0")
+      assert(r.getLong(3) == r.getLong(1) - 1, "pos is dense")
+      assert(r.getLong(4) == r.getLong(1), "pos is unique per shard")
+    }
+  }
+
+  test("shuffleShards: deterministic across runs; different salts give different permutations") {
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+      .select("doc_id")
+    def perm(salt: String): Map[Long, (Int, Long)] =
+      Sampling.shuffleShards(docs, "doc_id", 8, salt)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val a = perm("s1")
+    assert(perm("s1") == a)
+    val b = perm("s2")
+    assert(a != b, "independent salts should not reproduce the permutation")
+    // shuffle decorrelates corpus order: adjacent ids rarely stay adjacent
+    val adjacentKept = a.keys.toSeq.sorted.sliding(2).count {
+      case Seq(x, y) => a(x)._1 == a(y)._1 && a(y)._2 == a(x)._2 + 1
+      case _         => false
+    }
+    assert(adjacentKept < a.size / 10,
+      s"$adjacentKept of ${a.size} adjacent id pairs survived adjacent — not shuffled")
+    intercept[IllegalArgumentException](Sampling.shuffleShards(docs, "doc_id", 0))
+  }
 }
