@@ -38,6 +38,8 @@ object Bench {
     "decon_bloom_clean"         -> (QueriesExt.deconBloomClean _),
     "text_heavy_hitters"        -> (QueriesExt.textHeavyHitters _),
     "events_sessionize"         -> (QueriesEvents.eventsSessionize _),
+    "events_sessionize_incremental" -> (QueriesEvents.eventsSessionizeIncremental _),
+    "events_attribution"        -> (QueriesEvents.eventsAttribution _),
     "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance"     -> (QueriesEvents.eventsAsofTolerance _),
     "events_cube"               -> (QueriesEvents.eventsCube _),
@@ -86,6 +88,9 @@ object Bench {
     "text_postings"             -> (QueriesExt.textPostings _),
     "dedup_minhash_lsh"         -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"             -> (QueriesExt.dedupSimhash _),
+    // CCNet-style line dedup + deterministic shuffle (r7)
+    "text_line_dedup"           -> (QueriesExt.textLineDedup _),
+    "sample_shuffle_shards"     -> (QueriesExt.sampleShuffleShards _),
     "embed_knn_fold" -> ((s: SparkSession, dir: String) => {
       val e = sources.ParquetTables.readTable(s, dir, "embeddings")
       operators.Similarity.knnBrute(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)

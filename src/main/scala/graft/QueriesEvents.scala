@@ -49,6 +49,66 @@ object QueriesEvents {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  /** Incremental session maintenance: the corpus (events before the
+    * mid-month cut) builds the maintained session table, the batch
+    * (events at/after it) folds in WITHOUT rescanning the corpus —
+    * boundary-spanning sessions merge, later ones renumber. The oracle
+    * is the FULL recompute over all events ([[eventsSessionizeSql]]),
+    * so the gate proves maintained == rebuilt bit-for-bit (decimal
+    * value sums survive the merge exactly). */
+  def eventsSessionizeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev  = events(s, dir)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val m = Sessions.buildSessionTable(
+      ev.filter(col("ts") < cut), "user_id", "ts", "event_id", "value", 86400L)
+    Sessions.sessionTableStats(
+      Sessions.sessionizeIncremental(
+        m, ev.filter(col("ts") >= cut),
+        "user_id", "ts", "event_id", "value", 86400L),
+      "user_id")
+  }
+
+  // ================================================================ multi-touch attribution
+  /** Multi-touch attribution over a 7-day lookback: purchase
+    * conversions credit the user's preceding view/click/signup touches
+    * under first/last/linear models, all in exact integer ppm. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame =
+    Funnel.attribution(events(s, dir), "user_id", "ts", "event_id", "event_type",
+      conversionType = "purchase", touchTypes = Seq("view", "click", "signup"),
+      lookbackSeconds = 7L * 86400L)
+
+  lazy val eventsAttributionSql: String =
+    s"""WITH conv AS (
+       |  SELECT user_id, epoch_us(ts) AS cts, event_id AS ctie
+       |  FROM events WHERE event_type = 'purchase'
+       |), touch AS (
+       |  SELECT user_id, epoch_us(ts) AS tts, event_id AS ttie, event_type AS ttype
+       |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+       |), pairs AS (
+       |  SELECT c.user_id, c.cts, c.ctie, t.tts, t.ttie, t.ttype
+       |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+       |  WHERE t.tts <= c.cts AND c.cts - t.tts <= 604800000000
+       |    AND NOT (t.tts = c.cts AND t.ttie = c.ctie)
+       |), ranked AS (
+       |  SELECT ttype, user_id, cts, ctie,
+       |         count(*) OVER w AS n,
+       |         row_number() OVER (PARTITION BY user_id, cts, ctie
+       |                            ORDER BY tts, ttie) AS rn_first,
+       |         row_number() OVER (PARTITION BY user_id, cts, ctie
+       |                            ORDER BY tts DESC, ttie DESC) AS rn_last
+       |  FROM pairs
+       |  WINDOW w AS (PARTITION BY user_id, cts, ctie)
+       |)
+       |SELECT ttype AS touch_type,
+       |       count(*) AS n_touches,
+       |       CAST(count(DISTINCT (user_id, cts, ctie)) AS BIGINT) AS conversions,
+       |       CAST(sum(CASE WHEN rn_first = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS first_ppm,
+       |       CAST(sum(CASE WHEN rn_last = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS last_ppm,
+       |       CAST(sum(1000000 // n) AS BIGINT) AS linear_ppm
+       |FROM ranked
+       |GROUP BY 1
+       |""".stripMargin
+
   // ================================================================ funnel
   /** Ordered view -> click -> purchase funnel, one row per user that
     * ever viewed: stage timestamps in epoch micros, null once the

@@ -83,6 +83,10 @@ object SparkEntry {
     "text_heavy_hitters"  -> (QueriesExt.textHeavyHitters _),
     // event streams: gap sessionization + as-of attribution join
     "events_sessionize" -> (QueriesEvents.eventsSessionize _),
+    // nightly-load session maintenance == full rebuild (same oracle)
+    "events_sessionize_incremental" -> (QueriesEvents.eventsSessionizeIncremental _),
+    // first/last/linear multi-touch attribution in exact integer ppm
+    "events_attribution" -> (QueriesEvents.eventsAttribution _),
     "events_asof_join"  -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance" -> (QueriesEvents.eventsAsofTolerance _),
     "events_debounce"   -> (QueriesEvents.eventsDebounce _),
@@ -176,6 +180,12 @@ object SparkEntry {
     // near-dup clustering (connected components over the pair graph)
     "dedup_cluster"       -> (QueriesExt.dedupCluster _),
     "dedup_survivors"     -> (QueriesExt.dedupSurvivors _),
+    // keep-the-best-copy policy: per-cluster argmax(n_chars, min id)
+    "dedup_survivors_best" -> (QueriesExt.dedupSurvivorsBest _),
+    // CCNet/RefinedWeb line-level boilerplate removal
+    "text_line_dedup"     -> (QueriesExt.textLineDedup _),
+    // deterministic global shuffle (shard + dense in-shard position)
+    "sample_shuffle_shards" -> (QueriesExt.sampleShuffleShards _),
     // deterministic salted join == plain join (skew mitigation)
     "skew_salted_join"    -> (QueriesExt.skewSaltedJoin _),
     // similarity search
@@ -243,6 +253,8 @@ object SparkEntry {
     "decon_bloom_clean"         -> QueriesExt.deconCleanSql,
     "text_heavy_hitters"        -> QueriesExt.textHeavyHittersSql,
     "events_sessionize"         -> QueriesEvents.eventsSessionizeSql,
+    "events_sessionize_incremental" -> QueriesEvents.eventsSessionizeSql,
+    "events_attribution"        -> QueriesEvents.eventsAttributionSql,
     "events_asof_join"          -> QueriesEvents.eventsAsofJoinSql,
     "events_asof_tolerance"     -> QueriesEvents.eventsAsofToleranceSql,
     "events_debounce"           -> QueriesEvents.eventsDebounceSql,
@@ -297,6 +309,9 @@ object SparkEntry {
     "text_dup_spans"            -> QueriesExt.textDupSpansSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,
     "dedup_survivors"           -> QueriesExt.dedupSurvivorsSql,
+    "dedup_survivors_best"      -> QueriesExt.dedupSurvivorsBestSql,
+    "text_line_dedup"           -> QueriesExt.textLineDedupSql,
+    "sample_shuffle_shards"     -> QueriesExt.sampleShuffleShardsSql,
     "skew_salted_join"          -> QueriesExt.skewSaltedJoinSql,
     "embed_knn_brute"           -> QueriesExt.embedKnnBruteSql,
     "embed_cosine_neardup"      -> QueriesExt.embedCosineNearDupSql,

@@ -119,4 +119,73 @@ object Funnel {
         (col("__period") - col("cohort_period")).as("period_offset"))
       .agg(count(lit(1)).as("n_entities"))
   }
+
+  /** Multi-touch attribution: distribute credit for each conversion
+    * event across the same entity's preceding touch events inside a
+    * lookback window, under three standard models at once —
+    * first-touch, last-touch, and linear (equal split). Output one row
+    * per touch type: `n_touches` (touch rows participating in any
+    * conversion), `conversions` (distinct conversions the type touched),
+    * and per-model credit totals in PARTS PER MILLION of a conversion
+    * (`first_ppm`, `last_ppm`, `linear_ppm`).
+    *
+    * Credits are exact integer arithmetic, never floats: a conversion
+    * with n touches gives each `1000000 / n` ppm under the linear model
+    * (integer division — the remainder is deliberately dropped rather
+    * than smeared, keeping every engine bit-identical), and 1000000 to
+    * the single first/last touch. First = smallest (ts, tie) among the
+    * window's touches, last = largest; both total orders, so the
+    * assignment is deterministic.
+    *
+    * Windows: a touch at `ts` attributes to a conversion at `cts` when
+    * `ts <= cts` and `cts - ts <= lookback` — boundary-inclusive both
+    * ends; a conversion event never touches itself (`tie` differs) but
+    * a conversion TYPE may touch a later conversion if listed in
+    * `touchTypes`.
+    *
+    * Scale shape: conversions and touches both filter at the scan
+    * (pushed `In`/equality predicates), join on the ENTITY key only —
+    * the pair space per entity is (its conversions × its touches in
+    * window), the usual attribution bound; the per-conversion window
+    * and final per-type aggregation reuse one exchange each. A
+    * pathological entity bounds its own pair count, not the corpus. */
+  def attribution(
+      events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      typeCol: String, conversionType: String, touchTypes: Seq[String],
+      lookbackSeconds: Long
+  ): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(conversionType) || touchTypes.distinct == touchTypes,
+      s"touchTypes must be distinct, got $touchTypes")
+    require(lookbackSeconds > 0, s"lookbackSeconds must be positive, got $lookbackSeconds")
+    val lookbackMicros = lookbackSeconds * 1000000L
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(entityCol), unix_micros(col(tsCol)).as("__cts"),
+        col(tieCol).as("__ctie"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol), unix_micros(col(tsCol)).as("__tts"),
+        col(tieCol).as("__ttie"), col(typeCol).as("__ttype"))
+    val pairs = conv.join(touch, Seq(entityCol))
+      .filter(col("__tts") <= col("__cts") &&
+        col("__cts") - col("__tts") <= lookbackMicros &&
+        !(col("__tts") === col("__cts") && col("__ttie") === col("__ctie")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol), col("__cts"), col("__ctie"))
+    val ranked = pairs
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__min", min(struct(col("__tts"), col("__ttie"))).over(w))
+      .withColumn("__max", max(struct(col("__tts"), col("__ttie"))).over(w))
+    ranked
+      .groupBy(col("__ttype").as("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        count_distinct(col(entityCol), col("__cts"), col("__ctie")).as("conversions"),
+        sum(when(struct(col("__tts"), col("__ttie")) === col("__min"), lit(1000000L))
+          .otherwise(lit(0L))).as("first_ppm"),
+        sum(when(struct(col("__tts"), col("__ttie")) === col("__max"), lit(1000000L))
+          .otherwise(lit(0L))).as("last_ppm"),
+        // `div` is exact integral division on longs (the double-divide
+        // + cast alternative can round across the integer boundary)
+        sum(expr("CAST(1000000 AS BIGINT) div __n")).as("linear_ppm"))
+  }
 }

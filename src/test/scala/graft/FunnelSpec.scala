@@ -139,4 +139,67 @@ class FunnelSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(plan).size == 1, s"expected ONE event scan:\n$plan")
     assert(!plan.contains("Join"), s"cohorting must not join:\n$plan")
   }
+
+  // ------------------------------------------------------------ multi-touch attribution
+
+  private def evId(rows: (Long, Long, String, String)*): DataFrame =
+    rows.toSeq
+      .map { case (id, u, t, ty) => (id, u, ts(t), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+
+  private def attr(events: DataFrame, lookbackSec: Long = 3600L): Map[String, (Long, Long, Long, Long, Long)] =
+    Funnel.attribution(events, "user_id", "ts", "event_id", "event_type",
+      "purchase", Seq("view", "click"), lookbackSec)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("attribution: linear splits by integer div, first/last to the boundary touches") {
+    val events = evId(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:10:00", "click"),
+      (3L, 1L, "2024-01-01 10:20:00", "view"),
+      (4L, 1L, "2024-01-01 10:30:00", "purchase"))
+    val out = attr(events)
+    // 3 touches: each gets 1000000 div 3 = 333333 linear; first=view(1), last=view(3)
+    assert(out("view") == ((2L, 1L, 1000000L, 1000000L, 666666L)))
+    assert(out("click") == ((1L, 1L, 0L, 0L, 333333L)))
+  }
+
+  test("attribution: lookback boundary inclusive; outside-window touches drop") {
+    val events = evId(
+      (1L, 1L, "2024-01-01 09:00:00", "view"),  // exactly 3600s before -> IN
+      (2L, 1L, "2024-01-01 08:59:59", "click"), // 1s too old -> OUT
+      (3L, 1L, "2024-01-01 10:00:00", "purchase"))
+    val out = attr(events)
+    assert(out("view") == ((1L, 1L, 1000000L, 1000000L, 1000000L)))
+    assert(!out.contains("click"))
+  }
+
+  test("attribution: two conversions share a touch; a purchase can touch a later purchase if listed") {
+    val events = evId(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:10:00", "purchase"),
+      (3L, 1L, "2024-01-01 10:20:00", "purchase"))
+    val out = attr(events)
+    // the view touches BOTH purchases (within lookback of each); the
+    // purchase type is not in touchTypes so conversion 2 never credits
+    // purchase 1
+    assert(out("view") == ((2L, 2L, 2000000L, 2000000L, 2000000L)))
+    assert(out.size == 1)
+  }
+
+  test("attribution: simultaneous touch and conversion — self excluded, other events at same ts count") {
+    val events = evId(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),     // same ts as the purchase, different id
+      (2L, 1L, "2024-01-01 10:00:00", "purchase"))
+    val out = attr(events)
+    assert(out("view") == ((1L, 1L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("attribution: touches never cross users") {
+    val events = evId(
+      (1L, 1L, "2024-01-01 09:59:00", "view"),
+      (2L, 2L, "2024-01-01 10:00:00", "purchase"))
+    assert(attr(events).isEmpty)
+  }
 }

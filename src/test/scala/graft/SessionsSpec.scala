@@ -197,4 +197,70 @@ class SessionsSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected a single exchange, got $exchanges:\n$plan")
   }
+
+  // ------------------------------------------------------------ incremental maintenance
+
+  private def rebuildVsIncremental(all: DataFrame, cut: String): (Set[String], Set[String]) = {
+    val cutTs  = lit(cut).cast("timestamp")
+    val m      = Sessions.buildSessionTable(
+      all.filter(col("ts") < cutTs), "user_id", "ts", "event_id", "value", 600L)
+    val inc    = Sessions.sessionizeIncremental(
+      m, all.filter(col("ts") >= cutTs), "user_id", "ts", "event_id", "value", 600L)
+    val full   = Sessions.buildSessionTable(all, "user_id", "ts", "event_id", "value", 600L)
+    def render(t: DataFrame) = Sessions.sessionTableStats(t, "user_id")
+      .collect().map(_.toString).toSet
+    (render(inc), render(full))
+  }
+
+  test("sessionizeIncremental == full rebuild: merge, no-merge, fresh and absent users") {
+    val all = ev(
+      // user 1: corpus session ends 00:10, batch starts 00:15 (300s <= 600s gap) -> MERGE
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (2L, "2024-01-01 00:10:00", 1L, 2.5),
+      (3L, "2024-01-01 00:15:00", 1L, 0.5),
+      (4L, "2024-01-01 01:00:00", 1L, 1.0), // second batch session (renumbers)
+      // user 2: corpus ends 00:00, batch starts 00:30 (> gap) -> NO merge
+      (5L, "2024-01-01 00:00:00", 2L, 1.0),
+      (6L, "2024-01-01 00:30:00", 2L, 1.0),
+      // user 3: batch-only (fresh entity)
+      (7L, "2024-01-01 00:20:00", 3L, 4.0),
+      // user 4: corpus-only (must pass through untouched)
+      (8L, "2024-01-01 00:00:00", 4L, 2.0))
+    val (inc, full) = rebuildVsIncremental(all, "2024-01-01 00:12:00")
+    assert(inc == full)
+  }
+
+  test("sessionizeIncremental: boundary exactly at the gap still merges (<= semantics)") {
+    val all = ev(
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (2L, "2024-01-01 00:10:00", 1L, 1.0)) // exactly 600s -> same session
+    val (inc, full) = rebuildVsIncremental(all, "2024-01-01 00:05:00")
+    assert(inc == full)
+    assert(inc.size == 1, s"expected one merged session, got $inc")
+  }
+
+  test("sessionizeIncremental: decimal value sums merge exactly (no double drift)") {
+    // values chosen so double addition order matters at the last ulp
+    val all = ev(
+      (1L, "2024-01-01 00:00:00", 1L, 0.1),
+      (2L, "2024-01-01 00:01:00", 1L, 0.2),
+      (3L, "2024-01-01 00:02:00", 1L, 0.3),
+      (4L, "2024-01-01 00:03:00", 1L, 0.7))
+    val (inc, full) = rebuildVsIncremental(all, "2024-01-01 00:01:30")
+    assert(inc == full)
+  }
+
+  test("sessionizeIncremental on real events == full rebuild at sf0.001") {
+    val all = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val cutTs = lit("2024-01-15 00:00:00").cast("timestamp")
+    val m   = Sessions.buildSessionTable(
+      all.filter(col("ts") < cutTs), "user_id", "ts", "event_id", "value", 86400L)
+    val inc = Sessions.sessionizeIncremental(
+      m, all.filter(col("ts") >= cutTs), "user_id", "ts", "event_id", "value", 86400L)
+    val full = Sessions.buildSessionTable(all, "user_id", "ts", "event_id", "value", 86400L)
+    val a = Sessions.sessionTableStats(inc, "user_id").collect().map(_.toString).toSet
+    val b = Sessions.sessionTableStats(full, "user_id").collect().map(_.toString).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
