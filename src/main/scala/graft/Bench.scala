@@ -91,6 +91,8 @@ object Bench {
     // CCNet-style line dedup + deterministic shuffle (r7)
     "text_line_dedup"           -> (QueriesExt.textLineDedup _),
     "sample_shuffle_shards"     -> (QueriesExt.sampleShuffleShards _),
+    "text_cooccurrence"         -> (QueriesExt.textCooccurrence _),
+    "graph_kcore"               -> (QueriesExt.graphKcore _),
     "embed_knn_fold" -> ((s: SparkSession, dir: String) => {
       val e = sources.ParquetTables.readTable(s, dir, "embeddings")
       operators.Similarity.knnBrute(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)

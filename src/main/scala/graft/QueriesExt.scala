@@ -285,6 +285,67 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  /** 2-core of the near-dup pair graph — its densely-duplicated heart
+    * (template farms, mirror rings); chains and isolated pairs peel
+    * away. Gate pins 3 peeling rounds (the `events_pagerank` fixed-
+    * iteration pattern; the peel converges in 1 round on this data and
+    * extra rounds are the identity, spec-pinned), mirrored by an
+    * unrolled-CTE oracle over the same pair graph. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+    operators.Centrality.kCorePeel(pairs, "doc_a", "doc_b", k = 2, rounds = 3)
+      .select(col("node").as("doc_id"), col("deg"))
+  }
+
+  lazy val graphKcoreSql: String = {
+    // every chained CTE is AS MATERIALIZED: DuckDB inlines plain CTEs
+    // per reference, and the peel chain references each previous round
+    // 3x — inlined, the expensive pair join re-executes exponentially
+    // (measured 545s at sf0.01; materialized: sub-second)
+    val peels = (0 until 3).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e$i UNION ALL SELECT b AS node FROM e$i
+         |  ) GROUP BY 1
+         |), bad$i AS MATERIALIZED (
+         |  SELECT node FROM d$i WHERE deg < 2
+         |), e${i + 1} AS MATERIALIZED (
+         |  SELECT * FROM e$i
+         |  WHERE a NOT IN (SELECT node FROM bad$i)
+         |    AND b NOT IN (SELECT node FROM bad$i)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), ngr0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ng
+       |  FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3
+       |), hot AS (
+       |  SELECT ng FROM ngr0 GROUP BY 1 HAVING count(*) > 100000
+       |), ngr AS MATERIALIZED (
+       |  SELECT * FROM ngr0 WHERE ng NOT IN (SELECT ng FROM hot)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM ngr GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icount
+       |  FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(icount AS DOUBLE) / (sa.sz + sb.sz - icount) >= 0.5
+       |), e0 AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |), $peels
+       |SELECT node AS doc_id, count(*) AS deg FROM (
+       |  SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3
+       |) GROUP BY 1
+       |""".stripMargin
+  }
+
   /** Quality-aware survivor set over the same near-dup graph: each
     * cluster keeps its LONGEST doc (`n_chars` max, ties to smallest
     * id) instead of the smallest id — the keep-the-best-copy curation
@@ -557,6 +618,41 @@ object QueriesExt {
     s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len
        |FROM documents
        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < '1999'
+       |""".stripMargin
+
+  /** Windowed co-occurrence: top token pairs within 5 positions, with
+    * per-token totals (exact integers — PMI is one log away for the
+    * caller, kept out for bit-portability). */
+  def textCooccurrence(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccurrence(docs(s, dir), "doc_id", "text",
+      window = 5, maxCount = 100000L, topK = 100)
+
+  lazy val textCooccurrenceSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), tok AS (
+       |  SELECT doc_id, i AS pos, w[i] AS tok
+       |  FROM ws, unnest(generate_series(1, len(w))) AS t(i)
+       |  WHERE w[i] <> ''
+       |), totals AS (
+       |  SELECT tok, count(*) AS n FROM tok GROUP BY 1
+       |), cold AS (
+       |  SELECT * FROM tok
+       |  WHERE tok NOT IN (SELECT tok FROM totals WHERE n > 100000)
+       |), pairs AS (
+       |  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+       |         count(*) AS pair_count
+       |  FROM cold a JOIN cold b
+       |    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 5
+       |  WHERE a.tok <> b.tok
+       |  GROUP BY 1, 2
+       |)
+       |SELECT w1, w2, pair_count, t1.n AS n1, t2.n AS n2
+       |FROM pairs
+       |JOIN totals t1 ON t1.tok = w1
+       |JOIN totals t2 ON t2.tok = w2
+       |ORDER BY pair_count DESC, w1, w2
+       |LIMIT 100
        |""".stripMargin
 
   /** Deterministic global shuffle: shard + dense in-shard position,

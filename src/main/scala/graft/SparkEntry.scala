@@ -159,6 +159,8 @@ object SparkEntry {
     "events_pagerank10"  -> (QueriesEvents.eventsPagerank10 _),
     // degree-oriented triangle counting on the transition graph
     "graph_triangles"    -> (QueriesEvents.graphTriangles _),
+    // 2-core of the near-dup pair graph (densely-duplicated heart)
+    "graph_kcore"        -> (QueriesExt.graphKcore _),
     // dedup family
     "dedup_exact"         -> (QueriesExt.dedupExact _),
     // batch admission against a maintained fingerprint set
@@ -184,6 +186,8 @@ object SparkEntry {
     "dedup_survivors_best" -> (QueriesExt.dedupSurvivorsBest _),
     // CCNet/RefinedWeb line-level boilerplate removal
     "text_line_dedup"     -> (QueriesExt.textLineDedup _),
+    // windowed token co-occurrence (the PMI/collocation statistic)
+    "text_cooccurrence"   -> (QueriesExt.textCooccurrence _),
     // deterministic global shuffle (shard + dense in-shard position)
     "sample_shuffle_shards" -> (QueriesExt.sampleShuffleShards _),
     // deterministic salted join == plain join (skew mitigation)
@@ -301,6 +305,7 @@ object SparkEntry {
     "events_pagerank"           -> QueriesEvents.eventsPagerankSql,
     "events_pagerank10"         -> QueriesEvents.eventsPagerank10Sql,
     "graph_triangles"           -> QueriesEvents.graphTrianglesSql,
+    "graph_kcore"               -> QueriesExt.graphKcoreSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_incremental"         -> QueriesExt.dedupIncrementalSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
@@ -311,6 +316,7 @@ object SparkEntry {
     "dedup_survivors"           -> QueriesExt.dedupSurvivorsSql,
     "dedup_survivors_best"      -> QueriesExt.dedupSurvivorsBestSql,
     "text_line_dedup"           -> QueriesExt.textLineDedupSql,
+    "text_cooccurrence"         -> QueriesExt.textCooccurrenceSql,
     "sample_shuffle_shards"     -> QueriesExt.sampleShuffleShardsSql,
     "skew_salted_join"          -> QueriesExt.skewSaltedJoinSql,
     "embed_knn_brute"           -> QueriesExt.embedKnnBruteSql,

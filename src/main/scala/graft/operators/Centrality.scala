@@ -92,6 +92,85 @@ object Centrality {
     * persists the (node^2-bounded) aggregated edge list, runs `f`,
     * releases — the [[graft.operators.LanguageModel.withModel]]
     * loan shape. */
+  /** Canonical undirected simple edge set: self-loops dropped,
+    * direction collapsed (a < b), duplicates removed. */
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** One k-core peeling round: drop every node of degree < k (and its
+    * edges). Two aggregations + two anti-joins, all on node keys. */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val bad = deg.filter(col("deg") < k).select(col("node"))
+    e.join(bad.select(col("node").as("a")), Seq("a"), "left_anti")
+      .join(bad.select(col("node").as("b")), Seq("b"), "left_anti")
+  }
+
+  /** Degrees of the surviving graph: (node, deg). */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Exactly `rounds` k-core peeling rounds, returning the surviving
+    * nodes with their remaining degrees — the bounded, oracle-mirrorable
+    * slice of [[kCore]] (same per-round arithmetic, no data-dependent
+    * loop), the way the `events_pagerank` gate pins a fixed iteration
+    * count. After convergence extra rounds are the identity, so on a
+    * graph whose peel converges within `rounds` this IS the k-core. */
+  def kCorePeel(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int, rounds: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    degrees((1 to rounds).foldLeft(canonical(edges, srcCol, dstCol)) {
+      (e, _) => peelOnce(e, k)
+    })
+  }
+
+  /** k-core decomposition membership [Seidman 1983, "Network structure
+    * and minimum degree"]: the maximal subgraph where every node keeps
+    * degree >= k, found by iteratively peeling lower-degree nodes.
+    * The curation read: the k-core of a near-duplicate pair graph is
+    * its densely-duplicated heart (template farms, mirror rings) —
+    * chains and isolated pairs peel away.
+    *
+    * Returns (node, deg) of the k-core (deg >= k by construction;
+    * empty when no k-core exists). Each round is two node-keyed
+    * aggregations + two anti-joins; the edge set materializes through
+    * a [[Lineage]] snapshot every round (the [[graft.operators.Dedup
+    * .connectedComponents]] pattern), so plan depth stays bounded and
+    * a failure never recomputes the whole peel chain. Convergence is
+    * detected by the edge count (no node peels ⟺ no edge drops);
+    * rounds are bounded by the peel depth — O(√m) worst case, tiny in
+    * practice — with `maxIter` as the fail-loud guard. */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int, maxIter: Int = 50
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var snap  = Lineage.snapshot(canonical(edges, srcCol, dstCol))
+    var count = snap.df.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next  = Lineage.snapshot(peelOnce(snap.df, k))
+      val nCnt  = next.df.count()
+      converged = nCnt == count
+      snap.release()
+      snap  = next
+      count = nCnt
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"kCore did not converge after $maxIter rounds")
+    degrees(snap.df)
+  }
+
   def withEdges[A](edges: DataFrame)(f: DataFrame => A): A = {
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try f(e)

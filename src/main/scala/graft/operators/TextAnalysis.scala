@@ -143,6 +143,56 @@ object TextAnalysis {
       .join(capped, Seq("token"))
   }
 
+  /** Windowed token co-occurrence counts — the corpus statistic under
+    * PMI / word-vector / collocation analysis: for every unordered
+    * token pair (w1 < w2), how many times w2 follows w1 within
+    * `window` positions in some document. Output the top `topK` pairs
+    * by (count desc, w1, w2) plus each token's total occurrence count
+    * (`n1`, `n2`), from which PMI-style scores are one arithmetic step
+    * for the caller (kept as exact integers here — logs are not
+    * bit-portable across engines).
+    *
+    * Scale shape: tokens explode once with positions; each occurrence
+    * emits `window` (doc, pos+d) probes via a sequence explode, which
+    * EQUI-join back on (doc, pos) — linear O(tokens · window) pair
+    * rows, never the O(len²) a position-range self-join would scan
+    * per document. Tokens with total occurrences > `maxCount`
+    * (stopwords — the pairs that dominate and inform least) are
+    * dropped by a broadcast anti-join BEFORE pairing, the
+    * [[graft.operators.Dedup]] hot-shingle guard; the final top-K is
+    * a bounded TakeOrdered, never a global sort of the pair space. */
+  def cooccurrence(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 5, maxCount: Long = 100000L, topK: Int = 100
+  ): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tok = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    val totals = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+    val hot    = totals.filter(col("__n") > maxCount).select(col("__tok"))
+    val cold   = tok.join(broadcast(hot), Seq("__tok"), "left_anti")
+    val probes = cold
+      .select(col("__doc"), col("__tok").as("__w1"),
+        explode(sequence(col("__pos") + 1, col("__pos") + window)).as("__pos"))
+    val pairs = probes
+      .join(cold.select(col("__doc"), col("__pos"), col("__tok").as("__w2")),
+        Seq("__doc", "__pos"))
+      .filter(col("__w1") =!= col("__w2"))
+      .select(least(col("__w1"), col("__w2")).as("w1"),
+        greatest(col("__w1"), col("__w2")).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    pairs
+      .join(totals.select(col("__tok").as("w1"), col("__n").as("n1")), Seq("w1"))
+      .join(totals.select(col("__tok").as("w2"), col("__n").as("n2")), Seq("w2"))
+      .orderBy(col("pair_count").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("pair_count"), col("n1"), col("n2"))
+  }
+
   /** PII redaction patterns, applied in order (emails before URLs so a
     * mailto-ish token cannot be half-eaten by the URL rule; IPs last so
     * URL hosts keep priority). Kept to constructs with identical

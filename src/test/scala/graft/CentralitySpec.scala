@@ -135,4 +135,43 @@ class CentralitySpec extends SparkSpec {
     }.filter(_._2 > 0).toMap
     assert(triOf(edges) === want)
   }
+
+  // ------------------------------------------------------------ k-core
+
+  private def coreOf(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    graft.operators.Centrality.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: a chain peels away over multiple rounds; the triangle survives") {
+    // path 10-11-12-13-14 hanging off triangle 1-2-3 via 1-10: each
+    // round peels one chain end, so convergence needs ~5 rounds — the
+    // loop, not just one peel, is exercised
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (1L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+    assert(coreOf(edges, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core exists here
+    assert(coreOf(edges, 3).isEmpty)
+  }
+
+  test("kCore: direction, duplicates and self-loops are canonicalized away") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L), (3L, 1L))
+    assert(coreOf(edges, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCorePeel after convergence equals kCore (extra rounds are the identity)") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (6L, 7L)).toDF("src", "dst")
+    val fix = graft.operators.Centrality.kCore(edges, "src", "dst", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (rounds <- Seq(2, 4)) {
+      val peeled = graft.operators.Centrality.kCorePeel(edges, "src", "dst", 2, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(peeled == fix, s"rounds=$rounds")
+    }
+  }
 }

@@ -315,4 +315,49 @@ class TextPipelineSpec extends SparkSpec {
       .collect()
     assert(got.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
   }
+
+  // ------------------------------------------------------------ co-occurrence
+
+  private def cooc(
+      docs: Seq[(Long, String)], window: Int,
+      maxCount: Long = 100000L, topK: Int = 100): Map[(String, String), (Long, Long, Long)] =
+    TextAnalysis.cooccurrence(docs.toDF("doc_id", "text"), "doc_id", "text",
+      window, maxCount, topK)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("cooccurrence: hand-checked window counts, unordered normalization, totals") {
+    // "a b c a": window 1 -> (a,b)@1-2, (b,c)@2-3, (a,c)@3-4 (normalized)
+    assert(cooc(Seq((1L, "a b c a")), window = 1) == Map(
+      ("a", "b") -> ((1L, 2L, 1L)),
+      ("b", "c") -> ((1L, 1L, 1L)),
+      ("a", "c") -> ((1L, 2L, 1L))))
+    // window 2 adds (a,c)@1-3 and (b,a)@2-4 -> both directions fold
+    // into one unordered pair
+    assert(cooc(Seq((1L, "a b c a")), window = 2) == Map(
+      ("a", "b") -> ((2L, 2L, 1L)),
+      ("b", "c") -> ((1L, 1L, 1L)),
+      ("a", "c") -> ((2L, 2L, 1L))))
+  }
+
+  test("cooccurrence: same-token pairs excluded; stopwords drop via maxCount") {
+    // "x y x" window 2: the (x,x)@1-3 pair must NOT appear
+    assert(cooc(Seq((1L, "x y x")), window = 2) ==
+      Map(("x", "y") -> ((2L, 2L, 1L))))
+    // "the" occurs 4 times > maxCount=3 -> excluded from every pair,
+    // but the totals of surviving tokens still count full occurrences
+    val out = cooc(Seq((1L, "the quick the brown the fox the")), window = 5, maxCount = 3L)
+    assert(out.keys.flatMap(p => Seq(p._1, p._2)).toSet == Set("quick", "brown", "fox"))
+  }
+
+  test("cooccurrence: topK is a bounded TakeOrdered by (count desc, w1, w2)") {
+    val docs = Seq((1L, "p q p q p q"), (2L, "r s"))
+    val out = TextAnalysis.cooccurrence(docs.toDF("doc_id", "text"),
+      "doc_id", "text", window = 1, topK = 1)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "p" && rows(0).getString(1) == "q")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"topK must not global-sort:\n$plan")
+  }
 }
