@@ -764,21 +764,36 @@ object Dedup {
       minDf: Int = 2, delim: String = "\n"
   ): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2 (1 would drop every non-blank line), got $minDf")
+    lineDedupAgainst(docs, idCol, textCol,
+      lineDf(docs, idCol, textCol, delim)
+        .filter(col("n_docs") >= minDf).select(col("line")),
+      delim)
+  }
+
+  /** Per-line document frequency of a corpus: (line, n_docs) over
+    * non-blank lines — the maintained statistic behind [[lineDedup]]
+    * (and its streaming twin's per-batch summaries: distinct-doc
+    * counts are additive across disjoint batches). */
+  def lineDf(
+      docs: DataFrame, idCol: String, textCol: String, delim: String = "\n"
+  ): DataFrame =
+    lineRows(docs, idCol, textCol, delim)
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+
+  /** [[lineDedup]] against an EXTERNAL duplicated-line set (one `line`
+    * column) — the admission path: clean a batch against a maintained
+    * corpus-wide line-df store without rescanning the corpus. */
+  def lineDedupAgainst(
+      docs: DataFrame, idCol: String, textCol: String, hot: DataFrame,
+      delim: String = "\n"
+  ): DataFrame = {
     require(delim.nonEmpty, "delim must be non-empty")
     require(idCol != "line" && idCol != "n_lines" && idCol != "n_removed" && idCol != "text_clean",
       s"idCol '$idCol' collides with a lineDedup output column")
-    val lines = docs.select(
-      col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
-        .as(Seq("idx", "line")))
-    val hot = lines
-      .filter(trim(col("line")) =!= "")
-      .groupBy(col("line"))
-      .agg(countDistinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("line"), lit(true).as("__hot"))
-    lines
-      .join(hot, Seq("line"), "left")
+    lineRows(docs, idCol, textCol, delim)
+      .join(hot.select(col("line"), lit(true).as("__hot")), Seq("line"), "left")
       .withColumn("__hot", coalesce(col("__hot"), lit(false)))
       .groupBy(col(idCol))
       .agg(
@@ -792,4 +807,11 @@ object Dedup {
             e => e.getField("line")),
           delim).as("text_clean"))
   }
+
+  private def lineRows(
+      docs: DataFrame, idCol: String, textCol: String, delim: String): DataFrame =
+    docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("idx", "line")))
 }

@@ -173,4 +173,22 @@ class StreamingReplayPropertySpec extends SparkSpec {
         () => rowsOf(path))
     }
   }
+
+  test("property: line-df store converges under any replay interleaving") {
+    // a shared boilerplate line in every batch plus batch-unique lines;
+    // per-batch summaries are batch-owned partitions
+    def docs(b: Int) = Seq(
+      (b * 10L + 1, s"SHARED HEADER\nbody ${b}a"),
+      (b * 10L + 2, s"SHARED HEADER\nbody ${b}b"))
+      .toDF("doc_id", "text")
+    checkStore("linedf") { dir =>
+      val path = s"$dir/store"
+      StreamingLineDedup.initialize(
+        Seq((1L, "SHARED HEADER\nbootstrap body")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+      (b => StreamingLineDedup.applyBatch(
+        docs(b), "doc_id", "text", path, "\n", b.toLong),
+        () => rowsOf(path))
+    }
+  }
 }
