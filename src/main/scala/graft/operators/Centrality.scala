@@ -128,9 +128,20 @@ object Centrality {
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    degrees((1 to rounds).foldLeft(canonical(edges, srcCol, dstCol)) {
-      (e, _) => peelOnce(e, k)
-    })
+    // every round MUST materialize: peelOnce references its input 4x
+    // (degree union twice, two anti-joins), so a lazy chain re-executes
+    // the edge-producing subtree 4^rounds times — with a pair-join
+    // input that was a measured 75s at sf0.1 vs ~2s snapshotted (the
+    // exact Spark-side analogue of the DuckDB CTE-inlining blowup the
+    // oracle hit). The final snapshot backs the returned plan, the
+    // [[kCore]] / [[pageRank]] convention.
+    var snap = Lineage.snapshot(canonical(edges, srcCol, dstCol))
+    (1 to rounds).foreach { _ =>
+      val next = Lineage.snapshot(peelOnce(snap.df, k))
+      snap.release()
+      snap = next
+    }
+    degrees(snap.df)
   }
 
   /** k-core decomposition membership [Seidman 1983, "Network structure
