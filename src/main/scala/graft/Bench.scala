@@ -83,6 +83,7 @@ object Bench {
     "table_profile"             -> (QueriesExt.tableProfile _),
     // production approx-distinct profile (no exact companion)
     "table_profile_approx"      -> (QueriesExt.tableProfileApproxBench _),
+    "table_moments"             -> (QueriesExt.tableMoments _),
     "dedup_exact"               -> (QueriesExt.dedupExact _),
     "dedup_incremental"         -> (QueriesExt.dedupIncremental _),
     "text_postings"             -> (QueriesExt.textPostings _),

@@ -1660,6 +1660,50 @@ object QueriesExt {
     Seq("doc_id", "lang", "source", "n_chars").map(one).mkString("", "\nUNION ALL\n", "\n")
   }
 
+  private val momentCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise sufficient statistics (exact decimal moments) of the
+    * lineitem measures, rendered as fixed-scale STRINGS for the
+    * cross-engine hash: decimal→double is NOT the same rounding in
+    * both engines (DuckDB divides the int128 by the scale in floating
+    * point — measured one-ulp drift), while both print decimals plain
+    * at full scale. */
+  def tableMoments(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.moments(
+      sources.ParquetTables.readTable(s, dir, "lineitem"), momentCols)
+      .select(col("col_1"), col("col_2"), col("n"),
+        col("sum1").cast("string").as("sum1"),
+        col("sum2").cast("string").as("sum2"),
+        col("sum11").cast("string").as("sum11"),
+        col("sum22").cast("string").as("sum22"),
+        col("sum12").cast("string").as("sum12"))
+
+  lazy val tableMomentsSql: String = {
+    val pairs = for {
+      (c1, i) <- momentCols.zipWithIndex
+      c2      <- momentCols.drop(i)
+    } yield (c1, c2)
+    def one(c1: String, c2: String) = {
+      // DECIMAL(19,6), not (18,6): DuckDB stores width<=18 in int64 and
+      // its product overflows at runtime (the engine's own hint says
+      // cast wider); width 19 forces int128 and 19+19 binds the product
+      // at exactly the 38 cap. Values are identical — (19,6) ⊇ (18,6).
+      def d(e: String) =
+        s"CASE WHEN $c1 IS NOT NULL AND $c2 IS NOT NULL THEN CAST($e AS DECIMAL(19,6)) END"
+      def m(e: String, name: String) =
+        s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS VARCHAR) AS $name"
+      s"""SELECT '$c1' AS col_1, '$c2' AS col_2,
+         |       count(${d(c1)}) AS n,
+         |       ${m(d(c1), "sum1")},
+         |       ${m(d(c2), "sum2")},
+         |       ${m(s"${d(c1)} * ${d(c1)}", "sum11")},
+         |       ${m(s"${d(c2)} * ${d(c2)}", "sum22")},
+         |       ${m(s"${d(c1)} * ${d(c2)}", "sum12")}
+         |FROM lineitem""".stripMargin
+    }
+    pairs.map { case (a, b) => one(a, b) }.mkString("", "\nUNION ALL\n", "\n")
+  }
+
   /** The approx-distinct profile ([[operators.Profile.profileApprox]])
     * gated like the HLL sketch: the HLL++ estimate is checked within-ε
     * against the exact distinct count, and the oracle asserts the flag

@@ -73,6 +73,8 @@ object SparkEntry {
     "table_profile"   -> (QueriesExt.tableProfile _),
     // approx-distinct profile (HLL++), within-eps gated like the sketch
     "table_profile_approx" -> (QueriesExt.tableProfileApprox _),
+    // pairwise sufficient statistics (re-aggregable exact moments)
+    "table_moments"        -> (QueriesExt.tableMoments _),
     // benchmark decontamination: n-gram overlap + clean survivor corpus
     "decon_ngram_overlap" -> (QueriesExt.deconNgramOverlap _),
     "decon_clean"         -> (QueriesExt.deconClean _),
@@ -252,6 +254,7 @@ object SparkEntry {
     "text_lm_score"             -> QueriesExt.textLmScoreSql,
     "table_profile"             -> QueriesExt.tableProfileSql,
     "table_profile_approx"      -> QueriesExt.tableProfileApproxSql,
+    "table_moments"             -> QueriesExt.tableMomentsSql,
     "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,
     "decon_clean"               -> QueriesExt.deconCleanSql,
     "decon_bloom_clean"         -> QueriesExt.deconCleanSql,

@@ -88,4 +88,59 @@ object Profile {
         approx_count_distinct(col("val"), rsd).as("n_distinct_approx"))
     counts.join(broadcast(extremes(df, cols)), Seq("col_name"), "left")
   }
+
+  /** Pairwise SUFFICIENT STATISTICS of numeric columns — one row per
+    * unordered column pair (c1 <= c2, self-pairs included) with the
+    * moments a covariance/correlation/regression needs: `n` (rows
+    * where BOTH are non-null — pairwise deletion), `sum1`, `sum2`,
+    * `sum11`, `sum22`, `sum12`. Everything is exact decimal
+    * (inputs at decimal(18,6), products at decimal(38,12)): the caller
+    * derives cov = (sum12 - sum1*sum2/n)/n and Pearson r from them in
+    * one scalar step, while the statistics themselves stay
+    * bit-reproducible across engines and RE-AGGREGABLE — moments of
+    * two corpus halves ADD, so a maintained moments table folds a
+    * delta batch without rescanning history (the
+    * [[graft.exec.Rollup]] contract applied to second moments; this
+    * is also why the variance itself is not the stored shape: it
+    * doesn't add, its moments do).
+    *
+    * Scale shape: ONE scan, one global aggregation — k(k+1)/2 * 6
+    * partial-aggregated expressions, each a map-side fold; no shuffle
+    * moves data rows, only the per-task partials. Overflow headroom:
+    * decimal(38,12) holds |Σ x·y| < 10^26 at 6-dp inputs — profile
+    * scale; partition the scan and merge moments when a single fold
+    * would exceed it. */
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    checkCols(df, cols)
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    val pairs = for {
+      (c1, i) <- cols.zipWithIndex
+      c2      <- cols.drop(i)
+    } yield (c1, c2)
+    val aggs = pairs.flatMap { case (c1, c2) =>
+      val v1 = when(col(c1).isNotNull && col(c2).isNotNull,
+        col(c1).cast("decimal(18,6)"))
+      val v2 = when(col(c1).isNotNull && col(c2).isNotNull,
+        col(c2).cast("decimal(18,6)"))
+      def s(e: org.apache.spark.sql.Column, name: String) =
+        sum(e.cast("decimal(38,12)")).as(s"${name}__${c1}__$c2")
+      Seq(
+        count(v1).as(s"n__${c1}__$c2"),
+        s(v1, "sum1"), s(v2, "sum2"),
+        s(v1 * v1, "sum11"), s(v2 * v2, "sum22"), s(v1 * v2, "sum12"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into one row per pair
+    val rows = pairs.map { case (c1, c2) =>
+      struct(
+        lit(c1).as("col_1"), lit(c2).as("col_2"),
+        col(s"n__${c1}__$c2").as("n"),
+        col(s"sum1__${c1}__$c2").as("sum1"),
+        col(s"sum2__${c1}__$c2").as("sum2"),
+        col(s"sum11__${c1}__$c2").as("sum11"),
+        col(s"sum22__${c1}__$c2").as("sum22"),
+        col(s"sum12__${c1}__$c2").as("sum12"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -186,4 +186,38 @@ class AlgebraPropertySpec extends SparkSpec {
       }
     }, n = 5)
   }
+
+  test("property: incremental sessionization equals full rebuild for any time cut") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sessions
+    // random per-user event streams on a shared minute grid, then an
+    // arbitrary cut: everything before is "maintained", everything at
+    // or after is "the batch" — the append-only nightly-load shape
+    // that sessionizeIncremental promises to fold exactly
+    val genEvents = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 4L),      // user
+      Gen.choose(0, 300),      // minute offset
+      Gen.choose(0.0, 9.0)))   // value
+    val genCase = for {
+      evs <- genEvents
+      cut <- Gen.choose(0, 300)
+    } yield (evs, cut)
+    check("inc==full", Prop.forAll(genCase) { case (evs, cutMin) =>
+      val rows = evs.zipWithIndex.map { case ((u, m, v), i) =>
+        (i.toLong, u, java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"), v)
+      }.toDF("event_id", "user_id", "ts", "value")
+      val cutTs = lit(f"2024-01-01 ${cutMin / 60}%02d:${cutMin % 60}%02d:00").cast("timestamp")
+      val gap   = 600L // 10 minutes
+      val m = Sessions.buildSessionTable(
+        rows.filter(col("ts") < cutTs), "user_id", "ts", "event_id", "value", gap)
+      val inc = Sessions.sessionTableStats(Sessions.sessionizeIncremental(
+        m, rows.filter(col("ts") >= cutTs), "user_id", "ts", "event_id", "value", gap),
+        "user_id").collect().map(_.toString).toSet
+      val full = Sessions.sessionTableStats(Sessions.buildSessionTable(
+        rows, "user_id", "ts", "event_id", "value", gap),
+        "user_id").collect().map(_.toString).toSet
+      inc == full
+    }, n = 5)
+  }
 }

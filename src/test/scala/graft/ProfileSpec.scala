@@ -82,4 +82,53 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
   }
+
+  private def momentMap(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+    Profile.moments(df, cols).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2),
+          Seq(3, 4, 5, 6, 7).map(i => Option(r.getDecimal(i)).map(_.toString)))
+    }.toMap
+
+  test("moments: hand-checked pair statistics with pairwise null deletion") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)),
+      (Some(3.0), None),       // drops from every (x,y) pair stat
+      (Some(5.0), Some(4.0)),
+      (None, Some(9.0))
+    ).toDF("x", "y")
+    val m = momentMap(df, Seq("x", "y"))
+    // (x,x): rows where x non-null -> n=3, sum=9, sumsq=1+9+25=35
+    val xx = m(("x", "x"))
+    assert(xx._1 == 3L && xx._2(0).get.startsWith("9.") && xx._2(2).get.startsWith("35."))
+    // (x,y): pairwise-complete rows only -> (1,2),(5,4): n=2,
+    // sum1=6, sum2=6, sum11=26, sum22=20, sum12=1*2+5*4=22
+    val xy = m(("x", "y"))
+    assert(xy._1 == 2L)
+    assert(Seq("6.", "6.", "26.", "20.", "22.").zip(xy._2).forall {
+      case (p, v) => v.get.startsWith(p) })
+    // unordered: only (x,y) emitted, never (y,x)
+    assert(!m.contains(("y", "x")))
+  }
+
+  test("moments are re-aggregable: halves' moments sum to the whole's") {
+    val df = (1 to 40).map(i => (i.toDouble, (i % 7).toDouble, i.toLong)).toDF("a", "b", "k")
+    val whole = momentMap(df, Seq("a", "b"))
+    val left  = momentMap(df.filter($"k" % 2 === 0), Seq("a", "b"))
+    val right = momentMap(df.filter($"k" % 2 =!= 0), Seq("a", "b"))
+    whole.keys.foreach { key =>
+      assert(whole(key)._1 == left(key)._1 + right(key)._1, s"n for $key")
+      (0 until 5).foreach { i =>
+        val sum = BigDecimal(left(key)._2(i).get) + BigDecimal(right(key)._2(i).get)
+        assert(BigDecimal(whole(key)._2(i).get) == sum, s"moment $i for $key")
+      }
+    }
+  }
+
+  test("moments: one scan, no shuffle of data rows; duplicate columns rejected") {
+    val df = (1 to 10).map(i => (i.toDouble, i * 2.0)).toDF("a", "b")
+    val plan = Profile.moments(df, Seq("a", "b")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    intercept[IllegalArgumentException](Profile.moments(df, Seq("a", "a")))
+  }
 }
