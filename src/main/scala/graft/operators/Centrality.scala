@@ -177,8 +177,10 @@ object Centrality {
       count = nCnt
       i += 1
     }
-    if (!converged)
+    if (!converged) {
+      snap.release() // don't leak the persisted blocks on the error path
       throw new IllegalStateException(s"kCore did not converge after $maxIter rounds")
+    }
     degrees(snap.df)
   }
 

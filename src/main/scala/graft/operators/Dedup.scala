@@ -792,8 +792,12 @@ object Dedup {
     require(delim.nonEmpty, "delim must be non-empty")
     require(idCol != "line" && idCol != "n_lines" && idCol != "n_removed" && idCol != "text_clean",
       s"idCol '$idCol' collides with a lineDedup output column")
+    // distinct on the external set: a duplicate hot row would multiply
+    // matching line rows through the join and silently inflate
+    // n_lines/n_removed — cheap insurance on the small side
     lineRows(docs, idCol, textCol, delim)
-      .join(hot.select(col("line"), lit(true).as("__hot")), Seq("line"), "left")
+      .join(hot.select(col("line")).distinct()
+        .withColumn("__hot", lit(true)), Seq("line"), "left")
       .withColumn("__hot", coalesce(col("__hot"), lit(false)))
       .groupBy(col(idCol))
       .agg(

@@ -155,8 +155,8 @@ object Funnel {
       lookbackSeconds: Long
   ): DataFrame = {
     require(touchTypes.nonEmpty, "attribution needs at least one touch type")
-    require(!touchTypes.contains(conversionType) || touchTypes.distinct == touchTypes,
-      s"touchTypes must be distinct, got $touchTypes")
+    require(touchTypes.distinct == touchTypes,
+      s"touchTypes must be distinct (a duplicate double-counts its pairs), got $touchTypes")
     require(lookbackSeconds > 0, s"lookbackSeconds must be positive, got $lookbackSeconds")
     val lookbackMicros = lookbackSeconds * 1000000L
     val conv = events.filter(col(typeCol) === conversionType)

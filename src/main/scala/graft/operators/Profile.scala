@@ -113,33 +113,36 @@ object Profile {
   def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
     checkCols(df, cols)
     require(cols.distinct == cols, s"duplicate columns: $cols")
-    val pairs = for {
+    val pairs = (for {
       (c1, i) <- cols.zipWithIndex
       c2      <- cols.drop(i)
-    } yield (c1, c2)
-    val aggs = pairs.flatMap { case (c1, c2) =>
-      val v1 = when(col(c1).isNotNull && col(c2).isNotNull,
-        col(c1).cast("decimal(18,6)"))
-      val v2 = when(col(c1).isNotNull && col(c2).isNotNull,
-        col(c2).cast("decimal(18,6)"))
+    } yield (c1, c2)).zipWithIndex
+    // internal aliases key on the PAIR INDEX, never the column names —
+    // names containing '__' (or dots) would otherwise collide or break
+    // the unpivot's references
+    val aggs = pairs.flatMap { case ((c1, c2), p) =>
+      val v1 = when(df(c1).isNotNull && df(c2).isNotNull,
+        df(c1).cast("decimal(18,6)"))
+      val v2 = when(df(c1).isNotNull && df(c2).isNotNull,
+        df(c2).cast("decimal(18,6)"))
       def s(e: org.apache.spark.sql.Column, name: String) =
-        sum(e.cast("decimal(38,12)")).as(s"${name}__${c1}__$c2")
+        sum(e.cast("decimal(38,12)")).as(s"__${name}_$p")
       Seq(
-        count(v1).as(s"n__${c1}__$c2"),
+        count(v1).as(s"__n_$p"),
         s(v1, "sum1"), s(v2, "sum2"),
         s(v1 * v1, "sum11"), s(v2 * v2, "sum22"), s(v1 * v2, "sum12"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row into one row per pair
-    val rows = pairs.map { case (c1, c2) =>
+    val rows = pairs.map { case ((c1, c2), p) =>
       struct(
         lit(c1).as("col_1"), lit(c2).as("col_2"),
-        col(s"n__${c1}__$c2").as("n"),
-        col(s"sum1__${c1}__$c2").as("sum1"),
-        col(s"sum2__${c1}__$c2").as("sum2"),
-        col(s"sum11__${c1}__$c2").as("sum11"),
-        col(s"sum22__${c1}__$c2").as("sum22"),
-        col(s"sum12__${c1}__$c2").as("sum12"))
+        col(s"__n_$p").as("n"),
+        col(s"__sum1_$p").as("sum1"),
+        col(s"__sum2_$p").as("sum2"),
+        col(s"__sum11_$p").as("sum11"),
+        col(s"__sum22_$p").as("sum22"),
+        col(s"__sum12_$p").as("sum12"))
     }
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }

@@ -259,14 +259,22 @@ object Sessions {
       .withColumn("__merged",
         col("__l_seq").isNotNull &&
           col("start_us") - col("__l_end") <= gapMicros)
+    // null-safe sum merge: an all-null-value session has a NULL sum
+    // (SQL sum semantics), and NULL + x would null-poison the merge —
+    // the rebuild-parity rule is "NULL iff both NULL, else treat NULL
+    // as zero" (exactly what summing the union of events yields)
+    val mergedSum = when(col("__l_sum").isNull && col("value_sum_dec").isNull,
+      lit(null).cast("decimal(28,6)"))
+      .otherwise(
+        (coalesce(col("__l_sum"), lit(0)) + coalesce(col("value_sum_dec"), lit(0)))
+          .cast("decimal(28,6)"))
     val mergedRows = firstB.filter(col("__merged")).select(
       col(entityCol),
       col("__l_seq").as("session_seq"),
       (col("__l_n") + col("n_events")).as("n_events"),
       col("__l_start").as("start_us"),
       col("end_us"),
-      (col("__l_sum") + col("value_sum_dec")).cast("decimal(28,6)")
-        .as("value_sum_dec"))
+      mergedSum.as("value_sum_dec"))
     // batch sessions renumber by the entity's offset: merged entities
     // absorbed their first batch session into seq __l_seq, so the rest
     // shift by __l_seq - 1; unmerged entities shift by __l_seq; fresh

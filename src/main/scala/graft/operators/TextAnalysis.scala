@@ -167,10 +167,18 @@ object TextAnalysis {
   ): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val tok = docs
+    val tok0 = docs
       .select(col(idCol).as("__doc"),
         posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
       .filter(col("__tok") =!= "")
+    // the tokenized stream feeds totals once and the pair self-join
+    // twice; without materialization the corpus re-tokenizes per
+    // reference (plan-keyed idempotent persist — the pageRank edge
+    // convention; CacheManager dedupes repeated calls)
+    val tok =
+      if (tok0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        tok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tok0
     val totals = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
     val hot    = totals.filter(col("__n") > maxCount).select(col("__tok"))
     val cold   = tok.join(broadcast(hot), Seq("__tok"), "left_anti")

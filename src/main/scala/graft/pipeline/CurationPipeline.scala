@@ -192,6 +192,8 @@ object CurationPipeline {
     c.params.str("keep", "min_id") match {
       case "min_id"  => Dedup.survivors(c.input, c.idCol, pairs)
       case "longest" =>
+        require(!c.input.columns.contains("__len"),
+          "input already has a '__len' column — keep: longest would clobber it")
         Dedup.survivorsBest(
           c.input.withColumn("__len", length(col(c.textCol))),
           c.idCol, pairs, "__len").drop("__len")
@@ -299,13 +301,16 @@ object CurationPipeline {
         c.params.reqInt("shards"), c.params.str("salt", ""))
     }),
     // SemDeDup semantic near-dup pruning [Abbas et al., 2023]: k-means
-    // cluster the aux embedding table, greedily prune within-cluster
-    // pairs with cosine >= minCosine (smaller id survives). Docs with
-    // an embedding row must survive the prune to pass; docs with no
-    // embedding row pass through untouched.
+    // cluster the embeddings OF THE CURRENT INPUT (the aux table is
+    // semi-restricted first — pruning against docs an earlier step
+    // already removed would drop every remaining copy of their
+    // content), greedily prune within-cluster pairs with cosine >=
+    // minCosine (smaller id survives). Docs with no embedding row
+    // pass through untouched.
     "semdedup" -> Op(Set("embeddings", "id", "vec", "k", "minCosine", "maxCluster"), { c =>
       val eid = c.params.str("id", c.idCol)
       val et  = c.resolve(c.params.reqStr("embeddings"))
+        .join(c.input.select(col(c.idCol).as(eid)), Seq(eid), "left_semi")
       val kept = graft.operators.Similarity.semDedup(et, eid, c.params.str("vec", "embedding"),
         k = c.params.int("k", 64), minCosine = c.params.double("minCosine", 0.9),
         maxCluster = c.params.int("maxCluster", 10000))

@@ -42,17 +42,14 @@ object StreamingHeavyHitters {
   /** Sentinel row carrying the batch's non-null total (`cnt` = n). */
   val TotalKey = "\u0000__total__"
 
-  private def marker(path: String) = Paths.get(path, "_graft_hh_k")
+  private val MarkerName = "_graft_hh_k"
 
-  private def writeMarker(path: String, k: Int): Unit = {
-    Files.createDirectories(Paths.get(path))
-    Files.write(marker(path), k.toString.getBytes(StandardCharsets.UTF_8))
-  }
+  private def writeMarker(path: String, k: Int): Unit =
+    StoreFiles.writeMarker(path, MarkerName, k.toString)
 
   private def checkMarker(path: String, k: Int): Unit = {
-    require(Files.exists(marker(path)),
-      s"$path has no _graft_hh_k marker — initialize() the store first")
-    val stored = new String(Files.readAllBytes(marker(path)), StandardCharsets.UTF_8).trim.toInt
+    val stored =
+      StoreFiles.readMarker(path, MarkerName, "initialize() the store first").trim.toInt
     require(stored == k,
       s"sketch-size mismatch for $path: store built with k=$stored, caller " +
         s"passed k=$k — summaries with different error budgets must not merge")
@@ -194,23 +191,10 @@ object StreamingHeavyHitters {
       (merged + (TotalKey -> total)).toSeq.map { case (v, c) => (v, c, -1L) } ++
         keep.flatMap { case (b, m) => m.toSeq.map { case (v, c) => (v, c, b) } }
     import spark.implicits._
-    val tmp = Paths.get(path + ".__compact_tmp")
-    val old = Paths.get(path + ".__compact_old")
-    deleteRecursively(tmp)
-    deleteRecursively(old)
-    rows.toDF("value", "cnt", BatchCol)
-      .write.mode("overwrite").partitionBy(BatchCol).parquet(tmp.toString)
-    writeMarker(tmp.toString, k)
-    Files.move(Paths.get(path), old)
-    Files.move(tmp, Paths.get(path))
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
+    StoreFiles.swapCompacted(path) { tmp =>
+      rows.toDF("value", "cnt", BatchCol)
+        .write.mode("overwrite").partitionBy(BatchCol).parquet(tmp)
+      writeMarker(tmp, k)
     }
+  }
 }

@@ -46,18 +46,14 @@ object StreamingLineDedup {
 
   val BatchCol = "__batch_id"
 
-  private def marker(path: String) = Paths.get(path, "_graft_line_delim")
+  private val MarkerName = "_graft_line_delim"
 
-  private def writeMarker(path: String, delim: String): Unit = {
-    Files.createDirectories(Paths.get(path))
-    Files.write(marker(path), delim.getBytes(StandardCharsets.UTF_8))
-  }
+  private def writeMarker(path: String, delim: String): Unit =
+    StoreFiles.writeMarker(path, MarkerName, delim)
 
   private def checkMarker(path: String, delim: String): Unit = {
-    require(Files.exists(marker(path)),
-      s"$path has no _graft_line_delim marker — initialize() the store first")
     // exact bytes, NO trim: the default delimiter IS whitespace
-    val stored = new String(Files.readAllBytes(marker(path)), StandardCharsets.UTF_8)
+    val stored = StoreFiles.readMarker(path, MarkerName, "initialize() the store first")
     require(stored == delim,
       s"delimiter mismatch for $path: store laid out with ${escape(stored)}, " +
         s"caller passed ${escape(delim)} — different line universes")
@@ -95,8 +91,11 @@ object StreamingLineDedup {
       batch: DataFrame, idCol: String, textCol: String,
       storePath: String, delim: String, batchId: Long
   ): Unit = {
-    if (batch.isEmpty) return
+    // marker check BEFORE the empty short-circuit: an uninitialized
+    // store or wrong delimiter must fail on the FIRST micro-batch,
+    // empty or not — not whenever data happens to arrive
     checkMarker(storePath, delim)
+    if (batch.isEmpty) return
     Dedup.lineDf(batch, idCol, textCol, delim)
       .withColumn(BatchCol, lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -154,16 +153,11 @@ object StreamingLineDedup {
       .agg(sum(col("n_docs")).as("n_docs"))
       .withColumn(BatchCol, lit(-1L))
     val keep = store.filter(col(BatchCol) > upToBatchId)
-    val tmp  = Paths.get(storePath + ".__compact_tmp")
-    val old  = Paths.get(storePath + ".__compact_old")
-    deleteRecursively(tmp)
-    deleteRecursively(old)
-    folded.unionByName(keep.select(col("line"), col("n_docs"), col(BatchCol)))
-      .write.mode("overwrite").partitionBy(BatchCol).parquet(tmp.toString)
-    writeMarker(tmp.toString, delim)
-    Files.move(Paths.get(storePath), old)
-    Files.move(tmp, Paths.get(storePath))
-    deleteRecursively(old)
+    StoreFiles.swapCompacted(storePath) { tmp =>
+      folded.unionByName(keep.select(col("line"), col("n_docs"), col(BatchCol)))
+        .write.mode("overwrite").partitionBy(BatchCol).parquet(tmp)
+      writeMarker(tmp, delim)
+    }
   }
 
   /** Wire a document stream to df-store maintenance. */
@@ -180,12 +174,4 @@ object StreamingLineDedup {
         applyBatch(batch, idCol, textCol, storePath, delim, batchId)
       }
       .start()
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
 }

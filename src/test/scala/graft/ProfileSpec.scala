@@ -131,4 +131,15 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan)
     intercept[IllegalArgumentException](Profile.moments(df, Seq("a", "a")))
   }
+
+  test("moments: column names containing '__' don't collide (pair-index aliases)") {
+    // (a, b__c) and (a__b, c) would both alias to n__a__b__c under a
+    // name-keyed scheme
+    val df = (1 to 5).map(i =>
+      (i.toDouble, i * 2.0, i * 3.0, i * 4.0)).toDF("a", "b__c", "a__b", "c")
+    val m = momentMap(df, Seq("a", "b__c", "a__b", "c"))
+    assert(m.size == 10)
+    assert(m(("a", "b__c"))._1 == 5L)
+    assert(m(("a__b", "c"))._1 == 5L)
+  }
 }

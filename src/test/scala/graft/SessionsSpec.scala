@@ -239,6 +239,30 @@ class SessionsSpec extends SparkSpec {
     assert(inc.size == 1, s"expected one merged session, got $inc")
   }
 
+  test("sessionizeIncremental: an all-NULL-value maintained session merges without null-poisoning") {
+    val s = spark
+    import s.implicits._
+    // corpus session has only NULL values (sum -> NULL); the batch
+    // continuation brings 2.5 — the merge must yield 2.5 (and a
+    // both-NULL merge must stay NULL), matching the full rebuild
+    val all = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, None),
+      (2L, ts("2024-01-01 00:05:00"), 1L, Some(2.5)),
+      (3L, ts("2024-01-01 00:00:00"), 2L, None),
+      (4L, ts("2024-01-01 00:05:00"), 2L, None))
+      .toDF("event_id", "ts", "user_id", "value")
+    val cutTs = lit("2024-01-01 00:03:00").cast("timestamp")
+    val m = Sessions.buildSessionTable(
+      all.filter(col("ts") < cutTs), "user_id", "ts", "event_id", "value", 600L)
+    val inc = Sessions.sessionTableStats(Sessions.sessionizeIncremental(
+      m, all.filter(col("ts") >= cutTs), "user_id", "ts", "event_id", "value", 600L),
+      "user_id").collect().map(_.toString).toSet
+    val full = Sessions.sessionTableStats(Sessions.buildSessionTable(
+      all, "user_id", "ts", "event_id", "value", 600L),
+      "user_id").collect().map(_.toString).toSet
+    assert(inc == full)
+  }
+
   test("sessionizeIncremental: decimal value sums merge exactly (no double drift)") {
     // values chosen so double addition order matters at the last ulp
     val all = ev(

@@ -108,6 +108,13 @@ class StreamingLineDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       StreamingLineDedup.applyBatch(batch1, "doc_id", "text",
         Files.createTempDirectory("graft-nomarker").toString, "\n", 0L))
+    // ...even on an EMPTY micro-batch: misconfiguration must surface
+    // on the first batch, not whenever data happens to arrive
+    intercept[IllegalArgumentException](
+      StreamingLineDedup.applyBatch(batch1.limit(0), "doc_id", "text",
+        Files.createTempDirectory("graft-nomarker2").toString, "\n", 0L))
+    intercept[IllegalArgumentException](
+      StreamingLineDedup.applyBatch(batch1.limit(0), "doc_id", "text", store, "|", 0L))
   }
 
   test("empty-corpus bootstrap: the first micro-batch works against an empty store") {
