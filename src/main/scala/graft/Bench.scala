@@ -42,6 +42,7 @@ object Bench {
     "events_attribution"        -> (QueriesEvents.eventsAttribution _),
     "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance"     -> (QueriesEvents.eventsAsofTolerance _),
+    "events_asof_forward"       -> (QueriesEvents.eventsAsofForward _),
     "events_cube"               -> (QueriesEvents.eventsCube _),
     "events_debounce"           -> (QueriesEvents.eventsDebounce _),
     "events_paths"              -> (QueriesEvents.eventsPaths _),

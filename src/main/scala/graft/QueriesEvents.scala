@@ -660,6 +660,48 @@ object QueriesEvents {
         col("asof_value"), col("asof_event_id"))
   }
 
+  /** Forward as-of: each purchase attaches the EARLIEST signup at or
+    * after it (time-to-next-event attribution), same null-injected
+    * value column and row-atomic struct contract as the backward
+    * gate. */
+  def eventsAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    Sessions.asofJoinForward(
+      left  = ev.filter(col("event_type") === "purchase"),
+      right = ev.filter(col("event_type") === "signup")
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      valueCols = Seq("value", "event_id"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("next_value"), col("next_event_id"))
+  }
+
+  lazy val eventsAsofForwardSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, ts, 0 AS tag, event_id,
+       |         {'r_value': CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END,
+       |          'r_event_id': event_id} AS r
+       |  FROM events WHERE event_type = 'signup'
+       |  UNION ALL
+       |  SELECT user_id, ts, 1 AS tag, event_id,
+       |         CAST(NULL AS STRUCT(r_value DOUBLE, r_event_id BIGINT)) AS r
+       |  FROM events WHERE event_type = 'purchase'
+       |), a AS (
+       |  SELECT user_id, ts, tag, event_id,
+       |         first_value(r IGNORE NULLS) OVER w AS att
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, 1 - tag, event_id
+       |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |)
+       |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |       struct_extract(att, 'r_value') AS next_value,
+       |       struct_extract(att, 'r_event_id') AS next_event_id
+       |FROM a WHERE tag = 1
+       |""".stripMargin
+
   // ================================================================ as-of with tolerance
   /** As-of attribution with an expiry window (pandas merge_asof
     * `tolerance`): a purchase attributes its most recent at-or-before

@@ -1660,6 +1660,23 @@ object QueriesExt {
     Seq("doc_id", "lang", "source", "n_chars").map(one).mkString("", "\nUNION ALL\n", "\n")
   }
 
+  /** JSONL ingestion round-trip: the documents table written as
+    * newline-delimited JSON and read back through the hardened
+    * explicit-schema reader must reproduce the parquet table exactly
+    * (the oracle reads the original). Corrupt-record capture and CSV
+    * are spec-verified (TextTablesSpec) — this gate pins the
+    * clean-path fidelity the quarantine contract builds on. */
+  def sourceJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d   = docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-gate").toString
+    d.write.mode("overwrite").json(tmp)
+    sources.TextTables.quarantine(
+      sources.TextTables.readJsonl(s, tmp, d.schema))._1
+  }
+
+  lazy val sourceJsonlRoundtripSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents\n"
+
   private val momentCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** Pairwise sufficient statistics (exact decimal moments) of the

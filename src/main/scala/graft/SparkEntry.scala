@@ -75,6 +75,8 @@ object SparkEntry {
     "table_profile_approx" -> (QueriesExt.tableProfileApprox _),
     // pairwise sufficient statistics (re-aggregable exact moments)
     "table_moments"        -> (QueriesExt.tableMoments _),
+    // hardened JSONL ingestion reproduces the parquet table exactly
+    "source_jsonl_roundtrip" -> (QueriesExt.sourceJsonlRoundtrip _),
     // benchmark decontamination: n-gram overlap + clean survivor corpus
     "decon_ngram_overlap" -> (QueriesExt.deconNgramOverlap _),
     "decon_clean"         -> (QueriesExt.deconClean _),
@@ -91,6 +93,8 @@ object SparkEntry {
     "events_attribution" -> (QueriesEvents.eventsAttribution _),
     "events_asof_join"  -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance" -> (QueriesEvents.eventsAsofTolerance _),
+    // mirror direction: earliest at-or-after right row (time-to-next)
+    "events_asof_forward"   -> (QueriesEvents.eventsAsofForward _),
     "events_debounce"   -> (QueriesEvents.eventsDebounce _),
     "events_paths"      -> (QueriesEvents.eventsPaths _),
     "events_anomaly"    -> (QueriesEvents.eventsAnomaly _),
@@ -255,6 +259,7 @@ object SparkEntry {
     "table_profile"             -> QueriesExt.tableProfileSql,
     "table_profile_approx"      -> QueriesExt.tableProfileApproxSql,
     "table_moments"             -> QueriesExt.tableMomentsSql,
+    "source_jsonl_roundtrip"    -> QueriesExt.sourceJsonlRoundtripSql,
     "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,
     "decon_clean"               -> QueriesExt.deconCleanSql,
     "decon_bloom_clean"         -> QueriesExt.deconCleanSql,
@@ -264,6 +269,7 @@ object SparkEntry {
     "events_attribution"        -> QueriesEvents.eventsAttributionSql,
     "events_asof_join"          -> QueriesEvents.eventsAsofJoinSql,
     "events_asof_tolerance"     -> QueriesEvents.eventsAsofToleranceSql,
+    "events_asof_forward"       -> QueriesEvents.eventsAsofForwardSql,
     "events_debounce"           -> QueriesEvents.eventsDebounceSql,
     "events_paths"              -> QueriesEvents.eventsPathsSql,
     "events_anomaly"            -> QueriesEvents.eventsAnomalySql,

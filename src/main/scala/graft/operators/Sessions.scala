@@ -179,6 +179,62 @@ object Sessions {
     }.filter(col("__tag") === 1).drop("__tag", "__asof")
   }
 
+  /** FORWARD as-of join — [[asofJoin]]'s mirror: attach to every
+    * `left` row the values of the EARLIEST `right` row with
+    * `right.ts >= left.ts` for the same key ("at or after" — the
+    * time-to-next-event / look-ahead attribution query: "which signup
+    * follows this impression, and how soon"). Output columns are
+    * `next_<v>` (all null when no right row follows).
+    *
+    * Same single-exchange union+window construction, reflected: left
+    * rows sort BEFORE right rows at equal timestamps (at-or-after
+    * inclusive), ties among right rows break by `tieCol` with the
+    * EARLIEST winning, and the attribution is
+    * `first(ignoreNulls)` over the current-row-to-unbounded-FOLLOWING
+    * frame. Row-atomic through one struct, like the backward form.
+    *
+    * `toleranceMicros`: a right row further than the tolerance AHEAD
+    * is dropped (nulls), the look-ahead window bound. */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoinForward needs at least one value column")
+    require(toleranceMicros.forall(_ >= 0L), "tolerance must be non-negative")
+    val leftCarry = left.columns.toSeq
+    val rowStruct = struct(valueCols.map(col) :+ unix_micros(col(tsCol)).as("__rts"): _*)
+    val taggedLeft = left
+      .withColumn("__tag", lit(1))
+      .withColumn("__next", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          valueCols.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)) :+
+            org.apache.spark.sql.types.StructField("__rts", org.apache.spark.sql.types.LongType))))
+    val taggedRight = {
+      val base = right.select(
+        col(keyCol), col(tsCol), col(tieCol), lit(0).as("__tag"), rowStruct.as("__next"))
+      leftCarry.filterNot(Set(keyCol, tsCol, tieCol)).foldLeft(base) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+    // left (tag 1) sorts BEFORE right (tag 0) at equal ts via 1-tag,
+    // so equal-timestamp right rows land in the left row's following
+    // frame (inclusive at-or-after)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc_nulls_last, lit(1) - col("__tag"), col(tieCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val attached = taggedRight.select(taggedLeft.columns.toIndexedSeq.map(col): _*)
+      .unionByName(taggedLeft)
+      .withColumn("__next", first(col("__next"), ignoreNulls = true).over(w))
+    val expired = toleranceMicros.foldLeft(attached) { (d, tol) =>
+      d.withColumn("__next",
+        when(col("__next").getField("__rts") - unix_micros(col(tsCol)) <= tol, col("__next")))
+    }
+    valueCols.foldLeft(expired) { (d, v) =>
+      d.withColumn(s"next_$v", col("__next").getField(v))
+    }.filter(col("__tag") === 1).drop("__tag", "__next")
+  }
+
   // ================================================================ incremental session maintenance
 
   /** Build the maintained session table from scratch: one row per

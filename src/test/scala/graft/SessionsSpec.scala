@@ -198,6 +198,62 @@ class SessionsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected a single exchange, got $exchanges:\n$plan")
   }
 
+  // ------------------------------------------------------------ forward as-of
+
+  test("asofJoinForward: earliest at-or-after row wins, inclusive at equal ts, nulls when none follow") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L),
+      (11L, ts("2024-01-01 12:00:00"), 1L),
+      (12L, ts("2024-01-01 09:00:00"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (20L, ts("2024-01-01 10:00:00"), 1L, 5.0), // equal ts -> attaches (inclusive)
+      (21L, ts("2024-01-01 11:00:00"), 1L, 6.0),
+      (22L, ts("2024-01-01 08:00:00"), 2L, 7.0)) // strictly before -> never attaches
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Sessions.asofJoinForward(left, right, "user_id", "ts", "event_id", Seq("value"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("next_value"))).toMap
+    assert(out(10L) == Some(5.0))  // equal-ts right row, not the 11:00 one
+    assert(out(11L) == None)       // nothing follows 12:00
+    assert(out(12L) == None)       // 08:00 is before, never forward-attached
+  }
+
+  test("asofJoinForward: equal-timestamp right rows tie to the SMALLEST tie key") {
+    import spark.implicits._
+    val left  = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (31L, ts("2024-01-01 11:00:00"), 1L, 1.0),
+      (30L, ts("2024-01-01 11:00:00"), 1L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Sessions.asofJoinForward(left, right, "user_id", "ts", "event_id",
+      Seq("value", "event_id")).head()
+    assert(out.getAs[Long]("next_event_id") == 30L && out.getAs[Double]("next_value") == 2.0)
+  }
+
+  test("asofJoinForward: tolerance bounds the look-ahead window") {
+    import spark.implicits._
+    val left  = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("event_id", "ts", "user_id")
+    val right = Seq((2L, ts("2024-01-01 12:00:00"), 1L, 9.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    def run(tolSec: Long) =
+      Sessions.asofJoinForward(left, right, "user_id", "ts", "event_id", Seq("value"),
+        toleranceMicros = Some(tolSec * 1000000L)).head().getAs[Any]("next_value")
+    assert(run(7200L) == 9.0)            // exactly 2h ahead: inclusive
+    assert(Option(run(7199L)).isEmpty)   // one second short: expired
+  }
+
+  test("asofJoinForward plans one exchange (union + window, no join)") {
+    val events = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val joined = Sessions.asofJoinForward(
+      events.filter(col("event_type") === "purchase"),
+      events.filter(col("event_type") === "signup"),
+      "user_id", "ts", "event_id", Seq("value"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"forward as-of must not plan a join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected one exchange:\n$plan")
+  }
+
   // ------------------------------------------------------------ incremental maintenance
 
   private def rebuildVsIncremental(all: DataFrame, cut: String): (Set[String], Set[String]) = {
