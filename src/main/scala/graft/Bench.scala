@@ -116,7 +116,9 @@ object Bench {
     "dedup_jaccard_prefix_t08" -> (QueriesExt.dedupJaccardPrefixT08 _),
     "events_pagerank10"       -> (QueriesEvents.eventsPagerank10 _),
     "text_dup_spans"          -> (QueriesExt.textDupSpans _),
-    "embed_semdedup"          -> (QueriesExt.embedSemdedup _),
+    // production SemDeDup shape (codegen array dots; the
+    // decimal-explode form is the oracle-exact gate companion)
+    "embed_semdedup"          -> (QueriesExt.embedSemdedupBench _),
     "text_diversity"          -> (QueriesExt.textDiversity _),
     "events_robust_z"         -> (QueriesEvents.eventsRobustZ _),
     "sketch_intersection"     -> (Queries.sketchIntersection _),

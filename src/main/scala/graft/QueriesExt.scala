@@ -1383,6 +1383,14 @@ object QueriesExt {
     operators.Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
       k = 8, minCosine = 0.45)
 
+  /** The production SemDeDup shape for the bench: codegen'd array-dot
+    * cosines instead of the oracle-exact decimal explode (the
+    * sketch-vs-exact-companion convention; equivalence spec-compared
+    * on the gate data). */
+  def embedSemdedupBench(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.semDedupFast(emb(s, dir), "vec_id", "embedding",
+      k = 8, minCosine = 0.45)
+
   /** Oracle: the [[embedKmeansAssignSql]] assignment CTEs, then exact
     * decimal pair dots within each cluster and the greedy
     * smaller-id-wins prune. */
@@ -1694,6 +1702,24 @@ object QueriesExt {
         col("sum11").cast("string").as("sum11"),
         col("sum22").cast("string").as("sum22"),
         col("sum12").cast("string").as("sum12"))
+
+  /** Incremental moments maintenance: moments of two disjoint halves
+    * (split on the order key's parity) merged with [[operators.Profile
+    * .mergeMoments]] must equal the one-shot full-table moments —
+    * gated against the SAME full oracle, the [[tableMoments]]
+    * re-aggregability contract executed at the driver gate. */
+  def tableMomentsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val li = sources.ParquetTables.readTable(s, dir, "lineitem")
+    val a  = operators.Profile.moments(li.filter(col("l_orderkey") % 2 === 0), momentCols)
+    val b  = operators.Profile.moments(li.filter(col("l_orderkey") % 2 =!= 0), momentCols)
+    operators.Profile.mergeMoments(a, b)
+      .select(col("col_1"), col("col_2"), col("n"),
+        col("sum1").cast("string").as("sum1"),
+        col("sum2").cast("string").as("sum2"),
+        col("sum11").cast("string").as("sum11"),
+        col("sum22").cast("string").as("sum22"),
+        col("sum12").cast("string").as("sum12"))
+  }
 
   lazy val tableMomentsSql: String = {
     val pairs = for {

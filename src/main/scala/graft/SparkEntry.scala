@@ -77,6 +77,8 @@ object SparkEntry {
     "table_moments"        -> (QueriesExt.tableMoments _),
     // hardened JSONL ingestion reproduces the parquet table exactly
     "source_jsonl_roundtrip" -> (QueriesExt.sourceJsonlRoundtrip _),
+    // merged half-moments == one-shot moments (same full oracle)
+    "table_moments_incremental" -> (QueriesExt.tableMomentsIncremental _),
     // benchmark decontamination: n-gram overlap + clean survivor corpus
     "decon_ngram_overlap" -> (QueriesExt.deconNgramOverlap _),
     "decon_clean"         -> (QueriesExt.deconClean _),
@@ -260,6 +262,7 @@ object SparkEntry {
     "table_profile_approx"      -> QueriesExt.tableProfileApproxSql,
     "table_moments"             -> QueriesExt.tableMomentsSql,
     "source_jsonl_roundtrip"    -> QueriesExt.sourceJsonlRoundtripSql,
+    "table_moments_incremental" -> QueriesExt.tableMomentsSql,
     "decon_ngram_overlap"       -> QueriesExt.deconNgramOverlapSql,
     "decon_clean"               -> QueriesExt.deconCleanSql,
     "decon_bloom_clean"         -> QueriesExt.deconCleanSql,

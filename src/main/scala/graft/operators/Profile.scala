@@ -146,4 +146,18 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Fold two [[moments]] tables (same column set) into the moments of
+    * the union of their inputs — the incremental-maintenance half of
+    * the re-aggregability contract: counts and sums add; NULL (an
+    * empty side) folds away unless both sides are NULL. One tiny
+    * pair-keyed aggregation over k(k+1)/2-row inputs. */
+  def mergeMoments(a: DataFrame, b: DataFrame): DataFrame = {
+    val aggCols = sum(col("n")).as("n") +:
+      Seq("sum1", "sum2", "sum11", "sum22", "sum12")
+        .map(s => sum(col(s)).cast("decimal(38,12)").as(s))
+    a.unionByName(b)
+      .groupBy(col("col_1"), col("col_2"))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
 }

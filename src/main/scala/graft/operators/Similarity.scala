@@ -191,6 +191,38 @@ object Similarity {
       .select(col("vid").as(idCol), col("cluster"))
   }
 
+  /** [[semDedup]]'s PRODUCTION shape: identical clustering and greedy
+    * smaller-id-wins prune, but pair cosines through the codegen'd
+    * native expression over whole array columns — no per-dimension
+    * explode, no decimal partial agg, one equi-join on the cluster
+    * key. This is what a 100 TB run executes (the decimal-explode
+    * form exists for the bit-exact SQL oracle, the
+    * sketch-vs-exact-companion convention); survivors match the exact
+    * form except pairs landing within one double ulp of the
+    * threshold (spec-compared on the gate data). */
+  def semDedupFast(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, maxCluster: Int = 10000
+  ): DataFrame = {
+    val cents = Kmeans.initLowestIds(embeddings, idCol, vecCol, k)
+    val assigned = Kmeans.assign(embeddings, idCol, vecCol, cents)
+      .select(col(idCol).as("vid"), col("cluster"))
+      .filter(col("cluster").isNotNull)
+    val w = Window.partitionBy(col("cluster"))
+    val pairable = assigned
+      .withColumn("__cn", count(lit(1)).over(w))
+      .filter(col("__cn").between(2, maxCluster))
+      .drop("__cn")
+      .join(embeddings.select(col(idCol).as("vid"), col(vecCol).as("__v")), Seq("vid"))
+    val pruned = pairable.as("a")
+      .join(pairable.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vid") > col("b.vid"))
+      .filter(cosine(col("a.__v"), col("b.__v")) >= minCosine)
+      .select(col("a.vid").as("vid")).distinct()
+    assigned.join(pruned, Seq("vid"), "left_anti")
+      .select(col("vid").as(idCol), col("cluster"))
+  }
+
   /** All pairs with cosine >= `minCosine` (embedding near-duplicate
     * detection), deterministic-sum formulation. */
   def cosineNearDupPairs(

@@ -274,6 +274,14 @@ object CurationPipeline {
     "stats" -> Op(Set.empty, { c =>
       TextAnalysis.stats(c.input, c.idCol, c.textCol)
     }),
+    // shape change: corpus-level windowed co-occurrence pair counts
+    // (w1, w2, pair_count, n1, n2) — the PMI/collocation statistic
+    "cooccurrence" -> Op(Set("window", "maxCount", "topK"), { c =>
+      TextAnalysis.cooccurrence(c.input, c.idCol, c.textCol,
+        window = c.params.int("window", 5),
+        maxCount = c.params.long("maxCount", 100000L),
+        topK = c.params.int("topK", 100))
+    }),
     // prefix-filtered exact-Jaccard near-dup dedup: one survivor per
     // cluster, exact over the full shingle universe (the PPJoin path —
     // prefer at near-dup thresholds where prefixes are short)

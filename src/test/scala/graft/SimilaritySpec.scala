@@ -341,4 +341,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L))
     assert(out.filter(_.getAs[Int]("rank") == 1).head.getAs[Long]("neighbor_id") == 1L)
   }
+
+  test("semDedupFast (production codegen path) matches the exact-decimal semDedup") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Similarity.semDedup(emb, "vec_id", "embedding", k = 8, minCosine = 0.45))
+    val fast  = ids(Similarity.semDedupFast(emb, "vec_id", "embedding", k = 8, minCosine = 0.45))
+    assert(fast == exact)
+    // and its plan is the production shape: no posexplode of dimensions
+    val plan = Similarity.semDedupFast(emb, "vec_id", "embedding", 8, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"), s"fast path must not explode dims:\n$plan")
+  }
 }
