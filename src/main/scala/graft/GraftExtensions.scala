@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, UnscaledValue}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{CosineSimilarity, DotProduct, IntDotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, IntDotProduct, SumProduct128}
 
 /** Session extensions: registers the engine's native Catalyst
   * expressions. Enable with
@@ -43,6 +43,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"${DotProduct.FUNC_NAME} takes 2 arguments")
         DotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(SumProduct128.FUNC_NAME),
+      new ExpressionInfo(classOf[SumProduct128].getName, SumProduct128.FUNC_NAME),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"${SumProduct128.FUNC_NAME} takes 2 arguments")
+        SumProduct128(children(0), children(1))
+      }))
+    ext.injectFunction((
+      // a compact decimal's unscaled long (e.g. decimal(18,6) -> exact
+      // micro-units) without the widening multiply a `* 10^s` cast
+      // chain pays per row — feeds sum_product_128
+      FunctionIdentifier("decimal_unscaled"),
+      new ExpressionInfo(classOf[UnscaledValue].getName, "decimal_unscaled"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "decimal_unscaled takes 1 argument")
+        UnscaledValue(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_build"),

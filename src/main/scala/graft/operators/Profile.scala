@@ -110,6 +110,13 @@ object Profile {
     * decimal(38,12) holds |Σ x·y| < 10^26 at 6-dp inputs — profile
     * scale; partition the scan and merge moments when a single fold
     * would exceed it. */
+  /** True when the native 128-bit product-sum aggregate is registered
+    * (GraftExtensions active) — the [[graft.operators.Similarity]]
+    * cosine fallback convention. */
+  private def sp128Registered: Boolean = scala.util.Try(
+    org.apache.spark.sql.SparkSession.active.catalog
+      .functionExists(graft.functions.SumProduct128.FUNC_NAME)).getOrElse(false)
+
   def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
     checkCols(df, cols)
     require(cols.distinct == cols, s"duplicate columns: $cols")
@@ -117,22 +124,48 @@ object Profile {
       (c1, i) <- cols.zipWithIndex
       c2      <- cols.drop(i)
     } yield (c1, c2)).zipWithIndex
+    val native = sp128Registered
+    // ONE pre-projection computes each column's decimal (or, on the
+    // native path, micro-scaled long) exactly once per row — aggregate
+    // children each re-evaluate their own expression tree, so placing
+    // the decimal cast/multiply inside 50 of them multiplies the only
+    // expensive per-row work by the fan-out
+    val prepared = df.select(cols.zipWithIndex.flatMap { case (c, i) =>
+      val d = df(c).cast("decimal(18,6)")
+      // micro-units via the compact decimal's unscaled long — the
+      // `* 10^6` cast chain widens past precision 18 and pays a
+      // BigDecimal multiply per row
+      if (native) Seq(call_function("decimal_unscaled", d).as(s"__m_$i"))
+      else Seq(d.as(s"__m_$i"))
+    }: _*)
     // internal aliases key on the PAIR INDEX, never the column names —
     // names containing '__' (or dots) would otherwise collide or break
     // the unpivot's references
     val aggs = pairs.flatMap { case ((c1, c2), p) =>
-      val v1 = when(df(c1).isNotNull && df(c2).isNotNull,
-        df(c1).cast("decimal(18,6)"))
-      val v2 = when(df(c1).isNotNull && df(c2).isNotNull,
-        df(c2).cast("decimal(18,6)"))
-      def s(e: org.apache.spark.sql.Column, name: String) =
-        sum(e.cast("decimal(38,12)")).as(s"__${name}_$p")
-      Seq(
-        count(v1).as(s"__n_$p"),
-        s(v1, "sum1"), s(v2, "sum2"),
-        s(v1 * v1, "sum11"), s(v2 * v2, "sum22"), s(v1 * v2, "sum12"))
+      val (i, j) = (cols.indexOf(c1), cols.indexOf(c2))
+      val bothSet = col(s"__m_$i").isNotNull && col(s"__m_$j").isNotNull
+      val v1 = when(bothSet, col(s"__m_$i"))
+      val v2 = when(bothSet, col(s"__m_$j"))
+      val sums =
+        if (native) {
+          // guarded longs through the codegen'd 128-bit exact
+          // aggregate: decimals above precision 18 cost a BigDecimal
+          // allocate-add PER ROW in the hot loop. Values are
+          // bit-identical to the decimal path (SumProduct128Spec).
+          val unit = lit(1000000L)
+          def sp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, name: String) =
+            call_function(graft.functions.SumProduct128.FUNC_NAME, a, b).as(s"__${name}_$p")
+          Seq(sp(v1, unit, "sum1"), sp(v2, unit, "sum2"),
+            sp(v1, v1, "sum11"), sp(v2, v2, "sum22"), sp(v1, v2, "sum12"))
+        } else {
+          def s(e: org.apache.spark.sql.Column, name: String) =
+            sum(e.cast("decimal(38,12)")).as(s"__${name}_$p")
+          Seq(s(v1, "sum1"), s(v2, "sum2"),
+            s(v1 * v1, "sum11"), s(v2 * v2, "sum22"), s(v1 * v2, "sum12"))
+        }
+      count(v1).as(s"__n_$p") +: sums
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = prepared.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row into one row per pair
     val rows = pairs.map { case ((c1, c2), p) =>
       struct(

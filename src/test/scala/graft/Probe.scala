@@ -33,12 +33,22 @@ object Probe {
       timeNoop3(name)(f)
     }
 
-    probe("events_sessionize")(QueriesEvents.eventsSessionize(spark, sfDir))
-    probe("events_asof_join")(QueriesEvents.eventsAsofJoin(spark, sfDir))
-    probe("text_chunks")(QueriesExt.textChunks(spark, sfDir))
-    probe("text_repetition")(QueriesExt.textRepetition(spark, sfDir))
-    probe("decon_ngram_overlap")(QueriesExt.deconNgramOverlap(spark, sfDir))
-    probe("decon_clean")(QueriesExt.deconClean(spark, sfDir))
+    {
+      val df = graft.operators.Profile.moments(
+        sources.ParquetTables.readTable(spark, sfDir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      df.collect() // warm: analysis + codegen + execution
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); df.collect(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[probe] moments_collect_memoized: median ${times(1)}%.3f s (${times.map(t => f"$t%.3f").mkString(", ")})")
+      val t1 = System.nanoTime()
+      val df2 = graft.operators.Profile.moments(
+        sources.ParquetTables.readTable(spark, sfDir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      df2.queryExecution.executedPlan // force planning only
+      println(f"[probe] moments_planning_only: ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    }
     spark.stop()
   }
 }
