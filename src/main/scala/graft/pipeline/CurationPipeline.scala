@@ -282,6 +282,48 @@ object CurationPipeline {
         maxCount = c.params.long("maxCount", 100000L),
         topK = c.params.int("topK", 100))
     }),
+    // quality gate: validate invariants and PASS THE CORPUS THROUGH,
+    // or throw — because steps promote via staged writes, a failing
+    // expectation never publishes the table (and never runs the rest
+    // of the chain). Checks: minRows, notNull (comma-separated
+    // columns), unique (one column), nonEmptyText.
+    "expect" -> Op(Set("minRows", "notNull", "unique", "nonEmptyText"), { c =>
+      import graft.operators.Expectations
+      val fails = Seq.newBuilder[String]
+      val checks = Seq.newBuilder[Expectations.Check]
+      c.params.str("notNull", "").split(",").map(_.trim).filter(_.nonEmpty).foreach { cn =>
+        require(c.input.columns.contains(cn), s"expect: no such column '$cn'")
+        checks += Expectations.Check(s"not_null_$cn", col(cn).isNotNull)
+      }
+      if (c.params.str("nonEmptyText", "false").toBoolean)
+        checks += Expectations.Check("non_empty_text",
+          trim(col(c.textCol)).isNotNull && trim(col(c.textCol)) =!= "")
+      val rowChecks = checks.result()
+      if (rowChecks.nonEmpty)
+        Expectations.rowChecks(c.input, c.idCol, rowChecks)
+          .filter(col("n_violations") > 0).collect()
+          .foreach(r => fails += s"${r.getString(0)}: ${r.getLong(1)} rows " +
+            s"(e.g. ${c.idCol}=${r.get(2)})")
+      c.params.str("unique", "") match {
+        case "" =>
+        case cn =>
+          require(c.input.columns.contains(cn), s"expect: no such column '$cn'")
+          Expectations.uniqueness(c.input, cn, s"unique_$cn")
+            .filter(col("n_violations") > 0).collect()
+            .foreach(r => fails += s"${r.getString(0)}: ${r.getLong(1)} rows " +
+              s"(e.g. $cn=${r.get(2)})")
+      }
+      val minRows = c.params.long("minRows", 0L)
+      if (minRows > 0L) {
+        val n = c.input.count()
+        if (n < minRows) fails += s"min_rows: $n < $minRows"
+      }
+      val errs = fails.result()
+      if (errs.nonEmpty)
+        throw new IllegalStateException(
+          "expectation gate failed:\n  " + errs.mkString("\n  "))
+      c.input
+    }),
     // prefix-filtered exact-Jaccard near-dup dedup: one survivor per
     // cluster, exact over the full shingle universe (the PPJoin path —
     // prefer at near-dup thresholds where prefixes are short)

@@ -189,6 +189,56 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pipeline subcommand: expect gate passes clean corpora through, blocks dirty ones unpublished") {
+    val s = spark
+    import s.implicits._
+    val src = tempDir()
+    val out = tempDir()
+    Seq((1L, "alpha text", "en"), (2L, "beta text", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$src/documents.parquet")
+    val okYaml = Files.createTempFile("graft-pipe-expect", ".yaml")
+    Files.writeString(okYaml,
+      """pipeline: gated
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: validated
+        |    op: expect
+        |    input: documents
+        |    params: { minRows: 2, notNull: "doc_id,lang", unique: doc_id, nonEmptyText: true }
+        |  - name: normalized
+        |    op: normalize
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", okYaml.toString, src, out), spark)
+    assert(spark.read.parquet(s"$out/validated").count() == 2, "gate passes the corpus through")
+    assert(Files.exists(Paths.get(out, "normalized")), "chain continues past a green gate")
+
+    // dirty corpus: duplicate id + a null lang + too few rows for minRows 5
+    val src2 = tempDir()
+    val out2 = tempDir()
+    Seq((1L, "x", "en"), (1L, "y", null: String))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$src2/documents.parquet")
+    val badYaml = Files.createTempFile("graft-pipe-expect-bad", ".yaml")
+    Files.writeString(badYaml,
+      """pipeline: gated_bad
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: validated
+        |    op: expect
+        |    input: documents
+        |    params: { minRows: 5, notNull: lang, unique: doc_id }
+        |""".stripMargin)
+    val e = intercept[IllegalStateException](
+      Cli.run(Seq("pipeline", badYaml.toString, src2, out2), spark))
+    assert(e.getMessage.contains("not_null_lang"), e.getMessage)
+    assert(e.getMessage.contains("unique_doc_id"), e.getMessage)
+    assert(e.getMessage.contains("min_rows"), e.getMessage)
+    // the staged write never promoted: no published table
+    assert(!Files.exists(Paths.get(out2, "validated")),
+      "a failing gate must not publish the table")
+  }
+
   test("pipeline subcommand: semdedup prunes embedded near-dups, passes docs without embeddings") {
     val s = spark
     import s.implicits._
