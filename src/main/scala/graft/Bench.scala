@@ -95,6 +95,7 @@ object Bench {
     "sample_shuffle_shards"     -> (QueriesExt.sampleShuffleShards _),
     "text_cooccurrence"         -> (QueriesExt.textCooccurrence _),
     "graph_kcore"               -> (QueriesExt.graphKcore _),
+    "graph_labelprop"           -> (QueriesExt.graphLabelprop _),
     "embed_knn_fold" -> ((s: SparkSession, dir: String) => {
       val e = sources.ParquetTables.readTable(s, dir, "embeddings")
       operators.Similarity.knnBrute(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)

@@ -315,7 +315,18 @@ object QueriesExt {
          |    AND b NOT IN (SELECT node FROM bad$i)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH ws AS (
+    s"""WITH $pairGraphCtes, $peels
+       |SELECT node AS doc_id, count(*) AS deg FROM (
+       |  SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3
+       |) GROUP BY 1
+       |""".stripMargin
+  }
+
+  /** Shared oracle prefix: the exact-Jaccard near-dup pair graph as a
+    * canonical undirected edge CTE `e0(a, b)` (every chained CTE
+    * MATERIALIZED — see [[graphKcoreSql]]'s inlining note). */
+  private lazy val pairGraphCtes: String =
+    s"""ws AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
        |), ngr0 AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ng
@@ -339,10 +350,43 @@ object QueriesExt {
        |  WHERE CAST(icount AS DOUBLE) / (sa.sz + sb.sz - icount) >= 0.5
        |), e0 AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-       |), $peels
-       |SELECT node AS doc_id, count(*) AS deg FROM (
-       |  SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3
-       |) GROUP BY 1
+       |)""".stripMargin
+
+  /** Label-propagation communities over the same pair graph (3 sync
+    * rounds — the fixed-round deterministic slice; see the operator's
+    * oscillation note), mirrored by unrolled argmax CTEs. */
+  def graphLabelprop(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+    operators.Centrality.labelPropagationRounds(pairs, "doc_a", "doc_b", rounds = 3)
+      .select(col("node").as("doc_id"), col("lbl").as("community"))
+  }
+
+  lazy val graphLabelpropSql: String = {
+    val roundCtes = (0 until 3).map { r =>
+      s"""cand$r AS MATERIALIZED (
+         |  SELECT n.node, l.lbl FROM neigh n JOIN l$r l ON l.node = n.nb
+         |), cnt$r AS MATERIALIZED (
+         |  SELECT node, lbl, count(*) AS c FROM cand$r GROUP BY 1, 2
+         |), l${r + 1} AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM cnt$r
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $pairGraphCtes, neigh AS MATERIALIZED (
+       |  SELECT a AS node, b AS nb FROM e0
+       |  UNION ALL
+       |  SELECT b AS node, a AS nb FROM e0
+       |), l0 AS MATERIALIZED (
+       |  SELECT node, node AS lbl FROM (
+       |    SELECT DISTINCT a AS node FROM e0
+       |    UNION
+       |    SELECT DISTINCT b AS node FROM e0
+       |  )
+       |), $roundCtes
+       |SELECT node AS doc_id, lbl AS community FROM l3
        |""".stripMargin
   }
 

@@ -169,6 +169,8 @@ object SparkEntry {
     "graph_triangles"    -> (QueriesEvents.graphTriangles _),
     // 2-core of the near-dup pair graph (densely-duplicated heart)
     "graph_kcore"        -> (QueriesExt.graphKcore _),
+    // label-propagation communities (template families) on the same graph
+    "graph_labelprop"    -> (QueriesExt.graphLabelprop _),
     // dedup family
     "dedup_exact"         -> (QueriesExt.dedupExact _),
     // batch admission against a maintained fingerprint set
@@ -318,6 +320,7 @@ object SparkEntry {
     "events_pagerank10"         -> QueriesEvents.eventsPagerank10Sql,
     "graph_triangles"           -> QueriesEvents.graphTrianglesSql,
     "graph_kcore"               -> QueriesExt.graphKcoreSql,
+    "graph_labelprop"           -> QueriesExt.graphLabelpropSql,
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_incremental"         -> QueriesExt.dedupIncrementalSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,

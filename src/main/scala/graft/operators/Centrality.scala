@@ -184,6 +184,50 @@ object Centrality {
     degrees(snap.df)
   }
 
+  /** Synchronous label propagation [Raghavan, Albert & Kumara 2007,
+    * "Near linear time algorithm to detect community structures"] over
+    * the canonical undirected simple graph, run for EXACTLY `rounds`
+    * rounds: labels start as node ids; each round every node adopts
+    * the label most frequent among its neighbors' previous-round
+    * labels (ties to the smallest label). Sync LPA can oscillate
+    * (2-cycles on bipartite structures), so the fixed-round slice IS
+    * the deterministic contract — the [[kCorePeel]] convention — and
+    * what the unrolled SQL oracle mirrors. The curation read: label
+    * plateaus on a near-dup pair graph are template families.
+    *
+    * Per round: one join of the neighbor list against the label table
+    * and two node-keyed aggregations; labels materialize through a
+    * [[Lineage]] snapshot per round (lazy chaining would re-execute
+    * the edge-producing subtree per reference — the [[kCorePeel]]
+    * lesson). Returns (node, label). */
+  def labelPropagationRounds(
+      edges: DataFrame, srcCol: String, dstCol: String, rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = Lineage.snapshot(canonical(edges, srcCol, dstCol))
+    val neigh = e.df.select(col("a").as("node"), col("b").as("nb"))
+      .union(e.df.select(col("b").as("node"), col("a").as("nb")))
+    var labels = Lineage.snapshot(
+      e.df.select(col("a").as("node")).union(e.df.select(col("b").as("node")))
+        .distinct()
+        .withColumn("lbl", col("node")))
+    (1 to rounds).foreach { _ =>
+      val cand = neigh.join(
+        labels.df.select(col("node").as("nb"), col("lbl")), Seq("nb"))
+      // argmax by (count desc, label asc) via min over (-count, label)
+      // — a struct min, no window
+      val next = Lineage.snapshot(
+        cand.groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("negc"), col("lbl"))).as("m"))
+          .select(col("node"), col("m.lbl").as("lbl")))
+      labels.release()
+      labels = next
+    }
+    e.release()
+    labels.df
+  }
+
   def withEdges[A](edges: DataFrame)(f: DataFrame => A): A = {
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try f(e)

@@ -187,6 +187,57 @@ class AlgebraPropertySpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("property: attribution matches a brute-force reference") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Funnel
+    val types = Vector("purchase", "view", "click")
+    val genEvents = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(0, 120), Gen.choose(0, 2)))
+    val lookbackSec = 1800L // 30 min
+    check("attr==ref", Prop.forAll(genEvents) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, m, t), i) =>
+        (i.toLong, u, java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"),
+          types(t))
+      }
+      val got = Funnel.attribution(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click"), lookbackSec)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // brute force: per conversion, enumerate window touches
+      val byConv = for {
+        (cid, cu, cts, cty) <- rows if cty == "purchase"
+        touches = rows.filter { case (tid, tu, tts, tty) =>
+          Seq("view", "click").contains(tty) && tu == cu &&
+            !tts.after(cts) && cts.getTime - tts.getTime <= lookbackSec * 1000L &&
+            !(tts == cts && tid == cid)
+        }
+        if touches.nonEmpty
+      } yield {
+        val byKey   = touches.sortBy(t => (t._3.getTime, t._1))
+        val n       = touches.size.toLong
+        (cid, byKey.head, byKey.last, touches, n)
+      }
+      val want = Seq("view", "click").flatMap { ty =>
+        val rowsOfType = byConv.flatMap { case (cid, first, last, touches, n) =>
+          touches.filter(_._4 == ty).map { t =>
+            (cid, t._1 == first._1, t._1 == last._1, 1000000L / n)
+          }
+        }
+        if (rowsOfType.isEmpty) None
+        else Some(ty -> ((
+          rowsOfType.size.toLong,
+          rowsOfType.map(_._1).distinct.size.toLong,
+          rowsOfType.map(r => if (r._2) 1000000L else 0L).sum,
+          rowsOfType.map(r => if (r._3) 1000000L else 0L).sum,
+          rowsOfType.map(_._4).sum)))
+      }.toMap
+      got == want
+    }, n = 5)
+  }
+
   test("property: incremental sessionization equals full rebuild for any time cut") {
     val s = spark
     import s.implicits._

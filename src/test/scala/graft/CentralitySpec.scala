@@ -161,6 +161,41 @@ class CentralitySpec extends SparkSpec {
     assert(coreOf(edges, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  // ------------------------------------------------------------ label propagation
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    graft.operators.Centrality.labelPropagationRounds(
+      edges.toDF("src", "dst"), "src", "dst", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: a clique converges to its minimum label") {
+    // triangle {1,2,3}: round1 -> (2,1,1), round2 -> (1,1,1), stable
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(lpa(tri, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    assert(lpa(tri, 2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(lpa(tri, 3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation: dense sides keep distinct communities across a bridge") {
+    // two 4-cliques bridged by one edge: by round 3 each side has
+    // flooded to its own minimum; the bridge can't overturn the
+    // majority inside either clique
+    def clique(ns: Seq[Long]) = for { a <- ns; b <- ns if a < b } yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L))
+    val out = lpa(edges, 3)
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L), out.toString)
+    assert(Seq(11L, 12L, 13L).forall(out(_) == 10L), out.toString)
+  }
+
+  test("labelPropagation: ties break to the smallest label; direction and dups canonicalize") {
+    // node 3 sees labels {1, 2} once each after round 1 init -> picks 1
+    val edges = Seq((3L, 1L), (1L, 3L), (2L, 3L), (3L, 3L))
+    assert(lpa(edges, 1) == Map(1L -> 3L, 2L -> 3L, 3L -> 1L))
+  }
+
   test("kCorePeel after convergence equals kCore (extra rounds are the identity)") {
     val s = spark
     import s.implicits._
