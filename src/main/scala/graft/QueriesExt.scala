@@ -419,6 +419,70 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  /** URL canonicalization: deterministic dirty URLs built from doc
+    * ids (mixed-case scheme/host, default ports, tracking params,
+    * fragments, empty paths) normalized to the fetch-dedup key; the
+    * oracle rebuilds the same URLs and replays the same regex chain. */
+  def textUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val id  = col("doc_id").cast("string")
+    val raw = concat(
+      when(col("doc_id") % 4 === 0, lit("HTTPS://")).otherwise(lit("HTTP://")),
+      lit("Example"), (col("doc_id") % 50).cast("string"), lit(".COM"),
+      when(col("doc_id") % 4 === 0, lit(":443"))
+        .when(col("doc_id") % 4 === 1, lit(":80")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("")).otherwise(concat(lit("/Path/"), id)),
+      lit("?utm_source=feed&id="), id,
+      when(col("doc_id") % 2 === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
+      lit("&utm_campaign=x#Frag"))
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.normalizeUrl(raw).as("url_norm"))
+  }
+
+  lazy val textUrlNormalizeSql: String = {
+    val tr = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END) ||
+       |    'Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM' ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ':443'
+       |          WHEN doc_id % 4 = 1 THEN ':80' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN ''
+       |          ELSE '/Path/' || CAST(doc_id AS VARCHAR) END) ||
+       |    '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN '&fbclid=XYZ' ELSE '' END) ||
+       |    '&utm_campaign=x#Frag' AS u
+       |  FROM documents
+       |), s1 AS (
+       |  SELECT doc_id, regexp_replace(u, '#.*$$', '', 'g') AS u FROM raw
+       |), s2 AS (
+       |  SELECT doc_id, regexp_replace(u, '&$tr=[^&#]*', '', 'g') AS u FROM s1
+       |), s3 AS (
+       |  SELECT doc_id, regexp_replace(u, '\\?$tr=[^&#]*&', '?', 'g') AS u FROM s2
+       |), s4 AS (
+       |  SELECT doc_id, regexp_replace(u, '\\?$tr=[^&#]*$$', '', 'g') AS u FROM s3
+       |), s5 AS (
+       |  SELECT doc_id, regexp_replace(u, '[?&]$$', '', 'g') AS u FROM s4
+       |), parts AS (
+       |  SELECT doc_id, u,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS host0,
+       |    regexp_replace(u, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*', '') AS rest0
+       |  FROM s5
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN scheme = '' THEN u
+       |       ELSE scheme || '://' ||
+       |         (CASE WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$$', '')
+       |               WHEN scheme = 'https' THEN regexp_replace(host0, ':443$$', '')
+       |               ELSE host0 END) ||
+       |         (CASE WHEN rest0 = '' THEN '/'
+       |               WHEN substr(rest0, 1, 1) = '?' THEN '/' || rest0
+       |               ELSE rest0 END)
+       |  END AS url_norm
+       |FROM parts
+       |""".stripMargin
+  }
+
   // ================================================================ line-level boilerplate dedup
   /** CCNet/RefinedWeb-style line-level boilerplate removal. The corpus
     * has no newlines, so the gate deterministically re-lines it first —

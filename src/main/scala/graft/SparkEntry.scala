@@ -55,6 +55,8 @@ object SparkEntry {
     "text_normalize" -> (QueriesExt.textNormalize _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
+    // URL canonicalization (the crawl fetch-dedup key)
+    "text_url_normalize" -> (QueriesExt.textUrlNormalize _),
     // corpus vocabulary: term + document frequencies, top-100
     "text_term_freq" -> (QueriesExt.textTermFreq _),
     // capped inverted-index postings
@@ -251,6 +253,7 @@ object SparkEntry {
     "text_stats"                -> QueriesExt.textStatsSql,
     "text_normalize"            -> QueriesExt.textNormalizeSql,
     "text_redact"               -> QueriesExt.textRedactSql,
+    "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,
     "text_postings"             -> QueriesExt.textPostingsSql,
     "text_tfidf"                -> QueriesExt.textTfidfSql,

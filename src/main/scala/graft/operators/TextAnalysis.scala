@@ -201,6 +201,46 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("pair_count"), col("n1"), col("n2"))
   }
 
+  /** Canonicalize a URL for crawl/fetch deduplication — the key under
+    * which two spellings of one resource collide:
+    *
+    *  - fragment dropped (client-side only);
+    *  - tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *    `msclkid`) wherever they sit in the query, with separator
+    *    repair and trailing `?`/`&` cleanup;
+    *  - scheme and host lowercased (case-insensitive per RFC 3986) —
+    *    path/query case PRESERVED (significant);
+    *  - default ports stripped (`:80` for http, `:443` for https);
+    *  - empty path becomes `/` (`http://x.com` == `http://x.com/`).
+    *
+    * Scan-local regex/extract chain, no UDF, no shuffle; every pattern
+    * is lookaround-free so the same strings are valid Java (Spark) and
+    * RE2 (DuckDB oracle) regexes. Strings without a `scheme://` prefix
+    * pass through with only the fragment/tracking cleanup. */
+  def normalizeUrl(url: Column): Column = {
+    val trackers = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
+    val noFrag   = regexp_replace(trim(url), "#.*$", "")
+    // non-first params, then a first param followed by another, then a
+    // lone first param, then any dangling separator
+    val p1 = regexp_replace(noFrag, s"&$trackers=[^&#]*", "")
+    val p2 = regexp_replace(p1, s"\\?$trackers=[^&#]*&", "?")
+    val p3 = regexp_replace(p2, s"\\?$trackers=[^&#]*$$", "")
+    val cleaned = regexp_replace(p3, "[?&]$", "")
+    val schemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(cleaned, schemePat, 1))
+    val host0  = lower(regexp_extract(cleaned, schemePat + "([^/?#]*)", 2))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest0 = regexp_replace(cleaned, schemePat + "[^/?#]*", "")
+    val rest = when(rest0 === "", lit("/"))
+      .when(substring(rest0, 1, 1) === "?", concat(lit("/"), rest0))
+      .otherwise(rest0)
+    when(url.isNull, lit(null))
+      .when(scheme === "", cleaned)
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
   /** PII redaction patterns, applied in order (emails before URLs so a
     * mailto-ish token cannot be half-eaten by the URL rule; IPs last so
     * URL hosts keep priority). Kept to constructs with identical

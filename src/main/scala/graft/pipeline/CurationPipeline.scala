@@ -244,6 +244,12 @@ object CurationPipeline {
         .filter(col("keep")).select(col(c.idCol))
       c.input.join(keep, Seq(c.idCol), "left_semi")
     }),
+    // canonicalize a URL column in place (the crawl fetch-dedup key)
+    "url_normalize" -> Op(Set("column"), { c =>
+      val cn = c.params.reqStr("column")
+      require(c.input.columns.contains(cn), s"url_normalize: no such column '$cn'")
+      c.input.withColumn(cn, TextAnalysis.normalizeUrl(col(cn)))
+    }),
     // normalize / redact rewrite the text column in place
     "normalize" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.normalized(col(c.textCol)))

@@ -316,6 +316,36 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
   }
 
+  // ------------------------------------------------------------ URL canonicalization
+
+  test("normalizeUrl: hand-checked canonical forms") {
+    val cases = Seq(
+      // scheme/host lowercased, default port stripped, trackers out,
+      // path+query case preserved, fragment dropped
+      "HTTP://WWW.Example.COM:80/Path/One?utm_source=a&x=1&fbclid=z#frag"
+        -> "http://www.example.com/Path/One?x=1",
+      // empty path -> '/', :443 stripped under https only
+      "https://A.b:443" -> "https://a.b/",
+      "https://a.b:8443/x" -> "https://a.b:8443/x",
+      "http://a.b:443/x" -> "http://a.b:443/x",
+      // a query that becomes empty loses its '?'; path still added
+      "http://a.b?utm_a=1" -> "http://a.b/",
+      // consecutive leading trackers fold away
+      "http://a.b/p?utm_a=1&utm_b=2&q=1" -> "http://a.b/p?q=1",
+      // query preserved before an empty path
+      "HTTP://A.B?id=2" -> "http://a.b/?id=2",
+      // no scheme: only the cleanup half applies
+      "example.com/Path?utm_source=1&q=2" -> "example.com/Path?q=2")
+    val got = cases.map(_._1).toDF("u")
+      .select(operators.TextAnalysis.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+    // null passes through as null
+    val n = Seq((1, Option.empty[String])).toDF("i", "u")
+      .select(operators.TextAnalysis.normalizeUrl(col("u"))).head()
+    assert(n.isNullAt(0))
+  }
+
   // ------------------------------------------------------------ co-occurrence
 
   private def cooc(
