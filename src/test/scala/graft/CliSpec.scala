@@ -189,6 +189,22 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pipeline subcommand: examples/web_pipeline.yaml runs the round-7 surface end-to-end") {
+    val out = tempDir()
+    Cli.run(Seq("pipeline", "examples/web_pipeline.yaml", sf("sf0.001"), out), spark)
+    val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+    assert(spark.read.parquet(s"$out/validated").count() == docs.count())
+    val shuffled = spark.read.parquet(s"$out/shuffled")
+    // survivor steps shrink or hold; annotations ride through the chain
+    assert(shuffled.count() <= docs.count() && shuffled.count() > 0)
+    for (c <- Seq("doc_id", "text", "n_tokens_est", "shard", "pos"))
+      assert(shuffled.columns.contains(c), s"missing $c")
+    // the manifest records all five steps
+    val manifest = Files.readString(Paths.get(out, "pipeline_manifest.json"))
+    for (t <- Seq("validated", "unlined", "deduped", "budgeted", "shuffled"))
+      assert(manifest.contains(s""""name":"$t""""), s"manifest missing $t")
+  }
+
   test("pipeline subcommand: expect gate passes clean corpora through, blocks dirty ones unpublished") {
     val s = spark
     import s.implicits._
