@@ -454,14 +454,23 @@ object QueriesExt {
        |  FROM documents
        |), s1 AS (
        |  SELECT doc_id, regexp_replace(u, '#.*$$', '', 'g') AS u FROM raw
-       |), s2 AS (
-       |  SELECT doc_id, regexp_replace(u, '&$tr=[^&#]*', '', 'g') AS u FROM s1
-       |), s3 AS (
-       |  SELECT doc_id, regexp_replace(u, '\\?$tr=[^&#]*&', '?', 'g') AS u FROM s2
-       |), s4 AS (
-       |  SELECT doc_id, regexp_replace(u, '\\?$tr=[^&#]*$$', '', 'g') AS u FROM s3
+       |), split AS (
+       |  SELECT doc_id,
+       |         regexp_replace(u, '\\?.*$$', '', 'g') AS base,
+       |         regexp_extract(u, '\\?(.*)$$', 1) AS q
+       |  FROM s1
+       |), q1 AS (
+       |  SELECT doc_id, base, regexp_replace(q, '&$tr=[^&]*', '', 'g') AS q FROM split
+       |), q2 AS (
+       |  SELECT doc_id, base, regexp_replace(q, '^$tr=[^&]*&', '', 'g') AS q FROM q1
+       |), q3 AS (
+       |  SELECT doc_id, base, regexp_replace(q, '^$tr=[^&]*$$', '', 'g') AS q FROM q2
+       |), q4 AS (
+       |  SELECT doc_id, base, regexp_replace(q, '&+$$', '', 'g') AS q FROM q3
        |), s5 AS (
-       |  SELECT doc_id, regexp_replace(u, '[?&]$$', '', 'g') AS u FROM s4
+       |  SELECT doc_id,
+       |         CASE WHEN q = '' THEN base ELSE base || '?' || q END AS u
+       |  FROM q4
        |), parts AS (
        |  SELECT doc_id, u,
        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -1783,8 +1792,11 @@ object QueriesExt {
     * are spec-verified (TextTablesSpec) — this gate pins the
     * clean-path fidelity the quarantine contract builds on. */
   def sourceJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val d   = docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-gate").toString
+    val d = docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
+    // deterministic scratch path + overwrite: a fresh temp dir per
+    // invocation would accumulate a corpus copy on every gate run
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-jsonl-gate").toString
     d.write.mode("overwrite").json(tmp)
     sources.TextTables.quarantine(
       sources.TextTables.readJsonl(s, tmp, d.schema))._1

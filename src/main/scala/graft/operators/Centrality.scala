@@ -136,10 +136,15 @@ object Centrality {
     // oracle hit). The final snapshot backs the returned plan, the
     // [[kCore]] / [[pageRank]] convention.
     var snap = Lineage.snapshot(canonical(edges, srcCol, dstCol))
-    (1 to rounds).foreach { _ =>
-      val next = Lineage.snapshot(peelOnce(snap.df, k))
-      snap.release()
-      snap = next
+    try {
+      (1 to rounds).foreach { _ =>
+        val next = Lineage.snapshot(peelOnce(snap.df, k))
+        snap.release()
+        snap = next
+      }
+    } catch { case t: Throwable =>
+      snap.release() // a mid-round failure must not pin the blocks
+      throw t
     }
     degrees(snap.df)
   }
@@ -168,14 +173,19 @@ object Centrality {
     var count = snap.df.count()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val next  = Lineage.snapshot(peelOnce(snap.df, k))
-      val nCnt  = next.df.count()
-      converged = nCnt == count
-      snap.release()
-      snap  = next
-      count = nCnt
-      i += 1
+    try {
+      while (!converged && i < maxIter) {
+        val next  = Lineage.snapshot(peelOnce(snap.df, k))
+        val nCnt  = next.df.count()
+        converged = nCnt == count
+        snap.release()
+        snap  = next
+        count = nCnt
+        i += 1
+      }
+    } catch { case t: Throwable =>
+      snap.release() // a mid-round failure must not pin the blocks
+      throw t
     }
     if (!converged) {
       snap.release() // don't leak the persisted blocks on the error path
@@ -211,18 +221,24 @@ object Centrality {
       e.df.select(col("a").as("node")).union(e.df.select(col("b").as("node")))
         .distinct()
         .withColumn("lbl", col("node")))
-    (1 to rounds).foreach { _ =>
-      val cand = neigh.join(
-        labels.df.select(col("node").as("nb"), col("lbl")), Seq("nb"))
-      // argmax by (count desc, label asc) via min over (-count, label)
-      // — a struct min, no window
-      val next = Lineage.snapshot(
-        cand.groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("node"))
-          .agg(min(struct((-col("c")).as("negc"), col("lbl"))).as("m"))
-          .select(col("node"), col("m.lbl").as("lbl")))
-      labels.release()
-      labels = next
+    try {
+      (1 to rounds).foreach { _ =>
+        val cand = neigh.join(
+          labels.df.select(col("node").as("nb"), col("lbl")), Seq("nb"))
+        // argmax by (count desc, label asc) via min over (-count, label)
+        // — a struct min, no window
+        val next = Lineage.snapshot(
+          cand.groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+            .groupBy(col("node"))
+            .agg(min(struct((-col("c")).as("negc"), col("lbl"))).as("m"))
+            .select(col("node"), col("m.lbl").as("lbl")))
+        labels.release()
+        labels = next
+      }
+    } catch { case t: Throwable =>
+      labels.release() // mid-round failure: pin nothing
+      e.release()
+      throw t
     }
     e.release()
     labels.df

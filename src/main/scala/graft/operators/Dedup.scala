@@ -764,6 +764,8 @@ object Dedup {
       minDf: Int = 2, delim: String = "\n"
   ): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2 (1 would drop every non-blank line), got $minDf")
+    guardLineCols(idCol) // before lineDf builds frames: the curated
+    // message must win over an ambiguous-reference analysis error
     lineDedupAgainst(docs, idCol, textCol,
       lineDf(docs, idCol, textCol, delim)
         .filter(col("n_docs") >= minDf).select(col("line")),
@@ -776,11 +778,13 @@ object Dedup {
     * counts are additive across disjoint batches). */
   def lineDf(
       docs: DataFrame, idCol: String, textCol: String, delim: String = "\n"
-  ): DataFrame =
+  ): DataFrame = {
+    guardLineCols(idCol)
     lineRows(docs, idCol, textCol, delim)
       .filter(trim(col("line")) =!= "")
       .groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
+  }
 
   /** [[lineDedup]] against an EXTERNAL duplicated-line set (one `line`
     * column) — the admission path: clean a batch against a maintained
@@ -790,8 +794,7 @@ object Dedup {
       delim: String = "\n"
   ): DataFrame = {
     require(delim.nonEmpty, "delim must be non-empty")
-    require(idCol != "line" && idCol != "n_lines" && idCol != "n_removed" && idCol != "text_clean",
-      s"idCol '$idCol' collides with a lineDedup output column")
+    guardLineCols(idCol)
     // distinct on the external set: a duplicate hot row would multiply
     // matching line rows through the join and silently inflate
     // n_lines/n_removed — cheap insurance on the small side
@@ -811,6 +814,10 @@ object Dedup {
             e => e.getField("line")),
           delim).as("text_clean"))
   }
+
+  private def guardLineCols(idCol: String): Unit =
+    require(!Seq("line", "idx", "n_lines", "n_removed", "text_clean").contains(idCol),
+      s"idCol '$idCol' collides with a lineDedup working/output column")
 
   private def lineRows(
       docs: DataFrame, idCol: String, textCol: String, delim: String): DataFrame =

@@ -111,10 +111,12 @@ object Profile {
     * scale; partition the scan and merge moments when a single fold
     * would exceed it. */
   /** True when the native 128-bit product-sum aggregate is registered
-    * (GraftExtensions active) — the [[graft.operators.Similarity]]
-    * cosine fallback convention. */
-  private def sp128Registered: Boolean = scala.util.Try(
-    org.apache.spark.sql.SparkSession.active.catalog
+    * in THE FRAME'S OWN session (not `SparkSession.active` — a wrong
+    * guess here is an analysis error at `call_function` resolution,
+    * not a graceful degrade, so the check must hit the registry the
+    * plan will resolve against). */
+  private def sp128Registered(df: DataFrame): Boolean = scala.util.Try(
+    df.sparkSession.catalog
       .functionExists(graft.functions.SumProduct128.FUNC_NAME)).getOrElse(false)
 
   def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -124,7 +126,7 @@ object Profile {
       (c1, i) <- cols.zipWithIndex
       c2      <- cols.drop(i)
     } yield (c1, c2)).zipWithIndex
-    val native = sp128Registered
+    val native = sp128Registered(df)
     // ONE pre-projection computes each column's decimal (or, on the
     // native path, micro-scaled long) exactly once per row — aggregate
     // children each re-evaluate their own expression tree, so placing

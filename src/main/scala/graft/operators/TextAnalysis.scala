@@ -220,12 +220,19 @@ object TextAnalysis {
   def normalizeUrl(url: Column): Column = {
     val trackers = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
     val noFrag   = regexp_replace(trim(url), "#.*$", "")
+    // split at the FIRST '?' and clean trackers in the QUERY ONLY — a
+    // path segment may legally contain '&' (RFC 3986 pchar), and a
+    // whole-string pass would delete tracker-shaped path text,
+    // colliding distinct resources under one key
+    val base  = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
     // non-first params, then a first param followed by another, then a
-    // lone first param, then any dangling separator
-    val p1 = regexp_replace(noFrag, s"&$trackers=[^&#]*", "")
-    val p2 = regexp_replace(p1, s"\\?$trackers=[^&#]*&", "?")
-    val p3 = regexp_replace(p2, s"\\?$trackers=[^&#]*$$", "")
-    val cleaned = regexp_replace(p3, "[?&]$", "")
+    // lone first/only param
+    val q1 = regexp_replace(query, s"&$trackers=[^&]*", "")
+    val q2 = regexp_replace(q1, s"^$trackers=[^&]*&", "")
+    val q3 = regexp_replace(q2, s"^$trackers=[^&]*$$", "")
+    val q4 = regexp_replace(q3, "&+$", "") // dangling separator noise
+    val cleaned = when(q4 === "", base).otherwise(concat(base, lit("?"), q4))
     val schemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
     val scheme = lower(regexp_extract(cleaned, schemePat, 1))
     val host0  = lower(regexp_extract(cleaned, schemePat + "([^/?#]*)", 2))

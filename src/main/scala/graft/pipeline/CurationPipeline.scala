@@ -305,20 +305,22 @@ object CurationPipeline {
         checks += Expectations.Check("non_empty_text",
           trim(col(c.textCol)).isNotNull && trim(col(c.textCol)) =!= "")
       val rowChecks = checks.result()
-      if (rowChecks.nonEmpty)
-        Expectations.rowChecks(c.input, c.idCol, rowChecks)
-          .filter(col("n_violations") > 0).collect()
-          .foreach(r => fails += s"${r.getString(0)}: ${r.getLong(1)} rows " +
-            s"(e.g. ${c.idCol}=${r.get(2)})")
-      c.params.str("unique", "") match {
-        case "" =>
+      val uniqueOpt = c.params.str("unique", "") match {
+        case "" => None
         case cn =>
           require(c.input.columns.contains(cn), s"expect: no such column '$cn'")
-          Expectations.uniqueness(c.input, cn, s"unique_$cn")
-            .filter(col("n_violations") > 0).collect()
-            .foreach(r => fails += s"${r.getString(0)}: ${r.getLong(1)} rows " +
-              s"(e.g. $cn=${r.get(2)})")
+          Some(cn)
       }
+      // one violations report (Expectations.validate unions row checks
+      // and uniqueness), one collect
+      val report = (rowChecks.nonEmpty, uniqueOpt) match {
+        case (true, u)        => Some(Expectations.validate(c.input, c.idCol, rowChecks, u))
+        case (false, Some(k)) => Some(Expectations.uniqueness(c.input, k, s"${k}_unique"))
+        case _                => None
+      }
+      report.foreach(_.filter(col("n_violations") > 0).collect()
+        .foreach(r => fails += s"${r.getString(0)}: ${r.getLong(1)} rows " +
+          s"(e.g. key=${r.get(2)})"))
       val minRows = c.params.long("minRows", 0L)
       if (minRows > 0L) {
         val n = c.input.count()
@@ -365,9 +367,14 @@ object CurationPipeline {
     // pass through untouched.
     "semdedup" -> Op(Set("embeddings", "id", "vec", "k", "minCosine", "maxCluster"), { c =>
       val eid = c.params.str("id", c.idCol)
-      val et  = c.resolve(c.params.reqStr("embeddings"))
+      val vec = c.params.str("vec", "embedding")
+      // a NULL vector is "no embedding": filtered here so such docs
+      // take the pass-through branch (semDedup's null-cluster rule
+      // would otherwise drop them from BOTH kept and noEmb)
+      val et = c.resolve(c.params.reqStr("embeddings"))
+        .filter(col(vec).isNotNull)
         .join(c.input.select(col(c.idCol).as(eid)), Seq(eid), "left_semi")
-      val kept = graft.operators.Similarity.semDedup(et, eid, c.params.str("vec", "embedding"),
+      val kept = graft.operators.Similarity.semDedup(et, eid, vec,
         k = c.params.int("k", 64), minCosine = c.params.double("minCosine", 0.9),
         maxCluster = c.params.int("maxCluster", 10000))
         .select(col(eid).as(c.idCol))

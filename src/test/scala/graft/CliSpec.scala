@@ -248,7 +248,7 @@ class CliSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       Cli.run(Seq("pipeline", badYaml.toString, src2, out2), spark))
     assert(e.getMessage.contains("not_null_lang"), e.getMessage)
-    assert(e.getMessage.contains("unique_doc_id"), e.getMessage)
+    assert(e.getMessage.contains("doc_id_unique"), e.getMessage)
     assert(e.getMessage.contains("min_rows"), e.getMessage)
     // the staged write never promoted: no published table
     assert(!Files.exists(Paths.get(out2, "validated")),
