@@ -1378,6 +1378,88 @@ object QueriesExt {
        |FROM ranked WHERE rk <= 5
        |""".stripMargin
 
+  // ================================================================ BM25 terms
+  /** Okapi BM25 (k1=1.2, b=0.75) for the top-5 terms per document —
+    * the length-normalized retrieval scorer that complements
+    * [[textTfidf]] (quality-vs-reference-corpus filters and ranked
+    * retrieval both run on BM25, not raw tf·idf). Ranking reuses
+    * tfidf's integer-exact keys (tf desc, df asc, token) so row
+    * selection is bit-reproducible across engines; the BM25 score —
+    * whose ln/division chain is not a sound cross-engine sort key —
+    * is emitted as a 6-decimal output column with an expression tree
+    * written identically on both sides. Shape at scale: the SAME
+    * single-tokenize structure as tfidf (spec-pinned); doc length
+    * `dl` is a window SUM over the tf aggregate (tf rows are distinct
+    * per (doc, token)), sharing the doc_id exchange with the rank
+    * window. The corpus length + doc count come from ONE extra
+    * scan-local pass over documents (`sum(size(tokens))`, a partial
+    * agg — NOT a second explode or a global window, both of which
+    * re-shuffle the token stream; a `tf.agg(sum)` lineage was
+    * rejected on plan evidence: Spark plans the shared tf subplan
+    * twice, re-tokenizing the corpus). */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val globals = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(filter(TextAnalysis.tokens(col("text")), t => t =!= "")))
+        .as("corpus_len"))
+    val tokens = d
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    val avgdl = col("corpus_len").cast("double") / col("n_docs")
+    tf.withColumn("df", count(lit(1)).over(wTok))
+      .withColumn("dl", sum(col("tf")).over(wDoc))
+      .crossJoin(broadcast(globals))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("dl"),
+        row_number().over(w).as("rk"),
+        round(
+          log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)),
+          6).as("bm25"))
+      .filter(col("rk") <= 5)
+  }
+
+  lazy val textBm25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.token
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |       unnest(w) AS t(token)
+       |  WHERE t.token <> ''
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT doc_id, token, tf,
+       |         CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+       |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+       |  FROM tf
+       |), n AS (
+       |  SELECT count(*) AS n_docs FROM documents
+       |), tot AS (
+       |  SELECT CAST(sum(tf) AS BIGINT) AS corpus_len FROM tf
+       |), ranked AS (
+       |  SELECT s.doc_id, s.token, s.tf, s.df, s.dl,
+       |         row_number() OVER (PARTITION BY s.doc_id
+       |                            ORDER BY s.tf DESC, s.df, s.token) AS rk,
+       |         round(
+       |           ln((CAST(n.n_docs AS DOUBLE) - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+       |             (s.tf * 2.2) /
+       |             (s.tf + 1.2 * (0.25 + 0.75 * s.dl /
+       |                (CAST(tot.corpus_len AS DOUBLE) / n.n_docs))),
+       |           6) AS bm25
+       |  FROM stats s, n, tot
+       |)
+       |SELECT doc_id, token, tf, df, dl, CAST(rk AS INTEGER) AS rk, bm25
+       |FROM ranked WHERE rk <= 5
+       |""".stripMargin
+
   // ================================================================ PII redaction
   /** The synthetic corpus carries no organic PII, so the gate
     * CONSTRUCTS it deterministically from corpus columns — both engines

@@ -63,6 +63,8 @@ object SparkEntry {
     "text_postings"  -> (QueriesExt.textPostings _),
     // per-doc characteristic terms (integer-exact ranking, ln score)
     "text_tfidf" -> (QueriesExt.textTfidf _),
+    // Okapi BM25 top terms (length-normalized retrieval scorer)
+    "text_bm25" -> (QueriesExt.textBm25 _),
     // grouped top-k via the WindowGroupLimit rank rewrite
     "events_topk" -> (QueriesEvents.eventsTopk _),
     // context-window chunking + repetition quality filter
@@ -257,6 +259,7 @@ object SparkEntry {
     "text_term_freq"            -> QueriesExt.textTermFreqSql,
     "text_postings"             -> QueriesExt.textPostingsSql,
     "text_tfidf"                -> QueriesExt.textTfidfSql,
+    "text_bm25"                 -> QueriesExt.textBm25Sql,
     "events_topk"               -> QueriesEvents.eventsTopkSql,
     "text_chunks"               -> QueriesExt.textChunksSql,
     "text_pack"                 -> QueriesExt.textPackSql,

@@ -293,6 +293,20 @@ class TextPipelineSpec extends SparkSpec {
       s"df must derive from the tf aggregate, not re-explode the corpus — got $explodes explodes:\n$plan")
   }
 
+  test("textBm25 keeps tfidf's single-tokenize shape and ranks identically") {
+    val bm = QueriesExt.textBm25(spark, sf("sf0.001"))
+    val plan = bm.queryExecution.executedPlan.toString
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes == 1,
+      s"df/dl must derive from the tf aggregate, not re-explode the corpus — got $explodes explodes:\n$plan")
+    // same integer-exact ranking keys as tfidf → identical selected rows
+    val bmKeys = bm.select("doc_id", "token", "rk")
+    val tfKeys = QueriesExt.textTfidf(spark, sf("sf0.001")).select("doc_id", "token", "rk")
+    assert(bmKeys.except(tfKeys).isEmpty && tfKeys.except(bmKeys).isEmpty)
+    // BM25 scores are positive and finite for every selected term
+    assert(bm.filter(col("bm25") <= 0 || col("bm25").isNull).count() == 0)
+  }
+
   test("bpe pieces split words, digits, punctuation, and CJK the documented way") {
     import spark.implicits._
     val got = Seq("Hello, world42! 你好 extraordinarily")
