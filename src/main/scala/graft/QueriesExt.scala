@@ -1590,6 +1590,16 @@ object QueriesExt {
     operators.Similarity.semDedupFast(emb(s, dir), "vec_id", "embedding",
       k = 8, minCosine = 0.45)
 
+  /** The oversized-cluster skip, SURFACED (VERDICT r7 #2): maxCluster
+    * is set BELOW the corpus's largest k=8 cluster (48–71 members at
+    * the gate SFs), so some clusters prune normally
+    * (`pruned_eligible = 1`) while the oversized ones pass every
+    * member through flagged `pruned_eligible = 0` — both regimes
+    * pinned by one oracle. */
+  def embedSemdedupFlagged(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.semDedupAudit(emb(s, dir), "vec_id", "embedding",
+      k = 8, minCosine = 0.45, maxCluster = 60)
+
   /** Oracle: the [[embedKmeansAssignSql]] assignment CTEs, then exact
     * decimal pair dots within each cluster and the greedy
     * smaller-id-wins prune. */
@@ -1635,6 +1645,34 @@ object QueriesExt {
        |SELECT vid AS vec_id, cluster FROM assigned
        |WHERE vid NOT IN (SELECT vid FROM pruned)
        |""".stripMargin
+
+  /** Oracle for the flagged variant: identical CTEs with the pair
+    * space restricted to clusters of size in [2, 60]; oversized
+    * clusters surface every member with pruned_eligible = 0. */
+  lazy val embedSemdedupFlaggedSql: String = {
+    val base = embedSemdedupSql
+      // 5 references to `assigned` after the splice — materialize once
+      // (the DuckDB plain-CTE inlining trap)
+      .replace("), assigned AS (", "), assigned AS MATERIALIZED (")
+      .replace("), pdots AS (",
+        """), csz AS (
+          |  SELECT cluster, count(*) AS cn FROM assigned GROUP BY 1
+          |), eligible AS (
+          |  SELECT a.vid FROM assigned a JOIN csz USING (cluster)
+          |  WHERE cn BETWEEN 2 AND 60
+          |), pdots AS (""".stripMargin)
+      .replace("JOIN assigned aa ON aa.vid = pa.vid",
+        "JOIN assigned aa ON aa.vid = pa.vid\n  JOIN eligible ea ON ea.vid = pa.vid")
+      .replace("""SELECT vid AS vec_id, cluster FROM assigned
+                 |WHERE vid NOT IN (SELECT vid FROM pruned)""".stripMargin,
+        """SELECT a.vid AS vec_id, a.cluster,
+          |       CAST(CASE WHEN cn <= 60 THEN 1 ELSE 0 END AS INTEGER) AS pruned_eligible
+          |FROM assigned a JOIN csz USING (cluster)
+          |WHERE a.vid NOT IN (SELECT vid FROM pruned)""".stripMargin)
+    require(base.contains("csz") && base.contains("pruned_eligible"),
+      "embedSemdedupFlaggedSql: template splice failed — base oracle changed shape")
+    base
+  }
 
   // ---------------------------------------------------------- token diversity
   /** Per-document lexical diversity: token count, distinct tokens, and

@@ -220,6 +220,7 @@ object SparkEntry {
     // SemDeDup: cluster-then-prune semantic dedup (pair space bounded
     // by the cluster structure, not N^2)
     "embed_semdedup"        -> (QueriesExt.embedSemdedup _),
+    "embed_semdedup_flagged" -> (QueriesExt.embedSemdedupFlagged _),
     // multimodal binary plumbing (stubbed decode, frame sampling)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
     "multimodal_frames" -> (QueriesExt.multimodalFrames _),
@@ -343,6 +344,7 @@ object SparkEntry {
     "embed_knn_brute"           -> QueriesExt.embedKnnBruteSql,
     "embed_cosine_neardup"      -> QueriesExt.embedCosineNearDupSql,
     "embed_semdedup"            -> QueriesExt.embedSemdedupSql,
+    "embed_semdedup_flagged"    -> QueriesExt.embedSemdedupFlaggedSql,
     "multimodal_decode"         -> QueriesExt.multimodalDecodeSql,
     "multimodal_frames"         -> QueriesExt.multimodalFramesSql,
     "multimodal_resize"         -> QueriesExt.multimodalResizeSql

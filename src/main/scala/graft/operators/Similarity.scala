@@ -147,7 +147,13 @@ object Similarity {
     * Clusters larger than `maxCluster` are left UNPRUNED (members all
     * survive): a degenerate cluster means k is too small for the
     * corpus, and silently exploding the pair space would be worse than
-    * not pruning it — raise k (re-cluster) instead.
+    * not pruning it — raise k (re-cluster) instead. That skip is NOT
+    * silent: [[semDedupAudit]] returns the per-row `pruned_eligible`
+    * flag (0 = the row's cluster exceeded the cap and passed through
+    * unpruned), and `failOnOversized = true` raises in-plan on the
+    * first oversized cluster (the [[Intervals.intervalJoin]] fail-loud
+    * cap pattern — distributed, no driver pre-scan), for runs that
+    * would rather abort than under-prune.
     *
     * Scale shape: centroids are a bounded k-row collect, assignment is
     * the scan-local codegen'd [[Kmeans.assign]] path, pair dots
@@ -156,17 +162,56 @@ object Similarity {
     * oracle reproduces the prune bit-for-bit. */
   def semDedup(
       embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, maxCluster: Int = 10000,
+      failOnOversized: Boolean = false
+  ): DataFrame =
+    semDedupCore(embeddings, idCol, vecCol, k, minCosine, maxCluster, failOnOversized)
+      .select(col("vid").as(idCol), col("cluster"))
+
+  /** [[semDedup]] with the oversized-cluster skip SURFACED: same
+    * survivor rows, plus `pruned_eligible` (INT 0/1; 0 = this row's
+    * cluster had more than `maxCluster` members, so the greedy prune
+    * never considered it and every member survived). A production run
+    * aggregates the flag (`sum(1 - pruned_eligible)`) to see exactly
+    * how much corpus passed through unpruned instead of discovering it
+    * months later in eval loss. */
+  def semDedupAudit(
+      embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, minCosine: Double, maxCluster: Int = 10000
+  ): DataFrame =
+    semDedupCore(embeddings, idCol, vecCol, k, minCosine, maxCluster, failOnOversized = false)
+      .select(col("vid").as(idCol), col("cluster"), col("pruned_eligible"))
+
+  /** Cluster assignment with per-cluster size `__cn` and, when
+    * `failOnOversized`, the in-plan raise on the first `__cn` above the
+    * cap (evaluated wherever `__cn` is — the eligibility filter forces
+    * it on every row). */
+  private def assignedWithSize(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxCluster: Int, failOnOversized: Boolean
   ): DataFrame = {
     val cents = Kmeans.initLowestIds(embeddings, idCol, vecCol, k)
     val assigned = Kmeans.assign(embeddings, idCol, vecCol, cents)
       .select(col(idCol).as("vid"), col("cluster"))
       .filter(col("cluster").isNotNull)
     val w = Window.partitionBy(col("cluster"))
-    val pairable = assigned
-      .withColumn("__cn", count(lit(1)).over(w))
+    val withCn = assigned.withColumn("__cn", count(lit(1)).over(w))
+    if (!failOnOversized) withCn
+    else withCn.withColumn("__cn",
+      when(col("__cn") > maxCluster, raise_error(concat(
+        lit("semDedup: cluster "), col("cluster"), lit(" has "), col("__cn"),
+        lit(s" members > maxCluster=$maxCluster — raise k (re-cluster) or maxCluster"))))
+        .otherwise(col("__cn")))
+  }
+
+  private def semDedupCore(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, maxCluster: Int, failOnOversized: Boolean
+  ): DataFrame = {
+    val withCn = assignedWithSize(embeddings, idCol, vecCol, k, maxCluster, failOnOversized)
+    val pairable = withCn
       .filter(col("__cn").between(2, maxCluster))
-      .drop("__cn")
+      .select(col("vid"), col("cluster"))
     val pos = embeddings.select(
       col(idCol).as("vid"),
       posexplode(col(vecCol)).as(Seq("pos", "v")))
@@ -187,8 +232,9 @@ object Similarity {
       .filter(col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= minCosine)
       .select(col("hi").as("vid")).distinct()
-    assigned.join(pruned, Seq("vid"), "left_anti")
-      .select(col("vid").as(idCol), col("cluster"))
+    withCn.join(pruned, Seq("vid"), "left_anti")
+      .select(col("vid"), col("cluster"),
+        (col("__cn") <= maxCluster).cast("int").as("pruned_eligible"))
   }
 
   /** [[semDedup]]'s PRODUCTION shape: identical clustering and greedy
@@ -202,25 +248,38 @@ object Similarity {
     * threshold (spec-compared on the gate data). */
   def semDedupFast(
       embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, maxCluster: Int = 10000,
+      failOnOversized: Boolean = false
+  ): DataFrame =
+    semDedupFastCore(embeddings, idCol, vecCol, k, minCosine, maxCluster, failOnOversized)
+      .select(col("vid").as(idCol), col("cluster"))
+
+  /** [[semDedupFast]] with the [[semDedupAudit]] `pruned_eligible`
+    * flag (0 = cluster over the cap, passed through unpruned). */
+  def semDedupFastAudit(
+      embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, minCosine: Double, maxCluster: Int = 10000
+  ): DataFrame =
+    semDedupFastCore(embeddings, idCol, vecCol, k, minCosine, maxCluster, failOnOversized = false)
+      .select(col("vid").as(idCol), col("cluster"), col("pruned_eligible"))
+
+  private def semDedupFastCore(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, maxCluster: Int, failOnOversized: Boolean
   ): DataFrame = {
-    val cents = Kmeans.initLowestIds(embeddings, idCol, vecCol, k)
-    val assigned = Kmeans.assign(embeddings, idCol, vecCol, cents)
-      .select(col(idCol).as("vid"), col("cluster"))
-      .filter(col("cluster").isNotNull)
-    val w = Window.partitionBy(col("cluster"))
-    val pairable = assigned
-      .withColumn("__cn", count(lit(1)).over(w))
+    val withCn = assignedWithSize(embeddings, idCol, vecCol, k, maxCluster, failOnOversized)
+    val pairable = withCn
       .filter(col("__cn").between(2, maxCluster))
-      .drop("__cn")
+      .select(col("vid"), col("cluster"))
       .join(embeddings.select(col(idCol).as("vid"), col(vecCol).as("__v")), Seq("vid"))
     val pruned = pairable.as("a")
       .join(pairable.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vid") > col("b.vid"))
       .filter(cosine(col("a.__v"), col("b.__v")) >= minCosine)
       .select(col("a.vid").as("vid")).distinct()
-    assigned.join(pruned, Seq("vid"), "left_anti")
-      .select(col("vid").as(idCol), col("cluster"))
+    withCn.join(pruned, Seq("vid"), "left_anti")
+      .select(col("vid"), col("cluster"),
+        (col("__cn") <= maxCluster).cast("int").as("pruned_eligible"))
   }
 
   /** All pairs with cosine >= `minCosine` (embedding near-duplicate

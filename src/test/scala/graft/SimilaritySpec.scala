@@ -169,6 +169,44 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped.count() === 5)
   }
 
+  test("semDedup oversized-cluster skip is surfaced: audit flag, fail-loud, fast parity") {
+    import spark.implicits._
+    // cluster 0 (around id0 = x-axis): 4 members incl. a near-dup pair;
+    // cluster 1 (around id1 = y-axis): 2 members, also a near-dup pair
+    val vecs = Seq(
+      (0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)),
+      (2L, Seq(10.1f, 0.1f)), (3L, Seq(0.1f, 9.9f)),
+      (4L, Seq(9.8f, 0.2f)), (5L, Seq(10.2f, 0f))
+    ).toDF("vec_id", "embedding")
+    // cap = 3: the x cluster (4 members) is oversized -> ALL survive
+    // flagged 0; the y cluster (2 members) prunes id3, flagged 1
+    val audit = Similarity.semDedupAudit(
+      vecs, "vec_id", "embedding", k = 2, minCosine = 0.9, maxCluster = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(audit === Map(0L -> 0, 2L -> 0, 4L -> 0, 5L -> 0, 1L -> 1), s"got $audit")
+    val fastAudit = Similarity.semDedupFastAudit(
+      vecs, "vec_id", "embedding", k = 2, minCosine = 0.9, maxCluster = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(fastAudit === audit)
+    // opt-in fail-loud: same corpus raises in-plan instead of under-pruning
+    val ex = intercept[Exception] {
+      Similarity.semDedup(vecs, "vec_id", "embedding",
+        k = 2, minCosine = 0.9, maxCluster = 3, failOnOversized = true).collect()
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg(ex).contains("maxCluster=3"), s"unexpected failure: ${msg(ex)}")
+    val ex2 = intercept[Exception] {
+      Similarity.semDedupFast(vecs, "vec_id", "embedding",
+        k = 2, minCosine = 0.9, maxCluster = 3, failOnOversized = true).collect()
+    }
+    assert(msg(ex2).contains("maxCluster=3"), s"unexpected failure: ${msg(ex2)}")
+    // cap above every cluster: flags all 1, survivors = the plain prune
+    val allEligible = Similarity.semDedupAudit(
+      vecs, "vec_id", "embedding", k = 2, minCosine = 0.9, maxCluster = 100)
+    assert(allEligible.agg(min("pruned_eligible")).head.getInt(0) === 1)
+  }
+
   test("null embeddings flow through brute/LSH/IVF knn without NPEs or rank pollution") {
     import spark.implicits._
     val dim = 8
