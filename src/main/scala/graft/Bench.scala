@@ -40,6 +40,8 @@ object Bench {
     "events_sessionize"         -> (QueriesEvents.eventsSessionize _),
     "events_sessionize_incremental" -> (QueriesEvents.eventsSessionizeIncremental _),
     "events_attribution"        -> (QueriesEvents.eventsAttribution _),
+    // linear FIFO-walk form (no pair space) — the production shape
+    "events_attribution_walk"   -> (QueriesEvents.eventsAttributionWalk _),
     "events_asof_join"          -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance"     -> (QueriesEvents.eventsAsofTolerance _),
     "events_asof_forward"       -> (QueriesEvents.eventsAsofForward _),

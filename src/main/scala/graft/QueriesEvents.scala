@@ -77,6 +77,15 @@ object QueriesEvents {
       conversionType = "purchase", touchTypes = Seq("view", "click", "signup"),
       lookbackSeconds = 7L * 86400L)
 
+  /** The same attribution through [[Funnel.attributionWalk]] — the
+    * linear FIFO walk with no pair space; gated against the SAME
+    * relational oracle as the join form, so the two shapes are pinned
+    * equivalent by the driver, not just by spec. */
+  def eventsAttributionWalk(s: SparkSession, dir: String): DataFrame =
+    Funnel.attributionWalk(events(s, dir), "user_id", "ts", "event_id", "event_type",
+      conversionType = "purchase", touchTypes = Seq("view", "click", "signup"),
+      lookbackSeconds = 7L * 86400L)
+
   lazy val eventsAttributionSql: String =
     s"""WITH conv AS (
        |  SELECT user_id, epoch_us(ts) AS cts, event_id AS ctie

@@ -97,6 +97,7 @@ object SparkEntry {
     "events_sessionize_incremental" -> (QueriesEvents.eventsSessionizeIncremental _),
     // first/last/linear multi-touch attribution in exact integer ppm
     "events_attribution" -> (QueriesEvents.eventsAttribution _),
+    "events_attribution_walk" -> (QueriesEvents.eventsAttributionWalk _),
     "events_asof_join"  -> (QueriesEvents.eventsAsofJoin _),
     "events_asof_tolerance" -> (QueriesEvents.eventsAsofTolerance _),
     // mirror direction: earliest at-or-after right row (time-to-next)
@@ -279,6 +280,7 @@ object SparkEntry {
     "events_sessionize"         -> QueriesEvents.eventsSessionizeSql,
     "events_sessionize_incremental" -> QueriesEvents.eventsSessionizeSql,
     "events_attribution"        -> QueriesEvents.eventsAttributionSql,
+    "events_attribution_walk"   -> QueriesEvents.eventsAttributionSql,
     "events_asof_join"          -> QueriesEvents.eventsAsofJoinSql,
     "events_asof_tolerance"     -> QueriesEvents.eventsAsofToleranceSql,
     "events_asof_forward"       -> QueriesEvents.eventsAsofForwardSql,

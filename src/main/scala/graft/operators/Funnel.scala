@@ -146,18 +146,25 @@ object Funnel {
     * Scale shape: conversions and touches both filter at the scan
     * (pushed `In`/equality predicates), join on the ENTITY key only —
     * the pair space per entity is (its conversions × its touches in
-    * window), the usual attribution bound; the per-conversion window
-    * and final per-type aggregation reuse one exchange each. A
-    * pathological entity bounds its own pair count, not the corpus. */
+    * window), the usual attribution bound, and that bound is ENFORCED:
+    * `maxPairsPerEntity` pre-counts each entity's conv × touch product
+    * off one extra partial-aggregated pass and raises in-plan (the
+    * [[Intervals.intervalJoin]] fail-loud cap pattern) before a
+    * bot/service entity with 10⁵ events in the lookback can put 10¹⁰
+    * joined rows into a single task. When the conversion type is NOT
+    * itself a touch type, prefer [[attributionWalk]] — the linear
+    * single-pass shape with no pair space at all. */
   def attribution(
       events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
       typeCol: String, conversionType: String, touchTypes: Seq[String],
-      lookbackSeconds: Long
+      lookbackSeconds: Long, maxPairsPerEntity: Long = 10000000L
   ): DataFrame = {
     require(touchTypes.nonEmpty, "attribution needs at least one touch type")
     require(touchTypes.distinct == touchTypes,
       s"touchTypes must be distinct (a duplicate double-counts its pairs), got $touchTypes")
     require(lookbackSeconds > 0, s"lookbackSeconds must be positive, got $lookbackSeconds")
+    require(maxPairsPerEntity > 0,
+      s"maxPairsPerEntity must be positive, got $maxPairsPerEntity")
     val lookbackMicros = lookbackSeconds * 1000000L
     val conv = events.filter(col(typeCol) === conversionType)
       .select(col(entityCol), unix_micros(col(tsCol)).as("__cts"),
@@ -165,7 +172,29 @@ object Funnel {
     val touch = events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(entityCol), unix_micros(col(tsCol)).as("__tts"),
         col(tieCol).as("__ttie"), col(typeCol).as("__ttype"))
-    val pairs = conv.join(touch, Seq(entityCol))
+    // fail-loud skew guard: one partial-aggregated pass over the
+    // already-filtered event types counts each entity's conv and touch
+    // rows; the raise lives in-plan (no driver pre-scan) and the guard
+    // join rides the same entity-key exchange the pair join needs
+    val counts = events
+      .filter(col(typeCol) === conversionType || col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(entityCol))
+      .agg(
+        // independent predicates: when the conversion type is ALSO a
+        // touch type, a conversion row counts on both sides
+        sum(when(col(typeCol) === conversionType, 1L).otherwise(0L)).as("__nc"),
+        sum(when(col(typeCol).isin(touchTypes: _*), 1L).otherwise(0L)).as("__nt"))
+      .withColumn("__chk",
+        when(col("__nc") * col("__nt") > maxPairsPerEntity,
+          raise_error(concat(
+            lit("attribution: entity "), col(entityCol).cast("string"),
+            lit(" has "), col("__nc"), lit(" conversions x "), col("__nt"),
+            lit(s" touches > maxPairsPerEntity=$maxPairsPerEntity — debounce the entity, " +
+              "raise the bound, or use attributionWalk"))))
+          .otherwise(lit(true)))
+      .select(col(entityCol), col("__chk"))
+    val pairs = conv.join(counts, Seq(entityCol)).filter(col("__chk")).drop("__chk")
+      .join(touch, Seq(entityCol))
       .filter(col("__tts") <= col("__cts") &&
         col("__cts") - col("__tts") <= lookbackMicros &&
         !(col("__tts") === col("__cts") && col("__ttie") === col("__ctie")))
@@ -187,5 +216,110 @@ object Funnel {
         // `div` is exact integral division on longs (the double-divide
         // + cast alternative can round across the integer boundary)
         sum(expr("CAST(1000000 AS BIGINT) div __n")).as("linear_ppm"))
+  }
+
+  /** [[attribution]] as a LINEAR single-pass walk — the 100 TB shape.
+    * Same output contract bit-for-bit, but no conv × touch pair space:
+    * one exchange on the entity key, a per-partition sort by
+    * `(entity, ts, kind, tie)` (touches before conversions at equal
+    * ts — boundary-inclusive attribution), then a FIFO walk. Because
+    * touches arrive in `(ts, tie)` order, the lookback window's
+    * first-touch is the FIFO head and the last-touch its tail — no
+    * priority structure needed; linear credit needs only the per-type
+    * running counts maintained on append/evict. Each row costs amortized
+    * O(1); a bot entity with 10⁵ window events costs 10⁵ work (vs the
+    * join's 10¹⁰ pair rows) and memory bounded by ITS touches inside
+    * one lookback, never the corpus.
+    *
+    * Partitions pre-aggregate into at most |touchTypes| partial rows
+    * each, so the final per-type aggregation is a trivial exchange.
+    *
+    * Requires `conversionType` not be listed in `touchTypes`: when a
+    * conversion doubles as a touch, the self-pair-exclusion semantics
+    * need the join path — use [[attribution]]. */
+  def attributionWalk(
+      events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      typeCol: String, conversionType: String, touchTypes: Seq[String],
+      lookbackSeconds: Long
+  ): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(touchTypes.distinct == touchTypes,
+      s"touchTypes must be distinct (a duplicate double-counts its pairs), got $touchTypes")
+    require(!touchTypes.contains(conversionType),
+      s"attributionWalk: conversion type '$conversionType' is also a touch type — " +
+        "self-pair exclusion needs the join path; use attribution()")
+    require(lookbackSeconds > 0, s"lookbackSeconds must be positive, got $lookbackSeconds")
+    val lookbackMicros = lookbackSeconds * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nTypes = touchTypes.length
+    val types = touchTypes.toArray
+    val tiCol = touchTypes.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (t, i)) => when(col(typeCol) === t, lit(i)).otherwise(acc)
+    }
+    val ev = events
+      .filter((col(typeCol) === conversionType || col(typeCol).isin(touchTypes: _*)) &&
+        col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(entityCol).as("__e"),
+        unix_micros(col(tsCol)).as("__us"),
+        when(col(typeCol) === conversionType, lit(1)).otherwise(lit(0)).as("__kind"),
+        tiCol.as("__ti"),
+        col(tieCol).as("__tie"))
+      .repartition(col("__e"))
+      .sortWithinPartitions(col("__e"), col("__us"), col("__kind"), col("__tie"))
+    val partials = ev.mapPartitions { rows =>
+      val nTouches  = new Array[Long](nTypes)
+      val convs     = new Array[Long](nTypes)
+      val firstPpm  = new Array[Long](nTypes)
+      val lastPpm   = new Array[Long](nTypes)
+      val linearPpm = new Array[Long](nTypes)
+      // FIFO of this entity's touches still inside the newest lookback
+      val fifo = scala.collection.mutable.ArrayDeque.empty[(Long, Int)]
+      val typeCnt = new Array[Long](nTypes)
+      var curEntity: Any = null
+      var started = false
+      rows.foreach { r =>
+        val e = r.get(0)
+        if (!started || e != curEntity) {
+          started = true; curEntity = e
+          fifo.clear(); java.util.Arrays.fill(typeCnt, 0L)
+        }
+        val us = r.getLong(1)
+        // evict on every row: anything older than (us - lookback) can
+        // never attribute to this or any later conversion
+        while (fifo.nonEmpty && fifo.head._1 < us - lookbackMicros) {
+          typeCnt(fifo.removeHead()._2) -= 1
+        }
+        if (r.getInt(2) == 0) {               // touch: append
+          fifo.append((us, r.getInt(3)))
+          typeCnt(r.getInt(3)) += 1
+        } else {                              // conversion: credit
+          val n = fifo.size
+          if (n > 0) {
+            val ppmEach = 1000000L / n
+            firstPpm(fifo.head._2) += 1000000L
+            lastPpm(fifo.last._2) += 1000000L
+            var i = 0
+            while (i < nTypes) {
+              val c = typeCnt(i)
+              if (c > 0) { nTouches(i) += c; convs(i) += 1; linearPpm(i) += c * ppmEach }
+              i += 1
+            }
+          }
+        }
+      }
+      (0 until nTypes).iterator.filter(convs(_) > 0).map(i =>
+        (types(i), nTouches(i), convs(i), firstPpm(i), lastPpm(i), linearPpm(i)))
+    }
+    partials
+      .toDF("touch_type", "n_touches", "conversions", "first_ppm", "last_ppm", "linear_ppm")
+      .groupBy("touch_type")
+      .agg(
+        sum("n_touches").as("n_touches"),
+        sum("conversions").as("conversions"),
+        sum("first_ppm").as("first_ppm"),
+        sum("last_ppm").as("last_ppm"),
+        sum("linear_ppm").as("linear_ppm"))
   }
 }

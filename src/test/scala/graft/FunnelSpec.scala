@@ -202,4 +202,85 @@ class FunnelSpec extends SparkSpec {
       (2L, 2L, "2024-01-01 10:00:00", "purchase"))
     assert(attr(events).isEmpty)
   }
+
+  // ------------------------------------------------------------ walk form + skew guard
+
+  private def attrWalk(events: DataFrame, lookbackSec: Long = 3600L): Map[String, (Long, Long, Long, Long, Long)] =
+    Funnel.attributionWalk(events, "user_id", "ts", "event_id", "event_type",
+      "purchase", Seq("view", "click"), lookbackSec)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("attributionWalk matches the join form on every fixture shape, incl. a dense random mix") {
+    val fixtures = Seq(
+      evId(
+        (1L, 1L, "2024-01-01 10:00:00", "view"),
+        (2L, 1L, "2024-01-01 10:10:00", "click"),
+        (3L, 1L, "2024-01-01 10:20:00", "view"),
+        (4L, 1L, "2024-01-01 10:30:00", "purchase")),
+      evId(
+        (1L, 1L, "2024-01-01 09:00:00", "view"),
+        (2L, 1L, "2024-01-01 08:59:59", "click"),
+        (3L, 1L, "2024-01-01 10:00:00", "purchase")),
+      evId(
+        (1L, 1L, "2024-01-01 10:00:00", "view"),
+        (2L, 1L, "2024-01-01 10:00:00", "purchase")),
+      // dense deterministic mix: 5 users x 60 events, repeated
+      // timestamps, conversions interleaved with expiring touches
+      evId((1L to 300L).map { i =>
+        val u = i % 5
+        val minute = (i * 7) % 180
+        val ty = (i % 4) match {
+          case 0 => "purchase"; case 1 => "view"; case 2 => "click"; case _ => "view"
+        }
+        (i, u, f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00", ty)
+      }: _*)
+    )
+    fixtures.foreach { f => assert(attrWalk(f) === attr(f)) }
+    // and with a lookback short enough that the walk's eviction runs
+    assert(attrWalk(fixtures.last, 600L) === attr(fixtures.last, 600L))
+  }
+
+  test("attributionWalk plan: no join, one entity exchange + the tiny per-type agg") {
+    val f = evId(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:30:00", "purchase"))
+    val plan = Funnel.attributionWalk(f, "user_id", "ts", "event_id", "event_type",
+      "purchase", Seq("view", "click"), 3600L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"walk must not join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges (entity repartition, per-type agg), got $exchanges:\n$plan")
+  }
+
+  test("attributionWalk rejects a conversion type that is also a touch type") {
+    val f = evId((1L, 1L, "2024-01-01 10:00:00", "view"))
+    val ex = intercept[IllegalArgumentException] {
+      Funnel.attributionWalk(f, "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "purchase"), 3600L)
+    }
+    assert(ex.getMessage.contains("join path"))
+  }
+
+  test("attribution skew guard: a hot entity raises in-plan; the bound is per-entity") {
+    // hot user 1: 5 conversions x 4 touches = 20 pairs; quiet user 2: 1 x 1
+    val hot = evId(
+      ((1L to 4L).map(i => (i, 1L, f"2024-01-01 10:0$i%01d:00", "view")) ++
+        (5L to 9L).map(i => (i, 1L, f"2024-01-01 10:1${i - 5}%01d:00", "purchase")) ++
+        Seq((10L, 2L, "2024-01-01 10:00:00", "view"),
+            (11L, 2L, "2024-01-01 10:05:00", "purchase"))): _*)
+    val ex = intercept[Exception] {
+      Funnel.attribution(hot, "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click"), 3600L, maxPairsPerEntity = 19L).collect()
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg(ex).contains("maxPairsPerEntity=19"), s"unexpected failure: ${msg(ex)}")
+    // bound at exactly the hot entity's pair count: passes, and the
+    // guarded result equals the walk's (guard is a pure pass-through)
+    val guarded = Funnel.attribution(hot, "user_id", "ts", "event_id", "event_type",
+      "purchase", Seq("view", "click"), 3600L, maxPairsPerEntity = 20L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(guarded === attrWalk(hot))
+  }
 }
