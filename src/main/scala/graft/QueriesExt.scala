@@ -675,17 +675,35 @@ object QueriesExt {
        |""".stripMargin
 
   // ================================================================ multimodal
+  /** REAL image decode (javax.imageio, JDK codec): deterministic
+    * synthetic PNGs generated per doc (pixel byte i =
+    * `(doc_id·131 + i·7 + 13) mod 256`, dims `8 + id%9` × `8 + id%7`),
+    * decoded back to RGB. PNG is lossless, so the oracle recomputes
+    * the position-weighted pixel checksums straight from the formula —
+    * one flipped pixel anywhere in encode OR decode hash-mismatches
+    * the gate. `pixel_md5` (content address) is spec-verified; the
+    * gate carries only SQL-computable columns. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
-    Multimodal.features(docs(s, dir), "doc_id", "text")
+    Multimodal.decodeImage(Multimodal.syntheticImages(docs(s, dir), "doc_id"))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("n_bytes"), col("sum1"), col("sum2"))
 
   lazy val multimodalDecodeSql: String =
-    s"""SELECT doc_id,
-       |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-       |       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
-       |       CAST(1 + (ascii(text) * 256 + ascii(substr(text, 2, 1))) % 480 AS INTEGER) AS height,
-       |       3 AS channels,
-       |       md5(text) AS checksum
-       |FROM documents
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(8 + doc_id % 9 AS INTEGER) AS w,
+       |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+       |  FROM documents
+       |), px AS (
+       |  SELECT doc_id, w, h, i, (doc_id * 131 + i * 7 + 13) % 256 AS v
+       |  FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+       |)
+       |SELECT doc_id, w AS width, h AS height, CAST(3 AS INTEGER) AS channels,
+       |       CAST(w * h * 3 AS INTEGER) AS n_bytes,
+       |       CAST(sum((i + 1) * v) AS BIGINT) AS sum1,
+       |       CAST(sum((i + 1) * (i + 1) * v) AS BIGINT) AS sum2
+       |FROM px GROUP BY 1, 2, 3
        |""".stripMargin
 
   /** Frame sampling over the payload (one row per 256-byte window) —
@@ -695,19 +713,35 @@ object QueriesExt {
     Multimodal.frameSample(
       Multimodal.withPayload(docs(s, dir), "doc_id", "text"), frameBytes = 256).toDF()
 
-  /** Resize plumbing: the driver gate checks the metadata shape (one
-    * row per doc, exact output buffer size); pixel bytes are exercised
-    * by SimilaritySpec (deterministic stride sampling). */
+  /** REAL decode + nearest-neighbor resize to 8×6 (floor sampling
+    * convention `src = out·dim div out_dim`): the oracle evaluates the
+    * generator formula AT THE SAMPLED SOURCE INDICES, so the gate
+    * pins decoded-pixel content flowing through the resampler, not
+    * just buffer shapes. */
   def multimodalResize(s: SparkSession, dir: String): DataFrame =
-    Multimodal.resizeStub(
-      Multimodal.withPayload(docs(s, dir), "doc_id", "text"), outW = 64, outH = 48).toDF()
-      .select(col("doc_id"), col("out_width"), col("out_height"), col("out_bytes"))
+    Multimodal.resizeImage(
+      Multimodal.syntheticImages(docs(s, dir), "doc_id"), outW = 8, outH = 6).toDF()
+      .select(col("doc_id"), col("out_width"), col("out_height"), col("out_bytes"),
+        col("sum1"), col("sum2"))
 
   lazy val multimodalResizeSql: String =
-    s"""SELECT doc_id,
-       |       64 AS out_width, 48 AS out_height,
-       |       CAST(64 * 48 * 3 AS INTEGER) AS out_bytes
-       |FROM documents
+    s"""WITH d AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+       |), px AS (
+       |  SELECT doc_id, (y * 8 + x) * 3 + c AS j,
+       |         (doc_id * 131
+       |            + ((((y * h) // 6) * w + ((x * w) // 8)) * 3 + c) * 7
+       |            + 13) % 256 AS v
+       |  FROM d,
+       |       unnest(generate_series(0, 7)) AS tx(x),
+       |       unnest(generate_series(0, 5)) AS ty(y),
+       |       unnest(generate_series(0, 2)) AS tc(c)
+       |)
+       |SELECT doc_id, CAST(8 AS INTEGER) AS out_width, CAST(6 AS INTEGER) AS out_height,
+       |       CAST(8 * 6 * 3 AS INTEGER) AS out_bytes,
+       |       CAST(sum((j + 1) * v) AS BIGINT) AS sum1,
+       |       CAST(sum((j + 1) * (j + 1) * v) AS BIGINT) AS sum2
+       |FROM px GROUP BY 1
        |""".stripMargin
 
   lazy val multimodalFramesSql: String =

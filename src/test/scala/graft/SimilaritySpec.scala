@@ -121,6 +121,59 @@ class SimilaritySpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("REAL image codec: PNG round-trip is pixel-exact, resize samples decoded pixels") {
+    import spark.implicits._
+    def formulaBuf(id: Long, w: Int, h: Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => Multimodal.syntheticPixel(id, i).toByte)
+    val ids = Seq(0L, 1L, 17L, 62L).toDF("doc_id")
+    val decoded = Multimodal.decodeImage(Multimodal.syntheticImages(ids, "doc_id"))
+      .collect().map(d => d.doc_id -> d).toMap
+    decoded.foreach { case (id, d) =>
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      assert((d.width, d.height, d.channels, d.n_bytes) === ((w, h, 3, w * h * 3)))
+      val buf = formulaBuf(id, w, h)
+      var (s1, s2) = (0L, 0L)
+      buf.zipWithIndex.foreach { case (b, i) =>
+        s1 += (i + 1).toLong * (b & 0xFF); s2 += (i + 1).toLong * (i + 1) * (b & 0xFF)
+      }
+      assert((d.sum1, d.sum2) === ((s1, s2)), s"doc $id pixel checksum")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(d.pixel_md5 === md.digest(buf).map("%02x".format(_)).mkString)
+    }
+    // resize to the SOURCE dims is the identity on decoded pixels
+    val id = 17L
+    val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+    val same = Multimodal.resizeImage(
+      Multimodal.syntheticImages(Seq(id).toDF("doc_id"), "doc_id"), w, h)
+      .collect().head
+    assert(same.pixels.toSeq === formulaBuf(id, w, h).toSeq)
+    // downsample: every output pixel is the floor-sampled source pixel
+    val small = Multimodal.resizeImage(
+      Multimodal.syntheticImages(Seq(id).toDF("doc_id"), "doc_id"), 4, 3)
+      .collect().head
+    val expect = for {
+      y <- 0 until 3; x <- 0 until 4; c <- 0 until 3
+    } yield Multimodal.syntheticPixel(id, ((y * h / 3) * w + (x * w / 4)) * 3 + c).toByte
+    assert(small.pixels.toSeq === expect)
+  }
+
+  test("REAL image codec: JPEG decodes with true dimensions; garbage payload fails loudly") {
+    import spark.implicits._
+    // lossy JPEG: dims are exact even though pixels aren't
+    val img = new java.awt.image.BufferedImage(
+      11, 5, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jp = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    val d = Multimodal.decodeImage(jp).collect().head
+    assert((d.width, d.height) === ((11, 5)))
+    val bad = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val ex = intercept[Exception] { Multimodal.decodeImage(bad).collect() }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg(ex).contains("not a decodable image"))
+  }
+
   test("LSH near-dup pairs: high recall vs the exact all-pairs variant, no false positives") {
     // near-dup regime: tight clusters (cos >= ~0.9 within), threshold 0.85
     val s = spark
