@@ -175,6 +175,16 @@ object Bench {
       // scan wide.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The remaining bounded global windows (term-freq rank over a
+    // limit(100), skew top-k over a limit(topK), PPS offsets over
+    // ≤|partitions| rows) each trip WindowExec's benign
+    // "No Partition Defined" warning once per fresh plan — ~70% of
+    // bench stderr was this single line, crowding the 2,000-char tail
+    // the driver parses for the JSON summary. The input bounds are
+    // PlanSpec-pinned; silence just this logger here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     // warm up Spark machinery (scheduler, codegen pipeline, parquet
     // reader) so the first timed query does not absorb session startup;

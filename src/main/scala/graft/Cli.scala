@@ -94,7 +94,7 @@ object Cli {
 
   private val usage =
     """usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR
-      |       graft.Cli pipeline JOB.yaml SOURCE_DIR OUT_DIR [--suffix-template T]
+      |       graft.Cli pipeline JOB.yaml SOURCE_DIR OUT_DIR [--suffix-template T] [--state STATE_DIR]
       |  [--incremental LO HI | --upper HI | --compact]
       |  [--no-partition]  [--bucket-parents N]  [--salt-parents N]  [--version]
       |  [-d|--dim-prefix P] [-f|--fact-prefix P] [-t|--time-unit U] [--fact-infix I]
@@ -257,7 +257,7 @@ object Cli {
     val Seq(jobPath, sourceDir, outDir) = args.take(3)
     val rest = args.drop(3)
     rest.filter(_.startsWith("--")).foreach { f =>
-      if (f != "--suffix-template") usageExit(s"unknown flag: $f")
+      if (f != "--suffix-template" && f != "--state") usageExit(s"unknown flag: $f")
     }
     val suffix = {
       val i = rest.indexOf("--suffix-template")
@@ -265,6 +265,12 @@ object Cli {
       else Naming.resolveSuffixTemplate(
         rest.lift(i + 1).getOrElse(usageExit("--suffix-template requires a value")),
         "_staging")
+    }
+    val stateDir = {
+      val i = rest.indexOf("--state")
+      if (i < 0) None
+      else Some(rest.lift(i + 1).filterNot(_.startsWith("--"))
+        .getOrElse(usageExit("--state requires a directory")))
     }
     val spec = graft.pipeline.CurationPipeline.parseFile(jobPath) match {
       case Left(err) => throw CliError(err, 1)
@@ -274,7 +280,13 @@ object Cli {
       case Left(errs) => throw CliError(errs.map(e => s"pipeline: $e").mkString("\n"), 1)
       case Right(_)   => ()
     }
-    graft.pipeline.CurationPipeline.run(sparkSession, spec, sourceDir, outDir, suffix)
+    // incremental steps need the state dir — fail BEFORE Spark boots
+    val stateful = graft.pipeline.CurationPipeline.statefulSteps(spec)
+    if (stateful.nonEmpty && stateDir.isEmpty)
+      throw CliError(
+        s"pipeline: steps ${stateful.mkString(", ")} run incremental modes — " +
+          "pass --state STATE_DIR", 1)
+    graft.pipeline.CurationPipeline.run(sparkSession, spec, sourceDir, outDir, suffix, stateDir)
       .foreach(t => println(s"written: $outDir/$t"))
   }
 

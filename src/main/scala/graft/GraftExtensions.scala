@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, UnscaledValue}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{CosineSimilarity, DotProduct, IntDotProduct, SumProduct128}
@@ -54,12 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       // a compact decimal's unscaled long (e.g. decimal(18,6) -> exact
       // micro-units) without the widening multiply a `* 10^s` cast
-      // chain pays per row — feeds sum_product_128
+      // chain pays per row — feeds sum_product_128. Registered through
+      // the analysis-checked wrapper: non-decimal or wider-than-18
+      // inputs fail at analysis, never as an executor ClassCastException
       FunctionIdentifier("decimal_unscaled"),
-      new ExpressionInfo(classOf[UnscaledValue].getName, "decimal_unscaled"),
+      new ExpressionInfo(classOf[graft.functions.DecimalUnscaled].getName, "decimal_unscaled"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "decimal_unscaled takes 1 argument")
-        UnscaledValue(children(0))
+        graft.functions.DecimalUnscaled(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_build"),

@@ -1947,10 +1947,14 @@ object QueriesExt {
     * clean-path fidelity the quarantine contract builds on. */
   def sourceJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
-    // deterministic scratch path + overwrite: a fresh temp dir per
-    // invocation would accumulate a corpus copy on every gate run
+    // deterministic WITHIN a run (overwrite, so repeated gate runs in
+    // one session reuse one dir rather than accumulating corpus
+    // copies), but scoped by the Spark application id: two concurrent
+    // verify/bench processes on one machine must not overwrite each
+    // other's scratch mid-read
     val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-jsonl-gate").toString
+      System.getProperty("java.io.tmpdir"),
+      s"graft-jsonl-gate-${s.sparkContext.applicationId}").toString
     d.write.mode("overwrite").json(tmp)
     sources.TextTables.quarantine(
       sources.TextTables.readJsonl(s, tmp, d.schema))._1

@@ -21,11 +21,13 @@ object Skew {
     * suggested salt: the number of `parallelism`-wide task slots this
     * key's rows should scatter over so no task holds more than ~1/P
     * of the relation, `max(1, ceil(share * P))`. A suggestion of 1
-    * means the key is fine unsalted. One partial-aggregated groupBy +
-    * a top-k rank over |distinct keys| rows (WindowGroupLimit bounds
-    * the exchange); the 1-row total attaches by broadcast crossJoin,
-    * no driver collect. NULL keys group together deliberately — the
-    * null bucket IS the classic hot key. */
+    * means the key is fine unsalted. One partial-aggregated groupBy;
+    * the global top-k is a TakeOrdered (per-task bounded heaps, never
+    * a full-key-set sort), and the rank window runs over the ALREADY
+    * LIMITED ≤ topK rows — the global-window input is bounded by
+    * construction (PlanSpec-pinned); the 1-row total attaches by
+    * broadcast crossJoin, no driver collect. NULL keys group together
+    * deliberately — the null bucket IS the classic hot key. */
   def diagnose(df: DataFrame, keyCol: String, topK: Int, parallelism: Int): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     require(parallelism > 0, s"parallelism must be positive, got $parallelism")
@@ -33,12 +35,14 @@ object Skew {
     val total  = counts.agg(sum(col("n")).as("__total"))
     // nulls-last pinned explicitly: Spark defaults ASC NULLS FIRST,
     // DuckDB NULLS LAST — a count tie against the null bucket would
-    // otherwise rank differently across engines
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col(keyCol).asc_nulls_last)
+    // otherwise rank differently across engines. The limit uses the
+    // SAME total order as the rank, so limit-then-rank equals
+    // rank-then-filter exactly.
+    val byShare = Seq(col("n").desc, col(keyCol).asc_nulls_last)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(byShare: _*)
     counts
+      .orderBy(byShare: _*).limit(topK)
       .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= topK)
       .crossJoin(broadcast(total))
       // decimal operands: n * 1e6 overflows a long once a key holds
       // ~1e13 rows — exactly the regime this diagnosis exists for

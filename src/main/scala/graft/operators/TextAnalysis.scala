@@ -201,6 +201,29 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("pair_count"), col("n1"), col("n2"))
   }
 
+  /** [[cooccurrence]] with the tokenized-corpus cache RELEASED before
+    * returning — the loan-scoped shape ([[Centrality.withEdges]]) for
+    * long-lived sessions and CLI pipelines, where [[cooccurrence]]'s
+    * plan-keyed persist would otherwise accumulate a corpus-sized
+    * cached block per distinct input plan. The bounded result (≤ topK
+    * rows by construction) is materialized onto the driver and
+    * re-wrapped as a local frame, so nothing downstream references the
+    * released cache. */
+  def cooccurrenceScoped(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 5, maxCount: Long = 100000L, topK: Int = 100
+  ): DataFrame = {
+    val out = cooccurrence(docs, idCol, textCol, window, maxCount, topK)
+    val rows = out.collect() // ≤ topK rows — bounded by construction
+    val tok = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    tok.unpersist(blocking = false) // plan-based lookup releases the entry
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Canonicalize a URL for crawl/fetch deduplication — the key under
     * which two spellings of one resource collide:
     *

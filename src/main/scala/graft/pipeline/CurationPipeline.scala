@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 import org.yaml.snakeyaml.Yaml
 
 import graft.exec.Staging
-import graft.operators.{Decontaminate, Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Packing, Sampling, Sessions, TextAnalysis}
+import graft.streaming.{StreamingAdmission, StreamingLineDedup, StreamingNearDup}
 
 /** Declarative training-data curation pipelines — the job-spec surface
   * that makes the operator library a runnable product, the way the
@@ -117,6 +118,9 @@ object CurationPipeline {
         (s.params.keySet -- op.paramKeys).foreach(k =>
           errors += s"step ${s.name}: op ${s.op} does not take param '$k' " +
             s"(accepted: ${op.paramKeys.toSeq.sorted.mkString(", ")})")
+        s.params.get("mode").filterNot(op.modes.contains).foreach(m =>
+          errors += s"step ${s.name}: op ${s.op} has no mode '$m' " +
+            s"(allowed: ${op.modes.toSeq.sorted.mkString(", ")})")
       }
     }
     // the first step must name its input; later ones default to the
@@ -152,19 +156,35 @@ object CurationPipeline {
     if (errs.nonEmpty) Left(errs) else Right(ordered.result())
   }
 
+  /** Steps running an incremental (`mode:` other than full) variant —
+    * these need a state directory; callers without one should fail
+    * BEFORE booting Spark. */
+  def statefulSteps(spec: Spec): Seq[String] =
+    spec.steps.filter(_.params.get("mode").exists(_ != "full")).map(_.name)
+
   // ================================================================ ops
 
   /** Everything a step function may need: the resolved input frame, the
-    * corpus id/text column names, and a resolver for AUXILIARY tables
-    * (a decontamination benchmark) by the same step-or-source rule. */
+    * corpus id/text column names, a resolver for AUXILIARY tables
+    * (a decontamination benchmark) by the same step-or-source rule,
+    * and — for incremental (`mode:`) steps — the state directory and
+    * this run's batch id (see [[run]]'s batch-admission contract). */
   final case class Ctx(
       input: DataFrame, idCol: String, textCol: String,
-      resolve: String => DataFrame, params: Params)
+      resolve: String => DataFrame, params: Params,
+      stepName: String = "", stateDir: Option[String] = None, batchId: Long = 0L) {
+    /** State root for this step, or fail actionably. */
+    def requireState(what: String): String = stateDir.map(d => s"$d/$stepName")
+      .getOrElse(throw new IllegalArgumentException(
+        s"step $stepName: $what requires a state directory — " +
+          "run `Cli pipeline ... --state STATE_DIR`"))
+  }
 
   /** Fail-loud typed access over a step's params map. */
   final class Params(step: String, m: Map[String, String]) {
     private def bad(key: String, want: String, v: String): Nothing =
       throw new IllegalArgumentException(s"step $step: param $key: expected $want, got '$v'")
+    def has(key: String): Boolean = m.contains(key)
     def str(key: String, default: String): String = m.getOrElse(key, default)
     def reqStr(key: String): String = m.getOrElse(key,
       throw new IllegalArgumentException(s"step $step: required param missing: $key"))
@@ -182,12 +202,20 @@ object CurationPipeline {
     }
   }
 
-  final case class Op(paramKeys: Set[String], run: Ctx => DataFrame)
+  /** A step implementation: accepted params, the allowed `mode` values
+    * (`full` = stateless; anything else is an incremental variant that
+    * needs `--state`), and the run function. */
+  final case class Op(paramKeys: Set[String], run: Ctx => DataFrame,
+      modes: Set[String] = Set("full"))
 
   /** Shared survivor policy for the pair-producing dedup steps:
     * `keep: min_id` (default) keeps the smallest id per near-dup
     * cluster; `keep: longest` keeps the longest text (ties to smallest
-    * id) — the keep-the-best-copy policy. */
+    * id); `keep: best` keeps the row maximizing `scoreCol` (ties to
+    * smallest id) — the score may live on the input itself or on an
+    * annotation table named by `scoreFrom` (e.g. an earlier `lm_score`
+    * step), joined by the id. Docs without a score row lose to any
+    * scored near-dup (desc NULLS LAST), deterministically. */
   private def keepSurvivors(c: Ctx, pairs: DataFrame): DataFrame =
     c.params.str("keep", "min_id") match {
       case "min_id"  => Dedup.survivors(c.input, c.idCol, pairs)
@@ -197,32 +225,111 @@ object CurationPipeline {
         Dedup.survivorsBest(
           c.input.withColumn("__len", length(col(c.textCol))),
           c.idCol, pairs, "__len").drop("__len")
+      case "best" =>
+        require(!c.input.columns.contains("__score"),
+          "input already has a '__score' column — keep: best would clobber it")
+        val scoreCol = c.params.reqStr("scoreCol")
+        val scores = c.params.str("scoreFrom", "") match {
+          case "" =>
+            require(c.input.columns.contains(scoreCol),
+              s"keep: best: input has no column '$scoreCol' (name a scoreFrom table?)")
+            c.input.select(col(c.idCol), col(scoreCol).as("__score"))
+          case from =>
+            val t = c.resolve(from)
+            require(t.columns.contains(scoreCol),
+              s"keep: best: table '$from' has no column '$scoreCol'")
+            require(t.columns.contains(c.idCol),
+              s"keep: best: table '$from' has no id column '${c.idCol}'")
+            t.select(col(c.idCol), col(scoreCol).as("__score"))
+        }
+        Dedup.survivorsBest(
+          c.input.join(scores, Seq(c.idCol), "left"),
+          c.idCol, pairs, "__score").drop("__score")
       case other =>
         throw new IllegalArgumentException(
-          s"keep must be min_id or longest, got '$other'")
+          s"keep must be min_id, longest, or best, got '$other'")
     }
+
+  // ---------------------------------------------------------------- state helpers
+
+  /** Read a batch-id-partitioned parquet sink's single batch partition,
+    * projecting back to `schema`'s columns in order; empty frame when
+    * the sink does not exist yet (a cold start whose first batch was
+    * empty). */
+  private def readBatchPartition(
+      c: Ctx, path: String, batchCol: String): DataFrame = {
+    val spark = c.input.sparkSession
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      c.input.limit(0)
+    else
+      spark.read.parquet(path)
+        .filter(col(batchCol) === c.batchId)
+        .select(c.input.columns.map(col): _*)
+  }
 
   /** The step registry. Survivor-style steps (dedup/decontaminate/
     * curate/sample) preserve the input's full schema — each emits the
     * kept SUBSET of its input rows, so chains compose; shape-changing
     * steps (chunk, pack, stats) are documented as such. */
   val ops: Map[String, Op] = Map(
-    // exact content dedup: keep the min-id representative per
-    // normalized-content fingerprint
-    "dedup_exact" -> Op(Set.empty, { c =>
-      val keep = Dedup.exact(c.input, c.idCol, c.textCol)
-        .select(col("keep_id").as(c.idCol))
-      c.input.join(keep, Seq(c.idCol), "left_semi")
-    }),
+    // exact content dedup. mode: full (default) keeps the min-id
+    // representative per normalized-content fingerprint; mode: admit
+    // admits THIS BATCH against the maintained fingerprint store under
+    // --state (drop if the content was ever admitted; in-batch min-id
+    // rule) and updates the store — the nightly batch-admission twin
+    // of StreamingAdmission, store layout and replay semantics shared.
+    "dedup_exact" -> Op(Set("mode", "buckets"), { c =>
+      c.params.str("mode", "full") match {
+        case "full" =>
+          val keep = Dedup.exact(c.input, c.idCol, c.textCol)
+            .select(col("keep_id").as(c.idCol))
+          c.input.join(keep, Seq(c.idCol), "left_semi")
+        case "admit" =>
+          val root = c.requireState("dedup_exact mode: admit")
+          val (fp, sink) = (s"$root/fingerprints", s"$root/admitted")
+          val buckets = c.params.int("buckets", 64)
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fp, "_graft_buckets")))
+            StreamingAdmission.initialize(c.input.limit(0), c.textCol, fp, buckets)
+          StreamingAdmission.applyBatch(
+            c.input, c.idCol, c.textCol, fp, sink, buckets, c.batchId)
+          readBatchPartition(c, sink, StreamingAdmission.BatchCol)
+      }
+    }, modes = Set("full", "admit")),
     // MinHash-LSH near-dup dedup: one survivor per near-dup cluster
-    // (keep: min_id | longest)
-    "dedup_near" -> Op(Set("n", "k", "r", "minJaccard", "maxBucket", "keep"), { c =>
-      val pairs = Dedup.minhashLshPairs(c.input, c.idCol, c.textCol,
-        n = c.params.int("n", 3), k = c.params.int("k", 64),
-        r = c.params.int("r", 4), minJaccard = c.params.double("minJaccard", 0.5),
-        maxBucket = c.params.int("maxBucket", 1000))
-      keepSurvivors(c, pairs)
-    }),
+    // (keep: min_id | longest | best). mode: admit judges the batch
+    // against the maintained LSH posting store + admitted corpus under
+    // --state (StreamingNearDup's store; admission keeps the in-batch
+    // min-id representative, so keep/scoreCol are full-mode-only).
+    "dedup_near" -> Op(
+      Set("n", "k", "r", "minJaccard", "maxBucket", "keep", "scoreCol", "scoreFrom",
+        "mode", "buckets"), { c =>
+      c.params.str("mode", "full") match {
+        case "full" =>
+          val pairs = Dedup.minhashLshPairs(c.input, c.idCol, c.textCol,
+            n = c.params.int("n", 3), k = c.params.int("k", 64),
+            r = c.params.int("r", 4), minJaccard = c.params.double("minJaccard", 0.5),
+            maxBucket = c.params.int("maxBucket", 1000))
+          keepSurvivors(c, pairs)
+        case "admit" =>
+          require(!c.params.has("keep") && !c.params.has("scoreCol"),
+            s"step ${c.stepName}: keep/scoreCol apply to mode: full only " +
+              "(admission keeps the in-batch min-id representative)")
+          val root = c.requireState("dedup_near mode: admit")
+          val (store, sink) = (s"$root/postings", s"$root/admitted")
+          val p = StreamingNearDup.Params(
+            numBuckets = c.params.int("buckets", 64),
+            n = c.params.int("n", 3), k = c.params.int("k", 64),
+            r = c.params.int("r", 4),
+            minJaccard = c.params.double("minJaccard", 0.5),
+            maxBucket = c.params.int("maxBucket", 1000))
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(store, "_graft_buckets")))
+            StreamingNearDup.initialize(
+              c.input.limit(0), c.idCol, c.textCol, store, sink, p)
+          StreamingNearDup.applyBatch(
+            c.input, c.batchId, c.idCol, c.textCol, store, sink, p)
+          readBatchPartition(c, sink, StreamingNearDup.BatchCol)
+      }
+    }, modes = Set("full", "admit")),
     // SimHash near-dup dedup: bit-level near-identity blocking
     "dedup_simhash" -> Op(Set("maxHamming", "maxBucket", "keep"), { c =>
       val pairs = Dedup.simhashPairs(c.input, c.idCol, c.textCol,
@@ -281,9 +388,11 @@ object CurationPipeline {
       TextAnalysis.stats(c.input, c.idCol, c.textCol)
     }),
     // shape change: corpus-level windowed co-occurrence pair counts
-    // (w1, w2, pair_count, n1, n2) — the PMI/collocation statistic
+    // (w1, w2, pair_count, n1, n2) — the PMI/collocation statistic.
+    // Scoped variant: the tokenized-corpus cache is released before the
+    // next step runs instead of living for the rest of the pipeline.
     "cooccurrence" -> Op(Set("window", "maxCount", "topK"), { c =>
-      TextAnalysis.cooccurrence(c.input, c.idCol, c.textCol,
+      TextAnalysis.cooccurrenceScoped(c.input, c.idCol, c.textCol,
         window = c.params.int("window", 5),
         maxCount = c.params.long("maxCount", 100000L),
         topK = c.params.int("topK", 100))
@@ -344,13 +453,82 @@ object CurationPipeline {
     // in >= minDf distinct docs are stripped from every doc; the text
     // column is rewritten in place, all other columns ride along.
     // Docs with NULL text are dropped (lineDedup's unnest contract).
-    "line_dedup" -> Op(Set("minDf", "delim"), { c =>
-      val cleaned = Dedup.lineDedup(c.input, c.idCol, c.textCol,
-        minDf = c.params.int("minDf", 2), delim = c.params.str("delim", "\n"))
-        .select(col(c.idCol), col("text_clean"))
-      c.input.drop(c.textCol).join(cleaned, Seq(c.idCol))
+    // mode: against_store folds the batch's line-df summary into the
+    // maintained store (batch-owned partition — replay-idempotent) and
+    // strips the batch against the CORPUS-WIDE duplicated-line set
+    // (including this batch): the batch's cleaned rows equal the full
+    // rebuild's rows for these docs, without rescanning the corpus.
+    "line_dedup" -> Op(Set("minDf", "delim", "mode"), { c =>
+      val minDf = c.params.int("minDf", 2)
+      val delim = c.params.str("delim", "\n")
+      val cleaned = c.params.str("mode", "full") match {
+        case "full" =>
+          Dedup.lineDedup(c.input, c.idCol, c.textCol, minDf, delim)
+        case "against_store" =>
+          require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+          val store = c.requireState("line_dedup mode: against_store") + "/line_df"
+          val spark = c.input.sparkSession
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(store, "_graft_line_delim")))
+            StreamingLineDedup.initialize(c.input.limit(0), c.idCol, c.textCol, store, delim)
+          StreamingLineDedup.applyBatch(c.input, c.idCol, c.textCol, store, delim, c.batchId)
+          StreamingLineDedup.cleanWith(c.input, c.idCol, c.textCol, store, minDf, delim)
+      }
+      c.input.drop(c.textCol)
+        .join(cleaned.select(col(c.idCol), col("text_clean")), Seq(c.idCol))
         .withColumnRenamed("text_clean", c.textCol)
-    }),
+    }, modes = Set("full", "against_store")),
+    // session table over an events-shaped input (entity/ts/tie/value
+    // columns named by params). mode: incremental maintains the
+    // session table under --state: merge the batch's sessions into the
+    // maintained table (boundary-session merge + anti-join
+    // passthrough — cost ∝ batch + session table, the warehouse
+    // maintenance shape), under sessionizeIncremental's append-only
+    // contract (every batch event later than the entity's maintained
+    // events). The store is VERSIONED by batch id, so a crashed run
+    // re-reads the previous version and replays deterministically.
+    "sessionize" -> Op(Set("entity", "ts", "tie", "value", "gapSeconds", "mode"), { c =>
+      val (e, ts, tie, v) = (c.params.str("entity", "user_id"), c.params.str("ts", "ts"),
+        c.params.str("tie", "event_id"), c.params.str("value", "value"))
+      val gap = c.params.long("gapSeconds", 1800L)
+      c.params.str("mode", "full") match {
+        case "full" => Sessions.buildSessionTable(c.input, e, ts, tie, v, gap)
+        case "incremental" =>
+          val root = c.requireState("sessionize mode: incremental")
+          val spark = c.input.sparkSession
+          val prev = s"$root/sessions_v${c.batchId - 1}"
+          val next = s"$root/sessions_v${c.batchId}"
+          val merged =
+            if (c.batchId == 0L || !java.nio.file.Files.exists(java.nio.file.Paths.get(prev)))
+              Sessions.buildSessionTable(c.input, e, ts, tie, v, gap)
+            else Sessions.sessionizeIncremental(
+              spark.read.parquet(prev), c.input, e, ts, tie, v, gap)
+          // overwrite is rerun-safe: a replay of this batch id rebuilds
+          // the same version from the same previous version
+          merged.write.mode("overwrite").parquet(next)
+          spark.read.parquet(next)
+      }
+    }, modes = Set("full", "incremental")),
+    // pairwise sufficient statistics (Profile.moments) over numeric
+    // columns named by `cols`. mode: merge maintains per-batch moment
+    // partials under --state (batch-owned partitions, additive merge —
+    // replay-idempotent) and outputs the corpus-wide totals.
+    "moments" -> Op(Set("cols", "mode"), { c =>
+      val colsList = c.params.reqStr("cols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val batchMoments = graft.operators.Profile.moments(c.input, colsList)
+      c.params.str("mode", "full") match {
+        case "full" => batchMoments
+        case "merge" =>
+          val store = c.requireState("moments mode: merge") + "/moments"
+          val spark = c.input.sparkSession
+          batchMoments.withColumn("__batch_id", lit(c.batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id").parquet(store)
+          val all = spark.read.parquet(store).drop("__batch_id")
+          // mergeMoments is a self-merge over the unioned partials
+          graft.operators.Profile.mergeMoments(all, all.limit(0))
+      }
+    }, modes = Set("full", "merge")),
     // deterministic global shuffle: adds shard + dense in-shard pos
     // (pure functions of id and salt) — the order-decorrelation step
     // before packing/batch export
@@ -428,13 +606,38 @@ object CurationPipeline {
 
   /** Run a validated spec: resolve each step's input (an earlier step's
     * WRITTEN output, else a SOURCE_DIR table), execute, stage, promote.
-    * Returns the written table names in execution order. */
+    * Returns the written table names in execution order.
+    *
+    * `stateDir` enables the incremental step variants (`mode: admit` /
+    * `against_store` / `incremental` / `merge`): each stateful step
+    * maintains its store under `STATE_DIR/<step>/`, and one run = one
+    * BATCH admitted against those stores. The batch-admission contract:
+    * every run presents a batch of NEW rows (each document/event
+    * delivered to the pipeline exactly once across runs — the
+    * admission-store contract all the streaming twins share); a
+    * CRASHED run may simply be re-run — the run's batch id
+    * (`STATE_DIR/_graft_next_batch`, bumped only after a fully
+    * successful run) makes every store update replay-idempotent
+    * (batch-owned partitions, set-union buckets, versioned session
+    * stores). Feeding the SAME data again after a successful run is
+    * not a replay but a second batch: the dedup admissions will
+    * reject it (that is their job); sessionize/moments would
+    * double-count, exactly as their operator contracts document. */
   def run(spark: SparkSession, spec: Spec, sourceDir: String, outDir: String,
-      stagingSuffix: String = "_staging"): Seq[String] = {
+      stagingSuffix: String = "_staging", stateDir: Option[String] = None): Seq[String] = {
     val ordered = validate(spec) match {
       case Left(errs) => throw new IllegalArgumentException(errs.mkString("\n"))
       case Right(o)   => o
     }
+    val stateful = statefulSteps(spec)
+    require(stateful.isEmpty || stateDir.nonEmpty,
+      s"steps ${stateful.mkString(", ")} run incremental modes — pass a state directory")
+    val counterPath = stateDir.map(d => java.nio.file.Paths.get(d, "_graft_next_batch"))
+    val batchId: Long = counterPath.map { p =>
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+      else 0L
+    }.getOrElse(0L)
     val stepNames = spec.steps.map(_.name).toSet
     // a step name shadowing a source table would make `input:` ambiguous
     ordered.foreach { s =>
@@ -450,7 +653,7 @@ object CurationPipeline {
         val in  = s.input.getOrElse(
           spec.steps(spec.steps.indexWhere(_.name == s.name) - 1).name)
         val ctx = Ctx(resolve(in), spec.idCol, spec.textCol, resolve,
-          new Params(s.name, s.params))
+          new Params(s.name, s.params), s.name, stateDir, batchId)
         val t0  = System.nanoTime()
         val out = ops(s.op).run(ctx)
         // plans/<step>.txt — the warehouse path's plan artifact, same
@@ -484,6 +687,14 @@ object CurationPipeline {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, "pipeline_manifest.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the batch id advances ONLY once everything promoted: a crashed
+      // run re-runs under the same id and every store update replays
+      // idempotently
+      counterPath.foreach { p =>
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          (batchId + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       manifest.map(_._1.name)
     }
   }

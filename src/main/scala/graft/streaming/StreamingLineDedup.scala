@@ -135,6 +135,15 @@ object StreamingLineDedup {
     * re-delivers only past the checkpoint), and a replay of a later
     * batch still rewrites its own untouched partition.
     *
+    * MUST run with the [[maintain]] stream STOPPED (or between
+    * triggers) — the `upToBatchId` contract implies it, but not only
+    * for replay reasons: compact reads the live store lazily and then
+    * swaps directories, so a partition written by a concurrent
+    * micro-batch between the read and the rename would be silently
+    * ABSENT from the compacted store, and the concurrent batch's write
+    * can itself fail on the missing directory during the rename
+    * window. Stop the query, compact, restart.
+    *
     * Crash contract (the [[StreamingHeavyHitters]] two-rename swap):
     * the compacted store builds in a sibling temp dir and swaps in via
     * two renames — before the first rename the original store is

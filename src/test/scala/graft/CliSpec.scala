@@ -374,6 +374,233 @@ class CliSpec extends SparkSpec {
     assert(scored.count() == cleanIds.size, "self-referenced LM scores every input doc")
   }
 
+  // ------------------------------------------------------------ incremental pipeline mode
+
+  test("pipeline --state: exact + near admission across two runs equals the full rebuild") {
+    import spark.implicits._
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    val w15 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar"
+    val t3  = "papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu nine eight seven six"
+    val t4  = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat today"
+    val t6  = "red green blue yellow purple orange pink brown black white silver gold cyan magenta teal"
+    val t9  = "north south east west up down left right forward backward inward outward over under through"
+    def lastWordSwap(s: String, w: String) = s.split(" ").dropRight(1).mkString(" ") + " " + w
+    val batch1 = Seq(
+      1L -> w15, 2L -> w15,                    // exact dup pair
+      3L -> t3,
+      4L -> t4, 5L -> lastWordSwap(t4, "now"), // in-batch near-dup pair
+      6L -> t6).toDF("doc_id", "text")
+    val batch2 = Seq(
+      7L -> t3,                                // exact dup of admitted 3
+      8L -> lastWordSwap(t6, "gray"),          // near-dup of admitted 6
+      9L -> t9, 10L -> t9).toDF("doc_id", "text")
+    val yaml = Files.createTempFile("graft-pipe-admit", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: admit_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: admitted
+        |    op: dedup_exact
+        |    input: batch
+        |    params: { mode: admit, buckets: 8 }
+        |  - name: neared
+        |    op: dedup_near
+        |    params: { mode: admit, buckets: 8, minJaccard: 0.5 }
+        |""".stripMargin)
+    batch1.write.parquet(s"$src/batch.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    def ids(p: String) = spark.read.parquet(p).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(s"$out1/admitted") === Set(1L, 3L, 4L, 5L, 6L))
+    assert(ids(s"$out1/neared") === Set(1L, 3L, 4L, 6L))
+    // second run, second batch through the SAME yaml + state
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch.parquet"))
+    batch2.write.parquet(s"$src/batch.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out2, "--state", state), spark)
+    assert(ids(s"$out2/admitted") === Set(8L, 9L))
+    assert(ids(s"$out2/neared") === Set(9L))
+    // union of the two admitted outputs equals the FULL rebuild over
+    // the concatenated corpus (exact: min-id per fingerprint; near:
+    // one survivor per near-dup clique)
+    val all = batch1.unionByName(batch2)
+    val fullExact = all.join(
+      graft.operators.Dedup.exact(all, "doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val fullNear = graft.operators.Dedup.survivors(fullExact, "doc_id",
+      graft.operators.Dedup.minhashLshPairs(fullExact, "doc_id", "text", 3, 64, 4, 0.5, 1000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(s"$out1/neared") ++ ids(s"$out2/neared") === fullNear)
+    // the state advanced exactly one batch per run
+    assert(Files.readString(Paths.get(state, "_graft_next_batch")).trim == "2")
+  }
+
+  test("pipeline --state: line_dedup against_store strips with corpus-wide line df") {
+    import spark.implicits._
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    val batch1 = Seq(
+      1L -> "BOILER\nunique one\nFOOTER",
+      2L -> "BOILER\nunique two").toDF("doc_id", "text")
+    val batch2 = Seq(
+      3L -> "FOOTER\nunique three",
+      4L -> "unique four").toDF("doc_id", "text")
+    val yaml = Files.createTempFile("graft-pipe-linestore", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: line_store
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: stripped
+        |    op: line_dedup
+        |    input: batch
+        |    params: { mode: against_store, minDf: 2 }
+        |""".stripMargin)
+    batch1.write.parquet(s"$src/batch.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    def texts(p: String) = spark.read.parquet(p).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // BOILER is hot within batch1 (df 2); FOOTER is df 1 so far — kept
+    assert(texts(s"$out1/stripped") ===
+      Map(1L -> "unique one\nFOOTER", 2L -> "unique two"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch.parquet"))
+    batch2.write.parquet(s"$src/batch.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out2, "--state", state), spark)
+    // FOOTER reached corpus-wide df 2 by batch2 — stripped from doc 3,
+    // exactly the rows a full rebuild produces for batch2's docs
+    assert(texts(s"$out2/stripped") ===
+      Map(3L -> "unique three", 4L -> "unique four"))
+    val full = graft.operators.Dedup.lineDedup(
+      batch1.unionByName(batch2), "doc_id", "text", 2)
+    assert(full.filter(org.apache.spark.sql.functions.col("doc_id") >= 3L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
+      === texts(s"$out2/stripped"))
+  }
+
+  test("pipeline --state: sessionize incremental + moments merge equal the full rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    val batch1 = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), BigDecimal("1.500000")),
+      (2L, 10L, ts("2024-01-01 10:10:00"), BigDecimal("2.250000")),
+      (3L, 20L, ts("2024-01-01 09:00:00"), BigDecimal("4.000000")))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("value", col("value").cast("decimal(18,6)"))
+    val batch2 = Seq(
+      (4L, 10L, ts("2024-01-01 10:40:00"), BigDecimal("0.750000")), // continues 10's session
+      (5L, 20L, ts("2024-01-01 12:00:00"), BigDecimal("1.000000")), // new session for 20
+      (6L, 30L, ts("2024-01-01 11:00:00"), BigDecimal("3.000000"))) // fresh entity
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("value", col("value").cast("decimal(18,6)"))
+    val yaml = Files.createTempFile("graft-pipe-maint", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: maint_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: sessions
+        |    op: sessionize
+        |    input: batch_events
+        |    params: { entity: user_id, ts: ts, tie: event_id, value: value,
+        |              gapSeconds: 3600, mode: incremental }
+        |  - name: mom
+        |    op: moments
+        |    input: batch_events
+        |    params: { cols: value, mode: merge }
+        |""".stripMargin)
+    batch1.write.parquet(s"$src/batch_events.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch_events.parquet"))
+    batch2.write.parquet(s"$src/batch_events.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out2, "--state", state), spark)
+    val all = batch1.unionByName(batch2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // maintained session table after run 2 == full rebuild over union
+    assert(rows(spark.read.parquet(s"$out2/sessions")) ===
+      rows(graft.operators.Sessions.buildSessionTable(
+        all, "user_id", "ts", "event_id", "value", 3600L)))
+    // merged moments after run 2 == full-corpus moments (exact decimal)
+    val wantMoments = graft.operators.Profile.mergeMoments(
+      graft.operators.Profile.moments(all, Seq("value")),
+      graft.operators.Profile.moments(all, Seq("value")).limit(0))
+    assert(rows(spark.read.parquet(s"$out2/mom")) === rows(wantMoments))
+  }
+
+  test("pipeline --state: lm_score chains into dedup_near keep: best via scoreFrom") {
+    import spark.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat today"
+    val docs = Seq(
+      1L -> base,
+      2L -> (base.split(" ").dropRight(1).mkString(" ") + " tonight"), // near-dup of 1
+      3L -> "completely different content with no overlap whatsoever in any shingle at all here now"
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$src/corpus.parquet")
+    val yaml = Files.createTempFile("graft-pipe-best", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: best_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: scored
+        |    op: lm_score
+        |    input: corpus
+        |  - name: besties
+        |    op: dedup_near
+        |    input: corpus
+        |    params: { keep: best, scoreFrom: scored, scoreCol: mean_p, minJaccard: 0.5 }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val kept = spark.read.parquet(s"$out/besties")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the {1,2} near-dup cluster keeps exactly its best-scored member
+    val scores = spark.read.parquet(s"$out/scored")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_p")).toMap
+    val bestOf12 = if (scores(1L) >= scores(2L)) 1L else 2L
+    assert(kept === Set(bestOf12, 3L), s"scores: $scores")
+  }
+
+  test("pipeline incremental modes validate: unknown mode and missing --state fail pre-Spark") {
+    val yaml = Files.createTempFile("graft-pipe-badmode", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: bad_mode
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: a
+        |    op: dedup_exact
+        |    input: documents
+        |    params: { mode: sideways }
+        |""".stripMargin)
+    val e1 = intercept[Cli.CliError] {
+      Cli.run(Seq("pipeline", yaml.toString, sf("sf0.001"), tempDir()),
+        fail("session must not be forced on a spec error"))
+    }
+    assert(e1.msg.contains("has no mode 'sideways'"))
+    val yaml2 = Files.createTempFile("graft-pipe-nostate", ".yaml")
+    Files.writeString(yaml2,
+      """pipeline: no_state
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: a
+        |    op: dedup_exact
+        |    input: documents
+        |    params: { mode: admit }
+        |""".stripMargin)
+    val e2 = intercept[Cli.CliError] {
+      Cli.run(Seq("pipeline", yaml2.toString, sf("sf0.001"), tempDir()),
+        fail("session must not be forced when --state is missing"))
+    }
+    assert(e2.msg.contains("--state"))
+  }
+
   test("--version prints the banner with exit code 0, short aliases parse") {
     // --version anywhere in the args wins, before any validation
     // (`ArgParser.hs:106-113`)

@@ -160,6 +160,47 @@ class PlanSpec extends SparkSpec {
       "simhash is a pure per-doc function; it must not shuffle")
   }
 
+  test("unpartitioned windows run over provably bounded inputs") {
+    import org.apache.spark.sql.functions.col
+    // WindowExec warns (benignly) on any global window; these three are
+    // the library's only unpartitioned-window sites, each bounded by a
+    // construct BELOW the window in the plan. Bench silences the
+    // warning logger on the strength of exactly these pins.
+    // 1. term-freq rank: the window input is the TakeOrdered top-100
+    val tfPlan = QueriesExt.textTermFreq(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(tfPlan.contains("TakeOrderedAndProject(limit=100"),
+      s"term-freq global rank must sit above a limit-100 TakeOrdered:\n$tfPlan")
+    // 2. skew diagnose: limit-then-rank — the global window sees ≤ topK
+    // rows, never the distinct-key set
+    val events = sources.ParquetTables.readTable(spark, sf("sf0.001"), "events")
+    val diag = graft.exec.Skew.diagnose(events, "user_id", topK = 3, parallelism = 32)
+    val diagPlan = diag.queryExecution.executedPlan.toString
+    assert(diagPlan.contains("TakeOrderedAndProject(limit=3"),
+      s"skew top-k global rank must sit above a limit-topK TakeOrdered:\n$diagPlan")
+    assert(diag.count() == 3)
+    // limit-then-rank must equal rank-then-filter (same total order):
+    // the heaviest key's rank-1 row survives with an exact ppm share
+    val top = diag.orderBy(col("rank")).collect()
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // 3. PPS offsets: the global prefix-sum window runs over the
+    // per-partition totals — grouped by spark_partition_id, ≤ the
+    // range-partition count by construction
+    val pps = graft.operators.Sampling.weightedSystematic(
+      sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
+        .select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", 50, partitions = 8)
+    val ppsPlan = pps.queryExecution.executedPlan.toString
+    // offsets attach by broadcast on the per-partition id: the window's
+    // input is the __pid-keyed aggregate, ≤ |range partitions| rows
+    assert(ppsPlan.contains("BroadcastHashJoin [__pid"),
+      s"PPS offsets must broadcast-join per-partition totals:\n$ppsPlan")
+    val optimized = pps.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("SPARK_PARTITION_ID") ||
+        optimized.toLowerCase.contains("spark_partition_id"),
+      s"PPS partition totals must key on spark_partition_id:\n$optimized")
+  }
+
   test("frame sampling keeps the scan's parallelism (no exchange, no coalesce-to-1)") {
     val frames = QueriesExt.multimodalFrames(spark, sf("sf0.001"))
     val plan = frames.queryExecution.executedPlan.toString
