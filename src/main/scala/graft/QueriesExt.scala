@@ -958,7 +958,71 @@ object QueriesExt {
        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4) < thr.th
        |""".stripMargin
 
-  // ================================================================ text normalization
+  // ================================================================ winnowing
+  /** Winnowing fingerprints [Schleimer et al., SIGMOD 2003] over the
+    * documents table: 4-gram md5 hashes, window 5, rightmost-min
+    * selection — the oracle re-derives the selection rule
+    * relationally (same md5-hex prefixes, min by (hash, pos desc) via
+    * an encoded sort key). */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text", n = 4, w = 5)
+
+  lazy val textWinnowSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 16) AS h,
+       |         len(w) - 3 AS m
+       |  FROM ws, unnest(generate_series(1, len(w) - 3)) AS t(i)
+       |), wins AS (
+       |  -- window j covers gram positions [j, j+4]; j ranges over
+       |  -- [0, max(m-5, 0)] — short docs winnow one window
+       |  SELECT doc_id, j,
+       |         min(h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0')) AS sel
+       |  FROM g, unnest(generate_series(
+       |         greatest(pos - 4, 0), least(pos, greatest(m - 5, 0)))) AS tw(j)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT DISTINCT doc_id,
+       |       CAST(999999 - CAST(substr(sel, 17, 6) AS INTEGER) AS INTEGER) AS pos,
+       |       substr(sel, 1, 16) AS fp
+       |FROM wins
+       |""".stripMargin
+
+  /** MOSS-style shared-fingerprint candidate pairs: docs sharing >= 2
+    * distinct winnowed hashes (fingerprint buckets capped like every
+    * blocking join). */
+  def dedupWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(docs(s, dir), "doc_id", "text",
+      n = 4, w = 5, minShared = 2L, maxBucket = 1000)
+
+  lazy val dedupWinnowPairsSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 16) AS h,
+       |         len(w) - 3 AS m
+       |  FROM ws, unnest(generate_series(1, len(w) - 3)) AS t(i)
+       |), wins AS (
+       |  SELECT doc_id, j,
+       |         min(h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0')) AS sel
+       |  FROM g, unnest(generate_series(
+       |         greatest(pos - 4, 0), least(pos, greatest(m - 5, 0)))) AS tw(j)
+       |  GROUP BY 1, 2
+       |), fps AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, substr(sel, 1, 16) AS fp FROM wins
+       |), ok AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 1000
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |FROM fps a
+       |JOIN ok USING (fp)
+       |JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2
+       |""".stripMargin
   /** Normalized text as a materialized column (the shared preprocessing
     * of every text operator, exposed as its own output). */
   def textNormalize(s: SparkSession, dir: String): DataFrame =

@@ -181,6 +181,9 @@ object SparkEntry {
     // batch admission against a maintained fingerprint set
     "dedup_incremental"   -> (QueriesExt.dedupIncremental _),
     "dedup_ngram_jaccard" -> (QueriesExt.dedupNgramJaccard _),
+    // winnowing (MOSS local fingerprints) + shared-fp candidate pairs
+    "text_winnow" -> (QueriesExt.textWinnow _),
+    "dedup_winnow_pairs" -> (QueriesExt.dedupWinnowPairs _),
     // prefix-filtered exact Jaccard: same oracle, bounded candidates
     "dedup_jaccard_prefix" -> (QueriesExt.dedupJaccardPrefix _),
     // the production-θ regime of the same operator (short prefixes)
@@ -333,6 +336,8 @@ object SparkEntry {
     "dedup_exact"               -> QueriesExt.dedupExactSql,
     "dedup_incremental"         -> QueriesExt.dedupIncrementalSql,
     "dedup_ngram_jaccard"       -> QueriesExt.dedupNgramJaccardSql,
+    "text_winnow"               -> QueriesExt.textWinnowSql,
+    "dedup_winnow_pairs"        -> QueriesExt.dedupWinnowPairsSql,
     "dedup_jaccard_prefix"      -> QueriesExt.dedupNgramJaccardSql,
     "dedup_jaccard_prefix_t08"  -> QueriesExt.dedupJaccardPrefixT08Sql,
     "text_dup_spans"            -> QueriesExt.textDupSpansSql,

@@ -825,4 +825,112 @@ object Dedup {
       col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
         .as(Seq("idx", "line")))
+
+  // ================================================================ winnowing
+
+  /** Winnowing document fingerprints [Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm]: hash every
+    * token `n`-gram (md5, 16 hex chars), slide a window of `w`
+    * consecutive gram positions, select each window's minimum — ties by
+    * the RIGHTMOST (largest position) minimal hash, i.e. min by
+    * `(hash asc, pos desc)` — and emit the DISTINCT selected
+    * `(pos, fp)` pairs. Density ~`2/(w+1)` of the gram stream, with the
+    * winnowing guarantee: two documents sharing any token run of at
+    * least `w + n - 1` tokens share at least one fingerprint — the
+    * local-fingerprint property plain 0 mod p sampling lacks.
+    *
+    * Documents with fewer than `w` grams winnow one window over what
+    * they have; fewer than `n` tokens → no fingerprints (absent).
+    *
+    * Scale shape: entirely SCAN-LOCAL — one compiled pass per document
+    * (rolling monotonic deque, O(grams) amortized), no shuffle, no
+    * state beyond one document's gram hashes. The md5-hex prefix makes
+    * the selection rule reproducible by any engine (the DuckDB oracle
+    * re-derives it relationally). */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 4, w: Int = 5
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val fpUdf = udf { (words: Seq[String]) =>
+      if (words == null) Array.empty[(Int, String)]
+      else {
+        val m = words.length - n + 1
+        if (m <= 0) Array.empty[(Int, String)]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val sb = new java.lang.StringBuilder()
+          val hs = new Array[String](m)
+          var i = 0
+          while (i < m) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j))
+              j += 1
+            }
+            md.reset()
+            val d  = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hx = new java.lang.StringBuilder(16)
+            var b = 0
+            while (b < 8) { // first 8 bytes = 16 hex chars
+              hx.append(Character.forDigit((d(b) >> 4) & 0xF, 16))
+              hx.append(Character.forDigit(d(b) & 0xF, 16))
+              b += 1
+            }
+            hs(i) = hx.toString
+            i += 1
+          }
+          // monotonic deque: pop tail while tail.h >= new.h, so the head
+          // is the window min with rightmost-tie (pos desc) semantics
+          val sel = scala.collection.mutable.LinkedHashSet.empty[(Int, String)]
+          val dq  = new java.util.ArrayDeque[Integer]()
+          val lastWin = math.max(0, m - w)
+          var p = 0
+          var win = 0
+          while (win <= lastWin) {
+            val hi = win + w - 1
+            while (p < m && p <= hi) {
+              while (!dq.isEmpty && hs(dq.peekLast) >= hs(p)) dq.pollLast()
+              dq.addLast(p)
+              p += 1
+            }
+            while (dq.peekFirst < win) dq.pollFirst()
+            val head = dq.peekFirst.intValue
+            sel.add((head, hs(head)))
+            win += 1
+          }
+          sel.toArray
+        }
+      }
+    }
+    docs
+      .select(col(idCol), explode(fpUdf(TextAnalysis.tokens(col(textCol)))).as("__f"))
+      .select(col(idCol), col("__f._1").as("pos"), col("__f._2").as("fp"))
+  }
+
+  /** Candidate near-dup pairs by SHARED winnowing fingerprints (the
+    * MOSS similarity detector): docs sharing at least `minShared`
+    * distinct selected hashes. The blocking key is the fingerprint
+    * (density ~2/(w+1) of the shingle stream — the cheap index plain
+    * shingle joins can't afford), bucket-capped like every other
+    * blocking join here ([[minhashLshPairs]]'s degenerate-bucket
+    * rationale: a boilerplate fingerprint bucket of k docs is k² pair
+    * candidates). Output `(doc_a, doc_b, shared)`, doc_a < doc_b. */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 5, minShared: Long = 2L, maxBucket: Int = 1000
+  ): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = winnowFingerprints(docs, idCol, textCol, n, w)
+      .select(col(idCol), col("fp")).distinct()
+    val capped = capBuckets(fps, Seq("fp"), maxBucket)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

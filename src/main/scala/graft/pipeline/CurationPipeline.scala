@@ -331,7 +331,7 @@ object CurationPipeline {
       }
     }, modes = Set("full", "admit")),
     // SimHash near-dup dedup: bit-level near-identity blocking
-    "dedup_simhash" -> Op(Set("maxHamming", "maxBucket", "keep"), { c =>
+    "dedup_simhash" -> Op(Set("maxHamming", "maxBucket", "keep", "scoreCol", "scoreFrom"), { c =>
       val pairs = Dedup.simhashPairs(c.input, c.idCol, c.textCol,
         maxHamming = c.params.int("maxHamming", 3),
         maxBucket = c.params.int("maxBucket", 1000))
@@ -441,10 +441,21 @@ object CurationPipeline {
           "expectation gate failed:\n  " + errs.mkString("\n  "))
       c.input
     }),
+    // winnowing (MOSS) near-dup dedup: shared-local-fingerprint
+    // candidate pairs, one survivor per component — the cheap
+    // plagiarism-detector index (density ~2/(w+1) of the shingles)
+    "dedup_winnow" -> Op(
+      Set("n", "w", "minShared", "maxBucket", "keep", "scoreCol", "scoreFrom"), { c =>
+      val pairs = Dedup.winnowPairs(c.input, c.idCol, c.textCol,
+        n = c.params.int("n", 4), w = c.params.int("w", 5),
+        minShared = c.params.long("minShared", 2L),
+        maxBucket = c.params.int("maxBucket", 1000))
+      keepSurvivors(c, pairs)
+    }),
     // prefix-filtered exact-Jaccard near-dup dedup: one survivor per
     // cluster, exact over the full shingle universe (the PPJoin path —
     // prefer at near-dup thresholds where prefixes are short)
-    "dedup_prefix" -> Op(Set("n", "minJaccard", "keep"), { c =>
+    "dedup_prefix" -> Op(Set("n", "minJaccard", "keep", "scoreCol", "scoreFrom"), { c =>
       val pairs = Dedup.jaccardPrefixPairs(c.input, c.idCol, c.textCol,
         n = c.params.int("n", 3), minJaccard = c.params.double("minJaccard", 0.8))
       keepSurvivors(c, pairs)

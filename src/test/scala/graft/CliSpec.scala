@@ -566,6 +566,33 @@ class CliSpec extends SparkSpec {
     assert(kept === Set(bestOf12, 3L), s"scores: $scores")
   }
 
+  test("pipeline subcommand: dedup_winnow drops the shared-run copy, keeps the longest") {
+    import spark.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    val run = "p q r s t u v w"   // >= w + n - 1 = 8 shared tokens
+    val docs = Seq(
+      1L -> s"alpha beta $run gamma",
+      2L -> s"one two three $run four five six seven eight nine ten", // longest copy
+      3L -> "totally unrelated text with nothing shared here at all today"
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$src/corpus.parquet")
+    val yaml = Files.createTempFile("graft-pipe-winnow", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: winnow_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: kept
+        |    op: dedup_winnow
+        |    input: corpus
+        |    params: { minShared: 1, keep: longest }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val kept = spark.read.parquet(s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("pipeline incremental modes validate: unknown mode and missing --state fail pre-Spark") {
     val yaml = Files.createTempFile("graft-pipe-badmode", ".yaml")
     Files.writeString(yaml,

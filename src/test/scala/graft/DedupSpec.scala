@@ -405,4 +405,71 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(out(1L) == "same\nsame\nsame")
   }
+
+  // ---------------------------------------------------------------- winnowing
+
+  /** Brute-force winnowing reference: per window, min by (h asc,
+    * pos desc); distinct selections. */
+  private def winnowRef(words: Seq[String], n: Int, w: Int): Set[(Int, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = words.length - n + 1
+    if (m <= 0) Set.empty
+    else {
+      val hs = (0 until m).map { i =>
+        md.reset()
+        md.digest(words.slice(i, i + n).mkString(" ").getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+      }
+      (0 to math.max(0, m - w)).map { j =>
+        val win = (j until math.min(j + w, m)).map(p => (p, hs(p)))
+        win.minBy { case (p, h) => (h, -p) }
+      }.toSet
+    }
+  }
+
+  test("winnowFingerprints matches the brute-force reference on varied token streams") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "a b c d e f g h i j k l m n o p",
+      2L -> "x x x x x x x x x x",                 // all-equal hashes: rightmost tie
+      3L -> "a b c d",                              // exactly n tokens: one gram
+      4L -> "a b c",                                // < n tokens: none
+      5L -> "q r s t u v q r s t u v q r s t u v", // period-6 repetition
+      6L -> "one two three four five six seven")
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(df, "doc_id", "text", n = 4, w = 5)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.foreach { case (id, t) =>
+      val want = winnowRef(t.split(" ").toSeq, 4, 5)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+    // the winnowing guarantee: a shared token run of >= w + n - 1
+    // tokens (here 8) must share at least one fingerprint
+    val shared = "p q r s t u v w"
+    val pairDf = Seq(
+      10L -> s"alpha beta $shared gamma delta epsilon zeta",
+      11L -> s"one two three four $shared five six").toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(pairDf, "doc_id", "text", 4, 5)
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    val common = fp.filter(_._1 == 10L).map(_._2).toSet
+      .intersect(fp.filter(_._1 == 11L).map(_._2).toSet)
+    assert(common.nonEmpty, "winnowing guarantee violated")
+    // pairs: the two docs above collide with >= 1 shared fingerprint
+    val pairs = Dedup.winnowPairs(pairDf, "doc_id", "text", 4, 5, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1 && pairs.head._1 == 10L && pairs.head._2 == 11L)
+    assert(pairs.head._3 == common.size)
+  }
+
+  test("winnowFingerprints is scan-local (no exchange) and null/empty-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, null.asInstanceOf[String]), (3L, ""), (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowFingerprints(df, "doc_id", "text")
+    assert(out.collect().map(_.getLong(0)).toSet === Set(1L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fingerprinting must not shuffle:\n$plan")
+  }
 }
