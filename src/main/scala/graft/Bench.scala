@@ -123,6 +123,8 @@ object Bench {
     // decimal-explode form is the oracle-exact gate companion)
     "embed_semdedup"          -> (QueriesExt.embedSemdedupBench _),
     "text_diversity"          -> (QueriesExt.textDiversity _),
+    // winnowing: scan-local MOSS fingerprints + shared-fp pair join
+    "dedup_winnow_pairs"      -> (QueriesExt.dedupWinnowPairs _),
     "events_robust_z"         -> (QueriesEvents.eventsRobustZ _),
     "sketch_intersection"     -> (Queries.sketchIntersection _),
     "sample_quantile_strata"  -> (QueriesExt.sampleQuantileStrata _)

@@ -517,6 +517,24 @@ object CurationPipeline {
           // overwrite is rerun-safe: a replay of this batch id rebuilds
           // the same version from the same previous version
           merged.write.mode("overwrite").parquet(next)
+          // GC superseded versions: a rerun of batch id N reads only
+          // v(N-1), so v(N-2) and older can never be needed again —
+          // without this, nightly runs accumulate one full session
+          // table copy per run
+          val rootPath = java.nio.file.Paths.get(root)
+          if (java.nio.file.Files.isDirectory(rootPath)) {
+            val it = java.nio.file.Files.list(rootPath)
+            try it.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("sessions_v"))
+              .filter { p =>
+                p.getFileName.toString.stripPrefix("sessions_v").toLongOption
+                  .exists(_ < c.batchId - 1)
+              }
+              .foreach { p =>
+                org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+              }
+            finally it.close()
+          }
           spark.read.parquet(next)
       }
     }, modes = Set("full", "incremental")),
@@ -554,9 +572,19 @@ object CurationPipeline {
     // content), greedily prune within-cluster pairs with cosine >=
     // minCosine (smaller id survives). Docs with no embedding row
     // pass through untouched.
-    "semdedup" -> Op(Set("embeddings", "id", "vec", "k", "minCosine", "maxCluster"), { c =>
+    // onOversized: skip (default — clusters over maxCluster pass
+    // through unpruned, the semDedup contract) | fail (raise in-plan
+    // before under-pruning silently — the production-run guard)
+    "semdedup" -> Op(
+      Set("embeddings", "id", "vec", "k", "minCosine", "maxCluster", "onOversized"), { c =>
       val eid = c.params.str("id", c.idCol)
       val vec = c.params.str("vec", "embedding")
+      val failLoud = c.params.str("onOversized", "skip") match {
+        case "skip" => false
+        case "fail" => true
+        case other => throw new IllegalArgumentException(
+          s"step ${c.stepName}: onOversized must be skip or fail, got '$other'")
+      }
       // a NULL vector is "no embedding": filtered here so such docs
       // take the pass-through branch (semDedup's null-cluster rule
       // would otherwise drop them from BOTH kept and noEmb)
@@ -565,7 +593,8 @@ object CurationPipeline {
         .join(c.input.select(col(c.idCol).as(eid)), Seq(eid), "left_semi")
       val kept = graft.operators.Similarity.semDedup(et, eid, vec,
         k = c.params.int("k", 64), minCosine = c.params.double("minCosine", 0.9),
-        maxCluster = c.params.int("maxCluster", 10000))
+        maxCluster = c.params.int("maxCluster", 10000),
+        failOnOversized = failLoud)
         .select(col(eid).as(c.idCol))
       val noEmb = c.input.join(et.select(col(eid).as(c.idCol)), Seq(c.idCol), "left_anti")
       c.input.join(kept, Seq(c.idCol), "left_semi").unionByName(noEmb)

@@ -283,6 +283,26 @@ class CliSpec extends SparkSpec {
     val kept = spark.read.parquet(s"$out/pruned")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L))
+    // onOversized: fail — a cluster over maxCluster raises in-plan
+    // instead of silently under-pruning
+    val yamlFail = Files.createTempFile("graft-pipe-sem-fail", ".yaml")
+    Files.writeString(yamlFail,
+      """pipeline: sem_fail
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: pruned
+        |    op: semdedup
+        |    input: documents
+        |    params: { embeddings: embeddings, k: 1, minCosine: 0.9,
+        |              maxCluster: 2, onOversized: fail }
+        |""".stripMargin)
+    val ex = intercept[Exception] {
+      Cli.run(Seq("pipeline", yamlFail.toString, src, tempDir()), spark)
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg(ex).contains("maxCluster=2"), s"unexpected failure: ${msg(ex)}")
   }
 
   test("pipeline subcommand: decontaminate resolves its benchmark from SOURCE_DIR") {
@@ -530,6 +550,23 @@ class CliSpec extends SparkSpec {
       graft.operators.Profile.moments(all, Seq("value")),
       graft.operators.Profile.moments(all, Seq("value")).limit(0))
     assert(rows(spark.read.parquet(s"$out2/mom")) === rows(wantMoments))
+    // a third batch: result still equals the full rebuild, and the
+    // session-store versions GC down to the last two (a rerun of batch
+    // N reads only v(N-1) — older versions must not accumulate)
+    val batch3 = Seq(
+      (7L, 30L, ts("2024-01-01 15:00:00"), BigDecimal("2.000000")))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("value", col("value").cast("decimal(18,6)"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch_events.parquet"))
+    batch3.write.parquet(s"$src/batch_events.parquet")
+    val out3 = tempDir()
+    Cli.run(Seq("pipeline", yaml.toString, src, out3, "--state", state), spark)
+    assert(rows(spark.read.parquet(s"$out3/sessions")) ===
+      rows(graft.operators.Sessions.buildSessionTable(
+        all.unionByName(batch3), "user_id", "ts", "event_id", "value", 3600L)))
+    val versions = new java.io.File(s"$state/sessions").listFiles()
+      .map(_.getName).filter(_.startsWith("sessions_v")).sorted.toSeq
+    assert(versions === Seq("sessions_v1", "sessions_v2"), s"got $versions")
   }
 
   test("pipeline --state: lm_score chains into dedup_near keep: best via scoreFrom") {
