@@ -443,15 +443,40 @@ object CurationPipeline {
     }),
     // winnowing (MOSS) near-dup dedup: shared-local-fingerprint
     // candidate pairs, one survivor per component — the cheap
-    // plagiarism-detector index (density ~2/(w+1) of the shingles)
+    // plagiarism-detector index (density ~2/(w+1) of the shingles).
+    // mode: admit judges the batch against the maintained fingerprint
+    // posting store (StreamingWinnowDedup) — catches LOCAL overlap
+    // (a copied passage inside an otherwise new doc) that the
+    // whole-document Jaccard admission dilutes away.
     "dedup_winnow" -> Op(
-      Set("n", "w", "minShared", "maxBucket", "keep", "scoreCol", "scoreFrom"), { c =>
-      val pairs = Dedup.winnowPairs(c.input, c.idCol, c.textCol,
-        n = c.params.int("n", 4), w = c.params.int("w", 5),
-        minShared = c.params.long("minShared", 2L),
-        maxBucket = c.params.int("maxBucket", 1000))
-      keepSurvivors(c, pairs)
-    }),
+      Set("n", "w", "minShared", "maxBucket", "keep", "scoreCol", "scoreFrom",
+        "mode", "buckets"), { c =>
+      c.params.str("mode", "full") match {
+        case "full" =>
+          val pairs = Dedup.winnowPairs(c.input, c.idCol, c.textCol,
+            n = c.params.int("n", 4), w = c.params.int("w", 5),
+            minShared = c.params.long("minShared", 2L),
+            maxBucket = c.params.int("maxBucket", 1000))
+          keepSurvivors(c, pairs)
+        case "admit" =>
+          require(!c.params.has("keep") && !c.params.has("scoreCol"),
+            s"step ${c.stepName}: keep/scoreCol apply to mode: full only " +
+              "(admission keeps the in-batch min-id representative)")
+          val root = c.requireState("dedup_winnow mode: admit")
+          val (store, sink) = (s"$root/fingerprints", s"$root/admitted")
+          val p = graft.streaming.StreamingWinnowDedup.Params(
+            numBuckets = c.params.int("buckets", 64),
+            n = c.params.int("n", 4), w = c.params.int("w", 5),
+            minShared = c.params.long("minShared", 2L),
+            maxBucket = c.params.int("maxBucket", 1000))
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(store, "_graft_buckets")))
+            graft.streaming.StreamingWinnowDedup.initialize(
+              c.input.limit(0), c.idCol, c.textCol, store, sink, p)
+          graft.streaming.StreamingWinnowDedup.applyBatch(
+            c.input, c.batchId, c.idCol, c.textCol, store, sink, p)
+          readBatchPartition(c, sink, graft.streaming.StreamingWinnowDedup.BatchCol)
+      }
+    }, modes = Set("full", "admit")),
     // prefix-filtered exact-Jaccard near-dup dedup: one survivor per
     // cluster, exact over the full shingle universe (the PPJoin path —
     // prefer at near-dup thresholds where prefixes are short)

@@ -457,6 +457,42 @@ class CliSpec extends SparkSpec {
     assert(Files.readString(Paths.get(state, "_graft_next_batch")).trim == "2")
   }
 
+  test("pipeline --state: dedup_winnow admit rejects cross-batch local overlap") {
+    import spark.implicits._
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    val run = "p q r s t u v w x y"  // 10 shared tokens >= w + n - 1
+    val batch1 = Seq(
+      1L -> s"alpha beta $run gamma delta epsilon",
+      2L -> "one two three four five six seven eight nine ten").toDF("doc_id", "text")
+    val batch2 = Seq(
+      3L -> s"completely different framing yet containing $run inside it somewhere",
+      4L -> "red orange yellow green blue indigo violet cyan magenta amber").toDF("doc_id", "text")
+    val yaml = Files.createTempFile("graft-pipe-winadmit", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: winnow_admit
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: admitted
+        |    op: dedup_winnow
+        |    input: batch
+        |    params: { mode: admit, buckets: 8, minShared: 1 }
+        |""".stripMargin)
+    batch1.write.parquet(s"$src/batch.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    def ids(p: String) = spark.read.parquet(p).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(s"$out1/admitted") === Set(1L, 2L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch.parquet"))
+    batch2.write.parquet(s"$src/batch.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out2, "--state", state), spark)
+    // doc 3 shares the >= w+n-1 token run with admitted doc 1 — the
+    // winnowing guarantee makes the rejection deterministic at
+    // minShared 1; doc 4 is novel
+    assert(ids(s"$out2/admitted") === Set(4L))
+  }
+
   test("pipeline --state: line_dedup against_store strips with corpus-wide line df") {
     import spark.implicits._
     val (src, state) = (tempDir(), tempDir())

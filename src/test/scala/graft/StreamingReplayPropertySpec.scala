@@ -191,4 +191,31 @@ class StreamingReplayPropertySpec extends SparkSpec {
         () => rowsOf(path))
     }
   }
+
+  test("property: winnow-admission stores converge under any replay interleaving") {
+    val run = "p q r s t u v w x y"  // >= w + n - 1 tokens: guaranteed collision
+    val fresh = Vector(
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet cyan magenta amber teal jade",
+      "north south east west up down left right front back inner outer")
+    def docs(b: Int) = Seq(
+      (b * 100L + 1, s"prefix $b $run suffix $b"), // shares the bootstrap run
+      (b * 100L + 2, fresh(b)),                    // novel
+      // exactly n tokens = ONE fingerprint, below minShared=2: can
+      // never be rejected — the partial-replay edge the self-id
+      // exclusion exists for
+      (b * 100L + 3, s"tiny${b} doc${b} here${b} now${b}"))
+      .toDF("doc_id", "text")
+    checkStore("winnow") { dir =>
+      val store = s"$dir/fps"
+      val out   = s"$dir/corpus"
+      val p     = StreamingWinnowDedup.Params(numBuckets = 8, minShared = 2L)
+      StreamingWinnowDedup.initialize(
+        Seq((1L, s"bootstrap alpha $run omega beta")).toDF("doc_id", "text"),
+        "doc_id", "text", store, out, p)
+      (b => StreamingWinnowDedup.applyBatch(
+        docs(b), b.toLong, "doc_id", "text", store, out, p),
+        () => rowsOf(store).map("p:" + _) ++ rowsOf(out).map("c:" + _))
+    }
+  }
 }
