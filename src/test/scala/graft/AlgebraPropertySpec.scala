@@ -200,12 +200,18 @@ class AlgebraPropertySpec extends SparkSpec {
         (i.toLong, u, java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"),
           types(t))
       }
-      val got = Funnel.attribution(
-        rows.toDF("event_id", "user_id", "ts", "event_type"),
-        "user_id", "ts", "event_id", "event_type",
-        "purchase", Seq("view", "click"), lookbackSec)
-        .collect().map(r => r.getString(0) ->
+      val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+      def toMapOf(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val got = toMapOf(Funnel.attribution(
+        df, "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click"), lookbackSec))
+      // the linear FIFO walk must agree with the join form on the same
+      // random stream (duplicate timestamps, boundary hits and all)
+      val gotWalk = toMapOf(Funnel.attributionWalk(
+        df, "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click"), lookbackSec))
       // brute force: per conversion, enumerate window touches
       val byConv = for {
         (cid, cu, cts, cty) <- rows if cty == "purchase"
@@ -234,7 +240,7 @@ class AlgebraPropertySpec extends SparkSpec {
           rowsOfType.map(r => if (r._3) 1000000L else 0L).sum,
           rowsOfType.map(_._4).sum)))
       }.toMap
-      got == want
+      got == want && gotWalk == want
     }, n = 5)
   }
 
