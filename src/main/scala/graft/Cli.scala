@@ -94,7 +94,7 @@ object Cli {
 
   private val usage =
     """usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR
-      |       graft.Cli pipeline JOB.yaml SOURCE_DIR OUT_DIR [--suffix-template T] [--state STATE_DIR]
+      |       graft.Cli pipeline JOB.yaml SOURCE_DIR OUT_DIR [--suffix-template T] [--state STATE_DIR] [--compact-state]
       |  [--incremental LO HI | --upper HI | --compact]
       |  [--no-partition]  [--bucket-parents N]  [--salt-parents N]  [--version]
       |  [-d|--dim-prefix P] [-f|--fact-prefix P] [-t|--time-unit U] [--fact-infix I]
@@ -257,7 +257,8 @@ object Cli {
     val Seq(jobPath, sourceDir, outDir) = args.take(3)
     val rest = args.drop(3)
     rest.filter(_.startsWith("--")).foreach { f =>
-      if (f != "--suffix-template" && f != "--state") usageExit(s"unknown flag: $f")
+      if (f != "--suffix-template" && f != "--state" && f != "--compact-state")
+        usageExit(s"unknown flag: $f")
     }
     val suffix = {
       val i = rest.indexOf("--suffix-template")
@@ -286,7 +287,11 @@ object Cli {
       throw CliError(
         s"pipeline: steps ${stateful.mkString(", ")} run incremental modes — " +
           "pass --state STATE_DIR", 1)
-    graft.pipeline.CurationPipeline.run(sparkSession, spec, sourceDir, outDir, suffix, stateDir)
+    val compactState = rest.contains("--compact-state")
+    if (compactState && stateDir.isEmpty)
+      throw CliError("pipeline: --compact-state requires --state STATE_DIR", 1)
+    graft.pipeline.CurationPipeline.run(
+      sparkSession, spec, sourceDir, outDir, suffix, stateDir, compactState)
       .foreach(t => println(s"written: $outDir/$t"))
   }
 

@@ -689,7 +689,8 @@ object CurationPipeline {
     * reject it (that is their job); sessionize/moments would
     * double-count, exactly as their operator contracts document. */
   def run(spark: SparkSession, spec: Spec, sourceDir: String, outDir: String,
-      stagingSuffix: String = "_staging", stateDir: Option[String] = None): Seq[String] = {
+      stagingSuffix: String = "_staging", stateDir: Option[String] = None,
+      compactState: Boolean = false): Seq[String] = {
     val ordered = validate(spec) match {
       case Left(errs) => throw new IllegalArgumentException(errs.mkString("\n"))
       case Right(o)   => o
@@ -759,6 +760,30 @@ object CurationPipeline {
         java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.write(p,
           (batchId + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      // state compaction AFTER the counter bump: batches <= batchId can
+      // never replay (a rerun presents the NEXT id), so folding them is
+      // safe; the additive stores fold exactly (line-df group-sum,
+      // moment partial-sum), and the swap is the two-rename crash-safe
+      // shape (StoreFiles.swapCompacted)
+      if (compactState) stateDir.foreach { sd =>
+        ordered.foreach { s =>
+          (s.op, s.params.getOrElse("mode", "full")) match {
+            case ("line_dedup", "against_store") =>
+              graft.streaming.StreamingLineDedup.compact(
+                spark, s"$sd/${s.name}/line_df",
+                s.params.getOrElse("delim", "\n"), upToBatchId = batchId)
+            case ("moments", "merge") =>
+              val store = s"$sd/${s.name}/moments"
+              graft.streaming.StoreFiles.swapCompacted(store) { tmp =>
+                val folded = spark.read.parquet(store).drop("__batch_id")
+                graft.operators.Profile.mergeMoments(folded, folded.limit(0))
+                  .withColumn("__batch_id", lit(-1L))
+                  .write.mode("overwrite").partitionBy("__batch_id").parquet(tmp)
+              }
+            case _ => () // bucket stores rewrite in place — nothing accumulates
+          }
+        }
       }
       manifest.map(_._1.name)
     }

@@ -9,7 +9,7 @@ import java.nio.file.{Files, Path, Paths}
   * stores share the batch-owned-partition design and had started to
   * accumulate byte-identical private copies of this plumbing.
   */
-private[streaming] object StoreFiles {
+private[graft] object StoreFiles {
 
   /** Write the sidecar `name` under `path` with exact `payload` bytes
     * (creating the directory first — the empty-bootstrap case). */

@@ -533,6 +533,28 @@ class CliSpec extends SparkSpec {
     assert(full.filter(org.apache.spark.sql.functions.col("doc_id") >= 3L)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
       === texts(s"$out2/stripped"))
+    // --compact-state folds committed batch summaries into the
+    // bootstrap partition without changing the corpus-wide df: a third
+    // run with the flag compacts, then behaves identically
+    val batch3 = Seq(5L -> "FOOTER\nunique five").toDF("doc_id", "text")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch.parquet"))
+    batch3.write.parquet(s"$src/batch.parquet")
+    val out3 = tempDir()
+    Cli.run(Seq("pipeline", yaml.toString, src, out3,
+      "--state", state, "--compact-state"), spark)
+    // FOOTER had corpus df 2 before this batch — stripped from doc 5
+    assert(texts(s"$out3/stripped") === Map(5L -> "unique five"))
+    val parts = new java.io.File(s"$state/stripped/line_df").listFiles()
+      .map(_.getName).filter(_.startsWith("__batch_id=")).sorted.toSeq
+    assert(parts === Seq("__batch_id=-1"), s"got $parts")
+    // and the compacted store still answers: a fourth batch re-using a
+    // folded boilerplate line gets stripped
+    val batch4 = Seq(6L -> "BOILER\nunique six").toDF("doc_id", "text")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch.parquet"))
+    batch4.write.parquet(s"$src/batch.parquet")
+    val out4 = tempDir()
+    Cli.run(Seq("pipeline", yaml.toString, src, out4, "--state", state), spark)
+    assert(texts(s"$out4/stripped") === Map(6L -> "unique six"))
   }
 
   test("pipeline --state: sessionize incremental + moments merge equal the full rebuild") {
@@ -603,6 +625,25 @@ class CliSpec extends SparkSpec {
     val versions = new java.io.File(s"$state/sessions").listFiles()
       .map(_.getName).filter(_.startsWith("sessions_v")).sorted.toSeq
     assert(versions === Seq("sessions_v1", "sessions_v2"), s"got $versions")
+    // --compact-state folds the moment partials exactly: one more run
+    // with the flag, totals still equal the full-corpus moments
+    val batch4 = Seq(
+      (8L, 30L, ts("2024-01-01 18:00:00"), BigDecimal("5.500000")))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("value", col("value").cast("decimal(18,6)"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch_events.parquet"))
+    batch4.write.parquet(s"$src/batch_events.parquet")
+    val out4 = tempDir()
+    Cli.run(Seq("pipeline", yaml.toString, src, out4,
+      "--state", state, "--compact-state"), spark)
+    val parts = new java.io.File(s"$state/mom/moments").listFiles()
+      .map(_.getName).filter(_.startsWith("__batch_id=")).sorted.toSeq
+    assert(parts === Seq("__batch_id=-1"), s"got $parts")
+    val all4 = all.unionByName(batch3).unionByName(batch4)
+    val want4 = graft.operators.Profile.mergeMoments(
+      graft.operators.Profile.moments(all4, Seq("value")),
+      graft.operators.Profile.moments(all4, Seq("value")).limit(0))
+    assert(rows(spark.read.parquet(s"$out4/mom")) === rows(want4))
   }
 
   test("pipeline --state: lm_score chains into dedup_near keep: best via scoreFrom") {
