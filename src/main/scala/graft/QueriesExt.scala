@@ -11,6 +11,11 @@ import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
   */
 object QueriesExt {
 
+  /** Scratch paths already registered for shutdown deletion (one hook
+    * per path per JVM). */
+  private val jsonlScratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     sources.ParquetTables.readTable(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -2019,6 +2024,13 @@ object QueriesExt {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft-jsonl-gate-${s.sparkContext.applicationId}").toString
+    // one shutdown hook per scratch path: without it every process
+    // leaves a corpus-sized JSON copy in tmpdir (sweeping OTHER
+    // processes' dirs at startup would race live runs — each process
+    // cleans only its own)
+    if (jsonlScratchHooked.add(tmp))
+      sys.addShutdownHook(graft.streaming.StoreFiles.deleteRecursively(
+        java.nio.file.Paths.get(tmp)))
     d.write.mode("overwrite").json(tmp)
     sources.TextTables.quarantine(
       sources.TextTables.readJsonl(s, tmp, d.schema))._1

@@ -921,11 +921,21 @@ object Dedup {
   def winnowPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, w: Int = 5, minShared: Long = 2L, maxBucket: Int = 1000
+  ): DataFrame =
+    winnowPairsFromFps(
+      winnowFingerprints(docs, idCol, textCol, n, w)
+        .select(col(idCol), col("fp")).distinct(),
+      idCol, minShared, maxBucket)
+
+  /** [[winnowPairs]] over an ALREADY-computed distinct `(id, fp)` set —
+    * for callers that need the fingerprints for something else too
+    * (the streaming admission store probes, unions and pairs off ONE
+    * persisted fingerprint pass instead of re-hashing the batch). */
+  def winnowPairsFromFps(
+      fps: DataFrame, idCol: String, minShared: Long, maxBucket: Int
   ): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val fps = winnowFingerprints(docs, idCol, textCol, n, w)
-      .select(col(idCol), col("fp")).distinct()
-    val capped = capBuckets(fps, Seq("fp"), maxBucket)
+    val capped = capBuckets(fps.select(col(idCol), col("fp")), Seq("fp"), maxBucket)
     capped.as("a")
       .join(capped.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -146,18 +146,25 @@ object Funnel {
     * Scale shape: conversions and touches both filter at the scan
     * (pushed `In`/equality predicates), join on the ENTITY key only —
     * the pair space per entity is (its conversions × its touches in
-    * window), the usual attribution bound, and that bound is ENFORCED:
-    * `maxPairsPerEntity` pre-counts each entity's conv × touch product
-    * off one extra partial-aggregated pass and raises in-plan (the
-    * [[Intervals.intervalJoin]] fail-loud cap pattern) before a
-    * bot/service entity with 10⁵ events in the lookback can put 10¹⁰
-    * joined rows into a single task. When the conversion type is NOT
-    * itself a touch type, prefer [[attributionWalk]] — the linear
-    * single-pass shape with no pair space at all. */
+    * window), the usual attribution bound, and the JOIN's work is
+    * bounded fail-loud: `maxPairsPerEntity` pre-counts each entity's
+    * TOTAL conv × touch product off one extra partial-aggregated pass
+    * and raises in-plan (the [[Intervals.intervalJoin]] fail-loud cap
+    * pattern) before a bot/service entity with 10⁵ events in the
+    * lookback can put 10¹⁰ joined rows into a single task. Note the
+    * guard deliberately counts UNWINDOWED pairs: the entity-key hash
+    * join evaluates the window predicate as a residual over exactly
+    * that product, so the count is the true per-task work of this
+    * join shape, even when the lookback would filter most pairs. A
+    * long-horizon dataset that trips it isn't wrong — it is paying
+    * quadratic work for a windowed answer; use [[attributionWalk]]
+    * (linear, no pair space at all — the preferred shape whenever the
+    * conversion type is not itself a touch type) or raise the bound
+    * knowingly. */
   def attribution(
       events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
       typeCol: String, conversionType: String, touchTypes: Seq[String],
-      lookbackSeconds: Long, maxPairsPerEntity: Long = 10000000L
+      lookbackSeconds: Long, maxPairsPerEntity: Long = 100000000L
   ): DataFrame = {
     require(touchTypes.nonEmpty, "attribution needs at least one touch type")
     require(touchTypes.distinct == touchTypes,

@@ -165,20 +165,29 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       window: Int = 5, maxCount: Long = 100000L, topK: Int = 100
   ): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    require(topK >= 1, s"topK must be >= 1, got $topK")
-    val tok0 = docs
-      .select(col(idCol).as("__doc"),
-        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-      .filter(col("__tok") =!= "")
     // the tokenized stream feeds totals once and the pair self-join
     // twice; without materialization the corpus re-tokenizes per
     // reference (plan-keyed idempotent persist — the pageRank edge
     // convention; CacheManager dedupes repeated calls)
+    val tok0 = tokenizedWithPos(docs, idCol, textCol)
     val tok =
       if (tok0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         tok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else tok0
+    cooccurrenceFrom(tok, window, maxCount, topK)
+  }
+
+  private def tokenizedWithPos(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("__doc"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+
+  private def cooccurrenceFrom(
+      tok: DataFrame, window: Int, maxCount: Long, topK: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
     val totals = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
     val hot    = totals.filter(col("__n") > maxCount).select(col("__tok"))
     val cold   = tok.join(broadcast(hot), Seq("__tok"), "left_anti")
@@ -208,20 +217,21 @@ object TextAnalysis {
     * cached block per distinct input plan. The bounded result (≤ topK
     * rows by construction) is materialized onto the driver and
     * re-wrapped as a local frame, so nothing downstream references the
-    * released cache. */
+    * released cache — which is unpersisted via the ACTUAL persisted
+    * handle (shared private builder), not a re-derived plan that could
+    * silently drift out of cache-key equality. */
   def cooccurrenceScoped(
       docs: DataFrame, idCol: String, textCol: String,
       window: Int = 5, maxCount: Long = 100000L, topK: Int = 100
   ): DataFrame = {
-    val out = cooccurrence(docs, idCol, textCol, window, maxCount, topK)
-    val rows = out.collect() // ≤ topK rows — bounded by construction
-    val tok = docs
-      .select(col(idCol).as("__doc"),
-        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-      .filter(col("__tok") =!= "")
-    tok.unpersist(blocking = false) // plan-based lookup releases the entry
-    out.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
+    val tok = tokenizedWithPos(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = cooccurrenceFrom(tok, window, maxCount, topK)
+      val rows = out.collect() // ≤ topK rows — bounded by construction
+      out.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally tok.unpersist(blocking = false)
   }
 
   /** Canonicalize a URL for crawl/fetch deduplication — the key under

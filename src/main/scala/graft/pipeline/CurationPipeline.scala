@@ -229,7 +229,7 @@ object CurationPipeline {
         require(!c.input.columns.contains("__score"),
           "input already has a '__score' column — keep: best would clobber it")
         val scoreCol = c.params.reqStr("scoreCol")
-        val scores = c.params.str("scoreFrom", "") match {
+        val scores0 = c.params.str("scoreFrom", "") match {
           case "" =>
             require(c.input.columns.contains(scoreCol),
               s"keep: best: input has no column '$scoreCol' (name a scoreFrom table?)")
@@ -242,6 +242,11 @@ object CurationPipeline {
               s"keep: best: table '$from' has no id column '${c.idCol}'")
             t.select(col(c.idCol), col(scoreCol).as("__score"))
         }
+        // ONE score per doc, whatever the annotation table's grain: a
+        // multi-row id (e.g. per-chunk scores) would otherwise
+        // duplicate corpus rows through the join and rank the
+        // duplicate as a loser — deleting the cluster's BEST doc
+        val scores = scores0.groupBy(col(c.idCol)).agg(max(col("__score")).as("__score"))
         Dedup.survivorsBest(
           c.input.join(scores, Seq(c.idCol), "left"),
           c.idCol, pairs, "__score").drop("__score")
@@ -253,18 +258,19 @@ object CurationPipeline {
   // ---------------------------------------------------------------- state helpers
 
   /** Read a batch-id-partitioned parquet sink's single batch partition,
-    * projecting back to `schema`'s columns in order; empty frame when
-    * the sink does not exist yet (a cold start whose first batch was
-    * empty). */
+    * projecting back to the input's columns in order; empty frame when
+    * the sink does not exist OR holds no data files yet — dedup_near/
+    * dedup_winnow's initialize() writes an empty sink directory on a
+    * cold start, and an empty first batch would otherwise die on
+    * parquet schema inference over it. */
   private def readBatchPartition(
       c: Ctx, path: String, batchCol: String): DataFrame = {
     val spark = c.input.sparkSession
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      c.input.limit(0)
-    else
+    scala.util.Try(
       spark.read.parquet(path)
         .filter(col(batchCol) === c.batchId)
-        .select(c.input.columns.map(col): _*)
+        .select(c.input.columns.map(col): _*))
+      .getOrElse(c.input.limit(0))
   }
 
   /** The step registry. Survivor-style steps (dedup/decontaminate/

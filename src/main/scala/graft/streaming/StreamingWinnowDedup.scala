@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -66,17 +63,14 @@ object StreamingWinnowDedup {
 
   private def bucketOf(numBuckets: Int) = pmod(hash(col("fp")), lit(numBuckets))
 
-  private def marker(path: String) = Paths.get(path, "_graft_buckets")
+  private val MarkerName = "_graft_buckets"
 
-  private def writeMarker(path: String, p: Params): Unit = {
-    Files.createDirectories(Paths.get(path))
-    Files.write(marker(path), p.encoded.getBytes(StandardCharsets.UTF_8))
-  }
+  private def writeMarker(path: String, p: Params): Unit =
+    StoreFiles.writeMarker(path, MarkerName, p.encoded)
 
   private def checkMarker(path: String, p: Params): Unit = {
-    require(Files.exists(marker(path)),
-      s"$path has no _graft_buckets marker — initialize() the store first")
-    val stored = new String(Files.readAllBytes(marker(path)), StandardCharsets.UTF_8).trim
+    val stored = StoreFiles.readMarker(
+      path, MarkerName, "initialize() the store first").trim
     require(stored == p.encoded,
       s"fingerprint-table parameter mismatch for $path: store laid out with " +
         s"($stored), caller passed (${p.encoded}) — mixed winnowing parameters " +
@@ -149,8 +143,11 @@ object StreamingWinnowDedup {
         .agg(count(lit(1)).as("__shared"))
         .filter(col("__shared") >= p.minShared)
         .select(col(idCol)).distinct()
-      val batchReps = Dedup.survivors(batch, idCol, Dedup.winnowPairs(
-        batch, idCol, textCol, p.n, p.w, p.minShared, p.maxBucket))
+      // in-batch pairs off the SAME persisted fingerprint pass (the
+      // tokenize + MD5 + deque winnowing is the dominant per-batch
+      // cost — never pay it twice)
+      val batchReps = Dedup.survivors(batch, idCol, Dedup.winnowPairsFromFps(
+        batchFps.drop(BucketCol), idCol, p.minShared, p.maxBucket))
       val admitted = batchReps
         .join(rejectedByCorpus, Seq(idCol), "left_anti")
         .persist()
