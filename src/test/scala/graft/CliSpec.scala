@@ -457,6 +457,37 @@ class CliSpec extends SparkSpec {
     assert(Files.readString(Paths.get(state, "_graft_next_batch")).trim == "2")
   }
 
+  test("pipeline --state: examples/nightly_admission.yaml runs two nights end-to-end") {
+    import spark.implicits._
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    val night1 = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      2L -> "COOKIE BANNER\ncompletely original article body number two with plenty of words",
+      3L -> "COOKIE BANNER\nanother original piece of writing about something else entirely here")
+      .toDF("doc_id", "text")
+    val night2 = Seq(
+      4L -> "the quick brown fox jumps over the lazy dog near the river bank today", // exact resend
+      5L -> "fresh new content from the second night with no overlap whatsoever at all")
+      .toDF("doc_id", "text")
+    night1.write.parquet(s"$src/batch.parquet")
+    Cli.run(Seq("pipeline", "examples/nightly_admission.yaml", src, out1,
+      "--state", state, "--compact-state"), spark)
+    def ids(p: String) = spark.read.parquet(p).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(s"$out1/budgeted") === Set(1L, 2L, 3L))
+    // the shared banner line was stripped by corpus-wide df
+    val t1 = spark.read.parquet(s"$out1/stripped").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(!t1(2L).contains("COOKIE BANNER") && !t1(3L).contains("COOKIE BANNER"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch.parquet"))
+    night2.write.parquet(s"$src/batch.parquet")
+    Cli.run(Seq("pipeline", "examples/nightly_admission.yaml", src, out2,
+      "--state", state, "--compact-state"), spark)
+    // the resent doc is rejected by exact admission; the fresh one flows
+    assert(ids(s"$out2/budgeted") === Set(5L))
+  }
+
   test("pipeline --state: dedup_winnow admit rejects cross-batch local overlap") {
     import spark.implicits._
     val (src, state) = (tempDir(), tempDir())
