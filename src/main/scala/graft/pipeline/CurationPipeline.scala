@@ -744,18 +744,22 @@ object CurationPipeline {
           Staging.promoteStaged(spark, outDir, s.name, stagingSuffix)
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        // count on the WRITTEN parquet: row-group-metadata only (Spark's
-        // aggregate pushdown), never a data rescan
+        // counts on WRITTEN/source parquet: row-group-metadata only
+        // (Spark's aggregate pushdown), never a data rescan. Input rows
+        // make the admission story readable straight off the manifest:
+        // in_rows - rows = what this step rejected/dropped this batch.
         val rows = spark.read.parquet(s"$outDir/${s.name}").count()
-        (s, in, rows, sec)
+        val inRows = ctx.input.count()
+        (s, in, inRows, rows, sec)
       }
       // run manifest: the observability record a scheduled pipeline
-      // needs (which step shrank the corpus, where the time went)
-      val json = manifest.map { case (s, in, rows, sec) =>
+      // needs (which step shrank the corpus, where the time went, what
+      // batch this was)
+      val json = manifest.map { case (s, in, inRows, rows, sec) =>
         s"""{"name":"${s.name}","op":"${s.op}","input":"$in",""" +
-          f""""rows":$rows,"seconds":$sec%.3f}"""
+          f""""in_rows":$inRows,"rows":$rows,"seconds":$sec%.3f}"""
       }.mkString(
-        s"""{"pipeline":"${spec.name}","steps":[""", ",", "]}\n")
+        s"""{"pipeline":"${spec.name}","batch_id":$batchId,"steps":[""", ",", "]}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, "pipeline_manifest.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
