@@ -249,6 +249,13 @@ object Bench {
     }
     val loadEnd   = loadavg
     val cpuTotal  = if (cpuStart < 0) -1.0 else processCpuSec - cpuStart
+    // Honesty flag: ambient machine load at start means the wall times
+    // in this record are contention-inflated (r4/r6/r8 driver records
+    // all were). A reader who only sees the number should see the
+    // caveat too; cpu_s stays the load-invariant signal either way.
+    val loadDistorted =
+      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
+        .exists(_ > cpus.toDouble / 16.0)
 
     def jmap(f: Timing => Double): String = results
       .map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
@@ -269,6 +276,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""total_min":${jtotal(_.wallMin)}%.3f,"cpu_total_s":$cpuTotal%.3f,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""load_distorted":$loadDistorted,""" +
         s""""queries":${jmap(_.wallMed)},""" +
         s""""queries_min":${jmap(_.wallMin)},""" +
         s""""queries_cpu_s":${jmap(_.cpuMed)},""" +
@@ -286,6 +294,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""total_min":${jtotal(_.wallMin)}%.3f,"cpu_total_s":$cpuTotal%.3f,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""load_distorted":$loadDistorted,""" +
         s""""n_queries":${results.size},"detail":"$detailPath",""" +
         s""""sf":"$sfDir"}""")
     spark.stop()

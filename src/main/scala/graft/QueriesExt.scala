@@ -982,17 +982,25 @@ object QueriesExt {
        |  FROM ws, unnest(generate_series(1, len(w) - 3)) AS t(i)
        |), wins AS (
        |  -- window j covers gram positions [j, j+4]; j ranges over
-       |  -- [0, max(m-5, 0)] — short docs winnow one window
+       |  -- [0, max(m-5, 0)] — short docs winnow one window.
+       |  -- pos desc is encoded as a fixed 9-digit pad of 999999999-pos:
+       |  -- valid only while pos < 10^9 (a per-DOCUMENT gram count —
+       |  -- far past any real document), asserted so a larger future
+       |  -- gate fails loudly instead of mis-ordering.
        |  SELECT doc_id, j,
-       |         min(h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0')) AS sel
+       |         min(h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0')) AS sel
        |  FROM g, unnest(generate_series(
        |         greatest(pos - 4, 0), least(pos, greatest(m - 5, 0)))) AS tw(j)
        |  GROUP BY 1, 2
+       |), bound AS (
+       |  SELECT CASE WHEN max(m) < 1000000000 THEN 1
+       |              ELSE error('winnow oracle: doc exceeds 10^9 grams, pad encoding invalid')
+       |         END AS ok FROM g
        |)
        |SELECT DISTINCT doc_id,
-       |       CAST(999999 - CAST(substr(sel, 17, 6) AS INTEGER) AS INTEGER) AS pos,
+       |       CAST(999999999 - CAST(substr(sel, 17, 9) AS BIGINT) AS INTEGER) AS pos,
        |       substr(sel, 1, 16) AS fp
-       |FROM wins
+       |FROM wins, bound
        |""".stripMargin
 
   /** MOSS-style shared-fingerprint candidate pairs: docs sharing >= 2
@@ -1011,8 +1019,12 @@ object QueriesExt {
        |         len(w) - 3 AS m
        |  FROM ws, unnest(generate_series(1, len(w) - 3)) AS t(i)
        |), wins AS (
+       |  -- same 9-digit pos-desc pad as the textWinnow oracle (valid
+       |  -- while every doc has < 10^9 grams; no bound guard needed here
+       |  -- — pads only break ties among EQUAL hashes, so the selected
+       |  -- fp set, the only thing this query reads, is pad-independent)
        |  SELECT doc_id, j,
-       |         min(h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0')) AS sel
+       |         min(h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0')) AS sel
        |  FROM g, unnest(generate_series(
        |         greatest(pos - 4, 0), least(pos, greatest(m - 5, 0)))) AS tw(j)
        |  GROUP BY 1, 2

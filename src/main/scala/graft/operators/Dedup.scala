@@ -860,7 +860,12 @@ object Dedup {
         else {
           val md = java.security.MessageDigest.getInstance("MD5")
           val sb = new java.lang.StringBuilder()
-          val hs = new Array[String](m)
+          // First 8 md5 bytes as a big-endian unsigned Long: fixed-width
+          // lowercase hex compares lexicographically exactly as the
+          // unsigned numeric order, so comparing Longs in the deque and
+          // hex-rendering only the ~2/(w+1) survivors is byte-identical
+          // output at half the hot-path allocation.
+          val hs = new Array[Long](m)
           var i = 0
           while (i < m) {
             sb.setLength(0)
@@ -872,19 +877,15 @@ object Dedup {
             }
             md.reset()
             val d  = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val hx = new java.lang.StringBuilder(16)
+            var h = 0L
             var b = 0
-            while (b < 8) { // first 8 bytes = 16 hex chars
-              hx.append(Character.forDigit((d(b) >> 4) & 0xF, 16))
-              hx.append(Character.forDigit(d(b) & 0xF, 16))
-              b += 1
-            }
-            hs(i) = hx.toString
+            while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+            hs(i) = h
             i += 1
           }
           // monotonic deque: pop tail while tail.h >= new.h, so the head
           // is the window min with rightmost-tie (pos desc) semantics
-          val sel = scala.collection.mutable.LinkedHashSet.empty[(Int, String)]
+          val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
           val dq  = new java.util.ArrayDeque[Integer]()
           val lastWin = math.max(0, m - w)
           var p = 0
@@ -892,16 +893,21 @@ object Dedup {
           while (win <= lastWin) {
             val hi = win + w - 1
             while (p < m && p <= hi) {
-              while (!dq.isEmpty && hs(dq.peekLast) >= hs(p)) dq.pollLast()
+              while (!dq.isEmpty &&
+                java.lang.Long.compareUnsigned(hs(dq.peekLast), hs(p)) >= 0) dq.pollLast()
               dq.addLast(p)
               p += 1
             }
             while (dq.peekFirst < win) dq.pollFirst()
-            val head = dq.peekFirst.intValue
-            sel.add((head, hs(head)))
+            sel.add(dq.peekFirst.intValue)
             win += 1
           }
-          sel.toArray
+          sel.iterator.map { pos =>
+            val hx = new java.lang.StringBuilder(16)
+            var b = 60
+            while (b >= 0) { hx.append(Character.forDigit(((hs(pos) >>> b) & 0xF).toInt, 16)); b -= 4 }
+            (pos, hx.toString)
+          }.toArray
         }
       }
     }

@@ -241,9 +241,16 @@ object Funnel {
     * Partitions pre-aggregate into at most |touchTypes| partial rows
     * each, so the final per-type aggregation is a trivial exchange.
     *
+    * The join form's self-(ts, tie) residual — a touch sharing a
+    * conversion's exact `(ts, tie)` never credits THAT conversion — is
+    * reproduced here with a tail scan over the conversion-timestamp's
+    * own touches, so the equivalence holds even when the tie column is
+    * not unique across event types (double-logged events).
+    *
     * Requires `conversionType` not be listed in `touchTypes`: when a
-    * conversion doubles as a touch, the self-pair-exclusion semantics
-    * need the join path — use [[attribution]]. */
+    * conversion doubles as a touch, the conversion rows themselves
+    * enter the pair space and the walk's single-kind FIFO cannot
+    * represent that — use [[attribution]]. */
   def attributionWalk(
       events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
       typeCol: String, conversionType: String, touchTypes: Seq[String],
@@ -281,9 +288,11 @@ object Funnel {
       val firstPpm  = new Array[Long](nTypes)
       val lastPpm   = new Array[Long](nTypes)
       val linearPpm = new Array[Long](nTypes)
-      // FIFO of this entity's touches still inside the newest lookback
-      val fifo = scala.collection.mutable.ArrayDeque.empty[(Long, Int)]
+      // FIFO of this entity's touches still inside the newest lookback:
+      // (micros, type index, tie value)
+      val fifo = scala.collection.mutable.ArrayDeque.empty[(Long, Int, Any)]
       val typeCnt = new Array[Long](nTypes)
+      val exType  = new Array[Long](nTypes)
       var curEntity: Any = null
       var started = false
       rows.foreach { r =>
@@ -299,21 +308,45 @@ object Funnel {
           typeCnt(fifo.removeHead()._2) -= 1
         }
         if (r.getInt(2) == 0) {               // touch: append
-          fifo.append((us, r.getInt(3)))
+          fifo.append((us, r.getInt(3), r.get(4)))
           typeCnt(r.getInt(3)) += 1
         } else {                              // conversion: credit
-          val n = fifo.size
+          // Self-(ts, tie) exclusion, matching the join form's
+          // unconditional residual: a touch sharing the conversion's
+          // exact (ts, tie) — a double-logged event when the tie column
+          // is not unique across types — must not credit THIS
+          // conversion (it may still credit others). Equal-ts touches
+          // sit contiguously at the FIFO tail (sort order puts touches
+          // before conversions at equal ts), so the scan is bounded by
+          // this timestamp's own touches, amortized O(1) per row when
+          // timestamps are distinct.
+          val ctie = r.get(4)
+          var exCnt = 0
+          var idx = fifo.size - 1
+          while (idx >= 0 && fifo(idx)._1 == us) {
+            val t = fifo(idx)
+            if (t._3 == ctie) { exCnt += 1; exType(t._2) += 1 }
+            idx -= 1
+          }
+          val n = fifo.size - exCnt
           if (n > 0) {
             val ppmEach = 1000000L / n
-            firstPpm(fifo.head._2) += 1000000L
-            lastPpm(fifo.last._2) += 1000000L
+            // first credited touch: the head unless excluded (the head
+            // can only be excluded when ALL fifo entries share this ts)
+            var hi = 0
+            while (fifo(hi)._1 == us && fifo(hi)._3 == ctie) hi += 1
+            firstPpm(fifo(hi)._2) += 1000000L
+            var li = fifo.size - 1
+            while (fifo(li)._1 == us && fifo(li)._3 == ctie) li -= 1
+            lastPpm(fifo(li)._2) += 1000000L
             var i = 0
             while (i < nTypes) {
-              val c = typeCnt(i)
+              val c = typeCnt(i) - exType(i)
               if (c > 0) { nTouches(i) += c; convs(i) += 1; linearPpm(i) += c * ppmEach }
               i += 1
             }
           }
+          if (exCnt > 0) java.util.Arrays.fill(exType, 0L)
         }
       }
       (0 until nTypes).iterator.filter(convs(_) > 0).map(i =>

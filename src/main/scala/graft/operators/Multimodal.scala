@@ -194,21 +194,24 @@ object Multimodal {
     }
   }
 
-  /** Row-major RGB bytes via `getRGB` (colorspace-normalized sRGB —
-    * raster layout independent). */
+  /** Packed sRGB ints for the whole image in ONE bulk `getRGB` call
+    * (colorspace-normalized, raster-layout independent) — per-pixel
+    * `getRGB(x,y)` repeats the colorspace conversion and bounds checks
+    * per call and costs several× more at decode scale. */
+  private def argbInts(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] =
+    img.getRGB(0, 0, w, h, null, 0, w)
+
+  /** Row-major RGB bytes from the bulk-read packed ints. */
   private def rgbBytes(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+    val ints = argbInts(img, w, h)
     val buf = new Array[Byte](w * h * 3)
-    var (y, i) = (0, 0)
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        buf(i) = ((rgb >> 16) & 0xFF).toByte
-        buf(i + 1) = ((rgb >> 8) & 0xFF).toByte
-        buf(i + 2) = (rgb & 0xFF).toByte
-        i += 3; x += 1
-      }
-      y += 1
+    var (p, i) = (0, 0)
+    while (p < ints.length) {
+      val rgb = ints(p)
+      buf(i) = ((rgb >> 16) & 0xFF).toByte
+      buf(i + 1) = ((rgb >> 8) & 0xFF).toByte
+      buf(i + 2) = (rgb & 0xFF).toByte
+      i += 3; p += 1
     }
     buf
   }
@@ -237,13 +240,14 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"doc $id: payload is not a decodable image")
           val (w, h) = (img.getWidth, img.getHeight)
+          val src = argbInts(img, w, h)
           val out = new Array[Byte](outW * outH * 3)
           var (y, i) = (0, 0)
           while (y < outH) {
             val sy = y * h / outH
             var x = 0
             while (x < outW) {
-              val rgb = img.getRGB(x * w / outW, sy)
+              val rgb = src(sy * w + x * w / outW)
               out(i) = ((rgb >> 16) & 0xFF).toByte
               out(i + 1) = ((rgb >> 8) & 0xFF).toByte
               out(i + 2) = (rgb & 0xFF).toByte

@@ -258,19 +258,31 @@ object CurationPipeline {
   // ---------------------------------------------------------------- state helpers
 
   /** Read a batch-id-partitioned parquet sink's single batch partition,
-    * projecting back to the input's columns in order; empty frame when
-    * the sink does not exist OR holds no data files yet — dedup_near/
-    * dedup_winnow's initialize() writes an empty sink directory on a
-    * cold start, and an empty first batch would otherwise die on
-    * parquet schema inference over it. */
+    * projecting back to the input's columns in order; empty frame ONLY
+    * when the sink holds no data files yet — dedup_near/dedup_winnow's
+    * initialize() writes an empty sink directory on a cold start, and an
+    * empty first batch would otherwise die on parquet schema inference
+    * over it. Any OTHER failure (schema drift after a spec change, a
+    * corrupt sink) propagates: applyBatch has already recorded the
+    * batch's fingerprints in the store, so swallowing a read error here
+    * would mark documents admitted while silently delivering 0 rows
+    * downstream — permanent data loss dressed as an empty batch. */
   private def readBatchPartition(
       c: Ctx, path: String, batchCol: String): DataFrame = {
     val spark = c.input.sparkSession
-    scala.util.Try(
+    val hasData = {
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.isDirectory(root) && {
+        val s = java.nio.file.Files.walk(root)
+        try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    }
+    if (!hasData) c.input.limit(0)
+    else
       spark.read.parquet(path)
         .filter(col(batchCol) === c.batchId)
-        .select(c.input.columns.map(col): _*))
-      .getOrElse(c.input.limit(0))
+        .select(c.input.columns.map(col): _*)
   }
 
   /** The step registry. Survivor-style steps (dedup/decontaminate/
@@ -540,8 +552,32 @@ object CurationPipeline {
           val spark = c.input.sparkSession
           val prev = s"$root/sessions_v${c.batchId - 1}"
           val next = s"$root/sessions_v${c.batchId}"
+          val prevExists = java.nio.file.Files.exists(java.nio.file.Paths.get(prev))
+          // "step never ran" (no sessions_v* at all — e.g. this step was
+          // added to an existing state dir; a from-batch build is
+          // correct) is NOT "expected version missing" (other versions
+          // present — a damaged/partially-restored state dir or a path
+          // typo; rebuilding from only the batch would silently discard
+          // all prior session history). Fail loudly on the latter.
+          if (c.batchId > 0L && !prevExists) {
+            val rootPath = java.nio.file.Paths.get(root)
+            val others =
+              if (!java.nio.file.Files.isDirectory(rootPath)) Nil
+              else {
+                val it = java.nio.file.Files.list(rootPath)
+                try it.iterator().asScala.map(_.getFileName.toString)
+                  .filter(nm => nm.startsWith("sessions_v") &&
+                    nm.stripPrefix("sessions_v").toLongOption.isDefined)
+                  .filter(_ != s"sessions_v${c.batchId}").toList
+                finally it.close()
+              }
+            require(others.isEmpty,
+              s"sessionize mode: incremental — expected $prev is missing but the state dir " +
+                s"holds ${others.sorted.mkString(", ")}; rebuilding from only this batch " +
+                "would discard prior session history (damaged or mis-pathed state dir?)")
+          }
           val merged =
-            if (c.batchId == 0L || !java.nio.file.Files.exists(java.nio.file.Paths.get(prev)))
+            if (c.batchId == 0L || !prevExists)
               Sessions.buildSessionTable(c.input, e, ts, tie, v, gap)
             else Sessions.sessionizeIncremental(
               spark.read.parquet(prev), c.input, e, ts, tie, v, gap)

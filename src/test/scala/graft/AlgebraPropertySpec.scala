@@ -188,18 +188,43 @@ class AlgebraPropertySpec extends SparkSpec {
   }
 
   test("property: attribution matches a brute-force reference") {
+    // globally unique ties (the common case) over a wide minute grid
+    attributionProperty("attr==ref", maxMinute = 120, tieOf = (i, _) => i.toLong)
+  }
+
+  test("property: attribution with COLLIDING (ts, tie) across event types") {
+    // ties drawn from a 3-value pool over a narrow grid, so a touch
+    // frequently shares a conversion's exact (ts, tie) — the join
+    // form's self-pair residual excludes it from that conversion and
+    // the walk's tail-scan exclusion must agree (the r8 ADVICE gap:
+    // unique-tie generators could never catch a divergence here).
+    // (ts, tie) stays unique WITHIN conversions and WITHIN touches per
+    // entity — the event-log invariant both shapes assume: a within-
+    // kind duplicate merges in the join form's window partition /
+    // min-max structs but stays two events in the walk, so equivalence
+    // is only promised across kinds.
+    attributionProperty("attr==ref/collide", maxMinute = 10,
+      tieOf = (i, _) => (i % 3).toLong, dedupeWithinKind = true)
+  }
+
+  private def attributionProperty(
+      label: String, maxMinute: Int, tieOf: (Int, Long) => Long,
+      dedupeWithinKind: Boolean = false): Unit = {
     val s = spark
     import s.implicits._
     import graft.operators.Funnel
     val types = Vector("purchase", "view", "click")
     val genEvents = Gen.nonEmptyListOf(Gen.zip(
-      Gen.choose(1L, 3L), Gen.choose(0, 120), Gen.choose(0, 2)))
+      Gen.choose(1L, 3L), Gen.choose(0, maxMinute), Gen.choose(0, 2)))
     val lookbackSec = 1800L // 30 min
-    check("attr==ref", Prop.forAll(genEvents) { evs =>
-      val rows = evs.zipWithIndex.map { case ((u, m, t), i) =>
-        (i.toLong, u, java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"),
+    check(label, Prop.forAll(genEvents) { evs =>
+      val rows0 = evs.zipWithIndex.map { case ((u, m, t), i) =>
+        (tieOf(i, u), u, java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"),
           types(t))
       }
+      val rows =
+        if (!dedupeWithinKind) rows0
+        else rows0.distinctBy(r => (r._2, r._3, r._4 == "purchase", r._1))
       val df = rows.toDF("event_id", "user_id", "ts", "event_type")
       def toMapOf(out: org.apache.spark.sql.DataFrame) =
         out.collect().map(r => r.getString(0) ->
@@ -212,7 +237,10 @@ class AlgebraPropertySpec extends SparkSpec {
       val gotWalk = toMapOf(Funnel.attributionWalk(
         df, "user_id", "ts", "event_id", "event_type",
         "purchase", Seq("view", "click"), lookbackSec))
-      // brute force: per conversion, enumerate window touches
+      // brute force: per conversion, enumerate window touches.
+      // Conversions key by (user, ts, tie) — the join form's window
+      // partition key — and first/last compare (ts, tie) PAIRS, so the
+      // reference stays exact under a colliding tie pool.
       val byConv = for {
         (cid, cu, cts, cty) <- rows if cty == "purchase"
         touches = rows.filter { case (tid, tu, tts, tty) =>
@@ -224,12 +252,15 @@ class AlgebraPropertySpec extends SparkSpec {
       } yield {
         val byKey   = touches.sortBy(t => (t._3.getTime, t._1))
         val n       = touches.size.toLong
-        (cid, byKey.head, byKey.last, touches, n)
+        ((cu, cts, cid), byKey.head, byKey.last, touches, n)
       }
       val want = Seq("view", "click").flatMap { ty =>
-        val rowsOfType = byConv.flatMap { case (cid, first, last, touches, n) =>
+        val rowsOfType = byConv.flatMap { case (convKey, first, last, touches, n) =>
           touches.filter(_._4 == ty).map { t =>
-            (cid, t._1 == first._1, t._1 == last._1, 1000000L / n)
+            (convKey,
+              t._3 == first._3 && t._1 == first._1,
+              t._3 == last._3 && t._1 == last._1,
+              1000000L / n)
           }
         }
         if (rowsOfType.isEmpty) None
