@@ -106,6 +106,8 @@ object Bench {
     "embed_knn_ivf"     -> (QueriesExt.embedKnnIvf _),
     "embed_knn_quantized" -> (QueriesExt.embedKnnQuantized _),
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
+    // perceptual media near-dup: decode + dHash + hamming banding
+    "multimodal_neardup" -> (QueriesExt.multimodalNeardup _),
     // r6: codegen'd scan-local embedding transforms + token budgeting
     "embed_kmeans_assign"     -> (QueriesExt.embedKmeansAssign _),
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),

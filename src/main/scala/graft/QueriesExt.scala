@@ -749,6 +749,101 @@ object QueriesExt {
        |FROM px GROUP BY 1
        |""".stripMargin
 
+  /** Perceptual 64-bit dHash per image off the REAL decode path: 9×8
+    * integer-luma grid (floor-convention NN downsample of genuinely
+    * decoded pixels), horizontal-gradient bits, rendered as row-byte
+    * hex. The oracle recomputes every luma sample from the synthetic
+    * pixel formula and re-derives all 64 bits — one flipped gradient
+    * anywhere mismatches. */
+  def multimodalDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dHash(Multimodal.syntheticImages(docs(s, dir), "doc_id"))
+      .toDF().select(col("doc_id"), col("dhash_hex"))
+
+  /** Shared luma-grid + row-byte CTE prefix over an image set `imgs
+    * (img_id, doc_id, w, h)` whose pixels follow the synthetic
+    * formula. */
+  private def dhashRowBytesSql(imgsCte: String): String =
+    s"""$imgsCte, grid AS (
+       |  SELECT img_id, gx, gy,
+       |         (299 * ((doc_id * 131 + ((((gy * h) // 8) * w + (gx * w) // 9) * 3 + 0) * 7 + 13) % 256)
+       |        +  587 * ((doc_id * 131 + ((((gy * h) // 8) * w + (gx * w) // 9) * 3 + 1) * 7 + 13) % 256)
+       |        +  114 * ((doc_id * 131 + ((((gy * h) // 8) * w + (gx * w) // 9) * 3 + 2) * 7 + 13) % 256)) // 1000 AS luma
+       |  FROM imgs, unnest(generate_series(0, 8)) AS tx(gx), unnest(generate_series(0, 7)) AS ty(gy)
+       |), rb AS (
+       |  SELECT a.img_id, a.gy,
+       |         CAST(sum(CASE WHEN b.luma > a.luma THEN 1 << a.gx ELSE 0 END) AS INTEGER) AS rowbyte
+       |  FROM grid a JOIN grid b ON b.img_id = a.img_id AND b.gy = a.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  lazy val multimodalDhashSql: String =
+    dhashRowBytesSql(
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+         |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+         |  FROM documents
+         |), imgs AS (SELECT doc_id AS img_id, doc_id, w, h FROM d)""".stripMargin) +
+      s"""
+         |SELECT img_id AS doc_id,
+         |       string_agg(lower(lpad(to_hex(rowbyte), 2, '0')), '' ORDER BY gy) AS dhash_hex
+         |FROM rb GROUP BY 1
+         |""".stripMargin
+
+  /** Perceptual near-dup pairs over originals + 2× nearest-neighbor
+    * upscaled PNG re-encodes (ids offset by 1,000,000): dHash both,
+    * pair by the exact-recall 4×16-bit hamming banding
+    * ([[Dedup.hamming64Pairs]] — the text SimHash machinery reused for
+    * media). The floor-division composition identity makes each scaled
+    * copy hash IDENTICALLY to its original, so every (id, id+1M) pair
+    * must surface at hamming 0 — and the oracle independently rebuilds
+    * every hash from the pixel formula, mirrors the bucket cap, and
+    * recomputes hamming byte-wise, so accidental cross-doc pairs are
+    * pinned too. */
+  def multimodalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val orig   = Multimodal.syntheticImages(docs(s, dir), "doc_id")
+    val copies = Multimodal.reencodeScaled(orig, factor = 2, idOffset = 1000000L)
+    val hashes = Multimodal.dHash(orig.unionByName(copies)).toDF()
+    Dedup.hamming64Pairs(hashes, "doc_id", "dhash", maxHamming = 3, maxBucket = 1000)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  lazy val multimodalNeardupSql: String =
+    dhashRowBytesSql(
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+         |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+         |  FROM documents
+         |), imgs AS (
+         |  -- a 2x floor-convention NN upscale samples the same source
+         |  -- pixels at every 9x8 grid position (floor-division
+         |  -- composition), so copies reuse the original's formula
+         |  SELECT doc_id AS img_id, doc_id, w, h FROM d
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, w, h FROM d)""".stripMargin) +
+      s"""
+         |, chunks AS (
+         |  -- hash bits [16b, 16b+16) = row bytes 2b and 2b+1 — the same
+         |  -- 4x16 banding hamming64Pairs derives for maxHamming = 3
+         |  SELECT e.img_id, e.gy // 2 AS band, e.rowbyte + 256 * o.rowbyte AS chunk
+         |  FROM rb e JOIN rb o ON o.img_id = e.img_id AND o.gy = e.gy + 1
+         |  WHERE e.gy % 2 = 0
+         |), ok AS (
+         |  SELECT band, chunk FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000
+         |), cand AS (
+         |  SELECT DISTINCT a.img_id AS doc_a, b.img_id AS doc_b
+         |  FROM chunks a
+         |  JOIN ok USING (band, chunk)
+         |  JOIN chunks b ON b.band = a.band AND b.chunk = a.chunk AND a.img_id < b.img_id
+         |)
+         |SELECT doc_a, doc_b, CAST(sum(bit_count(xor(ra.rowbyte, rbb.rowbyte))) AS INTEGER) AS hamming
+         |FROM cand
+         |JOIN rb ra  ON ra.img_id = cand.doc_a
+         |JOIN rb rbb ON rbb.img_id = cand.doc_b AND rbb.gy = ra.gy
+         |GROUP BY 1, 2
+         |HAVING sum(bit_count(xor(ra.rowbyte, rbb.rowbyte))) <= 3
+         |""".stripMargin
+
   lazy val multimodalFramesSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents

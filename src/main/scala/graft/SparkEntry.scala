@@ -228,7 +228,9 @@ object SparkEntry {
     // multimodal binary plumbing (stubbed decode, frame sampling)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
     "multimodal_frames" -> (QueriesExt.multimodalFrames _),
-    "multimodal_resize" -> (QueriesExt.multimodalResize _)
+    "multimodal_resize" -> (QueriesExt.multimodalResize _),
+    "multimodal_dhash" -> (QueriesExt.multimodalDhash _),
+    "multimodal_neardup" -> (QueriesExt.multimodalNeardup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -354,6 +356,8 @@ object SparkEntry {
     "embed_semdedup_flagged"    -> QueriesExt.embedSemdedupFlaggedSql,
     "multimodal_decode"         -> QueriesExt.multimodalDecodeSql,
     "multimodal_frames"         -> QueriesExt.multimodalFramesSql,
-    "multimodal_resize"         -> QueriesExt.multimodalResizeSql
+    "multimodal_resize"         -> QueriesExt.multimodalResizeSql,
+    "multimodal_dhash"          -> QueriesExt.multimodalDhashSql,
+    "multimodal_neardup"        -> QueriesExt.multimodalNeardupSql
   )
 }

@@ -606,17 +606,40 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000
+  ): DataFrame =
+    hamming64Pairs(simhash(docs, idCol, textCol), idCol, "simhash", maxHamming, maxBucket)
+
+  /** Hamming-ball candidate pairs over ANY 64-bit signature column
+    * (SimHash, image dHash, …) with EXACT recall inside the radius:
+    * split the hash into `maxHamming + 1` contiguous bit bands (widths
+    * differing by at most one bit — pigeonhole: at most `maxHamming`
+    * differing bits leave at least one band identical), bucket-join per
+    * band, verify by exact xor `bit_count`. Banding derived from the
+    * radius closes the silent-recall gap a fixed 4×16 split has for
+    * `maxHamming > 3`. Buckets over `maxBucket` drop like every
+    * blocking join here (a degenerate chunk is k² candidates). Output
+    * `(doc_a, doc_b, hamming)`, doc_a < doc_b. */
+  def hamming64Pairs(
+      sigs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int
   ): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
-    val banded = sh.select(
-      col(idCol), col("simhash"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> named_struct('band', b, 'chunk', shiftright(simhash, b * 16) & 65535))"))
-        .as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] (bands need >= 2 bits), got $maxHamming")
+    val nBands = maxHamming + 1
+    // band b covers bits [b*64/nBands, (b+1)*64/nBands)
+    val bandExprs = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val w  = (b + 1) * 64 / nBands - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      s"named_struct('band', $b, 'chunk', shiftright($hashCol, $lo) & CAST($mask AS BIGINT))"
+    }.mkString("array(", ", ", ")")
+    val banded = sigs.select(
+      col(idCol), col(hashCol),
+      explode(expr(bandExprs)).as("bb"))
+      .select(col(idCol), col(hashCol), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
     val bucketed = capBuckets(banded, Seq("band", "chunk"), maxBucket)
       .groupBy("band", "chunk")
-      .agg(collect_list(struct(col(idCol), col("simhash"))).as("members"))
+      .agg(collect_list(struct(col(idCol), col(hashCol))).as("members"))
     // sort_array orders struct members by id (first field), so x always
     // precedes y and the emitted pair is already (min, max) — the same
     // slice-based intra-bucket pairing as minhashLshPairs
@@ -626,7 +649,7 @@ object Dedup {
         s"""flatten(transform(ms, (x, i) ->
            |  transform(slice(ms, i + 2, size(ms)), y ->
            |    named_struct('doc_a', x.$idCol, 'doc_b', y.$idCol,
-           |                 'sha', x.simhash, 'shb', y.simhash))))""".stripMargin))
+           |                 'sha', x.$hashCol, 'shb', y.$hashCol))))""".stripMargin))
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.sha").as("sha"), col("p.shb").as("shb"))

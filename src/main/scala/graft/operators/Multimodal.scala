@@ -265,6 +265,120 @@ object Multimodal {
     }
   }
 
+  // ============================================================ perceptual near-dup (dHash)
+
+  /** Per-image 64-bit difference hash. `dhash` is the packed bits,
+    * `dhash_hex` the same value rendered row-byte by row-byte (grid
+    * row y → byte `Σ_x bit(x,y)·2^x`, hex 2 chars per row, y
+    * ascending) so any engine reproduces the string without signed-
+    * 64-bit gymnastics. */
+  final case class ImageDHash(doc_id: Long, dhash: Long, dhash_hex: String)
+
+  /** dHash grid width/height: 9×8 luma samples → 8×8 = 64 gradient
+    * bits. */
+  private val (dhW, dhH) = (9, 8)
+
+  /** Perceptual dHash [difference hash — the standard 64-bit
+    * gradient fingerprint for image near-dup detection]: REAL decode,
+    * nearest-neighbor FLOOR-convention downsample (`src = g·dim div
+    * grid` — the [[resizeImage]] convention, so the whole hash is an
+    * exact integer function of the decoded pixels that a SQL oracle
+    * recomputes) to a 9×8 integer-luma grid (`(299r + 587g + 114b)
+    * div 1000`, ITU-R BT.601 weights), bit `y·8 + x` set iff
+    * `luma(x+1, y) > luma(x, y)`.
+    *
+    * Invariances this buys at 100 TB crawl scale: any lossless
+    * re-encode hashes identically; an exact-factor nearest-neighbor
+    * rescale hashes identically (floor-division composition:
+    * `(g·(f·W)) div grid div f = (g·W) div grid`); lossy recompression
+    * and mild resampling land within a small hamming radius — pair
+    * via [[Dedup.hamming64Pairs]], the same exact-recall banding the
+    * text SimHash path uses. Scan-local mapPartitions, codec config
+    * once per partition, no shuffle. */
+  def dHash(payloads: DataFrame): Dataset[ImageDHash] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val src = argbInts(img, w, h)
+          val luma = new Array[Int](dhW * dhH)
+          var gy = 0
+          while (gy < dhH) {
+            val sy = gy * h / dhH
+            var gx = 0
+            while (gx < dhW) {
+              val rgb = src(sy * w + gx * w / dhW)
+              luma(gy * dhW + gx) =
+                (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                  114 * (rgb & 0xFF)) / 1000
+              gx += 1
+            }
+            gy += 1
+          }
+          var hash = 0L
+          val hex = new java.lang.StringBuilder(16)
+          gy = 0
+          while (gy < dhH) {
+            var rowByte = 0
+            var gx = 0
+            while (gx < dhW - 1) {
+              if (luma(gy * dhW + gx + 1) > luma(gy * dhW + gx)) {
+                rowByte |= 1 << gx
+                hash |= 1L << (gy * 8 + gx)
+              }
+              gx += 1
+            }
+            hex.append(Character.forDigit((rowByte >> 4) & 0xF, 16))
+            hex.append(Character.forDigit(rowByte & 0xF, 16))
+            gy += 1
+          }
+          ImageDHash(id, hash, hex.toString)
+        }
+    }
+  }
+
+  /** Integer-factor nearest-neighbor rescale + lossless PNG re-encode —
+    * the synthetic "recompressed copy" generator for the near-dup gate
+    * (floor-convention sampling, so the scaled copy's dHash equals the
+    * original's exactly; see [[dHash]]). Emits `doc_id + idOffset` so a
+    * corpus can union originals and copies. */
+  def reencodeScaled(payloads: DataFrame, factor: Int, idOffset: Long): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val src = argbInts(img, w, h)
+          val out = new java.awt.image.BufferedImage(
+            w * factor, h * factor, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h * factor) {
+            var x = 0
+            while (x < w * factor) {
+              out.setRGB(x, y, src((y / factor) * w + x / factor) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          (id + idOffset, bos.toByteArray)
+        }
+    }.toDF("doc_id", "payload")
+  }
+
   /** One sampled frame: byte window `[frame_offset, frame_offset +
     * frame_bytes)` of the payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_bytes: Int)

@@ -70,6 +70,33 @@ class DedupSpec extends SparkSpec {
     assert(bounded.count() == 0)
   }
 
+  test("hamming64Pairs: exact recall inside the radius at every banding width") {
+    import spark.implicits._
+    // base signatures + perturbed copies 0-9 bit flips away: brute
+    // force gives the truth set; the derived (maxHamming+1)-band split
+    // must find EVERY in-radius pair (pigeonhole), including radii the
+    // old fixed 4x16 split couldn't guarantee (maxHamming > 3)
+    val rnd = new scala.util.Random(42)
+    val sigs = (0 until 15).flatMap { i =>
+      val h = rnd.nextLong()
+      (0 until 4).map { j =>
+        var v = h
+        (0 until rnd.nextInt(10)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        (i * 10L + j, v)
+      }
+    }
+    val df = sigs.toDF("id", "sig")
+    for (maxH <- Seq(0, 3, 7, 12)) {
+      val got = Dedup.hamming64Pairs(df, "id", "sig", maxH, maxBucket = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= maxH
+      } yield (ia, ib, d)).toSet
+      assert(got === want, s"maxHamming=$maxH: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
   test("ngram jaccard: document-frequency cap kills the hot-shingle blowup") {
     import spark.implicits._
     // 40 docs sharing exactly one boilerplate trigram, otherwise disjoint:

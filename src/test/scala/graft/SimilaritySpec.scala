@@ -157,6 +157,43 @@ class SimilaritySpec extends SparkSpec {
     assert(small.pixels.toSeq === expect)
   }
 
+  test("dHash: hex/long agree; lossless rescale identical; JPEG recompression within a small ball") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 17L, 62L).toDF("doc_id")
+    val orig = Multimodal.syntheticImages(ids, "doc_id")
+    val got = Multimodal.dHash(orig).collect().map(d => d.doc_id -> d).toMap
+    // hex is the row-byte rendering of the packed long (byte y = bits
+    // [8y, 8y+8), y ascending)
+    got.values.foreach { d =>
+      val hex = (0 until 8).map(y => f"${(d.dhash >>> (y * 8)) & 0xFF}%02x").mkString
+      assert(d.dhash_hex === hex, s"doc ${d.doc_id} hex/long mismatch")
+    }
+    // 2x NN upscale + PNG re-encode: floor-division composition makes
+    // the copy's hash IDENTICAL (the near-dup gate's backbone)
+    val up = Multimodal.dHash(Multimodal.reencodeScaled(orig, 2, 1000L))
+      .collect().map(d => (d.doc_id - 1000L) -> d.dhash).toMap
+    got.foreach { case (id, d) => assert(up(id) === d.dhash, s"doc $id upscale drift") }
+    // JPEG recompression of a SMOOTH image: gradient direction survives
+    // lossy 8x8 DCT, so the hash stays within a small hamming ball
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = x * 4
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val hs = Multimodal.dHash(
+      Seq((1L, enc("png")), (2L, enc("jpg"))).toDF("doc_id", "payload"))
+      .collect().map(d => d.doc_id -> d.dhash).toMap
+    val ham = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    assert(ham <= 6, s"JPEG recompression moved dHash by $ham bits")
+    // sanity: a smooth ascending gradient sets (nearly) every bit
+    assert(java.lang.Long.bitCount(hs(1L)) >= 56)
+  }
+
   test("REAL image codec: JPEG decodes with true dimensions; garbage payload fails loudly") {
     import spark.implicits._
     // lossy JPEG: dims are exact even though pixels aren't
