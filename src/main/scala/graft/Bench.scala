@@ -113,6 +113,8 @@ object Bench {
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),
     "embed_knn_projected"     -> (QueriesExt.embedKnnProjected _),
     "text_token_estimate"     -> (QueriesExt.textTokenEstimate _),
+    // corpus-learned BPE: 8 training rounds + scan-local tokenization
+    "text_bpe_tokenize"       -> (QueriesExt.textBpeTokenize _),
     "table_expectations"      -> (QueriesExt.tableExpectations _),
     "graph_triangles"         -> (QueriesEvents.graphTriangles _),
     "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (SURVEY §7.1 step 7): dedup,
   * similarity search, text analysis, multimodal plumbing — with DuckDB
@@ -1146,6 +1146,114 @@ object QueriesExt {
     s"""SELECT doc_id, $normSql AS norm_text
        |FROM documents
        |""".stripMargin
+
+  // ================================================================ learned BPE
+  /** Corpus-learned BPE merge table [Sennrich et al. 2016], 8 merges
+    * over the normalized-word frequency table. The oracle REPLAYS
+    * TRAINING round by round in SQL (the unrolled `events_pagerank`
+    * pattern): pair counts with freq weighting, `(cnt DESC, l, rt)`
+    * best-pair selection, greedy non-overlapping merge application
+    * via run-alternation — any divergence in any round shifts every
+    * later merge and mismatches. */
+  def textBpeVocab(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(docs(s, dir), "text", numMerges = 8)
+
+  /** Tokenization of the corpus against the learned merges: per-doc
+    * REAL BPE token count + the full token stream joined in document
+    * order — replacing the `len/4` estimate with counting. */
+  def textBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 8)
+    Bpe.tokenizeWith(corpus, "doc_id", "text", merges)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+        array_join(col("bpe_tokens"), " ").as("bpe_text"))
+      .filter(col("n_bpe_tokens") > 0)
+  }
+
+  /** Shared unrolled-training CTE prefix: `wf` (word, freq) and
+    * symbol tables `s0..s{rounds}` with per-round best pair `m{r}`.
+    * Every chained CTE is MATERIALIZED — DuckDB inlines plain CTEs
+    * per reference, which goes exponential over 8 rounds. */
+  private def bpeTrainSql(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT a.sym AS l, b.sym AS rt, sum(wf.freq) AS cnt
+         |  FROM s$r a JOIN s$r b ON b.w = a.w AND b.pos = a.pos + 1
+         |  JOIN wf ON wf.w = a.w
+         |  GROUP BY 1, 2
+         |), m$r AS MATERIALIZED (
+         |  SELECT l, rt FROM p$r ORDER BY cnt DESC, l, rt LIMIT 1
+         |), mk$r AS MATERIALIZED (
+         |  -- candidate match positions for this round's pair
+         |  SELECT a.w, a.pos
+         |  FROM s$r a JOIN s$r b ON b.w = a.w AND b.pos = a.pos + 1, m$r
+         |  WHERE a.sym = m$r.l AND b.sym = m$r.rt
+         |), tk$r AS MATERIALIZED (
+         |  -- greedy left-to-right non-overlap: in each RUN of
+         |  -- consecutive match positions (only l = rt makes runs),
+         |  -- take the 1st, 3rd, ... match
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS k
+         |    FROM (SELECT w, pos,
+         |                 pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+         |          FROM mk$r))
+         |  WHERE k % 2 = 1
+         |), s${r + 1} AS MATERIALIZED (
+         |  -- taken left halves merge with their right neighbor, taken
+         |  -- right halves drop, positions renumber contiguously
+         |  SELECT w, CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INTEGER) AS pos,
+         |         sym
+         |  FROM (
+         |    SELECT s.w, s.pos,
+         |           CASE WHEN t.pos IS NOT NULL THEN s.sym || nxt.sym ELSE s.sym END AS sym
+         |    FROM s$r s
+         |    LEFT JOIN tk$r t  ON t.w = s.w AND t.pos = s.pos
+         |    LEFT JOIN tk$r t2 ON t2.w = s.w AND t2.pos = s.pos - 1
+         |    LEFT JOIN s$r nxt ON nxt.w = s.w AND nxt.pos = s.pos + 1
+         |    WHERE t2.pos IS NULL
+         |  )
+         |)""".stripMargin
+    s"""WITH ws AS MATERIALIZED (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), wf AS MATERIALIZED (
+       |  SELECT t.tok AS w, count(*) AS freq
+       |  FROM ws, unnest(w) AS t(tok)
+       |  WHERE len(t.tok) >= 1
+       |  GROUP BY 1
+       |), s0 AS MATERIALIZED (
+       |  -- initial symbols: codepoints, end-of-word marker on the last
+       |  SELECT w, CAST(i AS INTEGER) AS pos,
+       |         CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>'
+       |              ELSE substr(w, i, 1) END AS sym
+       |  FROM (SELECT DISTINCT w FROM wf),
+       |       unnest(generate_series(1, length(w))) AS t(i)
+       |),
+       |${(0 until rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  lazy val textBpeVocabSql: String =
+    bpeTrainSql(8) +
+      (0 until 8).map(r =>
+        s"\nSELECT CAST($r AS INTEGER) AS merge_rank, l AS left_sym, rt AS right_sym FROM m$r")
+        .mkString("", "\nUNION ALL", "\n")
+
+  lazy val textBpeTokenizeSql: String =
+    bpeTrainSql(8) +
+      s"""
+         |, tok AS MATERIALIZED (
+         |  SELECT w, count(*) AS n_sym, string_agg(sym, ' ' ORDER BY pos) AS toks
+         |  FROM s8 GROUP BY 1
+         |), dw AS (
+         |  SELECT doc_id, i AS widx, w[i] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(i)
+         |  WHERE len(w[i]) >= 1
+         |)
+         |SELECT doc_id, CAST(sum(tok.n_sym) AS BIGINT) AS n_bpe_tokens,
+         |       string_agg(tok.toks, ' ' ORDER BY widx) AS bpe_text
+         |FROM dw JOIN tok ON tok.w = dw.word
+         |GROUP BY 1
+         |""".stripMargin
 
   // ================================================================ term frequencies
   /** Corpus-level term frequencies with document frequencies — the

@@ -230,7 +230,10 @@ object SparkEntry {
     "multimodal_frames" -> (QueriesExt.multimodalFrames _),
     "multimodal_resize" -> (QueriesExt.multimodalResize _),
     "multimodal_dhash" -> (QueriesExt.multimodalDhash _),
-    "multimodal_neardup" -> (QueriesExt.multimodalNeardup _)
+    "multimodal_neardup" -> (QueriesExt.multimodalNeardup _),
+    // corpus-learned BPE (trained merge table + real tokenization)
+    "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
+    "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -358,6 +361,8 @@ object SparkEntry {
     "multimodal_frames"         -> QueriesExt.multimodalFramesSql,
     "multimodal_resize"         -> QueriesExt.multimodalResizeSql,
     "multimodal_dhash"          -> QueriesExt.multimodalDhashSql,
-    "multimodal_neardup"        -> QueriesExt.multimodalNeardupSql
+    "multimodal_neardup"        -> QueriesExt.multimodalNeardupSql,
+    "text_bpe_vocab"            -> QueriesExt.textBpeVocabSql,
+    "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql
   )
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** Learned-BPE trainer/tokenizer vs an independent in-memory reference
+  * implementation of Sennrich et al. 2016. */
+class BpeSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- reference implementation
+  private def refNormalize(t: String): String =
+    t.trim.replaceAll("\\s+", " ").toLowerCase
+
+  private def refSyms(w: String): Vector[String] = {
+    val cps = w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    cps.updated(cps.length - 1, cps.last + "</w>")
+  }
+
+  private def refApply(ss: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ss.length) {
+      if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) { out += a + b; i += 2 }
+      else { out += ss(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Reference trainer: pair counts weighted by word freq, best by
+    * (count desc, left asc, right asc). */
+  private def refTrain(texts: Seq[String], numMerges: Int): Seq[(Int, String, String)] = {
+    val wf = texts.flatMap(t => refNormalize(t).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var vocab: Map[String, (Long, Vector[String])] =
+      wf.map { case (w, f) => w -> ((f, refSyms(w))) }
+    val merges = Seq.newBuilder[(Int, String, String)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (f, ss) =>
+        ss.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), _) = counts.toSeq.minBy { case ((l, rt), c) => (-c, l, rt) }
+        merges += ((r, a, b))
+        vocab = vocab.map { case (w, (f, ss)) => w -> ((f, refApply(ss, a, b))) }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  // ---------------------------------------------------------------- specs
+
+  test("applyMerge: greedy left-to-right non-overlap on runs") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a", "a"), "a", "a") === Seq("aa", "aa", "a"))
+    assert(Bpe.applyMerge(Seq("x", "a", "b", "a", "b"), "a", "b") === Seq("x", "ab", "ab"))
+    assert(Bpe.applyMerge(Seq("a", "b"), "b", "a") === Seq("a", "b"))
+  }
+
+  test("trainMerges matches the reference on the classic corpus") {
+    import spark.implicits._
+    // Sennrich's running example shape: repeated words force clear
+    // frequency ordering, suffix sharing forces multi-round structure
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainMerges(df, "text", numMerges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got === refTrain(texts, 10))
+    // the famous first merges: 'est</w>' forms within 3 rounds
+    val learned = got.map(m => m._2 + m._3)
+    assert(learned.take(3).exists(_.contains("es") ) || learned.take(3).exists(_.contains("st")))
+  }
+
+  test("trainMerges matches the reference on a varied random corpus (fixed seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "abcabc", "aaaa", "zq")
+    val texts = (0 until 40).map(_ =>
+      (0 until 1 + rnd.nextInt(6)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainMerges(df, "text", numMerges = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got === refTrain(texts, 12))
+  }
+
+  test("trainMerges stops early when the vocabulary runs out of pairs") {
+    import spark.implicits._
+    // single-codepoint words have one symbol each — zero adjacent pairs
+    val df = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(df, "text", numMerges = 5).count() === 0)
+  }
+
+  test("tokenizeWith: reconstruction, counting, and merge effect") {
+    import spark.implicits._
+    val corpus = Seq((1L, "low lower"), (2L, "newest low"), (3L, "  Newest   LOW "))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 6)
+    val toks = Bpe.tokenizeWith(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // concatenating tokens and stripping markers reconstructs the
+    // normalized text exactly (BPE is a lossless segmentation)
+    assert(toks(1L).mkString.replace("</w>", " ").trim === "low lower")
+    assert(toks(3L).mkString.replace("</w>", " ").trim === "newest low")
+    // normalization means doc 3 tokenizes identically to its unnormalized twin
+    assert(toks(2L) === toks(3L))
+    // 6 merges compress below the codepoint count, never below word count
+    val nWords = 2
+    assert(toks(1L).length < "lowlower".length + nWords)
+    assert(toks(1L).length >= nWords)
+    // with an empty merge table, tokens are exactly the codepoint symbols
+    val none = Bpe.tokenizeWith(corpus, "doc_id", "text",
+      merges.limit(0)).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(none(1L) === Seq("l", "o", "w</w>", "l", "o", "w", "e", "r</w>"))
+  }
+
+  test("tokenizeWith is scan-local: no exchange in the plan") {
+    import spark.implicits._
+    val corpus = Seq((1L, "low lower newest")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 3)
+    val plan = Bpe.tokenizeWith(corpus, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tokenize shuffled:\n$plan")
+  }
+}
