@@ -9,7 +9,7 @@ import org.yaml.snakeyaml.Yaml
 
 import graft.exec.Staging
 import graft.operators.{Decontaminate, Dedup, Packing, Sampling, Sessions, TextAnalysis}
-import graft.streaming.{StreamingAdmission, StreamingLineDedup, StreamingNearDup}
+import graft.streaming.{StreamingAdmission, StreamingLineDedup, StreamingNearDup, StreamingSemDedup}
 
 /** Declarative training-data curation pipelines — the job-spec surface
   * that makes the operator library a runnable product, the way the
@@ -105,7 +105,8 @@ object CurationPipeline {
   def validate(spec: Spec): Either[Seq[String], Seq[Step]] = {
     val errors = Seq.newBuilder[String]
     if (spec.steps.isEmpty) errors += "pipeline has no steps"
-    (spec.name +: (spec.steps.map(_.name) ++ spec.steps.flatMap(_.input)))
+    (spec.name +: (spec.steps.map(_.name) ++ spec.steps.flatMap(_.input) ++
+      spec.steps.flatMap(auxRefs)))
       .filterNot(n => SafeName.matches(n))
       .foreach(n => errors += s"unsafe pipeline/step/input name '$n' " +
         "(allowed: letters, digits, _ . - ; must not start with . or -)")
@@ -133,16 +134,21 @@ object CurationPipeline {
       (s, in)
     }
     val stepNames = spec.steps.map(_.name).toSet
-    // Kahn's algorithm, stable in file order; inputs that are not step
-    // names resolve against SOURCE_DIR at run time
+    // Kahn's algorithm, stable in file order; dependencies are the main
+    // input PLUS any table-referencing params (aux tables — a
+    // decontamination benchmark, a mix member, a score table — produced
+    // by a later-in-file step must still run first). Names that are not
+    // step names resolve against SOURCE_DIR at run time.
     val remaining = scala.collection.mutable.LinkedHashMap(
-      withInputs.map { case (s, in) => s.name -> (s, in) }: _*)
+      withInputs.map { case (s, in) => s.name -> (s, (in +: auxRefs(s)).toSet) }: _*)
     val ordered = Seq.newBuilder[Step]
     val done    = scala.collection.mutable.Set.empty[String]
     var progress = true
     while (progress && remaining.nonEmpty) {
       progress = false
-      remaining.find { case (_, (_, in)) => !stepNames.contains(in) || done.contains(in) }
+      remaining.find { case (_, (_, deps)) =>
+        deps.forall(d => !stepNames.contains(d) || done.contains(d))
+      }
         .foreach { case (name, (s, _)) =>
           ordered += s
           done += name
@@ -172,7 +178,8 @@ object CurationPipeline {
   final case class Ctx(
       input: DataFrame, idCol: String, textCol: String,
       resolve: String => DataFrame, params: Params,
-      stepName: String = "", stateDir: Option[String] = None, batchId: Long = 0L) {
+      stepName: String = "", stateDir: Option[String] = None, batchId: Long = 0L,
+      inputName: String = "", outDir: String = "") {
     /** State root for this step, or fail actionably. */
     def requireState(what: String): String = stateDir.map(d => s"$d/$stepName")
       .getOrElse(throw new IllegalArgumentException(
@@ -195,6 +202,9 @@ object CurationPipeline {
     }
     def long(key: String, default: Long): Long =
       m.get(key).map(v => v.toLongOption.getOrElse(bad(key, "long", v))).getOrElse(default)
+    def reqLong(key: String): Long = {
+      val v = reqStr(key); v.toLongOption.getOrElse(bad(key, "long", v))
+    }
     def double(key: String, default: Double): Double =
       m.get(key).map(v => v.toDoubleOption.getOrElse(bad(key, "double", v))).getOrElse(default)
     def reqDouble(key: String): Double = {
@@ -204,9 +214,19 @@ object CurationPipeline {
 
   /** A step implementation: accepted params, the allowed `mode` values
     * (`full` = stateless; anything else is an incremental variant that
-    * needs `--state`), and the run function. */
+    * needs `--state`), and the run function. `tableParams` names the
+    * params whose values reference tables (comma-separated lists of
+    * step names or source tables) — [[validate]] adds them as
+    * dependency edges, so an aux table produced by a LATER step in
+    * file order still runs first. */
   final case class Op(paramKeys: Set[String], run: Ctx => DataFrame,
-      modes: Set[String] = Set("full"))
+      modes: Set[String] = Set("full"), tableParams: Set[String] = Set.empty)
+
+  /** A step's table references beyond its main input: every
+    * `tableParams` value, comma-split. */
+  private def auxRefs(s: Step): Seq[String] =
+    ops.get(s.op).toSeq.flatMap(_.tableParams.toSeq.sorted).flatMap(p =>
+      s.params.get(p).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
 
   /** Shared survivor policy for the pair-producing dedup steps:
     * `keep: min_id` (default) keeps the smallest id per near-dup
@@ -347,20 +367,20 @@ object CurationPipeline {
             c.input, c.batchId, c.idCol, c.textCol, store, sink, p)
           readBatchPartition(c, sink, StreamingNearDup.BatchCol)
       }
-    }, modes = Set("full", "admit")),
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
     // SimHash near-dup dedup: bit-level near-identity blocking
     "dedup_simhash" -> Op(Set("maxHamming", "maxBucket", "keep", "scoreCol", "scoreFrom"), { c =>
       val pairs = Dedup.simhashPairs(c.input, c.idCol, c.textCol,
         maxHamming = c.params.int("maxHamming", 3),
         maxBucket = c.params.int("maxBucket", 1000))
       keepSurvivors(c, pairs)
-    }),
+    }, tableParams = Set("scoreFrom")),
     // drop rows sharing >= maxShared n-grams with the benchmark table
     "decontaminate" -> Op(Set("benchmark", "n", "maxShared"), { c =>
       Decontaminate.clean(c.input, c.resolve(c.params.reqStr("benchmark")),
         c.idCol, c.textCol,
         n = c.params.int("n", 8), maxShared = c.params.long("maxShared", 1L))
-    }),
+    }, tableParams = Set("benchmark")),
     // quality filter: keep docs passing the one-scan curation decision
     "curate" -> Op(Set("minTokens", "minQuality"), { c =>
       val keep = TextAnalysis.curate(c.input, c.idCol, c.textCol,
@@ -494,7 +514,7 @@ object CurationPipeline {
             c.input, c.batchId, c.idCol, c.textCol, store, sink, p)
           readBatchPartition(c, sink, graft.streaming.StreamingWinnowDedup.BatchCol)
       }
-    }, modes = Set("full", "admit")),
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
     // prefix-filtered exact-Jaccard near-dup dedup: one survivor per
     // cluster, exact over the full shingle universe (the PPJoin path —
     // prefer at near-dup thresholds where prefixes are short)
@@ -502,7 +522,7 @@ object CurationPipeline {
       val pairs = Dedup.jaccardPrefixPairs(c.input, c.idCol, c.textCol,
         n = c.params.int("n", 3), minJaccard = c.params.double("minJaccard", 0.8))
       keepSurvivors(c, pairs)
-    }),
+    }, tableParams = Set("scoreFrom")),
     // CCNet/RefinedWeb line-level boilerplate removal: lines occurring
     // in >= minDf distinct docs are stripped from every doc; the text
     // column is rewritten in place, all other columns ride along.
@@ -632,6 +652,92 @@ object CurationPipeline {
       Sampling.shuffleShards(c.input, c.idCol,
         c.params.reqInt("shards"), c.params.str("salt", ""))
     }),
+    // multi-corpus blend to a token budget: `inputs` names ALL mix
+    // members (steps or source tables — they become dependency edges),
+    // `weights` their mixture ratios, and the domainMix hash sample
+    // takes each member's share of `budgetTokens` (a member smaller
+    // than its share is kept whole — the keep-all cap). `tokens` names
+    // the per-row token-count column (e.g. a real BPE count); absent,
+    // the bpeTokenEstimate of the text column is used. The step's own
+    // `input:` must be one of the members (it anchors the chain; the
+    // data comes from `inputs`). Output adds `mix_source`.
+    "mix" -> Op(Set("inputs", "weights", "budgetTokens", "tokens", "salt"), { c =>
+      val names = c.params.reqStr("inputs").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(names.length >= 2, s"step ${c.stepName}: mix needs at least two inputs")
+      require(names.distinct == names,
+        s"step ${c.stepName}: mix inputs must be distinct, got $names")
+      require(names.contains(c.inputName),
+        s"step ${c.stepName}: the step's input '${c.inputName}' must be one of its " +
+          s"mix inputs ($names) — `input:` anchors the chain, `inputs:` carries the data")
+      val ws = c.params.reqStr("weights").split(",").map(_.trim).map(w =>
+        w.toLongOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+          s"step ${c.stepName}: weights must be positive longs, got '$w'")))
+      require(ws.length == names.length,
+        s"step ${c.stepName}: ${names.length} inputs but ${ws.length} weights")
+      val tokCol = c.params.str("tokens", "")
+      Seq("__mix_tokens", "mix_source").foreach { reserved =>
+        require(names.forall(n => !c.resolve(n).columns.contains(reserved)),
+          s"step ${c.stepName}: a mix input already has a '$reserved' column")
+      }
+      val tagged = names.map { n =>
+        val f = c.resolve(n)
+        val withTok =
+          if (tokCol.isEmpty)
+            f.withColumn("__mix_tokens", TextAnalysis.bpeTokenEstimate(col(c.textCol)))
+          else {
+            require(f.columns.contains(tokCol),
+              s"step ${c.stepName}: mix input '$n' has no token column '$tokCol'")
+            f.withColumn("__mix_tokens", col(tokCol).cast("long"))
+          }
+        // unionByName (no missing-column allowance): schema drift
+        // between mix members fails loudly instead of null-padding
+        withTok.withColumn("mix_source", lit(n))
+      }.reduce(_.unionByName(_))
+      Sampling.domainMix(tagged, c.idCol, "mix_source", "__mix_tokens",
+        names.zip(ws), c.params.reqLong("budgetTokens"), c.params.str("salt", "mix"))
+        .drop("__mix_tokens")
+    }, tableParams = Set("inputs")),
+    // sharded JSONL training export: shuffleShards order -> one JSONL
+    // file per shard under OUT_DIR/exports/<step>/shard=K/ (trainers
+    // eat sharded text, not parquet). Bytes are deterministic: rows
+    // render with to_json over the full schema in column order and
+    // each shard's file is written by the one task holding that shard,
+    // sorted by the in-shard position. The step's TABLE output is the
+    // (id, shard, pos) manifest. Requires `shard`/`pos` columns — run
+    // a shuffle_shards step first, or any step producing them.
+    "export" -> Op(Set.empty, { c =>
+      require(c.outDir.nonEmpty, s"step ${c.stepName}: export needs a pipeline OUT_DIR")
+      Seq("shard", "pos").foreach { needed =>
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: export needs a '$needed' column — " +
+            "chain a shuffle_shards step before it")
+      }
+      val maxShard = c.input.agg(max(col("shard"))).head()
+      if (!maxShard.isNullAt(0)) {
+        val nShards = 1 + maxShard.getInt(0)
+        // `shard` rides the partition directory; `pos` stays IN the
+        // JSON so a consumer of one shard file keeps its provenance
+        val payloadCols = c.input.columns.filterNot(_ == "shard").toSeq
+        c.input
+          .select(to_json(struct(payloadCols.map(col): _*)).as("value"),
+            col("shard"), col("pos"))
+          // one task per shard value: hash-repartition on the shard key
+          // may co-locate two shards in one task (fine — partitionBy
+          // still splits them into their own files) but never splits one
+          .repartition(nShards, col("shard"))
+          .sortWithinPartitions(col("shard"), col("pos"))
+          // the text sink takes exactly one data column; the projection
+          // after the sort preserves the in-partition order
+          .select(col("value"), col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .text(s"${c.outDir}/exports/${c.stepName}__staging")
+        // same staged-promotion convention as the step tables: a reader
+        // of exports/<step> never sees a half-written shard set
+        Staging.promoteStaged(
+          c.input.sparkSession, s"${c.outDir}/exports", c.stepName, "__staging")
+      }
+      c.input.select(col(c.idCol), col("shard"), col("pos"))
+    }),
     // SemDeDup semantic near-dup pruning [Abbas et al., 2023]: k-means
     // cluster the embeddings OF THE CURRENT INPUT (the aux table is
     // semi-restricted first — pruning against docs an earlier step
@@ -642,8 +748,15 @@ object CurationPipeline {
     // onOversized: skip (default — clusters over maxCluster pass
     // through unpruned, the semDedup contract) | fail (raise in-plan
     // before under-pruning silently — the production-run guard)
+    // mode: admit judges THIS BATCH's embeddings against the
+    // maintained centroid + seen-member store under --state
+    // (StreamingSemDedup: centroids pinned from the first data seen,
+    // batch pruned against smaller-id cluster members only — cost ∝
+    // batch × touched-cluster membership, never corpus²). Equality
+    // with a full rebuild holds under the append-only-id contract.
     "semdedup" -> Op(
-      Set("embeddings", "id", "vec", "k", "minCosine", "maxCluster", "onOversized"), { c =>
+      Set("embeddings", "id", "vec", "k", "minCosine", "maxCluster", "onOversized",
+        "mode", "buckets"), { c =>
       val eid = c.params.str("id", c.idCol)
       val vec = c.params.str("vec", "embedding")
       val failLoud = c.params.str("onOversized", "skip") match {
@@ -658,14 +771,28 @@ object CurationPipeline {
       val et = c.resolve(c.params.reqStr("embeddings"))
         .filter(col(vec).isNotNull)
         .join(c.input.select(col(c.idCol).as(eid)), Seq(eid), "left_semi")
-      val kept = graft.operators.Similarity.semDedup(et, eid, vec,
-        k = c.params.int("k", 64), minCosine = c.params.double("minCosine", 0.9),
-        maxCluster = c.params.int("maxCluster", 10000),
-        failOnOversized = failLoud)
-        .select(col(eid).as(c.idCol))
+      val kept = c.params.str("mode", "full") match {
+        case "full" =>
+          graft.operators.Similarity.semDedup(et, eid, vec,
+            k = c.params.int("k", 64), minCosine = c.params.double("minCosine", 0.9),
+            maxCluster = c.params.int("maxCluster", 10000),
+            failOnOversized = failLoud)
+            .select(col(eid).as(c.idCol))
+        case "admit" =>
+          val root = c.requireState("semdedup mode: admit")
+          val p = StreamingSemDedup.Params(
+            numBuckets = c.params.int("buckets", 64),
+            k = c.params.int("k", 64),
+            minCosine = c.params.double("minCosine", 0.9),
+            maxCluster = c.params.int("maxCluster", 10000),
+            failOnOversized = failLoud)
+          StreamingSemDedup.applyBatch(et, c.batchId, eid, vec, root, p)
+          StreamingSemDedup.admittedOf(c.input.sparkSession, root, c.batchId)
+            .select(col("vid").as(c.idCol))
+      }
       val noEmb = c.input.join(et.select(col(eid).as(c.idCol)), Seq(c.idCol), "left_anti")
       c.input.join(kept, Seq(c.idCol), "left_semi").unionByName(noEmb)
-    }),
+    }, modes = Set("full", "admit"), tableParams = Set("embeddings")),
     // leakage-free train/valid/test assignment: adds a `split` column,
     // keyed on `by` (default the doc id; name a grouping column to keep
     // groups intact across splits)
@@ -693,7 +820,7 @@ object CurationPipeline {
       val refName = c.params.str("reference", "")
       val ref = if (refName.isEmpty) c.input else c.resolve(refName)
       graft.operators.LanguageModel.score(c.input, ref, c.idCol, c.textCol)
-    }),
+    }, tableParams = Set("reference")),
     // the bloom-shortlist decontamination scale path: benchmark
     // n-grams become a broadcast bloom probed scan-side, exact verify
     // only on the shortlisted docs — prefer over `decontaminate` when
@@ -707,7 +834,7 @@ object CurationPipeline {
       // semantics, one entry per benchmark plan — the score() contract)
       Decontaminate.bloomCleanWith(c.input, filter, c.idCol, c.textCol,
         maxShared = c.params.long("maxShared", 1L))
-    }))
+    }, tableParams = Set("benchmark")))
 
   // ================================================================ execution
 
@@ -761,7 +888,7 @@ object CurationPipeline {
         val in  = s.input.getOrElse(
           spec.steps(spec.steps.indexWhere(_.name == s.name) - 1).name)
         val ctx = Ctx(resolve(in), spec.idCol, spec.textCol, resolve,
-          new Params(s.name, s.params), s.name, stateDir, batchId)
+          new Params(s.name, s.params), s.name, stateDir, batchId, in, outDir)
         val t0  = System.nanoTime()
         val out = ops(s.op).run(ctx)
         // plans/<step>.txt — the warehouse path's plan artifact, same

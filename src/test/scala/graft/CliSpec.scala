@@ -334,6 +334,203 @@ class CliSpec extends SparkSpec {
     assert(cleanIds.nonEmpty, "unrelated documents must survive")
   }
 
+  test("pipeline subcommand: mix blends corpora to a token budget; members are dependency edges") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    // two source corpora with VERY different sizes so the 50/50 budget
+    // forces partial sampling of web and keep-all of tiny books
+    val web = (1L to 200L).map(i => (i, s"web document number $i with enough words to count"))
+      .toDF("doc_id", "text")
+    val books = (1001L to 1005L).map(i => (i, s"book $i"))
+      .toDF("doc_id", "text")
+    web.write.parquet(s"$src/web.parquet")
+    books.write.parquet(s"$src/books.parquet")
+    val yaml = Files.createTempFile("graft-pipe-mix", ".yaml")
+    // the blend's second member is a step declared LATER in file order:
+    // the aux-dependency edges must schedule web_clean before blend
+    Files.writeString(yaml,
+      """pipeline: mix_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: blend
+        |    op: mix
+        |    input: web_clean
+        |    params: { inputs: "web_clean,books", weights: "50,50",
+        |              budgetTokens: 400, salt: m1 }
+        |  - name: web_clean
+        |    op: dedup_exact
+        |    input: web
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/blend")
+    assert(got.columns.toSet === Set("doc_id", "text", "mix_source"))
+    // reference: domainMix over the hand-tagged union with the same
+    // token estimate — the step must be exactly this composition
+    val webClean = spark.read.parquet(s"$out/web_clean")
+    val tagged = webClean.withColumn("mix_source", org.apache.spark.sql.functions.lit("web_clean"))
+      .unionByName(books.withColumn("mix_source", org.apache.spark.sql.functions.lit("books")))
+      .withColumn("__mix_tokens",
+        graft.operators.TextAnalysis.bpeTokenEstimate(org.apache.spark.sql.functions.col("text")))
+    val want = graft.operators.Sampling.domainMix(
+      tagged, "doc_id", "mix_source", "__mix_tokens",
+      Seq("web_clean" -> 50L, "books" -> 50L), 400L, "m1")
+      .drop("__mix_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getString(2))).toSet === want)
+    // tiny books side: its 200-token share exceeds its ~20 tokens, so
+    // every book survives (keep-all); web is partially sampled
+    val bySource = got.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("books") === 5L)
+    assert(bySource("web_clean") > 0L && bySource("web_clean") < 200L)
+    // a mix member missing from inputs is a loud error
+    val yamlBad = Files.createTempFile("graft-pipe-mix-bad", ".yaml")
+    Files.writeString(yamlBad,
+      """pipeline: mix_bad
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: blend
+        |    op: mix
+        |    input: web
+        |    params: { inputs: "books,web_clean", weights: "1,1", budgetTokens: 10 }
+        |  - name: web_clean
+        |    op: dedup_exact
+        |    input: web
+        |""".stripMargin)
+    val ex = intercept[Exception] {
+      Cli.run(Seq("pipeline", yamlBad.toString, src, tempDir()), spark)
+    }
+    assert(ex.getMessage.contains("must be one of its"), ex.getMessage)
+  }
+
+  test("pipeline --state: semdedup admit across two runs equals the full rebuild") {
+    val s = spark
+    import s.implicits._
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    // append-only ids; batch 1 holds the k=2 lowest ids, so the pinned
+    // centroids equal a full rebuild's lowest-id init over the union
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val docs1 = Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d").toDF("doc_id", "text")
+    val emb1 = Seq(
+      (1L, v(1, 0)), (2L, v(0, 1)),
+      (3L, v(0.999, 0.01)),  // near-dup of 1 -> pruned in batch 1
+      (4L, v(0, 0.98))       // near-dup of 2 -> pruned in batch 1
+    ).toDF("doc_id", "embedding")
+    val docs2 = Seq(5L -> "e", 6L -> "f", 7L -> "g no embedding").toDF("doc_id", "text")
+    val emb2 = Seq(
+      (5L, v(0.998, 0.02)),  // near-dup of SEEN (and pruned) 3 -> pruned
+      (6L, v(-1, 0.1))       // far from everything in cluster 1... kept
+    ).toDF("doc_id", "embedding")
+    val yaml = Files.createTempFile("graft-pipe-semadmit", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: sem_admit
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: pruned
+        |    op: semdedup
+        |    input: batch
+        |    params: { embeddings: emb, k: 2, minCosine: 0.95, mode: admit, buckets: 4 }
+        |""".stripMargin)
+    docs1.write.parquet(s"$src/batch.parquet")
+    emb1.write.parquet(s"$src/emb.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    def ids(p: String) = spark.read.parquet(p).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch 2 through the same yaml + state
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/batch.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/emb.parquet"))
+    docs2.write.parquet(s"$src/batch.parquet")
+    emb2.write.parquet(s"$src/emb.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out2, "--state", state), spark)
+    // doc 7 has no embedding -> passes through untouched
+    assert(ids(s"$out2/pruned").contains(7L))
+    // union of admissions == full semDedup over the union (same k,
+    // threshold; plus pass-through docs) — the store judged batch-2
+    // vectors against SEEN members (incl. pruned 3) without
+    // re-clustering
+    val allDocs = docs1.unionByName(docs2)
+    val allEmb  = emb1.unionByName(emb2)
+    val keptFull = graft.operators.Similarity.semDedup(
+      allEmb, "doc_id", "embedding", k = 2, minCosine = 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val noEmb = Set(7L)
+    assert(ids(s"$out1/pruned") ++ ids(s"$out2/pruned") === keptFull ++ noEmb)
+    // and the pruning actually bit both ways
+    assert(!ids(s"$out1/pruned").contains(3L))
+    assert(!ids(s"$out2/pruned").contains(5L))
+    assert(ids(s"$out2/pruned").contains(6L))
+  }
+
+  test("pipeline subcommand: export writes sharded JSONL that round-trips exactly") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    val docs = (1L to 50L).map(i => (i, s"document $i body", i * 10))
+      .toDF("doc_id", "text", "score")
+    docs.write.parquet(s"$src/documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-export", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: export_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: sharded
+        |    op: shuffle_shards
+        |    input: documents
+        |    params: { shards: 4, salt: x }
+        |  - name: dumped
+        |    op: export
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    // the step's TABLE output is the (id, shard, pos) manifest
+    val manifest = spark.read.parquet(s"$out/dumped")
+    assert(manifest.columns.toSeq === Seq("doc_id", "shard", "pos"))
+    assert(manifest.count() === 50L)
+    // one file per shard, bytes in pos order
+    val exportDir = Paths.get(out, "exports", "dumped")
+    val shardDirs = Files.list(exportDir).iterator()
+    val dataDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(shardDirs).asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+    assert(dataDirs.size === 4)
+    dataDirs.foreach { d =>
+      val files = Files.list(d).iterator()
+      val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      assert(parts.size === 1, s"shard dir $d must hold exactly one file")
+    }
+    // JSONL round-trip through the hardened reader reconstructs the
+    // pre-export frame EXACTLY (shard comes back as the partition col)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, score BIGINT, pos BIGINT")
+    val back = graft.sources.TextTables.readJsonl(
+      spark, exportDir.toString, schema, permissive = false)
+    val sharded = spark.read.parquet(s"$out/sharded")
+    assert(back.select("doc_id", "text", "score", "shard", "pos").collect().toSet ===
+      sharded.select("doc_id", "text", "score", "shard", "pos").collect().toSet)
+    // deterministic bytes: a rerun into a fresh OUT_DIR writes shard
+    // files with identical content hashes
+    def shardHashes(outRoot: String): Seq[(String, String)] = {
+      val root = Paths.get(outRoot, "exports", "dumped")
+      val ds = scala.jdk.CollectionConverters.IteratorHasAsScala(Files.list(root).iterator())
+        .asScala.filter(_.getFileName.toString.startsWith("shard=")).toSeq
+        .sortBy(_.getFileName.toString)
+      ds.map { d =>
+        val f = scala.jdk.CollectionConverters.IteratorHasAsScala(Files.list(d).iterator())
+          .asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+        d.getFileName.toString -> java.util.HexFormat.of.formatHex(
+          java.security.MessageDigest.getInstance("MD5").digest(Files.readAllBytes(f)))
+      }
+    }
+    val out2 = tempDir()
+    Cli.run(Seq("pipeline", yaml.toString, src, out2), spark)
+    assert(shardHashes(out) === shardHashes(out2))
+  }
+
   test("pipeline subcommand: spec errors fail loud before Spark starts") {
     def specError(body: String): String = {
       val yaml = Files.createTempFile("graft-pipe-bad", ".yaml")

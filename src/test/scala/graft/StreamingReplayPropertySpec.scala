@@ -192,6 +192,33 @@ class StreamingReplayPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: semdedup-admission stores converge under any replay interleaving") {
+    // batch b: a near-dup of the bootstrap's cluster-0 anchor (always
+    // pruned), a novel direction (always admitted), and a vector near
+    // the PREVIOUS batch's novel one (pruned once that batch is seen —
+    // the cross-batch seen-member dependency replay must preserve)
+    def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+    val novel = Vector(v(0, 1, 0), v(0, 0, 1), v(0, -1, 0.1))
+    def docs(b: Int) = Seq(
+      (b * 100L + 1, v(1, 0.001 * b, 0)),                 // ~anchor (1,0,0)
+      (b * 100L + 2, novel(b)),                            // novel
+      (b * 100L + 3,
+        if (b == 0) v(0.7, 0.7, 0.14)                      // mid-direction, admitted
+        else novel(b - 1).map(f => (f * 0.999f))           // near prior batch's novel
+    )).toDF("doc_id", "embedding")
+    checkStore("semdedup") { dir =>
+      val store = s"$dir/sem"
+      val p = StreamingSemDedup.Params(numBuckets = 4, k = 2, minCosine = 0.97)
+      StreamingSemDedup.initialize(
+        Seq((1L, v(1, 0, 0)), (2L, v(0.1, 0.9, 0.4))).toDF("doc_id", "embedding"),
+        "doc_id", "embedding", store, p)
+      (b => StreamingSemDedup.applyBatch(
+        docs(b), b.toLong, "doc_id", "embedding", store, p),
+        () => rowsOf(s"$store/seen").map("s:" + _) ++
+          rowsOf(s"$store/admitted").map("a:" + _))
+    }
+  }
+
   test("property: winnow-admission stores converge under any replay interleaving") {
     val run = "p q r s t u v w x y"  // >= w + n - 1 tokens: guaranteed collision
     val fresh = Vector(
