@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Hard-truncate RDD lineage every this many training rounds (see
+    * [[Lineage.snapshotTruncated]] — serialization depth, not plan
+    * depth, is the binding constraint past ~100 rounds). */
+  private val TruncateEvery = 24
+
   /** Split into Unicode CODEPOINT symbols (not UTF-16 chars), matching
     * SQL engines' character semantics for astral-plane text. */
   private[graft] def codepointSyms(w: String, endOfWord: String): Array[String] = {
@@ -106,10 +111,16 @@ object Bpe {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((r, a, b))
-        val next = Lineage.snapshot(
-          cur.df.as[(Long, Seq[String])]
-            .map { case (f, ss) => (f, applyMerge(ss, a, b)) }
-            .toDF("freq", "syms"))
+        val applied = cur.df.as[(Long, Seq[String])]
+          .map { case (f, ss) => (f, applyMerge(ss, a, b)) }
+          .toDF("freq", "syms")
+        // plain snapshots bound the PLAN but their persisted RDDs still
+        // chain dependencies; at vocab-scale round counts (hundreds of
+        // merges) task serialization would overflow the stack — hard-
+        // truncate the RDD lineage every TruncateEvery rounds
+        val next =
+          if ((r + 1) % TruncateEvery == 0) Lineage.snapshotTruncated(applied)
+          else Lineage.snapshot(applied)
         cur.release()
         cur = next
         r += 1

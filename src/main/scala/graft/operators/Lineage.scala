@@ -32,4 +32,21 @@ private[graft] object Lineage {
     rdd.count() // eager materialization, like localCheckpoint(true)
     Snapshot(df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
+
+  /** [[snapshot]] with HARD RDD-lineage truncation. Plain snapshots
+    * truncate the CATALYST plan but the persisted RDDs still chain
+    * through their dependency graphs, and task serialization walks
+    * that chain — at round counts in the hundreds (BPE training's 256+
+    * merges vs PageRank's 10-50 iterations) java serialization
+    * overflows the stack. `localCheckpoint` replaces the dependency
+    * graph with a checkpoint leaf after materialization. The price:
+    * the blocks cannot be released explicitly (the CacheManager never
+    * tracks them — [[Snapshot.release]] becomes a no-op) and an
+    * executor-lost block is unrecoverable; use it every K rounds of a
+    * long loop, with plain releasable snapshots in between. */
+  def snapshotTruncated(df: DataFrame): Snapshot = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count()
+    Snapshot(df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
 }

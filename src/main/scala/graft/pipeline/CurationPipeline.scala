@@ -807,6 +807,35 @@ object CurationPipeline {
       c.input.withColumn("n_tokens_est",
         TextAnalysis.bpeTokenEstimate(col(c.textCol)))
     }),
+    // vocabulary table: corpus-learned BPE merges (Sennrich 2016) —
+    // the annotation-table twin of token_estimate that COUNTS instead
+    // of guessing. Output (merge_rank, left_sym, right_sym); feed it
+    // to `tokenize: vocab:` steps (possibly over other corpora — train
+    // on the blend, tokenize the members).
+    "bpe_vocab" -> Op(Set("merges"), { c =>
+      graft.operators.Bpe.trainMerges(c.input, c.textCol,
+        numMerges = c.params.int("merges", 256))
+    }),
+    // annotation: REAL BPE token count (`n_bpe_tokens`) against a
+    // learned vocab table — what mix budgets (`tokens: n_bpe_tokens`)
+    // and pack sizing should consume. keepTokens: true also carries
+    // the token array (heavier output; for export/packing consumers).
+    "tokenize" -> Op(Set("vocab", "keepTokens"), { c =>
+      val vocab = c.resolve(c.params.reqStr("vocab"))
+      Seq("merge_rank", "left_sym", "right_sym").foreach { needed =>
+        require(vocab.columns.contains(needed),
+          s"step ${c.stepName}: vocab table must have a '$needed' column " +
+            "(a bpe_vocab step output)")
+      }
+      val toks = graft.operators.Bpe.tokenizeWith(
+        c.input.select(col(c.idCol), col(c.textCol)), c.idCol, c.textCol, vocab)
+        .select(col(c.idCol),
+          size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+          col("bpe_tokens"))
+      val annotated = c.input.join(toks, Seq(c.idCol), "left")
+      if (c.params.str("keepTokens", "false").toBoolean) annotated
+      else annotated.drop("bpe_tokens")
+    }, tableParams = Set("vocab")),
     // annotation table: per-doc duplicated-span (exact substring)
     // memorization signal — id, n_ngrams, n_dup_ngrams, dup_ratio
     "dup_spans" -> Op(Set("n"), { c =>

@@ -406,6 +406,103 @@ class CliSpec extends SparkSpec {
     assert(ex.getMessage.contains("must be one of its"), ex.getMessage)
   }
 
+  test("pipeline subcommand: examples/training_export.yaml runs the round-9 surface end-to-end") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    def corpus(name: String, lo: Long, n: Long, stamp: String) =
+      (lo until lo + n).map(i => (i, s"$stamp document body number $i with shared words"))
+        .toDF("doc_id", "text").write.parquet(s"$src/$name.parquet")
+    corpus("web", 1L, 80L, "web crawl")
+    corpus("code", 1001L, 30L, "source code")
+    corpus("books", 2001L, 10L, "book chapter")
+    Cli.run(Seq("pipeline", "examples/training_export.yaml", src, out), spark)
+    val blend = spark.read.parquet(s"$out/blend")
+    assert(blend.count() > 0)
+    for (c <- Seq("doc_id", "text", "n_bpe_tokens", "mix_source"))
+      assert(blend.columns.contains(c), s"missing $c")
+    // the small test corpus exhausts its pair space before 256 merges
+    // (early stop); a real corpus fills the budget
+    val nMerges = spark.read.parquet(s"$out/vocab").count()
+    assert(nMerges > 50 && nMerges <= 256, s"nMerges=$nMerges")
+    // every mix member contributed (the 1M budget covers all three
+    // small corpora whole — keep-all)
+    assert(blend.select("mix_source").distinct().count() === 3)
+    // the export holds exactly the blended docs, sharded
+    val manifest = spark.read.parquet(s"$out/dump")
+    assert(manifest.count() === blend.count())
+    assert(Files.isDirectory(Paths.get(out, "exports", "dump")))
+  }
+
+  test("pipeline subcommand: bpe_vocab + tokenize put REAL token counts into a mix budget") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    val docs = (1L to 30L).map(i => (i, s"alpha beta gamma doc $i"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$src/documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-bpe", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: bpe_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vocab
+        |    op: bpe_vocab
+        |    input: documents
+        |    params: { merges: 12 }
+        |  - name: counted
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: vocab }
+        |  - name: blend
+        |    op: mix
+        |    input: counted
+        |    params: { inputs: "counted,documents", weights: "1,1",
+        |              budgetTokens: 100000, tokens: n_bpe_tokens }
+        |""".stripMargin)
+    // 'documents' (the raw source) has no n_bpe_tokens column — the
+    // mix must fail LOUDLY, proving real counts are actually consumed
+    val ex = intercept[Exception] {
+      Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    }
+    assert(ex.getMessage.contains("no token column"), ex.getMessage)
+    // annotate both members and the chain runs; counts equal a direct
+    // trainMerges+tokenizeWith composition
+    val yaml2 = Files.createTempFile("graft-pipe-bpe2", ".yaml")
+    Files.writeString(yaml2,
+      """pipeline: bpe_chain2
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vocab
+        |    op: bpe_vocab
+        |    input: documents
+        |    params: { merges: 12 }
+        |  - name: counted
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: vocab, keepTokens: true }
+        |""".stripMargin)
+    val out2 = tempDir()
+    Cli.run(Seq("pipeline", yaml2.toString, src, out2), spark)
+    val vocab = spark.read.parquet(s"$out2/vocab")
+    assert(vocab.count() === 12)
+    val counted = spark.read.parquet(s"$out2/counted")
+    assert(counted.columns.toSet ===
+      Set("doc_id", "text", "n_bpe_tokens", "bpe_tokens"))
+    val wantCounts = graft.operators.Bpe.tokenizeWith(
+      docs, "doc_id", "text",
+      graft.operators.Bpe.trainMerges(docs, "text", 12))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).length.toLong).toMap
+    val gotCounts = counted.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(gotCounts === wantCounts)
+    // shared prefix "alpha beta gamma doc" compresses: well under the
+    // codepoint count, at or above the word count
+    assert(gotCounts.values.forall(n => n >= 5 && n < 15))
+  }
+
   test("pipeline --state: semdedup admit across two runs equals the full rebuild") {
     val s = spark
     import s.implicits._
