@@ -1088,7 +1088,9 @@ object QueriesExt {
        |         greatest(pos - 4, 0), least(pos, greatest(m - 5, 0)))) AS tw(j)
        |  GROUP BY 1, 2
        |), bound AS (
-       |  SELECT CASE WHEN max(m) < 1000000000 THEN 1
+       |  -- coalesce: an all-short-docs corpus leaves g empty and
+       |  -- max(m) NULL, which must pass, not raise
+       |  SELECT CASE WHEN coalesce(max(m), 0) < 1000000000 THEN 1
        |              ELSE error('winnow oracle: doc exceeds 10^9 grams, pad encoding invalid')
        |         END AS ok FROM g
        |)

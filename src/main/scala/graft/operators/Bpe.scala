@@ -150,10 +150,18 @@ object Bpe {
       .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
     val eow = endOfWord
     docs
-      .select(col(idCol).cast("long").as("__id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol).cast("long").as("__id"),
+        // null text must tokenize as empty, not NPE the executor map
+        // (trainMerges' explode skips nulls; this path must agree)
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("__ws"))
       .as[(Long, Seq[String])]
-      .map { case (id, ws) =>
-        val toks = ws.iterator.filter(_.nonEmpty).flatMap { w =>
+      .mapPartitions { rows =>
+        // per-partition memo: the fold is a pure function of the word,
+        // and real corpora are Zipf-distributed — caching by distinct
+        // word bounds the merge work by vocabulary, not occurrences
+        // (the same distinct-word argument trainMerges scales on)
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        def fold(w: String): Seq[String] = {
           var ss: Seq[String] = codepointSyms(w, eow).toSeq
           var i = 0
           while (i < merges.length) {
@@ -162,8 +170,21 @@ object Bpe {
             i += 1
           }
           ss
-        }.toSeq
-        (id, toks)
+        }
+        // bounded memo (Zipf head covers most occurrences; the long
+        // tail just folds) so a pathological all-distinct partition
+        // can't grow the map without limit
+        def segment(w: String): Seq[String] =
+          memo.get(w) match {
+            case Some(ts) => ts
+            case None =>
+              val ts = fold(w)
+              if (memo.size < 1000000) memo.update(w, ts)
+              ts
+          }
+        rows.map { case (id, ws) =>
+          (id, ws.iterator.filter(_.nonEmpty).flatMap(segment).toSeq)
+        }
       }
       .toDF(idCol, "bpe_tokens")
   }

@@ -675,12 +675,14 @@ object CurationPipeline {
       require(ws.length == names.length,
         s"step ${c.stepName}: ${names.length} inputs but ${ws.length} weights")
       val tokCol = c.params.str("tokens", "")
-      Seq("__mix_tokens", "mix_source").foreach { reserved =>
-        require(names.forall(n => !c.resolve(n).columns.contains(reserved)),
-          s"step ${c.stepName}: a mix input already has a '$reserved' column")
+      val frames = names.map(n => n -> c.resolve(n))
+      frames.foreach { case (n, f) =>
+        Seq("__mix_tokens", "mix_source", "__mix_n").foreach { reserved =>
+          require(!f.columns.contains(reserved),
+            s"step ${c.stepName}: mix input '$n' already has a '$reserved' column")
+        }
       }
-      val tagged = names.map { n =>
-        val f = c.resolve(n)
+      val tagged = frames.map { case (n, f) =>
         val withTok =
           if (tokCol.isEmpty)
             f.withColumn("__mix_tokens", TextAnalysis.bpeTokenEstimate(col(c.textCol)))
@@ -693,9 +695,26 @@ object CurationPipeline {
         // between mix members fails loudly instead of null-padding
         withTok.withColumn("mix_source", lit(n))
       }.reduce(_.unionByName(_))
-      Sampling.domainMix(tagged, c.idCol, "mix_source", "__mix_tokens",
+      val mixed = Sampling.domainMix(tagged, c.idCol, "mix_source", "__mix_tokens",
         names.zip(ws), c.params.reqLong("budgetTokens"), c.params.str("salt", "mix"))
         .drop("__mix_tokens")
+      // independently produced corpora commonly number docs from 1: an
+      // id surviving from TWO members would fan out every downstream
+      // id-keyed join and break shuffle_shards/export determinism.
+      // Guard IN-PLAN over the sampled output only (budget-bounded —
+      // the full union never pays an id exchange).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(c.idCol))
+      mixed
+        .withColumn("__mix_n",
+          // filter-anchored (the attribution-guard pattern): a raise
+          // inside a later-dropped projection would be pruned away
+          when(count(lit(1)).over(w) > 1, raise_error(concat(
+            lit(s"step ${c.stepName}: id "), col(c.idCol).cast("string"),
+            lit(" sampled from more than one mix input — member corpora must have " +
+              "disjoint ids (re-key before mixing)"))))
+            .otherwise(lit(true)))
+        .filter(col("__mix_n"))
+        .drop("__mix_n")
     }, tableParams = Set("inputs")),
     // sharded JSONL training export: shuffleShards order -> one JSONL
     // file per shard under OUT_DIR/exports/<step>/shard=K/ (trainers
@@ -712,30 +731,34 @@ object CurationPipeline {
           s"step ${c.stepName}: export needs a '$needed' column — " +
             "chain a shuffle_shards step before it")
       }
-      val maxShard = c.input.agg(max(col("shard"))).head()
-      if (!maxShard.isNullAt(0)) {
-        val nShards = 1 + maxShard.getInt(0)
-        // `shard` rides the partition directory; `pos` stays IN the
-        // JSON so a consumer of one shard file keeps its provenance
-        val payloadCols = c.input.columns.filterNot(_ == "shard").toSeq
-        c.input
-          .select(to_json(struct(payloadCols.map(col): _*)).as("value"),
-            col("shard"), col("pos"))
-          // one task per shard value: hash-repartition on the shard key
-          // may co-locate two shards in one task (fine — partitionBy
-          // still splits them into their own files) but never splits one
-          .repartition(nShards, col("shard"))
-          .sortWithinPartitions(col("shard"), col("pos"))
-          // the text sink takes exactly one data column; the projection
-          // after the sort preserves the in-partition order
-          .select(col("value"), col("shard"))
-          .write.mode("overwrite").partitionBy("shard")
-          .text(s"${c.outDir}/exports/${c.stepName}__staging")
-        // same staged-promotion convention as the step tables: a reader
-        // of exports/<step> never sees a half-written shard set
-        Staging.promoteStaged(
-          c.input.sparkSession, s"${c.outDir}/exports", c.stepName, "__staging")
-      }
+      // int cast up front: a caller-supplied BIGINT shard column must
+      // not surface as a bare ClassCastException on the driver row
+      val maxShard = c.input.agg(max(col("shard").cast("int"))).head()
+      // an EMPTY input still writes (and promotes) an empty export:
+      // skipping would leave a prior run's shard files alongside a
+      // freshly overwritten empty manifest — stale bytes a trainer
+      // would happily stream
+      val nShards = if (maxShard.isNullAt(0)) 1 else 1 + maxShard.getInt(0)
+      // `shard` rides the partition directory; `pos` stays IN the
+      // JSON so a consumer of one shard file keeps its provenance
+      val payloadCols = c.input.columns.filterNot(_ == "shard").toSeq
+      c.input
+        .select(to_json(struct(payloadCols.map(col): _*)).as("value"),
+          col("shard"), col("pos"))
+        // one task per shard value: hash-repartition on the shard key
+        // may co-locate two shards in one task (fine — partitionBy
+        // still splits them into their own files) but never splits one
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos"))
+        // the text sink takes exactly one data column; the projection
+        // after the sort preserves the in-partition order
+        .select(col("value"), col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .text(s"${c.outDir}/exports/${c.stepName}__staging")
+      // same staged-promotion convention as the step tables: a reader
+      // of exports/<step> never sees a half-written shard set
+      Staging.promoteStaged(
+        c.input.sparkSession, s"${c.outDir}/exports", c.stepName, "__staging")
       c.input.select(col(c.idCol), col("shard"), col("pos"))
     }),
     // SemDeDup semantic near-dup pruning [Abbas et al., 2023]: k-means

@@ -140,6 +140,13 @@ object StreamingSemDedup {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val cents = readCentroids(storeDir, p).getOrElse {
+      // data without a marker = a CRASHED initialize() (it writes the
+      // marker last, the NearDup convention): self-pinning from this
+      // batch would silently read the bootstrap rows under DIFFERENT
+      // geometry — exactly the corruption the marker check exists for
+      require(!Files.isDirectory(Paths.get(seenPath(storeDir))),
+        s"$storeDir has seen-store data but no _graft_semdedup marker — " +
+          "an initialize() crashed mid-write; re-run initialize() over the bootstrap corpus")
       // first data seen: pin centroids deterministically — a replayed
       // first batch re-derives identical geometry, so the marker
       // rewrite is byte-identical
@@ -151,64 +158,68 @@ object StreamingSemDedup {
     val assigned = assignedOf(batch, idCol, vecCol, cents, p)
       .persist()
     try {
-      // bounded driver materialization: at most numBuckets bucket ids
-      val touched = assigned.select(col(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      if (touched.nonEmpty) {
-        val prior =
-          // existence check, not a Try: a CORRUPT seen store must
-          // fail, not silently admit everything (fail-loud convention)
-          (if (Files.isDirectory(Paths.get(seenPath(storeDir))))
-            readSeen(spark, storeDir)
-              .filter(col(BucketCol).isin(touched: _*))
-              // self-exclusion: a crashed run's partial write of THIS
-              // batch must not feed its replay
-              .filter(col(BatchCol) =!= batchId)
-              .select(col("vid"), col("cluster"), col("vec"))
-          else assigned.select(col("vid"), col("cluster"), col("vec")).limit(0))
-            .persist()
-        val members = prior.unionByName(assigned.select("vid", "cluster", "vec"))
-        val sizes = members.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
-        val sized =
-          if (!p.failOnOversized) sizes
-          else sizes.withColumn("__cn",
-            when(col("__cn") > p.maxCluster, raise_error(concat(
-              lit("semdedup admission: cluster "), col("cluster"), lit(" has "),
-              col("__cn"),
-              lit(s" members > maxCluster=${p.maxCluster} — raise k (new store) or maxCluster"))))
-              .otherwise(col("__cn")))
-        val eligible = sized.filter(col("__cn").between(2, p.maxCluster))
-          .select(col("cluster"))
-        val mPos = members.join(eligible, Seq("cluster"), "left_semi")
-          .select(col("vid"), col("cluster"), posexplode(col("vec")).as(Seq("pos", "v")))
-        val norms = mPos.groupBy("vid")
-          .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("n2"))
-        // drop candidates are BATCH rows only; the member side spans
-        // prior ∪ in-batch smaller ids — exactly the full operator's
-        // smaller-id universe under append-only ids
-        val aPos = mPos.join(assigned.select(col("vid")), Seq("vid"), "left_semi")
-        val dots = aPos.as("a")
-          .join(mPos.as("b"),
-            col("a.cluster") === col("b.cluster") && col("a.pos") === col("b.pos") &&
-              col("a.vid") > col("b.vid"))
-          .groupBy(col("a.vid").as("hi"), col("b.vid").as("lo"))
-          .agg(sum((col("a.v") * col("b.v")).cast("decimal(30,15)")).as("dot"))
-        val pruned = dots
-          .join(norms.select(col("vid").as("hi"), col("n2").as("na")), "hi")
-          .join(norms.select(col("vid").as("lo"), col("n2").as("nb")), "lo")
-          .filter(col("dot").cast("double") /
-            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= p.minCosine)
-          .select(col("hi").as("vid")).distinct()
-        assigned.join(pruned, Seq("vid"), "left_anti")
-          .select(col("vid"), col("cluster"))
-          .withColumn(BatchCol, lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy(BatchCol).parquet(admittedPath(storeDir))
-        assigned
-          .withColumn(BatchCol, lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy(BucketCol, BatchCol).parquet(seenPath(storeDir))
-        prior.unpersist(blocking = false)
+        // bounded driver materialization: at most numBuckets bucket ids
+        val touched = assigned.select(col(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (touched.nonEmpty) {
+          val prior =
+            // existence check, not a Try: a CORRUPT seen store must
+            // fail, not silently admit everything (fail-loud convention)
+            (if (Files.isDirectory(Paths.get(seenPath(storeDir))))
+              readSeen(spark, storeDir)
+                .filter(col(BucketCol).isin(touched: _*))
+                // self-exclusion: a crashed run's partial write of THIS
+                // batch must not feed its replay
+                .filter(col(BatchCol) =!= batchId)
+                .select(col("vid"), col("cluster"), col("vec"))
+            else assigned.select(col("vid"), col("cluster"), col("vec")).limit(0))
+              .persist()
+        try {
+          val members = prior.unionByName(assigned.select("vid", "cluster", "vec"))
+          val sizes = members.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
+          val sized =
+            if (!p.failOnOversized) sizes
+            else sizes.withColumn("__cn",
+              when(col("__cn") > p.maxCluster, raise_error(concat(
+                lit("semdedup admission: cluster "), col("cluster"), lit(" has "),
+                col("__cn"),
+                lit(s" members > maxCluster=${p.maxCluster} — raise k (new store) or maxCluster"))))
+                .otherwise(col("__cn")))
+          val eligible = sized.filter(col("__cn").between(2, p.maxCluster))
+            .select(col("cluster"))
+          val mPos = members.join(eligible, Seq("cluster"), "left_semi")
+            .select(col("vid"), col("cluster"), posexplode(col("vec")).as(Seq("pos", "v")))
+          val norms = mPos.groupBy("vid")
+            .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("n2"))
+          // drop candidates are BATCH rows only; the member side spans
+          // prior ∪ in-batch smaller ids — exactly the full operator's
+          // smaller-id universe under append-only ids
+          val aPos = mPos.join(assigned.select(col("vid")), Seq("vid"), "left_semi")
+          val dots = aPos.as("a")
+            .join(mPos.as("b"),
+              col("a.cluster") === col("b.cluster") && col("a.pos") === col("b.pos") &&
+                col("a.vid") > col("b.vid"))
+            .groupBy(col("a.vid").as("hi"), col("b.vid").as("lo"))
+            .agg(sum((col("a.v") * col("b.v")).cast("decimal(30,15)")).as("dot"))
+          val pruned = dots
+            .join(norms.select(col("vid").as("hi"), col("n2").as("na")), "hi")
+            .join(norms.select(col("vid").as("lo"), col("n2").as("nb")), "lo")
+            .filter(col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= p.minCosine)
+            .select(col("hi").as("vid")).distinct()
+          assigned.join(pruned, Seq("vid"), "left_anti")
+            .select(col("vid"), col("cluster"))
+            .withColumn(BatchCol, lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BatchCol).parquet(admittedPath(storeDir))
+          assigned
+            .withColumn(BatchCol, lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BucketCol, BatchCol).parquet(seenPath(storeDir))
+          // unpersist in finally: the failOnOversized raise (an EXPECTED
+          // failure path) must not pin the cached seen rows for the
+          // session's lifetime
+        } finally prior.unpersist(blocking = false)
       } else {
         // nothing assignable: still write an empty admitted partition?
         // No — dynamic overwrite with zero rows touches nothing, and

@@ -122,6 +122,18 @@ class BpeSpec extends SparkSpec {
     assert(none(1L) === Seq("l", "o", "w</w>", "l", "o", "w", "e", "r</w>"))
   }
 
+  test("tokenizeWith: null text tokenizes as empty, not an executor NPE") {
+    import spark.implicits._
+    val corpus = Seq((1L, "low lower"), (2L, null.asInstanceOf[String]), (3L, "  "))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 2)
+    val toks = Bpe.tokenizeWith(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(2L) === Seq.empty)
+    assert(toks(3L) === Seq.empty)
+    assert(toks(1L).nonEmpty)
+  }
+
   test("tokenizeWith is scan-local: no exchange in the plan") {
     import spark.implicits._
     val corpus = Seq((1L, "low lower newest")).toDF("doc_id", "text")

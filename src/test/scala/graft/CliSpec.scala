@@ -385,6 +385,32 @@ class CliSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySource("books") === 5L)
     assert(bySource("web_clean") > 0L && bySource("web_clean") < 200L)
+    // colliding ids ACROSS members raise in-plan: both corpora number
+    // from 1 and the huge budget keeps everything, so the duplicate
+    // survives into the output where the guard lives
+    val dup = tempDir()
+    (1L to 5L).map(i => (i, s"corpus a doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dup/a.parquet")
+    (1L to 5L).map(i => (i, s"corpus b doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dup/b.parquet")
+    val yamlDup = Files.createTempFile("graft-pipe-mix-dup", ".yaml")
+    Files.writeString(yamlDup,
+      """pipeline: mix_dup
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: blend
+        |    op: mix
+        |    input: a
+        |    params: { inputs: "a,b", weights: "1,1", budgetTokens: 1000000 }
+        |""".stripMargin)
+    val exDup = intercept[Exception] {
+      Cli.run(Seq("pipeline", yamlDup.toString, dup, tempDir()), spark)
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain(exDup).contains("more than one mix input"), chain(exDup))
+
     // a mix member missing from inputs is a loud error
     val yamlBad = Files.createTempFile("graft-pipe-mix-bad", ".yaml")
     Files.writeString(yamlBad,
