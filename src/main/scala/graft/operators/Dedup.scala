@@ -619,9 +619,14 @@ object Dedup {
     * `maxHamming > 3`. Buckets over `maxBucket` drop like every
     * blocking join here (a degenerate chunk is k² candidates). Output
     * `(doc_a, doc_b, hamming)`, doc_a < doc_b. */
-  def hamming64Pairs(
-      sigs: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int, maxBucket: Int
+  /** Pigeonhole banding of a 64-bit signature for hamming radius
+    * `maxHamming`: one row per (id, hash, band, chunk), bands =
+    * contiguous bit ranges [b·64/(maxHamming+1), (b+1)·64/(maxHamming
+    * +1)) — at most `maxHamming` differing bits leave at least one
+    * band identical. Shared by the pair join below and the
+    * [[graft.streaming.StreamingImageDedup]] posting store. */
+  def hamming64Bands(
+      sigs: DataFrame, idCol: String, hashCol: String, maxHamming: Int
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31] (bands need >= 2 bits), got $maxHamming")
@@ -633,10 +638,17 @@ object Dedup {
       val mask = if (w == 64) -1L else (1L << w) - 1L
       s"named_struct('band', $b, 'chunk', shiftright($hashCol, $lo) & CAST($mask AS BIGINT))"
     }.mkString("array(", ", ", ")")
-    val banded = sigs.select(
+    sigs.select(
       col(idCol), col(hashCol),
       explode(expr(bandExprs)).as("bb"))
       .select(col(idCol), col(hashCol), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+  }
+
+  def hamming64Pairs(
+      sigs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int
+  ): DataFrame = {
+    val banded = hamming64Bands(sigs, idCol, hashCol, maxHamming)
     val bucketed = capBuckets(banded, Seq("band", "chunk"), maxBucket)
       .groupBy("band", "chunk")
       .agg(collect_list(struct(col(idCol), col(hashCol))).as("members"))

@@ -192,6 +192,29 @@ class StreamingReplayPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: image-dhash-admission stores converge under any replay interleaving") {
+    import graft.operators.Multimodal
+    // batch b: a 2x re-encode of the bootstrap image (always rejected —
+    // identical dHash), a novel formula image (admitted), so replays
+    // exercise both the self-rejection and the posting-union paths
+    def imgs(b: Int) = Multimodal.reencodeScaled(
+      Multimodal.syntheticImages(Seq(1L).toDF("doc_id"), "doc_id"),
+      factor = 2, idOffset = b * 100L + 10L)
+      .unionByName(Multimodal.syntheticImages(
+        Seq(b * 100L + 20L + b).toDF("doc_id"), "doc_id"))
+    checkStore("imagededup") { dir =>
+      val store = s"$dir/posts"
+      val sink  = s"$dir/admitted"
+      val p = StreamingImageDedup.Params(numBuckets = 8, maxHamming = 3)
+      StreamingImageDedup.initialize(
+        Multimodal.syntheticImages(Seq(1L).toDF("doc_id"), "doc_id"),
+        "doc_id", store, sink, p)
+      (b => StreamingImageDedup.applyBatch(
+        imgs(b), b.toLong, "doc_id", store, sink, p),
+        () => rowsOf(store).map("p:" + _) ++ rowsOf(sink).map("s:" + _))
+    }
+  }
+
   test("property: semdedup-admission stores converge under any replay interleaving") {
     // batch b: a near-dup of the bootstrap's cluster-0 anchor (always
     // pruned), a novel direction (always admitted), and a vector near
