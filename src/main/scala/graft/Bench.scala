@@ -81,6 +81,8 @@ object Bench {
     "sample_weighted"           -> (QueriesExt.sampleWeighted _),
     "text_tfidf"                -> (QueriesExt.textTfidf _),
     "text_pack"                 -> (QueriesExt.textPack _),
+    // concat-and-split token-budget packing (closed-form cuts)
+    "text_pack_budget"          -> (QueriesExt.textPackBudget _),
     "text_curate"               -> (QueriesExt.textCurate _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),
     "table_profile"             -> (QueriesExt.tableProfile _),

@@ -1462,6 +1462,45 @@ object QueriesExt {
     * closed-form assignment — hex-shard, per-shard (doc, chunk) order,
     * row_number arithmetic — so any drift in shard hashing, ordering,
     * or boundary arithmetic breaks the hash match. */
+  /** Token-budget concat-and-split packing ([[operators.Packing
+    * .packBudget]]): docs stream in shuffleShards order, a sequence
+    * cut every 512 tokens (n_chars as the count). The oracle replays
+    * the closed-form cut arithmetic off the same exclusive prefix sum
+    * — any drift in ordering, the running sum, or the integral
+    * boundary division breaks the hash match. */
+  def textPackBudget(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packBudget(
+      Sampling.shuffleShards(
+        docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id", 8, "r7"),
+      "shard", "pos", "n_chars", seqTokens = 512L)
+      .select(col("doc_id"), col("shard"), col("pos"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("seq_offset"))
+
+  lazy val textPackBudgetSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR) || 'r7') AS hh FROM documents
+       |), sh AS (
+       |  SELECT doc_id, n_chars, hh,
+       |         CAST('0x' || substr(hh, 1, 4) AS INTEGER) % 8 AS shard
+       |  FROM h
+       |), sp AS (
+       |  SELECT doc_id, shard, n_chars,
+       |         CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+       |              AS BIGINT) AS pos
+       |  FROM sh
+       |), c AS (
+       |  SELECT doc_id, shard, pos, n_chars,
+       |         CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY pos)
+       |              - n_chars AS BIGINT) AS tok_start
+       |  FROM sp
+       |)
+       |SELECT doc_id, shard, pos, tok_start,
+       |       CAST(CASE WHEN n_chars > 0 THEN tok_start // 512 END AS BIGINT) AS seq_first,
+       |       CAST(CASE WHEN n_chars > 0 THEN (tok_start + n_chars - 1) // 512 END AS BIGINT) AS seq_last,
+       |       CAST(CASE WHEN n_chars > 0 THEN tok_start % 512 END AS BIGINT) AS seq_offset
+       |FROM c
+       |""".stripMargin
+
   def textPack(s: SparkSession, dir: String): DataFrame =
     operators.Packing.packChunks(
       TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text", size = 32, stride = 32),

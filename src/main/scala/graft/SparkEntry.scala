@@ -70,6 +70,7 @@ object SparkEntry {
     // context-window chunking + repetition quality filter
     "text_chunks"     -> (QueriesExt.textChunks _),
     "text_pack"       -> (QueriesExt.textPack _),
+    "text_pack_budget" -> (QueriesExt.textPackBudget _),
     "text_curate"     -> (QueriesExt.textCurate _),
     "text_repetition" -> (QueriesExt.textRepetition _),
     "text_lm_score"   -> (QueriesExt.textLmScore _),
@@ -273,6 +274,7 @@ object SparkEntry {
     "events_topk"               -> QueriesEvents.eventsTopkSql,
     "text_chunks"               -> QueriesExt.textChunksSql,
     "text_pack"                 -> QueriesExt.textPackSql,
+    "text_pack_budget"          -> QueriesExt.textPackBudgetSql,
     "text_curate"               -> QueriesExt.textCurateSql,
     "text_repetition"           -> QueriesExt.textRepetitionSql,
     "text_lm_score"             -> QueriesExt.textLmScoreSql,

@@ -45,6 +45,52 @@ object Packing {
     * `seq_pos` (position of the chunk in its sequence, 0-based).
     * Sequence identity is the (shard, seq_id) pair.
     */
+  /** Token-budget packing by CONCAT-AND-SPLIT — the GPT-style training
+    * shape: concatenate the shard-local token stream in a deterministic
+    * order and cut a sequence every `seqTokens` tokens; documents may
+    * straddle a cut (the trainer's attention mask owns the boundary).
+    * Unlike first-fit bin packing (rejected above — sequential and
+    * unstable), the cut points are a CLOSED-FORM function of the
+    * running token sum, so the assignment is window-expressible,
+    * engine-reproducible, and each shard is one window partition
+    * (same scale posture as [[packChunks]]: raise `shards`, ONE
+    * exchange total when the input is already shard-partitioned).
+    *
+    * Input must carry a shard column and a deterministic in-shard
+    * order column ([[Sampling.shuffleShards]] provides both) plus a
+    * non-negative token count. Output adds:
+    *  - `tok_start` — the row's first token position on its shard's
+    *    number line (the exclusive prefix sum);
+    *  - `seq_first` / `seq_last` — the sequence ids the row spans
+    *    (`tok_start div seqTokens` / `(tok_start + n - 1) div
+    *    seqTokens`); a zero-token row spans nothing (both NULL);
+    *  - `seq_offset` — the row's offset inside `seq_first`.
+    */
+  def packBudget(
+      rows: DataFrame, shardCol: String, orderCol: String, tokenCol: String,
+      seqTokens: Long
+  ): DataFrame = {
+    require(seqTokens > 0, s"seqTokens must be positive, got $seqTokens")
+    Seq("tok_start", "seq_first", "seq_last", "seq_offset").foreach { c =>
+      require(!rows.columns.contains(c),
+        s"packBudget would overwrite existing column '$c' — rename it first")
+    }
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col(tokenCol).cast("long")
+    rows
+      .withColumn("tok_start", sum(n).over(w) - n)
+      // `div` is exact integral division on longs — no double rounding
+      // even at 100 TB-scale shard token counts
+      .withColumn("seq_first",
+        when(n > 0, expr(s"tok_start div $seqTokens")).cast("long"))
+      .withColumn("seq_last",
+        when(n > 0, expr(s"(tok_start + CAST(`$tokenCol` AS BIGINT) - 1) div $seqTokens"))
+          .cast("long"))
+      .withColumn("seq_offset",
+        when(n > 0, col("tok_start") - col("seq_first") * seqTokens).cast("long"))
+  }
+
   def packChunks(
       chunks: DataFrame, docCol: String, chunkCol: String,
       chunksPerSeq: Int, shards: Int

@@ -421,6 +421,24 @@ object CurationPipeline {
         chunksPerSeq = c.params.reqInt("chunksPerSeq"),
         shards = c.params.reqInt("shards"))
     }),
+    // concat-and-split token-budget packing: annotates the sequence
+    // span (seq_first/seq_last/seq_offset) each doc occupies when the
+    // shard-local token stream is cut every seqTokens tokens. Needs
+    // shard/pos (chain shuffle_shards first) and a token-count column
+    // (a tokenize step's n_bpe_tokens, or token_estimate's column).
+    "pack_budget" -> Op(Set("seqTokens", "tokens"), { c =>
+      Seq("shard", "pos").foreach { needed =>
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: pack_budget needs a '$needed' column — " +
+            "chain a shuffle_shards step before it")
+      }
+      val tokCol = c.params.reqStr("tokens")
+      require(c.input.columns.contains(tokCol),
+        s"step ${c.stepName}: input has no token column '$tokCol' " +
+          "(chain a tokenize or token_estimate step)")
+      Packing.packBudget(c.input, "shard", "pos", tokCol,
+        seqTokens = c.params.reqLong("seqTokens"))
+    }),
     // annotation table: per-doc text statistics (id + signals)
     "stats" -> Op(Set.empty, { c =>
       TextAnalysis.stats(c.input, c.idCol, c.textCol)

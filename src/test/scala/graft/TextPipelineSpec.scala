@@ -278,6 +278,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(bad.isEmpty, "sequences must hold <= k chunks at dense positions")
   }
 
+  test("packBudget: concat-and-split cuts on a hand-checked stream; zero-token rows span nothing") {
+    import spark.implicits._
+    // one shard, explicit order: tokens 300, 300, 0, 200 with a 512 cut
+    val rows = Seq(
+      (1L, 0, 0L, 300L), (2L, 0, 1L, 300L), (3L, 0, 2L, 0L), (4L, 0, 3L, 200L))
+      .toDF("doc_id", "shard", "pos", "n_toks")
+    val got = graft.operators.Packing
+      .packBudget(rows, "shard", "pos", "n_toks", seqTokens = 512L)
+      .select("doc_id", "tok_start", "seq_first", "seq_last", "seq_offset")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, 0L)))       // [0, 300) inside seq 0
+    assert(got(2L) === ((300L, 0L, 1L, 300L)))   // [300, 600) STRADDLES the 512 cut
+    assert(got(3L) === ((600L, -1L, -1L, -1L)))  // zero tokens: spans nothing
+    assert(got(4L) === ((600L, 1L, 1L, 88L)))    // [600, 800) inside seq 1
+    // rerun is bit-identical (pure function of the ordered stream)
+    val again = graft.operators.Packing
+      .packBudget(rows, "shard", "pos", "n_toks", seqTokens = 512L)
+    assert(graft.operators.Packing
+      .packBudget(rows, "shard", "pos", "n_toks", 512L).exceptAll(again).isEmpty)
+  }
+
+  test("packBudget after shuffleShards is ONE exchange (the shard window re-sorts, not re-shuffles)") {
+    val plan = QueriesExt.textPackBudget(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shard exchange, got $exchanges:\n$plan")
+  }
+
   test("packing after chunking is ONE exchange (the shard hash); chunking stays scan-local") {
     val plan = QueriesExt.textPack(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
