@@ -124,11 +124,13 @@ object StreamingSemDedup {
   private def assignedOf(
       batch: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Array[Double]], p: Params): DataFrame =
-    Kmeans.assign(batch.filter(col(vecCol).isNotNull), idCol, vecCol, cents)
+    // scan-local in-projection assignment (the [[StreamingKmeans
+    // .batchStats]] pattern — no join back to the vectors)
+    batch
+      .select(col(idCol).cast("long").as("vid"),
+        Kmeans.clusterColumn(col(vecCol), cents).as("cluster"),
+        col(vecCol).cast("array<double>").as("vec"))
       .filter(col("cluster").isNotNull)
-      .select(col(idCol).cast("long").as("vid"), col("cluster"))
-      .join(batch.select(col(idCol).cast("long").as("vid"),
-        col(vecCol).cast("array<double>").as("vec")), Seq("vid"))
       .withColumn(BucketCol, pmod(col("cluster"), lit(p.numBuckets)))
 
   /** Admit one batch. Null-vector rows carry no geometry and are
