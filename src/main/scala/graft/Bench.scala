@@ -110,6 +110,8 @@ object Bench {
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
     // perceptual media near-dup: decode + dHash + hamming banding
     "multimodal_neardup" -> (QueriesExt.multimodalNeardup _),
+    // real WAV decode + per-window energy
+    "multimodal_audio_energy" -> (QueriesExt.multimodalAudioEnergy _),
     // r6: codegen'd scan-local embedding transforms + token budgeting
     "embed_kmeans_assign"     -> (QueriesExt.embedKmeansAssign _),
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),

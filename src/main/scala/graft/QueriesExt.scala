@@ -844,6 +844,50 @@ object QueriesExt {
          |HAVING sum(bit_count(xor(ra.rowbyte, rbb.rowbyte))) <= 3
          |""".stripMargin
 
+  /** REAL audio decode (javax.sound.sampled, JDK WAV codec):
+    * deterministic synthetic PCM16 per doc (sample i = `((id·31 + i·7
+    * + 11) mod 65536) − 32768`, `256 + id % 241` samples), round-
+    * tripped through the real encoder+decoder. WAV is lossless, so
+    * the oracle recomputes the position-weighted sample checksums
+    * straight from the formula — one flipped sample or sign error
+    * anywhere in encode OR decode mismatches. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(Multimodal.syntheticAudio(docs(s, dir), "doc_id")).toDF()
+
+  lazy val multimodalAudioSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(256 + doc_id % 241 AS BIGINT) AS n FROM documents
+       |), sm AS (
+       |  SELECT doc_id, i, (doc_id * 31 + i * 7 + 11) % 65536 - 32768 AS s
+       |  FROM d, unnest(generate_series(0, n - 1)) AS t(i)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |       CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+       |       CAST(sum((i + 1) * s) AS BIGINT) AS sum1,
+       |       CAST(sum((i + 1) * (i + 1) * s) AS BIGINT) AS sum2
+       |FROM sm GROUP BY 1
+       |""".stripMargin
+
+  /** Per-window energy over the REALLY-decoded samples (160-sample
+    * windows, short tail kept) — the VAD primitive, window sums
+    * recomputed by the oracle from the same formula. */
+  def multimodalAudioEnergy(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioEnergyWindows(
+      Multimodal.syntheticAudio(docs(s, dir), "doc_id"), windowSize = 160).toDF()
+
+  lazy val multimodalAudioEnergySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(256 + doc_id % 241 AS BIGINT) AS n FROM documents
+       |), sm AS (
+       |  SELECT doc_id, i, (doc_id * 31 + i * 7 + 11) % 65536 - 32768 AS s
+       |  FROM d, unnest(generate_series(0, n - 1)) AS t(i)
+       |)
+       |SELECT doc_id, CAST(i // 160 AS INTEGER) AS window_idx,
+       |       CAST(count(*) AS INTEGER) AS n,
+       |       CAST(sum(s * s) AS BIGINT) AS energy
+       |FROM sm GROUP BY 1, 2
+       |""".stripMargin
+
   lazy val multimodalFramesSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents

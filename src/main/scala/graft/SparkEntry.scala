@@ -232,6 +232,9 @@ object SparkEntry {
     "multimodal_resize" -> (QueriesExt.multimodalResize _),
     "multimodal_dhash" -> (QueriesExt.multimodalDhash _),
     "multimodal_neardup" -> (QueriesExt.multimodalNeardup _),
+    // real JDK WAV codec round-trip + windowed-energy VAD primitive
+    "multimodal_audio" -> (QueriesExt.multimodalAudio _),
+    "multimodal_audio_energy" -> (QueriesExt.multimodalAudioEnergy _),
     // corpus-learned BPE (trained merge table + real tokenization)
     "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
     "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _)
@@ -364,6 +367,8 @@ object SparkEntry {
     "multimodal_resize"         -> QueriesExt.multimodalResizeSql,
     "multimodal_dhash"          -> QueriesExt.multimodalDhashSql,
     "multimodal_neardup"        -> QueriesExt.multimodalNeardupSql,
+    "multimodal_audio"          -> QueriesExt.multimodalAudioSql,
+    "multimodal_audio_energy"   -> QueriesExt.multimodalAudioEnergySql,
     "text_bpe_vocab"            -> QueriesExt.textBpeVocabSql,
     "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql
   )

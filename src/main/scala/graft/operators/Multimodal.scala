@@ -379,6 +379,127 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  // ============================================================ real audio codec (javax.sound.sampled)
+  //
+  // The JDK also ships a WAV codec — the audio twin of the PNG path
+  // above: gate audio is deterministic synthetic PCM16 whose samples
+  // follow a pure integer formula, WAV is lossless, so a correct
+  // decode reproduces the formula bit-for-bit and a SQL oracle
+  // verifies position-weighted sample checksums and per-window
+  // energies without ever seeing a codec.
+
+  /** Sample `i` of doc `docId`'s synthetic PCM16 signal — the formula
+    * the DuckDB oracle recomputes. Full signed 16-bit range. */
+  def syntheticSample(docId: Long, i: Int): Int =
+    (((docId * 31 + i.toLong * 7 + 11) % 65536) - 32768).toInt
+
+  /** Deterministic mono PCM16 WAV for `docId` with `n` samples at
+    * 8 kHz, encoded by the REAL JDK WAV writer. */
+  def syntheticWav(docId: Long, n: Int): Array[Byte] = {
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = syntheticSample(docId, i)
+      raw(i * 2) = (s & 0xFF).toByte            // little-endian PCM16
+      raw(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic WAV payloads from an id column: `256 + id % 241`
+    * samples (SQL-predictable, every doc distinct). Scan-local like
+    * [[syntheticImages]]. */
+  def syntheticAudio(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => (id, syntheticWav(id, (256 + id % 241).toInt)))
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Really-decoded audio features: `sum1`/`sum2` are position-
+    * weighted checksums `Σ (i+1)·sᵢ` / `Σ (i+1)²·sᵢ` over the decoded
+    * PCM16 samples (order- and sign-sensitive, exact integer). */
+  final case class DecodedAudio(
+      doc_id: Long, n_samples: Long, sample_rate: Int, channels: Int,
+      sum1: Long, sum2: Long)
+
+  /** Real WAV decode via `javax.sound.sampled`, same per-partition
+    * batch shape as [[decodeImage]]. Fails loudly on an undecodable
+    * payload or a non-PCM16-mono stream (gate contract; transcode
+    * upstream for other layouts). */
+  def decodeAudio(payloads: DataFrame): Dataset[DecodedAudio] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian,
+            s"doc $id: expected little-endian PCM16 mono, got $fmt")
+          val raw = ais.readAllBytes()
+          var (s1, s2) = (0L, 0L)
+          var i = 0
+          while (i * 2 + 1 < raw.length) {
+            val s = ((raw(i * 2) & 0xFF) | (raw(i * 2 + 1) << 8)).toShort.toInt
+            val p = (i + 1).toLong
+            s1 += p * s; s2 += p * p * s
+            i += 1
+          }
+          DecodedAudio(id, i.toLong, fmt.getSampleRate.toInt, fmt.getChannels, s1, s2)
+        }
+    }
+  }
+
+  /** Per-window audio energy over the decoded samples — the VAD /
+    * silence-trim primitive: window w covers samples [w·size, (w+1)·
+    * size) (short tail kept), `energy = Σ sᵢ²` within the window. */
+  final case class AudioWindow(
+      doc_id: Long, window_idx: Int, n: Int, energy: Long)
+
+  /** Real decode + fixed-size energy windows, scan-local. */
+  def audioEnergyWindows(payloads: DataFrame, windowSize: Int = 160): Dataset[AudioWindow] = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        it.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian,
+            s"doc $id: expected little-endian PCM16 mono, got $fmt")
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val nWin = (n + windowSize - 1) / windowSize
+          (0 until nWin).iterator.map { w =>
+            val lo = w * windowSize
+            val hi = math.min(lo + windowSize, n)
+            var e = 0L
+            var i = lo
+            while (i < hi) {
+              val s = ((raw(i * 2) & 0xFF) | (raw(i * 2 + 1) << 8)).toShort.toLong
+              e += s * s
+              i += 1
+            }
+            AudioWindow(id, w, hi - lo, e)
+          }
+        }
+    }
+  }
+
   /** One sampled frame: byte window `[frame_offset, frame_offset +
     * frame_bytes)` of the payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_bytes: Int)

@@ -194,6 +194,38 @@ class SimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(1L)) >= 56)
   }
 
+  test("REAL audio codec: WAV round-trip is sample-exact; tail window; garbage fails loudly") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 17L, 240L).toDF("doc_id")
+    val decoded = Multimodal.decodeAudio(Multimodal.syntheticAudio(ids, "doc_id"))
+      .collect().map(d => d.doc_id -> d).toMap
+    decoded.foreach { case (id, d) =>
+      val n = (256 + id % 241).toInt
+      assert((d.n_samples, d.sample_rate, d.channels) === ((n.toLong, 8000, 1)))
+      var (s1, s2) = (0L, 0L)
+      (0 until n).foreach { i =>
+        val s = Multimodal.syntheticSample(id, i)
+        s1 += (i + 1).toLong * s; s2 += (i + 1).toLong * (i + 1) * s
+      }
+      assert((d.sum1, d.sum2) === ((s1, s2)), s"doc $id sample checksum")
+    }
+    // windows: doc 0 has 256 samples -> one full 160 window + a 96 tail
+    val wins = Multimodal.audioEnergyWindows(
+      Multimodal.syntheticAudio(Seq(0L).toDF("doc_id"), "doc_id"), 160)
+      .collect().sortBy(_.window_idx)
+    assert(wins.map(w => (w.window_idx, w.n)).toSeq === Seq((0, 160), (1, 96)))
+    val want0 = (0 until 160).map { i =>
+      val s = Multimodal.syntheticSample(0L, i).toLong; s * s
+    }.sum
+    assert(wins(0).energy === want0)
+    // garbage payload: loud failure, not silent zeros
+    val bad = Seq((1L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val ex = intercept[Exception] { Multimodal.decodeAudio(bad).collect() }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg(ex).toLowerCase.contains("audio") || msg(ex).contains("stream"))
+  }
+
   test("REAL image codec: JPEG decodes with true dimensions; garbage payload fails loudly") {
     import spark.implicits._
     // lossy JPEG: dims are exact even though pixels aren't
