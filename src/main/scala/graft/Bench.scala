@@ -112,6 +112,8 @@ object Bench {
     "multimodal_neardup" -> (QueriesExt.multimodalNeardup _),
     // real WAV decode + per-window energy
     "multimodal_audio_energy" -> (QueriesExt.multimodalAudioEnergy _),
+    // perceptual audio near-dup: fingerprint both sides + banding
+    "multimodal_audio_neardup" -> (QueriesExt.multimodalAudioNeardup _),
     // r6: codegen'd scan-local embedding transforms + token budgeting
     "embed_kmeans_assign"     -> (QueriesExt.embedKmeansAssign _),
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),

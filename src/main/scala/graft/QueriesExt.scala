@@ -888,6 +888,104 @@ object QueriesExt {
        |FROM sm GROUP BY 1, 2
        |""".stripMargin
 
+  /** Shared oracle prefix for the audio fingerprint: replay the varied
+    * sample formula (attenuated by `1 << shift` with truncating
+    * division — DuckDB `//` truncates toward zero exactly like Java)
+    * over a member set `m (fp_id, doc_id, shift, n)`, window the first
+    * 65 × 4-sample energies (windows past the clip end count 0), and
+    * fold delta-sign bits into per-byte `rowbyte`s — the
+    * [[graft.operators.Multimodal.audioFingerprint]] contract in pure
+    * SQL. */
+  private def afpRowBytesSql(membersCte: String): String =
+    s"""$membersCte, sm AS MATERIALIZED (
+       |  SELECT fp_id, i,
+       |         (((doc_id + 17) * (i + 1) * (i + 2) + doc_id * 131 + 11) % 65536 - 32768) // (1 << shift) AS s
+       |  FROM m, unnest(generate_series(0, n - 1)) AS t(i)
+       |), wn AS (
+       |  SELECT fp_id, w FROM m, unnest(generate_series(0, 64)) AS t(w)
+       |), en AS MATERIALIZED (
+       |  SELECT wn.fp_id, wn.w, coalesce(sum(sm.s * sm.s), 0) AS e
+       |  FROM wn LEFT JOIN sm ON sm.fp_id = wn.fp_id AND sm.i // 4 = wn.w
+       |  GROUP BY 1, 2
+       |), rb AS MATERIALIZED (
+       |  SELECT e0.fp_id, e0.w // 8 AS b,
+       |         CAST(sum(CASE WHEN e1.e > e0.e THEN 1 << (e0.w % 8) ELSE 0 END) AS INTEGER) AS rowbyte
+       |  FROM en e0 JOIN en e1 ON e1.fp_id = e0.fp_id AND e1.w = e0.w + 1
+       |  WHERE e0.w < 64
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** 64-bit perceptual audio fingerprint over the REAL decode path
+    * (sign of consecutive window-energy deltas — Haitsma–Kalker in
+    * integer arithmetic): synthetic varied-signal WAVs round-trip the
+    * real JDK codec, and the oracle rebuilds every fingerprint from
+    * the sample formula — one wrong sample, window sum, or bit
+    * position mismatches. */
+  def multimodalAudioFp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(Multimodal.syntheticAudioVaried(docs(s, dir), "doc_id"))
+      .toDF().select(col("doc_id"), col("afp_hex"))
+
+  lazy val multimodalAudioFpSql: String =
+    afpRowBytesSql(
+      s"""WITH m AS (
+         |  SELECT doc_id AS fp_id, doc_id, 0 AS shift,
+         |         CAST(256 + doc_id % 241 AS BIGINT) AS n
+         |  FROM documents)""".stripMargin) +
+      s"""
+         |SELECT fp_id AS doc_id,
+         |       string_agg(lower(lpad(to_hex(rowbyte), 2, '0')), '' ORDER BY b) AS afp_hex
+         |FROM rb GROUP BY 1
+         |""".stripMargin
+
+  /** Audio near-dup pairs over originals + half-amplitude re-encodes
+    * (real decode → `s/2` → real re-encode, ids offset by 1,000,000):
+    * fingerprint both, pair by the exact-recall 4×16-bit hamming
+    * banding — the [[multimodalNeardup]] construction for audio.
+    * Attenuation scales window energies by ~4 and keeps delta signs
+    * up to truncation noise, so every (id, id+1M) pair lands within
+    * the radius (hamming 0 for almost all clips, the occasional
+    * near-tie flip within it); the oracle rebuilds BOTH fingerprints
+    * from the formula, mirrors the banding and bucket cap, and
+    * recomputes hamming byte-wise. */
+  def multimodalAudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    val orig   = Multimodal.syntheticAudioVaried(docs(s, dir), "doc_id")
+    val copies = Multimodal.reencodeAttenuated(orig, shift = 1, idOffset = 1000000L)
+    val fps    = Multimodal.audioFingerprint(orig.unionByName(copies)).toDF()
+    Dedup.hamming64Pairs(fps, "doc_id", "afp", maxHamming = 3, maxBucket = 1000)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  lazy val multimodalAudioNeardupSql: String =
+    afpRowBytesSql(
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(256 + doc_id % 241 AS BIGINT) AS n FROM documents
+         |), m AS (
+         |  SELECT doc_id AS fp_id, doc_id, 0 AS shift, n FROM d
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, 1 AS shift, n FROM d)""".stripMargin) +
+      s"""
+         |, chunks AS MATERIALIZED (
+         |  -- hash bits [16b, 16b+16) = bytes 2b and 2b+1 — the same
+         |  -- 4x16 banding hamming64Pairs derives for maxHamming = 3
+         |  SELECT e.fp_id, e.b // 2 AS band, e.rowbyte + 256 * o.rowbyte AS chunk
+         |  FROM rb e JOIN rb o ON o.fp_id = e.fp_id AND o.b = e.b + 1
+         |  WHERE e.b % 2 = 0
+         |), ok AS (
+         |  SELECT band, chunk FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000
+         |), cand AS (
+         |  SELECT DISTINCT a.fp_id AS doc_a, b.fp_id AS doc_b
+         |  FROM chunks a
+         |  JOIN ok USING (band, chunk)
+         |  JOIN chunks b ON b.band = a.band AND b.chunk = a.chunk AND a.fp_id < b.fp_id
+         |)
+         |SELECT doc_a, doc_b, CAST(sum(bit_count(xor(ra.rowbyte, rbb.rowbyte))) AS INTEGER) AS hamming
+         |FROM cand
+         |JOIN rb ra  ON ra.fp_id = cand.doc_a
+         |JOIN rb rbb ON rbb.fp_id = cand.doc_b AND rbb.b = ra.b
+         |GROUP BY 1, 2
+         |HAVING sum(bit_count(xor(ra.rowbyte, rbb.rowbyte))) <= 3
+         |""".stripMargin
+
   lazy val multimodalFramesSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents

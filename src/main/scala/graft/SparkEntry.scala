@@ -235,6 +235,9 @@ object SparkEntry {
     // real JDK WAV codec round-trip + windowed-energy VAD primitive
     "multimodal_audio" -> (QueriesExt.multimodalAudio _),
     "multimodal_audio_energy" -> (QueriesExt.multimodalAudioEnergy _),
+    // perceptual audio fingerprint (sign-of-energy-delta) + near-dup
+    "multimodal_audio_fp" -> (QueriesExt.multimodalAudioFp _),
+    "multimodal_audio_neardup" -> (QueriesExt.multimodalAudioNeardup _),
     // corpus-learned BPE (trained merge table + real tokenization)
     "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
     "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _)
@@ -369,6 +372,8 @@ object SparkEntry {
     "multimodal_neardup"        -> QueriesExt.multimodalNeardupSql,
     "multimodal_audio"          -> QueriesExt.multimodalAudioSql,
     "multimodal_audio_energy"   -> QueriesExt.multimodalAudioEnergySql,
+    "multimodal_audio_fp"       -> QueriesExt.multimodalAudioFpSql,
+    "multimodal_audio_neardup"  -> QueriesExt.multimodalAudioNeardupSql,
     "text_bpe_vocab"            -> QueriesExt.textBpeVocabSql,
     "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql
   )

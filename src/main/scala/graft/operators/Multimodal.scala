@@ -500,6 +500,154 @@ object Multimodal {
     }
   }
 
+  // ===================================================== perceptual audio fingerprint
+  //
+  // The audio twin of [[dHash]]: a 64-bit SIGN-OF-ENERGY-DELTA
+  // fingerprint in the spirit of Haitsma & Kalker's robust audio
+  // fingerprint [ISMIR 2002 — sign of band-energy differences across
+  // frames], simplified to the time domain: bit w is the sign of the
+  // energy difference between consecutive fixed-size sample windows.
+  // Amplitude attenuation scales every window energy by ~the same
+  // factor, so the DIFFERENCE SIGNS survive re-encoding at a lower
+  // level — the copies land within a small hamming radius and pair
+  // via the same exact-recall banding the image path uses.
+
+  /** Sample `i` of doc `docId`'s VARIED synthetic PCM16 signal. The
+    * ramp formula of [[syntheticSample]] advances by 7 per sample —
+    * near-linear over a whole clip, so every clip would carry the
+    * same monotone energy profile and the fingerprint would not
+    * discriminate. Here the doc id MULTIPLIES the quadratic phase
+    * (an additive offset alone leaves the delta-sign pattern nearly
+    * doc-independent — measured 14 distinct fingerprints per 50
+    * docs), giving every doc its own sweep rate: 2000/2000 distinct
+    * fingerprints, max 16-bit band bucket 9. Still an exact integer
+    * formula a SQL oracle replays. */
+  def syntheticSampleVaried(docId: Long, i: Int): Int =
+    ((((docId + 17) * (i.toLong + 1) * (i.toLong + 2) + docId * 131 + 11) % 65536) - 32768).toInt
+
+  /** PCM16 mono little-endian samples → WAV bytes via the REAL JDK
+    * encoder. */
+  private def pcm16Wav(samples: Array[Int]): Array[Byte] = {
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(i * 2) = (samples(i) & 0xFF).toByte
+      raw(i * 2 + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic varied-signal WAV payloads from an id column —
+    * [[syntheticAudio]]'s shape (`256 + id % 241` samples, real JDK
+    * WAV encoder) over [[syntheticSampleVaried]]. */
+  def syntheticAudioVaried(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (256 + id % 241).toInt
+        (id, pcm16Wav(Array.tabulate(n)(i => syntheticSampleVaried(id, i))))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Decoded little-endian PCM16 mono samples of one WAV payload;
+    * fails loudly on any other layout (gate contract — transcode
+    * upstream). */
+  private def pcm16Samples(id: Long, bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian,
+      s"doc $id: expected little-endian PCM16 mono, got $fmt")
+    val raw = ais.readAllBytes()
+    Array.tabulate(raw.length / 2) { i =>
+      ((raw(i * 2) & 0xFF) | (raw(i * 2 + 1) << 8)).toShort.toInt
+    }
+  }
+
+  /** Real decode → attenuate every sample by `1 << shift` (Java
+    * truncating division — the DuckDB `//` convention, so the oracle
+    * replays the copy's samples exactly) → re-encode with the real
+    * WAV writer. The "turned-down re-encode" copy generator for the
+    * audio near-dup gate, [[reencodeScaled]]'s twin. Emits `doc_id +
+    * idOffset`. */
+  def reencodeAttenuated(payloads: DataFrame, shift: Int, idOffset: Long): DataFrame = {
+    require(shift >= 0 && shift < 16, s"shift must be in [0, 16), got $shift")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val div = 1 << shift
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        it.map { case (id, bytes) =>
+          (id + idOffset, pcm16Wav(pcm16Samples(id, bytes).map(_ / div)))
+        }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Per-clip 64-bit audio fingerprint. `afp` is the packed bits,
+    * `afp_hex` byte b = bits `[8b, 8b+8)` rendered 2 lowercase hex
+    * chars, b ascending — the [[ImageDHash]] rendering convention, so
+    * any engine reproduces the string without signed-64-bit
+    * gymnastics. */
+  final case class AudioFp(doc_id: Long, afp: Long, afp_hex: String)
+
+  /** Fingerprint window count: 65 energies → 64 delta-sign bits. */
+  private val afpWindows = 65
+
+  /** Perceptual audio fingerprint: REAL WAV decode, energies of the
+    * first 65 `windowSize`-sample windows (`e_w = Σ s_i²` over
+    * `[w·size, (w+1)·size)`, windows past the clip end count 0 —
+    * fixed-duration front-of-clip coverage), bit `w` set iff
+    * `e(w+1) > e(w)`. Entirely scan-local mapPartitions; pair via
+    * [[Dedup.hamming64Pairs]]. An attenuated or losslessly
+    * re-encoded copy scales all energies by ~one factor and keeps the
+    * delta signs — near-dup copies land within a small hamming
+    * radius, the Haitsma–Kalker robustness property in integer
+    * arithmetic a SQL oracle recomputes exactly. */
+  def audioFingerprint(payloads: DataFrame, windowSize: Int = 4): Dataset[AudioFp] = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        it.map { case (id, bytes) =>
+          val s = pcm16Samples(id, bytes)
+          val e = new Array[Long](afpWindows)
+          var i = 0
+          while (i < s.length) {
+            val w = i / windowSize
+            if (w < afpWindows) e(w) += s(i).toLong * s(i)
+            i += 1
+          }
+          var fp = 0L
+          val hex = new java.lang.StringBuilder(16)
+          var b = 0
+          while (b < 8) {
+            var rowByte = 0
+            var x = 0
+            while (x < 8) {
+              val w = b * 8 + x
+              if (e(w + 1) > e(w)) { rowByte |= 1 << x; fp |= 1L << w }
+              x += 1
+            }
+            hex.append(Character.forDigit((rowByte >> 4) & 0xF, 16))
+            hex.append(Character.forDigit(rowByte & 0xF, 16))
+            b += 1
+          }
+          AudioFp(id, fp, hex.toString)
+        }
+    }
+  }
+
   /** One sampled frame: byte window `[frame_offset, frame_offset +
     * frame_bytes)` of the payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_bytes: Int)

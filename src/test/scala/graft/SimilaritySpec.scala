@@ -226,6 +226,46 @@ class SimilaritySpec extends SparkSpec {
     assert(msg(ex).toLowerCase.contains("audio") || msg(ex).contains("stream"))
   }
 
+  test("audio fingerprint: formula-exact bits, hex/long agree, attenuated re-encode in-ball") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 17L, 111L, 240L).toDF("doc_id")
+    val orig = Multimodal.syntheticAudioVaried(ids, "doc_id")
+    val got = Multimodal.audioFingerprint(orig).collect().map(f => f.doc_id -> f).toMap
+    // independent recompute from the sample formula (zero-padded 65
+    // windows of 4, bit w = e(w+1) > e(w))
+    def fpOf(id: Long, shift: Int): Long = {
+      val n = (256 + id % 241).toInt
+      val e = new Array[Long](65)
+      (0 until n).foreach { i =>
+        val s = Multimodal.syntheticSampleVaried(id, i) / (1 << shift)
+        if (i / 4 < 65) e(i / 4) += s.toLong * s
+      }
+      (0 until 64).foldLeft(0L)((acc, w) => if (e(w + 1) > e(w)) acc | (1L << w) else acc)
+    }
+    got.foreach { case (id, f) =>
+      assert(f.afp === fpOf(id, 0), s"doc $id fingerprint drift vs formula")
+      val hex = (0 until 8).map(b => f"${(f.afp >>> (b * 8)) & 0xFF}%02x").mkString
+      assert(f.afp_hex === hex, s"doc $id hex/long mismatch")
+    }
+    // doc 0 has exactly 256 samples -> window 64 zero-pads, bit 63 clear
+    assert((got(0L).afp & (1L << 63)) === 0L)
+    // half-amplitude re-encode through the REAL codec: delta signs
+    // survive attenuation up to near-tie truncation flips
+    val att = Multimodal.audioFingerprint(
+      Multimodal.reencodeAttenuated(orig, shift = 1, idOffset = 1000L))
+      .collect().map(f => (f.doc_id - 1000L) -> f.afp).toMap
+    got.foreach { case (id, f) =>
+      assert(att(id) === fpOf(id, 1), s"doc $id attenuated fingerprint drift")
+      val ham = java.lang.Long.bitCount(f.afp ^ att(id))
+      assert(ham <= 3, s"doc $id attenuation moved fingerprint by $ham bits")
+    }
+    // fingerprints discriminate: distinct docs differ in many bits
+    val fps = got.values.map(_.afp).toSeq
+    fps.combinations(2).foreach { case Seq(a, b) =>
+      assert(java.lang.Long.bitCount(a ^ b) >= 10, "cross-doc fingerprints too close")
+    }
+  }
+
   test("REAL image codec: JPEG decodes with true dimensions; garbage payload fails loudly") {
     import spark.implicits._
     // lossy JPEG: dims are exact even though pixels aren't
