@@ -6,22 +6,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Multimodal
 
-/** Streaming/batch PERCEPTUAL image admission — the media member of
-  * the admission ladder ([[StreamingAdmission]] exact text →
-  * [[StreamingNearDup]] Jaccard → [[StreamingWinnowDedup]] local
-  * overlap → [[StreamingSemDedup]] semantic → this): admit a batch of
-  * images whose dHash lands outside the hamming ball of every
-  * ALREADY-ADMITTED image. Recompressed, losslessly re-encoded, and
-  * exact-factor-rescaled copies of an admitted image hash into the
-  * ball (see [[Multimodal.dHash]]'s invariances) and are rejected
-  * without the corpus ever being re-decoded.
+/** Streaming/batch PERCEPTUAL audio admission — the audio member of
+  * the media admission ladder, [[StreamingImageDedup]]'s twin over
+  * [[Multimodal.audioFingerprint]]: admit a batch of clips whose
+  * sign-of-energy-delta fingerprint lands outside the hamming ball of
+  * every ALREADY-ADMITTED clip. Attenuated (turned-down) and
+  * losslessly re-encoded copies of an admitted clip fingerprint into
+  * the ball (the Haitsma–Kalker delta-sign robustness — see
+  * [[Multimodal.audioFingerprint]]) and are rejected without the
+  * corpus ever being re-decoded.
   *
   * Store layout, admission contract, replay-idempotence and the 100 TB
   * shape are [[StreamingHammingDedup]]'s — the shared hamming-ball
-  * admission core this store instantiates with the dHash signature
-  * pass (decode + hash, scan-local mapPartitions).
+  * admission core this store instantiates with the audio-fingerprint
+  * signature pass (real WAV decode + windowed energies, scan-local
+  * mapPartitions).
   */
-object StreamingImageDedup {
+object StreamingAudioDedup {
 
   val BucketCol = StreamingHammingDedup.BucketCol
   val BatchCol  = StreamingHammingDedup.BatchCol
@@ -34,35 +35,34 @@ object StreamingImageDedup {
   }
 
   private val core = new StreamingHammingDedup(
-    markerName = "_graft_dhash", hashCol = "dhash",
-    sigOf = (images, idCol) =>
-      Multimodal.dHash(images.select(col(idCol).cast("long").as("doc_id"), col("payload")))
-        .toDF().select(col("doc_id").as(idCol), col("dhash")))
+    markerName = "_graft_afp", hashCol = "afp",
+    sigOf = (clips, idCol) =>
+      Multimodal.audioFingerprint(
+        clips.select(col(idCol).cast("long").as("doc_id"), col("payload")))
+        .toDF().select(col("doc_id").as(idCol), col("afp")))
 
   /** Bootstrap the posting store AND the admitted sink from an
-    * existing image corpus (batch -1, admitted wholesale — the
-    * [[StreamingNearDup.initialize]] shape). Marker written last, so
-    * a crashed initialize is detectable (no marker → applyBatch fails
-    * actionably). */
+    * existing clip corpus (batch -1, admitted wholesale). Marker
+    * written last, so a crashed initialize is detectable. */
   def initialize(
       corpus: DataFrame, idCol: String,
       storePath: String, sinkPath: String, p: Params): Unit =
     core.initialize(corpus, idCol, storePath, sinkPath, p.core)
 
-  /** Admit one image batch against the posting store + sink. */
+  /** Admit one clip batch against the posting store + sink. */
   def applyBatch(
       batch: DataFrame, batchId: Long, idCol: String,
       storePath: String, sinkPath: String, p: Params): Unit =
     core.applyBatch(batch, batchId, idCol, storePath, sinkPath, p.core)
 
-  /** This batch's admitted `(id, dhash)` — empty when nothing
-    * admitted. Existence-checked, not Try-swallowed. */
+  /** This batch's admitted `(id, afp)` — empty when nothing admitted.
+    * Existence-checked, not Try-swallowed. */
   def admittedOf(
       spark: org.apache.spark.sql.SparkSession, sinkPath: String,
       idCol: String, batchId: Long): DataFrame =
     core.admittedOf(spark, sinkPath, idCol, batchId)
 
-  /** Wire an image stream (`idCol`, `payload`) to perceptual
+  /** Wire a clip stream (`idCol`, `payload`) to perceptual
     * admission. */
   def maintain(
       stream: DataFrame, idCol: String,

@@ -215,6 +215,30 @@ class StreamingReplayPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: audio-fingerprint-admission stores converge under any replay interleaving") {
+    import graft.operators.Multimodal
+    // batch b: an attenuated re-encode of the bootstrap clip (always
+    // rejected — in-ball fingerprint), a novel formula clip (admitted),
+    // so replays exercise both the self-rejection and the
+    // posting-union paths
+    def wavs(b: Int) = Multimodal.reencodeAttenuated(
+      Multimodal.syntheticAudioVaried(Seq(1L).toDF("doc_id"), "doc_id"),
+      shift = 1, idOffset = b * 100L + 10L)
+      .unionByName(Multimodal.syntheticAudioVaried(
+        Seq(b * 100L + 20L + b).toDF("doc_id"), "doc_id"))
+    checkStore("audiodedup") { dir =>
+      val store = s"$dir/posts"
+      val sink  = s"$dir/admitted"
+      val p = StreamingAudioDedup.Params(numBuckets = 8, maxHamming = 3)
+      StreamingAudioDedup.initialize(
+        Multimodal.syntheticAudioVaried(Seq(1L).toDF("doc_id"), "doc_id"),
+        "doc_id", store, sink, p)
+      (b => StreamingAudioDedup.applyBatch(
+        wavs(b), b.toLong, "doc_id", store, sink, p),
+        () => rowsOf(store).map("p:" + _) ++ rowsOf(sink).map("s:" + _))
+    }
+  }
+
   test("property: semdedup-admission stores converge under any replay interleaving") {
     // batch b: a near-dup of the bootstrap's cluster-0 anchor (always
     // pruned), a novel direction (always admitted), and a vector near
