@@ -888,6 +888,74 @@ object QueriesExt {
        |FROM sm GROUP BY 1, 2
        |""".stripMargin
 
+  /** Video near-dup over frame-container payloads: demux + REAL
+    * per-frame decode + dHash, a video's signature = its distinct
+    * frame-hash set, pairs by shared-frame-hash blocking (the
+    * winnow/MOSS machinery — [[Dedup.winnowPairsFromFps]]) kept at
+    * set-overlap ≥ ½ via the integer cross-multiplication
+    * `3·shared ≥ n_a + n_b`. Synthetic videos slide a 2–4-frame
+    * window over the formula-image line (consecutive docs share
+    * frames — genuine near-dup structure), and the copy set is a
+    * demux → 2× upscale → re-encode transcode whose frames hash
+    * identically. The oracle rebuilds every frame hash from the pixel
+    * formula and replays the blocking, cap and overlap arithmetic
+    * relationally. */
+  def multimodalVideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    val orig   = Multimodal.syntheticVideos(docs(s, dir), "doc_id")
+    val copies = Multimodal.reencodeScaledVideo(orig, factor = 2, idOffset = 1000000L)
+    val sigs = Multimodal.videoFrameHashes(orig.unionByName(copies)).toDF()
+      .select(col("doc_id"), col("dhash_hex").as("fp")).distinct()
+    val pairs = Dedup.winnowPairsFromFps(sigs, "doc_id", minShared = 1L, maxBucket = 1000)
+    val sizes = sigs.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("n_b")), "doc_b")
+      .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("shared"),
+        col("n_a").cast("int").as("n_a"), col("n_b").cast("int").as("n_b"))
+  }
+
+  lazy val multimodalVideoNeardupSql: String =
+    dhashRowBytesSql(
+      s"""WITH vm AS (
+         |  -- video membership: doc id's frames are images id + f,
+         |  -- f in [0, 1 + id % 3] — a sliding window over the image line
+         |  SELECT doc_id AS vid, doc_id + f AS fid
+         |  FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS t(f)
+         |), vboth AS (
+         |  -- originals + 2x-upscale transcodes (identical frame hashes)
+         |  SELECT vid, fid FROM vm
+         |  UNION ALL
+         |  SELECT vid + 1000000, fid FROM vm
+         |), imgs AS (
+         |  SELECT DISTINCT fid AS img_id, fid AS doc_id,
+         |         CAST(8 + fid % 9 AS INTEGER) AS w,
+         |         CAST(8 + fid % 7 AS INTEGER) AS h
+         |  FROM vm)""".stripMargin) +
+      s"""
+         |, fh AS MATERIALIZED (
+         |  SELECT img_id AS fid,
+         |         string_agg(lower(lpad(to_hex(rowbyte), 2, '0')), '' ORDER BY gy) AS fp
+         |  FROM rb GROUP BY 1
+         |), vh AS MATERIALIZED (
+         |  SELECT DISTINCT vb.vid, fh.fp FROM vboth vb JOIN fh USING (fid)
+         |), sizes AS (
+         |  SELECT vid, count(*) AS nf FROM vh GROUP BY 1
+         |), ok AS (
+         |  SELECT fp FROM vh GROUP BY fp HAVING count(*) BETWEEN 2 AND 1000
+         |), pairs AS (
+         |  SELECT a.vid AS doc_a, b.vid AS doc_b, count(*) AS shared
+         |  FROM vh a JOIN ok USING (fp) JOIN vh b ON b.fp = a.fp AND a.vid < b.vid
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(shared AS INTEGER) AS shared,
+         |       CAST(sa.nf AS INTEGER) AS n_a, CAST(sb.nf AS INTEGER) AS n_b
+         |FROM pairs
+         |JOIN sizes sa ON sa.vid = doc_a
+         |JOIN sizes sb ON sb.vid = doc_b
+         |WHERE 3 * shared >= sa.nf + sb.nf
+         |""".stripMargin
+
   /** Shared oracle prefix for the audio fingerprint: replay the varied
     * sample formula (attenuated by `1 << shift` with truncating
     * division — DuckDB `//` truncates toward zero exactly like Java)

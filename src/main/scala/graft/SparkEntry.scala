@@ -238,6 +238,8 @@ object SparkEntry {
     // perceptual audio fingerprint (sign-of-energy-delta) + near-dup
     "multimodal_audio_fp" -> (QueriesExt.multimodalAudioFp _),
     "multimodal_audio_neardup" -> (QueriesExt.multimodalAudioNeardup _),
+    // video frame-container near-dup (per-frame dHash set overlap)
+    "multimodal_video_neardup" -> (QueriesExt.multimodalVideoNeardup _),
     // corpus-learned BPE (trained merge table + real tokenization)
     "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
     "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _)
@@ -374,6 +376,7 @@ object SparkEntry {
     "multimodal_audio_energy"   -> QueriesExt.multimodalAudioEnergySql,
     "multimodal_audio_fp"       -> QueriesExt.multimodalAudioFpSql,
     "multimodal_audio_neardup"  -> QueriesExt.multimodalAudioNeardupSql,
+    "multimodal_video_neardup"  -> QueriesExt.multimodalVideoNeardupSql,
     "text_bpe_vocab"            -> QueriesExt.textBpeVocabSql,
     "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql
   )

@@ -303,44 +303,51 @@ object Multimodal {
         System.setProperty("java.awt.headless", "true")
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"doc $id: payload is not a decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          val src = argbInts(img, w, h)
-          val luma = new Array[Int](dhW * dhH)
-          var gy = 0
-          while (gy < dhH) {
-            val sy = gy * h / dhH
-            var gx = 0
-            while (gx < dhW) {
-              val rgb = src(sy * w + gx * w / dhW)
-              luma(gy * dhW + gx) =
-                (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-                  114 * (rgb & 0xFF)) / 1000
-              gx += 1
-            }
-            gy += 1
-          }
-          var hash = 0L
-          val hex = new java.lang.StringBuilder(16)
-          gy = 0
-          while (gy < dhH) {
-            var rowByte = 0
-            var gx = 0
-            while (gx < dhW - 1) {
-              if (luma(gy * dhW + gx + 1) > luma(gy * dhW + gx)) {
-                rowByte |= 1 << gx
-                hash |= 1L << (gy * 8 + gx)
-              }
-              gx += 1
-            }
-            hex.append(Character.forDigit((rowByte >> 4) & 0xF, 16))
-            hex.append(Character.forDigit(rowByte & 0xF, 16))
-            gy += 1
-          }
-          ImageDHash(id, hash, hex.toString)
+          val (hash, hex) = dhashOf(id, bytes)
+          ImageDHash(id, hash, hex)
         }
     }
+  }
+
+  /** Decode + dHash one encoded image — the per-frame unit [[dHash]]
+    * and [[videoFrameHashes]] share. */
+  private def dhashOf(id: Long, bytes: Array[Byte]): (Long, String) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val src = argbInts(img, w, h)
+    val luma = new Array[Int](dhW * dhH)
+    var gy = 0
+    while (gy < dhH) {
+      val sy = gy * h / dhH
+      var gx = 0
+      while (gx < dhW) {
+        val rgb = src(sy * w + gx * w / dhW)
+        luma(gy * dhW + gx) =
+          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    val hex = new java.lang.StringBuilder(16)
+    gy = 0
+    while (gy < dhH) {
+      var rowByte = 0
+      var gx = 0
+      while (gx < dhW - 1) {
+        if (luma(gy * dhW + gx + 1) > luma(gy * dhW + gx)) {
+          rowByte |= 1 << gx
+          hash |= 1L << (gy * 8 + gx)
+        }
+        gx += 1
+      }
+      hex.append(Character.forDigit((rowByte >> 4) & 0xF, 16))
+      hex.append(Character.forDigit(rowByte & 0xF, 16))
+      gy += 1
+    }
+    (hash, hex.toString)
   }
 
   /** Integer-factor nearest-neighbor rescale + lossless PNG re-encode —
@@ -357,26 +364,33 @@ object Multimodal {
         System.setProperty("java.awt.headless", "true")
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"doc $id: payload is not a decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          val src = argbInts(img, w, h)
-          val out = new java.awt.image.BufferedImage(
-            w * factor, h * factor, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          var y = 0
-          while (y < h * factor) {
-            var x = 0
-            while (x < w * factor) {
-              out.setRGB(x, y, src((y / factor) * w + x / factor) & 0xFFFFFF)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          (id + idOffset, bos.toByteArray)
+          (id + idOffset, scalePng(id, bytes, factor))
         }
     }.toDF("doc_id", "payload")
+  }
+
+  /** Decode → integer-factor NN upscale → lossless PNG re-encode of
+    * one image — the per-frame unit [[reencodeScaled]] and
+    * [[reencodeScaledVideo]] share. */
+  private def scalePng(id: Long, bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val src = argbInts(img, w, h)
+    val out = new java.awt.image.BufferedImage(
+      w * factor, h * factor, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h * factor) {
+      var x = 0
+      while (x < w * factor) {
+        out.setRGB(x, y, src((y / factor) * w + x / factor) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 
   // ============================================================ real audio codec (javax.sound.sampled)
@@ -644,6 +658,114 @@ object Multimodal {
             b += 1
           }
           AudioFp(id, fp, hex.toString)
+        }
+    }
+  }
+
+  // ===================================================== video (frame-container) near-dup
+  //
+  // Videos travel as one opaque binary column like every other media
+  // payload; the container here is a minimal length-prefixed frame
+  // concatenation ([count:4BE][len:4BE][frame bytes]...) standing in
+  // for a demuxed keyframe stream — real pipelines demux upstream and
+  // the per-frame work (decode + dHash) is exactly what a sampled-
+  // keyframe near-dup does at crawl scale. A video's signature is its
+  // DISTINCT frame-hash set; near-dup = high set overlap, paired by
+  // shared-frame-hash blocking (the winnow/MOSS pairing machinery —
+  // a frame hash is to a video what a winnowed fingerprint is to a
+  // document).
+
+  /** Pack encoded frames into the length-prefixed container. */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 4 + frames.map(4 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Unpack a length-prefixed frame container; fails loudly on
+    * truncation or a corrupt header. */
+  def unpackFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] = {
+    require(bytes != null && bytes.length >= 4,
+      s"doc $id: payload is not a frame container (too short)")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    require(n >= 0 && n <= 1000000, s"doc $id: corrupt frame count $n")
+    (0 until n).map { i =>
+      require(bb.remaining >= 4, s"doc $id: truncated at frame $i header")
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining >= len,
+        s"doc $id: truncated at frame $i (declared $len, ${bb.remaining} left)")
+      val f = new Array[Byte](len)
+      bb.get(f)
+      f
+    }
+  }
+
+  /** Synthetic frame-container videos from an id column: doc `id` has
+    * frames `f = 0 .. 1 + id % 3` (2–4 frames), frame `f` being the
+    * formula PNG of image id `id + f` ([[syntheticImages]] dims) — a
+    * sliding window over the image-id line, so CONSECUTIVE docs share
+    * frames and genuine near-dup structure exists without any copy
+    * generator. Scan-local. */
+  def syntheticVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val frames = (0 to (1 + id % 3).toInt).map { f =>
+          val fid = id + f
+          syntheticPng(fid, (8 + fid % 9).toInt, (8 + fid % 7).toInt)
+        }
+        (id, packFrames(frames))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Demux → per-frame 2x NN upscale + PNG re-encode → repack — the
+    * "transcoded copy" generator for the video near-dup gate: every
+    * frame hashes identically to the original's (the [[dHash]]
+    * floor-division composition), so the copy's signature set equals
+    * the original's exactly. Emits `doc_id + idOffset`. */
+  def reencodeScaledVideo(payloads: DataFrame, factor: Int, idOffset: Long): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          (id + idOffset,
+            packFrames(unpackFrames(id, bytes).map(scalePng(id, _, factor))))
+        }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Per-frame perceptual hash of a video payload. */
+  final case class VideoFrameHash(
+      doc_id: Long, frame_idx: Int, dhash: Long, dhash_hex: String)
+
+  /** Demux + REAL per-frame decode + [[dHash]], scan-local: one codec
+    * config per partition, output fan-out bounded by frame count, no
+    * shuffle — the video signature pass. Pair the DISTINCT
+    * `(doc_id, dhash_hex)` rows with
+    * [[Dedup.winnowPairsFromFps]]-style shared-hash blocking. */
+  def videoFrameHashes(payloads: DataFrame): Dataset[VideoFrameHash] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          unpackFrames(id, bytes).iterator.zipWithIndex.map { case (f, i) =>
+            val (hash, hex) = dhashOf(id, f)
+            VideoFrameHash(id, i, hash, hex)
+          }
         }
     }
   }

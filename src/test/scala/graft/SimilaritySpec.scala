@@ -266,6 +266,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("video container: pack/unpack round-trip, per-frame hashes match dHash, transcode invariant") {
+    import spark.implicits._
+    // round-trip: container preserves frame bytes exactly
+    val frames = Seq(Array[Byte](1, 2, 3), Array.empty[Byte], Array[Byte](9))
+    val rt = Multimodal.unpackFrames(0L, Multimodal.packFrames(frames))
+    assert(rt.map(_.toSeq) === frames.map(_.toSeq))
+    // truncation fails loudly
+    val packed = Multimodal.packFrames(frames)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.unpackFrames(0L, packed.take(packed.length - 1))
+    }
+    assert(ex.getMessage.contains("truncated"))
+    // per-frame hashes equal the single-image dHash of the same formula ids
+    val ids = Seq(3L, 7L)
+    val vids = Multimodal.syntheticVideos(ids.toDF("doc_id"), "doc_id")
+    val vh = Multimodal.videoFrameHashes(vids).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.dhash).toMap
+    ids.foreach { id =>
+      (0 to (1 + id % 3).toInt).foreach { f =>
+        val single = Multimodal.dHash(
+          Multimodal.syntheticImages(Seq(id + f).toDF("doc_id"), "doc_id"))
+          .collect().head.dhash
+        assert(vh((id, f)) === single, s"video $id frame $f hash drift vs dHash")
+      }
+    }
+    // 2x transcode: every frame hash identical, frame count preserved
+    val th = Multimodal.videoFrameHashes(
+      Multimodal.reencodeScaledVideo(vids, factor = 2, idOffset = 500L))
+      .collect().map(f => (f.doc_id - 500L, f.frame_idx) -> f.dhash).toMap
+    assert(th === vh)
+  }
+
   test("REAL image codec: JPEG decodes with true dimensions; garbage payload fails loudly") {
     import spark.implicits._
     // lossy JPEG: dims are exact even though pixels aren't
