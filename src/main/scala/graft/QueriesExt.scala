@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classify, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (SURVEY §7.1 step 7): dedup,
   * similarity search, text analysis, multimodal plumbing — with DuckDB
@@ -1357,6 +1357,64 @@ object QueriesExt {
   lazy val textNormalizeSql: String =
     s"""SELECT doc_id, $normSql AS norm_text
        |FROM documents
+       |""".stripMargin
+
+  // ================================================================ learned classifier
+  /** TRAINED nearest-class-profile classifier (Rocchio / linear
+    * multinomial NB in exact fixed-point — the model-based curation
+    * primitive): train per-lang token profiles on the doc_id % 5 != 0
+    * folds, predict the held-out fold. The oracle RETRAINS the
+    * profiles and replays the integer scoring + argmax relationally,
+    * so a drift anywhere — tokenization, counts, normalization
+    * arithmetic, tie-break — mismatches. (The synthetic corpus draws
+    * text from one shared vocabulary regardless of `lang` — a full
+    * log-likelihood NB scores ≈ the majority baseline on it — so the
+    * gate pins the TRAIN+PREDICT arithmetic, not model quality;
+    * ClassifySpec demonstrates discrimination on a separable
+    * corpus.) */
+  def textClassifyProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (train, test) = Classify.holdout(d, "doc_id", folds = 5, fold = 0)
+    Classify.nearestProfile(test, "doc_id", "text",
+      Classify.classProfiles(train, "lang", "text"))
+  }
+
+  lazy val textClassifyProfileSql: String =
+    s"""WITH tr AS (
+       |  SELECT lang, t.token
+       |  FROM (SELECT lang, string_split($normSql, ' ') AS w
+       |        FROM documents WHERE doc_id % 5 <> 0),
+       |       unnest(w) AS t(token)
+       |  WHERE t.token <> ''
+       |), prof AS MATERIALIZED (
+       |  SELECT lang, token, count(*) AS cnt FROM tr GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, sum(cnt) AS total FROM prof GROUP BY 1
+       |), te AS (
+       |  SELECT doc_id, t.token
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w
+       |        FROM documents WHERE doc_id % 5 = 0),
+       |       unnest(w) AS t(token)
+       |  WHERE t.token <> ''
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM te GROUP BY 1, 2
+       |), dots AS (
+       |  SELECT tf.doc_id, prof.lang, sum(tf.tf * prof.cnt) AS dot
+       |  FROM tf JOIN prof USING (token) GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT d.doc_id, tot.lang, tot.total
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d, tot
+       |), scores AS (
+       |  SELECT g.doc_id, g.lang,
+       |         CAST(coalesce(dots.dot, 0) * 1000000 // g.total AS BIGINT) AS score
+       |  FROM grid g
+       |  LEFT JOIN dots ON dots.doc_id = g.doc_id AND dots.lang = g.lang
+       |)
+       |SELECT doc_id, lang AS label_pred, score
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       |      FROM scores)
+       |WHERE rn = 1
        |""".stripMargin
 
   // ================================================================ learned BPE

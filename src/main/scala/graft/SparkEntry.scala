@@ -242,7 +242,9 @@ object SparkEntry {
     "multimodal_video_neardup" -> (QueriesExt.multimodalVideoNeardup _),
     // corpus-learned BPE (trained merge table + real tokenization)
     "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
-    "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _)
+    "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _),
+    // trained nearest-class-profile classifier (model-based curation)
+    "text_classify_profile" -> (QueriesExt.textClassifyProfile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -378,6 +380,7 @@ object SparkEntry {
     "multimodal_audio_neardup"  -> QueriesExt.multimodalAudioNeardupSql,
     "multimodal_video_neardup"  -> QueriesExt.multimodalVideoNeardupSql,
     "text_bpe_vocab"            -> QueriesExt.textBpeVocabSql,
-    "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql
+    "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql,
+    "text_classify_profile"     -> QueriesExt.textClassifyProfileSql
   )
 }

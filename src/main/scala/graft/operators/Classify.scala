@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nearest-class-profile text classification — the model-based
+  * curation primitive (CCNet-style quality/domain filtering trains a
+  * lightweight classifier and keeps/buckets documents by its label):
+  * TRAIN = per-class token-count profiles (one groupBy over the
+  * exploded training tokens), PREDICT = for every document the class
+  * whose L1-normalized profile best matches the document's term
+  * frequencies.
+  *
+  * The score is kept in EXACT integer arithmetic so any engine
+  * reproduces the argmax bit-for-bit: `score(d, c) = (Σ_t tf(d,t) ·
+  * cnt(c,t)) · scale div total(c)` — the dot product against the
+  * class's raw count vector, L1-normalized by the class's total token
+  * mass in fixed-point (`div` = truncating integer division, ties
+  * broken by ascending label). This is the Rocchio/nearest-profile
+  * construction [Manning, Raghavan & Schütze, IIR ch. 14] with L1
+  * instead of L2 normalization — equivalently multinomial Naive Bayes
+  * with linear (not log) likelihoods — chosen because it needs no
+  * floating-point log/sqrt, the portability contract every gate here
+  * holds.
+  *
+  * Scale shape: training is one explode + one (label, token) groupBy
+  * (map-side partial agg). Prediction joins the document term
+  * frequencies to the profile table ON TOKEN — the profile side is
+  * |classes|·|vocab| rows, co-partitioned by the join, never collected
+  * — then one (doc, label) partial-agg sum and one per-doc window
+  * argmax. The (doc × class) grid that guarantees every document a
+  * prediction (zero-overlap docs score 0) broadcasts the tiny label
+  * list. No driver-side loops; every stage is a shuffle on a declared
+  * key. */
+object Classify {
+
+  /** Per-class token-count profiles `(label, token, cnt)` over the
+    * training set. */
+  def classProfiles(
+      train: DataFrame, labelCol: String, textCol: String): DataFrame =
+    train
+      .select(col(labelCol).as("label"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("label", "token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Classify `docs`: the class with the best fixed-point
+    * L1-normalized profile match, `(idCol, label_pred, score)`. Every
+    * input document gets exactly one row (zero-overlap documents
+    * score 0 for every class and take the lowest label). */
+  def nearestProfile(
+      docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val totals = profiles.groupBy("label").agg(sum(col("cnt")).as("total"))
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dots = tf.join(profiles, "token")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("tf") * col("cnt")).as("dot"))
+    // total coverage: every (doc, class) cell, absent dots count 0
+    val grid = docs.select(col(idCol)).distinct()
+      .crossJoin(broadcast(totals))
+    val scores = grid
+      .join(dots, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        expr(s"coalesce(dot, 0L) * ${scale}L div total").as("score"))
+    val rn = row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label")))
+    scores.withColumn("__rn", rn).filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("label_pred"), col("score"))
+  }
+
+  /** Train-on-remainder / predict-on-fold split helper: the
+    * deterministic `id % folds == fold` holdout both gate sides
+    * replay. */
+  def holdout(docs: DataFrame, idCol: String, folds: Int, fold: Int): (DataFrame, DataFrame) = {
+    require(folds > 1 && fold >= 0 && fold < folds,
+      s"need 0 <= fold < folds with folds > 1, got fold=$fold folds=$folds")
+    (docs.filter(pmod(col(idCol), lit(folds)) =!= fold),
+      docs.filter(pmod(col(idCol), lit(folds)) === fold))
+  }
+}

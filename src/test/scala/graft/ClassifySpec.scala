@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+
+/** Nearest-class-profile classifier: hand-computable profiles and
+  * scores, total coverage, deterministic ties, holdout split. */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "en", "the cat sat on the mat"),
+    (2L, "en", "the dog ate the bone"),
+    (3L, "fr", "le chat et le chien"),
+    (4L, "fr", "le pain et le vin")
+  ).toDF("doc_id", "lang", "text")
+
+  test("profiles: exact per-class token counts") {
+    val prof = Classify.classProfiles(train, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(prof(("en", "the")) === 4L)
+    assert(prof(("fr", "le")) === 4L)
+    assert(prof(("en", "cat")) === 1L)
+    assert(prof.keys.forall { case (l, _) => l == "en" || l == "fr" })
+  }
+
+  test("prediction: matching vocabulary wins; scores are the exact fixed-point formula") {
+    val prof = Classify.classProfiles(train, "lang", "text")
+    val test = Seq(
+      (10L, "the cat"),          // en: tf.the*4 + tf.cat*1 = 5 of 11 total
+      (11L, "le chien le chat"), // fr
+      (12L, "zzz qqq")           // zero overlap -> score 0, lowest label
+    ).toDF("doc_id", "text")
+    val got = Classify.nearestProfile(test, "doc_id", "text", prof)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // en total = 11 tokens (6 + 5), fr total = 10 (5 + 5)
+    assert(got(10L) === (("en", 5L * 1000000L / 11L)))
+    // doc 11: fr dot = le*4 + chien*1 + chat*1 (le appears twice: 2*4) = 10
+    assert(got(11L) === (("fr", 10L * 1000000L / 10L)))
+    // zero overlap: total coverage with score 0, tie -> ascending label
+    assert(got(12L) === (("en", 0L)))
+    assert(got.size === 3)
+  }
+
+  test("holdout: fold split is exact and disjoint") {
+    val d = (0L until 20L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val (tr, te) = Classify.holdout(d, "doc_id", folds = 5, fold = 0)
+    val (trIds, teIds) = (
+      tr.select("doc_id").collect().map(_.getLong(0)).toSet,
+      te.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(teIds === (0L until 20L by 5L).toSet)
+    assert((trIds & teIds) === Set.empty)
+    assert(trIds.size + teIds.size === 20)
+    intercept[IllegalArgumentException] { Classify.holdout(d, "doc_id", 1, 0) }
+  }
+}
