@@ -891,6 +891,28 @@ object CurationPipeline {
       val ref = if (refName.isEmpty) c.input else c.resolve(refName)
       graft.operators.LanguageModel.score(c.input, ref, c.idCol, c.textCol)
     }, tableParams = Set("reference")),
+    // TRAINED nearest-class-profile classifier (model-based curation,
+    // the CCNet shape): train per-class token profiles on the LABELED
+    // `trainFrom` table (label column `label`, default "label"),
+    // annotate every input doc with `label_pred` + fixed-point
+    // `score`; `keepLabel:` filters to one predicted class. The
+    // training table is a dependency edge like every aux table.
+    "classify" -> Op(Set("trainFrom", "label", "keepLabel", "scale"), { c =>
+      require(!Seq("label_pred", "score").exists(c.input.columns.contains),
+        s"step ${c.stepName}: input already has a label_pred/score column " +
+          "— classify would silently shadow it")
+      val train = c.resolve(c.params.reqStr("trainFrom"))
+      val profiles = graft.operators.Classify.classProfiles(
+        train, c.params.str("label", "label"), c.textCol)
+      val pred = graft.operators.Classify.nearestProfile(
+        c.input, c.idCol, c.textCol, profiles,
+        scale = c.params.long("scale", 1000000L))
+      val out = c.input.join(pred, Seq(c.idCol))
+      c.params.str("keepLabel", "") match {
+        case ""  => out
+        case cls => out.filter(col("label_pred") === cls)
+      }
+    }, tableParams = Set("trainFrom")),
     // the bloom-shortlist decontamination scale path: benchmark
     // n-grams become a broadcast bloom probed scan-side, exact verify
     // only on the shortlisted docs — prefer over `decontaminate` when

@@ -714,6 +714,53 @@ class CliSpec extends SparkSpec {
     assert(scored.count() == cleanIds.size, "self-referenced LM scores every input doc")
   }
 
+  test("pipeline subcommand: classify trains on a labeled table, annotates and filters") {
+    import spark.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ate the bone"),
+      (3L, "fr", "le chat et le chien"),
+      (4L, "fr", "le pain et le vin")
+    ).toDF("doc_id", "lang", "text").write.parquet(s"$src/labeled.parquet")
+    Seq(
+      (10L, "the cat and the dog"),
+      (11L, "le chat le chien le pain"),
+      (12L, "zzz qqq")
+    ).toDF("doc_id", "text").write.parquet(s"$src/incoming.parquet")
+    val yaml = Files.createTempFile("graft-pipe-classify", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: classify_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: tagged
+        |    op: classify
+        |    input: incoming
+        |    params: { trainFrom: labeled, label: lang }
+        |  - name: english
+        |    op: classify
+        |    input: incoming
+        |    params: { trainFrom: labeled, label: lang, keepLabel: en }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val tagged = spark.read.parquet(s"$out/tagged")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("label_pred")).toMap
+    // matches the direct operator path exactly
+    val direct = graft.operators.Classify.nearestProfile(
+      spark.read.parquet(s"$src/incoming.parquet"), "doc_id", "text",
+      graft.operators.Classify.classProfiles(
+        spark.read.parquet(s"$src/labeled.parquet"), "lang", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tagged === direct)
+    assert(tagged(10L) === "en" && tagged(11L) === "fr")
+    // keepLabel filters to the predicted class, annotation retained
+    val en = spark.read.parquet(s"$out/english")
+    assert(en.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      tagged.collect { case (id, "en") => id }.toSet)
+    assert(en.columns.contains("label_pred") && en.columns.contains("score"))
+  }
+
   // ------------------------------------------------------------ incremental pipeline mode
 
   test("pipeline --state: exact + near admission across two runs equals the full rebuild") {
