@@ -114,6 +114,10 @@ object Bench {
     "multimodal_audio_energy" -> (QueriesExt.multimodalAudioEnergy _),
     // perceptual audio near-dup: fingerprint both sides + banding
     "multimodal_audio_neardup" -> (QueriesExt.multimodalAudioNeardup _),
+    // video near-dup: demux + per-frame dHash + shared-hash blocking
+    "multimodal_video_neardup" -> (QueriesExt.multimodalVideoNeardup _),
+    // trained profile classifier: train + predict, fixed-point argmax
+    "text_classify_profile" -> (QueriesExt.textClassifyProfile _),
     // r6: codegen'd scan-local embedding transforms + token budgeting
     "embed_kmeans_assign"     -> (QueriesExt.embedKmeansAssign _),
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),

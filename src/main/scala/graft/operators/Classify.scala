@@ -72,8 +72,20 @@ object Classify {
         expr(s"coalesce(dot, 0L) * ${scale}L div total").as("score"))
     val rn = row_number().over(
       Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label")))
-    scores.withColumn("__rn", rn).filter(col("__rn") === 1)
+    val best = scores.withColumn("__rn", rn).filter(col("__rn") === 1)
       .select(col(idCol), col("label").as("label_pred"), col("score"))
+    // fail-loud coverage: an EMPTY profile table would leave the grid
+    // empty and silently predict nothing — raise in-plan instead
+    // (every document must get a row; a missing one can only mean no
+    // training classes existed)
+    docs.select(col(idCol)).distinct()
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("label_pred").isNull, raise_error(concat(
+          lit("nearestProfile: no prediction for id "), col(idCol).cast("string"),
+          lit(" — the profile table is empty (no training rows?)"))))
+          .otherwise(col("label_pred")).as("label_pred"),
+        col("score"))
   }
 
   /** Train-on-remainder / predict-on-fold split helper: the

@@ -910,7 +910,14 @@ object CurationPipeline {
       val out = c.input.join(pred, Seq(c.idCol))
       c.params.str("keepLabel", "") match {
         case ""  => out
-        case cls => out.filter(col("label_pred") === cls)
+        case cls =>
+          // a typo'd class silently keeps nothing — check the label
+          // against the (aggregated, tiny) training label set first
+          require(!profiles.select("label").distinct()
+              .filter(col("label") === cls).isEmpty,
+            s"step ${c.stepName}: keepLabel '$cls' is not a label in " +
+              s"the training table — nothing could ever be kept")
+          out.filter(col("label_pred") === cls)
       }
     }, tableParams = Set("trainFrom")),
     // the bloom-shortlist decontamination scale path: benchmark

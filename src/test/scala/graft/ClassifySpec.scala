@@ -42,6 +42,17 @@ class ClassifySpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("fail-loud: empty training profiles raise instead of predicting nothing") {
+    val prof = Classify.classProfiles(train.limit(0), "lang", "text")
+    val ex = intercept[Exception] {
+      Classify.nearestProfile(
+        Seq((1L, "anything")).toDF("doc_id", "text"), "doc_id", "text", prof).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("profile table is empty"), msgs)
+  }
+
   test("holdout: fold split is exact and disjoint") {
     val d = (0L until 20L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val (tr, te) = Classify.holdout(d, "doc_id", folds = 5, fold = 0)

@@ -759,6 +759,22 @@ class CliSpec extends SparkSpec {
     assert(en.select("doc_id").collect().map(_.getLong(0)).toSet ===
       tagged.collect { case (id, "en") => id }.toSet)
     assert(en.columns.contains("label_pred") && en.columns.contains("score"))
+    // a keepLabel absent from the training labels fails loudly
+    val badYaml = Files.createTempFile("graft-pipe-classify-bad", ".yaml")
+    Files.writeString(badYaml,
+      """pipeline: classify_bad
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: oops
+        |    op: classify
+        |    input: incoming
+        |    params: { trainFrom: labeled, label: lang, keepLabel: klingon }
+        |""".stripMargin)
+    val ex = intercept[Exception] {
+      Cli.run(Seq("pipeline", badYaml.toString, src, tempDir()), spark)
+    }
+    assert(ex.getMessage.contains("keepLabel"), ex.getMessage)
   }
 
   // ------------------------------------------------------------ incremental pipeline mode
