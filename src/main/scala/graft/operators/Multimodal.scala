@@ -770,6 +770,32 @@ object Multimodal {
     }
   }
 
+  /** One row per DISTINCT frame hash of a video, with the video's
+    * distinct-frame count on every row. */
+  final case class VideoSig(doc_id: Long, fp: String, nf: Int)
+
+  /** The video SET signature: distinct frame dHashes per video with
+    * the set size denormalized onto every row — everything a relative
+    * (≥ ½) overlap criterion needs, computable downstream from posting
+    * rows alone with no sizes side-table. Fully scan-local: a video's
+    * frames live in its own payload row, so demux + decode + hash +
+    * in-memory dedupe happen inside one mapPartitions pass, ZERO
+    * shuffle (vs [[videoFrameHashes]].distinct + a count, which pays
+    * two exchanges for the same set). */
+  def videoFrameSet(payloads: DataFrame, payloadCol: String = "payload"): Dataset[VideoSig] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col(payloadCol)).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val fps = unpackFrames(id, bytes).map(f => dhashOf(id, f)._2).distinct
+          fps.iterator.map(VideoSig(id, _, fps.size))
+        }
+    }
+  }
+
   /** One sampled frame: byte window `[frame_offset, frame_offset +
     * frame_bytes)` of the payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_bytes: Int)

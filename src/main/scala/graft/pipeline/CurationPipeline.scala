@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 import org.yaml.snakeyaml.Yaml
 
 import graft.exec.Staging
-import graft.operators.{Decontaminate, Dedup, Packing, Sampling, Sessions, TextAnalysis}
-import graft.streaming.{StreamingAdmission, StreamingLineDedup, StreamingNearDup, StreamingSemDedup}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Sessions, TextAnalysis}
+import graft.streaming.{StreamingAdmission, StreamingAudioDedup, StreamingImageDedup, StreamingLineDedup, StreamingNearDup, StreamingSemDedup}
 
 /** Declarative training-data curation pipelines — the job-spec surface
   * that makes the operator library a runnable product, the way the
@@ -373,6 +373,111 @@ object CurationPipeline {
       val pairs = Dedup.simhashPairs(c.input, c.idCol, c.textCol,
         maxHamming = c.params.int("maxHamming", 3),
         maxBucket = c.params.int("maxBucket", 1000))
+      keepSurvivors(c, pairs)
+    }, tableParams = Set("scoreFrom")),
+    // PERCEPTUAL image dedup over a binary `payload` column: decode +
+    // dHash scan-locally, pair by the radius-derived hamming banding
+    // (recompressed / losslessly re-encoded / exact-factor-rescaled
+    // copies hash into the ball), one survivor per hamming component.
+    // mode: admit judges the batch against the maintained dHash
+    // posting store + admitted sink under --state (StreamingImageDedup;
+    // admission keeps the in-batch min-id representative).
+    "dedup_image" -> Op(
+      Set("payload", "maxHamming", "maxBucket", "keep", "scoreCol", "scoreFrom",
+        "mode", "buckets"), { c =>
+      val pcol = c.params.str("payload", "payload")
+      require(c.input.columns.contains(pcol),
+        s"step ${c.stepName}: input has no payload column '$pcol'")
+      val payloads = c.input.select(
+        col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))
+      c.params.str("mode", "full") match {
+        case "full" =>
+          val hashes = Multimodal.dHash(payloads).toDF()
+            .select(col("doc_id").as(c.idCol), col("dhash"))
+          keepSurvivors(c, Dedup.hamming64Pairs(hashes, c.idCol, "dhash",
+            maxHamming = c.params.int("maxHamming", 3),
+            maxBucket = c.params.int("maxBucket", 1000)))
+        case "admit" =>
+          require(!c.params.has("keep") && !c.params.has("scoreCol"),
+            s"step ${c.stepName}: keep/scoreCol apply to mode: full only " +
+              "(admission keeps the in-batch min-id representative)")
+          val root = c.requireState("dedup_image mode: admit")
+          val (store, sink) = (s"$root/postings", s"$root/admitted")
+          val p = StreamingImageDedup.Params(
+            numBuckets = c.params.int("buckets", 64),
+            maxHamming = c.params.int("maxHamming", 3),
+            maxBucket = c.params.int("maxBucket", 1000))
+          val batch = c.input.select(col(c.idCol), col(pcol).as("payload"))
+          if (!StreamingImageDedup.initialized(store))
+            StreamingImageDedup.initialize(batch.limit(0), c.idCol, store, sink, p)
+          StreamingImageDedup.applyBatch(batch, c.batchId, c.idCol, store, sink, p)
+          c.input.join(
+            StreamingImageDedup.admittedOf(
+              c.input.sparkSession, sink, c.idCol, c.batchId).select(c.idCol),
+            Seq(c.idCol), "left_semi")
+      }
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
+    // PERCEPTUAL audio dedup over a binary `payload` column (WAV
+    // clips): real decode + 64-bit sign-of-energy-delta fingerprint
+    // scan-locally, hamming banding pairs attenuated/re-encoded copies,
+    // one survivor per component. mode: admit rides StreamingAudioDedup
+    // (the 11th maintenance store) under --state.
+    "dedup_audio" -> Op(
+      Set("payload", "maxHamming", "maxBucket", "keep", "scoreCol", "scoreFrom",
+        "mode", "buckets"), { c =>
+      val pcol = c.params.str("payload", "payload")
+      require(c.input.columns.contains(pcol),
+        s"step ${c.stepName}: input has no payload column '$pcol'")
+      val payloads = c.input.select(
+        col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))
+      c.params.str("mode", "full") match {
+        case "full" =>
+          val hashes = Multimodal.audioFingerprint(payloads).toDF()
+            .select(col("doc_id").as(c.idCol), col("afp"))
+          keepSurvivors(c, Dedup.hamming64Pairs(hashes, c.idCol, "afp",
+            maxHamming = c.params.int("maxHamming", 3),
+            maxBucket = c.params.int("maxBucket", 1000)))
+        case "admit" =>
+          require(!c.params.has("keep") && !c.params.has("scoreCol"),
+            s"step ${c.stepName}: keep/scoreCol apply to mode: full only " +
+              "(admission keeps the in-batch min-id representative)")
+          val root = c.requireState("dedup_audio mode: admit")
+          val (store, sink) = (s"$root/postings", s"$root/admitted")
+          val p = StreamingAudioDedup.Params(
+            numBuckets = c.params.int("buckets", 64),
+            maxHamming = c.params.int("maxHamming", 3),
+            maxBucket = c.params.int("maxBucket", 1000))
+          val batch = c.input.select(col(c.idCol), col(pcol).as("payload"))
+          if (!StreamingAudioDedup.initialized(store))
+            StreamingAudioDedup.initialize(batch.limit(0), c.idCol, store, sink, p)
+          StreamingAudioDedup.applyBatch(batch, c.batchId, c.idCol, store, sink, p)
+          c.input.join(
+            StreamingAudioDedup.admittedOf(
+              c.input.sparkSession, sink, c.idCol, c.batchId).select(c.idCol),
+            Seq(c.idCol), "left_semi")
+      }
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
+    // video near-dup dedup over frame-container payloads: scan-local
+    // demux + REAL per-frame decode + dHash; a video's signature is
+    // its DISTINCT frame-hash set, pairs from shared-frame-hash
+    // blocking kept at set overlap >= 1/2 via integer
+    // cross-multiplication (3·shared >= n_a + n_b — trimmed and
+    // transcoded copies pair, disjoint clips don't), one survivor per
+    // overlap component.
+    "dedup_video" -> Op(
+      Set("payload", "maxBucket", "keep", "scoreCol", "scoreFrom"), { c =>
+      val pcol = c.params.str("payload", "payload")
+      require(c.input.columns.contains(pcol),
+        s"step ${c.stepName}: input has no payload column '$pcol'")
+      val sigs = Multimodal.videoFrameHashes(c.input.select(
+          col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))).toDF()
+        .select(col("doc_id").as(c.idCol), col("dhash_hex").as("fp")).distinct()
+      val sizes = sigs.groupBy(col(c.idCol)).agg(count(lit(1)).as("__nf"))
+      val pairs = Dedup.winnowPairsFromFps(sigs, c.idCol, minShared = 1L,
+          maxBucket = c.params.int("maxBucket", 1000))
+        .join(sizes.select(col(c.idCol).as("doc_a"), col("__nf").as("n_a")), "doc_a")
+        .join(sizes.select(col(c.idCol).as("doc_b"), col("__nf").as("n_b")), "doc_b")
+        .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
       keepSurvivors(c, pairs)
     }, tableParams = Set("scoreFrom")),
     // drop rows sharing >= maxShared n-grams with the benchmark table

@@ -41,6 +41,9 @@ object StreamingAudioDedup {
         clips.select(col(idCol).cast("long").as("doc_id"), col("payload")))
         .toDF().select(col("doc_id").as(idCol), col("afp")))
 
+  /** Whether `initialize` completed for this store path. */
+  def initialized(storePath: String): Boolean = core.initialized(storePath)
+
   /** Bootstrap the posting store AND the admitted sink from an
     * existing clip corpus (batch -1, admitted wholesale). Marker
     * written last, so a crashed initialize is detectable. */

@@ -48,6 +48,10 @@ private[streaming] final class StreamingHammingDedup(
 
   private def marker(path: String) = Paths.get(path, markerName)
 
+  /** Whether `initialize` completed for this store path (marker file
+    * present — written LAST, so a crashed initialize reads false). */
+  def initialized(path: String): Boolean = Files.exists(marker(path))
+
   private def writeMarker(path: String, p: Params): Unit = {
     Files.createDirectories(Paths.get(path))
     Files.write(marker(path), p.encoded.getBytes(StandardCharsets.UTF_8))

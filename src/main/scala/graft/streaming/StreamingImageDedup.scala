@@ -39,6 +39,9 @@ object StreamingImageDedup {
       Multimodal.dHash(images.select(col(idCol).cast("long").as("doc_id"), col("payload")))
         .toDF().select(col("doc_id").as(idCol), col("dhash")))
 
+  /** Whether `initialize` completed for this store path. */
+  def initialized(storePath: String): Boolean = core.initialized(storePath)
+
   /** Bootstrap the posting store AND the admitted sink from an
     * existing image corpus (batch -1, admitted wholesale — the
     * [[StreamingNearDup.initialize]] shape). Marker written last, so

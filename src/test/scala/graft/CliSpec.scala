@@ -1121,6 +1121,123 @@ class CliSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("pipeline media steps: image/audio/video full dedup equals the direct operators") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.operators.{Dedup, Multimodal}
+    val (src, out) = (tempDir(), tempDir())
+    val ids = spark.range(0, 6).select(col("id").as("doc_id"))
+    val imgs = Multimodal.syntheticImages(ids, "doc_id")
+    val imgAll = imgs.unionByName(
+      Multimodal.reencodeScaled(imgs, factor = 2, idOffset = 1000000L))
+    imgAll.withColumn("text", lit("img")).write.parquet(s"$src/images.parquet")
+    val auds = Multimodal.syntheticAudioVaried(ids, "doc_id")
+    val audAll = auds.unionByName(
+      Multimodal.reencodeAttenuated(auds, shift = 1, idOffset = 1000000L))
+    audAll.withColumn("text", lit("aud")).write.parquet(s"$src/clips.parquet")
+    val vids = Multimodal.syntheticVideos(ids, "doc_id")
+    val vidAll = vids.unionByName(
+      Multimodal.reencodeScaledVideo(vids, factor = 2, idOffset = 1000000L))
+    vidAll.withColumn("text", lit("vid")).write.parquet(s"$src/videos.parquet")
+    val yaml = Files.createTempFile("graft-pipe-media", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: media_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: img_kept
+        |    op: dedup_image
+        |    input: images
+        |  - name: aud_kept
+        |    op: dedup_audio
+        |    input: clips
+        |  - name: vid_kept
+        |    op: dedup_video
+        |    input: videos
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    def got(name: String) = spark.read.parquet(s"$out/$name")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val copies = (1000000L to 1000005L).toSet
+    // image: min-id survivor per dHash hamming component
+    val ih = Multimodal.dHash(imgAll).toDF().select(col("doc_id"), col("dhash"))
+    val imgExpect = Dedup.survivors(ih, "doc_id",
+        Dedup.hamming64Pairs(ih, "doc_id", "dhash", 3, 1000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got("img_kept") === imgExpect)
+    assert(imgExpect.intersect(copies).isEmpty, "every rescaled image copy pairs away")
+    // audio: min-id survivor per fingerprint hamming component
+    val ah = Multimodal.audioFingerprint(audAll).toDF().select(col("doc_id"), col("afp"))
+    val audExpect = Dedup.survivors(ah, "doc_id",
+        Dedup.hamming64Pairs(ah, "doc_id", "afp", 3, 1000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got("aud_kept") === audExpect)
+    assert(audExpect.intersect(copies).isEmpty, "every attenuated clip copy pairs away")
+    // video: min-id survivor per >= 1/2 frame-set-overlap component
+    val vs = Multimodal.videoFrameHashes(vidAll).toDF()
+      .select(col("doc_id"), col("dhash_hex").as("fp")).distinct()
+    val sizes = vs.groupBy("doc_id").agg(count(lit(1)).as("__nf"))
+    val vPairs = Dedup.winnowPairsFromFps(vs, "doc_id", 1L, 1000)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__nf").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__nf").as("n_b")), "doc_b")
+      .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
+    val vidExpect = Dedup.survivors(vidAll.select("doc_id"), "doc_id", vPairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(got("vid_kept") === vidExpect)
+    assert(vidExpect.intersect(copies).isEmpty, "every transcoded video copy pairs away")
+  }
+
+  test("pipeline --state: image + audio admission rejects transcodes of admitted media") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Multimodal
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    def imgs(lo: Long, hi: Long) = Multimodal.syntheticImages(
+      spark.range(lo, hi).select(col("id").as("doc_id")), "doc_id")
+    def auds(lo: Long, hi: Long) = Multimodal.syntheticAudioVaried(
+      spark.range(lo, hi).select(col("id").as("doc_id")), "doc_id")
+    val yaml = Files.createTempFile("graft-pipe-media-admit", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: media_admit
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: img_admitted
+        |    op: dedup_image
+        |    input: images
+        |    params: { mode: admit, buckets: 8 }
+        |  - name: aud_admitted
+        |    op: dedup_audio
+        |    input: clips
+        |    params: { mode: admit, buckets: 8 }
+        |""".stripMargin)
+    // batch 1: originals 0..3 plus an in-batch rescaled copy of 0
+    val img1 = imgs(0, 4).unionByName(
+      Multimodal.reencodeScaled(imgs(0, 1), factor = 2, idOffset = 1000000L))
+    val aud1 = auds(0, 4).unionByName(
+      Multimodal.reencodeAttenuated(auds(0, 1), shift = 1, idOffset = 1000000L))
+    img1.withColumn("text", lit("i")).write.parquet(s"$src/images.parquet")
+    aud1.withColumn("text", lit("a")).write.parquet(s"$src/clips.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    def got(out: String, name: String) = spark.read.parquet(s"$out/$name")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got(out1, "img_admitted") === Set(0L, 1L, 2L, 3L))
+    assert(got(out1, "aud_admitted") === Set(0L, 1L, 2L, 3L))
+    // batch 2: transcodes of ADMITTED 1 and 2 reject against the
+    // store without re-decoding the corpus; fresh 10..11 admit
+    val img2 = imgs(10, 12).unionByName(
+      Multimodal.reencodeScaled(imgs(1, 3), factor = 2, idOffset = 2000000L))
+    val aud2 = auds(10, 12).unionByName(
+      Multimodal.reencodeAttenuated(auds(1, 3), shift = 1, idOffset = 2000000L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/images.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/clips.parquet"))
+    img2.withColumn("text", lit("i")).write.parquet(s"$src/images.parquet")
+    aud2.withColumn("text", lit("a")).write.parquet(s"$src/clips.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out2, "--state", state), spark)
+    assert(got(out2, "img_admitted") === Set(10L, 11L))
+    assert(got(out2, "aud_admitted") === Set(10L, 11L))
+    assert(Files.readString(Paths.get(state, "_graft_next_batch")).trim == "2")
+  }
+
   test("pipeline incremental modes validate: unknown mode and missing --state fail pre-Spark") {
     val yaml = Files.createTempFile("graft-pipe-badmode", ".yaml")
     Files.writeString(yaml,
