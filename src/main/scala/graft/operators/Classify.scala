@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * whose L1-normalized profile best matches the document's term
   * frequencies.
   *
-  * The score is kept in EXACT integer arithmetic so any engine
+  * The score is kept in EXACT integer arithmetic (decimal(38,0)
+  * products — 64-bit would wrap silently at ~1e9-token class masses
+  * where DuckDB's HUGEINT would not) so any engine
   * reproduces the argmax bit-for-bit: `score(d, c) = (Σ_t tf(d,t) ·
   * cnt(c,t)) · scale div total(c)` — the dot product against the
   * class's raw count vector, L1-normalized by the class's total token
@@ -60,16 +62,23 @@ object Classify {
       .filter(col("token") =!= "")
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+    // exact wide arithmetic: tf and cnt are corpus-scale counts, so the
+    // product is computed in decimal(38,0) (the repo's exact-product
+    // convention) — plain BIGINT would silently wrap at ~1e9-token class
+    // masses while the DuckDB oracle (HUGEINT sum) would not, breaking
+    // the bit-for-bit cross-engine argmax contract exactly at scale
     val dots = tf.join(profiles, "token")
       .groupBy(col(idCol), col("label"))
-      .agg(sum(col("tf") * col("cnt")).as("dot"))
+      .agg(sum(col("tf").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+        .as("dot"))
     // total coverage: every (doc, class) cell, absent dots count 0
     val grid = docs.select(col(idCol)).distinct()
       .crossJoin(broadcast(totals))
     val scores = grid
       .join(dots, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),
-        expr(s"coalesce(dot, 0L) * ${scale}L div total").as("score"))
+        expr(s"coalesce(dot, cast(0 as decimal(38,0)))" +
+          s" * cast($scale as decimal(19,0)) div total").as("score"))
     val rn = row_number().over(
       Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label")))
     val best = scores.withColumn("__rn", rn).filter(col("__rn") === 1)

@@ -58,7 +58,8 @@ object Packing {
     *
     * Input must carry a shard column and a deterministic in-shard
     * order column ([[Sampling.shuffleShards]] provides both) plus a
-    * non-negative token count. Output adds:
+    * non-negative token count (enforced in-plan — a negative count
+    * raises rather than corrupting the prefix sum). Output adds:
     *  - `tok_start` — the row's first token position on its shard's
     *    number line (the exclusive prefix sum);
     *  - `seq_first` / `seq_last` — the sequence ids the row spans
@@ -77,7 +78,15 @@ object Packing {
     }
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = col(tokenCol).cast("long")
+    // fail-loud on a negative token count (the documented contract):
+    // one would silently corrupt the EXCLUSIVE prefix sum for every
+    // later row in the shard — seq_last < seq_first nonsense spans —
+    // so the guard rides the projection instead of trusting the caller
+    val n = when(col(tokenCol) < 0, raise_error(concat(
+        lit(s"packBudget: negative token count in `$tokenCol` ("),
+        col(tokenCol).cast("string"),
+        lit(") — token counts must be non-negative"))))
+      .otherwise(col(tokenCol)).cast("long")
     rows
       .withColumn("tok_start", sum(n).over(w) - n)
       // `div` is exact integral division on longs — no double rounding

@@ -185,6 +185,18 @@ object CurationPipeline {
       .getOrElse(throw new IllegalArgumentException(
         s"step $stepName: $what requires a state directory — " +
           "run `Cli pipeline ... --state STATE_DIR`"))
+    /** The media steps cast the id to BIGINT for their signature
+      * tables; a non-integral id would cast to NULL and die later with
+      * a cryptic non-nullable-encoder error, so check the type UP FRONT
+      * (the StreamingWinnowDedup/StreamingSemDedup BIGINT-id
+      * convention). */
+    def requireIntegralId(what: String): Unit = {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = input.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"step $stepName: $what requires an integral id column (castable to " +
+          s"BIGINT without data loss); '$idCol' is ${dt.simpleString}")
+    }
   }
 
   /** Fail-loud typed access over a step's params map. */
@@ -388,6 +400,7 @@ object CurationPipeline {
       val pcol = c.params.str("payload", "payload")
       require(c.input.columns.contains(pcol),
         s"step ${c.stepName}: input has no payload column '$pcol'")
+      c.requireIntegralId("dedup_image")
       val payloads = c.input.select(
         col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))
       c.params.str("mode", "full") match {
@@ -428,6 +441,7 @@ object CurationPipeline {
       val pcol = c.params.str("payload", "payload")
       require(c.input.columns.contains(pcol),
         s"step ${c.stepName}: input has no payload column '$pcol'")
+      c.requireIntegralId("dedup_audio")
       val payloads = c.input.select(
         col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))
       c.params.str("mode", "full") match {
@@ -469,6 +483,7 @@ object CurationPipeline {
       val pcol = c.params.str("payload", "payload")
       require(c.input.columns.contains(pcol),
         s"step ${c.stepName}: input has no payload column '$pcol'")
+      c.requireIntegralId("dedup_video")
       val sigs = Multimodal.videoFrameHashes(c.input.select(
           col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))).toDF()
         .select(col("doc_id").as(c.idCol), col("dhash_hex").as("fp")).distinct()

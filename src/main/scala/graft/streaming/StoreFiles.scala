@@ -12,10 +12,27 @@ import java.nio.file.{Files, Path, Paths}
 private[graft] object StoreFiles {
 
   /** Write the sidecar `name` under `path` with exact `payload` bytes
-    * (creating the directory first — the empty-bootstrap case). */
+    * (creating the directory first — the empty-bootstrap case).
+    * ATOMIC: the payload lands in a sibling temp file and is renamed
+    * into place, so a crash mid-write can never leave a TRUNCATED
+    * marker whose prefix still parses (the failure mode for multi-line
+    * payloads like pinned centroid lists — a short read there would
+    * silently change store geometry). */
   def writeMarker(path: String, name: String, payload: String): Unit = {
     Files.createDirectories(Paths.get(path))
-    Files.write(Paths.get(path, name), payload.getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(path, name + ".__tmp")
+    Files.write(tmp, payload.getBytes(StandardCharsets.UTF_8))
+    try
+      Files.move(tmp, Paths.get(path, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // non-POSIX fallback: still a whole-file rename, just not
+        // guaranteed atomic by the filesystem
+        Files.move(tmp, Paths.get(path, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Read the sidecar exactly (NO trim — payloads like a newline

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
@@ -46,21 +45,20 @@ private[streaming] final class StreamingHammingDedup(
   private def bucketOf(numBuckets: Int) =
     pmod(hash(col("band"), col("chunk")), lit(numBuckets))
 
-  private def marker(path: String) = Paths.get(path, markerName)
-
   /** Whether `initialize` completed for this store path (marker file
     * present — written LAST, so a crashed initialize reads false). */
-  def initialized(path: String): Boolean = Files.exists(marker(path))
+  def initialized(path: String): Boolean =
+    Files.exists(Paths.get(path, markerName))
 
-  private def writeMarker(path: String, p: Params): Unit = {
-    Files.createDirectories(Paths.get(path))
-    Files.write(marker(path), p.encoded.getBytes(StandardCharsets.UTF_8))
-  }
+  // marker I/O routes through [[StoreFiles]] (the shared protocol —
+  // exact-byte read, atomic write), NOT a private copy: protocol fixes
+  // must land once for every store
+  private def writeMarker(path: String, p: Params): Unit =
+    StoreFiles.writeMarker(path, markerName, p.encoded)
 
   private def checkMarker(path: String, p: Params): Unit = {
-    require(Files.exists(marker(path)),
-      s"$path has no $markerName marker — initialize() the store first")
-    val stored = new String(Files.readAllBytes(marker(path)), StandardCharsets.UTF_8).trim
+    val stored = StoreFiles.readMarker(
+      path, markerName, "initialize() the store first")
     require(stored == p.encoded,
       s"$hashCol posting-table parameter mismatch for $path: store laid out with " +
         s"($stored), caller passed (${p.encoded}) — a different radius bands " +

@@ -67,29 +67,50 @@ object StreamingSemDedup {
     def encoded: String = s"$numBuckets;$k;$minCosine;$maxCluster"
   }
 
-  private def marker(path: String) = Paths.get(path, "_graft_semdedup")
+  private val MarkerName = "_graft_semdedup"
 
+  private def marker(path: String) = Paths.get(path, MarkerName)
+
+  // line 1: params; line 2: centroid count + dimension (so a torn read
+  // is DETECTABLE, not just unlikely); line 3: the centroids. The
+  // write itself is atomic (StoreFiles temp+rename) — the count line
+  // is belt-and-braces against any other source of truncation (a
+  // partial copy, a filesystem without atomic rename).
   private def encode(p: Params, cents: Seq[Array[Double]]): String =
-    p.encoded + "\n" + cents.map(_.mkString(",")).mkString(";")
+    p.encoded + "\n" +
+      s"${cents.size} ${cents.headOption.map(_.length).getOrElse(0)}\n" +
+      cents.map(_.mkString(",")).mkString(";")
 
-  private def writeMarker(path: String, p: Params, cents: Seq[Array[Double]]): Unit = {
-    Files.createDirectories(Paths.get(path))
-    Files.write(marker(path), encode(p, cents).getBytes(StandardCharsets.UTF_8))
-  }
+  private def writeMarker(path: String, p: Params, cents: Seq[Array[Double]]): Unit =
+    StoreFiles.writeMarker(path, MarkerName, encode(p, cents))
 
   /** Pinned centroids, or None before the first batch. Fails loudly on
     * a parameter mismatch (failOnOversized is a per-run choice, not
-    * store geometry, so it stays out of the check). */
+    * store geometry, so it stays out of the check) AND on a centroid
+    * list whose count/dimension disagrees with the recorded header —
+    * a truncated marker must never silently assign later batches under
+    * different geometry. */
   def readCentroids(path: String, p: Params): Option[Seq[Array[Double]]] = {
     if (!Files.exists(marker(path))) None
     else {
       val lines = new String(Files.readAllBytes(marker(path)), StandardCharsets.UTF_8)
-        .split("\n", 2)
+        .split("\n", 3)
       require(lines(0) == p.encoded,
         s"semdedup store parameter mismatch for $path: store pinned (${lines(0)}), " +
           s"caller passed (${p.encoded}) — mixed geometry corrupts every admission")
-      Some(lines(1).split(";").toSeq
-        .filter(_.nonEmpty).map(_.split(",").map(_.toDouble)))
+      require(lines.length == 3,
+        s"semdedup marker for $path is truncated (no centroid header/body) — " +
+          "re-run initialize() over the bootstrap corpus")
+      val header = lines(1).split(" ")
+      val (n, dim) = (header(0).toInt, header(1).toInt)
+      val cents = lines(2).split(";").toSeq
+        .filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
+      require(cents.size == n && cents.forall(_.length == dim),
+        s"semdedup marker for $path is corrupt: header records $n centroids of " +
+          s"dimension $dim but the body parses ${cents.size} of dimensions " +
+          s"${cents.map(_.length).distinct.sorted.mkString("{", ",", "}")} — " +
+          "a truncated write; re-run initialize() over the bootstrap corpus")
+      Some(cents)
     }
   }
 
