@@ -9,7 +9,7 @@ import org.yaml.snakeyaml.Yaml
 
 import graft.exec.Staging
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Sessions, TextAnalysis}
-import graft.streaming.{StreamingAdmission, StreamingAudioDedup, StreamingImageDedup, StreamingLineDedup, StreamingNearDup, StreamingSemDedup}
+import graft.streaming.{StreamingAdmission, StreamingAudioDedup, StreamingImageDedup, StreamingLineDedup, StreamingNearDup, StreamingSemDedup, StreamingVideoDedup}
 
 /** Declarative training-data curation pipelines — the job-spec surface
   * that makes the operator library a runnable product, the way the
@@ -477,24 +477,48 @@ object CurationPipeline {
     // blocking kept at set overlap >= 1/2 via integer
     // cross-multiplication (3·shared >= n_a + n_b — trimmed and
     // transcoded copies pair, disjoint clips don't), one survivor per
-    // overlap component.
+    // overlap component. mode: admit judges the batch against the
+    // maintained frame-hash posting store + admitted sink under
+    // --state (StreamingVideoDedup; admission keeps the in-batch
+    // min-id representative).
     "dedup_video" -> Op(
-      Set("payload", "maxBucket", "keep", "scoreCol", "scoreFrom"), { c =>
+      Set("payload", "maxBucket", "keep", "scoreCol", "scoreFrom",
+        "mode", "buckets"), { c =>
       val pcol = c.params.str("payload", "payload")
       require(c.input.columns.contains(pcol),
         s"step ${c.stepName}: input has no payload column '$pcol'")
       c.requireIntegralId("dedup_video")
-      val sigs = Multimodal.videoFrameHashes(c.input.select(
-          col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))).toDF()
-        .select(col("doc_id").as(c.idCol), col("dhash_hex").as("fp")).distinct()
-      val sizes = sigs.groupBy(col(c.idCol)).agg(count(lit(1)).as("__nf"))
-      val pairs = Dedup.winnowPairsFromFps(sigs, c.idCol, minShared = 1L,
-          maxBucket = c.params.int("maxBucket", 1000))
-        .join(sizes.select(col(c.idCol).as("doc_a"), col("__nf").as("n_a")), "doc_a")
-        .join(sizes.select(col(c.idCol).as("doc_b"), col("__nf").as("n_b")), "doc_b")
-        .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
-      keepSurvivors(c, pairs)
-    }, tableParams = Set("scoreFrom")),
+      c.params.str("mode", "full") match {
+        case "full" =>
+          val sigs = Multimodal.videoFrameHashes(c.input.select(
+              col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))).toDF()
+            .select(col("doc_id").as(c.idCol), col("dhash_hex").as("fp")).distinct()
+          val sizes = sigs.groupBy(col(c.idCol)).agg(count(lit(1)).as("__nf"))
+          val pairs = Dedup.winnowPairsFromFps(sigs, c.idCol, minShared = 1L,
+              maxBucket = c.params.int("maxBucket", 1000))
+            .join(sizes.select(col(c.idCol).as("doc_a"), col("__nf").as("n_a")), "doc_a")
+            .join(sizes.select(col(c.idCol).as("doc_b"), col("__nf").as("n_b")), "doc_b")
+            .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
+          keepSurvivors(c, pairs)
+        case "admit" =>
+          require(!c.params.has("keep") && !c.params.has("scoreCol"),
+            s"step ${c.stepName}: keep/scoreCol apply to mode: full only " +
+              "(admission keeps the in-batch min-id representative)")
+          val root = c.requireState("dedup_video mode: admit")
+          val (store, sink) = (s"$root/postings", s"$root/admitted")
+          val p = StreamingVideoDedup.Params(
+            numBuckets = c.params.int("buckets", 64),
+            maxBucket = c.params.int("maxBucket", 1000))
+          val batch = c.input.select(col(c.idCol), col(pcol).as("payload"))
+          if (!StreamingVideoDedup.initialized(store))
+            StreamingVideoDedup.initialize(batch.limit(0), c.idCol, store, sink, p)
+          StreamingVideoDedup.applyBatch(batch, c.batchId, c.idCol, store, sink, p)
+          c.input.join(
+            StreamingVideoDedup.admittedIdsOf(
+              c.input.sparkSession, sink, c.idCol, c.batchId, batch.schema),
+            Seq(c.idCol), "left_semi")
+      }
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
     // drop rows sharing >= maxShared n-grams with the benchmark table
     "decontaminate" -> Op(Set("benchmark", "n", "maxShared"), { c =>
       Decontaminate.clean(c.input, c.resolve(c.params.reqStr("benchmark")),

@@ -61,7 +61,7 @@ object StreamingVideoDedup {
 
   private def checkMarker(path: String, p: Params): Unit = {
     val stored = StoreFiles.readMarker(
-      path, MarkerName, "initialize() the store first").trim
+      path, MarkerName, "initialize() the store first")
     require(stored == p.encoded,
       s"video posting-table parameter mismatch for $path: store laid out with " +
         s"($stored), caller passed (${p.encoded}) — mixed bucket layouts " +
@@ -161,6 +161,31 @@ object StreamingVideoDedup {
       } finally admitted.unpersist(blocking = false)
     } finally batchFps.unpersist()
   }
+
+  /** This batch's admitted ids — empty when the batch admitted
+    * nothing (dynamic overwrite with zero rows writes no partition) or
+    * the sink doesn't exist yet (an empty FIRST batch). The sink keeps
+    * the CALLER's row schema, so the caller passes it (`rowSchema` =
+    * the batch schema) — an explicit schema also survives the
+    * data-less cold start where inference would fail. Existence-
+    * checked, not Try-swallowed: a corrupt sink fails instead of
+    * silently reading as an empty batch. */
+  def admittedIdsOf(
+      spark: org.apache.spark.sql.SparkSession, sinkPath: String,
+      idCol: String, batchId: Long,
+      rowSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sinkPath)))
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          rowSchema.fields :+ org.apache.spark.sql.types.StructField(
+            BatchCol, org.apache.spark.sql.types.LongType)))
+        .parquet(sinkPath)
+        .filter(col(BatchCol) === batchId)
+        .select(col(idCol))
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF(idCol)
+    }
 
   /** Wire a video stream (`idCol`, `payload`) to near-dup admission. */
   def maintain(

@@ -1238,6 +1238,48 @@ class CliSpec extends SparkSpec {
     assert(Files.readString(Paths.get(state, "_graft_next_batch")).trim == "2")
   }
 
+  test("pipeline --state: video admission rejects trims/transcodes of admitted videos") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Multimodal
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    def vids(ids: Seq[Long]) =
+      Multimodal.syntheticVideos(ids.toDF("doc_id"), "doc_id")
+    val yaml = Files.createTempFile("graft-pipe-video-admit", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: video_admit
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vid_admitted
+        |    op: dedup_video
+        |    input: videos
+        |    params: { mode: admit, buckets: 8 }
+        |""".stripMargin)
+    // batch 1: videos 2 + 20 plus an in-batch transcode of 2 (min-id
+    // 2 survives the pair)
+    vids(Seq(2L, 20L))
+      .unionByName(Multimodal.reencodeScaledVideo(
+        vids(Seq(2L)), factor = 2, idOffset = 1000000L))
+      .withColumn("text", lit("v")).write.parquet(s"$src/videos.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    def got(out: String) = spark.read.parquet(s"$out/vid_admitted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got(out1) === Set(2L, 20L))
+    // batch 2: trim-shaped video 3 (frame subset of ADMITTED 2) and a
+    // transcode of ADMITTED 20 both reject against the store without
+    // re-demuxing the corpus; frame-disjoint 40 admits
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/videos.parquet"))
+    vids(Seq(3L, 40L))
+      .unionByName(Multimodal.reencodeScaledVideo(
+        vids(Seq(20L)), factor = 2, idOffset = 2000000L))
+      .withColumn("text", lit("v")).write.parquet(s"$src/videos.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out2, "--state", state), spark)
+    assert(got(out2) === Set(40L))
+    assert(Files.readString(Paths.get(state, "_graft_next_batch")).trim == "2")
+  }
+
   test("pipeline incremental modes validate: unknown mode and missing --state fail pre-Spark") {
     val yaml = Files.createTempFile("graft-pipe-badmode", ".yaml")
     Files.writeString(yaml,

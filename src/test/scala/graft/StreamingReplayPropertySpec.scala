@@ -8,11 +8,12 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.streaming._
 import graft.streaming.StreamingNearDup.Params
 
-/** Replay-permutation invariance of the six streaming maintenance
-  * stores (sketch, k-means stats, exact admission, near-dup admission,
-  * heavy hitters, SCD2 upsert).
+/** Replay-permutation invariance of the streaming maintenance stores
+  * (sketch, k-means stats, exact/near-dup/winnow/semantic admission,
+  * line-df, heavy hitters, SCD2 upsert, image/audio/video media
+  * admission) — one property per store.
   *
-  * All six share one design: either batch-OWNED partitions (a batch's
+  * All share one design: either batch-OWNED partitions (a batch's
   * contribution is a pure function of the batch, rewritten in place on
   * replay) or an idempotent merge (set union / register max /
   * latest-wins). The common consequence, checked here as ONE property
@@ -235,6 +236,30 @@ class StreamingReplayPropertySpec extends SparkSpec {
         "doc_id", store, sink, p)
       (b => StreamingAudioDedup.applyBatch(
         wavs(b), b.toLong, "doc_id", store, sink, p),
+        () => rowsOf(store).map("p:" + _) ++ rowsOf(sink).map("s:" + _))
+    }
+  }
+
+  test("property: video-overlap-admission stores converge under any replay interleaving") {
+    import graft.operators.Multimodal
+    // batch b: a per-frame transcode of the bootstrap video (always
+    // rejected — identical frame-hash set), a frame-disjoint novel
+    // video (admitted), so replays exercise both the self-excluded
+    // re-admission and the posting-union paths
+    def vids(b: Int) = Multimodal.reencodeScaledVideo(
+      Multimodal.syntheticVideos(Seq(1L).toDF("doc_id"), "doc_id"),
+      factor = 2, idOffset = b * 100L + 10L)
+      .unionByName(Multimodal.syntheticVideos(
+        Seq(b * 101L + 20L).toDF("doc_id"), "doc_id"))
+    checkStore("videodedup") { dir =>
+      val store = s"$dir/postings"
+      val sink  = s"$dir/admitted"
+      val p = StreamingVideoDedup.Params(numBuckets = 8)
+      StreamingVideoDedup.initialize(
+        Multimodal.syntheticVideos(Seq(1L).toDF("doc_id"), "doc_id"),
+        "doc_id", store, sink, p)
+      (b => StreamingVideoDedup.applyBatch(
+        vids(b), b.toLong, "doc_id", store, sink, p),
         () => rowsOf(store).map("p:" + _) ++ rowsOf(sink).map("s:" + _))
     }
   }
