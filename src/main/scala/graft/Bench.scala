@@ -84,6 +84,8 @@ object Bench {
     // concat-and-split token-budget packing (closed-form cuts)
     "text_pack_budget"          -> (QueriesExt.textPackBudget _),
     "text_curate"               -> (QueriesExt.textCurate _),
+    // regex-only HTML main-content extraction (crawl first step)
+    "text_extract_html"         -> (QueriesExt.textExtractHtml _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),
     "table_profile"             -> (QueriesExt.tableProfile _),
     // production approx-distinct profile (no exact companion)
@@ -125,6 +127,9 @@ object Bench {
     "text_token_estimate"     -> (QueriesExt.textTokenEstimate _),
     // corpus-learned BPE: 8 training rounds + scan-local tokenization
     "text_bpe_tokenize"       -> (QueriesExt.textBpeTokenize _),
+    // deep-vocabulary BPE: ONE distributed word-count pass + 4,096
+    // merges trained driver-side (the trainMergesLocal fast path)
+    "text_bpe_vocab4k"        -> (QueriesExt.textBpeVocab4k _),
     "table_expectations"      -> (QueriesExt.tableExpectations _),
     "graph_triangles"         -> (QueriesEvents.graphTriangles _),
     "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _),

@@ -1359,6 +1359,43 @@ object QueriesExt {
        |FROM documents
        |""".stripMargin
 
+  // ================================================================ HTML extraction
+  /** HTML main-content extraction over deterministically CONSTRUCTED
+    * pages: each document's text is wrapped in a full page — comment,
+    * head (title/script/style, the script body containing a decoy
+    * `</p>`), a nav full of links, a short heading, the content
+    * paragraph, an entity-bearing paragraph, an all-anchor line ≥
+    * minChars (the link-density rule's specific target), short list
+    * boilerplate, and a footer — and [[TextAnalysis.extractHtml]] must
+    * recover EXACTLY the two content lines. The oracle constructs the
+    * expected output directly (prefix + collapsed text, then the
+    * decoded entity line), so a drift anywhere — container removal,
+    * block splitting, tag stripping, entity order, the integer
+    * link-density rule, the minChars rule — mismatches byte-for-byte. */
+  def textExtractHtml(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><!-- generated --><head><title>T</title>" +
+        "<script>var x = '</p>';</script><style>p { color: red }</style></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+        " <a href=\"/contact\">Contact</a></nav>"),
+      lit("<h1>Doc "), col("doc_id"), lit("</h1>"),
+      lit("<p>First paragraph main content: "), col("text"), lit("</p>"),
+      lit("<p>Entities &amp; more &lt;tags&gt; here &nbsp; with plenty of padding</p>"),
+      lit("<div><a href=\"/x\">A very long navigation link line that is all anchor" +
+        " text</a></div>"),
+      lit("<ul><li>Nav</li><li>Links</li></ul><div>short</div>"),
+      lit("<footer>Copyright 2024 Example Corp</footer></body></html>"))
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.extractHtml(html).as("extracted"))
+  }
+
+  lazy val textExtractHtmlSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace('First paragraph main content: ' || text, '\s+', ' ', 'g'))
+      |    || chr(10) || 'Entities & more <tags> here with plenty of padding' AS extracted
+      |FROM documents
+      |""".stripMargin
+
   // ================================================================ learned classifier
   /** TRAINED nearest-class-profile classifier (Rocchio / linear
     * multinomial NB in exact fixed-point — the model-based curation
@@ -1431,6 +1468,27 @@ object QueriesExt {
   /** Tokenization of the corpus against the learned merges: per-doc
     * REAL BPE token count + the full token stream joined in document
     * order — replacing the `len/4` estimate with counting. */
+  /** Deep-vocabulary BPE training — the driver fast path
+    * ([[Bpe.trainMergesLocal]]) at a production merge count (4,096).
+    * The synthetic corpus has only ~31 distinct words, far too few to
+    * sustain 4k merges, so the word table is enriched IN-PLAN first:
+    * fused word trigrams (`a_b_c`, ~31³ shapes) stand in for a real
+    * crawl's vocabulary. Bench-only by design — a 4,096-round DuckDB
+    * training replay is not a feasible oracle; the trainer's
+    * correctness is pinned by BpeSpec (in-memory ≡ distributed ≡
+    * independent reference, incl. UTF-8 tie-break order). */
+  def textBpeVocab4k(s: SparkSession, dir: String): DataFrame = {
+    val fused = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        when(size(col("__ws")) >= 3, array_join(expr(
+          "transform(sequence(1, size(__ws) - 2), " +
+            "i -> concat_ws('_', element_at(__ws, i), element_at(__ws, i + 1), " +
+            "element_at(__ws, i + 2)))"), " "))
+          .otherwise(lit("")).as("text"))
+    Bpe.trainMergesLocal(fused, "text", numMerges = 4096)
+  }
+
   def textBpeTokenize(s: SparkSession, dir: String): DataFrame = {
     val corpus = docs(s, dir)
     val merges = Bpe.trainMerges(corpus, "text", numMerges = 8)

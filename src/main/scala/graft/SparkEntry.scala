@@ -53,6 +53,7 @@ object SparkEntry {
     // training-data extensions: text analysis + normalization
     "text_stats"     -> (QueriesExt.textStats _),
     "text_normalize" -> (QueriesExt.textNormalize _),
+    "text_extract_html" -> (QueriesExt.textExtractHtml _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
     // URL canonicalization (the crawl fetch-dedup key)
@@ -275,6 +276,7 @@ object SparkEntry {
     "validate_errors"           -> Queries.validateErrorsSql,
     "text_stats"                -> QueriesExt.textStatsSql,
     "text_normalize"            -> QueriesExt.textNormalizeSql,
+    "text_extract_html"         -> QueriesExt.textExtractHtmlSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,

@@ -132,6 +132,145 @@ object Bpe {
         col("left_sym"), col("right_sym"))
   }
 
+  /** Total order matching BOTH engines' string sort: unsigned UTF-8
+    * byte comparison (Spark's UTF8String and DuckDB's binary collation
+    * order strings this way; Java's String.compareTo does NOT — UTF-16
+    * code-unit order flips supplementary vs U+E000..U+FFFF). */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** In-memory Sennrich trainer over a word-frequency table — the
+    * classical `learn_bpe` shape: maintain pair→count stats plus a
+    * pair→words index, update BOTH incrementally on each merge (only
+    * words containing the merged pair are touched), and select each
+    * round's best pair from a lazy-invalidation priority queue (every
+    * count update pushes a fresh entry; stale entries are discarded at
+    * pop when they disagree with current stats). Work per merge is
+    * proportional to the merged pair's occurrence neighborhood — NOT
+    * to the vocabulary — so a real 32k-merge vocabulary costs seconds,
+    * not 64k sequential scans.
+    *
+    * Determinism contract: per-round pair counts are exact sums, and
+    * the best pair is `(count DESC, left ASC, right ASC)` in UTF-8
+    * byte order ([[utf8Lt]]) — bit-for-bit the distributed
+    * [[trainMerges]] selection rule, pinned by BpeSpec. */
+  private[graft] def trainMergesInMemory(
+      wordFreqs: Seq[(String, Long)], numMerges: Int, endOfWord: String
+  ): Seq[(Int, String, String)] = {
+    import scala.collection.mutable
+    val syms  = wordFreqs.map { case (w, _) =>
+      mutable.ArrayBuffer.from(codepointSyms(w, endOfWord)) }.toArray
+    val freqs = wordFreqs.map(_._2).toArray
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def pairsOf(ss: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
+      (0 until ss.length - 1).iterator.map(i => (ss(i), ss(i + 1)))
+    // entry ordering: count desc, then (l, rt) asc in UTF-8 byte order
+    final case class Entry(cnt: Long, l: String, rt: String)
+    val pq = mutable.PriorityQueue.empty[Entry](new Ordering[Entry] {
+      def compare(a: Entry, b: Entry): Int =
+        if (a.cnt != b.cnt) java.lang.Long.compare(a.cnt, b.cnt)
+        else if (a.l != b.l) { if (utf8Lt(a.l, b.l)) 1 else -1 }
+        else if (a.rt != b.rt) { if (utf8Lt(a.rt, b.rt)) 1 else -1 }
+        else 0
+    })
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val next = stats.getOrElse(p, 0L) + delta
+      if (next <= 0L) { stats.remove(p); index.remove(p) }
+      else {
+        stats(p) = next
+        val ws = index.getOrElseUpdate(p, mutable.BitSet.empty)
+        if (delta > 0) ws += wi
+        pq.enqueue(Entry(next, p._1, p._2))
+      }
+    }
+    syms.indices.foreach { wi =>
+      pairsOf(syms(wi)).foreach(p => bump(p, freqs(wi), wi))
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String)]
+    var r = 0
+    while (r < numMerges && stats.nonEmpty) {
+      // pop to the first entry that agrees with current stats; every
+      // live pair has a fresh entry by construction, so this finds the
+      // true maximum under the selection order
+      var top: Entry = null
+      while (top == null && pq.nonEmpty) {
+        val e = pq.dequeue()
+        if (stats.get((e.l, e.rt)).contains(e.cnt)) top = e
+      }
+      if (top == null) return merges.toSeq  // stats nonEmpty ⇒ unreachable, belt+braces
+      val (a, b) = (top.l, top.rt)
+      merges += ((r, a, b))
+      val touched = index.get((a, b)).map(_.toArray).getOrElse(Array.empty[Int])
+      // the merged pair leaves the pair universe entirely
+      stats.remove((a, b)); index.remove((a, b))
+      touched.foreach { wi =>
+        val before = syms(wi)
+        val after  = mutable.ArrayBuffer.from(applyMerge(before.toSeq, a, b))
+        if (after.length != before.length) {
+          val delta = mutable.HashMap.empty[(String, String), Long]
+          pairsOf(before).foreach(p => delta(p) = delta.getOrElse(p, 0L) - freqs(wi))
+          pairsOf(after).foreach(p => delta(p) = delta.getOrElse(p, 0L) + freqs(wi))
+          syms(wi) = after
+          delta.foreach { case (p, d) =>
+            if (d != 0 && p != ((a, b))) bump(p, d, wi)
+            // d > 0 pairs gain word wi; d < 0 pairs may still occur in
+            // wi (fewer times) — membership stays, harmless: merge
+            // application re-checks the word's actual content
+          }
+        }
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /** Driver-side training fast path: the SAME distributed corpus-scale
+    * word-frequency pass, then ONE bounded collect of the distinct-word
+    * table and all merges trained in memory ([[trainMergesInMemory]]).
+    * Identical output to [[trainMerges]] at `minFreq = 1` (BpeSpec pins
+    * the equality on a seeded corpus); `minFreq > 1` prunes the
+    * frequency tail first — the standard vocabulary-learning knob, and
+    * the lever that bounds the collect at 100 TB (the tail of a
+    * Zipf-distributed crawl is hapax noise that can never win a merge
+    * round against the head, but CAN blow up the driver copy).
+    * `maxDistinctWords` fail-louds the collect bound instead of
+    * OOMing the driver. Use this for real (≥1k-merge) vocabularies;
+    * [[trainMerges]] remains the fully-distributed reference (and the
+    * round-replay oracle target). */
+  def trainMergesLocal(
+      docs: DataFrame, textCol: String, numMerges: Int,
+      endOfWord: String = "</w>", minFreq: Long = 1L,
+      maxDistinctWords: Int = 10000000
+  ): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(endOfWord.nonEmpty, "endOfWord marker must be non-empty")
+    require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pruned = wordCounts(docs, textCol).filter(col("freq") >= minFreq)
+    val n = pruned.count()
+    require(n <= maxDistinctWords,
+      s"trainMergesLocal: $n distinct words above minFreq=$minFreq exceeds " +
+        s"maxDistinctWords=$maxDistinctWords — raise minFreq (prune the Zipf tail) " +
+        "or raise the bound if the driver has the memory")
+    val words = pruned.as[(String, Long)].collect().toSeq
+    trainMergesInMemory(words, numMerges, endOfWord)
+      .toDF("merge_rank", "left_sym", "right_sym")
+      .select(col("merge_rank").cast("int").as("merge_rank"),
+        col("left_sym"), col("right_sym"))
+  }
+
   /** Tokenize with a learned merge table: per document, split to
     * normalized words, fold every merge in rank order over each word's
     * codepoint symbols — entirely scan-local (the merge list rides in

@@ -555,4 +555,83 @@ object TextAnalysis {
         round(col("dup_bigram_ratio"), 6).as("dup_bigram_ratio"),
         col("keep"), col("reasons"))
   }
+
+  // ================================================================ HTML extraction
+
+  /** Elements whose CONTENT is machinery or boilerplate, dropped whole:
+    * script/style/head/template/noscript/svg are never prose;
+    * nav/header/footer/aside are the HTML5 semantic boilerplate
+    * containers (the jusText/Arc90 "bad containers"). One compiled
+    * regex per tag because RE2 has no backreferences (`</\1>`) — the
+    * pattern must stay valid in BOTH Java (Spark) and RE2 (a DuckDB
+    * oracle), the [[redact]] discipline. Nested same-tag containers
+    * fall back to the line heuristics below (the non-greedy match ends
+    * at the first close tag). */
+  private val htmlContainerTags = Seq("script", "style", "head", "template",
+    "noscript", "svg", "nav", "header", "footer", "aside")
+
+  /** Block-level boundaries become line breaks (open OR close tag);
+    * inline tags (a, b, span, em, …) strip in place later. */
+  private val htmlBlockPattern: String =
+    "(?i)</?(?:p|div|li|ul|ol|dl|dt|dd|h1|h2|h3|h4|h5|h6|tr|td|th|table|thead|" +
+      "tbody|section|article|blockquote|pre|form|hr|br)\\b[^>]*>"
+
+  /** The five XML entities plus nbsp/apos, decoded AFTER tag stripping
+    * so entity-encoded markup (`&lt;script&gt;`) stays text — the
+    * standard safe order. `&amp;` is last (so `&amp;lt;` decodes to the
+    * literal `&lt;`, not `<`). Other entities pass through. */
+  private def htmlDecodeEntities(c: Column): Column =
+    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+
+  /** A line's visible text: remaining tags stripped, entities decoded,
+    * whitespace collapsed, trimmed. A tag opens only at `<` + letter
+    * (or `</`) — the HTML tokenizer rule — so a bare `<` in prose
+    * (`3 < 5`) stays text; `</?[A-Za-z][^>]*$` catches a tag left
+    * unclosed at end of input. */
+  private def htmlStripLine(l: Column): Column =
+    trim(regexp_replace(htmlDecodeEntities(
+      regexp_replace(l, "</?[A-Za-z][^>]*>|</?[A-Za-z][^>]*$", " ")), "\\s+", " "))
+
+  /** HTML → main-content text: the FIRST step of a real web-crawl
+    * pipeline, run before any other text operator. Deterministic,
+    * regex-only main-content extraction with the public
+    * Arc90-readability / jusText content rules:
+    *
+    *  1. comments and [[htmlContainerTags]] drop WITH their content
+    *     (a `</p>` inside a script string is script, not structure);
+    *  2. block-level tags become line breaks ([[htmlBlockPattern]]);
+    *  3. a line is CONTENT iff its stripped text has at least
+    *     `minChars` characters AND at most 1/5 of them are anchor
+    *     text — `5·anchorLen ≤ strippedLen`, the link-density rule in
+    *     exact integer arithmetic (no floats, the engine-portability
+    *     contract) — navigation rows are mostly link text, prose is
+    *     not;
+    *  4. kept lines join with `\n`.
+    *
+    * Entirely built from regexp/collection functions with patterns
+    * valid in BOTH Java and RE2 (no backreferences, no lookarounds):
+    * scan-local, no UDF, no shuffle, and a DuckDB oracle can replay it.
+    * Malformed HTML degrades safely: unclosed tags strip to the next
+    * `>` (or end of line), never-closed containers fall through to the
+    * line rules, bare `<`/`>` in text survive as text. */
+  def extractHtml(html: Column, minChars: Int = 25): Column = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val noComments = regexp_replace(coalesce(html, lit("")), "<!--[\\s\\S]*?-->", " ")
+    val noContainers = htmlContainerTags.foldLeft(noComments) { (c, t) =>
+      regexp_replace(c, s"(?i)<$t\\b[^>]*>[\\s\\S]*?</$t\\s*>", " ")
+    }
+    val lines = split(regexp_replace(noContainers, htmlBlockPattern, "\n"), "\n")
+    // anchor text measured on the RAW line (tags still present), so
+    // link density sees the structure the strip erases
+    val scored = transform(lines, l => struct(
+      htmlStripLine(l).as("txt"),
+      aggregate(
+        regexp_extract_all(l, lit("(?i)<a\\b[^>]*>([\\s\\S]*?)</a\\s*>"), lit(1)),
+        lit(0), (acc, a) => acc + length(htmlStripLine(a))).as("alen")))
+    val kept = filter(scored, s =>
+      length(s("txt")) >= lit(minChars) && s("alen") * lit(5) <= length(s("txt")))
+    array_join(transform(kept, s => s("txt")), "\n")
+  }
 }

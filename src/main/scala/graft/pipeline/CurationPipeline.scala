@@ -543,6 +543,13 @@ object CurationPipeline {
     "normalize" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.normalized(col(c.textCol)))
     }),
+    // HTML -> main-content extraction (the web-crawl pipeline's FIRST
+    // step): the text column is rewritten in place with the extracted
+    // content lines; minChars tunes the boilerplate length rule
+    "extract_html" -> Op(Set("minChars"), { c =>
+      c.input.withColumn(c.textCol,
+        TextAnalysis.extractHtml(col(c.textCol), c.params.int("minChars", 25)))
+    }),
     "redact" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.redact(col(c.textCol)))
     }),

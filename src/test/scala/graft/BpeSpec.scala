@@ -99,6 +99,74 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(df, "text", numMerges = 5).count() === 0)
   }
 
+  test("trainMergesLocal (driver fast path) equals trainMerges on the classic corpus") {
+    import spark.implicits._
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    // numMerges beyond exhaustion: both trainers must stop at the same
+    // round with the same merges
+    assert(rows(Bpe.trainMergesLocal(df, "text", numMerges = 50)) ===
+      rows(Bpe.trainMerges(df, "text", numMerges = 50)))
+  }
+
+  test("trainMergesLocal equals trainMerges on a varied random corpus incl. multi-byte words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // non-ASCII words exercise the UTF-8-byte tie-break order (Spark's
+    // string sort), incl. a supplementary-plane word where Java's
+    // UTF-16 compareTo would order differently
+    val words = Vector("alpha", "beta", "gamma", "delta", "abcabc", "aaaa",
+      "éclair", "über", new String(Character.toChars(0x1D552)) + "b",
+      // U+FFFD sorts BEFORE the supplementary word in UTF-8 bytes but
+      // AFTER it in UTF-16 code units — the exact divergence utf8Lt fixes
+      "�x")
+    val texts = (0 until 60).map(_ =>
+      (0 until 1 + rnd.nextInt(6)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(rows(Bpe.trainMergesLocal(df, "text", numMerges = 24)) ===
+      rows(Bpe.trainMerges(df, "text", numMerges = 24)))
+  }
+
+  test("trainMergesInMemory sustains deep vocabularies and matches the reference") {
+    // 512 merges over a synthetic corpus with enough pair structure —
+    // the incremental stats/index/queue path must stay exact deep into
+    // training (the O(neighborhood)-per-merge fast path vs the
+    // reference's full recount every round)
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdefgh"
+    val texts = (0 until 300).map(_ =>
+      (0 until 3).map(_ =>
+        (0 until 3 + rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(8))).mkString).mkString(" "))
+    val wf = texts.flatMap(t => refNormalize(t).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    val got = Bpe.trainMergesInMemory(wf, numMerges = 512, endOfWord = "</w>")
+    val want = refTrain(texts, 512)
+    assert(got === want)
+  }
+
+  test("trainMergesLocal: minFreq prunes the tail before training; bound fails loudly") {
+    import spark.implicits._
+    val texts = Seq.fill(6)("looping") ++ Seq.fill(4)("loom") ++ Seq("hapax")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    // minFreq=2 trains on {looping, loom} only — identical to training
+    // on a corpus that never contained the hapax
+    val noHapax = texts.filter(_ != "hapax")
+    val df2 = noHapax.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(rows(Bpe.trainMergesLocal(df, "text", numMerges = 8, minFreq = 2L)) ===
+      rows(Bpe.trainMergesLocal(df2, "text", numMerges = 8)))
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainMergesLocal(df, "text", numMerges = 2, maxDistinctWords = 2)
+    }
+    assert(ex.getMessage.contains("minFreq"))
+  }
+
   test("tokenizeWith: reconstruction, counting, and merge effect") {
     import spark.implicits._
     val corpus = Seq((1L, "low lower"), (2L, "newest low"), (3L, "  Newest   LOW "))

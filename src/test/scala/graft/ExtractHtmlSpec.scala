@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** HTML main-content extraction: container/comment removal, block
+  * splitting, entity decode order, the integer link-density rule, and
+  * malformed-markup degradation. */
+class ExtractHtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String, minChars: Int = 25): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(TextAnalysis.extractHtml(col("h"), minChars).as("t"))
+      .collect()(0).getString(0)
+
+  private val pad = "with plenty of padding text to pass the length rule"
+
+  test("scripts, styles, comments, and semantic boilerplate containers drop with content") {
+    val html =
+      s"""<html><head><title>t</title><script>var p = "</p> fake content $pad";</script>
+         |<style>p { color: red } /* $pad */</style></head>
+         |<body><!-- secret comment $pad -->
+         |<nav>Primary navigation menu $pad</nav>
+         |<header>Site header banner $pad</header>
+         |<p>Real article body one $pad</p>
+         |<aside>Related links sidebar $pad</aside>
+         |<footer>Copyright footer $pad</footer>
+         |</body></html>""".stripMargin
+    assert(extract(html) === s"Real article body one $pad")
+    // a decoy </p> inside the script string was removed WITH the
+    // script (container removal precedes block splitting)
+  }
+
+  test("block tags split lines; inline tags strip in place; case-insensitive") {
+    val html = s"<DIV>First block line here $pad</DIV>" +
+      s"<P>Second with <B>bold</B> and <span class='x'>span</span> kept $pad</P>"
+    assert(extract(html) ===
+      s"First block line here $pad\nSecond with bold and span kept $pad")
+  }
+
+  test("entities decode after stripping, &amp; last; entity-encoded markup stays text") {
+    val html = s"<p>A &lt;script&gt; tag &amp; the literal &amp;lt; stay text," +
+      s" &quot;q&quot; &#39;a&#39;&nbsp;end $pad</p>"
+    assert(extract(html) ===
+      s"""A <script> tag & the literal &lt; stay text, "q" 'a' end $pad""")
+  }
+
+  test("link-density: an all-anchor line >= minChars drops; prose with one link survives") {
+    val nav = "<p><a href='/a'>A long all anchor navigation line of links</a></p>"
+    val prose = s"<p>Prose sentence citing <a href='/r'>a ref</a> inline $pad</p>"
+    assert(extract(nav + prose) ===
+      s"Prose sentence citing a ref inline $pad")
+  }
+
+  test("minChars rule: short lines drop at the default, survive when lowered") {
+    val html = "<li>Nav</li><li>Links</li><p>short line</p>"
+    assert(extract(html) === "")
+    assert(extract(html, minChars = 3) === "Nav\nLinks\nshort line")
+  }
+
+  test("malformed markup degrades safely: unclosed tags, bare angle brackets, null") {
+    // unclosed tag at end of input strips to end of line
+    assert(extract(s"<p>Line before a dangling $pad <div class=") ===
+      s"Line before a dangling $pad")
+    // a bare < or > in prose is text, not a tag (tags open only at
+    // `<` + letter, the HTML tokenizer rule)
+    assert(extract(s"<p>Comparing 3 < 5 and 5 > 2 in prose $pad</p>") ===
+      s"Comparing 3 < 5 and 5 > 2 in prose $pad")
+    // never-closed container falls through to line rules
+    assert(extract(s"<nav>Unclosed nav so line rules apply $pad") ===
+      s"Unclosed nav so line rules apply $pad")
+    // null input extracts to empty
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("h")
+      .select(TextAnalysis.extractHtml(col("h")).as("t")).collect()(0).getString(0)
+    assert(n === "")
+  }
+
+  test("whitespace collapses per line; blank interior lines vanish") {
+    val html = s"<p>  spaced   out\t line $pad </p><p>   </p><p>Second line $pad</p>"
+    assert(extract(html) === s"spaced out line $pad\nSecond line $pad")
+  }
+}
