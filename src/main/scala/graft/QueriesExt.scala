@@ -1260,12 +1260,52 @@ object QueriesExt {
        |  SELECT t.source,
        |         CASE WHEN (CAST(65536 AS HUGEINT) * 20000 * w.wgt) // (100 * t.toks) >= 65536
        |              THEN 'g'
-       |              ELSE lpad(to_hex((CAST(65536 AS HUGEINT) * 20000 * w.wgt) // (100 * t.toks)), 4, '0')
+       |              -- lower(): DuckDB to_hex is UPPERCASE, md5 is lowercase
+       |              ELSE lpad(lower(to_hex((CAST(65536 AS HUGEINT) * 20000 * w.wgt) // (100 * t.toks))), 4, '0')
        |         END AS th
        |  FROM tot t JOIN w ON w.source = t.source)
        |SELECT d.doc_id, d.source, d.n_chars
        |FROM documents d JOIN thr ON d.source = thr.source
        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4) < thr.th
+       |""".stripMargin
+
+  /** Mixture WITH UPSAMPLING: src0 at weight 60 against a 40k-token
+    * budget needs a 24k share — 3 full epochs + a fractional one at
+    * small sf (its corpus is ~8k tokens), while at sf0.1 (~73k) the
+    * same spec DOWNSAMPLES (F = 0) — one gate spans both regimes.
+    * src1 sits at ~1 epoch + fraction, src2/src3 downsample. The
+    * oracle replays the exact decimal F/remainder arithmetic, the
+    * per-epoch thresholds, and the md5 membership per (doc, epoch). */
+  def sampleDomainMixEpochs(s: SparkSession, dir: String): DataFrame =
+    Sampling.domainMixEpochs(
+      docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars",
+      weights = Seq("src0" -> 60L, "src1" -> 25L, "src2" -> 10L, "src3" -> 5L),
+      budgetTokens = 40000L, maxEpochs = 4, salt = "mixep")
+
+  lazy val sampleDomainMixEpochsSql: String =
+    s"""WITH w(source, wgt) AS (VALUES ('src0', 60), ('src1', 25), ('src2', 10), ('src3', 5)),
+       |tot AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS toks
+       |        FROM documents GROUP BY 1),
+       |fr AS (
+       |  SELECT t.source,
+       |         CAST(100 AS HUGEINT) * t.toks AS den,
+       |         CAST(40000 AS HUGEINT) * w.wgt AS num,
+       |         (CAST(40000 AS HUGEINT) * w.wgt) // (CAST(100 AS HUGEINT) * t.toks) AS f
+       |  FROM tot t JOIN w ON w.source = t.source),
+       |ep AS (
+       |  SELECT source, e.epoch,
+       |         CASE WHEN e.epoch < f THEN 'g'
+       |              -- lower(): DuckDB to_hex is UPPERCASE, md5 is
+       |              -- lowercase — an uppercase threshold flips
+       |              -- membership when the deciding char is a hex letter
+       |              ELSE lpad(lower(to_hex((CAST(65536 AS HUGEINT) * (num - f * den)) // den)), 4, '0')
+       |         END AS th
+       |  FROM fr, unnest(generate_series(0, CAST(f AS BIGINT))) AS e(epoch)
+       |  WHERE e.epoch < f OR num - f * den > 0)
+       |SELECT d.doc_id, d.source, d.n_chars, CAST(ep.epoch AS INTEGER) AS epoch
+       |FROM documents d JOIN ep ON d.source = ep.source
+       |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mixep'), 1, 4) < ep.th
        |""".stripMargin
 
   // ================================================================ winnowing

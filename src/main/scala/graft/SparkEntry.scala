@@ -162,6 +162,7 @@ object SparkEntry {
     "sample_stratified" -> (QueriesExt.sampleStratified _),
     // corpus mixing: per-domain hash sample sized to a token budget
     "sample_domain_mix" -> (QueriesExt.sampleDomainMix _),
+    "sample_domain_mix_epochs" -> (QueriesExt.sampleDomainMixEpochs _),
     // systematic PPS: pick ~k rows proportional to integral weight
     "sample_weighted"   -> (QueriesExt.sampleWeighted _),
     // rolling time-window aggregation + transition matrix
@@ -343,6 +344,7 @@ object SparkEntry {
     "sample_splits"             -> QueriesExt.sampleSplitsSql,
     "sample_stratified"         -> QueriesExt.sampleStratifiedSql,
     "sample_domain_mix"         -> QueriesExt.sampleDomainMixSql,
+    "sample_domain_mix_epochs"  -> QueriesExt.sampleDomainMixEpochsSql,
     "sample_weighted"           -> QueriesExt.sampleWeightedSql,
     "events_rolling"            -> QueriesEvents.eventsRollingSql,
     "events_cube"               -> QueriesEvents.eventsCubeSql,

@@ -141,6 +141,86 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Domain mixture WITH UPSAMPLING (epochs) — the missing half of the
+    * real LLM-mixture contract that [[domainMix]]'s keep-all cap
+    * leaves silent: a small high-quality domain whose corpus sits
+    * BELOW its token share is REPEATED for multiple epochs until it
+    * delivers the share (the standard published-mixture practice —
+    * high-quality sources run several epochs while the crawl runs a
+    * fraction of one), instead of under-delivering the budget.
+    *
+    * Output adds a 0-based `epoch` provenance column. With per-domain
+    * corpus mass `T`, weight `w`, budget `B`, weight sum `Σw` — all in
+    * exact decimal(38,0) arithmetic:
+    *  - `F = (B·w) div (Σw·T)` FULL epochs `0 .. F-1`, each the whole
+    *    domain;
+    *  - remainder `R = B·w − F·Σw·T` > 0 adds a FRACTIONAL epoch `F`
+    *    keeping the md5 bucket sample of `(65536·R) div (Σw·T)` of the
+    *    65536 buckets (the same exact-integer rule as [[domainMix]]);
+    *  - a downsampled domain (`T` ≥ target) is the `F = 0` case —
+    *    byte-identical membership to [[domainMix]], at epoch 0.
+    *
+    * `maxEpochs` bounds replication; a domain NEEDING more epochs
+    * raises in-plan (fail-loud: a silent cap is exactly the
+    * under-delivery this operator exists to fix — lower the weight or
+    * raise the bound deliberately).
+    *
+    * Plan shape: one partial-agg groupBy for domain totals, then a
+    * broadcast join against the ≤|domains|·(maxEpochs+1)-row
+    * (domain, epoch, threshold) table whose join fan-out IS the
+    * replication — cost proportional to rows actually emitted, the
+    * corpus never shuffles, membership stays a pure scan-local
+    * function of (key, salt, epoch thresholds). Downstream id-keyed
+    * logic must key on (id, epoch) — the pipeline `mix` step's
+    * collision guard does. */
+  def domainMixEpochs(
+      df: DataFrame, keyCol: String, domainCol: String, tokenCol: String,
+      weights: Seq[(String, Long)], budgetTokens: Long, maxEpochs: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(weights.nonEmpty, "at least one domain weight required")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val sumW = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toDF(domainCol, "__w")
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("decimal(38,0)").as("__toks"))
+    val epochs = totals.join(wDf, Seq(domainCol))
+      .withColumn("__den", expr(s"CAST($sumW AS DECIMAL(38,0)) * __toks"))
+      .withColumn("__num",
+        expr(s"CAST($budgetTokens AS DECIMAL(38,0)) * CAST(__w AS DECIMAL(38,0))"))
+      .withColumn("__F", expr("__num div __den"))
+      .withColumn("__R", expr("__num - CAST(__F AS DECIMAL(38,0)) * __den"))
+      // fail-loud BEFORE the epoch fan-out (filter-anchored so the
+      // raise survives column pruning)
+      .withColumn("__ok",
+        when(col("__F") + when(expr("__R > 0"), lit(1L)).otherwise(lit(0L))
+            > lit(maxEpochs.toLong),
+          raise_error(concat(
+            lit("domainMixEpochs: domain "), col(domainCol).cast("string"),
+            lit(" needs "),
+            (col("__F") + when(expr("__R > 0"), lit(1L)).otherwise(lit(0L))).cast("string"),
+            lit(s" epochs to deliver its token share but maxEpochs=$maxEpochs — " +
+              "raise maxEpochs or lower the domain's weight"))))
+          .otherwise(lit(true)))
+      .filter(col("__ok"))
+      .withColumn("epoch", explode(expr("sequence(CAST(0 AS BIGINT), __F)")))
+      // the row for epoch F exists only when a fractional remainder does
+      .filter(col("epoch") < col("__F") || expr("__R > 0"))
+      .withColumn("__thr",
+        when(col("epoch") < col("__F"), lit("g"))
+          .otherwise(format_string("%04x",
+            expr("(CAST(65536 AS DECIMAL(38,0)) * __R) div __den"))))
+      .select(col(domainCol), col("epoch").cast("int").as("epoch"), col("__thr"))
+    df.join(broadcast(epochs), Seq(domainCol))
+      .filter(bucketKey(col(keyCol), salt) < col("__thr"))
+      .drop("__thr")
+      .select(df.columns.toIndexedSeq.map(col) :+ col("epoch"): _*)
+  }
+
   /** Systematic probability-proportional-to-size sampling (Madow
     * 1949): pick ~k rows with inclusion probability proportional to
     * an integral weight — the "sample documents proportional to token

@@ -830,7 +830,13 @@ object CurationPipeline {
     // the bpeTokenEstimate of the text column is used. The step's own
     // `input:` must be one of the members (it anchors the chain; the
     // data comes from `inputs`). Output adds `mix_source`.
-    "mix" -> Op(Set("inputs", "weights", "budgetTokens", "tokens", "salt"), { c =>
+    // `maxEpochs` > 1 switches to domainMixEpochs: a member BELOW its
+    // token share is repeated for whole epochs plus an exact fractional
+    // one until it delivers the share (needing more than maxEpochs
+    // raises); output then ALSO adds `epoch`, and the id-collision
+    // guard keys on (id, epoch) — every (id, epoch) pair stays unique.
+    "mix" -> Op(Set("inputs", "weights", "budgetTokens", "tokens", "salt",
+      "maxEpochs"), { c =>
       val names = c.params.reqStr("inputs").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(names.length >= 2, s"step ${c.stepName}: mix needs at least two inputs")
       require(names.distinct == names,
@@ -864,21 +870,39 @@ object CurationPipeline {
         // between mix members fails loudly instead of null-padding
         withTok.withColumn("mix_source", lit(n))
       }.reduce(_.unionByName(_))
-      val mixed = Sampling.domainMix(tagged, c.idCol, "mix_source", "__mix_tokens",
-        names.zip(ws), c.params.reqLong("budgetTokens"), c.params.str("salt", "mix"))
-        .drop("__mix_tokens")
+      val maxEpochs = c.params.int("maxEpochs", 1)
+      require(maxEpochs >= 1,
+        s"step ${c.stepName}: maxEpochs must be >= 1, got $maxEpochs")
+      if (maxEpochs > 1)
+        require(!tagged.columns.contains("epoch"),
+          s"step ${c.stepName}: a mix input already has an 'epoch' column — " +
+            "it would collide with the epoch provenance this step adds")
+      val mixed =
+        (if (maxEpochs == 1)
+          Sampling.domainMix(tagged, c.idCol, "mix_source", "__mix_tokens",
+            names.zip(ws), c.params.reqLong("budgetTokens"), c.params.str("salt", "mix"))
+        else
+          Sampling.domainMixEpochs(tagged, c.idCol, "mix_source", "__mix_tokens",
+            names.zip(ws), c.params.reqLong("budgetTokens"), maxEpochs,
+            c.params.str("salt", "mix")))
+          .drop("__mix_tokens")
       // independently produced corpora commonly number docs from 1: an
       // id surviving from TWO members would fan out every downstream
       // id-keyed join and break shuffle_shards/export determinism.
       // Guard IN-PLAN over the sampled output only (budget-bounded —
-      // the full union never pays an id exchange).
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(c.idCol))
+      // the full union never pays an id exchange). With epochs the key
+      // is (id, epoch): the SAME id legitimately recurs across its own
+      // domain's epochs, never within one.
+      val guardKeys =
+        if (maxEpochs == 1) Seq(col(c.idCol)) else Seq(col(c.idCol), col("epoch"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(guardKeys: _*)
       mixed
         .withColumn("__mix_n",
           // filter-anchored (the attribution-guard pattern): a raise
           // inside a later-dropped projection would be pruned away
           when(count(lit(1)).over(w) > 1, raise_error(concat(
             lit(s"step ${c.stepName}: id "), col(c.idCol).cast("string"),
+            lit(if (maxEpochs == 1) "" else " (same epoch)"),
             lit(" sampled from more than one mix input — member corpora must have " +
               "disjoint ids (re-key before mixing)"))))
             .otherwise(lit(true)))

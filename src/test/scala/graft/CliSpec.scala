@@ -432,6 +432,73 @@ class CliSpec extends SparkSpec {
     assert(ex.getMessage.contains("must be one of its"), ex.getMessage)
   }
 
+  test("pipeline mix with maxEpochs: a tiny member upsamples with epoch provenance") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val (src, out) = (tempDir(), tempDir())
+    val web = (1L to 200L).map(i => (i, s"web document number $i with enough words to count"))
+      .toDF("doc_id", "text")
+    val books = (1001L to 1005L).map(i => (i, s"book $i body"))
+      .toDF("doc_id", "text")
+    web.write.parquet(s"$src/web.parquet")
+    books.write.parquet(s"$src/books.parquet")
+    val yaml = Files.createTempFile("graft-pipe-mix-ep", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: mix_epochs
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: blend
+        |    op: mix
+        |    input: web
+        |    params: { inputs: "web,books", weights: "50,50",
+        |              budgetTokens: 400, maxEpochs: 16, salt: m1 }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/blend")
+    assert(got.columns.toSet === Set("doc_id", "text", "mix_source", "epoch"))
+    // books' 200-token share / its ~15-token corpus = multiple epochs;
+    // every FULL epoch carries all 5 books
+    val bookEpochs = got.filter(col("mix_source") === "books")
+      .groupBy("epoch").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bookEpochs.size >= 2, s"books must upsample, got $bookEpochs")
+    val maxFull = bookEpochs.keys.max
+    (0 until maxFull).foreach(e =>
+      assert(bookEpochs(e) === 5L, s"full epoch $e must carry all books: $bookEpochs"))
+    // web downsamples at epoch 0 only
+    val webEpochs = got.filter(col("mix_source") === "web")
+      .select("epoch").distinct().collect().map(_.getInt(0)).toSeq
+    assert(webEpochs === Seq(0))
+    // (id, epoch) unique
+    assert(got.groupBy("doc_id", "epoch").count().filter(col("count") > 1).count() === 0)
+    // same-epoch cross-member id collision raises (both number from 1)
+    val dup = tempDir()
+    (1L to 5L).map(i => (i, s"corpus a doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dup/a.parquet")
+    (1L to 5L).map(i => (i, s"corpus b doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dup/b.parquet")
+    val yamlDup = Files.createTempFile("graft-pipe-mix-ep-dup", ".yaml")
+    Files.writeString(yamlDup,
+      """pipeline: mix_ep_dup
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: blend
+        |    op: mix
+        |    input: a
+        |    params: { inputs: "a,b", weights: "1,1", budgetTokens: 100,
+        |              maxEpochs: 8 }
+        |""".stripMargin)
+    val exDup = intercept[Exception] {
+      Cli.run(Seq("pipeline", yamlDup.toString, dup, tempDir()), spark)
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain(exDup).contains("more than one mix input"), chain(exDup))
+  }
+
   test("pipeline subcommand: examples/training_export.yaml runs the round-9 surface end-to-end") {
     val s = spark
     import s.implicits._

@@ -108,6 +108,65 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("domain mix epochs: an over-weighted small domain delivers its share via replication") {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val weights = Seq("src0" -> 3L, "src1" -> 1L)
+    // budget sized so src0's share = ~3.5 corpus masses: 3 full epochs
+    // plus a ~half fractional epoch (a non-empty strict subset even at
+    // 25 docs/source)
+    val budget = 37000L
+    val mixed = Sampling.domainMixEpochs(base, "doc_id", "source", "n_chars",
+      weights, budgetTokens = budget, maxEpochs = 4, salt = "ep")
+    val t0 = base.filter(col("source") === "src0").agg(sum("n_chars")).head.getLong(0)
+    val n0 = base.filter(col("source") === "src0").count()
+    val target0 = budget * 3 / 4
+    val fullEpochs = (target0 / t0).toInt
+    assert(fullEpochs >= 2, s"fixture drift: src0 total $t0 — re-derive the expectations")
+    // every full epoch replicates the complete domain
+    for (e <- 0 until fullEpochs)
+      assert(mixed.filter(col("source") === "src0" && col("epoch") === e).count() == n0,
+        s"full epoch $e must contain the whole domain")
+    // the fractional last epoch is a strict non-empty subset
+    val frac = mixed.filter(col("source") === "src0" && col("epoch") === fullEpochs).count()
+    assert(frac > 0 && frac < n0)
+    // delivered token mass reaches the share (vs domainMix's keep-all
+    // under-delivery of just t0): at least the full epochs exactly,
+    // and near the target within hash-bucket granularity
+    val delivered = mixed.filter(col("source") === "src0")
+      .agg(sum("n_chars")).head.getLong(0)
+    assert(delivered >= fullEpochs * t0)
+    assert(delivered > t0, "upsampling must beat the keep-all cap")
+    assert(math.abs(delivered - target0).toDouble / target0 < 0.25,
+      s"delivered $delivered vs target $target0")
+    // (id, epoch) is unique per domain
+    assert(mixed.groupBy("doc_id", "epoch", "source").count()
+      .filter(col("count") > 1).count() == 0)
+    // determinism
+    val again = Sampling.domainMixEpochs(base, "doc_id", "source", "n_chars",
+      weights, budgetTokens = budget, maxEpochs = 4, salt = "ep")
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again === mixed.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
+  test("domain mix epochs: downsampled domain equals domainMix at epoch 0; epoch cap raises") {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val eps = Sampling.domainMixEpochs(base, "doc_id", "source", "n_chars",
+      Seq("src2" -> 1L), budgetTokens = 4000L, maxEpochs = 4, salt = "mix")
+    assert(eps.select("epoch").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    val plain = Sampling.domainMix(base, "doc_id", "source", "n_chars",
+      Seq("src2" -> 1L), budgetTokens = 4000L, salt = "mix")
+    assert(eps.drop("epoch").collect().map(_.toString).sorted.toSeq ===
+      plain.collect().map(_.toString).sorted.toSeq)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val ex = intercept[Exception] {
+      Sampling.domainMixEpochs(base, "doc_id", "source", "n_chars",
+        Seq("src0" -> 1L), budgetTokens = 100000L, maxEpochs = 2).collect()
+    }
+    assert(messages(ex).exists(_.contains("maxEpochs")))
+  }
+
   test("domain mix: huge budget keeps every listed domain in full") {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
     val all = Sampling.domainMix(base, "doc_id", "source", "n_chars",
