@@ -173,6 +173,16 @@ object Bench {
     } catch { case _: Throwable => "" }
 
   def main(args: Array[String]): Unit = {
+    // loadavg at JVM ENTRY — before Spark init, codegen warmup, and the
+    // timed queries — so a record distorted only by the bench's own
+    // startup is distinguishable from ambient contention. Three of four
+    // driver records tripped the honesty flag on a loadavg read taken
+    // AFTER sbt's compile warmup; this reading ends that ambiguity.
+    // SPARK_GRAFT_LOADAVG0 goes one step further: a wrapper can pass
+    // the loadavg from BEFORE sbt itself launched, e.g.
+    //   SPARK_GRAFT_LOADAVG0="$(cut -d' ' -f1-3 /proc/loadavg)" sbt ...
+    val loadJvmStart  = loadavg
+    val loadPrelaunch = sys.env.getOrElse("SPARK_GRAFT_LOADAVG0", "")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -268,12 +278,15 @@ object Bench {
     }
     val loadEnd   = loadavg
     val cpuTotal  = if (cpuStart < 0) -1.0 else processCpuSec - cpuStart
-    // Honesty flag: ambient machine load at start means the wall times
-    // in this record are contention-inflated (r4/r6/r8 driver records
-    // all were). A reader who only sees the number should see the
-    // caveat too; cpu_s stays the load-invariant signal either way.
+    // Honesty flag: AMBIENT machine load means the wall times in this
+    // record are contention-inflated (r4/r6/r8 driver records all
+    // were). Keyed on the EARLIEST available reading — prelaunch env
+    // if a wrapper passed it, else the JVM-entry reading — so the
+    // bench's own sbt/compile/warmup load no longer trips it; cpu_s
+    // stays the load-invariant signal either way.
     val loadDistorted =
-      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
+      Seq(loadPrelaunch, loadJvmStart).find(_.nonEmpty).getOrElse(loadStart)
+        .split("\\s+").headOption.flatMap(_.toDoubleOption)
         .exists(_ > cpus.toDouble / 16.0)
 
     def jmap(f: Timing => Double): String = results
@@ -295,6 +308,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""total_min":${jtotal(_.wallMin)}%.3f,"cpu_total_s":$cpuTotal%.3f,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""loadavg_jvm_start":"$loadJvmStart","loadavg_prelaunch":"$loadPrelaunch",""" +
         s""""load_distorted":$loadDistorted,""" +
         s""""queries":${jmap(_.wallMed)},""" +
         s""""queries_min":${jmap(_.wallMin)},""" +
@@ -313,6 +327,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""total_min":${jtotal(_.wallMin)}%.3f,"cpu_total_s":$cpuTotal%.3f,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""loadavg_jvm_start":"$loadJvmStart","loadavg_prelaunch":"$loadPrelaunch",""" +
         s""""load_distorted":$loadDistorted,""" +
         s""""n_queries":${results.size},"detail":"$detailPath",""" +
         s""""sf":"$sfDir"}""")

@@ -3,17 +3,30 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: media payloads travel as opaque `binary`
-  * columns with typed metadata; decode / feature-extraction runs as a
-  * typed `mapPartitions` (the Scala analogue of `mapInPandas` batch
-  * UDFs) so heavyweight codec state can be initialized once per
-  * partition.
+/** Multimodal column plumbing AND real codec work: media payloads
+  * travel as opaque `binary` columns with typed metadata; every decode
+  * / feature-extraction pass runs as a typed `mapPartitions` (the
+  * Scala analogue of `mapInPandas` batch UDFs) so codec state is
+  * initialized once per partition, output fan-out stays bounded, and
+  * nothing touches the driver.
   *
-  * The decode itself is a STUB: this container has no image/audio
-  * codecs, so `decodeStub` derives deterministic fake metadata from the
-  * bytes. The Spark-side plumbing — schema, batching, partition-level
-  * execution, deterministic output — is real and tested; swapping in a
-  * real codec changes only the function body marked below.
+  * Most of this file is REAL codec work on JDK-native formats:
+  * PNG encode/decode via `javax.imageio` (syntheticImages,
+  * reencodeScaled, dHash and its oracle-replayable integer pixel
+  * formula), WAV via `javax.sound.sampled` (syntheticAudio*,
+  * reencodeAttenuated, VAD energy windows, the Haitsma–Kalker-style
+  * delta-sign fingerprint), and a frame-container demux for video
+  * (syntheticVideos, videoFrameHashes/videoFrameSet) — all exercised
+  * by oracle gates asserting decoded pixel/sample content.
+  *
+  * Three functions remain DELIBERATE stubs for formats this container
+  * has no codecs for (JPEG/MP4/opus would need native libs):
+  * `decodeStub` (fake metadata derived deterministically from bytes),
+  * `resizeStub` (deterministic fake resample), and `frameSample`
+  * (byte-window frame sampling standing in for timestamp seeking).
+  * They pin the partition-batched plumbing shape —
+  * schema, streaming iterator, bounded fan-out — so swapping in a real
+  * codec changes only the marked function bodies.
   */
 object Multimodal {
 

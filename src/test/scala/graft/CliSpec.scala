@@ -721,6 +721,51 @@ class CliSpec extends SparkSpec {
     assert(shardHashes(out) === shardHashes(out2))
   }
 
+  test("pipeline export: binary media payloads round-trip byte-identically through JSONL") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Multimodal
+    val (src, out) = (tempDir(), tempDir())
+    // real PNG payloads: the binary column is what the media dedup
+    // steps operate on; export must carry it losslessly (to_json
+    // base64-encodes BINARY, the schema-typed reader decodes it)
+    val imgs = Multimodal.syntheticImages(
+        spark.range(1, 9).select(col("id").as("doc_id")), "doc_id")
+      .withColumn("text", lit("img"))
+    imgs.write.parquet(s"$src/images.parquet")
+    val yaml = Files.createTempFile("graft-pipe-export-media", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: export_media
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: sharded
+        |    op: shuffle_shards
+        |    input: images
+        |    params: { shards: 2, salt: x }
+        |  - name: dumped
+        |    op: export
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, payload BINARY, text STRING, pos BIGINT")
+    val back = graft.sources.TextTables.readJsonl(
+      spark, Paths.get(out, "exports", "dumped").toString, schema, permissive = false)
+    // byte-identical payloads
+    val orig = imgs.select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val rt = back.select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(rt === orig)
+    // and the round-tripped payloads still DECODE: dHash equality
+    val h0 = Multimodal.dHash(imgs.select("doc_id", "payload"))
+      .collect().map(d => d.doc_id -> d.dhash).toMap
+    val h1 = Multimodal.dHash(back.select("doc_id", "payload"))
+      .collect().map(d => d.doc_id -> d.dhash).toMap
+    assert(h1 === h0)
+  }
+
   test("pipeline subcommand: spec errors fail loud before Spark starts") {
     def specError(body: String): String = {
       val yaml = Files.createTempFile("graft-pipe-bad", ".yaml")
