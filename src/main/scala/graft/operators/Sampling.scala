@@ -331,15 +331,24 @@ object Sampling {
     * any per-task state — the [[graft.operators.Packing]] contract.
     * Hash ties across distinct keys are broken by the key itself, so
     * `pos` is a total order even under md5-prefix collisions. */
-  def shuffleShards(df: DataFrame, keyCol: String, shards: Int, salt: String = ""): DataFrame = {
+  /** `extraKeyCols` join the hash AND the tie order — REQUIRED when
+    * (keyCol) alone is not unique (e.g. the `epoch` column after
+    * [[domainMixEpochs]]: the same id recurs once per epoch, and two
+    * rows tying on (hash, id) would take nondeterministic positions —
+    * exactly the reproducibility this operator exists to provide). */
+  def shuffleShards(
+      df: DataFrame, keyCol: String, shards: Int, salt: String = "",
+      extraKeyCols: Seq[String] = Nil): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     Seq("shard", "pos", "__h").foreach { c =>
       require(!df.columns.contains(c),
         s"shuffleShards would overwrite existing column '$c' — rename it first")
     }
+    val keys = keyCol +: extraKeyCols
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
-    df.withColumn("__h", md5(concat(col(keyCol).cast("string"), lit(salt))))
+      .partitionBy(col("shard")).orderBy(col("__h") +: keys.map(col): _*)
+    df.withColumn("__h", md5(concat(
+        keys.map(k => col(k).cast("string")) :+ lit(salt): _*)))
       .withColumn("shard",
         (conv(substring(col("__h"), 1, 4), 16, 10).cast("int") % shards))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))

@@ -818,8 +818,13 @@ object CurationPipeline {
     // (pure functions of id and salt) — the order-decorrelation step
     // before packing/batch export
     "shuffle_shards" -> Op(Set("shards", "salt"), { c =>
+      // after an epochs mix the SAME id recurs once per epoch; the
+      // epoch column must join the shard key or tied (hash, id) rows
+      // would take nondeterministic positions — breaking the byte-
+      // deterministic export this step exists to feed
+      val extras = if (c.input.columns.contains("epoch")) Seq("epoch") else Nil
       Sampling.shuffleShards(c.input, c.idCol,
-        c.params.reqInt("shards"), c.params.str("salt", ""))
+        c.params.reqInt("shards"), c.params.str("salt", ""), extras)
     }),
     // multi-corpus blend to a token budget: `inputs` names ALL mix
     // members (steps or source tables — they become dependency edges),
@@ -952,7 +957,13 @@ object CurationPipeline {
       // of exports/<step> never sees a half-written shard set
       Staging.promoteStaged(
         c.input.sparkSession, s"${c.outDir}/exports", c.stepName, "__staging")
-      c.input.select(col(c.idCol), col("shard"), col("pos"))
+      // manifest keeps epoch provenance when an epochs mix fed the
+      // chain — (id, epoch) is the unique key there, not id alone
+      val manifestCols =
+        if (c.input.columns.contains("epoch"))
+          Seq(col(c.idCol), col("epoch"), col("shard"), col("pos"))
+        else Seq(col(c.idCol), col("shard"), col("pos"))
+      c.input.select(manifestCols: _*)
     }),
     // SemDeDup semantic near-dup pruning [Abbas et al., 2023]: k-means
     // cluster the embeddings OF THE CURRENT INPUT (the aux table is
@@ -1028,9 +1039,25 @@ object CurationPipeline {
     // of guessing. Output (merge_rank, left_sym, right_sym); feed it
     // to `tokenize: vocab:` steps (possibly over other corpora — train
     // on the blend, tokenize the members).
-    "bpe_vocab" -> Op(Set("merges"), { c =>
-      graft.operators.Bpe.trainMerges(c.input, c.textCol,
-        numMerges = c.params.int("merges", 256))
+    // trainer: "local" (default) is the driver fast path — one
+    // distributed word-count pass, merges trained in memory, identical
+    // output (BpeSpec-pinned) at a fraction of the scheduler cost for
+    // real (>= 1k-merge) vocabularies; minFreq prunes the Zipf tail
+    // before the bounded collect. trainer: distributed keeps every
+    // round on the cluster (the round-replay oracle target).
+    "bpe_vocab" -> Op(Set("merges", "trainer", "minFreq"), { c =>
+      val n = c.params.int("merges", 256)
+      c.params.str("trainer", "local") match {
+        case "local" =>
+          graft.operators.Bpe.trainMergesLocal(c.input, c.textCol, numMerges = n,
+            minFreq = c.params.long("minFreq", 1L))
+        case "distributed" =>
+          require(!c.params.has("minFreq"),
+            s"step ${c.stepName}: minFreq applies to trainer: local only")
+          graft.operators.Bpe.trainMerges(c.input, c.textCol, numMerges = n)
+        case other => throw new IllegalArgumentException(
+          s"step ${c.stepName}: unknown trainer '$other' (local | distributed)")
+      }
     }),
     // annotation: REAL BPE token count (`n_bpe_tokens`) against a
     // learned vocab table — what mix budgets (`tokens: n_bpe_tokens`)

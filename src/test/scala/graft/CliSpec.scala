@@ -454,6 +454,11 @@ class CliSpec extends SparkSpec {
         |    input: web
         |    params: { inputs: "web,books", weights: "50,50",
         |              budgetTokens: 400, maxEpochs: 16, salt: m1 }
+        |  - name: sharded
+        |    op: shuffle_shards
+        |    params: { shards: 2, salt: s }
+        |  - name: dumped
+        |    op: export
         |""".stripMargin)
     Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
     val got = spark.read.parquet(s"$out/blend")
@@ -473,6 +478,30 @@ class CliSpec extends SparkSpec {
     assert(webEpochs === Seq(0))
     // (id, epoch) unique
     assert(got.groupBy("doc_id", "epoch").count().filter(col("count") > 1).count() === 0)
+    // replicated ids flow through shuffle_shards (epoch joins the
+    // shard key — no nondeterministic (hash, id) position ties) and
+    // the export manifest keeps epoch provenance
+    val manifest = spark.read.parquet(s"$out/dumped")
+    assert(manifest.columns.toSeq === Seq("doc_id", "epoch", "shard", "pos"))
+    assert(manifest.count() === got.count())
+    assert(manifest.groupBy("shard", "pos").count().filter(col("count") > 1).count() === 0,
+      "positions must be unique within a shard")
+    // byte-determinism survives the replicated ids: rerun hashes equal
+    def shardHashes(root: String): Seq[(String, String)] = {
+      val dir = Paths.get(root, "exports", "dumped")
+      val ds = scala.jdk.CollectionConverters.IteratorHasAsScala(Files.list(dir).iterator())
+        .asScala.filter(_.getFileName.toString.startsWith("shard=")).toSeq
+        .sortBy(_.getFileName.toString)
+      ds.map { d =>
+        val f = scala.jdk.CollectionConverters.IteratorHasAsScala(Files.list(d).iterator())
+          .asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+        d.getFileName.toString -> java.util.HexFormat.of.formatHex(
+          java.security.MessageDigest.getInstance("MD5").digest(Files.readAllBytes(f)))
+      }
+    }
+    val outRe = tempDir()
+    Cli.run(Seq("pipeline", yaml.toString, src, outRe), spark)
+    assert(shardHashes(out) === shardHashes(outRe))
     // same-epoch cross-member id collision raises (both number from 1)
     val dup = tempDir()
     (1L to 5L).map(i => (i, s"corpus a doc $i")).toDF("doc_id", "text")
