@@ -432,6 +432,42 @@ class CliSpec extends SparkSpec {
     assert(ex.getMessage.contains("must be one of its"), ex.getMessage)
   }
 
+  test("pipeline extract_html: crawl pages reduce to main content in place") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val (src, out) = (tempDir(), tempDir())
+    val pages = (1L to 20L).map { i =>
+      (i, "<html><head><script>var nav = '</p>';</script></head><body>" +
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+        s"<p>Article body number $i with enough words to pass the content rule</p>" +
+        "<footer>Copyright</footer></body></html>")
+    }.toDF("doc_id", "text")
+    pages.write.parquet(s"$src/pages.parquet")
+    val yaml = Files.createTempFile("graft-pipe-html", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: crawl
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: content
+        |    op: extract_html
+        |    input: pages
+        |  - name: counted
+        |    op: token_estimate
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/content")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 20L).foreach { i =>
+      assert(got(i) ===
+        s"Article body number $i with enough words to pass the content rule")
+    }
+    // downstream text op consumed the EXTRACTED text
+    val counted = spark.read.parquet(s"$out/counted")
+    assert(counted.filter(col("n_tokens_est") > 5).count() === 20L)
+  }
+
   test("pipeline mix with maxEpochs: a tiny member upsamples with epoch provenance") {
     val s = spark
     import s.implicits._
