@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Classify, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classify, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Warc}
 
 /** Training-data pipeline queries (SURVEY §7.1 step 7): dedup,
   * similarity search, text analysis, multimodal plumbing — with DuckDB
@@ -1434,6 +1434,53 @@ object QueriesExt {
       |  trim(regexp_replace('First paragraph main content: ' || text, '\s+', ' ', 'g'))
       |    || chr(10) || 'Entities & more <tags> here with plenty of padding' AS extracted
       |FROM documents
+      |""".stripMargin
+
+  // ================================================================ WARC parsing
+  /** WARC record parsing over deterministically CONSTRUCTED captures:
+    * each document becomes a two-record WARC file (a warcinfo record,
+    * then a response record whose HTTP body STARTS with a decoy
+    * `WARC/1.0` line — only Content-Length byte accounting parses
+    * that correctly; any delimiter splitter would cut the record in
+    * half). The oracle constructs the expected parse directly —
+    * record order, types, URIs, exact content lengths, and the
+    * HTTP-body split — so a drift anywhere in the slicing mismatches
+    * byte-for-byte. */
+  def warcExtract(s: SparkSession, dir: String): DataFrame = {
+    val httpPayload = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nWARC/1.0 decoy\n"),
+      col("text"))
+    val infoPayload = lit("software: graft\r\n")
+    val warc = concat(
+      lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "),
+      length(infoPayload).cast("string"), lit("\r\n\r\n"), infoPayload, lit("\r\n\r\n"),
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://example.com/"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Length: "), length(httpPayload).cast("string"),
+      lit("\r\n\r\n"), httpPayload, lit("\r\n\r\n"))
+    Warc.parseRecords(
+        docs(s, dir).select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
+      .toDF()
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"), col("target_uri"),
+        col("content_length"), Warc.httpBody(col("payload")).as("body"))
+  }
+
+  lazy val warcExtractSql: String =
+    """WITH resp AS (
+      |  SELECT doc_id,
+      |         'WARC/1.0 decoy' || chr(10) || text AS body,
+      |         CAST(length('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+      |                     'Content-Type: text/plain' || chr(13) || chr(10) ||
+      |                     chr(13) || chr(10) ||
+      |                     'WARC/1.0 decoy' || chr(10) || text) AS BIGINT) AS len
+      |  FROM documents)
+      |SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type, '' AS target_uri,
+      |       CAST(17 AS BIGINT) AS content_length,
+      |       'software: graft' || chr(13) || chr(10) AS body
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, 1, 'response', 'http://example.com/' || doc_id, len, body
+      |FROM resp
       |""".stripMargin
 
   // ================================================================ learned classifier

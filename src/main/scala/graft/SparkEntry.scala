@@ -54,6 +54,7 @@ object SparkEntry {
     "text_stats"     -> (QueriesExt.textStats _),
     "text_normalize" -> (QueriesExt.textNormalize _),
     "text_extract_html" -> (QueriesExt.textExtractHtml _),
+    "warc_extract" -> (QueriesExt.warcExtract _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
     // URL canonicalization (the crawl fetch-dedup key)
@@ -278,6 +279,7 @@ object SparkEntry {
     "text_stats"                -> QueriesExt.textStatsSql,
     "text_normalize"            -> QueriesExt.textNormalizeSql,
     "text_extract_html"         -> QueriesExt.textExtractHtmlSql,
+    "warc_extract"              -> QueriesExt.warcExtractSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,

@@ -550,6 +550,22 @@ object CurationPipeline {
       c.input.withColumn(c.textCol,
         TextAnalysis.extractHtml(col(c.textCol), c.params.int("minChars", 25)))
     }),
+    // WARC capture -> one row per record (shape change, the `chunk`
+    // convention): the text column holds WARC content in; out comes
+    // (id, rec_idx, warc_type, target_uri, text = HTTP body).
+    // types: filters to a record-type list (default "response" — the
+    // crawl-pipeline record; warcinfo/request/metadata are transport).
+    // Chain extract_html after it for the full crawl front-end.
+    "warc" -> Op(Set("types"), { c =>
+      val keep = c.params.str("types", "response")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keep.nonEmpty, s"step ${c.stepName}: types must name at least one record type")
+      graft.operators.Warc.parseRecords(c.input, c.idCol, c.textCol).toDF()
+        .filter(col("warc_type").isin(keep: _*))
+        .select(col("doc_id").as(c.idCol), col("rec_idx"), col("warc_type"),
+          col("target_uri"),
+          graft.operators.Warc.httpBody(col("payload")).as(c.textCol))
+    }),
     "redact" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.redact(col(c.textCol)))
     }),
