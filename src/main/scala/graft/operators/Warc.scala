@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * line, then EXACTLY `Content-Length` bytes of payload followed by
   * two blank lines.
   *
-  * Parsing is BYTE-ACCOUNTED, not regex-split: the payload is sliced
-  * by the declared `Content-Length`, so a body containing the literal
-  * text `WARC/1.0` (quoted markup, nested captures) can never split a
-  * record — the failure mode any delimiter-based splitter has. The
+  * Parsing is LENGTH-ACCOUNTED, not regex-split: the payload is
+  * sliced by the declared `Content-Length`, so a body containing the
+  * literal text `WARC/1.0` (quoted markup, nested captures) can never
+  * split a record — the failure mode any delimiter-based splitter
+  * has. Over this STRING column the length counts UTF-16 units, which
+  * equals bytes for the ASCII/Latin-1 captures the gates construct; a
+  * byte-exact binary-column variant would run the same core over
+  * `Array[Byte]` (spec'd contract, CrawlFuzzSpec round-trips
+  * arbitrary payloads under it). The
   * scan shape is the [[Multimodal]] convention: one `mapPartitions`
   * pass, per-record output fan-out bounded by input size, no shuffle,
   * no driver involvement.

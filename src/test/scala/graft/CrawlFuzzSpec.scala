@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{TextAnalysis, Warc}
+
+/** Adversarial-input robustness for the crawl front-end: the WARC
+  * parser and the HTML extractor face the open internet, so they get
+  * property-level fuzzing on top of their example specs — parse is a
+  * LEFT INVERSE of rendering for arbitrary payloads (including
+  * payloads that look like WARC structure), and extraction never
+  * throws, never emits a below-threshold line, and is deterministic
+  * on arbitrary junk. */
+class CrawlFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int = 60): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  // payloads deliberately include record-structure look-alikes
+  private val payloadGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(Gen.asciiPrintableStr, Gen.const("WARC/1.0"),
+      Gen.const("Content-Length: 3"), Gen.const(""), Gen.const("\r")))
+      .map(_.mkString("\n")),
+    Gen.stringOf(Gen.oneOf('a', 'é', '中', '\n', '\r', '<', '>', '&', ' ')))
+
+  test("property: WARC parse is a left inverse of record rendering for ANY payloads") {
+    def render(ps: List[String]): String = ps.zipWithIndex.map { case (p, i) =>
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/$i\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n$p\r\n\r\n"
+    }.mkString
+    val prop = Prop.forAll(Gen.listOfN(3, payloadGen)) { ps =>
+      val got = Warc.parseString(1L, render(ps))
+      got.map(_.payload) == ps &&
+        got.map(_.rec_idx) == ps.indices.toList &&
+        got.forall(_.warc_type == "response")
+    }
+    check("warc-roundtrip", prop)
+  }
+
+  test("property: WARC parse on arbitrary junk either parses or raises — never hangs or index-errors") {
+    val prop = Prop.forAll(payloadGen) { s =>
+      try { Warc.parseString(0L, s); true }
+      catch { case _: IllegalArgumentException => true }
+      // anything else (StringIndexOutOfBounds, NumberFormat, stack
+      // overflow) fails the property
+    }
+    check("warc-junk", prop, n = 120)
+  }
+
+  test("property: extractHtml never throws, never emits a short line, and is deterministic") {
+    val htmlish: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.const("<div>"), Gen.const("</p>"), Gen.const("<script>"),
+      Gen.const("</script>"), Gen.const("<a href='/x'>link text</a>"),
+      Gen.const("&amp;"), Gen.const("&#39;"), Gen.const("<"), Gen.const(">"),
+      Gen.const("<nav>"), Gen.const("<!--"), Gen.const("-->"),
+      Gen.stringOf(Gen.oneOf('a', ' ', '\n', 'é', '中'))))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(htmlish) { h =>
+      val out = Seq(Tuple1(h)).toDF("h")
+        .select(TextAnalysis.extractHtml(col("h"), minChars = 10).as("t"))
+        .collect()(0).getString(0)
+      val out2 = Seq(Tuple1(h)).toDF("h")
+        .select(TextAnalysis.extractHtml(col("h"), minChars = 10).as("t"))
+        .collect()(0).getString(0)
+      out == out2 &&
+        (out.isEmpty || out.split("\n").forall(l =>
+          l.codePointCount(0, l.length) >= 10 && l == l.trim))
+    }
+    check("extract-html", prop, n = 40)
+  }
+}
