@@ -138,6 +138,8 @@ object Bench {
     "dedup_jaccard_prefix_t08" -> (QueriesExt.dedupJaccardPrefixT08 _),
     "events_pagerank10"       -> (QueriesEvents.eventsPagerank10 _),
     "text_dup_spans"          -> (QueriesExt.textDupSpans _),
+    // Lee et al. span REMOVAL: coverage window + in-order rebuild
+    "text_dup_spans_remove"   -> (QueriesExt.textDupSpansRemove _),
     // production SemDeDup shape (codegen array dots; the
     // decimal-explode form is the oracle-exact gate companion)
     "embed_semdedup"          -> (QueriesExt.embedSemdedupBench _),

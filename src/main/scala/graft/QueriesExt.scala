@@ -171,6 +171,51 @@ object QueriesExt {
        |GROUP BY 1
        |""".stripMargin
 
+  /** Duplicated-span REMOVAL at 10-token spans — Lee et al.'s cut (the
+    * memorization-risk spans leave, the document stays). The oracle
+    * replays the whole construction: positioned shingles, the df ≥ 2
+    * set, the flagged starts, the RUNNING-MAX coverage rule, and the
+    * in-order rebuild — so a drift in any stage (including the
+    * coverage window arithmetic) mismatches. */
+  def textDupSpansRemove(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(docs(s, dir), "doc_id", "text", n = 10)
+
+  lazy val textDupSpansRemoveSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, $normSql AS nrm, string_split($normSql, ' ') AS w
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS t
+       |  FROM ws, unnest(generate_series(1, len(w))) AS s(i)
+       |  WHERE nrm <> ''
+       |), sh AS (
+       |  SELECT doc_id, i - 1 AS spos, array_to_string(w[i:i+9], ' ') AS ng
+       |  FROM ws, unnest(generate_series(1, len(w) - 9)) AS s(i)
+       |  WHERE len(w) >= 10 AND nrm <> ''
+       |), dup AS (
+       |  SELECT ng FROM (SELECT DISTINCT doc_id, ng FROM sh)
+       |  GROUP BY ng HAVING count(*) >= 2
+       |), fl AS (
+       |  SELECT sh.doc_id, sh.spos FROM sh JOIN dup USING (ng)
+       |), cov AS (
+       |  SELECT tok.doc_id, tok.pos, tok.t,
+       |         max(fl.spos) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+       |                            ROWS UNBOUNDED PRECEDING) AS runmax
+       |  FROM tok LEFT JOIN fl ON fl.doc_id = tok.doc_id AND fl.spos = tok.pos
+       |), kept AS (
+       |  SELECT doc_id,
+       |         coalesce(string_agg(t, ' ' ORDER BY pos)
+       |           FILTER (runmax IS NULL OR runmax < pos - 9), '') AS text_clean,
+       |         count(*) FILTER (runmax IS NULL OR runmax < pos - 9) AS n_tokens_kept
+       |  FROM cov GROUP BY 1
+       |)
+       |SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean,
+       |       CAST(CASE WHEN $normSql = '' THEN 0
+       |            ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+       |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       |""".stripMargin
+
   // ================================================================ minhash / simhash (no SQL oracle)
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3, k = 64, r = 4, minJaccard = 0.5)

@@ -194,6 +194,7 @@ object SparkEntry {
     "dedup_jaccard_prefix_t08" -> (QueriesExt.dedupJaccardPrefixT08 _),
     // per-doc duplicated-span (exact substring) memorization signal
     "text_dup_spans" -> (QueriesExt.textDupSpans _),
+    "text_dup_spans_remove" -> (QueriesExt.textDupSpansRemove _),
     "dedup_minhash_lsh"   -> (QueriesExt.dedupMinhashLsh _),
     "dedup_simhash"       -> (QueriesExt.dedupSimhash _),
     // oracle-checked verification companions: LSH pairs subset-of exact
@@ -364,6 +365,7 @@ object SparkEntry {
     "dedup_jaccard_prefix"      -> QueriesExt.dedupNgramJaccardSql,
     "dedup_jaccard_prefix_t08"  -> QueriesExt.dedupJaccardPrefixT08Sql,
     "text_dup_spans"            -> QueriesExt.textDupSpansSql,
+    "text_dup_spans_remove"     -> QueriesExt.textDupSpansRemoveSql,
     "dedup_cluster"             -> QueriesExt.dedupClusterSql,
     "dedup_survivors"           -> QueriesExt.dedupSurvivorsSql,
     "dedup_survivors_best"      -> QueriesExt.dedupSurvivorsBestSql,

@@ -338,6 +338,88 @@ object Dedup {
         col("n_dup_ngrams").cast("double") / col("n_ngrams"))
   }
 
+  /** Duplicated-span REMOVAL — the other half of [[duplicatedSpans]]'
+    * signal, after Lee et al., ACL 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): their ExactSubstr pipeline CUTS
+    * corpus-repeated substrings instead of dropping whole documents.
+    * Here the unit is the n-token shingle: every token covered by an
+    * n-gram occurring in ≥ `minDf` distinct documents is removed, the
+    * remaining tokens rejoin in order (so ONLY the boilerplate span
+    * goes — the document survives with its unique content).
+    *
+    * Coverage is computed with ONE per-document window, not an
+    * interval explode: token `j` is covered iff some flagged shingle
+    * starts in `[j-n+1, j]`, i.e. iff the RUNNING MAX of flagged
+    * start positions at `j` is ≥ `j-n+1` — an O(tokens) rule with no
+    * n-fold fan-out, the [[graft.operators.Sessions]] window
+    * discipline. Exchanges: the shingle distinct + df groupBy (shared
+    * shape with [[duplicatedSpans]]), then one id-partitioned window
+    * + grouped rebuild. Output keeps EVERY input document:
+    * `(idCol, text_clean, n_tokens, n_tokens_kept)` — a fully-covered
+    * document comes back with empty text, not silently dropped. */
+  def removeDuplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 10, minDf: Int = 2
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val ngramUdf = udf { (w: Seq[String]) =>
+      if (w.length < n) Array.empty[String]
+      else {
+        val out = new Array[String](w.length - n + 1)
+        val sb  = new java.lang.StringBuilder()
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(w(i + j))
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
+    val posSh = docs
+      .select(col(idCol), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), posexplode(ngramUdf(col("w"))).as(Seq("spos", "ng")))
+    val dup = posSh.select(col(idCol), col("ng")).distinct()
+      .groupBy(col("ng")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("ng"))
+    val flagged = posSh.join(dup, Seq("ng"), "left_semi")
+      .select(col(idCol), col("spos"))
+    val tok = docs
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "t")))
+      .filter(col("t") =!= "") // empty text tokenizes to [""] — no tokens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val covered = tok
+      .join(flagged.withColumnRenamed("spos", "pos").withColumn("__f", lit(1)),
+        Seq(idCol, "pos"), "left")
+      .withColumn("__runmax", max(when(col("__f") === 1, col("pos"))).over(w))
+      .withColumn("__covered",
+        col("__runmax").isNotNull && col("__runmax") >= col("pos") - (n - 1))
+    val rebuilt = covered
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("__covered"),
+            struct(col("pos"), col("t"))))),
+          s => s.getField("t")), " ").as("text_clean"),
+        count(when(!col("__covered"), lit(1))).as("n_tokens_kept"))
+    docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).cast("long").as("n_tokens_kept"))
+  }
+
   import Hashing.{fnvShingle, mix64}
 
   /** MinHash signatures: k per-seed minimum hashes over the document's

@@ -1100,6 +1100,18 @@ object CurationPipeline {
     "dup_spans" -> Op(Set("n"), { c =>
       Dedup.duplicatedSpans(c.input, c.idCol, c.textCol, c.params.int("n", 10))
     }),
+    // duplicated-span REMOVAL (Lee et al. 2022 ExactSubstr cut): the
+    // text column is rewritten in place minus every token covered by
+    // an n-gram in >= minDf distinct docs — the boilerplate span
+    // leaves, the document stays (fully-covered docs come back with
+    // empty text; chain a curate step to drop them if wanted)
+    "dup_spans_remove" -> Op(Set("n", "minDf"), { c =>
+      val cleaned = Dedup.removeDuplicatedSpans(c.input, c.idCol, c.textCol,
+        c.params.int("n", 10), c.params.int("minDf", 2))
+      c.input.drop(c.textCol)
+        .join(cleaned.select(col(c.idCol), col("text_clean")), Seq(c.idCol))
+        .withColumnRenamed("text_clean", c.textCol)
+    }),
     // annotation table: bigram-LM quality score against a reference
     // corpus (default: the input itself — within-corpus typicality).
     // Uses the one-shot score() lifecycle: the vocabulary-sized LM

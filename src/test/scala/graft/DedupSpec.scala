@@ -299,6 +299,41 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(4L), "docs below the span width emit no row")
   }
 
+  test("duplicated-span removal: the shared block leaves, unique content stays in order") {
+    import spark.implicits._
+    val block = (1 to 12).map(i => s"blk$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $block z1 z2 z3 z4 z5"),
+      (2L, s"b1 b2 b3 b4 b5 $block y1 y2 y3 y4 y5"),
+      (3L, (1 to 22).map(i => s"u$i").mkString(" ")),
+      (4L, "too short"),
+      (5L, block + " " + block.replace("blk", "BLK")), // normalization folds case
+      (6L, "")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(r.fieldIndex("n_tokens")),
+          r.getLong(r.fieldIndex("n_tokens_kept")))).toMap
+    // flagged starts in doc 1: positions 5,6,7 (10-grams fully inside
+    // the block); coverage = tokens 5..16 = the WHOLE 12-token block;
+    // prefix a1..a5 and suffix z1..z5 survive in order
+    assert(out(1L)._1 === "a1 a2 a3 a4 a5 z1 z2 z3 z4 z5")
+    assert(out(1L)._2 === 22L && out(1L)._3 === 10L)
+    assert(out(2L)._1 === "b1 b2 b3 b4 b5 y1 y2 y3 y4 y5")
+    // unique doc untouched
+    assert(out(3L)._1 === (1 to 22).map(i => s"u$i").mkString(" "))
+    assert(out(3L)._3 === 22L)
+    // below span width: no shingles, text survives (normalized)
+    assert(out(4L)._1 === "too short" && out(4L)._3 === 2L)
+    // doc 5 is the block twice (case-normalized): flagged starts
+    // {0,1,2} and {12,13,14} cover all 24 tokens -> fully covered,
+    // comes back EMPTY rather than dropped
+    assert(out(5L) === (("", 24L, 0L)))
+    // empty text: present, empty, zero counts — not silently dropped
+    assert(out(6L) === (("", 0L, 0L)))
+    // every document came back
+    assert(out.size === 6)
+  }
+
   // ------------------------------------------------------------ minhash incremental
   private def admitted(
       batch: org.apache.spark.sql.DataFrame,
