@@ -141,6 +141,32 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Temperature-scaled mixture weights — the published multilingual
+    * sampling rule [Conneau et al. 2020 (XLM-R) §3.1; the mBERT
+    * exponentiated-smoothing trick]: sampling shares `p_i ∝ n_i^α`
+    * flatten the domain-size distribution — `α = 1` is proportional
+    * (big domains dominate), `α → 0` uniform, `α = 0.3` the XLM-R
+    * point. Returns INTEGER weights (share × `scale`, min 1 so no
+    * listed domain vanishes) ready for [[domainMix]] /
+    * [[domainMixEpochs]]: the weight choice is a driver-side modeling
+    * decision — like hand-picking 60/25/10/5 — and membership stays
+    * exact given the integers. `StrictMath.pow` for cross-platform
+    * determinism of the one floating-point step. */
+  def temperatureWeights(
+      totals: Seq[(String, Long)], alpha: Double, scale: Long = 1000000L
+  ): Seq[(String, Long)] = {
+    require(totals.nonEmpty, "at least one domain total required")
+    require(totals.forall(_._2 > 0), s"domain totals must be positive: $totals")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(scale >= totals.size,
+      s"scale $scale too small for ${totals.size} domains (min-1 floors would distort)")
+    val powed = totals.map { case (d, n) => d -> StrictMath.pow(n.toDouble, alpha) }
+    val sum = powed.map(_._2).sum
+    powed.map { case (d, p) =>
+      d -> math.max(1L, math.round(p / sum * scale))
+    }
+  }
+
   /** Domain mixture WITH UPSAMPLING (epochs) — the missing half of the
     * real LLM-mixture contract that [[domainMix]]'s keep-all cap
     * leaves silent: a small high-quality domain whose corpus sits

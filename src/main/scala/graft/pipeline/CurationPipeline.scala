@@ -856,8 +856,11 @@ object CurationPipeline {
     // one until it delivers the share (needing more than maxEpochs
     // raises); output then ALSO adds `epoch`, and the id-collision
     // guard keys on (id, epoch) — every (id, epoch) pair stays unique.
+    // `alpha` REPLACES `weights`: temperature-scaled shares derived
+    // from the members' own token masses (p_i ∝ n_i^alpha — the XLM-R
+    // multilingual sampling rule; alpha 1 proportional, -> 0 uniform).
     "mix" -> Op(Set("inputs", "weights", "budgetTokens", "tokens", "salt",
-      "maxEpochs"), { c =>
+      "maxEpochs", "alpha"), { c =>
       val names = c.params.reqStr("inputs").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(names.length >= 2, s"step ${c.stepName}: mix needs at least two inputs")
       require(names.distinct == names,
@@ -865,11 +868,17 @@ object CurationPipeline {
       require(names.contains(c.inputName),
         s"step ${c.stepName}: the step's input '${c.inputName}' must be one of its " +
           s"mix inputs ($names) — `input:` anchors the chain, `inputs:` carries the data")
-      val ws = c.params.reqStr("weights").split(",").map(_.trim).map(w =>
-        w.toLongOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
-          s"step ${c.stepName}: weights must be positive longs, got '$w'")))
-      require(ws.length == names.length,
-        s"step ${c.stepName}: ${names.length} inputs but ${ws.length} weights")
+      require(c.params.has("weights") != c.params.has("alpha"),
+        s"step ${c.stepName}: give exactly one of weights (explicit ratios) or " +
+          "alpha (temperature-derived from member token masses)")
+      val explicitWs: Option[Seq[Long]] = if (!c.params.has("weights")) None else {
+        val ws = c.params.reqStr("weights").split(",").map(_.trim).map(w =>
+          w.toLongOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+            s"step ${c.stepName}: weights must be positive longs, got '$w'")))
+        require(ws.length == names.length,
+          s"step ${c.stepName}: ${names.length} inputs but ${ws.length} weights")
+        Some(ws.toSeq)
+      }
       val tokCol = c.params.str("tokens", "")
       val frames = names.map(n => n -> c.resolve(n))
       frames.foreach { case (n, f) =>
@@ -898,6 +907,24 @@ object CurationPipeline {
         require(!tagged.columns.contains("epoch"),
           s"step ${c.stepName}: a mix input already has an 'epoch' column — " +
             "it would collide with the epoch provenance this step adds")
+      val ws: Seq[Long] = explicitWs.getOrElse {
+        // temperature shares from the members' OWN token masses: one
+        // |members|-row aggregate to the driver, then exact-integer
+        // weights — the alpha pow is the only floating-point step and
+        // it happens BEFORE membership arithmetic
+        val alpha = c.params.double("alpha", 0.3)
+        val totals = tagged.groupBy(col("mix_source"))
+          .agg(coalesce(sum(col("__mix_tokens")), lit(0L)).as("__t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        names.foreach { n =>
+          require(totals.getOrElse(n, 0L) > 0L,
+            s"step ${c.stepName}: mix input '$n' has zero token mass — " +
+              "temperature weights need every member non-empty")
+        }
+        val byName = Sampling.temperatureWeights(
+          names.map(n => n -> totals(n)), alpha).toMap
+        names.map(byName)
+      }
       val mixed =
         (if (maxEpochs == 1)
           Sampling.domainMix(tagged, c.idCol, "mix_source", "__mix_tokens",

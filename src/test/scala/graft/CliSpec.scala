@@ -468,6 +468,60 @@ class CliSpec extends SparkSpec {
     assert(counted.filter(col("n_tokens_est") > 5).count() === 20L)
   }
 
+  test("pipeline mix with alpha: temperature shares beat proportional for the small member") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val (src, out) = (tempDir(), tempDir())
+    val web = (1L to 400L).map(i => (i, s"web document number $i with enough words to count"))
+      .toDF("doc_id", "text")
+    val books = (1001L to 1010L).map(i => (i, s"book $i body text here"))
+      .toDF("doc_id", "text")
+    web.write.parquet(s"$src/web.parquet")
+    books.write.parquet(s"$src/books.parquet")
+    def runMix(params: String, outDir: String): Map[String, Long] = {
+      val yaml = Files.createTempFile("graft-pipe-mix-alpha", ".yaml")
+      Files.writeString(yaml,
+        s"""pipeline: mix_alpha
+           |id: doc_id
+           |text: text
+           |steps:
+           |  - name: blend
+           |    op: mix
+           |    input: web
+           |    params: { inputs: "web,books", $params salt: m1 }
+           |""".stripMargin)
+      Cli.run(Seq("pipeline", yaml.toString, src, outDir), spark)
+      spark.read.parquet(s"$outDir/blend").groupBy("mix_source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // proportional (alpha 1) vs flattened (alpha 0.3): the tiny books
+    // member's share of the sampled output strictly grows
+    val p  = runMix("alpha: 1.0, budgetTokens: 1500,", out)
+    val t  = runMix("alpha: 0.3, budgetTokens: 1500,", tempDir())
+    def share(m: Map[String, Long]) =
+      m.getOrElse("books", 0L).toDouble / math.max(1L, m.values.sum)
+    assert(share(t) > share(p),
+      s"alpha 0.3 books share ${share(t)} must beat proportional ${share(p)}")
+    // weights and alpha together is a loud spec error
+    val yamlBoth = Files.createTempFile("graft-pipe-mix-both", ".yaml")
+    Files.writeString(yamlBoth,
+      """pipeline: mix_both
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: blend
+        |    op: mix
+        |    input: web
+        |    params: { inputs: "web,books", weights: "1,1", alpha: 0.5,
+        |              budgetTokens: 100 }
+        |""".stripMargin)
+    val ex = intercept[Exception] {
+      Cli.run(Seq("pipeline", yamlBoth.toString, src, tempDir()), spark)
+    }
+    assert(ex.getMessage.contains("exactly one of weights"), ex.getMessage)
+  }
+
   test("pipeline mix with maxEpochs: a tiny member upsamples with epoch provenance") {
     val s = spark
     import s.implicits._

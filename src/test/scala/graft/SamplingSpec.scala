@@ -149,6 +149,36 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
 
+  test("temperature weights: alpha 1 proportional, alpha 0 uniform, flattening in between") {
+    val totals = Seq("big" -> 900000L, "mid" -> 90000L, "small" -> 10000L)
+    // alpha 1: shares proportional to mass (ratios preserved at scale)
+    val w1 = Sampling.temperatureWeights(totals, alpha = 1.0).toMap
+    assert(w1("big") === 900000L && w1("mid") === 90000L && w1("small") === 10000L)
+    // alpha 0: uniform
+    val w0 = Sampling.temperatureWeights(totals, alpha = 0.0).toMap
+    assert(w0.values.toSet.size === 1)
+    // alpha 0.3 (the XLM-R point): strictly between — order preserved,
+    // but small's SHARE strictly beats its proportional share
+    val w3 = Sampling.temperatureWeights(totals, alpha = 0.3).toMap
+    assert(w3("big") > w3("mid") && w3("mid") > w3("small"))
+    val sum3 = w3.values.sum.toDouble
+    assert(w3("small") / sum3 > 10000.0 / 1000000.0,
+      "temperature must boost the small domain's share")
+    assert(w3("big") / sum3 < 0.9, "and shrink the big domain's")
+    // determinism and the min-1 floor
+    assert(Sampling.temperatureWeights(totals, 0.3) ===
+      Sampling.temperatureWeights(totals, 0.3))
+    val tiny = Sampling.temperatureWeights(
+      Seq("a" -> 1L, "b" -> 1000000000000L), alpha = 1.0).toMap
+    assert(tiny("a") >= 1L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(Seq("a" -> 0L), 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(totals, 1.5)
+    }
+  }
+
   test("domain mix epochs: downsampled domain equals domainMix at epoch 0; epoch cap raises") {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
     val eps = Sampling.domainMixEpochs(base, "doc_id", "source", "n_chars",
