@@ -556,6 +556,10 @@ object CurationPipeline {
     // types: filters to a record-type list (default "response" — the
     // crawl-pipeline record; warcinfo/request/metadata are transport).
     // Chain extract_html after it for the full crawl front-end.
+    // NOTE: ids stay the capture's — a capture with SEVERAL kept
+    // records repeats its id (rec_idx disambiguates); id-keyed
+    // downstream steps (dedup, dup_spans_remove) assume unique ids,
+    // so re-key first when captures hold more than one page.
     "warc" -> Op(Set("types"), { c =>
       val keep = c.params.str("types", "response")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq

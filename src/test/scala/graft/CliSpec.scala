@@ -885,6 +885,50 @@ class CliSpec extends SparkSpec {
     assert(h1 === h0)
   }
 
+  test("pipeline subcommand: examples/crawl_pipeline.yaml runs captures to curated export") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    val boiler = (1 to 12).map(i => s"footer$i").mkString(" ")
+    def capture(i: Long): String = {
+      // i-derived words THROUGHOUT the article so no 10 consecutive
+      // tokens repeat across pages — only the boilerplate line is a
+      // corpus-duplicated span
+      val body = s"<html><head><script>x('</p>')</script></head><body>" +
+        s"<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+        // i-derived words at most 2 apart: after redaction unifies the
+        // email token, EVERY 10-gram window still carries a
+        // distinguishing token — only the boilerplate line despans
+        s"<p>Article u$i alpha$i mailto u$i@example.com beta$i story of the " +
+        s"item$i gamma$i detail delta$i in context epsilon$i end$i</p>" +
+        s"<p>$boiler boilerplate padding line shared across every page</p>" +
+        "</body></html>"
+      s"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 15\r\n\r\nsoftware: graft\r\n\r\n" +
+        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h/$i\r\n" +
+        s"Content-Length: ${("HTTP/1.1 200 OK\r\n\r\n" + body).length}\r\n\r\n" +
+        s"HTTP/1.1 200 OK\r\n\r\n$body\r\n\r\n"
+    }
+    (1L to 30L).map(i => (i, capture(i))).toDF("doc_id", "text")
+      .write.parquet(s"$src/captures.parquet")
+    Cli.run(Seq("pipeline", "examples/crawl_pipeline.yaml", src, out), spark)
+    val curated = spark.read.parquet(s"$out/curated")
+    assert(curated.count() === 30L)
+    val texts = curated.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 30L).foreach { i =>
+      val t = texts(i)
+      assert(t.contains(s"article u$i alpha$i mailto"),
+        s"doc $i lost its content: '$t'")
+      // redacted before despanning; the rebuilt text is normalized
+      assert(t.contains("<email>"), s"doc $i not redacted: '$t'")
+      assert(!t.contains("footer1 ") && !t.endsWith("footer1"),
+        s"doc $i kept the shared boilerplate span: '$t'")
+      assert(!t.contains("home"), s"doc $i kept nav text: '$t'")
+    }
+    assert(Files.isDirectory(Paths.get(out, "exports", "dump")))
+    assert(spark.read.parquet(s"$out/dump").count() === 30L)
+  }
+
   test("pipeline subcommand: spec errors fail loud before Spark starts") {
     def specError(body: String): String = {
       val yaml = Files.createTempFile("graft-pipe-bad", ".yaml")
