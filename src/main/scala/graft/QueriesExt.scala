@@ -1459,7 +1459,8 @@ object QueriesExt {
     * link-density rule, the minChars rule — mismatches byte-for-byte. */
   def textExtractHtml(s: SparkSession, dir: String): DataFrame = {
     val html = concat(
-      lit("<html><!-- generated --><head><title>T</title>" +
+      lit("<html><!-- generated --><head><title>Doc "), col("doc_id"),
+      lit(" &amp; Co</title>" +
         "<script>var x = '</p>';</script><style>p { color: red }</style></head><body>"),
       lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
         " <a href=\"/contact\">Contact</a></nav>"),
@@ -1471,11 +1472,13 @@ object QueriesExt {
       lit("<ul><li>Nav</li><li>Links</li></ul><div>short</div>"),
       lit("<footer>Copyright 2024 Example Corp</footer></body></html>"))
     docs(s, dir).select(col("doc_id"),
+      TextAnalysis.htmlTitle(html).as("title"),
       TextAnalysis.extractHtml(html).as("extracted"))
   }
 
   lazy val textExtractHtmlSql: String =
     """SELECT doc_id,
+      |  'Doc ' || doc_id || ' & Co' AS title,
       |  trim(regexp_replace('First paragraph main content: ' || text, '\s+', ' ', 'g'))
       |    || chr(10) || 'Entities & more <tags> here with plenty of padding' AS extracted
       |FROM documents

@@ -616,6 +616,15 @@ object TextAnalysis {
     * Malformed HTML degrades safely: unclosed tags strip to the next
     * `>` (or end of line), never-closed containers fall through to the
     * line rules, bare `<`/`>` in text survive as text. */
+  /** The page `<title>` — the crawl-metadata companion to
+    * [[extractHtml]] (extractHtml drops the whole `<head>`, so the
+    * title must be pulled FIRST): first title element's text, tag-
+    * stripped, entity-decoded, whitespace-collapsed; empty when the
+    * page has none. */
+  def htmlTitle(html: Column): Column =
+    htmlStripLine(regexp_extract(coalesce(html, lit("")),
+      "(?is)<title[^>]*>([\\s\\S]*?)</title\\s*>", 1))
+
   def extractHtml(html: Column, minChars: Int = 25): Column = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
     val noComments = regexp_replace(coalesce(html, lit("")), "<!--[\\s\\S]*?-->", " ")

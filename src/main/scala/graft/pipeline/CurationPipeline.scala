@@ -546,8 +546,17 @@ object CurationPipeline {
     // HTML -> main-content extraction (the web-crawl pipeline's FIRST
     // step): the text column is rewritten in place with the extracted
     // content lines; minChars tunes the boilerplate length rule
-    "extract_html" -> Op(Set("minChars"), { c =>
-      c.input.withColumn(c.textCol,
+    // titleCol: also attach the page <title> (pulled BEFORE the head
+    // drops) as metadata under the given column name
+    "extract_html" -> Op(Set("minChars", "titleCol"), { c =>
+      val base = c.params.str("titleCol", "") match {
+        case "" => c.input
+        case t =>
+          require(!c.input.columns.contains(t),
+            s"step ${c.stepName}: titleCol '$t' already exists on the input")
+          c.input.withColumn(t, TextAnalysis.htmlTitle(col(c.textCol)))
+      }
+      base.withColumn(c.textCol,
         TextAnalysis.extractHtml(col(c.textCol), c.params.int("minChars", 25)))
     }),
     // WARC capture -> one row per record (shape change, the `chunk`

@@ -76,6 +76,20 @@ class ExtractHtmlSpec extends SparkSpec {
     assert(n === "")
   }
 
+  test("htmlTitle: first title, entities decoded, inner tags stripped; absent -> empty") {
+    def title(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextAnalysis.htmlTitle(col("h")).as("t"))
+        .collect()(0).getString(0)
+    assert(title("<html><head><title> A &amp; B <b>bold</b>  site </title></head></html>")
+      === "A & B bold site")
+    assert(title("<HEAD><TITLE>caps</TITLE><title>second</title></HEAD>") === "caps")
+    assert(title("<p>no head at all</p>") === "")
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("h")
+      .select(TextAnalysis.htmlTitle(col("h")).as("t")).collect()(0).getString(0)
+    assert(n === "")
+  }
+
   test("whitespace collapses per line; blank interior lines vanish") {
     val html = s"<p>  spaced   out\t line $pad </p><p>   </p><p>Second line $pad</p>"
     assert(extract(html) === s"spaced out line $pad\nSecond line $pad")
