@@ -86,6 +86,8 @@ object Bench {
     "text_curate"               -> (QueriesExt.textCurate _),
     // regex-only HTML main-content extraction (crawl first step)
     "text_extract_html"         -> (QueriesExt.textExtractHtml _),
+    // Content-Length-accounted WARC record split + HTTP body
+    "warc_extract"              -> (QueriesExt.warcExtract _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),
     "table_profile"             -> (QueriesExt.tableProfile _),
     // production approx-distinct profile (no exact companion)

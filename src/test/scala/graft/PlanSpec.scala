@@ -142,6 +142,24 @@ class PlanSpec extends SparkSpec {
       "multimodal decode must be partition-local")
   }
 
+  test("crawl front-end is scan-local; epoch mix broadcasts its thresholds") {
+    // HTML extraction (incl. title) is a pure projection — no exchange
+    val html = QueriesExt.textExtractHtml(spark, sf("sf0.001"))
+    assert(!html.queryExecution.executedPlan.toString.contains("Exchange"),
+      "extract_html must be a pure projection over the scan")
+    // WARC parse + HTTP body split: partition-local end to end
+    val warc = QueriesExt.warcExtract(spark, sf("sf0.001"))
+    assert(!warc.queryExecution.executedPlan.toString.contains("Exchange"),
+      "warc parsing must be partition-local")
+    // epochs mix: the per-(domain, epoch) threshold table broadcasts —
+    // the corpus side is never exchanged (one partial-agg for totals
+    // reads the corpus; the replicating join must be a broadcast)
+    val mix = QueriesExt.sampleDomainMixEpochs(spark, sf("sf0.001"))
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"epoch thresholds must broadcast:\n$mixPlan")
+  }
+
   test("parent join scans prune columns") {
     val df   = Queries.factPopulateParent(spark, sf("sf0.001"))
     val plan = explainOf(df)
