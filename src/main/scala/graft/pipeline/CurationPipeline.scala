@@ -248,6 +248,22 @@ object CurationPipeline {
     * annotation table named by `scoreFrom` (e.g. an earlier `lm_score`
     * step), joined by the id. Docs without a score row lose to any
     * scored near-dup (desc NULLS LAST), deterministically. */
+  /** keep_in / drop_in core: semi/anti join of the input against a
+    * named list table. Small lists broadcast (Catalyst sizes it); the
+    * join key is declared, so a big kill-list co-partitions. */
+  private def membershipJoin(c: Ctx, joinType: String): DataFrame = {
+    val colName  = c.params.reqStr("column")
+    val tblName  = c.params.reqStr("table")
+    val listCol  = c.params.str("tableColumn", colName)
+    require(c.input.columns.contains(colName),
+      s"step ${c.stepName}: input has no column '$colName'")
+    val list = c.resolve(tblName)
+    require(list.columns.contains(listCol),
+      s"step ${c.stepName}: table '$tblName' has no column '$listCol'")
+    c.input.join(list.select(col(listCol).as(colName)).distinct(),
+      Seq(colName), joinType)
+  }
+
   private def keepSurvivors(c: Ctx, pairs: DataFrame): DataFrame =
     c.params.str("keep", "min_id") match {
       case "min_id"  => Dedup.survivors(c.input, c.idCol, pairs)
@@ -533,6 +549,58 @@ object CurationPipeline {
         .filter(col("keep")).select(col(c.idCol))
       c.input.join(keep, Seq(c.idCol), "left_semi")
     }),
+    // generic row filter with a RESTRICTED predicate (no free-form SQL
+    // — the spec stays data, not code): keep rows where
+    // `column <op> value`, op ∈ eq|ne|lt|le|gt|ge|in (in takes a
+    // comma list). The value casts to the column's own type and a
+    // value that does not parse is a spec error, not a silent
+    // null-compare. The everyday uses: `lang eq en` after a stats
+    // annotation, `split eq train`, score cuts.
+    "filter_rows" -> Op(Set("column", "op", "value"), { c =>
+      val colName = c.params.reqStr("column")
+      require(c.input.columns.contains(colName),
+        s"step ${c.stepName}: input has no column '$colName'")
+      val dt = c.input.schema(colName).dataType
+      def typed(v: String): org.apache.spark.sql.Column = {
+        val lite = lit(v).cast(dt)
+        // driver-side parse check (fail loud at spec time, the
+        // pre-Spark convention): a value the type rejects would
+        // otherwise become NULL and silently keep nothing
+        require(!dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            scala.util.Try(new java.math.BigDecimal(v)).isSuccess,
+          s"step ${c.stepName}: value '$v' does not parse as ${dt.simpleString}")
+        lite
+      }
+      val opName = c.params.str("op", "eq")
+      val v = c.params.reqStr("value")
+      val pred = opName match {
+        case "eq" => col(colName) === typed(v)
+        case "ne" => col(colName) =!= typed(v)
+        case "lt" => col(colName) < typed(v)
+        case "le" => col(colName) <= typed(v)
+        case "gt" => col(colName) > typed(v)
+        case "ge" => col(colName) >= typed(v)
+        case "in" =>
+          val vs = v.split(",").map(_.trim).filter(_.nonEmpty)
+          require(vs.nonEmpty, s"step ${c.stepName}: 'in' needs at least one value")
+          vs.map(x => col(colName) === typed(x)).reduce(_ || _)
+        case other => throw new IllegalArgumentException(
+          s"step ${c.stepName}: unknown op '$other' (eq|ne|lt|le|gt|ge|in)")
+      }
+      c.input.filter(pred)
+    }),
+    // membership filtering against a NAMED table (a dependency edge
+    // like every aux table): keep_in = left-semi (allowlist),
+    // drop_in = left-anti (blocklist / kill-list). `column` names the
+    // input key; `tableColumn` the list's key (defaults to column).
+    // The everyday uses: URL/domain blocklists, benchmark id removal,
+    // curated-id allowlists.
+    "keep_in" -> Op(Set("table", "column", "tableColumn"), { c =>
+      membershipJoin(c, "left_semi")
+    }, tableParams = Set("table")),
+    "drop_in" -> Op(Set("table", "column", "tableColumn"), { c =>
+      membershipJoin(c, "left_anti")
+    }, tableParams = Set("table")),
     // canonicalize a URL column in place (the crawl fetch-dedup key)
     "url_normalize" -> Op(Set("column"), { c =>
       val cn = c.params.reqStr("column")

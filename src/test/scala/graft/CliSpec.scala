@@ -929,6 +929,72 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dump").count() === 30L)
   }
 
+  test("pipeline filter_rows / keep_in / drop_in: restricted predicates and list joins") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    (1L to 20L).map(i => (i, s"doc $i body", if (i % 2 == 0) "en" else "de", i * 10))
+      .toDF("doc_id", "text", "lang", "score")
+      .write.parquet(s"$src/documents.parquet")
+    Seq(2L, 4L, 6L, 12L).toDF("bad_id").write.parquet(s"$src/killlist.parquet")
+    val yaml = Files.createTempFile("graft-pipe-filter", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: filtered
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: en_only
+        |    op: filter_rows
+        |    input: documents
+        |    params: { column: lang, op: eq, value: en }
+        |  - name: high_score
+        |    op: filter_rows
+        |    params: { column: score, op: ge, value: "100" }
+        |  - name: survivors
+        |    op: drop_in
+        |    params: { table: killlist, column: doc_id, tableColumn: bad_id }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    def ids(name: String) = spark.read.parquet(s"$out/$name")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids("en_only") === (2L to 20L by 2).toSet)
+    assert(ids("high_score") === (10L to 20L by 2).toSet)
+    // the kill-list cuts 12; 2/4/6 were already gone at the score gate
+    assert(ids("survivors") === Set(10L, 14L, 16L, 18L, 20L))
+    // keep_in allowlist on a fresh chain
+    val yaml2 = Files.createTempFile("graft-pipe-keepin", ".yaml")
+    Files.writeString(yaml2,
+      """pipeline: allow
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: kept
+        |    op: keep_in
+        |    input: documents
+        |    params: { table: killlist, column: doc_id, tableColumn: bad_id }
+        |""".stripMargin)
+    val out2 = tempDir()
+    Cli.run(Seq("pipeline", yaml2.toString, src, out2), spark)
+    assert(spark.read.parquet(s"$out2/kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 4L, 6L, 12L))
+    // a numeric value that does not parse is a loud error
+    val yamlBad = Files.createTempFile("graft-pipe-filter-bad", ".yaml")
+    Files.writeString(yamlBad,
+      """pipeline: badval
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: broken
+        |    op: filter_rows
+        |    input: documents
+        |    params: { column: score, op: ge, value: high }
+        |""".stripMargin)
+    val ex = intercept[Exception] {
+      Cli.run(Seq("pipeline", yamlBad.toString, src, tempDir()), spark)
+    }
+    assert(ex.getMessage.contains("does not parse"), ex.getMessage)
+  }
+
   test("pipeline subcommand: spec errors fail loud before Spark starts") {
     def specError(body: String): String = {
       val yaml = Files.createTempFile("graft-pipe-bad", ".yaml")
