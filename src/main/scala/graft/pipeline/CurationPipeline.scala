@@ -1203,6 +1203,26 @@ object CurationPipeline {
       if (c.params.str("keepTokens", "false").toBoolean) annotated
       else annotated.drop("bpe_tokens")
     }, tableParams = Set("vocab")),
+    // annotation: REAL image decode metadata on every row — width,
+    // height, channels, decoded byte count, pixel_md5 content address
+    // (the image-quality filtering input: chain filter_rows width/
+    // height cuts after it, the FineWeb-style min-dimension gate).
+    // Fails loudly on an undecodable payload (decodable contract).
+    "media_stats" -> Op(Set("payload"), { c =>
+      val pcol = c.params.str("payload", "payload")
+      require(c.input.columns.contains(pcol),
+        s"step ${c.stepName}: input has no payload column '$pcol'")
+      c.requireIntegralId("media_stats")
+      Seq("width", "height", "channels", "n_bytes", "pixel_md5").foreach { r =>
+        require(!c.input.columns.contains(r),
+          s"step ${c.stepName}: input already has a '$r' column")
+      }
+      val meta = Multimodal.decodeImage(c.input.select(
+          col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))).toDF()
+        .select(col("doc_id").as(c.idCol), col("width"), col("height"),
+          col("channels"), col("n_bytes"), col("pixel_md5"))
+      c.input.join(meta, Seq(c.idCol))
+    }),
     // annotation table: per-doc duplicated-span (exact substring)
     // memorization signal — id, n_ngrams, n_dup_ngrams, dup_ratio
     "dup_spans" -> Op(Set("n"), { c =>

@@ -929,6 +929,45 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dump").count() === 30L)
   }
 
+  test("pipeline media_stats: real decode metadata feeds a min-dimension filter") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Multimodal
+    val (src, out) = (tempDir(), tempDir())
+    // generator dims: w = 8 + id%9, h = 8 + id%7 — ids 1..20 give a
+    // spread of sizes; width >= 12 keeps ids with id%9 >= 4
+    Multimodal.syntheticImages(
+        spark.range(1, 21).select(col("id").as("doc_id")), "doc_id")
+      .withColumn("text", org.apache.spark.sql.functions.lit("img"))
+      .write.parquet(s"$src/images.parquet")
+    val yaml = Files.createTempFile("graft-pipe-mediastats", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: img_gate
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: meta
+        |    op: media_stats
+        |    input: images
+        |  - name: big_enough
+        |    op: filter_rows
+        |    params: { column: width, op: ge, value: "12" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val meta = spark.read.parquet(s"$out/meta")
+    val wh = meta.select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    (1L to 20L).foreach { i =>
+      assert(wh(i) === ((8 + i % 9).toInt -> (8 + i % 7).toInt),
+        s"doc $i decoded dims wrong")
+    }
+    val kept = spark.read.parquet(s"$out/big_enough")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 20L).filter(i => 8 + i % 9 >= 12).toSet)
+    assert(meta.columns.contains("pixel_md5") && meta.columns.contains("payload"))
+  }
+
   test("pipeline filter_rows / keep_in / drop_in: restricted predicates and list joins") {
     val s = spark
     import s.implicits._
