@@ -44,6 +44,14 @@ class PipelinePropertySpec extends SparkSpec {
       df.join(keep, Seq("doc_id"), "left_semi")
     case "sample_hash" =>
       Sampling.hashSample(df, "doc_id", p("fraction").toDouble, p("salt"))
+    case "extract_html" =>
+      df.withColumn("text", TextAnalysis.extractHtml(col("text"), p("minChars").toInt))
+    case "dup_spans_remove" =>
+      // column ORDER mirrors the pipeline op exactly (drop, join, rename)
+      val cleaned = Dedup.removeDuplicatedSpans(df, "doc_id", "text", p("n").toInt, 2)
+      df.drop("text")
+        .join(cleaned.select(col("doc_id"), col("text_clean")), Seq("doc_id"))
+        .withColumnRenamed("text_clean", "text")
   }
 
   test("property: random safe step chains through the pipeline equal hand-composed calls") {
@@ -74,7 +82,9 @@ class PipelinePropertySpec extends SparkSpec {
       } yield "curate" -> Map("minTokens" -> mt, "minQuality" -> mq),
       for {
         f <- Gen.oneOf("0.3", "0.6", "0.9"); s <- Gen.oneOf("a", "b")
-      } yield "sample_hash" -> Map("fraction" -> f, "salt" -> s))
+      } yield "sample_hash" -> Map("fraction" -> f, "salt" -> s),
+      Gen.oneOf("3", "8").map(mc => "extract_html" -> Map("minChars" -> mc)),
+      Gen.oneOf("4", "6").map(n => "dup_spans_remove" -> Map("n" -> n)))
     val chainGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, opGen))
 
     def rows(df: DataFrame): Seq[String] =
