@@ -194,9 +194,18 @@ object Bpe {
         pq.enqueue(Entry(next, p._1, p._2))
       }
     }
+    // initial accumulation fills stats/index SILENTLY and enqueues once
+    // per distinct pair afterwards — bumping through the queue here
+    // would flood it with one stale entry per pair OCCURRENCE
+    // (intermediate partial counts that can never validate), ~10^8
+    // dead heap entries at the maxDistinctWords scale
     syms.indices.foreach { wi =>
-      pairsOf(syms(wi)).foreach(p => bump(p, freqs(wi), wi))
+      pairsOf(syms(wi)).foreach { p =>
+        stats(p) = stats.getOrElse(p, 0L) + freqs(wi)
+        index.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      }
     }
+    stats.foreach { case ((l, r), c) => pq.enqueue(Entry(c, l, r)) }
     val merges = mutable.ArrayBuffer.empty[(Int, String, String)]
     var r = 0
     while (r < numMerges && stats.nonEmpty) {

@@ -70,32 +70,36 @@ object Dedup {
     * paying any dedup (shuffle `.distinct()` or per-row
     * `array_distinct`, which is quadratic on string arrays) buys
     * nothing. */
+  /** The n-gram builder shared by every positioned/unpositioned
+    * shingle stream (ONE home so a fix to the hot loop lands once):
+    * out(i) = tokens i..i+n-1 space-joined. */
+  private[graft] def ngramsOf(w: Seq[String], n: Int): Array[String] =
+    if (w.length < n) Array.empty[String]
+    else {
+      val out = new Array[String](w.length - n + 1)
+      val sb  = new java.lang.StringBuilder()
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(w(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+
   def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // JVM udf, not a transform(...) lambda: higher-order-function
     // lambdas evaluate INTERPRETED per n-gram, and this runs once per
     // token of the corpus — the single hottest expression in the dedup
     // family
-    val ngramUdf = udf { (w: Seq[String]) =>
-      if (w.length < n) Array.empty[String]
-      else {
-        val out = new Array[String](w.length - n + 1)
-        val sb  = new java.lang.StringBuilder()
-        var i = 0
-        while (i < out.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(w(i + j))
-            j += 1
-          }
-          out(i) = sb.toString
-          i += 1
-        }
-        out
-      }
-    }
+    val ngramUdf = udf { (w: Seq[String]) => ngramsOf(w, n) }
     docs
       .select(col(idCol), toks.as("w"))
       .filter(size(col("w")) >= n)
@@ -363,26 +367,7 @@ object Dedup {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     val toks = TextAnalysis.tokens(col(textCol))
-    val ngramUdf = udf { (w: Seq[String]) =>
-      if (w.length < n) Array.empty[String]
-      else {
-        val out = new Array[String](w.length - n + 1)
-        val sb  = new java.lang.StringBuilder()
-        var i = 0
-        while (i < out.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(w(i + j))
-            j += 1
-          }
-          out(i) = sb.toString
-          i += 1
-        }
-        out
-      }
-    }
+    val ngramUdf = udf { (w: Seq[String]) => ngramsOf(w, n) }
     val posSh = docs
       .select(col(idCol), toks.as("w"))
       .filter(size(col("w")) >= n)
@@ -413,7 +398,11 @@ object Dedup {
             struct(col("pos"), col("t"))))),
           s => s.getField("t")), " ").as("text_clean"),
         count(when(!col("__covered"), lit(1))).as("n_tokens_kept"))
-    docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    // coalesce BEFORE counting: tokenCount(null) is NULL (or -1 under
+    // legacy sizeOfNull), and a null/negative token count poisons
+    // downstream ratio/budget arithmetic — null text counts 0
+    docs.select(col(idCol),
+        TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))).as("n_tokens"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"),
         col("n_tokens").cast("long").as("n_tokens"),

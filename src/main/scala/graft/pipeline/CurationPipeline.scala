@@ -562,14 +562,33 @@ object CurationPipeline {
         s"step ${c.stepName}: input has no column '$colName'")
       val dt = c.input.schema(colName).dataType
       def typed(v: String): org.apache.spark.sql.Column = {
-        val lite = lit(v).cast(dt)
-        // driver-side parse check (fail loud at spec time, the
-        // pre-Spark convention): a value the type rejects would
-        // otherwise become NULL and silently keep nothing
-        require(!dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-            scala.util.Try(new java.math.BigDecimal(v)).isSuccess,
-          s"step ${c.stepName}: value '$v' does not parse as ${dt.simpleString}")
-        lite
+        // driver-side parse check covering EVERY supported column type
+        // (fail loud at spec time, the pre-Spark convention): a value
+        // the type rejects would otherwise become NULL (or an ANSI
+        // runtime cast error deep inside the job) and silently keep
+        // nothing
+        import org.apache.spark.sql.types._
+        val parses = dt match {
+          case ByteType | ShortType | IntegerType | LongType => v.toLongOption.isDefined
+          case FloatType | DoubleType => v.toDoubleOption.isDefined
+          case _: DecimalType =>
+            scala.util.Try(new java.math.BigDecimal(v)).isSuccess
+          case BooleanType => Seq("true", "false").contains(v.toLowerCase)
+          case DateType =>
+            scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
+          case TimestampType | TimestampNTZType =>
+            scala.util.Try(java.sql.Timestamp.valueOf(v)).isSuccess
+          case StringType => true
+          case other => throw new IllegalArgumentException(
+            s"step ${c.stepName}: filter_rows does not support " +
+              s"${other.simpleString} columns (column '$colName')")
+        }
+        require(parses,
+          s"step ${c.stepName}: value '$v' does not parse as ${dt.simpleString} " +
+            s"(column '$colName'" +
+            (if (dt == TimestampType || dt == TimestampNTZType)
+              "; use 'yyyy-MM-dd HH:mm:ss'" else "") + ")")
+        lit(v).cast(dt)
       }
       val opName = c.params.str("op", "eq")
       val v = c.params.reqStr("value")
@@ -633,19 +652,49 @@ object CurationPipeline {
     // types: filters to a record-type list (default "response" — the
     // crawl-pipeline record; warcinfo/request/metadata are transport).
     // Chain extract_html after it for the full crawl front-end.
-    // NOTE: ids stay the capture's — a capture with SEVERAL kept
-    // records repeats its id (rec_idx disambiguates); id-keyed
-    // downstream steps (dedup, dup_spans_remove) assume unique ids,
-    // so re-key first when captures hold more than one page.
-    "warc" -> Op(Set("types"), { c =>
+    // Ids: a capture with SEVERAL kept records would repeat its id and
+    // silently corrupt every downstream id-keyed step — so by default
+    // a duplicate id RAISES in-plan; `rekey: true` instead derives a
+    // unique id `capture_id * 65536 + rec_idx` (old id kept as
+    // `capture_id`; bounds fail-loud so the arithmetic cannot
+    // collide), which is the multi-page-capture path.
+    "warc" -> Op(Set("types", "rekey"), { c =>
       val keep = c.params.str("types", "response")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(keep.nonEmpty, s"step ${c.stepName}: types must name at least one record type")
-      graft.operators.Warc.parseRecords(c.input, c.idCol, c.textCol).toDF()
+      c.requireIntegralId("warc")
+      val recs = graft.operators.Warc.parseRecords(c.input, c.idCol, c.textCol).toDF()
         .filter(col("warc_type").isin(keep: _*))
         .select(col("doc_id").as(c.idCol), col("rec_idx"), col("warc_type"),
           col("target_uri"),
           graft.operators.Warc.httpBody(col("payload")).as(c.textCol))
+      if (c.params.str("rekey", "false").toBoolean) {
+        val guarded = when(
+          col(c.idCol) < 0 || col(c.idCol) >= Long.MaxValue / 65536 ||
+            col("rec_idx") >= 65536,
+          raise_error(concat(
+            lit(s"step ${c.stepName}: rekey overflow — capture id "),
+            col(c.idCol).cast("string"), lit(" / rec_idx "),
+            col("rec_idx").cast("string"),
+            lit(" outside [0, 2^47) x [0, 65536)"))))
+          .otherwise(col(c.idCol) * 65536L + col("rec_idx"))
+        recs
+          .withColumn("capture_id", col(c.idCol))
+          .withColumn(c.idCol, guarded)
+      } else {
+        // fail-loud duplicate-id guard (filter-anchored so the raise
+        // survives column pruning)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(c.idCol))
+        recs
+          .withColumn("__warc_n",
+            when(count(lit(1)).over(w) > 1, raise_error(concat(
+              lit(s"step ${c.stepName}: capture "), col(c.idCol).cast("string"),
+              lit(" holds more than one kept record — downstream id-keyed steps " +
+                "would corrupt silently; set `rekey: true` (or filter `types:`)"))))
+              .otherwise(lit(true)))
+          .filter(col("__warc_n"))
+          .drop("__warc_n")
+      }
     }),
     "redact" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.redact(col(c.textCol)))

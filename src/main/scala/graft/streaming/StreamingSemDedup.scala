@@ -98,19 +98,34 @@ object StreamingSemDedup {
       require(lines(0) == p.encoded,
         s"semdedup store parameter mismatch for $path: store pinned (${lines(0)}), " +
           s"caller passed (${p.encoded}) — mixed geometry corrupts every admission")
-      require(lines.length == 3,
-        s"semdedup marker for $path is truncated (no centroid header/body) — " +
-          "re-run initialize() over the bootstrap corpus")
-      val header = lines(1).split(" ")
-      val (n, dim) = (header(0).toInt, header(1).toInt)
-      val cents = lines(2).split(";").toSeq
-        .filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
-      require(cents.size == n && cents.forall(_.length == dim),
-        s"semdedup marker for $path is corrupt: header records $n centroids of " +
-          s"dimension $dim but the body parses ${cents.size} of dimensions " +
-          s"${cents.map(_.length).distinct.sorted.mkString("{", ",", "}")} — " +
-          "a truncated write; re-run initialize() over the bootstrap corpus")
-      Some(cents)
+      def parseCents(body: String): Seq[Array[Double]] =
+        body.split(";").toSeq.filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
+      if (lines.length == 2) {
+        // LEGACY (pre-header) marker: accept it rather than refusing a
+        // healthy store on upgrade — best-effort validation only
+        // (homogeneous dimensions); new writes use the headered format
+        val cents = parseCents(lines(1))
+        require(cents.nonEmpty && cents.map(_.length).distinct.size == 1,
+          s"semdedup marker for $path (legacy format) parses inconsistently " +
+            s"(${cents.size} centroids, dims " +
+            s"${cents.map(_.length).distinct.sorted.mkString("{", ",", "}")}) — " +
+            "re-run initialize() over the bootstrap corpus")
+        Some(cents)
+      } else {
+        val (n, dim) = scala.util.Try {
+          val header = lines(1).split(" ")
+          (header(0).toInt, header(1).toInt)
+        }.getOrElse(throw new IllegalArgumentException(
+          s"semdedup marker for $path has an unparseable centroid header " +
+            s"'${lines(1).take(40)}' — a torn write; re-run initialize()"))
+        val cents = parseCents(lines(2))
+        require(cents.size == n && cents.forall(_.length == dim),
+          s"semdedup marker for $path is corrupt: header records $n centroids of " +
+            s"dimension $dim but the body parses ${cents.size} of dimensions " +
+            s"${cents.map(_.length).distinct.sorted.mkString("{", ",", "}")} — " +
+            "a truncated write; re-run initialize() over the bootstrap corpus")
+        Some(cents)
+      }
     }
   }
 

@@ -308,7 +308,8 @@ class DedupSpec extends SparkSpec {
       (3L, (1 to 22).map(i => s"u$i").mkString(" ")),
       (4L, "too short"),
       (5L, block + " " + block.replace("blk", "BLK")), // normalization folds case
-      (6L, "")).toDF("doc_id", "text")
+      (6L, ""),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 10)
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getLong(r.fieldIndex("n_tokens")),
@@ -328,10 +329,12 @@ class DedupSpec extends SparkSpec {
     // {0,1,2} and {12,13,14} cover all 24 tokens -> fully covered,
     // comes back EMPTY rather than dropped
     assert(out(5L) === (("", 24L, 0L)))
-    // empty text: present, empty, zero counts — not silently dropped
+    // empty and NULL text: present, empty, zero counts (never -1/null)
+    // — not silently dropped
     assert(out(6L) === (("", 0L, 0L)))
+    assert(out(7L) === (("", 0L, 0L)))
     // every document came back
-    assert(out.size === 6)
+    assert(out.size === 7)
   }
 
   // ------------------------------------------------------------ minhash incremental

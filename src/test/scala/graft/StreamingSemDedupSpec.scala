@@ -48,6 +48,37 @@ class StreamingSemDedupSpec extends SparkSpec {
     assert(StreamingSemDedup.admittedOf(spark, dir(), 0L).count() === 0)
   }
 
+  test("legacy (pre-header) markers are accepted; torn headered markers fail actionably") {
+    val store = dir()
+    val p = Params(numBuckets = 4, k = 2, minCosine = 0.95)
+    // legacy 2-line format: params\ncentroids — a healthy store written
+    // before the count/dim header existed must NOT be refused on upgrade
+    Files.createDirectories(java.nio.file.Paths.get(store))
+    Files.writeString(java.nio.file.Paths.get(store, "_graft_semdedup"),
+      p.encoded + "\n1.0,0.0;0.0,1.0")
+    val cents = StreamingSemDedup.readCentroids(store, p)
+    assert(cents.map(_.map(_.toSeq)) === Some(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+    // a headered marker whose body disagrees with the recorded count is
+    // the torn write the header exists to catch
+    val store2 = dir()
+    Files.createDirectories(java.nio.file.Paths.get(store2))
+    Files.writeString(java.nio.file.Paths.get(store2, "_graft_semdedup"),
+      p.encoded + "\n2 2\n1.0,0.0")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingSemDedup.readCentroids(store2, p)
+    }
+    assert(ex.getMessage.contains("truncated write"))
+    // an unparseable header is actionable, not a raw NumberFormatException
+    val store3 = dir()
+    Files.createDirectories(java.nio.file.Paths.get(store3))
+    Files.writeString(java.nio.file.Paths.get(store3, "_graft_semdedup"),
+      p.encoded + "\ngarbage header\n1.0,0.0")
+    val ex3 = intercept[IllegalArgumentException] {
+      StreamingSemDedup.readCentroids(store3, p)
+    }
+    assert(ex3.getMessage.contains("unparseable centroid header"))
+  }
+
   test("failOnOversized raises in-plan when a cluster crosses the cap across batches") {
     val store = dir()
     val p = Params(numBuckets = 4, k = 2, minCosine = 0.99,

@@ -119,4 +119,47 @@ class WarcSpec extends SparkSpec {
     (1L to 8L).foreach(i => assert(texts(i) === s"Camera ready article $i $pad"))
     assert(got.columns.contains("target_uri"))
   }
+
+  test("pipeline warc step: multi-record captures raise by default; rekey derives unique ids") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-warc-multi").toString
+    // every capture holds TWO response records — duplicate ids
+    val twoPage = (1L to 4L).map { i =>
+      (i, rec("response", s"http://h/$i/a", s"HTTP/1.1 200 OK\r\n\r\npage $i a") +
+        rec("response", s"http://h/$i/b", s"HTTP/1.1 200 OK\r\n\r\npage $i b"))
+    }.toDF("doc_id", "text")
+    twoPage.write.parquet(s"$src/captures.parquet")
+    def yamlFor(params: String) = {
+      val y = Files.createTempFile("graft-warc-rekey", ".yaml")
+      Files.writeString(y,
+        s"""pipeline: multi
+           |id: doc_id
+           |text: text
+           |steps:
+           |  - name: records
+           |    op: warc
+           |    input: captures
+           |$params
+           |""".stripMargin)
+      y
+    }
+    // default: fail loud instead of silently corrupting downstream
+    val ex = intercept[Exception] {
+      Cli.run(Seq("pipeline", yamlFor("").toString, src,
+        Files.createTempDirectory("graft-warc-out2").toString), spark)
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain(ex).contains("more than one kept record"), chain(ex))
+    // rekey: unique ids, capture_id kept, both pages present
+    val out = Files.createTempDirectory("graft-warc-out3").toString
+    Cli.run(Seq("pipeline",
+      yamlFor("    params: { rekey: \"true\" }").toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/records")
+    assert(got.count() === 8L)
+    assert(got.select("doc_id").distinct().count() === 8L, "rekeyed ids must be unique")
+    val back = got.select("capture_id", "rec_idx", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    back.foreach { case (cap, idx, id) => assert(id === cap * 65536L + idx) }
+  }
 }
