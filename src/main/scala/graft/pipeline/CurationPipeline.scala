@@ -344,13 +344,31 @@ object CurationPipeline {
     // --state (drop if the content was ever admitted; in-batch min-id
     // rule) and updates the store — the nightly batch-admission twin
     // of StreamingAdmission, store layout and replay semantics shared.
-    "dedup_exact" -> Op(Set("mode", "buckets"), { c =>
+    // column: dedup on an arbitrary column's VALUE instead of the text
+    // fingerprint (full mode only) — e.g. `column: pixel_md5` after a
+    // media_stats step is exact media dedup by decoded content address
+    "dedup_exact" -> Op(Set("mode", "buckets", "column"), { c =>
       c.params.str("mode", "full") match {
         case "full" =>
-          val keep = Dedup.exact(c.input, c.idCol, c.textCol)
-            .select(col("keep_id").as(c.idCol))
+          val keep = c.params.str("column", "") match {
+            case "" =>
+              Dedup.exact(c.input, c.idCol, c.textCol)
+                .select(col("keep_id").as(c.idCol))
+            case keyCol =>
+              require(c.input.columns.contains(keyCol),
+                s"step ${c.stepName}: input has no column '$keyCol'")
+              c.input
+                // NULL keys are not duplicates of each other (the SQL
+                // convention): null-keyed rows all survive
+                .filter(col(keyCol).isNotNull)
+                .groupBy(col(keyCol)).agg(min(col(c.idCol)).as(c.idCol))
+                .select(col(c.idCol))
+                .unionByName(c.input.filter(col(keyCol).isNull).select(col(c.idCol)))
+          }
           c.input.join(keep, Seq(c.idCol), "left_semi")
         case "admit" =>
+          require(!c.params.has("column"),
+            s"step ${c.stepName}: column applies to mode: full only")
           val root = c.requireState("dedup_exact mode: admit")
           val (fp, sink) = (s"$root/fingerprints", s"$root/admitted")
           val buckets = c.params.int("buckets", 64)
@@ -616,6 +634,34 @@ object CurationPipeline {
     // curated-id allowlists.
     "keep_in" -> Op(Set("table", "column", "tableColumn"), { c =>
       membershipJoin(c, "left_semi")
+    }, tableParams = Set("table")),
+    // attach an annotation table's columns by id (left join — rows
+    // without an annotation keep NULLs): the generic enrichment step
+    // for scores, embeddings, metadata produced by any earlier step or
+    // source table (a dependency edge). Overlapping non-id columns are
+    // a spec error (no silent clobber), and a duplicate id in the
+    // annotation table RAISES in-plan — a fan-out here would silently
+    // multiply every downstream row.
+    "annotate" -> Op(Set("table"), { c =>
+      val tname = c.params.reqStr("table")
+      val t = c.resolve(tname)
+      require(t.columns.contains(c.idCol),
+        s"step ${c.stepName}: annotation table '$tname' has no id column '${c.idCol}'")
+      val overlap = t.columns.toSet.intersect(c.input.columns.toSet) - c.idCol
+      require(overlap.isEmpty,
+        s"step ${c.stepName}: annotation table '$tname' would clobber input " +
+          s"columns ${overlap.toSeq.sorted.mkString(", ")} — rename them first")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(c.idCol))
+      val guarded = t
+        .withColumn("__ann_n",
+          when(count(lit(1)).over(w) > 1, raise_error(concat(
+            lit(s"step ${c.stepName}: annotation table '$tname' has more than one " +
+              "row for id "), col(c.idCol).cast("string"),
+            lit(" — a fan-out would silently multiply downstream rows"))))
+            .otherwise(lit(true)))
+        .filter(col("__ann_n"))
+        .drop("__ann_n")
+      c.input.join(guarded, Seq(c.idCol), "left")
     }, tableParams = Set("table")),
     "drop_in" -> Op(Set("table", "column", "tableColumn"), { c =>
       membershipJoin(c, "left_anti")

@@ -968,6 +968,55 @@ class CliSpec extends SparkSpec {
     assert(meta.columns.contains("pixel_md5") && meta.columns.contains("payload"))
   }
 
+  test("pipeline annotate + dedup_exact column: media exact dedup by content address") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Multimodal
+    val (src, out) = (tempDir(), tempDir())
+    // ids 1..8 plus payload-identical recompressions of 1 and 2 (same
+    // decoded pixels -> same pixel_md5, different bytes and ids)
+    val base = Multimodal.syntheticImages(
+      spark.range(1, 9).select(col("id").as("doc_id")), "doc_id")
+    // factor = 1: decode + re-encode without rescale — SAME pixel
+    // content under new ids, the true pixel-duplicate pair
+    base.unionByName(Multimodal.reencodeScaled(
+        Multimodal.syntheticImages(
+          Seq(1L, 2L).toDF("doc_id"), "doc_id"), factor = 1, idOffset = 100L))
+      .withColumn("text", lit("img")).write.parquet(s"$src/images.parquet")
+    // a per-doc score annotation table
+    (1L to 6L).map(i => (i, i * 1.5)).toDF("doc_id", "img_score")
+      .write.parquet(s"$src/scores.parquet")
+    val yaml = Files.createTempFile("graft-pipe-annotate", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: media_exact
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: meta
+        |    op: media_stats
+        |    input: images
+        |  - name: unique_pixels
+        |    op: dedup_exact
+        |    params: { column: pixel_md5 }
+        |  - name: scored
+        |    op: annotate
+        |    params: { table: scores }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    def ids(name: String) = spark.read.parquet(s"$out/$name")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the re-encoded copies share their originals' pixel_md5 exactly —
+    // min-id survivors are the originals
+    assert(ids("unique_pixels") === (1L to 8L).toSet)
+    val scored = spark.read.parquet(s"$out/scored")
+    assert(scored.columns.contains("img_score"))
+    val sc = scored.select("doc_id", "img_score").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sc(3L) === Some(4.5))
+    assert(sc(7L) === None, "unannotated rows keep NULL")
+  }
+
   test("pipeline filter_rows / keep_in / drop_in: restricted predicates and list joins") {
     val s = spark
     import s.implicits._
