@@ -122,6 +122,9 @@ object CurationPipeline {
         s.params.get("mode").filterNot(op.modes.contains).foreach(m =>
           errors += s"step ${s.name}: op ${s.op} has no mode '$m' " +
             s"(allowed: ${op.modes.toSeq.sorted.mkString(", ")})")
+        if (s.params.get("mode").exists(_ != "full"))
+          (s.params.keySet intersect op.fullOnlyParams).toSeq.sorted.foreach(k =>
+            errors += s"step ${s.name}: param '$k' applies to mode: full only")
       }
     }
     // the first step must name its input; later ones default to the
@@ -231,8 +234,13 @@ object CurationPipeline {
     * step names or source tables) — [[validate]] adds them as
     * dependency edges, so an aux table produced by a LATER step in
     * file order still runs first. */
+  /** `fullOnlyParams`: params meaningful only under `mode: full` —
+    * validate() rejects them with any other mode BEFORE Spark boots
+    * (a structural spec error must not surface mid-run after earlier
+    * steps have published; the in-op requires remain as backstops). */
   final case class Op(paramKeys: Set[String], run: Ctx => DataFrame,
-      modes: Set[String] = Set("full"), tableParams: Set[String] = Set.empty)
+      modes: Set[String] = Set("full"), tableParams: Set[String] = Set.empty,
+      fullOnlyParams: Set[String] = Set.empty)
 
   /** A step's table references beyond its main input: every
     * `tableParams` value, comma-split. */
@@ -248,6 +256,27 @@ object CurationPipeline {
     * annotation table named by `scoreFrom` (e.g. an earlier `lm_score`
     * step), joined by the id. Docs without a score row lose to any
     * scored near-dup (desc NULLS LAST), deterministically. */
+  /** Filter-anchored duplicate-key raise shared by warc / mix /
+    * annotate (ONE home for the idiom — including its two subtleties):
+    * the raise rides a FILTER so column pruning cannot drop it, and
+    * NULL-keyed rows are EXEMPT — NULL never equi-joins, so they
+    * cannot fan anything out (and a NULL key rendered into the message
+    * would null the whole concat, swallowing the diagnostic; keys
+    * render with a NULL placeholder regardless). */
+  private def duplicateKeyGuard(
+      df: DataFrame, keys: Seq[String], before: String, after: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val allSet = keys.map(col(_).isNotNull).reduce(_ && _)
+    val rendered = concat_ws(", ",
+      keys.map(k => coalesce(col(k).cast("string"), lit("NULL"))): _*)
+    df.withColumn("__dup_n",
+        when(allSet && count(lit(1)).over(w) > 1,
+          raise_error(concat(lit(before), rendered, lit(after))))
+          .otherwise(lit(true)))
+      .filter(col("__dup_n"))
+      .drop("__dup_n")
+  }
+
   /** keep_in / drop_in core: semi/anti join of the input against a
     * named list table. Small lists broadcast (Catalyst sizes it); the
     * join key is declared, so a big kill-list co-partitions. */
@@ -357,6 +386,9 @@ object CurationPipeline {
             case keyCol =>
               require(c.input.columns.contains(keyCol),
                 s"step ${c.stepName}: input has no column '$keyCol'")
+              require(keyCol != c.idCol,
+                s"step ${c.stepName}: column: ${c.idCol} is the pipeline id — " +
+                  "deduping on the id keeps everything; name a content column")
               c.input
                 // NULL keys are not duplicates of each other (the SQL
                 // convention): null-keyed rows all survive
@@ -378,7 +410,7 @@ object CurationPipeline {
             c.input, c.idCol, c.textCol, fp, sink, buckets, c.batchId)
           readBatchPartition(c, sink, StreamingAdmission.BatchCol)
       }
-    }, modes = Set("full", "admit")),
+    }, modes = Set("full", "admit"), fullOnlyParams = Set("column")),
     // MinHash-LSH near-dup dedup: one survivor per near-dup cluster
     // (keep: min_id | longest | best). mode: admit judges the batch
     // against the maintained LSH posting store + admitted corpus under
@@ -413,7 +445,8 @@ object CurationPipeline {
             c.input, c.batchId, c.idCol, c.textCol, store, sink, p)
           readBatchPartition(c, sink, StreamingNearDup.BatchCol)
       }
-    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom"),
+      fullOnlyParams = Set("keep", "scoreCol", "scoreFrom")),
     // SimHash near-dup dedup: bit-level near-identity blocking
     "dedup_simhash" -> Op(Set("maxHamming", "maxBucket", "keep", "scoreCol", "scoreFrom"), { c =>
       val pairs = Dedup.simhashPairs(c.input, c.idCol, c.textCol,
@@ -463,7 +496,8 @@ object CurationPipeline {
               c.input.sparkSession, sink, c.idCol, c.batchId).select(c.idCol),
             Seq(c.idCol), "left_semi")
       }
-    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom"),
+      fullOnlyParams = Set("keep", "scoreCol", "scoreFrom")),
     // PERCEPTUAL audio dedup over a binary `payload` column (WAV
     // clips): real decode + 64-bit sign-of-energy-delta fingerprint
     // scan-locally, hamming banding pairs attenuated/re-encoded copies,
@@ -504,7 +538,8 @@ object CurationPipeline {
               c.input.sparkSession, sink, c.idCol, c.batchId).select(c.idCol),
             Seq(c.idCol), "left_semi")
       }
-    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom"),
+      fullOnlyParams = Set("keep", "scoreCol", "scoreFrom")),
     // video near-dup dedup over frame-container payloads: scan-local
     // demux + REAL per-frame decode + dHash; a video's signature is
     // its DISTINCT frame-hash set, pairs from shared-frame-hash
@@ -552,7 +587,8 @@ object CurationPipeline {
               c.input.sparkSession, sink, c.idCol, c.batchId, batch.schema),
             Seq(c.idCol), "left_semi")
       }
-    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom"),
+      fullOnlyParams = Set("keep", "scoreCol", "scoreFrom")),
     // drop rows sharing >= maxShared n-grams with the benchmark table
     "decontaminate" -> Op(Set("benchmark", "n", "maxShared"), { c =>
       Decontaminate.clean(c.input, c.resolve(c.params.reqStr("benchmark")),
@@ -651,16 +687,13 @@ object CurationPipeline {
       require(overlap.isEmpty,
         s"step ${c.stepName}: annotation table '$tname' would clobber input " +
           s"columns ${overlap.toSeq.sorted.mkString(", ")} — rename them first")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(c.idCol))
-      val guarded = t
-        .withColumn("__ann_n",
-          when(count(lit(1)).over(w) > 1, raise_error(concat(
-            lit(s"step ${c.stepName}: annotation table '$tname' has more than one " +
-              "row for id "), col(c.idCol).cast("string"),
-            lit(" — a fan-out would silently multiply downstream rows"))))
-            .otherwise(lit(true)))
-        .filter(col("__ann_n"))
-        .drop("__ann_n")
+      // NULL-id annotation rows can never join (dropped up front
+      // rather than tripping the guard — they are harmless, and the
+      // guard exempts NULL keys anyway)
+      val guarded = duplicateKeyGuard(t.filter(col(c.idCol).isNotNull),
+        Seq(c.idCol),
+        s"step ${c.stepName}: annotation table '$tname' has more than one row for id ",
+        " — a fan-out would silently multiply downstream rows")
       c.input.join(guarded, Seq(c.idCol), "left")
     }, tableParams = Set("table")),
     "drop_in" -> Op(Set("table", "column", "tableColumn"), { c =>
@@ -727,20 +760,11 @@ object CurationPipeline {
         recs
           .withColumn("capture_id", col(c.idCol))
           .withColumn(c.idCol, guarded)
-      } else {
-        // fail-loud duplicate-id guard (filter-anchored so the raise
-        // survives column pruning)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(c.idCol))
-        recs
-          .withColumn("__warc_n",
-            when(count(lit(1)).over(w) > 1, raise_error(concat(
-              lit(s"step ${c.stepName}: capture "), col(c.idCol).cast("string"),
-              lit(" holds more than one kept record — downstream id-keyed steps " +
-                "would corrupt silently; set `rekey: true` (or filter `types:`)"))))
-              .otherwise(lit(true)))
-          .filter(col("__warc_n"))
-          .drop("__warc_n")
-      }
+      } else
+        duplicateKeyGuard(recs, Seq(c.idCol),
+          s"step ${c.stepName}: capture ",
+          " holds more than one kept record — downstream id-keyed steps " +
+            "would corrupt silently; set `rekey: true` (or filter `types:`)")
     }),
     "redact" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.redact(col(c.textCol)))
@@ -875,7 +899,8 @@ object CurationPipeline {
             c.input, c.batchId, c.idCol, c.textCol, store, sink, p)
           readBatchPartition(c, sink, graft.streaming.StreamingWinnowDedup.BatchCol)
       }
-    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom")),
+    }, modes = Set("full", "admit"), tableParams = Set("scoreFrom"),
+      fullOnlyParams = Set("keep", "scoreCol", "scoreFrom")),
     // prefix-filtered exact-Jaccard near-dup dedup: one survivor per
     // cluster, exact over the full shingle universe (the PPJoin path —
     // prefer at near-dup thresholds where prefixes are short)
@@ -1118,20 +1143,11 @@ object CurationPipeline {
       // is (id, epoch): the SAME id legitimately recurs across its own
       // domain's epochs, never within one.
       val guardKeys =
-        if (maxEpochs == 1) Seq(col(c.idCol)) else Seq(col(c.idCol), col("epoch"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(guardKeys: _*)
-      mixed
-        .withColumn("__mix_n",
-          // filter-anchored (the attribution-guard pattern): a raise
-          // inside a later-dropped projection would be pruned away
-          when(count(lit(1)).over(w) > 1, raise_error(concat(
-            lit(s"step ${c.stepName}: id "), col(c.idCol).cast("string"),
-            lit(if (maxEpochs == 1) "" else " (same epoch)"),
-            lit(" sampled from more than one mix input — member corpora must have " +
-              "disjoint ids (re-key before mixing)"))))
-            .otherwise(lit(true)))
-        .filter(col("__mix_n"))
-        .drop("__mix_n")
+        if (maxEpochs == 1) Seq(c.idCol) else Seq(c.idCol, "epoch")
+      duplicateKeyGuard(mixed, guardKeys,
+        s"step ${c.stepName}: (${guardKeys.mkString(", ")}) = (",
+        ") sampled from more than one mix input — member corpora must have " +
+          "disjoint ids (re-key before mixing)")
     }, tableParams = Set("inputs")),
     // sharded JSONL training export: shuffleShards order -> one JSONL
     // file per shard under OUT_DIR/exports/<step>/shard=K/ (trainers

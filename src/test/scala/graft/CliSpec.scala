@@ -1742,6 +1742,24 @@ class CliSpec extends SparkSpec {
         fail("session must not be forced when --state is missing"))
     }
     assert(e2.msg.contains("--state"))
+    // a full-only param with mode: admit is a STRUCTURAL spec error —
+    // caught before Spark boots, not mid-run after steps published
+    val yaml3 = Files.createTempFile("graft-pipe-fullonly", ".yaml")
+    Files.writeString(yaml3,
+      """pipeline: full_only
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: a
+        |    op: dedup_near
+        |    input: documents
+        |    params: { mode: admit, keep: longest }
+        |""".stripMargin)
+    val e3 = intercept[Cli.CliError] {
+      Cli.run(Seq("pipeline", yaml3.toString, sf("sf0.001"), tempDir()),
+        fail("session must not be forced on a full-only-param spec error"))
+    }
+    assert(e3.msg.contains("applies to mode: full only"), e3.msg)
   }
 
   test("--version prints the banner with exit code 0, short aliases parse") {
