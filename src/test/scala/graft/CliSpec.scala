@@ -885,6 +885,40 @@ class CliSpec extends SparkSpec {
     assert(h1 === h0)
   }
 
+  test("pipeline --state: examples/nightly_crawl.yaml admits two nights of captures") {
+    val s = spark
+    import s.implicits._
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    val pad = "carrying plenty of its own unique words for the content rule"
+    def capture(i: Long, stamp: String): String = {
+      val body = s"<html><body><nav><a href='/'>Home</a></nav>" +
+        s"<p>Nightly $stamp article num$i alpha$i beta$i gamma$i $pad</p></body></html>"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h/$stamp/$i\r\n" +
+        s"Content-Length: ${("HTTP/1.1 200 OK\r\n\r\n" + body).length}\r\n\r\n" +
+        s"HTTP/1.1 200 OK\r\n\r\n$body\r\n\r\n"
+    }
+    // night 1: pages 1..10
+    (1L to 10L).map(i => (i, capture(i, "one"))).toDF("doc_id", "text")
+      .write.parquet(s"$src/captures.parquet")
+    Cli.run(Seq("pipeline", "examples/nightly_crawl.yaml", src, out1,
+      "--state", state), spark)
+    def ids(out: String) = spark.read.parquet(s"$out/budgeted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(out1) === (1L to 10L).toSet)
+    // night 2: 11..15 fresh; 101..103 EXACT re-crawls of night-1 pages
+    // 1..3 (same extracted content, new ids) — rejected by the exact
+    // store without rescanning night 1
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/captures.parquet"))
+    ((11L to 15L).map(i => (i, capture(i, "two"))) ++
+      (1L to 3L).map(i => (100L + i, capture(i, "one"))))
+      .toDF("doc_id", "text").write.parquet(s"$src/captures.parquet")
+    Cli.run(Seq("pipeline", "examples/nightly_crawl.yaml", src, out2,
+      "--state", state), spark)
+    assert(ids(out2) === (11L to 15L).toSet)
+    assert(Files.readString(Paths.get(state, "_graft_next_batch")).trim == "2")
+  }
+
   test("pipeline subcommand: examples/crawl_pipeline.yaml runs captures to curated export") {
     val s = spark
     import s.implicits._
