@@ -132,6 +132,9 @@ object Bench {
     // deep-vocabulary BPE: ONE distributed word-count pass + 4,096
     // merges trained driver-side (the trainMergesLocal fast path)
     "text_bpe_vocab4k"        -> (QueriesExt.textBpeVocab4k _),
+    // deep-vocabulary tokenization: the vocabulary-independent RANKED
+    // encoder against the 4k vocab (fold would pay 4096 passes/word)
+    "text_bpe_tokenize4k"     -> (QueriesExt.textBpeTokenize4k _),
     "table_expectations"      -> (QueriesExt.tableExpectations _),
     "graph_triangles"         -> (QueriesEvents.graphTriangles _),
     "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _),

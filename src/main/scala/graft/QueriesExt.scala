@@ -1624,6 +1624,25 @@ object QueriesExt {
     Bpe.trainMergesLocal(fused, "text", numMerges = 4096)
   }
 
+  /** Deep-vocabulary tokenization — the RANKED encoder against the 4k
+    * trigram vocabulary ([[textBpeVocab4k]]'s corpus): per-word cost is
+    * vocabulary-INDEPENDENT (lowest-rank-first with a pair→rank
+    * lookup), where the fold form pays O(4096) merge passes per
+    * distinct word. Bench-only; ranked ≡ fold is BpeSpec-pinned. */
+  def textBpeTokenize4k(s: SparkSession, dir: String): DataFrame = {
+    val fused = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        when(size(col("__ws")) >= 3, array_join(expr(
+          "transform(sequence(1, size(__ws) - 2), " +
+            "i -> concat_ws('_', element_at(__ws, i), element_at(__ws, i + 1), " +
+            "element_at(__ws, i + 2)))"), " "))
+          .otherwise(lit("")).as("text"))
+    val merges = Bpe.trainMergesLocal(fused, "text", numMerges = 4096)
+    Bpe.tokenizeWith(fused, "doc_id", "text", merges, ranked = true)
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+  }
+
   def textBpeTokenize(s: SparkSession, dir: String): DataFrame = {
     val corpus = docs(s, dir)
     val merges = Bpe.trainMerges(corpus, "text", numMerges = 8)

@@ -280,15 +280,51 @@ object Bpe {
         col("left_sym"), col("right_sym"))
   }
 
+  /** One classical lowest-rank-first encode pass: repeatedly merge the
+    * lowest-rank adjacent pair present (greedy left-to-right
+    * non-overlap per application — the [[applyMerge]] convention)
+    * until no learned pair remains. Work is O(len² · lookup) per word
+    * — INDEPENDENT of vocabulary size, vs the fold's O(numMerges ·
+    * len): the difference between practical and not at a real 32k
+    * vocabulary. Coincides with the fold semantics except in the
+    * same-symbol-STRING corner [[trainMerges]] documents (a collision
+    * can re-expose a lower rank the fold has already passed);
+    * BpeSpec pins fold ≡ ranked on seeded corpora. */
+  private[graft] def encodeRanked(
+      syms0: Seq[String], ranks: java.util.HashMap[String, Integer]): Seq[String] = {
+    var ss = syms0
+    var done = false
+    while (!done && ss.length > 1) {
+      // lowest-rank pair present this round
+      var best: Int = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < ss.length - 1) {
+        val r = ranks.get(ss(i) + " " + ss(i + 1))
+        if (r != null && r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else ss = applyMerge(ss, ss(bi), ss(bi + 1))
+    }
+    ss
+  }
+
   /** Tokenize with a learned merge table: per document, split to
     * normalized words, fold every merge in rank order over each word's
     * codepoint symbols — entirely scan-local (the merge list rides in
     * the closure; it is numMerges rows BY CONSTRUCTION, not corpus
     * data). Output `(idCol, bpe_tokens array<string>)` preserving
-    * document word order. */
+    * document word order.
+    *
+    * `ranked = true` swaps the per-word fold for [[encodeRanked]] —
+    * same output on real vocabularies (spec-pinned), O(word² ) instead
+    * of O(numMerges · word) per distinct word: REQUIRED at real
+    * (≥ 32k-merge) vocabulary sizes, where folding every merge over
+    * every distinct word costs more than the corpus scan itself. */
   def tokenizeWith(
       docs: DataFrame, idCol: String, textCol: String,
-      mergesDf: DataFrame, endOfWord: String = "</w>"
+      mergesDf: DataFrame, endOfWord: String = "</w>", ranked: Boolean = false
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -309,15 +345,31 @@ object Bpe {
         // word bounds the merge work by vocabulary, not occurrences
         // (the same distinct-word argument trainMerges scales on)
         val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
-        def fold(w: String): Seq[String] = {
-          var ss: Seq[String] = codepointSyms(w, eow).toSeq
+        // rank lookup built once per partition for the ranked path
+        lazy val ranks: java.util.HashMap[String, Integer] = {
+          val m = new java.util.HashMap[String, Integer](merges.length * 2)
           var i = 0
           while (i < merges.length) {
             val (a, b) = merges(i)
-            ss = applyMerge(ss, a, b)
+            // first (lowest) rank wins for a repeated pair string
+            m.putIfAbsent(a + " " + b, Integer.valueOf(i))
             i += 1
           }
-          ss
+          m
+        }
+        def fold(w: String): Seq[String] = {
+          val syms0: Seq[String] = codepointSyms(w, eow).toSeq
+          if (ranked) encodeRanked(syms0, ranks)
+          else {
+            var ss = syms0
+            var i = 0
+            while (i < merges.length) {
+              val (a, b) = merges(i)
+              ss = applyMerge(ss, a, b)
+              i += 1
+            }
+            ss
+          }
         }
         // bounded memo (Zipf head covers most occurrences; the long
         // tail just folds) so a pathological all-distinct partition

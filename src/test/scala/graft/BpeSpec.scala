@@ -167,6 +167,32 @@ class BpeSpec extends SparkSpec {
     assert(ex.getMessage.contains("minFreq"))
   }
 
+  test("ranked encode equals the fold on classic, random, and deep-vocab corpora") {
+    import spark.implicits._
+    def toks(corpus: org.apache.spark.sql.DataFrame, merges: org.apache.spark.sql.DataFrame,
+        ranked: Boolean) =
+      Bpe.tokenizeWith(corpus, "doc_id", "text", merges, ranked = ranked)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m1 = Bpe.trainMerges(classic, "text", numMerges = 10)
+    assert(toks(classic, m1, ranked = true) === toks(classic, m1, ranked = false))
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcdefgh"
+    val deep = (0 until 120).map { i =>
+      (i.toLong, (0 until 4).map(_ =>
+        (0 until 3 + rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(8))).mkString)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    // a deep vocabulary (256 merges) — the regime the ranked path exists for
+    val m2 = Bpe.trainMergesLocal(deep, "text", numMerges = 256)
+    assert(toks(deep, m2, ranked = true) === toks(deep, m2, ranked = false))
+    // empty merge table: both paths emit raw codepoint symbols
+    assert(toks(classic, m1.limit(0), ranked = true) ===
+      toks(classic, m1.limit(0), ranked = false))
+  }
+
   test("tokenizeWith: reconstruction, counting, and merge effect") {
     import spark.implicits._
     val corpus = Seq((1L, "low lower"), (2L, "newest low"), (3L, "  Newest   LOW "))
