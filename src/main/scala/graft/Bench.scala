@@ -88,6 +88,8 @@ object Bench {
     "text_extract_html"         -> (QueriesExt.textExtractHtml _),
     // Content-Length-accounted WARC record split + HTTP body
     "warc_extract"              -> (QueriesExt.warcExtract _),
+    // RFC 9309 robots URL admission (broadcast rules, scan-local match)
+    "crawl_robots_filter"       -> (QueriesExt.crawlRobotsFilter _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),
     "table_profile"             -> (QueriesExt.tableProfile _),
     // production approx-distinct profile (no exact companion)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Classify, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Warc}
+import graft.operators.{Bpe, Classify, Dedup, Multimodal, Robots, Sampling, Similarity, TextAnalysis, Warc}
 
 /** Training-data pipeline queries (SURVEY §7.1 step 7): dedup,
   * similarity search, text analysis, multimodal plumbing — with DuckDB
@@ -2927,4 +2927,114 @@ object QueriesExt {
        |         / CAST(count(*) AS DOUBLE) AS mean_p
        |FROM scored GROUP BY 1
        |""".stripMargin
+
+  // ================================================================ robots.txt (RFC 9309)
+  /** The constructed robots.txt body for host h<doc_id>: two agents
+    * sharing a group (with wildcard/anchored/empty rules and a
+    * crawl-delay), a `*` fallback group, a global sitemap, and a
+    * comment — every parser rule the gate pins. */
+  private def robotsBody: org.apache.spark.sql.Column =
+    concat(
+      lit("# robots for h"), col("doc_id"),
+      lit("\nUser-Agent: GraftBot\nUser-agent: OtherBot\n" +
+        "Disallow: /private/\nAllow: /private/pub*\nDisallow: /doc"),
+      col("doc_id"),
+      lit("$\nCrawl-delay: 5\nDisallow:\n\nUser-agent: *\nDisallow: /\n" +
+        "Sitemap: http://h"),
+      col("doc_id"), lit(".example.com/sitemap.xml\n"))
+
+  /** robots.txt parsing over deterministically CONSTRUCTED bodies: the
+    * oracle builds the expected record table directly — group
+    * accumulation across consecutive user-agent lines, per-agent rule
+    * explosion, file-order rule ordinals, comment stripping, the
+    * empty-disallow record, the out-of-group sitemap — so a drift
+    * anywhere in the grouping state machine mismatches. */
+  def crawlRobotsRules(s: SparkSession, dir: String): DataFrame =
+    Robots.parseRules(
+        docs(s, dir).select(col("doc_id"), robotsBody.as("body")),
+        "doc_id", "body")
+      .toDF()
+
+  lazy val crawlRobotsRulesSql: String =
+    """WITH cases(group_idx, rule_idx, agent, rule_type, v) AS (VALUES
+      |  (0, 0, 'graftbot', 'disallow', '/private/'),
+      |  (0, 0, 'otherbot', 'disallow', '/private/'),
+      |  (0, 1, 'graftbot', 'allow', '/private/pub*'),
+      |  (0, 1, 'otherbot', 'allow', '/private/pub*'),
+      |  (0, 2, 'graftbot', 'disallow', '/doc<ID>$'),
+      |  (0, 2, 'otherbot', 'disallow', '/doc<ID>$'),
+      |  (0, 3, 'graftbot', 'crawl-delay', '5'),
+      |  (0, 3, 'otherbot', 'crawl-delay', '5'),
+      |  (0, 4, 'graftbot', 'disallow', ''),
+      |  (0, 4, 'otherbot', 'disallow', ''),
+      |  (1, 5, '*', 'disallow', '/'),
+      |  (-1, 6, '', 'sitemap', 'http://h<ID>.example.com/sitemap.xml'))
+      |SELECT CAST(doc_id AS VARCHAR) AS robots_key, group_idx, rule_idx,
+      |       agent, rule_type,
+      |       replace(v, '<ID>', CAST(doc_id AS VARCHAR)) AS value
+      |FROM documents, cases
+      |""".stripMargin
+
+  /** robots URL admission over the constructed per-host rule sets and
+    * seven URL shapes per host × two product tokens: longest-match
+    * precedence, allow-beats-disallow ties (via the wildcard rule
+    * outranking the shorter disallow), the trailing-$ anchor (and its
+    * defeat by a query string — RFC matches path PLUS query),
+    * case-insensitive hosts vs case-sensitive paths, exact-group
+    * shadowing of `*`, the `*` fallback for an unlisted agent, and the
+    * allowed-by-default orphan host. The oracle constructs every
+    * verdict directly. */
+  def crawlRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val host = concat(lit("h"), col("doc_id"), lit(".example.com"))
+    val rules = Robots.parseRules(
+      d.select(host.as("host"), robotsBody.as("body")), "host", "body").toDF()
+    val hid = col("doc_id").cast("string")
+    val urls = d.select(col("doc_id"), explode(array(
+      concat(lit("http://H"), hid, lit(".EXAMPLE.com/index.html")),
+      concat(lit("http://h"), hid, lit(".example.com/private/secret.html")),
+      concat(lit("http://h"), hid, lit(".example.com/private/pub"), hid, lit("?page=2")),
+      concat(lit("http://h"), hid, lit(".example.com/doc"), hid),
+      concat(lit("http://h"), hid, lit(".example.com/doc"), hid, lit("?q=1")),
+      concat(lit("http://h"), hid, lit(".example.com/Private/x")),
+      concat(lit("http://orphan"), hid, lit(".example.net/x")))).as("url"))
+    val asGraft = Robots.admissions(urls, "url", rules, "GraftBot")
+      .withColumn("agent", lit("graftbot"))
+    val asNew = Robots.admissions(urls, "url", rules, "newbot")
+      .withColumn("agent", lit("newbot"))
+    asGraft.unionByName(asNew)
+      .select(col("doc_id"), col("agent"), col("url"),
+        col("robots_allowed"), col("robots_rule"))
+  }
+
+  lazy val crawlRobotsFilterSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, 1 AS kind,
+      |         'http://H' || doc_id || '.EXAMPLE.com/index.html' AS url
+      |  FROM documents
+      |  UNION ALL SELECT doc_id, 2,
+      |    'http://h' || doc_id || '.example.com/private/secret.html' FROM documents
+      |  UNION ALL SELECT doc_id, 3,
+      |    'http://h' || doc_id || '.example.com/private/pub' || doc_id || '?page=2'
+      |  FROM documents
+      |  UNION ALL SELECT doc_id, 4,
+      |    'http://h' || doc_id || '.example.com/doc' || doc_id FROM documents
+      |  UNION ALL SELECT doc_id, 5,
+      |    'http://h' || doc_id || '.example.com/doc' || doc_id || '?q=1' FROM documents
+      |  UNION ALL SELECT doc_id, 6,
+      |    'http://h' || doc_id || '.example.com/Private/x' FROM documents
+      |  UNION ALL SELECT doc_id, 7,
+      |    'http://orphan' || doc_id || '.example.net/x' FROM documents
+      |)
+      |SELECT doc_id, a.agent, url,
+      |  CASE WHEN a.agent = 'graftbot' THEN kind IN (1, 3, 5, 6, 7)
+      |       ELSE kind = 7 END AS robots_allowed,
+      |  CASE WHEN a.agent = 'graftbot' THEN
+      |         CASE kind WHEN 2 THEN '/private/'
+      |                   WHEN 3 THEN '/private/pub*'
+      |                   WHEN 4 THEN '/doc' || doc_id || '$' END
+      |       ELSE CASE WHEN kind <> 7 THEN '/' END
+      |  END AS robots_rule
+      |FROM u CROSS JOIN (SELECT unnest(['graftbot', 'newbot']) AS agent) a
+      |""".stripMargin
 }

@@ -55,6 +55,9 @@ object SparkEntry {
     "text_normalize" -> (QueriesExt.textNormalize _),
     "text_extract_html" -> (QueriesExt.textExtractHtml _),
     "warc_extract" -> (QueriesExt.warcExtract _),
+    // robots.txt (RFC 9309): record parsing + URL admission
+    "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
+    "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
     // URL canonicalization (the crawl fetch-dedup key)
@@ -281,6 +284,8 @@ object SparkEntry {
     "text_normalize"            -> QueriesExt.textNormalizeSql,
     "text_extract_html"         -> QueriesExt.textExtractHtmlSql,
     "warc_extract"              -> QueriesExt.warcExtractSql,
+    "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
+    "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,

@@ -1,0 +1,216 @@
+package graft.operators
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** robots.txt — the Robots Exclusion Protocol (RFC 9309) — parsing and
+  * URL admission: the step BETWEEN fetching and [[Warc]]/
+  * [[TextAnalysis.extractHtml]] in a real crawl pipeline. A crawler
+  * that ignores robots rules collects pages it must then discard (or
+  * worse, ship); filtering the frontier/capture against the per-host
+  * rule set is a first-class 100 TB curation operation.
+  *
+  * Semantics implemented (the RFC 9309 core, deterministic):
+  *
+  *  - line-oriented `field: value` records; `#` starts a comment;
+  *    field names case-insensitive; CRLF and LF both accepted;
+  *  - consecutive `user-agent` lines accumulate into ONE group; an
+  *    `allow`/`disallow`/`crawl-delay` line ends the run (the next
+  *    `user-agent` starts a new group) and attaches to every agent of
+  *    the current group; rules before any group are ignored;
+  *  - unknown fields are ignored entirely (they neither end a
+  *    user-agent run nor start a group); `sitemap` is global — emitted
+  *    with `group_idx = -1` and an empty agent;
+  *  - agent tokens are matched case-insensitively (lowercased at parse
+  *    time); rule paths are case-SENSITIVE (RFC);
+  *  - matching: a rule applies when the URL's path-plus-query matches
+  *    the rule path, where `*` matches any span and a TRAILING `$`
+  *    anchors the end (a `$` elsewhere is literal); the most specific
+  *    match — most octets in the rule as written — wins; on a tie,
+  *    `allow` wins; no matching rule, no rule group, or no robots.txt
+  *    for the host means ALLOWED (the RFC default);
+  *  - group selection: the group matching the product token exactly
+  *    (case-insensitive) if one exists for the host, else the `*`
+  *    group;
+  *  - an empty `disallow`/`allow` value is parsed (fidelity) but
+  *    matches nothing — the traditional "allow everything" record; a
+  *    rule path starting with neither `/` nor `*` is likewise inert.
+  *
+  * Scale shape: the rule table is bounded by hosts × rules-per-file
+  * (RFC caps files at 500 KiB), so rules aggregate into ONE array row
+  * per host and join to the URL corpus host-keyed — broadcast by
+  * default ([[admissions]]' `broadcastRules`), a declared-key shuffle
+  * join when a frontier spans too many hosts to broadcast. The
+  * longest-match evaluation is a scan-local higher-order `filter` +
+  * `array_max` over the per-host array: the corpus never shuffles and
+  * never sees a per-rule row explosion.
+  */
+object Robots {
+
+  /** One parsed rule line, exploded per group agent. `rule_idx` is the
+    * file-order ordinal over emitted records (shared by the exploded
+    * agent rows of one line). */
+  final case class RobotsRule(
+      robots_key: String,
+      group_idx: Int,
+      rule_idx: Int,
+      agent: String,
+      rule_type: String,
+      value: String
+  )
+
+  /** Parse every rule of each row's robots.txt body (string column).
+    * `keyCol` (any type; cast to string) keys the file — pass the host
+    * for [[admissions]]. One `mapPartitions` pass, no shuffle. */
+  def parseRules(df: DataFrame, keyCol: String, bodyCol: String): Dataset[RobotsRule] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(bodyCol)).as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (key, body) =>
+          parseString(if (key == null) "" else key, if (body == null) "" else body)
+        }
+      }
+  }
+
+  /** The parser core, exposed for specs: rules of one robots.txt
+    * body. */
+  private[graft] def parseString(key: String, body: String): Seq[RobotsRule] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    val agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inUaRun = false
+    var groupIdx = -1
+    var ruleIdx = 0
+    body.split("\r?\n", -1).foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val sep = line.indexOf(':')
+        if (sep > 0) { // no ':' or empty field name: not a record, ignore
+          val field = line.substring(0, sep).trim.toLowerCase(Locale.ROOT)
+          val value = line.substring(sep + 1).trim
+          field match {
+            case "user-agent" =>
+              if (!inUaRun) { agents.clear(); groupIdx += 1 }
+              inUaRun = true
+              agents += value.toLowerCase(Locale.ROOT)
+            case "allow" | "disallow" | "crawl-delay" =>
+              inUaRun = false
+              if (agents.nonEmpty) { // rules before any group: ignored
+                agents.foreach { a =>
+                  out += RobotsRule(key, groupIdx, ruleIdx, a, field, value)
+                }
+                ruleIdx += 1
+              }
+            case "sitemap" => // global record, outside any group
+              out += RobotsRule(key, -1, ruleIdx, "", "sitemap", value)
+              ruleIdx += 1
+            case _ => () // unknown field: ignored, no state change
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Lowercased `host[:port]` of a URL column (`""` for scheme-less
+    * strings) — the robots join key. Host names are case-insensitive
+    * (RFC 3986); any explicit port is kept as written on BOTH sides of
+    * the join. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+
+  /** The path-plus-query a robots rule matches against: everything
+    * after the authority, fragment dropped, empty path normalized to
+    * `/` (RFC 9309 matches the path including the query string). */
+  def urlPathQuery(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    when(url.isNull, lit(null))
+      .when(rest === "", lit("/"))
+      .when(substring(rest, 1, 1) === "?", concat(lit("/"), rest))
+      .otherwise(rest)
+  }
+
+  // rule path -> anchored Java/RE2 regex, as Column arithmetic over the
+  // SMALL rule table: trailing '$' detected first, every metacharacter
+  // literal-escaped (backslash first), then the escaped '\*' becomes
+  // '.*'. Valid in both Java (Spark) and RE2 (a DuckDB oracle) — the
+  // redact discipline.
+  private def ruleRegex(value: Column): Column = {
+    val anchored = value.endsWith("$")
+    val core = when(anchored, value.substr(lit(1), length(value) - 1)).otherwise(value)
+    val escaped = Seq("\\", ".", "^", "$", "|", "?", "+", "(", ")", "[", "]", "{", "}", "*")
+      .foldLeft(core) { (c, ch) => replace(c, lit(ch), lit("\\" + ch)) }
+    concat(lit("^"), replace(escaped, lit("\\*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Annotate a URL corpus with its robots verdict: `robots_allowed`
+    * (boolean) and `robots_rule` (the winning rule path as written,
+    * NULL when no rule matched). `rules` is [[parseRules]] output
+    * keyed by HOST (`robots_key`); `agent` is the crawler's product
+    * token. A NULL url has no host and is allowed with a NULL rule.
+    *
+    * `broadcastRules = false` drops the broadcast hint for frontiers
+    * whose distinct-host rule table is itself too large to broadcast —
+    * the join then shuffles on the declared host key. */
+  def admissions(
+      urls: DataFrame, urlCol: String, rules: DataFrame, agent: String,
+      broadcastRules: Boolean = true
+  ): DataFrame = {
+    val agentLc = agent.trim.toLowerCase(Locale.ROOT)
+    require(agentLc.nonEmpty && agentLc != "*",
+      s"agent must be a concrete product token, got '$agent'")
+    require(!urls.columns.contains("robots_allowed") && !urls.columns.contains("robots_rule"),
+      "input already has robots_allowed/robots_rule columns — a second pass would clobber them")
+
+    // effective allow/disallow rules for this agent: exact group if the
+    // host has one, else the '*' group; empty and non-path values inert
+    val r0 = rules.select(
+        lower(col("robots_key")).as("__rh"), col("agent").as("__ra"),
+        col("rule_type").as("__rt"), col("value").as("__rv"))
+      .filter(col("__rt").isin("allow", "disallow") &&
+        col("__ra").isin(agentLc, "*") &&
+        (col("__rv").startsWith("/") || col("__rv").startsWith("*")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__rh"))
+    val chosen = r0
+      .withColumn("__he", max(when(col("__ra") === agentLc, 1).otherwise(0)).over(w))
+      .filter(col("__ra") === agentLc || (col("__he") === 0 && col("__ra") === "*"))
+
+    // one array row per host; struct field order IS the precedence
+    // order (octets of the rule as written, then allow over disallow,
+    // then the rule text for a total deterministic order)
+    val grouped = chosen.groupBy(col("__rh")).agg(
+      collect_list(struct(
+        length(col("__rv")).as("prio"),
+        when(col("__rt") === "allow", 1).otherwise(0).as("allow_i"),
+        col("__rv").as("rule"),
+        ruleRegex(col("__rv")).as("rx"))).as("__rules"))
+    val ruleSide = if (broadcastRules) broadcast(grouped) else grouped
+
+    val withKey = urls
+      .withColumn("__uh", urlHost(col(urlCol)))
+      .withColumn("__up", urlPathQuery(col(urlCol)))
+    val joined = withKey.join(ruleSide, withKey("__uh") === ruleSide("__rh"), "left")
+    // scan-local longest-match: filter the per-host array by regex
+    // match, take the struct max. RLIKE accepts a non-foldable pattern.
+    val winner = array_max(expr("filter(__rules, r -> __up rlike r.rx)"))
+    joined
+      .withColumn("robots_allowed", winner.isNull || winner.getField("allow_i") === 1)
+      .withColumn("robots_rule", winner.getField("rule"))
+      .drop("__uh", "__up", "__rh", "__rules")
+  }
+
+  /** [[admissions]], then keep only the allowed rows (annotation
+    * columns dropped) — the pipeline-step shape. */
+  def filterAllowed(
+      urls: DataFrame, urlCol: String, rules: DataFrame, agent: String,
+      broadcastRules: Boolean = true
+  ): DataFrame =
+    admissions(urls, urlCol, rules, agent, broadcastRules)
+      .filter(col("robots_allowed"))
+      .drop("robots_allowed", "robots_rule")
+}

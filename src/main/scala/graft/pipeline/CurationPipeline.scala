@@ -766,6 +766,31 @@ object CurationPipeline {
           " holds more than one kept record — downstream id-keyed steps " +
             "would corrupt silently; set `rekey: true` (or filter `types:`)")
     }),
+    // robots.txt (RFC 9309) URL admission: drop rows whose url a
+    // per-host rule set disallows for this crawler's product token.
+    // `table` (a dependency edge) holds raw robots.txt bodies keyed by
+    // host; rules parse in-step, aggregate to one array row per host,
+    // and join host-keyed (broadcast unless `broadcast: false` — a
+    // frontier spanning too many hosts to broadcast shuffles on the
+    // declared key instead). The corpus itself never shuffles.
+    "robots_filter" -> Op(
+      Set("table", "url", "agent", "hostColumn", "bodyColumn", "broadcast"), { c =>
+        val tblName = c.params.reqStr("table")
+        val urlCol  = c.params.str("url", "target_uri")
+        val agent   = c.params.reqStr("agent")
+        val hostCol = c.params.str("hostColumn", "host")
+        val bodyCol = c.params.str("bodyColumn", "robots_txt")
+        require(c.input.columns.contains(urlCol),
+          s"step ${c.stepName}: input has no url column '$urlCol'")
+        val robots = c.resolve(tblName)
+        for (needed <- Seq(hostCol, bodyCol))
+          require(robots.columns.contains(needed),
+            s"step ${c.stepName}: table '$tblName' has no column '$needed'")
+        val rules = graft.operators.Robots
+          .parseRules(robots, hostCol, bodyCol).toDF()
+        graft.operators.Robots.filterAllowed(c.input, urlCol, rules, agent,
+          broadcastRules = c.params.str("broadcast", "true").toBoolean)
+      }, tableParams = Set("table")),
     "redact" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.redact(col(c.textCol)))
     }),

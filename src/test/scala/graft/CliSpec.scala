@@ -937,19 +937,25 @@ class CliSpec extends SparkSpec {
         s"item$i gamma$i detail delta$i in context epsilon$i end$i</p>" +
         s"<p>$boiler boilerplate padding line shared across every page</p>" +
         "</body></html>"
+      // pages 29/30 live under /blocked/ — robots_filter must drop them
+      val path = if (i >= 29) s"/blocked/$i" else s"/$i"
       s"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 15\r\n\r\nsoftware: graft\r\n\r\n" +
-        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h/$i\r\n" +
+        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h$path\r\n" +
         s"Content-Length: ${("HTTP/1.1 200 OK\r\n\r\n" + body).length}\r\n\r\n" +
         s"HTTP/1.1 200 OK\r\n\r\n$body\r\n\r\n"
     }
     (1L to 30L).map(i => (i, capture(i))).toDF("doc_id", "text")
       .write.parquet(s"$src/captures.parquet")
+    Seq(("h", "User-agent: graftbot\nDisallow: /blocked/"))
+      .toDF("host", "robots_txt").write.parquet(s"$src/robots.parquet")
     Cli.run(Seq("pipeline", "examples/crawl_pipeline.yaml", src, out), spark)
     val curated = spark.read.parquet(s"$out/curated")
-    assert(curated.count() === 30L)
+    assert(curated.count() === 28L)
     val texts = curated.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    (1L to 30L).foreach { i =>
+    assert(!texts.contains(29L) && !texts.contains(30L),
+      "robots-disallowed pages leaked through robots_filter")
+    (1L to 28L).foreach { i =>
       val t = texts(i)
       assert(t.contains(s"article u$i alpha$i mailto"),
         s"doc $i lost its content: '$t'")
@@ -960,7 +966,7 @@ class CliSpec extends SparkSpec {
       assert(!t.contains("home"), s"doc $i kept nav text: '$t'")
     }
     assert(Files.isDirectory(Paths.get(out, "exports", "dump")))
-    assert(spark.read.parquet(s"$out/dump").count() === 30L)
+    assert(spark.read.parquet(s"$out/dump").count() === 28L)
   }
 
   test("pipeline media_stats: real decode metadata feeds a min-dimension filter") {

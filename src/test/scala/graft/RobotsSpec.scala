@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+import graft.operators.Robots
+
+/** robots.txt (RFC 9309): record parsing (grouping, comments, case
+  * rules), URL admission (longest-match precedence, wildcards and
+  * anchors, agent group selection), plus an independent in-memory
+  * longest-prefix matcher cross-check over generated rule sets. */
+class RobotsSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- parsing
+
+  test("groups: consecutive user-agent lines accumulate; a rule ends the run") {
+    val body =
+      """User-Agent: AlphaBot
+        |user-agent: BetaBot
+        |Disallow: /a
+        |User-agent: GammaBot
+        |Allow: /b
+        |""".stripMargin
+    val got = Robots.parseString("h", body)
+      .map(r => (r.group_idx, r.rule_idx, r.agent, r.rule_type, r.value))
+    assert(got === Seq(
+      (0, 0, "alphabot", "disallow", "/a"),
+      (0, 0, "betabot", "disallow", "/a"),
+      (1, 1, "gammabot", "allow", "/b")))
+  }
+
+  test("comments strip anywhere; blank lines and unknown fields change no state") {
+    val body =
+      "# preamble\r\n" +
+        "User-agent: bot # trailing comment\r\n" +
+        "Cache-Control: no-store\r\n" + // unknown: ignored, UA run stays open
+        "User-agent: other\r\n" +
+        "\r\n" + // blank line: no grouping semantics
+        "Disallow: /x # comment after value\r\n" +
+        "not-a-record-line\r\n" +
+        "Disallow: /y\r\n"
+    val got = Robots.parseString("h", body)
+      .map(r => (r.group_idx, r.rule_idx, r.agent, r.rule_type, r.value))
+    assert(got === Seq(
+      (0, 0, "bot", "disallow", "/x"), (0, 0, "other", "disallow", "/x"),
+      (0, 1, "bot", "disallow", "/y"), (0, 1, "other", "disallow", "/y")))
+  }
+
+  test("rules before any group are ignored; sitemap is global; empty values kept") {
+    val body =
+      """Disallow: /orphan
+        |Sitemap: http://h/s.xml
+        |User-agent: bot
+        |Disallow:
+        |Crawl-delay: 5
+        |""".stripMargin
+    val got = Robots.parseString("h", body)
+      .map(r => (r.group_idx, r.rule_idx, r.agent, r.rule_type, r.value))
+    assert(got === Seq(
+      (-1, 0, "", "sitemap", "http://h/s.xml"),
+      (0, 1, "bot", "disallow", ""),
+      (0, 2, "bot", "crawl-delay", "5")))
+  }
+
+  test("null/empty bodies parse to no rules; parseRules keys by any column") {
+    assert(Robots.parseString("h", "") === Seq.empty)
+    val df = Seq((1L, "User-agent: a\nDisallow: /p"), (2L, null: String))
+      .toDF("doc_id", "body")
+    val rules = Robots.parseRules(df, "doc_id", "body").collect()
+    assert(rules.map(r => (r.robots_key, r.agent, r.value)).toSeq ===
+      Seq(("1", "a", "/p")))
+  }
+
+  // ------------------------------------------------------- admissions
+
+  private def rulesDf(host: String, body: String) =
+    Robots.parseRules(Seq((host, body)).toDF("robots_key", "body"), "robots_key", "body")
+      .toDF()
+
+  private def verdicts(urls: Seq[String], host: String, body: String, agent: String) = {
+    val u = urls.toDF("url")
+    Robots.admissions(u, "url", rulesDf(host, body), agent)
+      .select("url", "robots_allowed", "robots_rule")
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+  }
+
+  test("longest match wins; allow beats disallow on ties; no match allows") {
+    val body =
+      """User-agent: bot
+        |Disallow: /private/
+        |Allow: /private/pub*
+        |Allow: /dup
+        |Disallow: /dup
+        |""".stripMargin
+    val got = verdicts(Seq(
+      "http://H.example/index.html", // host case-insensitive; no match
+      "http://h.example/private/secret",
+      "http://h.example/private/pubX/deep?q=1", // wildcard spans segments+query
+      "http://h.example/dup", // tie on length 4: allow wins
+      "http://h.example/Private/x" // paths case-SENSITIVE
+    ), "h.example", body, "Bot") // agent token case-insensitive
+    assert(got("http://H.example/index.html") === ((true, None)))
+    assert(got("http://h.example/private/secret") === ((false, Some("/private/"))))
+    assert(got("http://h.example/private/pubX/deep?q=1") === ((true, Some("/private/pub*"))))
+    assert(got("http://h.example/dup") === ((true, Some("/dup"))))
+    assert(got("http://h.example/Private/x") === ((true, None)))
+  }
+
+  test("trailing $ anchors over path+query; inner $ and empty rules are inert") {
+    val body =
+      """User-agent: bot
+        |Disallow: /exact$
+        |Disallow: /a$b
+        |Disallow:
+        |Disallow: no-slash
+        |""".stripMargin
+    val got = verdicts(Seq(
+      "http://h/exact", "http://h/exact?q=1", "http://h/exactly",
+      "http://h/a$b/c", "http://h/no-slash"), "h", body, "bot")
+    assert(got("http://h/exact") === ((false, Some("/exact$"))))
+    assert(got("http://h/exact?q=1") === ((true, None))) // query breaks the anchor
+    assert(got("http://h/exactly") === ((true, None)))
+    assert(got("http://h/a$b/c") === ((false, Some("/a$b")))) // literal inner $
+    assert(got("http://h/no-slash") === ((true, None))) // non-path rule inert
+  }
+
+  test("agent groups: exact group shadows *; unknown agent falls back to *") {
+    val body =
+      """User-agent: bot
+        |Disallow: /only-bot
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    // exact group exists: * rules do NOT apply, even permissive paths
+    val asBot = verdicts(Seq("http://h/anything", "http://h/only-bot"), "h", body, "bot")
+    assert(asBot("http://h/anything") === ((true, None)))
+    assert(asBot("http://h/only-bot") === ((false, Some("/only-bot"))))
+    // unknown agent: the * group applies
+    val asOther = verdicts(Seq("http://h/anything"), "h", body, "stranger")
+    assert(asOther("http://h/anything") === ((false, Some("/"))))
+  }
+
+  test("hosts without robots, scheme-less and NULL urls are allowed") {
+    val rules = rulesDf("known.host", "User-agent: *\nDisallow: /")
+    val u = Seq("http://other.host/x", "not a url", null).toDF("url")
+    val got = Robots.admissions(u, "url", rules, "bot")
+      .select("robots_allowed", "robots_rule").collect()
+    assert(got.forall(r => r.getBoolean(0) && r.isNullAt(1)))
+  }
+
+  test("filterAllowed keeps allowed rows and drops annotations; guards re-entry") {
+    val rules = rulesDf("h", "User-agent: *\nDisallow: /no/")
+    val u = Seq("http://h/ok", "http://h/no/x").toDF("url")
+    val kept = Robots.filterAllowed(u, "url", rules, "bot")
+    assert(kept.columns.toSeq === Seq("url"))
+    assert(kept.collect().map(_.getString(0)).toSeq === Seq("http://h/ok"))
+    val annotated = Robots.admissions(u, "url", rules, "bot")
+    val e = intercept[IllegalArgumentException] {
+      Robots.admissions(annotated, "url", rules, "bot")
+    }
+    assert(e.getMessage.contains("robots_allowed"))
+    val e2 = intercept[IllegalArgumentException] {
+      Robots.admissions(u, "url", rules, "*")
+    }
+    assert(e2.getMessage.contains("product token"))
+  }
+
+  test("cross-check: literal prefix rule sets match an independent in-memory matcher") {
+    // independent reference: longest matching literal prefix, allow on
+    // ties, allowed when nothing matches
+    def reference(rules: Seq[(Boolean, String)], path: String): Boolean = {
+      val matched = rules.filter { case (_, p) => p.nonEmpty && path.startsWith(p) }
+      if (matched.isEmpty) true
+      else {
+        val maxLen = matched.map(_._2.length).max
+        matched.filter(_._2.length == maxLen).exists(_._1)
+      }
+    }
+    val paths = Seq("/", "/a", "/a/b", "/a/bc", "/b", "/a/b/c", "/ab")
+    val ruleSets: Seq[Seq[(Boolean, String)]] = Seq(
+      Seq(true -> "/a", false -> "/a/b"),
+      Seq(false -> "/", true -> "/a", false -> "/a/b", true -> "/a/b/c"),
+      Seq(false -> "/a", true -> "/a", false -> "/ab"),
+      Seq(false -> "/b"),
+      Seq(true -> "/a/b", false -> "/a/b")) // exact tie: allow wins
+    for (rs <- ruleSets) {
+      val body = "User-agent: bot\n" + rs.map { case (a, p) =>
+        (if (a) "Allow: " else "Disallow: ") + p }.mkString("\n")
+      val urls = paths.map(p => s"http://h$p")
+      val got = verdicts(urls, "h", body, "bot")
+      for (p <- paths) {
+        assert(got(s"http://h$p")._1 === reference(rs, p),
+          s"rules=$rs path=$p")
+      }
+    }
+  }
+}
