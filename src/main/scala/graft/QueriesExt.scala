@@ -3037,4 +3037,38 @@ object QueriesExt {
       |  END AS robots_rule
       |FROM u CROSS JOIN (SELECT unnest(['graftbot', 'newbot']) AS agent) a
       |""".stripMargin
+
+  /** Sitemap XML parsing over deterministically CONSTRUCTED files:
+    * three `<url>` entries per document — one fully-attributed with an
+    * entity-escaped query URL, one bare, one with whitespace/newlines
+    * inside `<loc>` — inside a real `<urlset>` wrapper (which must NOT
+    * match as an entry). The oracle constructs the expected frontier
+    * rows directly, so a drift in entry splitting, tag extraction,
+    * trimming, or entity decoding mismatches byte-for-byte. */
+  def crawlSitemapUrls(s: SparkSession, dir: String): DataFrame = {
+    val hid = col("doc_id").cast("string")
+    val xml = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<url><loc>http://h"), hid,
+      lit(".example.com/a?x=1&amp;y=2</loc><lastmod>2024-01-15</lastmod>" +
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>\n" +
+        "<url><loc>http://h"), hid, lit(".example.com/page"), hid,
+      lit("</loc></url>\n<url>\n  <loc>\n    http://h"), hid,
+      lit(".example.com/ws\n  </loc>\n</url>\n</urlset>\n"))
+    operators.Sitemaps.urlEntries(
+      docs(s, dir).select(col("doc_id"), xml.as("xml")), "doc_id", "xml")
+  }
+
+  lazy val crawlSitemapUrlsSql: String =
+    """WITH cases(entry_idx, locsuf, lastmod, changefreq, priority) AS (VALUES
+      |  (0, '/a?x=1&y=2', '2024-01-15', 'daily', '0.8'),
+      |  (1, '/page<ID>', '', '', ''),
+      |  (2, '/ws', '', '', ''))
+      |SELECT doc_id, entry_idx,
+      |       'http://h' || doc_id || '.example.com' ||
+      |         replace(locsuf, '<ID>', CAST(doc_id AS VARCHAR)) AS loc,
+      |       lastmod, changefreq, priority
+      |FROM documents, cases
+      |""".stripMargin
 }

@@ -58,6 +58,8 @@ object SparkEntry {
     // robots.txt (RFC 9309): record parsing + URL admission
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
+    // sitemap XML -> frontier URL rows (codegen'd regexp chain)
+    "crawl_sitemap_urls"  -> (QueriesExt.crawlSitemapUrls _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
     // URL canonicalization (the crawl fetch-dedup key)
@@ -286,6 +288,7 @@ object SparkEntry {
     "warc_extract"              -> QueriesExt.warcExtractSql,
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
+    "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,

@@ -766,6 +766,41 @@ object CurationPipeline {
           " holds more than one kept record — downstream id-keyed steps " +
             "would corrupt silently; set `rekey: true` (or filter `types:`)")
     }),
+    // sitemap XML -> one row per listed URL (shape change, the `warc`
+    // convention): the text column holds sitemap XML in; out comes
+    // (id, entry_idx, text = loc, lastmod, changefreq, priority).
+    // `kind: index` parses a sitemap-index file's child locations
+    // instead. The 65536 rekey bound is safe BY PROTOCOL: sitemaps cap
+    // at 50,000 entries per file.
+    "sitemap" -> Op(Set("kind", "rekey"), { c =>
+      c.requireIntegralId("sitemap")
+      val kind = c.params.str("kind", "url")
+      require(kind == "url" || kind == "index",
+        s"step ${c.stepName}: kind must be url|index, got '$kind'")
+      val parsed =
+        if (kind == "url") graft.operators.Sitemaps.urlEntries(c.input, c.idCol, c.textCol)
+        else graft.operators.Sitemaps.indexEntries(c.input, c.idCol, c.textCol)
+      val recs = parsed.select(col(c.idCol), col("entry_idx"),
+        col("loc").as(c.textCol), col("lastmod"), col("changefreq"), col("priority"))
+      if (c.params.str("rekey", "false").toBoolean) {
+        val guarded = when(
+          col(c.idCol) < 0 || col(c.idCol) >= Long.MaxValue / 65536 ||
+            col("entry_idx") >= 65536,
+          raise_error(concat(
+            lit(s"step ${c.stepName}: rekey overflow — sitemap id "),
+            col(c.idCol).cast("string"), lit(" / entry_idx "),
+            col("entry_idx").cast("string"),
+            lit(" outside [0, 2^47) x [0, 65536)"))))
+          .otherwise(col(c.idCol) * 65536L + col("entry_idx"))
+        recs
+          .withColumn("sitemap_id", col(c.idCol))
+          .withColumn(c.idCol, guarded)
+      } else
+        duplicateKeyGuard(recs, Seq(c.idCol),
+          s"step ${c.stepName}: sitemap ",
+          " lists more than one URL — downstream id-keyed steps would " +
+            "corrupt silently; set `rekey: true`")
+    }),
     // robots.txt (RFC 9309) URL admission: drop rows whose url a
     // per-host rule set disallows for this crawler's product token.
     // `table` (a dependency edge) holds raw robots.txt bodies keyed by

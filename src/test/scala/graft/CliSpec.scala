@@ -969,6 +969,38 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dump").count() === 28L)
   }
 
+  test("pipeline subcommand: examples/frontier_pipeline.yaml builds a polite deduped frontier") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    def sm(urls: Seq[String]): String =
+      "<?xml version=\"1.0\"?>\n<urlset>\n" +
+        urls.map(u => s"<url><loc>$u</loc></url>").mkString("\n") + "\n</urlset>"
+    Seq(
+      // tracking param + host case fold away; /blocked/ is disallowed
+      (1L, sm(Seq("http://A.example.com/page1?utm_source=x",
+        "http://a.example.com/page2",
+        "http://a.example.com/blocked/secret"))),
+      // a second sitemap re-listing page1 under its canonical spelling
+      (2L, sm(Seq("http://a.example.com/page1",
+        "http://a.example.com/page3"))))
+      .toDF("doc_id", "text").write.parquet(s"$src/sitemaps.parquet")
+    Seq(("a.example.com", "User-agent: graftbot\nDisallow: /blocked/"))
+      .toDF("host", "robots_txt").write.parquet(s"$src/robots.parquet")
+    Cli.run(Seq("pipeline", "examples/frontier_pipeline.yaml", src, out), spark)
+    val unique = spark.read.parquet(s"$out/unique")
+    val urls = unique.select("text").collect().map(_.getString(0)).toSet
+    assert(urls === Set("http://a.example.com/page1", "http://a.example.com/page2",
+      "http://a.example.com/page3"))
+    // the duplicate canonical URL kept its FIRST lister (min rekeyed id
+    // = sitemap 1's entry), and entry provenance survived the chain
+    val page1 = unique.filter(org.apache.spark.sql.functions.col("text") ===
+      "http://a.example.com/page1").collect()
+    assert(page1.length === 1)
+    assert(page1.head.getAs[Long]("sitemap_id") === 1L)
+    assert(spark.read.parquet(s"$out/dump").count() === 3L)
+  }
+
   test("pipeline media_stats: real decode metadata feeds a min-dimension filter") {
     val s = spark
     import s.implicits._

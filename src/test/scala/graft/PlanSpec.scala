@@ -151,6 +151,17 @@ class PlanSpec extends SparkSpec {
     val warc = QueriesExt.warcExtract(spark, sf("sf0.001"))
     assert(!warc.queryExecution.executedPlan.toString.contains("Exchange"),
       "warc parsing must be partition-local")
+    // robots admission: the per-host rule arrays broadcast and the
+    // longest-match verdict evaluates scan-local — the URL corpus side
+    // never shuffles. The only shuffle Exchanges belong to the SMALL
+    // rules side (group-selection window + per-host aggregation, which
+    // share one hash partitioning on the host).
+    val robots = QueriesExt.crawlRobotsFilter(spark, sf("sf0.001"))
+    val robotsPlan = robots.queryExecution.executedPlan.toString
+    assert(robotsPlan.contains("BroadcastHashJoin"),
+      s"robots rules must broadcast:\n$robotsPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(robotsPlan).size <= 2,
+      s"robots corpus side must not shuffle:\n$robotsPlan")
     // epochs mix: the per-(domain, epoch) threshold table broadcasts —
     // the corpus side is never exchanged (one partial-agg for totals
     // reads the corpus; the replicating join must be a broadcast)
