@@ -3038,6 +3038,47 @@ object QueriesExt {
       |FROM u CROSS JOIN (SELECT unnest(['graftbot', 'newbot']) AS agent) a
       |""".stripMargin
 
+  /** HTTP message metadata + chunked-transfer decoding over three
+    * constructed payload shapes per document: a 200 text/html response
+    * whose body arrives `Transfer-Encoding: chunked` (lowercase header
+    * name, extra whitespace, a chunk extension, a two-chunk split of
+    * the document text), a plain 404, and a non-HTTP payload (NULL
+    * status, empty content type, body = payload). The oracle
+    * constructs every expected row directly, so a drift in status
+    * extraction, header lookup, header-block bounding, or the chunk
+    * framing decode mismatches byte-for-byte. */
+  def warcHttpMeta(s: SparkSession, dir: String): DataFrame = {
+    val c1 = substring(col("text"), 1, 10)
+    val c2 = substring(col("text"), 11, 1000000)
+    val chunked = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "transfer-encoding:  chunked\r\n\r\n"),
+      lower(hex(length(c1))), lit("\r\n"), c1, lit("\r\n"),
+      when(length(c2) > 0,
+        concat(lower(hex(length(c2))), lit(";ext=1\r\n"), c2, lit("\r\n")))
+        .otherwise(lit("")),
+      lit("0\r\n\r\n"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(map(
+        lit(1), chunked,
+        lit(2), lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"),
+        lit(3), col("text"))).as(Seq("kind", "payload")))
+      .select(col("doc_id"), col("kind"),
+        Warc.httpStatus(col("payload")).as("http_status"),
+        Warc.httpHeader(col("payload"), "Content-Type").as("content_type"),
+        Warc.httpBodyDechunked(col("payload")).as("body"))
+  }
+
+  lazy val warcHttpMetaSql: String =
+    """SELECT doc_id, 1 AS kind, 200 AS http_status,
+      |       'text/html; charset=utf-8' AS content_type, text AS body
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, 2, 404, 'text/plain', 'gone' FROM documents
+      |UNION ALL
+      |SELECT doc_id, 3, NULL, '', text FROM documents
+      |""".stripMargin
+
   /** Sitemap XML parsing over deterministically CONSTRUCTED files:
     * three `<url>` entries per document — one fully-attributed with an
     * entity-escaped query URL, one bare, one with whitespace/newlines

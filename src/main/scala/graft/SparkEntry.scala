@@ -60,6 +60,8 @@ object SparkEntry {
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
     // sitemap XML -> frontier URL rows (codegen'd regexp chain)
     "crawl_sitemap_urls"  -> (QueriesExt.crawlSitemapUrls _),
+    // HTTP status/header extraction + chunked-transfer decode
+    "warc_http_meta"      -> (QueriesExt.warcHttpMeta _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
     // URL canonicalization (the crawl fetch-dedup key)
@@ -289,6 +291,7 @@ object SparkEntry {
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,
+    "warc_http_meta"            -> QueriesExt.warcHttpMetaSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,

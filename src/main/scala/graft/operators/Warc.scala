@@ -140,4 +140,86 @@ object Warc {
     when(p.startsWith("HTTP/") && sepAt > 0, p.substr(sepAt + 1, length(p)))
       .otherwise(p)
   }
+
+  /** The status code of an HTTP message payload (`HTTP/1.1 200 OK` →
+    * 200), NULL when the payload is not an HTTP message. Codegen'd. */
+  def httpStatus(payload: Column): Column =
+    nullif(regexp_extract(coalesce(payload, lit("")),
+      "^HTTP/[0-9.]+ ([0-9]{3})", 1), lit("")).cast("int")
+
+  /** The HEADER block of an HTTP message payload — the status line +
+    * headers BEFORE the first blank line — or `""` when the payload is
+    * not an HTTP message ([[httpHeader]] must never match body text
+    * that merely looks like a header). */
+  private def httpHeaderBlock(payload: Column): Column = {
+    val p = coalesce(payload, lit(""))
+    val crlf = locate("\r\n\r\n", p)
+    val lf   = locate("\n\n", p)
+    val endAt = when(crlf > 0 && (lf === 0 || crlf < lf), crlf - 1)
+      .when(lf > 0, lf - 1)
+      .otherwise(length(p))
+    when(p.startsWith("HTTP/"), p.substr(lit(1), endAt)).otherwise(lit(""))
+  }
+
+  /** A named HTTP header's value (case-insensitive, whitespace-
+    * trimmed), `""` when absent or when the payload is not an HTTP
+    * message. `name` is restricted to the header-name alphabet so it
+    * embeds into the pattern verbatim. Codegen'd. */
+  def httpHeader(payload: Column, name: String): Column = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-'),
+      s"header name must be [A-Za-z0-9-]+, got '$name'")
+    regexp_replace(
+      regexp_extract(httpHeaderBlock(payload), s"(?i)\\n$name:([^\\r\\n]*)", 1),
+      "^\\s+|\\s+$", "")
+  }
+
+  /** Decode `Transfer-Encoding: chunked` framing: `hexsize[;ext]CRLF
+    * data CRLF` repeated, a `0` chunk, then optional trailers. Over
+    * this STRING column sizes count UTF-16 units (== bytes for the
+    * ASCII/Latin-1 captures the gates construct — the [[parseString]]
+    * caveat). Fail-loud on malformed framing: a silently mis-sliced
+    * body poisons every downstream operator. */
+  private[graft] def dechunk(body: String): String = {
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    var done = false
+    while (!done) {
+      val nl = body.indexOf('\n', pos)
+      require(nl >= 0, s"chunked body: no newline after chunk size at offset $pos")
+      val rawLine = body.substring(pos, if (nl > pos && body.charAt(nl - 1) == '\r') nl - 1 else nl)
+      val sizeHex = rawLine.takeWhile(_ != ';').trim // chunk extensions ignored
+      val size =
+        try Integer.parseInt(sizeHex, 16)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"chunked body: bad chunk size '${rawLine.take(20)}' at offset $pos")
+        }
+      require(size >= 0, s"chunked body: negative chunk size at offset $pos")
+      pos = nl + 1
+      if (size == 0) done = true // trailers (if any) are dropped
+      else {
+        require(pos + size <= body.length,
+          s"chunked body: chunk of $size runs past end of input at offset $pos")
+        sb.append(body, pos, pos + size)
+        pos += size
+        // the CRLF/LF after the chunk data
+        if (pos < body.length && body.charAt(pos) == '\r') pos += 1
+        require(pos < body.length && body.charAt(pos) == '\n',
+          s"chunked body: missing line break after chunk data at offset $pos")
+        pos += 1
+      }
+    }
+    sb.toString
+  }
+
+  private val dechunkUdf = udf { (b: String) => if (b == null) null else dechunk(b) }
+
+  /** [[httpBody]], with `Transfer-Encoding: chunked` framing decoded
+    * when the header declares it (the wire form is useless downstream).
+    * The chunked branch is a scan-local UDF — bounded per-record work
+    * off the codegen path only for records that actually chunk. */
+  def httpBodyDechunked(payload: Column): Column =
+    when(lower(httpHeader(payload, "Transfer-Encoding")).contains("chunked"),
+      dechunkUdf(httpBody(payload)))
+      .otherwise(httpBody(payload))
 }

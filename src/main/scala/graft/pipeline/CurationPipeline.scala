@@ -737,16 +737,28 @@ object CurationPipeline {
     // unique id `capture_id * 65536 + rec_idx` (old id kept as
     // `capture_id`; bounds fail-loud so the arithmetic cannot
     // collide), which is the multi-page-capture path.
-    "warc" -> Op(Set("types", "rekey"), { c =>
+    // httpMeta: true additionally attaches http_status/content_type
+    // (the standard keep-200-text/html filter keys) and decodes
+    // Transfer-Encoding: chunked framing out of the body
+    "warc" -> Op(Set("types", "rekey", "httpMeta"), { c =>
       val keep = c.params.str("types", "response")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(keep.nonEmpty, s"step ${c.stepName}: types must name at least one record type")
       c.requireIntegralId("warc")
-      val recs = graft.operators.Warc.parseRecords(c.input, c.idCol, c.textCol).toDF()
+      val httpMeta = c.params.str("httpMeta", "false").toBoolean
+      val base = graft.operators.Warc.parseRecords(c.input, c.idCol, c.textCol).toDF()
         .filter(col("warc_type").isin(keep: _*))
-        .select(col("doc_id").as(c.idCol), col("rec_idx"), col("warc_type"),
-          col("target_uri"),
-          graft.operators.Warc.httpBody(col("payload")).as(c.textCol))
+      val metaCols =
+        if (httpMeta) Seq(
+          graft.operators.Warc.httpStatus(col("payload")).as("http_status"),
+          graft.operators.Warc.httpHeader(col("payload"), "Content-Type").as("content_type"))
+        else Seq.empty
+      val bodyCol =
+        if (httpMeta) graft.operators.Warc.httpBodyDechunked(col("payload"))
+        else graft.operators.Warc.httpBody(col("payload"))
+      val recs = base.select(
+        Seq(col("doc_id").as(c.idCol), col("rec_idx"), col("warc_type"),
+          col("target_uri")) ++ metaCols :+ bodyCol.as(c.textCol): _*)
       if (c.params.str("rekey", "false").toBoolean) {
         val guarded = when(
           col(c.idCol) < 0 || col(c.idCol) >= Long.MaxValue / 65536 ||

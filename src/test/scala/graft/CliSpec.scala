@@ -937,12 +937,14 @@ class CliSpec extends SparkSpec {
         s"item$i gamma$i detail delta$i in context epsilon$i end$i</p>" +
         s"<p>$boiler boilerplate padding line shared across every page</p>" +
         "</body></html>"
-      // pages 29/30 live under /blocked/ — robots_filter must drop them
+      // pages 29/30 live under /blocked/ — robots_filter must drop
+      // them; page 28 is a 404 — the http_status filter must drop it
       val path = if (i >= 29) s"/blocked/$i" else s"/$i"
+      val status = if (i == 28) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+      val http = s"$status\r\nContent-Type: text/html\r\n\r\n$body"
       s"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 15\r\n\r\nsoftware: graft\r\n\r\n" +
         s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h$path\r\n" +
-        s"Content-Length: ${("HTTP/1.1 200 OK\r\n\r\n" + body).length}\r\n\r\n" +
-        s"HTTP/1.1 200 OK\r\n\r\n$body\r\n\r\n"
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
     }
     (1L to 30L).map(i => (i, capture(i))).toDF("doc_id", "text")
       .write.parquet(s"$src/captures.parquet")
@@ -950,12 +952,13 @@ class CliSpec extends SparkSpec {
       .toDF("host", "robots_txt").write.parquet(s"$src/robots.parquet")
     Cli.run(Seq("pipeline", "examples/crawl_pipeline.yaml", src, out), spark)
     val curated = spark.read.parquet(s"$out/curated")
-    assert(curated.count() === 28L)
+    assert(curated.count() === 27L)
     val texts = curated.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(!texts.contains(29L) && !texts.contains(30L),
       "robots-disallowed pages leaked through robots_filter")
-    (1L to 28L).foreach { i =>
+    assert(!texts.contains(28L), "the 404 page leaked through the status filter")
+    (1L to 27L).foreach { i =>
       val t = texts(i)
       assert(t.contains(s"article u$i alpha$i mailto"),
         s"doc $i lost its content: '$t'")
@@ -966,7 +969,7 @@ class CliSpec extends SparkSpec {
       assert(!t.contains("home"), s"doc $i kept nav text: '$t'")
     }
     assert(Files.isDirectory(Paths.get(out, "exports", "dump")))
-    assert(spark.read.parquet(s"$out/dump").count() === 28L)
+    assert(spark.read.parquet(s"$out/dump").count() === 27L)
   }
 
   test("pipeline subcommand: examples/frontier_pipeline.yaml builds a polite deduped frontier") {

@@ -72,6 +72,50 @@ class WarcSpec extends SparkSpec {
     assert(rows(4L) === "")
   }
 
+  test("httpStatus/httpHeader: case-insensitive lookup bounded by the header block") {
+    val rows = Seq(
+      (1L, "HTTP/1.1 301 Moved\r\ncontent-type:  text/html ;x=1 \r\nServer: s\r\n\r\n" +
+        "Content-Type: body-decoy"), // body text must NOT match
+      (2L, "HTTP/1.0 200 OK\nCONTENT-TYPE: a/b\n\nok"),
+      (3L, "not http at all\r\nContent-Type: nope\r\n\r\nx"))
+      .toDF("id", "p")
+      .select(col("id"), Warc.httpStatus(col("p")).as("s"),
+        Warc.httpHeader(col("p"), "Content-Type").as("ct"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), r.getString(2)))).toMap
+    assert(rows(1L) === ((Some(301), "text/html ;x=1")))
+    assert(rows(2L) === ((Some(200), "a/b")))
+    assert(rows(3L) === ((None, "")))
+    val e = intercept[IllegalArgumentException] {
+      Warc.httpHeader(col("p"), "bad name!")
+    }
+    assert(e.getMessage.contains("header name"))
+  }
+
+  test("dechunk: framing decodes, extensions/trailers drop, malformed raises") {
+    assert(Warc.dechunk("5\r\nhello\r\n6;ext=z\r\n world\r\n0\r\nTrailer: t\r\n\r\n")
+      === "hello world")
+    assert(Warc.dechunk("a\nLF framing\n0\n") === "LF framing")
+    assert(Warc.dechunk("0\r\n\r\n") === "")
+    val e1 = intercept[IllegalArgumentException] { Warc.dechunk("zz\r\nx\r\n0\r\n\r\n") }
+    assert(e1.getMessage.contains("bad chunk size"))
+    val e2 = intercept[IllegalArgumentException] { Warc.dechunk("ff\r\nshort\r\n0\r\n\r\n") }
+    assert(e2.getMessage.contains("runs past"))
+    val e3 = intercept[IllegalArgumentException] { Warc.dechunk("5\r\nhelloXX") }
+    assert(e3.getMessage.contains("missing line break"))
+  }
+
+  test("httpBodyDechunked: chunked responses decode, plain ones pass through") {
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "3\r\nabc\r\n3\r\ndef\r\n0\r\n\r\n"),
+      (2L, "HTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nplain"))
+      .toDF("id", "p")
+      .select(col("id"), Warc.httpBodyDechunked(col("p")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "abcdef")
+    assert(rows(2L) === "plain")
+  }
+
   test("distributed parse matches the core and stays scan-local") {
     val warcs = (1L to 10L).map { i =>
       (i, rec("response", s"http://h/$i", s"HTTP/1.1 200 OK\r\n\r\npage $i") +
