@@ -484,8 +484,11 @@ object QueriesExt {
       lit("?utm_source=feed&id="), id,
       when(col("doc_id") % 2 === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
       lit("&utm_campaign=x#Frag"))
-    docs(s, dir).select(col("doc_id"),
-      TextAnalysis.normalizeUrl(raw).as("url_norm"))
+    // the STAGED rewrite — the gate pins the codegen-viable form a
+    // corpus run uses (byte-identical to the one-Column normalizeUrl)
+    TextAnalysis.normalizeUrlStaged(
+        docs(s, dir).select(col("doc_id"), raw.as("url_norm")), "url_norm")
+      .select(col("doc_id"), col("url_norm"))
   }
 
   lazy val textUrlNormalizeSql: String = {

@@ -281,6 +281,56 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), host, rest))
   }
 
+  /** [[normalizeUrl]] as a STAGED multi-projection rewrite of `urlCol`
+    * in place — the form to use on a corpus. The single-Column form
+    * inlines its intermediates (`cleaned`, `scheme`, `host`…) into
+    * every CASE branch that references them; Spark's subexpression
+    * elimination does not reach into conditional branches, so ONE copy
+    * of that expression already overflows Janino's 64 KB method limit
+    * and silently drops the whole stage out of codegen. Staging each
+    * intermediate as a named column keeps every generated method small
+    * (CollapseProject will not re-inline a non-cheap alias referenced
+    * more than once) — same bytes out, codegen'd, still zero shuffle.
+    */
+  def normalizeUrlStaged(df: DataFrame, urlCol: String): DataFrame = {
+    val tmp = Seq("__nu_frag", "__nu_base", "__nu_q", "__nu_clean",
+      "__nu_scheme", "__nu_host", "__nu_rest")
+    tmp.foreach(t => require(!df.columns.contains(t),
+      s"normalizeUrlStaged: input already has internal column '$t'"))
+    val trackers = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
+    val schemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val q = regexp_extract(col("__nu_frag"), "\\?(.*)$", 1)
+    val q1 = regexp_replace(q, s"&$trackers=[^&]*", "")
+    val q2 = regexp_replace(q1, s"^$trackers=[^&]*&", "")
+    val q3 = regexp_replace(q2, s"^$trackers=[^&]*$$", "")
+    df
+      .withColumn("__nu_frag", regexp_replace(trim(col(urlCol)), "#.*$", ""))
+      .withColumn("__nu_base", regexp_replace(col("__nu_frag"), "\\?.*$", ""))
+      .withColumn("__nu_q", regexp_replace(q3, "&+$", ""))
+      .withColumn("__nu_clean",
+        when(col("__nu_q") === "", col("__nu_base"))
+          .otherwise(concat(col("__nu_base"), lit("?"), col("__nu_q"))))
+      .withColumn("__nu_scheme", lower(regexp_extract(col("__nu_clean"), schemePat, 1)))
+      .withColumn("__nu_host", {
+        val h0 = lower(regexp_extract(col("__nu_clean"), schemePat + "([^/?#]*)", 2))
+        when(col("__nu_scheme") === "http", regexp_replace(h0, ":80$", ""))
+          .when(col("__nu_scheme") === "https", regexp_replace(h0, ":443$", ""))
+          .otherwise(h0)
+      })
+      .withColumn("__nu_rest", {
+        val r0 = regexp_replace(col("__nu_clean"), schemePat + "[^/?#]*", "")
+        when(r0 === "", lit("/"))
+          .when(substring(r0, 1, 1) === "?", concat(lit("/"), r0))
+          .otherwise(r0)
+      })
+      .withColumn(urlCol,
+        when(col(urlCol).isNull, lit(null))
+          .when(col("__nu_scheme") === "", col("__nu_clean"))
+          .otherwise(concat(col("__nu_scheme"), lit("://"),
+            col("__nu_host"), col("__nu_rest"))))
+      .drop(tmp: _*)
+  }
+
   /** PII redaction patterns, applied in order (emails before URLs so a
     * mailto-ish token cannot be half-eaten by the URL rule; IPs last so
     * URL hosts keep priority). Kept to constructs with identical

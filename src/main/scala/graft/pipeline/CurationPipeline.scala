@@ -699,11 +699,13 @@ object CurationPipeline {
     "drop_in" -> Op(Set("table", "column", "tableColumn"), { c =>
       membershipJoin(c, "left_anti")
     }, tableParams = Set("table")),
-    // canonicalize a URL column in place (the crawl fetch-dedup key)
+    // canonicalize a URL column in place (the crawl fetch-dedup key);
+    // the STAGED rewrite — the one-Column form overflows Janino's
+    // method limit and silently drops the stage out of codegen
     "url_normalize" -> Op(Set("column"), { c =>
       val cn = c.params.reqStr("column")
       require(c.input.columns.contains(cn), s"url_normalize: no such column '$cn'")
-      c.input.withColumn(cn, TextAnalysis.normalizeUrl(col(cn)))
+      TextAnalysis.normalizeUrlStaged(c.input, cn)
     }),
     // normalize / redact rewrite the text column in place
     "normalize" -> Op(Set.empty, { c =>

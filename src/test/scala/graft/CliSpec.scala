@@ -1004,6 +1004,37 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dump").count() === 3L)
   }
 
+  test("pipeline subcommand: examples/nightly_frontier.yaml rejects re-listed URLs across nights") {
+    val s = spark
+    import s.implicits._
+    val (src, out1, out2, state) = (tempDir(), tempDir(), tempDir(), tempDir())
+    def sm(urls: Seq[String]): String =
+      "<urlset>\n" + urls.map(u => s"<url><loc>$u</loc></url>").mkString("\n") + "\n</urlset>"
+    Seq(("a.example.com", "User-agent: graftbot\nDisallow: /blocked/"))
+      .toDF("host", "robots_txt").write.parquet(s"$src/robots.parquet")
+    def urls(out: String) = spark.read.parquet(s"$out/fresh")
+      .select("text").collect().map(_.getString(0)).toSet
+    // night 1: two pages (one robots-blocked listing drops pre-store)
+    Seq((1L, sm(Seq("http://a.example.com/page1",
+      "http://a.example.com/page2",
+      "http://a.example.com/blocked/x"))))
+      .toDF("doc_id", "text").write.parquet(s"$src/sitemaps.parquet")
+    Cli.run(Seq("pipeline", "examples/nightly_frontier.yaml", src, out1,
+      "--state", state), spark)
+    assert(urls(out1) === Set("http://a.example.com/page1", "http://a.example.com/page2"))
+    // night 2: page2 re-listed verbatim, page1 re-listed under a
+    // tracking-param respelling (normalizes to the admitted key),
+    // page3 genuinely new — only page3 survives the store
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/sitemaps.parquet"))
+    Seq((5L, sm(Seq("http://a.example.com/page2",
+      "http://A.example.com/page1?utm_source=night2",
+      "http://a.example.com/page3"))))
+      .toDF("doc_id", "text").write.parquet(s"$src/sitemaps.parquet")
+    Cli.run(Seq("pipeline", "examples/nightly_frontier.yaml", src, out2,
+      "--state", state), spark)
+    assert(urls(out2) === Set("http://a.example.com/page3"))
+  }
+
   test("pipeline media_stats: real decode metadata feeds a min-dimension filter") {
     val s = spark
     import s.implicits._

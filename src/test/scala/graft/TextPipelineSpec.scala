@@ -392,6 +392,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("normalizeUrlStaged == normalizeUrl on every case (the codegen-viable form)") {
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/Path/One?utm_source=a&x=1&fbclid=z#frag",
+      "https://A.b:443", "https://a.b:8443/x", "http://a.b:443/x",
+      "http://a.b?utm_a=1", "http://a.b/p?utm_a=1&utm_b=2&q=1",
+      "HTTP://A.B?id=2", "example.com/Path?utm_source=1&q=2",
+      "", "   ", "not a url at all", null)
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("i", "u")
+    val viaColumn = df.select(col("i"),
+      operators.TextAnalysis.normalizeUrl(col("u")).as("u")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val staged = operators.TextAnalysis.normalizeUrlStaged(df, "u").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(staged === viaColumn)
+    // internal-column collision is loud, not silent corruption
+    val e = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.normalizeUrlStaged(
+        df.withColumn("__nu_clean", lit(1)), "u")
+    }
+    assert(e.getMessage.contains("__nu_clean"))
+  }
+
   // ------------------------------------------------------------ co-occurrence
 
   private def cooc(
