@@ -3082,6 +3082,75 @@ object QueriesExt {
       |SELECT doc_id, 3, NULL, '', text FROM documents
       |""".stripMargin
 
+  /** Outlink extraction + RFC 3986 resolution over constructed pages:
+    * nine href shapes per document — absolute, scheme-relative,
+    * root-relative, directory-relative, parent-relative (dot-segment
+    * collapse), query-only, fragment-only, single-quoted with an
+    * escaped `&amp;`, and unquoted — against a two-directory base URL.
+    * The oracle constructs every (href, resolved) pair directly, so a
+    * drift in attribute tokenization, entity decoding, any resolution
+    * branch, or the dot-segment collapse mismatches byte-for-byte. */
+  def crawlExtractLinks(s: SparkSession, dir: String): DataFrame = {
+    val hid = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body><a href=\"http://other.example.net/abs\">x</a>" +
+        "<A HREF=\"//cdn.example.com/lib.js\">y</A>" +
+        "<a class=\"z\" href=\"/root/doc"), hid,
+      lit("\">z</a><a href=\"sub/page"), hid,
+      lit(".html\">r</a><a href=\"../up/one\">p</a>" +
+        "<a href=\"?page=2\">q</a><a href=\"#section\">f</a>" +
+        "<a href='/q?a=1&amp;b=2'>e</a><a href=bare"), hid,
+      lit(">u</a></body></html>"))
+    val base = concat(lit("http://h"), hid, lit(".example.com/a/b/index.html"))
+    val exploded = docs(s, dir)
+      .select(col("doc_id"), base.as("base"), html.as("html"))
+      .select(col("doc_id"), col("base"),
+        posexplode(TextAnalysis.extractLinks(col("html"))).as(Seq("link_idx", "href")))
+    TextAnalysis.resolveLinksStaged(exploded, "base", "href", "url")
+      .select(col("doc_id"), col("link_idx"), col("href"), col("url"))
+  }
+
+  lazy val crawlExtractLinksSql: String =
+    """WITH cases(link_idx, href, u) AS (VALUES
+      |  (0, 'http://other.example.net/abs', 'http://other.example.net/abs'),
+      |  (1, '//cdn.example.com/lib.js', 'http://cdn.example.com/lib.js'),
+      |  (2, '/root/doc<ID>', 'http://h<ID>.example.com/root/doc<ID>'),
+      |  (3, 'sub/page<ID>.html', 'http://h<ID>.example.com/a/b/sub/page<ID>.html'),
+      |  (4, '../up/one', 'http://h<ID>.example.com/a/up/one'),
+      |  (5, '?page=2', 'http://h<ID>.example.com/a/b/index.html?page=2'),
+      |  (6, '#section', 'http://h<ID>.example.com/a/b/index.html'),
+      |  (7, '/q?a=1&b=2', 'http://h<ID>.example.com/q?a=1&b=2'),
+      |  (8, 'bare<ID>', 'http://h<ID>.example.com/a/b/bare<ID>'))
+      |SELECT doc_id, link_idx,
+      |       replace(href, '<ID>', CAST(doc_id AS VARCHAR)) AS href,
+      |       replace(u, '<ID>', CAST(doc_id AS VARCHAR)) AS url
+      |FROM documents, cases
+      |""".stripMargin
+
+  /** Host-level link graph over the same constructed pages — the
+    * input shape of crawl-quality PageRank: (src_host, dst_host,
+    * n_links) with ONE declared groupBy shuffle over the resolved
+    * outlinks (seven same-host links, one external host, one CDN host
+    * per page). Composition gate: a drift anywhere in extraction,
+    * resolution, or host parsing shifts an edge count. */
+  def crawlLinkGraph(s: SparkSession, dir: String): DataFrame =
+    crawlExtractLinks(s, dir)
+      .select(
+        concat(lit("h"), col("doc_id").cast("string"), lit(".example.com"))
+          .as("src_host"),
+        operators.Robots.urlHost(col("url")).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  lazy val crawlLinkGraphSql: String =
+    """WITH hosts(dst, n) AS (VALUES
+      |  ('other.example.net', 1), ('cdn.example.com', 1), ('<SELF>', 7))
+      |SELECT 'h' || doc_id || '.example.com' AS src_host,
+      |       replace(dst, '<SELF>', 'h' || doc_id || '.example.com') AS dst_host,
+      |       CAST(n AS BIGINT) AS n_links
+      |FROM documents, hosts
+      |""".stripMargin
+
   /** Sitemap XML parsing over deterministically CONSTRUCTED files:
     * three `<url>` entries per document — one fully-attributed with an
     * entity-escaped query URL, one bare, one with whitespace/newlines

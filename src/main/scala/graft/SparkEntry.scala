@@ -62,6 +62,10 @@ object SparkEntry {
     "crawl_sitemap_urls"  -> (QueriesExt.crawlSitemapUrls _),
     // HTTP status/header extraction + chunked-transfer decode
     "warc_http_meta"      -> (QueriesExt.warcHttpMeta _),
+    // outlink extraction + RFC 3986 resolution (the crawl loop)
+    "crawl_extract_links" -> (QueriesExt.crawlExtractLinks _),
+    // host-level link graph (the crawl-quality PageRank input)
+    "crawl_link_graph"    -> (QueriesExt.crawlLinkGraph _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
     // URL canonicalization (the crawl fetch-dedup key)
@@ -292,6 +296,8 @@ object SparkEntry {
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,
     "warc_http_meta"            -> QueriesExt.warcHttpMetaSql,
+    "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,
+    "crawl_link_graph"          -> QueriesExt.crawlLinkGraphSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,

@@ -166,6 +166,8 @@ object Robots {
       s"agent must be a concrete product token, got '$agent'")
     require(!urls.columns.contains("robots_allowed") && !urls.columns.contains("robots_rule"),
       "input already has robots_allowed/robots_rule columns — a second pass would clobber them")
+    Seq("__uh", "__up", "__win").foreach(t => require(!urls.columns.contains(t),
+      s"admissions: input already has internal column '$t'"))
 
     // effective allow/disallow rules for this agent: exact group if the
     // host has one, else the '*' group; empty and non-path values inert
@@ -197,11 +199,15 @@ object Robots {
     val joined = withKey.join(ruleSide, withKey("__uh") === ruleSide("__rh"), "left")
     // scan-local longest-match: filter the per-host array by regex
     // match, take the struct max. RLIKE accepts a non-foldable pattern.
-    val winner = array_max(expr("filter(__rules, r -> __up rlike r.rx)"))
+    // The winner is staged as ONE column so the match runs once per row
+    // (deriving two columns from the raw expression would evaluate the
+    // whole filter+max twice).
     joined
-      .withColumn("robots_allowed", winner.isNull || winner.getField("allow_i") === 1)
-      .withColumn("robots_rule", winner.getField("rule"))
-      .drop("__uh", "__up", "__rh", "__rules")
+      .withColumn("__win", array_max(expr("filter(__rules, r -> __up rlike r.rx)")))
+      .withColumn("robots_allowed",
+        col("__win").isNull || col("__win").getField("allow_i") === 1)
+      .withColumn("robots_rule", col("__win").getField("rule"))
+      .drop("__uh", "__up", "__rh", "__rules", "__win")
   }
 
   /** [[admissions]], then keep only the allowed rows (annotation

@@ -693,4 +693,83 @@ object TextAnalysis {
       length(s("txt")) >= lit(minChars) && s("alen") * lit(5) <= length(s("txt")))
     array_join(transform(kept, s => s("txt")), "\n")
   }
+
+  // ================================================================ link extraction
+
+  /** The raw `href` values of every `<a>` tag, in document order:
+    * double-quoted, single-quoted, and unquoted attribute forms, each
+    * entity-decoded one level (an `&amp;` in a URL is an escaped `&`).
+    * Codegen'd regexp chain, no UDF; comments/scripts are NOT excluded
+    * here — run after the page passed [[extractHtml]]'s sibling
+    * cleanup, or accept decoy anchors in machinery (the frontier's
+    * admission dedup absorbs them). */
+  def extractLinks(html: Column): Column = {
+    val pat = "(?i)<a\\b[^>]*\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+    transform(
+      regexp_extract_all(coalesce(html, lit("")), lit(pat), lit(1)),
+      v => htmlDecodeEntities(regexp_replace(v, "^[\"']|[\"']$", "")))
+  }
+
+  /** Resolve an extracted href against its page URL (RFC 3986 §5, the
+    * deterministic subset a crawl frontier needs) — STAGED projections
+    * only, the [[normalizeUrlStaged]] codegen discipline. Rules:
+    *
+    *  - a scheme-prefixed href is already absolute;
+    *  - `//host/...` takes the base's scheme;
+    *  - `/path` takes the base's origin;
+    *  - `?query` replaces the base's query; `""`/`#frag` resolve to
+    *    the base itself (query kept, fragment dropped);
+    *  - anything else appends to the base's directory, then `./` and
+    *    `segment/../` collapse (8 levels per pass shape — a fixed
+    *    16-step regexp chain; deeper nesting and surplus leading
+    *    `../` past the root are preserved as written, conservative);
+    *    dot-segment collapse runs over path+query as one string
+    *    (a query containing `/./` is normalized too — documented).
+    *
+    * A NULL/empty base leaves relative hrefs unresolvable: they come
+    * back as written (schemeless), never a crash. */
+  def resolveLinksStaged(df: DataFrame, baseCol: String, hrefCol: String,
+      outCol: String): DataFrame = {
+    val tmp = Seq("__rl_scheme", "__rl_origin", "__rl_nofq", "__rl_dir",
+      "__rl_raw", "__rl_ro")
+    tmp.foreach(t => require(!df.columns.contains(t),
+      s"resolveLinksStaged: input already has internal column '$t'"))
+    val base = coalesce(col(baseCol), lit(""))
+    val href = coalesce(col(hrefCol), lit(""))
+    // "/./" and trailing "/."; then one non-".." segment + "/../"
+    val dotPat = "/\\.(/|$)"
+    val parentPat = "/(\\.?[^/.][^/]*|\\.\\.[^/]+)/\\.\\.(/|$)"
+    df
+      .withColumn("__rl_scheme",
+        regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+      .withColumn("__rl_origin",
+        regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+      .withColumn("__rl_nofq", regexp_replace(base, "[?#].*$", ""))
+      .withColumn("__rl_dir",
+        when(col("__rl_nofq") === col("__rl_origin"),
+          concat(col("__rl_origin"), lit("/")))
+          .otherwise(regexp_replace(col("__rl_nofq"), "/[^/]*$", "/")))
+      .withColumn("__rl_raw",
+        when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+          // a base without a scheme cannot anchor anything: href as written
+          .when(col("__rl_scheme") === "", href)
+          .when(href.startsWith("//"), concat(col("__rl_scheme"), lit(":"), href))
+          .when(href.startsWith("/"), concat(col("__rl_origin"), href))
+          .when(href === "" || href.startsWith("#"),
+            regexp_replace(base, "#.*$", ""))
+          .when(href.startsWith("?"), concat(col("__rl_nofq"), href))
+          .otherwise(concat(col("__rl_dir"), href)))
+      // dot segments collapse only AFTER the resolved URL's own origin
+      // — "/h/../" with h the HOST must never match (a surplus "/../"
+      // straight after the authority would otherwise eat it)
+      .withColumn("__rl_ro",
+        regexp_extract(col("__rl_raw"), "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+      .withColumn(outCol, concat(col("__rl_ro"),
+        (1 to 8).foldLeft(
+          (1 to 8).foldLeft(
+            expr(s"substring(__rl_raw, length(__rl_ro) + 1)")) { (c, _) =>
+            regexp_replace(c, dotPat, "/") }) { (c, _) =>
+          regexp_replace(c, parentPat, "/") }))
+      .drop(tmp: _*)
+  }
 }

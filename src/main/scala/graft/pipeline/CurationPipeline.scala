@@ -815,6 +815,42 @@ object CurationPipeline {
           " lists more than one URL — downstream id-keyed steps would " +
             "corrupt silently; set `rekey: true`")
     }),
+    // outlink extraction (the crawl LOOP: this batch's pages feed the
+    // next frontier): one row per <a href>, resolved against `base`
+    // (default target_uri, the warc step's page URL); text := the
+    // absolute URL. Same shape-change contract as sitemap; the rekey
+    // guard raises past 65536 links on one page (fail-loud, not a
+    // silent protocol cap — pages that large are parser bait).
+    "extract_links" -> Op(Set("base", "rekey"), { c =>
+      c.requireIntegralId("extract_links")
+      val baseCol = c.params.str("base", "target_uri")
+      require(c.input.columns.contains(baseCol),
+        s"step ${c.stepName}: input has no base-url column '$baseCol'")
+      val exploded = c.input.select(col(c.idCol), col(baseCol).as("__el_base"),
+        posexplode(TextAnalysis.extractLinks(col(c.textCol)))
+          .as(Seq("link_idx", "__el_href")))
+      val recs = TextAnalysis
+        .resolveLinksStaged(exploded, "__el_base", "__el_href", c.textCol)
+        .select(col(c.idCol), col("link_idx"), col(c.textCol))
+      if (c.params.str("rekey", "false").toBoolean) {
+        val guarded = when(
+          col(c.idCol) < 0 || col(c.idCol) >= Long.MaxValue / 65536 ||
+            col("link_idx") >= 65536,
+          raise_error(concat(
+            lit(s"step ${c.stepName}: rekey overflow — page id "),
+            col(c.idCol).cast("string"), lit(" / link_idx "),
+            col("link_idx").cast("string"),
+            lit(" outside [0, 2^47) x [0, 65536)"))))
+          .otherwise(col(c.idCol) * 65536L + col("link_idx"))
+        recs
+          .withColumn("page_id", col(c.idCol))
+          .withColumn(c.idCol, guarded)
+      } else
+        duplicateKeyGuard(recs, Seq(c.idCol),
+          s"step ${c.stepName}: page ",
+          " carries more than one link — downstream id-keyed steps " +
+            "would corrupt silently; set `rekey: true`")
+    }),
     // robots.txt (RFC 9309) URL admission: drop rows whose url a
     // per-host rule set disallows for this crawler's product token.
     // `table` (a dependency edge) holds raw robots.txt bodies keyed by

@@ -1035,6 +1035,42 @@ class CliSpec extends SparkSpec {
     assert(urls(out2) === Set("http://a.example.com/page3"))
   }
 
+  test("pipeline subcommand: examples/crawl_loop.yaml turns fetched pages into the next frontier") {
+    val s = spark
+    import s.implicits._
+    val (src, out1, out2, state) = (tempDir(), tempDir(), tempDir(), tempDir())
+    def capture(uri: String, body: String): String = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    }
+    Seq(
+      (1L, capture("http://a.example.com/start",
+        "<html><body><a href=\"/next1\">n1</a><a href=\"sub/next2.html\">n2</a>" +
+          "<a href=\"/blocked/x\">nope</a><a href=\"http://b.example.net/ext\">e</a>" +
+          "</body></html>")),
+      (2L, capture("http://a.example.com/dir/page",
+        "<html><body><a href=\"/next1\">again</a><a href=\"../next3\">n3</a>" +
+          "</body></html>")))
+      .toDF("doc_id", "text").write.parquet(s"$src/captures.parquet")
+    Seq(("a.example.com", "User-agent: graftbot\nDisallow: /blocked/"))
+      .toDF("host", "robots_txt").write.parquet(s"$src/robots.parquet")
+    Cli.run(Seq("pipeline", "examples/crawl_loop.yaml", src, out1,
+      "--state", state), spark)
+    val got = spark.read.parquet(s"$out1/next_frontier")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(got === Set(
+      "http://a.example.com/next1", // listed by BOTH pages, admitted once
+      "http://a.example.com/sub/next2.html",
+      "http://a.example.com/next3", // ../next3 resolved from /dir/page
+      "http://b.example.net/ext")) // no robots for that host: allowed
+    // iteration 2 re-fetches the same pages: every outlink is already
+    // in the frontier store -> nothing new, old frontiers not rescanned
+    Cli.run(Seq("pipeline", "examples/crawl_loop.yaml", src, out2,
+      "--state", state), spark)
+    assert(spark.read.parquet(s"$out2/next_frontier").count() === 0L)
+  }
+
   test("pipeline media_stats: real decode metadata feeds a min-dimension filter") {
     val s = spark
     import s.implicits._

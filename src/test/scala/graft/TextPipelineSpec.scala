@@ -414,6 +414,55 @@ class TextPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("__nu_clean"))
   }
 
+  test("extractLinks: quoting variants, entity decode, anchors without href skip") {
+    val html = """<a href="/dq">a</a> <A HREF='/sq?x=1&amp;y=2'>b</A>
+      |<a id="n" href=/uq>c</a> <a name="no-href">d</a>
+      |<a href="">e</a> 3 < 5 plain text""".stripMargin
+    val got = Seq((1L, html)).toDF("id", "h")
+      .select(operators.TextAnalysis.extractLinks(col("h")).as("l"))
+      .head().getSeq[String](0)
+    assert(got === Seq("/dq", "/sq?x=1&y=2", "/uq", ""))
+    val none = Seq((1L, null: String)).toDF("id", "h")
+      .select(operators.TextAnalysis.extractLinks(col("h")).as("l"))
+      .head().getSeq[String](0)
+    assert(none === Seq.empty)
+  }
+
+  test("resolveLinksStaged: every RFC 3986 branch and the dot-segment collapse") {
+    val cases = Seq(
+      // (base, href, expected)
+      ("http://h/a/b/index.html", "http://x/y", "http://x/y"),
+      ("https://h/a/", "//cdn/x.js", "https://cdn/x.js"),
+      ("http://h/a/b/c.html", "/root", "http://h/root"),
+      ("http://h/a/b/c.html", "d/e.html", "http://h/a/b/d/e.html"),
+      ("http://h/a/b/c.html", "../up", "http://h/a/up"),
+      ("http://h/a/b/c/d.html", "../../x/./y", "http://h/a/x/y"),
+      ("http://h/a/b/c.html", "?q=1", "http://h/a/b/c.html?q=1"),
+      ("http://h/a/b/c.html?old=1", "?q=1", "http://h/a/b/c.html?q=1"),
+      ("http://h/a/b/c.html#top", "", "http://h/a/b/c.html"),
+      ("http://h/a/b/c.html", "#s", "http://h/a/b/c.html"),
+      ("http://h/a/b/c.html", "mailto:x@y.z", "mailto:x@y.z"),
+      // base without a path: directory is the root
+      ("http://h", "x", "http://h/x"),
+      // surplus ../ past the root is preserved as written (documented)
+      ("http://h/a/x.html", "../../y", "http://h/../y"),
+      // a schemeless base cannot anchor: href comes back as written
+      ("", "rel/x", "rel/x"),
+      ("no-scheme/base", "/abs", "/abs"))
+    val df = cases.zipWithIndex
+      .map { case ((b, h, _), i) => (i.toLong, b, h) }.toDF("i", "b", "h")
+    val got = operators.TextAnalysis.resolveLinksStaged(df, "b", "h", "u")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    cases.zipWithIndex.foreach { case ((b, h, want), i) =>
+      assert(got(i.toLong) === want, s"base=$b href=$h")
+    }
+    val e = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.resolveLinksStaged(
+        df.withColumn("__rl_raw", lit(1)), "b", "h", "u")
+    }
+    assert(e.getMessage.contains("__rl_raw"))
+  }
+
   // ------------------------------------------------------------ co-occurrence
 
   private def cooc(
