@@ -164,6 +164,10 @@ object Robots {
     val agentLc = agent.trim.toLowerCase(Locale.ROOT)
     require(agentLc.nonEmpty && agentLc != "*",
       s"agent must be a concrete product token, got '$agent'")
+    Seq("robots_key", "agent", "rule_type", "value").foreach(needed =>
+      require(rules.columns.contains(needed),
+        s"admissions: rules frame has no column '$needed' — pass parseRules output " +
+          s"keyed by host (got columns ${rules.columns.mkString(", ")})"))
     require(!urls.columns.contains("robots_allowed") && !urls.columns.contains("robots_rule"),
       "input already has robots_allowed/robots_rule columns — a second pass would clobber them")
     Seq("__uh", "__up", "__win").foreach(t => require(!urls.columns.contains(t),

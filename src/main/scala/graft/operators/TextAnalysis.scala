@@ -735,7 +735,9 @@ object TextAnalysis {
     tmp.foreach(t => require(!df.columns.contains(t),
       s"resolveLinksStaged: input already has internal column '$t'"))
     val base = coalesce(col(baseCol), lit(""))
-    val href = coalesce(col(hrefCol), lit(""))
+    // browsers trim stray whitespace around attribute values before
+    // resolving; a quoted href=" /x " must not become a relative link
+    val href = regexp_replace(coalesce(col(hrefCol), lit("")), "^\\s+|\\s+$", "")
     // "/./" and trailing "/."; then one non-".." segment + "/../"
     val dotPat = "/\\.(/|$)"
     val parentPat = "/(\\.?[^/.][^/]*|\\.\\.[^/]+)/\\.\\.(/|$)"

@@ -163,8 +163,9 @@ object Warc {
 
   /** A named HTTP header's value (case-insensitive, whitespace-
     * trimmed), `""` when absent or when the payload is not an HTTP
-    * message. `name` is restricted to the header-name alphabet so it
-    * embeds into the pattern verbatim. Codegen'd. */
+    * message; when a header repeats, the FIRST occurrence wins.
+    * `name` is restricted to the header-name alphabet so it embeds
+    * into the pattern verbatim. Codegen'd. */
   def httpHeader(payload: Column, name: String): Column = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-'),
       s"header name must be [A-Za-z0-9-]+, got '$name'")

@@ -164,6 +164,11 @@ class RobotsSpec extends SparkSpec with TableDrivenPropertyChecks {
       Robots.admissions(u, "url", rules, "*")
     }
     assert(e2.getMessage.contains("product token"))
+    // a malformed rules frame (not parseRules output) fails loud
+    val e3 = intercept[IllegalArgumentException] {
+      Robots.admissions(u, "url", Seq(("h", "x")).toDF("host", "body"), "bot")
+    }
+    assert(e3.getMessage.contains("parseRules output"))
   }
 
   test("cross-check: literal prefix rule sets match an independent in-memory matcher") {

@@ -448,7 +448,9 @@ class TextPipelineSpec extends SparkSpec {
       ("http://h/a/x.html", "../../y", "http://h/../y"),
       // a schemeless base cannot anchor: href comes back as written
       ("", "rel/x", "rel/x"),
-      ("no-scheme/base", "/abs", "/abs"))
+      ("no-scheme/base", "/abs", "/abs"),
+      // stray whitespace around a quoted href trims before resolution
+      ("http://h/a/b.html", "  /spaced \n", "http://h/spaced"))
     val df = cases.zipWithIndex
       .map { case ((b, h, _), i) => (i.toLong, b, h) }.toDF("i", "b", "h")
     val got = operators.TextAnalysis.resolveLinksStaged(df, "b", "h", "u")
