@@ -3127,6 +3127,36 @@ object QueriesExt {
       |FROM documents, cases
       |""".stripMargin
 
+  /** Magic-byte MIME sniffing over six payload shapes per document: a
+    * REAL encoded PNG (the full decode path's own payloads), four
+    * constructed magic prefixes (JPEG/JFIF, GIF89a, RIFF+WAVE at the
+    * byte-9 format field, ISO-BMFF `ftyp` at byte 5), and plain text
+    * bytes (octet-stream). The oracle constructs every verdict
+    * directly — a drift in any magic offset mismatches. */
+  def multimodalSniff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val png = Multimodal.syntheticImages(d.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), lit(1).as("kind"), col("payload"))
+    val magics = d.select(col("doc_id"), explode(map(
+      lit(2), to_binary(lit("FFD8FFE000104A464946"), lit("hex")),
+      lit(3), to_binary(lit("47494638396100AA"), lit("hex")),
+      lit(4), to_binary(lit("52494646AAAAAAAA57415645"), lit("hex")),
+      lit(5), to_binary(lit("00000018667479706D703432"), lit("hex")),
+      lit(6), concat(lit("txt:"), col("text")).cast("binary")))
+      .as(Seq("kind", "payload")))
+    png.unionByName(magics)
+      .select(col("doc_id"), col("kind"),
+        Multimodal.sniffMime(col("payload")).as("mime"))
+  }
+
+  lazy val multimodalSniffSql: String =
+    """WITH cases(kind, mime) AS (VALUES
+      |  (1, 'image/png'), (2, 'image/jpeg'), (3, 'image/gif'),
+      |  (4, 'audio/wav'), (5, 'video/mp4'),
+      |  (6, 'application/octet-stream'))
+      |SELECT doc_id, kind, mime FROM documents, cases
+      |""".stripMargin
+
   /** Host-level link graph over the same constructed pages — the
     * input shape of crawl-quality PageRank: (src_host, dst_host,
     * n_links) with ONE declared groupBy shuffle over the resolved

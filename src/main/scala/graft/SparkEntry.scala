@@ -66,6 +66,8 @@ object SparkEntry {
     "crawl_extract_links" -> (QueriesExt.crawlExtractLinks _),
     // host-level link graph (the crawl-quality PageRank input)
     "crawl_link_graph"    -> (QueriesExt.crawlLinkGraph _),
+    // magic-byte MIME routing for multimodal payloads
+    "multimodal_sniff"    -> (QueriesExt.multimodalSniff _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
     // URL canonicalization (the crawl fetch-dedup key)
@@ -298,6 +300,7 @@ object SparkEntry {
     "warc_http_meta"            -> QueriesExt.warcHttpMetaSql,
     "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,
     "crawl_link_graph"          -> QueriesExt.crawlLinkGraphSql,
+    "multimodal_sniff"          -> QueriesExt.multimodalSniffSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,

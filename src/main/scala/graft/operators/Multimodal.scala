@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing AND real codec work: media payloads
@@ -46,6 +46,35 @@ object Multimodal {
     * stand in. */
   def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("binary").as("payload"))
+
+  /** Magic-byte MIME sniff over a binary payload — the routing key of
+    * a multimodal ingest (a crawl's declared Content-Type lies often
+    * enough that real pipelines route by the bytes): PNG/JPEG/GIF/BMP,
+    * the RIFF containers (WAV/WEBP/AVI), ISO-BMFF (`ftyp` at byte 5 —
+    * MP4/MOV family), Ogg, MP3 (ID3 or frame sync), PDF, ZIP, gzip;
+    * anything else is `application/octet-stream`, NULL stays NULL.
+    * Pure codegen'd Column over the hex of the first 16 bytes — no
+    * UDF, no decode, scan-local. */
+  def sniffMime(bin: Column): Column = {
+    val hx = hex(substring(bin, 1, 16)) // byte k = hex chars 2k-1..2k
+    val riffKind = substring(hx, 17, 8) // bytes 9-12: the RIFF format
+    when(bin.isNull, lit(null))
+      .when(hx.startsWith("89504E470D0A1A0A"), "image/png")
+      .when(hx.startsWith("FFD8FF"), "image/jpeg")
+      .when(hx.startsWith("47494638"), "image/gif")
+      .when(hx.startsWith("424D"), "image/bmp")
+      .when(hx.startsWith("52494646") && riffKind === "57415645", "audio/wav")
+      .when(hx.startsWith("52494646") && riffKind === "57454250", "image/webp")
+      .when(hx.startsWith("52494646") && riffKind === "41564920", "video/x-msvideo")
+      .when(substring(hx, 9, 8) === "66747970", "video/mp4")
+      .when(hx.startsWith("4F676753"), "application/ogg")
+      .when(hx.startsWith("494433") || hx.startsWith("FFFB") ||
+        hx.startsWith("FFF3") || hx.startsWith("FFF2"), "audio/mpeg")
+      .when(hx.startsWith("255044462D"), "application/pdf")
+      .when(hx.startsWith("504B0304"), "application/zip")
+      .when(hx.startsWith("1F8B"), "application/gzip")
+      .otherwise("application/octet-stream")
+  }
 
   /** Per-partition decode: one codec init per partition, streaming over
     * rows (no per-row setup, no collect). */

@@ -1434,7 +1434,7 @@ object CurationPipeline {
       require(c.input.columns.contains(pcol),
         s"step ${c.stepName}: input has no payload column '$pcol'")
       c.requireIntegralId("media_stats")
-      Seq("width", "height", "channels", "n_bytes", "pixel_md5").foreach { r =>
+      Seq("width", "height", "channels", "n_bytes", "pixel_md5", "mime").foreach { r =>
         require(!c.input.columns.contains(r),
           s"step ${c.stepName}: input already has a '$r' column")
       }
@@ -1442,7 +1442,10 @@ object CurationPipeline {
           col(c.idCol).cast("long").as("doc_id"), col(pcol).as("payload"))).toDF()
         .select(col("doc_id").as(c.idCol), col("width"), col("height"),
           col("channels"), col("n_bytes"), col("pixel_md5"))
-      c.input.join(meta, Seq(c.idCol))
+      c.input
+        // magic-byte routing key: what the bytes ARE, vs any declared type
+        .withColumn("mime", Multimodal.sniffMime(col(pcol)))
+        .join(meta, Seq(c.idCol))
     }),
     // annotation table: per-doc duplicated-span (exact substring)
     // memorization signal — id, n_ngrams, n_dup_ngrams, dup_ratio

@@ -121,6 +121,40 @@ class SimilaritySpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("sniffMime: every magic branch, short payloads, null") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val cases: Seq[(Array[Byte], String)] = Seq(
+      hx("89504E470D0A1A0A00") -> "image/png",
+      hx("FFD8FFDB") -> "image/jpeg",
+      hx("4749463839") -> "image/gif",
+      hx("424DAA") -> "image/bmp",
+      hx("52494646AAAAAAAA57415645") -> "audio/wav",
+      hx("52494646AAAAAAAA57454250") -> "image/webp",
+      hx("52494646AAAAAAAA41564920") -> "video/x-msvideo",
+      hx("0000001C6674797069736F6D") -> "video/mp4",
+      hx("4F67675300") -> "application/ogg",
+      hx("49443304") -> "audio/mpeg",
+      hx("FFFB90") -> "audio/mpeg",
+      hx("255044462D312E") -> "application/pdf",
+      hx("504B030414") -> "application/zip",
+      hx("1F8B08") -> "application/gzip",
+      hx("52494646AA") -> "application/octet-stream", // RIFF cut short
+      "plain text".getBytes("UTF-8") -> "application/octet-stream",
+      Array.empty[Byte] -> "application/octet-stream")
+    val df = cases.zipWithIndex.map { case ((b, _), i) => (i.toLong, b) }
+      .toDF("i", "b")
+    val got = df.select(col("i"), Multimodal.sniffMime(col("b")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) === want, s"case $i")
+    }
+    val n = Seq((1L, Option.empty[Array[Byte]])).toDF("i", "b")
+      .select(Multimodal.sniffMime(col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("REAL image codec: PNG round-trip is pixel-exact, resize samples decoded pixels") {
     import spark.implicits._
     def formulaBuf(id: Long, w: Int, h: Int): Array[Byte] =
