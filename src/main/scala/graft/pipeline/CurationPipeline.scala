@@ -1310,6 +1310,71 @@ object CurationPipeline {
         else Seq(col(c.idCol), col("shard"), col("pos"))
       c.input.select(manifestCols: _*)
     }),
+    // trainer-facing BINARY token export (the public Megatron-LM
+    // indexed-dataset shape): per shard ONE tokens.bin of little-endian
+    // int32 ids in pos order, a vocab/ JSONL (token -> dense id in
+    // UTF-8 byte order over the corpus's own distinct tokens), and the
+    // step output as the manifest — (id, shard, pos, token_offset,
+    // n_tokens), the mmap slice coordinates. Chain tokenize
+    // (keepTokens: true) -> shuffle_shards before it. The id map rides
+    // a broadcast (vocabulary-bounded, maxVocab-guarded, the
+    // tokenizeWith merge-collect argument); the corpus shuffles ONCE
+    // on the shard key, shared by the offset window and the writer.
+    "export_tokens" -> Op(Set("tokens", "maxVocab"), { c =>
+      require(c.outDir.nonEmpty, s"step ${c.stepName}: export needs a pipeline OUT_DIR")
+      val tcol = c.params.str("tokens", "bpe_tokens")
+      (Seq("shard", "pos", tcol)).foreach { needed =>
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: export_tokens needs a '$needed' column — " +
+            "chain tokenize (keepTokens: true) and shuffle_shards before it")
+      }
+      val maxVocab = c.params.int("maxVocab", 4000000)
+      val spark = c.input.sparkSession
+      // dense 0-based ids in UTF-8 byte order (Spark string order IS
+      // byte order) over the corpus's own distinct tokens
+      val vocabDf = graft.exec.SurrogateKeys.assign(
+        c.input.select(explode(col(tcol)).as("token")).distinct(),
+        Seq("token"), "token_id", org.apache.spark.sql.types.LongType, offset = -1L)
+      val vocabRows = vocabDf.select(col("token"), col("token_id")).collect()
+      require(vocabRows.length <= maxVocab,
+        s"step ${c.stepName}: vocabulary ${vocabRows.length} exceeds maxVocab " +
+          s"$maxVocab — not a BPE token stream? (raise maxVocab to override)")
+      val idByToken = new java.util.HashMap[String, Integer](vocabRows.length * 2)
+      vocabRows.foreach(r => idByToken.put(r.getString(0), r.getLong(1).toInt))
+      val bc = spark.sparkContext.broadcast(idByToken)
+      val stepName = c.stepName
+      val toIds = udf { (ts: Seq[String]) =>
+        if (ts == null) Seq.empty[Int]
+        else ts.map { t =>
+          val id = bc.value.get(t)
+          if (id == null) throw new IllegalArgumentException(
+            s"export_tokens ($stepName): token '$t' missing from the vocabulary " +
+              "built over this input — tokens column mutated after tokenize?")
+          id.intValue()
+        }
+      }
+      val withIds = c.input
+        .select(col(c.idCol), col("shard").cast("int").as("shard"),
+          col("pos").cast("long").as("pos"), toIds(col(tcol)).as("__ids"))
+        .withColumn("n_tokens", size(col("__ids")).cast("long"))
+      val maxShard = withIds.agg(max(col("shard"))).head()
+      val nShards = if (maxShard.isNullAt(0)) 1 else 1 + maxShard.getInt(0)
+      val staging = s"${c.outDir}/exports/${c.stepName}__staging"
+      // vocab first (also creates the staging dir for an empty corpus)
+      vocabDf.orderBy(col("token_id")).coalesce(1)
+        .select(to_json(struct(col("token"), col("token_id"))).as("value"))
+        .write.mode("overwrite").text(s"$staging/vocab")
+      graft.sources.TokenBinary.writeShards(
+        withIds.select(col("shard"), col("pos"), col("__ids")), "__ids",
+        staging, nShards)
+      Staging.promoteStaged(spark, s"${c.outDir}/exports", c.stepName, "__staging")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      withIds.select(col(c.idCol), col("shard"), col("pos"),
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("token_offset"),
+        col("n_tokens"))
+    }),
     // SemDeDup semantic near-dup pruning [Abbas et al., 2023]: k-means
     // cluster the embeddings OF THE CURRENT INPUT (the aux table is
     // semi-restricted first — pruning against docs an earlier step

@@ -644,6 +644,15 @@ class CliSpec extends SparkSpec {
     val manifest = spark.read.parquet(s"$out/dump")
     assert(manifest.count() === blend.count())
     assert(Files.isDirectory(Paths.get(out, "exports", "dump")))
+    // the binary token export accounts for every blended token
+    val binManifest = spark.read.parquet(s"$out/bin")
+    assert(binManifest.count() === blend.count())
+    val totalTokens = binManifest.agg(
+      org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    val binBytes = Files.walk(Paths.get(out, "exports", "bin")).toArray
+      .map(_.toString).filter(_.endsWith("tokens.bin"))
+      .map(p => Files.size(Paths.get(p))).sum
+    assert(binBytes === totalTokens * 4, s"bytes=$binBytes tokens=$totalTokens")
   }
 
   test("pipeline subcommand: bpe_vocab + tokenize put REAL token counts into a mix budget") {
@@ -1069,6 +1078,81 @@ class CliSpec extends SparkSpec {
     Cli.run(Seq("pipeline", "examples/crawl_loop.yaml", src, out2,
       "--state", state), spark)
     assert(spark.read.parquet(s"$out2/next_frontier").count() === 0L)
+  }
+
+  test("pipeline export_tokens: binary shards + vocab + manifest round-trip to the exact token streams") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val (src, out1, out2) = (tempDir(), tempDir(), tempDir())
+    val docs = (1L to 12L).map { i =>
+      (i, if (i == 7L) "" else s"alpha beta gamma alpha$i beta delta$i alpha")
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$src/documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-tokexport", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: token_export
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vocab
+        |    op: bpe_vocab
+        |    input: documents
+        |    params: { merges: "32" }
+        |  - name: tokenized
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: vocab, keepTokens: "true" }
+        |  - name: spread
+        |    op: shuffle_shards
+        |    params: { shards: "3", salt: tok1 }
+        |  - name: packed
+        |    op: export_tokens
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out1), spark)
+    // the independent expectation: train + tokenize directly
+    val docsDf = docs.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.trainMergesLocal(docsDf, "text", numMerges = 32)
+    val want = graft.operators.Bpe.tokenizeWith(docsDf, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // vocab: token -> id (read back from the exported JSONL)
+    val vocabLines = Files.list(Paths.get(out1, "exports", "packed", "vocab"))
+      .toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith("part-") &&
+        !p.endsWith(".crc")).sorted
+      .flatMap(p => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(Paths.get(p))).asScala)
+    val tokenById = vocabLines.map { l =>
+      val m = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](l)
+      m.get("token_id").toString.toLong -> m.get("token").toString
+    }.toMap
+    // manifest + shards: slice each doc back out of the mmap shape
+    val manifest = spark.read.parquet(s"$out1/packed")
+      .select("doc_id", "shard", "pos", "token_offset", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+    assert(manifest.length === 12)
+    val shardTokens = manifest.map(_._2).distinct.map { sh =>
+      sh -> graft.sources.TokenBinary.readShard(
+        s"$out1/exports/packed/shard=$sh/tokens.bin")
+    }.toMap
+    manifest.foreach { case (id, sh, off, n) =>
+      val ids = shardTokens(sh).slice(off.toInt, (off + n).toInt)
+      assert(ids.map(tokenById(_)).toSeq === want(id), s"doc $id")
+    }
+    // per-shard: manifest token mass accounts for every byte
+    shardTokens.foreach { case (sh, toks) =>
+      val mass = manifest.filter(_._2 == sh).map(_._4).sum
+      assert(toks.length.toLong === mass, s"shard $sh")
+    }
+    assert(want(7L).isEmpty) // the empty doc exports zero tokens, no crash
+    // rerun on the same input: byte-identical artifacts
+    Cli.run(Seq("pipeline", yaml.toString, src, out2), spark)
+    shardTokens.keys.foreach { sh =>
+      val a = Files.readAllBytes(Paths.get(out1, "exports", "packed", s"shard=$sh", "tokens.bin"))
+      val b = Files.readAllBytes(Paths.get(out2, "exports", "packed", s"shard=$sh", "tokens.bin"))
+      assert(java.util.Arrays.equals(a, b), s"shard $sh not byte-deterministic")
+    }
   }
 
   test("pipeline media_stats: real decode metadata feeds a min-dimension filter") {
