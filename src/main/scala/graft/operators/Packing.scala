@@ -100,6 +100,57 @@ object Packing {
         when(n > 0, col("tok_start") - col("seq_first") * seqTokens).cast("long"))
   }
 
+  /** MATERIALIZE the [[packBudget]] cuts: actual fixed-length training
+    * sequences from per-document token arrays — concatenate each
+    * shard's token stream in `orderCol` order and emit one row per
+    * `seqTokens`-long window (the per-shard LAST sequence may be
+    * short; a trainer drops or pads it). Documents straddle cuts by
+    * design (the attention mask owns the boundary).
+    *
+    * Scale shape: NO token-level explode — each document contributes
+    * one array SLICE per sequence it spans (fan-out `≈ n/seqTokens +
+    * 1`), the shuffle moves those slices grouped by (shard, seq) with
+    * group size bounded by `seqTokens`, and the reassembly is
+    * sort_array + flatten inside the aggregate row. Two declared
+    * exchanges: packBudget's shard window and the (shard, seq) group.
+    *
+    * Output: `(shard, seq_id, seq_tokens, n_seq_tokens, n_parts)` —
+    * `n_parts` counts the documents (slices) the sequence drew from.
+    */
+  def packSequences(
+      rows: DataFrame, shardCol: String, orderCol: String, tokensCol: String,
+      seqTokens: Long
+  ): DataFrame = {
+    require(seqTokens > 0, s"seqTokens must be positive, got $seqTokens")
+    require(!rows.columns.contains("__n_pack"),
+      "packSequences would overwrite existing column '__n_pack' — rename it first")
+    val L = seqTokens
+    val budgeted = packBudget(
+      rows.withColumn("__n_pack", size(coalesce(col(tokensCol), array())).cast("long")),
+      shardCol, orderCol, "__n_pack", L)
+    budgeted
+      .filter(col("__n_pack") > 0)
+      .select(col(shardCol).cast("int").as("shard"), col("tok_start"),
+        col("__n_pack"), col(tokensCol).as("__ts"),
+        explode(expr("sequence(seq_first, seq_last)")).as("__seq"))
+      // the document's slice covering sequence __seq, in LOCAL (1-based
+      // for `slice`) coordinates; abs* live on the shard's number line
+      .withColumn("__ls", greatest(col("__seq") * L - col("tok_start"), lit(0L)))
+      .withColumn("__abs_end",
+        least((col("__seq") + 1) * L, col("tok_start") + col("__n_pack")))
+      .withColumn("__len", col("__abs_end") - col("tok_start") - col("__ls"))
+      .select(col("shard"), col("__seq").as("seq_id"),
+        struct((col("tok_start") + col("__ls")).as("k"),
+          slice(col("__ts"), (col("__ls") + 1).cast("int"),
+            col("__len").cast("int")).as("part")).as("__p"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .withColumn("seq_tokens", flatten(transform(col("__ps"), p => p("part"))))
+      .select(col("shard"), col("seq_id"), col("seq_tokens"),
+        size(col("seq_tokens")).as("n_seq_tokens"),
+        size(col("__ps")).as("n_parts"))
+  }
+
   def packChunks(
       chunks: DataFrame, docCol: String, chunkCol: String,
       chunksPerSeq: Int, shards: Int

@@ -916,6 +916,40 @@ object CurationPipeline {
       Packing.packBudget(c.input, "shard", "pos", tokCol,
         seqTokens = c.params.reqLong("seqTokens"))
     }),
+    // MATERIALIZED concat-and-split packing (shape change): fixed
+    // seqTokens-length training sequences cut from the shard-ordered
+    // token streams (Packing.packSequences — document slices, never a
+    // token-level explode). Output rows are sequences: id = the
+    // (shard, seq) rekey, pos = the per-shard sequence ordinal, text
+    // column = bpe_tokens (the packed stream) — export_tokens consumes
+    // it unchanged. Chain tokenize (keepTokens: true) and
+    // shuffle_shards before it.
+    "pack_sequences" -> Op(Set("seqTokens", "tokens"), { c =>
+      Seq("shard", "pos").foreach { needed =>
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: pack_sequences needs a '$needed' column — " +
+            "chain a shuffle_shards step before it")
+      }
+      val tokCol = c.params.str("tokens", "bpe_tokens")
+      require(c.input.columns.contains(tokCol),
+        s"step ${c.stepName}: input has no token column '$tokCol' " +
+          "(chain a tokenize step with keepTokens: true)")
+      val seqs = Packing.packSequences(c.input, "shard", "pos", tokCol,
+        seqTokens = c.params.reqLong("seqTokens"))
+      // (shard, seq_id) -> one id: shard < 2^31 by type; the seq
+      // ordinal is bounded in-plan so the packed key never collides
+      val guarded = when(col("seq_id") >= (1L << 32),
+        raise_error(concat(
+          lit(s"step ${c.stepName}: rekey overflow — shard "),
+          col("shard").cast("string"), lit(" has "),
+          col("seq_id").cast("string"),
+          lit(" sequences (>= 2^32); raise shards or seqTokens"))))
+        .otherwise(col("shard").cast("long") * (1L << 32) + col("seq_id"))
+      seqs.select(
+        guarded.as(c.idCol), col("shard"), col("seq_id").as("pos"),
+        col("seq_tokens").as("bpe_tokens"),
+        col("n_seq_tokens").cast("long").as("n_bpe_tokens"), col("n_parts"))
+    }),
     // annotation table: per-doc text statistics (id + signals)
     "stats" -> Op(Set.empty, { c =>
       TextAnalysis.stats(c.input, c.idCol, c.textCol)

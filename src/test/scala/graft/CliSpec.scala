@@ -1155,6 +1155,69 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pipeline pack_sequences + export_tokens: fixed-length binary training sequences") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val (src, out) = (tempDir(), tempDir())
+    (1L to 20L).map(i => (i, s"alpha beta gamma doc$i delta epsilon zeta$i"))
+      .toDF("doc_id", "text").write.parquet(s"$src/documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-packseq", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: packed_export
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vocab
+        |    op: bpe_vocab
+        |    input: documents
+        |    params: { merges: "16" }
+        |  - name: tokenized
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: vocab, keepTokens: "true" }
+        |  - name: spread
+        |    op: shuffle_shards
+        |    params: { shards: "2", salt: ps1 }
+        |  - name: seqs
+        |    op: pack_sequences
+        |    params: { seqTokens: "16" }
+        |  - name: packed
+        |    op: export_tokens
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    // the packed stream must equal the shard-ordered doc streams
+    val docStreams = spark.read.parquet(s"$out/spread")
+      .select("shard", "pos", "bpe_tokens").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[String](2)))
+      .groupBy(_._1).map { case (sh, rows) =>
+        sh -> rows.sortBy(_._2).flatMap(_._3).toSeq
+      }
+    val vocabLines = Files.list(Paths.get(out, "exports", "packed", "vocab"))
+      .toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith("part-") &&
+        !p.endsWith(".crc")).sorted
+      .flatMap(p => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(Paths.get(p))).asScala)
+    val tokenById = vocabLines.map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      m.get("token_id").toString.toLong -> m.get("token").toString
+    }.toMap
+    val manifest = spark.read.parquet(s"$out/packed")
+      .select("shard", "pos", "n_tokens").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    manifest.groupBy(_._1).foreach { case (sh, rows) =>
+      // every sequence but the shard's last is exactly 16 tokens
+      val ordered = rows.sortBy(_._2)
+      ordered.init.foreach { case (_, pos, n) =>
+        assert(n === 16L, s"shard $sh seq $pos")
+      }
+      val bin = graft.sources.TokenBinary
+        .readShard(s"$out/exports/packed/shard=$sh/tokens.bin")
+      assert(bin.map(tokenById(_)).toSeq === docStreams(sh), s"shard $sh stream")
+    }
+  }
+
   test("pipeline media_stats: real decode metadata feeds a min-dimension filter") {
     val s = spark
     import s.implicits._

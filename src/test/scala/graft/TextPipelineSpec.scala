@@ -465,6 +465,48 @@ class TextPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("__rl_raw"))
   }
 
+  test("packSequences: fixed-length cuts reassemble the exact shard streams") {
+    import graft.operators.Packing
+    // shard 0: docs of 3, 7, 2 tokens (stream of 12 -> seqs 5,5,2)
+    // shard 1: one 11-token doc (-> 5,5,1); an empty doc contributes nothing
+    val rows = Seq(
+      (0, 0L, (1 to 3).map(i => s"a$i")),
+      (0, 1L, (1 to 7).map(i => s"b$i")),
+      (0, 2L, Seq.empty[String]),
+      (0, 3L, (1 to 2).map(i => s"c$i")),
+      (1, 0L, (1 to 11).map(i => s"d$i"))
+    ).toDF("shard", "pos", "toks")
+    val got = Packing.packSequences(rows, "shard", "pos", "toks", seqTokens = 5L)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getSeq[String](2), r.getInt(3), r.getInt(4))))
+      .toMap
+    val s0 = (1 to 3).map(i => s"a$i") ++ (1 to 7).map(i => s"b$i") ++
+      (1 to 2).map(i => s"c$i")
+    assert(got((0, 0L)) === ((s0.slice(0, 5), 5, 2)))  // a-doc + b-doc slices
+    assert(got((0, 1L)) === ((s0.slice(5, 10), 5, 1))) // inside the b doc
+    // doc b ends exactly at the seq-1 boundary: seq 2 is the c doc alone
+    assert(got((0, 2L)) === ((s0.slice(10, 12), 2, 1)))
+    val s1 = (1 to 11).map(i => s"d$i")
+    assert(got((1, 0L)) === ((s1.slice(0, 5), 5, 1)))
+    assert(got((1, 1L)) === ((s1.slice(5, 10), 5, 1)))
+    assert(got((1, 2L)) === ((s1.slice(10, 11), 1, 1)))
+    assert(got.size === 6)
+    // every non-final sequence is exactly seqTokens long; streams equal
+    val byShard = got.toSeq.groupBy(_._1._1)
+    byShard.foreach { case (sh, seqs) =>
+      val ordered = seqs.sortBy(_._1._2)
+      ordered.init.foreach { case (_, (_, n, _)) => assert(n === 5) }
+      val flat = ordered.flatMap(_._2._1)
+      assert(flat === (if (sh == 0) s0 else s1), s"shard $sh stream")
+    }
+    // scale posture: the shard window + the (shard, seq) group — two
+    // declared exchanges, never a token-level explode shuffle
+    val plan = Packing.packSequences(rows, "shard", "pos", "toks", 5L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
+
   // ------------------------------------------------------------ co-occurrence
 
   private def cooc(
