@@ -2978,6 +2978,18 @@ object QueriesExt {
       |FROM documents, cases
       |""".stripMargin
 
+  /** Per-(host, agent) crawl delays off the same constructed bodies —
+    * the politeness scheduler's input (both group-0 agents inherit the
+    * `Crawl-delay: 5` record). */
+  def crawlRobotsDelays(s: SparkSession, dir: String): DataFrame =
+    Robots.crawlDelays(crawlRobotsRules(s, dir))
+
+  lazy val crawlRobotsDelaysSql: String =
+    """SELECT CAST(doc_id AS VARCHAR) AS robots_key, agent,
+      |       5 AS crawl_delay_s
+      |FROM documents, (SELECT unnest(['graftbot', 'otherbot']) AS agent) a
+      |""".stripMargin
+
   /** robots URL admission over the constructed per-host rule sets and
     * seven URL shapes per host × two product tokens: longest-match
     * precedence, allow-beats-disallow ties (via the wildcard rule

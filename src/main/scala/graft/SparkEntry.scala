@@ -58,6 +58,7 @@ object SparkEntry {
     // robots.txt (RFC 9309): record parsing + URL admission
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
+    "crawl_robots_delays" -> (QueriesExt.crawlRobotsDelays _),
     // sitemap XML -> frontier URL rows (codegen'd regexp chain)
     "crawl_sitemap_urls"  -> (QueriesExt.crawlSitemapUrls _),
     // HTTP status/header extraction + chunked-transfer decode
@@ -296,6 +297,7 @@ object SparkEntry {
     "warc_extract"              -> QueriesExt.warcExtractSql,
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
+    "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,
     "warc_http_meta"            -> QueriesExt.warcHttpMetaSql,
     "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,

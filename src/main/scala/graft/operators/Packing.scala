@@ -121,7 +121,8 @@ object Packing {
       rows: DataFrame, shardCol: String, orderCol: String, tokensCol: String,
       seqTokens: Long
   ): DataFrame = {
-    require(seqTokens > 0, s"seqTokens must be positive, got $seqTokens")
+    require(seqTokens > 0 && seqTokens <= Int.MaxValue,
+      s"seqTokens must be in (0, 2^31), got $seqTokens — slice lengths are ints")
     require(!rows.columns.contains("__n_pack"),
       "packSequences would overwrite existing column '__n_pack' — rename it first")
     val L = seqTokens

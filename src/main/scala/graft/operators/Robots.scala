@@ -214,6 +214,23 @@ object Robots {
       .drop("__uh", "__up", "__rh", "__rules", "__win")
   }
 
+  /** Per-host crawl delays from [[parseRules]] output — the politeness
+    * scheduler's input: `(robots_key, agent, crawl_delay_s)`, one row
+    * per (host, agent) keeping the FIRST parseable crawl-delay record
+    * (file order — the parser's rule_idx), fractional values floored,
+    * unparseable/negative values ignored. The `crawl-delay` field is
+    * the de-facto extension RFC 9309 leaves unspecified; scope
+    * documented here. */
+  def crawlDelays(rules: DataFrame): DataFrame = {
+    // try_cast: ANSI mode must not abort the scan on a junk value —
+    // unparseable records are IGNORED by contract, not fatal
+    val delay = floor(expr("try_cast(value AS double)")).cast("int")
+    rules
+      .filter(col("rule_type") === "crawl-delay" && delay.isNotNull && delay >= 0)
+      .groupBy(lower(col("robots_key")).as("robots_key"), col("agent"))
+      .agg(min_by(delay, col("rule_idx")).as("crawl_delay_s"))
+  }
+
   /** [[admissions]], then keep only the allowed rows (annotation
     * columns dropped) — the pipeline-step shape. */
   def filterAllowed(

@@ -171,6 +171,23 @@ class RobotsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(e3.getMessage.contains("parseRules output"))
   }
 
+  test("crawlDelays: first parseable record wins; junk and negatives ignored") {
+    val body =
+      """User-agent: a
+        |User-agent: b
+        |Crawl-delay: 2.9
+        |Crawl-delay: 7
+        |User-agent: c
+        |Crawl-delay: soon
+        |User-agent: d
+        |Crawl-delay: -3
+        |""".stripMargin
+    val got = Robots.crawlDelays(rulesDf("H.example", body))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    // fractional floors; the SECOND record (7) loses to file order
+    assert(got === Map(("h.example", "a") -> 2, ("h.example", "b") -> 2))
+  }
+
   test("cross-check: literal prefix rule sets match an independent in-memory matcher") {
     // independent reference: longest matching literal prefix, allow on
     // ties, allowed when nothing matches
