@@ -1354,7 +1354,12 @@ object CurationPipeline {
     // a broadcast (vocabulary-bounded, maxVocab-guarded, the
     // tokenizeWith merge-collect argument); the corpus shuffles ONCE
     // on the shard key, shared by the offset window and the writer.
-    "export_tokens" -> Op(Set("tokens", "maxVocab"), { c =>
+    // vocabFrom: pin the token -> id map to a named (token, token_id)
+    // table instead of deriving it from this corpus — REQUIRED for
+    // incremental/nightly exports: two runs deriving their own vocabs
+    // assign INCOMPATIBLE id spaces, and the trainer's mmap would mix
+    // them silently. Unknown tokens still fail loud.
+    "export_tokens" -> Op(Set("tokens", "maxVocab", "vocabFrom"), { c =>
       require(c.outDir.nonEmpty, s"step ${c.stepName}: export needs a pipeline OUT_DIR")
       val tcol = c.params.str("tokens", "bpe_tokens")
       (Seq("shard", "pos", tcol)).foreach { needed =>
@@ -1364,17 +1369,36 @@ object CurationPipeline {
       }
       val maxVocab = c.params.int("maxVocab", 4000000)
       val spark = c.input.sparkSession
-      // dense 0-based ids in UTF-8 byte order (Spark string order IS
-      // byte order) over the corpus's own distinct tokens
-      val vocabDf = graft.exec.SurrogateKeys.assign(
-        c.input.select(explode(col(tcol)).as("token")).distinct(),
-        Seq("token"), "token_id", org.apache.spark.sql.types.LongType, offset = -1L)
+      val vocabDf = c.params.str("vocabFrom", "") match {
+        case "" =>
+          // dense 0-based ids in UTF-8 byte order (Spark string order
+          // IS byte order) over the corpus's own distinct tokens
+          graft.exec.SurrogateKeys.assign(
+            c.input.select(explode(col(tcol)).as("token")).distinct(),
+            Seq("token"), "token_id", org.apache.spark.sql.types.LongType, offset = -1L)
+        case from =>
+          val t = c.resolve(from)
+          Seq("token", "token_id").foreach { needed =>
+            require(t.columns.contains(needed),
+              s"step ${c.stepName}: vocabFrom table '$from' has no '$needed' column")
+          }
+          duplicateKeyGuard(t.select(col("token"), col("token_id").cast("long")),
+            Seq("token"),
+            s"step ${c.stepName}: vocabFrom table '$from' maps token ",
+            " to more than one id — the binary would be ambiguous")
+      }
       val vocabRows = vocabDf.select(col("token"), col("token_id")).collect()
       require(vocabRows.length <= maxVocab,
         s"step ${c.stepName}: vocabulary ${vocabRows.length} exceeds maxVocab " +
           s"$maxVocab — not a BPE token stream? (raise maxVocab to override)")
       val idByToken = new java.util.HashMap[String, Integer](vocabRows.length * 2)
-      vocabRows.foreach(r => idByToken.put(r.getString(0), r.getLong(1).toInt))
+      vocabRows.foreach { r =>
+        val id = r.getLong(1)
+        require(id >= 0 && id <= Int.MaxValue,
+          s"step ${c.stepName}: token id $id for '${r.getString(0)}' outside " +
+            "[0, 2^31) — tokens.bin cells are int32")
+        idByToken.put(r.getString(0), id.toInt)
+      }
       val bc = spark.sparkContext.broadcast(idByToken)
       val stepName = c.stepName
       val toIds = udf { (ts: Seq[String]) =>
@@ -1408,7 +1432,7 @@ object CurationPipeline {
       withIds.select(col(c.idCol), col("shard"), col("pos"),
         coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("token_offset"),
         col("n_tokens"))
-    }),
+    }, tableParams = Set("vocabFrom")),
     // SemDeDup semantic near-dup pruning [Abbas et al., 2023]: k-means
     // cluster the embeddings OF THE CURRENT INPUT (the aux table is
     // semi-restricted first — pruning against docs an earlier step

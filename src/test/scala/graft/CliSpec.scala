@@ -1218,6 +1218,59 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pipeline export_tokens vocabFrom: a pinned external id map governs the binary") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    val docs = (1L to 8L).map(i => (i, "alpha beta gamma delta"))
+    docs.toDF("doc_id", "text").write.parquet(s"$src/documents.parquet")
+    // pinned vocabulary with DELIBERATELY non-byte-order ids (reversed):
+    // if the step derived its own byte-ordered vocab instead of using
+    // the pinned one, every decoded stream would come back wrong
+    val docsDf = docs.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.trainMergesLocal(docsDf, "text", numMerges = 8)
+    val want = graft.operators.Bpe.tokenizeWith(docsDf, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val allTokens = want.values.flatten.toSeq.distinct.sorted
+    val pinned = allTokens.zipWithIndex
+      .map { case (t, i) => (t, (allTokens.length - 1 - i).toLong) }
+    pinned.toDF("token", "token_id").write.parquet(s"$src/vocab_pinned.parquet")
+    val yaml = Files.createTempFile("graft-pipe-vocabfrom", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: pinned_export
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vocab
+        |    op: bpe_vocab
+        |    input: documents
+        |    params: { merges: "8" }
+        |  - name: tokenized
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: vocab, keepTokens: "true" }
+        |  - name: spread
+        |    op: shuffle_shards
+        |    params: { shards: "2", salt: vf1 }
+        |  - name: packed
+        |    op: export_tokens
+        |    params: { vocabFrom: vocab_pinned }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val pinnedById = pinned.map { case (t, id) => id -> t }.toMap
+    val manifest = spark.read.parquet(s"$out/packed")
+      .select("doc_id", "shard", "token_offset", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val shardTokens = manifest.map(_._2).distinct.map { sh =>
+      sh -> graft.sources.TokenBinary.readShard(
+        s"$out/exports/packed/shard=$sh/tokens.bin")
+    }.toMap
+    manifest.foreach { case (id, sh, off, n) =>
+      val ids = shardTokens(sh).slice(off.toInt, (off + n).toInt)
+      assert(ids.map(i => pinnedById(i.toLong)).toSeq === want(id), s"doc $id")
+    }
+  }
+
   test("pipeline media_stats: real decode metadata feeds a min-dimension filter") {
     val s = spark
     import s.implicits._
