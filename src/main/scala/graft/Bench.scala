@@ -90,6 +90,8 @@ object Bench {
     "warc_extract"              -> (QueriesExt.warcExtract _),
     // RFC 9309 robots URL admission (broadcast rules, scan-local match)
     "crawl_robots_filter"       -> (QueriesExt.crawlRobotsFilter _),
+    // outlink extraction + RFC 3986 resolution (regexp-chain load)
+    "crawl_extract_links"       -> (QueriesExt.crawlExtractLinks _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),
     "table_profile"             -> (QueriesExt.tableProfile _),
     // production approx-distinct profile (no exact companion)

@@ -3139,6 +3139,57 @@ object QueriesExt {
       |FROM documents, cases
       |""".stripMargin
 
+  /** MATERIALIZED concat-and-split packing over the corpus's own
+    * whitespace tokens: shard + order from the deterministic md5
+    * shuffle (the `text_pack_budget` derivation), then
+    * [[operators.Packing.packSequences]] cuts every 64 tokens. The
+    * oracle REBUILDS the sequences relationally — token-level absolute
+    * positions via the unnest-range pattern, `// 64` grouping, ordered
+    * string_agg — so a drift in the cut arithmetic, slice bounds, or
+    * reassembly order mismatches byte-for-byte (`text_pack_budget`
+    * pins the coordinates; this pins the materialization). */
+  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      filter(TextAnalysis.tokens(col("text")), t => t =!= "").as("__toks"))
+    operators.Packing.packSequences(
+        Sampling.shuffleShards(toks, "doc_id", 8, "r10"),
+        "shard", "pos", "__toks", seqTokens = 64L)
+      .select(col("shard"), col("seq_id"), col("n_seq_tokens"), col("n_parts"),
+        array_join(col("seq_tokens"), " ").as("seq_text"))
+  }
+
+  lazy val textPackSequencesSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, list_filter(string_split($normSql, ' '), t -> t <> '') AS w,
+       |         md5(CAST(doc_id AS VARCHAR) || 'r10') AS hh FROM documents
+       |), sh AS (
+       |  SELECT doc_id, w, hh,
+       |         CAST('0x' || substr(hh, 1, 4) AS INTEGER) % 8 AS shard
+       |  FROM h
+       |), sp AS (
+       |  SELECT doc_id, w, shard,
+       |         CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+       |              AS BIGINT) AS pos
+       |  FROM sh
+       |), c AS (
+       |  SELECT doc_id, shard, pos, w,
+       |         CAST(sum(len(w)) OVER (PARTITION BY shard ORDER BY pos)
+       |              - len(w) AS BIGINT) AS tok_start
+       |  FROM sp
+       |), tok AS (
+       |  SELECT doc_id, shard, tok_start + i AS abs_pos,
+       |         w[CAST(i + 1 AS INTEGER)] AS token
+       |  FROM (SELECT doc_id, shard, tok_start, w,
+       |               unnest(range(0, len(w))) AS i
+       |        FROM c)
+       |)
+       |SELECT shard, CAST(abs_pos // 64 AS BIGINT) AS seq_id,
+       |       CAST(count(*) AS INTEGER) AS n_seq_tokens,
+       |       CAST(count(DISTINCT doc_id) AS INTEGER) AS n_parts,
+       |       string_agg(token, ' ' ORDER BY abs_pos) AS seq_text
+       |FROM tok GROUP BY 1, 2
+       |""".stripMargin
+
   /** Magic-byte MIME sniffing over six payload shapes per document: a
     * REAL encoded PNG (the full decode path's own payloads), four
     * constructed magic prefixes (JPEG/JFIF, GIF89a, RIFF+WAVE at the

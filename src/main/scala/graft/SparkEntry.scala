@@ -69,6 +69,8 @@ object SparkEntry {
     "crawl_link_graph"    -> (QueriesExt.crawlLinkGraph _),
     // magic-byte MIME routing for multimodal payloads
     "multimodal_sniff"    -> (QueriesExt.multimodalSniff _),
+    // materialized fixed-length packing (concat-and-split)
+    "text_pack_sequences" -> (QueriesExt.textPackSequences _),
     // PII scrub over deterministically constructed emails/URLs/phones/IPs
     "text_redact"    -> (QueriesExt.textRedact _),
     // URL canonicalization (the crawl fetch-dedup key)
@@ -303,6 +305,7 @@ object SparkEntry {
     "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,
     "crawl_link_graph"          -> QueriesExt.crawlLinkGraphSql,
     "multimodal_sniff"          -> QueriesExt.multimodalSniffSql,
+    "text_pack_sequences"       -> QueriesExt.textPackSequencesSql,
     "text_redact"               -> QueriesExt.textRedactSql,
     "text_url_normalize"        -> QueriesExt.textUrlNormalizeSql,
     "text_term_freq"            -> QueriesExt.textTermFreqSql,
