@@ -2990,6 +2990,48 @@ object QueriesExt {
       |FROM documents, (SELECT unnest(['graftbot', 'otherbot']) AS agent) a
       |""".stripMargin
 
+  /** Politeness schedule over a constructed frontier: three URLs on
+    * each robots-governed host (graftbot inherits the group's
+    * `Crawl-delay: 5`) and one on a host with no robots (the default
+    * delay of 1 applies). The oracle replays the per-host
+    * `md5(url)`-order fetch ordinals and offsets directly. */
+  def crawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val host = concat(lit("h"), col("doc_id"), lit(".example.com"))
+    val delays = Robots.crawlDelays(Robots.parseRules(
+      d.select(host.as("host"), robotsBody.as("body")), "host", "body").toDF())
+    val hid = col("doc_id").cast("string")
+    val frontier = d.select(col("doc_id"), explode(array(
+      concat(lit("http://h"), hid, lit(".example.com/p1")),
+      concat(lit("http://h"), hid, lit(".example.com/p2")),
+      concat(lit("http://h"), hid, lit(".example.com/p3")),
+      concat(lit("http://quiet"), hid, lit(".example.net/x")))).as("url"))
+    Robots.fetchSchedule(frontier, "url", delays, "GraftBot", defaultDelayS = 1)
+      .select(col("doc_id"), col("url"), col("host"),
+        col("crawl_delay_s"), col("fetch_seq"), col("fetch_offset_s"))
+  }
+
+  lazy val crawlScheduleSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'http://h' || doc_id || '.example.com/' || s AS url,
+      |         'h' || doc_id || '.example.com' AS host, 5 AS delay
+      |  FROM documents, (SELECT unnest(['p1', 'p2', 'p3']) AS s) p
+      |  UNION ALL
+      |  SELECT doc_id, 'http://quiet' || doc_id || '.example.net/x',
+      |         'quiet' || doc_id || '.example.net', 1
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, url, host, delay,
+      |         CAST(row_number() OVER (PARTITION BY host
+      |           ORDER BY md5(url), url) - 1 AS INTEGER) AS fetch_seq
+      |  FROM u
+      |)
+      |SELECT doc_id, url, host, delay AS crawl_delay_s, fetch_seq,
+      |       CAST(fetch_seq * delay AS BIGINT) AS fetch_offset_s
+      |FROM r
+      |""".stripMargin
+
   /** robots URL admission over the constructed per-host rule sets and
     * seven URL shapes per host × two product tokens: longest-match
     * precedence, allow-beats-disallow ties (via the wildcard rule

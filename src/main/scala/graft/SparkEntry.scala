@@ -59,6 +59,8 @@ object SparkEntry {
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
     "crawl_robots_delays" -> (QueriesExt.crawlRobotsDelays _),
+    // per-host polite fetch ordinals + offsets over a frontier
+    "crawl_schedule"      -> (QueriesExt.crawlSchedule _),
     // sitemap XML -> frontier URL rows (codegen'd regexp chain)
     "crawl_sitemap_urls"  -> (QueriesExt.crawlSitemapUrls _),
     // HTTP status/header extraction + chunked-transfer decode
@@ -300,6 +302,7 @@ object SparkEntry {
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,
+    "crawl_schedule"            -> QueriesExt.crawlScheduleSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,
     "warc_http_meta"            -> QueriesExt.warcHttpMetaSql,
     "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,

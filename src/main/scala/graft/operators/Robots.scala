@@ -231,6 +231,52 @@ object Robots {
       .agg(min_by(delay, col("rule_idx")).as("crawl_delay_s"))
   }
 
+  /** Politeness schedule over a frontier: each URL gets its host's
+    * crawl delay ([[crawlDelays]] output; the agent's row if one
+    * exists for the host, else the `*` row, else `defaultDelayS`), a
+    * deterministic per-host fetch ordinal (`md5(url)` order — spreads
+    * deep paths instead of crawling a directory in sequence), and
+    * `fetch_offset_s = fetch_seq · crawl_delay_s` — the earliest
+    * polite fetch time relative to the host's first request.
+    *
+    * Scale shape: the delay table is host-bounded and broadcasts; the
+    * per-host sequencing is ONE declared shuffle on the host key (the
+    * grouping IS the semantics), with per-host partitions bounded by
+    * the frontier's own dedup. */
+  def fetchSchedule(
+      frontier: DataFrame, urlCol: String, delays: DataFrame, agent: String,
+      defaultDelayS: Int = 1
+  ): DataFrame = {
+    val agentLc = agent.trim.toLowerCase(Locale.ROOT)
+    require(agentLc.nonEmpty && agentLc != "*",
+      s"agent must be a concrete product token, got '$agent'")
+    require(defaultDelayS >= 0, s"defaultDelayS must be >= 0, got $defaultDelayS")
+    Seq("robots_key", "agent", "crawl_delay_s").foreach(needed =>
+      require(delays.columns.contains(needed),
+        s"fetchSchedule: delays frame has no column '$needed' — pass crawlDelays output"))
+    Seq("host", "crawl_delay_s", "fetch_seq", "fetch_offset_s", "__fh").foreach(t =>
+      require(!frontier.columns.contains(t),
+        s"fetchSchedule: input already has column '$t'"))
+    val d0 = delays.select(lower(col("robots_key")).as("__dh"),
+        col("agent").as("__da"), col("crawl_delay_s").as("__ds"))
+      .filter(col("__da").isin(agentLc, "*"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("__dh"))
+    val chosen = d0
+      .withColumn("__he", max(when(col("__da") === agentLc, 1).otherwise(0)).over(wd))
+      .filter(col("__da") === agentLc || (col("__he") === 0 && col("__da") === "*"))
+      .groupBy(col("__dh")).agg(min(col("__ds")).as("__ds"))
+    val withHost = frontier.withColumn("__fh", urlHost(col(urlCol)))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fh")).orderBy(md5(col(urlCol)), col(urlCol))
+    withHost.join(broadcast(chosen), withHost("__fh") === chosen("__dh"), "left")
+      .withColumn("crawl_delay_s", coalesce(col("__ds"), lit(defaultDelayS)))
+      .withColumn("fetch_seq", row_number().over(ws) - 1)
+      .withColumn("fetch_offset_s",
+        col("fetch_seq").cast("long") * col("crawl_delay_s"))
+      .withColumn("host", col("__fh"))
+      .drop("__fh", "__dh", "__ds")
+  }
+
   /** [[admissions]], then keep only the allowed rows (annotation
     * columns dropped) — the pipeline-step shape. */
   def filterAllowed(

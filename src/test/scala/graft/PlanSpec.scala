@@ -151,6 +151,11 @@ class PlanSpec extends SparkSpec {
     val warc = QueriesExt.warcExtract(spark, sf("sf0.001"))
     assert(!warc.queryExecution.executedPlan.toString.contains("Exchange"),
       "warc parsing must be partition-local")
+    // outlink extraction + RFC 3986 resolution: pure projections over
+    // the scan (posexplode + staged regexp chains) — no exchange
+    val links = QueriesExt.crawlExtractLinks(spark, sf("sf0.001"))
+    assert(!links.queryExecution.executedPlan.toString.contains("Exchange"),
+      "extract_links must be scan-local")
     // robots admission: the per-host rule arrays broadcast and the
     // longest-match verdict evaluates scan-local — the URL corpus side
     // never shuffles. The only shuffle Exchanges belong to the SMALL

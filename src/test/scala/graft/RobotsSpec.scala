@@ -188,6 +188,40 @@ class RobotsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got === Map(("h.example", "a") -> 2, ("h.example", "b") -> 2))
   }
 
+  test("fetchSchedule: agent delay beats *, default fills, offsets are seq*delay") {
+    val body =
+      """User-agent: bot
+        |Crawl-delay: 4
+        |User-agent: *
+        |Crawl-delay: 9
+        |""".stripMargin
+    val delays = Robots.crawlDelays(rulesDf("h.example", body)
+      .unionByName(rulesDf("star.example", "User-agent: *\nCrawl-delay: 2")))
+    val urls = Seq(
+      "http://h.example/a", "http://h.example/b", "http://h.example/c",
+      "http://star.example/x", "http://star.example/y",
+      "http://nowhere.example/z").toDF("url")
+    val got = Robots.fetchSchedule(urls, "url", delays, "bot", defaultDelayS = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(4), r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // columns after drop: url, crawl_delay_s, fetch_seq, fetch_offset_s, host
+    got.foreach { case (u, (host, delay, seq, off)) =>
+      assert(off === seq.toLong * delay, s"$u offset arithmetic")
+      if (u.contains("//h.example")) assert(delay === 4 && host === "h.example")
+      else if (u.contains("star")) assert(delay === 2 && host === "star.example")
+      else assert(delay === 1 && host === "nowhere.example")
+    }
+    // per-host ordinals are dense 0..n-1
+    val seqsByHost = got.values.groupBy(_._1).view.mapValues(_.map(_._3).toSeq.sorted)
+    assert(seqsByHost("h.example") === Seq(0, 1, 2))
+    assert(seqsByHost("star.example") === Seq(0, 1))
+    assert(seqsByHost("nowhere.example") === Seq(0))
+    val e = intercept[IllegalArgumentException] {
+      Robots.fetchSchedule(urls, "url", urls, "bot")
+    }
+    assert(e.getMessage.contains("crawlDelays output"))
+  }
+
   test("cross-check: literal prefix rule sets match an independent in-memory matcher") {
     // independent reference: longest matching literal prefix, allow on
     // ties, allowed when nothing matches
