@@ -3262,6 +3262,45 @@ object QueriesExt {
       |SELECT doc_id, kind, mime FROM documents, cases
       |""".stripMargin
 
+  /** Page-level compliance metadata over constructed pages: meta
+    * robots (both attribute orders, whitespace normalization),
+    * canonical link (href-first order), and follow-link extraction —
+    * a rel="nofollow" token drops its anchor, a page-level `nofollow`
+    * drops them all, empty hrefs never follow. The oracle constructs
+    * every verdict directly. */
+  def crawlHtmlMeta(s: SparkSession, dir: String): DataFrame = {
+    val hid = col("doc_id").cast("string")
+    val m3 = col("doc_id") % 3
+    val head = concat(
+      when(m3 === 1, lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .otherwise(lit("")),
+      when(m3 === 2, lit("<META content=\"nofollow\" name=\"robots\">"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("<link href=\"/canon"), hid, lit("\" rel=\"canonical\">")))
+        .otherwise(lit("")))
+    val html = concat(lit("<html><head>"), head,
+      lit("</head><body><a href=\"/a\">x</a>" +
+        "<a rel=\"external nofollow\" href=\"/nf\">y</a>" +
+        "<a rel=\"external\" href=\"/b\">z</a><a href=\"\">self</a>" +
+        "</body></html>"))
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.htmlMetaRobots(html).as("meta_robots"),
+      TextAnalysis.htmlCanonical(html).as("canonical"),
+      size(TextAnalysis.extractLinks(html)).as("n_links"),
+      array_join(TextAnalysis.extractFollowLinks(html), " ").as("follow_urls"))
+  }
+
+  lazy val crawlHtmlMetaSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 1 THEN 'noindex,follow'
+      |                  WHEN 2 THEN 'nofollow' ELSE '' END AS meta_robots,
+      |  CASE WHEN doc_id % 2 = 0 THEN '/canon' || doc_id ELSE '' END AS canonical,
+      |  4 AS n_links,
+      |  CASE WHEN doc_id % 3 = 2 THEN '' ELSE '/a /b' END AS follow_urls
+      |FROM documents
+      |""".stripMargin
+
   /** Host-level link graph over the same constructed pages — the
     * input shape of crawl-quality PageRank: (src_host, dst_host,
     * n_links) with ONE declared groupBy shuffle over the resolved

@@ -69,6 +69,8 @@ object SparkEntry {
     "crawl_extract_links" -> (QueriesExt.crawlExtractLinks _),
     // host-level link graph (the crawl-quality PageRank input)
     "crawl_link_graph"    -> (QueriesExt.crawlLinkGraph _),
+    // meta robots / canonical / nofollow-aware follow links
+    "crawl_html_meta"     -> (QueriesExt.crawlHtmlMeta _),
     // magic-byte MIME routing for multimodal payloads
     "multimodal_sniff"    -> (QueriesExt.multimodalSniff _),
     // materialized fixed-length packing (concat-and-split)
@@ -307,6 +309,7 @@ object SparkEntry {
     "warc_http_meta"            -> QueriesExt.warcHttpMetaSql,
     "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,
     "crawl_link_graph"          -> QueriesExt.crawlLinkGraphSql,
+    "crawl_html_meta"           -> QueriesExt.crawlHtmlMetaSql,
     "multimodal_sniff"          -> QueriesExt.multimodalSniffSql,
     "text_pack_sequences"       -> QueriesExt.textPackSequencesSql,
     "text_redact"               -> QueriesExt.textRedactSql,

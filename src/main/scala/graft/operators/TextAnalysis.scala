@@ -710,6 +710,56 @@ object TextAnalysis {
       v => htmlDecodeEntities(regexp_replace(v, "^[\"']|[\"']$", "")))
   }
 
+  /** The page's `<meta name="robots" content="…">` directives,
+    * lowercased and whitespace-normalized (`"noindex, nofollow"` →
+    * `"noindex,nofollow"`), `""` when absent; the FIRST such meta tag
+    * wins (the conservative reading of a malformed double tag). The
+    * compliance companion to [[graft.operators.Robots]]: robots.txt
+    * gates the FETCH, meta robots gates INDEXING/FOLLOWING of a page
+    * already fetched. Attribute order is free (name before or after
+    * content); quoting may be double or single. */
+  def htmlMetaRobots(html: Column): Column = {
+    // first matching TAG wins regardless of attribute order ([^>]*
+    // before the name attribute covers a content-first spelling), then
+    // the content attribute is read out of that one tag
+    val tag = regexp_extract(coalesce(html, lit("")),
+      "(?i)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*", 0)
+    lower(regexp_replace(
+      regexp_extract(tag, "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1),
+      "\\s+", ""))
+  }
+
+  /** The page's `<link rel="canonical" href="…">` target (raw — feed
+    * [[resolveLinksStaged]] for the absolute form), `""` when absent;
+    * first wins; attribute order free. The dedup key a crawl honors
+    * BEFORE content fingerprints: the site already told us which
+    * spelling is the real one. */
+  def htmlCanonical(html: Column): Column = {
+    val tag = regexp_extract(coalesce(html, lit("")),
+      "(?i)<link\\b[^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*", 0)
+    htmlDecodeEntities(
+      regexp_extract(tag, "(?i)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+  }
+
+  /** [[extractLinks]] restricted to FOLLOWABLE anchors: `<a>` tags
+    * whose `rel` contains no `nofollow` token, and the empty set when
+    * the page's [[htmlMetaRobots]] declares `nofollow`. Quoted-only
+    * hrefs here (an unquoted `rel`-bearing tag is rare enough to
+    * ignore); anchors with an empty or missing href drop — a follow
+    * target must name a resource. */
+  def extractFollowLinks(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    val tags = regexp_extract_all(h, lit("(?i)<a\\b[^>]*"), lit(0))
+    val followed = filter(tags, t =>
+      !regexp_extract(t, "(?i)\\brel\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+        .rlike("(?i)(^|[\\s,])nofollow($|[\\s,])"))
+    val hrefs = transform(followed, t => htmlDecodeEntities(
+      regexp_extract(t, "(?i)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)))
+    when(htmlMetaRobots(html).rlike("(^|,)nofollow($|,)"),
+      array().cast("array<string>"))
+      .otherwise(filter(hrefs, x => x =!= ""))
+  }
+
   /** Resolve an extracted href against its page URL (RFC 3986 §5, the
     * deterministic subset a crawl frontier needs) — STAGED projections
     * only, the [[normalizeUrlStaged]] codegen discipline. Rules:

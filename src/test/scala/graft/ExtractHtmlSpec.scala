@@ -94,4 +94,46 @@ class ExtractHtmlSpec extends SparkSpec {
     val html = s"<p>  spaced   out\t line $pad </p><p>   </p><p>Second line $pad</p>"
     assert(extract(html) === s"spaced out line $pad\nSecond line $pad")
   }
+
+  test("htmlMetaRobots: first tag wins either attribute order; absent -> empty") {
+    def mr(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextAnalysis.htmlMetaRobots(col("h")).as("m"))
+        .collect()(0).getString(0)
+    assert(mr("<meta name=\"robots\" content=\" NOINDEX , nofollow \">")
+      === "noindex,nofollow")
+    assert(mr("<META content='none' name='robots'>") === "none") // content first
+    // first meta-robots tag wins over a later contradicting one
+    assert(mr("<meta name='robots' content='all'>" +
+      "<meta name='robots' content='noindex'>") === "all")
+    // an unrelated meta never matches
+    assert(mr("<meta name=\"viewport\" content=\"nofollow\">") === "")
+    assert(mr("<p>no meta</p>") === "")
+  }
+
+  test("htmlCanonical: first canonical link either order, entities decoded") {
+    def cn(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextAnalysis.htmlCanonical(col("h")).as("c"))
+        .collect()(0).getString(0)
+    assert(cn("<link rel=\"canonical\" href=\"/a?x=1&amp;y=2\">") === "/a?x=1&y=2")
+    assert(cn("<LINK href='/first' rel='canonical'><link rel='canonical' href='/second'>")
+      === "/first")
+    assert(cn("<link rel=\"stylesheet\" href=\"/css\">") === "")
+  }
+
+  test("extractFollowLinks: rel token match, page-level nofollow, empty hrefs drop") {
+    def fl(html: String): Seq[String] =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextAnalysis.extractFollowLinks(col("h")).as("l"))
+        .collect()(0).getSeq[String](0)
+    val page = "<a href=\"/keep\">a</a><a rel=\"nofollow\" href=\"/drop\">b</a>" +
+      "<a rel=\"external nofollow noopener\" href=\"/drop2\">c</a>" +
+      "<a rel=\"nofollower\" href=\"/keep2\">d</a>" + // token boundary: keeps
+      "<a href=\"\">e</a><a name=\"anchor-only\">f</a>"
+    assert(fl(page) === Seq("/keep", "/keep2"))
+    // page-level nofollow kills every outlink
+    assert(fl("<meta name='robots' content='noindex,nofollow'>" + page) === Seq.empty)
+    assert(fl("<meta name='robots' content='noindex'>" + page) === Seq("/keep", "/keep2"))
+  }
 }
