@@ -3301,6 +3301,39 @@ object QueriesExt {
       |FROM documents
       |""".stripMargin
 
+  /** Redirect-chain resolution over constructed edge sets: a 3-hop
+    * chain to a terminal, a 2-cycle, and a self-loop per host. The
+    * oracle constructs every verdict — terminal target, exact hop
+    * counts, unresolved cycles with NULL target/hops — so a drift in
+    * the pointer-doubling arithmetic mismatches. */
+  def crawlRedirects(s: SparkSession, dir: String): DataFrame = {
+    val hid = col("doc_id").cast("string")
+    def u(p: String) =
+      concat(lit("http://h"), hid, lit(".example.com/"), lit(p))
+    val edges = docs(s, dir).select(explode(array(
+        struct(u("a").as("src"), u("b").as("dst")),
+        struct(u("b").as("src"), u("c").as("dst")),
+        struct(u("c").as("src"), u("d").as("dst")),
+        struct(u("x").as("src"), u("y").as("dst")),
+        struct(u("y").as("src"), u("x").as("dst")),
+        struct(u("z").as("src"), u("z").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    operators.Redirects.resolve(edges, "src", "dst", maxDepth = 16)
+  }
+
+  lazy val crawlRedirectsSql: String =
+    """WITH cases(sfx, fin, hops, resolved) AS (VALUES
+      |  ('a', 'd', 3, true), ('b', 'd', 2, true), ('c', 'd', 1, true),
+      |  ('x', NULL, NULL, false), ('y', NULL, NULL, false),
+      |  ('z', NULL, NULL, false))
+      |SELECT 'http://h' || doc_id || '.example.com/' || sfx AS src,
+      |       CASE WHEN fin IS NULL THEN NULL
+      |            ELSE 'http://h' || doc_id || '.example.com/' || fin
+      |       END AS final_url,
+      |       CAST(hops AS BIGINT) AS hops, resolved
+      |FROM documents, cases
+      |""".stripMargin
+
   /** Host-level link graph over the same constructed pages — the
     * input shape of crawl-quality PageRank: (src_host, dst_host,
     * n_links) with ONE declared groupBy shuffle over the resolved

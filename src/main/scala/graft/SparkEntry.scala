@@ -71,6 +71,8 @@ object SparkEntry {
     "crawl_link_graph"    -> (QueriesExt.crawlLinkGraph _),
     // meta robots / canonical / nofollow-aware follow links
     "crawl_html_meta"     -> (QueriesExt.crawlHtmlMeta _),
+    // redirect-chain collapse by pointer doubling (log-depth joins)
+    "crawl_redirects"     -> (QueriesExt.crawlRedirects _),
     // magic-byte MIME routing for multimodal payloads
     "multimodal_sniff"    -> (QueriesExt.multimodalSniff _),
     // materialized fixed-length packing (concat-and-split)
@@ -310,6 +312,7 @@ object SparkEntry {
     "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,
     "crawl_link_graph"          -> QueriesExt.crawlLinkGraphSql,
     "crawl_html_meta"           -> QueriesExt.crawlHtmlMetaSql,
+    "crawl_redirects"           -> QueriesExt.crawlRedirectsSql,
     "multimodal_sniff"          -> QueriesExt.multimodalSniffSql,
     "text_pack_sequences"       -> QueriesExt.textPackSequencesSql,
     "text_redact"               -> QueriesExt.textRedactSql,
