@@ -3334,6 +3334,51 @@ object QueriesExt {
       |FROM documents, cases
       |""".stripMargin
 
+  /** RSS/Atom feed parsing over constructed feeds: a fully-attributed
+    * item/entry and a minimal one per document, channel/feed-level
+    * titles OUTSIDE the entry blocks (must not leak in), an
+    * attribute-bearing guid, an entity in an RSS title, whitespace
+    * inside an RSS link, and Atom's attribute-form links. The oracle
+    * constructs every row directly. */
+  def crawlFeedItems(s: SparkSession, dir: String): DataFrame = {
+    val hid = col("doc_id").cast("string")
+    val rss = concat(
+      lit("<rss><channel><title>chan</title>" +
+        "<item><title>First &amp; got</title><link>http://h"), hid,
+      lit(".example.com/rss1</link><guid isPermaLink=\"false\">g"), hid,
+      lit("-1</guid><pubDate>Mon, 01 Jan 2024</pubDate></item>" +
+        "<item><link>\n  http://h"), hid,
+      lit(".example.com/rss2\n</link></item></channel></rss>"))
+    val atom = concat(
+      lit("<feed><title>feedtitle</title>" +
+        "<entry><title>A1</title><link rel=\"alternate\" href=\"http://h"), hid,
+      lit(".example.com/atom1\"/><id>tag:"), hid,
+      lit(":1</id><updated>2024-01-02</updated></entry>" +
+        "<entry><link href=\"http://h"), hid,
+      lit(".example.com/atom2\"/></entry></feed>"))
+    val d = docs(s, dir)
+    operators.Feeds.rssItems(
+        d.select(col("doc_id"), rss.as("xml")), "doc_id", "xml")
+      .withColumn("format", lit("rss"))
+      .unionByName(operators.Feeds.atomEntries(
+          d.select(col("doc_id"), atom.as("xml")), "doc_id", "xml")
+        .withColumn("format", lit("atom")))
+  }
+
+  lazy val crawlFeedItemsSql: String =
+    """WITH cases(format, entry_idx, linksfx, title, eid, updated) AS (VALUES
+      |  ('rss', 0, '/rss1', 'First & got', 'g<ID>-1', 'Mon, 01 Jan 2024'),
+      |  ('rss', 1, '/rss2', '', '', ''),
+      |  ('atom', 0, '/atom1', 'A1', 'tag:<ID>:1', '2024-01-02'),
+      |  ('atom', 1, '/atom2', '', '', ''))
+      |SELECT doc_id, entry_idx,
+      |       'http://h' || doc_id || '.example.com' || linksfx AS link,
+      |       title,
+      |       replace(eid, '<ID>', CAST(doc_id AS VARCHAR)) AS entry_id,
+      |       updated, format
+      |FROM documents, cases
+      |""".stripMargin
+
   /** Host-level link graph over the same constructed pages — the
     * input shape of crawl-quality PageRank: (src_host, dst_host,
     * n_links) with ONE declared groupBy shuffle over the resolved

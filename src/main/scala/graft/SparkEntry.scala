@@ -73,6 +73,8 @@ object SparkEntry {
     "crawl_html_meta"     -> (QueriesExt.crawlHtmlMeta _),
     // redirect-chain collapse by pointer doubling (log-depth joins)
     "crawl_redirects"     -> (QueriesExt.crawlRedirects _),
+    // RSS/Atom feed entries (the freshness discovery channel)
+    "crawl_feed_items"    -> (QueriesExt.crawlFeedItems _),
     // magic-byte MIME routing for multimodal payloads
     "multimodal_sniff"    -> (QueriesExt.multimodalSniff _),
     // materialized fixed-length packing (concat-and-split)
@@ -313,6 +315,7 @@ object SparkEntry {
     "crawl_link_graph"          -> QueriesExt.crawlLinkGraphSql,
     "crawl_html_meta"           -> QueriesExt.crawlHtmlMetaSql,
     "crawl_redirects"           -> QueriesExt.crawlRedirectsSql,
+    "crawl_feed_items"          -> QueriesExt.crawlFeedItemsSql,
     "multimodal_sniff"          -> QueriesExt.multimodalSniffSql,
     "text_pack_sequences"       -> QueriesExt.textPackSequencesSql,
     "text_redact"               -> QueriesExt.textRedactSql,

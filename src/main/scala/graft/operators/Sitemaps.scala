@@ -31,16 +31,18 @@ object Sitemaps {
 
   // the five XML entities, ampersand LAST (the safe order — shared
   // convention with the HTML extractor's entity pass)
-  private def decodeEntities(c: Column): Column =
+  private[operators] def decodeEntities(c: Column): Column =
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
       .foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
 
   // Spark's trim removes ONLY spaces; hand-written sitemaps indent
-  // tag bodies with newlines, so trim the full whitespace class
-  private def tagText(entry: Column, tag: String): Column =
+  // tag bodies with newlines, so trim the full whitespace class.
+  // Attributes on the tag are tolerated (RSS guid isPermaLink etc.).
+  private[operators] def tagText(entry: Column, tag: String): Column =
     regexp_replace(
-      regexp_extract(entry, s"(?s)<$tag>(.*?)</$tag>", 1), "^\\s+|\\s+$", "")
+      regexp_extract(entry, s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>", 1),
+      "^\\s+|\\s+$", "")
 
   private def entries(
       df: DataFrame, idCol: String, xmlCol: String, entryTag: String): DataFrame = {

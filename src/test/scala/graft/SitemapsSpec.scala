@@ -60,6 +60,39 @@ class SitemapsSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("feeds: RSS items and Atom entries parse to the unified shape") {
+    import graft.operators.Feeds
+    val rss =
+      """<rss><channel><title>chan</title>
+        |<item><title>T &amp; t</title><link> http://h/1 </link>
+        |<guid isPermaLink="false">g1</guid><pubDate>D1</pubDate></item>
+        |<item><link>http://h/2</link></item>
+        |</channel></rss>""".stripMargin
+    val gotR = Feeds.rssItems(Seq((1L, rss)).toDF("id", "xml"), "id", "xml")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5)))
+    assert(gotR.toSeq === Seq(
+      (0, "http://h/1", "T & t", "g1", "D1"),
+      (1, "http://h/2", "", "", "")))
+    val atom =
+      """<feed><title>ft</title>
+        |<entry><title>A</title><link rel="alternate" href="http://h/a1"/>
+        |<id>i1</id><updated>U1</updated></entry>
+        |<entry><link href='http://h/a2'/></entry>
+        |</feed>""".stripMargin
+    val gotA = Feeds.atomEntries(Seq((1L, atom)).toDF("id", "xml"), "id", "xml")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5)))
+    assert(gotA.toSeq === Seq(
+      (0, "http://h/a1", "A", "i1", "U1"),
+      (1, "http://h/a2", "", "", "")))
+    // empty / null / feed-level-only bodies produce no rows
+    assert(Feeds.rssItems(Seq((1L, "<rss><channel><title>only</title></channel></rss>"))
+      .toDF("id", "xml"), "id", "xml").count() === 0L)
+    assert(Feeds.atomEntries(Seq((1L, null: String)).toDF("id", "xml"), "id", "xml")
+      .count() === 0L)
+  }
+
   test("the parse plan is exchange-free (scan-local fan-out)") {
     val df = Sitemaps.urlEntries(
       Seq((1L, "<url><loc>http://h/</loc></url>")).toDF("id", "xml"), "id", "xml")
