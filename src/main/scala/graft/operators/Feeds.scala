@@ -37,14 +37,28 @@ object Feeds {
         Sitemaps.decodeEntities(Sitemaps.tagText(col("__e"), "guid")).as("entry_id"),
         Sitemaps.tagText(col("__e"), "pubDate").as("updated"))
 
-  /** One row per Atom `<entry>`: `link` is the first `<link>` tag's
-    * `href`, `entry_id` the `<id>`, `updated` the `<updated>`. */
-  def atomEntries(df: DataFrame, idCol: String, xmlCol: String): DataFrame =
+  /** One row per Atom `<entry>`: `link` is the `rel="alternate"`
+    * link's `href` when one exists (real feeds often list `rel="self"`
+    * first — taking the first tag blindly would frontier the feed's
+    * own URL), else the first `<link>` tag's `href`; `entry_id` the
+    * `<id>`, `updated` the `<updated>`. */
+  def atomEntries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val alt = regexp_extract(col("__e"),
+      "(?s)<link\\b[^>]*\\brel\\s*=\\s*[\"']alternate[\"'][^>]*" +
+        "\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val altHrefFirst = regexp_extract(col("__e"),
+      "(?s)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+        "\\brel\\s*=\\s*[\"']alternate[\"']", 1)
+    val first = regexp_extract(col("__e"),
+      "(?s)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
     entries(df, idCol, xmlCol, "entry")
       .select(col(idCol), col("entry_idx"),
-        Sitemaps.decodeEntities(regexp_extract(col("__e"),
-          "(?s)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)).as("link"),
+        Sitemaps.decodeEntities(
+          when(alt =!= "", alt)
+            .when(altHrefFirst =!= "", altHrefFirst)
+            .otherwise(first)).as("link"),
         Sitemaps.decodeEntities(Sitemaps.tagText(col("__e"), "title")).as("title"),
         Sitemaps.decodeEntities(Sitemaps.tagText(col("__e"), "id")).as("entry_id"),
         Sitemaps.tagText(col("__e"), "updated").as("updated"))
+  }
 }

@@ -750,9 +750,14 @@ object TextAnalysis {
   def extractFollowLinks(html: Column): Column = {
     val h = coalesce(html, lit(""))
     val tags = regexp_extract_all(h, lit("(?i)<a\\b[^>]*"), lit(0))
-    val followed = filter(tags, t =>
-      !regexp_extract(t, "(?i)\\brel\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-        .rlike("(?i)(^|[\\s,])nofollow($|[\\s,])"))
+    val followed = filter(tags, t => {
+      // quoted rel wins; an UNQUOTED rel=nofollow must also drop (the
+      // conservative direction — following a nofollow is the bug)
+      val relQ = regexp_extract(t, "(?i)\\brel\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      val relU = regexp_extract(t, "(?i)\\brel\\s*=\\s*([^\\s\"'>]+)", 1)
+      !when(relQ =!= "", relQ).otherwise(relU)
+        .rlike("(?i)(^|[\\s,])nofollow($|[\\s,])")
+    })
     val hrefs = transform(followed, t => htmlDecodeEntities(
       regexp_extract(t, "(?i)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)))
     when(htmlMetaRobots(html).rlike("(^|,)nofollow($|,)"),

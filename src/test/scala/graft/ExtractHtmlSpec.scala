@@ -130,6 +130,7 @@ class ExtractHtmlSpec extends SparkSpec {
     val page = "<a href=\"/keep\">a</a><a rel=\"nofollow\" href=\"/drop\">b</a>" +
       "<a rel=\"external nofollow noopener\" href=\"/drop2\">c</a>" +
       "<a rel=\"nofollower\" href=\"/keep2\">d</a>" + // token boundary: keeps
+      "<a rel=nofollow href=\"/drop3\">g</a>" + // UNQUOTED rel also drops
       "<a href=\"\">e</a><a name=\"anchor-only\">f</a>"
     assert(fl(page) === Seq("/keep", "/keep2"))
     // page-level nofollow kills every outlink

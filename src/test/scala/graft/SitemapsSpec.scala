@@ -76,7 +76,8 @@ class SitemapsSpec extends SparkSpec {
       (1, "http://h/2", "", "", "")))
     val atom =
       """<feed><title>ft</title>
-        |<entry><title>A</title><link rel="alternate" href="http://h/a1"/>
+        |<entry><title>A</title><link rel="self" href="http://h/feed.xml"/>
+        |<link rel="alternate" href="http://h/a1"/>
         |<id>i1</id><updated>U1</updated></entry>
         |<entry><link href='http://h/a2'/></entry>
         |</feed>""".stripMargin
