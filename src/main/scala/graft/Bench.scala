@@ -244,8 +244,10 @@ object Bench {
     // per query: (wall median-of-3, wall min-of-3, cpu_s of the median
     // run). min is far more contention-robust than median; cpu_s is
     // load-invariant. All three go into the JSON line.
-    case class Timing(wallMed: Double, wallMin: Double, cpuMed: Double)
-    val failed = Timing(-1.0, -1.0, -1.0)
+    case class Timing(wallMed: Double, wallMin: Double, cpuMed: Double, load1: Double)
+    val failed = Timing(-1.0, -1.0, -1.0, -1.0)
+    def load1Now: Double =
+      loadavg.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
 
     val results = headline.map { case (name, fn) =>
       try {
@@ -260,7 +262,9 @@ object Bench {
           val cpu  = if (c0 < 0) -1.0 else processCpuSec - c0
           (wall, cpu)
         }.sortBy(_._1)
-        name -> Timing(runs(1)._1, runs(0)._1, runs(1)._2)
+        // 1-min loadavg right after this query's reps — per-query
+        // contention attribution in the detail record
+        name -> Timing(runs(1)._1, runs(0)._1, runs(1)._2, load1Now)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -291,14 +295,34 @@ object Bench {
     val cpuTotal  = if (cpuStart < 0) -1.0 else processCpuSec - cpuStart
     // Honesty flag: AMBIENT machine load means the wall times in this
     // record are contention-inflated (r4/r6/r8 driver records all
-    // were). Keyed on the EARLIEST available reading — prelaunch env
-    // if a wrapper passed it, else the JVM-entry reading — so the
-    // bench's own sbt/compile/warmup load no longer trips it; cpu_s
-    // stays the load-invariant signal either way.
-    val loadDistorted =
-      Seq(loadPrelaunch, loadJvmStart).find(_.nonEmpty).getOrElse(loadStart)
-        .split("\\s+").headOption.flatMap(_.toDoubleOption)
+    // were). Three triggers, any one of which flags the record:
+    //  - START: the earliest pre-run reading (prelaunch env if a
+    //    wrapper passed it, else JVM entry — the bench's own
+    //    sbt/compile/warmup load must not trip it) above cpus/16;
+    //  - END: the end-of-run 1-min loadavg above cpus/4. The end
+    //    reading unavoidably includes the bench's own query load
+    //    (measured ~2.8 on a clean prelaunch-0.09 run), hence the
+    //    higher threshold — it catches only HEAVY late contention;
+    //  - DIVERGENCE: total-median vs total-min of the same 3 reps.
+    //    On an idle machine these agree within ~6%; ambient
+    //    contention inflates medians while min survives (until the
+    //    contended window outlasts all 3 back-to-back reps). r10's
+    //    driver record — loadavg climbing 1.92 → 4.05 MID-RUN,
+    //    median 170.0s vs min 98.2s (1.73×), flag stuck false — is
+    //    the false negative this term closes; threshold 1.25×.
+    // cpu_s stays the load-invariant signal either way, and the
+    // detail file stamps a per-query 1-min loadavg so a contended
+    // WINDOW is attributable to the specific entries it inflated.
+    def load1(s: String): Option[Double] =
+      s.split("\\s+").headOption.flatMap(_.toDoubleOption)
+    val startDistorted =
+      load1(Seq(loadPrelaunch, loadJvmStart).find(_.nonEmpty).getOrElse(loadStart))
         .exists(_ > cpus.toDouble / 16.0)
+    val endDistorted = load1(loadEnd).exists(_ > cpus.toDouble / 4.0)
+    val totalMin0 = results.map(_._2.wallMin).filter(_ >= 0).sum
+    val divergence = totalMin0 > 0 &&
+      results.map(_._2.wallMed).filter(_ >= 0).sum / totalMin0 > 1.25
+    val loadDistorted = startDistorted || endDistorted || divergence
 
     def jmap(f: Timing => Double): String = results
       .map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
@@ -324,6 +348,7 @@ object Bench {
         s""""queries":${jmap(_.wallMed)},""" +
         s""""queries_min":${jmap(_.wallMin)},""" +
         s""""queries_cpu_s":${jmap(_.cpuMed)},""" +
+        s""""queries_load1":${jmap(_.load1)},""" +
         s""""sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try Files.write(Paths.get(detailPath), detail.getBytes(StandardCharsets.UTF_8))

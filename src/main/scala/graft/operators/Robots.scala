@@ -115,12 +115,25 @@ object Robots {
     out.toSeq
   }
 
-  /** Lowercased `host[:port]` of a URL column (`""` for scheme-less
-    * strings) — the robots join key. Host names are case-insensitive
-    * (RFC 3986); any explicit port is kept as written on BOTH sides of
-    * the join. */
-  def urlHost(url: Column): Column =
-    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+  /** Lowercased host of a URL column (`""` for scheme-less strings) —
+    * the robots join key. Host names are case-insensitive (RFC 3986).
+    * Adversarial spellings normalize to the SAME key the rule table is
+    * keyed by: `userinfo@` is stripped (greedily, through the LAST `@`
+    * — an unencoded `@` in userinfo is exactly the robots-bypass
+    * spelling this guards against) and the scheme's default port
+    * (`:80` http, `:443` https — the [[TextAnalysis.normalizeUrl]]
+    * convention) drops, so `http://user@h1.example.com:80/x` joins the
+    * `h1.example.com` rules instead of being allowed by default. A
+    * NON-default explicit port is kept: a different port is a
+    * different authority with its own robots.txt (RFC 9309 §2.3). */
+  def urlHost(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val h0 = lower(regexp_replace(auth, "^.*@", ""))
+    when(scheme === "http", regexp_replace(h0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(h0, ":443$", ""))
+      .otherwise(h0)
+  }
 
   /** The path-plus-query a robots rule matches against: everything
     * after the authority, fragment dropped, empty path normalized to
@@ -189,25 +202,40 @@ object Robots {
     // one array row per host; struct field order IS the precedence
     // order (octets of the rule as written, then allow over disallow,
     // then the rule text for a total deterministic order)
+    // lit_i = 1 marks a LITERAL-PREFIX rule — no '*' anywhere, no
+    // trailing '$' anchor — the overwhelming majority of real robots
+    // rules. Those evaluate with startswith on the path (a per-row
+    // String.startsWith) instead of rlike, whose compiled-Pattern cache
+    // is single-entry and thrashes across a per-host rule ARRAY —
+    // at a 10M-host frontier that is a per-(row × rule)
+    // Pattern.compile CPU constant. rlike remains for the wildcard/
+    // anchored minority. lit_i sits AFTER the precedence fields so the
+    // array_max struct order is untouched (prio, allow_i, rule is
+    // already a total order).
     val grouped = chosen.groupBy(col("__rh")).agg(
       collect_list(struct(
         length(col("__rv")).as("prio"),
         when(col("__rt") === "allow", 1).otherwise(0).as("allow_i"),
         col("__rv").as("rule"),
-        ruleRegex(col("__rv")).as("rx"))).as("__rules"))
+        ruleRegex(col("__rv")).as("rx"),
+        when(!col("__rv").contains("*") && !col("__rv").endsWith("$"), 1)
+          .otherwise(0).as("lit_i"))).as("__rules"))
     val ruleSide = if (broadcastRules) broadcast(grouped) else grouped
 
     val withKey = urls
       .withColumn("__uh", urlHost(col(urlCol)))
       .withColumn("__up", urlPathQuery(col(urlCol)))
     val joined = withKey.join(ruleSide, withKey("__uh") === ruleSide("__rh"), "left")
-    // scan-local longest-match: filter the per-host array by regex
-    // match, take the struct max. RLIKE accepts a non-foldable pattern.
-    // The winner is staged as ONE column so the match runs once per row
-    // (deriving two columns from the raw expression would evaluate the
-    // whole filter+max twice).
+    // scan-local longest-match: filter the per-host array — literal
+    // prefixes via startswith, the wildcard/anchored minority via
+    // RLIKE (which accepts a non-foldable pattern) — take the struct
+    // max. The winner is staged as ONE column so the match runs once
+    // per row (deriving two columns from the raw expression would
+    // evaluate the whole filter+max twice).
     joined
-      .withColumn("__win", array_max(expr("filter(__rules, r -> __up rlike r.rx)")))
+      .withColumn("__win", array_max(expr(
+        "filter(__rules, r -> CASE WHEN r.lit_i = 1 " +
+          "THEN startswith(__up, r.rule) ELSE __up rlike r.rx END)")))
       .withColumn("robots_allowed",
         col("__win").isNull || col("__win").getField("allow_i") === 1)
       .withColumn("robots_rule", col("__win").getField("rule"))

@@ -214,7 +214,22 @@ object Sampling {
     val wDf = weights.toDF(domainCol, "__w")
     val totals = df.groupBy(col(domainCol))
       .agg(sum(col(tokenCol)).cast("decimal(38,0)").as("__toks"))
-    val epochs = totals.join(wDf, Seq(domainCol))
+    // LEFT from the weights side + filter-anchored raise: a weighted
+    // domain absent from df (NULL __toks) or with zero/NULL token mass
+    // would otherwise VANISH silently — the inner join drops the row,
+    // or the div-by-zero NULLs __F and the epoch row disappears —
+    // under-delivering the budget without a trace (the exact failure
+    // the operator's own maxEpochs fail-loud convention forbids).
+    val epochs = wDf.join(totals, Seq(domainCol), "left")
+      .withColumn("__mass_ok",
+        when(col("__toks").isNull || col("__toks") <= 0,
+          raise_error(concat(
+            lit("domainMixEpochs: weighted domain "),
+            col(domainCol).cast("string"),
+            lit(" has no positive token mass in the corpus — drop it from " +
+              "weights or fix the domain/token columns"))))
+          .otherwise(lit(true)))
+      .filter(col("__mass_ok")).drop("__mass_ok")
       .withColumn("__den", expr(s"CAST($sumW AS DECIMAL(38,0)) * __toks"))
       .withColumn("__num",
         expr(s"CAST($budgetTokens AS DECIMAL(38,0)) * CAST(__w AS DECIMAL(38,0))"))

@@ -35,18 +35,39 @@ object TokenBinary {
       .foreachPartition { (it: Iterator[Row]) =>
         val conf = new Configuration()
         val buf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        // attempt-unique temp + rename-into-place on shard completion:
+        // a speculative or zombie duplicate attempt writing the FINAL
+        // path directly could interleave bytes with the winning
+        // attempt's stream (create(…, true) truncates, it does not
+        // lock). Each attempt streams to its own temp file, so
+        // concurrent attempts never share an output stream; whichever
+        // rename lands last wins with a COMPLETE file (the input is
+        // deterministic, so duplicate attempts carry identical bytes).
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var cur: Int = Int.MinValue
         var out: java.io.OutputStream = null
-        def closeCurrent(): Unit = if (out != null) { out.close(); out = null }
+        var tmp: Path = null
+        var dst: Path = null
+        def closeCurrent(commit: Boolean): Unit = if (out != null) {
+          out.close(); out = null
+          val fs = dst.getFileSystem(conf)
+          if (commit) {
+            if (fs.exists(dst)) fs.delete(dst, false)
+            require(fs.rename(tmp, dst),
+              s"TokenBinary.writeShards: rename $tmp -> $dst failed")
+          } else fs.delete(tmp, false)
+        }
         try {
           it.foreach { row =>
             val shard = row.getInt(0)
             if (out == null || shard != cur) {
-              closeCurrent()
+              closeCurrent(commit = true)
               cur = shard
-              val p = new Path(s"$targetDir/shard=$shard/tokens.bin")
+              dst = new Path(s"$targetDir/shard=$shard/tokens.bin")
+              tmp = new Path(s"$targetDir/shard=$shard/.tokens.bin.attempt-$attempt")
               out = new java.io.BufferedOutputStream(
-                p.getFileSystem(conf).create(p, true), 1 << 16)
+                tmp.getFileSystem(conf).create(tmp, true), 1 << 16)
             }
             val ids = row.getSeq[Int](2)
             ids.foreach { id =>
@@ -54,7 +75,8 @@ object TokenBinary {
               out.write(buf.array, 0, 4)
             }
           }
-        } finally closeCurrent()
+          closeCurrent(commit = true)
+        } finally closeCurrent(commit = false)
       }
   }
 

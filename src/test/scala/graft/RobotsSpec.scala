@@ -222,6 +222,65 @@ class RobotsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(e.getMessage.contains("crawlDelays output"))
   }
 
+  test("urlHost: userinfo and default ports normalize to the rule key") {
+    // adversarial spellings of the SAME authority must all hit the
+    // host's rules — 'http://user@h/…' or ':80' previously missed the
+    // host-keyed join and fell to allowed-by-default (a crafted
+    // robots bypass)
+    val body = "User-agent: bot\nDisallow: /private/"
+    val got = verdicts(Seq(
+      "http://user@h.example/private/x",
+      "http://user:pw@h.example/private/x",
+      "http://a@b@h.example/private/x",   // unencoded '@' noise: LAST @ wins
+      "http://h.example:80/private/x",
+      "https://h.example:443/private/x",
+      "http://USER@H.EXAMPLE:80/private/x",
+      "http://h.example:8080/private/x"), // non-default port: own authority
+      "h.example", body, "bot")
+    val blocked = ((false, Some("/private/")))
+    assert(got("http://user@h.example/private/x") === blocked)
+    assert(got("http://user:pw@h.example/private/x") === blocked)
+    assert(got("http://a@b@h.example/private/x") === blocked)
+    assert(got("http://h.example:80/private/x") === blocked)
+    assert(got("https://h.example:443/private/x") === blocked)
+    assert(got("http://USER@H.EXAMPLE:80/private/x") === blocked)
+    // a different explicit port is a different authority (RFC 9309
+    // §2.3): no rules for it, allowed by default
+    assert(got("http://h.example:8080/private/x") === ((true, None)))
+    // delays join through the same key
+    val delays = Robots.crawlDelays(rulesDf("h.example",
+      "User-agent: bot\nCrawl-delay: 7"))
+    val sched = Robots.fetchSchedule(
+      Seq("http://user@h.example:80/a").toDF("url"), "url", delays, "bot")
+      .select("host", "crawl_delay_s").collect()
+    assert(sched.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("h.example", 7)))
+  }
+
+  test("literal-prefix fast path: plan matches on startswith, not rlike, for plain rules") {
+    // the overwhelming majority of real rules are literal prefixes —
+    // those evaluate via startswith (per-row String.startsWith);
+    // rlike (per-row Pattern.compile on a non-foldable regex) remains
+    // only for the wildcard/anchored minority. Mixed rule sets must
+    // produce identical verdicts through both paths — the precedence
+    // tests above already mix them; here we pin the PLAN shape.
+    val rules = rulesDf("h", "User-agent: bot\nDisallow: /lit\nDisallow: /wild*card")
+    val u = Seq("http://h/lit/x").toDF("url")
+    val plan = Robots.admissions(u, "url", rules, "bot")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("startswith") || plan.contains("StartsWith"),
+      s"literal-prefix fast path missing from plan:\n$plan")
+    // and the lit_i flag routes correctly: literal blocked via prefix,
+    // wildcard blocked via regex, inner-$ rule (literal, no anchor)
+    // via prefix
+    val got = verdicts(Seq(
+      "http://h/lit/x", "http://h/wildANYcard/y", "http://h/w"),
+      "h", "User-agent: bot\nDisallow: /lit\nDisallow: /wild*card", "bot")
+    assert(got("http://h/lit/x") === ((false, Some("/lit"))))
+    assert(got("http://h/wildANYcard/y") === ((false, Some("/wild*card"))))
+    assert(got("http://h/w") === ((true, None)))
+  }
+
   test("cross-check: literal prefix rule sets match an independent in-memory matcher") {
     // independent reference: longest matching literal prefix, allow on
     // ties, allowed when nothing matches

@@ -197,6 +197,30 @@ class SamplingSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("maxEpochs")))
   }
 
+  test("domain mix epochs: absent or zero-mass weighted domains raise, not vanish") {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // a weights entry naming a domain absent from df used to disappear
+    // in the inner join — silent under-delivery of the budget
+    val exAbsent = intercept[Exception] {
+      Sampling.domainMixEpochs(base, "doc_id", "source", "n_chars",
+        Seq("src0" -> 1L, "no_such_domain" -> 1L),
+        budgetTokens = 10000L, maxEpochs = 4).collect()
+    }
+    assert(messages(exAbsent).exists(_.contains("no positive token mass")))
+    // a domain whose token mass sums to zero used to div-by-zero into
+    // NULL thresholds and vanish the same way
+    val zeroed = base.withColumn("n_chars",
+      when(col("source") === "src1", lit(0L)).otherwise(col("n_chars")))
+    val exZero = intercept[Exception] {
+      Sampling.domainMixEpochs(zeroed, "doc_id", "source", "n_chars",
+        Seq("src0" -> 1L, "src1" -> 1L),
+        budgetTokens = 10000L, maxEpochs = 4).collect()
+    }
+    assert(messages(exZero).exists(_.contains("no positive token mass")))
+  }
+
   test("domain mix: huge budget keeps every listed domain in full") {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
     val all = Sampling.domainMix(base, "doc_id", "source", "n_chars",
