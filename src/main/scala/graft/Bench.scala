@@ -88,6 +88,8 @@ object Bench {
     "text_extract_html"         -> (QueriesExt.textExtractHtml _),
     // Content-Length-accounted WARC record split + HTTP body
     "warc_extract"              -> (QueriesExt.warcExtract _),
+    // byte-exact .warc.gz path: per-record gzip members + binary slices
+    "warc_extract_binary"       -> (QueriesExt.warcExtractBinary _),
     // RFC 9309 robots URL admission (broadcast rules, scan-local match)
     "crawl_robots_filter"       -> (QueriesExt.crawlRobotsFilter _),
     // outlink extraction + RFC 3986 resolution (regexp-chain load)

@@ -1534,6 +1534,64 @@ object QueriesExt {
       |FROM resp
       |""".stripMargin
 
+  /** BYTE-EXACT WARC parsing over constructed `.warc.gz`-shaped
+    * captures: each document becomes two records, each wrapped as its
+    * own gzip member (the CommonCrawl layout) — a response whose HTTP
+    * body carries MULTI-BYTE UTF-8 (em-dash, accents, a check mark:
+    * octet lengths diverge from UTF-16 counts, so only byte
+    * accounting slices it; the string path would mis-slice and abort)
+    * and a `resource` record holding RAW BINARY (PNG magic + NULs +
+    * invalid-UTF-8 bytes) that no string column could carry at all.
+    * The oracle reconstructs every field independently — DuckDB's
+    * `octet_length(encode(...))` recomputes the response's byte
+    * Content-Length, the binary payload round-trips as hex. */
+  def warcExtractBinary(s: SparkSession, dir: String): DataFrame = {
+    val suffix = " — naïve café ✓"
+    val httpPayload = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+      col("text"), lit(suffix))
+    val binHex = "89504E470D0A1A0A0000FF00DEADBEEF" // 16 bytes, invalid UTF-8
+    val rec1 = concat(
+      encode(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://example.com/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Length: "), octet_length(httpPayload).cast("string"),
+        lit("\r\n\r\n")), "UTF-8"),
+      encode(httpPayload, "UTF-8"), encode(lit("\r\n\r\n"), "UTF-8"))
+    val rec2 = concat(
+      encode(lit("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 16\r\n\r\n"),
+        "UTF-8"),
+      unhex(lit(binHex)), encode(lit("\r\n\r\n"), "UTF-8"))
+    val gz = udf { (b: Array[Byte]) => Warc.gzipMember(b) }
+    val captures = docs(s, dir)
+      .select(col("doc_id"), concat(gz(rec1), gz(rec2)).as("warc"))
+    Warc.parseRecordsBytes(captures, "doc_id", "warc", gzipped = true)
+      .toDF()
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"), col("target_uri"),
+        col("content_length"),
+        when(col("warc_type") === "response",
+          Warc.httpBody(col("payload").cast("string"))).as("body"),
+        when(col("warc_type") === "resource", hex(col("payload"))).as("payload_hex"))
+  }
+
+  lazy val warcExtractBinarySql: String =
+    """WITH resp AS (
+      |  SELECT doc_id,
+      |         text || ' — naïve café ✓' AS body,
+      |         CAST(octet_length(encode(
+      |           'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+      |           'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+      |           chr(13) || chr(10) || text || ' — naïve café ✓')) AS BIGINT) AS len
+      |  FROM documents)
+      |SELECT doc_id, 0 AS rec_idx, 'response' AS warc_type,
+      |       'http://example.com/' || doc_id AS target_uri,
+      |       len AS content_length, body, NULL AS payload_hex
+      |FROM resp
+      |UNION ALL
+      |SELECT doc_id, 1, 'resource', '', 16, NULL, '89504E470D0A1A0A0000FF00DEADBEEF'
+      |FROM documents
+      |""".stripMargin
+
   // ================================================================ learned classifier
   /** TRAINED nearest-class-profile classifier (Rocchio / linear
     * multinomial NB in exact fixed-point — the model-based curation

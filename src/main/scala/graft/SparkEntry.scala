@@ -55,6 +55,7 @@ object SparkEntry {
     "text_normalize" -> (QueriesExt.textNormalize _),
     "text_extract_html" -> (QueriesExt.textExtractHtml _),
     "warc_extract" -> (QueriesExt.warcExtract _),
+    "warc_extract_binary" -> (QueriesExt.warcExtractBinary _),
     // robots.txt (RFC 9309): record parsing + URL admission
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
@@ -305,6 +306,7 @@ object SparkEntry {
     "text_normalize"            -> QueriesExt.textNormalizeSql,
     "text_extract_html"         -> QueriesExt.textExtractHtmlSql,
     "warc_extract"              -> QueriesExt.warcExtractSql,
+    "warc_extract_binary"       -> QueriesExt.warcExtractBinarySql,
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,

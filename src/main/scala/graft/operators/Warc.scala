@@ -14,14 +14,24 @@ import org.apache.spark.sql.functions._
   * sliced by the declared `Content-Length`, so a body containing the
   * literal text `WARC/1.0` (quoted markup, nested captures) can never
   * split a record — the failure mode any delimiter-based splitter
-  * has. Over this STRING column the length counts UTF-16 units, which
-  * equals bytes for the ASCII/Latin-1 captures the gates construct; a
-  * byte-exact binary-column variant would run the same core over
-  * `Array[Byte]` (spec'd contract, CrawlFuzzSpec round-trips
-  * arbitrary payloads under it). The
-  * scan shape is the [[Multimodal]] convention: one `mapPartitions`
-  * pass, per-record output fan-out bounded by input size, no shuffle,
-  * no driver involvement.
+  * has. Two parse surfaces share the core:
+  *
+  *  - [[parseRecordsBytes]] — the BYTE-EXACT path over a `binary`
+  *    column: `Content-Length` counts octets exactly as WARC/HTTP
+  *    declare them, so multi-byte UTF-8 bodies and raw binary
+  *    payloads (images, gzip members) slice correctly. With
+  *    `gzipped = true` the column holds a real `.warc.gz` capture —
+  *    concatenated per-record gzip members (the CommonCrawl layout) —
+  *    decoded scan-locally via `java.util.zip` before slicing. This
+  *    is the real-input front door.
+  *  - [[parseRecords]] — the STRING-column convenience: lengths count
+  *    UTF-16 units, which equals bytes only for ASCII/Latin-1
+  *    captures (the in-plan constructed gates); anything non-Latin-1
+  *    belongs on the binary path.
+  *
+  * The scan shape is the [[Multimodal]] convention either way: one
+  * `mapPartitions` pass, per-record output fan-out bounded by input
+  * size, no shuffle, no driver involvement.
   *
   * Fail-loud contract: a record missing `Content-Length`, a
   * non-numeric length, a length past the end of input, or a version
@@ -112,6 +122,146 @@ object Warc {
         val payload = content.substring(pos, pos + len.toInt)
         pos += len.toInt
         out += WarcRecord(
+          doc_id = id, rec_idx = idx,
+          warc_type = headers.getOrElse("warc-type", ""),
+          target_uri = headers.getOrElse("warc-target-uri", ""),
+          content_length = len, payload = payload)
+        idx += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** One parsed record off the byte-exact path. `payload` is the raw
+    * record block bytes; decode with `payload.cast("string")` (Spark
+    * casts binary → string as UTF-8) when the content is text, or
+    * keep the bytes for media/[[Multimodal]] consumers. */
+  final case class WarcRecordBytes(
+      doc_id: Long,
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      payload: Array[Byte]
+  )
+
+  /** Parse every record of each row's WARC capture BYTES — the
+    * byte-exact path real `.warc(.gz)` input takes. `gzipped = true`
+    * first decodes the row's concatenated gzip members
+    * ([[gunzipMembers]] — CommonCrawl writes one member per record;
+    * any member concatenation that yields the capture is accepted).
+    * Output one row per record, in capture order (`rec_idx`). */
+  def parseRecordsBytes(
+      warcs: DataFrame, idCol: String, warcCol: String, gzipped: Boolean = false
+  ): Dataset[WarcRecordBytes] = {
+    val spark = warcs.sparkSession
+    import spark.implicits._
+    warcs.select(col(idCol).cast("long"), col(warcCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b0) =>
+          val raw = if (b0 == null) Array.emptyByteArray else b0
+          val content =
+            if (gzipped && raw.nonEmpty)
+              try gunzipMembers(raw)
+              catch {
+                case e: java.io.IOException =>
+                  throw new IllegalArgumentException(
+                    s"WARC parse: doc $id: gzip decode failed — ${e.getMessage}", e)
+              }
+            else raw
+          parseBytes(id, content)
+        }
+      }
+  }
+
+  /** Decode a byte array of CONCATENATED gzip members to the
+    * concatenated payload (`java.util.zip.GZIPInputStream` reads
+    * multi-member streams natively — it probes for a further member
+    * header after each trailer and fail-louds on trailing garbage).
+    * Scan-local, bounded by the row's own decompressed size. */
+  private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 1 << 16)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var r = in.read(buf)
+      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
+  /** One gzip member around `bytes` — the writer-side inverse of
+    * [[gunzipMembers]] for specs and constructed gates (CommonCrawl
+    * writes each record as its own member so a reader can seek to a
+    * member boundary and start there). `java.util.zip.GZIPOutputStream`
+    * emits MTIME=0, so the member bytes are deterministic. */
+  private[graft] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    try g.write(bytes) finally g.close()
+    bos.toByteArray
+  }
+
+  /** The byte-exact parser core, exposed for specs: records of one
+    * capture's bytes. Identical state machine to [[parseString]], with
+    * offsets, `Content-Length`, and payload slices all in OCTETS —
+    * header lines decode as UTF-8 (the WARC/1.1 header charset); the
+    * payload is never decoded at all. */
+  private[graft] def parseBytes(id: Long, content: Array[Byte]): Seq[WarcRecordBytes] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecordBytes]
+    val n = content.length
+    var pos = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < n && content(i) != '\n') i += 1
+      i
+    }
+    def lineAt(from: Int): (String, Int) = {
+      val end = lineEnd(from)
+      val stop = if (end > from && content(end - 1) == '\r') end - 1 else end
+      (new String(content, from, stop - from, java.nio.charset.StandardCharsets.UTF_8),
+        math.min(end + 1, n))
+    }
+    var idx = 0
+    while (pos < n) {
+      // skip inter-record blank lines
+      val (probe, afterProbe) = lineAt(pos)
+      if (probe.isEmpty) pos = afterProbe
+      else {
+        require(probe.startsWith("WARC/"),
+          s"WARC parse: doc $id byte $pos: expected a WARC/ version line, " +
+            s"got '${probe.take(40)}' — mis-sliced or non-WARC input")
+        pos = afterProbe
+        // headers until the blank line
+        val headers = scala.collection.mutable.HashMap.empty[String, String]
+        var headerDone = false
+        while (!headerDone) {
+          require(pos < n,
+            s"WARC parse: doc $id: input ends inside record $idx's headers")
+          val (h, after) = lineAt(pos)
+          pos = after
+          if (h.isEmpty) headerDone = true
+          else {
+            val sep = h.indexOf(':')
+            require(sep > 0,
+              s"WARC parse: doc $id record $idx: malformed header line '${h.take(40)}'")
+            headers(h.substring(0, sep).trim.toLowerCase) = h.substring(sep + 1).trim
+          }
+        }
+        val lenStr = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"WARC parse: doc $id record $idx has no Content-Length header — " +
+              "cannot slice the payload"))
+        val len = lenStr.toLongOption.filter(_ >= 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"WARC parse: doc $id record $idx: bad Content-Length '$lenStr'"))
+        require(pos + len <= n,
+          s"WARC parse: doc $id record $idx: Content-Length $len runs past " +
+            s"end of input (${n - pos} bytes left) — truncated capture")
+        val payload = java.util.Arrays.copyOfRange(content, pos, pos + len.toInt)
+        pos += len.toInt
+        out += WarcRecordBytes(
           doc_id = id, rec_idx = idx,
           warc_type = headers.getOrElse("warc-type", ""),
           target_uri = headers.getOrElse("warc-target-uri", ""),

@@ -742,14 +742,31 @@ object CurationPipeline {
     // httpMeta: true additionally attaches http_status/content_type
     // (the standard keep-200-text/html filter keys) and decodes
     // Transfer-Encoding: chunked framing out of the body
-    "warc" -> Op(Set("types", "rekey", "httpMeta"), { c =>
+    // A BINARY text column takes the byte-exact parse path
+    // (Warc.parseRecordsBytes — real multi-byte UTF-8 and .warc.gz
+    // captures; `gzip: true` decodes per-record gzip members first),
+    // with the record payload decoded as UTF-8 for the downstream
+    // text steps. A string column takes the UTF-16-unit convenience
+    // path; `gzip` is meaningless there and rejected.
+    "warc" -> Op(Set("types", "rekey", "httpMeta", "gzip"), { c =>
       val keep = c.params.str("types", "response")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(keep.nonEmpty, s"step ${c.stepName}: types must name at least one record type")
       c.requireIntegralId("warc")
       val httpMeta = c.params.str("httpMeta", "false").toBoolean
-      val base = graft.operators.Warc.parseRecords(c.input, c.idCol, c.textCol).toDF()
-        .filter(col("warc_type").isin(keep: _*))
+      val isBinary = c.input.schema(c.textCol).dataType ==
+        org.apache.spark.sql.types.BinaryType
+      val gzipped = c.params.str("gzip", "false").toBoolean
+      require(!gzipped || isBinary,
+        s"step ${c.stepName}: gzip: true requires a BINARY '${c.textCol}' column — " +
+          "a string column cannot hold gzip bytes")
+      val base0 =
+        if (isBinary)
+          graft.operators.Warc.parseRecordsBytes(
+              c.input, c.idCol, c.textCol, gzipped = gzipped).toDF()
+            .withColumn("payload", col("payload").cast("string"))
+        else graft.operators.Warc.parseRecords(c.input, c.idCol, c.textCol).toDF()
+      val base = base0.filter(col("warc_type").isin(keep: _*))
       val metaCols =
         if (httpMeta) Seq(
           graft.operators.Warc.httpStatus(col("payload")).as("http_status"),

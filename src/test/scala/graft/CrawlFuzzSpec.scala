@@ -42,6 +42,45 @@ class CrawlFuzzSpec extends SparkSpec {
     check("warc-roundtrip", prop)
   }
 
+  test("property: byte-path parse is a left inverse of rendering for ARBITRARY byte payloads, gzipped or plain") {
+    val byteArrayGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      payloadGen.map(_.getBytes("UTF-8")), // incl. multi-byte UTF-8
+      Gen.const("WARC/1.0\r\nContent-Length: 3\r\n\r\n".getBytes("UTF-8")))
+    def render(ps: List[Array[Byte]]): Array[Byte] =
+      ps.zipWithIndex.flatMap { case (p, i) =>
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/$i\r\n" +
+          s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+          p ++ "\r\n\r\n".getBytes("UTF-8")
+      }.toArray
+    val prop = Prop.forAll(Gen.listOfN(3, byteArrayGen), Gen.oneOf(false, true)) {
+      (ps, gz) =>
+        val plain = render(ps)
+        // one gzip member per record — the CommonCrawl layout
+        val capture =
+          if (gz) ps.flatMap(p => Warc.gzipMember(render(List(p)))).toArray
+          else plain
+        val content = if (gz) Warc.gunzipMembers(capture) else capture
+        val got = Warc.parseBytes(1L, content)
+        got.map(_.payload.toSeq) == ps.map(_.toSeq) &&
+          got.map(_.rec_idx) == ps.indices.toList &&
+          got.map(_.content_length) == ps.map(_.length.toLong) &&
+          got.forall(_.warc_type == "response")
+    }
+    check("warc-bytes-roundtrip", prop)
+  }
+
+  test("property: byte-path parse on arbitrary junk bytes either parses or raises — never hangs or index-errors") {
+    val junkBytes: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      payloadGen.map(_.getBytes("UTF-8")))
+    val prop = Prop.forAll(junkBytes) { b =>
+      try { Warc.parseBytes(0L, b); true }
+      catch { case _: IllegalArgumentException => true }
+    }
+    check("warc-bytes-junk", prop, n = 120)
+  }
+
   test("property: WARC parse on arbitrary junk either parses or raises — never hangs or index-errors") {
     val prop = Prop.forAll(payloadGen) { s =>
       try { Warc.parseString(0L, s); true }

@@ -131,6 +131,148 @@ class WarcSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"warc parse shuffled:\n$plan")
   }
 
+  // ------------------------------------------------------- byte path
+
+  private def recBytes(
+      typ: String, uri: String, payload: Array[Byte], extra: String = ""): Array[Byte] = {
+    val header =
+      s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+        (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") + extra +
+        s"Content-Length: ${payload.length}\r\n\r\n"
+    header.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("parseBytes: multi-byte UTF-8 slices by octets where the string path mis-slices") {
+    // 'café — ✓' is 8 UTF-16 units but 13 UTF-8 bytes: the byte path
+    // must slice 13; feeding the same capture DECODED to the string
+    // path makes Content-Length over-reach into the terminator and die
+    val body = "café — ✓"
+    val bytes = body.getBytes("UTF-8")
+    assert(bytes.length > body.length, "fixture must actually be multi-byte")
+    val capture = recBytes("response", "http://h/é", bytes) ++
+      recBytes("metadata", "", "tail".getBytes("UTF-8"))
+    val got = Warc.parseBytes(9L, capture)
+    assert(got.map(r => (r.rec_idx, r.warc_type, r.target_uri,
+      new String(r.payload, "UTF-8"))) === Seq(
+      (0, "response", "http://h/é", body),
+      (1, "metadata", "", "tail")))
+    assert(got.head.content_length === bytes.length.toLong)
+    // the string path on the decoded capture: 13 counted as UTF-16
+    // units over-reads past the body into the record terminator and
+    // the next version-line check fails loud — exactly the documented
+    // string-column caveat
+    val e = intercept[IllegalArgumentException] {
+      Warc.parseString(9L, new String(capture, "UTF-8"))
+    }
+    assert(e.getMessage.contains("WARC/"))
+  }
+
+  test("parseBytes: raw binary payloads (NULs, invalid UTF-8) slice exactly") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0xFF.toByte, 0x00)
+    val capture = recBytes("resource", "http://h/img.png", png)
+    val got = Warc.parseBytes(2L, capture)
+    assert(got.size === 1)
+    assert(got.head.payload.toSeq === png.toSeq)
+    assert(got.head.content_length === png.length.toLong)
+    // truncation still fail-loud in octets
+    val e = intercept[IllegalArgumentException] {
+      Warc.parseBytes(3L, capture.dropRight(6))
+    }
+    assert(e.getMessage.contains("runs past"))
+  }
+
+  test("gzip members: per-record members decode and parse; garbage fails loud") {
+    val r1 = recBytes("response", "http://h/1", "HTTP/1.1 200 OK\r\n\r\nnaïve body".getBytes("UTF-8"))
+    val r2 = recBytes("metadata", "", "m".getBytes("UTF-8"))
+    val members = Warc.gzipMember(r1) ++ Warc.gzipMember(r2)
+    // member round-trip at the byte level
+    assert(Warc.gunzipMembers(members).toSeq === (r1 ++ r2).toSeq)
+    val df = Seq((1L, members)).toDF("doc_id", "warc")
+    val got = Warc.parseRecordsBytes(df, "doc_id", "warc", gzipped = true).collect()
+    assert(got.map(_.warc_type).toSeq === Seq("response", "metadata"))
+    assert(new String(got(0).payload, "UTF-8").endsWith("naïve body"))
+    // corruption INSIDE a member (deflate stream / CRC) raises with
+    // the doc id. (Trailing non-member garbage after the last trailer
+    // is silently treated as EOF — java.util.zip semantics, shared by
+    // real gzip readers; a mis-slice from any such loss still
+    // fail-louds at the WARC layer's version-line check.)
+    val corrupt = members.clone()
+    corrupt(members.length / 2) = (corrupt(members.length / 2) ^ 0x5A).toByte
+    val bad = Seq((7L, corrupt)).toDF("doc_id", "warc")
+    val e = intercept[Exception] {
+      Warc.parseRecordsBytes(bad, "doc_id", "warc", gzipped = true).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain(e).contains("gzip decode failed") || chain(e).contains("WARC parse"),
+      chain(e))
+  }
+
+  test("parseRecordsBytes stays scan-local and null bytes parse to no records") {
+    val warcs = (1L to 6L).map { i =>
+      (i, recBytes("response", s"http://h/$i",
+        s"HTTP/1.1 200 OK\r\n\r\npage $i".getBytes("UTF-8")))
+    }.toDF("doc_id", "warc")
+      .unionByName(Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "warc"))
+    val ds = Warc.parseRecordsBytes(warcs, "doc_id", "warc")
+    assert(ds.count() === 6L)
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"binary warc parse shuffled:\n$plan")
+  }
+
+  test("pipeline warc step: binary gzip captures parse through the byte path") {
+    import java.nio.file.Files
+    val (src, out) = (Files.createTempDirectory("graft-warcb-src").toString,
+      Files.createTempDirectory("graft-warcb-out").toString)
+    val pages = (1L to 5L).map { i =>
+      val r1 = recBytes("warcinfo", "", "software: graft".getBytes("UTF-8"))
+      val r2 = recBytes("response", s"http://h/$i",
+        s"HTTP/1.1 200 OK\r\n\r\narticle naïve — $i".getBytes("UTF-8"))
+      (i, Warc.gzipMember(r1) ++ Warc.gzipMember(r2))
+    }.toDF("doc_id", "text")
+    pages.write.parquet(s"$src/captures.parquet")
+    val yaml = Files.createTempFile("graft-pipe-warcb", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: crawl_front_bin
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: records
+        |    op: warc
+        |    input: captures
+        |    params: { gzip: "true" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/records")
+    assert(got.count() === 5L)
+    val texts = got.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 5L).foreach(i => assert(texts(i) === s"article naïve — $i"))
+    // gzip over a STRING column is a spec error, not a runtime surprise
+    val yaml2 = Files.createTempFile("graft-pipe-warcb2", ".yaml")
+    Files.writeString(yaml2,
+      """pipeline: bad_gzip
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: records
+        |    op: warc
+        |    input: captures
+        |    params: { gzip: "true" }
+        |""".stripMargin)
+    val src2 = Files.createTempDirectory("graft-warcb-src2").toString
+    (1L to 2L).map(i => (i, "WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"))
+      .toDF("doc_id", "text").write.parquet(s"$src2/captures.parquet")
+    val e = intercept[Exception] {
+      Cli.run(Seq("pipeline", yaml2.toString, src2,
+        Files.createTempDirectory("graft-warcb-out2").toString), spark)
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain(e).contains("requires a BINARY"), chain(e))
+  }
+
   test("pipeline warc step: records explode, filter to response, chain into extract_html") {
     import java.nio.file.Files
     val (src, out) = (Files.createTempDirectory("graft-warc-src").toString,
