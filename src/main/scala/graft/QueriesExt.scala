@@ -1731,7 +1731,29 @@ object QueriesExt {
     * symbol tables `s0..s{rounds}` with per-round best pair `m{r}`.
     * Every chained CTE is MATERIALIZED — DuckDB inlines plain CTEs
     * per reference, which goes exponential over 8 rounds. */
-  private def bpeTrainSql(rounds: Int): String = {
+  private def bpeTrainSql(rounds: Int, byteLevel: Boolean = false): String = {
+    val s0 =
+      if (byteLevel)
+        """s0 AS MATERIALIZED (
+          |  -- initial symbols: UTF-8 bytes as uppercase hex pairs
+          |  -- (DuckDB hex(BLOB) is uppercase — the byteSyms alphabet),
+          |  -- end-of-word marker on the last
+          |  SELECT w, CAST(i AS INTEGER) AS pos,
+          |         CASE WHEN i = octet_length(encode(w))
+          |              THEN substr(hex(encode(w)), 2*i-1, 2) || '</w>'
+          |              ELSE substr(hex(encode(w)), 2*i-1, 2) END AS sym
+          |  FROM (SELECT DISTINCT w FROM wf),
+          |       unnest(generate_series(1, octet_length(encode(w)))) AS t(i)
+          |)""".stripMargin
+      else
+        """s0 AS MATERIALIZED (
+          |  -- initial symbols: codepoints, end-of-word marker on the last
+          |  SELECT w, CAST(i AS INTEGER) AS pos,
+          |         CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>'
+          |              ELSE substr(w, i, 1) END AS sym
+          |  FROM (SELECT DISTINCT w FROM wf),
+          |       unnest(generate_series(1, length(w))) AS t(i)
+          |)""".stripMargin
     def round(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT a.sym AS l, b.sym AS rt, sum(wf.freq) AS cnt
@@ -1777,14 +1799,7 @@ object QueriesExt {
        |  FROM ws, unnest(w) AS t(tok)
        |  WHERE len(t.tok) >= 1
        |  GROUP BY 1
-       |), s0 AS MATERIALIZED (
-       |  -- initial symbols: codepoints, end-of-word marker on the last
-       |  SELECT w, CAST(i AS INTEGER) AS pos,
-       |         CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>'
-       |              ELSE substr(w, i, 1) END AS sym
-       |  FROM (SELECT DISTINCT w FROM wf),
-       |       unnest(generate_series(1, length(w))) AS t(i)
-       |),
+       |), $s0,
        |${(0 until rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
@@ -1796,6 +1811,56 @@ object QueriesExt {
 
   lazy val textBpeTokenizeSql: String =
     bpeTrainSql(8) +
+      s"""
+         |, tok AS MATERIALIZED (
+         |  SELECT w, count(*) AS n_sym, string_agg(sym, ' ' ORDER BY pos) AS toks
+         |  FROM s8 GROUP BY 1
+         |), dw AS (
+         |  SELECT doc_id, i AS widx, w[i] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(i)
+         |  WHERE len(w[i]) >= 1
+         |)
+         |SELECT doc_id, CAST(sum(tok.n_sym) AS BIGINT) AS n_bpe_tokens,
+         |       string_agg(tok.toks, ' ' ORDER BY widx) AS bpe_text
+         |FROM dw JOIN tok ON tok.w = dw.word
+         |GROUP BY 1
+         |""".stripMargin
+
+  /** BYTE-LEVEL BPE training [Radford et al. 2019's byte-level base
+    * alphabet over the Sennrich trainer], 8 merges: symbols are UTF-8
+    * bytes as uppercase hex pairs, so the vocabulary is lossless on
+    * any input with no OOV — tokenizer parity with the GPT-2/Llama
+    * family's id space shape. The oracle REPLAYS TRAINING round by
+    * round over the byte alphabet rebuilt from `hex(encode(w))` —
+    * same per-round pair counts, same `(cnt DESC, l, rt)` tie-break
+    * (pure-ASCII hex symbols: binary string order on both engines),
+    * same greedy merge application. */
+  def textBpeBytes(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(docs(s, dir), "text", numMerges = 8, byteLevel = true)
+
+  lazy val textBpeBytesSql: String =
+    bpeTrainSql(8, byteLevel = true) +
+      (0 until 8).map(r =>
+        s"\nSELECT CAST($r AS INTEGER) AS merge_rank, l AS left_sym, rt AS right_sym FROM m$r")
+        .mkString("", "\nUNION ALL", "\n")
+
+  /** Byte-level tokenization against the learned byte merges: per-doc
+    * token count + the token stream in document order — the encoder
+    * half of tokenizer parity (ranked, the production path; ranked ≡
+    * fold is BpeSpec-pinned, as is losslessness: hex-decoding the
+    * stream reproduces every word). */
+  def textBpeBytesTokenize(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 8, byteLevel = true)
+    Bpe.tokenizeWith(corpus, "doc_id", "text", merges, ranked = true, byteLevel = true)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+        array_join(col("bpe_tokens"), " ").as("bpe_text"))
+      .filter(col("n_bpe_tokens") > 0)
+  }
+
+  lazy val textBpeBytesTokenizeSql: String =
+    bpeTrainSql(8, byteLevel = true) +
       s"""
          |, tok AS MATERIALIZED (
          |  SELECT w, count(*) AS n_sym, string_agg(sym, ' ' ORDER BY pos) AS toks

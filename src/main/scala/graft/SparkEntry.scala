@@ -272,6 +272,8 @@ object SparkEntry {
     // corpus-learned BPE (trained merge table + real tokenization)
     "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
     "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _),
+    "text_bpe_bytes" -> (QueriesExt.textBpeBytes _),
+    "text_bpe_bytes_tokenize" -> (QueriesExt.textBpeBytesTokenize _),
     // trained nearest-class-profile classifier (model-based curation)
     "text_classify_profile" -> (QueriesExt.textClassifyProfile _)
   )
@@ -428,6 +430,8 @@ object SparkEntry {
     "multimodal_video_neardup"  -> QueriesExt.multimodalVideoNeardupSql,
     "text_bpe_vocab"            -> QueriesExt.textBpeVocabSql,
     "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql,
+    "text_bpe_bytes"            -> QueriesExt.textBpeBytesSql,
+    "text_bpe_bytes_tokenize"   -> QueriesExt.textBpeBytesTokenizeSql,
     "text_classify_profile"     -> QueriesExt.textClassifyProfileSql
   )
 }

@@ -34,6 +34,56 @@ object Bpe {
     * depth, is the binding constraint past ~100 rounds). */
   private val TruncateEvery = 24
 
+  /** Split into UTF-8 BYTE symbols — the production tokenizer norm
+    * (GPT-2/Llama byte-level BPE [Radford et al. 2019 §2.2]): a fixed
+    * 256-symbol base alphabet, lossless on ANY input, no OOV by
+    * construction. Each byte renders as its two-char UPPERCASE hex
+    * pair (vs GPT-2's printable-unicode remap) so the symbol strings
+    * are pure ASCII: merged symbols concatenate hex pairs, the
+    * `(count DESC, left, right)` tie-break is the SAME binary string
+    * order on Spark and DuckDB, and an oracle rebuilds the exact
+    * alphabet from `hex(encode(w))` — engine-exact replayability, the
+    * one property GPT-2's remap can't give a SQL cross-check.
+    * Fixed-width pairs also preserve unsigned byte order under string
+    * comparison. [[decodeByteTokens]] inverts. */
+  private[graft] def byteSyms(w: String, endOfWord: String): Array[String] = {
+    val hd = "0123456789ABCDEF"
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xff
+      out(i) = "" + hd.charAt(b >> 4) + hd.charAt(b & 0xf)
+      i += 1
+    }
+    if (out.nonEmpty) out(out.length - 1) = out(out.length - 1) + endOfWord
+    out
+  }
+
+  /** Invert [[byteSyms]]-derived tokens back to text: strip the
+    * end-of-word marker, concatenate the hex pairs, decode UTF-8 —
+    * the losslessness witness (spec-pinned for arbitrary Unicode
+    * including astral-plane and boundary-splitting merges). */
+  private[graft] def decodeByteTokens(toks: Seq[String], endOfWord: String): String = {
+    val hexStr = toks.map { t =>
+      if (t.endsWith(endOfWord)) t.dropRight(endOfWord.length) else t
+    }.mkString
+    require(hexStr.length % 2 == 0, s"odd hex stream: '${hexStr.take(40)}'")
+    val bs = new Array[Byte](hexStr.length / 2)
+    var i = 0
+    while (i < bs.length) {
+      bs(i) = Integer.parseInt(hexStr.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The symbolizer both trainers and the tokenizer share: byte-level
+    * ([[byteSyms]]) or codepoint-level ([[codepointSyms]]). */
+  private[graft] def symsOf(
+      w: String, endOfWord: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel) byteSyms(w, endOfWord) else codepointSyms(w, endOfWord)
+
   /** Split into Unicode CODEPOINT symbols (not UTF-16 chars), matching
     * SQL engines' character semantics for astral-plane text. */
   private[graft] def codepointSyms(w: String, endOfWord: String): Array[String] = {
@@ -81,15 +131,17 @@ object Bpe {
     * distinct merge chains produce the same symbol STRING — there the
     * fold order is the contract. */
   def trainMerges(
-      docs: DataFrame, textCol: String, numMerges: Int, endOfWord: String = "</w>"
+      docs: DataFrame, textCol: String, numMerges: Int, endOfWord: String = "</w>",
+      byteLevel: Boolean = false
   ): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(endOfWord.nonEmpty, "endOfWord marker must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
     val eow = endOfWord
+    val bl = byteLevel
     val init = wordCounts(docs, textCol).as[(String, Long)]
-      .map { case (w, f) => (f, codepointSyms(w, eow).toSeq) }
+      .map { case (w, f) => (f, symsOf(w, eow, bl).toSeq) }
       .toDF("freq", "syms")
     var cur = Lineage.snapshot(init)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
@@ -165,11 +217,12 @@ object Bpe {
     * byte order ([[utf8Lt]]) — bit-for-bit the distributed
     * [[trainMerges]] selection rule, pinned by BpeSpec. */
   private[graft] def trainMergesInMemory(
-      wordFreqs: Seq[(String, Long)], numMerges: Int, endOfWord: String
+      wordFreqs: Seq[(String, Long)], numMerges: Int, endOfWord: String,
+      byteLevel: Boolean = false
   ): Seq[(Int, String, String)] = {
     import scala.collection.mutable
     val syms  = wordFreqs.map { case (w, _) =>
-      mutable.ArrayBuffer.from(codepointSyms(w, endOfWord)) }.toArray
+      mutable.ArrayBuffer.from(symsOf(w, endOfWord, byteLevel)) }.toArray
     val freqs = wordFreqs.map(_._2).toArray
     val stats = mutable.HashMap.empty[(String, String), Long]
     val index = mutable.HashMap.empty[(String, String), mutable.BitSet]
@@ -260,7 +313,7 @@ object Bpe {
   def trainMergesLocal(
       docs: DataFrame, textCol: String, numMerges: Int,
       endOfWord: String = "</w>", minFreq: Long = 1L,
-      maxDistinctWords: Int = 10000000
+      maxDistinctWords: Int = 10000000, byteLevel: Boolean = false
   ): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(endOfWord.nonEmpty, "endOfWord marker must be non-empty")
@@ -274,7 +327,7 @@ object Bpe {
         s"maxDistinctWords=$maxDistinctWords — raise minFreq (prune the Zipf tail) " +
         "or raise the bound if the driver has the memory")
     val words = pruned.as[(String, Long)].collect().toSeq
-    trainMergesInMemory(words, numMerges, endOfWord)
+    trainMergesInMemory(words, numMerges, endOfWord, byteLevel)
       .toDF("merge_rank", "left_sym", "right_sym")
       .select(col("merge_rank").cast("int").as("merge_rank"),
         col("left_sym"), col("right_sym"))
@@ -324,7 +377,8 @@ object Bpe {
     * every distinct word costs more than the corpus scan itself. */
   def tokenizeWith(
       docs: DataFrame, idCol: String, textCol: String,
-      mergesDf: DataFrame, endOfWord: String = "</w>", ranked: Boolean = false
+      mergesDf: DataFrame, endOfWord: String = "</w>", ranked: Boolean = false,
+      byteLevel: Boolean = false
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -358,7 +412,7 @@ object Bpe {
           m
         }
         def fold(w: String): Seq[String] = {
-          val syms0: Seq[String] = codepointSyms(w, eow).toSeq
+          val syms0: Seq[String] = symsOf(w, eow, byteLevel).toSeq
           if (ranked) encodeRanked(syms0, ranks)
           else {
             var ss = syms0

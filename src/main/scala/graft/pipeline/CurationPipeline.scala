@@ -1530,16 +1530,27 @@ object CurationPipeline {
     // real (>= 1k-merge) vocabularies; minFreq prunes the Zipf tail
     // before the bounded collect. trainer: distributed keeps every
     // round on the cluster (the round-replay oracle target).
-    "bpe_vocab" -> Op(Set("merges", "trainer", "minFreq"), { c =>
+    // level: bytes trains over the UTF-8 byte alphabet (hex-pair
+    // symbols — lossless, no OOV, the GPT-2/Llama tokenizer norm)
+    // instead of codepoints; a tokenize step consuming the vocab must
+    // declare the same level (checked there via the symbol shape).
+    "bpe_vocab" -> Op(Set("merges", "trainer", "minFreq", "level"), { c =>
       val n = c.params.int("merges", 256)
+      val byteLevel = c.params.str("level", "codepoint") match {
+        case "codepoint" => false
+        case "bytes"     => true
+        case other => throw new IllegalArgumentException(
+          s"step ${c.stepName}: unknown level '$other' (codepoint | bytes)")
+      }
       c.params.str("trainer", "local") match {
         case "local" =>
           graft.operators.Bpe.trainMergesLocal(c.input, c.textCol, numMerges = n,
-            minFreq = c.params.long("minFreq", 1L))
+            minFreq = c.params.long("minFreq", 1L), byteLevel = byteLevel)
         case "distributed" =>
           require(!c.params.has("minFreq"),
             s"step ${c.stepName}: minFreq applies to trainer: local only")
-          graft.operators.Bpe.trainMerges(c.input, c.textCol, numMerges = n)
+          graft.operators.Bpe.trainMerges(c.input, c.textCol, numMerges = n,
+            byteLevel = byteLevel)
         case other => throw new IllegalArgumentException(
           s"step ${c.stepName}: unknown trainer '$other' (local | distributed)")
       }
@@ -1548,15 +1559,32 @@ object CurationPipeline {
     // learned vocab table — what mix budgets (`tokens: n_bpe_tokens`)
     // and pack sizing should consume. keepTokens: true also carries
     // the token array (heavier output; for export/packing consumers).
-    "tokenize" -> Op(Set("vocab", "keepTokens"), { c =>
+    "tokenize" -> Op(Set("vocab", "keepTokens", "level"), { c =>
       val vocab = c.resolve(c.params.reqStr("vocab"))
       Seq("merge_rank", "left_sym", "right_sym").foreach { needed =>
         require(vocab.columns.contains(needed),
           s"step ${c.stepName}: vocab table must have a '$needed' column " +
             "(a bpe_vocab step output)")
       }
+      val byteLevel = c.params.str("level", "codepoint") match {
+        case "codepoint" => false
+        case "bytes"     => true
+        case other => throw new IllegalArgumentException(
+          s"step ${c.stepName}: unknown level '$other' (codepoint | bytes)")
+      }
+      // a level mismatch between vocab and tokenize silently yields
+      // base-symbol (unmerged) streams — the vocab's own symbol shape
+      // is checkable: byte-level merges are hex pairs (+ marker)
+      if (byteLevel) {
+        val bad = vocab.filter(
+          !regexp_replace(col("left_sym"), "</w>$", "").rlike("^[0-9A-F]+$"))
+        require(bad.isEmpty,
+          s"step ${c.stepName}: level: bytes but the vocab's symbols are not " +
+            "hex-pair byte symbols — was the bpe_vocab step trained with level: bytes?")
+      }
       val toks = graft.operators.Bpe.tokenizeWith(
-        c.input.select(col(c.idCol), col(c.textCol)), c.idCol, c.textCol, vocab)
+        c.input.select(col(c.idCol), col(c.textCol)), c.idCol, c.textCol, vocab,
+        byteLevel = byteLevel)
         .select(col(c.idCol),
           size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
           col("bpe_tokens"))

@@ -193,6 +193,124 @@ class BpeSpec extends SparkSpec {
       toks(classic, m1.limit(0), ranked = false))
   }
 
+  // ------------------------------------------------------ byte level
+
+  /** Byte-level reference symbolizer: UTF-8 bytes as uppercase hex
+    * pairs, end-of-word on the last — independent of Bpe.byteSyms. */
+  private def refByteSyms(w: String): Vector[String] = {
+    val bs = w.getBytes("UTF-8").toVector.map(b => f"${b & 0xff}%02X")
+    bs.updated(bs.length - 1, bs.last + "</w>")
+  }
+
+  private def refTrainBytes(texts: Seq[String], numMerges: Int): Seq[(Int, String, String)] = {
+    val wf = texts.flatMap(t => refNormalize(t).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var vocab: Map[String, (Long, Vector[String])] =
+      wf.map { case (w, f) => w -> ((f, refByteSyms(w))) }
+    val merges = Seq.newBuilder[(Int, String, String)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (f, ss) =>
+        ss.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), _) = counts.toSeq.minBy { case ((l, rt), c) => (-c, l, rt) }
+        merges += ((r, a, b))
+        vocab = vocab.map { case (w, (f, ss)) => w -> ((f, refApply(ss, a, b))) }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  test("byte level: local ≡ distributed ≡ independent reference incl. multi-byte boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // multi-byte words make byte merges CROSS codepoint boundaries:
+    // 'é' is C3 A9, 'über' starts C3 BC — the shared C3 lead byte is
+    // pair-mergeable across DIFFERENT characters, a byte-level-only
+    // structure; plus an astral-plane word (4-byte F0 9D 95 92)
+    val words = Vector("éclair", "über", "naïve", "abcabc", "aaaa",
+      new String(Character.toChars(0x1D552)) + "b", "中文词")
+    val texts = (0 until 60).map(_ =>
+      (0 until 1 + rnd.nextInt(5)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    val dist = rows(Bpe.trainMerges(df, "text", numMerges = 16, byteLevel = true))
+    assert(dist === refTrainBytes(texts, 16))
+    assert(rows(Bpe.trainMergesLocal(df, "text", numMerges = 16, byteLevel = true)) === dist)
+    // every base symbol is a hex pair (+ optional marker): 256-symbol alphabet
+    assert(dist.forall { case (_, l, rt) =>
+      l.replace("</w>", "").matches("[0-9A-F]+") && rt.replace("</w>", "").matches("[0-9A-F]+")
+    })
+  }
+
+  test("byte level: tokenization is LOSSLESS on arbitrary Unicode — no OOV by construction") {
+    import spark.implicits._
+    val texts = Seq(
+      "naïve — café ✓", "中文 mixed ascii", new String(Character.toChars(0x1F600)),
+      "plain words here", "ü ü ü über")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(df, "text", numMerges = 24, byteLevel = true)
+    for (ranked <- Seq(false, true)) {
+      val toks = Bpe.tokenizeWith(df, "doc_id", "text", merges,
+          ranked = ranked, byteLevel = true)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val wantWords = refNormalize(t).split(" ").filter(_.nonEmpty).toSeq
+        // split the token stream at end-of-word markers and hex-decode:
+        // must reproduce every normalized word byte-for-byte
+        val gotWords = toks(i.toLong)
+          .foldLeft(Vector(Vector.empty[String])) { (acc, tok) =>
+            if (tok.endsWith("</w>")) acc.init :+ (acc.last :+ tok) :+ Vector.empty
+            else acc.init :+ (acc.last :+ tok)
+          }
+          .filter(_.nonEmpty)
+          .map(ws => Bpe.decodeByteTokens(ws, "</w>"))
+        assert(gotWords === wantWords, s"ranked=$ranked doc=$i")
+      }
+    }
+    // a word UNSEEN in training still encodes (to base bytes at worst)
+    // and decodes exactly — the no-OOV contract
+    val unseen = Seq((99L, "совершенно-unseen éࢉ")).toDF("doc_id", "text")
+    val utoks = Bpe.tokenizeWith(unseen, "doc_id", "text", merges,
+        ranked = true, byteLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val decoded = {
+      val ws = utoks(99L).foldLeft(Vector(Vector.empty[String])) { (acc, tok) =>
+        if (tok.endsWith("</w>")) acc.init :+ (acc.last :+ tok) :+ Vector.empty
+        else acc.init :+ (acc.last :+ tok)
+      }.filter(_.nonEmpty)
+      ws.map(w => Bpe.decodeByteTokens(w, "</w>")).mkString(" ")
+    }
+    assert(decoded === refNormalize("совершенно-unseen éࢉ"))
+  }
+
+  test("byte level: ranked encode equals the fold; byteSyms/decode are exact inverses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val words = Vector("éclair", "über", "abcabc", "中文", "aaaa", "✓✓")
+    val df = (0 until 80).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(5)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(df, "text", numMerges = 48, byteLevel = true)
+    def toks(ranked: Boolean) =
+      Bpe.tokenizeWith(df, "doc_id", "text", merges, ranked = ranked, byteLevel = true)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(ranked = true) === toks(ranked = false))
+    // inverse property on raw symbolization (no merges)
+    for (w <- words :+ new String(Character.toChars(0x1D552)) :+ "mixedé中") {
+      assert(Bpe.decodeByteTokens(Bpe.byteSyms(w, "</w>").toSeq, "</w>") === w)
+    }
+  }
+
   test("tokenizeWith: reconstruction, counting, and merge effect") {
     import spark.implicits._
     val corpus = Seq((1L, "low lower"), (2L, "newest low"), (3L, "  Newest   LOW "))

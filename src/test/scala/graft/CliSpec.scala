@@ -1155,6 +1155,101 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pipeline byte-level BPE: vocab + tokenize + export_tokens round-trip losslessly") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    // multi-byte text: the byte-level id space is the point — a
+    // codepoint vocab could not carry these losslessly through a
+    // GPT-2-family id layout
+    val docs = (1L to 8L).map { i =>
+      (i, s"naïve café$i — über ✓ 中文 plain$i naïve")
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$src/documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-bytetok", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: byte_token_export
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vocab
+        |    op: bpe_vocab
+        |    input: documents
+        |    params: { merges: "24", level: bytes }
+        |  - name: tokenized
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: vocab, keepTokens: "true", level: bytes }
+        |  - name: spread
+        |    op: shuffle_shards
+        |    params: { shards: "2", salt: btok }
+        |  - name: packed
+        |    op: export_tokens
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    // independent expectation: byte-level train + tokenize directly
+    val docsDf = docs.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.trainMergesLocal(
+      docsDf, "text", numMerges = 24, byteLevel = true)
+    val want = graft.operators.Bpe.tokenizeWith(
+        docsDf, "doc_id", "text", merges, byteLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val vocabLines = Files.list(Paths.get(out, "exports", "packed", "vocab"))
+      .toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith("part-") &&
+        !p.endsWith(".crc")).sorted
+      .flatMap(p => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(Paths.get(p))).asScala)
+    val tokenById = vocabLines.map { l =>
+      val m = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](l)
+      m.get("token_id").toString.toLong -> m.get("token").toString
+    }.toMap
+    val manifest = spark.read.parquet(s"$out/packed")
+      .select("doc_id", "shard", "pos", "token_offset", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+    assert(manifest.length === 8)
+    val shardTokens = manifest.map(_._2).distinct.map { sh =>
+      sh -> graft.sources.TokenBinary.readShard(
+        s"$out/exports/packed/shard=$sh/tokens.bin")
+    }.toMap
+    manifest.foreach { case (id, sh, off, n) =>
+      val toks = shardTokens(sh).slice(off.toInt, (off + n).toInt).map(tokenById(_)).toSeq
+      assert(toks === want(id), s"doc $id token stream")
+      // LOSSLESS: hex-decoding the exported id stream reproduces the
+      // normalized multi-byte text exactly — end-to-end tokenizer parity
+      val wordsBack = toks.foldLeft(Vector(Vector.empty[String])) { (acc, t) =>
+        if (t.endsWith("</w>")) acc.init :+ (acc.last :+ t) :+ Vector.empty
+        else acc.init :+ (acc.last :+ t)
+      }.filter(_.nonEmpty).map(ws => graft.operators.Bpe.decodeByteTokens(ws, "</w>"))
+      val orig = docs.find(_._1 == id).get._2
+        .trim.replaceAll("\\s+", " ").toLowerCase
+      assert(wordsBack.mkString(" ") === orig, s"doc $id lossless decode")
+    }
+    // level mismatch fail-loud: tokenize level: bytes over a CODEPOINT vocab
+    val badYaml = Files.createTempFile("graft-pipe-bytetok-bad", ".yaml")
+    Files.writeString(badYaml,
+      """pipeline: byte_mismatch
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vocab
+        |    op: bpe_vocab
+        |    input: documents
+        |    params: { merges: "8" }
+        |  - name: tokenized
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: vocab, level: bytes }
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      Cli.run(Seq("pipeline", badYaml.toString, src, tempDir()), spark)
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain(e).contains("level: bytes"), chain(e))
+  }
+
   test("pipeline pack_sequences + export_tokens: fixed-length binary training sequences") {
     val s = spark
     import s.implicits._
