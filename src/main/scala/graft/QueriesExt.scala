@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Classify, Dedup, Multimodal, Robots, Sampling, Similarity, TextAnalysis, Warc}
+import graft.operators.{Bpe, Classify, Dedup, Multimodal, Recrawl, Robots, Sampling, Similarity, TextAnalysis, Warc}
 
 /** Training-data pipeline queries (SURVEY §7.1 step 7): dedup,
   * similarity search, text analysis, multimodal plumbing — with DuckDB
@@ -3166,6 +3166,67 @@ object QueriesExt {
       |SELECT doc_id, url, host, delay AS crawl_delay_s, fetch_seq,
       |       CAST(fetch_seq * delay AS BIGINT) AS fetch_offset_s
       |FROM r
+      |""".stripMargin
+
+  /** Recrawl/freshness verdicts over six constructed (discovery,
+    * fetch-log) shapes per document — one per rule branch: never
+    * fetched (`new`), freshly fetched under its `daily` interval (not
+    * due), fetched past the interval (`aged`), publisher `lastmod`
+    * newer than the fetch (`modified`, shadowing a not-yet-aged
+    * `weekly`), `changefreq: never` a year stale (not due — age alone
+    * must not re-crawl it), and an unknown `changefreq` with junk
+    * `lastmod` past the default age (`aged` — junk dates are no-ops,
+    * not stalls). Fixed epoch instants; the oracle states every
+    * verdict directly (hand-computed truth table). */
+  def crawlRecrawlDue(s: SparkSession, dir: String): DataFrame = {
+    val now = 1700000000L // 2023-11-14 22:13:20 UTC
+    val d = docs(s, dir)
+    val hid = col("doc_id").cast("string")
+    def u(suffix: String) =
+      concat(lit("http://h"), hid, lit(s".example.com/$suffix"))
+    val disc = d.select(col("doc_id"), explode(array(
+      struct(lit(1).as("kind"), u("new").as("url"),
+        lit("").as("lastmod"), lit("daily").as("changefreq")),
+      struct(lit(2).as("kind"), u("fresh").as("url"),
+        lit("2023-11-01 00:00:00").as("lastmod"), lit("daily").as("changefreq")),
+      struct(lit(3).as("kind"), u("aged").as("url"),
+        lit("").as("lastmod"), lit("daily").as("changefreq")),
+      struct(lit(4).as("kind"), u("modified").as("url"),
+        lit("2023-11-14 00:00:00").as("lastmod"), lit("weekly").as("changefreq")),
+      struct(lit(5).as("kind"), u("never").as("url"),
+        lit("").as("lastmod"), lit("never").as("changefreq")),
+      struct(lit(6).as("kind"), u("default").as("url"),
+        lit("not-a-date").as("lastmod"), lit("quarterly").as("changefreq"))))
+      .as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"), col("e.url").as("url"),
+        col("e.lastmod").as("lastmod"), col("e.changefreq").as("changefreq"))
+    val lastFetch = d.select(explode(array(
+      struct(u("fresh").as("url"), lit(now - 3600L).as("last_fetch_ts")),
+      struct(u("aged").as("url"), lit(now - 90000L).as("last_fetch_ts")),
+      struct(u("modified").as("url"), lit(now - 90000L).as("last_fetch_ts")),
+      struct(u("never").as("url"), lit(now - 31536000L).as("last_fetch_ts")),
+      struct(u("default").as("url"), lit(now - 700000L).as("last_fetch_ts"))))
+      .as("e"))
+      .select(col("e.url").as("url"), col("e.last_fetch_ts").as("last_fetch_ts"))
+    Recrawl.dueVerdicts(disc, "url", "lastmod", "changefreq",
+        lastFetch, nowTs = now, defaultAgeS = 604800L)
+      .select(col("doc_id"), col("kind"), col("url"),
+        col("recrawl_due"), col("recrawl_reason"))
+  }
+
+  lazy val crawlRecrawlDueSql: String =
+    """WITH k(kind, suffix, due, reason) AS (VALUES
+      |  (1, 'new', true, NULL),
+      |  (2, 'fresh', false, NULL),
+      |  (3, 'aged', true, 'aged'),
+      |  (4, 'modified', true, 'modified'),
+      |  (5, 'never', false, NULL),
+      |  (6, 'default', true, 'aged'))
+      |SELECT doc_id, kind,
+      |       'http://h' || doc_id || '.example.com/' || suffix AS url,
+      |       due AS recrawl_due,
+      |       CASE WHEN kind = 1 THEN 'new' ELSE reason END AS recrawl_reason
+      |FROM documents, k
       |""".stripMargin
 
   /** robots URL admission over the constructed per-host rule sets and

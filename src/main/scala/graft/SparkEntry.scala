@@ -59,6 +59,7 @@ object SparkEntry {
     // robots.txt (RFC 9309): record parsing + URL admission
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
+    "crawl_recrawl_due" -> (QueriesExt.crawlRecrawlDue _),
     "crawl_robots_delays" -> (QueriesExt.crawlRobotsDelays _),
     // per-host polite fetch ordinals + offsets over a frontier
     "crawl_schedule"      -> (QueriesExt.crawlSchedule _),
@@ -311,6 +312,7 @@ object SparkEntry {
     "warc_extract_binary"       -> QueriesExt.warcExtractBinarySql,
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
+    "crawl_recrawl_due"         -> QueriesExt.crawlRecrawlDueSql,
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,
     "crawl_schedule"            -> QueriesExt.crawlScheduleSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,

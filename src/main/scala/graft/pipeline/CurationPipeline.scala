@@ -9,7 +9,7 @@ import org.yaml.snakeyaml.Yaml
 
 import graft.exec.Staging
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Sessions, TextAnalysis}
-import graft.streaming.{StreamingAdmission, StreamingAudioDedup, StreamingImageDedup, StreamingLineDedup, StreamingNearDup, StreamingSemDedup, StreamingVideoDedup}
+import graft.streaming.{StreamingAdmission, StreamingAudioDedup, StreamingImageDedup, StreamingLineDedup, StreamingNearDup, StreamingRecrawl, StreamingSemDedup, StreamingVideoDedup}
 
 /** Declarative training-data curation pipelines — the job-spec surface
   * that makes the operator library a runnable product, the way the
@@ -345,7 +345,8 @@ object CurationPipeline {
     * would mark documents admitted while silently delivering 0 rows
     * downstream — permanent data loss dressed as an empty batch. */
   private def readBatchPartition(
-      c: Ctx, path: String, batchCol: String): DataFrame = {
+      c: Ctx, path: String, batchCol: String,
+      extraCols: Seq[String] = Seq.empty): DataFrame = {
     val spark = c.input.sparkSession
     val hasData = {
       val root = java.nio.file.Paths.get(path)
@@ -355,11 +356,13 @@ object CurationPipeline {
         finally s.close()
       }
     }
-    if (!hasData) c.input.limit(0)
-    else
+    if (!hasData) {
+      extraCols.foldLeft(c.input.limit(0))((d, e) =>
+        d.withColumn(e, lit(null).cast("string")))
+    } else
       spark.read.parquet(path)
         .filter(col(batchCol) === c.batchId)
-        .select(c.input.columns.map(col): _*)
+        .select((c.input.columns.toSeq ++ extraCols).map(col): _*)
   }
 
   /** The step registry. Survivor-style steps (dedup/decontaminate/
@@ -893,6 +896,66 @@ object CurationPipeline {
         graft.operators.Robots.filterAllowed(c.input, urlCol, rules, agent,
           broadcastRules = c.params.str("broadcast", "true").toBoolean)
       }, tableParams = Set("table")),
+    // recrawl / freshness scheduling: keep only the rows whose URL is
+    // DUE for (re)fetching — never fetched, publisher-modified
+    // (lastmod newer than the last fetch), or aged past its
+    // changefreq/default revisit interval — annotated with
+    // `recrawl_reason` (new | modified | aged).
+    // mode: full judges against a named `table` fetch log
+    // (url, last_fetch_ts). mode: admit maintains the last-fetch
+    // store under --state and stamps due URLs as fetched at `now` —
+    // the nightly loop that keeps a corpus fresh: a URL re-listed
+    // tomorrow is NOT re-fetched until it ages or changes again.
+    // `now` (epoch seconds) is explicit for replay determinism.
+    // lastmod/changefreq name discovery columns; a named column
+    // absent from the input is treated as all-empty (feeds carry
+    // `updated` but no changefreq).
+    "recrawl" -> Op(
+      Set("url", "lastmod", "changefreq", "now", "defaultAge", "buckets",
+        "mode", "table"), { c =>
+      val urlCol = c.params.str("url", c.textCol)
+      require(c.input.columns.contains(urlCol),
+        s"step ${c.stepName}: input has no url column '$urlCol'")
+      val lastmodCol = c.params.str("lastmod", "lastmod")
+      val changefreqCol = c.params.str("changefreq", "changefreq")
+      val nowTs = c.params.reqLong("now")
+      val defaultAgeS = c.params.long("defaultAge", 604800L)
+      val padded = Seq(lastmodCol, changefreqCol)
+        .foldLeft(c.input)((d, cc) =>
+          if (d.columns.contains(cc)) d else d.withColumn(cc, lit("")))
+      c.params.str("mode", "full") match {
+        case "full" =>
+          val logName = c.params.reqStr("table")
+          val log = c.resolve(logName)
+          Seq(urlCol, "last_fetch_ts").foreach(needed =>
+            require(log.columns.contains(needed),
+              s"step ${c.stepName}: table '$logName' has no column '$needed'"))
+          graft.operators.Recrawl.dueVerdicts(padded, urlCol, lastmodCol,
+              changefreqCol, log, nowTs, defaultAgeS)
+            .filter(col("recrawl_due")).drop("recrawl_due")
+        case "admit" =>
+          require(!c.params.has("table"),
+            s"step ${c.stepName}: table applies to mode: full only")
+          val root = c.requireState("recrawl mode: admit")
+          val (store, sink) = (s"$root/lastfetch", s"$root/frontier")
+          val buckets = c.params.int("buckets", 64)
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(store, "_graft_buckets")))
+            StreamingRecrawl.initialize(
+              c.input.limit(0).select(col(urlCol),
+                lit(0L).as("last_fetch_ts")),
+              urlCol, store, buckets)
+          StreamingRecrawl.applyBatch(padded, c.idCol, urlCol, lastmodCol,
+            changefreqCol, store, sink, buckets, c.batchId, nowTs, defaultAgeS)
+          val out = readBatchPartition(
+            c.copy(input = padded), sink, StreamingRecrawl.BatchCol,
+            extraCols = Seq("recrawl_reason"))
+          // project back to the INPUT's columns (+ the reason): the
+          // padding columns were plumbing unless the input had them
+          out.select((c.input.columns.toSeq :+ "recrawl_reason").map(col): _*)
+      }
+    }, modes = Set("full", "admit"), tableParams = Set("table"),
+      fullOnlyParams = Set("table")),
     "redact" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.redact(col(c.textCol)))
     }),

@@ -1,0 +1,189 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Recrawl
+
+/** Maintained last-fetch store + recrawl admission — the stateful
+  * twin of [[Recrawl.dueVerdicts]] and the 13th maintenance store:
+  * each batch of discovered URLs (sitemap/feed listings with their
+  * `lastmod`/`changefreq` hints) is judged against the persistent
+  * last-fetch table, the DUE subset becomes the batch's frontier
+  * (written to the sink's batch partition), and the store records the
+  * due URLs as fetched at the batch's scheduling instant — the loop
+  * that keeps a 100 TB corpus fresh instead of merely built.
+  *
+  * Store layout is the [[StreamingUpsert]] bucket discipline: rows
+  * `(url_fp, url, last_fetch_ts, prev_fetch_ts, last_batch_id)`
+  * partitioned by a url-fingerprint-hash bucket, so a batch READS
+  * only the buckets its own URLs land in and REWRITES only those via
+  * dynamic partition overwrite. `numBuckets` is a table property in
+  * the shared `_graft_buckets` sidecar, re-checked fail-loud.
+  *
+  * Replay idempotency needs more than latest-wins here, because the
+  * batch's own write CHANGES the verdict input (a URL marked fetched
+  * "now" is no longer aged): store rows carry the PREVIOUS fetch
+  * instant and the id of the batch that last touched them, and a row
+  * whose `last_batch_id` equals the CURRENT batch id is evaluated at
+  * its `prev_fetch_ts` — the value it had before this batch's first
+  * (partial) run. foreachBatch replays only the most recent batch, so
+  * one step of history is exactly enough: a replayed batch computes
+  * identical verdicts, rewrites an identical sink partition, and
+  * rebuilds byte-identical store buckets. Spec-pinned.
+  *
+  * In-batch duplicate URLs collapse to ONE frontier row (min lastmod
+  * ordering is irrelevant — hints merge by max lastmod-parse, the
+  * conservative "some channel says it changed" rule) so two sitemaps
+  * listing the same resource schedule one fetch.
+  */
+object StreamingRecrawl {
+
+  val BucketCol = "__kb"
+  val BatchCol  = "__batch_id"
+
+  private def bucketOf(numBuckets: Int) =
+    pmod(hash(col("__url_fp")), lit(numBuckets))
+
+  private val StoreSchema =
+    s"__url_fp STRING, url STRING, last_fetch_ts LONG, prev_fetch_ts LONG, " +
+      s"last_batch_id LONG, $BucketCol INT"
+
+  private def readStore(spark: org.apache.spark.sql.SparkSession, path: String) =
+    spark.read.schema(StoreSchema).parquet(path)
+
+  private def checkMarker(path: String, numBuckets: Int): Unit = {
+    val stored = StoreFiles.readMarker(path, "_graft_buckets",
+      "initialize() the store first").trim.toInt
+    require(stored == numBuckets,
+      s"bucket-count mismatch for $path: store laid out with $stored buckets, " +
+        s"caller passed $numBuckets — pruning with the wrong modulus would " +
+        "miss fetch records and re-crawl the whole frontier")
+  }
+
+  /** Bootstrap an EMPTY last-fetch store (or from an existing fetch
+    * log carrying `(urlCol, last_fetch_ts)`). */
+  def initialize(
+      fetchLog: DataFrame, urlCol: String, storePath: String, numBuckets: Int
+  ): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    fetchLog
+      .select(md5(col(urlCol).cast("string")).as("__url_fp"),
+        col(urlCol).cast("string").as("url"),
+        col("last_fetch_ts").cast("long").as("last_fetch_ts"),
+        lit(null).cast("long").as("prev_fetch_ts"),
+        lit(-1L).as("last_batch_id"))
+      .withColumn(BucketCol, bucketOf(numBuckets))
+      .write.mode("overwrite")
+      .partitionBy(BucketCol).parquet(storePath)
+    StoreFiles.writeMarker(storePath, "_graft_buckets", numBuckets.toString)
+  }
+
+  /** Judge one discovery batch and advance the store. Due rows land in
+    * `sinkPath/<BatchCol>=<batchId>` with `recrawl_reason` attached
+    * (input columns preserved — survivor-step composability); the
+    * touched store buckets are rewritten with the due URLs stamped
+    * `last_fetch_ts = nowTs`. `nowTs` is the batch's scheduling
+    * instant (epoch seconds) — explicit, because a replayed batch must
+    * re-evaluate at the ORIGINAL instant to rebuild identical state. */
+  def applyBatch(
+      batch: DataFrame, idCol: String, urlCol: String,
+      lastmodCol: String, changefreqCol: String,
+      storePath: String, sinkPath: String, numBuckets: Int, batchId: Long,
+      nowTs: Long, defaultAgeS: Long
+  ): Unit = {
+    if (batch.isEmpty) return
+    checkMarker(storePath, numBuckets)
+    Seq("__url_fp", BucketCol, BatchCol, "recrawl_due", "recrawl_reason").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"input already has a '$c' column — rename it first"))
+    val spark = batch.sparkSession
+
+    // in-batch collapse: one row per URL — keep the min-id
+    // representative's row, but merge the change hints conservatively
+    // (max parseable lastmod across the duplicates; a changefreq
+    // disagreement keeps the representative's value — revisit POLICY
+    // belongs to one listing, change EVIDENCE to all of them)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__url_fp")).orderBy(col(idCol))
+    val withFp = batch
+      .withColumn("__url_fp", md5(col(urlCol).cast("string")))
+      .withColumn(lastmodCol,
+        max(try_to_timestamp(nullif(trim(col(lastmodCol)), lit(""))))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__url_fp")))
+          .cast("string"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn(BucketCol, bucketOf(numBuckets))
+    withFp.persist()
+    try {
+      // bounded driver materialization: at most numBuckets ints
+      val touched = withFp.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val stored = readStore(spark, storePath)
+        .filter(col(BucketCol).isin(touched: _*))
+      // replay self-exclusion: a row this batch already touched is
+      // evaluated at its pre-batch value
+      val evalTs = when(col("last_batch_id") === batchId, col("prev_fetch_ts"))
+        .otherwise(col("last_fetch_ts"))
+      val lastFetch = stored
+        .select(col("url").as(urlCol), evalTs.as("last_fetch_ts"))
+        .filter(col("last_fetch_ts").isNotNull)
+      val verdicts = Recrawl.dueVerdicts(
+        withFp, urlCol, lastmodCol, changefreqCol, lastFetch, nowTs, defaultAgeS)
+      verdicts.persist()
+      try {
+        // the batch's frontier: due rows, plumbing dropped
+        verdicts.filter(col("recrawl_due"))
+          .drop("recrawl_due", "__url_fp", BucketCol)
+          .withColumn(BatchCol, lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BatchCol).parquet(sinkPath)
+        // store advance: due URLs get last_fetch_ts = nowTs with one
+        // step of history; everything else in the touched buckets
+        // rewrites as-was (evaluated base, so a replay is a no-op)
+        val dueFps = verdicts.filter(col("recrawl_due"))
+          .select(col("__url_fp"),
+            col(urlCol).cast("string").as("__due_url"))
+        val kept = stored
+          .select(col("__url_fp"), col("url"), evalTs.as("last_fetch_ts"))
+          .join(dueFps.select(col("__url_fp")), Seq("__url_fp"), "left_anti")
+          .select(col("__url_fp"), col("url"), col("last_fetch_ts"),
+            lit(null).cast("long").as("prev_fetch_ts"),
+            lit(-1L).as("last_batch_id"))
+        val advanced = dueFps
+          .join(stored.select(col("__url_fp"),
+            evalTs.as("__prev_ts")), Seq("__url_fp"), "left")
+          .select(col("__url_fp"), col("__due_url").as("url"),
+            lit(nowTs).as("last_fetch_ts"),
+            col("__prev_ts").as("prev_fetch_ts"),
+            lit(batchId).as("last_batch_id"))
+        kept.unionByName(advanced)
+          .withColumn(BucketCol, bucketOf(numBuckets))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BucketCol).parquet(storePath)
+      } finally verdicts.unpersist()
+    } finally withFp.unpersist()
+  }
+
+  /** Wire a discovery stream to recrawl scheduling. `nowTsOf` maps the
+    * batch id to its scheduling instant (explicit — replay
+    * determinism; wall-clock reads would break it). */
+  def maintain(
+      stream: DataFrame, idCol: String, urlCol: String,
+      lastmodCol: String, changefreqCol: String,
+      storePath: String, sinkPath: String, numBuckets: Int,
+      checkpointDir: String, nowTsOf: Long => Long, defaultAgeS: Long,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, idCol, urlCol, lastmodCol, changefreqCol,
+          storePath, sinkPath, numBuckets, batchId, nowTsOf(batchId), defaultAgeS)
+      }
+      .start()
+}

@@ -1044,6 +1044,61 @@ class CliSpec extends SparkSpec {
     assert(urls(out2) === Set("http://a.example.com/page3"))
   }
 
+  test("pipeline subcommand: examples/nightly_recrawl.yaml keeps the frontier fresh across nights") {
+    val s = spark
+    import s.implicits._
+    val (src, out1, out2, state) = (tempDir(), tempDir(), tempDir(), tempDir())
+    val t0 = 1700000000L
+    // the committed example pins now for the doc header; a real
+    // scheduler templates it per night — do the same here
+    def nightSpec(now: Long): String = {
+      val y = Files.createTempFile("graft-nightly-recrawl", ".yaml")
+      Files.writeString(y, Files.readString(
+        java.nio.file.Paths.get("examples/nightly_recrawl.yaml"))
+        .replace("now: \"1700000000\"", s"now: \"$now\""))
+      y.toString
+    }
+    def sm(entries: Seq[(String, String, String)]): String =
+      "<urlset>\n" + entries.map { case (u, lm, cf) =>
+        s"<url><loc>$u</loc>" +
+          (if (lm.nonEmpty) s"<lastmod>$lm</lastmod>" else "") +
+          (if (cf.nonEmpty) s"<changefreq>$cf</changefreq>" else "") +
+          "</url>"
+      }.mkString("\n") + "\n</urlset>"
+    Seq(("a.example.com", "User-agent: graftbot\nDisallow: /blocked/"))
+      .toDF("host", "robots_txt").write.parquet(s"$src/robots.parquet")
+    def frontier(out: String) = spark.read.parquet(s"$out/due")
+      .select("text", "recrawl_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // night 1: three listings (one robots-blocked drops pre-store)
+    Seq((1L, sm(Seq(
+      ("http://a.example.com/daily", "", "daily"),
+      ("http://a.example.com/article", "2023-11-01", "monthly"),
+      ("http://a.example.com/blocked/x", "", "daily")))))
+      .toDF("doc_id", "text").write.parquet(s"$src/sitemaps.parquet")
+    Cli.run(Seq("pipeline", nightSpec(t0), src, out1, "--state", state), spark)
+    assert(frontier(out1) === Map(
+      "http://a.example.com/daily" -> "new",
+      "http://a.example.com/article" -> "new"))
+    // night 2, one day later: same listings re-discovered, /article's
+    // lastmod bumped past night 1's fetch, plus a genuinely new URL —
+    // /daily re-enters by AGE, /article by MODIFICATION, and nothing
+    // is re-fetched merely for being re-listed
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/sitemaps.parquet"))
+    Seq((5L, sm(Seq(
+      ("http://a.example.com/daily", "", "daily"),
+      ("http://a.example.com/article", "2023-11-16", "monthly"),
+      ("http://a.example.com/fresh", "", "")))))
+      .toDF("doc_id", "text").write.parquet(s"$src/sitemaps.parquet")
+    Cli.run(Seq("pipeline", nightSpec(t0 + 86400L), src, out2, "--state", state), spark)
+    assert(frontier(out2) === Map(
+      "http://a.example.com/daily" -> "aged",
+      "http://a.example.com/article" -> "modified",
+      "http://a.example.com/fresh" -> "new"))
+    // the export artifact exists (the fetch fleet's input)
+    assert(Files.isDirectory(java.nio.file.Paths.get(out2, "exports", "dump")))
+  }
+
   test("pipeline subcommand: examples/crawl_loop.yaml turns fetched pages into the next frontier") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingRecrawl
+
+/** Last-fetch store + recrawl admission: due rules against maintained
+  * state, store advance, one-step replay idempotency (byte-identical
+  * sink partition AND store buckets), in-batch duplicate collapse
+  * with conservative lastmod merge, cold start, bucket mismatch. */
+class StreamingRecrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Day = 86400L
+  private val T0  = 1700000000L
+
+  private def tmp() = Files.createTempDirectory("graft-recrawl").toString
+
+  private def batchDf(rows: Seq[(Long, String, String, String)]) =
+    rows.toDF("doc_id", "url", "lastmod", "changefreq")
+
+  private def apply1(
+      batch: Seq[(Long, String, String, String)], store: String, sink: String,
+      batchId: Long, now: Long): Unit =
+    StreamingRecrawl.applyBatch(batchDf(batch), "doc_id", "url",
+      "lastmod", "changefreq", store, sink, numBuckets = 8,
+      batchId = batchId, nowTs = now, defaultAgeS = 7 * Day)
+
+  private def sinkRows(sink: String): Map[String, String] =
+    spark.read.parquet(sink)
+      .select("url", "recrawl_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("night 1 admits everything as new; night 2 re-admits only changed or aged") {
+    val (store, sink) = (tmp(), tmp())
+    StreamingRecrawl.initialize(
+      Seq.empty[(String, Long)].toDF("url", "last_fetch_ts"), "url", store, 8)
+    val n1 = Seq(
+      (1L, "http://h/a", "", "daily"),
+      (2L, "http://h/b", "", "weekly"),
+      (3L, "http://h/c", "", "never"),
+      (4L, "http://h/d", "", ""))
+    apply1(n1, store, sink, batchId = 0L, now = T0)
+    val f1 = spark.read.parquet(sink).filter(col(StreamingRecrawl.BatchCol) === 0)
+    assert(f1.count() === 4)
+    assert(f1.select("recrawl_reason").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("new"))
+
+    // night 2, 2 days later: same listings plus a lastmod bump on /b
+    val n2 = Seq(
+      (1L, "http://h/a", "", "daily"),                      // daily, 2d old -> aged
+      (2L, "http://h/b", "2023-11-16 00:00:00", "weekly"),  // lastmod after T0 -> modified
+      (3L, "http://h/c", "", "never"),                      // never -> not due
+      (4L, "http://h/d", "", ""),                           // default 7d, 2d old -> not due
+      (5L, "http://h/e", "", "daily"))                      // unseen -> new
+    apply1(n2, store, sink, batchId = 1L, now = T0 + 2 * Day)
+    val f2 = spark.read.parquet(sink).filter(col(StreamingRecrawl.BatchCol) === 1)
+    val got = f2.select("url", "recrawl_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "http://h/a" -> "aged",
+      "http://h/b" -> "modified",
+      "http://h/e" -> "new"))
+  }
+
+  test("replay of the last batch is byte-identical: sink partition and store buckets") {
+    val (store, sink) = (tmp(), tmp())
+    StreamingRecrawl.initialize(
+      Seq.empty[(String, Long)].toDF("url", "last_fetch_ts"), "url", store, 8)
+    apply1(Seq((1L, "http://h/a", "", "daily"), (2L, "http://h/b", "", "weekly")),
+      store, sink, batchId = 0L, now = T0)
+    val n2 = Seq(
+      (1L, "http://h/a", "", "daily"),
+      (2L, "http://h/b", "2023-11-20 00:00:00", "weekly"),
+      (3L, "http://h/z", "", "daily"))
+    apply1(n2, store, sink, batchId = 1L, now = T0 + 3 * Day)
+    def snapshot(): (Map[String, String], Seq[(String, Long, Option[Long], Long)]) = (
+      sinkRows(sink),
+      spark.read.parquet(store)
+        .select("url", "last_fetch_ts", "prev_fetch_ts", "last_batch_id")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+        .toSeq.sortBy(_._1))
+    val before = snapshot()
+    // the foreachBatch failure mode: the SAME batch re-applies after a
+    // partial run — verdicts must re-evaluate at the PRE-batch state
+    // (self-exclusion via prev_fetch_ts), not at the already-advanced
+    // one, or /h/a ages 0 seconds and vanishes from its own frontier
+    apply1(n2, store, sink, batchId = 1L, now = T0 + 3 * Day)
+    assert(snapshot() === before)
+    // and the due set was the right one
+    assert(before._1.view.filterKeys(_ != "http://h/b").toMap
+      .forall { case (u, r) => r == "new" || (u == "http://h/a" && r == "aged") })
+  }
+
+  test("in-batch duplicate URLs collapse to one frontier row; lastmod hints merge by max") {
+    val (store, sink) = (tmp(), tmp())
+    StreamingRecrawl.initialize(
+      Seq(("http://h/x", T0 - Day)).toDF("url", "last_fetch_ts"), "url", store, 8)
+    // two listings of the same URL: one stale lastmod, one NEWER than
+    // the fetch — the merged hint must say modified
+    val b = Seq(
+      (10L, "http://h/x", "2023-11-01 00:00:00", "yearly"),
+      (11L, "http://h/x", "2023-11-14 10:00:00", "yearly"))
+    apply1(b, store, sink, batchId = 0L, now = T0)
+    val rows = spark.read.parquet(sink).select("doc_id", "url", "recrawl_reason")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq((10L, "http://h/x", "modified"))) // min-id representative
+    // store advanced once, with history
+    val st = spark.read.parquet(store)
+      .select("url", "last_fetch_ts", "prev_fetch_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(st.toSeq === Seq(("http://h/x", T0, T0 - Day)))
+  }
+
+  test("initialize from an existing fetch log; bucket mismatch fails loud") {
+    val (store, sink) = (tmp(), tmp())
+    StreamingRecrawl.initialize(
+      Seq(("http://h/old", T0 - 10 * Day)).toDF("url", "last_fetch_ts"),
+      "url", store, 8)
+    // known url, daily, 10 days stale -> aged (the log seeded it)
+    apply1(Seq((1L, "http://h/old", "", "daily")), store, sink, 0L, T0)
+    assert(sinkRows(sink) === Map("http://h/old" -> "aged"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingRecrawl.applyBatch(
+        batchDf(Seq((1L, "http://h/old", "", "daily"))), "doc_id", "url",
+        "lastmod", "changefreq", store, sink, numBuckets = 16,
+        batchId = 1L, nowTs = T0, defaultAgeS = Day)
+    }
+    assert(e.getMessage.contains("bucket-count mismatch"))
+  }
+
+  test("pipeline recrawl step: two nights under --state — re-listed URLs re-enter only when due") {
+    val s = spark
+    val (src1, src2, out1, out2, state) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    // night 1 discovery: three urls
+    Seq(
+      (1L, "http://h/a", "", "daily"),
+      (2L, "http://h/b", "", "monthly"),
+      (3L, "http://h/c", "", ""))
+      .toDF("doc_id", "text", "lastmod", "changefreq")
+      .write.parquet(s"$src1/listed.parquet")
+    def yaml(now: Long) = {
+      val y = Files.createTempFile("graft-pipe-recrawl", ".yaml")
+      Files.writeString(y,
+        s"""pipeline: nightly_recrawl
+           |id: doc_id
+           |text: text
+           |steps:
+           |  - name: due
+           |    op: recrawl
+           |    input: listed
+           |    params: { mode: admit, now: "$now", defaultAge: "604800" }
+           |""".stripMargin)
+      y
+    }
+    Cli.run(Seq("pipeline", yaml(T0).toString, src1, out1, "--state", state), spark)
+    val night1 = s.read.parquet(s"$out1/due")
+    assert(night1.count() === 3) // all new
+    assert(night1.columns.contains("recrawl_reason"))
+    // night 2, one day later: same listings re-discovered + one lastmod bump
+    Seq(
+      (1L, "http://h/a", "", "daily"),                     // daily, 1d -> aged
+      (2L, "http://h/b", "2023-11-15 00:00:00", "monthly"), // modified
+      (3L, "http://h/c", "", ""))                          // default 7d -> NOT due
+      .toDF("doc_id", "text", "lastmod", "changefreq")
+      .write.parquet(s"$src2/listed.parquet")
+    Cli.run(Seq("pipeline", yaml(T0 + Day).toString, src2, out2, "--state", state), spark)
+    val night2 = s.read.parquet(s"$out2/due")
+      .select("text", "recrawl_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(night2 === Map("http://h/a" -> "aged", "http://h/b" -> "modified"))
+  }
+}

@@ -317,4 +317,50 @@ class StreamingReplayPropertySpec extends SparkSpec {
         () => rowsOf(store).map("p:" + _) ++ rowsOf(out).map("c:" + _))
     }
   }
+
+  test("property: recrawl store converges under repeated LAST-batch replays") {
+    // The recrawl store is a TIME-ORDERED upsert (last_fetch_ts
+    // advances to each batch's `now`), so its replay contract is
+    // exactly Structured Streaming's actual guarantee — only the most
+    // recent uncommitted batch re-delivers — honored via one step of
+    // per-row history (prev_fetch_ts + last_batch_id self-exclusion).
+    // A DELAYED replay of a superseded batch is out of contract for
+    // any store whose merge is ordered by external time (the same
+    // reason SCD2 compresses rather than re-times); schedules here
+    // replay batch i 0–2 extra times BEFORE i+1 first applies.
+    val genLastOnly: Gen[List[Int]] =
+      (0 until NBatches).toList.foldLeft(Gen.const(List.empty[Int])) { (acc, i) =>
+        for { sofar <- acc; nrep <- Gen.choose(0, 2) }
+          yield sofar ++ List.fill(1 + nrep)(i)
+      }
+    val T0 = 1700000000L
+    def disc(b: Int) = Seq(
+      (b * 10L + 1, "http://h/a", "", "daily"),            // ages every night
+      (b * 10L + 2, "http://h/b", s"2023-11-1$b 00:00:00", "yearly"), // lastmod bumps
+      (b * 10L + 3, s"http://h/new$b", "", ""))            // novel each night
+      .toDF("doc_id", "url", "lastmod", "changefreq")
+    def build(dir: String): (Int => Unit, () => Set[String]) = {
+      val (store, sink) = (s"$dir/lastfetch", s"$dir/frontier")
+      StreamingRecrawl.initialize(
+        Seq.empty[(String, Long)].toDF("url", "last_fetch_ts"), "url", store, 8)
+      (b => StreamingRecrawl.applyBatch(disc(b), "doc_id", "url",
+        "lastmod", "changefreq", store, sink, 8, b.toLong,
+        nowTs = T0 + b * 86400L, defaultAgeS = 86400L),
+        () => rowsOf(store).map("s:" + _) ++ rowsOf(sink).map("f:" + _))
+    }
+    val refDir = Files.createTempDirectory("graft-rp-recrawl-ref").toString
+    val (applyRef, contentRef) = build(refDir)
+    (0 until NBatches).foreach(applyRef)
+    val want = contentRef()
+    assert(want.nonEmpty)
+    val prop = Prop.forAll(genLastOnly) { sched =>
+      val dir = Files.createTempDirectory("graft-rp-recrawl").toString
+      val (apply, content) = build(dir)
+      sched.foreach(apply)
+      content() == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3), prop)
+    assert(res.passed, s"recrawl: $res")
+  }
 }
