@@ -896,6 +896,40 @@ object CurationPipeline {
         graft.operators.Robots.filterAllowed(c.input, urlCol, rules, agent,
           broadcastRules = c.params.str("broadcast", "true").toBoolean)
       }, tableParams = Set("table")),
+    // redirect-chain collapse BEFORE admission: rewrite the url column
+    // through Redirects.resolve over a named (src, dst) edge table, so
+    // a moved URL and its terminal target carry ONE admission key — a
+    // frontier that admits both fetches the move twice, and an
+    // admitted-store that remembers the stale spelling re-fetches it
+    // forever. Unresolved chains (cycles, over-deep) keep their
+    // original URL — conservative: a cycle is a fetch-layer problem,
+    // not a reason to drop the row silently. Runs after url_normalize
+    // (edge srcs must be in canonical form) and before
+    // robots_filter/dedup (the TARGET's rules and key are what
+    // matter). The join is sized by the EDGE table and equi-keyed;
+    // Catalyst broadcasts it when small.
+    "redirects" -> Op(Set("table", "column", "src", "dst", "maxDepth"), { c =>
+      val colName = c.params.str("column", c.textCol)
+      require(c.input.columns.contains(colName),
+        s"step ${c.stepName}: input has no url column '$colName'")
+      val tblName = c.params.reqStr("table")
+      val edges = c.resolve(tblName)
+      val (srcCol, dstCol) = (c.params.str("src", "src"), c.params.str("dst", "dst"))
+      for (needed <- Seq(srcCol, dstCol))
+        require(edges.columns.contains(needed),
+          s"step ${c.stepName}: table '$tblName' has no column '$needed'")
+      Seq("__rd_src", "__rd_final").foreach(t =>
+        require(!c.input.columns.contains(t),
+          s"step ${c.stepName}: input already has internal column '$t'"))
+      val resolved = graft.operators.Redirects
+        .resolve(edges, srcCol, dstCol, c.params.int("maxDepth", 32))
+        .filter(col("resolved"))
+        .select(col("src").as("__rd_src"), col("final_url").as("__rd_final"))
+      c.input
+        .join(resolved, c.input(colName) === col("__rd_src"), "left")
+        .withColumn(colName, coalesce(col("__rd_final"), col(colName)))
+        .drop("__rd_src", "__rd_final")
+    }, tableParams = Set("table")),
     // recrawl / freshness scheduling: keep only the rows whose URL is
     // DUE for (re)fetching — never fetched, publisher-modified
     // (lastmod newer than the last fetch), or aged past its

@@ -999,11 +999,15 @@ class CliSpec extends SparkSpec {
       .toDF("doc_id", "text").write.parquet(s"$src/sitemaps.parquet")
     Seq(("a.example.com", "User-agent: graftbot\nDisallow: /blocked/"))
       .toDF("host", "robots_txt").write.parquet(s"$src/robots.parquet")
+    // page3 has MOVED: the redirects step must collapse its listing to
+    // the terminal target before dedup keys it
+    Seq(("http://a.example.com/page3", "http://a.example.com/page3-v2"))
+      .toDF("src", "dst").write.parquet(s"$src/redirects.parquet")
     Cli.run(Seq("pipeline", "examples/frontier_pipeline.yaml", src, out), spark)
     val unique = spark.read.parquet(s"$out/unique")
     val urls = unique.select("text").collect().map(_.getString(0)).toSet
     assert(urls === Set("http://a.example.com/page1", "http://a.example.com/page2",
-      "http://a.example.com/page3"))
+      "http://a.example.com/page3-v2"))
     // the duplicate canonical URL kept its FIRST lister (min rekeyed id
     // = sitemap 1's entry), and entry provenance survived the chain
     val page1 = unique.filter(org.apache.spark.sql.functions.col("text") ===
@@ -1021,6 +1025,9 @@ class CliSpec extends SparkSpec {
       "<urlset>\n" + urls.map(u => s"<url><loc>$u</loc></url>").mkString("\n") + "\n</urlset>"
     Seq(("a.example.com", "User-agent: graftbot\nDisallow: /blocked/"))
       .toDF("host", "robots_txt").write.parquet(s"$src/robots.parquet")
+    // night 1: nothing has moved yet — empty edge table
+    Seq.empty[(String, String)]
+      .toDF("src", "dst").write.parquet(s"$src/redirects.parquet")
     def urls(out: String) = spark.read.parquet(s"$out/fresh")
       .select("text").collect().map(_.getString(0)).toSet
     // night 1: two pages (one robots-blocked listing drops pre-store)
@@ -1033,15 +1040,27 @@ class CliSpec extends SparkSpec {
     assert(urls(out1) === Set("http://a.example.com/page1", "http://a.example.com/page2"))
     // night 2: page2 re-listed verbatim, page1 re-listed under a
     // tracking-param respelling (normalizes to the admitted key),
-    // page3 genuinely new — only page3 survives the store
+    // page3 genuinely new. page2 has also MOVED to page2-v2, and the
+    // sitemap lists BOTH the stale spelling and the target — the
+    // redirects step collapses them to ONE admission key, so the
+    // frontier carries exactly one page2-v2 row and the stale
+    // spelling is never fetched again
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/sitemaps.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/redirects.parquet"))
     Seq((5L, sm(Seq("http://a.example.com/page2",
       "http://A.example.com/page1?utm_source=night2",
+      "http://a.example.com/page2-v2",
       "http://a.example.com/page3"))))
       .toDF("doc_id", "text").write.parquet(s"$src/sitemaps.parquet")
+    Seq(("http://a.example.com/page2", "http://a.example.com/page2-v2"))
+      .toDF("src", "dst").write.parquet(s"$src/redirects.parquet")
     Cli.run(Seq("pipeline", "examples/nightly_frontier.yaml", src, out2,
       "--state", state), spark)
-    assert(urls(out2) === Set("http://a.example.com/page3"))
+    val night2 = spark.read.parquet(s"$out2/fresh").select("text").collect()
+      .map(_.getString(0)).toSeq
+    // moved URL + its target admitted as ONE key; exactly one row
+    assert(night2.sorted === Seq("http://a.example.com/page2-v2",
+      "http://a.example.com/page3"))
   }
 
   test("pipeline subcommand: examples/nightly_recrawl.yaml keeps the frontier fresh across nights") {
