@@ -90,10 +90,14 @@ object Bench {
     "warc_extract"              -> (QueriesExt.warcExtract _),
     // byte-exact .warc.gz path: per-record gzip members + binary slices
     "warc_extract_binary"       -> (QueriesExt.warcExtractBinary _),
+    // charset-honoring byte decode (latin-1, chunked-UTF8 reassembly)
+    "warc_charset_body"         -> (QueriesExt.warcCharsetBody _),
     // RFC 9309 robots URL admission (broadcast rules, scan-local match)
     "crawl_robots_filter"       -> (QueriesExt.crawlRobotsFilter _),
     // outlink extraction + RFC 3986 resolution (regexp-chain load)
     "crawl_extract_links"       -> (QueriesExt.crawlExtractLinks _),
+    // freshness scheduling: declared-key join + scan-local due CASE
+    "crawl_recrawl_due"         -> (QueriesExt.crawlRecrawlDue _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),
     "table_profile"             -> (QueriesExt.tableProfile _),
     // production approx-distinct profile (no exact companion)

@@ -1592,6 +1592,49 @@ object QueriesExt {
       |FROM documents
       |""".stripMargin
 
+  /** Charset-honoring HTTP body decode over three constructed byte
+    * payloads per document: an ISO-8859-1 page whose latin-1 bytes a
+    * blind UTF-8 cast would mojibake, a default-UTF-8 page with
+    * multi-byte content, and a CHUNKED UTF-8 page whose first chunk
+    * boundary splits an em-dash mid-sequence — only byte-level
+    * dechunk-then-decode reassembles it (decode-then-dechunk would
+    * miscount every size and shred the character). The oracle states
+    * each decoded body directly. */
+  def warcCharsetBody(s: SparkSession, dir: String): DataFrame = {
+    val latin1Body = "636166E920BD" // "café ½" in ISO-8859-1
+    val iso = concat(
+      encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "charset=iso-8859-1\r\n\r\n"), "UTF-8"),
+      unhex(lit(latin1Body)))
+    val plainStr = concat(lit("naïve — "), col("text"))
+    val plain = concat(
+      encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), "UTF-8"),
+      encode(plainStr, "UTF-8"))
+    val enc = encode(plainStr, "UTF-8")
+    val c1 = substring(enc, 1, 10) // splits the em dash (bytes 9..11)
+    val c2 = substring(enc, 11, 100000000)
+    val chunked = concat(
+      encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n"), "UTF-8"),
+      encode(concat(lower(hex(length(c1))), lit("\r\n")), "UTF-8"), c1,
+      encode(lit("\r\n"), "UTF-8"),
+      encode(concat(lower(hex(length(c2))), lit("\r\n")), "UTF-8"), c2,
+      encode(lit("\r\n0\r\n\r\n"), "UTF-8"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(map(
+        lit(1), iso, lit(2), plain, lit(3), chunked)).as(Seq("kind", "payload")))
+      .select(col("doc_id"), col("kind"),
+        Warc.httpBodyCharset(col("payload")).as("body"))
+  }
+
+  lazy val warcCharsetBodySql: String =
+    """SELECT doc_id, 1 AS kind, 'café ½' AS body FROM documents
+      |UNION ALL
+      |SELECT doc_id, 2, 'naïve — ' || text FROM documents
+      |UNION ALL
+      |SELECT doc_id, 3, 'naïve — ' || text FROM documents
+      |""".stripMargin
+
   // ================================================================ learned classifier
   /** TRAINED nearest-class-profile classifier (Rocchio / linear
     * multinomial NB in exact fixed-point — the model-based curation

@@ -56,6 +56,7 @@ object SparkEntry {
     "text_extract_html" -> (QueriesExt.textExtractHtml _),
     "warc_extract" -> (QueriesExt.warcExtract _),
     "warc_extract_binary" -> (QueriesExt.warcExtractBinary _),
+    "warc_charset_body" -> (QueriesExt.warcCharsetBody _),
     // robots.txt (RFC 9309): record parsing + URL admission
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
@@ -310,6 +311,7 @@ object SparkEntry {
     "text_extract_html"         -> QueriesExt.textExtractHtmlSql,
     "warc_extract"              -> QueriesExt.warcExtractSql,
     "warc_extract_binary"       -> QueriesExt.warcExtractBinarySql,
+    "warc_charset_body"         -> QueriesExt.warcCharsetBodySql,
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_recrawl_due"         -> QueriesExt.crawlRecrawlDueSql,

@@ -365,6 +365,112 @@ object Warc {
 
   private val dechunkUdf = udf { (b: String) => if (b == null) null else dechunk(b) }
 
+  /** [[dechunk]] over raw OCTETS — chunked framing declares sizes in
+    * bytes, so on the byte-exact path the frames must be removed
+    * BEFORE any charset decode (a multi-byte body dechunked after
+    * decoding would miscount every size). Same fail-loud contract. */
+  private[graft] def dechunkBytes(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    val n = body.length
+    var pos = 0
+    var done = false
+    while (!done) {
+      var nl = pos
+      while (nl < n && body(nl) != '\n') nl += 1
+      require(nl < n, s"chunked body: no newline after chunk size at offset $pos")
+      val stop = if (nl > pos && body(nl - 1) == '\r') nl - 1 else nl
+      val rawLine = new String(body, pos, stop - pos,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val sizeHex = rawLine.takeWhile(_ != ';').trim
+      val size =
+        try Integer.parseInt(sizeHex, 16)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"chunked body: bad chunk size '${rawLine.take(20)}' at offset $pos")
+        }
+      require(size >= 0, s"chunked body: negative chunk size at offset $pos")
+      pos = nl + 1
+      if (size == 0) done = true
+      else {
+        require(pos + size <= n,
+          s"chunked body: chunk of $size runs past end of input at offset $pos")
+        out.write(body, pos, size)
+        pos += size
+        if (pos < n && body(pos) == '\r') pos += 1
+        require(pos < n && body(pos) == '\n',
+          s"chunked body: missing line break after chunk data at offset $pos")
+        pos += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decode an HTTP payload's raw bytes to BODY TEXT honoring the
+    * message's own declarations — the byte-path twin of
+    * [[httpBodyDechunked]], and the step real multi-charset input
+    * needs (CommonCrawl is full of `ISO-8859-1`/`windows-1252` pages
+    * a blind UTF-8 cast would mojibake):
+    *
+    *  - the header block (ASCII by RFC 9112; parsed through a
+    *    latin-1 view that cannot throw) is split off;
+    *  - `Transfer-Encoding: chunked` framing is removed at the BYTE
+    *    level (sizes count octets — decoding first would miscount
+    *    any multi-byte body);
+    *  - body bytes decode with the `charset=` parameter of
+    *    `Content-Type` when the JVM supports it, else UTF-8; either
+    *    way malformed sequences REPLACE (U+FFFD), never throw — one
+    *    broken page must not kill a 100 TB scan;
+    *  - a non-HTTP payload decodes whole as UTF-8 (the
+    *    resource/conversion-record convention).
+    */
+  private[graft] def decodeHttpPayload(bytes: Array[Byte]): String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def decode(b: Array[Byte], cs: java.nio.charset.Charset): String =
+      cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        .decode(java.nio.ByteBuffer.wrap(b)).toString
+    val n = bytes.length
+    val isHttp = n >= 5 && bytes(0) == 'H' && bytes(1) == 'T' &&
+      bytes(2) == 'T' && bytes(3) == 'P' && bytes(4) == '/'
+    if (!isHttp) return decode(bytes, utf8)
+    // earliest of \r\n\r\n | \n\n bounds the header block
+    var i = 0
+    var hdrEnd = -1
+    var bodyStart = -1
+    while (bodyStart < 0 && i < n) {
+      if (bytes(i) == '\n') {
+        if (i + 1 < n && bytes(i + 1) == '\n') { hdrEnd = i; bodyStart = i + 2 }
+        else if (i + 2 < n && bytes(i + 1) == '\r' && bytes(i + 2) == '\n') {
+          hdrEnd = i; bodyStart = i + 3
+        }
+      }
+      i += 1
+    }
+    if (bodyStart < 0) return decode(bytes, utf8) // headers only / truncated
+    val headers = new String(bytes, 0, hdrEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    var body = java.util.Arrays.copyOfRange(bytes, bodyStart, n)
+    val te = "(?im)^transfer-encoding:(.*)$".r
+      .findFirstMatchIn(headers).map(_.group(1).toLowerCase(java.util.Locale.ROOT))
+    if (te.exists(_.contains("chunked"))) body = dechunkBytes(body)
+    val cs = "(?i)charset=[\"']?([A-Za-z0-9_:.+-]+)".r
+      .findFirstMatchIn(headers).map(_.group(1))
+      .filter(java.nio.charset.Charset.isSupported)
+      .map(java.nio.charset.Charset.forName)
+      .getOrElse(utf8)
+    decode(body, cs)
+  }
+
+  private val bodyCharsetUdf =
+    udf { (b: Array[Byte]) => if (b == null) null else decodeHttpPayload(b) }
+
+  /** [[decodeHttpPayload]] as a Column over a binary payload — the
+    * scan-local per-record decode of the byte-exact path (off the
+    * codegen path like [[httpBodyDechunked]]'s chunked branch;
+    * bounded per-record work, no shuffle). */
+  def httpBodyCharset(payload: Column): Column = bodyCharsetUdf(payload)
+
   /** [[httpBody]], with `Transfer-Encoding: chunked` framing decoded
     * when the header declares it (the wire form is useless downstream).
     * The chunked branch is a scan-local UDF — bounded per-record work

@@ -763,10 +763,14 @@ object CurationPipeline {
       require(!gzipped || isBinary,
         s"step ${c.stepName}: gzip: true requires a BINARY '${c.textCol}' column — " +
           "a string column cannot hold gzip bytes")
+      // binary path: keep the raw octets for the charset-aware body
+      // decode (headers are ASCII, so the string view serves the
+      // status/content-type lookups)
       val base0 =
         if (isBinary)
           graft.operators.Warc.parseRecordsBytes(
               c.input, c.idCol, c.textCol, gzipped = gzipped).toDF()
+            .withColumn("__payload_b", col("payload"))
             .withColumn("payload", col("payload").cast("string"))
         else graft.operators.Warc.parseRecords(c.input, c.idCol, c.textCol).toDF()
       val base = base0.filter(col("warc_type").isin(keep: _*))
@@ -775,8 +779,12 @@ object CurationPipeline {
           graft.operators.Warc.httpStatus(col("payload")).as("http_status"),
           graft.operators.Warc.httpHeader(col("payload"), "Content-Type").as("content_type"))
         else Seq.empty
+      // byte path: decode the body from octets honoring the declared
+      // charset (and byte-level chunked framing) — a blind UTF-8 cast
+      // mojibakes every ISO-8859-1/windows-1252 page
       val bodyCol =
-        if (httpMeta) graft.operators.Warc.httpBodyDechunked(col("payload"))
+        if (isBinary) graft.operators.Warc.httpBodyCharset(col("__payload_b"))
+        else if (httpMeta) graft.operators.Warc.httpBodyDechunked(col("payload"))
         else graft.operators.Warc.httpBody(col("payload"))
       val recs = base.select(
         Seq(col("doc_id").as(c.idCol), col("rec_idx"), col("warc_type"),
@@ -895,6 +903,33 @@ object CurationPipeline {
           .parseRules(robots, hostCol, bodyCol).toDF()
         graft.operators.Robots.filterAllowed(c.input, urlCol, rules, agent,
           broadcastRules = c.params.str("broadcast", "true").toBoolean)
+      }, tableParams = Set("table")),
+    // politeness fetch scheduling over a frontier: annotate each row
+    // with its host, the host's crawl delay (the agent's robots
+    // crawl-delay record, the `*` record, or `defaultDelay`), a
+    // deterministic per-host fetch ordinal (md5-order — spreads deep
+    // paths), and fetch_offset_s = seq · delay — the earliest polite
+    // fetch time relative to the host's first request. `table` holds
+    // raw robots.txt bodies (host, robots_txt), same shape as
+    // robots_filter's. Chain AFTER recrawl/dedup (schedule only what
+    // will actually be fetched).
+    "fetch_schedule" -> Op(
+      Set("table", "url", "agent", "hostColumn", "bodyColumn", "defaultDelay"), { c =>
+        val tblName = c.params.reqStr("table")
+        val urlCol  = c.params.str("url", c.textCol)
+        val agent   = c.params.reqStr("agent")
+        val hostCol = c.params.str("hostColumn", "host")
+        val bodyCol = c.params.str("bodyColumn", "robots_txt")
+        require(c.input.columns.contains(urlCol),
+          s"step ${c.stepName}: input has no url column '$urlCol'")
+        val robots = c.resolve(tblName)
+        for (needed <- Seq(hostCol, bodyCol))
+          require(robots.columns.contains(needed),
+            s"step ${c.stepName}: table '$tblName' has no column '$needed'")
+        val delays = graft.operators.Robots.crawlDelays(
+          graft.operators.Robots.parseRules(robots, hostCol, bodyCol).toDF())
+        graft.operators.Robots.fetchSchedule(c.input, urlCol, delays, agent,
+          defaultDelayS = c.params.int("defaultDelay", 1))
       }, tableParams = Set("table")),
     // redirect-chain collapse BEFORE admission: rewrite the url column
     // through Redirects.resolve over a named (src, dst) edge table, so
@@ -1538,6 +1573,11 @@ object CurationPipeline {
         .write.mode("overwrite").text(s"$staging/vocab")
       graft.sources.TokenBinary.writeShards(
         withIds.select(col("shard"), col("pos"), col("__ids")), "__ids",
+        staging, nShards)
+      // Megatron-loader parity: the .idx companion makes each shard's
+      // tokens.bin directly mmap-able with no manifest join
+      graft.sources.TokenBinary.writeIdx(
+        withIds.select(col("shard"), col("pos"), col("n_tokens")),
         staging, nShards)
       Staging.promoteStaged(spark, s"${c.outDir}/exports", c.stepName, "__staging")
       val w = org.apache.spark.sql.expressions.Window

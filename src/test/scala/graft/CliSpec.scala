@@ -1114,6 +1114,17 @@ class CliSpec extends SparkSpec {
       "http://a.example.com/daily" -> "aged",
       "http://a.example.com/article" -> "modified",
       "http://a.example.com/fresh" -> "new"))
+    // the politeness schedule annotated every due row: host, delay,
+    // dense per-host ordinal, offset = seq * delay
+    val sched = s.read.parquet(s"$out2/polite_order")
+      .select("text", "host", "crawl_delay_s", "fetch_seq", "fetch_offset_s")
+      .collect()
+    assert(sched.length === 3)
+    sched.foreach { r =>
+      assert(r.getString(1) === "a.example.com")
+      assert(r.getLong(4) === r.getInt(3).toLong * r.getInt(2))
+    }
+    assert(sched.map(_.getInt(3)).sorted.toSeq === Seq(0, 1, 2))
     // the export artifact exists (the fetch fleet's input)
     assert(Files.isDirectory(java.nio.file.Paths.get(out2, "exports", "dump")))
   }
@@ -1218,6 +1229,24 @@ class CliSpec extends SparkSpec {
     shardTokens.foreach { case (sh, toks) =>
       val mass = manifest.filter(_._2 == sh).map(_._4).sum
       assert(toks.length.toLong === mass, s"shard $sh")
+    }
+    // the Megatron .idx companion agrees with the manifest exactly:
+    // sizes in pos order, pointers = 4-byte cumulative offsets,
+    // doc_idx the trivial 0..count mapping
+    shardTokens.keys.foreach { sh =>
+      val (sizes, pointers, docIdx) = graft.sources.TokenBinary.readIdx(
+        s"$out1/exports/packed/shard=$sh/tokens.idx")
+      val wantSizes = spark.read.parquet(s"$out1/packed")
+        .filter(col("shard") === sh)
+        .orderBy("pos").select("n_tokens").collect().map(_.getLong(0).toInt)
+      assert(sizes.toSeq === wantSizes.toSeq, s"shard $sh idx sizes")
+      assert(pointers.toSeq === sizes.scanLeft(0L)((a, s) => a + s * 4L).init.toSeq,
+        s"shard $sh idx pointers")
+      assert(docIdx.toSeq === (0L to sizes.length.toLong).toSeq, s"shard $sh doc_idx")
+      // and a pointer slice of tokens.bin is the document's stream
+      val m = manifest.filter(_._2 == sh).minBy(_._3)
+      assert(shardTokens(sh).slice((pointers(0) / 4).toInt,
+        (pointers(0) / 4 + sizes(0)).toInt).map(tokenById(_)).toSeq === want(m._1))
     }
     assert(want(7L).isEmpty) // the empty doc exports zero tokens, no crash
     // rerun on the same input: byte-identical artifacts

@@ -221,6 +221,67 @@ class WarcSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"binary warc parse shuffled:\n$plan")
   }
 
+  test("decodeHttpPayload: declared charsets, replace-not-throw, byte-level chunk reassembly") {
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n".getBytes("UTF-8") ++ body
+    // latin-1 page: a blind UTF-8 decode would mojibake 0xE9/0xBD
+    val latin = http("Content-Type: text/html; charset=ISO-8859-1",
+      Array(0x63, 0x61, 0x66, 0xE9, 0x20, 0xBD).map(_.toByte))
+    assert(Warc.decodeHttpPayload(latin) === "café ½")
+    // quoted charset and case-insensitivity
+    assert(Warc.decodeHttpPayload(http(
+      "content-type: text/html; CHARSET=\"iso-8859-1\"",
+      Array(0xE9.toByte))) === "é")
+    // unknown charset falls back to UTF-8; malformed bytes REPLACE
+    assert(Warc.decodeHttpPayload(http("Content-Type: a/b; charset=klingon-42",
+      "ok".getBytes("UTF-8"))) === "ok")
+    assert(Warc.decodeHttpPayload(http("Content-Type: text/plain",
+      Array(0xFF.toByte, 'x'.toByte))) === "�x")
+    // chunked with a chunk boundary INSIDE a multi-byte char: byte
+    // reassembly must precede decoding
+    val word = "a—b".getBytes("UTF-8") // 5 bytes, dash = 3
+    val chunked = http(
+      "Content-Type: text/html; charset=utf-8\r\nTransfer-Encoding: chunked",
+      "2\r\n".getBytes("UTF-8") ++ word.take(2) ++ "\r\n".getBytes("UTF-8") ++
+        "3\r\n".getBytes("UTF-8") ++ word.drop(2) ++ "\r\n0\r\n\r\n".getBytes("UTF-8"))
+    assert(Warc.decodeHttpPayload(chunked) === "a—b")
+    // non-HTTP payload: whole bytes as UTF-8; headers-only: UTF-8 whole
+    assert(Warc.decodeHttpPayload("naïve resource".getBytes("UTF-8")) === "naïve resource")
+    assert(Warc.decodeHttpPayload("HTTP/1.1 204 No Content".getBytes("UTF-8"))
+      === "HTTP/1.1 204 No Content")
+    // malformed chunk framing still fail-loud at the byte level
+    val bad = http("Transfer-Encoding: chunked", "zz\r\nx".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] { Warc.decodeHttpPayload(bad) }
+    assert(e.getMessage.contains("bad chunk size"))
+  }
+
+  test("pipeline warc step: binary captures decode bodies by their declared charset") {
+    import java.nio.file.Files
+    val (src, out) = (Files.createTempDirectory("graft-warccs-src").toString,
+      Files.createTempDirectory("graft-warccs-out").toString)
+    val latinBody = Array(0x63, 0x61, 0x66, 0xE9).map(_.toByte) // "café" latin-1
+    val pages = (1L to 3L).map { i =>
+      val payload =
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n\r\n"
+          .getBytes("UTF-8") ++ latinBody
+      (i, recBytes("response", s"http://h/$i", payload))
+    }.toDF("doc_id", "text")
+    pages.write.parquet(s"$src/captures.parquet")
+    val yaml = Files.createTempFile("graft-pipe-warccs", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: charset_front
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: records
+        |    op: warc
+        |    input: captures
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/records").select("text").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq.fill(3)("café"))
+  }
+
   test("pipeline warc step: binary gzip captures parse through the byte path") {
     import java.nio.file.Files
     val (src, out) = (Files.createTempDirectory("graft-warcb-src").toString,
