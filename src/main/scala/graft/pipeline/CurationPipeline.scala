@@ -1508,7 +1508,13 @@ object CurationPipeline {
     // incremental/nightly exports: two runs deriving their own vocabs
     // assign INCOMPATIBLE id spaces, and the trainer's mmap would mix
     // them silently. Unknown tokens still fail loud.
-    "export_tokens" -> Op(Set("tokens", "maxVocab", "vocabFrom"), { c =>
+    // appendEod: true appends the end-of-document sentinel after each
+    // document's ids (the Megatron preprocessing convention — the
+    // loader splits documents on it). The sentinel token is "<eod>":
+    // taken from the vocabulary when present (a vocabFrom map can pin
+    // it), else assigned the next free id and RECORDED in the
+    // exported vocab JSONL, so the id space stays self-describing.
+    "export_tokens" -> Op(Set("tokens", "maxVocab", "vocabFrom", "appendEod"), { c =>
       require(c.outDir.nonEmpty, s"step ${c.stepName}: export needs a pipeline OUT_DIR")
       val tcol = c.params.str("tokens", "bpe_tokens")
       (Seq("shard", "pos", tcol)).foreach { needed =>
@@ -1536,29 +1542,51 @@ object CurationPipeline {
             s"step ${c.stepName}: vocabFrom table '$from' maps token ",
             " to more than one id — the binary would be ambiguous")
       }
-      val vocabRows = vocabDf.select(col("token"), col("token_id")).collect()
-      require(vocabRows.length <= maxVocab,
-        s"step ${c.stepName}: vocabulary ${vocabRows.length} exceeds maxVocab " +
-          s"$maxVocab — not a BPE token stream? (raise maxVocab to override)")
-      val idByToken = new java.util.HashMap[String, Integer](vocabRows.length * 2)
-      vocabRows.foreach { r =>
+      val appendEod = c.params.str("appendEod", "false").toBoolean
+      val vocabRows0 = vocabDf.select(col("token"), col("token_id")).collect()
+      val idByToken = new java.util.HashMap[String, Integer](vocabRows0.length * 2)
+      vocabRows0.foreach { r =>
         val id = r.getLong(1)
         require(id >= 0 && id <= Int.MaxValue,
           s"step ${c.stepName}: token id $id for '${r.getString(0)}' outside " +
             "[0, 2^31) — tokens.bin cells are int32")
         idByToken.put(r.getString(0), id.toInt)
       }
+      // end-of-document sentinel: pinned by the vocab when present,
+      // else the next free id, recorded back into the exported vocab
+      val eodId: Int =
+        if (!appendEod) -1
+        else Option(idByToken.get("<eod>")).map(_.intValue()).getOrElse {
+          val next = vocabRows0.iterator.map(_.getLong(1)).foldLeft(-1L)(math.max) + 1L
+          require(next <= Int.MaxValue,
+            s"step ${c.stepName}: no free int32 id for <eod>")
+          idByToken.put("<eod>", next.toInt)
+          next.toInt
+        }
+      val vocabOut =
+        if (appendEod && vocabRows0.forall(_.getString(0) != "<eod>")) {
+          import spark.implicits._
+          vocabDf.select(col("token"), col("token_id").cast("long"))
+            .unionByName(Seq(("<eod>", eodId.toLong)).toDF("token", "token_id"))
+        } else vocabDf.select(col("token"), col("token_id").cast("long"))
+      val vocabRows = vocabOut.collect()
+      require(vocabRows.length <= maxVocab,
+        s"step ${c.stepName}: vocabulary ${vocabRows.length} exceeds maxVocab " +
+          s"$maxVocab — not a BPE token stream? (raise maxVocab to override)")
       val bc = spark.sparkContext.broadcast(idByToken)
       val stepName = c.stepName
+      val eodIdForUdf = eodId
       val toIds = udf { (ts: Seq[String]) =>
-        if (ts == null) Seq.empty[Int]
-        else ts.map { t =>
-          val id = bc.value.get(t)
-          if (id == null) throw new IllegalArgumentException(
-            s"export_tokens ($stepName): token '$t' missing from the vocabulary " +
-              "built over this input — tokens column mutated after tokenize?")
-          id.intValue()
-        }
+        val base =
+          if (ts == null) Seq.empty[Int]
+          else ts.map { t =>
+            val id = bc.value.get(t)
+            if (id == null) throw new IllegalArgumentException(
+              s"export_tokens ($stepName): token '$t' missing from the vocabulary " +
+                "built over this input — tokens column mutated after tokenize?")
+            id.intValue()
+          }
+        if (eodIdForUdf >= 0) base :+ eodIdForUdf else base
       }
       val withIds = c.input
         .select(col(c.idCol), col("shard").cast("int").as("shard"),
@@ -1568,7 +1596,7 @@ object CurationPipeline {
       val nShards = if (maxShard.isNullAt(0)) 1 else 1 + maxShard.getInt(0)
       val staging = s"${c.outDir}/exports/${c.stepName}__staging"
       // vocab first (also creates the staging dir for an empty corpus)
-      vocabDf.orderBy(col("token_id")).coalesce(1)
+      vocabOut.orderBy(col("token_id")).coalesce(1)
         .select(to_json(struct(col("token"), col("token_id"))).as("value"))
         .write.mode("overwrite").text(s"$staging/vocab")
       graft.sources.TokenBinary.writeShards(

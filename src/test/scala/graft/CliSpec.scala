@@ -1258,6 +1258,67 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pipeline export_tokens appendEod: every document stream ends with the recorded sentinel") {
+    val s = spark
+    import s.implicits._
+    val (src, out) = (tempDir(), tempDir())
+    val docs = (1L to 6L).map { i =>
+      (i, if (i == 4L) "" else s"alpha beta word$i alpha")
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$src/documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-eod", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: eod_export
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: vocab
+        |    op: bpe_vocab
+        |    input: documents
+        |    params: { merges: "16" }
+        |  - name: tokenized
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: vocab, keepTokens: "true" }
+        |  - name: spread
+        |    op: shuffle_shards
+        |    params: { shards: "2", salt: eod1 }
+        |  - name: packed
+        |    op: export_tokens
+        |    params: { appendEod: "true" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    // the sentinel is in the exported vocab at the next free id
+    val vocabLines = Files.list(Paths.get(out, "exports", "packed", "vocab"))
+      .toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith("part-") &&
+        !p.endsWith(".crc")).sorted
+      .flatMap(p => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(Paths.get(p))).asScala)
+    val idByTok = vocabLines.map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      m.get("token").toString -> m.get("token_id").toString.toLong
+    }.toMap
+    assert(idByTok.contains("<eod>"))
+    assert(idByTok("<eod>") === idByTok.values.max)
+    val eod = idByTok("<eod>").toInt
+    // every document's slice ends with exactly one trailing <eod>;
+    // the empty document exports as a lone sentinel (the Megatron
+    // loader still sees the document boundary)
+    val manifest = spark.read.parquet(s"$out/packed")
+      .select("doc_id", "shard", "token_offset", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val shardToks = manifest.map(_._2).distinct.map { sh =>
+      sh -> graft.sources.TokenBinary.readShard(s"$out/exports/packed/shard=$sh/tokens.bin")
+    }.toMap
+    manifest.foreach { case (id, sh, off, n) =>
+      val ids = shardToks(sh).slice(off.toInt, (off + n).toInt)
+      assert(ids.nonEmpty && ids.last === eod, s"doc $id must end with <eod>")
+      assert(ids.init.forall(_ != eod), s"doc $id has an interior sentinel")
+      if (id == 4L) assert(ids.toSeq === Seq(eod))
+    }
+  }
+
   test("pipeline byte-level BPE: vocab + tokenize + export_tokens round-trip losslessly") {
     val s = spark
     import s.implicits._
