@@ -189,6 +189,23 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => "" }
 
+  /** The honesty-flag rule, extracted for its own spec (the r10 false
+    * negative — loadavg climbing 1.92 → 4.05 mid-run under a `false`
+    * flag — must trip a synthetic replay of itself). See the call
+    * site's comment for the three triggers' rationale. */
+  private[graft] def distortedFlag(
+      prelaunch: String, jvmStart: String, start: String, end: String,
+      cpus: Double, totalMed: Double, totalMin: Double): Boolean = {
+    def load1(s: String): Option[Double] =
+      s.split("\\s+").headOption.flatMap(_.toDoubleOption)
+    val startDistorted =
+      load1(Seq(prelaunch, jvmStart).find(_.nonEmpty).getOrElse(start))
+        .exists(_ > cpus / 16.0)
+    val endDistorted = load1(end).exists(_ > cpus / 4.0)
+    val divergence = totalMin > 0 && totalMed / totalMin > 1.25
+    startDistorted || endDistorted || divergence
+  }
+
   def main(args: Array[String]): Unit = {
     // loadavg at JVM ENTRY — before Spark init, codegen warmup, and the
     // timed queries — so a record distorted only by the bench's own
@@ -319,16 +336,11 @@ object Bench {
     // cpu_s stays the load-invariant signal either way, and the
     // detail file stamps a per-query 1-min loadavg so a contended
     // WINDOW is attributable to the specific entries it inflated.
-    def load1(s: String): Option[Double] =
-      s.split("\\s+").headOption.flatMap(_.toDoubleOption)
-    val startDistorted =
-      load1(Seq(loadPrelaunch, loadJvmStart).find(_.nonEmpty).getOrElse(loadStart))
-        .exists(_ > cpus.toDouble / 16.0)
-    val endDistorted = load1(loadEnd).exists(_ > cpus.toDouble / 4.0)
-    val totalMin0 = results.map(_._2.wallMin).filter(_ >= 0).sum
-    val divergence = totalMin0 > 0 &&
-      results.map(_._2.wallMed).filter(_ >= 0).sum / totalMin0 > 1.25
-    val loadDistorted = startDistorted || endDistorted || divergence
+    val loadDistorted = distortedFlag(
+      prelaunch = loadPrelaunch, jvmStart = loadJvmStart, start = loadStart,
+      end = loadEnd, cpus = cpus.toDouble,
+      totalMed = results.map(_._2.wallMed).filter(_ >= 0).sum,
+      totalMin = results.map(_._2.wallMin).filter(_ >= 0).sum)
 
     def jmap(f: Timing => Double): String = results
       .map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }

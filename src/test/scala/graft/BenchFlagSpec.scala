@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench honesty flag (`load_distorted`) against replays of the
+  * real driver records: the r10 false negative must trip, the clean
+  * close records must not. */
+class BenchFlagSpec extends AnyFunSuite {
+
+  private def flag(
+      prelaunch: String = "", jvmStart: String = "", start: String = "",
+      end: String = "", med: Double = 100.0, min: Double = 100.0): Boolean =
+    Bench.distortedFlag(prelaunch, jvmStart, start, end,
+      cpus = 32.0, totalMed = med, totalMin = min)
+
+  test("the r10 driver record's exact readings now trip the flag") {
+    // BENCH_r10.json: jvm-start 1.74 (under cpus/16 = 2 — the old,
+    // ONLY trigger stayed false), loadavg_end 3.46, median 170.0 vs
+    // min 98.2 — a 1.73x divergence from mid-run contention
+    assert(flag(jvmStart = "1.74 1.64 1.50", start = "1.92 1.68 1.51",
+      end = "3.46 4.05 2.78", med = 170.043, min = 98.161))
+  }
+
+  test("the r10 clean close record stays unflagged") {
+    // committed clean record: prelaunch 0.09, end 2.82 (the bench's
+    // own ~2.8 tail load), median 89.2 vs min 83.8 (1.06x)
+    assert(!flag(prelaunch = "0.09 0.46 1.41", jvmStart = "0.17 0.47 1.41",
+      start = "0.84 0.60 1.44", end = "2.82 2.14 1.93",
+      med = 89.153, min = 83.838))
+  }
+
+  test("each trigger fires alone: pre-run ambient, heavy end load, med/min divergence") {
+    assert(flag(prelaunch = "2.5 0.1 0.1"))              // start > cpus/16
+    assert(flag(end = "9.0 3.0 2.0"))                    // end > cpus/4
+    assert(flag(med = 130.0, min = 100.0))               // 1.3x divergence
+    assert(!flag(prelaunch = "1.9 0.1 0.1", end = "7.9 3.0 2.0",
+      med = 124.0, min = 100.0))                         // all under threshold
+  }
+
+  test("prelaunch reading outranks jvm-start outranks start; junk readings never flag") {
+    // prelaunch clean beats a distorted-looking jvm-start (the bench's
+    // own sbt/compile load must not self-flag)
+    assert(!flag(prelaunch = "0.1 0.1 0.1", jvmStart = "5.0 4.0 3.0"))
+    // no prelaunch: jvm-start governs
+    assert(flag(jvmStart = "5.0 4.0 3.0"))
+    // unparseable/empty readings are not evidence
+    assert(!flag(prelaunch = "n/a", end = "junk"))
+    assert(!flag(med = 10.0, min = 0.0)) // failed-run sentinel: no divergence claim
+  }
+}

@@ -131,6 +131,30 @@ class StreamingRecrawlSpec extends SparkSpec {
     assert(e.getMessage.contains("bucket-count mismatch"))
   }
 
+  test("dueVerdicts plan: guard window and join share the fetch log's partitioning (<= 2 exchanges)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val disc = (1 to 100).map(i => (i.toLong, s"http://h/$i", "", "daily"))
+        .toDF("doc_id", "url", "lastmod", "changefreq")
+      val lf = (1 to 50).map(i => (s"http://h/$i", 1000L))
+        .toDF("url", "last_fetch_ts")
+      val plan = graft.operators.Recrawl
+        .dueVerdicts(disc, "url", "lastmod", "changefreq", lf,
+          nowTs = 2000L, defaultAgeS = 100L)
+        .queryExecution.executedPlan.toString
+      // one exchange per side: the duplicate-guard window partitions
+      // the fetch log on the SAME key the join needs, so its
+      // partitioning is reused — a third exchange would mean the
+      // fetch log shuffles twice at corpus scale
+      val n = "Exchange".r.findAllIn(plan).length
+      assert(n <= 2, s"expected <= 2 exchanges (one per join side):\n$plan")
+      // the verdict itself is scan-local: no window/expand over the
+      // discovery side
+      assert(!plan.contains("CartesianProduct") && !plan.contains("Expand"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("pipeline recrawl step: two nights under --state — re-listed URLs re-enter only when due") {
     val s = spark
     val (src1, src2, out1, out2, state) = (tmp(), tmp(), tmp(), tmp(), tmp())
