@@ -145,6 +145,9 @@ object Bench {
     // deep-vocabulary tokenization: the vocabulary-independent RANKED
     // encoder against the 4k vocab (fold would pay 4096 passes/word)
     "text_bpe_tokenize4k"     -> (QueriesExt.textBpeTokenize4k _),
+    // production tokenizer regime: 4,096 merges over the UTF-8 byte
+    // alphabet (the GPT-2/Llama id-space shape)
+    "text_bpe_bytes_vocab4k"  -> (QueriesExt.textBpeBytesVocab4k _),
     "table_expectations"      -> (QueriesExt.tableExpectations _),
     "graph_triangles"         -> (QueriesEvents.graphTriangles _),
     "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _),

@@ -1760,6 +1760,14 @@ object QueriesExt {
       .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
   }
 
+  /** Deep-vocabulary BYTE-LEVEL training — the production tokenizer
+    * regime (4,096 merges over the 256-symbol UTF-8 alphabet) on the
+    * trigram-enriched corpus. Bench-only; byte-level correctness is
+    * pinned by the `text_bpe_bytes*` gates and BpeSpec. */
+  def textBpeBytesVocab4k(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMergesLocal(bpe4kFused(s, dir), "text", numMerges = 4096,
+      byteLevel = true)
+
   def textBpeTokenize(s: SparkSession, dir: String): DataFrame = {
     val corpus = docs(s, dir)
     val merges = Bpe.trainMerges(corpus, "text", numMerges = 8)

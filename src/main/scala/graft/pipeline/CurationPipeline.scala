@@ -913,8 +913,13 @@ object CurationPipeline {
     // raw robots.txt bodies (host, robots_txt), same shape as
     // robots_filter's. Chain AFTER recrawl/dedup (schedule only what
     // will actually be fetched).
+    // maxPerHost caps tonight's frontier per host (the nightly fetch
+    // budget: a 50k-URL sitemap dump must not monopolize the fleet) —
+    // the md5-order ordinal makes the kept subset a deterministic,
+    // path-decorrelated sample of the host's URLs.
     "fetch_schedule" -> Op(
-      Set("table", "url", "agent", "hostColumn", "bodyColumn", "defaultDelay"), { c =>
+      Set("table", "url", "agent", "hostColumn", "bodyColumn", "defaultDelay",
+        "maxPerHost"), { c =>
         val tblName = c.params.reqStr("table")
         val urlCol  = c.params.str("url", c.textCol)
         val agent   = c.params.reqStr("agent")
@@ -928,8 +933,13 @@ object CurationPipeline {
             s"step ${c.stepName}: table '$tblName' has no column '$needed'")
         val delays = graft.operators.Robots.crawlDelays(
           graft.operators.Robots.parseRules(robots, hostCol, bodyCol).toDF())
-        graft.operators.Robots.fetchSchedule(c.input, urlCol, delays, agent,
-          defaultDelayS = c.params.int("defaultDelay", 1))
+        val sched = graft.operators.Robots.fetchSchedule(c.input, urlCol, delays,
+          agent, defaultDelayS = c.params.int("defaultDelay", 1))
+        if (c.params.has("maxPerHost")) {
+          val cap = c.params.reqInt("maxPerHost")
+          require(cap >= 1, s"step ${c.stepName}: maxPerHost must be >= 1, got $cap")
+          sched.filter(col("fetch_seq") < cap)
+        } else sched
       }, tableParams = Set("table")),
     // redirect-chain collapse BEFORE admission: rewrite the url column
     // through Redirects.resolve over a named (src, dst) edge table, so
