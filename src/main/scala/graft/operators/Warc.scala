@@ -203,6 +203,33 @@ object Warc {
     bos.toByteArray
   }
 
+  /** Render ONE record's bytes — the writer-side inverse of
+    * [[parseBytes]] for the fields it carries (CrawlFuzzSpec pins
+    * parse∘render = id). Mandatory WARC/1.0 headers are included:
+    * `WARC-Date` is the caller's capture instant (explicit — a
+    * wall-clock read would break byte-deterministic re-export), and
+    * `WARC-Record-ID` is a DETERMINISTIC urn:uuid derived from the
+    * record's own content (md5 of type|uri|date|payload) — two runs
+    * over the same capture render byte-identical archives, and two
+    * distinct records collide only if md5 does. */
+  private[graft] def renderRecordBytes(
+      warcType: String, targetUri: String, date: String, payload: Array[Byte]
+  ): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$warcType|$targetUri|$date|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(payload)
+    val h = md.digest().map(b => f"${b & 0xff}%02x").mkString
+    val rid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+    val header =
+      s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$rid>\r\nWARC-Date: $date\r\n" +
+        (if (targetUri.nonEmpty) s"WARC-Target-URI: $targetUri\r\n" else "") +
+        s"Content-Length: ${payload.length}\r\n\r\n"
+    header.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ payload ++
+      "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** The byte-exact parser core, exposed for specs: records of one
     * capture's bytes. Identical state machine to [[parseString]], with
     * offsets, `Content-Length`, and payload slices all in OCTETS —

@@ -1518,6 +1518,52 @@ object CurationPipeline {
     // incremental/nightly exports: two runs deriving their own vocabs
     // assign INCOMPATIBLE id spaces, and the trainer's mmap would mix
     // them silently. Unknown tokens still fail loud.
+    // Sharded .warc.gz ARCHIVE export — the write side of the crawl
+    // loop (the warc step reads this exact layout back): each row
+    // becomes one WARC/1.0 record in its own gzip member, shards in
+    // pos order (chain shuffle_shards first). payload names a binary
+    // column (raw capture bytes) or a string column (encoded UTF-8);
+    // uri names the record's target URI column ("" when absent);
+    // date is the capture instant (explicit — deterministic re-export
+    // is the artifact contract, rerun byte-identical). Output is the
+    // (id, shard, pos, n_bytes) manifest.
+    "export_warc" -> Op(Set("payload", "uri", "recordType", "date"), { c =>
+      require(c.outDir.nonEmpty, s"step ${c.stepName}: export needs a pipeline OUT_DIR")
+      Seq("shard", "pos").foreach { needed =>
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: export_warc needs a '$needed' column — " +
+            "chain shuffle_shards before it")
+      }
+      val pcol = c.params.str("payload", c.textCol)
+      require(c.input.columns.contains(pcol),
+        s"step ${c.stepName}: input has no payload column '$pcol'")
+      val date  = c.params.reqStr("date")
+      val rtype = c.params.str("recordType", "resource")
+      val ucol  = c.params.str("uri", "")
+      if (ucol.nonEmpty) require(c.input.columns.contains(ucol),
+        s"step ${c.stepName}: input has no uri column '$ucol'")
+      val isBin = c.input.schema(pcol).dataType ==
+        org.apache.spark.sql.types.BinaryType
+      val payloadB = if (isBin) col(pcol) else encode(col(pcol), "UTF-8")
+      val prepared = c.input.select(
+        col(c.idCol), col("shard").cast("int").as("shard"),
+        col("pos").cast("long").as("pos"),
+        lit(rtype).as("warc_type"),
+        (if (ucol.nonEmpty) coalesce(col(ucol).cast("string"), lit(""))
+         else lit("")).as("target_uri"),
+        payloadB.as("__wp"))
+      val maxShard = prepared.agg(max(col("shard"))).head()
+      val nShards = if (maxShard.isNullAt(0)) 1 else 1 + maxShard.getInt(0)
+      val staging = s"${c.outDir}/exports/${c.stepName}__staging"
+      val spark = c.input.sparkSession
+      // create the staging root even for an empty corpus so promote
+      // has a directory to swap in
+      new java.io.File(staging).mkdirs()
+      graft.sources.WarcSink.writeShards(prepared, "__wp", staging, nShards, date)
+      Staging.promoteStaged(spark, s"${c.outDir}/exports", c.stepName, "__staging")
+      prepared.select(col(c.idCol), col("shard"), col("pos"),
+        length(col("__wp")).cast("long").as("n_bytes"))
+    }),
     // appendEod: true appends the end-of-document sentinel after each
     // document's ids (the Megatron preprocessing convention — the
     // loader splits documents on it). The sentinel token is "<eod>":

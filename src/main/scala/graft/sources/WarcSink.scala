@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Sharded `.warc.gz` capture writer — the ARCHIVAL side of the crawl
+  * loop ([[graft.operators.Warc.parseRecordsBytes]] is the read
+  * side): per shard, ONE `capture.warc.gz` holding the shard's
+  * records in `pos` order, each record rendered WARC/1.0
+  * ([[graft.operators.Warc.renderRecordBytes]] — deterministic
+  * record ids, caller-supplied capture date) and wrapped as its OWN
+  * gzip member, the CommonCrawl layout that lets a reader seek to a
+  * member boundary and start there.
+  *
+  * Write discipline is [[TokenBinary.writeShards]]'s: the Hadoop
+  * FileSystem API (`file://`/`hdfs://` alike), one task per shard,
+  * attempt-unique temp file renamed into place on shard completion —
+  * duplicate speculative attempts can never interleave, and a re-run
+  * over the same input is byte-identical (the render is
+  * deterministic end to end).
+  */
+object WarcSink {
+
+  /** Write per-shard `.warc.gz` captures under `dir`. Input must carry
+    * `shard` (int-castable), `pos` (long-castable), `warc_type`,
+    * `target_uri` (strings; NULLs render empty), and `payloadCol`
+    * (binary). `date` is the capture instant in the WARC-Date format
+    * (`YYYY-MM-DDThh:mm:ssZ`), explicit for determinism. */
+  def writeShards(
+      df: DataFrame, payloadCol: String, dir: String, nShards: Int, date: String
+  ): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(date.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z"),
+      s"date must be WARC-Date shaped (YYYY-MM-DDThh:mm:ssZ), got '$date'")
+    val targetDir = dir
+    val dateV = date
+    df.select(col("shard").cast("int"), col("pos").cast("long"),
+        coalesce(col("warc_type"), lit("")).cast("string"),
+        coalesce(col("target_uri"), lit("")).cast("string"),
+        col(payloadCol))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = new Configuration()
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var cur: Int = Int.MinValue
+        var out: java.io.OutputStream = null
+        var tmp: Path = null
+        var dst: Path = null
+        def closeCurrent(commit: Boolean): Unit = if (out != null) {
+          out.close(); out = null
+          val fs = dst.getFileSystem(conf)
+          if (commit) {
+            if (fs.exists(dst)) fs.delete(dst, false)
+            require(fs.rename(tmp, dst),
+              s"WarcSink.writeShards: rename $tmp -> $dst failed")
+          } else fs.delete(tmp, false)
+        }
+        try {
+          it.foreach { row =>
+            val shard = row.getInt(0)
+            if (out == null || shard != cur) {
+              closeCurrent(commit = true)
+              cur = shard
+              dst = new Path(s"$targetDir/shard=$shard/capture.warc.gz")
+              tmp = new Path(s"$targetDir/shard=$shard/.capture.warc.gz.attempt-$attempt")
+              out = new java.io.BufferedOutputStream(
+                tmp.getFileSystem(conf).create(tmp, true), 1 << 16)
+            }
+            val payload = row.getAs[Array[Byte]](4)
+            val rec = graft.operators.Warc.renderRecordBytes(
+              row.getString(2), row.getString(3), dateV,
+              if (payload == null) Array.emptyByteArray else payload)
+            out.write(graft.operators.Warc.gzipMember(rec))
+          }
+          closeCurrent(commit = true)
+        } finally closeCurrent(commit = false)
+      }
+  }
+}

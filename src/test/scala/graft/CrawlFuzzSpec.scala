@@ -70,6 +70,28 @@ class CrawlFuzzSpec extends SparkSpec {
     check("warc-bytes-roundtrip", prop)
   }
 
+  test("property: the REAL renderer round-trips through gzip members and parse for arbitrary payloads") {
+    val byteArrayGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      payloadGen.map(_.getBytes("UTF-8")))
+    val prop = Prop.forAll(Gen.listOfN(3, byteArrayGen)) { ps =>
+      val members = ps.zipWithIndex.flatMap { case (p, i) =>
+        Warc.gzipMember(Warc.renderRecordBytes(
+          "response", s"http://x/$i", "2024-01-01T00:00:00Z", p))
+      }.toArray
+      val got = Warc.parseBytes(1L, Warc.gunzipMembers(members))
+      got.map(_.payload.toSeq) == ps.map(_.toSeq) &&
+        got.map(_.target_uri) == ps.indices.map(i => s"http://x/$i").toList &&
+        got.forall(_.warc_type == "response") &&
+        // determinism: rendering again is byte-identical
+        members.toSeq == ps.zipWithIndex.flatMap { case (p, i) =>
+          Warc.gzipMember(Warc.renderRecordBytes(
+            "response", s"http://x/$i", "2024-01-01T00:00:00Z", p))
+        }
+    }
+    check("warc-render-roundtrip", prop)
+  }
+
   test("property: byte-path parse on arbitrary junk bytes either parses or raises — never hangs or index-errors") {
     val junkBytes: Gen[Array[Byte]] = Gen.oneOf(
       Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),

@@ -334,6 +334,86 @@ class WarcSpec extends SparkSpec {
     assert(chain(e).contains("requires a BINARY"), chain(e))
   }
 
+  test("pipeline export_warc: archives write sharded .warc.gz and ingest back through the warc step") {
+    import java.nio.file.{Files, Paths}
+    val (src, out, out2) = (Files.createTempDirectory("graft-warcw-src").toString,
+      Files.createTempDirectory("graft-warcw-out").toString,
+      Files.createTempDirectory("graft-warcw-out2").toString)
+    val pages = (1L to 9L).map { i =>
+      (i, s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        s"fetched naïve — page $i", s"http://h/$i")
+    }.toDF("doc_id", "text", "url")
+    pages.write.parquet(s"$src/fetched.parquet")
+    val yaml = Files.createTempFile("graft-pipe-warcw", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: archive
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: spread
+        |    op: shuffle_shards
+        |    input: fetched
+        |    params: { shards: "3", salt: wa1 }
+        |  - name: archived
+        |    op: export_warc
+        |    params: { uri: url, recordType: response, date: "2024-02-03T04:05:06Z" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    // manifest covers every row; shard files parse back to the exact
+    // payload bytes in pos order, with the declared type/uri/date
+    val manifest = spark.read.parquet(s"$out/archived")
+      .select("doc_id", "shard", "pos", "n_bytes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.length === 9)
+    val byDoc = (1L to 9L).map(i =>
+      i -> ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        s"fetched naïve — page $i")).toMap
+    manifest.map(_._2).distinct.foreach { sh =>
+      val bytes = Files.readAllBytes(
+        Paths.get(out, "exports", "archived", s"shard=$sh", "capture.warc.gz"))
+      val recs = Warc.parseBytes(sh.toLong, Warc.gunzipMembers(bytes))
+      val wantDocs = manifest.filter(_._2 == sh).sortBy(_._3).map(_._1)
+      assert(recs.map(r => new String(r.payload, "UTF-8")).toSeq ===
+        wantDocs.map(byDoc).toSeq, s"shard $sh payloads in pos order")
+      assert(recs.forall(_.warc_type == "response"))
+      assert(recs.map(_.target_uri).toSet ===
+        wantDocs.map(i => s"http://h/$i").toSet)
+    }
+    // loop closure: the produced archives ingest through the warc
+    // step's binary gzip path and recover the page text
+    val readBack = manifest.map(_._2).distinct.sorted.toSeq.map { sh =>
+      (sh.toLong, Files.readAllBytes(
+        Paths.get(out, "exports", "archived", s"shard=$sh", "capture.warc.gz")))
+    }.toDF("doc_id", "text")
+    val src2 = Files.createTempDirectory("graft-warcw-src2").toString
+    readBack.write.parquet(s"$src2/captures.parquet")
+    val yaml2 = Files.createTempFile("graft-pipe-warcw2", ".yaml")
+    Files.writeString(yaml2,
+      """pipeline: rearchive
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: records
+        |    op: warc
+        |    input: captures
+        |    params: { gzip: "true", rekey: "true" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml2.toString, src2, out2), spark)
+    val texts = spark.read.parquet(s"$out2/records")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(texts === (1L to 9L).map(i => s"fetched naïve — page $i").toSet)
+    // deterministic re-export: rerun is byte-identical per shard
+    val outB = Files.createTempDirectory("graft-warcw-outB").toString
+    Cli.run(Seq("pipeline", yaml.toString, src, outB), spark)
+    manifest.map(_._2).distinct.foreach { sh =>
+      val a = Files.readAllBytes(
+        Paths.get(out, "exports", "archived", s"shard=$sh", "capture.warc.gz"))
+      val b = Files.readAllBytes(
+        Paths.get(outB, "exports", "archived", s"shard=$sh", "capture.warc.gz"))
+      assert(java.util.Arrays.equals(a, b), s"shard $sh not byte-deterministic")
+    }
+  }
+
   test("pipeline warc step: records explode, filter to response, chain into extract_html") {
     import java.nio.file.Files
     val (src, out) = (Files.createTempDirectory("graft-warc-src").toString,
