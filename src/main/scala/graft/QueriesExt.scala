@@ -1620,9 +1620,16 @@ object QueriesExt {
       encode(lit("\r\n"), "UTF-8"),
       encode(concat(lower(hex(length(c2))), lit("\r\n")), "UTF-8"), c2,
       encode(lit("\r\n0\r\n\r\n"), "UTF-8"))
+    // kind 4: NO header charset — the <meta charset> prescan governs
+    // (latin-1 bytes after an ASCII meta tag)
+    val meta = concat(
+      encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<meta charset=\"iso-8859-1\"><p>caf"), "UTF-8"),
+      unhex(lit("E9")), encode(lit("</p>"), "UTF-8"))
     docs(s, dir)
       .select(col("doc_id"), explode(map(
-        lit(1), iso, lit(2), plain, lit(3), chunked)).as(Seq("kind", "payload")))
+        lit(1), iso, lit(2), plain, lit(3), chunked, lit(4), meta))
+        .as(Seq("kind", "payload")))
       .select(col("doc_id"), col("kind"),
         Warc.httpBodyCharset(col("payload")).as("body"))
   }
@@ -1633,6 +1640,8 @@ object QueriesExt {
       |SELECT doc_id, 2, 'naïve — ' || text FROM documents
       |UNION ALL
       |SELECT doc_id, 3, 'naïve — ' || text FROM documents
+      |UNION ALL
+      |SELECT doc_id, 4, '<meta charset="iso-8859-1"><p>café</p>' FROM documents
       |""".stripMargin
 
   // ================================================================ learned classifier

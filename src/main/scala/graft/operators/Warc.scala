@@ -444,9 +444,14 @@ object Warc {
     *    level (sizes count octets — decoding first would miscount
     *    any multi-byte body);
     *  - body bytes decode with the `charset=` parameter of
-    *    `Content-Type` when the JVM supports it, else UTF-8; either
-    *    way malformed sequences REPLACE (U+FFFD), never throw — one
-    *    broken page must not kill a 100 TB scan;
+    *    `Content-Type` when the JVM supports it; when the HEADER
+    *    declares none, the first 1024 body bytes are prescanned for
+    *    an HTML `<meta … charset=…>` declaration (the WHATWG
+    *    byte-prescan convention — a large share of real pages declare
+    *    charset only in markup; the header wins when both exist, the
+    *    HTTP precedence rule); else UTF-8. Either way malformed
+    *    sequences REPLACE (U+FFFD), never throw — one broken page
+    *    must not kill a 100 TB scan;
     *  - a non-HTTP payload decodes whole as UTF-8 (the
     *    resource/conversion-record convention).
     */
@@ -481,8 +486,20 @@ object Warc {
     val te = "(?im)^transfer-encoding:(.*)$".r
       .findFirstMatchIn(headers).map(_.group(1).toLowerCase(java.util.Locale.ROOT))
     if (te.exists(_.contains("chunked"))) body = dechunkBytes(body)
-    val cs = "(?i)charset=[\"']?([A-Za-z0-9_:.+-]+)".r
-      .findFirstMatchIn(headers).map(_.group(1))
+    val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
+    val headerCs = "(?im)^content-type:(.*)$".r.findFirstMatchIn(headers)
+      .map(_.group(1)).flatMap(ct => csPat.findFirstMatchIn(ct).map(_.group(1)))
+    // header absent: WHATWG-style prescan of the first 1024 body bytes
+    // (charset declarations are ASCII; a latin-1 view cannot throw)
+    val metaCs =
+      if (headerCs.nonEmpty) None
+      else {
+        val head = new String(body, 0, math.min(1024, body.length),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        "(?is)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
+          .findFirstMatchIn(head).map(_.group(1))
+      }
+    val cs = headerCs.orElse(metaCs)
       .filter(java.nio.charset.Charset.isSupported)
       .map(java.nio.charset.Charset.forName)
       .getOrElse(utf8)

@@ -245,6 +245,21 @@ class WarcSpec extends SparkSpec {
       "2\r\n".getBytes("UTF-8") ++ word.take(2) ++ "\r\n".getBytes("UTF-8") ++
         "3\r\n".getBytes("UTF-8") ++ word.drop(2) ++ "\r\n0\r\n\r\n".getBytes("UTF-8"))
     assert(Warc.decodeHttpPayload(chunked) === "a—b")
+    // NO header charset: the <meta charset> prescan of the first 1024
+    // bytes governs (WHATWG convention); the HTTP header WINS when
+    // both declare; a meta tag past the prescan window is ignored
+    val metaBody = "<meta charset=iso-8859-1><p>caf".getBytes("UTF-8") ++
+      Array(0xE9.toByte) ++ "</p>".getBytes("UTF-8")
+    assert(Warc.decodeHttpPayload(http("Content-Type: text/html", metaBody))
+      === "<meta charset=iso-8859-1><p>café</p>")
+    assert(Warc.decodeHttpPayload(http(
+      "Content-Type: text/html; charset=utf-8",
+      "<meta charset=iso-8859-1>ok".getBytes("UTF-8")))
+      === "<meta charset=iso-8859-1>ok") // header precedence
+    val farMeta = (" " * 1100).getBytes("UTF-8") ++
+      "<meta charset=iso-8859-1>".getBytes("UTF-8") ++ Array(0xE9.toByte)
+    assert(Warc.decodeHttpPayload(http("Content-Type: text/html", farMeta))
+      .endsWith("�")) // outside the window: UTF-8 + replacement
     // non-HTTP payload: whole bytes as UTF-8; headers-only: UTF-8 whole
     assert(Warc.decodeHttpPayload("naïve resource".getBytes("UTF-8")) === "naïve resource")
     assert(Warc.decodeHttpPayload("HTTP/1.1 204 No Content".getBytes("UTF-8"))
