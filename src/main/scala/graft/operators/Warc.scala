@@ -443,7 +443,9 @@ object Warc {
     *  - `Transfer-Encoding: chunked` framing is removed at the BYTE
     *    level (sizes count octets — decoding first would miscount
     *    any multi-byte body);
-    *  - body bytes decode with the `charset=` parameter of
+    *  - a UTF-8/UTF-16 byte-order mark OUTRANKS every declaration
+    *    (the WHATWG encoding-sniffing precedence) and is stripped;
+    *  - otherwise body bytes decode with the `charset=` parameter of
     *    `Content-Type` when the JVM supports it; when the HEADER
     *    declares none, the first 1024 body bytes are prescanned for
     *    an HTML `<meta … charset=…>` declaration (the WHATWG
@@ -455,17 +457,16 @@ object Warc {
     *  - a non-HTTP payload decodes whole as UTF-8 (the
     *    resource/conversion-record convention).
     */
-  private[graft] def decodeHttpPayload(bytes: Array[Byte]): String = {
-    val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    def decode(b: Array[Byte], cs: java.nio.charset.Charset): String =
-      cs.newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-        .decode(java.nio.ByteBuffer.wrap(b)).toString
+  /** Split an HTTP message's bytes into (header block as a latin-1
+    * string, raw body bytes with chunked framing removed). None when
+    * the payload is not an HTTP message or has no body separator —
+    * callers treat the whole payload as the content then. */
+  private[graft] def httpSplitBytes(
+      bytes: Array[Byte]): Option[(String, Array[Byte])] = {
     val n = bytes.length
     val isHttp = n >= 5 && bytes(0) == 'H' && bytes(1) == 'T' &&
       bytes(2) == 'T' && bytes(3) == 'P' && bytes(4) == '/'
-    if (!isHttp) return decode(bytes, utf8)
+    if (!isHttp) return None
     // earliest of \r\n\r\n | \n\n bounds the header block
     var i = 0
     var hdrEnd = -1
@@ -479,13 +480,51 @@ object Warc {
       }
       i += 1
     }
-    if (bodyStart < 0) return decode(bytes, utf8) // headers only / truncated
+    if (bodyStart < 0) return None // headers only / truncated
     val headers = new String(bytes, 0, hdrEnd,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     var body = java.util.Arrays.copyOfRange(bytes, bodyStart, n)
     val te = "(?im)^transfer-encoding:(.*)$".r
       .findFirstMatchIn(headers).map(_.group(1).toLowerCase(java.util.Locale.ROOT))
     if (te.exists(_.contains("chunked"))) body = dechunkBytes(body)
+    Some((headers, body))
+  }
+
+  /** The HTTP BODY's raw octets — header block split off, chunked
+    * framing removed, NOTHING decoded: what a media consumer wants
+    * from a `response` record carrying an image (decoding would
+    * shred the bytes). Non-HTTP payloads pass whole (the
+    * resource-record convention). */
+  private[graft] def httpBodyBytes(bytes: Array[Byte]): Array[Byte] =
+    httpSplitBytes(bytes).map(_._2).getOrElse(bytes)
+
+  private val bodyBytesUdf =
+    udf { (b: Array[Byte]) => if (b == null) null else httpBodyBytes(b) }
+
+  /** [[httpBodyBytes]] as a Column over a binary payload. */
+  def httpBodyBytesCol(payload: Column): Column = bodyBytesUdf(payload)
+
+  private[graft] def decodeHttpPayload(bytes: Array[Byte]): String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def decode(b: Array[Byte], cs: java.nio.charset.Charset): String =
+      cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        .decode(java.nio.ByteBuffer.wrap(b)).toString
+    val split = httpSplitBytes(bytes)
+    if (split.isEmpty) return decode(bytes, utf8)
+    val (headers, body) = split.get
+    // a byte-order mark outranks every declaration (the WHATWG
+    // encoding-sniffing precedence) and is stripped from the text
+    if (body.length >= 3 && body(0) == 0xEF.toByte &&
+        body(1) == 0xBB.toByte && body(2) == 0xBF.toByte)
+      return decode(java.util.Arrays.copyOfRange(body, 3, body.length), utf8)
+    if (body.length >= 2 && body(0) == 0xFF.toByte && body(1) == 0xFE.toByte)
+      return decode(java.util.Arrays.copyOfRange(body, 2, body.length),
+        java.nio.charset.StandardCharsets.UTF_16LE)
+    if (body.length >= 2 && body(0) == 0xFE.toByte && body(1) == 0xFF.toByte)
+      return decode(java.util.Arrays.copyOfRange(body, 2, body.length),
+        java.nio.charset.StandardCharsets.UTF_16BE)
     val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
     val headerCs = "(?im)^content-type:(.*)$".r.findFirstMatchIn(headers)
       .map(_.group(1)).flatMap(ct => csPat.findFirstMatchIn(ct).map(_.group(1)))

@@ -751,7 +751,12 @@ object CurationPipeline {
     // with the record payload decoded as UTF-8 for the downstream
     // text steps. A string column takes the UTF-16-unit convenience
     // path; `gzip` is meaningless there and rejected.
-    "warc" -> Op(Set("types", "rekey", "httpMeta", "gzip"), { c =>
+    // binaryPayload: true (binary input only) additionally carries the
+    // record's HTTP BODY OCTETS as a `payload` binary column — media
+    // records (images/audio in a capture) feed media_stats/dedup_image
+    // without a text decode shredding them; the text column still gets
+    // the charset-decoded body for mixed-content chains.
+    "warc" -> Op(Set("types", "rekey", "httpMeta", "gzip", "binaryPayload"), { c =>
       val keep = c.params.str("types", "response")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(keep.nonEmpty, s"step ${c.stepName}: types must name at least one record type")
@@ -763,6 +768,10 @@ object CurationPipeline {
       require(!gzipped || isBinary,
         s"step ${c.stepName}: gzip: true requires a BINARY '${c.textCol}' column — " +
           "a string column cannot hold gzip bytes")
+      val binaryPayload = c.params.str("binaryPayload", "false").toBoolean
+      require(!binaryPayload || isBinary,
+        s"step ${c.stepName}: binaryPayload: true requires a BINARY " +
+          s"'${c.textCol}' column — a string column has already lost the octets")
       // binary path: keep the raw octets for the charset-aware body
       // decode (headers are ASCII, so the string view serves the
       // status/content-type lookups)
@@ -786,9 +795,13 @@ object CurationPipeline {
         if (isBinary) graft.operators.Warc.httpBodyCharset(col("__payload_b"))
         else if (httpMeta) graft.operators.Warc.httpBodyDechunked(col("payload"))
         else graft.operators.Warc.httpBody(col("payload"))
+      val payloadCols =
+        if (binaryPayload)
+          Seq(graft.operators.Warc.httpBodyBytesCol(col("__payload_b")).as("payload"))
+        else Seq.empty
       val recs = base.select(
         Seq(col("doc_id").as(c.idCol), col("rec_idx"), col("warc_type"),
-          col("target_uri")) ++ metaCols :+ bodyCol.as(c.textCol): _*)
+          col("target_uri")) ++ metaCols ++ payloadCols :+ bodyCol.as(c.textCol): _*)
       if (c.params.str("rekey", "false").toBoolean) {
         val guarded = when(
           col(c.idCol) < 0 || col(c.idCol) >= Long.MaxValue / 65536 ||

@@ -349,6 +349,54 @@ class WarcSpec extends SparkSpec {
     assert(chain(e).contains("requires a BINARY"), chain(e))
   }
 
+  test("httpBodyBytes: raw body octets survive untouched — headers off, chunked reassembled, never decoded") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x00, 0xFF.toByte, 0xFE.toByte, 0x00)
+    val resp = "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n".getBytes("UTF-8") ++ png
+    assert(Warc.httpBodyBytes(resp).toSeq === png.toSeq)
+    // chunked binary body: byte-level reassembly, no charset involved
+    val chunked = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4\r\n").getBytes("UTF-8") ++ png.take(4) ++ "\r\n4\r\n".getBytes("UTF-8") ++
+      png.drop(4) ++ "\r\n0\r\n\r\n".getBytes("UTF-8")
+    assert(Warc.httpBodyBytes(chunked).toSeq === png.toSeq)
+    // non-HTTP payload passes whole
+    assert(Warc.httpBodyBytes(png).toSeq === png.toSeq)
+  }
+
+  test("pipeline warc step binaryPayload: media records carry exact body octets beside the text") {
+    import java.nio.file.Files
+    val (src, out) = (Files.createTempDirectory("graft-warcm-src").toString,
+      Files.createTempDirectory("graft-warcm-out").toString)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0xFF.toByte, 0x00, 0xFE.toByte)
+    val pages = (1L to 4L).map { i =>
+      val resp = recBytes("response", s"http://h/$i",
+        "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n".getBytes("UTF-8") ++ png)
+      val res = recBytes("resource", s"http://h/$i/raw.png", png)
+      (i, resp ++ res)
+    }.toDF("doc_id", "text")
+    pages.write.parquet(s"$src/captures.parquet")
+    val yaml = Files.createTempFile("graft-pipe-warcm", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: media_front
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: records
+        |    op: warc
+        |    input: captures
+        |    params: { types: "response,resource", binaryPayload: "true", rekey: "true" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/records")
+    assert(got.count() === 8)
+    // every record's payload column holds the EXACT image octets —
+    // response records with headers split off, resource records whole
+    got.select("warc_type", "payload").collect().foreach { r =>
+      assert(r.getAs[Array[Byte]](1).toSeq === png.toSeq,
+        s"${r.getString(0)} payload octets")
+    }
+  }
+
   test("pipeline export_warc: archives write sharded .warc.gz and ingest back through the warc step") {
     import java.nio.file.{Files, Paths}
     val (src, out, out2) = (Files.createTempDirectory("graft-warcw-src").toString,
