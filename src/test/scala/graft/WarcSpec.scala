@@ -397,6 +397,51 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("pipeline: capture -> binaryPayload -> media_stats decodes in-capture images end to end") {
+    import java.nio.file.Files
+    import graft.operators.Multimodal
+    val (src, out) = (Files.createTempDirectory("graft-warcms-src").toString,
+      Files.createTempDirectory("graft-warcms-out").toString)
+    // REAL decodable PNGs wrapped as HTTP responses inside WARC captures
+    val imgs = Multimodal.syntheticImages(
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val pages = imgs.toSeq.map { case (i, png) =>
+      (i, recBytes("response", s"http://h/$i.png",
+        "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n".getBytes("UTF-8") ++ png))
+    }.toDF("doc_id", "text")
+    pages.write.parquet(s"$src/captures.parquet")
+    val yaml = Files.createTempFile("graft-pipe-warcms", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: capture_media
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: records
+        |    op: warc
+        |    input: captures
+        |    params: { binaryPayload: "true" }
+        |  - name: meta
+        |    op: media_stats
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/meta")
+      .select("doc_id", "mime", "width", "height", "pixel_md5").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    // cross-check against decoding the ORIGINAL bytes directly: the
+    // capture -> record -> body-octets path lost nothing
+    val want = Multimodal.decodeImage(
+        imgs.toSeq.toDF("doc_id", "payload")).toDF()
+      .select("doc_id", "width", "height", "pixel_md5").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (mime, w, h, md5)) =>
+      assert(mime === "image/png")
+      assert((w, h, md5) === want(id), s"doc $id decode metadata")
+    }
+  }
+
   test("pipeline export_warc: archives write sharded .warc.gz and ingest back through the warc step") {
     import java.nio.file.{Files, Paths}
     val (src, out, out2) = (Files.createTempDirectory("graft-warcw-src").toString,
