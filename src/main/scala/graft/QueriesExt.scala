@@ -3228,6 +3228,40 @@ object QueriesExt {
       |FROM r
       |""".stripMargin
 
+  /** Page-metadata extraction over constructed heads: Open Graph tags
+    * in BOTH attribute orders (property-first and content-first), a
+    * duplicate og:title (first wins), `article:published_time` (the
+    * freshness signal a recrawl mix consumes), a plain
+    * `name=description`, an entity-encoded value, and an absent key
+    * (`""`). The oracle states every value directly. */
+  def crawlPageMeta(s: SparkSession, dir: String): DataFrame = {
+    val hid = col("doc_id").cast("string")
+    val day = (col("doc_id") % 9 + 1).cast("string")
+    val html = concat(
+      lit("<html><head><meta property=\"og:title\" content=\"Title &amp; co "), hid,
+      lit("\"><meta content=\"Second title\" property=\"og:title\">" +
+        "<meta content=\"Desc — detail\" property=\"og:description\">" +
+        "<meta property=\"article:published_time\" content=\"2024-03-0"), day,
+      lit("T12:00:00Z\"><meta name=\"description\" content=\"plain description\">" +
+        "</head><body><p>body og:image text</p></body></html>"))
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.htmlMetaContent(html, "og:title").as("og_title"),
+      TextAnalysis.htmlMetaContent(html, "og:description").as("og_description"),
+      TextAnalysis.htmlMetaContent(html, "article:published_time").as("published_time"),
+      TextAnalysis.htmlMetaContent(html, "description").as("description"),
+      TextAnalysis.htmlMetaContent(html, "og:image").as("og_image"))
+  }
+
+  lazy val crawlPageMetaSql: String =
+    """SELECT doc_id,
+      |       'Title & co ' || doc_id AS og_title,
+      |       'Desc — detail' AS og_description,
+      |       '2024-03-0' || (doc_id % 9 + 1) || 'T12:00:00Z' AS published_time,
+      |       'plain description' AS description,
+      |       '' AS og_image
+      |FROM documents
+      |""".stripMargin
+
   /** Recrawl/freshness verdicts over six constructed (discovery,
     * fetch-log) shapes per document — one per rule branch: never
     * fetched (`new`), freshly fetched under its `daily` interval (not

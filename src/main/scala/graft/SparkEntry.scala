@@ -61,6 +61,7 @@ object SparkEntry {
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
     "crawl_recrawl_due" -> (QueriesExt.crawlRecrawlDue _),
+    "crawl_page_meta" -> (QueriesExt.crawlPageMeta _),
     "crawl_robots_delays" -> (QueriesExt.crawlRobotsDelays _),
     // per-host polite fetch ordinals + offsets over a frontier
     "crawl_schedule"      -> (QueriesExt.crawlSchedule _),
@@ -315,6 +316,7 @@ object SparkEntry {
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_recrawl_due"         -> QueriesExt.crawlRecrawlDueSql,
+    "crawl_page_meta"           -> QueriesExt.crawlPageMetaSql,
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,
     "crawl_schedule"            -> QueriesExt.crawlScheduleSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,

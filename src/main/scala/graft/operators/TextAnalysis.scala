@@ -729,6 +729,31 @@ object TextAnalysis {
       "\\s+", ""))
   }
 
+  /** A named `<meta>` tag's content — the page-metadata read behind
+    * snippet/freshness curation signals: Open Graph tags
+    * (`property="og:title"`, `og:description`, …),
+    * `article:published_time` / `article:modified_time` (the
+    * publish-date source a freshness-weighted mix consumes — feed it
+    * to [[Recrawl.dueVerdicts]]' lastmod column), plain
+    * `name="description"`. Matches `property=` OR `name=` spellings
+    * (publishers use either for OG), first tag wins, attribute order
+    * free, entity-decoded; `""` when absent. `key` is restricted to
+    * the tag-name alphabet so it embeds into the pattern verbatim.
+    * Pure codegen'd Column — the [[htmlMetaRobots]] discipline. */
+  def htmlMetaContent(html: Column, key: String): Column = {
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == ':' ||
+      c == '_' || c == '-' || c == '.'),
+      s"meta key must be [A-Za-z0-9:_.-]+, got '$key'")
+    // '.' is the only regex metacharacter the key alphabet admits;
+    // escape it by hand (\Q…\E is Java-only — the RE2/DuckDB-portable
+    // pattern discipline)
+    val k = key.replace(".", "\\.")
+    val tag = regexp_extract(coalesce(html, lit("")),
+      s"(?i)<meta\\b[^>]*\\b(?:property|name)\\s*=\\s*[\"']$k[\"'][^>]*", 0)
+    htmlDecodeEntities(
+      regexp_extract(tag, "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+  }
+
   /** The page's `<link rel="canonical" href="…">` target (raw — feed
     * [[resolveLinksStaged]] for the absolute form), `""` when absent;
     * first wins; attribute order free. The dedup key a crawl honors

@@ -1048,6 +1048,29 @@ object CurationPipeline {
       }
     }, modes = Set("full", "admit"), tableParams = Set("table"),
       fullOnlyParams = Set("table")),
+    // page-metadata annotation: each named <meta> key (property= or
+    // name= spelling, first tag wins, entity-decoded) becomes a
+    // column — og:title/og:description for snippets,
+    // article:published_time as the freshness signal a recrawl step
+    // consumes (`lastmod: article_published_time`). Chain BEFORE
+    // extract_html (which rewrites the text column). Column names are
+    // the keys with [:.-] mapped to '_'.
+    "page_meta" -> Op(Set("keys", "html"), { c =>
+      val htmlCol = c.params.str("html", c.textCol)
+      require(c.input.columns.contains(htmlCol),
+        s"step ${c.stepName}: input has no html column '$htmlCol'")
+      val keys = c.params
+        .str("keys", "og:title,og:description,article:published_time")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, s"step ${c.stepName}: keys must name at least one meta key")
+      keys.foldLeft(c.input) { (d, k) =>
+        val colName = k.map(ch => if (ch == ':' || ch == '.' || ch == '-') '_' else ch)
+        require(!d.columns.contains(colName),
+          s"step ${c.stepName}: output column '$colName' (for meta key '$k') " +
+            "already exists on the input")
+        d.withColumn(colName, TextAnalysis.htmlMetaContent(col(htmlCol), k))
+      }
+    }),
     "redact" -> Op(Set.empty, { c =>
       c.input.withColumn(c.textCol, TextAnalysis.redact(col(c.textCol)))
     }),

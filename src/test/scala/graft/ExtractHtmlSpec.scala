@@ -76,6 +76,59 @@ class ExtractHtmlSpec extends SparkSpec {
     assert(n === "")
   }
 
+  test("htmlMetaContent: attribute orders, first-wins, entities, decoys, absent keys") {
+    def meta(html: String, key: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextAnalysis.htmlMetaContent(col("h"), key).as("m"))
+        .collect()(0).getString(0)
+    val page =
+      """<html><head>
+        |<meta property="og:title" content="First &amp; real">
+        |<meta content="second" property="og:title">
+        |<meta content="content-first — desc" property="og:description">
+        |<meta name="description" content="named form">
+        |<META PROPERTY="article:published_time" CONTENT="2024-01-02T03:04:05Z">
+        |</head><body>og:image <p>meta property="og:image" in text</p></body></html>""".stripMargin
+    assert(meta(page, "og:title") === "First & real")        // first tag wins
+    assert(meta(page, "og:description") === "content-first — desc") // order free
+    assert(meta(page, "description") === "named form")       // name= spelling
+    assert(meta(page, "article:published_time") === "2024-01-02T03:04:05Z") // case-insensitive
+    assert(meta(page, "og:image") === "")                    // body text is no tag
+    assert(meta(page, "og.title") === "")                    // '.' literal, not wildcard
+    assert(meta(null.asInstanceOf[String] + "", "og:title") === "")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.htmlMetaContent(col("h"), "bad key!")
+    }
+  }
+
+  test("pipeline page_meta step: keys become columns; collision fails loud") {
+    import java.nio.file.Files
+    val (src, out) = (Files.createTempDirectory("graft-pm-src").toString,
+      Files.createTempDirectory("graft-pm-out").toString)
+    (1L to 3L).map { i =>
+      (i, s"""<html><head><meta property="og:title" content="T$i">""" +
+        s"""<meta property="article:published_time" content="2024-05-0${i}T00:00:00Z">""" +
+        "</head><body>x</body></html>")
+    }.toDF("doc_id", "text").write.parquet(s"$src/pages.parquet")
+    val yaml = Files.createTempFile("graft-pipe-pm", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: pm
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: meta
+        |    op: page_meta
+        |    input: pages
+        |    params: { keys: "og:title,article:published_time" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val got = spark.read.parquet(s"$out/meta")
+      .select("doc_id", "og_title", "article_published_time").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq === (1L to 3L).map(i =>
+      (i, s"T$i", s"2024-05-0${i}T00:00:00Z")).toSeq)
+  }
+
   test("htmlTitle: first title, entities decoded, inner tags stripped; absent -> empty") {
     def title(html: String): String =
       Seq(Tuple1(html)).toDF("h")
