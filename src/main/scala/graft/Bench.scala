@@ -98,6 +98,8 @@ object Bench {
     "crawl_extract_links"       -> (QueriesExt.crawlExtractLinks _),
     // freshness scheduling: declared-key join + scan-local due CASE
     "crawl_recrawl_due"         -> (QueriesExt.crawlRecrawlDue _),
+    // named-<meta> extraction regex chain (snippets + freshness signals)
+    "crawl_page_meta"           -> (QueriesExt.crawlPageMeta _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),
     "table_profile"             -> (QueriesExt.tableProfile _),
     // production approx-distinct profile (no exact companion)

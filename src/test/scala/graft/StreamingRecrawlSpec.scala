@@ -131,6 +131,51 @@ class StreamingRecrawlSpec extends SparkSpec {
     assert(e.getMessage.contains("bucket-count mismatch"))
   }
 
+  test("composition: page_meta published_time drives recrawl as the lastmod signal") {
+    val s = spark
+    import s.implicits._
+    val (src1, src2, out1, out2, state) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    def page(url: String, published: String) =
+      s"""<html><head><meta property="article:published_time" content="$published">""" +
+        s"""<meta property="og:url" content="$url"></head><body>x</body></html>"""
+    def spec(now: Long) = {
+      val y = java.nio.file.Files.createTempFile("graft-pm-recrawl", ".yaml")
+      java.nio.file.Files.writeString(y,
+        s"""pipeline: fresh_by_meta
+           |id: doc_id
+           |text: text
+           |steps:
+           |  - name: meta
+           |    op: page_meta
+           |    input: pages
+           |    params: { keys: "article:published_time" }
+           |  - name: due
+           |    op: recrawl
+           |    params: { mode: admit, url: url, lastmod: article_published_time,
+           |              now: "$now", defaultAge: "604800" }
+           |""".stripMargin)
+      y.toString
+    }
+    // night 1: two articles, both new
+    Seq(
+      (1L, "http://h/a", page("http://h/a", "2023-11-01T00:00:00Z")),
+      (2L, "http://h/b", page("http://h/b", "2023-11-01T00:00:00Z")))
+      .toDF("doc_id", "url", "text").write.parquet(s"$src1/pages.parquet")
+    Cli.run(Seq("pipeline", spec(T0), src1, out1, "--state", state), spark)
+    assert(s.read.parquet(s"$out1/due").count() === 2)
+    // night 2 (one day later): /a republished AFTER night 1's fetch —
+    // the page's own metadata re-admits it; /b unchanged — dropped
+    Seq(
+      (1L, "http://h/a", page("http://h/a", "2023-11-15T08:00:00Z")),
+      (2L, "http://h/b", page("http://h/b", "2023-11-01T00:00:00Z")))
+      .toDF("doc_id", "url", "text").write.parquet(s"$src2/pages.parquet")
+    Cli.run(Seq("pipeline", spec(T0 + Day), src2, out2, "--state", state), spark)
+    val night2 = s.read.parquet(s"$out2/due")
+      .select("url", "recrawl_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(night2 === Map("http://h/a" -> "modified"))
+  }
+
   test("dueVerdicts plan: guard window and join share the fetch log's partitioning (<= 2 exchanges)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
