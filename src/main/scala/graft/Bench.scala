@@ -36,6 +36,8 @@ object Bench {
     "text_chunks"               -> (QueriesExt.textChunks _),
     "decon_ngram_overlap"       -> (QueriesExt.deconNgramOverlap _),
     "decon_bloom_clean"         -> (QueriesExt.deconBloomClean _),
+    // paraphrase contamination: broadcast-array benchmark, scan-local fold
+    "decon_semantic"            -> (QueriesExt.deconSemanticBench _),
     "text_heavy_hitters"        -> (QueriesExt.textHeavyHitters _),
     "events_sessionize"         -> (QueriesEvents.eventsSessionize _),
     "events_sessionize_incremental" -> (QueriesEvents.eventsSessionizeIncremental _),

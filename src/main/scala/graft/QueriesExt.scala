@@ -2612,6 +2612,57 @@ object QueriesExt {
        |FROM ranked WHERE rn = 1
        |""".stripMargin
 
+  /** Semantic decontamination over the embeddings table: benchmark =
+    * the first 8 embeddings, corpus = the rest; every corpus row
+    * annotated with its exact max-cosine to the benchmark and the
+    * `contaminated` verdict at 0.45 (the corpus's near-dup band, so
+    * both verdicts occur). Exact-decimal form; the production
+    * broadcast-array form is spec-pinned equivalent and benched. */
+  def deconSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Decontaminate.semanticExact(
+      e.filter(col("vec_id") >= 8), "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding", minCosine = 0.45)
+  }
+
+  /** The production form for the bench: one broadcast benchmark array
+    * row, scan-local codegen'd max-cosine fold. */
+  def deconSemanticBench(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Decontaminate.semantic(
+        e.filter(col("vec_id") >= 8), "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "embedding", minCosine = 0.45)
+      .select(col("vec_id"), col("contaminated"))
+  }
+
+  lazy val deconSemanticSql: String =
+    """WITH pos AS (
+      |  SELECT vec_id AS vid, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |), b AS (
+      |  SELECT vid AS bid, pos, v AS bv FROM pos WHERE vid < 8
+      |), cp AS (
+      |  SELECT vid, pos, v FROM pos WHERE vid >= 8
+      |), cn AS (
+      |  SELECT vid, sum(CAST(v * v AS DECIMAL(30,15))) AS n2 FROM cp GROUP BY 1
+      |), bn AS (
+      |  SELECT bid, sum(CAST(bv * bv AS DECIMAL(30,15))) AS n2 FROM b GROUP BY 1
+      |), dots AS (
+      |  SELECT cp.vid, b.bid, sum(CAST(cp.v * b.bv AS DECIMAL(30,15))) AS dot
+      |  FROM cp JOIN b USING (pos) GROUP BY 1, 2
+      |), mc AS (
+      |  SELECT vid,
+      |         max(CAST(dot AS DOUBLE)
+      |             / (sqrt(CAST(cn.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE)))) AS m
+      |  FROM dots JOIN cn USING (vid) JOIN bn USING (bid)
+      |  GROUP BY 1
+      |)
+      |SELECT e.vec_id, round(mc.m, 6) AS max_bench_cosine,
+      |       coalesce(mc.m >= 0.45, false) AS contaminated
+      |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id >= 8) e
+      |LEFT JOIN mc ON mc.vid = e.vec_id
+      |""".stripMargin
+
   /** SemDeDup over the embeddings table: cluster with the lowest-8-id
     * centroids (the [[embedKmeansAssign]] assignment, already gated),
     * prune within clusters at the near-dup threshold the

@@ -62,6 +62,7 @@ object SparkEntry {
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
     "crawl_recrawl_due" -> (QueriesExt.crawlRecrawlDue _),
     "crawl_page_meta" -> (QueriesExt.crawlPageMeta _),
+    "decon_semantic" -> (QueriesExt.deconSemantic _),
     "crawl_robots_delays" -> (QueriesExt.crawlRobotsDelays _),
     // per-host polite fetch ordinals + offsets over a frontier
     "crawl_schedule"      -> (QueriesExt.crawlSchedule _),
@@ -317,6 +318,7 @@ object SparkEntry {
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_recrawl_due"         -> QueriesExt.crawlRecrawlDueSql,
     "crawl_page_meta"           -> QueriesExt.crawlPageMetaSql,
+    "decon_semantic"            -> QueriesExt.deconSemanticSql,
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,
     "crawl_schedule"            -> QueriesExt.crawlScheduleSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,

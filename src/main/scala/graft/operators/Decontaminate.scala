@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share
@@ -168,4 +168,94 @@ object Decontaminate {
   ): DataFrame =
     bloomCleanWith(train, buildFilter(bench, idCol, textCol, n, fpp),
       idCol, textCol, maxShared, broadcastVerify)
+
+  // ---------------------------------------------------------- semantic
+
+  /** SEMANTIC decontamination — the embedding-similarity companion to
+    * the verbatim n-gram pass: a paraphrased or lightly-reworded copy
+    * of an eval item shares few 8-grams but sits at high embedding
+    * cosine, and training on it contaminates the benchmark just the
+    * same. Annotate every corpus row with its MAX cosine to any
+    * benchmark embedding and the `contaminated` verdict
+    * (`max >= minCosine`); NULL-embedding rows carry no geometry and
+    * pass unflagged (the [[Similarity.semDedup]] null rule).
+    *
+    * Fast/production form: the benchmark collapses to ONE broadcast
+    * array row (eval suites are thousands of embeddings — bounded by
+    * `maxBenchRows`, fail-loud) with per-item norms precomputed; each
+    * corpus row's max-cosine is then a scan-local codegen'd
+    * higher-order fold — the corpus never shuffles and never joins a
+    * per-benchmark-row relation. [[semanticExact]] is the
+    * engine-exact decimal explode twin for the oracle gate (the
+    * semDedup/semDedupFast convention; equivalence spec-pinned). */
+  def semantic(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String,
+      minCosine: Double, maxBenchRows: Int = 100000
+  ): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    Seq("__bench", "__n2", "max_bench_cosine", "contaminated").foreach(t =>
+      require(!corpus.columns.contains(t),
+        s"Decontaminate.semantic: input already has column '$t'"))
+    val nBench = bench.filter(col(benchVecCol).isNotNull).count()
+    require(nBench <= maxBenchRows,
+      s"Decontaminate.semantic: $nBench benchmark embeddings exceed " +
+        s"maxBenchRows=$maxBenchRows — a 'benchmark' that size is a corpus; " +
+        "use the clustered SemDeDup machinery instead")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val benchArr = bench
+      .filter(col(benchVecCol).isNotNull)
+      .select(struct(
+        col(benchVecCol).as("bv"),
+        sqrt(dot(col(benchVecCol), col(benchVecCol))).as("bn")).as("b"))
+      .agg(collect_list(col("b")).as("__bench"))
+    val withNorm = corpus.withColumn("__n2",
+      when(col(vecCol).isNotNull, sqrt(dot(col(vecCol), col(vecCol)))))
+    withNorm
+      .crossJoin(broadcast(benchArr))
+      .withColumn("max_bench_cosine",
+        when(col(vecCol).isNotNull && col("__n2") > 0,
+          array_max(transform(col("__bench"), b =>
+            dot(col(vecCol), b.getField("bv")) / (col("__n2") * b.getField("bn"))))))
+      .withColumn("contaminated",
+        coalesce(col("max_bench_cosine") >= minCosine, lit(false)))
+      .drop("__bench", "__n2")
+  }
+
+  /** Engine-exact twin of [[semantic]] for the oracle gate: relational
+    * explode-join with decimal partial sums — order-independent, so a
+    * DuckDB oracle reproduces the flag bit-for-bit. Output
+    * `(idCol, max_bench_cosine rounded to 6, contaminated)`. */
+  def semanticExact(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      minCosine: Double
+  ): DataFrame = {
+    val pos = corpus.select(col(idCol).as("__cid"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("__cid"), col("pos"), col("v").cast("double").as("v"))
+    val bpos = bench.select(col(benchIdCol).as("__bid"),
+        posexplode(col(benchVecCol)).as(Seq("pos", "bv")))
+      .select(col("__bid"), col("pos"), col("bv").cast("double").as("bv"))
+    val cn = pos.groupBy("__cid")
+      .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("cn2"))
+    val bn = bpos.groupBy("__bid")
+      .agg(sum((col("bv") * col("bv")).cast("decimal(30,15)")).as("bn2"))
+    val dots = pos.join(bpos, Seq("pos"))
+      .groupBy("__cid", "__bid")
+      .agg(sum((col("v") * col("bv")).cast("decimal(30,15)")).as("dot"))
+    val maxCos = dots
+      .join(cn, Seq("__cid")).join(bn, Seq("__bid"))
+      .withColumn("__cos", col("dot").cast("double") /
+        (sqrt(col("cn2").cast("double")) * sqrt(col("bn2").cast("double"))))
+      .groupBy("__cid").agg(max(col("__cos")).as("__mc"))
+    corpus.select(col(idCol)).distinct()
+      .join(maxCos, corpus(idCol) === maxCos("__cid"), "left")
+      .select(col(idCol),
+        round(col("__mc"), 6).as("max_bench_cosine"),
+        coalesce(col("__mc") >= minCosine, lit(false)).as("contaminated"))
+  }
 }

@@ -1723,6 +1723,33 @@ object CurationPipeline {
     // batch pruned against smaller-id cluster members only — cost ∝
     // batch × touched-cluster membership, never corpus²). Equality
     // with a full rebuild holds under the append-only-id contract.
+    // SEMANTIC decontamination: drop corpus rows whose embedding sits
+    // at cosine >= minCosine to ANY benchmark embedding — the
+    // paraphrase-contamination pass the verbatim n-gram decontaminate
+    // cannot catch. embeddings/benchmark name aux tables (corpus
+    // embeddings keyed by the pipeline id; benchmark rows only need
+    // the vector column). The benchmark collapses to one broadcast
+    // array row; the corpus never shuffles. Docs WITHOUT an embedding
+    // row pass through (no geometry, no verdict — mirror semdedup).
+    "decontaminate_semantic" -> Op(
+      Set("embeddings", "benchmark", "id", "vec", "minCosine", "maxBench"), { c =>
+      val eid = c.params.str("id", c.idCol)
+      val vec = c.params.str("vec", "embedding")
+      val et = c.resolve(c.params.reqStr("embeddings"))
+      val bt = c.resolve(c.params.reqStr("benchmark"))
+      for ((t, needed) <- Seq(("embeddings", eid), ("embeddings", vec), ("benchmark", vec)))
+        require((if (t == "embeddings") et else bt).columns.contains(needed),
+          s"step ${c.stepName}: $t table has no column '$needed'")
+      val scoped = et.filter(col(vec).isNotNull)
+        .join(c.input.select(col(c.idCol).as(eid)), Seq(eid), "left_semi")
+      val contaminated = Decontaminate.semantic(
+          scoped, eid, vec, bt, vec,
+          minCosine = c.params.double("minCosine", 0.9),
+          maxBenchRows = c.params.int("maxBench", 100000))
+        .filter(col("contaminated"))
+        .select(col(eid).as(c.idCol))
+      c.input.join(contaminated, Seq(c.idCol), "left_anti")
+    }, tableParams = Set("embeddings", "benchmark")),
     "semdedup" -> Op(
       Set("embeddings", "id", "vec", "k", "minCosine", "maxCluster", "onOversized",
         "mode", "buckets"), { c =>

@@ -212,6 +212,81 @@ class TextPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("semantic decontamination: fast == exact; thresholds, nulls, scan-locality") {
+    import graft.operators.Decontaminate
+    def v(xs: Double*) = xs.map(_.toFloat)
+    // benchmark: two unit-ish directions; corpus: a near-copy of b1
+    // (contaminated), an orthogonal vector (clean), a negative-cosine
+    // vector (clean), a NULL embedding (no geometry -> unflagged)
+    val bench = Seq((100L, v(1, 0, 0)), (101L, v(0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(0.99, 0.1, 0)),  // cos to b1 ~ 0.995
+      (2L, v(0, 0, 1)),       // orthogonal to both
+      (3L, v(-1, 0, 0)),      // cos -1 / 0
+      (4L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val fast = Decontaminate.semantic(corpus, "vec_id", "embedding",
+      bench, "embedding", minCosine = 0.9)
+    val got = fast.select("vec_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // fast == exact on the same data (verdicts and rounded cosines)
+    val exact = Decontaminate.semanticExact(corpus, "vec_id", "embedding",
+      bench, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.toString.toDouble), r.getBoolean(2)))).toMap
+    val fastR = fast.select(col("vec_id"),
+        round(col("max_bench_cosine"), 6).as("mc"), col("contaminated"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.toString.toDouble), r.getBoolean(2)))).toMap
+    assert(fastR === exact)
+    // the corpus side never shuffles: benchmark rides ONE broadcast row
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("BroadcastExchange"),
+      s"corpus shuffled: $plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark not broadcast: $plan")
+    // oversized 'benchmark' fails loud instead of building a giant row
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.semantic(corpus, "vec_id", "embedding",
+        bench, "embedding", minCosine = 0.9, maxBenchRows = 1)
+    }
+    assert(e.getMessage.contains("maxBenchRows"))
+  }
+
+  test("pipeline decontaminate_semantic: paraphrase-close embeddings drop, others survive") {
+    import java.nio.file.Files
+    val (src, out) = (Files.createTempDirectory("graft-dsem-src").toString,
+      Files.createTempDirectory("graft-dsem-out").toString)
+    def v(xs: Double*) = xs.map(_.toFloat)
+    (1L to 4L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+      .write.parquet(s"$src/documents.parquet")
+    Seq((1L, v(1, 0, 0)), (2L, v(0, 1, 0)), (3L, v(0.98, 0.2, 0)))
+      .toDF("doc_id", "embedding") // doc 4 has no embedding row
+      .write.parquet(s"$src/embs.parquet")
+    Seq(Tuple1(v(1, 0, 0))).toDF("embedding")
+      .write.parquet(s"$src/bench.parquet")
+    val yaml = Files.createTempFile("graft-pipe-dsem", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: dsem
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: cleaned
+        |    op: decontaminate_semantic
+        |    input: documents
+        |    params: { embeddings: embs, benchmark: bench, minCosine: "0.9" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val kept = spark.read.parquet(s"$out/cleaned")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 1 IS the benchmark direction (drops), doc 3 is its
+    // paraphrase-close neighbor (drops), doc 2 orthogonal (survives),
+    // doc 4 has no embedding (passes through)
+    assert(kept === Set(2L, 4L))
+  }
+
   test("shinglesLocal == shingles (set semantics, no exchange)") {
     val docs = sources.ParquetTables.readTable(spark, sf("sf0.001"), "documents")
     val local  = graft.operators.Dedup.shinglesLocal(docs, "doc_id", "text", 3)
