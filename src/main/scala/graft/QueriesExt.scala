@@ -1742,13 +1742,36 @@ object QueriesExt {
   // re-training inside the tokenize entry double-counted the ~5s
   // training cost already timed by textBpeVocab4k and overstated
   // encode ~4×. textBpeVocab4k itself never reads this cache (it IS
-  // the training bench).
+  // the training bench). Keyed by the session's UUID (stable and
+  // never reused, unlike identityHashCode) and bounded: inserting for
+  // a session evicts every other session's entries, so a retired
+  // session's DataFrames are not pinned for the JVM lifetime and a
+  // recycled identity can never serve a stale merge table.
   private val bpe4kMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // a stable never-reused per-session id, minted on first use into the
+  // session's own runtime conf (identityHashCode CAN be reused after a
+  // session is GC'd, which could serve a stale merge table; Spark's
+  // sessionUUID is private[sql])
+  private def bpe4kSessionId(s: SparkSession): String = {
+    val key = "graft.internal.bpe4kSessionId"
+    s.conf.getOption(key).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      s.conf.set(key, id)
+      id
+    }
+  }
+
+  private def bpe4kCachePut(s: SparkSession, dir: String, merges: DataFrame): Unit = {
+    val prefix = s"${bpe4kSessionId(s)}:"
+    bpe4kMergeCache.keySet.removeIf(k => !k.startsWith(prefix))
+    bpe4kMergeCache.put(s"$prefix$dir", merges)
+  }
+
   def textBpeVocab4k(s: SparkSession, dir: String): DataFrame = {
     val merges = Bpe.trainMergesLocal(bpe4kFused(s, dir), "text", numMerges = 4096)
-    bpe4kMergeCache.put(s"${System.identityHashCode(s)}:$dir", merges)
+    bpe4kCachePut(s, dir, merges)
     merges
   }
 
@@ -1763,7 +1786,7 @@ object QueriesExt {
   def textBpeTokenize4k(s: SparkSession, dir: String): DataFrame = {
     val fused = bpe4kFused(s, dir)
     val merges = bpe4kMergeCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir",
+      s"${bpe4kSessionId(s)}:$dir",
       _ => Bpe.trainMergesLocal(fused, "text", numMerges = 4096))
     Bpe.tokenizeWith(fused, "doc_id", "text", merges, ranked = true)
       .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
@@ -3313,16 +3336,19 @@ object QueriesExt {
       |FROM documents
       |""".stripMargin
 
-  /** Recrawl/freshness verdicts over six constructed (discovery,
+  /** Recrawl/freshness verdicts over eight constructed (discovery,
     * fetch-log) shapes per document — one per rule branch: never
     * fetched (`new`), freshly fetched under its `daily` interval (not
     * due), fetched past the interval (`aged`), publisher `lastmod`
     * newer than the fetch (`modified`, shadowing a not-yet-aged
     * `weekly`), `changefreq: never` a year stale (not due — age alone
-    * must not re-crawl it), and an unknown `changefreq` with junk
+    * must not re-crawl it), an unknown `changefreq` with junk
     * `lastmod` past the default age (`aged` — junk dates are no-ops,
-    * not stalls). Fixed epoch instants; the oracle states every
-    * verdict directly (hand-computed truth table). */
+    * not stalls), and a NULL `changefreq` both past (`aged` — NULL
+    * hints must not disable the age rule; the `never` compare is
+    * null-safe) and inside the default age (not due). Fixed epoch
+    * instants; the oracle states every verdict directly
+    * (hand-computed truth table). */
   def crawlRecrawlDue(s: SparkSession, dir: String): DataFrame = {
     val now = 1700000000L // 2023-11-14 22:13:20 UTC
     val d = docs(s, dir)
@@ -3341,7 +3367,11 @@ object QueriesExt {
       struct(lit(5).as("kind"), u("never").as("url"),
         lit("").as("lastmod"), lit("never").as("changefreq")),
       struct(lit(6).as("kind"), u("default").as("url"),
-        lit("not-a-date").as("lastmod"), lit("quarterly").as("changefreq"))))
+        lit("not-a-date").as("lastmod"), lit("quarterly").as("changefreq")),
+      struct(lit(7).as("kind"), u("nullcf").as("url"),
+        lit("").as("lastmod"), lit(null).cast("string").as("changefreq")),
+      struct(lit(8).as("kind"), u("nullcf_fresh").as("url"),
+        lit("").as("lastmod"), lit(null).cast("string").as("changefreq"))))
       .as("e"))
       .select(col("doc_id"), col("e.kind").as("kind"), col("e.url").as("url"),
         col("e.lastmod").as("lastmod"), col("e.changefreq").as("changefreq"))
@@ -3350,7 +3380,9 @@ object QueriesExt {
       struct(u("aged").as("url"), lit(now - 90000L).as("last_fetch_ts")),
       struct(u("modified").as("url"), lit(now - 90000L).as("last_fetch_ts")),
       struct(u("never").as("url"), lit(now - 31536000L).as("last_fetch_ts")),
-      struct(u("default").as("url"), lit(now - 700000L).as("last_fetch_ts"))))
+      struct(u("default").as("url"), lit(now - 700000L).as("last_fetch_ts")),
+      struct(u("nullcf").as("url"), lit(now - 700000L).as("last_fetch_ts")),
+      struct(u("nullcf_fresh").as("url"), lit(now - 3600L).as("last_fetch_ts"))))
       .as("e"))
       .select(col("e.url").as("url"), col("e.last_fetch_ts").as("last_fetch_ts"))
     Recrawl.dueVerdicts(disc, "url", "lastmod", "changefreq",
@@ -3366,7 +3398,9 @@ object QueriesExt {
       |  (3, 'aged', true, 'aged'),
       |  (4, 'modified', true, 'modified'),
       |  (5, 'never', false, NULL),
-      |  (6, 'default', true, 'aged'))
+      |  (6, 'default', true, 'aged'),
+      |  (7, 'nullcf', true, 'aged'),
+      |  (8, 'nullcf_fresh', false, NULL))
       |SELECT doc_id, kind,
       |       'http://h' || doc_id || '.example.com/' || suffix AS url,
       |       due AS recrawl_due,

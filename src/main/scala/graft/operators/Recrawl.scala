@@ -105,7 +105,7 @@ object Recrawl {
     val reason =
       when(col("__lf_ts").isNull, lit("new"))
         .when(lastmodTs.isNotNull && lastmodTs > col("__lf_ts"), lit("modified"))
-        .when(cf =!= "never" && age >= interval, lit("aged"))
+        .when(!(cf <=> lit("never")) && age >= interval, lit("aged"))
         .otherwise(lit(null).cast("string"))
     joined
       .withColumn("recrawl_reason", reason)

@@ -174,20 +174,94 @@ object Warc {
       }
   }
 
+  /** Default decompressed-size bound per capture row for
+    * [[gunzipMembers]] — 1 GiB. A crawled `.warc.gz` is untrusted
+    * content; an adversarial member ("gzip bomb") can expand a few KB
+    * into many GB and OOM the task, so inflation stops fail-loud at
+    * this bound. Real CommonCrawl captures are far under it. */
+  val MaxGunzipBytes: Long = 1L << 30
+
   /** Decode a byte array of CONCATENATED gzip members to the
-    * concatenated payload (`java.util.zip.GZIPInputStream` reads
-    * multi-member streams natively — it probes for a further member
-    * header after each trailer and fail-louds on trailing garbage).
-    * Scan-local, bounded by the row's own decompressed size. */
-  private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
-    try {
-      val buf = new Array[Byte](1 << 16)
-      var r = in.read(buf)
-      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-    } finally in.close()
+    * concatenated payload. Members are framed MANUALLY (RFC 1952
+    * header → raw-deflate `Inflater` → CRC32/ISIZE trailer) rather
+    * than via `GZIPInputStream`, because OpenJDK's multi-member probe
+    * swallows IOExceptions while looking for the next header and
+    * returns end-of-stream — a corrupted member boundary or trailing
+    * garbage would silently drop every subsequent record. Here EVERY
+    * input byte must be consumed by a well-formed member: bad magic,
+    * truncated streams, CRC/ISIZE mismatches, and trailing garbage all
+    * raise. Scan-local; decompressed output is bounded by `maxOut`
+    * ([[MaxGunzipBytes]]) and raises beyond it (bomb guard). */
+  private[graft] def gunzipMembers(
+      bytes: Array[Byte], maxOut: Long = MaxGunzipBytes): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(bytes.length.toLong * 4, 1L << 20).toInt))
+    var off = 0
+    var member = 0
+    def fail(msg: String): Nothing = throw new java.io.IOException(
+      s"gzip member $member at input byte $off: $msg")
+    def le32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    while (off < bytes.length) {
+      // RFC 1952 fixed header + optional fields
+      if (bytes.length - off < 10) fail("truncated gzip header")
+      if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b)
+        fail(f"bad gzip magic 0x${bytes(off) & 0xff}%02x${bytes(off + 1) & 0xff}%02x " +
+          "— corrupted member boundary or trailing garbage")
+      if ((bytes(off + 2) & 0xff) != 8) fail("unsupported compression method")
+      val flg = bytes(off + 3) & 0xff
+      off += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (bytes.length - off < 2) fail("truncated FEXTRA length")
+        off += 2 + ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8))
+        if (off > bytes.length) fail("truncated FEXTRA")
+      }
+      def skipZString(): Unit = {
+        while (off < bytes.length && bytes(off) != 0) off += 1
+        if (off >= bytes.length) fail("unterminated header string")
+        off += 1
+      }
+      if ((flg & 8) != 0) skipZString()  // FNAME
+      if ((flg & 16) != 0) skipZString() // FCOMMENT
+      if ((flg & 2) != 0) {              // FHCRC
+        off += 2
+        if (off > bytes.length) fail("truncated FHCRC")
+      }
+      // raw deflate body
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, off, bytes.length - off)
+        val buf = new Array[Byte](1 << 16)
+        val crc = new java.util.zip.CRC32()
+        var memberOut = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                fail(s"corrupt deflate stream — ${e.getMessage}")
+            }
+          if (n == 0 && !inf.finished()) fail(
+            if (inf.needsDictionary()) "deflate stream demands a preset dictionary"
+            else "truncated deflate stream")
+          if (n > 0) {
+            memberOut += n
+            if (out.size().toLong + n > maxOut)
+              fail(s"decompressed size exceeds the $maxOut-byte bound — " +
+                "refusing to inflate further (gzip bomb?)")
+            out.write(buf, 0, n)
+            crc.update(buf, 0, n)
+          }
+        }
+        off += inf.getBytesRead.toInt
+        if (bytes.length - off < 8) fail("truncated gzip trailer")
+        if (le32(off) != crc.getValue) fail("CRC32 mismatch")
+        if (le32(off + 4) != (memberOut & 0xffffffffL)) fail("ISIZE mismatch")
+        off += 8
+      } finally inf.end()
+      member += 1
+    }
     out.toByteArray
   }
 
@@ -526,20 +600,27 @@ object Warc {
       return decode(java.util.Arrays.copyOfRange(body, 2, body.length),
         java.nio.charset.StandardCharsets.UTF_16BE)
     val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
+    def supported(name: String): Boolean =
+      try java.nio.charset.Charset.isSupported(name)
+      catch { case _: java.nio.charset.IllegalCharsetNameException => false }
+    // the header only SHADOWS the meta prescan when the JVM can
+    // actually decode with it — an unrecognized header charset (e.g.
+    // a vendor alias) must fall through to a valid <meta charset>
+    // declaration rather than mojibake the page as UTF-8
     val headerCs = "(?im)^content-type:(.*)$".r.findFirstMatchIn(headers)
       .map(_.group(1)).flatMap(ct => csPat.findFirstMatchIn(ct).map(_.group(1)))
-    // header absent: WHATWG-style prescan of the first 1024 body bytes
-    // (charset declarations are ASCII; a latin-1 view cannot throw)
+      .filter(supported)
+    // no usable header: WHATWG-style prescan of the first 1024 body
+    // bytes (charset declarations are ASCII; a latin-1 view cannot throw)
     val metaCs =
       if (headerCs.nonEmpty) None
       else {
         val head = new String(body, 0, math.min(1024, body.length),
           java.nio.charset.StandardCharsets.ISO_8859_1)
         "(?is)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
-          .findFirstMatchIn(head).map(_.group(1))
+          .findFirstMatchIn(head).map(_.group(1)).filter(supported)
       }
     val cs = headerCs.orElse(metaCs)
-      .filter(java.nio.charset.Charset.isSupported)
       .map(java.nio.charset.Charset.forName)
       .getOrElse(utf8)
     decode(body, cs)

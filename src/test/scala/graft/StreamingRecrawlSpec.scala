@@ -200,6 +200,31 @@ class StreamingRecrawlSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dueVerdicts: NULL changefreq does not disable the aged rule (null-safe 'never' compare)") {
+    // a present-but-NULL changefreq column (common for feed channels)
+    // must behave like "no hint": aged when past the default interval,
+    // not due when inside it — the 'never' compare must be null-safe
+    val disc = Seq(
+      (1L, "http://h/stale", "", Option.empty[String]),
+      (2L, "http://h/fresh", "", Option.empty[String]),
+      (3L, "http://h/never", "", Option("never")))
+      .toDF("doc_id", "url", "lastmod", "changefreq")
+    val lf = Seq(
+      ("http://h/stale", 1700000000L - 700000L),
+      ("http://h/fresh", 1700000000L - 3600L),
+      ("http://h/never", 1700000000L - 700000L))
+      .toDF("url", "last_fetch_ts")
+    val got = graft.operators.Recrawl
+      .dueVerdicts(disc, "url", "lastmod", "changefreq", lf,
+        nowTs = 1700000000L, defaultAgeS = 604800L)
+      .select("url", "recrawl_due", "recrawl_reason").collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got === Map(
+      "http://h/stale" -> ((true, Some("aged"))),
+      "http://h/fresh" -> ((false, None)),
+      "http://h/never" -> ((false, None))))
+  }
+
   test("pipeline recrawl step: two nights under --state — re-listed URLs re-enter only when due") {
     val s = spark
     val (src1, src2, out1, out2, state) = (tmp(), tmp(), tmp(), tmp(), tmp())

@@ -193,10 +193,7 @@ class WarcSpec extends SparkSpec {
     assert(got.map(_.warc_type).toSeq === Seq("response", "metadata"))
     assert(new String(got(0).payload, "UTF-8").endsWith("naïve body"))
     // corruption INSIDE a member (deflate stream / CRC) raises with
-    // the doc id. (Trailing non-member garbage after the last trailer
-    // is silently treated as EOF — java.util.zip semantics, shared by
-    // real gzip readers; a mis-slice from any such loss still
-    // fail-louds at the WARC layer's version-line check.)
+    // the doc id
     val corrupt = members.clone()
     corrupt(members.length / 2) = (corrupt(members.length / 2) ^ 0x5A).toByte
     val bad = Seq((7L, corrupt)).toDF("doc_id", "warc")
@@ -207,6 +204,66 @@ class WarcSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
     assert(chain(e).contains("gzip decode failed") || chain(e).contains("WARC parse"),
       chain(e))
+  }
+
+  test("gunzipMembers: trailing garbage, corrupted boundary, bad trailer, and bombs all fail loud") {
+    val r1 = recBytes("response", "http://h/1", "HTTP/1.1 200 OK\r\n\r\nbody one".getBytes("UTF-8"))
+    val r2 = recBytes("metadata", "", "m2".getBytes("UTF-8"))
+    val m1 = Warc.gzipMember(r1)
+    val members = m1 ++ Warc.gzipMember(r2)
+    // trailing garbage after the last trailer: GZIPInputStream would
+    // silently stop; the manual framer raises
+    val eGarbage = intercept[java.io.IOException] {
+      Warc.gunzipMembers(members ++ "definitely not gzip bytes".getBytes("UTF-8"))
+    }
+    assert(eGarbage.getMessage.contains("bad gzip magic"), eGarbage.getMessage)
+    // short trailing garbage (under a header's width) also raises
+    val eShort = intercept[java.io.IOException] {
+      Warc.gunzipMembers(members ++ "junk".getBytes("UTF-8"))
+    }
+    assert(eShort.getMessage.contains("truncated gzip header"), eShort.getMessage)
+    // a corrupted member BOUNDARY (second member's magic damaged)
+    // would silently drop every subsequent record under
+    // GZIPInputStream's probe-and-swallow; here it raises
+    val boundary = members.clone()
+    boundary(m1.length) = 0x00
+    val eBoundary = intercept[java.io.IOException](Warc.gunzipMembers(boundary))
+    assert(eBoundary.getMessage.contains("bad gzip magic"), eBoundary.getMessage)
+    // a flipped CRC byte in the trailer raises (payload bytes intact)
+    val badCrc = members.clone()
+    badCrc(m1.length - 8) = (badCrc(m1.length - 8) ^ 0x7F).toByte
+    val eCrc = intercept[java.io.IOException](Warc.gunzipMembers(badCrc))
+    assert(eCrc.getMessage.contains("CRC32 mismatch"), eCrc.getMessage)
+    // a flipped ISIZE byte raises
+    val badIsize = members.clone()
+    badIsize(m1.length - 1) = (badIsize(m1.length - 1) ^ 0x7F).toByte
+    val eIsize = intercept[java.io.IOException](Warc.gunzipMembers(badIsize))
+    assert(eIsize.getMessage.contains("ISIZE mismatch"), eIsize.getMessage)
+    // a truncated member raises rather than returning a partial decode
+    val eTrunc = intercept[java.io.IOException] {
+      Warc.gunzipMembers(members.dropRight(12))
+    }
+    assert(eTrunc.getMessage.nonEmpty)
+    // bomb guard: a highly-compressible member stops at the bound
+    // instead of materializing the full expansion
+    val bomb = Warc.gzipMember(Array.fill[Byte](1 << 20)('a'))
+    val eBomb = intercept[java.io.IOException] {
+      Warc.gunzipMembers(bomb, maxOut = 1 << 16)
+    }
+    assert(eBomb.getMessage.contains("gzip bomb"), eBomb.getMessage)
+    // FNAME/FCOMMENT/FEXTRA header fields parse (constructed member
+    // with all optional fields present around the same deflate body)
+    val payload = "optional header fields".getBytes("UTF-8")
+    val plain = Warc.gzipMember(payload)
+    val deflateAndTrailer = java.util.Arrays.copyOfRange(plain, 10, plain.length)
+    val extra = Array[Byte](3, 0, 'x', 'y', 'z')
+    val full = Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16).toByte,
+      0, 0, 0, 0, 0, 0) ++
+      Array[Byte](extra.length.toByte, 0) ++ extra ++
+      ("name.txt".getBytes("UTF-8") :+ 0.toByte) ++
+      ("a comment".getBytes("UTF-8") :+ 0.toByte) ++
+      deflateAndTrailer
+    assert(Warc.gunzipMembers(full).toSeq === payload.toSeq)
   }
 
   test("parseRecordsBytes stays scan-local and null bytes parse to no records") {
@@ -256,6 +313,17 @@ class WarcSpec extends SparkSpec {
       "Content-Type: text/html; charset=utf-8",
       "<meta charset=iso-8859-1>ok".getBytes("UTF-8")))
       === "<meta charset=iso-8859-1>ok") // header precedence
+    // an UNSUPPORTED header charset must not shadow a valid <meta>
+    // declaration: the page still decodes as latin-1, not UTF-8 fallback
+    assert(Warc.decodeHttpPayload(http(
+      "Content-Type: text/html; charset=klingon-42",
+      "<meta charset=iso-8859-1>caf".getBytes("UTF-8") ++ Array(0xE9.toByte)))
+      === "<meta charset=iso-8859-1>café")
+    // an ILLEGAL charset name (isSupported would throw) is treated as
+    // unsupported, not an error
+    assert(Warc.decodeHttpPayload(http(
+      "Content-Type: text/html; charset=-bad",
+      "ok".getBytes("UTF-8"))) === "ok")
     val farMeta = (" " * 1100).getBytes("UTF-8") ++
       "<meta charset=iso-8859-1>".getBytes("UTF-8") ++ Array(0xE9.toByte)
     assert(Warc.decodeHttpPayload(http("Content-Type: text/html", farMeta))
