@@ -759,12 +759,38 @@ object QueriesExt {
        |FROM px GROUP BY 1, 2, 3
        |""".stripMargin
 
-  /** Frame sampling over the payload (one row per 256-byte window) —
-    * the mapPartitions batch-UDF plumbing with a fully SQL-checkable
-    * output shape. */
+  /** REAL frame extraction: RIFF/AVI videos built in-plan
+    * ([[graft.operators.Multimodal.renderAvi]] over the formula-PNG
+    * frame line), demuxed back through the strict AVI walker and
+    * per-frame DECODED to position-weighted pixel checksums — the
+    * oracle recomputes every frame's sums from the synthetic pixel
+    * formula (frame `f` of video `id` is image `id + f`), so a
+    * mis-sliced chunk, swapped frame order, or flipped pixel anywhere
+    * in mux/demux/decode mismatches. */
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
-    Multimodal.frameSample(
-      Multimodal.withPayload(docs(s, dir), "doc_id", "text"), frameBytes = 256).toDF()
+    Multimodal.videoFrameDecode(
+      Multimodal.syntheticAviVideos(docs(s, dir), "doc_id")).toDF()
+
+  lazy val multimodalFramesSql: String =
+    s"""WITH vm AS (
+       |  SELECT doc_id AS vid, f AS frame_idx, doc_id + f AS fid
+       |  FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS t(f)
+       |), d AS (
+       |  SELECT vid, frame_idx, fid,
+       |         CAST(8 + fid % 9 AS INTEGER) AS w,
+       |         CAST(8 + fid % 7 AS INTEGER) AS h
+       |  FROM vm
+       |), px AS (
+       |  SELECT vid, frame_idx, w, h, i, (fid * 131 + i * 7 + 13) % 256 AS v
+       |  FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+       |)
+       |SELECT vid AS doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |       w AS width, h AS height,
+       |       CAST(w * h * 3 AS INTEGER) AS n_bytes,
+       |       CAST(sum((i + 1) * v) AS BIGINT) AS sum1,
+       |       CAST(sum((i + 1) * (i + 1) * v) AS BIGINT) AS sum2
+       |FROM px GROUP BY 1, 2, 3, 4
+       |""".stripMargin
 
   /** REAL decode + nearest-neighbor resize to 8×6 (floor sampling
     * convention `src = out·dim div out_dim`): the oracle evaluates the
@@ -936,7 +962,9 @@ object QueriesExt {
        |FROM sm GROUP BY 1, 2
        |""".stripMargin
 
-  /** Video near-dup over frame-container payloads: demux + REAL
+  /** Video near-dup over REAL RIFF/AVI payloads (built in-plan by
+    * [[graft.operators.Multimodal.renderAvi]], demuxed back through
+    * the strict AVI chunk walker): demux + REAL
     * per-frame decode + dHash, a video's signature = its distinct
     * frame-hash set, pairs by shared-frame-hash blocking (the
     * winnow/MOSS machinery — [[Dedup.winnowPairsFromFps]]) kept at
@@ -949,7 +977,7 @@ object QueriesExt {
     * formula and replays the blocking, cap and overlap arithmetic
     * relationally. */
   def multimodalVideoNeardup(s: SparkSession, dir: String): DataFrame = {
-    val orig   = Multimodal.syntheticVideos(docs(s, dir), "doc_id")
+    val orig   = Multimodal.syntheticAviVideos(docs(s, dir), "doc_id")
     val copies = Multimodal.reencodeScaledVideo(orig, factor = 2, idOffset = 1000000L)
     val sigs = Multimodal.videoFrameHashes(orig.unionByName(copies)).toDF()
       .select(col("doc_id"), col("dhash_hex").as("fp")).distinct()
@@ -1101,17 +1129,6 @@ object QueriesExt {
          |GROUP BY 1, 2
          |HAVING sum(bit_count(xor(ra.rowbyte, rbb.rowbyte))) <= 3
          |""".stripMargin
-
-  lazy val multimodalFramesSql: String =
-    s"""WITH p AS (
-       |  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
-       |)
-       |SELECT doc_id,
-       |       CAST(i AS INTEGER) AS frame_idx,
-       |       CAST(i * 256 AS INTEGER) AS frame_offset,
-       |       CAST(least(256, blen - i * 256) AS INTEGER) AS frame_bytes
-       |FROM p, unnest(generate_series(0, CAST(ceil(blen / 256.0) AS BIGINT) - 1)) AS t(i)
-       |""".stripMargin
 
   // ================================================================ sampling
   /** Deterministic 10% decimation keyed by doc_id (salt "graft"): the

@@ -259,7 +259,7 @@ object SparkEntry {
     // by the cluster structure, not N^2)
     "embed_semdedup"        -> (QueriesExt.embedSemdedup _),
     "embed_semdedup_flagged" -> (QueriesExt.embedSemdedupFlagged _),
-    // multimodal binary plumbing (stubbed decode, frame sampling)
+    // multimodal: real JDK codecs (PNG/WAV decode, RIFF/AVI demux)
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
     "multimodal_frames" -> (QueriesExt.multimodalFrames _),
     "multimodal_resize" -> (QueriesExt.multimodalResize _),

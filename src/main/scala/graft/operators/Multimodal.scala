@@ -15,18 +15,20 @@ import org.apache.spark.sql.functions._
   * reencodeScaled, dHash and its oracle-replayable integer pixel
   * formula), WAV via `javax.sound.sampled` (syntheticAudio*,
   * reencodeAttenuated, VAD energy windows, the Haitsma–Kalker-style
-  * delta-sign fingerprint), and a frame-container demux for video
-  * (syntheticVideos, videoFrameHashes/videoFrameSet) — all exercised
-  * by oracle gates asserting decoded pixel/sample content.
+  * delta-sign fingerprint), and a REAL RIFF/AVI mux/demux for video
+  * (renderAvi/aviFrames with per-frame javax.imageio decode —
+  * syntheticAviVideos, videoFrameHashes/videoFrameSet/
+  * videoFrameDecode) — all exercised by oracle gates asserting
+  * decoded pixel/sample content.
   *
-  * Three functions remain DELIBERATE stubs for formats this container
-  * has no codecs for (JPEG/MP4/opus would need native libs):
-  * `decodeStub` (fake metadata derived deterministically from bytes),
-  * `resizeStub` (deterministic fake resample), and `frameSample`
-  * (byte-window frame sampling standing in for timestamp seeking).
-  * They pin the partition-batched plumbing shape —
-  * schema, streaming iterator, bounded fan-out — so swapping in a real
-  * codec changes only the marked function bodies.
+  * Three functions are SPEC-ONLY plumbing stands-ins kept beside their
+  * real counterparts (no gate measures them): `decodeStub` (fake
+  * metadata derived deterministically from bytes — real path:
+  * `decodeImage`), `resizeStub` (deterministic fake resample — real
+  * path: `resizeImage`), and `frameSample` (byte-window sampling —
+  * real path: `videoFrameDecode` over a demuxed container). They pin
+  * the partition-batched plumbing shape — schema, streaming iterator,
+  * bounded fan-out — for formats needing native libs (MP4/opus).
   */
 object Multimodal {
 
@@ -704,18 +706,27 @@ object Multimodal {
     }
   }
 
-  // ===================================================== video (frame-container) near-dup
+  // ===================================================== video (RIFF/AVI) near-dup
   //
   // Videos travel as one opaque binary column like every other media
-  // payload; the container here is a minimal length-prefixed frame
-  // concatenation ([count:4BE][len:4BE][frame bytes]...) standing in
-  // for a demuxed keyframe stream — real pipelines demux upstream and
-  // the per-frame work (decode + dHash) is exactly what a sampled-
-  // keyframe near-dup does at crawl scale. A video's signature is its
-  // DISTINCT frame-hash set; near-dup = high set overlap, paired by
-  // shared-frame-hash blocking (the winnow/MOSS pairing machinery —
-  // a frame hash is to a video what a winnowed fingerprint is to a
-  // document).
+  // payload. The REAL container path is RIFF/AVI ([[renderAvi]] /
+  // [[aviFrames]]): a standards-shaped AVI with one video stream whose
+  // frames are whole encoded images in `00dc` chunks — the MJPEG
+  // layout, carried here with lossless PNG frames (fourcc `MPNG`) so
+  // the decoded pixels stay an exact integer formula a SQL oracle
+  // replays; a capture with real JPEG frames demuxes identically
+  // (javax.imageio sniffs the frame codec). The parser is strict and
+  // fail-loud: RIFF size, chunk bounds, word alignment, and the
+  // header's declared frame counts (avih.dwTotalFrames,
+  // strh.dwLength) must all agree with the chunks present.
+  // [[demuxFrames]] dispatches on the RIFF magic, falling back to the
+  // legacy length-prefixed container ([count:4BE][len:4BE][bytes]...)
+  // for pre-demuxed keyframe streams.
+  //
+  // A video's signature is its DISTINCT frame-hash set; near-dup =
+  // high set overlap, paired by shared-frame-hash blocking (the
+  // winnow/MOSS pairing machinery — a frame hash is to a video what a
+  // winnowed fingerprint is to a document).
 
   /** Pack encoded frames into the length-prefixed container. */
   def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
@@ -745,6 +756,210 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------ RIFF/AVI mux/demux
+
+  /** Growable little-endian byte builder for the AVI writer. */
+  private final class LeBuf(cap: Int) {
+    private var arr = new Array[Byte](math.max(64, cap))
+    private var len = 0
+    def pos: Int = len
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, len + n))
+    def u8(v: Int): Unit = { ensure(1); arr(len) = v.toByte; len += 1 }
+    def u16(v: Int): Unit = {
+      ensure(2); arr(len) = v.toByte; arr(len + 1) = (v >> 8).toByte; len += 2
+    }
+    def u32(v: Long): Unit = {
+      ensure(4)
+      arr(len) = v.toByte; arr(len + 1) = (v >> 8).toByte
+      arr(len + 2) = (v >> 16).toByte; arr(len + 3) = (v >> 24).toByte
+      len += 4
+    }
+    def fourcc(s: String): Unit = {
+      ensure(4); var i = 0
+      while (i < 4) { arr(len + i) = s.charAt(i).toByte; i += 1 }
+      len += 4
+    }
+    def bytes(b: Array[Byte]): Unit = {
+      ensure(b.length); System.arraycopy(b, 0, arr, len, b.length); len += b.length
+    }
+    def patchU32(at: Int, v: Long): Unit = {
+      arr(at) = v.toByte; arr(at + 1) = (v >> 8).toByte
+      arr(at + 2) = (v >> 16).toByte; arr(at + 3) = (v >> 24).toByte
+    }
+    def result: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
+  /** Width/height from a PNG frame's IHDR (bytes 16..23, big-endian) —
+    * used to stamp informational header dims on a rendered AVI; (0, 0)
+    * for non-PNG frames (players derive dims from the frame codec). */
+  private def pngDims(b: Array[Byte]): (Int, Int) =
+    if (b != null && b.length >= 24 && (b(0) & 0xFF) == 0x89 &&
+        b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      def be32(p: Int) = ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
+        ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+      (be32(16), be32(20))
+    } else (0, 0)
+
+  /** Render encoded frames as a REAL RIFF/AVI byte stream: `RIFF/AVI `
+    * → `LIST hdrl` (`avih` main header + `LIST strl` with a `vids`
+    * `strh` and a BITMAPINFOHEADER `strf`) → `LIST movi` with one
+    * `00dc` chunk per frame (word-aligned) → an `idx1` keyframe index.
+    * `handler` is the stream fourcc (`MPNG` for PNG frames, `MJPG`
+    * for JPEG); header dims are the max frame dims ([[pngDims]], 0
+    * when unknown). Deterministic: same frames → same bytes
+    * ([[aviFrames]] ∘ renderAvi = id, CrawlFuzzSpec-pinned). */
+  def renderAvi(
+      frames: Seq[Array[Byte]], fps: Int = 10, handler: String = "MPNG"
+  ): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    require(handler.length == 4, s"handler must be a fourcc, got '$handler'")
+    val dims = frames.map(pngDims)
+    val width = if (dims.isEmpty) 0 else dims.map(_._1).max
+    val height = if (dims.isEmpty) 0 else dims.map(_._2).max
+    val maxLen = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val b = new LeBuf(64 + 256 + frames.map(f => 8 + f.length + (f.length & 1) + 16).sum)
+    b.fourcc("RIFF"); val riffSizeAt = b.pos; b.u32(0); b.fourcc("AVI ")
+    // LIST hdrl
+    b.fourcc("LIST"); val hdrlSizeAt = b.pos; b.u32(0); b.fourcc("hdrl")
+    b.fourcc("avih"); b.u32(56)
+    b.u32(1000000L / fps) // dwMicroSecPerFrame
+    b.u32(0)              // dwMaxBytesPerSec
+    b.u32(0)              // dwPaddingGranularity
+    b.u32(0x10)           // dwFlags = AVIF_HASINDEX
+    b.u32(frames.length)  // dwTotalFrames
+    b.u32(0)              // dwInitialFrames
+    b.u32(1)              // dwStreams
+    b.u32(maxLen)         // dwSuggestedBufferSize
+    b.u32(width); b.u32(height)
+    var r = 0; while (r < 4) { b.u32(0); r += 1 } // dwReserved
+    // LIST strl
+    b.fourcc("LIST"); val strlSizeAt = b.pos; b.u32(0); b.fourcc("strl")
+    b.fourcc("strh"); b.u32(56)
+    b.fourcc("vids"); b.fourcc(handler)
+    b.u32(0)              // dwFlags
+    b.u16(0); b.u16(0)    // wPriority, wLanguage
+    b.u32(0)              // dwInitialFrames
+    b.u32(1); b.u32(fps)  // dwScale / dwRate = frame rate
+    b.u32(0)              // dwStart
+    b.u32(frames.length)  // dwLength (in frames)
+    b.u32(maxLen)         // dwSuggestedBufferSize
+    b.u32(0xFFFFFFFFL)    // dwQuality = -1 (default)
+    b.u32(0)              // dwSampleSize (0 = one sample per chunk)
+    b.u16(0); b.u16(0); b.u16(width); b.u16(height) // rcFrame
+    b.fourcc("strf"); b.u32(40)
+    b.u32(40)             // biSize
+    b.u32(width); b.u32(height)
+    b.u16(1); b.u16(24)   // biPlanes, biBitCount
+    b.fourcc(handler)     // biCompression
+    b.u32(0); b.u32(0); b.u32(0); b.u32(0); b.u32(0)
+    b.patchU32(strlSizeAt, b.pos - strlSizeAt - 4)
+    b.patchU32(hdrlSizeAt, b.pos - hdrlSizeAt - 4)
+    // LIST movi
+    b.fourcc("LIST"); val moviSizeAt = b.pos; b.u32(0)
+    val moviStart = b.pos // idx1 offsets are relative to the 'movi' fourcc
+    b.fourcc("movi")
+    val offsets = new Array[Long](frames.length)
+    var i = 0
+    while (i < frames.length) {
+      offsets(i) = b.pos - moviStart
+      b.fourcc("00dc"); b.u32(frames(i).length); b.bytes(frames(i))
+      if ((frames(i).length & 1) == 1) b.u8(0) // word alignment
+      i += 1
+    }
+    b.patchU32(moviSizeAt, b.pos - moviSizeAt - 4)
+    // idx1
+    b.fourcc("idx1"); b.u32(16L * frames.length)
+    i = 0
+    while (i < frames.length) {
+      b.fourcc("00dc"); b.u32(0x10) // AVIIF_KEYFRAME
+      b.u32(offsets(i)); b.u32(frames(i).length)
+      i += 1
+    }
+    b.patchU32(riffSizeAt, b.pos - riffSizeAt - 4)
+    b.result
+  }
+
+  /** Is this payload a RIFF/AVI capture? (magic at 0 and form at 8) */
+  def isAvi(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Demux a RIFF/AVI byte stream to its video frames (the bytes of
+    * every stream-00 `00dc`/`00db` chunk, capture order), walking
+    * `LIST` chunks recursively (`hdrl`, `strl`, `movi`, and `rec `
+    * groupings inside movi). STRICT: the RIFF size must cover the
+    * payload exactly, every chunk must lie inside its parent, odd
+    * chunks must be pad-aligned, and the frame count must equal BOTH
+    * declared counts (`avih.dwTotalFrames`, the `vids` stream's
+    * `strh.dwLength`) — a truncated or corrupted capture raises, it
+    * never silently yields fewer frames. */
+  def aviFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: AVI parse: $msg")
+    if (!isAvi(bytes)) fail("not a RIFF/AVI payload")
+    def u32(p: Int): Long =
+      (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+        ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+    def cc(p: Int): String =
+      new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val riffSize = u32(4)
+    if (riffSize + 8 != bytes.length)
+      fail(s"RIFF declares ${riffSize + 8} bytes, payload has ${bytes.length}")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var declaredAvih = -1L
+    var declaredStrh = -1L
+    var inVids = false
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) fail(s"truncated chunk header at byte $off")
+        val ckid = cc(off)
+        val size = u32(off + 4)
+        val dataStart = off + 8
+        if (dataStart + size > end)
+          fail(s"chunk '$ckid' at byte $off runs past its parent " +
+            s"(declares $size, ${end - dataStart} available)")
+        val dataEnd = dataStart + size.toInt
+        ckid match {
+          case "LIST" =>
+            if (size < 4) fail(s"LIST at byte $off shorter than its type")
+            walk(dataStart + 4, dataEnd)
+          case "avih" =>
+            if (size < 24) fail(s"avih declares $size bytes, need >= 24")
+            declaredAvih = u32(dataStart + 16) // dwTotalFrames
+          case "strh" =>
+            if (size < 36) fail(s"strh declares $size bytes, need >= 36")
+            inVids = cc(dataStart) == "vids"
+            if (inVids) declaredStrh = u32(dataStart + 32) // dwLength
+          case _
+            if ckid.length == 4 && ckid.startsWith("00") &&
+              (ckid.endsWith("dc") || ckid.endsWith("db")) =>
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          case _ => () // other streams / idx1 / junk chunks: skip
+        }
+        off = dataEnd + (size & 1).toInt // word alignment
+      }
+      if (off != end) fail(s"chunk walk overran parent end $end at $off")
+    }
+    walk(12, bytes.length)
+    if (declaredAvih >= 0 && declaredAvih != frames.length)
+      fail(s"avih declares $declaredAvih frames, movi carries ${frames.length}")
+    if (declaredStrh >= 0 && declaredStrh != frames.length)
+      fail(s"strh declares $declaredStrh frames, movi carries ${frames.length}")
+    frames.toSeq
+  }
+
+  /** Container dispatch: RIFF/AVI payloads demux via [[aviFrames]],
+    * anything else takes the legacy length-prefixed path
+    * ([[unpackFrames]]). Every downstream video pass ([[videoFrameHashes]],
+    * [[videoFrameSet]], [[videoFrameDecode]], [[reencodeScaledVideo]])
+    * reads through this, so a corpus can mix both containers. */
+  def demuxFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] =
+    if (isAvi(bytes)) aviFrames(id, bytes) else unpackFrames(id, bytes)
+
   /** Synthetic frame-container videos from an id column: doc `id` has
     * frames `f = 0 .. 1 + id % 3` (2–4 frames), frame `f` being the
     * formula PNG of image id `id + f` ([[syntheticImages]] dims) — a
@@ -767,11 +982,34 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
-  /** Demux → per-frame 2x NN upscale + PNG re-encode → repack — the
-    * "transcoded copy" generator for the video near-dup gate: every
-    * frame hashes identically to the original's (the [[dHash]]
-    * floor-division composition), so the copy's signature set equals
-    * the original's exactly. Emits `doc_id + idOffset`. */
+  /** [[syntheticVideos]]' frame line packed as REAL RIFF/AVI bytes
+    * ([[renderAvi]], fourcc `MPNG` — lossless PNG frames so decoded
+    * pixels stay oracle-replayable): doc `id` carries frames
+    * `f = 0 .. 1 + id % 3`, frame `f` the formula PNG of image id
+    * `id + f`. Scan-local. */
+  def syntheticAviVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val frames = (0 to (1 + id % 3).toInt).map { f =>
+          val fid = id + f
+          syntheticPng(fid, (8 + fid % 9).toInt, (8 + fid % 7).toInt)
+        }
+        (id, renderAvi(frames))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Demux → per-frame 2x NN upscale + PNG re-encode → remux in the
+    * SAME container the input arrived in (AVI back to AVI, legacy
+    * back to legacy) — the "transcoded copy" generator for the video
+    * near-dup gate: every frame hashes identically to the original's
+    * (the [[dHash]] floor-division composition), so the copy's
+    * signature set equals the original's exactly. Emits
+    * `doc_id + idOffset`. */
   def reencodeScaledVideo(payloads: DataFrame, factor: Int, idOffset: Long): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = payloads.sparkSession
@@ -781,8 +1019,9 @@ object Multimodal {
         System.setProperty("java.awt.headless", "true")
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
+          val scaled = demuxFrames(id, bytes).map(scalePng(id, _, factor))
           (id + idOffset,
-            packFrames(unpackFrames(id, bytes).map(scalePng(id, _, factor))))
+            if (isAvi(bytes)) renderAvi(scaled) else packFrames(scaled))
         }
     }.toDF("doc_id", "payload")
   }
@@ -791,11 +1030,12 @@ object Multimodal {
   final case class VideoFrameHash(
       doc_id: Long, frame_idx: Int, dhash: Long, dhash_hex: String)
 
-  /** Demux + REAL per-frame decode + [[dHash]], scan-local: one codec
-    * config per partition, output fan-out bounded by frame count, no
-    * shuffle — the video signature pass. Pair the DISTINCT
-    * `(doc_id, dhash_hex)` rows with
-    * [[Dedup.winnowPairsFromFps]]-style shared-hash blocking. */
+  /** Demux ([[demuxFrames]] — AVI or legacy container) + REAL
+    * per-frame decode + [[dHash]], scan-local: one codec config per
+    * partition, output fan-out bounded by frame count, no shuffle —
+    * the video signature pass. Pair the DISTINCT `(doc_id, dhash_hex)`
+    * rows with [[Dedup.winnowPairsFromFps]]-style shared-hash
+    * blocking. */
   def videoFrameHashes(payloads: DataFrame): Dataset[VideoFrameHash] = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -804,9 +1044,44 @@ object Multimodal {
         System.setProperty("java.awt.headless", "true")
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
-          unpackFrames(id, bytes).iterator.zipWithIndex.map { case (f, i) =>
+          demuxFrames(id, bytes).iterator.zipWithIndex.map { case (f, i) =>
             val (hash, hex) = dhashOf(id, f)
             VideoFrameHash(id, i, hash, hex)
+          }
+        }
+    }
+  }
+
+  /** One really-decoded frame's content checksums — [[DecodedImage]]'s
+    * shape per (video, frame). */
+  final case class DecodedFrame(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      n_bytes: Int, sum1: Long, sum2: Long)
+
+  /** Demux + REAL per-frame decode to position-weighted pixel
+    * checksums — the frame-extraction gate pass: one row per frame,
+    * `sum1`/`sum2` over the decoded row-major RGB bytes exactly as
+    * [[decodeImage]] computes them per image. Scan-local; fan-out
+    * bounded by frame count. */
+  def videoFrameDecode(payloads: DataFrame): Dataset[DecodedFrame] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          demuxFrames(id, bytes).iterator.zipWithIndex.map { case (fr, i) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr))
+            require(img != null, s"doc $id frame $i: not a decodable image")
+            val (w, h) = (img.getWidth, img.getHeight)
+            val buf = rgbBytes(img, w, h)
+            var (s1, s2, j) = (0L, 0L, 0)
+            while (j < buf.length) {
+              val v = buf(j) & 0xFF; val p = (j + 1).toLong
+              s1 += p * v; s2 += p * p * v; j += 1
+            }
+            DecodedFrame(id, i, w, h, buf.length, s1, s2)
           }
         }
     }
@@ -832,7 +1107,7 @@ object Multimodal {
         System.setProperty("java.awt.headless", "true")
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
-          val fps = unpackFrames(id, bytes).map(f => dhashOf(id, f)._2).distinct
+          val fps = demuxFrames(id, bytes).map(f => dhashOf(id, f)._2).distinct
           fps.iterator.map(VideoSig(id, _, fps.size))
         }
     }

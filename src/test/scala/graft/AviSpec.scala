@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Multimodal
+
+/** The RIFF/AVI mux/demux: parse ∘ render = id for arbitrary frame
+  * bytes (CrawlFuzzSpec convention), strict fail-loud on structural
+  * corruption (truncation, RIFF-size lies, header/chunk frame-count
+  * disagreement, mid-container damage), container equivalence with the
+  * legacy length-prefixed path, per-frame decode against the pixel
+  * formula, and container-preserving transcode. */
+class AviSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int = 60): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val frameGen: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+    // frames that LOOK like RIFF structure must still round-trip
+    Gen.const("RIFF".getBytes("US-ASCII")),
+    Gen.const("LIST0000movi".getBytes("US-ASCII")),
+    Gen.const(Array.emptyByteArray),
+    Gen.listOfN(1, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)) // odd length
+
+  test("property: aviFrames is a left inverse of renderAvi for arbitrary frame bytes") {
+    val prop = Prop.forAll(Gen.listOf(frameGen)) { frames =>
+      val avi = Multimodal.renderAvi(frames)
+      Multimodal.isAvi(avi) &&
+        Multimodal.aviFrames(7L, avi).map(_.toSeq) == frames.map(_.toSeq) &&
+        Multimodal.demuxFrames(7L, avi).map(_.toSeq) == frames.map(_.toSeq)
+    }
+    check("avi round-trip", prop)
+  }
+
+  test("property: arbitrary corruption of a rendered AVI either parses to the original frames or raises — never silently drops frames") {
+    val frames = Seq("frame one".getBytes("UTF-8"), "f2".getBytes("UTF-8"),
+      Array.tabulate(33)(_.toByte))
+    val avi = Multimodal.renderAvi(frames)
+    val prop = Prop.forAll(
+      Gen.choose(0, avi.length - 1), Gen.choose(1, 255)) { (pos, x) =>
+      val dam = avi.clone(); dam(pos) = (dam(pos) ^ x).toByte
+      try {
+        // damage to dead bytes (quality fields, idx1...) may keep the
+        // parse intact — but a successful parse must return the TRUE
+        // frames or a prefix-exact altered copy never shorter than
+        // declared (count checks make silent drops impossible)
+        Multimodal.aviFrames(7L, dam).size == frames.size
+      } catch { case _: IllegalArgumentException => true }
+    }
+    check("avi corruption", prop, n = 200)
+  }
+
+  test("structural fail-loud: truncation, size lies, count mismatches") {
+    val frames = Seq("aa".getBytes("UTF-8"), "bbb".getBytes("UTF-8"))
+    val avi = Multimodal.renderAvi(frames)
+    // truncated payload: RIFF size no longer covers it
+    val eTrunc = intercept[IllegalArgumentException] {
+      Multimodal.aviFrames(1L, avi.dropRight(3))
+    }
+    assert(eTrunc.getMessage.contains("RIFF declares"), eTrunc.getMessage)
+    // avih dwTotalFrames tampered: header/movi disagreement raises.
+    // avih data starts at byte 32 (RIFF 12 + LIST hdr 12 + 'avih'+size 8);
+    // dwTotalFrames is its 5th dword
+    val badCount = avi.clone()
+    badCount(32 + 16) = 9
+    val eCount = intercept[IllegalArgumentException](Multimodal.aviFrames(1L, badCount))
+    assert(eCount.getMessage.contains("avih declares"), eCount.getMessage)
+    // a frame chunk's declared size running past its parent raises
+    val idx = indexOfChunk(avi, "00dc")
+    val badSize = avi.clone()
+    badSize(idx + 4) = 0x7F // declared frame length far too large
+    val eSize = intercept[IllegalArgumentException](Multimodal.aviFrames(1L, badSize))
+    assert(eSize.getMessage.contains("runs past") ||
+      eSize.getMessage.contains("truncated"), eSize.getMessage)
+    // non-AVI bytes refuse
+    val eMagic = intercept[IllegalArgumentException] {
+      Multimodal.aviFrames(1L, "RIFFxxxxWAVE".getBytes("US-ASCII") ++ new Array[Byte](20))
+    }
+    assert(eMagic.getMessage.contains("not a RIFF/AVI"), eMagic.getMessage)
+  }
+
+  private def indexOfChunk(b: Array[Byte], cc: String): Int = {
+    val pat = cc.getBytes("US-ASCII")
+    (0 to b.length - 4).find(i => pat.indices.forall(j => b(i + j) == pat(j)))
+      .getOrElse(fail(s"no '$cc' chunk found"))
+  }
+
+  test("syntheticAviVideos demuxes to exactly the legacy container's frame bytes; sniffMime routes it as AVI") {
+    val ids = Seq(2L, 3L, 7L, 20L)
+    val legacy = Multimodal.syntheticVideos(ids.toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    val avi = Multimodal.syntheticAviVideos(ids.toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    ids.foreach { id =>
+      val want = Multimodal.unpackFrames(id, legacy(id)).map(_.toSeq)
+      assert(Multimodal.aviFrames(id, avi(id)).map(_.toSeq) === want)
+    }
+    val sniffed = Multimodal.syntheticAviVideos(ids.toDF("doc_id"), "doc_id")
+      .select(Multimodal.sniffMime(col("payload"))).distinct().as[String].collect()
+    assert(sniffed.toSeq === Seq("video/x-msvideo"))
+  }
+
+  test("videoFrameDecode over real AVI reproduces the per-frame pixel formula") {
+    val ids = Seq(1L, 5L, 11L)
+    val got = Multimodal.videoFrameDecode(
+        Multimodal.syntheticAviVideos(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    ids.foreach { id =>
+      (0 to (1 + id % 3).toInt).foreach { fi =>
+        val fid = id + fi
+        val (w, h) = ((8 + fid % 9).toInt, (8 + fid % 7).toInt)
+        val f = got((id, fi))
+        assert(f.width === w && f.height === h && f.n_bytes === w * h * 3)
+        var (s1, s2) = (0L, 0L)
+        (0 until w * h * 3).foreach { i =>
+          val v = Multimodal.syntheticPixel(fid, i).toLong
+          s1 += (i + 1) * v; s2 += (i + 1).toLong * (i + 1) * v
+        }
+        assert(f.sum1 === s1 && f.sum2 === s2, s"doc $id frame $fi")
+      }
+    }
+  }
+
+  test("mixed-container corpus: videoFrameSet and videoFrameHashes agree across AVI and legacy payloads; transcode preserves the container") {
+    val aviDf = Multimodal.syntheticAviVideos(Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    val legDf = Multimodal.syntheticVideos(Seq(4L, 5L).toDF("doc_id"), "doc_id")
+    val mixed = aviDf.unionByName(legDf)
+    val viaSet = Multimodal.videoFrameSet(mixed).toDF()
+      .select("doc_id", "fp").as[(Long, String)].collect().toSet
+    val viaHashes = Multimodal.videoFrameHashes(mixed).toDF()
+      .select("doc_id", "dhash_hex").distinct().as[(Long, String)].collect().toSet
+    assert(viaSet === viaHashes)
+    assert(viaSet.map(_._1) === Set(2L, 3L, 4L, 5L))
+    // transcode: AVI in -> AVI out, legacy in -> legacy out; frame
+    // hashes unchanged (floor-division composition)
+    val t = Multimodal.reencodeScaledVideo(mixed, factor = 2, idOffset = 100L)
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(Multimodal.isAvi(t(102L)) && Multimodal.isAvi(t(103L)))
+    assert(!Multimodal.isAvi(t(104L)) && !Multimodal.isAvi(t(105L)))
+    val tSet = Multimodal.videoFrameSet(
+        Multimodal.reencodeScaledVideo(mixed, factor = 2, idOffset = 100L)).toDF()
+      .select("doc_id", "fp").as[(Long, String)].collect()
+      .map { case (id, fp) => (id - 100L, fp) }.toSet
+    assert(tSet === viaSet)
+  }
+}

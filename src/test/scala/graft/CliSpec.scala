@@ -2164,7 +2164,7 @@ class CliSpec extends SparkSpec {
     val audAll = auds.unionByName(
       Multimodal.reencodeAttenuated(auds, shift = 1, idOffset = 1000000L))
     audAll.withColumn("text", lit("aud")).write.parquet(s"$src/clips.parquet")
-    val vids = Multimodal.syntheticVideos(ids, "doc_id")
+    val vids = Multimodal.syntheticAviVideos(ids, "doc_id") // real RIFF/AVI bytes
     val vidAll = vids.unionByName(
       Multimodal.reencodeScaledVideo(vids, factor = 2, idOffset = 1000000L))
     vidAll.withColumn("text", lit("vid")).write.parquet(s"$src/videos.parquet")
@@ -2274,7 +2274,12 @@ class CliSpec extends SparkSpec {
     import graft.operators.Multimodal
     val (src, state) = (tempDir(), tempDir())
     val (out1, out2) = (tempDir(), tempDir())
+    // real RIFF/AVI payloads through the whole admission chain
     def vids(ids: Seq[Long]) =
+      Multimodal.syntheticAviVideos(ids.toDF("doc_id"), "doc_id")
+    // same frame line in the legacy length-prefixed container — the
+    // store is frame-hash keyed, so container MUST NOT matter
+    def legacyVids(ids: Seq[Long]) =
       Multimodal.syntheticVideos(ids.toDF("doc_id"), "doc_id")
     val yaml = Files.createTempFile("graft-pipe-video-admit", ".yaml")
     Files.writeString(yaml,
@@ -2297,11 +2302,12 @@ class CliSpec extends SparkSpec {
     def got(out: String) = spark.read.parquet(s"$out/vid_admitted")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got(out1) === Set(2L, 20L))
-    // batch 2: trim-shaped video 3 (frame subset of ADMITTED 2) and a
-    // transcode of ADMITTED 20 both reject against the store without
-    // re-demuxing the corpus; frame-disjoint 40 admits
+    // batch 2: trim-shaped video 3 (frame subset of ADMITTED 2 — sent
+    // in the LEGACY container to prove the store is container-blind)
+    // and an AVI transcode of ADMITTED 20 both reject against the
+    // store without re-demuxing the corpus; frame-disjoint 40 admits
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/videos.parquet"))
-    vids(Seq(3L, 40L))
+    legacyVids(Seq(3L)).unionByName(vids(Seq(40L)))
       .unionByName(Multimodal.reencodeScaledVideo(
         vids(Seq(20L)), factor = 2, idOffset = 2000000L))
       .withColumn("text", lit("v")).write.parquet(s"$src/videos.parquet")

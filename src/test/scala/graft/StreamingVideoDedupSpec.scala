@@ -27,7 +27,7 @@ class StreamingVideoDedupSpec extends SparkSpec {
     Files.createTempDirectory("graft-viddedup-sink").toString)
 
   private def videos(ids: Seq[Long]): DataFrame =
-    Multimodal.syntheticVideos(ids.toDF("doc_id"), "doc_id")
+    Multimodal.syntheticAviVideos(ids.toDF("doc_id"), "doc_id") // real RIFF/AVI bytes
 
   /** 2x-upscale per-frame transcode of each source video, emitted as
     * `srcId + offset` — frame hashes identical, so the copy's frame
