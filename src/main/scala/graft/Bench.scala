@@ -100,6 +100,9 @@ object Bench {
     "crawl_extract_links"       -> (QueriesExt.crawlExtractLinks _),
     // freshness scheduling: declared-key join + scan-local due CASE
     "crawl_recrawl_due"         -> (QueriesExt.crawlRecrawlDue _),
+    // PageRank-prioritized politeness schedule (3 integer iterations +
+    // rank join + per-host window)
+    "crawl_schedule_ranked"     -> (QueriesExt.crawlScheduleRanked _),
     // named-<meta> extraction regex chain (snippets + freshness signals)
     "crawl_page_meta"           -> (QueriesExt.crawlPageMeta _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),

@@ -3319,6 +3319,91 @@ object QueriesExt {
       |FROM r
       |""".stripMargin
 
+  /** Importance-ordered politeness schedule — [[crawlSchedule]]'s
+    * frontier with the per-host fetch order driven by URL-level
+    * fixed-point integer PageRank (3 iterations,
+    * [[graft.operators.Centrality.pageRank]]) over a constructed
+    * per-host link graph (`p1→p2` w1, `p1→p3` w2, `p2→p3` w1,
+    * `p3→p1` w1 — ranks come out p1 > p3 > p2, a different order than
+    * md5). The quiet-host URL is absent from the graph and schedules
+    * unranked (NULL priority, behind ranked URLs). The oracle replays
+    * the UNROLLED integer PageRank arithmetic (the `events_pagerank`
+    * convention) and the ranked window — exact ranks AND ordinals. */
+  def crawlScheduleRanked(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val host = concat(lit("h"), col("doc_id"), lit(".example.com"))
+    val delays = Robots.crawlDelays(Robots.parseRules(
+      d.select(host.as("host"), robotsBody.as("body")), "host", "body").toDF())
+    val hid = col("doc_id").cast("string")
+    def u(p: String) = concat(lit("http://h"), hid, lit(s".example.com/$p"))
+    val frontier = d.select(col("doc_id"), explode(array(
+      u("p1"), u("p2"), u("p3"),
+      concat(lit("http://quiet"), hid, lit(".example.net/x")))).as("url"))
+    val edges = d.select(explode(array(
+      struct(u("p1").as("src"), u("p2").as("dst"), lit(1L).as("w")),
+      struct(u("p1").as("src"), u("p3").as("dst"), lit(2L).as("w")),
+      struct(u("p2").as("src"), u("p3").as("dst"), lit(1L).as("w")),
+      struct(u("p3").as("src"), u("p1").as("dst"), lit(1L).as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    val ranks = operators.Centrality.pageRank(edges, "src", "dst", "w", iterations = 3)
+    Robots.fetchScheduleRanked(frontier, "url", delays, "GraftBot", ranks,
+        defaultDelayS = 1)
+      .select(col("doc_id"), col("url"), col("host"), col("crawl_delay_s"),
+        col("priority_fp"), col("fetch_seq"), col("fetch_offset_s"))
+  }
+
+  lazy val crawlScheduleRankedSql: String = {
+    def it(prev: String, out: String): String =
+      s"""c_$out AS (
+         |  SELECT e.d AS v,
+         |         sum((85 * $prev.r * e.n) // (CAST(100 AS HUGEINT) * ow.w)) AS infl
+         |  FROM e
+         |  JOIN $prev ON $prev.v = e.s
+         |  JOIN ow ON ow.s = e.s
+         |  GROUP BY 1),
+         |$out AS (
+         |  SELECT nodes.v,
+         |         (CAST(15 AS HUGEINT) * 1000000000) // (100 * nn.n)
+         |           + coalesce(c_$out.infl, 0) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c_$out ON c_$out.v = nodes.v)""".stripMargin
+    s"""WITH ecases(sp, dp, n) AS (VALUES
+       |  ('p1', 'p2', 1), ('p1', 'p3', 2), ('p2', 'p3', 1), ('p3', 'p1', 1)),
+       |e AS (
+       |  SELECT 'http://h' || doc_id || '.example.com/' || sp AS s,
+       |         'http://h' || doc_id || '.example.com/' || dp AS d,
+       |         CAST(n AS HUGEINT) AS n
+       |  FROM documents, ecases
+       |),
+       |nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
+       |ow AS (SELECT s, CAST(sum(n) AS HUGEINT) AS w FROM e GROUP BY 1),
+       |r0 AS (SELECT v, CAST(1000000000 AS HUGEINT) // nn.n AS r
+       |       FROM nodes CROSS JOIN nn),
+       |${(1 to 3).map(i => it(s"r${i - 1}", s"r$i")).mkString(",\n")},
+       |u AS (
+       |  SELECT doc_id,
+       |         'http://h' || doc_id || '.example.com/' || p AS url,
+       |         'h' || doc_id || '.example.com' AS host, 5 AS delay
+       |  FROM documents, (SELECT unnest(['p1', 'p2', 'p3']) AS p) pp
+       |  UNION ALL
+       |  SELECT doc_id, 'http://quiet' || doc_id || '.example.net/x',
+       |         'quiet' || doc_id || '.example.net', 1
+       |  FROM documents
+       |), seq AS (
+       |  SELECT doc_id, url, host, delay,
+       |         CAST(r3.r AS BIGINT) AS priority_fp,
+       |         CAST(row_number() OVER (PARTITION BY host
+       |           ORDER BY CAST(r3.r AS BIGINT) DESC NULLS LAST, md5(url), url)
+       |           - 1 AS INTEGER) AS fetch_seq
+       |  FROM u LEFT JOIN r3 ON r3.v = u.url
+       |)
+       |SELECT doc_id, url, host, delay AS crawl_delay_s, priority_fp, fetch_seq,
+       |       CAST(fetch_seq * delay AS BIGINT) AS fetch_offset_s
+       |FROM seq
+       |""".stripMargin
+  }
+
   /** Page-metadata extraction over constructed heads: Open Graph tags
     * in BOTH attribute orders (property-first and content-first), a
     * duplicate og:title (first wins), `article:published_time` (the

@@ -66,6 +66,7 @@ object SparkEntry {
     "crawl_robots_delays" -> (QueriesExt.crawlRobotsDelays _),
     // per-host polite fetch ordinals + offsets over a frontier
     "crawl_schedule"      -> (QueriesExt.crawlSchedule _),
+    "crawl_schedule_ranked" -> (QueriesExt.crawlScheduleRanked _),
     // sitemap XML -> frontier URL rows (codegen'd regexp chain)
     "crawl_sitemap_urls"  -> (QueriesExt.crawlSitemapUrls _),
     // HTTP status/header extraction + chunked-transfer decode
@@ -321,6 +322,7 @@ object SparkEntry {
     "decon_semantic"            -> QueriesExt.deconSemanticSql,
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,
     "crawl_schedule"            -> QueriesExt.crawlScheduleSql,
+    "crawl_schedule_ranked"     -> QueriesExt.crawlScheduleRankedSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,
     "warc_http_meta"            -> QueriesExt.warcHttpMetaSql,
     "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,

@@ -274,6 +274,61 @@ object Robots {
   def fetchSchedule(
       frontier: DataFrame, urlCol: String, delays: DataFrame, agent: String,
       defaultDelayS: Int = 1
+  ): DataFrame =
+    scheduleCore(frontier, urlCol, delays, agent, defaultDelayS,
+      Seq(md5(col(urlCol)), col(urlCol)))
+
+  /** [[fetchSchedule]] with importance-ordered per-host ordinals: each
+    * URL joins its priority from `priorities` — `(node, rank_fp)`,
+    * the [[graft.operators.Centrality.pageRank]] output over a link
+    * graph whose nodes are the frontier's URLs — and the per-host
+    * fetch order becomes `(rank_fp DESC NULLS LAST, md5(url), url)`:
+    * high-centrality pages fetch first within each host's politeness
+    * budget, URLs absent from the link graph fall behind ranked ones
+    * in the md5-decorrelated order, and a `maxPerHost` cap downstream
+    * keeps the IMPORTANT subset instead of a random sample. The
+    * priority survives as a `priority_fp` output column (NULL =
+    * unranked).
+    *
+    * Scale shape: one extra left equi-join on the URL key (the rank
+    * table is link-graph-node-bounded; Catalyst broadcasts it when
+    * small, both sides shuffle on the key at web scale). A duplicate
+    * rank node fails loud in-plan — silently joining both would fan
+    * the frontier out. */
+  def fetchScheduleRanked(
+      frontier: DataFrame, urlCol: String, delays: DataFrame, agent: String,
+      priorities: DataFrame, defaultDelayS: Int = 1
+  ): DataFrame = {
+    Seq("node", "rank_fp").foreach(needed =>
+      require(priorities.columns.contains(needed),
+        s"fetchScheduleRanked: priorities frame has no column '$needed' — " +
+          "pass (node, rank_fp) rows (the pageRank output shape)"))
+    Seq("priority_fp", "__pn").foreach(t =>
+      require(!frontier.columns.contains(t),
+        s"fetchScheduleRanked: input already has column '$t'"))
+    // one rank row per node, fail-loud (the duplicateKeyGuard idiom)
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("__pn"))
+    val pr = priorities
+      .select(col("node").cast("string").as("__pn"),
+        col("rank_fp").cast("long").as("priority_fp"))
+      .withColumn("__ok",
+        when(count(lit(1)).over(wp) > 1,
+          raise_error(concat(lit("fetchScheduleRanked: node "), col("__pn"),
+            lit(" has more than one rank row — pass one rank per URL"))))
+          .otherwise(lit(true)))
+      .filter(col("__ok")).drop("__ok")
+    val withP = frontier.join(pr,
+      frontier(urlCol).cast("string") === pr("__pn"), "left").drop("__pn")
+    scheduleCore(withP, urlCol, delays, agent, defaultDelayS,
+      Seq(col("priority_fp").desc_nulls_last, md5(col(urlCol)), col(urlCol)))
+  }
+
+  /** The shared politeness-schedule core: delay resolution, per-host
+    * ordinal window (`order` builds the within-host sort from the
+    * annotated frontier), offset arithmetic. */
+  private def scheduleCore(
+      frontier: DataFrame, urlCol: String, delays: DataFrame, agent: String,
+      defaultDelayS: Int, order: Seq[Column]
   ): DataFrame = {
     val agentLc = agent.trim.toLowerCase(Locale.ROOT)
     require(agentLc.nonEmpty && agentLc != "*",
@@ -295,7 +350,7 @@ object Robots {
       .groupBy(col("__dh")).agg(min(col("__ds")).as("__ds"))
     val withHost = frontier.withColumn("__fh", urlHost(col(urlCol)))
     val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fh")).orderBy(md5(col(urlCol)), col(urlCol))
+      .partitionBy(col("__fh")).orderBy(order: _*)
     withHost.join(broadcast(chosen), withHost("__fh") === chosen("__dh"), "left")
       .withColumn("crawl_delay_s", coalesce(col("__ds"), lit(defaultDelayS)))
       .withColumn("fetch_seq", row_number().over(ws) - 1)

@@ -930,9 +930,14 @@ object CurationPipeline {
     // budget: a 50k-URL sitemap dump must not monopolize the fleet) —
     // the md5-order ordinal makes the kept subset a deterministic,
     // path-decorrelated sample of the host's URLs.
+    // priorityFrom names a (node, rank_fp) table or step (a `pagerank`
+    // step's output): the per-host order becomes rank-desc (ties and
+    // unranked URLs keep the md5 spread), so maxPerHost keeps each
+    // host's IMPORTANT subset instead of a random sample; the rank
+    // survives as priority_fp.
     "fetch_schedule" -> Op(
       Set("table", "url", "agent", "hostColumn", "bodyColumn", "defaultDelay",
-        "maxPerHost"), { c =>
+        "maxPerHost", "priorityFrom", "priorityNode", "priorityRank"), { c =>
         val tblName = c.params.reqStr("table")
         val urlCol  = c.params.str("url", c.textCol)
         val agent   = c.params.reqStr("agent")
@@ -946,14 +951,87 @@ object CurationPipeline {
             s"step ${c.stepName}: table '$tblName' has no column '$needed'")
         val delays = graft.operators.Robots.crawlDelays(
           graft.operators.Robots.parseRules(robots, hostCol, bodyCol).toDF())
-        val sched = graft.operators.Robots.fetchSchedule(c.input, urlCol, delays,
-          agent, defaultDelayS = c.params.int("defaultDelay", 1))
+        val sched =
+          if (c.params.has("priorityFrom")) {
+            val pTbl = c.params.reqStr("priorityFrom")
+            val nodeCol = c.params.str("priorityNode", "node")
+            val rankCol = c.params.str("priorityRank", "rank_fp")
+            val prios = c.resolve(pTbl)
+            for (needed <- Seq(nodeCol, rankCol))
+              require(prios.columns.contains(needed),
+                s"step ${c.stepName}: table '$pTbl' has no column '$needed'")
+            graft.operators.Robots.fetchScheduleRanked(c.input, urlCol, delays,
+              agent,
+              prios.select(col(nodeCol).as("node"), col(rankCol).as("rank_fp")),
+              defaultDelayS = c.params.int("defaultDelay", 1))
+          } else graft.operators.Robots.fetchSchedule(c.input, urlCol, delays,
+            agent, defaultDelayS = c.params.int("defaultDelay", 1))
         if (c.params.has("maxPerHost")) {
           val cap = c.params.reqInt("maxPerHost")
           require(cap >= 1, s"step ${c.stepName}: maxPerHost must be >= 1, got $cap")
           sched.filter(col("fetch_seq") < cap)
         } else sched
-      }, tableParams = Set("table")),
+      }, tableParams = Set("table", "priorityFrom")),
+    // ------------------------------------------------------ graph steps
+    // link/quality graph analytics as pipeline steps: the step INPUT
+    // is an edge table — a crawl link graph, a near-dup pair list, an
+    // event transition graph — and the output is a node-keyed score
+    // table downstream steps join or filter_rows against (quality
+    // priors in curation chains) or feed fetch_schedule's
+    // priorityFrom. Raw edges are aggregated in-op (one groupBy — a
+    // no-op re-shuffle for an already-aggregated list, duplicate
+    // safety for a raw one; pageRank's contract wants one row per
+    // edge).
+    "pagerank" -> Op(
+      Set("src", "dst", "weight", "iterations", "checkpointEvery"), { c =>
+      val (srcCol, dstCol) = (c.params.str("src", "src"), c.params.str("dst", "dst"))
+      for (needed <- Seq(srcCol, dstCol))
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: input has no edge column '$needed'")
+      Seq(srcCol, dstCol).foreach(n => require(n != "__w",
+        s"step ${c.stepName}: edge column may not be named '__w'"))
+      val w =
+        if (c.params.has("weight")) {
+          val wc = c.params.reqStr("weight")
+          require(c.input.columns.contains(wc),
+            s"step ${c.stepName}: input has no weight column '$wc'")
+          col(wc).cast("long")
+        } else lit(1L)
+      val edges = c.input
+        .select(col(srcCol), col(dstCol), w.as("__w"))
+        .groupBy(col(srcCol), col(dstCol)).agg(sum(col("__w")).as("__w"))
+      val iters = c.params.int("iterations", 10)
+      graft.operators.Centrality.pageRank(edges, srcCol, dstCol, "__w",
+        iterations = iters,
+        checkpointInterval = c.params.int("checkpointEvery", 10))
+    }),
+    // k-core membership of the (undirected, simplified) edge input:
+    // `rounds` pins an exact peel count (the oracle-mirrorable slice);
+    // without it the peel runs to convergence under maxIter.
+    "kcore" -> Op(Set("src", "dst", "k", "rounds", "maxIter"), { c =>
+      val (srcCol, dstCol) = (c.params.str("src", "src"), c.params.str("dst", "dst"))
+      for (needed <- Seq(srcCol, dstCol))
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: input has no edge column '$needed'")
+      val k = c.params.reqInt("k")
+      if (c.params.has("rounds"))
+        graft.operators.Centrality.kCorePeel(c.input, srcCol, dstCol, k,
+          rounds = c.params.reqInt("rounds"))
+      else
+        graft.operators.Centrality.kCore(c.input, srcCol, dstCol, k,
+          maxIter = c.params.int("maxIter", 50))
+    }),
+    // fixed-round synchronous label propagation: (node, label)
+    // community labels over the undirected simple graph
+    "label_prop" -> Op(Set("src", "dst", "rounds"), { c =>
+      val (srcCol, dstCol) = (c.params.str("src", "src"), c.params.str("dst", "dst"))
+      for (needed <- Seq(srcCol, dstCol))
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: input has no edge column '$needed'")
+      graft.operators.Centrality.labelPropagationRounds(c.input, srcCol, dstCol,
+          rounds = c.params.reqInt("rounds"))
+        .withColumnRenamed("lbl", "label")
+    }),
     // redirect-chain collapse BEFORE admission: rewrite the url column
     // through Redirects.resolve over a named (src, dst) edge table, so
     // a moved URL and its terminal target carry ONE admission key — a

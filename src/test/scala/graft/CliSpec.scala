@@ -1003,6 +1003,13 @@ class CliSpec extends SparkSpec {
     // the terminal target before dedup keys it
     Seq(("http://a.example.com/page3", "http://a.example.com/page3-v2"))
       .toDF("src", "dst").write.parquet(s"$src/redirects.parquet")
+    // link graph for the importance prior: page1 is the most linked-to
+    // (from page2 twice, page3-v2 once), page2 next, page3-v2 unlinked
+    Seq(
+      ("http://a.example.com/page2", "http://a.example.com/page1", 2L),
+      ("http://a.example.com/page3-v2", "http://a.example.com/page1", 1L),
+      ("http://a.example.com/page1", "http://a.example.com/page2", 1L))
+      .toDF("src", "dst", "n_links").write.parquet(s"$src/links.parquet")
     Cli.run(Seq("pipeline", "examples/frontier_pipeline.yaml", src, out), spark)
     val unique = spark.read.parquet(s"$out/unique")
     val urls = unique.select("text").collect().map(_.getString(0)).toSet
@@ -1015,6 +1022,69 @@ class CliSpec extends SparkSpec {
     assert(page1.length === 1)
     assert(page1.head.getAs[Long]("sitemap_id") === 1L)
     assert(spark.read.parquet(s"$out/dump").count() === 3L)
+    // the PageRank-ranked schedule: maxPerHost 2 keeps the two
+    // highest-rank pages (page1 most linked-to, then page2) and drops
+    // unlinked page3-v2 — an importance-ordered budget, not a random
+    // md5 sample
+    val sched = spark.read.parquet(s"$out/scheduled")
+      .select("text", "fetch_seq", "priority_fp").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(sched.keySet === Set("http://a.example.com/page1", "http://a.example.com/page2"))
+    assert(sched("http://a.example.com/page1")._1 === 0)
+    assert(sched("http://a.example.com/page2")._1 === 1)
+    assert(sched("http://a.example.com/page1")._2 > sched("http://a.example.com/page2")._2)
+    // the rank table itself is a step output downstream chains can join
+    val ranks = spark.read.parquet(s"$out/ranked")
+    assert(ranks.columns.toSet === Set("node", "rank_fp") && ranks.count() === 3L)
+  }
+
+  test("pipeline graph steps: pagerank/kcore/label_prop from YAML equal the direct operators") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Centrality
+    val (src, out) = (tempDir(), tempDir())
+    // a small weighted digraph with a 2-core triangle (1,2,3) plus a
+    // pendant chain 3-4-5 that peels away
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (3L, 4L, 1L), (4L, 5L, 1L))
+    edges.toDF("src", "dst", "w").write.parquet(s"$src/edges.parquet")
+    val yaml = Files.createTempFile("graft-pipe-graph", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: graph_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: pr
+        |    op: pagerank
+        |    input: edges
+        |    params: { weight: w, iterations: "3" }
+        |  - name: core
+        |    op: kcore
+        |    input: edges
+        |    params: { k: "2", rounds: "3" }
+        |  - name: comm
+        |    op: label_prop
+        |    input: edges
+        |    params: { rounds: "2" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val edf = edges.toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(spark.read.parquet(s"$out/pr").select("node", "rank_fp")) ===
+      rows(Centrality.pageRank(edf, "src", "dst", "w", iterations = 3)
+        .select(col("node").cast("long"), col("rank_fp"))))
+    assert(rows(spark.read.parquet(s"$out/core").select("node", "deg")) ===
+      rows(Centrality.kCorePeel(edf, "src", "dst", k = 2, rounds = 3)
+        .select(col("node").cast("long"), col("deg"))))
+    // the pendant chain peeled away; the triangle survives at degree 2
+    assert(rows(spark.read.parquet(s"$out/core").select("node", "deg")) ===
+      Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(rows(spark.read.parquet(s"$out/comm").select("node", "label")) ===
+      rows(Centrality.labelPropagationRounds(edf, "src", "dst", rounds = 2)
+        .select(col("node").cast("long"), col("lbl").cast("long"))))
   }
 
   test("pipeline subcommand: examples/nightly_frontier.yaml rejects re-listed URLs across nights") {

@@ -222,6 +222,35 @@ class RobotsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(e.getMessage.contains("crawlDelays output"))
   }
 
+  test("fetchScheduleRanked: rank-desc order within the host, unranked URLs fall behind, duplicate rank rows fail loud") {
+    val delays = Robots.crawlDelays(rulesDf("h.example",
+      "User-agent: bot\nCrawl-delay: 3"))
+    val urls = Seq(
+      "http://h.example/low", "http://h.example/high",
+      "http://h.example/mid", "http://h.example/unranked").toDF("url")
+    val ranks = Seq(
+      ("http://h.example/low", 10L),
+      ("http://h.example/high", 900L),
+      ("http://h.example/mid", 500L)).toDF("node", "rank_fp")
+    val got = Robots.fetchScheduleRanked(urls, "url", delays, "bot", ranks)
+      .select("url", "fetch_seq", "fetch_offset_s", "priority_fp").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got("http://h.example/high") === ((0, 0L, Some(900L))))
+    assert(got("http://h.example/mid") === ((1, 3L, Some(500L))))
+    assert(got("http://h.example/low") === ((2, 6L, Some(10L))))
+    assert(got("http://h.example/unranked") === ((3, 9L, None)))
+    // a duplicated rank node would fan the frontier out — fail loud
+    val dup = ranks.unionByName(
+      Seq(("http://h.example/high", 901L)).toDF("node", "rank_fp"))
+    val e = intercept[Exception] {
+      Robots.fetchScheduleRanked(urls, "url", delays, "bot", dup).collect()
+    }
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+    assert(chain(e).contains("more than one rank row"), chain(e))
+  }
+
   test("urlHost: userinfo and default ports normalize to the rule key") {
     // adversarial spellings of the SAME authority must all hit the
     // host's rules — 'http://user@h/…' or ':80' previously missed the
