@@ -103,6 +103,8 @@ object Bench {
     // PageRank-prioritized politeness schedule (3 integer iterations +
     // rank join + per-host window)
     "crawl_schedule_ranked"     -> (QueriesExt.crawlScheduleRanked _),
+    // post-fetch fingerprint change detection (url-keyed join + CASE)
+    "crawl_change_detect"       -> (QueriesExt.crawlChangeDetect _),
     // named-<meta> extraction regex chain (snippets + freshness signals)
     "crawl_page_meta"           -> (QueriesExt.crawlPageMeta _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),

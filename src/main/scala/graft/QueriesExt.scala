@@ -3510,6 +3510,54 @@ object QueriesExt {
       |FROM documents, k
       |""".stripMargin
 
+  /** Post-fetch change detection over five constructed (fetch, store)
+    * shapes per document — one per rule branch: a URL with no store
+    * row (`new`), a re-fetch whose fingerprint equals the stored one
+    * (`unchanged` — downstream re-processing suppressed), a re-fetch
+    * whose fingerprint differs (`changed`), a store row carrying a
+    * NULL fingerprint (`new` — conservative: re-process), and a NULL
+    * batch fingerprint against a stored one (`changed` — the content
+    * address disappeared). The oracle states every verdict directly. */
+  def crawlChangeDetect(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val hid = col("doc_id").cast("string")
+    def u(suffix: String) =
+      concat(lit("http://h"), hid, lit(s".example.com/$suffix"))
+    def f(prefix: String) = concat(lit(prefix), hid)
+    val fetched = d.select(col("doc_id"), explode(array(
+      struct(lit(1).as("kind"), u("new").as("url"), f("fp-").as("fp")),
+      struct(lit(2).as("kind"), u("same").as("url"), f("fp-").as("fp")),
+      struct(lit(3).as("kind"), u("diff").as("url"), f("fp2-").as("fp")),
+      struct(lit(4).as("kind"), u("nullstore").as("url"), f("fp-").as("fp")),
+      struct(lit(5).as("kind"), u("nullbatch").as("url"),
+        lit(null).cast("string").as("fp")))).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"),
+        col("e.url").as("url"), col("e.fp").as("fp"))
+    val lastFp = d.select(explode(array(
+      struct(u("same").as("url"), f("fp-").as("last_fp")),
+      struct(u("diff").as("url"), f("fp-").as("last_fp")),
+      struct(u("nullstore").as("url"), lit(null).cast("string").as("last_fp")),
+      struct(u("nullbatch").as("url"), f("fp-").as("last_fp")))).as("e"))
+      .select(col("e.url").as("url"), col("e.last_fp").as("last_fp"))
+    Recrawl.changeVerdicts(fetched, "url", "fp", lastFp)
+      .select(col("doc_id"), col("kind"), col("url"),
+        col("change_kind"), col("content_changed"))
+  }
+
+  lazy val crawlChangeDetectSql: String =
+    """WITH k(kind, suffix, ck) AS (VALUES
+      |  (1, 'new', 'new'),
+      |  (2, 'same', 'unchanged'),
+      |  (3, 'diff', 'changed'),
+      |  (4, 'nullstore', 'new'),
+      |  (5, 'nullbatch', 'changed'))
+      |SELECT doc_id, kind,
+      |       'http://h' || doc_id || '.example.com/' || suffix AS url,
+      |       ck AS change_kind,
+      |       ck <> 'unchanged' AS content_changed
+      |FROM documents, k
+      |""".stripMargin
+
   /** robots URL admission over the constructed per-host rule sets and
     * seven URL shapes per host × two product tokens: longest-match
     * precedence, allow-beats-disallow ties (via the wildcard rule

@@ -61,6 +61,7 @@ object SparkEntry {
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
     "crawl_recrawl_due" -> (QueriesExt.crawlRecrawlDue _),
+    "crawl_change_detect" -> (QueriesExt.crawlChangeDetect _),
     "crawl_page_meta" -> (QueriesExt.crawlPageMeta _),
     "decon_semantic" -> (QueriesExt.deconSemantic _),
     "crawl_robots_delays" -> (QueriesExt.crawlRobotsDelays _),
@@ -318,6 +319,7 @@ object SparkEntry {
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_recrawl_due"         -> QueriesExt.crawlRecrawlDueSql,
+    "crawl_change_detect"       -> QueriesExt.crawlChangeDetectSql,
     "crawl_page_meta"           -> QueriesExt.crawlPageMetaSql,
     "decon_semantic"            -> QueriesExt.deconSemanticSql,
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,

@@ -1126,6 +1126,70 @@ object CurationPipeline {
       }
     }, modes = Set("full", "admit"), tableParams = Set("table"),
       fullOnlyParams = Set("table")),
+    // post-fetch change detection — the other half of the freshness
+    // loop: the input is FETCHED pages (url + content); each row's
+    // content fingerprint (the `fingerprint` column, or md5(text) when
+    // absent) compares against the URL's last-known fingerprint, and
+    // only content_changed rows pass — an unchanged re-fetch must not
+    // re-run extraction/dedup/annotation over identical bytes.
+    // mode: full compares against a named (url, last_fp) table;
+    // mode: admit maintains the fingerprint columns of a last-fetch
+    // store in this step's state dir ($state/<step>/lastfetch — the
+    // same StreamingRecrawl store format the recrawl step maintains;
+    // one store serves both loops when wired directly through
+    // StreamingRecrawl.applyBatch/applyFetchBatch) and writes the
+    // annotated batch to $state/<step>/changed.
+    "change_detect" -> Op(
+      Set("url", "fingerprint", "now", "buckets", "mode", "table"), { c =>
+      val urlCol = c.params.str("url", c.textCol)
+      require(c.input.columns.contains(urlCol),
+        s"step ${c.stepName}: input has no url column '$urlCol'")
+      val (fpCol, withFpCol) =
+        if (c.params.has("fingerprint")) {
+          val fc = c.params.reqStr("fingerprint")
+          require(c.input.columns.contains(fc),
+            s"step ${c.stepName}: input has no fingerprint column '$fc'")
+          (fc, c.input)
+        } else {
+          require(!c.input.columns.contains("__content_fp"),
+            s"step ${c.stepName}: input already has internal column '__content_fp'")
+          ("__content_fp", c.input.withColumn("__content_fp", md5(col(c.textCol))))
+        }
+      c.params.str("mode", "full") match {
+        case "full" =>
+          require(!c.params.has("now") && !c.params.has("buckets"),
+            s"step ${c.stepName}: now/buckets apply to mode: admit only")
+          val tblName = c.params.reqStr("table")
+          val fps = c.resolve(tblName)
+          Seq(urlCol, "last_fp").foreach(needed =>
+            require(fps.columns.contains(needed),
+              s"step ${c.stepName}: table '$tblName' has no column '$needed'"))
+          graft.operators.Recrawl
+            .changeVerdicts(withFpCol, urlCol, fpCol, fps)
+            .filter(col("content_changed"))
+            .select((c.input.columns.toSeq :+ "change_kind").map(col): _*)
+        case "admit" =>
+          require(!c.params.has("table"),
+            s"step ${c.stepName}: table applies to mode: full only")
+          val root = c.requireState("change_detect mode: admit")
+          val (store, sink) = (s"$root/lastfetch", s"$root/changed")
+          val buckets = c.params.int("buckets", 64)
+          val nowTs = c.params.reqLong("now")
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(store, "_graft_buckets")))
+            StreamingRecrawl.initialize(
+              withFpCol.limit(0).select(col(urlCol), lit(0L).as("last_fetch_ts")),
+              urlCol, store, buckets)
+          StreamingRecrawl.applyFetchBatch(withFpCol, c.idCol, urlCol, fpCol,
+            store, sink, buckets, c.batchId, nowTs)
+          val out = readBatchPartition(
+            c.copy(input = withFpCol), sink, StreamingRecrawl.BatchCol,
+            extraCols = Seq("change_kind", "content_changed"))
+          out.filter(col("content_changed"))
+            .select((c.input.columns.toSeq :+ "change_kind").map(col): _*)
+      }
+    }, modes = Set("full", "admit"), tableParams = Set("table"),
+      fullOnlyParams = Set("table")),
     // page-metadata annotation: each named <meta> key (property= or
     // name= spelling, first tag wins, entity-decoded) becomes a
     // column — og:title/og:description for snippets,

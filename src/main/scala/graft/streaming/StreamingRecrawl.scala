@@ -16,11 +16,23 @@ import graft.operators.Recrawl
   * that keeps a 100 TB corpus fresh instead of merely built.
   *
   * Store layout is the [[StreamingUpsert]] bucket discipline: rows
-  * `(url_fp, url, last_fetch_ts, prev_fetch_ts, last_batch_id)`
-  * partitioned by a url-fingerprint-hash bucket, so a batch READS
-  * only the buckets its own URLs land in and REWRITES only those via
-  * dynamic partition overwrite. `numBuckets` is a table property in
-  * the shared `_graft_buckets` sidecar, re-checked fail-loud.
+  * `(url_fp, url, last_fetch_ts, prev_fetch_ts, last_batch_id,
+  * last_fp, prev_fp, fp_batch_id)` partitioned by a
+  * url-fingerprint-hash bucket, so a batch READS only the buckets its
+  * own URLs land in and REWRITES only those via dynamic partition
+  * overwrite. `numBuckets` is a table property in the shared
+  * `_graft_buckets` sidecar, re-checked fail-loud.
+  *
+  * The store serves BOTH halves of the freshness loop: the DISCOVERY
+  * loop ([[applyBatch]]) reads `last_fetch_ts` to judge due-ness; the
+  * POST-FETCH loop ([[applyFetchBatch]]) compares each fetched page's
+  * content fingerprint against `last_fp` ([[Recrawl.changeVerdicts]])
+  * so a re-fetched-but-identical page emits `content_changed = false`
+  * and downstream re-processing (extraction, dedup admission,
+  * annotation) is suppressed — and then records the new fingerprint +
+  * fetch instant. A store written before the fingerprint columns
+  * existed reads them as NULL (= no fingerprint recorded →
+  * conservative `new`).
   *
   * Replay idempotency needs more than latest-wins here, because the
   * batch's own write CHANGES the verdict input (a URL marked fetched
@@ -48,7 +60,8 @@ object StreamingRecrawl {
 
   private val StoreSchema =
     s"__url_fp STRING, url STRING, last_fetch_ts LONG, prev_fetch_ts LONG, " +
-      s"last_batch_id LONG, $BucketCol INT"
+      s"last_batch_id LONG, last_fp STRING, prev_fp STRING, fp_batch_id LONG, " +
+      s"$BucketCol INT"
 
   private def readStore(spark: org.apache.spark.sql.SparkSession, path: String) =
     spark.read.schema(StoreSchema).parquet(path)
@@ -73,7 +86,10 @@ object StreamingRecrawl {
         col(urlCol).cast("string").as("url"),
         col("last_fetch_ts").cast("long").as("last_fetch_ts"),
         lit(null).cast("long").as("prev_fetch_ts"),
-        lit(-1L).as("last_batch_id"))
+        lit(-1L).as("last_batch_id"),
+        lit(null).cast("string").as("last_fp"),
+        lit(null).cast("string").as("prev_fp"),
+        lit(-1L).as("fp_batch_id"))
       .withColumn(BucketCol, bucketOf(numBuckets))
       .write.mode("overwrite")
       .partitionBy(BucketCol).parquet(storePath)
@@ -142,23 +158,108 @@ object StreamingRecrawl {
           .partitionBy(BatchCol).parquet(sinkPath)
         // store advance: due URLs get last_fetch_ts = nowTs with one
         // step of history; everything else in the touched buckets
-        // rewrites as-was (evaluated base, so a replay is a no-op)
+        // rewrites VERBATIM (all history columns as-read — a replayed
+        // batch rewrites the same rows again, and the post-fetch
+        // loop's fingerprint stamps survive untouched even when the
+        // two loops interleave in one night). The fingerprint triple
+        // is never evaluated here — this loop does not write it.
         val dueFps = verdicts.filter(col("recrawl_due"))
           .select(col("__url_fp"),
             col(urlCol).cast("string").as("__due_url"))
         val kept = stored
-          .select(col("__url_fp"), col("url"), evalTs.as("last_fetch_ts"))
           .join(dueFps.select(col("__url_fp")), Seq("__url_fp"), "left_anti")
           .select(col("__url_fp"), col("url"), col("last_fetch_ts"),
-            lit(null).cast("long").as("prev_fetch_ts"),
-            lit(-1L).as("last_batch_id"))
+            col("prev_fetch_ts"), col("last_batch_id"),
+            col("last_fp"), col("prev_fp"), col("fp_batch_id"))
         val advanced = dueFps
-          .join(stored.select(col("__url_fp"),
-            evalTs.as("__prev_ts")), Seq("__url_fp"), "left")
+          .join(stored.select(col("__url_fp"), evalTs.as("__prev_ts"),
+            col("last_fp"), col("prev_fp"), col("fp_batch_id")),
+            Seq("__url_fp"), "left")
           .select(col("__url_fp"), col("__due_url").as("url"),
             lit(nowTs).as("last_fetch_ts"),
             col("__prev_ts").as("prev_fetch_ts"),
-            lit(batchId).as("last_batch_id"))
+            lit(batchId).as("last_batch_id"),
+            col("last_fp"), col("prev_fp"),
+            coalesce(col("fp_batch_id"), lit(-1L)).as("fp_batch_id"))
+        kept.unionByName(advanced)
+          .withColumn(BucketCol, bucketOf(numBuckets))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BucketCol).parquet(storePath)
+      } finally verdicts.unpersist()
+    } finally withFp.unpersist()
+  }
+
+  /** Judge one POST-FETCH batch against the store's fingerprints and
+    * advance them — the change-detection half of the loop. `batch`
+    * carries fetched pages `(idCol, urlCol, fpCol, ...)` where `fpCol`
+    * is a stable content address (text md5, pixel_md5). Every batch
+    * row lands in `sinkPath/<BatchCol>=<batchId>` annotated with
+    * `change_kind` / `content_changed` ([[Recrawl.changeVerdicts]] —
+    * downstream suppresses `content_changed = false` rows); the
+    * touched store buckets rewrite with `last_fp` = the batch's
+    * fingerprint and `last_fetch_ts = nowTs` (a completed fetch IS the
+    * authoritative fetch record), one step of history on both triples
+    * for replay self-exclusion. In-batch duplicate URLs collapse to
+    * the min-id representative's row. Untouched rows in touched
+    * buckets rewrite verbatim, so the discovery loop's stamps survive
+    * interleaving. */
+  def applyFetchBatch(
+      batch: DataFrame, idCol: String, urlCol: String, fpCol: String,
+      storePath: String, sinkPath: String, numBuckets: Int, batchId: Long,
+      nowTs: Long
+  ): Unit = {
+    if (batch.isEmpty) return
+    checkMarker(storePath, numBuckets)
+    Seq("__url_fp", BucketCol, BatchCol, "change_kind", "content_changed")
+      .foreach(c => require(!batch.columns.contains(c),
+        s"input already has a '$c' column — rename it first"))
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__url_fp")).orderBy(col(idCol))
+    val withFp = batch
+      .withColumn("__url_fp", md5(col(urlCol).cast("string")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn(BucketCol, bucketOf(numBuckets))
+    withFp.persist()
+    try {
+      val touched = withFp.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val stored = readStore(spark, storePath)
+        .filter(col(BucketCol).isin(touched: _*))
+      // replay self-exclusion on the FINGERPRINT triple: a row this
+      // batch already stamped is compared at its pre-batch fingerprint
+      val evalFp = when(col("fp_batch_id") === batchId, col("prev_fp"))
+        .otherwise(col("last_fp"))
+      val evalTs = when(col("last_batch_id") === batchId, col("prev_fetch_ts"))
+        .otherwise(col("last_fetch_ts"))
+      val lastFp = stored.select(col("url").as(urlCol), evalFp.as("last_fp"))
+      val verdicts = Recrawl.changeVerdicts(withFp, urlCol, fpCol, lastFp)
+      verdicts.persist()
+      try {
+        verdicts
+          .drop("__url_fp", BucketCol)
+          .withColumn(BatchCol, lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BatchCol).parquet(sinkPath)
+        val batchFps = withFp.select(col("__url_fp"),
+          col(urlCol).cast("string").as("__b_url"),
+          col(fpCol).cast("string").as("__b_fp"))
+        val kept = stored
+          .join(batchFps.select(col("__url_fp")), Seq("__url_fp"), "left_anti")
+          .select(col("__url_fp"), col("url"), col("last_fetch_ts"),
+            col("prev_fetch_ts"), col("last_batch_id"),
+            col("last_fp"), col("prev_fp"), col("fp_batch_id"))
+        val advanced = batchFps
+          .join(stored.select(col("__url_fp"), evalTs.as("__prev_ts"),
+            evalFp.as("__prev_fp")), Seq("__url_fp"), "left")
+          .select(col("__url_fp"), col("__b_url").as("url"),
+            lit(nowTs).as("last_fetch_ts"),
+            col("__prev_ts").as("prev_fetch_ts"),
+            lit(batchId).as("last_batch_id"),
+            col("__b_fp").as("last_fp"),
+            col("__prev_fp").as("prev_fp"),
+            lit(batchId).as("fp_batch_id"))
         kept.unionByName(advanced)
           .withColumn(BucketCol, bucketOf(numBuckets))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -2386,6 +2386,78 @@ class CliSpec extends SparkSpec {
     assert(Files.readString(Paths.get(state, "_graft_next_batch")).trim == "2")
   }
 
+  test("pipeline --state: change_detect suppresses unchanged re-fetches — downstream admission sees only changed pages") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    val yaml = Files.createTempFile("graft-pipe-changed", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: fresh_content
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: changed
+        |    op: change_detect
+        |    input: pages
+        |    params: { mode: admit, url: url, now: "1700000000", buckets: "8" }
+        |  - name: admitted
+        |    op: dedup_exact
+        |    params: { mode: admit, buckets: "8" }
+        |""".stripMargin)
+    // night 1: two fresh pages — both new, both flow downstream
+    Seq(
+      (1L, "http://h/a", "alpha content one"),
+      (2L, "http://h/b", "beta content two"))
+      .toDF("doc_id", "url", "text").write.parquet(s"$src/pages.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    def ids(out: String, step: String) = spark.read.parquet(s"$out/$step")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(out1, "changed") === Set(1L, 2L))
+    assert(ids(out1, "admitted") === Set(1L, 2L))
+    // snapshot the downstream admission store's files: the unchanged
+    // page must not cause ANY partition of it to rewrite on night 2
+    def storeFiles(): Map[String, Long] = {
+      val root = Paths.get(state, "admitted", "fingerprints")
+      val st = Files.walk(root)
+      try st.filter(p => Files.isRegularFile(p)).iterator().asScala
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally st.close()
+    }
+    val before = storeFiles()
+    // night 2: /a revised, /b re-fetched byte-identical
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/pages.parquet"))
+    Seq(
+      (1L, "http://h/a", "alpha content REVISED"),
+      (2L, "http://h/b", "beta content two"))
+      .toDF("doc_id", "url", "text").write.parquet(s"$src/pages.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out2, "--state", state), spark)
+    // only the changed page passes change_detect and reaches admission
+    assert(ids(out2, "changed") === Set(1L))
+    assert(spark.read.parquet(s"$out2/changed")
+      .select("change_kind").collect().map(_.getString(0)).toSeq === Seq("changed"))
+    assert(ids(out2, "admitted") === Set(1L))
+    // the annotated sink records the suppressed page as unchanged
+    val sink2 = spark.read.parquet(s"$state/changed/changed")
+      .filter(col("__batch_id") === 1L)
+      .select("doc_id", "change_kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sink2 === Map(1L -> "changed", 2L -> "unchanged"))
+    // downstream store partitions: only the changed page's bucket
+    // rewrote — every file that changed or appeared belongs to a
+    // bucket, and exactly one bucket dir was touched (page /b never
+    // reached the store)
+    val after = storeFiles()
+    def buckets(paths: Iterable[String]): Set[String] =
+      paths.flatMap(_.split("/").find(_.startsWith("__kb="))).toSet
+    val touched = (after.keySet -- before.keySet) ++
+      after.keySet.intersect(before.keySet).filter(p => after(p) != before(p))
+    assert(buckets(touched).size === 1,
+      s"expected exactly one rewritten bucket, got ${buckets(touched)}")
+  }
+
   test("pipeline incremental modes validate: unknown mode and missing --state fail pre-Spark") {
     val yaml = Files.createTempFile("graft-pipe-badmode", ".yaml")
     Files.writeString(yaml,

@@ -94,6 +94,79 @@ class StreamingRecrawlSpec extends SparkSpec {
       .forall { case (u, r) => r == "new" || (u == "http://h/a" && r == "aged") })
   }
 
+  private def applyFetch(
+      batch: Seq[(Long, String, String)], store: String, sink: String,
+      batchId: Long, now: Long): Unit =
+    StreamingRecrawl.applyFetchBatch(
+      batch.toDF("doc_id", "url", "fp"), "doc_id", "url", "fp",
+      store, sink, numBuckets = 8, batchId = batchId, nowTs = now)
+
+  test("applyFetchBatch: two nights of fetches — unchanged re-fetch flags false, fingerprints advance with history") {
+    val (store, sink) = (tmp(), tmp())
+    StreamingRecrawl.initialize(
+      Seq.empty[(String, Long)].toDF("url", "last_fetch_ts"), "url", store, 8)
+    // night 1: both pages are new
+    applyFetch(Seq((1L, "http://h/a", "fpA1"), (2L, "http://h/b", "fpB1")),
+      store, sink, batchId = 0L, now = T0)
+    // night 2: /a revised, /b byte-identical
+    applyFetch(Seq((1L, "http://h/a", "fpA2"), (2L, "http://h/b", "fpB1")),
+      store, sink, batchId = 1L, now = T0 + Day)
+    val n2 = spark.read.parquet(sink)
+      .filter(col(StreamingRecrawl.BatchCol) === 1L)
+      .select("url", "change_kind", "content_changed").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(n2 === Map(
+      "http://h/a" -> (("changed", true)),
+      "http://h/b" -> (("unchanged", false))))
+    // store: fingerprints advanced with one step of history, fetch
+    // instants stamped by the fetch loop
+    val st = spark.read.parquet(store)
+      .select("url", "last_fp", "prev_fp", "last_fetch_ts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(st === Set(
+      ("http://h/a", "fpA2", "fpA1", T0 + Day),
+      ("http://h/b", "fpB1", "fpB1", T0 + Day)))
+  }
+
+  test("applyFetchBatch replay is byte-identical, and the fetch loop interleaves with discovery on one store") {
+    val (store, sink, dsink) = (tmp(), tmp(), tmp())
+    StreamingRecrawl.initialize(
+      Seq.empty[(String, Long)].toDF("url", "last_fetch_ts"), "url", store, 8)
+    // batch 0 (discovery): /a and /b are new — frontier both
+    apply1(Seq((1L, "http://h/a", "", "daily"), (2L, "http://h/b", "", "daily")),
+      store, dsink, batchId = 0L, now = T0)
+    // batch 1 (fetch results for the frontier)
+    applyFetch(Seq((1L, "http://h/a", "fpA1"), (2L, "http://h/b", "fpB1")),
+      store, sink, batchId = 1L, now = T0 + 60)
+    // batch 2 (next-night discovery): a day later both are aged-due
+    // under the default — the discovery loop must carry the fetch
+    // loop's fingerprints through its bucket rewrite verbatim
+    apply1(Seq((1L, "http://h/a", "", "daily"), (2L, "http://h/b", "", "daily")),
+      store, dsink, batchId = 2L, now = T0 + 2 * Day)
+    assert(spark.read.parquet(store)
+      .select("url", "last_fp").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("http://h/a", "fpA1"), ("http://h/b", "fpB1")))
+    // batch 3 (fetch): /a changed, /b unchanged
+    val n3 = Seq((1L, "http://h/a", "fpA2"), (2L, "http://h/b", "fpB1"))
+    applyFetch(n3, store, sink, batchId = 3L, now = T0 + 2 * Day + 60)
+    def snapshot(): (Map[String, (String, Boolean)], Set[Seq[Any]]) = (
+      spark.read.parquet(sink)
+        .filter(col(StreamingRecrawl.BatchCol) === 3L)
+        .select("url", "change_kind", "content_changed").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap,
+      spark.read.parquet(store).collect().map(_.toSeq).toSet)
+    val before = snapshot()
+    // foreachBatch failure mode: batch 3 re-applies after a partial
+    // run — the compare must use prev_fp (self-exclusion), or /a
+    // would read back its own new fingerprint and flip to unchanged
+    applyFetch(n3, store, sink, batchId = 3L, now = T0 + 2 * Day + 60)
+    assert(snapshot() === before)
+    assert(before._1("http://h/a") === (("changed", true)))
+    assert(before._1("http://h/b") === (("unchanged", false)))
+  }
+
   test("in-batch duplicate URLs collapse to one frontier row; lastmod hints merge by max") {
     val (store, sink) = (tmp(), tmp())
     StreamingRecrawl.initialize(
