@@ -141,6 +141,8 @@ object Bench {
     "multimodal_video_neardup" -> (QueriesExt.multimodalVideoNeardup _),
     // trained profile classifier: train + predict, fixed-point argmax
     "text_classify_profile" -> (QueriesExt.textClassifyProfile _),
+    // char-trigram lang-ID (train + fixed-point nearest-profile score)
+    "text_langid_ngram"     -> (QueriesExt.textLangidNgram _),
     // r6: codegen'd scan-local embedding transforms + token budgeting
     "embed_kmeans_assign"     -> (QueriesExt.embedKmeansAssign _),
     "embed_random_projection" -> (QueriesExt.embedRandomProjection _),

@@ -1719,6 +1719,58 @@ object QueriesExt {
        |WHERE rn = 1
        |""".stripMargin
 
+  /** Char-TRIGRAM language classifier (Cavnar–Trenkle features through
+    * the same exact fixed-point nearest-profile scoring): train
+    * per-lang trigram profiles on the `doc_id % 5 != 0` folds over the
+    * NORMALIZED text (spaces kept — word-boundary shape is signal),
+    * predict the held-out fold. Char n-grams are the short-document
+    * lang-ID primitive the stopword-hit heuristic cannot be — no
+    * vocabulary overlap needed. The oracle retrains the trigram
+    * profiles and replays scoring + argmax relationally
+    * (`text_classify_profile` pattern); ClassifySpec demonstrates
+    * separation on multilingual sentences where stopword lang-ID
+    * fails. */
+  def textLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (train, test) = Classify.holdout(d, "doc_id", folds = 5, fold = 0)
+    Classify.nearestProfileChars(test, "doc_id", "text",
+      Classify.charNgramProfiles(train, "lang", "text", n = 3), n = 3)
+  }
+
+  lazy val textLangidNgramSql: String =
+    s"""WITH tr AS (
+       |  SELECT lang, substring(norm, i, 3) AS token
+       |  FROM (SELECT lang, $normSql AS norm FROM documents WHERE doc_id % 5 <> 0),
+       |       unnest(generate_series(1, greatest(length(norm) - 2, 0))) AS t(i)
+       |), prof AS MATERIALIZED (
+       |  SELECT lang, token, count(*) AS cnt FROM tr GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, sum(cnt) AS total FROM prof GROUP BY 1
+       |), te AS (
+       |  SELECT doc_id, substring(norm, i, 3) AS token
+       |  FROM (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id % 5 = 0),
+       |       unnest(generate_series(1, greatest(length(norm) - 2, 0))) AS t(i)
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM te GROUP BY 1, 2
+       |), dots AS (
+       |  SELECT tf.doc_id, prof.lang, sum(tf.tf * prof.cnt) AS dot
+       |  FROM tf JOIN prof USING (token) GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT d.doc_id, tot.lang, tot.total
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d, tot
+       |), scores AS (
+       |  SELECT g.doc_id, g.lang,
+       |         CAST(coalesce(dots.dot, 0) * 1000000 // g.total AS BIGINT) AS score
+       |  FROM grid g
+       |  LEFT JOIN dots ON dots.doc_id = g.doc_id AND dots.lang = g.lang
+       |)
+       |SELECT doc_id, lang AS label_pred, score
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       |      FROM scores)
+       |WHERE rn = 1
+       |""".stripMargin
+
   // ================================================================ learned BPE
   /** Corpus-learned BPE merge table [Sennrich et al. 2016], 8 merges
     * over the normalized-word frequency table. The oracle REPLAYS

@@ -281,7 +281,8 @@ object SparkEntry {
     "text_bpe_bytes" -> (QueriesExt.textBpeBytes _),
     "text_bpe_bytes_tokenize" -> (QueriesExt.textBpeBytesTokenize _),
     // trained nearest-class-profile classifier (model-based curation)
-    "text_classify_profile" -> (QueriesExt.textClassifyProfile _)
+    "text_classify_profile" -> (QueriesExt.textClassifyProfile _),
+    "text_langid_ngram" -> (QueriesExt.textLangidNgram _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,6 +445,7 @@ object SparkEntry {
     "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql,
     "text_bpe_bytes"            -> QueriesExt.textBpeBytesSql,
     "text_bpe_bytes_tokenize"   -> QueriesExt.textBpeBytesTokenizeSql,
-    "text_classify_profile"     -> QueriesExt.textClassifyProfileSql
+    "text_classify_profile"     -> QueriesExt.textClassifyProfileSql,
+    "text_langid_ngram"         -> QueriesExt.textLangidNgramSql
   )
 }

@@ -48,18 +48,66 @@ object Classify {
       .groupBy("label", "token")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Character n-grams (spaces included — word-boundary shape is the
+    * signal) over the NORMALIZED text, the Cavnar–Trenkle 1994
+    * ("N-Gram-Based Text Categorization") feature for language ID:
+    * n-gram `i` is `substring(normalized, i, n)`, `1 ≤ i ≤ len−n+1`.
+    * Whole-word token profiles need vocabulary overlap — hopeless for
+    * SHORT documents in morphology-rich languages — while char n-gram
+    * distributions separate languages on a sentence. Pure codegen'd
+    * Column (sequence + transform + substring), no UDF. */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val norm = TextAnalysis.normalized(text)
+    val cnt = length(norm) - (n - 1)
+    // sequence(1, 0) would DESCEND in Spark — guard short/NULL texts
+    // to an explicit empty feature array instead
+    when(cnt >= 1, transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-class char-n-gram profiles `(label, token, cnt)` — the
+    * [[classProfiles]] shape over [[charNgrams]] features, so
+    * [[nearestProfile]]-style scoring applies unchanged. */
+  def charNgramProfiles(
+      train: DataFrame, labelCol: String, textCol: String, n: Int = 3): DataFrame =
+    train
+      .select(col(labelCol).as("label"),
+        explode(charNgrams(col(textCol), n)).as("token"))
+      .groupBy("label", "token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[nearestProfile]] over char-n-gram features — language ID for
+    * short documents: profiles from [[charNgramProfiles]] (same
+    * `(label, token, cnt)` shape), documents featurized by the same
+    * [[charNgrams]] extraction, scoring/argmax identical exact
+    * fixed-point arithmetic. */
+  def nearestProfileChars(
+      docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, n: Int = 3, scale: Long = 1000000L): DataFrame =
+    nearestProfileFeatures(docs, idCol,
+      explode(charNgrams(col(textCol), n)), profiles, scale)
+
   /** Classify `docs`: the class with the best fixed-point
     * L1-normalized profile match, `(idCol, label_pred, score)`. Every
     * input document gets exactly one row (zero-overlap documents
     * score 0 for every class and take the lowest label). */
   def nearestProfile(
       docs: DataFrame, idCol: String, textCol: String,
-      profiles: DataFrame, scale: Long = 1000000L): DataFrame = {
+      profiles: DataFrame, scale: Long = 1000000L): DataFrame =
+    nearestProfileFeatures(docs, idCol,
+      explode(TextAnalysis.tokens(col(textCol))), profiles, scale,
+      dropEmpty = true)
+
+  /** The shared scoring core: `feature` is a generator Column (one
+    * exploded feature string per output row) evaluated over `docs`. */
+  private def nearestProfileFeatures(
+      docs: DataFrame, idCol: String, feature: Column,
+      profiles: DataFrame, scale: Long, dropEmpty: Boolean = false): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
     val totals = profiles.groupBy("label").agg(sum(col("cnt")).as("total"))
-    val tf = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "")
+    val tf0 = docs.select(col(idCol), feature.as("token"))
+    val tf = (if (dropEmpty) tf0.filter(col("token") =!= "") else tf0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     // exact wide arithmetic: tf and cnt are corpus-scale counts, so the

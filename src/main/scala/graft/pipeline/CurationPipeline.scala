@@ -2073,16 +2073,35 @@ object CurationPipeline {
     // annotate every input doc with `label_pred` + fixed-point
     // `score`; `keepLabel:` filters to one predicted class. The
     // training table is a dependency edge like every aux table.
-    "classify" -> Op(Set("trainFrom", "label", "keepLabel", "scale"), { c =>
+    // features: tokens (default) trains whole-word profiles; chars
+    // trains char-n-gram profiles (n, default 3) — the short-document
+    // language-ID configuration (Cavnar–Trenkle shapes need no
+    // vocabulary overlap).
+    "classify" -> Op(Set("trainFrom", "label", "keepLabel", "scale",
+      "features", "n"), { c =>
       require(!Seq("label_pred", "score").exists(c.input.columns.contains),
         s"step ${c.stepName}: input already has a label_pred/score column " +
           "— classify would silently shadow it")
       val train = c.resolve(c.params.reqStr("trainFrom"))
-      val profiles = graft.operators.Classify.classProfiles(
-        train, c.params.str("label", "label"), c.textCol)
-      val pred = graft.operators.Classify.nearestProfile(
-        c.input, c.idCol, c.textCol, profiles,
-        scale = c.params.long("scale", 1000000L))
+      val labelCol = c.params.str("label", "label")
+      val scale = c.params.long("scale", 1000000L)
+      val features = c.params.str("features", "tokens")
+      require(Seq("tokens", "chars").contains(features),
+        s"step ${c.stepName}: features must be tokens or chars, got '$features'")
+      require(features == "chars" || !c.params.has("n"),
+        s"step ${c.stepName}: n applies to features: chars only")
+      val (profiles, pred) = features match {
+        case "tokens" =>
+          val p = graft.operators.Classify.classProfiles(train, labelCol, c.textCol)
+          (p, graft.operators.Classify.nearestProfile(
+            c.input, c.idCol, c.textCol, p, scale = scale))
+        case "chars" =>
+          val n = c.params.int("n", 3)
+          val p = graft.operators.Classify.charNgramProfiles(
+            train, labelCol, c.textCol, n = n)
+          (p, graft.operators.Classify.nearestProfileChars(
+            c.input, c.idCol, c.textCol, p, n = n, scale = scale))
+      }
       val out = c.input.join(pred, Seq(c.idCol))
       c.params.str("keepLabel", "") match {
         case ""  => out

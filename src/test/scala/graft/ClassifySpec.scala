@@ -53,6 +53,53 @@ class ClassifySpec extends SparkSpec {
     assert(msgs.contains("profile table is empty"), msgs)
   }
 
+  test("charNgrams: exact trigram extraction over normalized text; short/NULL texts yield empty arrays") {
+    val got = Seq((1L, "  The  CAT "), (2L, "ab"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Classify.charNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    // normalized "the cat": trigrams including the boundary space
+    assert(got(1L) === Seq("the", "he ", "e c", " ca", "cat"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq.empty)
+  }
+
+  test("char-trigram lang-ID separates short multilingual sentences where stopword lang-ID fails") {
+    import graft.operators.TextAnalysis
+    // short sentences with NO stopword-list hits for their language —
+    // the stopword heuristic returns 'und' or a wrong majority vote;
+    // char-trigram shapes (suffix/boundary patterns) still separate
+    val train = Seq(
+      (1L, "en", "running quickly towards bright mornings"),
+      (2L, "en", "singing happily during sunny afternoons"),
+      (3L, "en", "walking slowly through quiet evenings"),
+      (4L, "de", "schnell laufend durch helle morgende"),
+      (5L, "de", "froehlich singend waehrend sonniger nachmittage"),
+      (6L, "de", "langsam gehend durch stille abende"),
+      (7L, "fr", "courant rapidement vers des matinees lumineuses"),
+      (8L, "fr", "chantant joyeusement pendant des apres-midis ensoleilles"),
+      (9L, "fr", "marchant lentement dans des soirees tranquilles"))
+      .toDF("doc_id", "lang", "text")
+    val test = Seq(
+      (101L, "en", "jumping eagerly towards shining daybreaks"),
+      (102L, "de", "eifrig springend durch glaenzende tagesanbrueche"),
+      (103L, "fr", "sautant avidement vers des aubes brillantes"))
+      .toDF("doc_id", "lang", "text")
+    val prof = Classify.charNgramProfiles(train, "lang", "text", n = 3)
+    val pred = Classify.nearestProfileChars(test, "doc_id", "text", prof, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === Map(101L -> "en", 102L -> "de", 103L -> "fr"))
+    // the stopword heuristic does NOT separate these (its failure mode
+    // on short stopword-free text is exactly why the trigram path
+    // exists) — if this ever starts passing, the corpus above stopped
+    // demonstrating the gap
+    val stopw = test.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stopw.exists { case (id, l) =>
+      l != Map(101L -> "en", 102L -> "de", 103L -> "fr")(id) },
+      s"stopword lang-ID unexpectedly solved the stopword-free corpus: $stopw")
+  }
+
   test("holdout: fold split is exact and disjoint") {
     val d = (0L until 20L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val (tr, te) = Classify.holdout(d, "doc_id", folds = 5, fold = 0)

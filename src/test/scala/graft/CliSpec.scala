@@ -1859,6 +1859,30 @@ class CliSpec extends SparkSpec {
     assert(en.select("doc_id").collect().map(_.getLong(0)).toSet ===
       tagged.collect { case (id, "en") => id }.toSet)
     assert(en.columns.contains("label_pred") && en.columns.contains("score"))
+    // features: chars — the char-trigram lang-ID configuration equals
+    // the direct operator path
+    val charYaml = Files.createTempFile("graft-pipe-classify-chars", ".yaml")
+    Files.writeString(charYaml,
+      """pipeline: classify_chars
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: tagged
+        |    op: classify
+        |    input: incoming
+        |    params: { trainFrom: labeled, label: lang, features: chars, n: "3" }
+        |""".stripMargin)
+    val charOut = tempDir()
+    Cli.run(Seq("pipeline", charYaml.toString, src, charOut), spark)
+    val charTagged = spark.read.parquet(s"$charOut/tagged")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("label_pred")).toMap
+    val charDirect = graft.operators.Classify.nearestProfileChars(
+      spark.read.parquet(s"$src/incoming.parquet"), "doc_id", "text",
+      graft.operators.Classify.charNgramProfiles(
+        spark.read.parquet(s"$src/labeled.parquet"), "lang", "text", n = 3), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(charTagged === charDirect)
+    assert(charTagged(11L) === "fr")
     // a keepLabel absent from the training labels fails loudly
     val badYaml = Files.createTempFile("graft-pipe-classify-bad", ".yaml")
     Files.writeString(badYaml,
