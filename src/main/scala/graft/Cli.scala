@@ -94,7 +94,7 @@ object Cli {
 
   private val usage =
     """usage: graft.Cli MODEL.yaml SOURCE_DIR OUT_DIR
-      |       graft.Cli pipeline JOB.yaml SOURCE_DIR OUT_DIR [--suffix-template T] [--state STATE_DIR] [--compact-state]
+      |       graft.Cli pipeline JOB.yaml SOURCE_DIR OUT_DIR [--suffix-template T] [--state STATE_DIR] [--compact-state] [--dry-run]
       |  [--incremental LO HI | --upper HI | --compact]
       |  [--no-partition]  [--bucket-parents N]  [--salt-parents N]  [--version]
       |  [-d|--dim-prefix P] [-f|--fact-prefix P] [-t|--time-unit U] [--fact-infix I]
@@ -257,7 +257,8 @@ object Cli {
     val Seq(jobPath, sourceDir, outDir) = args.take(3)
     val rest = args.drop(3)
     rest.filter(_.startsWith("--")).foreach { f =>
-      if (f != "--suffix-template" && f != "--state" && f != "--compact-state")
+      if (f != "--suffix-template" && f != "--state" && f != "--compact-state" &&
+          f != "--dry-run")
         usageExit(s"unknown flag: $f")
     }
     val suffix = {
@@ -290,6 +291,15 @@ object Cli {
     val compactState = rest.contains("--compact-state")
     if (compactState && stateDir.isEmpty)
       throw CliError("pipeline: --compact-state requires --state STATE_DIR", 1)
+    if (rest.contains("--dry-run")) {
+      // pre-flight only: validate + topo-order + source existence +
+      // input row counts; NOTHING executes, nothing is written
+      if (compactState)
+        throw CliError("pipeline: --dry-run cannot be combined with --compact-state", 1)
+      println(graft.pipeline.CurationPipeline.dryRun(
+        sparkSession, spec, sourceDir, stateDir))
+      return
+    }
     graft.pipeline.CurationPipeline.run(
       sparkSession, spec, sourceDir, outDir, suffix, stateDir, compactState)
       .foreach(t => println(s"written: $outDir/$t"))

@@ -2255,4 +2255,63 @@ object CurationPipeline {
       manifest.map(_._1.name)
     }
   }
+
+  /** Validate, topo-order, and cost-preview a spec WITHOUT executing a
+    * single step — the pre-flight for scheduled chains: a
+    * misconfigured input, a missing aux table, or a stateful step
+    * without `--state` must surface in seconds, not hours into
+    * compute. Performs every check [[run]] performs before its first
+    * step (spec validation + topo order, step-name/source collisions,
+    * the stateful-steps-need-state rule) PLUS the existence of every
+    * referenced SOURCE table, and counts each source table's rows once
+    * (parquet row-group metadata — Spark's count aggregate pushdown,
+    * no data scan; this is the session's only use). Step outputs
+    * don't exist yet and render as `"(step output, this run)"`.
+    * Returns the manifest-shaped plan text ([[run]]'s
+    * `pipeline_manifest.json` shape with `dry_run: true` and per-step
+    * input counts in place of actuals); writes nothing, advances no
+    * batch counter, touches no store. */
+  def dryRun(spark: => SparkSession, spec: Spec, sourceDir: String,
+      stateDir: Option[String] = None): String = {
+    val ordered = validate(spec) match {
+      case Left(errs) => throw new IllegalArgumentException(errs.mkString("\n"))
+      case Right(o)   => o
+    }
+    val stateful = statefulSteps(spec)
+    require(stateful.isEmpty || stateDir.nonEmpty,
+      s"steps ${stateful.mkString(", ")} run incremental modes — pass a state directory")
+    val stepNames = spec.steps.map(_.name).toSet
+    ordered.foreach { s =>
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(sourceDir, s.name + ".parquet")),
+        s"step name '${s.name}' collides with a source table in $sourceDir")
+    }
+    val batchId: Long = stateDir.map { d =>
+      val p = java.nio.file.Paths.get(d, "_graft_next_batch")
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+      else 0L
+    }.getOrElse(0L)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def sourceCount(name: String): Long =
+      counts.getOrElseUpdate(name, {
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(sourceDir, s"$name.parquet")),
+          s"source table '$name' not found in $sourceDir " +
+            "(and no step produces it)")
+        graft.sources.ParquetTables.readTable(spark, sourceDir, name).count()
+      })
+    val lines = ordered.map { s =>
+      val in = s.input.getOrElse(
+        spec.steps(spec.steps.indexWhere(_.name == s.name) - 1).name)
+      val rendered = (in +: auxRefs(s)).distinct.map { r =>
+        if (stepNames.contains(r)) s""""$r":"(step output, this run)""""
+        else s""""$r":${sourceCount(r)}"""
+      }.mkString(",")
+      s"""{"name":"${s.name}","op":"${s.op}","input":"$in","in_rows":{$rendered}}"""
+    }
+    lines.mkString(
+      s"""{"pipeline":"${spec.name}","batch_id":$batchId,"dry_run":true,"steps":[""",
+      ",", "]}")
+  }
 }

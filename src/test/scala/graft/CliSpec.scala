@@ -2482,6 +2482,70 @@ class CliSpec extends SparkSpec {
       s"expected exactly one rewritten bucket, got ${buckets(touched)}")
   }
 
+  test("pipeline --dry-run: topo-ordered manifest-shaped plan with source counts; no step executes, nothing written") {
+    import spark.implicits._
+    val (src, out, state) = (tempDir(), tempDir(), tempDir())
+    Seq((1L, "a text"), (2L, "b text"), (3L, "a text"))
+      .toDF("doc_id", "text").write.parquet(s"$src/documents.parquet")
+    Seq((9L, "bench row")).toDF("doc_id", "text")
+      .write.parquet(s"$src/bench.parquet")
+    val yaml = Files.createTempFile("graft-pipe-dry", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: dry_chain
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: unique
+        |    op: dedup_exact
+        |    input: documents
+        |    params: { mode: admit, buckets: "8" }
+        |  - name: clean
+        |    op: decontaminate
+        |    params: { benchmark: bench, n: "2" }
+        |""".stripMargin)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Cli.run(Seq("pipeline", yaml.toString, src, out,
+        "--state", state, "--dry-run"), spark)
+    }
+    val plan = buf.toString("UTF-8").trim
+    // manifest-shaped: pipeline, batch id, topo-ordered steps with
+    // source counts (the bench aux table is a dependency edge too)
+    assert(plan.startsWith("""{"pipeline":"dry_chain","batch_id":0,"dry_run":true"""), plan)
+    assert(plan.contains(""""name":"unique","op":"dedup_exact","input":"documents","in_rows":{"documents":3}"""), plan)
+    assert(plan.contains(""""name":"clean","op":"decontaminate","input":"unique","in_rows":{"unique":"(step output, this run)","bench":1}"""), plan)
+    // NOTHING executed: no step outputs, no manifest, no state store,
+    // no batch counter
+    assert(!Files.exists(Paths.get(out, "unique")) &&
+      !Files.exists(Paths.get(out, "clean")) &&
+      !Files.exists(Paths.get(out, "pipeline_manifest.json")))
+    assert(!Files.exists(Paths.get(state, "unique")) &&
+      !Files.exists(Paths.get(state, "_graft_next_batch")))
+    // a missing source table fails the preview loudly (the whole
+    // point: catch it before hours of compute)
+    val badYaml = Files.createTempFile("graft-pipe-dry-bad", ".yaml")
+    Files.writeString(badYaml,
+      """pipeline: dry_bad
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: clean
+        |    op: decontaminate
+        |    input: documents
+        |    params: { benchmark: nonexistent }
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      Cli.run(Seq("pipeline", badYaml.toString, src, out, "--dry-run"), spark)
+    }
+    assert(e.getMessage.contains("'nonexistent' not found"), e.getMessage)
+    // stateful steps still demand --state even in a dry run
+    val e2 = intercept[Exception] {
+      Cli.run(Seq("pipeline", yaml.toString, src, out, "--dry-run"), spark)
+    }
+    assert(e2.getMessage.contains("--state") ||
+      e2.getMessage.contains("state directory"), e2.getMessage)
+  }
+
   test("pipeline incremental modes validate: unknown mode and missing --state fail pre-Spark") {
     val yaml = Files.createTempFile("graft-pipe-badmode", ".yaml")
     Files.writeString(yaml,
