@@ -105,6 +105,8 @@ object Bench {
     "crawl_schedule_ranked"     -> (QueriesExt.crawlScheduleRanked _),
     // post-fetch fingerprint change detection (url-keyed join + CASE)
     "crawl_change_detect"       -> (QueriesExt.crawlChangeDetect _),
+    // adaptive revisit backoff (streak-scaled aged rule)
+    "crawl_recrawl_adaptive"    -> (QueriesExt.crawlRecrawlAdaptive _),
     // named-<meta> extraction regex chain (snippets + freshness signals)
     "crawl_page_meta"           -> (QueriesExt.crawlPageMeta _),
     "text_lm_score"             -> (QueriesExt.textLmScore _),

@@ -3562,6 +3562,76 @@ object QueriesExt {
       |FROM documents, k
       |""".stripMargin
 
+  /** ADAPTIVE recrawl verdicts over nine constructed (discovery,
+    * fetch-log) shapes per document — the change-rate backoff rules on
+    * top of [[crawlRecrawlDue]]'s: a streak-0 page ages at its base
+    * interval; streak 2 stretches `daily` to 4 days (same age now NOT
+    * due; 4x-stale IS); streak 6 pins the `maxBackoffShift = 5` cap
+    * (due at 32x base where an uncapped 64x would still sleep, and
+    * not due under 32x); a publisher `lastmod` newer than the fetch
+    * fires `modified` THROUGH any backoff; `never` stays age-exempt;
+    * a missing record is `new`; a NULL streak (pre-column store)
+    * backs off nothing. Fixed epoch instants; the oracle states every
+    * verdict directly (hand-computed truth table). */
+  def crawlRecrawlAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val now = 1700000000L
+    val d = docs(s, dir)
+    val hid = col("doc_id").cast("string")
+    def u(suffix: String) =
+      concat(lit("http://h"), hid, lit(s".example.com/$suffix"))
+    def disc(kind: Int, suffix: String, lastmod: String, cf: String) =
+      struct(lit(kind).as("kind"), u(suffix).as("url"),
+        lit(lastmod).as("lastmod"), lit(cf).as("changefreq"))
+    val discovered = d.select(col("doc_id"), explode(array(
+      disc(1, "base", "", "daily"),
+      disc(2, "backoff", "", "daily"),
+      disc(3, "expired", "", "daily"),
+      disc(4, "capped", "", "daily"),
+      disc(5, "under", "", "daily"),
+      disc(6, "modified", "2023-11-14 22:10:00", "daily"),
+      disc(7, "never", "", "never"),
+      disc(8, "new", "", "daily"),
+      disc(9, "nullstreak", "", "daily"))).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"), col("e.url").as("url"),
+        col("e.lastmod").as("lastmod"), col("e.changefreq").as("changefreq"))
+    def lf(suffix: String, age: Long, streak: Option[Long]) =
+      struct(u(suffix).as("url"), lit(now - age).as("last_fetch_ts"),
+        streak.map(v => lit(v)).getOrElse(lit(null)).cast("long")
+          .as("unchanged_streak"))
+    val lastFetch = d.select(explode(array(
+      lf("base", 90000L, Some(0L)),
+      lf("backoff", 90000L, Some(2L)),
+      lf("expired", 400000L, Some(2L)),
+      lf("capped", 3000000L, Some(6L)),
+      lf("under", 2000000L, Some(6L)),
+      lf("modified", 1000L, Some(3L)),
+      lf("never", 31536000L, Some(0L)),
+      lf("nullstreak", 90000L, None))).as("e"))
+      .select(col("e.url").as("url"), col("e.last_fetch_ts").as("last_fetch_ts"),
+        col("e.unchanged_streak").as("unchanged_streak"))
+    Recrawl.dueVerdictsAdaptive(discovered, "url", "lastmod", "changefreq",
+        lastFetch, nowTs = now, defaultAgeS = 604800L, maxBackoffShift = 5)
+      .select(col("doc_id"), col("kind"), col("url"),
+        col("recrawl_due"), col("recrawl_reason"))
+  }
+
+  lazy val crawlRecrawlAdaptiveSql: String =
+    """WITH k(kind, suffix, due, reason) AS (VALUES
+      |  (1, 'base', true, 'aged'),
+      |  (2, 'backoff', false, NULL),
+      |  (3, 'expired', true, 'aged'),
+      |  (4, 'capped', true, 'aged'),
+      |  (5, 'under', false, NULL),
+      |  (6, 'modified', true, 'modified'),
+      |  (7, 'never', false, NULL),
+      |  (8, 'new', true, 'new'),
+      |  (9, 'nullstreak', true, 'aged'))
+      |SELECT doc_id, kind,
+      |       'http://h' || doc_id || '.example.com/' || suffix AS url,
+      |       due AS recrawl_due, reason AS recrawl_reason
+      |FROM documents, k
+      |""".stripMargin
+
   /** Post-fetch change detection over five constructed (fetch, store)
     * shapes per document — one per rule branch: a URL with no store
     * row (`new`), a re-fetch whose fingerprint equals the stored one

@@ -62,6 +62,7 @@ object SparkEntry {
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
     "crawl_recrawl_due" -> (QueriesExt.crawlRecrawlDue _),
     "crawl_change_detect" -> (QueriesExt.crawlChangeDetect _),
+    "crawl_recrawl_adaptive" -> (QueriesExt.crawlRecrawlAdaptive _),
     "crawl_page_meta" -> (QueriesExt.crawlPageMeta _),
     "decon_semantic" -> (QueriesExt.deconSemantic _),
     "crawl_robots_delays" -> (QueriesExt.crawlRobotsDelays _),
@@ -321,6 +322,7 @@ object SparkEntry {
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_recrawl_due"         -> QueriesExt.crawlRecrawlDueSql,
     "crawl_change_detect"       -> QueriesExt.crawlChangeDetectSql,
+    "crawl_recrawl_adaptive"    -> QueriesExt.crawlRecrawlAdaptiveSql,
     "crawl_page_meta"           -> QueriesExt.crawlPageMetaSql,
     "decon_semantic"            -> QueriesExt.deconSemanticSql,
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,

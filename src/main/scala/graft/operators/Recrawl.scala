@@ -69,24 +69,69 @@ object Recrawl {
       discovered: DataFrame, urlCol: String, lastmodCol: String, changefreqCol: String,
       lastFetch: DataFrame, nowTs: Long, defaultAgeS: Long
   ): DataFrame = {
-    require(defaultAgeS >= 0, s"defaultAgeS must be >= 0, got $defaultAgeS")
-    Seq(urlCol, lastmodCol, changefreqCol).foreach(needed =>
-      require(discovered.columns.contains(needed),
-        s"dueVerdicts: discovery frame has no column '$needed'"))
     Seq(urlCol, "last_fetch_ts").foreach(needed =>
       require(lastFetch.columns.contains(needed),
         s"dueVerdicts: lastFetch frame has no column '$needed' — " +
           "pass (url, last_fetch_ts) rows"))
-    Seq("recrawl_due", "recrawl_reason", "__lf_ts", "__lf_url").foreach(t =>
-      require(!discovered.columns.contains(t),
+    verdictsCore(discovered, urlCol, lastmodCol, changefreqCol,
+      lastFetch.select(col(urlCol), col("last_fetch_ts"), lit(1L).as("__scale")),
+      nowTs, defaultAgeS)
+  }
+
+  /** [[dueVerdicts]] with ADAPTIVE revisit intervals — the change-rate
+    * feedback loop (Cho & Garcia-Molina 2003, "Effective page refresh
+    * policies for Web crawlers"): `lastFetch` additionally carries
+    * `unchanged_streak`, the count of consecutive re-fetches whose
+    * content fingerprint was unchanged ([[changeVerdicts]] /
+    * [[graft.streaming.StreamingRecrawl.applyFetchBatch]] maintain
+    * it), and the `aged` rule's interval stretches to
+    * `base · 2^min(streak, maxBackoffShift)` — a page that keeps NOT
+    * changing is visited exponentially less often, reclaiming fetch
+    * budget for pages that do change. A NULL streak (a store predating
+    * the column, or a never-compared URL) counts 0 = no backoff. The
+    * `modified` rule is UNTOUCHED: a publisher-declared change beats
+    * any backoff, so a stable page that finally changes re-enters on
+    * its next listing; `new` and `never` are unchanged too. */
+  def dueVerdictsAdaptive(
+      discovered: DataFrame, urlCol: String, lastmodCol: String, changefreqCol: String,
+      lastFetch: DataFrame, nowTs: Long, defaultAgeS: Long,
+      maxBackoffShift: Int = 5
+  ): DataFrame = {
+    require(maxBackoffShift >= 0 && maxBackoffShift <= 20,
+      s"maxBackoffShift must be in [0, 20], got $maxBackoffShift")
+    Seq(urlCol, "last_fetch_ts", "unchanged_streak").foreach(needed =>
+      require(lastFetch.columns.contains(needed),
+        s"dueVerdictsAdaptive: lastFetch frame has no column '$needed' — " +
+          "pass (url, last_fetch_ts, unchanged_streak) rows"))
+    val scale = expr(
+      s"shiftleft(1L, cast(least(coalesce(unchanged_streak, 0L), " +
+        s"${maxBackoffShift}L) as int))")
+    verdictsCore(discovered, urlCol, lastmodCol, changefreqCol,
+      lastFetch.select(col(urlCol), col("last_fetch_ts"), scale.as("__scale")),
+      nowTs, defaultAgeS)
+  }
+
+  /** Shared verdict core; `lf` carries `(urlCol, last_fetch_ts,
+    * __scale)` where `__scale` multiplies the aged rule's interval. */
+  private def verdictsCore(
+      discovered: DataFrame, urlCol: String, lastmodCol: String, changefreqCol: String,
+      lf0: DataFrame, nowTs: Long, defaultAgeS: Long
+  ): DataFrame = {
+    require(defaultAgeS >= 0, s"defaultAgeS must be >= 0, got $defaultAgeS")
+    Seq(urlCol, lastmodCol, changefreqCol).foreach(needed =>
+      require(discovered.columns.contains(needed),
+        s"dueVerdicts: discovery frame has no column '$needed'"))
+    Seq("recrawl_due", "recrawl_reason", "__lf_ts", "__lf_url", "__lf_scale")
+      .foreach(t => require(!discovered.columns.contains(t),
         s"dueVerdicts: input already has column '$t'"))
 
     // one fetch record per URL, fail-loud (the duplicateKeyGuard idiom:
     // filter-anchored so pruning cannot drop the raise)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__lf_url"))
-    val lf = lastFetch
+    val lf = lf0
       .select(col(urlCol).cast("string").as("__lf_url"),
-        col("last_fetch_ts").cast("long").as("__lf_ts"))
+        col("last_fetch_ts").cast("long").as("__lf_ts"),
+        col("__scale").cast("long").as("__lf_scale"))
       .withColumn("__ok",
         when(count(lit(1)).over(w) > 1,
           raise_error(concat(lit("Recrawl.dueVerdicts: URL "), col("__lf_url"),
@@ -100,7 +145,8 @@ object Recrawl {
     val lastmodTs = unix_timestamp(try_to_timestamp(
       nullif(trim(col(lastmodCol)), lit(""))))
     val cf = lower(trim(col(changefreqCol)))
-    val interval = coalesce(changefreqAgeS(col(changefreqCol)), lit(defaultAgeS))
+    val interval = coalesce(changefreqAgeS(col(changefreqCol)), lit(defaultAgeS)) *
+      coalesce(col("__lf_scale"), lit(1L))
     val age = lit(nowTs) - col("__lf_ts")
     val reason =
       when(col("__lf_ts").isNull, lit("new"))
@@ -110,7 +156,7 @@ object Recrawl {
     joined
       .withColumn("recrawl_reason", reason)
       .withColumn("recrawl_due", col("recrawl_reason").isNotNull)
-      .drop("__lf_url", "__lf_ts")
+      .drop("__lf_url", "__lf_ts", "__lf_scale")
   }
 
   /** Post-fetch change detection — the other half of the freshness

@@ -1080,9 +1080,15 @@ object CurationPipeline {
     // lastmod/changefreq name discovery columns; a named column
     // absent from the input is treated as all-empty (feeds carry
     // `updated` but no changefreq).
+    // adaptive: "true" stretches the aged interval by
+    // 2^min(unchanged_streak, 5) — the change-rate backoff fed by a
+    // change_detect step; storeFrom names that step so both loops
+    // share ONE last-fetch store ($state/<storeFrom>/lastfetch) —
+    // the streaks change detection writes are the streaks scheduling
+    // reads.
     "recrawl" -> Op(
       Set("url", "lastmod", "changefreq", "now", "defaultAge", "buckets",
-        "mode", "table"), { c =>
+        "mode", "table", "adaptive", "storeFrom"), { c =>
       val urlCol = c.params.str("url", c.textCol)
       require(c.input.columns.contains(urlCol),
         s"step ${c.stepName}: input has no url column '$urlCol'")
@@ -1090,24 +1096,37 @@ object CurationPipeline {
       val changefreqCol = c.params.str("changefreq", "changefreq")
       val nowTs = c.params.reqLong("now")
       val defaultAgeS = c.params.long("defaultAge", 604800L)
+      val adaptive = c.params.str("adaptive", "false").toBoolean
       val padded = Seq(lastmodCol, changefreqCol)
         .foldLeft(c.input)((d, cc) =>
           if (d.columns.contains(cc)) d else d.withColumn(cc, lit("")))
       c.params.str("mode", "full") match {
         case "full" =>
+          require(!c.params.has("storeFrom"),
+            s"step ${c.stepName}: storeFrom applies to mode: admit only")
           val logName = c.params.reqStr("table")
           val log = c.resolve(logName)
-          Seq(urlCol, "last_fetch_ts").foreach(needed =>
+          val needCols = Seq(urlCol, "last_fetch_ts") ++
+            (if (adaptive) Seq("unchanged_streak") else Seq.empty)
+          needCols.foreach(needed =>
             require(log.columns.contains(needed),
               s"step ${c.stepName}: table '$logName' has no column '$needed'"))
-          graft.operators.Recrawl.dueVerdicts(padded, urlCol, lastmodCol,
+          val verdicts =
+            if (adaptive) graft.operators.Recrawl.dueVerdictsAdaptive(padded,
+              urlCol, lastmodCol, changefreqCol, log, nowTs, defaultAgeS)
+            else graft.operators.Recrawl.dueVerdicts(padded, urlCol, lastmodCol,
               changefreqCol, log, nowTs, defaultAgeS)
-            .filter(col("recrawl_due")).drop("recrawl_due")
+          verdicts.filter(col("recrawl_due")).drop("recrawl_due")
         case "admit" =>
           require(!c.params.has("table"),
             s"step ${c.stepName}: table applies to mode: full only")
-          val root = c.requireState("recrawl mode: admit")
-          val (store, sink) = (s"$root/lastfetch", s"$root/frontier")
+          val ownRoot = c.requireState("recrawl mode: admit")
+          val storeRoot = c.params.str("storeFrom", "") match {
+            case ""    => ownRoot
+            case other => // share a change_detect step's last-fetch store
+              ownRoot.stripSuffix(s"/${c.stepName}") + s"/$other"
+          }
+          val (store, sink) = (s"$storeRoot/lastfetch", s"$ownRoot/frontier")
           val buckets = c.params.int("buckets", 64)
           if (!java.nio.file.Files.exists(
               java.nio.file.Paths.get(store, "_graft_buckets")))
@@ -1116,7 +1135,8 @@ object CurationPipeline {
                 lit(0L).as("last_fetch_ts")),
               urlCol, store, buckets)
           StreamingRecrawl.applyBatch(padded, c.idCol, urlCol, lastmodCol,
-            changefreqCol, store, sink, buckets, c.batchId, nowTs, defaultAgeS)
+            changefreqCol, store, sink, buckets, c.batchId, nowTs, defaultAgeS,
+            adaptive = adaptive)
           val out = readBatchPartition(
             c.copy(input = padded), sink, StreamingRecrawl.BatchCol,
             extraCols = Seq("recrawl_reason"))
@@ -1185,7 +1205,9 @@ object CurationPipeline {
           val out = readBatchPartition(
             c.copy(input = withFpCol), sink, StreamingRecrawl.BatchCol,
             extraCols = Seq("change_kind", "content_changed"))
-          out.filter(col("content_changed"))
+          // cast: the empty-sink path materializes extraCols as string
+          // nulls; a bare string filter would be an analysis error
+          out.filter(col("content_changed").cast("boolean"))
             .select((c.input.columns.toSeq :+ "change_kind").map(col): _*)
       }
     }, modes = Set("full", "admit"), tableParams = Set("table"),

@@ -61,7 +61,7 @@ object StreamingRecrawl {
   private val StoreSchema =
     s"__url_fp STRING, url STRING, last_fetch_ts LONG, prev_fetch_ts LONG, " +
       s"last_batch_id LONG, last_fp STRING, prev_fp STRING, fp_batch_id LONG, " +
-      s"$BucketCol INT"
+      s"unchanged_streak LONG, prev_streak LONG, $BucketCol INT"
 
   private def readStore(spark: org.apache.spark.sql.SparkSession, path: String) =
     spark.read.schema(StoreSchema).parquet(path)
@@ -89,7 +89,9 @@ object StreamingRecrawl {
         lit(-1L).as("last_batch_id"),
         lit(null).cast("string").as("last_fp"),
         lit(null).cast("string").as("prev_fp"),
-        lit(-1L).as("fp_batch_id"))
+        lit(-1L).as("fp_batch_id"),
+        lit(null).cast("long").as("unchanged_streak"),
+        lit(null).cast("long").as("prev_streak"))
       .withColumn(BucketCol, bucketOf(numBuckets))
       .write.mode("overwrite")
       .partitionBy(BucketCol).parquet(storePath)
@@ -107,7 +109,7 @@ object StreamingRecrawl {
       batch: DataFrame, idCol: String, urlCol: String,
       lastmodCol: String, changefreqCol: String,
       storePath: String, sinkPath: String, numBuckets: Int, batchId: Long,
-      nowTs: Long, defaultAgeS: Long
+      nowTs: Long, defaultAgeS: Long, adaptive: Boolean = false
   ): Unit = {
     if (batch.isEmpty) return
     checkMarker(storePath, numBuckets)
@@ -143,11 +145,17 @@ object StreamingRecrawl {
       // evaluated at its pre-batch value
       val evalTs = when(col("last_batch_id") === batchId, col("prev_fetch_ts"))
         .otherwise(col("last_fetch_ts"))
+      val evalStreak = when(col("fp_batch_id") === batchId, col("prev_streak"))
+        .otherwise(col("unchanged_streak"))
       val lastFetch = stored
-        .select(col("url").as(urlCol), evalTs.as("last_fetch_ts"))
+        .select(col("url").as(urlCol), evalTs.as("last_fetch_ts"),
+          evalStreak.as("unchanged_streak"))
         .filter(col("last_fetch_ts").isNotNull)
-      val verdicts = Recrawl.dueVerdicts(
-        withFp, urlCol, lastmodCol, changefreqCol, lastFetch, nowTs, defaultAgeS)
+      val verdicts =
+        if (adaptive) Recrawl.dueVerdictsAdaptive(
+          withFp, urlCol, lastmodCol, changefreqCol, lastFetch, nowTs, defaultAgeS)
+        else Recrawl.dueVerdicts(
+          withFp, urlCol, lastmodCol, changefreqCol, lastFetch, nowTs, defaultAgeS)
       verdicts.persist()
       try {
         // the batch's frontier: due rows, plumbing dropped
@@ -170,17 +178,20 @@ object StreamingRecrawl {
           .join(dueFps.select(col("__url_fp")), Seq("__url_fp"), "left_anti")
           .select(col("__url_fp"), col("url"), col("last_fetch_ts"),
             col("prev_fetch_ts"), col("last_batch_id"),
-            col("last_fp"), col("prev_fp"), col("fp_batch_id"))
+            col("last_fp"), col("prev_fp"), col("fp_batch_id"),
+            col("unchanged_streak"), col("prev_streak"))
         val advanced = dueFps
           .join(stored.select(col("__url_fp"), evalTs.as("__prev_ts"),
-            col("last_fp"), col("prev_fp"), col("fp_batch_id")),
+            col("last_fp"), col("prev_fp"), col("fp_batch_id"),
+            col("unchanged_streak"), col("prev_streak")),
             Seq("__url_fp"), "left")
           .select(col("__url_fp"), col("__due_url").as("url"),
             lit(nowTs).as("last_fetch_ts"),
             col("__prev_ts").as("prev_fetch_ts"),
             lit(batchId).as("last_batch_id"),
             col("last_fp"), col("prev_fp"),
-            coalesce(col("fp_batch_id"), lit(-1L)).as("fp_batch_id"))
+            coalesce(col("fp_batch_id"), lit(-1L)).as("fp_batch_id"),
+            col("unchanged_streak"), col("prev_streak"))
         kept.unionByName(advanced)
           .withColumn(BucketCol, bucketOf(numBuckets))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -199,7 +210,10 @@ object StreamingRecrawl {
     * touched store buckets rewrite with `last_fp` = the batch's
     * fingerprint and `last_fetch_ts = nowTs` (a completed fetch IS the
     * authoritative fetch record), one step of history on both triples
-    * for replay self-exclusion. In-batch duplicate URLs collapse to
+    * for replay self-exclusion. `unchanged_streak` counts consecutive
+    * unchanged re-fetches (any change or first sight resets to 0) —
+    * the adaptive-revisit signal [[Recrawl.dueVerdictsAdaptive]]
+    * stretches intervals by. In-batch duplicate URLs collapse to
     * the min-id representative's row. Untouched rows in touched
     * buckets rewrite verbatim, so the discovery loop's stamps survive
     * interleaving. */
@@ -242,24 +256,35 @@ object StreamingRecrawl {
           .withColumn(BatchCol, lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy(BatchCol).parquet(sinkPath)
-        val batchFps = withFp.select(col("__url_fp"),
+        val batchFps = verdicts.select(col("__url_fp"),
           col(urlCol).cast("string").as("__b_url"),
-          col(fpCol).cast("string").as("__b_fp"))
+          col(fpCol).cast("string").as("__b_fp"),
+          col("change_kind").as("__b_kind"))
         val kept = stored
           .join(batchFps.select(col("__url_fp")), Seq("__url_fp"), "left_anti")
           .select(col("__url_fp"), col("url"), col("last_fetch_ts"),
             col("prev_fetch_ts"), col("last_batch_id"),
-            col("last_fp"), col("prev_fp"), col("fp_batch_id"))
+            col("last_fp"), col("prev_fp"), col("fp_batch_id"),
+            col("unchanged_streak"), col("prev_streak"))
+        val evalStreak = when(col("fp_batch_id") === batchId, col("prev_streak"))
+          .otherwise(col("unchanged_streak"))
         val advanced = batchFps
           .join(stored.select(col("__url_fp"), evalTs.as("__prev_ts"),
-            evalFp.as("__prev_fp")), Seq("__url_fp"), "left")
+            evalFp.as("__prev_fp"), evalStreak.as("__prev_streak")),
+            Seq("__url_fp"), "left")
           .select(col("__url_fp"), col("__b_url").as("url"),
             lit(nowTs).as("last_fetch_ts"),
             col("__prev_ts").as("prev_fetch_ts"),
             lit(batchId).as("last_batch_id"),
             col("__b_fp").as("last_fp"),
             col("__prev_fp").as("prev_fp"),
-            lit(batchId).as("fp_batch_id"))
+            lit(batchId).as("fp_batch_id"),
+            // the adaptive-revisit signal: consecutive unchanged
+            // re-fetches count up, any change (or first sight) resets
+            when(col("__b_kind") === "unchanged",
+              coalesce(col("__prev_streak"), lit(0L)) + 1L)
+              .otherwise(lit(0L)).as("unchanged_streak"),
+            col("__prev_streak").as("prev_streak"))
         kept.unionByName(advanced)
           .withColumn(BucketCol, bucketOf(numBuckets))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -2482,6 +2482,81 @@ class CliSpec extends SparkSpec {
       s"expected exactly one rewritten bucket, got ${buckets(touched)}")
   }
 
+  test("pipeline --state: adaptive recrawl over a shared change_detect store — stable pages back off, changed pages re-enter") {
+    val s = spark
+    import s.implicits._
+    val (src, state) = (tempDir(), tempDir())
+    val T1 = 1700000000L
+    val Day = 86400L
+    // one store serves both loops: change_detect maintains fingerprints
+    // + unchanged streaks in $state/changed/lastfetch; the recrawl step
+    // reads THE SAME store via storeFrom, so streaks written by change
+    // detection drive the adaptive revisit interval
+    def spec(now: Long) = {
+      val y = Files.createTempFile("graft-pipe-adaptive", ".yaml")
+      Files.writeString(y,
+        s"""pipeline: fresh_adaptive
+           |id: doc_id
+           |text: text
+           |steps:
+           |  - name: changed
+           |    op: change_detect
+           |    input: pages
+           |    params: { mode: admit, url: url, now: "$now", buckets: "8" }
+           |  - name: due
+           |    op: recrawl
+           |    input: listings
+           |    params: { mode: admit, adaptive: "true", storeFrom: changed,
+           |              url: url, now: "$now", defaultAge: "$Day", buckets: "8" }
+           |""".stripMargin)
+      y.toString
+    }
+    def night(now: Long, out: String, pages: Seq[(Long, String, String)]): Set[String] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$src/pages.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$src/listings.parquet"))
+      pages.toDF("doc_id", "url", "text").write.parquet(s"$src/pages.parquet")
+      Seq((1L, "http://h/a", "t")).toDF("doc_id", "url", "text")
+        .write.parquet(s"$src/listings.parquet")
+      Cli.run(Seq("pipeline", spec(now), src, out, "--state", state), spark)
+      val dueDir = new java.io.File(s"$out/due")
+      if (!dueDir.isDirectory) Set.empty
+      else spark.read.parquet(s"$out/due")
+        .select("url").collect().map(_.getString(0)).toSet
+    }
+    // night 1: nothing fetched yet; /a lists as new -> due
+    assert(night(T1, tempDir(), Seq.empty) === Set("http://h/a"))
+    // nights 2-4: each night the PREVIOUS night's frontier was fetched;
+    // /a's content never changes, so its unchanged streak climbs
+    // (night 2 records the first fingerprint = 'new', streak 0;
+    // night 3 = unchanged, streak 1 — but same-batch self-exclusion
+    // means the recrawl step always schedules against LAST night's
+    // state, so nights 2 and 3 still re-admit at the base interval)
+    assert(night(T1 + Day + 100, tempDir(),
+      Seq((1L, "http://h/a", "same content"))) === Set("http://h/a"))
+    assert(night(T1 + 2 * (Day + 100), tempDir(),
+      Seq((1L, "http://h/a", "same content"))) === Set("http://h/a"))
+    // night 4: last night's visible streak is 1 -> interval 2 days;
+    // /a was fetched ~1 day ago -> SUPPRESSED
+    val N4 = T1 + 3 * (Day + 100)
+    assert(night(N4, tempDir(),
+      Seq((1L, "http://h/a", "same content"))) === Set.empty)
+    // night 5: streak 2 now visible -> interval 4 days; /a's last
+    // fetch stamp is night 4's, so 4+ days later it ages out anyway —
+    // backoff stretches the revisit, it never retires the page
+    val N5 = N4 + 4 * Day + 100
+    assert(night(N5, tempDir(), Seq.empty) === Set("http://h/a"))
+    // night 6: the re-fetch finally CHANGED — the streak resets, but
+    // tonight's schedule still sees last night's streak (same-batch
+    // self-exclusion), so one day later /a is still inside the old
+    // 4-day window
+    val N6 = N5 + Day + 100
+    assert(night(N6, tempDir(),
+      Seq((1L, "http://h/a", "REVISED content"))) === Set.empty)
+    // night 7: the reset is visible — base interval again, one day
+    // stale -> due
+    assert(night(N6 + Day + 100, tempDir(), Seq.empty) === Set("http://h/a"))
+  }
+
   test("pipeline --dry-run: topo-ordered manifest-shaped plan with source counts; no step executes, nothing written") {
     import spark.implicits._
     val (src, out, state) = (tempDir(), tempDir(), tempDir())

@@ -167,6 +167,41 @@ class StreamingRecrawlSpec extends SparkSpec {
     assert(before._1("http://h/b") === (("unchanged", false)))
   }
 
+  test("adaptive backoff: unchanged streaks stretch the revisit interval, a change resets it") {
+    val (store, fsink, dsink) = (tmp(), tmp(), tmp())
+    StreamingRecrawl.initialize(
+      Seq.empty[(String, Long)].toDF("url", "last_fetch_ts"), "url", store, 8)
+    def discover(batchId: Long, now: Long): Unit =
+      StreamingRecrawl.applyBatch(
+        batchDf(Seq((1L, "http://h/a", "", "daily"), (99L, s"http://h/nu$batchId", "", "daily"))),
+        "doc_id", "url", "lastmod", "changefreq", store, dsink,
+        numBuckets = 8, batchId = batchId, nowTs = now,
+        defaultAgeS = Day, adaptive = true)
+    def dueAt(batchId: Long): Set[String] =
+      spark.read.parquet(dsink)
+        .filter(col(StreamingRecrawl.BatchCol) === batchId)
+        .select("url").collect().map(_.getString(0)).toSet
+    // three unchanged fetches build streak 2 on /a
+    applyFetch(Seq((1L, "http://h/a", "fpA")), store, fsink, 0L, T0)
+    applyFetch(Seq((1L, "http://h/a", "fpA")), store, fsink, 1L, T0 + Day)
+    applyFetch(Seq((1L, "http://h/a", "fpA")), store, fsink, 2L, T0 + 2 * Day)
+    assert(spark.read.parquet(store).filter(col("url") === "http://h/a")
+      .select("unchanged_streak").head().getLong(0) === 2L)
+    // streak 2 stretches daily to 4 days: 2 days stale is NOT due...
+    discover(batchId = 3L, now = T0 + 4 * Day)
+    assert(dueAt(3L) === Set("http://h/nu3")) // fresh URL still admits
+    // ...but 5 days stale is (discovery did not advance /a at batch 3,
+    // so its last fetch is still T0 + 2 days)
+    discover(batchId = 4L, now = T0 + 7 * Day)
+    assert(dueAt(4L) === Set("http://h/a", "http://h/nu4"))
+    // a CHANGED fetch resets the streak: base interval applies again
+    applyFetch(Seq((1L, "http://h/a", "fpA2")), store, fsink, 5L, T0 + 7 * Day)
+    assert(spark.read.parquet(store).filter(col("url") === "http://h/a")
+      .select("unchanged_streak").head().getLong(0) === 0L)
+    discover(batchId = 6L, now = T0 + 8 * Day + 100)
+    assert(dueAt(6L) === Set("http://h/a", "http://h/nu6"))
+  }
+
   test("in-batch duplicate URLs collapse to one frontier row; lastmod hints merge by max") {
     val (store, sink) = (tmp(), tmp())
     StreamingRecrawl.initialize(
