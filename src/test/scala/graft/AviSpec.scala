@@ -126,6 +126,43 @@ class AviSpec extends SparkSpec {
     }
   }
 
+  test("MJPG: real JDK-encoded JPEG frames demux byte-exact and decode per frame (lossy codec — spec-pinned, PNG path carries the oracle)") {
+    def jpegFrame(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (y * w + x) * 3
+        img.setRGB(x, y,
+          (Multimodal.syntheticPixel(id, base) << 16) |
+            (Multimodal.syntheticPixel(id, base + 1) << 8) |
+            Multimodal.syntheticPixel(id, base + 2))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(jpegFrame(1L, 32, 24), jpegFrame(2L, 32, 24), jpegFrame(3L, 32, 24))
+    assert(frames.forall(f => (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8),
+      "JDK encoder must emit real JPEG (SOI marker)")
+    val avi = Multimodal.renderAvi(frames, handler = "MJPG")
+    assert(Multimodal.isAvi(avi))
+    // the demux is codec-agnostic: exact JPEG bytes back, in order
+    assert(Multimodal.aviFrames(5L, avi).map(_.toSeq) === frames.map(_.toSeq))
+    // per-frame decode through the same javax.imageio path: right
+    // dims/buffer sizes, and DETERMINISTIC checksums (decode twice)
+    val df = Seq((5L, avi)).toDF("doc_id", "payload")
+    def decode() = Multimodal.videoFrameDecode(df).collect()
+      .sortBy(_.frame_idx).map(f => (f.frame_idx, f.width, f.height, f.n_bytes, f.sum1, f.sum2)).toSeq
+    val d1 = decode()
+    assert(d1.map(t => (t._1, t._2, t._3, t._4)) ===
+      Seq((0, 32, 24, 32 * 24 * 3), (1, 32, 24, 32 * 24 * 3), (2, 32, 24, 32 * 24 * 3)))
+    assert(d1 === decode())
+    // the signature pass runs over MJPG payloads too (distinct frames
+    // hash distinctly here; lossy content, so no cross-engine oracle)
+    val sigs = Multimodal.videoFrameSet(df).collect()
+    assert(sigs.length === 3 && sigs.forall(_.nf === 3))
+  }
+
   test("mixed-container corpus: videoFrameSet and videoFrameHashes agree across AVI and legacy payloads; transcode preserves the container") {
     val aviDf = Multimodal.syntheticAviVideos(Seq(2L, 3L).toDF("doc_id"), "doc_id")
     val legDf = Multimodal.syntheticVideos(Seq(4L, 5L).toDF("doc_id"), "doc_id")

@@ -176,6 +176,27 @@ class PlanSpec extends SparkSpec {
       s"epoch thresholds must broadcast:\n$mixPlan")
   }
 
+  test("ranked fetch schedule: delays broadcast; the frontier pays one window shuffle plus the rank join") {
+    val plan = QueriesExt.crawlScheduleRanked(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // the per-host delay table must broadcast onto the frontier
+    assert(plan.contains("BroadcastHashJoin"),
+      s"delay/rank tables must broadcast:\n$plan")
+    // no cartesian products anywhere in the pagerank + schedule chain
+    // (the node-count attach is a broadcast nested loop over ONE row)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the FRONTIER pays exactly two exchanges — the url-keyed rank
+    // join (SMJ: the rank table is URL-cardinality at web scale, so
+    // the generic co-partitioned join is the right shape) and the
+    // per-host ordinal window; every other exchange belongs to the
+    // rank-table side, bounded by pagerank's fixed 3 iterations
+    // (~5 per iteration over the link graph). The ceiling pins that
+    // bound — a regression that re-shuffles the frontier per
+    // iteration would blow far past it.
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 20, s"exchange count grew past the pagerank+window budget ($n):\n$plan")
+  }
+
   test("parent join scans prune columns") {
     val df   = Queries.factPopulateParent(spark, sf("sf0.001"))
     val plan = explainOf(df)
