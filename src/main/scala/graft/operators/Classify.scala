@@ -56,9 +56,18 @@ object Classify {
     * SHORT documents in morphology-rich languages — while char n-gram
     * distributions separate languages on a sentence. Pure codegen'd
     * Column (sequence + transform + substring), no UDF. */
-  def charNgrams(text: Column, n: Int): Column = {
+  def charNgrams(text: Column, n: Int): Column =
+    ngramsOf(TextAnalysis.normalized(text), n)
+
+  /** The gram builder over an ALREADY-NORMALIZED column. The profile
+    * builders project the normalization first and gram over the
+    * attribute — inlining the regexp normalization into the transform
+    * lambda would re-evaluate it once per ARRAY ELEMENT (~one full
+    * regex pass per character of every document, a measured ~7×
+    * slowdown at sf0.1), the classic higher-order-function
+    * pre-projection hazard. */
+  private def ngramsOf(norm: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val norm = TextAnalysis.normalized(text)
     val cnt = length(norm) - (n - 1)
     // sequence(1, 0) would DESCEND in Spark — guard short/NULL texts
     // to an explicit empty feature array instead
@@ -73,7 +82,8 @@ object Classify {
       train: DataFrame, labelCol: String, textCol: String, n: Int = 3): DataFrame =
     train
       .select(col(labelCol).as("label"),
-        explode(charNgrams(col(textCol), n)).as("token"))
+        TextAnalysis.normalized(col(textCol)).as("__cng_norm"))
+      .select(col("label"), explode(ngramsOf(col("__cng_norm"), n)).as("token"))
       .groupBy("label", "token")
       .agg(count(lit(1)).as("cnt"))
 
@@ -84,9 +94,14 @@ object Classify {
     * fixed-point arithmetic. */
   def nearestProfileChars(
       docs: DataFrame, idCol: String, textCol: String,
-      profiles: DataFrame, n: Int = 3, scale: Long = 1000000L): DataFrame =
-    nearestProfileFeatures(docs, idCol,
-      explode(charNgrams(col(textCol), n)), profiles, scale)
+      profiles: DataFrame, n: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(!docs.columns.contains("__cng_norm"),
+      "nearestProfileChars: input already has internal column '__cng_norm'")
+    val normed = docs.select(col(idCol),
+      TextAnalysis.normalized(col(textCol)).as("__cng_norm"))
+    nearestProfileFeatures(normed, idCol,
+      explode(ngramsOf(col("__cng_norm"), n)), profiles, scale)
+  }
 
   /** Classify `docs`: the class with the best fixed-point
     * L1-normalized profile match, `(idCol, label_pred, score)`. Every
