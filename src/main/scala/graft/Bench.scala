@@ -94,6 +94,8 @@ object Bench {
     "warc_extract_binary"       -> (QueriesExt.warcExtractBinary _),
     // charset-honoring byte decode (latin-1, chunked-UTF8 reassembly)
     "warc_charset_body"         -> (QueriesExt.warcCharsetBody _),
+    // archival-dedup revisit records: render + member framing + parse
+    "warc_revisit"              -> (QueriesExt.warcRevisit _),
     // RFC 9309 robots URL admission (broadcast rules, scan-local match)
     "crawl_robots_filter"       -> (QueriesExt.crawlRobotsFilter _),
     // outlink extraction + RFC 3986 resolution (regexp-chain load)

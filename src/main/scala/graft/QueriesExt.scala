@@ -1609,6 +1609,46 @@ object QueriesExt {
       |FROM documents
       |""".stripMargin
 
+  /** WARC `revisit` records — the archival-dedup loop closed at the
+    * byte level: per document, a REAL two-record `.warc.gz` archive is
+    * built with the production renderers (a full `response` capture at
+    * D1, then a `revisit` record at D2 carrying the
+    * identical-payload-digest profile, the payload's md5 content
+    * address, and `WARC-Refers-To-Date: D1` — NO payload bytes
+    * stored), and parsed back through the strict byte/gzip path. The
+    * oracle recomputes the digest (`md5(text)`) and states the profile
+    * and dates — a drift anywhere in render, member framing, header
+    * parse, or digest formatting mismatches. */
+  def warcRevisit(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (d1, d2) = ("2024-03-01T00:00:00Z", "2024-03-08T00:00:00Z")
+    val archives = docs(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val uri = s"http://h$id.example.com/page"
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          md.reset()
+          val digest = md.digest(payload).map(b => f"${b & 0xff}%02x").mkString
+          (id,
+            Warc.gzipMember(Warc.renderRecordBytes("response", uri, d1, payload)) ++
+              Warc.gzipMember(Warc.renderRevisitBytes(uri, d2, digest, d1)))
+        }
+      }.toDF("doc_id", "warc")
+    Warc.parseRevisits(archives, "doc_id", "warc", gzipped = true).toDF()
+  }
+
+  lazy val warcRevisitSql: String =
+    s"""SELECT doc_id, 1 AS rec_idx,
+       |       'http://h' || doc_id || '.example.com/page' AS target_uri,
+       |       '${operators.Warc.RevisitProfileIdenticalDigest}' AS profile,
+       |       'md5:' || md5(text) AS payload_digest,
+       |       '2024-03-01T00:00:00Z' AS refers_to_date
+       |FROM documents
+       |""".stripMargin
+
   /** Charset-honoring HTTP body decode over three constructed byte
     * payloads per document: an ISO-8859-1 page whose latin-1 bytes a
     * blind UTF-8 cast would mojibake, a default-UTF-8 page with

@@ -57,6 +57,7 @@ object SparkEntry {
     "warc_extract" -> (QueriesExt.warcExtract _),
     "warc_extract_binary" -> (QueriesExt.warcExtractBinary _),
     "warc_charset_body" -> (QueriesExt.warcCharsetBody _),
+    "warc_revisit" -> (QueriesExt.warcRevisit _),
     // robots.txt (RFC 9309): record parsing + URL admission
     "crawl_robots_rules"  -> (QueriesExt.crawlRobotsRules _),
     "crawl_robots_filter" -> (QueriesExt.crawlRobotsFilter _),
@@ -318,6 +319,7 @@ object SparkEntry {
     "warc_extract"              -> QueriesExt.warcExtractSql,
     "warc_extract_binary"       -> QueriesExt.warcExtractBinarySql,
     "warc_charset_body"         -> QueriesExt.warcCharsetBodySql,
+    "warc_revisit"              -> QueriesExt.warcRevisitSql,
     "crawl_robots_rules"        -> QueriesExt.crawlRobotsRulesSql,
     "crawl_robots_filter"       -> QueriesExt.crawlRobotsFilterSql,
     "crawl_recrawl_due"         -> QueriesExt.crawlRecrawlDueSql,

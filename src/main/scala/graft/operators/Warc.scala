@@ -304,13 +304,67 @@ object Warc {
       "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** The WARC 1.1 §6.7.2 revisit profile URI for "the payload was
+    * byte-identical to an earlier capture" — the archival-dedup record
+    * the big public crawls write instead of storing an unchanged page
+    * twice. */
+  val RevisitProfileIdenticalDigest =
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+  /** Render ONE `revisit` record — the archival side of change
+    * detection ([[Recrawl.changeVerdicts]]): a re-fetch whose content
+    * fingerprint matched the previous capture stores NO payload
+    * (`Content-Length: 0`), only the identical-payload-digest profile,
+    * the digest itself (`md5:<hex>` — the same md5 content address the
+    * dedup/change machinery uses), and `WARC-Refers-To-Date`, the
+    * capture instant of the record it deduplicates against (omitted
+    * when unknown). Record id is DETERMINISTIC like
+    * [[renderRecordBytes]]' (md5 of the revisit identity), so re-export
+    * is byte-identical. */
+  private[graft] def renderRevisitBytes(
+      targetUri: String, date: String, payloadDigest: String, refersToDate: String
+  ): Array[Byte] = {
+    require(payloadDigest.nonEmpty,
+      "renderRevisitBytes: a revisit record needs the payload digest " +
+        "it deduplicates by")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"revisit|$targetUri|$date|$payloadDigest|$refersToDate"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = md.digest().map(b => f"${b & 0xff}%02x").mkString
+    val rid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+    val header =
+      s"WARC/1.0\r\nWARC-Type: revisit\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$rid>\r\nWARC-Date: $date\r\n" +
+        (if (targetUri.nonEmpty) s"WARC-Target-URI: $targetUri\r\n" else "") +
+        s"WARC-Profile: $RevisitProfileIdenticalDigest\r\n" +
+        s"WARC-Payload-Digest: md5:$payloadDigest\r\n" +
+        (if (refersToDate.nonEmpty) s"WARC-Refers-To-Date: $refersToDate\r\n" else "") +
+        "Content-Length: 0\r\n\r\n"
+    header.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+      "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** The byte-exact parser core, exposed for specs: records of one
     * capture's bytes. Identical state machine to [[parseString]], with
     * offsets, `Content-Length`, and payload slices all in OCTETS —
     * header lines decode as UTF-8 (the WARC/1.1 header charset); the
     * payload is never decoded at all. */
-  private[graft] def parseBytes(id: Long, content: Array[Byte]): Seq[WarcRecordBytes] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecordBytes]
+  private[graft] def parseBytes(id: Long, content: Array[Byte]): Seq[WarcRecordBytes] =
+    parseRawBytes(id, content).zipWithIndex.map { case ((headers, payload), idx) =>
+      WarcRecordBytes(
+        doc_id = id, rec_idx = idx,
+        warc_type = headers.getOrElse("warc-type", ""),
+        target_uri = headers.getOrElse("warc-target-uri", ""),
+        content_length = payload.length.toLong, payload = payload)
+    }
+
+  /** The raw parse: (lowercased header map, payload octets) per
+    * record, capture order — [[parseBytes]] and [[parseRevisits]]
+    * project their shapes from this one state machine. */
+  private def parseRawBytes(
+      id: Long, content: Array[Byte]): Seq[(Map[String, String], Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Map[String, String], Array[Byte])]
     val n = content.length
     var pos = 0
     def lineEnd(from: Int): Int = {
@@ -362,15 +416,59 @@ object Warc {
             s"end of input (${n - pos} bytes left) — truncated capture")
         val payload = java.util.Arrays.copyOfRange(content, pos, pos + len.toInt)
         pos += len.toInt
-        out += WarcRecordBytes(
-          doc_id = id, rec_idx = idx,
-          warc_type = headers.getOrElse("warc-type", ""),
-          target_uri = headers.getOrElse("warc-target-uri", ""),
-          content_length = len, payload = payload)
+        out += ((headers.toMap, payload))
         idx += 1
       }
     }
     out.toSeq
+  }
+
+  /** One revisit record's dedup metadata. */
+  final case class WarcRevisit(
+      doc_id: Long,
+      rec_idx: Int,
+      target_uri: String,
+      profile: String,
+      payload_digest: String,
+      refers_to_date: String
+  )
+
+  /** The `revisit` records of each row's capture BYTES with their
+    * dedup headers (`WARC-Profile`, `WARC-Payload-Digest`,
+    * `WARC-Refers-To-Date`) — what an archive consumer needs to
+    * resolve a deduplicated capture against the referred-to record.
+    * `rec_idx` is the record's position in the WHOLE capture (response
+    * records count), so revisits join back to [[parseRecordsBytes]]
+    * rows positionally. Scan-local mapPartitions like the main
+    * parse. */
+  def parseRevisits(
+      warcs: DataFrame, idCol: String, warcCol: String, gzipped: Boolean = false
+  ): Dataset[WarcRevisit] = {
+    val spark = warcs.sparkSession
+    import spark.implicits._
+    warcs.select(col(idCol).cast("long"), col(warcCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b0) =>
+          val raw = if (b0 == null) Array.emptyByteArray else b0
+          val content =
+            if (gzipped && raw.nonEmpty)
+              try gunzipMembers(raw)
+              catch {
+                case e: java.io.IOException =>
+                  throw new IllegalArgumentException(
+                    s"WARC parse: doc $id: gzip decode failed — ${e.getMessage}", e)
+              }
+            else raw
+          parseRawBytes(id, content).zipWithIndex.collect {
+            case ((h, _), idx) if h.getOrElse("warc-type", "") == "revisit" =>
+              WarcRevisit(id, idx,
+                h.getOrElse("warc-target-uri", ""),
+                h.getOrElse("warc-profile", ""),
+                h.getOrElse("warc-payload-digest", ""),
+                h.getOrElse("warc-refers-to-date", ""))
+          }
+        }
+      }
   }
 
   /** The body of an HTTP message payload (a `response` record wraps

@@ -1159,11 +1159,29 @@ object CurationPipeline {
     // one store serves both loops when wired directly through
     // StreamingRecrawl.applyBatch/applyFetchBatch) and writes the
     // annotated batch to $state/<step>/changed.
+    // keep: changed (default) emits only content_changed rows — the
+    // suppression filter; keep: all emits EVERY row annotated
+    // (change_kind, content_changed, content_fp) — the archival shape
+    // an export_warc step turns into response-or-revisit records.
     "change_detect" -> Op(
-      Set("url", "fingerprint", "now", "buckets", "mode", "table"), { c =>
+      Set("url", "fingerprint", "now", "buckets", "mode", "table", "keep"), { c =>
       val urlCol = c.params.str("url", c.textCol)
       require(c.input.columns.contains(urlCol),
         s"step ${c.stepName}: input has no url column '$urlCol'")
+      val keepAll = c.params.str("keep", "changed") match {
+        case "changed" => false
+        case "all"     => true
+        case other => throw new IllegalArgumentException(
+          s"step ${c.stepName}: keep must be changed or all, got '$other'")
+      }
+      def project(annotated: DataFrame, fpCol: String): DataFrame =
+        if (keepAll)
+          annotated.select(c.input.columns.toSeq.map(col) ++ Seq(
+            col("change_kind"), col("content_changed").cast("boolean")
+              .as("content_changed"),
+            col(fpCol).cast("string").as("content_fp")): _*)
+        else annotated.filter(col("content_changed").cast("boolean"))
+          .select((c.input.columns.toSeq :+ "change_kind").map(col): _*)
       val (fpCol, withFpCol) =
         if (c.params.has("fingerprint")) {
           val fc = c.params.reqStr("fingerprint")
@@ -1184,10 +1202,8 @@ object CurationPipeline {
           Seq(urlCol, "last_fp").foreach(needed =>
             require(fps.columns.contains(needed),
               s"step ${c.stepName}: table '$tblName' has no column '$needed'"))
-          graft.operators.Recrawl
-            .changeVerdicts(withFpCol, urlCol, fpCol, fps)
-            .filter(col("content_changed"))
-            .select((c.input.columns.toSeq :+ "change_kind").map(col): _*)
+          project(graft.operators.Recrawl
+            .changeVerdicts(withFpCol, urlCol, fpCol, fps), fpCol)
         case "admit" =>
           require(!c.params.has("table"),
             s"step ${c.stepName}: table applies to mode: full only")
@@ -1202,13 +1218,12 @@ object CurationPipeline {
               urlCol, store, buckets)
           StreamingRecrawl.applyFetchBatch(withFpCol, c.idCol, urlCol, fpCol,
             store, sink, buckets, c.batchId, nowTs)
-          val out = readBatchPartition(
+          // the boolean cast inside project: the empty-sink path
+          // materializes extraCols as string nulls; a bare string
+          // filter would be an analysis error
+          project(readBatchPartition(
             c.copy(input = withFpCol), sink, StreamingRecrawl.BatchCol,
-            extraCols = Seq("change_kind", "content_changed"))
-          // cast: the empty-sink path materializes extraCols as string
-          // nulls; a bare string filter would be an analysis error
-          out.filter(col("content_changed").cast("boolean"))
-            .select((c.input.columns.toSeq :+ "change_kind").map(col): _*)
+            extraCols = Seq("change_kind", "content_changed")), fpCol)
       }
     }, modes = Set("full", "admit"), tableParams = Set("table"),
       fullOnlyParams = Set("table")),
@@ -1727,7 +1742,15 @@ object CurationPipeline {
     // date is the capture instant (explicit — deterministic re-export
     // is the artifact contract, rerun byte-identical). Output is the
     // (id, shard, pos, n_bytes) manifest.
-    "export_warc" -> Op(Set("payload", "uri", "recordType", "date"), { c =>
+    // Archival dedup: revisitWhen names a BOOLEAN column (a
+    // change_detect keep: all step emits `content_changed`) — rows
+    // where it is FALSE archive as WARC `revisit` records
+    // (identical-payload-digest, NO payload bytes stored) with the
+    // digest column (default `content_fp`) and an optional
+    // refersToDate (the prior capture's WARC-Date) — the unchanged
+    // page's bytes are stored once across nightly archives.
+    "export_warc" -> Op(Set("payload", "uri", "recordType", "date",
+      "revisitWhen", "digest", "refersToDate"), { c =>
       require(c.outDir.nonEmpty, s"step ${c.stepName}: export needs a pipeline OUT_DIR")
       Seq("shard", "pos").foreach { needed =>
         require(c.input.columns.contains(needed),
@@ -1745,13 +1768,30 @@ object CurationPipeline {
       val isBin = c.input.schema(pcol).dataType ==
         org.apache.spark.sql.types.BinaryType
       val payloadB = if (isBin) col(pcol) else encode(col(pcol), "UTF-8")
-      val prepared = c.input.select(
+      val revisitCols =
+        if (c.params.has("revisitWhen")) {
+          val changedCol = c.params.reqStr("revisitWhen")
+          val digestCol = c.params.str("digest", "content_fp")
+          Seq(changedCol, digestCol).foreach(needed =>
+            require(c.input.columns.contains(needed),
+              s"step ${c.stepName}: input has no column '$needed' — " +
+                "chain change_detect (keep: all) before a revisit export"))
+          Seq(
+            (!col(changedCol).cast("boolean")).as("revisit"),
+            col(digestCol).cast("string").as("payload_digest"),
+            lit(c.params.str("refersToDate", "")).as("refers_to_date"))
+        } else {
+          require(!c.params.has("digest") && !c.params.has("refersToDate"),
+            s"step ${c.stepName}: digest/refersToDate need revisitWhen")
+          Seq.empty
+        }
+      val prepared = c.input.select(Seq(
         col(c.idCol), col("shard").cast("int").as("shard"),
         col("pos").cast("long").as("pos"),
         lit(rtype).as("warc_type"),
         (if (ucol.nonEmpty) coalesce(col(ucol).cast("string"), lit(""))
          else lit("")).as("target_uri"),
-        payloadB.as("__wp"))
+        payloadB.as("__wp")) ++ revisitCols: _*)
       val maxShard = prepared.agg(max(col("shard"))).head()
       val nShards = if (maxShard.isNullAt(0)) 1 else 1 + maxShard.getInt(0)
       val staging = s"${c.outDir}/exports/${c.stepName}__staging"

@@ -27,7 +27,17 @@ object WarcSink {
     * `shard` (int-castable), `pos` (long-castable), `warc_type`,
     * `target_uri` (strings; NULLs render empty), and `payloadCol`
     * (binary). `date` is the capture instant in the WARC-Date format
-    * (`YYYY-MM-DDThh:mm:ssZ`), explicit for determinism. */
+    * (`YYYY-MM-DDThh:mm:ssZ`), explicit for determinism.
+    *
+    * Archival dedup: when the input carries a `revisit` column
+    * (boolean), TRUE rows render as WARC `revisit` records
+    * ([[graft.operators.Warc.renderRevisitBytes]] —
+    * identical-payload-digest profile, NO payload stored) using the
+    * mandatory `payload_digest` column (md5 hex of the unchanged
+    * payload) and the optional `refers_to_date` column (the prior
+    * capture's WARC-Date; empty/NULL omits the header). This is how a
+    * nightly archive stores an unchanged re-fetch without duplicating
+    * its bytes. */
   def writeShards(
       df: DataFrame, payloadCol: String, dir: String, nShards: Int, date: String
   ): Unit = {
@@ -36,10 +46,23 @@ object WarcSink {
       s"date must be WARC-Date shaped (YYYY-MM-DDThh:mm:ssZ), got '$date'")
     val targetDir = dir
     val dateV = date
-    df.select(col("shard").cast("int"), col("pos").cast("long"),
+    val hasRevisit = df.columns.contains("revisit")
+    if (hasRevisit)
+      require(df.columns.contains("payload_digest"),
+        "writeShards: a 'revisit' column needs a 'payload_digest' column " +
+          "(md5 hex of the deduplicated payload)")
+    val revisitCols =
+      if (hasRevisit) Seq(
+        coalesce(col("revisit").cast("boolean"), lit(false)).as("revisit"),
+        coalesce(col("payload_digest"), lit("")).cast("string").as("payload_digest"),
+        (if (df.columns.contains("refers_to_date"))
+          coalesce(col("refers_to_date"), lit("")).cast("string")
+        else lit("")).as("refers_to_date"))
+      else Seq.empty
+    df.select(Seq(col("shard").cast("int"), col("pos").cast("long"),
         coalesce(col("warc_type"), lit("")).cast("string"),
         coalesce(col("target_uri"), lit("")).cast("string"),
-        col(payloadCol))
+        col(payloadCol)) ++ revisitCols: _*)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .foreachPartition { (it: Iterator[Row]) =>
@@ -70,10 +93,16 @@ object WarcSink {
               out = new java.io.BufferedOutputStream(
                 tmp.getFileSystem(conf).create(tmp, true), 1 << 16)
             }
-            val payload = row.getAs[Array[Byte]](4)
-            val rec = graft.operators.Warc.renderRecordBytes(
-              row.getString(2), row.getString(3), dateV,
-              if (payload == null) Array.emptyByteArray else payload)
+            val rec =
+              if (hasRevisit && !row.isNullAt(5) && row.getBoolean(5))
+                graft.operators.Warc.renderRevisitBytes(
+                  row.getString(3), dateV, row.getString(6), row.getString(7))
+              else {
+                val payload = row.getAs[Array[Byte]](4)
+                graft.operators.Warc.renderRecordBytes(
+                  row.getString(2), row.getString(3), dateV,
+                  if (payload == null) Array.emptyByteArray else payload)
+              }
             out.write(graft.operators.Warc.gzipMember(rec))
           }
           closeCurrent(commit = true)

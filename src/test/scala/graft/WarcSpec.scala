@@ -510,6 +510,80 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("pipeline revisit archive: an unchanged re-fetch archives as a revisit record — its bytes stored once across nights") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val (src, state) = (tmp("graft-rv-src"), tmp("graft-rv-state"))
+    val (out1, out2) = (tmp("graft-rv-out1"), tmp("graft-rv-out2"))
+    val T1 = 1700000000L
+    def yamlFor(now: Long, date: String, refers: String): String = {
+      val y = Files.createTempFile("graft-pipe-revisit", ".yaml")
+      Files.writeString(y,
+        s"""pipeline: nightly_archive
+           |id: doc_id
+           |text: text
+           |steps:
+           |  - name: annotated
+           |    op: change_detect
+           |    input: pages
+           |    params: { mode: admit, url: url, now: "$now", buckets: "4", keep: all }
+           |  - name: spread
+           |    op: shuffle_shards
+           |    params: { shards: "1", salt: rv1 }
+           |  - name: archived
+           |    op: export_warc
+           |    params: { uri: url, recordType: response, date: "$date",
+           |              revisitWhen: content_changed""".stripMargin +
+          (if (refers.nonEmpty) s""", refersToDate: "$refers" }""" else " }") + "\n")
+      y.toString
+    }
+    def writePages(rows: Seq[(Long, String, String)]): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$src/pages.parquet"))
+      rows.toDF("doc_id", "url", "text").write.parquet(s"$src/pages.parquet")
+    }
+    def archiveBytes(out: String): Array[Byte] = Files.readAllBytes(
+      Paths.get(out, "exports", "archived", "shard=0", "capture.warc.gz"))
+    val bText = "beta page two stays byte-identical"
+    // night 1: both pages new -> two full response records
+    writePages(Seq((1L, "http://h/a", "alpha page one"), (2L, "http://h/b", bText)))
+    Cli.run(Seq("pipeline", yamlFor(T1, "2024-03-01T00:00:00Z", ""),
+      src, out1, "--state", state), spark)
+    val n1 = Warc.parseBytes(0L, Warc.gunzipMembers(archiveBytes(out1)))
+    assert(n1.map(_.warc_type).sorted === Seq("response", "response"))
+    // night 2: /a revised, /b identical -> response + revisit
+    writePages(Seq((1L, "http://h/a", "alpha page REVISED"), (2L, "http://h/b", bText)))
+    Cli.run(Seq("pipeline",
+      yamlFor(T1 + 86400L, "2024-03-02T00:00:00Z", "2024-03-01T00:00:00Z"),
+      src, out2, "--state", state), spark)
+    val bytes2 = archiveBytes(out2)
+    val n2 = Warc.parseBytes(0L, Warc.gunzipMembers(bytes2))
+      .map(r => r.target_uri -> r).toMap
+    assert(n2("http://h/a").warc_type === "response")
+    assert(new String(n2("http://h/a").payload, "UTF-8") === "alpha page REVISED")
+    assert(n2("http://h/b").warc_type === "revisit")
+    assert(n2("http://h/b").content_length === 0L)
+    // the revisit metadata resolves the dedup: profile, digest of the
+    // UNCHANGED payload, and the prior capture's date
+    val rv = Warc.parseRevisits(
+        Seq((7L, bytes2)).toDF("doc_id", "warc"), "doc_id", "warc", gzipped = true)
+      .collect()
+    assert(rv.length === 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bDigest = md.digest(bText.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(rv.head.target_uri === "http://h/b")
+    assert(rv.head.profile === Warc.RevisitProfileIdenticalDigest)
+    assert(rv.head.payload_digest === s"md5:$bDigest")
+    assert(rv.head.refers_to_date === "2024-03-01T00:00:00Z")
+    // storage dedup: the unchanged payload's bytes live in night 1's
+    // archive only — night 2 never re-stores them
+    def containsBytes(hay: Array[Byte], needle: Array[Byte]): Boolean =
+      (0 to hay.length - needle.length).exists(i =>
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    val needle = bText.getBytes("UTF-8")
+    assert(containsBytes(Warc.gunzipMembers(archiveBytes(out1)), needle))
+    assert(!containsBytes(Warc.gunzipMembers(bytes2), needle))
+  }
+
   test("pipeline export_warc: archives write sharded .warc.gz and ingest back through the warc step") {
     import java.nio.file.{Files, Paths}
     val (src, out, out2) = (Files.createTempDirectory("graft-warcw-src").toString,
