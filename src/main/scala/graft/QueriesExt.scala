@@ -696,6 +696,19 @@ object QueriesExt {
   def embedKnnQuantizedVerified(s: SparkSession, dir: String): DataFrame =
     knnVerified(embedKnnQuantized(s, dir), emb(s, dir))
 
+  /** Product-quantized ANN (Jégou et al. 2011, the FAISS memory
+    * layout): 8-byte codes per vector + per-query ADC tables, exact
+    * rescoring of the shortlist — rows-only raw output with the
+    * [[embedKnnPqVerified]] oracle companion, the other ANN paths'
+    * convention. */
+  def embedKnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.pqKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  def embedKnnPqVerified(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnPq(s, dir), emb(s, dir))
+
   def embedKnnLshVerified(s: SparkSession, dir: String): DataFrame =
     knnVerified(embedKnnLsh(s, dir), emb(s, dir))
 

@@ -253,11 +253,13 @@ object SparkEntry {
     "embed_knn_lsh"         -> (QueriesExt.embedKnnLsh _),
     "embed_knn_ivf"         -> (QueriesExt.embedKnnIvf _),
     "embed_knn_quantized"   -> (QueriesExt.embedKnnQuantized _),
+    "embed_knn_pq"          -> (QueriesExt.embedKnnPq _),
     // ANN verification companions: union with the exact all-pairs
     // cosine table must equal that table
     "embed_knn_lsh_verified" -> (QueriesExt.embedKnnLshVerified _),
     "embed_knn_ivf_verified" -> (QueriesExt.embedKnnIvfVerified _),
     "embed_knn_quantized_verified" -> (QueriesExt.embedKnnQuantizedVerified _),
+    "embed_knn_pq_verified" -> (QueriesExt.embedKnnPqVerified _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // SemDeDup: cluster-then-prune semantic dedup (pair space bounded
     // by the cluster structure, not N^2)
@@ -310,6 +312,7 @@ object SparkEntry {
     "embed_knn_lsh_verified"     -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivf_verified"     -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_quantized_verified" -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_pq_verified"      -> QueriesExt.embedKnnVerifiedSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,

@@ -644,4 +644,152 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** Product-quantized approximate top-k [Jégou, Douze & Schmid 2011,
+    * "Product quantization for nearest neighbor search" — the FAISS
+    * production ANN memory layout]: vectors L2-normalize and split
+    * into `m` subspaces, each with its own `kCodes`-centroid codebook
+    * (trained driver-side on the bounded deterministic 4096-row
+    * sample — the [[ivfKnn]] quantizer discipline: training cost is
+    * O(sample · kCodes · iters) regardless of corpus size), and every
+    * corpus vector compresses to `m` small codes — at `m = 8`,
+    * `kCodes = 16`, that is 8 bytes per vector regardless of
+    * dimension, the difference between an embedding index that fits
+    * executor memory at 100 TB and one that doesn't.
+    *
+    * Scoring is ASYMMETRIC DISTANCE (ADC): each query precomputes ONE
+    * `m × kCodes` dot-product table against the codebooks (queries
+    * and tables broadcast), and a candidate's approximate cosine is
+    * `m` table lookups summed — no per-pair float vector arithmetic.
+    * The top `shortlist` per query then rerank EXACTLY over the raw
+    * vectors (the [[quantizedKnn]] two-stage contract: PQ only
+    * CHOOSES candidates; every returned cosine is exact, which is
+    * what the `_verified` gate pins). The corpus never shuffles or
+    * collects: encoding is scan-local, stage 2 streams the corpus
+    * scan against the broadcast shortlist. NULL embeddings drop
+    * (null-cosine contract). */
+  def pqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, kCodes: Int = 16, shortlist: Int = 32, iters: Int = 10
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(kCodes >= 2, s"kCodes must be >= 2, got $kCodes")
+    val prepared = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // bounded deterministic training sample, L2-normalized (cosine =
+    // inner product on unit vectors, so ADC sums of subspace dots
+    // approximate the cosine directly)
+    val sample: Array[Array[Double]] = prepared
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(4096)
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1)) None
+        else {
+          val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+          val n = math.sqrt(v.map(x => x * x).sum)
+          Some(if (n > 0) v.map(_ / n) else v)
+        }
+      }
+    require(sample.nonEmpty, "pqKnn: no non-null embeddings to train on")
+    val d = sample(0).length
+    require(m <= d, s"pqKnn: m ($m) subspaces over $d dims")
+    val bounds = Array.tabulate(m + 1)(j => j * d / m)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val (lo, hi) = (bounds(j), bounds(j + 1))
+      Quantizer.lloyd(
+        sample.map(v => java.util.Arrays.copyOfRange(v, lo, math.min(hi, v.length))),
+        kCodes, iters, seed = 42L + j)
+    }
+    val mV = m; val kC = kCodes
+    // scan-local encoding: normalized vector -> m argmin-L2 codes
+    val encodeUdf = udf { (cv: Seq[Float]) =>
+      if (cv == null) null
+      else {
+        val v = cv.toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = if (n > 0) v.map(_ / n) else v
+        val codes = new Array[Int](mV)
+        var j = 0
+        while (j < mV) {
+          val lo = bounds(j); val hi = math.min(bounds(j + 1), u.length)
+          val cb = codebooks(j)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cb.length) {
+            var s = 0.0; var i = lo
+            while (i < hi) { val dd = u(i) - cb(c)(i - lo); s += dd * dd; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          codes(j) = best
+          j += 1
+        }
+        codes.toSeq
+      }
+    }
+    // per-query ADC table: flattened m x kCodes subspace dot products
+    val tableUdf = udf { (qv: Seq[Float]) =>
+      if (qv == null) null
+      else {
+        val v = qv.toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = if (n > 0) v.map(_ / n) else v
+        val t = new Array[Double](mV * kC)
+        var j = 0
+        while (j < mV) {
+          val lo = bounds(j); val hi = math.min(bounds(j + 1), u.length)
+          val cb = codebooks(j)
+          var c = 0
+          while (c < cb.length) {
+            var s = 0.0; var i = lo
+            while (i < hi) { s += u(i) * cb(c)(i - lo); i += 1 }
+            t(j * kC + c) = s
+            c += 1
+          }
+          j += 1
+        }
+        t.toSeq
+      }
+    }
+    val adcUdf = udf { (codes: Seq[Int], t: Seq[Double]) =>
+      if (codes == null || t == null) null
+      else {
+        var s = 0.0; var j = 0
+        while (j < mV) { s += t(j * kC + codes(j)); j += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    }
+    val cz = prepared.select(col("neighbor_id"), encodeUdf(col("cv")).as("codes"))
+    val qz = queries.select(col(idCol).as("query_id"),
+      tableUdf(col(vecCol)).as("qt"))
+    val cand = cz
+      .join(broadcast(qz), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", adcUdf(col("codes"), col("qt")))
+      .filter(col("approx").isNotNull)
+      .withColumn("arank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // stage 2: exact rescoring of the shortlist only (the corpus
+    // streams; candidates + query vectors broadcast). The NaN guard:
+    // a ZERO vector encodes to valid codes (PQ has no norm in the hot
+    // path, unlike quantizedKnn's stage-1 denom), and its exact
+    // cosine is 0/0 = NaN under the fold fallback — which Spark sorts
+    // ABOVE every real double and would rank first
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    cv
+      .join(broadcast(cand.join(broadcast(qv), Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
 }

@@ -483,6 +483,50 @@ class SimilaritySpec extends SparkSpec {
     assert(quant == brute, s"diff: ${(quant diff brute) ++ (brute diff quant)}")
   }
 
+  test("pqKnn: exact rescoring matches brute top-k with a generous shortlist; nulls/zeros harden; ADC recall is usable tight") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 40L).map(i => i -> vec(i.toInt)) ++
+        Seq(40L -> null.asInstanceOf[Array[Float]],
+          41L -> Array.fill(dim)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3 || col("vec_id") >= 40L)
+    // shortlist = whole corpus: rescoring must reproduce brute exactly
+    val pqAll = Similarity.pqKnn(df, queries, "vec_id", "embedding",
+        k = 3, m = 4, kCodes = 8, shortlist = 40).collect()
+    assert(!pqAll.exists(r => r.getLong(1) >= 40L), "null/zero corpus rows surfaced")
+    assert(!pqAll.exists(r => r.getLong(0) >= 40L), "null/zero queries returned results")
+    assert(pqAll.forall(!_.isNullAt(3)), "null cosine leaked into ranks")
+    val brute = Similarity.knnBrute(
+        df.filter(col("vec_id") < 40L), queries.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pqAll.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === brute)
+    // tight shortlist: the 8-byte-code ADC ranking still recovers most
+    // of the true top-3 on smooth vectors (recall floor pinned — a
+    // codebook/table/lookup bug craters it)
+    val pqTight = Similarity.pqKnn(df, queries, "vec_id", "embedding",
+        k = 3, m = 4, kCodes = 8, shortlist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.map(t => (t._1, t._2))
+    val recall = brutePairs.count(pqTight.contains).toDouble / brutePairs.size
+    assert(recall >= 0.65, s"ADC recall $recall under the pinned floor")
+    // every returned cosine is EXACT (the _verified gate contract)
+    val exact = Similarity.allPairsCosineExact(
+        df.filter(col("vec_id") < 40L), "vec_id", "embedding", numQueries = 3)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    pqAll.foreach { r =>
+      val want = exact((r.getLong(0), r.getLong(1)))
+      assert(math.abs(BigDecimal(r.getDouble(3)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble - want) < 1e-9,
+        s"cosine drift for ${(r.getLong(0), r.getLong(1))}")
+    }
+  }
+
   test("quantizedKnn stage-1 shortlist is a pre-shuffle bounded heap (WindowGroupLimit)") {
     import spark.implicits._
     val df = (0L until 20L).map(i =>
