@@ -90,6 +90,45 @@ class AviSpec extends SparkSpec {
       .getOrElse(fail(s"no '$cc' chunk found"))
   }
 
+  test("'rec ' interleave groups inside movi demux like bare chunks (the real-world AVI interleave layout)") {
+    // hand-assemble an AVI whose movi wraps each frame chunk in a
+    // 'rec ' LIST — the interleaved layout muxers emit for AV sync;
+    // the chunk walker must recurse into the grouping
+    val frames = Seq("frame-one".getBytes("UTF-8"), "f2!".getBytes("UTF-8"))
+    val plain = Multimodal.renderAvi(frames)
+    // splice: rebuild movi with rec-wrapped chunks. Parse the plain
+    // container's top-level chunks to find movi's bounds.
+    def u32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) | ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+    def cc(b: Array[Byte], p: Int) = new String(b, p, 4, "US-ASCII")
+    var off = 12
+    var moviStart = -1; var moviEnd = -1
+    while (off < plain.length && moviStart < 0) {
+      val size = u32(plain, off + 4)
+      if (cc(plain, off) == "LIST" && cc(plain, off + 8) == "movi") {
+        moviStart = off; moviEnd = off + 8 + size + (size & 1)
+      } else off += 8 + size + (size & 1)
+    }
+    assert(moviStart >= 0, "no movi list found in the rendered AVI")
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if ((data.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+    val recWrapped = frames.flatMap { f =>
+      val inner = chunk("00dc", f)
+      chunk("LIST", "rec ".getBytes("US-ASCII") ++ inner)
+    }.toArray
+    val newMovi = "LIST".getBytes("US-ASCII") ++ le32(4 + recWrapped.length) ++
+      "movi".getBytes("US-ASCII") ++ recWrapped
+    val spliced0 = plain.take(moviStart) ++ newMovi ++ plain.drop(moviEnd)
+    // fix the RIFF size for the new payload length
+    val spliced = spliced0.clone()
+    System.arraycopy(le32(spliced0.length - 8), 0, spliced, 4, 4)
+    assert(Multimodal.aviFrames(9L, spliced).map(_.toSeq) === frames.map(_.toSeq))
+  }
+
   test("syntheticAviVideos demuxes to exactly the legacy container's frame bytes; sniffMime routes it as AVI") {
     val ids = Seq(2L, 3L, 7L, 20L)
     val legacy = Multimodal.syntheticVideos(ids.toDF("doc_id"), "doc_id")
