@@ -199,6 +199,31 @@ object Bench {
       case _ => -1.0
     }
 
+  /** Cumulative stop-the-world GC time of this JVM, seconds. Taken as
+    * a delta across the timed window, gc_s / wall_s is the fraction of
+    * the run spent collecting — the memory-pressure signal the three
+    * loadavg triggers can't see (the r12 driver record burned 1.4× the
+    * builder's CPU on identical code with all three flags quiet; that
+    * is GC, not ambient load).
+    */
+  private def gcTimeSec: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  /** Peak heap occupancy (MiB) across all heap pools since JVM start —
+    * the companion signal: a high gc_frac with peak near -Xmx is
+    * undersized heap; high gc_frac with low peak is allocation churn.
+    */
+  private def peakHeapMb: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum / 1048576.0
+  }
+
   /** 1/5/15-min machine load at a point in time (whole machine, not
     * just this JVM) — the other half of the adjudication signal.
     */
@@ -215,7 +240,8 @@ object Bench {
     * site's comment for the three triggers' rationale. */
   private[graft] def distortedFlag(
       prelaunch: String, jvmStart: String, start: String, end: String,
-      cpus: Double, totalMed: Double, totalMin: Double): Boolean = {
+      cpus: Double, totalMed: Double, totalMin: Double,
+      gcFrac: Double = 0.0): Boolean = {
     def load1(s: String): Option[Double] =
       s.split("\\s+").headOption.flatMap(_.toDoubleOption)
     val startDistorted =
@@ -223,8 +249,84 @@ object Bench {
         .exists(_ > cpus / 16.0)
     val endDistorted = load1(end).exists(_ > cpus / 4.0)
     val divergence = totalMin > 0 && totalMed / totalMin > 1.25
-    startDistorted || endDistorted || divergence
+    // Fourth trigger (r12 false negative): GC/memory pressure inflates
+    // wall AND cpu together, so loadavg and med/min divergence both
+    // stay quiet. A healthy run here spends <5% of wall in GC
+    // (measured ~1-3% on clean local records); past 10% the timings
+    // measure the collector, not the plan.
+    val gcPressure = gcFrac > GcFracThreshold
+    startDistorted || endDistorted || divergence || gcPressure
   }
+
+  /** Pinned gc_frac honesty threshold (see distortedFlag). */
+  private[graft] val GcFracThreshold = 0.10
+
+  /** Per-query bench timings: wall median-of-reps, wall min, cpu_s of
+    * the median run, 1-min loadavg after the reps, gc_s across the
+    * reps. A failed query carries -1.0 sentinels in every field. */
+  private[graft] case class Timing(wallMed: Double, wallMin: Double,
+      cpuMed: Double, load1: Double, gcS: Double)
+  private[graft] val FailedTiming = Timing(-1.0, -1.0, -1.0, -1.0, -1.0)
+
+  /** Runs the suite: warm pass + `reps` timed runs per query, median/
+    * min/cpu/gc recorded. Returns (per-query timings in suite order,
+    * failures in failure order with their first exception message).
+    * Extracted from main so BenchFlagSpec can pin the failure-honesty
+    * path with a synthetic failing query — the r12 `64104ec` record
+    * silently excluded 17 crashed queries from a "clean" total.
+    */
+  private[graft] def measureSuite(
+      spark: SparkSession, sfDir: String,
+      suite: Seq[(String, (SparkSession, String) => DataFrame)],
+      reps: Int = 3): (Seq[(String, Timing)], Seq[(String, String)]) = {
+    def run(fn: (SparkSession, String) => DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def load1Now: Double =
+      loadavg.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = suite.map { case (name, fn) =>
+      try {
+        run(fn) // untimed warm pass: codegen + JIT compile
+        // median of reps timed runs (BASELINE.md protocol) — single-
+        // shot numbers at this scale swing +/-30% on JIT/GC noise
+        val g0 = gcTimeSec
+        val runs = (1 to reps).map { _ =>
+          val c0 = processCpuSec
+          val t0 = System.nanoTime()
+          run(fn)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu  = if (c0 < 0) -1.0 else processCpuSec - c0
+          (wall, cpu)
+        }.sortBy(_._1)
+        val med = runs(runs.size / 2)
+        // 1-min loadavg right after this query's reps — per-query
+        // contention attribution in the detail record
+        name -> Timing(med._1, runs.head._1, med._2, load1Now, gcTimeSec - g0)
+      } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          System.err.println(s"[bench] FAILED $name — $msg")
+          failures += name -> msg
+          name -> FailedTiming
+      }
+    }
+    (results, failures.toSeq)
+  }
+
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** The partial-record JSON fragment: any failure marks the record
+    * partial, names every failed query, and keeps the first exception
+    * message. Pinned in BenchFlagSpec. */
+  private[graft] def failuresJson(failures: Seq[(String, String)]): String =
+    s""""partial":${failures.nonEmpty},"queries_failed":${failures.size},""" +
+      s""""failed_names":${failures.map(f => jstr(f._1)).mkString("[", ",", "]")},""" +
+      s""""first_failure":${failures.headOption.map(kv => jstr(s"${kv._1}: ${kv._2}")).getOrElse("\"\"")}"""
 
   def main(args: Array[String]): Unit = {
     // loadavg at JVM ENTRY — before Spark init, codegen warmup, and the
@@ -278,42 +380,18 @@ object Bench {
     sources.ParquetTables.readTable(spark, sfDir, "nation")
       .write.format("noop").mode("overwrite").save()
 
-    def run(fn: (SparkSession, String) => DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-
     val loadStart = loadavg
     val cpuStart  = processCpuSec
+    val gcStart   = gcTimeSec
+    val wallStart = System.nanoTime()
 
-    // per query: (wall median-of-3, wall min-of-3, cpu_s of the median
-    // run). min is far more contention-robust than median; cpu_s is
-    // load-invariant. All three go into the JSON line.
-    case class Timing(wallMed: Double, wallMin: Double, cpuMed: Double, load1: Double)
-    val failed = Timing(-1.0, -1.0, -1.0, -1.0)
-    def load1Now: Double =
-      loadavg.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
-
-    val results = headline.map { case (name, fn) =>
-      try {
-        run(fn) // untimed warm pass: codegen + JIT compile
-        // median of 3 timed runs (BASELINE.md protocol) — single-shot
-        // numbers at this scale swing +/-30% on JIT/GC noise
-        val runs = (1 to 3).map { _ =>
-          val c0 = processCpuSec
-          val t0 = System.nanoTime()
-          run(fn)
-          val wall = (System.nanoTime() - t0) / 1e9
-          val cpu  = if (c0 < 0) -1.0 else processCpuSec - c0
-          (wall, cpu)
-        }.sortBy(_._1)
-        // 1-min loadavg right after this query's reps — per-query
-        // contention attribution in the detail record
-        name -> Timing(runs(1)._1, runs(0)._1, runs(1)._2, load1Now)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> failed
-      }
-    }
+    // Failure honesty (the r12 `64104ec` lesson: a session death left
+    // 17 contiguous -1.0 sentinels in a record titled "clean" — the
+    // totals silently excluded them and n_queries counted entries, so
+    // the partial record read as a complete fast run). Failures now
+    // carry their first exception message, the summary counts
+    // SUCCESSES, and any sentinel marks the whole record partial.
+    val (results, failures) = measureSuite(spark, sfDir, headline)
     // Bucketed-mode integrity diagnostic: the whole point of
     // fact_populate_parent_bucketed is the missing exchange, so make a
     // silent fallback (catalog miss, failed reuse, disabled bucketed
@@ -336,6 +414,10 @@ object Bench {
     }
     val loadEnd   = loadavg
     val cpuTotal  = if (cpuStart < 0) -1.0 else processCpuSec - cpuStart
+    val gcTotal   = gcTimeSec - gcStart
+    val wallTotal = (System.nanoTime() - wallStart) / 1e9
+    val gcFrac    = if (wallTotal > 0) gcTotal / wallTotal else 0.0
+    val peakHeap  = peakHeapMb
     // Honesty flag: AMBIENT machine load means the wall times in this
     // record are contention-inflated (r4/r6/r8 driver records all
     // were). Three triggers, any one of which flags the record:
@@ -360,7 +442,8 @@ object Bench {
       prelaunch = loadPrelaunch, jvmStart = loadJvmStart, start = loadStart,
       end = loadEnd, cpus = cpus.toDouble,
       totalMed = results.map(_._2.wallMed).filter(_ >= 0).sum,
-      totalMin = results.map(_._2.wallMin).filter(_ >= 0).sum)
+      totalMin = results.map(_._2.wallMin).filter(_ >= 0).sum,
+      gcFrac = gcFrac)
 
     def jmap(f: Timing => Double): String = results
       .map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }
@@ -370,6 +453,14 @@ object Bench {
     def jtotal(f: Timing => Double): Double =
       results.map(t => f(t._2)).filter(_ >= 0).sum
     val total = jtotal(_.wallMed)
+    // partial-record honesty: any failure makes the record PARTIAL —
+    // the totals cover only the surviving queries and must never be
+    // compared against a complete run's totals
+    val nOk      = results.count(_._2.wallMed >= 0)
+    val partial  = failures.nonEmpty
+    val failJson = failuresJson(failures)
+    val gcJson =
+      f""""gc_total_s":$gcTotal%.3f,"gc_frac":$gcFrac%.4f,"peak_heap_mb":$peakHeap%.1f"""
     // Full per-query detail (median/min wall + cpu_s per query) goes to
     // a FILE, and the stdout record is a compact summary printed LAST:
     // the driver keeps only a ~2,000-char stdout tail, and r6's single
@@ -380,12 +471,15 @@ object Bench {
     val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""total_min":${jtotal(_.wallMin)}%.3f,"cpu_total_s":$cpuTotal%.3f,""" +
+        s"""$gcJson,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""loadavg_jvm_start":"$loadJvmStart","loadavg_prelaunch":"$loadPrelaunch",""" +
         s""""load_distorted":$loadDistorted,""" +
+        s"""$failJson,""" +
         s""""queries":${jmap(_.wallMed)},""" +
         s""""queries_min":${jmap(_.wallMin)},""" +
         s""""queries_cpu_s":${jmap(_.cpuMed)},""" +
+        s""""queries_gc_s":${jmap(_.gcS)},""" +
         s""""queries_load1":${jmap(_.load1)},""" +
         s""""sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
@@ -397,14 +491,28 @@ object Bench {
         // with the parseable record
         println(detail)
     }
+    // The summary's n_queries counts SUCCESSES (the r12 partial record
+    // counted entries and read as complete); failures are loud in both
+    // the summary line and stderr.
+    if (partial)
+      System.err.println(
+        s"[bench] PARTIAL RECORD — ${failures.size} of ${results.size} queries " +
+          s"failed (first: ${failures.head._1}: ${failures.head._2}); totals " +
+          "cover survivors only and are NOT comparable to a complete run")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""total_min":${jtotal(_.wallMin)}%.3f,"cpu_total_s":$cpuTotal%.3f,""" +
+        s"""$gcJson,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""loadavg_jvm_start":"$loadJvmStart","loadavg_prelaunch":"$loadPrelaunch",""" +
         s""""load_distorted":$loadDistorted,""" +
-        s""""n_queries":${results.size},"detail":"$detailPath",""" +
+        s"""$failJson,""" +
+        s""""n_queries":$nOk,"detail":"$detailPath",""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
+    // nonzero rc: a partial record must never pass for a clean run in
+    // any wrapper that checks exit status (the JSON above is already
+    // printed, so tail-parsers still get the flagged record)
+    if (partial) sys.exit(3)
   }
 }

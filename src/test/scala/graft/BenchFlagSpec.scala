@@ -47,4 +47,45 @@ class BenchFlagSpec extends AnyFunSuite {
     assert(!flag(prelaunch = "n/a", end = "junk"))
     assert(!flag(med = 10.0, min = 0.0)) // failed-run sentinel: no divergence claim
   }
+
+  test("fourth trigger: GC pressure flags alone even when all loadavg triggers are quiet") {
+    // the r12 driver regime: 1,530 CPU-s vs the builder's 1,087 on
+    // identical code — GC/memory pressure, invisible to loadavg and to
+    // med/min divergence (both inflate together). gc_frac is the signal.
+    def gflag(g: Double) = Bench.distortedFlag(
+      prelaunch = "0.1 0.1 0.1", jvmStart = "", start = "", end = "1.0 1.0 1.0",
+      cpus = 32.0, totalMed = 100.0, totalMin = 98.0, gcFrac = g)
+    assert(gflag(0.25))
+    assert(gflag(Bench.GcFracThreshold + 1e-6))
+    assert(!gflag(Bench.GcFracThreshold))
+    assert(!gflag(0.03)) // healthy clean-run regime (~1-3% measured)
+  }
+
+  test("failuresJson: a synthetic failure marks the record partial with name + message") {
+    val j = Bench.failuresJson(Seq("q_bad" -> "IllegalStateException: boom \"quoted\""))
+    assert(j.contains("\"partial\":true"))
+    assert(j.contains("\"queries_failed\":1"))
+    assert(j.contains("\"failed_names\":[\"q_bad\"]"))
+    assert(j.contains("\"first_failure\":\"q_bad: IllegalStateException: boom \\\"quoted\\\"\""))
+    val clean = Bench.failuresJson(Nil)
+    assert(clean.contains("\"partial\":false"))
+    assert(clean.contains("\"queries_failed\":0"))
+    assert(clean.contains("\"failed_names\":[]"))
+  }
+
+  test("measureSuite: a crashing query yields sentinel timings + captured message; survivors still time") {
+    val suite: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "ok_query"   -> ((s, _) => s.range(10).toDF("id")),
+      "boom_query" -> ((_, _) => throw new IllegalStateException("synthetic bench failure")),
+      "ok_after"   -> ((s, _) => s.range(5).toDF("id"))
+    )
+    val (results, failures) = Bench.measureSuite(SparkSpec.session, "", suite, reps = 1)
+    assert(results.map(_._1) == Seq("ok_query", "boom_query", "ok_after"))
+    val byName = results.toMap
+    assert(byName("ok_query").wallMed >= 0 && byName("ok_after").wallMed >= 0)
+    assert(byName("boom_query") == Bench.FailedTiming)
+    assert(failures == Seq("boom_query" -> "IllegalStateException: synthetic bench failure"))
+    // the totals rule: sentinels are excluded, success count is 2 of 3
+    assert(results.count(_._2.wallMed >= 0) == 2)
+  }
 }
