@@ -116,11 +116,33 @@ object Classify {
 
   /** The shared scoring core: `feature` is a generator Column (one
     * exploded feature string per output row) evaluated over `docs`. */
+  /** Ceiling on the class count: the coverage grid is docs × labels
+    * and the label list broadcasts — fine at the ~10–1000 classes a
+    * language/domain classifier has, an accidental cross-join if a
+    * 100k-label table is passed as `profiles`. Guarded IN-PLAN (the
+    * fail-loud-cap pattern): the per-label totals carry a whole-frame
+    * label count and raise before the grid can explode — no extra
+    * driver job, no second pass over the training lineage. */
+  val MaxProfileLabels = 10000L
+
   private def nearestProfileFeatures(
       docs: DataFrame, idCol: String, feature: Column,
       profiles: DataFrame, scale: Long, dropEmpty: Boolean = false): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
+    // the unpartitioned count window is a single-partition pass over
+    // the (tiny, one-row-per-class) totals frame — the whole point of
+    // the guard is that this frame must stay tiny
     val totals = profiles.groupBy("label").agg(sum(col("cnt")).as("total"))
+      .withColumn("__nlab",
+        count(lit(1)).over(Window.partitionBy(lit(1))))
+      .select(col("label"),
+        when(col("__nlab") > MaxProfileLabels, raise_error(concat(
+          lit("nearestProfile: the profile table has "),
+          col("__nlab").cast("string"),
+          lit(s" distinct labels (max $MaxProfileLabels) — the documents × " +
+            "classes coverage grid is a cross-join at this class count; " +
+            "shard the label space or train a coarser classifier"))))
+          .otherwise(col("total")).as("total"))
     val tf0 = docs.select(col(idCol), feature.as("token"))
     val tf = (if (dropEmpty) tf0.filter(col("token") =!= "") else tf0)
       .groupBy(col(idCol), col("token"))

@@ -695,26 +695,37 @@ object Similarity {
       }
     require(sample.nonEmpty, "pqKnn: no non-null embeddings to train on")
     val d = sample(0).length
+    // ragged dimensions would make subspace slicing throw an opaque
+    // range error in training, or silently score PARTIAL-subspace dot
+    // products in the hot path (wrong-looking approximate ranks) —
+    // fail loud up front, matching the exact-rescore contract
+    sample.find(_.length != d).foreach(v => throw new IllegalArgumentException(
+      s"pqKnn: mixed embedding dimensions in corpus — trained on $d dims, " +
+        s"found a ${v.length}-dim vector in the training sample"))
     require(m <= d, s"pqKnn: m ($m) subspaces over $d dims")
     val bounds = Array.tabulate(m + 1)(j => j * d / m)
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       val (lo, hi) = (bounds(j), bounds(j + 1))
       Quantizer.lloyd(
-        sample.map(v => java.util.Arrays.copyOfRange(v, lo, math.min(hi, v.length))),
+        sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi)),
         kCodes, iters, seed = 42L + j)
     }
-    val mV = m; val kC = kCodes
-    // scan-local encoding: normalized vector -> m argmin-L2 codes
-    val encodeUdf = udf { (cv: Seq[Float]) =>
+    val mV = m; val kC = kCodes; val dim = d
+    // scan-local encoding: normalized vector -> m argmin-L2 codes.
+    // Both hot-path UDFs carry the row id so a ragged vector names its
+    // offender instead of producing silently-partial subspace dots.
+    val encodeUdf = udf { (id: String, cv: Seq[Float]) =>
       if (cv == null) null
       else {
+        if (cv.length != dim) throw new IllegalArgumentException(
+          s"pqKnn: corpus vector $id has ${cv.length} dims, index trained on $dim")
         val v = cv.toArray.map(_.toDouble)
         val n = math.sqrt(v.map(x => x * x).sum)
         val u = if (n > 0) v.map(_ / n) else v
         val codes = new Array[Int](mV)
         var j = 0
         while (j < mV) {
-          val lo = bounds(j); val hi = math.min(bounds(j + 1), u.length)
+          val lo = bounds(j); val hi = bounds(j + 1)
           val cb = codebooks(j)
           var best = 0; var bestD = Double.PositiveInfinity
           var c = 0
@@ -731,16 +742,18 @@ object Similarity {
       }
     }
     // per-query ADC table: flattened m x kCodes subspace dot products
-    val tableUdf = udf { (qv: Seq[Float]) =>
+    val tableUdf = udf { (id: String, qv: Seq[Float]) =>
       if (qv == null) null
       else {
+        if (qv.length != dim) throw new IllegalArgumentException(
+          s"pqKnn: query vector $id has ${qv.length} dims, index trained on $dim")
         val v = qv.toArray.map(_.toDouble)
         val n = math.sqrt(v.map(x => x * x).sum)
         val u = if (n > 0) v.map(_ / n) else v
         val t = new Array[Double](mV * kC)
         var j = 0
         while (j < mV) {
-          val lo = bounds(j); val hi = math.min(bounds(j + 1), u.length)
+          val lo = bounds(j); val hi = bounds(j + 1)
           val cb = codebooks(j)
           var c = 0
           while (c < cb.length) {
@@ -762,9 +775,10 @@ object Similarity {
         java.lang.Double.valueOf(s)
       }
     }
-    val cz = prepared.select(col("neighbor_id"), encodeUdf(col("cv")).as("codes"))
+    val cz = prepared.select(col("neighbor_id"),
+      encodeUdf(col("neighbor_id").cast("string"), col("cv")).as("codes"))
     val qz = queries.select(col(idCol).as("query_id"),
-      tableUdf(col(vecCol)).as("qt"))
+      tableUdf(col(idCol).cast("string"), col(vecCol)).as("qt"))
     val cand = cz
       .join(broadcast(qz), col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", adcUdf(col("codes"), col("qt")))

@@ -333,8 +333,11 @@ object Warc {
     val h = md.digest().map(b => f"${b & 0xff}%02x").mkString
     val rid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
       s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+    // WARC/1.1, not 1.0: both the identical-payload-digest profile URI
+    // and WARC-Refers-To-Date were introduced in WARC 1.1 — strict
+    // validators flag them on a 1.0 record
     val header =
-      s"WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      s"WARC/1.1\r\nWARC-Type: revisit\r\n" +
         s"WARC-Record-ID: <urn:uuid:$rid>\r\nWARC-Date: $date\r\n" +
         (if (targetUri.nonEmpty) s"WARC-Target-URI: $targetUri\r\n" else "") +
         s"WARC-Profile: $RevisitProfileIdenticalDigest\r\n" +

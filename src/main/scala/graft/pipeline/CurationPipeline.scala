@@ -125,6 +125,14 @@ object CurationPipeline {
         if (s.params.get("mode").exists(_ != "full"))
           (s.params.keySet intersect op.fullOnlyParams).toSeq.sorted.foreach(k =>
             errors += s"step ${s.name}: param '$k' applies to mode: full only")
+        // stepRefParams name DECLARED STEPS (a shared state store, not
+        // a table): a misspelling must be a spec error here, not a
+        // fresh empty store silently created at run time
+        val declared = spec.steps.map(_.name).toSet
+        op.stepRefParams.toSeq.sorted.foreach(p =>
+          s.params.get(p).filterNot(declared.contains).foreach(v =>
+            errors += s"step ${s.name}: param $p must name a declared " +
+              s"step, got '$v' (steps: ${declared.toSeq.sorted.mkString(", ")})"))
       }
     }
     // the first step must name its input; later ones default to the
@@ -238,15 +246,24 @@ object CurationPipeline {
     * validate() rejects them with any other mode BEFORE Spark boots
     * (a structural spec error must not surface mid-run after earlier
     * steps have published; the in-op requires remain as backstops). */
+  /** `stepRefParams`: params whose value must name a DECLARED STEP
+    * (not a source table) — a shared state store like recrawl's
+    * `storeFrom`. They get the same SafeName check and dependency edge
+    * as tableParams, PLUS a declared-step validation (a misspelled
+    * store name must fail in validate, never initialize a fresh empty
+    * store mid-run). */
   final case class Op(paramKeys: Set[String], run: Ctx => DataFrame,
       modes: Set[String] = Set("full"), tableParams: Set[String] = Set.empty,
-      fullOnlyParams: Set[String] = Set.empty)
+      fullOnlyParams: Set[String] = Set.empty,
+      stepRefParams: Set[String] = Set.empty)
 
   /** A step's table references beyond its main input: every
-    * `tableParams` value, comma-split. */
+    * `tableParams` / `stepRefParams` value, comma-split. */
   private def auxRefs(s: Step): Seq[String] =
-    ops.get(s.op).toSeq.flatMap(_.tableParams.toSeq.sorted).flatMap(p =>
-      s.params.get(p).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+    ops.get(s.op).toSeq
+      .flatMap(op => (op.tableParams ++ op.stepRefParams).toSeq.sorted)
+      .flatMap(p =>
+        s.params.get(p).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
 
   /** Shared survivor policy for the pair-producing dedup steps:
     * `keep: min_id` (default) keeps the smallest id per near-dup
@@ -1121,7 +1138,8 @@ object CurationPipeline {
           require(!c.params.has("table"),
             s"step ${c.stepName}: table applies to mode: full only")
           val ownRoot = c.requireState("recrawl mode: admit")
-          val storeRoot = c.params.str("storeFrom", "") match {
+          val sharedFrom = c.params.str("storeFrom", "")
+          val storeRoot = sharedFrom match {
             case ""    => ownRoot
             case other => // share a change_detect step's last-fetch store
               ownRoot.stripSuffix(s"/${c.stepName}") + s"/$other"
@@ -1129,11 +1147,21 @@ object CurationPipeline {
           val (store, sink) = (s"$storeRoot/lastfetch", s"$ownRoot/frontier")
           val buckets = c.params.int("buckets", 64)
           if (!java.nio.file.Files.exists(
-              java.nio.file.Paths.get(store, "_graft_buckets")))
+              java.nio.file.Paths.get(store, "_graft_buckets"))) {
+            // a SHARED store must already exist (the referenced
+            // change_detect step is a topo-order dependency and
+            // initializes it even on an empty batch) — initializing it
+            // here would silently fork the store with this step's own
+            // `buckets`, splitting the two loops' state
+            require(sharedFrom.isEmpty,
+              s"step ${c.stepName}: shared last-fetch store '$store' " +
+                s"(storeFrom: $sharedFrom) does not exist — the " +
+                "referenced step has not initialized it")
             StreamingRecrawl.initialize(
               c.input.limit(0).select(col(urlCol),
                 lit(0L).as("last_fetch_ts")),
               urlCol, store, buckets)
+          }
           StreamingRecrawl.applyBatch(padded, c.idCol, urlCol, lastmodCol,
             changefreqCol, store, sink, buckets, c.batchId, nowTs, defaultAgeS,
             adaptive = adaptive)
@@ -1145,7 +1173,7 @@ object CurationPipeline {
           out.select((c.input.columns.toSeq :+ "recrawl_reason").map(col): _*)
       }
     }, modes = Set("full", "admit"), tableParams = Set("table"),
-      fullOnlyParams = Set("table")),
+      fullOnlyParams = Set("table"), stepRefParams = Set("storeFrom")),
     // post-fetch change detection — the other half of the freshness
     // loop: the input is FETCHED pages (url + content); each row's
     // content fingerprint (the `fingerprint` column, or md5(text) when

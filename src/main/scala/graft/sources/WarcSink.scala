@@ -54,7 +54,22 @@ object WarcSink {
     val revisitCols =
       if (hasRevisit) Seq(
         coalesce(col("revisit").cast("boolean"), lit(false)).as("revisit"),
-        coalesce(col("payload_digest"), lit("")).cast("string").as("payload_digest"),
+        // a revisit row without its digest must fail IN-PLAN, naming
+        // the row (target URI) — renderRevisitBytes' require would
+        // only fire mid-write inside foreachPartition, after shard
+        // files may have been staged, with no row context. The check
+        // runs in the map stage feeding the shard exchange, so it
+        // aborts before the write stage opens a single file.
+        when(coalesce(col("revisit").cast("boolean"), lit(false)) &&
+            (col("payload_digest").isNull ||
+              col("payload_digest").cast("string") === ""),
+          raise_error(concat(
+            lit("WarcSink.writeShards: revisit row for target URI '"),
+            coalesce(col("target_uri").cast("string"), lit("")),
+            lit("' has a NULL/empty payload_digest — a revisit record " +
+              "needs the digest it deduplicates by"))))
+          .otherwise(coalesce(col("payload_digest"), lit("")).cast("string"))
+          .as("payload_digest"),
         (if (df.columns.contains("refers_to_date"))
           coalesce(col("refers_to_date"), lit("")).cast("string")
         else lit("")).as("refers_to_date"))

@@ -111,4 +111,22 @@ class ClassifySpec extends SparkSpec {
     assert(trIds.size + teIds.size === 20)
     intercept[IllegalArgumentException] { Classify.holdout(d, "doc_id", 1, 0) }
   }
+
+  test("nearestProfile: a profile table past the label cap raises in-plan before the coverage grid explodes") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    val okProfiles = (0L until 3L).map(i => (s"lang$i", "some", 5L))
+      .toDF("label", "token", "cnt")
+    // under the cap: predicts normally
+    val pred = Classify.nearestProfile(docs, "doc_id", "text", okProfiles).collect()
+    assert(pred.length === 1)
+    val wide = (0L to Classify.MaxProfileLabels).map(i => (s"lang$i", "some", 5L))
+      .toDF("label", "token", "cnt")
+    val e = intercept[Exception] {
+      Classify.nearestProfile(docs, "doc_id", "text", wide).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("distinct labels"), s"expected the label-cap raise in: $chain")
+  }
 }

@@ -1781,6 +1781,17 @@ class CliSpec extends SparkSpec {
       .contains("unsafe"))
     assert(specError("  - { name: a, op: dedup_exact, input: ../../etc }\n")
       .contains("unsafe"))
+    // storeFrom is a STEP reference: a traversal is unsafe, a
+    // misspelled/undeclared step name is a spec error — it must never
+    // reach run time and initialize a fresh empty store at that path
+    assert(specError(
+      "  - name: due\n    op: recrawl\n    input: documents\n" +
+        "    params: { mode: admit, now: \"1\", storeFrom: ../../x }\n")
+      .contains("unsafe"))
+    assert(specError(
+      "  - name: due\n    op: recrawl\n    input: documents\n" +
+        "    params: { mode: admit, now: \"1\", storeFrom: chnaged }\n")
+      .contains("must name a declared step"))
   }
 
   test("pipeline subcommand: lm_score and decontaminate_bloom ops run in a chain") {

@@ -663,4 +663,29 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("posexplode"), s"fast path must not explode dims:\n$plan")
   }
+
+  test("pqKnn: ragged embedding dimensions fail loud naming the offender, never partial-subspace scores") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    // ragged vector inside the TRAINING sample: train-time failure
+    val ragged = ((0L until 8L).map(i => i -> vec(i.toInt)) :+
+      (8L -> Array.fill(6)(0.5f))).toDF("vec_id", "embedding")
+    val trainErr = intercept[IllegalArgumentException] {
+      Similarity.pqKnn(ragged, ragged.filter(col("vec_id") < 2), "vec_id", "embedding",
+        k = 2, m = 4, kCodes = 4, shortlist = 4)
+    }
+    assert(trainErr.getMessage.contains("mixed embedding dimensions"))
+    // uniform corpus, ragged QUERY: hot-path failure names the row id
+    val corpus = (0L until 8L).map(i => i -> vec(i.toInt)).toDF("vec_id", "embedding")
+    val badQ = Seq(99L -> Array.fill(6)(0.5f)).toDF("vec_id", "embedding")
+    val qErr = intercept[Exception] {
+      Similarity.pqKnn(corpus, badQ, "vec_id", "embedding",
+        k = 2, m = 4, kCodes = 4, shortlist = 4).collect()
+    }
+    val chain = Iterator.iterate[Throwable](qErr)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("query vector 99") && chain.contains("trained on 16"),
+      s"expected the offending id and trained dim in: $chain")
+  }
 }

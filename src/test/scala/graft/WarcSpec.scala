@@ -739,4 +739,25 @@ class WarcSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     back.foreach { case (cap, idx, id) => assert(id === cap * 65536L + idx) }
   }
+
+  test("writeShards: a revisit row with a NULL/empty digest fails in-plan naming the target URI, before any shard file stages") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-baddigest").toString
+    val rows = Seq(
+      (0, 0L, "response", "http://h/ok", "body".getBytes("UTF-8"), false, "aa" * 16),
+      (0, 1L, "response", "http://h/bad", Array.emptyByteArray, true, null.asInstanceOf[String]))
+      .toDF("shard", "pos", "warc_type", "target_uri", "payload", "revisit", "payload_digest")
+    val e = intercept[Exception] {
+      graft.sources.WarcSink.writeShards(rows, "payload", dir, 1, "2024-03-01T00:00:00Z")
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("http://h/bad") && chain.contains("payload_digest"),
+      s"expected the offending URI in: $chain")
+    // the check runs in the map stage feeding the shard exchange —
+    // nothing may have been staged or committed
+    val staged = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+    assert(staged.isEmpty, s"shard files written despite the in-plan failure: ${staged.mkString(", ")}")
+  }
 }
