@@ -136,6 +136,8 @@ object Bench {
     "embed_knn_quantized" -> (QueriesExt.embedKnnQuantized _),
     // product-quantized ANN (8-byte codes + per-query ADC tables)
     "embed_knn_pq"      -> (QueriesExt.embedKnnPq _),
+    // stored-index workflow: train + persist + reload + query
+    "embed_knn_ivf_stored" -> (QueriesExt.embedKnnIvfStoredRaw _),
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
     // perceptual media near-dup: decode + dHash + hamming banding
     "multimodal_neardup" -> (QueriesExt.multimodalNeardup _),

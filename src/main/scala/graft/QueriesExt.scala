@@ -715,6 +715,48 @@ object QueriesExt {
   def embedKnnIvfVerified(s: SparkSession, dir: String): DataFrame =
     knnVerified(embedKnnIvf(s, dir), emb(s, dir))
 
+  /** STORED-index ANN (the [[operators.AnnIndex]] train-once → store →
+    * reuse workflow): the index is trained, written to parquet, read
+    * back, and queried — and because the indexed search shares the
+    * retrain path's arithmetic verbatim, the result is IDENTICAL to
+    * [[embedKnnIvf]] at the same seed, so the same soundness oracle
+    * ([[embedKnnVerifiedSql]]) gates it. Exact stored==retrain
+    * equality is pinned bitwise in SimilaritySpec. */
+  def embedKnnIvfStored(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnIvfStoredRaw(s, dir), emb(s, dir))
+
+  /** The raw stored-IVF query (build + persist + reload + search) —
+    * Bench times this; the gate wraps it in the soundness union. */
+  def embedKnnIvfStoredRaw(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ivf").toString
+    operators.AnnIndex.trainIvf(e, "vec_id", "embedding", nCells = 16)
+      .write.parquet(s"$tmp/centroids")
+    val cents = s.read.parquet(s"$tmp/centroids")
+    operators.AnnIndex.encodeIvf(e, "vec_id", "embedding", cents)
+      .write.partitionBy("cell").parquet(s"$tmp/postings")
+    operators.AnnIndex.ivfKnnIndexed(
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      cents, s.read.parquet(s"$tmp/postings"))
+  }
+
+  /** STORED PQ index — [[embedKnnIvfStored]]'s contract for the
+    * codebook family: 8-byte codes persisted beside the codebooks,
+    * queried without retraining. */
+  def embedKnnPqStored(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-pq").toString
+    operators.AnnIndex.trainPq(e, "vec_id", "embedding")
+      .write.parquet(s"$tmp/codebooks")
+    val books = s.read.parquet(s"$tmp/codebooks")
+    operators.AnnIndex.encodePq(e, "vec_id", "embedding", books)
+      .write.parquet(s"$tmp/codes")
+    val out = operators.AnnIndex.pqKnnIndexed(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      books, s.read.parquet(s"$tmp/codes"))
+    knnVerified(out, e)
+  }
+
   /** The exact all-pairs cosine universe for query ids < 10 — shared
     * oracle for both ANN verification gates ([[embedKnnBruteSql]]'s
     * CTEs without the top-k ranking). */

@@ -260,6 +260,10 @@ object SparkEntry {
     "embed_knn_ivf_verified" -> (QueriesExt.embedKnnIvfVerified _),
     "embed_knn_quantized_verified" -> (QueriesExt.embedKnnQuantizedVerified _),
     "embed_knn_pq_verified" -> (QueriesExt.embedKnnPqVerified _),
+    // stored-index ANN: train-once -> parquet -> reuse (AnnIndex);
+    // identical rows to the retrain path, same soundness oracle
+    "embed_knn_ivf_stored"  -> (QueriesExt.embedKnnIvfStored _),
+    "embed_knn_pq_stored"   -> (QueriesExt.embedKnnPqStored _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // SemDeDup: cluster-then-prune semantic dedup (pair space bounded
     // by the cluster structure, not N^2)
@@ -313,6 +317,8 @@ object SparkEntry {
     "embed_knn_ivf_verified"     -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_quantized_verified" -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_pq_verified"      -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_ivf_stored"       -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_pq_stored"        -> QueriesExt.embedKnnVerifiedSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,

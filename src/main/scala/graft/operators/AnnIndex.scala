@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes: the train-once → store → reuse workflow
+  * (the FAISS production shape) over [[Similarity]]'s IVF and PQ
+  * machinery.
+  *
+  * [[Similarity.ivfKnn]]/[[Similarity.pqKnn]] retrain their
+  * quantizer/codebooks on every invocation — fine for one-shot
+  * analysis, wrong for a nightly 100 TB pipeline, where per-query
+  * retraining burns a corpus sample + Lloyd's per run AND makes
+  * shortlists drift as the corpus grows. Here the trained model
+  * and the per-vector codes become ordinary tables:
+  *
+  *  - IVF: `centroids` `(cell INT, centroid ARRAY<DOUBLE>)` and
+  *    `postings` `(id, cell INT, vector ARRAY<FLOAT>)` — the
+  *    inverted-list layout; write postings partitioned by `cell` and
+  *    a probe reads only its `nProbe` partitions at scale.
+  *  - PQ: `codebooks` `(subspace INT, code INT, dim INT,
+  *    centroid ARRAY<DOUBLE>)` and `codes` `(id, codes ARRAY<INT>)` —
+  *    8 bytes per vector at the default m=8; the exact rescore still
+  *    reads the raw corpus, so codes tables stay tiny.
+  *
+  * Determinism contract: training is seeded and sample order is an
+  * id-hash ([[Similarity.trainIvfModel]] / [[Similarity.trainPqModel]]),
+  * centroid doubles round-trip parquet exactly, and the indexed search
+  * paths share the retrain paths' UDF arithmetic verbatim — so
+  * query-against-stored-index returns IDENTICAL rows to a same-seed
+  * retrain (pinned in SimilaritySpec and the `embed_knn_*_stored`
+  * gates).
+  */
+object AnnIndex {
+
+  /** Model tables are collected driver-side at query time — bounded by
+    * construction (an IVF quantizer has ~√N cells at most; a PQ
+    * codebook is m × kCodes), but a wrong table passed as a model must
+    * fail loud, not OOM the driver. */
+  val MaxModelRows = 1 << 20
+
+  private def boundedModelRows(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(MaxModelRows + 1).collect()
+    require(rows.length <= MaxModelRows,
+      s"$what: model table has more than $MaxModelRows rows — not a trained " +
+        "model table (did you pass the corpus by mistake?)")
+    rows
+  }
+
+  // ================================================================ IVF
+
+  /** Train an IVF coarse quantizer and return it as a table:
+    * `(cell INT, centroid ARRAY<DOUBLE>)`, unit-normalized centroids
+    * in cell order. Persist with `.write.parquet` and reuse across
+    * runs via [[ivfKnnIndexed]]. */
+  def trainIvf(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 10, seed: Long = 42L
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Similarity.trainIvfModel(corpus, idCol, vecCol, nCells, iters, seed)
+      .zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** Load a centroids table back into the in-memory model shape:
+    * cell-indexed array of unit centroids. Fails loud on gaps or
+    * duplicates — a filtered or mis-joined centroids table would
+    * silently mis-assign every vector. */
+  def ivfModel(centroids: DataFrame): Array[Array[Double]] = {
+    val rows = boundedModelRows(
+      centroids.select(col("cell").cast("int"), col("centroid")), "ivfModel")
+    val byCell = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    require(byCell.size == rows.length,
+      s"ivfModel: duplicate cell ids in centroids table (${rows.length} rows, " +
+        s"${byCell.size} distinct cells)")
+    val n = rows.length
+    require(n > 0, "ivfModel: empty centroids table")
+    Array.tabulate(n)(i => byCell.getOrElse(i, throw new IllegalArgumentException(
+      s"ivfModel: centroids table has $n rows but no cell $i — cells must be " +
+        "contiguous 0-based (was the table filtered?)")))
+  }
+
+  /** Encode the corpus against a stored quantizer: the postings table
+    * `(id, cell, vector)` — scan-local (the model rides the UDF
+    * closure), no shuffle. Write `.partitionBy("cell")` so stored
+    * probes prune to their cells. NULL vectors get a NULL cell (they
+    * carry no geometry; the search join drops them). */
+  def encodeIvf(
+      corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame
+  ): DataFrame = {
+    val model = ivfModel(centroids)
+    corpus.select(col(idCol).as("id"),
+      Similarity.ivfAssignUdf(model)(col(vecCol)).as("cell"),
+      col(vecCol).as("vector"))
+  }
+
+  /** Query a STORED IVF index: identical rows to
+    * [[Similarity.ivfKnn]] at the same training params — no retrain,
+    * no corpus scan beyond the probed cells. */
+  def ivfKnnIndexed(
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroids: DataFrame, postings: DataFrame, nProbe: Int = 3
+  ): DataFrame = {
+    val model = ivfModel(centroids)
+    val assigned = postings.select(
+      col("id").as("neighbor_id"), col("vector").as("cv"),
+      col("cell").cast("int").as("cell"))
+    Similarity.ivfSearchCore(assigned, queries, idCol, vecCol, k, nProbe, model)
+  }
+
+  // ================================================================ PQ
+
+  /** Train PQ codebooks and return them as a table:
+    * `(subspace INT, code INT, dim INT, centroid ARRAY<DOUBLE>)`.
+    * `dim` (constant across rows) pins the trained dimension; m and
+    * kCodes are the subspace/code extents. */
+  def trainPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 10
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = Similarity.trainPqModel(corpus, idCol, vecCol, m, kCodes, iters)
+    (for {
+      j <- 0 until model.m
+      c <- 0 until model.kCodes
+    } yield (j, c, model.dim, model.codebooks(j)(c).toSeq))
+      .toDF("subspace", "code", "dim", "centroid")
+  }
+
+  /** Load a codebooks table back into a [[Similarity.PqModel]]. Fails
+    * loud on gaps, duplicates, or inconsistent dims. */
+  def pqModel(codebooks: DataFrame): Similarity.PqModel = {
+    val rows = boundedModelRows(
+      codebooks.select(col("subspace").cast("int"), col("code").cast("int"),
+        col("dim").cast("int"), col("centroid")), "pqModel")
+    require(rows.nonEmpty, "pqModel: empty codebooks table")
+    val dims = rows.map(_.getInt(2)).distinct
+    require(dims.length == 1,
+      s"pqModel: inconsistent dim column (${dims.sorted.mkString(", ")})")
+    val dim = dims.head
+    val m = rows.map(_.getInt(0)).max + 1
+    val kCodes = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * kCodes,
+      s"pqModel: expected $m x $kCodes = ${m * kCodes} codebook rows, got " +
+        s"${rows.length} — gaps or duplicates (was the table filtered?)")
+    val byKey = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](3).toArray).toMap
+    require(byKey.size == rows.length, "pqModel: duplicate (subspace, code) rows")
+    val cb = Array.tabulate(m)(j => Array.tabulate(kCodes)(c =>
+      byKey.getOrElse((j, c), throw new IllegalArgumentException(
+        s"pqModel: missing codebook entry (subspace $j, code $c)"))))
+    Similarity.PqModel(dim, m, kCodes, cb)
+  }
+
+  /** Encode the corpus against stored codebooks: the codes table
+    * `(id, codes ARRAY<INT>)` — 8 bytes of payload per vector at the
+    * default m=8, scan-local. */
+  def encodePq(
+      corpus: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame
+  ): DataFrame = {
+    val model = pqModel(codebooks)
+    corpus.select(col(idCol).as("id"),
+      Similarity.pqEncodeUdf(model)(col(idCol).cast("string"), col(vecCol)).as("codes"))
+  }
+
+  /** Query a STORED PQ index: identical rows to [[Similarity.pqKnn]]
+    * at the same training params. `corpus` supplies the raw vectors
+    * for the exact rescore of the shortlist (the index never stores
+    * them — that is the memory win). */
+  def pqKnnIndexed(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, codebooks: DataFrame, codes: DataFrame, shortlist: Int = 32
+  ): DataFrame = {
+    val model = pqModel(codebooks)
+    val cz = codes.select(col("id").as("neighbor_id"), col("codes"))
+    Similarity.pqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
+  }
+}

@@ -377,23 +377,48 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 3
   ): DataFrame = {
     val prepared = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val centroids = trainIvfModel(corpus, idCol, vecCol, nCells)
+    val assigned = prepared
+      .select(col("neighbor_id"), col("cv"),
+        ivfAssignUdf(centroids)(col("cv")).as("cell"))
+    ivfSearchCore(assigned, queries, idCol, vecCol, k, nProbe, centroids)
+  }
 
-    // Train the coarse quantizer on a bounded deterministic sample,
-    // driver-side (kmeans++ init + Lloyd's, seeded). This is the
-    // standard IVF construction at scale: the quantizer never needs the
-    // full corpus — a fixed-size sample bounds training at O(sample *
-    // nCells * iters) on the driver regardless of corpus size, where a
-    // distributed KMeans would pay a full corpus pass per iteration.
-    // L2 normalization happens HERE, on the collected sample — the
-    // distributed path never runs a (interpreted higher-order-function)
-    // normalize pass.
-    val sample: Array[Array[Double]] = prepared
+  /** Train the IVF coarse quantizer — the persistable half of
+    * [[ivfKnn]]: kmeans++ init + Lloyd's on a bounded deterministic
+    * 4096-row sample, driver-side (the quantizer never needs the full
+    * corpus — training is O(sample · nCells · iters) regardless of
+    * corpus size, where a distributed KMeans would pay a full corpus
+    * pass per iteration). Returned centroids are L2-NORMALIZED:
+    * Lloyd's means of unit vectors are not unit norm, and with UNIT
+    * centroids argmax dot(v, c) is the cosine argmax for ANY v, so
+    * assignment needs no input normalization and agrees exactly with
+    * the cosine the probe ranks cells by. Same (corpus, params) →
+    * byte-identical model, so an index trained once and stored
+    * ([[AnnIndex]]) answers queries identically to a retrain. */
+  def trainIvfModel(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 10, seed: Long = 42L
+  ): Array[Array[Double]] = {
+    val prepared = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val sample = normalizedSample(prepared)
+    require(sample.nonEmpty, "trainIvfModel: no non-null embeddings to train on")
+    Quantizer.lloyd(sample, nCells, iters, seed).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) c.map(_ / n) else c
+    }
+  }
+
+  /** The bounded deterministic training sample both quantizer trainers
+    * share: 4096 rows by id-hash order, L2-normalized driver-side (the
+    * distributed path never runs an interpreted normalize pass); null
+    * embeddings carry no geometry and are skipped. */
+  private def normalizedSample(prepared: DataFrame): Array[Array[Double]] =
+    prepared
       .orderBy(xxhash64(col("neighbor_id")))
       .limit(4096)
       .collect()
       .flatMap { r =>
-        // null embeddings carry no geometry — skip them in quantizer
-        // training (their corpus rows get a null cell below anyway)
         if (r.isNullAt(1)) None
         else {
           val v = r.getSeq[Float](1).toArray.map(_.toDouble)
@@ -401,39 +426,41 @@ object Similarity {
           Some(if (n > 0) v.map(_ / n) else v)
         }
       }
-    // L2-normalize the centroids: Lloyd's means of unit vectors are NOT
-    // unit norm. With UNIT centroids, argmax dot(v, c) is the cosine
-    // argmax for ANY v (|v| is constant across cells), so assignment
-    // needs no input normalization and agrees exactly with the cosine
-    // the probe ranks cells by.
-    val centroids = Quantizer.lloyd(sample, nCells, iters = 10, seed = 42L).map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      if (n > 0) c.map(_ / n) else c
-    }
 
-    // distributed assignment: raw vectors -> argmax dot with the unit
-    // centroids; centroids ride the UDF closure (tiny, task-broadcast)
-    // boxed return so a NULL embedding yields a NULL cell (the row
-    // drops out of the cell join) instead of an executor NPE
-    val assignUdf = udf { (cv: Seq[Float]) =>
+  /** Distributed cell assignment: raw vector -> argmax dot with the
+    * unit centroids; centroids ride the UDF closure (tiny,
+    * task-broadcast). Boxed return so a NULL embedding yields a NULL
+    * cell (the row drops out of the cell join) instead of an executor
+    * NPE. Shared by the retrain path and [[AnnIndex.encodeIvf]] — ONE
+    * arithmetic, so stored codes equal in-plan codes exactly. */
+  private[operators] def ivfAssignUdf(centroids: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (cv: Seq[Float]) =>
       if (cv == null) null.asInstanceOf[java.lang.Integer]
       else {
-      var best = 0; var bestDot = Double.NegativeInfinity
-      var i = 0
-      while (i < centroids.length) {
-        val cArr = centroids(i)
-        var dot = 0.0; var j = 0
-        val n = math.min(cv.length, cArr.length)
-        while (j < n) { dot += cv(j) * cArr(j); j += 1 }
-        if (dot > bestDot) { bestDot = dot; best = i }
-        i += 1
-      }
-      java.lang.Integer.valueOf(best)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var i = 0
+        while (i < centroids.length) {
+          val cArr = centroids(i)
+          var dot = 0.0; var j = 0
+          val n = math.min(cv.length, cArr.length)
+          while (j < n) { dot += cv(j) * cArr(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = i }
+          i += 1
+        }
+        java.lang.Integer.valueOf(best)
       }
     }
-    val assigned = prepared
-      .select(col("neighbor_id"), col("cv"), assignUdf(col("cv")).as("cell"))
 
+  /** The probe + exact-rerank core over an already-assigned inverted
+    * list `(neighbor_id, cv, cell)` — shared verbatim by [[ivfKnn]]
+    * (in-plan assignment) and [[AnnIndex.ivfKnnIndexed]] (stored
+    * postings), so the two paths return identical rows. */
+  private[operators] def ivfSearchCore(
+      assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      centroids: Array[Array[Double]]
+  ): DataFrame = {
     // per query: the nProbe nearest centroids (centroids are tiny ->
     // computed driver-side into a probe list, broadcast by the join)
     val centroidArrs: Seq[(Int, Array[Double])] =
@@ -673,26 +700,38 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, kCodes: Int = 16, shortlist: Int = 32, iters: Int = 10
   ): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val model = trainPqModel(corpus, idCol, vecCol, m, kCodes, iters)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncodeUdf(model)(col(idCol).cast("string"), col(vecCol)).as("codes"))
+    pqSearchCore(corpus, codes, queries, idCol, vecCol, k, shortlist, model)
+  }
+
+  /** A trained product quantizer: `codebooks(j)(c)` is subspace `j`'s
+    * code-`c` centroid over dims `[bounds(j), bounds(j+1))` of the
+    * L2-NORMALIZED vector. Training is deterministic (fixed sample
+    * order, seeded per-subspace Lloyd's), so the same (corpus, params)
+    * produce a byte-identical model — a stored index ([[AnnIndex]])
+    * answers queries identically to a retrain. */
+  final case class PqModel(
+      dim: Int, m: Int, kCodes: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.length == m,
+      s"PqModel: $m subspaces declared, ${codebooks.length} codebooks")
+    val bounds: Array[Int] = Array.tabulate(m + 1)(j => j * dim / m)
+  }
+
+  /** Train the PQ codebooks — the persistable half of [[pqKnn]]:
+    * vectors L2-normalize (cosine = inner product on unit vectors, so
+    * ADC sums of subspace dots approximate the cosine directly) and
+    * each of `m` subspaces gets its own `kCodes`-centroid codebook
+    * from the bounded deterministic 4096-row driver sample. */
+  def trainPqModel(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 10
+  ): PqModel = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(kCodes >= 2, s"kCodes must be >= 2, got $kCodes")
     val prepared = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // bounded deterministic training sample, L2-normalized (cosine =
-    // inner product on unit vectors, so ADC sums of subspace dots
-    // approximate the cosine directly)
-    val sample: Array[Array[Double]] = prepared
-      .orderBy(xxhash64(col("neighbor_id")))
-      .limit(4096)
-      .collect()
-      .flatMap { r =>
-        if (r.isNullAt(1)) None
-        else {
-          val v = r.getSeq[Float](1).toArray.map(_.toDouble)
-          val n = math.sqrt(v.map(x => x * x).sum)
-          Some(if (n > 0) v.map(_ / n) else v)
-        }
-      }
+    val sample = normalizedSample(prepared)
     require(sample.nonEmpty, "pqKnn: no non-null embeddings to train on")
     val d = sample(0).length
     // ragged dimensions would make subspace slicing throw an opaque
@@ -710,11 +749,19 @@ object Similarity {
         sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi)),
         kCodes, iters, seed = 42L + j)
     }
-    val mV = m; val kC = kCodes; val dim = d
-    // scan-local encoding: normalized vector -> m argmin-L2 codes.
-    // Both hot-path UDFs carry the row id so a ragged vector names its
-    // offender instead of producing silently-partial subspace dots.
-    val encodeUdf = udf { (id: String, cv: Seq[Float]) =>
+    PqModel(d, m, kCodes, codebooks)
+  }
+
+  /** Scan-local encoding: normalized vector -> m argmin-L2 codes. The
+    * UDF carries the row id so a ragged vector names its offender
+    * instead of producing silently-partial subspace dots. Shared by
+    * the retrain path and [[AnnIndex.encodePq]] — ONE arithmetic, so
+    * stored codes equal in-plan codes exactly. */
+  private[operators] def pqEncodeUdf(model: PqModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bounds = model.bounds; val codebooks = model.codebooks
+    val mV = model.m; val dim = model.dim
+    udf { (id: String, cv: Seq[Float]) =>
       if (cv == null) null
       else {
         if (cv.length != dim) throw new IllegalArgumentException(
@@ -741,6 +788,27 @@ object Similarity {
         codes.toSeq
       }
     }
+  }
+
+  /** The ADC shortlist + exact-rescore core over already-encoded codes
+    * `(neighbor_id, codes)` — shared verbatim by [[pqKnn]] (in-plan
+    * encoding) and [[AnnIndex.pqKnnIndexed]] (stored codes), so the
+    * two paths return identical rows. Scoring is ASYMMETRIC DISTANCE:
+    * each query precomputes ONE m x kCodes dot-product table against
+    * the codebooks (queries and tables broadcast), and a candidate's
+    * approximate cosine is m table lookups summed — no per-pair float
+    * vector arithmetic. The top `shortlist` per query rerank EXACTLY
+    * over the raw corpus vectors (PQ only CHOOSES candidates; every
+    * returned cosine is exact, which is what the _verified gate
+    * pins). The corpus never shuffles or collects. */
+  private[operators] def pqSearchCore(
+      corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int, model: PqModel
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val bounds = model.bounds; val codebooks = model.codebooks
+    val mV = model.m; val kC = model.kCodes; val dim = model.dim
     // per-query ADC table: flattened m x kCodes subspace dot products
     val tableUdf = udf { (id: String, qv: Seq[Float]) =>
       if (qv == null) null
@@ -775,11 +843,9 @@ object Similarity {
         java.lang.Double.valueOf(s)
       }
     }
-    val cz = prepared.select(col("neighbor_id"),
-      encodeUdf(col("neighbor_id").cast("string"), col("cv")).as("codes"))
     val qz = queries.select(col(idCol).as("query_id"),
       tableUdf(col(idCol).cast("string"), col(vecCol)).as("qt"))
-    val cand = cz
+    val cand = codes
       .join(broadcast(qz), col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", adcUdf(col("codes"), col("qt")))
       .filter(col("approx").isNotNull)

@@ -2021,6 +2021,96 @@ object CurationPipeline {
       val noEmb = c.input.join(et.select(col(eid).as(c.idCol)), Seq(c.idCol), "left_anti")
       c.input.join(kept, Seq(c.idCol), "left_semi").unionByName(noEmb)
     }, modes = Set("full", "admit"), tableParams = Set("embeddings")),
+    // persisted ANN index, step 1 of 3 — TRAIN: the input is an
+    // embeddings table (id + vec columns); the output is the model
+    // table (IVF centroids or PQ codebooks, [[operators.AnnIndex]]).
+    // Training is deterministic (seeded, id-hash sample order), so a
+    // nightly retrain over an unchanged corpus is byte-identical —
+    // and a night that SKIPS this step and names a prior night's
+    // model table answers queries identically (the train-once →
+    // store → reuse workflow; retraining per run also makes
+    // shortlists drift as the corpus grows).
+    "knn_train" -> Op(Set("family", "id", "vec", "nCells", "m", "kCodes",
+      "iters"), { c =>
+      val eid = c.params.str("id", c.idCol)
+      val vec = c.params.str("vec", "embedding")
+      for (needed <- Seq(eid, vec))
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: input has no column '$needed'")
+      c.params.str("family", "ivf") match {
+        case "ivf" =>
+          require(!c.params.has("m") && !c.params.has("kCodes"),
+            s"step ${c.stepName}: m/kCodes apply to family: pq only")
+          graft.operators.AnnIndex.trainIvf(c.input, eid, vec,
+            c.params.int("nCells", 16), c.params.int("iters", 10))
+        case "pq" =>
+          require(!c.params.has("nCells"),
+            s"step ${c.stepName}: nCells applies to family: ivf only")
+          graft.operators.AnnIndex.trainPq(c.input, eid, vec,
+            c.params.int("m", 8), c.params.int("kCodes", 16),
+            c.params.int("iters", 10))
+        case other => throw new IllegalArgumentException(
+          s"step ${c.stepName}: family must be ivf or pq, got '$other'")
+      }
+    }),
+    // persisted ANN index, step 2 of 3 — ENCODE: corpus vectors
+    // against a stored model (`model:` names a knn_train step or a
+    // prior run's model table). Output is the postings table
+    // (id, cell, vector) for IVF — the inverted-list layout — or the
+    // codes table (id, codes) for PQ (8 bytes/vector at m=8). The
+    // family is the model table's schema; encoding is scan-local (the
+    // model rides the UDF closure), no shuffle.
+    "knn_encode" -> Op(Set("model", "id", "vec"), { c =>
+      val eid = c.params.str("id", c.idCol)
+      val vec = c.params.str("vec", "embedding")
+      for (needed <- Seq(eid, vec))
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: input has no column '$needed'")
+      val model = c.resolve(c.params.reqStr("model"))
+      if (model.columns.contains("cell"))
+        graft.operators.AnnIndex.encodeIvf(c.input, eid, vec, model)
+      else if (model.columns.contains("subspace"))
+        graft.operators.AnnIndex.encodePq(c.input, eid, vec, model)
+      else throw new IllegalArgumentException(
+        s"step ${c.stepName}: table '${c.params.reqStr("model")}' is not a " +
+          "knn model (expected a 'cell' or 'subspace' column)")
+    }, tableParams = Set("model")),
+    // persisted ANN index, step 3 of 3 — QUERY: the input is the
+    // QUERY table (id + vec); `model:`/`codes:` name the stored index
+    // halves (same-run steps or prior-run tables). IVF searches the
+    // postings directly; PQ additionally needs `corpus:` (the raw
+    // vectors) for the exact rescore of the ADC shortlist — every
+    // returned cosine is exact either way. Output:
+    // (query_id, neighbor_id, rank, cosine).
+    "knn" -> Op(Set("model", "codes", "corpus", "id", "vec", "k",
+      "nProbe", "shortlist"), { c =>
+      val eid = c.params.str("id", c.idCol)
+      val vec = c.params.str("vec", "embedding")
+      for (needed <- Seq(eid, vec))
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: input has no column '$needed'")
+      val model = c.resolve(c.params.reqStr("model"))
+      val codes = c.resolve(c.params.reqStr("codes"))
+      val k = c.params.int("k", 10)
+      if (model.columns.contains("cell")) {
+        require(!c.params.has("corpus") && !c.params.has("shortlist"),
+          s"step ${c.stepName}: corpus/shortlist apply to pq models only " +
+            "(IVF postings carry the vectors)")
+        graft.operators.AnnIndex.ivfKnnIndexed(c.input, eid, vec, k,
+          model, codes, c.params.int("nProbe", 3))
+      } else if (model.columns.contains("subspace")) {
+        require(!c.params.has("nProbe"),
+          s"step ${c.stepName}: nProbe applies to ivf models only")
+        val corpus = c.resolve(c.params.reqStr("corpus"))
+        for (needed <- Seq(eid, vec))
+          require(corpus.columns.contains(needed),
+            s"step ${c.stepName}: corpus table has no column '$needed'")
+        graft.operators.AnnIndex.pqKnnIndexed(corpus, c.input, eid, vec, k,
+          model, codes, c.params.int("shortlist", math.max(32, 2 * k)))
+      } else throw new IllegalArgumentException(
+        s"step ${c.stepName}: table '${c.params.reqStr("model")}' is not a " +
+          "knn model (expected a 'cell' or 'subspace' column)")
+    }, tableParams = Set("model", "codes", "corpus")),
     // leakage-free train/valid/test assignment: adds a `split` column,
     // keyed on `by` (default the doc id; name a grouping column to keep
     // groups intact across splits)

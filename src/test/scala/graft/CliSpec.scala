@@ -2740,4 +2740,101 @@ class CliSpec extends SparkSpec {
         "--incremental", "not-a-timestamp", "2024-01-01 00:00:00"), spark))
     assert(e3.code == 2 && e3.msg.contains("invalid timestamp"))
   }
+
+  test("pipeline knn: night 2 reuses night 1's stored ANN index — identical neighbors, no retrain step in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 12
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val (src1, out1, src2, out2) = (tempDir(), tempDir(), tempDir(), tempDir())
+    val embs = (0L until 30L).map(i => (i, s"doc $i", vec(i.toInt)))
+      .toDF("vec_id", "text", "embedding")
+    embs.write.parquet(s"$src1/embeddings.parquet")
+    embs.filter(col("vec_id") < 3).write.parquet(s"$src1/queries.parquet")
+    val y1 = Files.createTempFile("graft-pipe-knn1", ".yaml")
+    Files.writeString(y1,
+      """pipeline: ann_nightly
+        |id: vec_id
+        |text: text
+        |steps:
+        |  - name: ann_model
+        |    op: knn_train
+        |    input: embeddings
+        |    params: { family: ivf, nCells: "4" }
+        |  - name: ann_postings
+        |    op: knn_encode
+        |    input: embeddings
+        |    params: { model: ann_model }
+        |  - name: neighbors
+        |    op: knn
+        |    input: queries
+        |    params: { model: ann_model, codes: ann_postings, k: "3" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", y1.toString, src1, out1), spark)
+    def rows(out: String): Seq[(Long, Long, Int, Double)] =
+      spark.read.parquet(s"$out/neighbors")
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val night1 = rows(out1)
+    assert(night1.nonEmpty && night1.forall(_._3 <= 3))
+
+    // night 2: the index tables are INPUTS (a prior run's outputs in
+    // the source dir) — the spec has no knn_train/knn_encode at all
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$out1/ann_model"), new java.io.File(s"$src2/ann_model.parquet"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$out1/ann_postings"), new java.io.File(s"$src2/ann_postings.parquet"))
+    embs.filter(col("vec_id") < 3).write.parquet(s"$src2/queries.parquet")
+    val y2 = Files.createTempFile("graft-pipe-knn2", ".yaml")
+    Files.writeString(y2,
+      """pipeline: ann_reuse
+        |id: vec_id
+        |text: text
+        |steps:
+        |  - name: neighbors
+        |    op: knn
+        |    input: queries
+        |    params: { model: ann_model, codes: ann_postings, k: "3" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", y2.toString, src2, out2), spark)
+    assert(rows(out2) === night1,
+      "stored-index night diverged from the build night")
+    // structural no-retrain: the manifest records exactly one step
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(out2, "pipeline_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"neighbors\"") && !manifest.contains("knn_train"))
+
+    // PQ family through the same steps: corpus named for the rescore
+    val (src3, out3) = (tempDir(), tempDir())
+    embs.write.parquet(s"$src3/embeddings.parquet")
+    embs.filter(col("vec_id") < 3).write.parquet(s"$src3/queries.parquet")
+    val y3 = Files.createTempFile("graft-pipe-knn3", ".yaml")
+    Files.writeString(y3,
+      """pipeline: ann_pq
+        |id: vec_id
+        |text: text
+        |steps:
+        |  - name: ann_model
+        |    op: knn_train
+        |    input: embeddings
+        |    params: { family: pq, m: "4", kCodes: "8" }
+        |  - name: ann_codes
+        |    op: knn_encode
+        |    input: embeddings
+        |    params: { model: ann_model }
+        |  - name: neighbors
+        |    op: knn
+        |    input: queries
+        |    params: { model: ann_model, codes: ann_codes, corpus: embeddings,
+        |              k: "3", shortlist: "10" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", y3.toString, src3, out3), spark)
+    val pqRows = rows(out3)
+    val retrain = graft.operators.Similarity.pqKnn(
+        embs, embs.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 3, m = 4, kCodes = 8, shortlist = 10)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    assert(pqRows === retrain, "pipeline PQ path diverged from the direct retrain")
+  }
 }

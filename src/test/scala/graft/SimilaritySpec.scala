@@ -688,4 +688,57 @@ class SimilaritySpec extends SparkSpec {
     assert(chain.contains("query vector 99") && chain.contains("trained on 16"),
       s"expected the offending id and trained dim in: $chain")
   }
+
+  test("AnnIndex: stored IVF and PQ indexes answer identically to a same-seed retrain, through a parquet round trip") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val dim = 16
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 40L).map(i => i -> vec(i.toInt)) :+
+        (40L -> null.asInstanceOf[Array[Float]])
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    def collected(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      d.select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-annindex").toString
+
+    // IVF: train -> store -> encode -> store -> query == retrain, bitwise
+    val retrainIvf = collected(
+      Similarity.ivfKnn(df, queries, "vec_id", "embedding", k = 3, nCells = 8, nProbe = 3))
+    AnnIndex.trainIvf(df, "vec_id", "embedding", nCells = 8)
+      .write.parquet(s"$dir/ivf_centroids")
+    val cents = spark.read.parquet(s"$dir/ivf_centroids")
+    AnnIndex.encodeIvf(df, "vec_id", "embedding", cents)
+      .write.partitionBy("cell").parquet(s"$dir/ivf_postings")
+    val storedIvf = collected(AnnIndex.ivfKnnIndexed(
+      queries, "vec_id", "embedding", k = 3,
+      cents, spark.read.parquet(s"$dir/ivf_postings"), nProbe = 3))
+    assert(storedIvf === retrainIvf, "stored-IVF path diverged from the retrain path")
+
+    // PQ: same contract
+    val retrainPq = collected(
+      Similarity.pqKnn(df, queries, "vec_id", "embedding", k = 3, m = 4, kCodes = 8, shortlist = 10))
+    AnnIndex.trainPq(df, "vec_id", "embedding", m = 4, kCodes = 8)
+      .write.parquet(s"$dir/pq_codebooks")
+    val books = spark.read.parquet(s"$dir/pq_codebooks")
+    AnnIndex.encodePq(df, "vec_id", "embedding", books)
+      .write.parquet(s"$dir/pq_codes")
+    val storedPq = collected(AnnIndex.pqKnnIndexed(
+      df, queries, "vec_id", "embedding", k = 3,
+      books, spark.read.parquet(s"$dir/pq_codes"), shortlist = 10))
+    assert(storedPq === retrainPq, "stored-PQ path diverged from the retrain path")
+
+    // model-table validation fails loud: a filtered centroids table
+    // (gap), a duplicated codebook row, and a corpus passed as a model
+    val gap = intercept[IllegalArgumentException] {
+      AnnIndex.ivfModel(cents.filter(col("cell") =!= 3))
+    }
+    assert(gap.getMessage.contains("no cell"))
+    val dup = intercept[IllegalArgumentException] {
+      AnnIndex.pqModel(books.union(books.limit(1)))
+    }
+    assert(dup.getMessage.contains("codebook rows"))
+  }
 }
