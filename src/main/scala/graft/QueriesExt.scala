@@ -1017,6 +1017,51 @@ object QueriesExt {
        |FROM sm GROUP BY 1, 2
        |""".stripMargin
 
+  /** A/V container demux — BOTH streams of one real capture: in-plan
+    * AVI-with-audio bytes ([[graft.operators.Multimodal.renderAviAv]],
+    * PNG frames + interleaved PCM16 `01wb` soundtrack, odd ids inside
+    * `rec ` groups) demux through the strict walker, frames decode
+    * through the real PNG codec and the soundtrack routes through
+    * [[graft.operators.Multimodal.aviAudioWav]] + the real JDK WAV
+    * decoder — the exact path audio dedup admits from. The oracle
+    * recomputes the frame-weighted pixel checksum and the
+    * position-weighted sample checksums straight from the generator
+    * formulas: one dropped chunk, mis-sliced interleave, or
+    * byte-order error anywhere mismatches. */
+  def multimodalAvDemux(s: SparkSession, dir: String): DataFrame =
+    Multimodal.avContentChecksums(
+      Multimodal.syntheticAvVideos(docs(s, dir), "doc_id")).toDF()
+
+  lazy val multimodalAvDemuxSql: String =
+    s"""WITH vm AS (
+       |  SELECT doc_id AS vid, f AS frame_idx, doc_id + f AS fid
+       |  FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS t(f)
+       |), d AS (
+       |  SELECT vid, frame_idx, fid,
+       |         8 + fid % 9 AS w, 8 + fid % 7 AS h
+       |  FROM vm
+       |), px AS (
+       |  SELECT vid, frame_idx, i, (fid * 131 + i * 7 + 13) % 256 AS v
+       |  FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+       |), video AS (
+       |  SELECT vid AS doc_id,
+       |         CAST(count(DISTINCT frame_idx) AS INTEGER) AS n_frames,
+       |         CAST(sum((frame_idx + 1) * (i + 1) * v) AS BIGINT) AS v_sum
+       |  FROM px GROUP BY 1
+       |), sm AS (
+       |  SELECT doc_id, i, (doc_id * 31 + i * 7 + 11) % 65536 - 32768 AS s
+       |  FROM documents,
+       |       unnest(generate_series(0, 128 + doc_id % 97 - 1)) AS t(i)
+       |), audio AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |         CAST(sum((i + 1) * s) AS BIGINT) AS a_sum1,
+       |         CAST(sum((i + 1) * (i + 1) * s) AS BIGINT) AS a_sum2
+       |  FROM sm GROUP BY 1
+       |)
+       |SELECT video.doc_id, n_frames, v_sum, n_samples, a_sum1, a_sum2
+       |FROM video JOIN audio ON video.doc_id = audio.doc_id
+       |""".stripMargin
+
   /** Video near-dup over REAL RIFF/AVI payloads (built in-plan by
     * [[graft.operators.Multimodal.renderAvi]], demuxed back through
     * the strict AVI chunk walker): demux + REAL

@@ -283,6 +283,9 @@ object SparkEntry {
     "multimodal_audio_neardup" -> (QueriesExt.multimodalAudioNeardup _),
     // video frame-container near-dup (per-frame dHash set overlap)
     "multimodal_video_neardup" -> (QueriesExt.multimodalVideoNeardup _),
+    // A/V container demux: both streams of one real capture (video
+    // frames + interleaved PCM soundtrack through the WAV bridge)
+    "multimodal_av_demux" -> (QueriesExt.multimodalAvDemux _),
     // corpus-learned BPE (trained merge table + real tokenization)
     "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
     "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _),
@@ -446,6 +449,7 @@ object SparkEntry {
     "embed_semdedup_flagged"    -> QueriesExt.embedSemdedupFlaggedSql,
     "multimodal_decode"         -> QueriesExt.multimodalDecodeSql,
     "multimodal_frames"         -> QueriesExt.multimodalFramesSql,
+    "multimodal_av_demux"       -> QueriesExt.multimodalAvDemuxSql,
     "multimodal_resize"         -> QueriesExt.multimodalResizeSql,
     "multimodal_dhash"          -> QueriesExt.multimodalDhashSql,
     "multimodal_neardup"        -> QueriesExt.multimodalNeardupSql,

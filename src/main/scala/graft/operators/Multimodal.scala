@@ -881,37 +881,188 @@ object Multimodal {
     b.result
   }
 
+  /** Render an A/V RIFF/AVI byte stream: [[renderAvi]]'s layout plus
+    * an interleaved PCM16-mono soundtrack as a second stream —
+    * `LIST hdrl` carries TWO `strl` lists (`vids` then `auds` with a
+    * 16-byte WAVEFORMAT `strf`), and `LIST movi` interleaves each
+    * frame's `00dc` chunk with its `01wb` audio slice (samples split
+    * evenly across frames, remainder on the earliest frames — the
+    * deterministic interleave a demuxer must reassemble in capture
+    * order). `recGroups = true` wraps each frame's 00dc+01wb pair in
+    * a `LIST rec ` group (the CD-ROM interleave layout readers must
+    * recurse into). Deterministic: same inputs → same bytes
+    * ([[aviDemux]] ∘ renderAviAv = id, AviSpec-pinned). */
+  def renderAviAv(
+      frames: Seq[Array[Byte]], audioSamples: Array[Int],
+      fps: Int = 10, handler: String = "MPNG", sampleRate: Int = 8000,
+      recGroups: Boolean = false
+  ): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    require(handler.length == 4, s"handler must be a fourcc, got '$handler'")
+    val dims = frames.map(pngDims)
+    val width = if (dims.isEmpty) 0 else dims.map(_._1).max
+    val height = if (dims.isEmpty) 0 else dims.map(_._2).max
+    val maxLen = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val nSamples = audioSamples.length
+    // per-frame audio slice bounds: base + 1 extra for the first
+    // (nSamples mod nf) frames; one chunk carrying everything when the
+    // container has no video frames
+    val nf = frames.length
+    val sliceAt: Array[Int] =
+      if (nf == 0) Array(0, nSamples)
+      else {
+        val base = nSamples / nf; val extra = nSamples % nf
+        val at = new Array[Int](nf + 1)
+        var i = 0
+        while (i < nf) { at(i + 1) = at(i) + base + (if (i < extra) 1 else 0); i += 1 }
+        at
+      }
+    val b = new LeBuf(512 + frames.map(f => 24 + f.length + (f.length & 1) + 32).sum +
+      nSamples * 2 + 16 * (nf + 2))
+    b.fourcc("RIFF"); val riffSizeAt = b.pos; b.u32(0); b.fourcc("AVI ")
+    // LIST hdrl
+    b.fourcc("LIST"); val hdrlSizeAt = b.pos; b.u32(0); b.fourcc("hdrl")
+    b.fourcc("avih"); b.u32(56)
+    b.u32(1000000L / fps)
+    b.u32(0); b.u32(0)
+    b.u32(0x10)           // dwFlags = AVIF_HASINDEX
+    b.u32(frames.length)  // dwTotalFrames (video)
+    b.u32(0)
+    b.u32(2)              // dwStreams: vids + auds
+    b.u32(maxLen)
+    b.u32(width); b.u32(height)
+    var r = 0; while (r < 4) { b.u32(0); r += 1 }
+    // strl 0: vids (renderAvi's headers verbatim)
+    b.fourcc("LIST"); val strlSizeAt = b.pos; b.u32(0); b.fourcc("strl")
+    b.fourcc("strh"); b.u32(56)
+    b.fourcc("vids"); b.fourcc(handler)
+    b.u32(0); b.u16(0); b.u16(0); b.u32(0)
+    b.u32(1); b.u32(fps)
+    b.u32(0)
+    b.u32(frames.length)
+    b.u32(maxLen)
+    b.u32(0xFFFFFFFFL)
+    b.u32(0)
+    b.u16(0); b.u16(0); b.u16(width); b.u16(height)
+    b.fourcc("strf"); b.u32(40)
+    b.u32(40); b.u32(width); b.u32(height)
+    b.u16(1); b.u16(24); b.fourcc(handler)
+    b.u32(0); b.u32(0); b.u32(0); b.u32(0); b.u32(0)
+    b.patchU32(strlSizeAt, b.pos - strlSizeAt - 4)
+    // strl 1: auds, PCM16 mono (WAVEFORMAT strf, handler 0)
+    b.fourcc("LIST"); val strl2SizeAt = b.pos; b.u32(0); b.fourcc("strl")
+    b.fourcc("strh"); b.u32(56)
+    b.fourcc("auds"); b.u32(0) // fccHandler 0 = raw PCM
+    b.u32(0); b.u16(0); b.u16(0); b.u32(0)
+    b.u32(1); b.u32(sampleRate) // dwScale / dwRate = sample rate
+    b.u32(0)
+    b.u32(nSamples)       // dwLength in samples
+    b.u32(nSamples * 2L)  // dwSuggestedBufferSize
+    b.u32(0xFFFFFFFFL)
+    b.u32(2)              // dwSampleSize = nBlockAlign
+    b.u16(0); b.u16(0); b.u16(0); b.u16(0)
+    b.fourcc("strf"); b.u32(16)
+    b.u16(1)              // wFormatTag = PCM
+    b.u16(1)              // nChannels
+    b.u32(sampleRate)
+    b.u32(sampleRate * 2L) // nAvgBytesPerSec
+    b.u16(2)              // nBlockAlign
+    b.u16(16)             // wBitsPerSample
+    b.patchU32(strl2SizeAt, b.pos - strl2SizeAt - 4)
+    b.patchU32(hdrlSizeAt, b.pos - hdrlSizeAt - 4)
+    // LIST movi: interleaved 00dc / 01wb (optionally inside rec groups)
+    b.fourcc("LIST"); val moviSizeAt = b.pos; b.u32(0)
+    val moviStart = b.pos
+    b.fourcc("movi")
+    val idx = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def audioChunk(slice: Int): Unit = {
+      val (lo, hi) = (sliceAt(slice), sliceAt(slice + 1))
+      if (hi > lo) {
+        idx += (("01wb", b.pos - moviStart, (hi - lo) * 2L))
+        b.fourcc("01wb"); b.u32((hi - lo) * 2L)
+        var i = lo
+        while (i < hi) { b.u16(audioSamples(i) & 0xFFFF); i += 1 }
+      }
+    }
+    var i = 0
+    while (i < nf) {
+      val recSizeAt = if (recGroups) {
+        b.fourcc("LIST"); val at = b.pos; b.u32(0); b.fourcc("rec "); at
+      } else -1
+      idx += (("00dc", b.pos - moviStart, frames(i).length.toLong))
+      b.fourcc("00dc"); b.u32(frames(i).length); b.bytes(frames(i))
+      if ((frames(i).length & 1) == 1) b.u8(0)
+      audioChunk(i)
+      if (recGroups) b.patchU32(recSizeAt, b.pos - recSizeAt - 4)
+      i += 1
+    }
+    if (nf == 0) audioChunk(0)
+    b.patchU32(moviSizeAt, b.pos - moviSizeAt - 4)
+    // idx1 over every data chunk in capture order
+    b.fourcc("idx1"); b.u32(16L * idx.length)
+    idx.foreach { case (ck, off, len) =>
+      b.fourcc(ck); b.u32(if (ck == "00dc") 0x10 else 0)
+      b.u32(off); b.u32(len)
+    }
+    b.patchU32(riffSizeAt, b.pos - riffSizeAt - 4)
+    b.result
+  }
+
   /** Is this payload a RIFF/AVI capture? (magic at 0 and form at 8) */
   def isAvi(b: Array[Byte]): Boolean =
     b != null && b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
-  /** Demux a RIFF/AVI byte stream to its video frames (the bytes of
-    * every stream-00 `00dc`/`00db` chunk, capture order), walking
-    * `LIST` chunks recursively (`hdrl`, `strl`, `movi`, and `rec `
-    * groupings inside movi). STRICT: the RIFF size must cover the
-    * payload exactly, every chunk must lie inside its parent, odd
-    * chunks must be pad-aligned, and the frame count must equal BOTH
-    * declared counts (`avih.dwTotalFrames`, the `vids` stream's
-    * `strh.dwLength`) — a truncated or corrupted capture raises, it
-    * never silently yields fewer frames. */
-  def aviFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] = {
+  /** The interleaved PCM soundtrack of an A/V container: format fields
+    * from the `auds` stream's WAVEFORMAT `strf`, payload the
+    * concatenated `NNwb` chunk bytes in capture order. */
+  final case class AviAudioStream(
+      sample_rate: Int, channels: Int, bits: Int, block_align: Int,
+      pcm: Array[Byte])
+
+  /** One demuxed RIFF/AVI container: video frames in capture order
+    * plus the soundtrack when an `auds` stream is present. */
+  final case class AviContent(
+      frames: Seq[Array[Byte]], audio: Option[AviAudioStream])
+
+  /** Demux a RIFF/AVI byte stream — video frames AND the interleaved
+    * audio stream — walking `LIST` chunks recursively (`hdrl`,
+    * `strl`, `movi`, and `rec ` groupings inside movi). Streams are
+    * identified by `strl` order (stream N's movi chunks are `NNdc`/
+    * `NNdb` for video, `NNwb` for audio); other stream types are
+    * skipped. STRICT: the RIFF size must cover the payload exactly,
+    * every chunk must lie inside its parent, odd chunks must be
+    * pad-aligned, the video frame count must equal BOTH declared
+    * counts (`avih.dwTotalFrames`, the `vids` stream's
+    * `strh.dwLength`), and the audio byte count must equal the `auds`
+    * stream's declared `dwLength · nBlockAlign` — a truncated or
+    * corrupted capture raises, it never silently yields less media. */
+  def aviDemux(id: Long, bytes: Array[Byte]): AviContent = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: AVI parse: $msg")
     if (!isAvi(bytes)) fail("not a RIFF/AVI payload")
     def u32(p: Int): Long =
       (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
         ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+    def u16le(p: Int): Int = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
     def cc(p: Int): String =
       new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
     val riffSize = u32(4)
     if (riffSize + 8 != bytes.length)
       fail(s"RIFF declares ${riffSize + 8} bytes, payload has ${bytes.length}")
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val audioBytes = new java.io.ByteArrayOutputStream()
+    val streamTypes = scala.collection.mutable.ArrayBuffer.empty[String]
     var declaredAvih = -1L
-    var declaredStrh = -1L
-    var inVids = false
+    var declaredVids = -1L
+    var declaredAuds = -1L
+    var vidsIdx = -1
+    var audsIdx = -1
+    var lastStrh = ""
+    // (channels, sample_rate, block_align, bits) from the auds strf
+    var audioFmt: Option[(Int, Int, Int, Int)] = None
     def walk(start: Int, end: Int): Unit = {
       var off = start
       while (off < end) {
@@ -932,12 +1083,40 @@ object Multimodal {
             declaredAvih = u32(dataStart + 16) // dwTotalFrames
           case "strh" =>
             if (size < 36) fail(s"strh declares $size bytes, need >= 36")
-            inVids = cc(dataStart) == "vids"
-            if (inVids) declaredStrh = u32(dataStart + 32) // dwLength
+            val st = cc(dataStart)
+            lastStrh = st
+            val idx = streamTypes.length
+            streamTypes += st
+            if (st == "vids") {
+              if (vidsIdx >= 0) fail("multiple vids streams")
+              vidsIdx = idx
+              declaredVids = u32(dataStart + 32) // dwLength (frames)
+            } else if (st == "auds") {
+              if (audsIdx >= 0) fail("multiple auds streams")
+              audsIdx = idx
+              declaredAuds = u32(dataStart + 32) // dwLength (samples)
+            }
+          case "strf" if lastStrh == "auds" =>
+            if (size < 16) fail(s"auds strf declares $size bytes, need >= 16 " +
+              "(WAVEFORMAT)")
+            audioFmt = Some((u16le(dataStart + 2), u32(dataStart + 4).toInt,
+              u16le(dataStart + 12), u16le(dataStart + 14)))
           case _
-            if ckid.length == 4 && ckid.startsWith("00") &&
-              (ckid.endsWith("dc") || ckid.endsWith("db")) =>
-            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            if ckid.length == 4 && ckid(0).isDigit && ckid(1).isDigit =>
+            // a movi data chunk: `NN` names the strl-order stream.
+            // Files with a header use the stream table; a headerless
+            // RIFF (no strh anywhere before movi) keeps the legacy
+            // stream-00-is-video reading.
+            val sn = (ckid(0) - '0') * 10 + (ckid(1) - '0')
+            val suffix = ckid.substring(2)
+            val isVideo =
+              if (streamTypes.isEmpty) sn == 0 && (suffix == "dc" || suffix == "db")
+              else sn == vidsIdx && (suffix == "dc" || suffix == "db")
+            val isAudio = sn == audsIdx && suffix == "wb"
+            if (isVideo)
+              frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            else if (isAudio)
+              audioBytes.write(bytes, dataStart, dataEnd - dataStart)
           case _ => () // other streams / idx1 / junk chunks: skip
         }
         off = dataEnd + (size & 1).toInt // word alignment
@@ -947,9 +1126,61 @@ object Multimodal {
     walk(12, bytes.length)
     if (declaredAvih >= 0 && declaredAvih != frames.length)
       fail(s"avih declares $declaredAvih frames, movi carries ${frames.length}")
-    if (declaredStrh >= 0 && declaredStrh != frames.length)
-      fail(s"strh declares $declaredStrh frames, movi carries ${frames.length}")
-    frames.toSeq
+    if (declaredVids >= 0 && declaredVids != frames.length)
+      fail(s"strh declares $declaredVids frames, movi carries ${frames.length}")
+    val audio =
+      if (audsIdx < 0) None
+      else {
+        val (ch, rate, blockAlign, bits) = audioFmt.getOrElse(
+          fail("auds stream has no strf (WAVEFORMAT) header"))
+        if (blockAlign <= 0) fail(s"auds strf nBlockAlign $blockAlign")
+        val got = audioBytes.size().toLong
+        if (declaredAuds >= 0 && declaredAuds * blockAlign != got)
+          fail(s"auds strh declares $declaredAuds samples " +
+            s"(${declaredAuds * blockAlign} bytes at block $blockAlign), " +
+            s"movi carries $got bytes")
+        Some(AviAudioStream(rate, ch, bits, blockAlign, audioBytes.toByteArray))
+      }
+    AviContent(frames.toSeq, audio)
+  }
+
+  /** Demux a RIFF/AVI byte stream to its video frames — the video
+    * projection of [[aviDemux]] (same strict walker; the soundtrack,
+    * when present, is validated and dropped). */
+  def aviFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] =
+    aviDemux(id, bytes).frames
+
+  /** The soundtrack of an A/V container re-wrapped as a standalone
+    * WAV via the real JDK encoder — the bridge from [[aviDemux]] into
+    * every existing audio pass ([[decodeAudio]],
+    * [[audioEnergyWindows]], [[audioFingerprint]], audio dedup): one
+    * real capture can now feed video near-dup AND audio near-dup.
+    * Fails loud when the container has no audio or a non-PCM16-mono
+    * layout (the [[decodeAudio]] gate contract). */
+  def aviAudioWav(id: Long, bytes: Array[Byte]): Array[Byte] = {
+    val a = aviDemux(id, bytes).audio.getOrElse(throw new IllegalArgumentException(
+      s"doc $id: AVI has no audio stream"))
+    require(a.bits == 16 && a.channels == 1,
+      s"doc $id: expected PCM16 mono soundtrack, got ${a.bits}-bit " +
+        s"${a.channels}-channel")
+    val fmt = new javax.sound.sampled.AudioFormat(a.sample_rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(a.pcm), fmt, a.pcm.length / 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** `(doc_id, payload)` → `(doc_id, payload)` with the payload
+    * re-wrapped from an A/V container to its soundtrack WAV —
+    * scan-local, the admission shape audio dedup consumes. */
+  def extractAviAudio(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, b) => (id, aviAudioWav(id, b)) })
+      .toDF("doc_id", "payload")
   }
 
   /** Container dispatch: RIFF/AVI payloads demux via [[aviFrames]],
@@ -1001,6 +1232,74 @@ object Multimodal {
         (id, renderAvi(frames))
       }
     }.toDF("doc_id", "payload")
+  }
+
+  /** [[syntheticAviVideos]]' frame line muxed WITH a soundtrack
+    * ([[renderAviAv]]): doc `id` carries the same PNG frames plus
+    * `128 + id % 97` PCM16 samples of [[syntheticSample]]'s formula,
+    * interleaved per frame; odd ids wrap each interleave pair in a
+    * `rec ` group (both layouts must demux identically). Scan-local. */
+  def syntheticAvVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val frames = (0 to (1 + id % 3).toInt).map { f =>
+          val fid = id + f
+          syntheticPng(fid, (8 + fid % 9).toInt, (8 + fid % 7).toInt)
+        }
+        val samples = Array.tabulate((128 + id % 97).toInt)(i => syntheticSample(id, i))
+        (id, renderAviAv(frames, samples, recGroups = id % 2 == 1))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Per-container A/V content checksums — the gate shape proving
+    * BOTH streams of one real capture demux and decode correctly:
+    * `v_sum = Σ_f Σ_i (f+1)·(i+1)·pixel` over the really-decoded RGB
+    * bytes of every video frame (frame order and pixel order both
+    * weighted), `a_sum1`/`a_sum2` the [[DecodedAudio]] checksums over
+    * the soundtrack routed through [[aviAudioWav]] and the REAL JDK
+    * WAV decoder (the exact path audio dedup admits from). */
+  final case class AvChecksums(
+      doc_id: Long, n_frames: Int, v_sum: Long,
+      n_samples: Long, a_sum1: Long, a_sum2: Long)
+
+  def avContentChecksums(payloads: DataFrame): Dataset[AvChecksums] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])].mapPartitions {
+      it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val content = aviDemux(id, bytes)
+          var vSum = 0L
+          content.frames.zipWithIndex.foreach { case (fb, f) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+            require(img != null, s"doc $id: frame $f failed to decode")
+            val rgb = rgbBytes(img, img.getWidth, img.getHeight)
+            var i = 0
+            while (i < rgb.length) {
+              vSum += (f + 1).toLong * (i + 1).toLong * (rgb(i) & 0xFF)
+              i += 1
+            }
+          }
+          // the full bridge: container -> WAV bytes -> real JDK decode
+          val wav = aviAudioWav(id, bytes)
+          val s = pcm16Samples(id, wav)
+          var (a1, a2) = (0L, 0L)
+          var i = 0
+          while (i < s.length) {
+            val p = (i + 1).toLong
+            a1 += p * s(i); a2 += p * p * s(i)
+            i += 1
+          }
+          AvChecksums(id, content.frames.length, vSum, s.length.toLong, a1, a2)
+        }
+    }
   }
 
   /** Demux → per-frame 2x NN upscale + PNG re-encode → remux in the

@@ -224,4 +224,64 @@ class AviSpec extends SparkSpec {
       .map { case (id, fp) => (id - 100L, fp) }.toSet
     assert(tSet === viaSet)
   }
+
+  private val samplesGen: Gen[Array[Int]] =
+    Gen.listOf(Gen.choose(-32768, 32767)).map(_.toArray)
+
+  test("property: aviDemux is a left inverse of renderAviAv — frames AND soundtrack, bare and rec-grouped interleave") {
+    val prop = Prop.forAll(Gen.listOf(frameGen), samplesGen, Gen.oneOf(false, true)) {
+      (frames, samples, rec) =>
+        val avi = Multimodal.renderAviAv(frames, samples, recGroups = rec)
+        val c = Multimodal.aviDemux(9L, avi)
+        val gotSamples = Array.tabulate(c.audio.get.pcm.length / 2) { i =>
+          ((c.audio.get.pcm(i * 2) & 0xFF) | (c.audio.get.pcm(i * 2 + 1) << 8)).toShort.toInt
+        }
+        Multimodal.isAvi(avi) &&
+          c.frames.map(_.toSeq) == frames.map(_.toSeq) &&
+          c.audio.get.sample_rate == 8000 && c.audio.get.channels == 1 &&
+          c.audio.get.bits == 16 && c.audio.get.block_align == 2 &&
+          gotSamples.toSeq == samples.toSeq &&
+          // the video projection still works and skips the soundtrack
+          Multimodal.aviFrames(9L, avi).map(_.toSeq) == frames.map(_.toSeq)
+    }
+    check("a/v round-trip", prop)
+  }
+
+  test("a/v strictness: audio byte-count lies fail loud; video-only AVIs have no audio; WAV bridge decodes the soundtrack") {
+    val frames = Seq(Multimodal.syntheticPng(3L, 8, 8))
+    val samples = Array.tabulate(100)(i => Multimodal.syntheticSample(3L, i))
+    val avi = Multimodal.renderAviAv(frames, samples)
+    // corrupt the auds strh dwLength (samples): find the auds fourcc
+    // and patch its strh dwLength field (+32 into the strh data)
+    val idx = avi.indexOfSlice("auds".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val bad = avi.clone()
+    bad(idx + 32) = (bad(idx + 32) + 1).toByte
+    val e = intercept[IllegalArgumentException] { Multimodal.aviDemux(3L, bad) }
+    assert(e.getMessage.contains("auds strh declares"), e.getMessage)
+    // video-only container: no audio stream surfaced, bridge fails loud
+    val plain = Multimodal.renderAvi(frames)
+    assert(Multimodal.aviDemux(3L, plain).audio.isEmpty)
+    val none = intercept[IllegalArgumentException] { Multimodal.aviAudioWav(3L, plain) }
+    assert(none.getMessage.contains("no audio stream"))
+    // the WAV bridge: real JDK decode of the re-wrapped soundtrack
+    // reproduces the formula samples — audio dedup can admit from an
+    // A/V capture
+    val wavDf = Multimodal.extractAviAudio(
+      Seq((3L, avi)).toDF("doc_id", "payload"))
+    val dec = Multimodal.decodeAudio(wavDf).collect().head
+    assert(dec.n_samples === 100L && dec.sample_rate === 8000)
+    var (s1, s2) = (0L, 0L)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      s1 += (i + 1).toLong * v; s2 += (i + 1).toLong * (i + 1) * v
+    }
+    assert(dec.sum1 === s1 && dec.sum2 === s2)
+    // fingerprints from the container match fingerprints from the
+    // same PCM as a first-class WAV: one capture feeds both dedup paths
+    val direct = Multimodal.audioFingerprint(
+      Seq((3L, Multimodal.syntheticWav(3L, 100))).toDF("doc_id", "payload"))
+      .collect().head
+    val bridged = Multimodal.audioFingerprint(wavDf).collect().head
+    assert(bridged.afp === direct.afp && bridged.afp_hex === direct.afp_hex)
+  }
 }
