@@ -167,6 +167,8 @@ object Bench {
     // production tokenizer regime: 4,096 merges over the UTF-8 byte
     // alphabet (the GPT-2/Llama id-space shape)
     "text_bpe_bytes_vocab4k"  -> (QueriesExt.textBpeBytesVocab4k _),
+    // unigram-LM (SentencePiece-family): 3 hard-EM rounds + Viterbi
+    "text_unigram_tokenize"   -> (QueriesExt.textUnigramTokenize _),
     "table_expectations"      -> (QueriesExt.tableExpectations _),
     "graph_triangles"         -> (QueriesEvents.graphTriangles _),
     "dedup_jaccard_prefix"    -> (QueriesExt.dedupJaccardPrefix _),

@@ -2107,7 +2107,7 @@ object QueriesExt {
          |, tok AS MATERIALIZED (
          |  SELECT w, count(*) AS n_sym, string_agg(sym, ' ' ORDER BY pos) AS toks
          |  FROM s8 GROUP BY 1
-         |), dw AS (
+         |), dw AS MATERIALIZED (
          |  SELECT doc_id, i AS widx, w[i] AS word
          |  FROM ws, unnest(generate_series(1, len(w))) AS t(i)
          |  WHERE len(w[i]) >= 1
@@ -2157,7 +2157,7 @@ object QueriesExt {
          |, tok AS MATERIALIZED (
          |  SELECT w, count(*) AS n_sym, string_agg(sym, ' ' ORDER BY pos) AS toks
          |  FROM s8 GROUP BY 1
-         |), dw AS (
+         |), dw AS MATERIALIZED (
          |  SELECT doc_id, i AS widx, w[i] AS word
          |  FROM ws, unnest(generate_series(1, len(w))) AS t(i)
          |  WHERE len(w[i]) >= 1
@@ -2165,6 +2165,140 @@ object QueriesExt {
          |SELECT doc_id, CAST(sum(tok.n_sym) AS BIGINT) AS n_bpe_tokens,
          |       string_agg(tok.toks, ' ' ORDER BY widx) AS bpe_text
          |FROM dw JOIN tok ON tok.w = dw.word
+         |GROUP BY 1
+         |""".stripMargin
+
+  // ================================================================ unigram LM tokenizer
+  /** Unigram-LM (SentencePiece-family) vocabulary training replayed
+    * ROUND BY ROUND in SQL (the [[textBpeVocabSql]] convention):
+    * substring seeding with the (cnt DESC, token) top-`seedSize` cut,
+    * then per round a full Viterbi-segmentation replay — the
+    * recursive CTE enumerates every segmentation of every distinct
+    * word over the current vocabulary and picks the (fewest pieces,
+    * highest score, smallest joined rendering) winner, exactly the
+    * integer lexicographic objective the Scala DP optimizes — usage
+    * counting, and the singles-always + top-`keep` multi prune. Any
+    * divergence in any round shifts every later vocabulary and
+    * mismatches. */
+  private val ugRounds = 3
+  private val ugKeep = Seq(24, 16, 12)
+  private val ugMaxPiece = 6
+  private val ugSeed = 64
+
+  def textUnigramVocab(s: SparkSession, dir: String): DataFrame =
+    operators.Unigram.trainVocab(docs(s, dir), "text", rounds = ugRounds,
+      keepSchedule = ugKeep, maxPieceLen = ugMaxPiece, minCount = 2,
+      seedSize = ugSeed)
+
+  /** The shared WITH-prefix: wf + v0 seeding + `rounds` hard-EM
+    * rounds, ending at CTE `v$rounds` (token, score). */
+  private def unigramTrainSql(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""path$r AS (
+         |  SELECT w, 1 AS pos, 0 AS ntok, CAST(0 AS BIGINT) AS ssum, '' AS path
+         |  FROM (SELECT DISTINCT w FROM wf)
+         |  UNION ALL
+         |  SELECT p.w, p.pos + length(v.token), p.ntok + 1, p.ssum + v.score,
+         |         CASE WHEN p.path = '' THEN v.token
+         |              ELSE p.path || ' ' || v.token END
+         |  FROM path$r p JOIN v$r v
+         |    ON substr(p.w, p.pos, length(v.token)) = v.token
+         |  WHERE p.pos <= length(p.w)
+         |), best$r AS MATERIALIZED (
+         |  SELECT w, path FROM (
+         |    SELECT w, path, row_number() OVER (
+         |      PARTITION BY w ORDER BY ntok, ssum DESC, path) AS rn
+         |    FROM path$r WHERE pos = length(w) + 1)
+         |  WHERE rn = 1
+         |), usage$r AS MATERIALIZED (
+         |  SELECT t.tok AS token, CAST(sum(wf.freq) AS BIGINT) AS u
+         |  FROM best$r b JOIN wf ON wf.w = b.w,
+         |       unnest(string_split(b.path, ' ')) AS t(tok)
+         |  GROUP BY 1
+         |), v${r + 1} AS MATERIALIZED (
+         |  SELECT s.token, coalesce(u.u, CAST(0 AS BIGINT)) AS score
+         |  FROM (SELECT token FROM v0 WHERE length(token) = 1) s
+         |  LEFT JOIN usage$r u USING (token)
+         |  UNION ALL
+         |  SELECT token, u AS score FROM (
+         |    SELECT v.token, u.u, row_number() OVER (ORDER BY u.u DESC, v.token) AS rn
+         |    FROM v$r v JOIN usage$r u USING (token)
+         |    WHERE length(v.token) >= 2 AND u.u > 0)
+         |  WHERE rn <= ${ugKeep(r)}
+         |)""".stripMargin
+    s"""WITH RECURSIVE ws AS MATERIALIZED (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), wf AS MATERIALIZED (
+       |  SELECT t.tok AS w, count(*) AS freq
+       |  FROM ws, unnest(w) AS t(tok)
+       |  WHERE len(t.tok) >= 1
+       |  GROUP BY 1
+       |), sub AS MATERIALIZED (
+       |  SELECT substr(w, i, l) AS token, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM wf,
+       |       unnest(generate_series(1, length(w))) AS ti(i),
+       |       unnest(generate_series(1, $ugMaxPiece)) AS tl(l)
+       |  WHERE i + l <= length(w) + 1
+       |  GROUP BY 1
+       |), v0 AS MATERIALIZED (
+       |  SELECT token, cnt AS score FROM sub WHERE length(token) = 1
+       |  UNION ALL
+       |  SELECT token, cnt AS score FROM (
+       |    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+       |    FROM sub WHERE length(token) >= 2 AND cnt >= 2)
+       |  WHERE rn <= $ugSeed
+       |),
+       |${(0 until rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  lazy val textUnigramVocabSql: String =
+    unigramTrainSql(ugRounds) +
+      s"""
+         |SELECT token, CAST(score AS BIGINT) AS score,
+         |       CAST(row_number() OVER (ORDER BY score DESC, token) - 1 AS INTEGER) AS rank
+         |FROM v$ugRounds
+         |""".stripMargin
+
+  /** Viterbi tokenization against the trained unigram vocabulary:
+    * per-doc piece count + the piece stream in document order — the
+    * [[textBpeTokenize]] shape for the SentencePiece family. */
+  def textUnigramTokenize(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val vocab = operators.Unigram.trainVocab(corpus, "text", rounds = ugRounds,
+      keepSchedule = ugKeep, maxPieceLen = ugMaxPiece, minCount = 2,
+      seedSize = ugSeed)
+    operators.Unigram.tokenizeWith(corpus, "doc_id", "text", vocab, maxPieceLen = ugMaxPiece)
+      .select(col("doc_id"), col("n_unigram_tokens"),
+        array_join(col("unigram_tokens"), " ").as("unigram_text"))
+      .filter(col("n_unigram_tokens") > 0)
+  }
+
+  lazy val textUnigramTokenizeSql: String =
+    unigramTrainSql(ugRounds) +
+      s""", pathF AS (
+         |  SELECT w, 1 AS pos, 0 AS ntok, CAST(0 AS BIGINT) AS ssum, '' AS path
+         |  FROM (SELECT DISTINCT w FROM wf)
+         |  UNION ALL
+         |  SELECT p.w, p.pos + length(v.token), p.ntok + 1, p.ssum + v.score,
+         |         CASE WHEN p.path = '' THEN v.token
+         |              ELSE p.path || ' ' || v.token END
+         |  FROM pathF p JOIN v$ugRounds v
+         |    ON substr(p.w, p.pos, length(v.token)) = v.token
+         |  WHERE p.pos <= length(p.w)
+         |), bestF AS MATERIALIZED (
+         |  SELECT w, path, len(string_split(path, ' ')) AS n_sym FROM (
+         |    SELECT w, path, row_number() OVER (
+         |      PARTITION BY w ORDER BY ntok, ssum DESC, path) AS rn
+         |    FROM pathF WHERE pos = length(w) + 1)
+         |  WHERE rn = 1
+         |), dw AS MATERIALIZED (
+         |  SELECT doc_id, i AS widx, w[i] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(i)
+         |  WHERE len(w[i]) >= 1
+         |)
+         |SELECT doc_id, CAST(sum(bestF.n_sym) AS BIGINT) AS n_unigram_tokens,
+         |       string_agg(bestF.path, ' ' ORDER BY widx) AS unigram_text
+         |FROM dw JOIN bestF ON bestF.w = dw.word
          |GROUP BY 1
          |""".stripMargin
 

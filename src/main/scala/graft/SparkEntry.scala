@@ -291,6 +291,9 @@ object SparkEntry {
     "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _),
     "text_bpe_bytes" -> (QueriesExt.textBpeBytes _),
     "text_bpe_bytes_tokenize" -> (QueriesExt.textBpeBytesTokenize _),
+    // corpus-learned unigram-LM (SentencePiece-family) tokenizer
+    "text_unigram_vocab" -> (QueriesExt.textUnigramVocab _),
+    "text_unigram_tokenize" -> (QueriesExt.textUnigramTokenize _),
     // trained nearest-class-profile classifier (model-based curation)
     "text_classify_profile" -> (QueriesExt.textClassifyProfile _),
     "text_langid_ngram" -> (QueriesExt.textLangidNgram _)
@@ -459,6 +462,8 @@ object SparkEntry {
     "multimodal_audio_neardup"  -> QueriesExt.multimodalAudioNeardupSql,
     "multimodal_video_neardup"  -> QueriesExt.multimodalVideoNeardupSql,
     "text_bpe_vocab"            -> QueriesExt.textBpeVocabSql,
+    "text_unigram_vocab"        -> QueriesExt.textUnigramVocabSql,
+    "text_unigram_tokenize"     -> QueriesExt.textUnigramTokenizeSql,
     "text_bpe_tokenize"         -> QueriesExt.textBpeTokenizeSql,
     "text_bpe_bytes"            -> QueriesExt.textBpeBytesSql,
     "text_bpe_bytes_tokenize"   -> QueriesExt.textBpeBytesTokenizeSql,

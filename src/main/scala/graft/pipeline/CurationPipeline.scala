@@ -2161,42 +2161,89 @@ object CurationPipeline {
           s"step ${c.stepName}: unknown trainer '$other' (local | distributed)")
       }
     }),
+    // vocabulary table: corpus-learned unigram-LM pieces (Kudo 2018,
+    // the SentencePiece family — bpe_vocab's sibling for corpora
+    // tokenized for non-BPE models). Output (token, score, rank);
+    // feed it to `tokenize family: unigram`.
+    "unigram_vocab" -> Op(Set("rounds", "keep", "maxPieceLen", "minCount",
+      "seedSize"), { c =>
+      val rounds = c.params.int("rounds", 3)
+      val keep = c.params.str("keep", "") match {
+        case "" => // geometric shrink ending at 1/2 of the seed's cut
+          val base = c.params.int("seedSize", 1024)
+          (1 to rounds).map(r => math.max(1, base >> r))
+        case spec =>
+          val ks = spec.split(",").toSeq.map(_.trim).map(v =>
+            v.toIntOption.getOrElse(throw new IllegalArgumentException(
+              s"step ${c.stepName}: keep must be comma-separated ints, got '$v'")))
+          require(ks.length == rounds,
+            s"step ${c.stepName}: keep has ${ks.length} entries for $rounds rounds")
+          ks
+      }
+      graft.operators.Unigram.trainVocab(c.input, c.textCol, rounds = rounds,
+        keepSchedule = keep, maxPieceLen = c.params.int("maxPieceLen", 6),
+        minCount = c.params.long("minCount", 2L),
+        seedSize = c.params.int("seedSize", 1024))
+    }),
     // annotation: REAL BPE token count (`n_bpe_tokens`) against a
     // learned vocab table — what mix budgets (`tokens: n_bpe_tokens`)
     // and pack sizing should consume. keepTokens: true also carries
     // the token array (heavier output; for export/packing consumers).
-    "tokenize" -> Op(Set("vocab", "keepTokens", "level"), { c =>
+    "tokenize" -> Op(Set("vocab", "keepTokens", "level", "family",
+      "maxPieceLen"), { c =>
       val vocab = c.resolve(c.params.reqStr("vocab"))
-      Seq("merge_rank", "left_sym", "right_sym").foreach { needed =>
-        require(vocab.columns.contains(needed),
-          s"step ${c.stepName}: vocab table must have a '$needed' column " +
-            "(a bpe_vocab step output)")
-      }
-      val byteLevel = c.params.str("level", "codepoint") match {
-        case "codepoint" => false
-        case "bytes"     => true
+      val toks = c.params.str("family", "bpe") match {
+        case "bpe" =>
+          require(!c.params.has("maxPieceLen"),
+            s"step ${c.stepName}: maxPieceLen applies to family: unigram only")
+          Seq("merge_rank", "left_sym", "right_sym").foreach { needed =>
+            require(vocab.columns.contains(needed),
+              s"step ${c.stepName}: vocab table must have a '$needed' column " +
+                "(a bpe_vocab step output)")
+          }
+          val byteLevel = c.params.str("level", "codepoint") match {
+            case "codepoint" => false
+            case "bytes"     => true
+            case other => throw new IllegalArgumentException(
+              s"step ${c.stepName}: unknown level '$other' (codepoint | bytes)")
+          }
+          // a level mismatch between vocab and tokenize silently yields
+          // base-symbol (unmerged) streams — the vocab's own symbol shape
+          // is checkable: byte-level merges are hex pairs (+ marker)
+          if (byteLevel) {
+            val bad = vocab.filter(
+              !regexp_replace(col("left_sym"), "</w>$", "").rlike("^[0-9A-F]+$"))
+            require(bad.isEmpty,
+              s"step ${c.stepName}: level: bytes but the vocab's symbols are not " +
+                "hex-pair byte symbols — was the bpe_vocab step trained with level: bytes?")
+          }
+          graft.operators.Bpe.tokenizeWith(
+            c.input.select(col(c.idCol), col(c.textCol)), c.idCol, c.textCol, vocab,
+            byteLevel = byteLevel)
+            .select(col(c.idCol),
+              size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+              col("bpe_tokens"))
+        case "unigram" =>
+          require(!c.params.has("level"),
+            s"step ${c.stepName}: level applies to family: bpe only")
+          Seq("token", "score").foreach { needed =>
+            require(vocab.columns.contains(needed),
+              s"step ${c.stepName}: vocab table must have a '$needed' column " +
+                "(a unigram_vocab step output)")
+          }
+          // family-specific column names: a downstream export_tokens /
+          // filter chain names them explicitly (tokens: unigram_tokens)
+          graft.operators.Unigram.tokenizeWith(
+            c.input.select(col(c.idCol), col(c.textCol)), c.idCol, c.textCol,
+            vocab, maxPieceLen = c.params.int("maxPieceLen", 6))
         case other => throw new IllegalArgumentException(
-          s"step ${c.stepName}: unknown level '$other' (codepoint | bytes)")
+          s"step ${c.stepName}: unknown family '$other' (bpe | unigram)")
       }
-      // a level mismatch between vocab and tokenize silently yields
-      // base-symbol (unmerged) streams — the vocab's own symbol shape
-      // is checkable: byte-level merges are hex pairs (+ marker)
-      if (byteLevel) {
-        val bad = vocab.filter(
-          !regexp_replace(col("left_sym"), "</w>$", "").rlike("^[0-9A-F]+$"))
-        require(bad.isEmpty,
-          s"step ${c.stepName}: level: bytes but the vocab's symbols are not " +
-            "hex-pair byte symbols — was the bpe_vocab step trained with level: bytes?")
-      }
-      val toks = graft.operators.Bpe.tokenizeWith(
-        c.input.select(col(c.idCol), col(c.textCol)), c.idCol, c.textCol, vocab,
-        byteLevel = byteLevel)
-        .select(col(c.idCol),
-          size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
-          col("bpe_tokens"))
+      val tokenCol = if (c.params.str("family", "bpe") == "unigram")
+        "unigram_tokens" else "bpe_tokens"
       val annotated = c.input.join(toks, Seq(c.idCol), "left")
       if (c.params.str("keepTokens", "false").toBoolean) annotated
-      else annotated.drop("bpe_tokens")
+      else annotated.drop(tokenCol)
     }, tableParams = Set("vocab")),
     // annotation: REAL image decode metadata on every row — width,
     // height, channels, decoded byte count, pixel_md5 content address

@@ -2837,4 +2837,69 @@ class CliSpec extends SparkSpec {
       .as[(Long, Long, Int, Double)].collect().sorted.toSeq
     assert(pqRows === retrain, "pipeline PQ path diverged from the direct retrain")
   }
+
+  test("pipeline unigram_vocab + tokenize family unigram: trained pieces, lossless streams, budget filter chains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (src, out) = (tempDir(), tempDir())
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cats sat on mats"),
+      (3L, "concatenation of cat and cats"), (4L, "the mat sat still"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$src/documents.parquet")
+    val yaml = Files.createTempFile("graft-pipe-unigram", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: sp_tokens
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: pieces
+        |    op: unigram_vocab
+        |    input: documents
+        |    params: { rounds: "2", keep: "8,4", maxPieceLen: "4",
+        |              minCount: "2", seedSize: "16" }
+        |  - name: tokenized
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: pieces, family: unigram, maxPieceLen: "4",
+        |              keepTokens: "true" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", yaml.toString, src, out), spark)
+    val vocab = spark.read.parquet(s"$out/pieces")
+    assert(vocab.columns.toSet === Set("token", "score", "rank"))
+    assert(vocab.filter(org.apache.spark.sql.functions.length(col("token")) >= 2)
+      .count() <= 4, "final multi budget exceeded")
+    val toks = spark.read.parquet(s"$out/tokenized")
+      .select("doc_id", "n_unigram_tokens", "unigram_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSeq
+    assert(toks.length === 4)
+    toks.foreach { case (id, n, pieces) =>
+      assert(n === pieces.length.toLong)
+      val words = docs.filter(col("doc_id") === id)
+        .select(graft.operators.TextAnalysis.tokens(col("text")))
+        .collect().head.getSeq[String](0).filter(_.nonEmpty)
+      assert(pieces.mkString === words.mkString,
+        s"doc $id: unigram pieces not lossless")
+    }
+    // family mismatch fails loud: a unigram vocab into a bpe tokenize
+    val badYaml = Files.createTempFile("graft-pipe-unigram-bad", ".yaml")
+    Files.writeString(badYaml,
+      """pipeline: sp_bad
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: pieces
+        |    op: unigram_vocab
+        |    input: documents
+        |    params: { rounds: "1", keep: "4", seedSize: "8" }
+        |  - name: tokenized
+        |    op: tokenize
+        |    input: documents
+        |    params: { vocab: pieces }
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      Cli.run(Seq("pipeline", badYaml.toString, src, tempDir()), spark)
+    }
+    assert(e.getMessage.contains("merge_rank"), e.getMessage)
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Unigram
+
+/** Unigram-LM tokenizer: Viterbi objective (fewest pieces, highest
+  * score, smallest joined rendering), OOV coverage, training
+  * determinism, and tokenization losslessness. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("segment: lexicographic objective — fewest pieces first, then score, then rendering") {
+    // "abc": {"abc"} beats {"ab","c"} on piece count regardless of score
+    assert(Unigram.segment("abc",
+      Map("abc" -> 1L, "ab" -> 100L, "c" -> 100L, "a" -> 1L, "b" -> 1L), 6)
+      === Seq("abc"))
+    // equal piece count: higher total score wins
+    assert(Unigram.segment("abcd",
+      Map("ab" -> 5L, "cd" -> 5L, "abc" -> 1L, "d" -> 1L,
+        "a" -> 0L, "b" -> 0L, "c" -> 0L), 6)
+      === Seq("ab", "cd"))
+    // equal count AND score: smallest space-joined rendering
+    // "a bc" < "ab c" (space sorts below any letter)
+    assert(Unigram.segment("abc",
+      Map("a" -> 3L, "bc" -> 4L, "ab" -> 3L, "c" -> 4L, "b" -> 1L), 6)
+      === Seq("a", "bc"))
+    // maxPieceLen caps the piece width
+    assert(Unigram.segment("aaaa", Map("aaaa" -> 9L, "aa" -> 1L, "a" -> 1L), 2)
+      === Seq("aa", "aa"))
+  }
+
+  test("segment: OOV characters cover as single-char pieces at score 0 — never fails on unseen text") {
+    assert(Unigram.segment("axb", Map("a" -> 2L, "b" -> 2L), 6)
+      === Seq("a", "x", "b"))
+    assert(Unigram.segment("", Map("a" -> 1L), 6) === Seq.empty)
+  }
+
+  test("trainVocab: deterministic, singles always survive, schedule prunes multis, ranks total-ordered") {
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the bat sat"),
+      (4L, "a cat sat"), (5L, "the cat sat"))
+      .toDF("doc_id", "text")
+    def train() = Unigram.trainVocab(corpus, "text", rounds = 2,
+      keepSchedule = Seq(6, 3), maxPieceLen = 4, minCount = 2, seedSize = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val v1 = train()
+    assert(v1 === train(), "retrain diverged — training must be deterministic")
+    val singles = corpus.select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= " ").distinct().collect().map(_.getString(0)).toSet
+    assert(singles.subsetOf(v1.map(_._1).toSet),
+      "every corpus character must survive every prune round")
+    assert(v1.count(_._1.length >= 2) <= 3, "final multi budget exceeded")
+    assert(v1.map(_._3).sorted === v1.indices.toSeq, "ranks must be dense 0-based")
+    // rank order is (score DESC, token ASC)
+    val sorted = v1.sortBy(_._3)
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    case _ => }
+  }
+
+  test("tokenizeWith: piece streams are lossless — joining pieces reproduces each normalized word") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"), (2L, "concatenation of the cats"),
+      (3L, "  Mixed   CASE   text "))
+      .toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(corpus, "text", rounds = 2,
+      keepSchedule = Seq(8, 4), maxPieceLen = 4, minCount = 2, seedSize = 16)
+    val toks = Unigram.tokenizeWith(corpus, "doc_id", "text", vocab, maxPieceLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    val norm = corpus.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokens(col("text")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty)).toMap
+    norm.foreach { case (id, words) =>
+      assert(toks(id).mkString === words.mkString,
+        s"doc $id: pieces do not re-join to the normalized words")
+    }
+    // OOV document against the same vocab still tokenizes (char fallback)
+    val oov = Unigram.tokenizeWith(
+      Seq((9L, "zzz qqq")).toDF("doc_id", "text"), "doc_id", "text", vocab, 4)
+      .collect().head
+    assert(oov.getSeq[String](2).mkString === "zzzqqq")
+  }
+}
