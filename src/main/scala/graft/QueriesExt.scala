@@ -3730,6 +3730,141 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  /** The YAML pipeline surface run END TO END as a gate —
+    * `examples/frontier_pipeline.yaml` over formula fixtures: sitemap
+    * parse (rekey id·65536+entry), URL canonicalization (uppercase
+    * scheme/host + tracking param + fragment), redirect collapse
+    * (every third shared page moved), RFC 9309 robots admission
+    * (/blocked/ paths dropped), exact dedup (min rekeyed id keeps the
+    * first lister), fixed-point PageRank over the link graph, and the
+    * rank-ordered politeness schedule with a per-host budget
+    * (maxPerHost 2 keeps each host's IMPORTANT pages). The gate
+    * output is the scheduled frontier PLUS the run manifest's
+    * listed/unique/scheduled row counts — the oracle recomputes the
+    * whole chain relationally (PageRank unrolled, per-host ordinals
+    * replayed) AND the counts, so the YAML surface, the topo order,
+    * and the manifest accounting are all under the hash. */
+  def crawlFrontierRanked(s: SparkSession, dir: String): DataFrame = {
+    val sub = docs(s, dir).filter(col("doc_id") % 10 === 0)
+    val hid = (col("doc_id") % 7).cast("string")
+    val kid = (col("doc_id") % 21).cast("string")
+    val did = col("doc_id").cast("string")
+    val v2 = when(col("doc_id") % 21 % 3 === 0, lit("-v2")).otherwise(lit(""))
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc>HTTP://H"), hid, lit(".EXAMPLE.com/p"), did,
+      lit("?utm_source=x#f</loc></url>"),
+      lit("<url><loc>http://h"), hid, lit(".example.com/shared"), kid,
+      lit("</loc></url>"),
+      lit("<url><loc>http://h"), hid, lit(".example.com/blocked/s"), did,
+      lit("</loc></url></urlset>"))
+    val src = java.nio.file.Files.createTempDirectory("graft-frontier-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-frontier-out").toString
+    sub.select(col("doc_id"), xml.as("text"))
+      .write.mode("overwrite").parquet(s"$src/sitemaps.parquet")
+    s.range(0, 7).select(
+      concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+      concat(lit("User-agent: graftbot\nDisallow: /blocked/\nCrawl-delay: "),
+        (col("id") % 3 + 1).cast("string")).as("robots_txt"))
+      .write.mode("overwrite").parquet(s"$src/robots.parquet")
+    s.range(0, 21).filter(col("id") % 3 === 0).select(
+      concat(lit("http://h"), (col("id") % 7).cast("string"),
+        lit(".example.com/shared"), col("id").cast("string")).as("src"),
+      concat(lit("http://h"), (col("id") % 7).cast("string"),
+        lit(".example.com/shared"), col("id").cast("string"), lit("-v2")).as("dst"))
+      .write.mode("overwrite").parquet(s"$src/redirects.parquet")
+    sub.select(
+      concat(lit("http://h"), hid, lit(".example.com/p"), did).as("src"),
+      concat(lit("http://h"), hid, lit(".example.com/shared"), kid, v2).as("dst"),
+      (col("doc_id") % 3 + 1).cast("long").as("n_links"))
+      .write.mode("overwrite").parquet(s"$src/links.parquet")
+    val yaml = "examples/frontier_pipeline.yaml"
+    require(new java.io.File(yaml).exists,
+      s"crawl_frontier_ranked: $yaml not found — run from the repo root")
+    Cli.run(Seq("pipeline", yaml, src, out), s)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "pipeline_manifest.json")), "UTF-8")
+    def rowsOf(step: String): Long =
+      ("\"name\":\"" + step + "\"[^}]*\"rows\":(\\d+)").r
+        .findFirstMatchIn(manifest).map(_.group(1).toLong).getOrElse(
+          throw new IllegalStateException(
+            s"crawl_frontier_ranked: manifest has no rows for step $step"))
+    s.read.parquet(s"$out/scheduled")
+      .select(col("doc_id"), col("sitemap_id"), col("text").as("url"),
+        col("host"), col("crawl_delay_s").cast("int").as("crawl_delay_s"),
+        col("priority_fp"), col("fetch_seq"), col("fetch_offset_s"))
+      .withColumn("n_listed", lit(rowsOf("listed")))
+      .withColumn("n_unique", lit(rowsOf("unique")))
+      .withColumn("n_scheduled", lit(rowsOf("scheduled")))
+  }
+
+  lazy val crawlFrontierRankedSql: String = {
+    def it(prev: String, out: String): String =
+      s"""c_$out AS (
+         |  SELECT e.dt AS v,
+         |         sum((85 * $prev.r * e.n) // (CAST(100 AS HUGEINT) * ow.w)) AS infl
+         |  FROM e
+         |  JOIN $prev ON $prev.v = e.s
+         |  JOIN ow ON ow.s = e.s
+         |  GROUP BY 1),
+         |$out AS (
+         |  SELECT nodes.v,
+         |         (CAST(15 AS HUGEINT) * 1000000000) // (100 * nn.n)
+         |           + coalesce(c_$out.infl, 0) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c_$out ON c_$out.v = nodes.v)""".stripMargin
+    s"""WITH sub AS (SELECT doc_id AS d FROM documents WHERE doc_id % 10 = 0),
+       |listed AS (
+       |  -- post-normalize, post-redirect, post-robots survivors:
+       |  -- entry 0 (canonicalized p-page) and entry 1 (shared page,
+       |  -- every third one moved); entry 2 is robots-blocked
+       |  SELECT d, d * 65536 + 0 AS id, d AS sitemap_id, d % 7 AS h,
+       |         'http://h' || (d % 7) || '.example.com/p' || d AS url
+       |  FROM sub
+       |  UNION ALL
+       |  SELECT d, d * 65536 + 1, d, d % 7,
+       |         'http://h' || (d % 7) || '.example.com/shared' || (d % 21) ||
+       |           (CASE WHEN (d % 21) % 3 = 0 THEN '-v2' ELSE '' END)
+       |  FROM sub
+       |), uniq AS (
+       |  SELECT url, min(id) AS id, min(h) AS h FROM listed GROUP BY 1
+       |), e AS (
+       |  SELECT 'http://h' || (d % 7) || '.example.com/p' || d AS s,
+       |         'http://h' || (d % 7) || '.example.com/shared' || (d % 21) ||
+       |           (CASE WHEN (d % 21) % 3 = 0 THEN '-v2' ELSE '' END) AS dt,
+       |         CAST(d % 3 + 1 AS HUGEINT) AS n
+       |  FROM sub
+       |),
+       |nodes AS (SELECT s AS v FROM e UNION SELECT dt FROM e),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
+       |ow AS (SELECT s, CAST(sum(n) AS HUGEINT) AS w FROM e GROUP BY 1),
+       |r0 AS (SELECT v, CAST(1000000000 AS HUGEINT) // nn.n AS r
+       |       FROM nodes CROSS JOIN nn),
+       |${(1 to 3).map(i => it(s"r${i - 1}", s"r$i")).mkString(",\n")},
+       |seq AS (
+       |  SELECT u.id AS doc_id, u.id // 65536 AS sitemap_id, u.url,
+       |         'h' || u.h || '.example.com' AS host,
+       |         CAST(u.h % 3 + 1 AS INTEGER) AS crawl_delay_s,
+       |         CAST(r3.r AS BIGINT) AS priority_fp,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY u.h
+       |           ORDER BY CAST(r3.r AS BIGINT) DESC NULLS LAST, md5(u.url), u.url)
+       |           - 1 AS INTEGER) AS fetch_seq
+       |  FROM uniq u LEFT JOIN r3 ON r3.v = u.url
+       |), counts AS (
+       |  SELECT (SELECT 3 * count(*) FROM sub) AS n_listed,
+       |         (SELECT count(*) FROM uniq) AS n_unique,
+       |         (SELECT count(*) FROM seq WHERE fetch_seq < 2) AS n_scheduled
+       |)
+       |SELECT doc_id, sitemap_id, url, host, crawl_delay_s, priority_fp,
+       |       fetch_seq,
+       |       CAST(fetch_seq AS BIGINT) * crawl_delay_s AS fetch_offset_s,
+       |       n_listed, n_unique, n_scheduled
+       |FROM seq CROSS JOIN counts
+       |WHERE fetch_seq < 2
+       |""".stripMargin
+  }
+
   /** Page-metadata extraction over constructed heads: Open Graph tags
     * in BOTH attribute orders (property-first and content-first), a
     * duplicate og:title (first wins), `article:published_time` (the

@@ -70,6 +70,9 @@ object SparkEntry {
     // per-host polite fetch ordinals + offsets over a frontier
     "crawl_schedule"      -> (QueriesExt.crawlSchedule _),
     "crawl_schedule_ranked" -> (QueriesExt.crawlScheduleRanked _),
+    // the YAML pipeline surface end-to-end: sitemap -> normalize ->
+    // redirects -> robots -> dedup -> pagerank-ranked schedule
+    "crawl_frontier_ranked" -> (QueriesExt.crawlFrontierRanked _),
     // sitemap XML -> frontier URL rows (codegen'd regexp chain)
     "crawl_sitemap_urls"  -> (QueriesExt.crawlSitemapUrls _),
     // HTTP status/header extraction + chunked-transfer decode
@@ -345,6 +348,7 @@ object SparkEntry {
     "crawl_robots_delays"       -> QueriesExt.crawlRobotsDelaysSql,
     "crawl_schedule"            -> QueriesExt.crawlScheduleSql,
     "crawl_schedule_ranked"     -> QueriesExt.crawlScheduleRankedSql,
+    "crawl_frontier_ranked"     -> QueriesExt.crawlFrontierRankedSql,
     "crawl_sitemap_urls"        -> QueriesExt.crawlSitemapUrlsSql,
     "warc_http_meta"            -> QueriesExt.warcHttpMetaSql,
     "crawl_extract_links"       -> QueriesExt.crawlExtractLinksSql,

@@ -460,14 +460,22 @@ object Similarity {
       assigned: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
       centroids: Array[Array[Double]]
+  ): DataFrame =
+    ivfSearchOnProbes(assigned,
+      ivfProbes(queries, idCol, vecCol, nProbe, centroids), k)
+
+  /** Per query the nProbe nearest centroids, exploded to
+    * `(query_id, qv, cell)` probe rows (centroids are tiny — computed
+    * driver-side into the UDF closure, broadcast by the join). A NULL
+    * query embedding yields no probes and drops out of the explode,
+    * mirroring lshKnn's null-bucket behavior. */
+  private[operators] def ivfProbes(
+      queries: DataFrame, idCol: String, vecCol: String, nProbe: Int,
+      centroids: Array[Array[Double]]
   ): DataFrame = {
-    // per query: the nProbe nearest centroids (centroids are tiny ->
-    // computed driver-side into a probe list, broadcast by the join)
     val centroidArrs: Seq[(Int, Array[Double])] =
       centroids.zipWithIndex.map { case (c, i) => i -> c }.toSeq
     val probeUdf = udf { (qv: Seq[Double]) =>
-      // null query embedding -> no probes -> the query drops out of
-      // the explode, mirroring lshKnn's null-bucket behavior
       if (qv == null) Array.empty[Int]
       else centroidArrs
         .map { case (i, cArr) =>
@@ -481,9 +489,15 @@ object Similarity {
         }
         .sortBy(-_._2).take(nProbe).map(_._1).toArray
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv").cast("array<double>"))))
-    q.join(assigned, Seq("cell"))
+  }
+
+  /** The probed-cell join + exact rerank over prepared probe rows. */
+  private[operators] def ivfSearchOnProbes(
+      assigned: DataFrame, probes: DataFrame, k: Int
+  ): DataFrame =
+    probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rank",
@@ -491,7 +505,6 @@ object Similarity {
           Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
-  }
 
   /** Scalable embedding near-dup: banded sign-LSH (any identical band
     * of `bandBits` sign bits proposes the pair — the minhash

@@ -1203,12 +1203,19 @@ object CurationPipeline {
           s"step ${c.stepName}: keep must be changed or all, got '$other'")
       }
       def project(annotated: DataFrame, fpCol: String): DataFrame =
-        if (keepAll)
+        if (keepAll) {
+          // admit mode also carries content_fp_ts — the capture
+          // instant of the payload-bearing record, what an
+          // export_warc revisit's refersToDateFrom points at
+          val refTs =
+            if (annotated.columns.contains("content_fp_ts"))
+              Seq(col("content_fp_ts").cast("long").as("content_fp_ts"))
+            else Seq.empty
           annotated.select(c.input.columns.toSeq.map(col) ++ Seq(
             col("change_kind"), col("content_changed").cast("boolean")
               .as("content_changed"),
-            col(fpCol).cast("string").as("content_fp")): _*)
-        else annotated.filter(col("content_changed").cast("boolean"))
+            col(fpCol).cast("string").as("content_fp")) ++ refTs: _*)
+        } else annotated.filter(col("content_changed").cast("boolean"))
           .select((c.input.columns.toSeq :+ "change_kind").map(col): _*)
       val (fpCol, withFpCol) =
         if (c.params.has("fingerprint")) {
@@ -1251,7 +1258,8 @@ object CurationPipeline {
           // filter would be an analysis error
           project(readBatchPartition(
             c.copy(input = withFpCol), sink, StreamingRecrawl.BatchCol,
-            extraCols = Seq("change_kind", "content_changed")), fpCol)
+            extraCols = Seq("change_kind", "content_changed",
+              "content_fp_ts")), fpCol)
       }
     }, modes = Set("full", "admit"), tableParams = Set("table"),
       fullOnlyParams = Set("table")),
@@ -1778,7 +1786,7 @@ object CurationPipeline {
     // refersToDate (the prior capture's WARC-Date) — the unchanged
     // page's bytes are stored once across nightly archives.
     "export_warc" -> Op(Set("payload", "uri", "recordType", "date",
-      "revisitWhen", "digest", "refersToDate"), { c =>
+      "revisitWhen", "digest", "refersToDate", "refersToDateFrom"), { c =>
       require(c.outDir.nonEmpty, s"step ${c.stepName}: export needs a pipeline OUT_DIR")
       Seq("shard", "pos").foreach { needed =>
         require(c.input.columns.contains(needed),
@@ -1804,13 +1812,36 @@ object CurationPipeline {
             require(c.input.columns.contains(needed),
               s"step ${c.stepName}: input has no column '$needed' — " +
                 "chain change_detect (keep: all) before a revisit export"))
+          // refers-to-date: per-row from an epoch-seconds column
+          // (refersToDateFrom — a change_detect keep: all step's
+          // content_fp_ts, the payload-bearing capture's instant) or
+          // one literal for the whole run (refersToDate). Per-row is
+          // what lets a page unchanged across MANY nights refer to
+          // the response record instead of last night's revisit.
+          val refDate = c.params.str("refersToDateFrom", "") match {
+            case "" => lit(c.params.str("refersToDate", ""))
+            case fromCol =>
+              require(!c.params.has("refersToDate"),
+                s"step ${c.stepName}: refersToDate and refersToDateFrom " +
+                  "are mutually exclusive")
+              require(c.input.columns.contains(fromCol),
+                s"step ${c.stepName}: input has no column '$fromCol' — " +
+                  "chain change_detect (keep: all, mode: admit) before a " +
+                  "per-row revisit export")
+              coalesce(
+                date_format(col(fromCol).cast("long").cast("timestamp"),
+                  "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                lit(""))
+          }
           Seq(
             (!col(changedCol).cast("boolean")).as("revisit"),
             col(digestCol).cast("string").as("payload_digest"),
-            lit(c.params.str("refersToDate", "")).as("refers_to_date"))
+            refDate.as("refers_to_date"))
         } else {
-          require(!c.params.has("digest") && !c.params.has("refersToDate"),
-            s"step ${c.stepName}: digest/refersToDate need revisitWhen")
+          require(!c.params.has("digest") && !c.params.has("refersToDate") &&
+            !c.params.has("refersToDateFrom"),
+            s"step ${c.stepName}: digest/refersToDate/refersToDateFrom " +
+              "need revisitWhen")
           Seq.empty
         }
       val prepared = c.input.select(Seq(

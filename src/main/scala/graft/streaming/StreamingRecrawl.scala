@@ -61,7 +61,8 @@ object StreamingRecrawl {
   private val StoreSchema =
     s"__url_fp STRING, url STRING, last_fetch_ts LONG, prev_fetch_ts LONG, " +
       s"last_batch_id LONG, last_fp STRING, prev_fp STRING, fp_batch_id LONG, " +
-      s"unchanged_streak LONG, prev_streak LONG, $BucketCol INT"
+      s"unchanged_streak LONG, prev_streak LONG, " +
+      s"fp_ts LONG, prev_fp_ts LONG, $BucketCol INT"
 
   private def readStore(spark: org.apache.spark.sql.SparkSession, path: String) =
     spark.read.schema(StoreSchema).parquet(path)
@@ -91,7 +92,9 @@ object StreamingRecrawl {
         lit(null).cast("string").as("prev_fp"),
         lit(-1L).as("fp_batch_id"),
         lit(null).cast("long").as("unchanged_streak"),
-        lit(null).cast("long").as("prev_streak"))
+        lit(null).cast("long").as("prev_streak"),
+        lit(null).cast("long").as("fp_ts"),
+        lit(null).cast("long").as("prev_fp_ts"))
       .withColumn(BucketCol, bucketOf(numBuckets))
       .write.mode("overwrite")
       .partitionBy(BucketCol).parquet(storePath)
@@ -179,11 +182,13 @@ object StreamingRecrawl {
           .select(col("__url_fp"), col("url"), col("last_fetch_ts"),
             col("prev_fetch_ts"), col("last_batch_id"),
             col("last_fp"), col("prev_fp"), col("fp_batch_id"),
-            col("unchanged_streak"), col("prev_streak"))
+            col("unchanged_streak"), col("prev_streak"),
+            col("fp_ts"), col("prev_fp_ts"))
         val advanced = dueFps
           .join(stored.select(col("__url_fp"), evalTs.as("__prev_ts"),
             col("last_fp"), col("prev_fp"), col("fp_batch_id"),
-            col("unchanged_streak"), col("prev_streak")),
+            col("unchanged_streak"), col("prev_streak"),
+            col("fp_ts"), col("prev_fp_ts")),
             Seq("__url_fp"), "left")
           .select(col("__url_fp"), col("__due_url").as("url"),
             lit(nowTs).as("last_fetch_ts"),
@@ -191,7 +196,8 @@ object StreamingRecrawl {
             lit(batchId).as("last_batch_id"),
             col("last_fp"), col("prev_fp"),
             coalesce(col("fp_batch_id"), lit(-1L)).as("fp_batch_id"),
-            col("unchanged_streak"), col("prev_streak"))
+            col("unchanged_streak"), col("prev_streak"),
+            col("fp_ts"), col("prev_fp_ts"))
         kept.unionByName(advanced)
           .withColumn(BucketCol, bucketOf(numBuckets))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -247,11 +253,26 @@ object StreamingRecrawl {
         .otherwise(col("last_fp"))
       val evalTs = when(col("last_batch_id") === batchId, col("prev_fetch_ts"))
         .otherwise(col("last_fetch_ts"))
+      // the capture instant of the payload-bearing record (the batch
+      // that last CHANGED the content) — what a WARC revisit's
+      // Refers-To-Date must point at, with the same one-step history
+      // for replay self-exclusion
+      val evalFpTs = when(col("fp_batch_id") === batchId, col("prev_fp_ts"))
+        .otherwise(col("fp_ts"))
       val lastFp = stored.select(col("url").as(urlCol), evalFp.as("last_fp"))
       val verdicts = Recrawl.changeVerdicts(withFp, urlCol, fpCol, lastFp)
       verdicts.persist()
       try {
+        // sink rows carry content_fp_ts: for an unchanged row, the
+        // payload-bearing capture's instant (pre-batch fp_ts) — an
+        // export_warc revisit points its Refers-To-Date there, so a
+        // page unchanged across MANY nights always refers to the
+        // response record, never to an intermediate revisit
+        val refTs = stored.select(col("url").as("__rd_url"),
+          evalFpTs.as("content_fp_ts"))
         verdicts
+          .join(refTs, verdicts(urlCol).cast("string") === col("__rd_url"), "left")
+          .drop("__rd_url")
           .drop("__url_fp", BucketCol)
           .withColumn(BatchCol, lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -265,12 +286,14 @@ object StreamingRecrawl {
           .select(col("__url_fp"), col("url"), col("last_fetch_ts"),
             col("prev_fetch_ts"), col("last_batch_id"),
             col("last_fp"), col("prev_fp"), col("fp_batch_id"),
-            col("unchanged_streak"), col("prev_streak"))
+            col("unchanged_streak"), col("prev_streak"),
+            col("fp_ts"), col("prev_fp_ts"))
         val evalStreak = when(col("fp_batch_id") === batchId, col("prev_streak"))
           .otherwise(col("unchanged_streak"))
         val advanced = batchFps
           .join(stored.select(col("__url_fp"), evalTs.as("__prev_ts"),
-            evalFp.as("__prev_fp"), evalStreak.as("__prev_streak")),
+            evalFp.as("__prev_fp"), evalStreak.as("__prev_streak"),
+            evalFpTs.as("__prev_fp_ts")),
             Seq("__url_fp"), "left")
           .select(col("__url_fp"), col("__b_url").as("url"),
             lit(nowTs).as("last_fetch_ts"),
@@ -284,7 +307,13 @@ object StreamingRecrawl {
             when(col("__b_kind") === "unchanged",
               coalesce(col("__prev_streak"), lit(0L)) + 1L)
               .otherwise(lit(0L)).as("unchanged_streak"),
-            col("__prev_streak").as("prev_streak"))
+            col("__prev_streak").as("prev_streak"),
+            // unchanged keeps the payload-bearing capture's instant
+            // (null for a pre-upgrade store — honest unknown);
+            // new/changed content was captured THIS batch
+            when(col("__b_kind") === "unchanged", col("__prev_fp_ts"))
+              .otherwise(lit(nowTs)).as("fp_ts"),
+            col("__prev_fp_ts").as("prev_fp_ts"))
         kept.unionByName(advanced)
           .withColumn(BucketCol, bucketOf(numBuckets))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -262,4 +262,60 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "frame fan-out must be partition-local:\n" + plan)
     assert(!plan.contains("Coalesce"), "frame fan-out must not collapse partitions:\n" + plan)
   }
+
+  test("stored-ANN encode paths are scan-local (no exchange); the unigram DP never shuffles the corpus") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Unigram}
+    val dim = 8
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val emb = (0L until 24L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val cents = AnnIndex.trainIvf(emb, "vec_id", "embedding", nCells = 4)
+    val encIvf = AnnIndex.encodeIvf(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!encIvf.contains("Exchange"),
+      s"IVF encoding must be scan-local (model rides the closure):\n$encIvf")
+    val books = AnnIndex.trainPq(emb, "vec_id", "embedding", m = 4, kCodes = 4)
+    val encPq = AnnIndex.encodePq(emb, "vec_id", "embedding", books)
+      .queryExecution.executedPlan.toString
+    assert(!encPq.contains("Exchange"),
+      s"PQ encoding must be scan-local:\n$encPq")
+    // unigram tokenization: vocabulary broadcasts into the DP — the
+    // doc scan itself pays no exchange
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(docs, "text", rounds = 1,
+      keepSchedule = Seq(4), maxPieceLen = 3, minCount = 1, seedSize = 8)
+    val tok = Unigram.tokenizeWith(docs, "doc_id", "text", vocab, 3)
+      .queryExecution.executedPlan.toString
+    assert(!tok.contains("Exchange"),
+      s"unigram tokenization must be scan-local:\n$tok")
+  }
+
+  test("stored-IVF query prunes the postings scan to the probed cells (partition filters, not a full index read)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnIndex
+    val dim = 8
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val emb = (0L until 48L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-ivf").toString
+    val cents = AnnIndex.trainIvf(emb, "vec_id", "embedding", nCells = 8)
+    AnnIndex.encodeIvf(emb, "vec_id", "embedding", cents)
+      .write.partitionBy("cell").parquet(s"$dir/postings")
+    val out = AnnIndex.ivfKnnIndexed(
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", k = 3,
+      cents, spark.read.parquet(s"$dir/postings"), nProbe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the postings FileScan must carry a cell partition filter (the
+    // probed-cell IN list), so unprobed partitions are never read
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("postings")).getOrElse(
+      fail(s"no postings FileScan in plan:\n$plan"))
+    assert(scanLine.contains("PartitionFilters: [") &&
+      scanLine.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+        .contains("cell"),
+      s"postings scan must prune on the probed cells:\n$scanLine")
+    // and the pruned path still answers (correctness of the filter is
+    // pinned bitwise in SimilaritySpec)
+    assert(out.count() > 0)
+  }
 }

@@ -760,4 +760,62 @@ class WarcSpec extends SparkSpec {
       .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
     assert(staged.isEmpty, s"shard files written despite the in-plan failure: ${staged.mkString(", ")}")
   }
+
+  test("pipeline revisit archive: refersToDateFrom points every revisit at the PAYLOAD-BEARING capture across many nights") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val (src, state) = (tmp("graft-rv3-src"), tmp("graft-rv3-state"))
+    val D1 = 1709251200L // 2024-03-01T00:00:00Z
+    def dateOf(ts: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochSecond(ts))
+    def yamlFor(now: Long): String = {
+      val y = Files.createTempFile("graft-pipe-rv3", ".yaml")
+      Files.writeString(y,
+        s"""pipeline: nightly_archive3
+           |id: doc_id
+           |text: text
+           |steps:
+           |  - name: annotated
+           |    op: change_detect
+           |    input: pages
+           |    params: { mode: admit, url: url, now: "$now", buckets: "4", keep: all }
+           |  - name: spread
+           |    op: shuffle_shards
+           |    params: { shards: "1", salt: rv3 }
+           |  - name: archived
+           |    op: export_warc
+           |    params: { uri: url, recordType: response, date: "${dateOf(now)}",
+           |              revisitWhen: content_changed,
+           |              refersToDateFrom: content_fp_ts }
+           |""".stripMargin)
+      y.toString
+    }
+    def night(now: Long, pages: Seq[(Long, String, String)]): Map[String, Warc.WarcRevisit] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$src/pages.parquet"))
+      pages.toDF("doc_id", "url", "text").write.parquet(s"$src/pages.parquet")
+      val out = tmp("graft-rv3-out")
+      Cli.run(Seq("pipeline", yamlFor(now), src, out, "--state", state), spark)
+      val bytes = Files.readAllBytes(
+        Paths.get(out, "exports", "archived", "shard=0", "capture.warc.gz"))
+      Warc.parseRevisits(Seq((1L, bytes)).toDF("doc_id", "warc"),
+          "doc_id", "warc", gzipped = true)
+        .collect().map(r => r.target_uri -> r).toMap
+    }
+    val (aV1, b) = ("alpha v1", "beta stays identical forever")
+    // night 1: both new -> no revisits
+    assert(night(D1, Seq((1L, "http://h/a", aV1), (2L, "http://h/b", b))).isEmpty)
+    // night 2: /a changed, /b unchanged -> /b revisit refers to D1
+    val n2 = night(D1 + 86400, Seq((1L, "http://h/a", "alpha v2"), (2L, "http://h/b", b)))
+    assert(n2.keySet === Set("http://h/b"))
+    assert(n2("http://h/b").refers_to_date === dateOf(D1))
+    // night 3: BOTH unchanged -> /b still refers to D1 (the response
+    // record, NOT night 2's payload-less revisit); /a refers to D2
+    // (the night its content last changed)
+    val n3 = night(D1 + 2 * 86400, Seq((1L, "http://h/a", "alpha v2"), (2L, "http://h/b", b)))
+    assert(n3.keySet === Set("http://h/a", "http://h/b"))
+    assert(n3("http://h/b").refers_to_date === dateOf(D1),
+      "an unchanged page must keep referring to the payload-bearing capture")
+    assert(n3("http://h/a").refers_to_date === dateOf(D1 + 86400))
+  }
 }
