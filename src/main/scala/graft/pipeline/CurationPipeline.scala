@@ -9,7 +9,7 @@ import org.yaml.snakeyaml.Yaml
 
 import graft.exec.Staging
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Sessions, TextAnalysis}
-import graft.streaming.{StreamingAdmission, StreamingAudioDedup, StreamingImageDedup, StreamingLineDedup, StreamingNearDup, StreamingRecrawl, StreamingSemDedup, StreamingVideoDedup}
+import graft.streaming.{StreamingAdmission, StreamingAnnIndex, StreamingAudioDedup, StreamingImageDedup, StreamingLineDedup, StreamingNearDup, StreamingRecrawl, StreamingSemDedup, StreamingVideoDedup}
 
 /** Declarative training-data curation pipelines — the job-spec surface
   * that makes the operator library a runnable product, the way the
@@ -2091,21 +2091,49 @@ object CurationPipeline {
     // codes table (id, codes) for PQ (8 bytes/vector at m=8). The
     // family is the model table's schema; encoding is scan-local (the
     // model rides the UDF closure), no shuffle.
-    "knn_encode" -> Op(Set("model", "id", "vec"), { c =>
+    // mode: admit maintains the encoded table INCREMENTALLY under
+    // --state ($state/<step>/encoded): each batch anti-joins the
+    // store's bucket-pruned ids and encodes only NEW vectors against
+    // the frozen model — a growing corpus pays encoding once per
+    // vector over its lifetime, and (the model being frozen) the
+    // incrementally-built table is identical to a from-scratch encode
+    // of the full corpus. Output is always the FULL encoded table.
+    "knn_encode" -> Op(Set("model", "id", "vec", "mode", "buckets"), { c =>
       val eid = c.params.str("id", c.idCol)
       val vec = c.params.str("vec", "embedding")
       for (needed <- Seq(eid, vec))
         require(c.input.columns.contains(needed),
           s"step ${c.stepName}: input has no column '$needed'")
       val model = c.resolve(c.params.reqStr("model"))
-      if (model.columns.contains("cell"))
-        graft.operators.AnnIndex.encodeIvf(c.input, eid, vec, model)
-      else if (model.columns.contains("subspace"))
-        graft.operators.AnnIndex.encodePq(c.input, eid, vec, model)
-      else throw new IllegalArgumentException(
-        s"step ${c.stepName}: table '${c.params.reqStr("model")}' is not a " +
-          "knn model (expected a 'cell' or 'subspace' column)")
-    }, tableParams = Set("model")),
+      val (family, schema) =
+        if (model.columns.contains("cell"))
+          ("ivf", "id BIGINT, cell INT, vector ARRAY<FLOAT>")
+        else if (model.columns.contains("subspace"))
+          ("pq", "id BIGINT, codes ARRAY<INT>")
+        else throw new IllegalArgumentException(
+          s"step ${c.stepName}: table '${c.params.reqStr("model")}' is not a " +
+            "knn model (expected a 'cell' or 'subspace' column)")
+      def encodeAll(df: DataFrame, idc: String): DataFrame =
+        if (family == "ivf") graft.operators.AnnIndex.encodeIvf(df, idc, vec, model)
+        else graft.operators.AnnIndex.encodePq(df, idc, vec, model)
+      c.params.str("mode", "full") match {
+        case "full" =>
+          require(!c.params.has("buckets"),
+            s"step ${c.stepName}: buckets applies to mode: admit only")
+          encodeAll(c.input, eid)
+        case "admit" =>
+          c.requireIntegralId("knn_encode mode: admit")
+          val store = s"${c.requireState("knn_encode mode: admit")}/encoded"
+          val buckets = c.params.int("buckets", 64)
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(store, "_graft_buckets")))
+            StreamingAnnIndex.initialize(store, buckets)
+          StreamingAnnIndex.applyBatch(
+            c.input.select(col(eid), col(vec)), eid, store, schema, buckets,
+            newRows => encodeAll(newRows, "id"))
+          StreamingAnnIndex.readEncoded(c.input.sparkSession, store, schema)
+      }
+    }, modes = Set("full", "admit"), tableParams = Set("model")),
     // persisted ANN index, step 3 of 3 — QUERY: the input is the
     // QUERY table (id + vec); `model:`/`codes:` name the stored index
     // halves (same-run steps or prior-run tables). IVF searches the

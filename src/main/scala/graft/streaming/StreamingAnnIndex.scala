@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maintained ANN postings/codes store — the incremental half of the
+  * [[graft.operators.AnnIndex]] train-once workflow: the model
+  * (IVF centroids / PQ codebooks) is FROZEN, and each batch of corpus
+  * vectors encodes ONLY its new ids against it, appending to a
+  * persistent encoded table. A nightly 100 TB corpus pays encoding
+  * once per vector over its lifetime, not once per night — and
+  * because the model never moves, the incrementally-built table is
+  * IDENTICAL to a from-scratch encode of the full corpus
+  * (spec-pinned), so search quality cannot drift batch to batch.
+  *
+  * Store layout is the [[StreamingAdmission]] bucket discipline:
+  * encoded rows partitioned by an id-hash bucket; a batch reads only
+  * the buckets its own ids land in and rewrites only those via
+  * dynamic partition overwrite. Replay idempotent by construction:
+  * encoding is a pure function of (id, vector, model), and a
+  * replayed batch's ids anti-join out against the store, so re-runs
+  * rewrite byte-identical buckets.
+  *
+  * The store is family-agnostic — the caller supplies the encode
+  * function and the store schema (`id BIGINT, cell INT, vector
+  * ARRAY<FLOAT>` for IVF postings; `id BIGINT, codes ARRAY<INT>` for
+  * PQ codes); this object owns only keying, pruning, and replay.
+  */
+object StreamingAnnIndex {
+
+  val BucketCol = "__kb"
+
+  private def bucketOf(numBuckets: Int) =
+    pmod(hash(col("id")), lit(numBuckets))
+
+  private def marker(path: String) = Paths.get(path, "_graft_buckets")
+
+  private def writeMarker(path: String, numBuckets: Int): Unit = {
+    Files.createDirectories(Paths.get(path))
+    Files.write(marker(path), numBuckets.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def checkMarker(path: String, numBuckets: Int): Unit = {
+    require(Files.exists(marker(path)),
+      s"$path has no _graft_buckets marker — initialize() the store first")
+    val stored = new String(Files.readAllBytes(marker(path)), StandardCharsets.UTF_8).trim.toInt
+    require(stored == numBuckets,
+      s"bucket-count mismatch for $path: store laid out with $stored buckets, " +
+        s"caller passed $numBuckets — pruning with the wrong modulus would " +
+        "re-encode known vectors or miss stored ones")
+  }
+
+  /** Read the full encoded table (plumbing dropped) — what a `knn`
+    * step searches. `schema` must be the same string the store was
+    * initialized with (explicit: an empty bootstrap has a marker but
+    * no files, and inference would throw on the cold start). */
+  def readEncoded(
+      spark: org.apache.spark.sql.SparkSession, storePath: String, schema: String
+  ): DataFrame =
+    spark.read.schema(s"$schema, $BucketCol INT").parquet(storePath)
+      .drop(BucketCol)
+
+  /** Bootstrap an empty store (marker only; the first batch encodes
+    * everything it sees). */
+  def initialize(storePath: String, numBuckets: Int): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    Files.createDirectories(Paths.get(storePath))
+    writeMarker(storePath, numBuckets)
+  }
+
+  /** Encode one batch's NEW vectors and append them. `batch` carries
+    * `(id, ...vector columns...)` — `encode` maps the new-rows subset
+    * to its encoded shape, which must start with the same `id`
+    * values (one row per id). Duplicate ids within a batch fail loud
+    * (two embeddings for one id is a corrupt corpus, not a policy
+    * choice). */
+  def applyBatch(
+      batch: DataFrame, idCol: String, storePath: String, schema: String,
+      numBuckets: Int, encode: DataFrame => DataFrame
+  ): Unit = {
+    if (batch.isEmpty) return
+    checkMarker(storePath, numBuckets)
+    require(!batch.columns.contains(BucketCol),
+      s"input already has a '$BucketCol' column — rename it first")
+    require(idCol == "id" || !batch.columns.contains("id"),
+      s"input has both an 'id' column and id column '$idCol' — rename one")
+    val spark = batch.sparkSession
+    val keyed = batch.withColumn("id", col(idCol).cast("long"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val guarded = keyed.withColumn("__dup",
+      when(count(lit(1)).over(wk) > 1,
+        raise_error(concat(lit("StreamingAnnIndex: id "), col("id").cast("string"),
+          lit(" appears more than once in the batch — one embedding per id"))))
+        .otherwise(lit(true)))
+      .filter(col("__dup")).drop("__dup")
+      .withColumn(BucketCol, bucketOf(numBuckets))
+    guarded.persist()
+    try {
+      // bounded driver materialization: at most numBuckets ints
+      val touched = guarded.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val stored = spark.read.schema(s"$schema, $BucketCol INT").parquet(storePath)
+        .filter(col(BucketCol).isin(touched: _*))
+      // only vectors the store has never seen encode — the model is
+      // frozen, so known ids' stored codes are already THE codes
+      val newRows = guarded
+        .join(stored.select(col("id")), Seq("id"), "left_anti")
+        .drop(BucketCol)
+      val encoded = encode(newRows)
+      require(encoded.columns.headOption.contains("id"),
+        "StreamingAnnIndex: encode must return rows keyed by 'id' " +
+          s"(got ${encoded.columns.mkString(", ")})")
+      stored
+        .unionByName(encoded.withColumn(BucketCol, bucketOf(numBuckets)))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol).parquet(storePath)
+    } finally guarded.unpersist()
+  }
+}
