@@ -117,6 +117,10 @@ object AnnIndex {
       col("id").as("neighbor_id"), col("vector").as("cv"),
       col("cell").cast("int").as("cell"))
     val probes = Similarity.ivfProbes(queries, idCol, vecCol, nProbe, model)
+    // the probes subplan evaluates twice (once for this bounded
+    // collect, once in the search join) — deliberate: queries are the
+    // SMALL side by construction, and persisting a frame that escapes
+    // into the returned lazy plan could not be unpersisted safely
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq // <= model.length rows
     Similarity.ivfSearchOnProbes(

@@ -713,6 +713,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, kCodes: Int = 16, shortlist: Int = 32, iters: Int = 10
   ): DataFrame = {
+    // parameter errors must surface BEFORE the driver-side training
+    // pays its sample collect + m Lloyd runs (pqSearchCore re-checks
+    // for the stored-index path)
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val model = trainPqModel(corpus, idCol, vecCol, m, kCodes, iters)
     val codes = corpus.select(col(idCol).as("neighbor_id"),
       pqEncodeUdf(model)(col(idCol).cast("string"), col(vecCol)).as("codes"))

@@ -120,7 +120,13 @@ object Unigram {
     val spark = docs.sparkSession
     import spark.implicits._
     val mpl = maxPieceLen
-    val wf = wordCounts(docs, textCol).as[(String, Long)]
+    // materialize the distinct-word table ONCE: the seed pass and every
+    // EM round re-execute `wf`, and without the snapshot each of those
+    // actions would replay the corpus-scale explode+groupBy —
+    // rounds+1 corpus passes instead of the documented one
+    // (the Bpe.trainMerges Lineage discipline)
+    val wfSnap = Lineage.snapshot(wordCounts(docs, textCol))
+    val wf = wfSnap.df.as[(String, Long)]
     // seed: every substring occurrence up to maxPieceLen, corpus-count
     // weighted — one distinct-word-scale pass + one groupBy
     val subCounts = wf.flatMap { case (w, f) =>
@@ -166,6 +172,7 @@ object Unigram {
         multisKept.map(t => t -> usage(t))).toMap
       r += 1
     }
+    wfSnap.release()
     val rows = vocab.toSeq.sortWith { (a, b) =>
       if (a._2 != b._2) a._2 > b._2 else Bpe.utf8Lt(a._1, b._1)
     }.zipWithIndex.map { case ((t, s), i) => (t, s, i) }
@@ -198,7 +205,10 @@ object Unigram {
       vocabRows.map(row => row.getString(0) -> row.getLong(1)).toMap
     val mpl = maxPieceLen
     val bc = spark.sparkContext.broadcast(vmap)
-    docs.select(col(idCol).cast("long"), TextAnalysis.tokens(col(textCol)))
+    docs.select(col(idCol).cast("long"),
+        // null text must tokenize as empty, not NPE the executor map
+        // (the Bpe.tokenizeWith guard; trainVocab's explode skips nulls)
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         it.map { case (id, words) =>

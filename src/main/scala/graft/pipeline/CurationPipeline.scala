@@ -376,10 +376,20 @@ object CurationPipeline {
     if (!hasData) {
       extraCols.foldLeft(c.input.limit(0))((d, e) =>
         d.withColumn(e, lit(null).cast("string")))
-    } else
-      spark.read.parquet(path)
+    } else {
+      val raw = spark.read.parquet(path)
         .filter(col(batchCol) === c.batchId)
-        .select((c.input.columns.toSeq ++ extraCols).map(col): _*)
+      // schema evolution: a pre-upgrade sink's OLD partitions may lack
+      // a newly-added extra column, and parquet inference (sampling an
+      // old part file) would then fail the select — materialize the
+      // missing ones as NULLs (the current batch's rows, which are the
+      // only ones this filter keeps, still carry their real values
+      // when the inferred schema includes the column)
+      val padded = extraCols.foldLeft(raw)((d, e) =>
+        if (d.columns.contains(e)) d
+        else d.withColumn(e, lit(null).cast("string")))
+      padded.select((c.input.columns.toSeq ++ extraCols).map(col): _*)
+    }
   }
 
   /** The step registry. Survivor-style steps (dedup/decontaminate/
@@ -2127,7 +2137,7 @@ object CurationPipeline {
           val buckets = c.params.int("buckets", 64)
           if (!java.nio.file.Files.exists(
               java.nio.file.Paths.get(store, "_graft_buckets")))
-            StreamingAnnIndex.initialize(store, buckets)
+            StreamingAnnIndex.initialize(store, buckets, schema)
           StreamingAnnIndex.applyBatch(
             c.input.select(col(eid), col(vec)), eid, store, schema, buckets,
             newRows => encodeAll(newRows, "id"))

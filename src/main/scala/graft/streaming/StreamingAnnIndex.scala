@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,21 +33,27 @@ object StreamingAnnIndex {
   private def bucketOf(numBuckets: Int) =
     pmod(hash(col("id")), lit(numBuckets))
 
-  private def marker(path: String) = Paths.get(path, "_graft_buckets")
+  private val InitHint = "initialize() the store first"
 
-  private def writeMarker(path: String, numBuckets: Int): Unit = {
-    Files.createDirectories(Paths.get(path))
-    Files.write(marker(path), numBuckets.toString.getBytes(StandardCharsets.UTF_8))
-  }
-
-  private def checkMarker(path: String, numBuckets: Int): Unit = {
-    require(Files.exists(marker(path)),
-      s"$path has no _graft_buckets marker — initialize() the store first")
-    val stored = new String(Files.readAllBytes(marker(path)), StandardCharsets.UTF_8).trim.toInt
-    require(stored == numBuckets,
-      s"bucket-count mismatch for $path: store laid out with $stored buckets, " +
+  // markers through StoreFiles (the shared atomic temp+rename write —
+  // a crash mid-write must never leave a truncated payload that still
+  // parses). The SCHEMA is a marker too: the store's family is a
+  // property of the data, and a caller whose model param silently
+  // switched family (ivf store read with the pq schema) would
+  // otherwise read stored rows as NULLs, anti-join nothing out, and
+  // dynamically overwrite touched buckets with wrong-schema rows —
+  // permanent silent corruption. Fail loud instead.
+  private def checkMarkers(path: String, numBuckets: Int, schema: String): Unit = {
+    val storedBuckets = StoreFiles.readMarker(path, "_graft_buckets", InitHint).trim.toInt
+    require(storedBuckets == numBuckets,
+      s"bucket-count mismatch for $path: store laid out with $storedBuckets buckets, " +
         s"caller passed $numBuckets — pruning with the wrong modulus would " +
         "re-encode known vectors or miss stored ones")
+    val storedSchema = StoreFiles.readMarker(path, "_graft_schema", InitHint).trim
+    require(storedSchema == schema.trim,
+      s"schema mismatch for $path: store initialized as '$storedSchema', " +
+        s"caller passed '$schema' — did the model table's family change? " +
+        "Re-reading with the wrong schema would silently corrupt the store")
   }
 
   /** Read the full encoded table (plumbing dropped) — what a `knn`
@@ -59,16 +62,21 @@ object StreamingAnnIndex {
     * no files, and inference would throw on the cold start). */
   def readEncoded(
       spark: org.apache.spark.sql.SparkSession, storePath: String, schema: String
-  ): DataFrame =
+  ): DataFrame = {
+    checkMarkers(storePath,
+      StoreFiles.readMarker(storePath, "_graft_buckets", InitHint).trim.toInt,
+      schema)
     spark.read.schema(s"$schema, $BucketCol INT").parquet(storePath)
       .drop(BucketCol)
+  }
 
-  /** Bootstrap an empty store (marker only; the first batch encodes
-    * everything it sees). */
-  def initialize(storePath: String, numBuckets: Int): Unit = {
+  /** Bootstrap an empty store (markers only; the first batch encodes
+    * everything it sees). `schema` pins the store's family for every
+    * later read. */
+  def initialize(storePath: String, numBuckets: Int, schema: String): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
-    Files.createDirectories(Paths.get(storePath))
-    writeMarker(storePath, numBuckets)
+    StoreFiles.writeMarker(storePath, "_graft_buckets", numBuckets.toString)
+    StoreFiles.writeMarker(storePath, "_graft_schema", schema.trim)
   }
 
   /** Encode one batch's NEW vectors and append them. `batch` carries
@@ -82,7 +90,7 @@ object StreamingAnnIndex {
       numBuckets: Int, encode: DataFrame => DataFrame
   ): Unit = {
     if (batch.isEmpty) return
-    checkMarker(storePath, numBuckets)
+    checkMarkers(storePath, numBuckets, schema)
     require(!batch.columns.contains(BucketCol),
       s"input already has a '$BucketCol' column — rename it first")
     require(idCol == "id" || !batch.columns.contains("id"),

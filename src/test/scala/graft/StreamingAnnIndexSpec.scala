@@ -23,7 +23,7 @@ class StreamingAnnIndexSpec extends SparkSpec {
     val night2 = all.filter(col("vec_id") >= 15) // overlaps 15..19 — already encoded
     val cents = AnnIndex.trainIvf(all, "vec_id", "embedding", nCells = 4)
     val store = java.nio.file.Files.createTempDirectory("graft-ann-store").toString + "/enc"
-    StreamingAnnIndex.initialize(store, numBuckets = 8)
+    StreamingAnnIndex.initialize(store, numBuckets = 8, IvfSchema)
     def enc(df: org.apache.spark.sql.DataFrame) =
       AnnIndex.encodeIvf(df, "id", "embedding", cents)
     StreamingAnnIndex.applyBatch(night1.select(col("vec_id"), col("embedding")),
@@ -61,6 +61,13 @@ class StreamingAnnIndexSpec extends SparkSpec {
     val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
     assert(chain.contains("appears more than once"), chain)
+    // a family switch against the same store fails loud instead of
+    // reading NULLs and overwriting buckets with the wrong schema
+    val wrong = intercept[IllegalArgumentException] {
+      StreamingAnnIndex.applyBatch(night1.select(col("vec_id"), col("embedding")),
+        "vec_id", store, "id BIGINT, codes ARRAY<INT>", 8, enc)
+    }
+    assert(wrong.getMessage.contains("schema mismatch"))
   }
 
   test("pipeline knn_encode mode admit: night 2 encodes only the new vectors; chain output is the full table") {

@@ -79,5 +79,11 @@ class UnigramSpec extends SparkSpec {
       Seq((9L, "zzz qqq")).toDF("doc_id", "text"), "doc_id", "text", vocab, 4)
       .collect().head
     assert(oov.getSeq[String](2).mkString === "zzzqqq")
+    // NULL text tokenizes as empty (the Bpe.tokenizeWith guard), never
+    // an executor NPE
+    val nulls = Unigram.tokenizeWith(
+      Seq((10L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", vocab, 4).collect().head
+    assert(nulls.getLong(1) === 0L && nulls.getSeq[String](2).isEmpty)
   }
 }
