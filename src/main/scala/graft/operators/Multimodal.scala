@@ -1009,6 +1009,12 @@ object Multimodal {
     b.result
   }
 
+  /** Is this payload a RIFF/WAVE file? (magic at 0 and form at 8) */
+  def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
   /** Is this payload a RIFF/AVI capture? (magic at 0 and form at 8) */
   def isAvi(b: Array[Byte]): Boolean =
     b != null && b.length >= 12 &&

@@ -533,6 +533,27 @@ object CurationPipeline {
     // scan-locally, hamming banding pairs attenuated/re-encoded copies,
     // one survivor per component. mode: admit rides StreamingAudioDedup
     // (the 11th maintenance store) under --state.
+    // A/V soundtrack extraction: rewrite the payload column from a
+    // RIFF/AVI container to its soundtrack WAV (the real JDK encoder
+    // via Multimodal.aviAudioWav) so the audio passes — dedup_audio,
+    // media annotations — admit from REAL captures: one chain dedups a
+    // capture's video (dedup_video on the same payload upstream) AND
+    // its audio. Non-A/V payloads fail loud (a container without an
+    // auds stream or a non-RIFF payload raises with the doc id);
+    // passthroughWav: "true" lets first-class WAV payloads through
+    // unchanged so mixed corpora chain without branching.
+    "extract_audio" -> Op(Set("payload", "passthroughWav"), { c =>
+      val pcol = c.params.str("payload", "payload")
+      require(c.input.columns.contains(pcol),
+        s"step ${c.stepName}: input has no payload column '$pcol'")
+      c.requireIntegralId("extract_audio")
+      val pass = c.params.str("passthroughWav", "false").toBoolean
+      val ex = udf { (id: Long, b: Array[Byte]) =>
+        if (pass && graft.operators.Multimodal.isWav(b)) b
+        else graft.operators.Multimodal.aviAudioWav(id, b)
+      }
+      c.input.withColumn(pcol, ex(col(c.idCol).cast("long"), col(pcol)))
+    }),
     "dedup_audio" -> Op(
       Set("payload", "maxHamming", "maxBucket", "keep", "scoreCol", "scoreFrom",
         "mode", "buckets"), { c =>

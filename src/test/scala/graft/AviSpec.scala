@@ -284,4 +284,64 @@ class AviSpec extends SparkSpec {
     val bridged = Multimodal.audioFingerprint(wavDf).collect().head
     assert(bridged.afp === direct.afp && bridged.afp_hex === direct.afp_hex)
   }
+
+  test("pipeline extract_audio -> dedup_audio: audio dedup admits from real A/V containers (and passthrough WAVs)") {
+    import java.nio.file.Files
+    val (src, out) = (Files.createTempDirectory("graft-av-src").toString,
+      Files.createTempDirectory("graft-av-out").toString)
+    def frames(seed: Long) = Seq(Multimodal.syntheticPng(seed, 8, 8))
+    val samples = Array.tabulate(120)(i => Multimodal.syntheticSample(7L, i))
+    val attenuated = samples.map(_ / 2) // near-dup copy (fingerprint-close)
+    val distinct = Array.tabulate(120)(i => Multimodal.syntheticSampleVaried(99L, i))
+    Seq(
+      // docs 1+2: different VIDEO, near-identical soundtrack -> audio dedup pairs them
+      (1L, Multimodal.renderAviAv(frames(1L), samples)),
+      (2L, Multimodal.renderAviAv(frames(2L), attenuated, recGroups = true)),
+      // doc 3: distinct soundtrack inside a container
+      (3L, Multimodal.renderAviAv(frames(3L), distinct)),
+      // doc 4: a first-class WAV rides through the passthrough
+      // (varied-formula content so its fingerprint is far from 1-3)
+      (4L, Multimodal.aviAudioWav(4L, Multimodal.renderAviAv(frames(4L),
+        Array.tabulate(120)(i => Multimodal.syntheticSampleVaried(55L, i))))))
+      .toDF("doc_id", "payload").write.parquet(s"$src/captures.parquet")
+    val y = Files.createTempFile("graft-pipe-av", ".yaml")
+    Files.writeString(y,
+      """pipeline: av_audio_dedup
+        |id: doc_id
+        |text: payload
+        |steps:
+        |  - name: soundtracks
+        |    op: extract_audio
+        |    input: captures
+        |    params: { passthroughWav: "true" }
+        |  - name: deduped
+        |    op: dedup_audio
+        |    params: { maxHamming: "6" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", y.toString, src, out), spark)
+    val kept = spark.read.parquet(s"$out/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the attenuated-copy container (doc 2) deduped against doc 1;
+    // the distinct soundtrack and the WAV survive
+    assert(kept === Set(1L, 3L, 4L), s"got $kept")
+    // a container WITHOUT audio fails loud with the doc id
+    Seq((9L, Multimodal.renderAvi(frames(9L))))
+      .toDF("doc_id", "payload").write.parquet(s"$src/noaudio.parquet")
+    val y2 = Files.createTempFile("graft-pipe-av2", ".yaml")
+    Files.writeString(y2,
+      """pipeline: av_bad
+        |id: doc_id
+        |text: payload
+        |steps:
+        |  - name: soundtracks
+        |    op: extract_audio
+        |    input: noaudio
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      Cli.run(Seq("pipeline", y2.toString, src, Files.createTempDirectory("graft-av-out2").toString), spark)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("doc 9") && chain.contains("no audio stream"), chain)
+  }
 }
