@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Unigram
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Unigram-LM tokenizer: Viterbi objective (fewest pieces, highest
   * score, smallest joined rendering), OOV coverage, training
@@ -85,5 +86,42 @@ class UnigramSpec extends SparkSpec {
       Seq((10L, null.asInstanceOf[String])).toDF("doc_id", "text"),
       "doc_id", "text", vocab, 4).collect().head
     assert(nulls.getLong(1) === 0L && nulls.getSeq[String](2).isEmpty)
+  }
+
+  test("property: the Viterbi DP equals brute-force enumeration under the lexicographic objective") {
+    def check(name: String, prop: Prop, n: Int = 200): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+      assert(res.passed, s"$name: $res")
+    }
+    // brute force: enumerate EVERY segmentation (pieces from the vocab,
+    // OOV single chars at score 0), pick by (fewest, highest score,
+    // smallest joined) — exactly the DuckDB oracle's construction
+    def bruteBest(w: String, vocab: Map[String, Long], maxLen: Int): Seq[String] = {
+      def segs(i: Int): Seq[List[String]] =
+        if (i == w.length) Seq(Nil)
+        else (1 to math.min(maxLen, w.length - i)).flatMap { l =>
+          val t = w.substring(i, i + l)
+          val ok = vocab.contains(t) || l == 1
+          if (!ok) Seq.empty
+          else segs(i + l).map(t :: _)
+        }
+      def score(seg: List[String]): Long = seg.map(t => vocab.getOrElse(t, 0L)).sum
+      segs(0).minBy(seg => (seg.length, -score(seg), seg.mkString(" ")))(
+        Ordering.Tuple3(Ordering.Int, Ordering.Long, Ordering.String))
+    }
+    val wordGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = for {
+      nPieces <- Gen.choose(0, 6)
+      pieces <- Gen.listOfN(nPieces, Gen.choose(1, 3).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      scores <- Gen.listOfN(nPieces + 3, Gen.choose(0L, 5L))
+    } yield (pieces ++ Seq("a", "b", "c")).distinct.zip(scores).toMap
+    val prop = Prop.forAll(wordGen, vocabGen) { (w, vocab) =>
+      val dp = Unigram.segment(w, vocab, 3)
+      if (w.isEmpty) dp.isEmpty
+      else dp == bruteBest(w, vocab, 3)
+    }
+    check("dp == brute", prop)
   }
 }
