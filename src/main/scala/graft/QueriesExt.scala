@@ -16,6 +16,23 @@ object QueriesExt {
   private val jsonlScratchHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** App-scoped scratch dir for gates that persist artifacts (stored
+    * ANN indexes, pipeline fixtures): deterministic within a run, so
+    * repeated bench/verify invocations in one session REUSE one dir
+    * (every write inside is mode=overwrite) instead of accumulating
+    * fresh `createTempDirectory` copies per rep — the r13 disk leak —
+    * and a per-path shutdown hook deletes it at JVM exit. Scoped by
+    * application id so concurrent processes never share scratch. */
+  private def scratchDir(s: SparkSession, tag: String): String = {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-${s.sparkContext.applicationId}")
+    if (jsonlScratchHooked.add(tmp.toString))
+      sys.addShutdownHook(graft.streaming.StoreFiles.deleteRecursively(tmp))
+    java.nio.file.Files.createDirectories(tmp)
+    tmp.toString
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     sources.ParquetTables.readTable(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -729,12 +746,12 @@ object QueriesExt {
     * Bench times this; the gate wraps it in the soundness union. */
   def embedKnnIvfStoredRaw(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ivf").toString
+    val tmp = scratchDir(s, "ann-ivf")
     operators.AnnIndex.trainIvf(e, "vec_id", "embedding", nCells = 16)
-      .write.parquet(s"$tmp/centroids")
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
     val cents = s.read.parquet(s"$tmp/centroids")
     operators.AnnIndex.encodeIvf(e, "vec_id", "embedding", cents)
-      .write.partitionBy("cell").parquet(s"$tmp/postings")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/postings")
     operators.AnnIndex.ivfKnnIndexed(
       e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       cents, s.read.parquet(s"$tmp/postings"))
@@ -745,12 +762,12 @@ object QueriesExt {
     * queried without retraining. */
   def embedKnnPqStored(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-pq").toString
+    val tmp = scratchDir(s, "ann-pq")
     operators.AnnIndex.trainPq(e, "vec_id", "embedding")
-      .write.parquet(s"$tmp/codebooks")
+      .write.mode("overwrite").parquet(s"$tmp/codebooks")
     val books = s.read.parquet(s"$tmp/codebooks")
     operators.AnnIndex.encodePq(e, "vec_id", "embedding", books)
-      .write.parquet(s"$tmp/codes")
+      .write.mode("overwrite").parquet(s"$tmp/codes")
     val out = operators.AnnIndex.pqKnnIndexed(
       e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       books, s.read.parquet(s"$tmp/codes"))
@@ -3758,8 +3775,8 @@ object QueriesExt {
       lit("</loc></url>"),
       lit("<url><loc>http://h"), hid, lit(".example.com/blocked/s"), did,
       lit("</loc></url></urlset>"))
-    val src = java.nio.file.Files.createTempDirectory("graft-frontier-src").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-frontier-out").toString
+    val src = scratchDir(s, "frontier-src")
+    val out = scratchDir(s, "frontier-out")
     sub.select(col("doc_id"), xml.as("text"))
       .write.mode("overwrite").parquet(s"$src/sitemaps.parquet")
     s.range(0, 7).select(

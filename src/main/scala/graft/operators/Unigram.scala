@@ -203,6 +203,17 @@ object Unigram {
         "vocabulary (did you pass the corpus by mistake?)")
     val vmap: Map[String, Long] =
       vocabRows.map(row => row.getString(0) -> row.getLong(1)).toMap
+    // a vocab piece longer than maxPieceLen would silently never match
+    // (the DP window caps at maxPieceLen), and a mismatched param would
+    // silently change segmentations — the one silent-divergence gap in
+    // an otherwise fail-loud tokenizer. Require the window to cover the
+    // vocabulary it is segmenting against.
+    vmap.keys.filter(_.length > maxPieceLen).toSeq
+      .sortBy(t => (-t.length, t)).headOption
+      .foreach(t => throw new IllegalArgumentException(
+      s"tokenizeWith: vocab piece '$t' (${t.length} chars) exceeds " +
+        s"maxPieceLen=$maxPieceLen — pieces past the DP window would " +
+        "silently never match; pass the training maxPieceLen (or larger)"))
     val mpl = maxPieceLen
     val bc = spark.sparkContext.broadcast(vmap)
     docs.select(col(idCol).cast("long"),

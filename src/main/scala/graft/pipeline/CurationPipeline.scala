@@ -377,14 +377,16 @@ object CurationPipeline {
       extraCols.foldLeft(c.input.limit(0))((d, e) =>
         d.withColumn(e, lit(null).cast("string")))
     } else {
-      val raw = spark.read.parquet(path)
+      // mergeSchema: without it Spark infers the sink schema from ONE
+      // part file — on a pre-upgrade sink that file is an OLD partition
+      // lacking a newly-added extra column, and the CURRENT batch's
+      // real values would then read back as NULL (silently — the
+      // column exists in the padded frame, just empty). Merging unions
+      // all part schemas so new columns survive old partitions.
+      val raw = spark.read.option("mergeSchema", "true").parquet(path)
         .filter(col(batchCol) === c.batchId)
-      // schema evolution: a pre-upgrade sink's OLD partitions may lack
-      // a newly-added extra column, and parquet inference (sampling an
-      // old part file) would then fail the select — materialize the
-      // missing ones as NULLs (the current batch's rows, which are the
-      // only ones this filter keeps, still carry their real values
-      // when the inferred schema includes the column)
+      // schema evolution: a sink where NO partition has the extra
+      // column yet (first post-upgrade read) still needs the NULL pad
       val padded = extraCols.foldLeft(raw)((d, e) =>
         if (d.columns.contains(e)) d
         else d.withColumn(e, lit(null).cast("string")))

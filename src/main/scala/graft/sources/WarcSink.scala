@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
 /** Sharded `.warc.gz` capture writer — the ARCHIVAL side of the crawl
   * loop ([[graft.operators.Warc.parseRecordsBytes]] is the read
   * side): per shard, ONE `capture.warc.gz` holding the shard's
-  * records in `pos` order, each record rendered WARC/1.0
-  * ([[graft.operators.Warc.renderRecordBytes]] — deterministic
-  * record ids, caller-supplied capture date) and wrapped as its OWN
-  * gzip member, the CommonCrawl layout that lets a reader seek to a
-  * member boundary and start there.
+  * records in `pos` order — response/resource records render
+  * WARC/1.0 ([[graft.operators.Warc.renderRecordBytes]] —
+  * deterministic record ids, caller-supplied capture date) and
+  * revisit records WARC/1.1 ([[graft.operators.Warc
+  * .renderRevisitBytes]]; `WARC-Refers-To-Date` is a 1.1 field) —
+  * each wrapped as its OWN gzip member, the CommonCrawl layout that
+  * lets a reader seek to a member boundary and start there.
   *
   * Write discipline is [[TokenBinary.writeShards]]'s: the Hadoop
   * FileSystem API (`file://`/`hdfs://` alike), one task per shard,

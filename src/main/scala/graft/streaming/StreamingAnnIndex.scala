@@ -98,8 +98,15 @@ object StreamingAnnIndex {
     val spark = batch.sparkSession
     val keyed = batch.withColumn("id", col(idCol).cast("long"))
     val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    // a NULL id passes the integral-type check but never matches the
+    // left_anti join below (null join keys match nothing), so the row
+    // would re-encode and append a duplicate store row on EVERY batch
+    // that carries it — fail loud beside the duplicate-id guard
     val guarded = keyed.withColumn("__dup",
-      when(count(lit(1)).over(wk) > 1,
+      when(col("id").isNull,
+        raise_error(lit("StreamingAnnIndex: NULL id in batch — null ids " +
+          "evade the seen-id anti-join and would re-append every batch")))
+      .when(count(lit(1)).over(wk) > 1,
         raise_error(concat(lit("StreamingAnnIndex: id "), col("id").cast("string"),
           lit(" appears more than once in the batch — one embedding per id"))))
         .otherwise(lit(true)))

@@ -2493,6 +2493,59 @@ class CliSpec extends SparkSpec {
       s"expected exactly one rewritten bucket, got ${buckets(touched)}")
   }
 
+  test("pipeline --state: change_detect sink schema evolution — a pre-upgrade partition lacking content_fp_ts must not NULL the current batch's values") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val (src, state) = (tempDir(), tempDir())
+    val (out1, out2) = (tempDir(), tempDir())
+    val yaml = Files.createTempFile("graft-pipe-evolve", ".yaml")
+    Files.writeString(yaml,
+      """pipeline: fresh_content
+        |id: doc_id
+        |text: text
+        |steps:
+        |  - name: changed
+        |    op: change_detect
+        |    input: pages
+        |    params: { mode: admit, url: url, now: "1700000000", buckets: "8",
+        |              keep: all }
+        |""".stripMargin)
+    Seq((1L, "http://h/a", "alpha one"), (2L, "http://h/b", "beta two"))
+      .toDF("doc_id", "url", "text").write.parquet(s"$src/pages.parquet")
+    Cli.run(Seq("pipeline", yaml.toString, src, out1, "--state", state), spark)
+    // simulate a PRE-UPGRADE sink: batch 0's partition rewritten without
+    // content_fp_ts (as old code would have written it). With
+    // mergeSchema off, parquet inference sampling this older file would
+    // drop the column from the whole read and the CURRENT batch's real
+    // values would silently read back as NULL.
+    val part0 = s"$state/changed/changed/__batch_id=0"
+    val oldRows = spark.read.parquet(part0).drop("content_fp_ts")
+    val tmpOld = tempDir()
+    oldRows.write.parquet(s"$tmpOld/p0")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part0))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$tmpOld/p0"), new java.io.File(part0))
+    // night 2 at a later now: /a revised — its fp_ts must be the REAL
+    // batch instant, not a schema-inference NULL
+    val yaml2 = Files.createTempFile("graft-pipe-evolve2", ".yaml")
+    Files.writeString(yaml2,
+      Files.readString(yaml).replace("1700000000", "1700086400"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/pages.parquet"))
+    Seq((1L, "http://h/a", "alpha REVISED"), (2L, "http://h/b", "beta two"))
+      .toDF("doc_id", "url", "text").write.parquet(s"$src/pages.parquet")
+    Cli.run(Seq("pipeline", yaml2.toString, src, out2, "--state", state), spark)
+    val changed = spark.read.parquet(s"$out2/changed")
+      .select("doc_id", "content_fp_ts").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // content_fp_ts is the PREVIOUS payload-bearing capture's instant
+    // (what a revisit's Refers-To-Date points at) — night 1's ts for
+    // both rows here. NULLs mean the old partition's schema won
+    // inference and ate the current batch's real values.
+    assert(changed === Map(1L -> Some(1700000000L), 2L -> Some(1700000000L)),
+      s"current batch's content_fp_ts must survive the old partition's schema: $changed")
+  }
+
   test("pipeline --state: adaptive recrawl over a shared change_detect store — stable pages back off, changed pages re-enter") {
     val s = spark
     import s.implicits._

@@ -61,6 +61,19 @@ class StreamingAnnIndexSpec extends SparkSpec {
     val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
     assert(chain.contains("appears more than once"), chain)
+    // a NULL id would evade the seen-id anti-join (null join keys match
+    // nothing) and re-append a duplicate store row on EVERY batch — the
+    // type check alone cannot catch it, so applyBatch raises in-plan
+    val withNull = night1.select(
+      when(col("vec_id") === 1L, lit(null)).otherwise(col("vec_id"))
+        .cast("long").as("vec_id"),
+      col("embedding"))
+    val en = intercept[Exception] {
+      StreamingAnnIndex.applyBatch(withNull, "vec_id", store, IvfSchema, 8, enc)
+    }
+    val nchain = Iterator.iterate[Throwable](en)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(nchain.contains("NULL id"), nchain)
     // a family switch against the same store fails loud instead of
     // reading NULLs and overwriting buckets with the wrong schema
     val wrong = intercept[IllegalArgumentException] {

@@ -124,4 +124,19 @@ class UnigramSpec extends SparkSpec {
     }
     check("dp == brute", prop)
   }
+
+  test("tokenizeWith fails loud when a vocab piece exceeds maxPieceLen (silent never-match guard)") {
+    val corpus = Seq((1L, "abcd ab")).toDF("doc_id", "text")
+    val vocab = Seq(("abcd", 9L), ("ab", 3L), ("a", 1L), ("b", 1L),
+      ("c", 1L), ("d", 1L)).toDF("token", "score")
+    // window covers the vocab: fine
+    assert(Unigram.tokenizeWith(corpus, "doc_id", "text", vocab, maxPieceLen = 4)
+      .collect().head.getSeq[String](2) === Seq("abcd", "ab"))
+    // window SHORTER than the longest piece: 'abcd' would silently never
+    // match and segmentations would diverge from training — fail loud
+    val e = intercept[IllegalArgumentException] {
+      Unigram.tokenizeWith(corpus, "doc_id", "text", vocab, maxPieceLen = 3)
+    }
+    assert(e.getMessage.contains("abcd") && e.getMessage.contains("maxPieceLen"))
+  }
 }
