@@ -138,6 +138,8 @@ object Bench {
     "embed_knn_pq"      -> (QueriesExt.embedKnnPq _),
     // stored-index workflow: train + persist + reload + query
     "embed_knn_ivf_stored" -> (QueriesExt.embedKnnIvfStoredRaw _),
+    // composed IVF-PQ: probe-pruned codes partitions + residual ADC
+    "embed_knn_ivfpq_stored" -> (QueriesExt.embedKnnIvfPqStoredRaw _),
     "multimodal_decode" -> (QueriesExt.multimodalDecode _),
     // perceptual media near-dup: decode + dHash + hamming banding
     "multimodal_neardup" -> (QueriesExt.multimodalNeardup _),

@@ -774,6 +774,37 @@ object QueriesExt {
     knnVerified(out, e)
   }
 
+  /** Composed STORED IVF-PQ index (FAISS `IndexIVFPQ`, the
+    * billion-vector production shape): three persisted tables —
+    * centroids, residual codebooks, and per-vector codes partitioned
+    * by `cell` — queried without retraining. A probe reads only its
+    * probed cells' partitions AND pays m table lookups per touched
+    * row (the composed win neither half delivers alone). Same
+    * soundness oracle as the other stored gates; stored ≡ same-seed
+    * retrain pinned bitwise in SimilaritySpec, the partition pruning
+    * in PlanSpec. */
+  def embedKnnIvfPqStored(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnIvfPqStoredRaw(s, dir), emb(s, dir))
+
+  /** The raw stored-IVF-PQ query (train both models + persist all
+    * three tables + reload + search) — Bench times this; the gate
+    * wraps it in the soundness union. */
+  def embedKnnIvfPqStoredRaw(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = scratchDir(s, "ann-ivfpq")
+    operators.AnnIndex.trainIvf(e, "vec_id", "embedding", nCells = 16)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    val cents = s.read.parquet(s"$tmp/centroids")
+    operators.AnnIndex.trainIvfPq(e, "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(s"$tmp/codebooks")
+    val books = s.read.parquet(s"$tmp/codebooks")
+    operators.AnnIndex.encodeIvfPq(e, "vec_id", "embedding", cents, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    operators.AnnIndex.ivfPqKnnIndexed(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      cents, books, s.read.parquet(s"$tmp/codes"))
+  }
+
   /** The exact all-pairs cosine universe for query ids < 10 — shared
     * oracle for both ANN verification gates ([[embedKnnBruteSql]]'s
     * CTEs without the top-k ranking). */

@@ -267,6 +267,7 @@ object SparkEntry {
     // identical rows to the retrain path, same soundness oracle
     "embed_knn_ivf_stored"  -> (QueriesExt.embedKnnIvfStored _),
     "embed_knn_pq_stored"   -> (QueriesExt.embedKnnPqStored _),
+    "embed_knn_ivfpq_stored" -> (QueriesExt.embedKnnIvfPqStored _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // SemDeDup: cluster-then-prune semantic dedup (pair space bounded
     // by the cluster structure, not N^2)
@@ -328,6 +329,7 @@ object SparkEntry {
     "embed_knn_pq_verified"      -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivf_stored"       -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_pq_stored"        -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_ivfpq_stored"     -> QueriesExt.embedKnnVerifiedSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,

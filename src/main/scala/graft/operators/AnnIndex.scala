@@ -194,4 +194,76 @@ object AnnIndex {
     val cz = codes.select(col("id").as("neighbor_id"), col("codes"))
     Similarity.pqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
   }
+
+  // ============================================================== IVF-PQ
+  /** Train the residual PQ codebooks of a composed IVF-PQ index
+    * against a stored centroids table ([[trainIvf]]'s output) and
+    * return them as a table — the [[trainPq]] shape
+    * `(subspace INT, code INT, dim INT, centroid ARRAY<DOUBLE>)`, but
+    * trained on per-cell RESIDUALS `u - c(cell)` (FAISS `IndexIVFPQ`:
+    * residuals are smaller and more isotropic, so the same code
+    * budget quantizes finer than plain PQ). The full stored index is
+    * three tables: centroids, these codebooks, and [[encodeIvfPq]]'s
+    * codes partitioned by `cell`. */
+  def trainIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 10
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = Similarity.trainIvfPqResidualModel(
+      corpus, idCol, vecCol, ivfModel(centroids), m, kCodes, iters)
+    (for {
+      j <- 0 until model.m
+      c <- 0 until model.kCodes
+    } yield (j, c, model.dim, model.codebooks(j)(c).toSeq))
+      .toDF("subspace", "code", "dim", "centroid")
+  }
+
+  /** Encode the corpus against a stored IVF-PQ index: the codes table
+    * `(id, cell, codes ARRAY<INT>)` — m bytes of payload per vector,
+    * scan-local (both models ride the UDF closures). Write
+    * `.partitionBy("cell")` so stored probes prune to their cells:
+    * the search reads `nProbe/nCells` of the index, AND each touched
+    * row costs m table lookups instead of a float dot — the composed
+    * win neither half delivers alone. NULL vectors get NULL
+    * cell/codes (no geometry; the search join drops them). */
+  def encodeIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, codebooks: DataFrame
+  ): DataFrame = {
+    val cents = ivfModel(centroids)
+    val model = pqModel(codebooks)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
+      Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell"))
+    assigned.select(col("id"), col("cell"),
+      Similarity.ivfPqCodesUdf(cents, model)(
+        col("id").cast("string"), col("cv"), col("cell")).as("codes"))
+  }
+
+  /** Query a STORED IVF-PQ index: identical rows to
+    * [[Similarity.ivfPqKnn]] at the same training params — no
+    * retrain, and the codes scan is PRE-PRUNED to the probed cells
+    * (the [[ivfKnnIndexed]] discipline: the distinct probed-cell set
+    * is bounded by the cell count, collects driver-side, and becomes
+    * an IN filter on the partition column — partition pruning pinned
+    * in PlanSpec). `corpus` supplies the raw vectors for the exact
+    * rescore only. */
+  def ivfPqKnnIndexed(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      nProbe: Int = 3, shortlist: Int = 32
+  ): DataFrame = {
+    val cents = ivfModel(centroids)
+    val model = pqModel(codebooks)
+    val probedCells = Similarity
+      .ivfProbes(queries, idCol, vecCol, nProbe, cents)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // <= cents.length rows
+    val cz = codes
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+    Similarity.ivfPqSearchCore(
+      corpus, cz, queries, idCol, vecCol, k, shortlist, nProbe, cents, model)
+  }
 }

@@ -464,18 +464,16 @@ object Similarity {
     ivfSearchOnProbes(assigned,
       ivfProbes(queries, idCol, vecCol, nProbe, centroids), k)
 
-  /** Per query the nProbe nearest centroids, exploded to
-    * `(query_id, qv, cell)` probe rows (centroids are tiny — computed
-    * driver-side into the UDF closure, broadcast by the join). A NULL
-    * query embedding yields no probes and drops out of the explode,
-    * mirroring lshKnn's null-bucket behavior. */
-  private[operators] def ivfProbes(
-      queries: DataFrame, idCol: String, vecCol: String, nProbe: Int,
-      centroids: Array[Array[Double]]
-  ): DataFrame = {
+  /** The probed-cell selection UDF shared by [[ivfProbes]] and
+    * [[ivfPqSearchCore]]: a query's `nProbe` nearest cells by cosine
+    * against the unit centroids (ONE arithmetic for both consumers —
+    * the stored==retrain bitwise contract rides on it). */
+  private def ivfProbeCellsUdf(
+      centroids: Array[Array[Double]], nProbe: Int
+  ): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val centroidArrs: Seq[(Int, Array[Double])] =
       centroids.zipWithIndex.map { case (c, i) => i -> c }.toSeq
-    val probeUdf = udf { (qv: Seq[Double]) =>
+    udf { (qv: Seq[Double]) =>
       if (qv == null) Array.empty[Int]
       else centroidArrs
         .map { case (i, cArr) =>
@@ -489,6 +487,18 @@ object Similarity {
         }
         .sortBy(-_._2).take(nProbe).map(_._1).toArray
     }
+  }
+
+  /** Per query the nProbe nearest centroids, exploded to
+    * `(query_id, qv, cell)` probe rows (centroids are tiny — computed
+    * driver-side into the UDF closure, broadcast by the join). A NULL
+    * query embedding yields no probes and drops out of the explode,
+    * mirroring lshKnn's null-bucket behavior. */
+  private[operators] def ivfProbes(
+      queries: DataFrame, idCol: String, vecCol: String, nProbe: Int,
+      centroids: Array[Array[Double]]
+  ): DataFrame = {
+    val probeUdf = ivfProbeCellsUdf(centroids, nProbe)
     queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv").cast("array<double>"))))
   }
@@ -825,10 +835,34 @@ object Similarity {
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val tableUdf = pqAdcTableUdf(model)
+    val adcUdf = pqAdcLookupUdf(model)
+    val qz = queries.select(col(idCol).as("query_id"),
+      tableUdf(col(idCol).cast("string"), col(vecCol)).as("qt"))
+    val cand = codes
+      .join(broadcast(qz), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", adcUdf(col("codes"), col("qt")))
+      .filter(col("approx").isNotNull)
+      .withColumn("arank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    rescoreExact(corpus, queries, cand, idCol, vecCol, k)
+  }
+
+  /** Per-query ADC table: flattened m x kCodes subspace dot products
+    * of the L2-normalized query against the codebooks — computed ONCE
+    * per query, broadcast to the candidate scan. Shared by
+    * [[pqSearchCore]] (plain PQ: codebooks over the unit vector) and
+    * [[ivfPqSearchCore]] (IVF-PQ: codebooks over the cell residual —
+    * the table math is identical, only what the codebooks were
+    * trained on differs). */
+  private[operators] def pqAdcTableUdf(model: PqModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bounds = model.bounds; val codebooks = model.codebooks
     val mV = model.m; val kC = model.kCodes; val dim = model.dim
-    // per-query ADC table: flattened m x kCodes subspace dot products
-    val tableUdf = udf { (id: String, qv: Seq[Float]) =>
+    udf { (id: String, qv: Seq[Float]) =>
       if (qv == null) null
       else {
         if (qv.length != dim) throw new IllegalArgumentException(
@@ -853,7 +887,14 @@ object Similarity {
         t.toSeq
       }
     }
-    val adcUdf = udf { (codes: Seq[Int], t: Seq[Double]) =>
+  }
+
+  /** A candidate's ADC score: m table lookups summed — no per-pair
+    * float vector arithmetic. */
+  private[operators] def pqAdcLookupUdf(model: PqModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val mV = model.m; val kC = model.kCodes
+    udf { (codes: Seq[Int], t: Seq[Double]) =>
       if (codes == null || t == null) null
       else {
         var s = 0.0; var j = 0
@@ -861,23 +902,19 @@ object Similarity {
         java.lang.Double.valueOf(s)
       }
     }
-    val qz = queries.select(col(idCol).as("query_id"),
-      tableUdf(col(idCol).cast("string"), col(vecCol)).as("qt"))
-    val cand = codes
-      .join(broadcast(qz), col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx", adcUdf(col("codes"), col("qt")))
-      .filter(col("approx").isNotNull)
-      .withColumn("arank",
-        row_number().over(
-          Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))))
-      .filter(col("arank") <= shortlist)
-      .select("query_id", "neighbor_id")
-    // stage 2: exact rescoring of the shortlist only (the corpus
-    // streams; candidates + query vectors broadcast). The NaN guard:
-    // a ZERO vector encodes to valid codes (PQ has no norm in the hot
-    // path, unlike quantizedKnn's stage-1 denom), and its exact
-    // cosine is 0/0 = NaN under the fold fallback — which Spark sorts
-    // ABOVE every real double and would rank first
+  }
+
+  /** Stage 2 of every two-stage quantized path: exact rescoring of the
+    * `(query_id, neighbor_id)` shortlist only (the corpus streams;
+    * candidates + query vectors broadcast). The NaN guard: a ZERO
+    * vector encodes to valid codes (PQ has no norm in the hot path,
+    * unlike quantizedKnn's stage-1 denom), and its exact cosine is
+    * 0/0 = NaN under the fold fallback — which Spark sorts ABOVE every
+    * real double and would rank first. */
+  private[operators] def rescoreExact(
+      corpus: DataFrame, queries: DataFrame, cand: DataFrame,
+      idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     cv
@@ -889,5 +926,190 @@ object Similarity {
           Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  // ============================================================== IVF-PQ
+  /** Composed IVF-PQ approximate top-k [Jégou et al. 2011 §IV, the
+    * IVFADC system — FAISS `IndexIVFPQ`, the production shape for
+    * billion-vector corpora]: the IVF coarse quantizer routes each
+    * vector to a cell, and PQ encodes the RESIDUAL `u - c(cell)` of
+    * the unit vector against its cell centroid — residuals are
+    * smaller and more isotropic than raw vectors, so the same code
+    * budget quantizes finer. Search probes `nProbe` cells and scores
+    * ADC over ONLY the probed cells' codes:
+    * `dot(q, v) ≈ dot(q, c(cell)) + Σ_j table(j, code_j)` — the
+    * cell dot comes free from probe selection, the residual part is
+    * the standard table lookup. Top `shortlist` rerank EXACTLY over
+    * the raw corpus ([[rescoreExact]]): IVF-PQ only CHOOSES
+    * candidates, every returned cosine is exact.
+    *
+    * At 100 TB this is the storage shape that works: the codes table
+    * is `m` bytes/vector partitioned by `cell`, a probe reads
+    * `nProbe/nCells` of it ([[graft.operators.AnnIndex]] persists it
+    * that way), and neither corpus nor codes ever shuffle. */
+  def ivfPqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
+      nProbe: Int = 3, shortlist: Int = 32, iters: Int = 10
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val centroids = trainIvfModel(corpus, idCol, vecCol, nCells, iters)
+    val model = trainIvfPqResidualModel(corpus, idCol, vecCol, centroids, m, kCodes, iters)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      ivfAssignUdf(centroids)(col(vecCol)).as("cell"))
+    val codes = assigned.select(col("neighbor_id"), col("cell"),
+      ivfPqCodesUdf(centroids, model)(
+        col("neighbor_id").cast("string"), col("cv"), col("cell")).as("codes"))
+    ivfPqSearchCore(corpus, codes, queries, idCol, vecCol, k, shortlist, nProbe,
+      centroids, model)
+  }
+
+  /** Train the residual PQ codebooks — the persistable half of
+    * [[ivfPqKnn]] beyond the IVF centroids: each sample vector
+    * L2-normalizes, assigns to its cell, and the per-cell residual
+    * `u - c(cell)` feeds the per-subspace Lloyd runs (the
+    * [[trainPqModel]] discipline — bounded deterministic 4096-row
+    * sample, seeded per-subspace, byte-identical model for the same
+    * inputs). */
+  def trainIvfPqResidualModel(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      m: Int = 8, kCodes: Int = 16, iters: Int = 10
+  ): PqModel = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(kCodes >= 2, s"kCodes must be >= 2, got $kCodes")
+    require(centroids.nonEmpty, "trainIvfPqResidualModel: empty centroid set")
+    val prepared = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val sample = normalizedSample(prepared)
+    require(sample.nonEmpty, "ivfPqKnn: no non-null embeddings to train on")
+    val d = sample(0).length
+    sample.find(_.length != d).foreach(v => throw new IllegalArgumentException(
+      s"ivfPqKnn: mixed embedding dimensions in corpus — trained on $d dims, " +
+        s"found a ${v.length}-dim vector in the training sample"))
+    require(m <= d, s"ivfPqKnn: m ($m) subspaces over $d dims")
+    val residuals = sample.map { u =>
+      val c = centroids(argmaxDot(u, centroids))
+      Array.tabulate(d)(i => u(i) - (if (i < c.length) c(i) else 0.0))
+    }
+    val bounds = Array.tabulate(m + 1)(j => j * d / m)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val (lo, hi) = (bounds(j), bounds(j + 1))
+      Quantizer.lloyd(
+        residuals.map(v => java.util.Arrays.copyOfRange(v, lo, hi)),
+        kCodes, iters, seed = 42L + j)
+    }
+    PqModel(d, m, kCodes, codebooks)
+  }
+
+  private def argmaxDot(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val cArr = centroids(i)
+      var dot = 0.0; var j = 0
+      val n = math.min(v.length, cArr.length)
+      while (j < n) { dot += v(j) * cArr(j); j += 1 }
+      if (dot > bestDot) { bestDot = dot; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Scan-local residual encoding: `(id, raw vector, assigned cell)`
+    * -> m argmin-L2 codes of `u - c(cell)`. The cell rides IN as a
+    * column (assigned by the shared [[ivfAssignUdf]]) so stored and
+    * retrain paths quantize the SAME residual. Shared by [[ivfPqKnn]]
+    * and [[AnnIndex.encodeIvfPq]] — ONE arithmetic, so stored codes
+    * equal in-plan codes exactly. */
+  private[operators] def ivfPqCodesUdf(
+      centroids: Array[Array[Double]], model: PqModel
+  ): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bounds = model.bounds; val codebooks = model.codebooks
+    val mV = model.m; val dim = model.dim
+    udf { (id: String, cv: Seq[Float], cell: java.lang.Integer) =>
+      if (cv == null || cell == null) null
+      else {
+        if (cv.length != dim) throw new IllegalArgumentException(
+          s"ivfPqKnn: corpus vector $id has ${cv.length} dims, index trained on $dim")
+        val v = cv.toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = if (n > 0) v.map(_ / n) else v
+        val c = centroids(cell.intValue)
+        val r = Array.tabulate(dim)(i => u(i) - (if (i < c.length) c(i) else 0.0))
+        val codes = new Array[Int](mV)
+        var j = 0
+        while (j < mV) {
+          val lo = bounds(j); val hi = bounds(j + 1)
+          val cb = codebooks(j)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var cc = 0
+          while (cc < cb.length) {
+            var s = 0.0; var i = lo
+            while (i < hi) { val dd = r(i) - cb(cc)(i - lo); s += dd * dd; i += 1 }
+            if (s < bestD) { bestD = s; best = cc }
+            cc += 1
+          }
+          codes(j) = best
+          j += 1
+        }
+        codes.toSeq
+      }
+    }
+  }
+
+  /** The probed-cell ADC shortlist + exact-rescore core over
+    * already-encoded `(neighbor_id, cell, codes)` rows — shared
+    * verbatim by [[ivfPqKnn]] (in-plan encoding) and
+    * [[AnnIndex.ivfPqKnnIndexed]] (stored codes), so the two paths
+    * return identical rows. The candidate join is on `cell`: a
+    * candidate is scored ONLY when its cell is probed by the query —
+    * O(N · nProbe / nCells) ADC lookups instead of the plain-PQ full
+    * pass — and the approx score adds the probe's centroid dot to
+    * the residual table sum (IVFADC). */
+  private[operators] def ivfPqSearchCore(
+      corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int, nProbe: Int,
+      centroids: Array[Array[Double]], model: PqModel
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val tableUdf = pqAdcTableUdf(model)
+    val adcUdf = pqAdcLookupUdf(model)
+    val probeUdf = ivfProbeCellsUdf(centroids, nProbe)
+    // dot(u_q, c(cell)) for a probe row — the IVFADC coarse term. The
+    // centroids are unit, so this is the same cosine the probe ranked
+    // cells by; computed per (query, cell), nProbe rows per query.
+    val qcDotUdf = udf { (qv: Seq[Float], cell: Int) =>
+      if (qv == null) null
+      else {
+        val v = qv.toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = if (n > 0) v.map(_ / n) else v
+        val c = centroids(cell)
+        var dot = 0.0; var j = 0
+        val lim = math.min(u.length, c.length)
+        while (j < lim) { dot += u(j) * c(j); j += 1 }
+        java.lang.Double.valueOf(dot)
+      }
+    }
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      tableUdf(col(idCol).cast("string"), col(vecCol)).as("qt"))
+      .withColumn("cell", explode(probeUdf(col("qv").cast("array<double>"))))
+      .withColumn("qcdot", qcDotUdf(col("qv"), col("cell")))
+      .select("query_id", "cell", "qt", "qcdot")
+    val cand = codes
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", col("qcdot") + adcUdf(col("codes"), col("qt")))
+      .filter(col("approx").isNotNull)
+      .withColumn("arank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    rescoreExact(corpus, queries, cand, idCol, vecCol, k)
   }
 }

@@ -527,6 +527,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqKnn: exhaustive probes + full shortlist reproduce brute top-k; probed ADC recall holds; nulls/zeros harden") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 40L).map(i => i -> vec(i.toInt)) ++
+        Seq(40L -> null.asInstanceOf[Array[Float]],
+          41L -> Array.fill(dim)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3 || col("vec_id") >= 40L)
+    // probe EVERY cell with a whole-corpus shortlist: the composed
+    // index degenerates to exact rescoring of everything — must equal
+    // brute top-k bit for bit
+    val all = Similarity.ivfPqKnn(df, queries, "vec_id", "embedding",
+        k = 3, nCells = 4, m = 4, kCodes = 8, nProbe = 4, shortlist = 40).collect()
+    assert(!all.exists(r => r.getLong(1) >= 40L), "null/zero corpus rows surfaced")
+    assert(!all.exists(r => r.getLong(0) >= 40L), "null/zero queries returned results")
+    val brute = Similarity.knnBrute(
+        df.filter(col("vec_id") < 40L), queries.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(all.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === brute)
+    // production regime: nProbe < nCells and a tight shortlist — the
+    // residual-ADC ranking must still recover most of the true top-3
+    // (a residual/table/coarse-dot bug craters this floor)
+    val tight = Similarity.ivfPqKnn(df, queries, "vec_id", "embedding",
+        k = 3, nCells = 4, m = 4, kCodes = 8, nProbe = 2, shortlist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.map(t => (t._1, t._2))
+    val recall = brutePairs.count(tight.contains).toDouble / brutePairs.size
+    assert(recall >= 0.65, s"IVF-PQ recall $recall under the pinned floor")
+  }
+
   test("quantizedKnn stage-1 shortlist is a pre-shuffle bounded heap (WindowGroupLimit)") {
     import spark.implicits._
     val df = (0L until 20L).map(i =>
@@ -729,6 +762,23 @@ class SimilaritySpec extends SparkSpec {
       df, queries, "vec_id", "embedding", k = 3,
       books, spark.read.parquet(s"$dir/pq_codes"), shortlist = 10))
     assert(storedPq === retrainPq, "stored-PQ path diverged from the retrain path")
+
+    // IVF-PQ: the composed index (residual codebooks inside IVF
+    // cells) — three persisted tables, same bitwise contract
+    val retrainIvfPq = collected(
+      Similarity.ivfPqKnn(df, queries, "vec_id", "embedding", k = 3,
+        nCells = 8, m = 4, kCodes = 8, nProbe = 3, shortlist = 10))
+    AnnIndex.trainIvfPq(df, "vec_id", "embedding", cents, m = 4, kCodes = 8)
+      .write.parquet(s"$dir/ivfpq_codebooks")
+    val rbooks = spark.read.parquet(s"$dir/ivfpq_codebooks")
+    AnnIndex.encodeIvfPq(df, "vec_id", "embedding", cents, rbooks)
+      .write.partitionBy("cell").parquet(s"$dir/ivfpq_codes")
+    val storedIvfPq = collected(AnnIndex.ivfPqKnnIndexed(
+      df, queries, "vec_id", "embedding", k = 3,
+      cents, rbooks, spark.read.parquet(s"$dir/ivfpq_codes"),
+      nProbe = 3, shortlist = 10))
+    assert(storedIvfPq === retrainIvfPq,
+      "stored-IVF-PQ path diverged from the retrain path")
 
     // model-table validation fails loud: a filtered centroids table
     // (gap), a duplicated codebook row, and a corpus passed as a model
