@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Single-query bench harness for iteration: times one named headline
+/** Single-query bench harness for iteration: times one named suite
   * query (same warm-up + median-of-3 protocol as [[Bench]]) without
-  * paying the full 76-query sweep. `runMain graft.BenchOne <name>`.
+  * paying the full registry sweep. `runMain graft.BenchOne <name>`.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -12,7 +12,7 @@ object BenchOne {
     val name  = args(0)
     val sfDir = if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val fn = Bench.headline.collectFirst { case (`name`, f) => f }
+    val fn = Bench.suite.collectFirst { case (`name`, f) => f }
       .getOrElse(sys.error(s"unknown bench query: $name"))
     val spark = SparkSession.builder()
       .master("local[32]")

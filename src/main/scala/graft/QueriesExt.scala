@@ -1080,6 +1080,20 @@ object QueriesExt {
     Multimodal.avContentChecksums(
       Multimodal.syntheticAvVideos(docs(s, dir), "doc_id")).toDF()
 
+  /** REAL ISO-BMFF (MP4) demux: the same A/V content as
+    * [[multimodalAvDemux]] packaged through
+    * [[graft.operators.Multimodal.renderMp4]] (video samples under a
+    * `png ` entry, PCM16 soundtrack under `twos`, odd ids via
+    * `co64`), demuxed back by reconstructing the sample tables
+    * (`stsc` × `stco`/`co64` × `stsz`), frames really decoded and
+    * the soundtrack routed through the JDK WAV path audio dedup
+    * admits from. Same oracle as the AVI gate — the content formulas
+    * are container-independent, so one mis-sliced sample, swapped
+    * chunk, or endianness error anywhere in mux/demux mismatches. */
+  def multimodalMp4Demux(s: SparkSession, dir: String): DataFrame =
+    Multimodal.avContentChecksums(
+      Multimodal.syntheticMp4Videos(docs(s, dir), "doc_id")).toDF()
+
   lazy val multimodalAvDemuxSql: String =
     s"""WITH vm AS (
        |  SELECT doc_id AS vid, f AS frame_idx, doc_id + f AS fid

@@ -290,6 +290,7 @@ object SparkEntry {
     // A/V container demux: both streams of one real capture (video
     // frames + interleaved PCM soundtrack through the WAV bridge)
     "multimodal_av_demux" -> (QueriesExt.multimodalAvDemux _),
+    "multimodal_mp4_demux" -> (QueriesExt.multimodalMp4Demux _),
     // corpus-learned BPE (trained merge table + real tokenization)
     "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
     "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _),
@@ -459,6 +460,7 @@ object SparkEntry {
     "multimodal_decode"         -> QueriesExt.multimodalDecodeSql,
     "multimodal_frames"         -> QueriesExt.multimodalFramesSql,
     "multimodal_av_demux"       -> QueriesExt.multimodalAvDemuxSql,
+    "multimodal_mp4_demux"      -> QueriesExt.multimodalAvDemuxSql,
     "multimodal_resize"         -> QueriesExt.multimodalResizeSql,
     "multimodal_dhash"          -> QueriesExt.multimodalDhashSql,
     "multimodal_neardup"        -> QueriesExt.multimodalNeardupSql,

@@ -788,6 +788,22 @@ object Multimodal {
       arr(at) = v.toByte; arr(at + 1) = (v >> 8).toByte
       arr(at + 2) = (v >> 16).toByte; arr(at + 3) = (v >> 24).toByte
     }
+    // big-endian writers for the ISO-BMFF (MP4) muxer — one buffer
+    // class serves both container families
+    def be16(v: Int): Unit = {
+      ensure(2); arr(len) = (v >> 8).toByte; arr(len + 1) = v.toByte; len += 2
+    }
+    def be32(v: Long): Unit = {
+      ensure(4)
+      arr(len) = (v >> 24).toByte; arr(len + 1) = (v >> 16).toByte
+      arr(len + 2) = (v >> 8).toByte; arr(len + 3) = v.toByte
+      len += 4
+    }
+    def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xFFFFFFFFL) }
+    def patchBe32(at: Int, v: Long): Unit = {
+      arr(at) = (v >> 24).toByte; arr(at + 1) = (v >> 16).toByte
+      arr(at + 2) = (v >> 8).toByte; arr(at + 3) = v.toByte
+    }
     def result: Array[Byte] = java.util.Arrays.copyOf(arr, len)
   }
 
@@ -1190,12 +1206,455 @@ object Multimodal {
   }
 
   /** Container dispatch: RIFF/AVI payloads demux via [[aviFrames]],
-    * anything else takes the legacy length-prefixed path
-    * ([[unpackFrames]]). Every downstream video pass ([[videoFrameHashes]],
-    * [[videoFrameSet]], [[videoFrameDecode]], [[reencodeScaledVideo]])
-    * reads through this, so a corpus can mix both containers. */
+    * ISO-BMFF (MP4) via [[mp4Frames]], anything else takes the legacy
+    * length-prefixed path ([[unpackFrames]]). Every downstream video
+    * pass ([[videoFrameHashes]], [[videoFrameSet]],
+    * [[videoFrameDecode]], [[reencodeScaledVideo]]) reads through
+    * this, so a corpus can mix all three containers. */
   def demuxFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] =
-    if (isAvi(bytes)) aviFrames(id, bytes) else unpackFrames(id, bytes)
+    if (isAvi(bytes)) aviFrames(id, bytes)
+    else if (isMp4(bytes)) mp4Frames(id, bytes)
+    else unpackFrames(id, bytes)
+
+  // ------------------------------------------------------------ ISO-BMFF (MP4) mux/demux
+
+  /** Is this payload an ISO-BMFF container? (an `ftyp` box first) */
+  def isMp4(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Render a minimal ISO-BMFF (MP4) A/V container: `ftyp` + one
+    * interleaved `mdat` + `moov` with two tracks — video samples
+    * stored verbatim under a `png ` VisualSampleEntry (one sample per
+    * chunk), audio as big-endian PCM16 mono under the QuickTime
+    * `twos` AudioSampleEntry (2 bytes per sample, chunked per video
+    * frame like [[renderAviAv]]'s interleave). The sample tables are
+    * the real thing: `stts` (uniform deltas), `stsc`
+    * (run-compressed samples-per-chunk), `stsz` (per-sample video
+    * sizes; constant 2 for audio), and `stco` — or `co64` when
+    * `useCo64` (the 64-bit offset form a >4 GiB capture needs; both
+    * paths exercise the demuxer). Deterministic byte-for-byte. */
+  def renderMp4(
+      frames: Seq[Array[Byte]], audioSamples: Array[Int],
+      fps: Int = 10, sampleRate: Int = 8000, useCo64: Boolean = false
+  ): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    val nf = frames.length
+    val nSamples = audioSamples.length
+    // per-frame audio slice bounds (renderAviAv's interleave rule)
+    val sliceAt: Array[Int] =
+      if (nf == 0) Array(0, nSamples)
+      else {
+        val base = nSamples / nf; val extra = nSamples % nf
+        val at = new Array[Int](nf + 1)
+        var i = 0
+        while (i < nf) { at(i + 1) = at(i) + base + (if (i < extra) 1 else 0); i += 1 }
+        at
+      }
+    val b = new LeBuf(1024 + frames.map(_.length + 64).sum + nSamples * 2)
+    def box(cc: String)(body: => Unit): Unit = {
+      val at = b.pos; b.be32(0); b.fourcc(cc); body; b.patchBe32(at, b.pos - at)
+    }
+    // ftyp
+    box("ftyp") { b.fourcc("isom"); b.be32(0x200); b.fourcc("isom") }
+    // mdat: interleaved video sample / audio chunk, absolute offsets
+    val videoOff = new Array[Long](nf)
+    val audioChunks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (offset, nSamples)
+    box("mdat") {
+      def audioChunk(slice: Int): Unit = {
+        val (lo, hi) = (sliceAt(slice), sliceAt(slice + 1))
+        if (hi > lo) {
+          audioChunks += ((b.pos.toLong, hi - lo))
+          var i = lo
+          while (i < hi) { b.be16(audioSamples(i) & 0xFFFF); i += 1 }
+        }
+      }
+      var i = 0
+      while (i < nf) {
+        videoOff(i) = b.pos.toLong
+        b.bytes(frames(i))
+        audioChunk(i)
+        i += 1
+      }
+      if (nf == 0) audioChunk(0)
+    }
+    val dims = frames.map(pngDims)
+    val width = if (dims.isEmpty) 0 else dims.map(_._1).max
+    val height = if (dims.isEmpty) 0 else dims.map(_._2).max
+    def matrix(): Unit = {
+      b.be32(0x10000); b.be32(0); b.be32(0)
+      b.be32(0); b.be32(0x10000); b.be32(0)
+      b.be32(0); b.be32(0); b.be32(0x40000000)
+    }
+    def tkhd(trackId: Int, dur: Long, volume: Int, w: Int, h: Int): Unit =
+      box("tkhd") {
+        b.be32(7) // version 0, flags: enabled | in movie | in preview
+        b.be32(0); b.be32(0) // creation, modification
+        b.be32(trackId); b.be32(0); b.be32(dur)
+        b.be32(0); b.be32(0) // reserved
+        b.be16(0); b.be16(0); b.be16(volume); b.be16(0)
+        matrix()
+        b.be32(w.toLong << 16); b.be32(h.toLong << 16)
+      }
+    def mdhd(timescale: Long, dur: Long): Unit =
+      box("mdhd") {
+        b.be32(0); b.be32(0); b.be32(0)
+        b.be32(timescale); b.be32(dur)
+        b.be16(0x55C4); b.be16(0) // language 'und'
+      }
+    def hdlr(handler: String): Unit =
+      box("hdlr") {
+        b.be32(0); b.be32(0); b.fourcc(handler)
+        b.be32(0); b.be32(0); b.be32(0); b.u8(0) // empty name
+      }
+    def dinf(): Unit =
+      box("dinf") { box("dref") { b.be32(0); b.be32(1)
+        box("url ") { b.be32(1) } } } // flag 1: self-contained
+    def stts(count: Long): Unit =
+      box("stts") {
+        b.be32(0)
+        if (count == 0) b.be32(0)
+        else { b.be32(1); b.be32(count); b.be32(1) }
+      }
+    def stsc(runs: Seq[(Long, Long)]): Unit = // (first_chunk, samples_per_chunk)
+      box("stsc") {
+        b.be32(0); b.be32(runs.length)
+        runs.foreach { case (fc, spc) => b.be32(fc); b.be32(spc); b.be32(1) }
+      }
+    def stco(offs: Seq[Long]): Unit =
+      if (useCo64) box("co64") { b.be32(0); b.be32(offs.length); offs.foreach(b.be64) }
+      else box("stco") { b.be32(0); b.be32(offs.length); offs.foreach(b.be32) }
+    // run-compress the audio samples-per-chunk sequence into stsc rows
+    val audioRuns: Seq[(Long, Long)] = {
+      val spcs = audioChunks.map(_._2)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < spcs.length) {
+        if (runs.isEmpty || runs.last._2 != spcs(i)) runs += (((i + 1).toLong, spcs(i).toLong))
+        i += 1
+      }
+      runs.toSeq
+    }
+    box("moov") {
+      box("mvhd") {
+        b.be32(0); b.be32(0); b.be32(0)
+        b.be32(1000); b.be32(if (fps > 0) nf * 1000L / fps else 0L)
+        b.be32(0x10000); b.be16(0x100); b.be16(0)
+        b.be32(0); b.be32(0)
+        matrix()
+        var i = 0; while (i < 6) { b.be32(0); i += 1 } // pre_defined
+        b.be32(3) // next_track_ID
+      }
+      // video trak
+      box("trak") {
+        tkhd(1, nf.toLong, volume = 0, width, height)
+        box("mdia") {
+          mdhd(fps.toLong, nf.toLong) // timescale fps, delta 1 per frame
+          hdlr("vide")
+          box("minf") {
+            box("vmhd") { b.be32(1); b.be16(0); b.be16(0); b.be16(0); b.be16(0) }
+            dinf()
+            box("stbl") {
+              box("stsd") {
+                b.be32(0); b.be32(1)
+                box("png ") { // VisualSampleEntry
+                  b.be32(0); b.be16(0) // 6 reserved bytes
+                  b.be16(1) // data_reference_index
+                  b.be16(0); b.be16(0)
+                  b.be32(0); b.be32(0); b.be32(0)
+                  b.be16(width); b.be16(height)
+                  b.be32(0x00480000); b.be32(0x00480000) // 72 dpi
+                  b.be32(0)
+                  b.be16(1) // frame_count
+                  var i = 0; while (i < 32) { b.u8(0); i += 1 } // compressorname
+                  b.be16(24); b.be16(0xFFFF)
+                }
+              }
+              stts(nf.toLong)
+              stsc(if (nf == 0) Seq.empty else Seq((1L, 1L)))
+              box("stsz") {
+                b.be32(0); b.be32(0) // per-sample sizes follow
+                b.be32(nf); frames.foreach(f => b.be32(f.length.toLong))
+              }
+              stco(videoOff.toSeq)
+            }
+          }
+        }
+      }
+      // audio trak
+      box("trak") {
+        tkhd(2, nSamples.toLong, volume = 0x100, 0, 0)
+        box("mdia") {
+          mdhd(sampleRate.toLong, nSamples.toLong)
+          hdlr("soun")
+          box("minf") {
+            box("smhd") { b.be32(0); b.be16(0); b.be16(0) }
+            dinf()
+            box("stbl") {
+              box("stsd") {
+                b.be32(0); b.be32(1)
+                box("twos") { // AudioSampleEntry: PCM16 big-endian
+                  b.be32(0); b.be16(0) // 6 reserved bytes
+                  b.be16(1) // data_reference_index
+                  b.be16(0); b.be16(0); b.be32(0) // version, revision, vendor
+                  b.be16(1)  // channelcount
+                  b.be16(16) // samplesize
+                  b.be16(0); b.be16(0)
+                  b.be32(sampleRate.toLong << 16) // 16.16 rate
+                }
+              }
+              stts(nSamples.toLong)
+              stsc(audioRuns)
+              box("stsz") { b.be32(0); b.be32(2); b.be32(nSamples.toLong) }
+              stco(audioChunks.map(_._1).toSeq)
+            }
+          }
+        }
+      }
+    }
+    b.result
+  }
+
+  /** One demuxed MP4 track: sample-table-reconstructed samples in
+    * file order plus the audio format fields when the track is
+    * sound. */
+  final case class Mp4AudioFmt(channels: Int, bits: Int, sample_rate: Int)
+  final case class Mp4Track(
+      track_id: Long, handler: String, codec: String, timescale: Long,
+      audio: Option[Mp4AudioFmt], samples: Seq[Array[Byte]])
+
+  /** One demuxed ISO-BMFF container. */
+  final case class Mp4Content(tracks: Seq[Mp4Track])
+
+  /** Demux an ISO-BMFF (MP4) byte stream by walking its box tree and
+    * reconstructing every track's samples from the sample tables
+    * (`stsc` run expansion × `stco`/`co64` chunk offsets × `stsz`
+    * sizes). STRICT, the [[aviDemux]] discipline: boxes must tile
+    * their parent exactly (64-bit `largesize` honored, size-0
+    * to-end boxes only at top level), `ftyp` must lead, exactly one
+    * `moov`, `stts` totals must equal the `stsz` count, `stsc` runs
+    * must start at chunk 1 and strictly increase, the expanded
+    * chunk/sample map must consume EVERY declared sample and chunk,
+    * and every reconstructed sample must lie wholly inside an `mdat`
+    * payload — a truncated or corrupted capture raises with the doc
+    * id, it never silently yields less media. */
+  def mp4Demux(id: Long, bytes: Array[Byte]): Mp4Content = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: MP4 parse: $msg")
+    if (!isMp4(bytes)) fail("not an ISO-BMFF payload (no leading ftyp)")
+    def be16(p: Int): Int = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+    def be32(p: Int): Long =
+      ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+        ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+    def be64(p: Int): Long = (be32(p) << 32) | be32(p + 4)
+    def cc(p: Int): String =
+      new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // (type, payloadStart, payloadEnd) triples tiling [start, end)
+    def boxesIn(start: Int, end: Int, topLevel: Boolean): Seq[(String, Int, Int)] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) fail(s"truncated box header at byte $off")
+        var size = be32(off); val t = cc(off + 4); var hdr = 8
+        if (size == 1) {
+          if (off + 16 > end) fail(s"truncated largesize header at byte $off")
+          size = be64(off + 8); hdr = 16
+        } else if (size == 0) {
+          if (!topLevel) fail(s"size-0 (to-end) box '$t' below top level at byte $off")
+          size = (end - off).toLong
+        }
+        if (size < hdr) fail(s"box '$t' at byte $off declares size $size < header $hdr")
+        if (off + size > end)
+          fail(s"box '$t' at byte $off runs past its parent " +
+            s"(declares $size, ${end - off} available)")
+        acc += ((t, off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+      acc.toSeq
+    }
+    val top = boxesIn(0, bytes.length, topLevel = true)
+    if (top.head._1 != "ftyp") fail(s"first box must be ftyp, got '${top.head._1}'")
+    val mdats = top.collect { case ("mdat", s, e) => (s, e) }
+    val moovs = top.collect { case ("moov", s, e) => (s, e) }
+    if (moovs.length != 1) fail(s"expected exactly one moov, got ${moovs.length}")
+    val moovKids = boxesIn(moovs.head._1, moovs.head._2, topLevel = false)
+    val tracks = moovKids.collect { case ("trak", ts, te) =>
+      val trakKids = boxesIn(ts, te, topLevel = false)
+      def one(kids: Seq[(String, Int, Int)], t: String, where: String): (Int, Int) =
+        kids.collect { case (`t`, s, e) => (s, e) } match {
+          case Seq(x) => x
+          case other => fail(s"$where: expected exactly one '$t', got ${other.length}")
+        }
+      val (tkS, tkE) = one(trakKids, "tkhd", "trak")
+      if (tkE - tkS < 8) fail("tkhd too short")
+      val tkV = bytes(tkS) & 0xFF
+      val trackId = if (tkV == 1) be32(tkS + 20) else be32(tkS + 12)
+      val (mdS, mdE) = one(trakKids, "mdia", "trak")
+      val mdiaKids = boxesIn(mdS, mdE, topLevel = false)
+      val (mhS, mhE) = one(mdiaKids, "mdhd", "mdia")
+      if (mhE - mhS < 20) fail("mdhd too short")
+      val mhV = bytes(mhS) & 0xFF
+      val timescale = if (mhV == 1) be32(mhS + 20) else be32(mhS + 12)
+      val (hdS, hdE) = one(mdiaKids, "hdlr", "mdia")
+      if (hdE - hdS < 12) fail("hdlr too short")
+      val handler = cc(hdS + 8)
+      val (mnS, mnE) = one(mdiaKids, "minf", "mdia")
+      val minfKids = boxesIn(mnS, mnE, topLevel = false)
+      val (sbS, sbE) = one(minfKids, "stbl", "minf")
+      val stbl = boxesIn(sbS, sbE, topLevel = false)
+      // stsd: codec fourcc (+ audio format fields for sound handlers)
+      val (sdS, sdE) = one(stbl, "stsd", "stbl")
+      if (sdE - sdS < 16) fail("stsd too short")
+      if (be32(sdS + 4) < 1) fail("stsd has no sample entries")
+      val entryStart = sdS + 8
+      if (entryStart + 8 > sdE) fail("stsd entry truncated")
+      val codec = cc(entryStart + 4)
+      val audioFmt =
+        if (handler != "soun") None
+        else {
+          if (entryStart + 36 > sdE) fail("audio sample entry truncated")
+          Some(Mp4AudioFmt(
+            channels = be16(entryStart + 24),
+            bits = be16(entryStart + 26),
+            sample_rate = (be32(entryStart + 32) >> 16).toInt))
+        }
+      // stts: total declared samples
+      val (ttS, ttE) = one(stbl, "stts", "stbl")
+      val nStts = be32(ttS + 4)
+      if (ttS + 8 + nStts * 8 > ttE) fail("stts table truncated")
+      var sttsTotal = 0L
+      var ti = 0
+      while (ti < nStts) { sttsTotal += be32(ttS + 8 + ti * 8); ti += 1 }
+      // stsz: sizes
+      val (szS, szE) = one(stbl, "stsz", "stbl")
+      if (szE - szS < 12) fail("stsz too short")
+      val constSize = be32(szS + 4)
+      val nSamples = be32(szS + 8)
+      if (nSamples > (bytes.length.toLong + 7)) fail(s"stsz declares $nSamples samples")
+      if (sttsTotal != nSamples)
+        fail(s"stts declares $sttsTotal samples, stsz declares $nSamples")
+      val sizes: Array[Long] =
+        if (constSize != 0) Array.fill(nSamples.toInt)(constSize)
+        else {
+          if (szS + 12 + nSamples * 4 > szE) fail("stsz size table truncated")
+          Array.tabulate(nSamples.toInt)(i => be32(szS + 12 + i * 4))
+        }
+      // chunk offsets: stco or co64
+      val offs: Array[Long] =
+        (stbl.collectFirst { case ("stco", s, e) => (s, e, false) } orElse
+          stbl.collectFirst { case ("co64", s, e) => (s, e, true) }) match {
+          case None => fail("stbl has neither stco nor co64")
+          case Some((s, e, wide)) =>
+            val n = be32(s + 4)
+            val w = if (wide) 8 else 4
+            if (s + 8 + n * w > e) fail("chunk offset table truncated")
+            Array.tabulate(n.toInt)(i =>
+              if (wide) be64(s + 8 + i * 8) else be32(s + 8 + i * 4))
+        }
+      // stsc runs -> samples-per-chunk for every chunk
+      val (scS, scE) = one(stbl, "stsc", "stbl")
+      val nRuns = be32(scS + 4).toInt
+      if (scS + 8 + nRuns * 12L > scE) fail("stsc table truncated")
+      val runs = Array.tabulate(nRuns)(i =>
+        (be32(scS + 8 + i * 12), be32(scS + 12 + i * 12)))
+      if (offs.nonEmpty && (runs.isEmpty || runs.head._1 != 1L))
+        fail("stsc runs must start at chunk 1")
+      var ri = 1
+      while (ri < nRuns) {
+        if (runs(ri)._1 <= runs(ri - 1)._1)
+          fail("stsc first_chunk must strictly increase")
+        ri += 1
+      }
+      if (runs.exists(_._2 < 1)) fail("stsc samples_per_chunk must be >= 1")
+      if (runs.nonEmpty && runs.last._1 > offs.length)
+        fail(s"stsc names chunk ${runs.last._1}, only ${offs.length} chunks")
+      // expand: walk chunks, slice samples; every sample and chunk
+      // must be consumed exactly
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def inMdat(lo: Long, hi: Long): Boolean =
+        mdats.exists { case (s, e) => lo >= s && hi <= e }
+      var si = 0
+      var runIdx = 0
+      var chunk = 0
+      while (chunk < offs.length) {
+        while (runIdx + 1 < nRuns && runs(runIdx + 1)._1 <= chunk + 1) runIdx += 1
+        val spc = runs(runIdx)._2
+        var off = offs(chunk)
+        var j = 0L
+        while (j < spc) {
+          if (si >= nSamples)
+            fail(s"stsc expansion names more samples than stsz's $nSamples")
+          val sz = sizes(si)
+          if (!inMdat(off, off + sz))
+            fail(s"sample $si (bytes $off..${off + sz}) lies outside every mdat")
+          samples += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+          off += sz; si += 1; j += 1
+        }
+        chunk += 1
+      }
+      if (si != nSamples)
+        fail(s"chunk walk consumed $si of $nSamples declared samples " +
+          "(stsc under-covers stsz)")
+      Mp4Track(trackId, handler, codec, timescale, audioFmt, samples.toSeq)
+    }
+    if (tracks.isEmpty) fail("moov has no trak")
+    Mp4Content(tracks)
+  }
+
+  /** The video samples of an MP4 — the first `vide` track's samples
+    * in sample order (PNG frames under this muxer). Fails loud when
+    * the container has no video track. */
+  def mp4Frames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] =
+    mp4Demux(id, bytes).tracks.find(_.handler == "vide").map(_.samples)
+      .getOrElse(throw new IllegalArgumentException(
+        s"doc $id: MP4 has no video track"))
+
+  /** The soundtrack of an MP4 re-wrapped as a standalone WAV —
+    * [[aviAudioWav]]'s contract for the ISO-BMFF family: the first
+    * `soun` track's PCM samples (codec `twos` = big-endian PCM16,
+    * `sowt` = little-endian) byte-swap to LE and wrap through the
+    * real JDK encoder, so one MP4 capture feeds every existing audio
+    * pass. Fails loud on a missing/ compressed/ non-mono-16
+    * soundtrack. */
+  def mp4AudioWav(id: Long, bytes: Array[Byte]): Array[Byte] = {
+    val t = mp4Demux(id, bytes).tracks.find(_.handler == "soun")
+      .getOrElse(throw new IllegalArgumentException(
+        s"doc $id: MP4 has no audio track"))
+    val fmt = t.audio.getOrElse(throw new IllegalArgumentException(
+      s"doc $id: MP4 audio track carries no sample-entry format"))
+    require(t.codec == "twos" || t.codec == "sowt",
+      s"doc $id: expected PCM codec twos/sowt, got '${t.codec}'")
+    require(fmt.bits == 16 && fmt.channels == 1,
+      s"doc $id: expected PCM16 mono soundtrack, got ${fmt.bits}-bit " +
+        s"${fmt.channels}-channel")
+    val n = t.samples.map(_.length).sum
+    val pcm = new Array[Byte](n)
+    var p = 0
+    t.samples.foreach { s =>
+      require(s.length == 2, s"doc $id: PCM16 sample of ${s.length} bytes")
+      if (t.codec == "twos") { pcm(p) = s(1); pcm(p + 1) = s(0) } // BE -> LE
+      else { pcm(p) = s(0); pcm(p + 1) = s(1) }
+      p += 2
+    }
+    val f = new javax.sound.sampled.AudioFormat(fmt.sample_rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), f, pcm.length / 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Soundtrack extraction with container dispatch: AVI via
+    * [[aviAudioWav]], MP4 via [[mp4AudioWav]] — what the
+    * `extract_audio` pipeline step calls, so one chain admits audio
+    * from mixed A/V corpora. Anything else fails loud with the id. */
+  def containerAudioWav(id: Long, bytes: Array[Byte]): Array[Byte] =
+    if (isAvi(bytes)) aviAudioWav(id, bytes)
+    else if (isMp4(bytes)) mp4AudioWav(id, bytes)
+    else throw new IllegalArgumentException(
+      s"doc $id: payload is neither a RIFF/AVI nor an ISO-BMFF container")
 
   /** Synthetic frame-container videos from an id column: doc `id` has
     * frames `f = 0 .. 1 + id % 3` (2–4 frames), frame `f` being the
@@ -1262,6 +1721,28 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic ISO-BMFF (MP4) A/V containers from an id column —
+    * [[syntheticAvVideos]]'s content (same frame line, same PCM
+    * formula, so the SAME oracle replays the checksums) packaged
+    * through [[renderMp4]]; odd ids take the `co64` 64-bit-offset
+    * path so both chunk-offset forms stay exercised. */
+  def syntheticMp4Videos(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val frames = (0 to (1 + id % 3).toInt).map { f =>
+          val fid = id + f
+          syntheticPng(fid, (8 + fid % 9).toInt, (8 + fid % 7).toInt)
+        }
+        val samples = Array.tabulate((128 + id % 97).toInt)(i => syntheticSample(id, i))
+        (id, renderMp4(frames, samples, useCo64 = id % 2 == 1))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** Per-container A/V content checksums — the gate shape proving
     * BOTH streams of one real capture demux and decode correctly:
     * `v_sum = Σ_f Σ_i (f+1)·(i+1)·pixel` over the really-decoded RGB
@@ -1281,9 +1762,13 @@ object Multimodal {
         System.setProperty("java.awt.headless", "true")
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val content = aviDemux(id, bytes)
+          // container dispatch: RIFF/AVI walks LIST chunks, ISO-BMFF
+          // reconstructs the sample tables — both land on the same
+          // (frames, soundtrack-WAV) shape and the same checksums
+          val frames =
+            if (isAvi(bytes)) aviDemux(id, bytes).frames else mp4Frames(id, bytes)
           var vSum = 0L
-          content.frames.zipWithIndex.foreach { case (fb, f) =>
+          frames.zipWithIndex.foreach { case (fb, f) =>
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
             require(img != null, s"doc $id: frame $f failed to decode")
             val rgb = rgbBytes(img, img.getWidth, img.getHeight)
@@ -1294,7 +1779,7 @@ object Multimodal {
             }
           }
           // the full bridge: container -> WAV bytes -> real JDK decode
-          val wav = aviAudioWav(id, bytes)
+          val wav = containerAudioWav(id, bytes)
           val s = pcm16Samples(id, wav)
           var (a1, a2) = (0L, 0L)
           var i = 0
@@ -1303,7 +1788,7 @@ object Multimodal {
             a1 += p * s(i); a2 += p * p * s(i)
             i += 1
           }
-          AvChecksums(id, content.frames.length, vSum, s.length.toLong, a1, a2)
+          AvChecksums(id, frames.length, vSum, s.length.toLong, a1, a2)
         }
     }
   }

@@ -659,7 +659,7 @@ object Warc {
     val headers = new String(bytes, 0, hdrEnd,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     var body = java.util.Arrays.copyOfRange(bytes, bodyStart, n)
-    val te = "(?im)^transfer-encoding:(.*)$".r
+    val te = TransferEncodingPat
       .findFirstMatchIn(headers).map(_.group(1).toLowerCase(java.util.Locale.ROOT))
     if (te.exists(_.contains("chunked"))) body = dechunkBytes(body)
     Some((headers, body))
@@ -678,6 +678,17 @@ object Warc {
 
   /** [[httpBodyBytes]] as a Column over a binary payload. */
   def httpBodyBytesCol(payload: Column): Column = bodyBytesUdf(payload)
+
+  // hoisted hot-path patterns: decodeHttpPayload/httpSplitBytes run
+  // once per RECORD in the charset-decode scan, and compiling these
+  // per call dominated the per-row work (the r13 bench regression —
+  // java.util.regex.Pattern is thread-safe once compiled, matchers
+  // are per-call)
+  private val TransferEncodingPat = "(?im)^transfer-encoding:(.*)$".r
+  private val ContentTypePat = "(?im)^content-type:(.*)$".r
+  private val CharsetPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
+  private val MetaCharsetPat =
+    "(?is)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
 
   private[graft] def decodeHttpPayload(bytes: Array[Byte]): String = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -700,7 +711,6 @@ object Warc {
     if (body.length >= 2 && body(0) == 0xFE.toByte && body(1) == 0xFF.toByte)
       return decode(java.util.Arrays.copyOfRange(body, 2, body.length),
         java.nio.charset.StandardCharsets.UTF_16BE)
-    val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
     def supported(name: String): Boolean =
       try java.nio.charset.Charset.isSupported(name)
       catch { case _: java.nio.charset.IllegalCharsetNameException => false }
@@ -708,8 +718,8 @@ object Warc {
     // actually decode with it — an unrecognized header charset (e.g.
     // a vendor alias) must fall through to a valid <meta charset>
     // declaration rather than mojibake the page as UTF-8
-    val headerCs = "(?im)^content-type:(.*)$".r.findFirstMatchIn(headers)
-      .map(_.group(1)).flatMap(ct => csPat.findFirstMatchIn(ct).map(_.group(1)))
+    val headerCs = ContentTypePat.findFirstMatchIn(headers)
+      .map(_.group(1)).flatMap(ct => CharsetPat.findFirstMatchIn(ct).map(_.group(1)))
       .filter(supported)
     // no usable header: WHATWG-style prescan of the first 1024 body
     // bytes (charset declarations are ASCII; a latin-1 view cannot throw)
@@ -718,8 +728,7 @@ object Warc {
       else {
         val head = new String(body, 0, math.min(1024, body.length),
           java.nio.charset.StandardCharsets.ISO_8859_1)
-        "(?is)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
-          .findFirstMatchIn(head).map(_.group(1)).filter(supported)
+        MetaCharsetPat.findFirstMatchIn(head).map(_.group(1)).filter(supported)
       }
     val cs = headerCs.orElse(metaCs)
       .map(java.nio.charset.Charset.forName)

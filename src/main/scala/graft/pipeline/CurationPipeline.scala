@@ -550,9 +550,11 @@ object CurationPipeline {
         s"step ${c.stepName}: input has no payload column '$pcol'")
       c.requireIntegralId("extract_audio")
       val pass = c.params.str("passthroughWav", "false").toBoolean
+      // container dispatch (AVI LIST walker / MP4 sample tables) —
+      // one chain admits audio from mixed A/V corpora
       val ex = udf { (id: Long, b: Array[Byte]) =>
         if (pass && graft.operators.Multimodal.isWav(b)) b
-        else graft.operators.Multimodal.aviAudioWav(id, b)
+        else graft.operators.Multimodal.containerAudioWav(id, b)
       }
       c.input.withColumn(pcol, ex(col(c.idCol).cast("long"), col(pcol)))
     }),

@@ -302,7 +302,10 @@ class AviSpec extends SparkSpec {
       // doc 4: a first-class WAV rides through the passthrough
       // (varied-formula content so its fingerprint is far from 1-3)
       (4L, Multimodal.aviAudioWav(4L, Multimodal.renderAviAv(frames(4L),
-        Array.tabulate(120)(i => Multimodal.syntheticSampleVaried(55L, i))))))
+        Array.tabulate(120)(i => Multimodal.syntheticSampleVaried(55L, i))))),
+      // doc 5: an MP4 capture whose soundtrack near-dups doc 3's AVI —
+      // the mixed-corpus case: one chain admits BOTH container families
+      (5L, Multimodal.renderMp4(frames(5L), distinct.map(_ / 2))))
       .toDF("doc_id", "payload").write.parquet(s"$src/captures.parquet")
     val y = Files.createTempFile("graft-pipe-av", ".yaml")
     Files.writeString(y,
@@ -321,8 +324,9 @@ class AviSpec extends SparkSpec {
     Cli.run(Seq("pipeline", y.toString, src, out), spark)
     val kept = spark.read.parquet(s"$out/deduped")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // the attenuated-copy container (doc 2) deduped against doc 1;
-    // the distinct soundtrack and the WAV survive
+    // the attenuated-copy container (doc 2) deduped against doc 1 and
+    // the MP4's attenuated soundtrack (doc 5) against doc 3's AVI —
+    // cross-container audio dedup; the distinct AVI and the WAV survive
     assert(kept === Set(1L, 3L, 4L), s"got $kept")
     // a container WITHOUT audio fails loud with the doc id
     Seq((9L, Multimodal.renderAvi(frames(9L))))

@@ -88,4 +88,21 @@ class BenchFlagSpec extends AnyFunSuite {
     // the totals rule: sentinels are excluded, success count is 2 of 3
     assert(results.count(_._2.wallMed >= 0) == 2)
   }
+
+  test("distortedRows: per-row med/min divergence lists the inflated entries only") {
+    def t(med: Double, min: Double) = Bench.Timing(med, min, -1, -1, 0)
+    val rows = Seq(
+      "clean"      -> t(1.00, 0.95),  // healthy agreement
+      "inflated"   -> t(4.15, 0.93),  // the r13 text_dup_spans shape
+      "tiny_noise" -> t(0.10, 0.03),  // under the 0.2s floor — noise, not signal
+      "failed"     -> Bench.FailedTiming) // sentinels never flag
+    assert(Bench.distortedRows(rows) === Seq("inflated"))
+  }
+
+  test("the bench suite covers every SparkEntry gate (a new gate can never be silently unbenched)") {
+    val names = Bench.suite.map(_._1)
+    assert(names.distinct.size === names.size, "duplicate suite entries")
+    val missing = SparkEntry.queries.keySet -- names.toSet
+    assert(missing.isEmpty, s"gates missing from the bench suite: $missing")
+  }
 }
