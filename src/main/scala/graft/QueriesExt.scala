@@ -3927,6 +3927,89 @@ object QueriesExt {
        |""".stripMargin
   }
 
+  /** Stored-ANN MAINTENANCE night chain
+    * (`examples/ann_nights_pipeline.yaml` run THREE times under one
+    * `--state`, the [[crawlFrontierRanked]] whole-YAML convention):
+    * a growing corpus (night 1 `vec_id % 3 = 0`, night 2 `% 3 <= 1`,
+    * night 3 all) flows through change_detect admission (unchanged
+    * re-fetches suppressed), the frozen-model composed-IVF-PQ
+    * incremental encoder (`knn_encode mode: admit` — only fresh
+    * vectors encode), and the stored-index query. The gate output is
+    * night 3's search wrapped in the ANN soundness union
+    * ([[embedKnnIvfPqStored]]'s oracle) PLUS every night's
+    * fresh/encoded manifest row counts — the oracle recomputes the
+    * counts from the slice arithmetic, so a night that re-encoded a
+    * known vector, dropped a fresh one, or forked the store
+    * mismatches. Proves the frozen-model incremental story composes
+    * with the crawl loop end to end. */
+  def annNightsStored(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = scratchDir(s, "ann-nights")
+    // stateful admission is NOT idempotent across invocations in one
+    // session — reset this gate's state and outputs so every run
+    // replays the same three nights
+    Seq("state", "out1", "out2", "out3").foreach(d =>
+      graft.streaming.StoreFiles.deleteRecursively(
+        java.nio.file.Paths.get(tmp, d)))
+    val src = s"$tmp/src"
+    val withPage = e.select(col("vec_id"),
+      concat(lit("http://h/p"), col("vec_id")).as("url"),
+      concat(lit("v"), col("vec_id")).as("text"),
+      col("embedding"))
+    // frozen model: trained ONCE on night 1's corpus
+    val n1 = withPage.filter(col("vec_id") % 3 === 0)
+    operators.AnnIndex.trainIvf(n1, "vec_id", "embedding", nCells = 16)
+      .write.mode("overwrite").parquet(s"$src/ann_centroids.parquet")
+    val cents = s.read.parquet(s"$src/ann_centroids.parquet")
+    operators.AnnIndex.trainIvfPq(n1, "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(s"$src/ann_books.parquet")
+    withPage.filter(col("vec_id") < 10)
+      .write.mode("overwrite").parquet(s"$src/queries.parquet")
+    val yaml = "examples/ann_nights_pipeline.yaml"
+    require(new java.io.File(yaml).exists,
+      s"ann_nights_stored: $yaml not found — run from the repo root")
+    def night(n: Int, pages: DataFrame): String = {
+      pages.write.mode("overwrite").parquet(s"$src/pages.parquet")
+      Cli.run(Seq("pipeline", yaml, src, s"$tmp/out$n", "--state", s"$tmp/state"), s)
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/out$n", "pipeline_manifest.json")), "UTF-8")
+    }
+    val manifests = Seq(
+      night(1, n1),
+      night(2, withPage.filter(col("vec_id") % 3 <= 1)),
+      night(3, withPage))
+    def rowsOf(manifest: String, step: String): Long =
+      ("\"name\":\"" + step + "\"[^}]*\"rows\":(\\d+)").r
+        .findFirstMatchIn(manifest).map(_.group(1).toLong).getOrElse(
+          throw new IllegalStateException(
+            s"ann_nights_stored: manifest has no rows for step $step"))
+    val verified = knnVerified(
+      s.read.parquet(s"$tmp/out3/hits")
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine")), e)
+    manifests.zipWithIndex.foldLeft(verified) { case (df, (m, i)) =>
+      df.withColumn(s"n_fresh_${i + 1}", lit(rowsOf(m, "fresh")))
+        .withColumn(s"n_encoded_${i + 1}", lit(rowsOf(m, "encoded")))
+    }
+  }
+
+  /** [[embedKnnVerifiedSql]]'s soundness universe with the night
+    * counts stated from the slice arithmetic. */
+  lazy val annNightsStoredSql: String =
+    s"""WITH verified AS (
+       |${embedKnnVerifiedSql.linesIterator.map("  " + _).mkString("\n")}
+       |), counts AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE vec_id % 3 = 0) AS BIGINT) AS n_fresh_1,
+       |    CAST(count(*) FILTER (WHERE vec_id % 3 = 0) AS BIGINT) AS n_encoded_1,
+       |    CAST(count(*) FILTER (WHERE vec_id % 3 = 1) AS BIGINT) AS n_fresh_2,
+       |    CAST(count(*) FILTER (WHERE vec_id % 3 <= 1) AS BIGINT) AS n_encoded_2,
+       |    CAST(count(*) FILTER (WHERE vec_id % 3 = 2) AS BIGINT) AS n_fresh_3,
+       |    CAST(count(*) AS BIGINT) AS n_encoded_3
+       |  FROM embeddings
+       |)
+       |SELECT verified.*, counts.* FROM verified CROSS JOIN counts
+       |""".stripMargin
+
   /** Page-metadata extraction over constructed heads: Open Graph tags
     * in BOTH attribute orders (property-first and content-first), a
     * duplicate og:title (first wins), `article:published_time` (the

@@ -268,6 +268,7 @@ object SparkEntry {
     "embed_knn_ivf_stored"  -> (QueriesExt.embedKnnIvfStored _),
     "embed_knn_pq_stored"   -> (QueriesExt.embedKnnPqStored _),
     "embed_knn_ivfpq_stored" -> (QueriesExt.embedKnnIvfPqStored _),
+    "ann_nights_stored"     -> (QueriesExt.annNightsStored _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // SemDeDup: cluster-then-prune semantic dedup (pair space bounded
     // by the cluster structure, not N^2)
@@ -331,6 +332,7 @@ object SparkEntry {
     "embed_knn_ivf_stored"       -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_pq_stored"        -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivfpq_stored"     -> QueriesExt.embedKnnVerifiedSql,
+    "ann_nights_stored"          -> QueriesExt.annNightsStoredSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,

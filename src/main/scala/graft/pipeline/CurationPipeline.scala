@@ -2097,7 +2097,7 @@ object CurationPipeline {
     // store → reuse workflow; retraining per run also makes
     // shortlists drift as the corpus grows).
     "knn_train" -> Op(Set("family", "id", "vec", "nCells", "m", "kCodes",
-      "iters"), { c =>
+      "iters", "centroids"), { c =>
       val eid = c.params.str("id", c.idCol)
       val vec = c.params.str("vec", "embedding")
       for (needed <- Seq(eid, vec))
@@ -2106,19 +2106,33 @@ object CurationPipeline {
       c.params.str("family", "ivf") match {
         case "ivf" =>
           require(!c.params.has("m") && !c.params.has("kCodes"),
-            s"step ${c.stepName}: m/kCodes apply to family: pq only")
+            s"step ${c.stepName}: m/kCodes apply to family: pq/ivfpq only")
+          require(!c.params.has("centroids"),
+            s"step ${c.stepName}: centroids applies to family: ivfpq only")
           graft.operators.AnnIndex.trainIvf(c.input, eid, vec,
             c.params.int("nCells", 16), c.params.int("iters", 10))
         case "pq" =>
-          require(!c.params.has("nCells"),
-            s"step ${c.stepName}: nCells applies to family: ivf only")
+          require(!c.params.has("nCells") && !c.params.has("centroids"),
+            s"step ${c.stepName}: nCells/centroids apply to other families")
           graft.operators.AnnIndex.trainPq(c.input, eid, vec,
             c.params.int("m", 8), c.params.int("kCodes", 16),
             c.params.int("iters", 10))
+        case "ivfpq" =>
+          // the composed index's residual codebooks: `centroids:`
+          // names a stored IVF model (a knn_train family: ivf step or
+          // a prior run's table) — the cell geometry the residuals
+          // quantize against
+          require(!c.params.has("nCells"),
+            s"step ${c.stepName}: nCells applies to family: ivf only " +
+              "(the cell count is the centroids table's)")
+          graft.operators.AnnIndex.trainIvfPq(c.input, eid, vec,
+            c.resolve(c.params.reqStr("centroids")),
+            c.params.int("m", 8), c.params.int("kCodes", 16),
+            c.params.int("iters", 10))
         case other => throw new IllegalArgumentException(
-          s"step ${c.stepName}: family must be ivf or pq, got '$other'")
+          s"step ${c.stepName}: family must be ivf, pq, or ivfpq, got '$other'")
       }
-    }),
+    }, tableParams = Set("centroids")),
     // persisted ANN index, step 2 of 3 — ENCODE: corpus vectors
     // against a stored model (`model:` names a knn_train step or a
     // prior run's model table). Output is the postings table
@@ -2133,23 +2147,34 @@ object CurationPipeline {
     // vector over its lifetime, and (the model being frozen) the
     // incrementally-built table is identical to a from-scratch encode
     // of the full corpus. Output is always the FULL encoded table.
-    "knn_encode" -> Op(Set("model", "id", "vec", "mode", "buckets"), { c =>
+    "knn_encode" -> Op(Set("model", "centroids", "id", "vec", "mode", "buckets"), { c =>
       val eid = c.params.str("id", c.idCol)
       val vec = c.params.str("vec", "embedding")
       for (needed <- Seq(eid, vec))
         require(c.input.columns.contains(needed),
           s"step ${c.stepName}: input has no column '$needed'")
       val model = c.resolve(c.params.reqStr("model"))
+      // `centroids:` beside a codebooks model selects the COMPOSED
+      // IVF-PQ encode (cell + residual codes); pq and ivfpq codebook
+      // tables share a schema, so the param is the family switch
       val (family, schema) =
-        if (model.columns.contains("cell"))
+        if (model.columns.contains("cell")) {
+          require(!c.params.has("centroids"),
+            s"step ${c.stepName}: centroids applies to codebook models " +
+              "(the model IS the centroids table here)")
           ("ivf", "id BIGINT, cell INT, vector ARRAY<FLOAT>")
+        } else if (model.columns.contains("subspace") && c.params.has("centroids"))
+          ("ivfpq", "id BIGINT, cell INT, codes ARRAY<INT>")
         else if (model.columns.contains("subspace"))
           ("pq", "id BIGINT, codes ARRAY<INT>")
         else throw new IllegalArgumentException(
           s"step ${c.stepName}: table '${c.params.reqStr("model")}' is not a " +
             "knn model (expected a 'cell' or 'subspace' column)")
+      lazy val cents = c.resolve(c.params.reqStr("centroids"))
       def encodeAll(df: DataFrame, idc: String): DataFrame =
         if (family == "ivf") graft.operators.AnnIndex.encodeIvf(df, idc, vec, model)
+        else if (family == "ivfpq")
+          graft.operators.AnnIndex.encodeIvfPq(df, idc, vec, cents, model)
         else graft.operators.AnnIndex.encodePq(df, idc, vec, model)
       c.params.str("mode", "full") match {
         case "full" =>
@@ -2168,7 +2193,7 @@ object CurationPipeline {
             newRows => encodeAll(newRows, "id"))
           StreamingAnnIndex.readEncoded(c.input.sparkSession, store, schema)
       }
-    }, modes = Set("full", "admit"), tableParams = Set("model")),
+    }, modes = Set("full", "admit"), tableParams = Set("model", "centroids")),
     // persisted ANN index, step 3 of 3 — QUERY: the input is the
     // QUERY table (id + vec); `model:`/`codes:` name the stored index
     // halves (same-run steps or prior-run tables). IVF searches the
@@ -2176,7 +2201,7 @@ object CurationPipeline {
     // vectors) for the exact rescore of the ADC shortlist — every
     // returned cosine is exact either way. Output:
     // (query_id, neighbor_id, rank, cosine).
-    "knn" -> Op(Set("model", "codes", "corpus", "id", "vec", "k",
+    "knn" -> Op(Set("model", "codes", "corpus", "centroids", "id", "vec", "k",
       "nProbe", "shortlist"), { c =>
       val eid = c.params.str("id", c.idCol)
       val vec = c.params.str("vec", "embedding")
@@ -2187,24 +2212,35 @@ object CurationPipeline {
       val codes = c.resolve(c.params.reqStr("codes"))
       val k = c.params.int("k", 10)
       if (model.columns.contains("cell")) {
-        require(!c.params.has("corpus") && !c.params.has("shortlist"),
-          s"step ${c.stepName}: corpus/shortlist apply to pq models only " +
-            "(IVF postings carry the vectors)")
+        require(!c.params.has("corpus") && !c.params.has("shortlist") &&
+          !c.params.has("centroids"),
+          s"step ${c.stepName}: corpus/shortlist/centroids apply to codebook " +
+            "models only (IVF postings carry the vectors)")
         graft.operators.AnnIndex.ivfKnnIndexed(c.input, eid, vec, k,
           model, codes, c.params.int("nProbe", 3))
       } else if (model.columns.contains("subspace")) {
-        require(!c.params.has("nProbe"),
-          s"step ${c.stepName}: nProbe applies to ivf models only")
         val corpus = c.resolve(c.params.reqStr("corpus"))
         for (needed <- Seq(eid, vec))
           require(corpus.columns.contains(needed),
             s"step ${c.stepName}: corpus table has no column '$needed'")
-        graft.operators.AnnIndex.pqKnnIndexed(corpus, c.input, eid, vec, k,
-          model, codes, c.params.int("shortlist", math.max(32, 2 * k)))
+        if (c.params.has("centroids"))
+          // composed IVF-PQ: centroids beside the codebooks — probes
+          // prune the codes scan to nProbe cells, ADC over the
+          // residual codebooks, exact rescore from the corpus
+          graft.operators.AnnIndex.ivfPqKnnIndexed(corpus, c.input, eid, vec, k,
+            c.resolve(c.params.reqStr("centroids")), model, codes,
+            c.params.int("nProbe", 3),
+            c.params.int("shortlist", math.max(32, 2 * k)))
+        else {
+          require(!c.params.has("nProbe"),
+            s"step ${c.stepName}: nProbe applies to ivf/ivfpq models only")
+          graft.operators.AnnIndex.pqKnnIndexed(corpus, c.input, eid, vec, k,
+            model, codes, c.params.int("shortlist", math.max(32, 2 * k)))
+        }
       } else throw new IllegalArgumentException(
         s"step ${c.stepName}: table '${c.params.reqStr("model")}' is not a " +
           "knn model (expected a 'cell' or 'subspace' column)")
-    }, tableParams = Set("model", "codes", "corpus")),
+    }, tableParams = Set("model", "codes", "corpus", "centroids")),
     // leakage-free train/valid/test assignment: adds a `split` column,
     // keyed on `by` (default the doc id; name a grouping column to keep
     // groups intact across splits)

@@ -2955,4 +2955,57 @@ class CliSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("merge_rank"), e.getMessage)
   }
+
+  test("pipeline ann nights: change_detect + frozen-model IVF-PQ admission over three nights equals the one-shot stored index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnIndex
+    val dim = 12
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val (src, state) = (tempDir(), tempDir())
+    val all = (0L until 36L).map(i =>
+      (i, s"http://h/p$i", s"v$i", vec(i.toInt)))
+      .toDF("vec_id", "url", "text", "embedding")
+    val n1 = all.filter(col("vec_id") % 3 === 0)
+    // frozen model: trained once on night 1's corpus, reused as tables
+    AnnIndex.trainIvf(n1, "vec_id", "embedding", nCells = 4)
+      .write.parquet(s"$src/ann_centroids.parquet")
+    val cents = spark.read.parquet(s"$src/ann_centroids.parquet")
+    AnnIndex.trainIvfPq(n1, "vec_id", "embedding", cents, m = 4, kCodes = 8)
+      .write.parquet(s"$src/ann_books.parquet")
+    val books = spark.read.parquet(s"$src/ann_books.parquet")
+    all.filter(col("vec_id") < 3).write.parquet(s"$src/queries.parquet")
+    val yaml = "examples/ann_nights_pipeline.yaml"
+    def night(n: Int, pages: org.apache.spark.sql.DataFrame): String = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$src/pages.parquet"))
+      pages.write.parquet(s"$src/pages.parquet")
+      val out = tempDir()
+      Cli.run(Seq("pipeline", yaml, src, out, "--state", state), spark)
+      out
+    }
+    val out1 = night(1, n1)
+    val out2 = night(2, all.filter(col("vec_id") % 3 <= 1))
+    val out3 = night(3, all)
+    // fresh counts: only genuinely-new pages flow each night
+    def freshCount(out: String): Long = spark.read.parquet(s"$out/fresh").count()
+    assert(freshCount(out1) === 12L && freshCount(out2) === 12L &&
+      freshCount(out3) === 12L)
+    // the incrementally-maintained codes table equals a from-scratch
+    // encode of the full corpus against the same frozen model
+    def codes(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Seq[Int])] =
+      df.select("id", "cell", "codes").as[(Long, Int, Seq[Int])].collect().toSet
+    assert(codes(spark.read.parquet(s"$out3/encoded")) ===
+      codes(AnnIndex.encodeIvfPq(all, "vec_id", "embedding", cents, books)))
+    // night 3's search over the maintained index equals the one-shot
+    // stored-index query, bitwise
+    def hits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val oneShot = AnnIndex.ivfPqKnnIndexed(
+      all, all.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+      cents, books, AnnIndex.encodeIvfPq(all, "vec_id", "embedding", cents, books),
+      nProbe = 3, shortlist = 32)
+    assert(hits(spark.read.parquet(s"$out3/hits")) === hits(oneShot),
+      "maintained-index search diverged from the one-shot stored index")
+  }
 }
