@@ -287,10 +287,17 @@ object Similarity {
   def cosineNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String, minCosine: Double
   ): DataFrame = {
+    // repartition the exploded table on the join key: a single-file
+    // (or few-partition) embeddings scan would otherwise feed the
+    // O(n²)-output self-join below from ONE task — measured 225s
+    // near-serial on a 500-vector fixture. `pos` has `dim` distinct
+    // values, so the pair space spreads across min(dim, partitions)
+    // tasks and each key's pair block is equal-sized (no skew).
     val pos = embeddings.select(
       col(idCol).as("vid"),
       posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select(col("vid"), col("pos"), col("v").cast("double").as("v"))
+      .repartition(col("pos"))
     val norms = pos
       .groupBy("vid")
       .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("n2"))

@@ -100,23 +100,173 @@ object Unigram {
     dp(0).pieces
   }
 
-  /** Train the unigram vocabulary: `rounds` hard-EM iterations over
-    * the distinct-word table, pruning to `keepSchedule(r)` multi-char
-    * pieces after round r. Output `(token, score, rank)` — score the
-    * final round's usage count, rank 0-based by (score DESC, token
-    * ASC); single-char pieces always present. Deterministic: same
-    * (corpus, params) → identical table, replayable round by round in
-    * SQL (the [[Bpe.trainMerges]] oracle convention). */
+  /** Fixed-point scale for soft-EM expected counts: expectations are
+    * exact rationals quantized to multiples of 2^-20 per (word, piece)
+    * before the corpus aggregation — floors of exact integer division,
+    * so the quantization itself is deterministic on any engine and the
+    * aggregated longs sum order-independently. */
+  val SoftScale: Long = 1L << 20
+
+  /** Soft-EM E-step for ONE word: forward–backward expected piece
+    * counts under the Laplace-smoothed unigram model
+    * `p(t) = (score_t + 1) / (T + |V|)`, in EXACT integer arithmetic —
+    * the path-sum DP runs over BigInt numerators with the common
+    * denominator folded in as powers of `totalSmoothed`
+    * (`A(i+l) += A(i) · c_t · T^(l-1)` represents
+    * `alpha(i+l) = Σ alpha(i) · p_t` with `alpha(i) = A(i)/T^i`), so
+    * an edge's posterior `alpha(i)·p_t·beta(i+l)/Z` is the exact
+    * rational `A(i)·c_t·T^(l-1)·B(i+l) / A(n)`. Returns
+    * `freq · SCALE · E[count_t]` floored — the [[SoftScale]]
+    * quantization, the only rounding anywhere. Smoothing keeps Z > 0
+    * whenever the word's characters are in the vocabulary (the
+    * required-character rule guarantees that on training corpora). */
+  private[graft] def expectedCounts(
+      w: String, vocab: collection.Map[String, Long], maxPieceLen: Int,
+      totalSmoothed: BigInt, freq: Long
+  ): Iterator[(String, Long)] = {
+    val n = w.length
+    if (n == 0) return Iterator.empty
+    val zero = BigInt(0)
+    // T^(l-1) reused across every edge of this word
+    val tPow = Array.iterate(BigInt(1), maxPieceLen)(_ * totalSmoothed)
+    def wt(i: Int, l: Int): Option[BigInt] =
+      vocab.get(w.substring(i, i + l)).map(c => BigInt(c) + 1)
+    val a = Array.fill[BigInt](n + 1)(zero); a(0) = BigInt(1)
+    var i = 0
+    while (i < n) {
+      if (a(i) != zero) {
+        var l = 1
+        val lMax = math.min(maxPieceLen, n - i)
+        while (l <= lMax) {
+          wt(i, l).foreach(c => a(i + l) += a(i) * c * tPow(l - 1))
+          l += 1
+        }
+      }
+      i += 1
+    }
+    if (a(n) == zero) return Iterator.empty // uncoverable word (OOV chars)
+    val b = Array.fill[BigInt](n + 1)(zero); b(n) = BigInt(1)
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (l <= lMax) {
+        if (b(i + l) != zero)
+          wt(i, l).foreach(c => b(i) += c * tPow(l - 1) * b(i + l))
+        l += 1
+      }
+      i -= 1
+    }
+    val acc = scala.collection.mutable.HashMap.empty[String, BigInt]
+    i = 0
+    while (i < n) {
+      if (a(i) != zero) {
+        var l = 1
+        val lMax = math.min(maxPieceLen, n - i)
+        while (l <= lMax) {
+          if (b(i + l) != zero)
+            wt(i, l).foreach { c =>
+              val t = w.substring(i, i + l)
+              acc(t) = acc.getOrElse(t, zero) + a(i) * c * tPow(l - 1) * b(i + l)
+            }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    val z = a(n)
+    acc.iterator.map { case (t, num) =>
+      t -> ((BigInt(freq) * SoftScale * num) / z).toLong
+    }
+  }
+
+  /** Natural log of a BigInt (for likelihood comparison only — never
+    * in an oracle path): mantissa + bit-length decomposition, exact to
+    * double precision regardless of magnitude. */
+  private def lnBig(v: BigInt): Double = {
+    require(v > 0, "lnBig: non-positive")
+    val bl = v.bitLength
+    if (bl <= 62) math.log(v.toDouble)
+    else {
+      val shift = bl - 62
+      math.log((v >> shift).toDouble) + shift * math.log(2.0)
+    }
+  }
+
+  /** Corpus log-likelihood under a trained vocabulary's
+    * Laplace-smoothed unigram model — the soft E-step's exact
+    * marginal `Σ_w freq_w · ln P(w)`, `P(w) = Σ_seg Π p(t)` — for
+    * MODEL COMPARISON in specs (soft-EM must beat hard-EM on held
+    * corpus likelihood); double-valued, not oracle material. A word
+    * with uncoverable characters contributes -∞. */
+  def corpusLogLikelihood(
+      docs: DataFrame, textCol: String, vocab: DataFrame, maxPieceLen: Int = 6
+  ): Double = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabRows = vocab.select(col("token"), col("score").cast("long"))
+      .limit(MaxAlphabet + 1).collect()
+    require(vocabRows.length <= MaxAlphabet,
+      "corpusLogLikelihood: vocab table exceeds the alphabet bound")
+    val vmap: Map[String, Long] =
+      vocabRows.map(row => row.getString(0) -> row.getLong(1)).toMap
+    val totalSmoothed = BigInt(vmap.valuesIterator.sum) + vmap.size
+    val mpl = maxPieceLen
+    val lnT = lnBig(totalSmoothed)
+    val bc = spark.sparkContext.broadcast(vmap)
+    val lls = wordCounts(docs, textCol).as[(String, Long)].mapPartitions { it =>
+      it.map { case (w, f) =>
+        val n = w.length
+        val zero = BigInt(0)
+        val tPow = Array.tabulate(mpl)(l => totalSmoothed.pow(l))
+        val a = Array.fill[BigInt](n + 1)(zero); a(0) = BigInt(1)
+        var i = 0
+        while (i < n) {
+          if (a(i) != zero) {
+            var l = 1
+            val lMax = math.min(mpl, n - i)
+            while (l <= lMax) {
+              bc.value.get(w.substring(i, i + l))
+                .foreach(c => a(i + l) += a(i) * (BigInt(c) + 1) * tPow(l - 1))
+              l += 1
+            }
+          }
+          i += 1
+        }
+        if (a(n) == zero) Double.NegativeInfinity
+        else f * (lnBig(a(n)) - n * lnT)
+      }
+    }.collect()
+    lls.sum
+  }
+
+  /** Train the unigram vocabulary: `rounds` EM iterations over the
+    * distinct-word table, pruning to `keepSchedule(r)` multi-char
+    * pieces after round r. `em = "hard"` (default) counts each piece
+    * once per use in the word's single Viterbi segmentation —
+    * integer counts, SQL-replayable round by round (the
+    * [[Bpe.trainMerges]] oracle convention); `em = "soft"` uses
+    * forward–backward EXPECTED counts over all segmentations
+    * ([[expectedCounts]] — exact rationals quantized at
+    * [[SoftScale]]), the Kudo 2018 E-step proper, better corpus
+    * likelihood at the same budget (UnigramSpec pins both the
+    * improvement and run-to-run determinism). Output
+    * `(token, score, rank)` — score the final round's (expected)
+    * usage, rank 0-based by (score DESC, token ASC); single-char
+    * pieces always present. Deterministic either way: same
+    * (corpus, params) → identical table. */
   def trainVocab(
       docs: DataFrame, textCol: String, rounds: Int = 3,
       keepSchedule: Seq[Int] = Seq(24, 16, 12),
-      maxPieceLen: Int = 6, minCount: Long = 2, seedSize: Int = 1024
+      maxPieceLen: Int = 6, minCount: Long = 2, seedSize: Int = 1024,
+      em: String = "hard"
   ): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(keepSchedule.length == rounds,
       s"keepSchedule has ${keepSchedule.length} entries for $rounds rounds")
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
     require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(em == "hard" || em == "soft", s"em must be hard or soft, got '$em'")
     val spark = docs.sparkSession
     import spark.implicits._
     val mpl = maxPieceLen
@@ -151,10 +301,22 @@ object Unigram {
     var r = 0
     while (r < rounds) {
       val bc = spark.sparkContext.broadcast(vocab)
-      // E-step: Viterbi usage counts — scan-local DP, one exchange
-      val usage: Map[String, Long] = wf.flatMap { case (w, f) =>
-        segment(w, bc.value, mpl).iterator.map(t => (t, f))
-      }.toDF("token", "f").groupBy("token").agg(sum("f").as("u"))
+      // E-step: scan-local DP over the distinct-word table, one
+      // exchange — hard counts each piece once per Viterbi use; soft
+      // aggregates forward-backward expectations (quantized longs)
+      val usage: Map[String, Long] =
+        (if (em == "hard")
+          wf.flatMap { case (w, f) =>
+            segment(w, bc.value, mpl).iterator.map(t => (t, f))
+          }
+        else {
+          // BigInt fold: soft-scaled scores can overflow a Long sum
+          val totalSmoothed =
+            vocab.valuesIterator.foldLeft(BigInt(0))(_ + _) + vocab.size
+          wf.flatMap { case (w, f) =>
+            expectedCounts(w, bc.value, mpl, totalSmoothed, f)
+          }
+        }).toDF("token", "f").groupBy("token").agg(sum("f").as("u"))
         .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
       bc.destroy()
       // M-step: singles always survive (coverage); multis prune to the

@@ -2296,7 +2296,7 @@ object CurationPipeline {
     // tokenized for non-BPE models). Output (token, score, rank);
     // feed it to `tokenize family: unigram`.
     "unigram_vocab" -> Op(Set("rounds", "keep", "maxPieceLen", "minCount",
-      "seedSize"), { c =>
+      "seedSize", "em"), { c =>
       val rounds = c.params.int("rounds", 3)
       val keep = c.params.str("keep", "") match {
         case "" => // geometric shrink ending at 1/2 of the seed's cut
@@ -2313,7 +2313,10 @@ object CurationPipeline {
       graft.operators.Unigram.trainVocab(c.input, c.textCol, rounds = rounds,
         keepSchedule = keep, maxPieceLen = c.params.int("maxPieceLen", 6),
         minCount = c.params.long("minCount", 2L),
-        seedSize = c.params.int("seedSize", 1024))
+        seedSize = c.params.int("seedSize", 1024),
+        // em: soft selects forward-backward expected counts (Kudo
+        // 2018 proper) — better corpus likelihood, same determinism
+        em = c.params.str("em", "hard"))
     }),
     // annotation: REAL BPE token count (`n_bpe_tokens`) against a
     // learned vocab table — what mix budgets (`tokens: n_bpe_tokens`)

@@ -99,10 +99,14 @@ class BenchFlagSpec extends AnyFunSuite {
     assert(Bench.distortedRows(rows) === Seq("inflated"))
   }
 
-  test("the bench suite covers every SparkEntry gate (a new gate can never be silently unbenched)") {
+  test("the bench suite covers every SparkEntry gate except the documented exclusions (a new gate can never be silently unbenched)") {
     val names = Bench.suite.map(_._1)
     assert(names.distinct.size === names.size, "duplicate suite entries")
     val missing = SparkEntry.queries.keySet -- names.toSet
-    assert(missing.isEmpty, s"gates missing from the bench suite: $missing")
+    assert(missing === Bench.benchExcluded,
+      s"gates missing from the bench suite beyond the documented exclusions: " +
+        s"${missing -- Bench.benchExcluded}")
+    // exclusions must name real gates (a stale entry is a silent hole)
+    assert((Bench.benchExcluded -- SparkEntry.queries.keySet).isEmpty)
   }
 }

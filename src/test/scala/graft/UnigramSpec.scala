@@ -125,6 +125,66 @@ class UnigramSpec extends SparkSpec {
     check("dp == brute", prop)
   }
 
+  test("soft-EM (forward-backward expected counts) beats hard-EM corpus likelihood at the same budget; deterministic across runs") {
+    val corpus = Seq(
+      (1L, "the cater sat on the mat the cat sat"),
+      (2L, "concatenation of the cats in the cathedral"),
+      (3L, "scatter the catalog to the category cache"),
+      (4L, "the cat and the cats scatter a catalog"),
+      (5L, "casting the cast into the caster's catalog"))
+      .toDF("doc_id", "text")
+    // regime note (probed): soft-EM needs >= 2 rounds for its
+    // expectations to converge and a non-degenerate budget (keep >=
+    // ~10) — at keep=6 the argmax-ish prune aligns better with
+    // Viterbi counts and hard can edge it. This is the production
+    // shape: constant budget, 3 rounds.
+    def train(em: String) = Unigram.trainVocab(corpus, "text", rounds = 3,
+      keepSchedule = Seq(16, 16, 16), maxPieceLen = 4, minCount = 2,
+      seedSize = 64, em = em)
+    val hard = train("hard")
+    val soft = train("soft")
+    val llHard = Unigram.corpusLogLikelihood(corpus, "text", hard, maxPieceLen = 4)
+    val llSoft = Unigram.corpusLogLikelihood(corpus, "text", soft, maxPieceLen = 4)
+    assert(llSoft >= llHard,
+      s"soft-EM likelihood $llSoft must be >= hard-EM $llHard at the same budget")
+    assert(llSoft > Double.NegativeInfinity)
+    // run-to-run determinism: the exact-rational quantized E-step has
+    // no float or ordering freedom
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(soft) === rows(train("soft")))
+    // tokenization against the soft vocab is well-formed and lossless
+    val toks = Unigram.tokenizeWith(corpus, "doc_id", "text", soft, maxPieceLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    val norm = corpus.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokens(col("text")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty)).toMap
+    norm.foreach { case (id, words) =>
+      assert(toks(id).mkString === words.mkString)
+    }
+  }
+
+  test("expectedCounts: posteriors sum to the word's expected piece count and match hand arithmetic on a two-path word") {
+    // vocab {ab, a, b} over word "ab", Laplace-smoothed weights
+    // c+1 = {ab: 3, a: 2, b: 2}, T = total+|V| as passed.
+    // Paths: [ab] weight 3·T, [a b] weight 2·2 = 4 (over T²) —
+    // A(2) = 3T + 4. Posteriors: P([ab]) = 3T/(3T+4),
+    // P([a b]) = 4/(3T+4). Expected counts: ab -> 3T/(3T+4),
+    // a and b -> 4/(3T+4) each.
+    val vocab = Map("ab" -> 2L, "a" -> 1L, "b" -> 1L)
+    val t = BigInt(4 + 3) // Σ(c) + |V| = 4 + 3
+    val got = Unigram.expectedCounts("ab", vocab, 4, t, freq = 1L).toMap
+    val scale = Unigram.SoftScale
+    def want(num: Long, den: Long): Long = (BigInt(num) * scale / den).toLong
+    val z = 3 * 7 + 4 // 3T + 4
+    assert(got("ab") === want(3 * 7, z))
+    assert(got("a") === want(4, z))
+    assert(got("b") === want(4, z))
+    // freq multiplies expectations linearly (before flooring)
+    val f5 = Unigram.expectedCounts("ab", vocab, 4, t, freq = 5L).toMap
+    assert(f5("ab") === (BigInt(5) * scale * (3 * 7) / z).toLong)
+  }
+
   test("tokenizeWith fails loud when a vocab piece exceeds maxPieceLen (silent never-match guard)") {
     val corpus = Seq((1L, "abcd ab")).toDF("doc_id", "text")
     val vocab = Seq(("abcd", 9L), ("ab", 3L), ("a", 1L), ("b", 1L),
