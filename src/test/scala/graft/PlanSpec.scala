@@ -279,6 +279,14 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!encPq.contains("Exchange"),
       s"PQ encoding must be scan-local:\n$encPq")
+    // composed IVF-PQ: cell assignment + residual codes in ONE scan
+    // (both models ride the UDF closures — no shuffle, no join)
+    val cents2 = AnnIndex.trainIvf(emb, "vec_id", "embedding", nCells = 4)
+    val rbooks = AnnIndex.trainIvfPq(emb, "vec_id", "embedding", cents2, m = 4, kCodes = 4)
+    val encIvfPq = AnnIndex.encodeIvfPq(emb, "vec_id", "embedding", cents2, rbooks)
+      .queryExecution.executedPlan.toString
+    assert(!encIvfPq.contains("Exchange"),
+      s"IVF-PQ encoding must be scan-local:\n$encIvfPq")
     // unigram tokenization: vocabulary broadcasts into the DP — the
     // doc scan itself pays no exchange
     val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
