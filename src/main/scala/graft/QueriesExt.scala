@@ -726,6 +726,20 @@ object QueriesExt {
   def embedKnnPqVerified(s: SparkSession, dir: String): DataFrame =
     knnVerified(embedKnnPq(s, dir), emb(s, dir))
 
+  /** Composed IVF-PQ, retrain path (Jégou et al. 2011 §IV, IVFADC):
+    * residual codebooks inside IVF cells, ADC over probed cells only,
+    * exact rescore — rows-only raw output with the
+    * [[embedKnnIvfPqVerified]] oracle companion, the other ANN
+    * families' convention. The stored-index twin is
+    * [[embedKnnIvfPqStored]]. */
+  def embedKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfPqKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  def embedKnnIvfPqVerified(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnIvfPq(s, dir), emb(s, dir))
+
   def embedKnnLshVerified(s: SparkSession, dir: String): DataFrame =
     knnVerified(embedKnnLsh(s, dir), emb(s, dir))
 

@@ -257,12 +257,14 @@ object SparkEntry {
     "embed_knn_ivf"         -> (QueriesExt.embedKnnIvf _),
     "embed_knn_quantized"   -> (QueriesExt.embedKnnQuantized _),
     "embed_knn_pq"          -> (QueriesExt.embedKnnPq _),
+    "embed_knn_ivfpq"       -> (QueriesExt.embedKnnIvfPq _),
     // ANN verification companions: union with the exact all-pairs
     // cosine table must equal that table
     "embed_knn_lsh_verified" -> (QueriesExt.embedKnnLshVerified _),
     "embed_knn_ivf_verified" -> (QueriesExt.embedKnnIvfVerified _),
     "embed_knn_quantized_verified" -> (QueriesExt.embedKnnQuantizedVerified _),
     "embed_knn_pq_verified" -> (QueriesExt.embedKnnPqVerified _),
+    "embed_knn_ivfpq_verified" -> (QueriesExt.embedKnnIvfPqVerified _),
     // stored-index ANN: train-once -> parquet -> reuse (AnnIndex);
     // identical rows to the retrain path, same soundness oracle
     "embed_knn_ivf_stored"  -> (QueriesExt.embedKnnIvfStored _),
@@ -329,6 +331,7 @@ object SparkEntry {
     "embed_knn_ivf_verified"     -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_quantized_verified" -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_pq_verified"      -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_ivfpq_verified"   -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivf_stored"       -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_pq_stored"        -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivfpq_stored"     -> QueriesExt.embedKnnVerifiedSql,

@@ -185,6 +185,57 @@ class UnigramSpec extends SparkSpec {
     assert(f5("ab") === (BigInt(5) * scale * (3 * 7) / z).toLong)
   }
 
+  test("property: soft-EM forward-backward posteriors equal brute-force enumeration over all segmentations") {
+    def check(name: String, prop: Prop, n: Int = 200): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+      assert(res.passed, s"$name: $res")
+    }
+    // brute force: enumerate EVERY vocab-covered segmentation; a
+    // segmentation with k pieces has probability Π(c_t+1) / T^k, so
+    // with the common denominator T^len its weight is
+    // Π(c_t+1) · T^(len-k) — exact BigInt. The expected count of
+    // piece t is Σ_s w_s·count_t(s) / Σ_s w_s, quantized exactly the
+    // way expectedCounts quantizes (floor of freq·SCALE·num/den).
+    def bruteExpected(w: String, vocab: Map[String, Long], maxLen: Int,
+        t0: BigInt, freq: Long): Map[String, Long] = {
+      def segs(i: Int): Seq[List[String]] =
+        if (i == w.length) Seq(Nil)
+        else (1 to math.min(maxLen, w.length - i)).flatMap { l =>
+          val t = w.substring(i, i + l)
+          if (!vocab.contains(t)) Seq.empty else segs(i + l).map(t :: _)
+        }
+      val all = segs(0)
+      if (all.isEmpty) Map.empty
+      else {
+        val weights = all.map { s =>
+          s -> (s.map(t => BigInt(vocab(t)) + 1).product * t0.pow(w.length - s.length))
+        }
+        val z = weights.map(_._2).sum
+        val perPiece = weights.foldLeft(Map.empty[String, BigInt]) { case (acc, (s, ws)) =>
+          s.foldLeft(acc)((a, t) => a.updated(t, a.getOrElse(t, BigInt(0)) + ws))
+        }
+        perPiece.map { case (t, num) =>
+          t -> ((BigInt(freq) * Unigram.SoftScale * num) / z).toLong
+        }
+      }
+    }
+    val wordGen = Gen.choose(0, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = for {
+      nPieces <- Gen.choose(0, 6)
+      pieces <- Gen.listOfN(nPieces, Gen.choose(1, 3).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      scores <- Gen.listOfN(nPieces + 3, Gen.choose(0L, 9L))
+      freq <- Gen.choose(1L, 50L)
+    } yield ((pieces ++ Seq("a", "b", "c")).distinct.zip(scores).toMap, freq)
+    val prop = Prop.forAll(wordGen, vocabGen) { case (w, (vocab, freq)) =>
+      val t0 = vocab.valuesIterator.foldLeft(BigInt(0))(_ + _) + vocab.size
+      val dp = Unigram.expectedCounts(w, vocab, 3, t0, freq).toMap
+      dp == bruteExpected(w, vocab, 3, t0, freq)
+    }
+    check("soft-EM dp == brute", prop)
+  }
+
   test("tokenizeWith fails loud when a vocab piece exceeds maxPieceLen (silent never-match guard)") {
     val corpus = Seq((1L, "abcd ab")).toDF("doc_id", "text")
     val vocab = Seq(("abcd", 9L), ("ab", 3L), ("a", 1L), ("b", 1L),
