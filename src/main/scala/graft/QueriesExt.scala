@@ -819,6 +819,31 @@ object QueriesExt {
       cents, books, s.read.parquet(s"$tmp/codes"))
   }
 
+  /** STORED IVF-SQ8 index (FAISS `IVF,SQ8` — scalar-quantized
+    * postings, a quarter the bytes of float postings with no codebook
+    * beyond the coarse quantizer): centroids + int8 codes partitioned
+    * by `cell`, queried without retraining; stage-1 ranks by exact
+    * integer code-space cosine within the probed cells, exact rescore
+    * of the shortlist. Same soundness oracle; stored ≡ same-seed
+    * retrain pinned bitwise in SimilaritySpec. */
+  def embedKnnIvfSqStored(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnIvfSqStoredRaw(s, dir), emb(s, dir))
+
+  /** The raw stored-IVF-SQ8 query (train + persist + reload + search)
+    * — Bench times this; the gate wraps it in the soundness union. */
+  def embedKnnIvfSqStoredRaw(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = scratchDir(s, "ann-ivfsq")
+    operators.AnnIndex.trainIvf(e, "vec_id", "embedding", nCells = 16)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    val cents = s.read.parquet(s"$tmp/centroids")
+    operators.AnnIndex.encodeIvfSq(e, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    operators.AnnIndex.ivfSqKnnIndexed(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      cents, s.read.parquet(s"$tmp/codes"))
+  }
+
   /** The exact all-pairs cosine universe for query ids < 10 — shared
     * oracle for both ANN verification gates ([[embedKnnBruteSql]]'s
     * CTEs without the top-k ranking). */

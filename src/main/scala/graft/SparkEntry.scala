@@ -270,6 +270,7 @@ object SparkEntry {
     "embed_knn_ivf_stored"  -> (QueriesExt.embedKnnIvfStored _),
     "embed_knn_pq_stored"   -> (QueriesExt.embedKnnPqStored _),
     "embed_knn_ivfpq_stored" -> (QueriesExt.embedKnnIvfPqStored _),
+    "embed_knn_ivfsq_stored" -> (QueriesExt.embedKnnIvfSqStored _),
     "ann_nights_stored"     -> (QueriesExt.annNightsStored _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // SemDeDup: cluster-then-prune semantic dedup (pair space bounded
@@ -335,6 +336,7 @@ object SparkEntry {
     "embed_knn_ivf_stored"       -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_pq_stored"        -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivfpq_stored"     -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_ivfsq_stored"     -> QueriesExt.embedKnnVerifiedSql,
     "ann_nights_stored"          -> QueriesExt.annNightsStoredSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,

@@ -195,6 +195,41 @@ object AnnIndex {
     Similarity.pqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
   }
 
+  // ============================================================== IVF-SQ8
+  /** Encode the corpus against a stored quantizer as SCALAR-QUANTIZED
+    * postings `(id, cell, scale, q ARRAY<INT>)` — FAISS `IVF,SQ8`:
+    * the [[encodeIvf]] inverted-list layout at a quarter the bytes
+    * (int8 codes instead of float vectors; `scale` kept for
+    * dequantize-ability, ranking never reads it). Write
+    * `.partitionBy("cell")` so stored probes prune to their cells.
+    * NULL vectors get NULL cell/codes (the search join drops them). */
+  def encodeIvfSq(
+      corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame
+  ): DataFrame =
+    Similarity.sqEncode(corpus, idCol, vecCol, ivfModel(centroids))
+
+  /** Query a STORED IVF-SQ8 index: identical rows to
+    * [[Similarity.ivfSqKnn]] at the same training params — no
+    * retrain, the codes scan PRE-PRUNED to the probed cells (the
+    * [[ivfKnnIndexed]] discipline). `corpus` supplies the raw
+    * vectors for the exact rescore of the int8 shortlist. */
+  def ivfSqKnnIndexed(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: DataFrame, codes: DataFrame,
+      nProbe: Int = 3, shortlist: Int = 32
+  ): DataFrame = {
+    val cents = ivfModel(centroids)
+    val probedCells = Similarity
+      .ivfProbes(queries, idCol, vecCol, nProbe, cents)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // <= cents.length rows
+    val cz = codes
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id").as("neighbor_id"), col("cell"), col("q"))
+    Similarity.ivfSqSearchCore(
+      corpus, cz, queries, idCol, vecCol, k, shortlist, nProbe, cents)
+  }
+
   // ============================================================== IVF-PQ
   /** Train the residual PQ codebooks of a composed IVF-PQ index
     * against a stored centroids table ([[trainIvf]]'s output) and

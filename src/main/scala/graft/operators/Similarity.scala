@@ -640,26 +640,29 @@ object Similarity {
     * bounded by quantization error alone (no bucketing misses), the
     * trade being a full (cheap, int8) corpus pass per query batch.
     */
+  /** Integer dot product over int-code arrays: native codegen'd
+    * int_dot when the session has GraftExtensions (the interpreted
+    * aggregate/zip_with pair made the "cheap int8 pass" the expensive
+    * part — r5 verdict #3); the higher-order form stays as the
+    * extension-less fallback with identical null algebra. Shared by
+    * [[quantizedKnn]] and [[ivfSqSearchCore]] — ONE arithmetic. */
+  private def intDotCol: (Column, Column) => Column = {
+    val registered = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists(graft.functions.IntDotProduct.FUNC_NAME)).getOrElse(false)
+    if (registered) graft.functions.IntDotProduct(_, _)
+    else (a, b) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+  }
+
   def quantizedKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, shortlist: Int = 32
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    // stage-1 hot loop: native codegen'd int_dot when the session has
-    // GraftExtensions (the interpreted aggregate/zip_with pair made the
-    // "cheap int8 pass" the expensive part — r5 verdict #3); the
-    // higher-order form stays as the extension-less fallback with
-    // identical null algebra
-    val idot: (Column, Column) => Column = {
-      val registered = scala.util.Try(
-        org.apache.spark.sql.SparkSession.active.catalog
-          .functionExists(graft.functions.IntDotProduct.FUNC_NAME)).getOrElse(false)
-      if (registered) graft.functions.IntDotProduct(_, _)
-      else (a, b) =>
-        aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-          lit(0L), (acc, v) => acc + v)
-    }
+    val idot = intDotCol
     // norms are per-ROW constants: compute them once per vector before
     // the join, not per candidate pair (inlined, each |C|x|Q| pair
     // would re-reduce both vectors — ~5x the stage-1 arithmetic)
@@ -1111,6 +1114,98 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", col("qcdot") + adcUdf(col("codes"), col("qt")))
+      .filter(col("approx").isNotNull)
+      .withColumn("arank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    rescoreExact(corpus, queries, cand, idCol, vecCol, k)
+  }
+
+  // ============================================================== IVF-SQ8
+  /** IVF with scalar-quantized postings (the FAISS `IVF,SQ8` shape):
+    * the coarse quantizer routes vectors to cells as in [[ivfKnn]],
+    * but the postings store symmetric per-vector int8 codes
+    * ([[Quantize.int8]]'s formula) instead of float vectors — the
+    * index is 4× smaller, probes stream 4× fewer bytes, and stage-1
+    * ranking is exact integer arithmetic within the probed cells
+    * (per-vector scales cancel out of the code-space cosine, the
+    * [[quantizedKnn]] observation). The top `shortlist` per query
+    * rerank EXACTLY over the raw corpus ([[rescoreExact]]): SQ8 only
+    * CHOOSES candidates, every returned cosine is exact. Between
+    * [[ivfKnn]] (float postings, exact in-cell rank) and [[ivfPqKnn]]
+    * (m-byte codes, table-lookup rank), this is the middle storage
+    * point: dim bytes/vector, no codebook training beyond the coarse
+    * quantizer. */
+  def ivfSqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 3, shortlist: Int = 32, iters: Int = 10
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val centroids = trainIvfModel(corpus, idCol, vecCol, nCells, iters)
+    val codes = sqEncode(corpus, idCol, vecCol, centroids)
+      .select(col("id").as("neighbor_id"), col("cell"), col("q"))
+    ivfSqSearchCore(corpus, codes, queries, idCol, vecCol, k, shortlist, nProbe, centroids)
+  }
+
+  /** Scan-local SQ8 + cell encoding: `(id, cell, scale, q)` — the
+    * [[Quantize.int8]] formula with the cell assignment riding the
+    * same select ([[ivfAssignUdf]], shared with every IVF path).
+    * `scale` is stored for dequantize-ability; ranking never reads it
+    * (scales cancel out of the code-space cosine). Shared by
+    * [[ivfSqKnn]] and [[AnnIndex.encodeIvfSq]] — ONE arithmetic, so
+    * stored codes equal in-plan codes exactly. */
+  private[operators] def sqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]
+  ): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    corpus.select(col(idCol).as("id"),
+      ivfAssignUdf(centroids)(col(vecCol)).as("cell"),
+      maxAbs.as("scale"), col(vecCol).as("__v"))
+      .select(col("id"), col("cell"), col("scale"),
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x.cast("double") * lit(127.0) / col("scale"), 0))
+            .cast("int")).as("q"))
+  }
+
+  /** The probed-cell int8 shortlist + exact-rescore core over
+    * already-encoded `(neighbor_id, cell, q)` rows — shared verbatim
+    * by [[ivfSqKnn]] (in-plan encoding) and
+    * [[AnnIndex.ivfSqKnnIndexed]] (stored codes), so the two paths
+    * return identical rows. Stage-1 ranks by the code-space cosine
+    * (exact integer dots, norms precomputed per side before the
+    * join); null codes and zero norms drop to null and filter
+    * ([[quantizedKnn]]'s null contract). */
+  private[operators] def ivfSqSearchCore(
+      corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int, nProbe: Int,
+      centroids: Array[Array[Double]]
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val idot = intDotCol
+    val probeUdf = ivfProbeCellsUdf(centroids, nProbe)
+    val qz = Quantize.int8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("q").as("qq"))
+      .withColumn("qn", sqrt(idot(col("qq"), col("qq")).cast("double")))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .withColumn("cell", explode(probeUdf(col("qv").cast("array<double>"))))
+      .select("query_id", "cell", "qq", "qn")
+    val cz = codes
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("q").as("cq"))
+      .withColumn("cn", sqrt(idot(col("cq"), col("cq")).cast("double")))
+    val denom = col("qn") * col("cn")
+    val approx = when(denom === 0.0, lit(null))
+      .otherwise(idot(col("qq"), col("cq")).cast("double") / denom)
+    val cand = cz
+      .join(broadcast(qz), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", approx)
       .filter(col("approx").isNotNull)
       .withColumn("arank",
         row_number().over(

@@ -560,6 +560,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.65, s"IVF-PQ recall $recall under the pinned floor")
   }
 
+  test("ivfSqKnn: exhaustive probes + full shortlist reproduce brute top-k; probed int8 recall holds; nulls/zeros harden") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 40L).map(i => i -> vec(i.toInt)) ++
+        Seq(40L -> null.asInstanceOf[Array[Float]],
+          41L -> Array.fill(dim)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3 || col("vec_id") >= 40L)
+    val all = Similarity.ivfSqKnn(df, queries, "vec_id", "embedding",
+        k = 3, nCells = 4, nProbe = 4, shortlist = 40).collect()
+    assert(!all.exists(r => r.getLong(1) >= 40L), "null/zero corpus rows surfaced")
+    assert(!all.exists(r => r.getLong(0) >= 40L), "null/zero queries returned results")
+    val brute = Similarity.knnBrute(
+        df.filter(col("vec_id") < 40L), queries.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(all.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === brute)
+    // production regime: int8 code-space ranking within 2 probed cells
+    val tight = Similarity.ivfSqKnn(df, queries, "vec_id", "embedding",
+        k = 3, nCells = 4, nProbe = 2, shortlist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.map(t => (t._1, t._2))
+    val recall = brutePairs.count(tight.contains).toDouble / brutePairs.size
+    assert(recall >= 0.65, s"IVF-SQ8 recall $recall under the pinned floor")
+  }
+
   test("quantizedKnn stage-1 shortlist is a pre-shuffle bounded heap (WindowGroupLimit)") {
     import spark.implicits._
     val df = (0L until 20L).map(i =>
@@ -779,6 +807,19 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 3, shortlist = 10))
     assert(storedIvfPq === retrainIvfPq,
       "stored-IVF-PQ path diverged from the retrain path")
+
+    // IVF-SQ8: scalar-quantized postings, same bitwise contract
+    val retrainIvfSq = collected(
+      Similarity.ivfSqKnn(df, queries, "vec_id", "embedding", k = 3,
+        nCells = 8, nProbe = 3, shortlist = 10))
+    AnnIndex.encodeIvfSq(df, "vec_id", "embedding", cents)
+      .write.partitionBy("cell").parquet(s"$dir/ivfsq_codes")
+    val storedIvfSq = collected(AnnIndex.ivfSqKnnIndexed(
+      df, queries, "vec_id", "embedding", k = 3,
+      cents, spark.read.parquet(s"$dir/ivfsq_codes"),
+      nProbe = 3, shortlist = 10))
+    assert(storedIvfSq === retrainIvfSq,
+      "stored-IVF-SQ8 path diverged from the retrain path")
 
     // model-table validation fails loud: a filtered centroids table
     // (gap), a duplicated codebook row, and a corpus passed as a model
