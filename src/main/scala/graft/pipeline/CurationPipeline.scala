@@ -2147,7 +2147,8 @@ object CurationPipeline {
     // vector over its lifetime, and (the model being frozen) the
     // incrementally-built table is identical to a from-scratch encode
     // of the full corpus. Output is always the FULL encoded table.
-    "knn_encode" -> Op(Set("model", "centroids", "id", "vec", "mode", "buckets"), { c =>
+    "knn_encode" -> Op(Set("model", "centroids", "quantize", "id", "vec",
+      "mode", "buckets"), { c =>
       val eid = c.params.str("id", c.idCol)
       val vec = c.params.str("vec", "embedding")
       for (needed <- Seq(eid, vec))
@@ -2156,23 +2157,35 @@ object CurationPipeline {
       val model = c.resolve(c.params.reqStr("model"))
       // `centroids:` beside a codebooks model selects the COMPOSED
       // IVF-PQ encode (cell + residual codes); pq and ivfpq codebook
-      // tables share a schema, so the param is the family switch
+      // tables share a schema, so the param is the family switch.
+      // `quantize: sq8` on a centroids model selects scalar-quantized
+      // postings (int8 codes, a quarter the bytes — FAISS IVF,SQ8).
       val (family, schema) =
         if (model.columns.contains("cell")) {
           require(!c.params.has("centroids"),
             s"step ${c.stepName}: centroids applies to codebook models " +
               "(the model IS the centroids table here)")
-          ("ivf", "id BIGINT, cell INT, vector ARRAY<FLOAT>")
-        } else if (model.columns.contains("subspace") && c.params.has("centroids"))
-          ("ivfpq", "id BIGINT, cell INT, codes ARRAY<INT>")
-        else if (model.columns.contains("subspace"))
-          ("pq", "id BIGINT, codes ARRAY<INT>")
-        else throw new IllegalArgumentException(
+          c.params.str("quantize", "none") match {
+            case "none" => ("ivf", "id BIGINT, cell INT, vector ARRAY<FLOAT>")
+            case "sq8"  => ("ivfsq", "id BIGINT, cell INT, scale DOUBLE, q ARRAY<INT>")
+            case other  => throw new IllegalArgumentException(
+              s"step ${c.stepName}: quantize must be none or sq8, got '$other'")
+          }
+        } else if (model.columns.contains("subspace")) {
+          require(!c.params.has("quantize"),
+            s"step ${c.stepName}: quantize applies to centroid models only " +
+              "(codebook models ARE the quantization)")
+          if (c.params.has("centroids"))
+            ("ivfpq", "id BIGINT, cell INT, codes ARRAY<INT>")
+          else ("pq", "id BIGINT, codes ARRAY<INT>")
+        } else throw new IllegalArgumentException(
           s"step ${c.stepName}: table '${c.params.reqStr("model")}' is not a " +
             "knn model (expected a 'cell' or 'subspace' column)")
       lazy val cents = c.resolve(c.params.reqStr("centroids"))
       def encodeAll(df: DataFrame, idc: String): DataFrame =
         if (family == "ivf") graft.operators.AnnIndex.encodeIvf(df, idc, vec, model)
+        else if (family == "ivfsq")
+          graft.operators.AnnIndex.encodeIvfSq(df, idc, vec, model)
         else if (family == "ivfpq")
           graft.operators.AnnIndex.encodeIvfPq(df, idc, vec, cents, model)
         else graft.operators.AnnIndex.encodePq(df, idc, vec, model)
@@ -2212,12 +2225,26 @@ object CurationPipeline {
       val codes = c.resolve(c.params.reqStr("codes"))
       val k = c.params.int("k", 10)
       if (model.columns.contains("cell")) {
-        require(!c.params.has("corpus") && !c.params.has("shortlist") &&
-          !c.params.has("centroids"),
-          s"step ${c.stepName}: corpus/shortlist/centroids apply to codebook " +
-            "models only (IVF postings carry the vectors)")
-        graft.operators.AnnIndex.ivfKnnIndexed(c.input, eid, vec, k,
-          model, codes, c.params.int("nProbe", 3))
+        require(!c.params.has("centroids"),
+          s"step ${c.stepName}: centroids applies to codebook models " +
+            "(the model IS the centroids table here)")
+        if (codes.columns.contains("q")) {
+          // scalar-quantized postings (knn_encode quantize: sq8):
+          // int8 rank within probed cells, exact rescore from corpus
+          val corpus = c.resolve(c.params.reqStr("corpus"))
+          for (needed <- Seq(eid, vec))
+            require(corpus.columns.contains(needed),
+              s"step ${c.stepName}: corpus table has no column '$needed'")
+          graft.operators.AnnIndex.ivfSqKnnIndexed(corpus, c.input, eid, vec, k,
+            model, codes, c.params.int("nProbe", 3),
+            c.params.int("shortlist", math.max(32, 2 * k)))
+        } else {
+          require(!c.params.has("corpus") && !c.params.has("shortlist"),
+            s"step ${c.stepName}: corpus/shortlist apply to quantized codes " +
+              "only (IVF postings carry the vectors)")
+          graft.operators.AnnIndex.ivfKnnIndexed(c.input, eid, vec, k,
+            model, codes, c.params.int("nProbe", 3))
+        }
       } else if (model.columns.contains("subspace")) {
         val corpus = c.resolve(c.params.reqStr("corpus"))
         for (needed <- Seq(eid, vec))

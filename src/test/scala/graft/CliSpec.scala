@@ -2956,6 +2956,51 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("merge_rank"), e.getMessage)
   }
 
+  test("pipeline knn_encode quantize: sq8 — scalar-quantized postings through train/encode/query equal the direct stored path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnIndex
+    val dim = 12
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val (src, out) = (tempDir(), tempDir())
+    val embs = (0L until 30L).map(i => (i, s"doc $i", vec(i.toInt)))
+      .toDF("vec_id", "text", "embedding")
+    embs.write.parquet(s"$src/embeddings.parquet")
+    embs.filter(col("vec_id") < 3).write.parquet(s"$src/queries.parquet")
+    val y = Files.createTempFile("graft-pipe-sq8", ".yaml")
+    Files.writeString(y,
+      """pipeline: ann_sq8
+        |id: vec_id
+        |text: text
+        |steps:
+        |  - name: ann_model
+        |    op: knn_train
+        |    input: embeddings
+        |    params: { family: ivf, nCells: "4" }
+        |  - name: ann_codes
+        |    op: knn_encode
+        |    input: embeddings
+        |    params: { model: ann_model, quantize: sq8 }
+        |  - name: neighbors
+        |    op: knn
+        |    input: queries
+        |    params: { model: ann_model, codes: ann_codes, corpus: embeddings,
+        |              k: "3", nProbe: "2", shortlist: "8" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", y.toString, src, out), spark)
+    // the codes table is the SQ8 shape (int8 codes + scale, no vectors)
+    val codes = spark.read.parquet(s"$out/ann_codes")
+    assert(codes.columns.toSet === Set("id", "cell", "scale", "q"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val direct = AnnIndex.ivfSqKnnIndexed(
+      embs, embs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      spark.read.parquet(s"$out/ann_model"), codes, nProbe = 2, shortlist = 8)
+    assert(rows(spark.read.parquet(s"$out/neighbors")) === rows(direct),
+      "pipeline SQ8 chain diverged from the direct stored path")
+  }
+
   test("pipeline ann nights: change_detect + frozen-model IVF-PQ admission over three nights equals the one-shot stored index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
