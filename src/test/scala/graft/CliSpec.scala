@@ -2999,6 +2999,43 @@ class CliSpec extends SparkSpec {
       spark.read.parquet(s"$out/ann_model"), codes, nProbe = 2, shortlist = 8)
     assert(rows(spark.read.parquet(s"$out/neighbors")) === rows(direct),
       "pipeline SQ8 chain diverged from the direct stored path")
+
+    // incremental maintenance of the SQ8 store (mode: admit — the
+    // DOUBLE scale column must round-trip the bucket store's schema):
+    // night 2 encodes only the new vectors; the maintained table
+    // equals a from-scratch encode against the same frozen model
+    val state = tempDir()
+    val model = spark.read.parquet(s"$out/ann_model")
+    val modelSrc = tempDir()
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$out/ann_model"), new java.io.File(s"$modelSrc/ann_model.parquet"))
+    val y2 = Files.createTempFile("graft-pipe-sq8b", ".yaml")
+    Files.writeString(y2,
+      """pipeline: ann_sq8_admit
+        |id: vec_id
+        |text: text
+        |steps:
+        |  - name: codes
+        |    op: knn_encode
+        |    input: embeddings
+        |    params: { model: ann_model, quantize: sq8, mode: admit, buckets: "8" }
+        |""".stripMargin)
+    def nightAdmit(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$modelSrc/embeddings.parquet"))
+      rows.write.parquet(s"$modelSrc/embeddings.parquet")
+      val o = tempDir()
+      Cli.run(Seq("pipeline", y2.toString, modelSrc, o, "--state", state), spark)
+      spark.read.parquet(s"$o/codes")
+    }
+    assert(nightAdmit(embs.filter(col("vec_id") < 20)).count() === 20L)
+    val night2 = nightAdmit(embs)
+    def codeRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Double, Seq[Int])] =
+      df.select("id", "cell", "scale", "q")
+        .as[(Long, Int, Double, Seq[Int])].collect().toSet
+    assert(codeRows(night2) ===
+      codeRows(AnnIndex.encodeIvfSq(embs, "vec_id", "embedding", model)),
+      "incrementally-maintained SQ8 store diverged from a from-scratch encode")
   }
 
   test("pipeline ann nights: change_detect + frozen-model IVF-PQ admission over three nights equals the one-shot stored index") {
