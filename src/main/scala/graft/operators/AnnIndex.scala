@@ -47,6 +47,24 @@ object AnnIndex {
     rows
   }
 
+  /** The distinct probed-cell set of a query batch — bounded by the
+    * cell count (never the query count), collected driver-side to
+    * become an IN filter on the stored table's `cell` partition
+    * column, so a `partitionBy("cell")` index reads only its probed
+    * partitions (partition pruning pinned in PlanSpec). The probes
+    * subplan evaluates twice (once here, once in the search join) —
+    * deliberate: queries are the SMALL side by construction, and
+    * persisting a frame that escapes into the returned lazy plan
+    * could not be unpersisted safely. Filtering to probed cells
+    * cannot change the join result, so stored == retrain equality is
+    * preserved. Shared by every stored-index query path. */
+  private def probedCells(
+      queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int, cents: Array[Array[Double]]): Seq[Int] =
+    Similarity.ivfProbes(queries, idCol, vecCol, nProbe, cents)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // <= cents.length rows
+
   // ================================================================ IVF
 
   /** Train an IVF coarse quantizer and return it as a table:
@@ -99,15 +117,10 @@ object AnnIndex {
 
   /** Query a STORED IVF index: identical rows to
     * [[Similarity.ivfKnn]] at the same training params — no retrain,
-    * and the postings scan is PRE-PRUNED to the probed cells: the
-    * distinct probed-cell set (bounded by the cell count, never the
-    * query count) collects driver-side and becomes an IN filter on
-    * the partition column, so a `partitionBy("cell")` postings table
-    * reads only its probed partitions — at 1024 cells and nProbe 3 a
-    * query batch touching 30 cells reads ~3% of the index instead of
-    * scanning it (partition pruning pinned in PlanSpec). Filtering to
-    * probed cells cannot change the join result, so stored==retrain
-    * equality is preserved. */
+    * and the postings scan is PRE-PRUNED to the probed cells
+    * ([[probedCells]]) — at 1024 cells and nProbe 3 a query batch
+    * touching 30 cells reads ~3% of the index instead of scanning
+    * it. */
   def ivfKnnIndexed(
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       centroids: DataFrame, postings: DataFrame, nProbe: Int = 3
@@ -117,14 +130,9 @@ object AnnIndex {
       col("id").as("neighbor_id"), col("vector").as("cv"),
       col("cell").cast("int").as("cell"))
     val probes = Similarity.ivfProbes(queries, idCol, vecCol, nProbe, model)
-    // the probes subplan evaluates twice (once for this bounded
-    // collect, once in the search join) — deliberate: queries are the
-    // SMALL side by construction, and persisting a frame that escapes
-    // into the returned lazy plan could not be unpersisted safely
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq // <= model.length rows
+    val cells = probedCells(queries, idCol, vecCol, nProbe, model)
     Similarity.ivfSearchOnProbes(
-      assigned.filter(col("cell").isin(probedCells: _*)), probes, k)
+      assigned.filter(col("cell").isin(cells: _*)), probes, k)
   }
 
   // ================================================================ PQ
@@ -219,12 +227,8 @@ object AnnIndex {
       nProbe: Int = 3, shortlist: Int = 32
   ): DataFrame = {
     val cents = ivfModel(centroids)
-    val probedCells = Similarity
-      .ivfProbes(queries, idCol, vecCol, nProbe, cents)
-      .select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq // <= cents.length rows
     val cz = codes
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells(queries, idCol, vecCol, nProbe, cents): _*))
       .select(col("id").as("neighbor_id"), col("cell"), col("q"))
     Similarity.ivfSqSearchCore(
       corpus, cz, queries, idCol, vecCol, k, shortlist, nProbe, cents)
@@ -291,12 +295,8 @@ object AnnIndex {
   ): DataFrame = {
     val cents = ivfModel(centroids)
     val model = pqModel(codebooks)
-    val probedCells = Similarity
-      .ivfProbes(queries, idCol, vecCol, nProbe, cents)
-      .select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq // <= cents.length rows
     val cz = codes
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells(queries, idCol, vecCol, nProbe, cents): _*))
       .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
     Similarity.ivfPqSearchCore(
       corpus, cz, queries, idCol, vecCol, k, shortlist, nProbe, cents, model)

@@ -1179,15 +1179,27 @@ object Multimodal {
     * real capture can now feed video near-dup AND audio near-dup.
     * Fails loud when the container has no audio or a non-PCM16-mono
     * layout (the [[decodeAudio]] gate contract). */
-  def aviAudioWav(id: Long, bytes: Array[Byte]): Array[Byte] = {
-    val a = aviDemux(id, bytes).audio.getOrElse(throw new IllegalArgumentException(
+  def aviAudioWav(id: Long, bytes: Array[Byte]): Array[Byte] =
+    aviAudioWavOf(id, aviDemux(id, bytes))
+
+  /** [[aviAudioWav]] over an ALREADY-demuxed container — so a
+    * consumer needing both streams ([[avContentChecksums]]) pays one
+    * demux, not two. */
+  private def aviAudioWavOf(id: Long, content: AviContent): Array[Byte] = {
+    val a = content.audio.getOrElse(throw new IllegalArgumentException(
       s"doc $id: AVI has no audio stream"))
     require(a.bits == 16 && a.channels == 1,
       s"doc $id: expected PCM16 mono soundtrack, got ${a.bits}-bit " +
         s"${a.channels}-channel")
-    val fmt = new javax.sound.sampled.AudioFormat(a.sample_rate.toFloat, 16, 1, true, false)
+    pcmLeToWav(a.pcm, a.sample_rate)
+  }
+
+  /** Little-endian mono PCM16 → standalone WAV via the real JDK
+    * encoder — the shared tail of both containers' audio bridges. */
+  private def pcmLeToWav(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(a.pcm), fmt, a.pcm.length / 2L)
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2L)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
@@ -1487,14 +1499,22 @@ object Multimodal {
           case other => fail(s"$where: expected exactly one '$t', got ${other.length}")
         }
       val (tkS, tkE) = one(trakKids, "tkhd", "trak")
-      if (tkE - tkS < 8) fail("tkhd too short")
+      if (tkE - tkS < 4) fail("tkhd too short")
       val tkV = bytes(tkS) & 0xFF
+      // version-dependent field offsets: reading past the box end
+      // would either index past the payload (raw AIOOBE, no doc id)
+      // or land in the NEXT box's bytes (garbage track id, parse
+      // "succeeds") — both violate the fail-loud contract
+      if (tkE - tkS < (if (tkV == 1) 24 else 16))
+        fail(s"tkhd (version $tkV) too short for its track id")
       val trackId = if (tkV == 1) be32(tkS + 20) else be32(tkS + 12)
       val (mdS, mdE) = one(trakKids, "mdia", "trak")
       val mdiaKids = boxesIn(mdS, mdE, topLevel = false)
       val (mhS, mhE) = one(mdiaKids, "mdhd", "mdia")
-      if (mhE - mhS < 20) fail("mdhd too short")
+      if (mhE - mhS < 4) fail("mdhd too short")
       val mhV = bytes(mhS) & 0xFF
+      if (mhE - mhS < (if (mhV == 1) 24 else 16))
+        fail(s"mdhd (version $mhV) too short for its timescale")
       val timescale = if (mhV == 1) be32(mhS + 20) else be32(mhS + 12)
       val (hdS, hdE) = one(mdiaKids, "hdlr", "mdia")
       if (hdE - hdS < 12) fail("hdlr too short")
@@ -1521,6 +1541,7 @@ object Multimodal {
         }
       // stts: total declared samples
       val (ttS, ttE) = one(stbl, "stts", "stbl")
+      if (ttE - ttS < 8) fail("stts too short for its entry count")
       val nStts = be32(ttS + 4)
       if (ttS + 8 + nStts * 8 > ttE) fail("stts table truncated")
       var sttsTotal = 0L
@@ -1546,6 +1567,7 @@ object Multimodal {
           stbl.collectFirst { case ("co64", s, e) => (s, e, true) }) match {
           case None => fail("stbl has neither stco nor co64")
           case Some((s, e, wide)) =>
+            if (e - s < 8) fail("chunk offset box too short for its entry count")
             val n = be32(s + 4)
             val w = if (wide) 8 else 4
             if (s + 8 + n * w > e) fail("chunk offset table truncated")
@@ -1554,6 +1576,7 @@ object Multimodal {
         }
       // stsc runs -> samples-per-chunk for every chunk
       val (scS, scE) = one(stbl, "stsc", "stbl")
+      if (scE - scS < 8) fail("stsc too short for its entry count")
       val nRuns = be32(scS + 4).toInt
       if (scS + 8 + nRuns * 12L > scE) fail("stsc table truncated")
       val runs = Array.tabulate(nRuns)(i =>
@@ -1606,7 +1629,10 @@ object Multimodal {
     * in sample order (PNG frames under this muxer). Fails loud when
     * the container has no video track. */
   def mp4Frames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] =
-    mp4Demux(id, bytes).tracks.find(_.handler == "vide").map(_.samples)
+    mp4FramesOf(id, mp4Demux(id, bytes))
+
+  private def mp4FramesOf(id: Long, content: Mp4Content): Seq[Array[Byte]] =
+    content.tracks.find(_.handler == "vide").map(_.samples)
       .getOrElse(throw new IllegalArgumentException(
         s"doc $id: MP4 has no video track"))
 
@@ -1617,8 +1643,11 @@ object Multimodal {
     * real JDK encoder, so one MP4 capture feeds every existing audio
     * pass. Fails loud on a missing/ compressed/ non-mono-16
     * soundtrack. */
-  def mp4AudioWav(id: Long, bytes: Array[Byte]): Array[Byte] = {
-    val t = mp4Demux(id, bytes).tracks.find(_.handler == "soun")
+  def mp4AudioWav(id: Long, bytes: Array[Byte]): Array[Byte] =
+    mp4AudioWavOf(id, mp4Demux(id, bytes))
+
+  private def mp4AudioWavOf(id: Long, content: Mp4Content): Array[Byte] = {
+    val t = content.tracks.find(_.handler == "soun")
       .getOrElse(throw new IllegalArgumentException(
         s"doc $id: MP4 has no audio track"))
     val fmt = t.audio.getOrElse(throw new IllegalArgumentException(
@@ -1637,13 +1666,7 @@ object Multimodal {
       else { pcm(p) = s(0); pcm(p + 1) = s(1) }
       p += 2
     }
-    val f = new javax.sound.sampled.AudioFormat(fmt.sample_rate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), f, pcm.length / 2L)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    pcmLeToWav(pcm, fmt.sample_rate)
   }
 
   /** Soundtrack extraction with container dispatch: AVI via
@@ -1764,9 +1787,16 @@ object Multimodal {
         it.map { case (id, bytes) =>
           // container dispatch: RIFF/AVI walks LIST chunks, ISO-BMFF
           // reconstructs the sample tables — both land on the same
-          // (frames, soundtrack-WAV) shape and the same checksums
-          val frames =
-            if (isAvi(bytes)) aviDemux(id, bytes).frames else mp4Frames(id, bytes)
+          // (frames, soundtrack-WAV) shape and the same checksums,
+          // and each container demuxes ONCE for both streams
+          val (frames, wav) =
+            if (isAvi(bytes)) {
+              val c = aviDemux(id, bytes)
+              (c.frames, aviAudioWavOf(id, c))
+            } else {
+              val c = mp4Demux(id, bytes)
+              (mp4FramesOf(id, c), mp4AudioWavOf(id, c))
+            }
           var vSum = 0L
           frames.zipWithIndex.foreach { case (fb, f) =>
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
@@ -1778,8 +1808,6 @@ object Multimodal {
               i += 1
             }
           }
-          // the full bridge: container -> WAV bytes -> real JDK decode
-          val wav = containerAudioWav(id, bytes)
           val s = pcm16Samples(id, wav)
           var (a1, a2) = (0L, 0L)
           var i = 0

@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** Per-vector max |v| — the symmetric int8 scale. Materialize it as
+    * its own column BEFORE feeding [[int8CodesCol]]: higher-order
+    * functions are interpreted with no subexpression caching, so an
+    * inlined maxAbs would re-reduce the whole vector for EVERY
+    * element (O(d²) per vector instead of O(d)). */
+  private[operators] def maxAbsCol(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** The int8 code array of `vec` against an already-materialized
+    * `scale` column — THE quantization formula, shared by [[int8]]
+    * and [[Similarity.sqEncode]] so corpus and query codes can never
+    * silently desynchronize. Zero scale → all-zero codes. */
+  private[operators] def int8CodesCol(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(round(x.cast("double") * lit(127.0) / scale, 0))
+        .cast("int"))
+
   /** Quantize `vecCol` (array of float/double) to (scale, q) where
     * `scale` is the vector's max absolute value and `q` the int8
     * codes. Zero vectors quantize to all-zero codes with scale 0. */
@@ -23,18 +41,9 @@ object Quantize {
       require(!emb.columns.contains(c) || c == vecCol,
         s"int8 would overwrite existing column '$c' — rename it first")
     }
-    val maxAbs: Column =
-      array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    // materialize the scale BEFORE the per-element lambda: higher-order
-    // functions are interpreted with no subexpression caching, so an
-    // inlined maxAbs would re-reduce the whole vector for EVERY element
-    // (O(d^2) per vector instead of O(d))
-    emb.select(col(idCol), maxAbs.as("scale"), col(vecCol).as("__v"))
+    emb.select(col(idCol), maxAbsCol(col(vecCol)).as("scale"), col(vecCol).as("__v"))
       .select(col(idCol), col("scale"),
-        transform(col("__v"), x =>
-          when(col("scale") === 0.0, lit(0))
-            .otherwise(round(x.cast("double") * lit(127.0) / col("scale"), 0))
-            .cast("int")).as("q"))
+        int8CodesCol(col("__v"), col("scale")).as("q"))
   }
 
   /** Reconstruct approximate double vectors from [[int8]] output. */

@@ -1161,17 +1161,12 @@ object Similarity {
   private[operators] def sqEncode(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]
-  ): DataFrame = {
-    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+  ): DataFrame =
     corpus.select(col(idCol).as("id"),
       ivfAssignUdf(centroids)(col(vecCol)).as("cell"),
-      maxAbs.as("scale"), col(vecCol).as("__v"))
+      Quantize.maxAbsCol(col(vecCol)).as("scale"), col(vecCol).as("__v"))
       .select(col("id"), col("cell"), col("scale"),
-        transform(col("__v"), x =>
-          when(col("scale") === 0.0, lit(0))
-            .otherwise(round(x.cast("double") * lit(127.0) / col("scale"), 0))
-            .cast("int")).as("q"))
-  }
+        Quantize.int8CodesCol(col("__v"), col("scale")).as("q"))
 
   /** The probed-cell int8 shortlist + exact-rescore core over
     * already-encoded `(neighbor_id, cell, q)` rows — shared verbatim

@@ -215,10 +215,12 @@ object Unigram {
     val lnT = lnBig(totalSmoothed)
     val bc = spark.sparkContext.broadcast(vmap)
     val lls = wordCounts(docs, textCol).as[(String, Long)].mapPartitions { it =>
+      // once per PARTITION: mpl BigInt pows of a potentially
+      // hundreds-of-bits total, not once per word
+      val tPow = Array.tabulate(mpl)(l => totalSmoothed.pow(l))
       it.map { case (w, f) =>
         val n = w.length
         val zero = BigInt(0)
-        val tPow = Array.tabulate(mpl)(l => totalSmoothed.pow(l))
         val a = Array.fill[BigInt](n + 1)(zero); a(0) = BigInt(1)
         var i = 0
         while (i < n) {
@@ -237,6 +239,7 @@ object Unigram {
         else f * (lnBig(a(n)) - n * lnT)
       }
     }.collect()
+    bc.destroy()
     lls.sum
   }
 
@@ -304,6 +307,12 @@ object Unigram {
       // E-step: scan-local DP over the distinct-word table, one
       // exchange — hard counts each piece once per Viterbi use; soft
       // aggregates forward-backward expectations (quantized longs)
+      // the usage SUM aggregates as decimal(38,0): per-row values fit
+      // a Long by construction, but soft-EM rows carry the 2^20 scale
+      // and a Long sum would wrap SILENTLY at corpus scale (~8.8e12
+      // occurrences of one piece) — the M-step would then rank
+      // garbage with no error. Decimal sums are exact; the driver
+      // bound check below turns would-be wraps into a loud failure.
       val usage: Map[String, Long] =
         (if (em == "hard")
           wf.flatMap { case (w, f) =>
@@ -316,8 +325,16 @@ object Unigram {
           wf.flatMap { case (w, f) =>
             expectedCounts(w, bc.value, mpl, totalSmoothed, f)
           }
-        }).toDF("token", "f").groupBy("token").agg(sum("f").as("u"))
-        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+        }).toDF("token", "f")
+        .groupBy("token").agg(sum(col("f").cast("decimal(38,0)")).as("u"))
+        .collect().map { row =>
+          val u = row.getDecimal(1)
+          require(u.compareTo(new java.math.BigDecimal(Long.MaxValue)) <= 0,
+            s"trainVocab: usage of piece '${row.getString(0)}' overflows Long " +
+              s"($u) — corpus too large for the $SoftScale-scaled soft-EM " +
+              "counts; shard the corpus or train hard-EM")
+          row.getString(0) -> u.longValueExact()
+        }.toMap
       bc.destroy()
       // M-step: singles always survive (coverage); multis prune to the
       // round's budget by (usage DESC, token ASC) among used pieces

@@ -327,6 +327,31 @@ class PlanSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("stored-IVF-SQ8 query prunes the codes scan to the probed cells (partition filters on the quantized postings)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnIndex
+    val dim = 8
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val emb = (0L until 48L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-ivfsq").toString
+    val cents = AnnIndex.trainIvf(emb, "vec_id", "embedding", nCells = 8)
+    AnnIndex.encodeIvfSq(emb, "vec_id", "embedding", cents)
+      .write.partitionBy("cell").parquet(s"$dir/codes")
+    val out = AnnIndex.ivfSqKnnIndexed(
+      emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", k = 3,
+      cents, spark.read.parquet(s"$dir/codes"), nProbe = 2, shortlist = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("codes")).getOrElse(
+      fail(s"no codes FileScan in plan:\n$plan"))
+    assert(scanLine.contains("PartitionFilters: [") &&
+      scanLine.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+        .contains("cell"),
+      s"codes scan must prune on the probed cells:\n$scanLine")
+    assert(out.count() > 0)
+  }
+
   test("stored-IVF-PQ query prunes the codes scan to the probed cells (partition filters on the composed index)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
