@@ -304,6 +304,33 @@ object Bench {
   /** Pinned gc_frac honesty threshold (see distortedFlag). */
   private[graft] val GcFracThreshold = 0.10
 
+  /** Bounded prelaunch idle-wait (r14 verdict: ambient driver-machine
+    * load vetoed two consecutive otherwise-clean records). Polls the
+    * 1-min loadavg until it drops below `threshold` (the distortedFlag
+    * START trigger, cpus/16) or `budgetMs` expires. Returns
+    * (waited seconds, reached idle). Injectable reader/sleeper so
+    * BenchFlagSpec can pin both outcomes without real sleeps. The
+    * first reading is taken BEFORE any sleep, so an already-idle
+    * machine waits zero. */
+  private[graft] def waitForIdle(
+      threshold: Double, budgetMs: Long, pollMs: Long,
+      read: () => Option[Double],
+      sleep: Long => Unit = Thread.sleep): (Double, Boolean) = {
+    require(threshold > 0 && budgetMs >= 0 && pollMs > 0,
+      s"waitForIdle: bad parameters ($threshold, $budgetMs, $pollMs)")
+    // an unreadable loadavg (non-Linux) counts as idle: the flag logic
+    // downstream degrades the same way and must not spin the budget
+    var waited = 0L
+    var idle = read().forall(_ < threshold)
+    while (!idle && waited < budgetMs) {
+      val step = math.min(pollMs, budgetMs - waited)
+      sleep(step)
+      waited += step
+      idle = read().forall(_ < threshold)
+    }
+    (waited / 1000.0, idle)
+  }
+
   /** Per-ROW contention attribution: entries whose median ran more
     * than 2× their own min are individually load-distorted — the
     * med/min divergence signal at row grain, so a contended window
@@ -393,10 +420,33 @@ object Bench {
     // SPARK_GRAFT_LOADAVG0 goes one step further: a wrapper can pass
     // the loadavg from BEFORE sbt itself launched, e.g.
     //   SPARK_GRAFT_LOADAVG0="$(cut -d' ' -f1-3 /proc/loadavg)" sbt ...
-    val loadJvmStart  = loadavg
     val loadPrelaunch = sys.env.getOrElse("SPARK_GRAFT_LOADAVG0", "")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Bounded idle-wait BEFORE the honesty readings: ambient machine
+    // load (sbt compile tails, a co-scheduled verify) vetoed two
+    // consecutive otherwise-clean driver records via the START trigger.
+    // Wait until the 1-min loadavg drops under cpus/16 (the trigger
+    // threshold) or the budget expires — either way the outcome is in
+    // the record, so a flagged start is now "still loaded after Ns",
+    // never "launched into a transient".
+    val idleBudgetS = sys.env.get("SPARK_GRAFT_IDLE_WAIT_S")
+      .flatMap(_.toIntOption).getOrElse(240)
+    val (idleWaitedS, idleReached) = waitForIdle(
+      threshold = cpus.toDouble / 16.0, budgetMs = idleBudgetS * 1000L,
+      pollMs = 5000L,
+      read = () => loadavg.split("\\s+").headOption.flatMap(_.toDoubleOption))
+    if (idleWaitedS > 0)
+      System.err.println(
+        f"[bench] idle-wait: ${idleWaitedS}%.0fs (reached idle: $idleReached)")
+    // loadavg at JVM entry is read AFTER the idle-wait — it is the
+    // honesty signal for the run that is about to start, and waiting
+    // out a transient is exactly what makes it meaningful. A PRELAUNCH
+    // reading taken before sbt launched is likewise superseded when
+    // the wait reached idle: it would veto a run the machine has since
+    // gone quiet for. It stays in the record verbatim either way.
+    val loadJvmStart = loadavg
+    val prelaunchForFlag = if (idleReached) "" else loadPrelaunch
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -495,7 +545,7 @@ object Bench {
     // detail file stamps a per-query 1-min loadavg so a contended
     // WINDOW is attributable to the specific entries it inflated.
     val loadDistorted = distortedFlag(
-      prelaunch = loadPrelaunch, jvmStart = loadJvmStart, start = loadStart,
+      prelaunch = prelaunchForFlag, jvmStart = loadJvmStart, start = loadStart,
       end = loadEnd, cpus = cpus.toDouble,
       totalMed = results.map(_._2.wallMed).filter(_ >= 0).sum,
       totalMin = results.map(_._2.wallMin).filter(_ >= 0).sum,
@@ -532,6 +582,7 @@ object Bench {
         s"""$gcJson,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""loadavg_jvm_start":"$loadJvmStart","loadavg_prelaunch":"$loadPrelaunch",""" +
+        f""""idle_wait_s":$idleWaitedS%.1f,"idle_wait_reached":$idleReached,""" +
         s""""load_distorted":$loadDistorted,$distortedJson,""" +
         s"""$failJson,""" +
         s""""queries":${jmap(_.wallMed)},""" +
@@ -563,6 +614,7 @@ object Bench {
         s"""$gcJson,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""loadavg_jvm_start":"$loadJvmStart","loadavg_prelaunch":"$loadPrelaunch",""" +
+        f""""idle_wait_s":$idleWaitedS%.1f,"idle_wait_reached":$idleReached,""" +
         s""""load_distorted":$loadDistorted,$distortedJson,""" +
         s"""$failJson,""" +
         s""""n_queries":$nOk,"detail":"$detailPath",""" +

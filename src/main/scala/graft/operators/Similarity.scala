@@ -1091,23 +1091,28 @@ object Similarity {
     // dot(u_q, c(cell)) for a probe row — the IVFADC coarse term. The
     // centroids are unit, so this is the same cosine the probe ranked
     // cells by; computed per (query, cell), nProbe rows per query.
-    val qcDotUdf = udf { (qv: Seq[Float], cell: Int) =>
+    val qcDotUdf = udf { (qid: String, qv: Seq[Float], cell: Int) =>
       if (qv == null) null
       else {
         val v = qv.toArray.map(_.toDouble)
+        val c = centroids(cell)
+        // fail-loud discipline: a truncated dot would silently misrank
+        // cells for this query (pqAdcTableUdf raises on the same row,
+        // but this UDF must not depend on a sibling's evaluation order)
+        require(v.length == c.length,
+          s"ivfPqSearch: query '$qid' has dim ${v.length}, " +
+            s"centroids have dim ${c.length}")
         val n = math.sqrt(v.map(x => x * x).sum)
         val u = if (n > 0) v.map(_ / n) else v
-        val c = centroids(cell)
         var dot = 0.0; var j = 0
-        val lim = math.min(u.length, c.length)
-        while (j < lim) { dot += u(j) * c(j); j += 1 }
+        while (j < c.length) { dot += u(j) * c(j); j += 1 }
         java.lang.Double.valueOf(dot)
       }
     }
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       tableUdf(col(idCol).cast("string"), col(vecCol)).as("qt"))
       .withColumn("cell", explode(probeUdf(col("qv").cast("array<double>"))))
-      .withColumn("qcdot", qcDotUdf(col("qv"), col("cell")))
+      .withColumn("qcdot", qcDotUdf(col("query_id").cast("string"), col("qv"), col("cell")))
       .select("query_id", "cell", "qt", "qcdot")
     val cand = codes
       .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))

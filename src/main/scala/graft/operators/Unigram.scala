@@ -122,13 +122,11 @@ object Unigram {
     * required-character rule guarantees that on training corpora). */
   private[graft] def expectedCounts(
       w: String, vocab: collection.Map[String, Long], maxPieceLen: Int,
-      totalSmoothed: BigInt, freq: Long
+      tPow: Array[BigInt], freq: Long
   ): Iterator[(String, Long)] = {
     val n = w.length
     if (n == 0) return Iterator.empty
     val zero = BigInt(0)
-    // T^(l-1) reused across every edge of this word
-    val tPow = Array.iterate(BigInt(1), maxPieceLen)(_ * totalSmoothed)
     def wt(i: Int, l: Int): Option[BigInt] =
       vocab.get(w.substring(i, i + l)).map(c => BigInt(c) + 1)
     val a = Array.fill[BigInt](n + 1)(zero); a(0) = BigInt(1)
@@ -179,6 +177,13 @@ object Unigram {
       t -> ((BigInt(freq) * SoftScale * num) / z).toLong
     }
   }
+
+  /** `[T^0, T^1, …, T^(maxPieceLen-1)]` for [[expectedCounts]] — built
+    * ONCE per partition (the BigInt multiplies of a corpus-sized
+    * `totalSmoothed` are the dominant per-word setup cost otherwise,
+    * the same hoist [[corpusLogLikelihood]] already does). */
+  private[graft] def tPowTable(totalSmoothed: BigInt, maxPieceLen: Int): Array[BigInt] =
+    Array.iterate(BigInt(1), maxPieceLen)(_ * totalSmoothed)
 
   /** Natural log of a BigInt (for likelihood comparison only — never
     * in an oracle path): mantissa + bit-length decomposition, exact to
@@ -322,8 +327,12 @@ object Unigram {
           // BigInt fold: soft-scaled scores can overflow a Long sum
           val totalSmoothed =
             vocab.valuesIterator.foldLeft(BigInt(0))(_ + _) + vocab.size
-          wf.flatMap { case (w, f) =>
-            expectedCounts(w, bc.value, mpl, totalSmoothed, f)
+          wf.mapPartitions { it =>
+            // hoist the T-power table once per partition, not per word
+            val tPow = tPowTable(totalSmoothed, mpl)
+            it.flatMap { case (w, f) =>
+              expectedCounts(w, bc.value, mpl, tPow, f)
+            }
           }
         }).toDF("token", "f")
         .groupBy("token").agg(sum(col("f").cast("decimal(38,0)")).as("u"))

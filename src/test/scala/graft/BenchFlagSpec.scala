@@ -99,6 +99,25 @@ class BenchFlagSpec extends AnyFunSuite {
     assert(Bench.distortedRows(rows) === Seq("inflated"))
   }
 
+  test("waitForIdle: already-idle waits zero; a decaying load waits it out; a stuck load exhausts the budget honestly") {
+    var slept = 0L
+    val sleep: Long => Unit = ms => slept += ms
+    // already idle: no sleep at all, reports reached
+    assert(Bench.waitForIdle(2.0, 60000L, 5000L, () => Some(0.5), sleep) === ((0.0, true)))
+    assert(slept === 0L)
+    // decays under the threshold on the third reading: two sleeps
+    val readings = Iterator(5.0, 3.0, 1.5)
+    val (w1, ok1) = Bench.waitForIdle(2.0, 60000L, 5000L, () => Some(readings.next()), sleep)
+    assert(ok1 && w1 === 10.0 && slept === 10000L)
+    // never decays: the full budget is consumed and reached=false —
+    // the record then says "still loaded after Ns", not a false clean
+    slept = 0L
+    val (w2, ok2) = Bench.waitForIdle(2.0, 12000L, 5000L, () => Some(9.9), sleep)
+    assert(!ok2 && w2 === 12.0 && slept === 12000L)
+    // unreadable loadavg (non-Linux) degrades to idle, zero budget spent
+    assert(Bench.waitForIdle(2.0, 60000L, 5000L, () => None, sleep)._2)
+  }
+
   test("the bench suite covers every SparkEntry gate except the documented exclusions (a new gate can never be silently unbenched)") {
     val names = Bench.suite.map(_._1)
     assert(names.distinct.size === names.size, "duplicate suite entries")

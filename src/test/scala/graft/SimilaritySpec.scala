@@ -560,6 +560,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.65, s"IVF-PQ recall $recall under the pinned floor")
   }
 
+  test("ivfPqKnn: dim-mismatched query fails loud naming the offending query id (no silent truncated dot)") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val df = (0L until 40L).map(i => i -> vec(i.toInt)).toDF("vec_id", "embedding")
+    // query 99 carries HALF the trained dimensionality: both the ADC
+    // table UDF and the coarse-dot UDF sit on its row — whichever
+    // evaluates first must raise and must name the query, never
+    // min-truncate the arithmetic
+    val badQ = Seq(99L -> Array.tabulate(dim / 2)(d => math.sin(99 * 31 + d).toFloat))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.ivfPqKnn(df, badQ, "vec_id", "embedding",
+        k = 3, nCells = 4, m = 4, kCodes = 8, nProbe = 2, shortlist = 6).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("99") && chain.contains("dim"),
+      s"expected a dim-mismatch failure naming query 99, got: $chain")
+  }
+
   test("ivfSqKnn: exhaustive probes + full shortlist reproduce brute top-k; probed int8 recall holds; nulls/zeros harden") {
     import spark.implicits._
     val dim = 16

@@ -173,7 +173,7 @@ class UnigramSpec extends SparkSpec {
     // a and b -> 4/(3T+4) each.
     val vocab = Map("ab" -> 2L, "a" -> 1L, "b" -> 1L)
     val t = BigInt(4 + 3) // Σ(c) + |V| = 4 + 3
-    val got = Unigram.expectedCounts("ab", vocab, 4, t, freq = 1L).toMap
+    val got = Unigram.expectedCounts("ab", vocab, 4, Unigram.tPowTable(t, 4), freq = 1L).toMap
     val scale = Unigram.SoftScale
     def want(num: Long, den: Long): Long = (BigInt(num) * scale / den).toLong
     val z = 3 * 7 + 4 // 3T + 4
@@ -181,7 +181,7 @@ class UnigramSpec extends SparkSpec {
     assert(got("a") === want(4, z))
     assert(got("b") === want(4, z))
     // freq multiplies expectations linearly (before flooring)
-    val f5 = Unigram.expectedCounts("ab", vocab, 4, t, freq = 5L).toMap
+    val f5 = Unigram.expectedCounts("ab", vocab, 4, Unigram.tPowTable(t, 4), freq = 5L).toMap
     assert(f5("ab") === (BigInt(5) * scale * (3 * 7) / z).toLong)
   }
 
@@ -230,7 +230,7 @@ class UnigramSpec extends SparkSpec {
     } yield ((pieces ++ Seq("a", "b", "c")).distinct.zip(scores).toMap, freq)
     val prop = Prop.forAll(wordGen, vocabGen) { case (w, (vocab, freq)) =>
       val t0 = vocab.valuesIterator.foldLeft(BigInt(0))(_ + _) + vocab.size
-      val dp = Unigram.expectedCounts(w, vocab, 3, t0, freq).toMap
+      val dp = Unigram.expectedCounts(w, vocab, 3, Unigram.tPowTable(t0, 3), freq).toMap
       dp == bruteExpected(w, vocab, 3, t0, freq)
     }
     check("soft-EM dp == brute", prop)
