@@ -2207,20 +2207,89 @@ object CurationPipeline {
           StreamingAnnIndex.readEncoded(c.input.sparkSession, store, schema)
       }
     }, modes = Set("full", "admit"), tableParams = Set("model", "centroids")),
-    // persisted ANN index, step 3 of 3 — QUERY: the input is the
-    // QUERY table (id + vec); `model:`/`codes:` name the stored index
-    // halves (same-run steps or prior-run tables). IVF searches the
-    // postings directly; PQ additionally needs `corpus:` (the raw
-    // vectors) for the exact rescore of the ADC shortlist — every
-    // returned cosine is exact either way. Output:
-    // (query_id, neighbor_id, rank, cosine).
-    "knn" -> Op(Set("model", "codes", "corpus", "centroids", "id", "vec", "k",
-      "nProbe", "shortlist"), { c =>
+    // stored-ANN index LIFECYCLE — the monitor → retrain → swap night:
+    // input is the CUMULATIVE corpus (id + vec). Bootstrap trains and
+    // publishes the live index ($state/<step>/index: centroids, books,
+    // codes); later nights admit-encode only FRESH ids against the
+    // frozen model, measure drift (fresh fraction in exact integer
+    // arithmetic, cell-occupancy skew, sampled PQ reconstruction
+    // error), and when a threshold trips retrain + re-encode into
+    // index__staged and promote via ONE atomic directory rename —
+    // readers (a `knn` step with `index:`) always see a complete,
+    // mutually-consistent index generation. Output: the night's 1-row
+    // health/decision record (every count exact, so a manifest oracle
+    // can re-derive which night retrained from slice arithmetic).
+    "knn_maintain" -> Op(Set("id", "vec", "mode", "nCells", "m", "kCodes",
+      "buckets", "freshPermille", "skewMax", "reconMax", "seed",
+      "sampleMod"), { c =>
       val eid = c.params.str("id", c.idCol)
       val vec = c.params.str("vec", "embedding")
       for (needed <- Seq(eid, vec))
         require(c.input.columns.contains(needed),
           s"step ${c.stepName}: input has no column '$needed'")
+      c.requireIntegralId("knn_maintain")
+      val root = c.requireState("knn_maintain")
+      val inf = Double.PositiveInfinity
+      val d = graft.operators.AnnLifecycle.maintainNight(
+        c.input.select(col(eid), col(vec)), eid, vec, root,
+        nCells = c.params.int("nCells", 16), m = c.params.int("m", 8),
+        kCodes = c.params.int("kCodes", 16),
+        buckets = c.params.int("buckets", 64),
+        th = graft.operators.AnnLifecycle.Thresholds(
+          freshPermille = c.params.long("freshPermille", 600L),
+          skewMax = c.params.double("skewMax", inf),
+          reconMax = c.params.double("reconMax", inf)),
+        seed = c.params.long("seed", 42L),
+        sampleMod = c.params.int("sampleMod", 8))
+      val spark = c.input.sparkSession
+      import spark.implicits._
+      Seq((
+        if (d.bootstrap) 1 else 0, d.nCorpus, d.nCodes, d.trainedRowsBefore,
+        d.freshSinceTrain, d.cellOccMax, d.cellSkew, d.reconErr,
+        if (d.retrained) 1 else 0, d.nReencoded, d.nRetrains,
+        d.trainedRowsAfter))
+        .toDF("bootstrap", "n_corpus", "n_codes", "trained_rows_before",
+          "fresh_since_train", "cell_occ_max", "cell_skew", "recon_err",
+          "retrained", "n_reencoded", "n_retrains", "trained_rows")
+    }, modes = Set("admit")),
+    // persisted ANN index, step 3 of 3 — QUERY: the input is the
+    // QUERY table (id + vec); `model:`/`codes:` name the stored index
+    // halves (same-run steps or prior-run tables), or `index:` names a
+    // knn_maintain step whose LIVE lifecycle index
+    // ($state/<step>/index) supplies all three — the reader half of
+    // the atomic-swap contract. IVF searches the postings directly;
+    // PQ additionally needs `corpus:` (the raw vectors) for the exact
+    // rescore of the ADC shortlist — every returned cosine is exact
+    // either way. Output: (query_id, neighbor_id, rank, cosine).
+    "knn" -> Op(Set("model", "codes", "corpus", "centroids", "index", "id",
+      "vec", "k", "nProbe", "shortlist"), { c =>
+      val eid = c.params.str("id", c.idCol)
+      val vec = c.params.str("vec", "embedding")
+      for (needed <- Seq(eid, vec))
+        require(c.input.columns.contains(needed),
+          s"step ${c.stepName}: input has no column '$needed'")
+      if (c.params.has("index")) {
+        for (excl <- Seq("model", "codes", "centroids"))
+          require(!c.params.has(excl),
+            s"step ${c.stepName}: index replaces $excl (the live lifecycle " +
+              "index IS the stored tables)")
+        val spark = c.input.sparkSession
+        val own = c.requireState("knn index:")
+        val idxDir = own.stripSuffix(s"/${c.stepName}") +
+          s"/${c.params.reqStr("index")}/${graft.operators.AnnLifecycle.IndexDirName}"
+        val corpus = c.resolve(c.params.reqStr("corpus"))
+        for (needed <- Seq(eid, vec))
+          require(corpus.columns.contains(needed),
+            s"step ${c.stepName}: corpus table has no column '$needed'")
+        val k0 = c.params.int("k", 10)
+        graft.operators.AnnIndex.ivfPqKnnIndexed(
+          corpus, c.input, eid, vec, k0,
+          graft.operators.AnnLifecycle.liveCentroids(spark, idxDir),
+          graft.operators.AnnLifecycle.liveBooks(spark, idxDir),
+          graft.operators.AnnLifecycle.liveCodes(spark, idxDir),
+          c.params.int("nProbe", 3),
+          c.params.int("shortlist", math.max(32, 2 * k0)))
+      } else {
       val model = c.resolve(c.params.reqStr("model"))
       val codes = c.resolve(c.params.reqStr("codes"))
       val k = c.params.int("k", 10)
@@ -2267,7 +2336,9 @@ object CurationPipeline {
       } else throw new IllegalArgumentException(
         s"step ${c.stepName}: table '${c.params.reqStr("model")}' is not a " +
           "knn model (expected a 'cell' or 'subspace' column)")
-    }, tableParams = Set("model", "codes", "corpus", "centroids")),
+      }
+    }, tableParams = Set("model", "codes", "corpus", "centroids"),
+      stepRefParams = Set("index")),
     // leakage-free train/valid/test assignment: adds a `split` column,
     // keyed on `by` (default the doc id; name a grouping column to keep
     // groups intact across splits)
