@@ -254,20 +254,44 @@ object QueriesExt {
       .union(dedupNgramJaccard(s, dir).select("doc_a", "doc_b", "jaccard"))
       .distinct()
 
+  /** Seeded verification universe for [[dedupSimhashVerified]]: every
+    * 17th document re-emitted under `doc_id + 1e9` with
+    * whitespace-only edits (leading/trailing spaces the normalizer
+    * strips). The raw sf slices contain no exact-duplicate normalized
+    * documents at sf<=0.01, which made the fp-equal restriction
+    * VACUOUSLY empty — a hash match that would stay green with
+    * simhashPairs completely broken (round-14 verdict). Seeding
+    * guarantees oracle_rows > 0 and additionally verifies that the
+    * simhash signature is a function of NORMALIZED text. Fails loud if
+    * the seed slice is somehow empty (a vacuous gate is a bug, not a
+    * pass). */
+  private def simhashUniverse(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val seeds = d.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(lit(" "), col("text"), lit("  ")).as("text"))
+    require(!seeds.isEmpty,
+      "dedup_simhash_verified: seeded exact-dup universe is EMPTY — " +
+        "the verification would be vacuous (no doc_id % 17 == 0 rows)")
+    d.unionByName(seeds)
+  }
+
   /** Oracle-checkable SimHash verification on the exact-duplicate
-    * subgraph: identical normalized text implies identical simhash, so
-    * every exact-duplicate pair MUST surface from the banded bucket
-    * join with hamming 0 (pigeonhole is trivially satisfied — all four
+    * subgraph (seeded non-empty via [[simhashUniverse]]): identical
+    * normalized text implies identical simhash, so every
+    * exact-duplicate pair MUST surface from the banded bucket join
+    * with hamming 0 (pigeonhole is trivially satisfied — all four
     * chunks collide). Restricting the SimHash pairs to
     * fingerprint-equal pairs must therefore yield EXACTLY the exact-dup
     * pair set, with hamming 0 on every row — which DuckDB recomputes
     * from scratch via md5 of the normalized text. Verifies signature
-    * determinism, banding completeness, and the hamming computation;
-    * near-dup (hamming 1-3) behavior stays spec-side in DedupSpec. */
+    * determinism, normalization, banding completeness, and the hamming
+    * computation; near-dup (hamming 1-3) behavior stays spec-side in
+    * DedupSpec. */
   def dedupSimhashVerified(s: SparkSession, dir: String): DataFrame = {
-    val fp = docs(s, dir)
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-    dedupSimhash(s, dir)
+    val u = simhashUniverse(s, dir)
+    val fp = u.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    Dedup.simhashPairs(u, "doc_id", "text", maxHamming = 3)
       .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
       .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
       .filter(col("fp_a") === col("fp_b"))
@@ -275,8 +299,13 @@ object QueriesExt {
   }
 
   lazy val dedupSimhashVerifiedSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, md5($normSql) AS fp FROM documents
+    s"""WITH u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000 AS doc_id, ' ' || text || '  ' AS text
+       |  FROM documents WHERE doc_id % 17 = 0
+       |), d AS (
+       |  SELECT doc_id, md5($normSql) AS fp FROM u
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
        |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1132,6 +1161,21 @@ object QueriesExt {
   def multimodalMp4Demux(s: SparkSession, dir: String): DataFrame =
     Multimodal.avContentChecksums(
       Multimodal.syntheticMp4Videos(docs(s, dir), "doc_id")).toDF()
+
+  /** REAL Matroska/WebM (EBML) demux: the same A/V content as
+    * [[multimodalAvDemux]] packaged through
+    * [[graft.operators.Multimodal.renderWebm]] (frames as
+    * per-cluster SimpleBlocks, PCM16 soundtrack under the Matroska
+    * `A_PCM/INT/LIT` codec id — `/BIG` with byte swap on odd ids),
+    * demuxed back by walking the EBML element tree, frames really
+    * decoded and the soundtrack routed through the JDK WAV path audio
+    * dedup admits from. Same oracle as the AVI and MP4 gates — the
+    * content formulas are container-independent, so one mis-tiled
+    * element, dropped block, or endianness error anywhere in mux/demux
+    * mismatches. */
+  def multimodalWebmDemux(s: SparkSession, dir: String): DataFrame =
+    Multimodal.avContentChecksums(
+      Multimodal.syntheticWebmVideos(docs(s, dir), "doc_id")).toDF()
 
   lazy val multimodalAvDemuxSql: String =
     s"""WITH vm AS (
@@ -4045,6 +4089,125 @@ object QueriesExt {
        |    CAST(count(*) FILTER (WHERE vec_id % 3 = 2) AS BIGINT) AS n_fresh_3,
        |    CAST(count(*) AS BIGINT) AS n_encoded_3
        |  FROM embeddings
+       |)
+       |SELECT verified.*, counts.* FROM verified CROSS JOIN counts
+       |""".stripMargin
+
+  /** ANN index LIFECYCLE gate
+    * (`examples/ann_lifecycle_pipeline.yaml` run THREE times under one
+    * `--state`, the [[annNightsStored]] convention): the growing
+    * corpus bootstraps the live index on night 1, stays under the
+    * 600‰ fresh-fraction retrain threshold on night 2 (fresh ≈ 500‰),
+    * and trips it on night 3 (fresh ≈ 667‰) — retrain + full
+    * re-encode + atomic whole-index swap. Three pins:
+    * (1) the per-night health/decision counts are gate COLUMNS and the
+    * oracle re-derives the full trigger recurrence (which night
+    * retrained, final trained rows, re-encoded counts) from slice
+    * arithmetic — a maintainer that retrains on the wrong night,
+    * re-encodes a stale count, or forks the store mismatches;
+    * (2) post-swap hits must equal a same-seed FROM-SCRATCH build
+    * BITWISE (asserted in-gate via symmetric except — the swap
+    * determinism contract);
+    * (3) night 3's hits wrap in the exact-KNN soundness union
+    * ([[knnVerified]]). Reader-during-swap atomicity is pinned
+    * spec-side (AnnLifecycleSpec). */
+  def annRetrainSwap(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = scratchDir(s, "ann-retrain")
+    Seq("state", "out1", "out2", "out3").foreach(d =>
+      graft.streaming.StoreFiles.deleteRecursively(
+        java.nio.file.Paths.get(tmp, d)))
+    val src = s"$tmp/src"
+    val withPage = e.select(col("vec_id"),
+      concat(lit("http://h/p"), col("vec_id")).as("url"),
+      concat(lit("v"), col("vec_id")).as("text"),
+      col("embedding"))
+    withPage.filter(col("vec_id") < 10)
+      .write.mode("overwrite").parquet(s"$src/queries.parquet")
+    val yaml = "examples/ann_lifecycle_pipeline.yaml"
+    require(new java.io.File(yaml).exists,
+      s"ann_retrain_swap: $yaml not found — run from the repo root")
+    def night(n: Int, pages: DataFrame): Unit = {
+      pages.write.mode("overwrite").parquet(s"$src/pages.parquet")
+      Cli.run(Seq("pipeline", yaml, src, s"$tmp/out$n", "--state", s"$tmp/state"), s)
+    }
+    night(1, withPage.filter(col("vec_id") % 3 === 0))
+    night(2, withPage.filter(col("vec_id") % 3 <= 1))
+    night(3, withPage)
+    val decisions = (1 to 3).map(n =>
+      s.read.parquet(s"$tmp/out$n/maintained").collect() match {
+        case Array(row) => row
+        case rows => throw new IllegalStateException(
+          s"ann_retrain_swap: night $n decision table has ${rows.length} rows")
+      })
+    // post-swap ≡ from-scratch bitwise: rebuild at night-3 scope with
+    // the same seed/params through the same parquet round-trip path
+    graft.streaming.StoreFiles.deleteRecursively(
+      java.nio.file.Paths.get(s"$tmp/scratchidx"))
+    operators.AnnIndex.trainIvf(withPage, "vec_id", "embedding", nCells = 16)
+      .write.parquet(s"$tmp/scratchidx/centroids")
+    val cents = s.read.parquet(s"$tmp/scratchidx/centroids")
+    operators.AnnIndex.trainIvfPq(withPage, "vec_id", "embedding", cents)
+      .write.parquet(s"$tmp/scratchidx/books")
+    val books = s.read.parquet(s"$tmp/scratchidx/books")
+    val codes = operators.AnnIndex.encodeIvfPq(
+      withPage, "vec_id", "embedding", cents, books)
+    val fromScratch = operators.AnnIndex.ivfPqKnnIndexed(
+      withPage, withPage.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, cents, books, codes, nProbe = 3, shortlist = 32)
+    val hits3 = s.read.parquet(s"$tmp/out3/hits")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    require(hits3.exceptAll(fromScratch).isEmpty &&
+        fromScratch.exceptAll(hits3).isEmpty,
+      "ann_retrain_swap: post-swap hits differ from a same-seed " +
+        "from-scratch build — the retrain+swap broke determinism")
+    def cnt(night: Int, field: String): Long =
+      decisions(night - 1).getLong(decisions(night - 1).fieldIndex(field))
+    def flag(night: Int): Int =
+      decisions(night - 1).getInt(decisions(night - 1).fieldIndex("retrained"))
+    knnVerified(hits3, e)
+      .withColumn("n_codes_1", lit(cnt(1, "n_codes")))
+      .withColumn("retrained_1", lit(flag(1)))
+      .withColumn("n_codes_2", lit(cnt(2, "n_codes")))
+      .withColumn("retrained_2", lit(flag(2)))
+      .withColumn("n_codes_3", lit(cnt(3, "n_codes")))
+      .withColumn("retrained_3", lit(flag(3)))
+      .withColumn("fresh_since_train_3", lit(cnt(3, "fresh_since_train")))
+      .withColumn("trained_rows_3", lit(cnt(3, "trained_rows")))
+      .withColumn("n_retrains_3", lit(cnt(3, "n_retrains")))
+      .withColumn("n_reencoded_3", lit(cnt(3, "n_reencoded")))
+  }
+
+  /** [[embedKnnVerifiedSql]]'s soundness universe with the whole
+    * trigger recurrence restated from slice arithmetic: night 2's
+    * trained base is night 1's bootstrap count unless night 2 tripped,
+    * and night 3's decision runs against whichever base survived. */
+  lazy val annRetrainSwapSql: String =
+    s"""WITH verified AS (
+       |${embedKnnVerifiedSql.linesIterator.map("  " + _).mkString("\n")}
+       |), c AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE vec_id % 3 = 0) AS BIGINT) AS c1,
+       |    CAST(count(*) FILTER (WHERE vec_id % 3 <= 1) AS BIGINT) AS c2,
+       |    CAST(count(*) AS BIGINT) AS c3
+       |  FROM embeddings
+       |), rec AS (
+       |  SELECT c1, c2, c3,
+       |         ((c2 - c1) * 1000 > 600 * c2) AS trip2,
+       |         CASE WHEN ((c2 - c1) * 1000 > 600 * c2) THEN c2 ELSE c1 END AS base3
+       |  FROM c
+       |), counts AS (
+       |  SELECT
+       |    c1 AS n_codes_1, CAST(0 AS INTEGER) AS retrained_1,
+       |    c2 AS n_codes_2, CAST(CASE WHEN trip2 THEN 1 ELSE 0 END AS INTEGER) AS retrained_2,
+       |    c3 AS n_codes_3,
+       |    CAST(CASE WHEN (c3 - base3) * 1000 > 600 * c3 THEN 1 ELSE 0 END AS INTEGER) AS retrained_3,
+       |    c3 - base3 AS fresh_since_train_3,
+       |    CASE WHEN (c3 - base3) * 1000 > 600 * c3 THEN c3 ELSE base3 END AS trained_rows_3,
+       |    CAST((CASE WHEN trip2 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN (c3 - base3) * 1000 > 600 * c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_retrains_3,
+       |    CASE WHEN (c3 - base3) * 1000 > 600 * c3 THEN c3 ELSE CAST(0 AS BIGINT) END AS n_reencoded_3
+       |  FROM rec
        |)
        |SELECT verified.*, counts.* FROM verified CROSS JOIN counts
        |""".stripMargin

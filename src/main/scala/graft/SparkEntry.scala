@@ -272,6 +272,9 @@ object SparkEntry {
     "embed_knn_ivfpq_stored" -> (QueriesExt.embedKnnIvfPqStored _),
     "embed_knn_ivfsq_stored" -> (QueriesExt.embedKnnIvfSqStored _),
     "ann_nights_stored"     -> (QueriesExt.annNightsStored _),
+    // index lifecycle: drift monitor -> thresholded retrain -> atomic
+    // whole-index swap (post-swap == from-scratch, asserted in-gate)
+    "ann_retrain_swap"      -> (QueriesExt.annRetrainSwap _),
     "embed_cosine_neardup"  -> (QueriesExt.embedCosineNearDup _),
     // SemDeDup: cluster-then-prune semantic dedup (pair space bounded
     // by the cluster structure, not N^2)
@@ -295,6 +298,7 @@ object SparkEntry {
     // frames + interleaved PCM soundtrack through the WAV bridge)
     "multimodal_av_demux" -> (QueriesExt.multimodalAvDemux _),
     "multimodal_mp4_demux" -> (QueriesExt.multimodalMp4Demux _),
+    "multimodal_webm_demux" -> (QueriesExt.multimodalWebmDemux _),
     // corpus-learned BPE (trained merge table + real tokenization)
     "text_bpe_vocab" -> (QueriesExt.textBpeVocab _),
     "text_bpe_tokenize" -> (QueriesExt.textBpeTokenize _),
@@ -338,6 +342,7 @@ object SparkEntry {
     "embed_knn_ivfpq_stored"     -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivfsq_stored"     -> QueriesExt.embedKnnVerifiedSql,
     "ann_nights_stored"          -> QueriesExt.annNightsStoredSql,
+    "ann_retrain_swap"           -> QueriesExt.annRetrainSwapSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,
     "derive_dependencies"       -> Queries.deriveDependenciesSql,
     "validate_errors"           -> Queries.validateErrorsSql,
@@ -468,6 +473,7 @@ object SparkEntry {
     "multimodal_frames"         -> QueriesExt.multimodalFramesSql,
     "multimodal_av_demux"       -> QueriesExt.multimodalAvDemuxSql,
     "multimodal_mp4_demux"      -> QueriesExt.multimodalAvDemuxSql,
+    "multimodal_webm_demux"     -> QueriesExt.multimodalAvDemuxSql,
     "multimodal_resize"         -> QueriesExt.multimodalResizeSql,
     "multimodal_dhash"          -> QueriesExt.multimodalDhashSql,
     "multimodal_neardup"        -> QueriesExt.multimodalNeardupSql,

@@ -1226,6 +1226,7 @@ object Multimodal {
   def demuxFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] =
     if (isAvi(bytes)) aviFrames(id, bytes)
     else if (isMp4(bytes)) mp4Frames(id, bytes)
+    else if (isWebm(bytes)) webmFrames(id, bytes)
     else unpackFrames(id, bytes)
 
   // ------------------------------------------------------------ ISO-BMFF (MP4) mux/demux
@@ -1360,7 +1361,9 @@ object Multimodal {
       }
       // video trak
       box("trak") {
-        tkhd(1, nf.toLong, volume = 0, width, height)
+        // tkhd duration is expressed in the MOVIE timescale (mvhd: 1000),
+        // not the media timescale — nf frames at `fps` = nf*1000/fps ticks.
+        tkhd(1, if (fps > 0) nf * 1000L / fps else 0L, volume = 0, width, height)
         box("mdia") {
           mdhd(fps.toLong, nf.toLong) // timescale fps, delta 1 per frame
           hdlr("vide")
@@ -1396,7 +1399,9 @@ object Multimodal {
       }
       // audio trak
       box("trak") {
-        tkhd(2, nSamples.toLong, volume = 0x100, 0, 0)
+        // movie-timescale duration, same contract as the video tkhd above
+        tkhd(2, if (sampleRate > 0) nSamples * 1000L / sampleRate else 0L,
+          volume = 0x100, 0, 0)
         box("mdia") {
           mdhd(sampleRate.toLong, nSamples.toLong)
           hdlr("soun")
@@ -1526,7 +1531,11 @@ object Multimodal {
       // stsd: codec fourcc (+ audio format fields for sound handlers)
       val (sdS, sdE) = one(stbl, "stsd", "stbl")
       if (sdE - sdS < 16) fail("stsd too short")
-      if (be32(sdS + 4) < 1) fail("stsd has no sample entries")
+      // exactly-one discipline: multiple sample descriptions would mean
+      // per-chunk codec switches (stsc sample_description_index) that this
+      // demuxer does not track — silently taking entry 1 would mislabel
+      if (be32(sdS + 4) != 1)
+        fail(s"stsd: expected exactly one sample entry, got ${be32(sdS + 4)}")
       val entryStart = sdS + 8
       if (entryStart + 8 > sdE) fail("stsd entry truncated")
       val codec = cc(entryStart + 4)
@@ -1669,15 +1678,364 @@ object Multimodal {
     pcmLeToWav(pcm, fmt.sample_rate)
   }
 
+  // ------------------------------------------------------------ Matroska/WebM (EBML) mux/demux
+
+  /** Is this payload an EBML stream (Matroska/WebM)? (the EBML header
+    * element id `0x1A45DFA3` first) */
+  def isWebm(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (b(0) & 0xFF) == 0x1A &&
+      (b(1) & 0xFF) == 0x45 && (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3
+
+  // Matroska element ids (stored form, class marker kept) — the subset
+  // a minimal two-track capture needs.
+  private object Mkv {
+    val Ebml = 0x1A45DFA3L; val DocType = 0x4282L
+    val EbmlVersion = 0x4286L; val EbmlReadVersion = 0x42F7L
+    val MaxIdLength = 0x42F2L; val MaxSizeLength = 0x42F3L
+    val DocTypeVersion = 0x4287L; val DocTypeReadVersion = 0x4285L
+    val Segment = 0x18538067L
+    val Info = 0x1549A966L; val TimestampScale = 0x2AD7B1L
+    val MuxingApp = 0x4D80L; val WritingApp = 0x5741L
+    val Tracks = 0x1654AE6BL; val TrackEntry = 0xAEL
+    val TrackNumber = 0xD7L; val TrackUid = 0x73C5L; val TrackType = 0x83L
+    val CodecId = 0x86L
+    val Video = 0xE0L; val PixelWidth = 0xB0L; val PixelHeight = 0xBAL
+    val Audio = 0xE1L; val SamplingFrequency = 0xB5L
+    val Channels = 0x9FL; val BitDepth = 0x6264L
+    val Cluster = 0x1F43B675L; val Timestamp = 0xE7L
+    val SimpleBlock = 0xA3L; val BlockGroup = 0xA0L
+  }
+
+  /** An element id's stored bytes — ids carry their class marker in
+    * the value, so the width is just the value's byte length. */
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    val w = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8)
+    Array.tabulate(w)(i => ((id >> (8 * (w - 1 - i))) & 0xFF).toByte)
+  }
+
+  /** A size (or track-number) VINT at minimal width: the all-ones
+    * pattern is reserved (unknown size), so a value needing exactly
+    * `7w` one-bits widens. */
+  private def ebmlVint(v: Long): Array[Byte] = {
+    require(v >= 0, s"EBML VINT must be non-negative, got $v")
+    var w = 1
+    while (w < 8 && v >= (1L << (7 * w)) - 1) w += 1
+    require(v < (1L << (7 * w)) - 1, s"EBML VINT $v does not fit 8 bytes")
+    val total = (1L << (7 * w)) | v
+    Array.tabulate(w)(i => ((total >> (8 * (w - 1 - i))) & 0xFF).toByte)
+  }
+
+  /** Minimal-width big-endian unsigned-integer element payload. */
+  private def ebmlUint(v: Long): Array[Byte] = {
+    require(v >= 0, s"EBML uint must be non-negative, got $v")
+    var w = 1
+    while (w < 8 && (v >>> (8 * w)) != 0) w += 1
+    Array.tabulate(w)(i => ((v >> (8 * (w - 1 - i))) & 0xFF).toByte)
+  }
+
+  private def ebmlEl(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlIdBytes(id) ++ ebmlVint(payload.length.toLong) ++ payload
+
+  private def ebmlStr(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Render a minimal Matroska/WebM A/V container: EBML header
+    * (DocType `webm`) + one known-size Segment with Info
+    * (TimestampScale 1 ms), Tracks (video track 1: frames stored
+    * verbatim under the fixture-private CodecID `V_PNG` — Matroska
+    * readers skip unknown codec ids; audio track 2: PCM16 mono under
+    * the REAL Matroska PCM codec ids `A_PCM/INT/LIT`, or
+    * `A_PCM/INT/BIG` when `bigEndianAudio` — both byte orders keep the
+    * demuxer's conversion paths exercised, the MP4 `twos`/co64
+    * convention), and one Cluster per video frame carrying the frame's
+    * SimpleBlock plus its audio slice as a second SimpleBlock
+    * ([[renderMp4]]'s interleave rule). Strict-form output: every
+    * element has an explicit size (no unknown-size), no lacing.
+    * Deterministic byte-for-byte. */
+  def renderWebm(
+      frames: Seq[Array[Byte]], audioSamples: Array[Int],
+      fps: Int = 10, sampleRate: Int = 8000, bigEndianAudio: Boolean = false
+  ): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    val nf = frames.length
+    val nSamples = audioSamples.length
+    val sliceAt: Array[Int] =
+      if (nf == 0) Array(0, nSamples)
+      else {
+        val base = nSamples / nf; val extra = nSamples % nf
+        val at = new Array[Int](nf + 1)
+        var i = 0
+        while (i < nf) { at(i + 1) = at(i) + base + (if (i < extra) 1 else 0); i += 1 }
+        at
+      }
+    val header = ebmlEl(Mkv.Ebml,
+      ebmlEl(Mkv.EbmlVersion, ebmlUint(1)) ++
+        ebmlEl(Mkv.EbmlReadVersion, ebmlUint(1)) ++
+        ebmlEl(Mkv.MaxIdLength, ebmlUint(4)) ++
+        ebmlEl(Mkv.MaxSizeLength, ebmlUint(8)) ++
+        ebmlEl(Mkv.DocType, ebmlStr("webm")) ++
+        ebmlEl(Mkv.DocTypeVersion, ebmlUint(2)) ++
+        ebmlEl(Mkv.DocTypeReadVersion, ebmlUint(2)))
+    val info = ebmlEl(Mkv.Info,
+      ebmlEl(Mkv.TimestampScale, ebmlUint(1000000L)) ++
+        ebmlEl(Mkv.MuxingApp, ebmlStr("graft")) ++
+        ebmlEl(Mkv.WritingApp, ebmlStr("graft")))
+    val dims = frames.map(pngDims)
+    val width = if (dims.isEmpty) 0 else dims.map(_._1).max
+    val height = if (dims.isEmpty) 0 else dims.map(_._2).max
+    val videoEntry = ebmlEl(Mkv.TrackEntry,
+      ebmlEl(Mkv.TrackNumber, ebmlUint(1)) ++
+        ebmlEl(Mkv.TrackUid, ebmlUint(1)) ++
+        ebmlEl(Mkv.TrackType, ebmlUint(1)) ++
+        ebmlEl(Mkv.CodecId, ebmlStr("V_PNG")) ++
+        ebmlEl(Mkv.Video,
+          ebmlEl(Mkv.PixelWidth, ebmlUint(width.toLong)) ++
+            ebmlEl(Mkv.PixelHeight, ebmlUint(height.toLong))))
+    val rateBits = java.lang.Double.doubleToLongBits(sampleRate.toDouble)
+    val rate8 = Array.tabulate(8)(i => ((rateBits >> (8 * (7 - i))) & 0xFF).toByte)
+    val audioEntry = ebmlEl(Mkv.TrackEntry,
+      ebmlEl(Mkv.TrackNumber, ebmlUint(2)) ++
+        ebmlEl(Mkv.TrackUid, ebmlUint(2)) ++
+        ebmlEl(Mkv.TrackType, ebmlUint(2)) ++
+        ebmlEl(Mkv.CodecId,
+          ebmlStr(if (bigEndianAudio) "A_PCM/INT/BIG" else "A_PCM/INT/LIT")) ++
+        ebmlEl(Mkv.Audio,
+          ebmlEl(Mkv.SamplingFrequency, rate8) ++
+            ebmlEl(Mkv.Channels, ebmlUint(1)) ++
+            ebmlEl(Mkv.BitDepth, ebmlUint(16))))
+    val tracks = ebmlEl(Mkv.Tracks, videoEntry ++ audioEntry)
+    def simpleBlock(track: Long, payload: Array[Byte]): Array[Byte] =
+      ebmlEl(Mkv.SimpleBlock,
+        ebmlVint(track) ++ Array[Byte](0, 0, 0x80.toByte) ++ payload)
+    def audioBlock(slice: Int): Array[Byte] = {
+      val (lo, hi) = (sliceAt(slice), sliceAt(slice + 1))
+      if (hi <= lo) Array.emptyByteArray
+      else {
+        val pcm = new Array[Byte](2 * (hi - lo))
+        var i = lo
+        while (i < hi) {
+          val s = audioSamples(i) & 0xFFFF
+          val p = 2 * (i - lo)
+          if (bigEndianAudio) { pcm(p) = (s >> 8).toByte; pcm(p + 1) = s.toByte }
+          else { pcm(p) = s.toByte; pcm(p + 1) = (s >> 8).toByte }
+          i += 1
+        }
+        simpleBlock(2L, pcm)
+      }
+    }
+    val clusters: Array[Byte] =
+      if (nf == 0)
+        ebmlEl(Mkv.Cluster, ebmlEl(Mkv.Timestamp, ebmlUint(0)) ++ audioBlock(0))
+      else
+        frames.indices.toArray.flatMap { i =>
+          ebmlEl(Mkv.Cluster,
+            ebmlEl(Mkv.Timestamp, ebmlUint(i * 1000L / fps)) ++
+              simpleBlock(1L, frames(i)) ++ audioBlock(i))
+        }
+    header ++ ebmlEl(Mkv.Segment, info ++ tracks ++ clusters)
+  }
+
+  final case class WebmAudioFmt(channels: Int, bits: Int, sample_rate: Int)
+  final case class WebmTrack(
+      track_number: Long, track_type: Int, codec: String,
+      audio: Option[WebmAudioFmt], blocks: Seq[Array[Byte]])
+
+  /** One demuxed Matroska/WebM container. */
+  final case class WebmContent(timestampScale: Long, tracks: Seq[WebmTrack])
+
+  /** Demux a Matroska/WebM (EBML) byte stream by walking its element
+    * tree and reconstructing every track's block payloads in stream
+    * order. STRICT, the [[mp4Demux]] discipline: elements must tile
+    * their parent exactly, VINTs must be well-formed (a zero lead byte
+    * is an over-wide VINT), unknown-SIZE elements are rejected (strict
+    * tiling needs explicit sizes), the EBML header must lead with a
+    * `webm`/`matroska` DocType, exactly one Segment / Info / Tracks,
+    * track numbers must be unique and declared before use, laced
+    * SimpleBlocks and BlockGroups are unsupported-loud, and every
+    * block must name a declared track — a truncated or corrupted
+    * capture raises with the doc id, it never silently yields less
+    * media. UNKNOWN element ids are skipped (EBML's forward-compat
+    * contract) but must still tile. */
+  def webmDemux(id: Long, bytes: Array[Byte]): WebmContent = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: WebM parse: $msg")
+    if (!isWebm(bytes)) fail("not an EBML payload (no leading EBML header id)")
+    // (vint value, width); `keepMarker` reads ids, else sizes
+    def vintAt(p: Int, end: Int, keepMarker: Boolean, what: String): (Long, Int) = {
+      if (p >= end) fail(s"truncated $what VINT at byte $p")
+      val b0 = bytes(p) & 0xFF
+      if (b0 == 0) fail(s"invalid $what VINT at byte $p (lead byte 0: width > 8)")
+      val w = java.lang.Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+      if (p + w > end) fail(s"truncated $what VINT at byte $p (width $w)")
+      var v = if (keepMarker) b0.toLong else (b0 & ((1 << (8 - w)) - 1)).toLong
+      var i = 1
+      while (i < w) { v = (v << 8) | (bytes(p + i) & 0xFF); i += 1 }
+      if (!keepMarker && v == (1L << (7 * w)) - 1)
+        fail(s"unknown-size element at byte $p — strict tiling needs explicit sizes")
+      (v, w)
+    }
+    // (id, payloadStart, payloadEnd) triples tiling [start, end)
+    def elementsIn(start: Int, end: Int): Seq[(Long, Int, Int)] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      var off = start
+      while (off < end) {
+        val (eid, iw) = vintAt(off, end, keepMarker = true, "element id")
+        val (sz, sw) = vintAt(off + iw, end, keepMarker = false, "element size")
+        val ps = off + iw + sw
+        if (ps + sz > end)
+          fail(s"element 0x${eid.toHexString} at byte $off runs past its " +
+            s"parent (declares $sz, ${end - ps} available)")
+        acc += ((eid, ps, ps + sz.toInt))
+        off = ps + sz.toInt
+      }
+      acc.toSeq
+    }
+    def uintOf(s: Int, e: Int): Long = {
+      if (e - s > 8) fail(s"uint element wider than 8 bytes at byte $s")
+      var v = 0L; var i = s
+      while (i < e) { v = (v << 8) | (bytes(i) & 0xFF); i += 1 }
+      v
+    }
+    def strOf(s: Int, e: Int): String =
+      new String(bytes, s, e - s, java.nio.charset.StandardCharsets.US_ASCII)
+    def floatOf(s: Int, e: Int): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintOf(s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintOf(s, e))
+      case w => fail(s"float element of $w bytes at byte $s (must be 4 or 8)")
+    }
+    def one(kids: Seq[(Long, Int, Int)], eid: Long, where: String): (Int, Int) =
+      kids.collect { case (`eid`, s, e) => (s, e) } match {
+        case Seq(x) => x
+        case other => fail(s"$where: expected exactly one element " +
+          s"0x${eid.toHexString}, got ${other.length}")
+      }
+    val top = elementsIn(0, bytes.length)
+    if (top.head._1 != Mkv.Ebml) fail("first element must be the EBML header")
+    val (hS, hE) = one(top, Mkv.Ebml, "top level")
+    val headerKids = elementsIn(hS, hE)
+    val docType = headerKids.collectFirst { case (Mkv.DocType, s, e) => strOf(s, e) }
+      .getOrElse(fail("EBML header has no DocType"))
+    if (docType != "webm" && docType != "matroska")
+      fail(s"DocType '$docType' is not webm/matroska")
+    val (segS, segE) = one(top, Mkv.Segment, "top level")
+    val segKids = elementsIn(segS, segE)
+    val (inS, inE) = one(segKids, Mkv.Info, "segment")
+    val tsScale = elementsIn(inS, inE)
+      .collectFirst { case (Mkv.TimestampScale, s, e) => uintOf(s, e) }
+      .getOrElse(1000000L)
+    val (trS, trE) = one(segKids, Mkv.Tracks, "segment")
+    val entries = elementsIn(trS, trE).collect { case (Mkv.TrackEntry, s, e) =>
+      val kids = elementsIn(s, e)
+      def req(eid: Long, what: String): (Int, Int) = one(kids, eid, s"track entry ($what)")
+      val (nS, nE) = req(Mkv.TrackNumber, "TrackNumber")
+      val num = uintOf(nS, nE)
+      if (num == 0) fail("track number 0 is reserved")
+      val (tS, tE2) = req(Mkv.TrackType, "TrackType")
+      val (cS, cE) = req(Mkv.CodecId, "CodecID")
+      val audio = kids.collectFirst { case (Mkv.Audio, aS, aE) =>
+        val aKids = elementsIn(aS, aE)
+        val rate = aKids.collectFirst { case (Mkv.SamplingFrequency, s2, e2) =>
+          floatOf(s2, e2) }.getOrElse(8000.0)
+        if (rate <= 0 || rate != math.rint(rate))
+          fail(s"non-integral sampling frequency $rate")
+        WebmAudioFmt(
+          channels = aKids.collectFirst { case (Mkv.Channels, s2, e2) =>
+            uintOf(s2, e2).toInt }.getOrElse(1),
+          bits = aKids.collectFirst { case (Mkv.BitDepth, s2, e2) =>
+            uintOf(s2, e2).toInt }.getOrElse(16),
+          sample_rate = rate.toInt)
+      }
+      (num, uintOf(tS, tE2).toInt, strOf(cS, cE), audio)
+    }
+    if (entries.isEmpty) fail("Tracks declares no track entries")
+    if (entries.map(_._1).distinct.length != entries.length)
+      fail(s"duplicate track numbers (${entries.map(_._1).mkString(", ")})")
+    val byNum = entries.map(t => t._1 ->
+      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]).toMap
+    segKids.foreach {
+      case (Mkv.Cluster, cS, cE) =>
+        elementsIn(cS, cE).foreach {
+          case (Mkv.SimpleBlock, bS, bE) =>
+            val (track, tw) = vintAt(bS, bE, keepMarker = false, "block track")
+            if (bS + tw + 3 > bE) fail(s"truncated SimpleBlock at byte $bS")
+            val flags = bytes(bS + tw + 2) & 0xFF
+            if ((flags & 0x06) != 0)
+              fail(s"laced SimpleBlock at byte $bS (lacing unsupported)")
+            byNum.getOrElse(track,
+              fail(s"SimpleBlock at byte $bS names undeclared track $track")) +=
+              java.util.Arrays.copyOfRange(bytes, bS + tw + 3, bE)
+          case (Mkv.BlockGroup, bS, _) =>
+            fail(s"BlockGroup at byte $bS (only SimpleBlock is supported)")
+          case _ => () // Timestamp / unknown ids: skipped, already tiled
+        }
+      case _ => () // Info / Tracks / unknown segment children
+    }
+    WebmContent(tsScale, entries.map { case (num, tpe, codec, audio) =>
+      WebmTrack(num, tpe, codec, audio, byNum(num).toSeq)
+    })
+  }
+
+  /** The video-track frame payloads of a WebM container (track type
+    * 1), stream order. */
+  def webmFrames(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] =
+    webmFramesOf(id, webmDemux(id, bytes))
+
+  private def webmFramesOf(id: Long, content: WebmContent): Seq[Array[Byte]] =
+    content.tracks.find(_.track_type == 1).map(_.blocks)
+      .getOrElse(throw new IllegalArgumentException(
+        s"doc $id: WebM has no video track"))
+
+  /** The soundtrack of a WebM re-wrapped as a standalone WAV —
+    * [[mp4AudioWav]]'s contract for the EBML family: the first audio
+    * track's PCM blocks (codec `A_PCM/INT/LIT` little-endian or
+    * `A_PCM/INT/BIG` byte-swapped) concatenate and wrap through the
+    * real JDK encoder, so one WebM capture feeds every existing audio
+    * pass. Fails loud on a missing / compressed / non-mono-16
+    * soundtrack. */
+  def webmAudioWav(id: Long, bytes: Array[Byte]): Array[Byte] =
+    webmAudioWavOf(id, webmDemux(id, bytes))
+
+  private def webmAudioWavOf(id: Long, content: WebmContent): Array[Byte] = {
+    val t = content.tracks.find(_.track_type == 2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"doc $id: WebM has no audio track"))
+    val fmt = t.audio.getOrElse(throw new IllegalArgumentException(
+      s"doc $id: WebM audio track carries no Audio element"))
+    require(t.codec == "A_PCM/INT/LIT" || t.codec == "A_PCM/INT/BIG",
+      s"doc $id: expected PCM codec A_PCM/INT/LIT or /BIG, got '${t.codec}'")
+    require(fmt.bits == 16 && fmt.channels == 1,
+      s"doc $id: expected PCM16 mono soundtrack, got ${fmt.bits}-bit " +
+        s"${fmt.channels}-channel")
+    val n = t.blocks.map(_.length).sum
+    require(n % 2 == 0, s"doc $id: odd PCM16 byte count $n")
+    val pcm = new Array[Byte](n)
+    var p = 0
+    t.blocks.foreach { b =>
+      if (b.length % 2 != 0)
+        throw new IllegalArgumentException(
+          s"doc $id: PCM16 block of ${b.length} bytes")
+      var i = 0
+      while (i < b.length) {
+        if (t.codec == "A_PCM/INT/BIG") { pcm(p) = b(i + 1); pcm(p + 1) = b(i) }
+        else { pcm(p) = b(i); pcm(p + 1) = b(i + 1) }
+        p += 2; i += 2
+      }
+    }
+    pcmLeToWav(pcm, fmt.sample_rate)
+  }
+
   /** Soundtrack extraction with container dispatch: AVI via
-    * [[aviAudioWav]], MP4 via [[mp4AudioWav]] — what the
-    * `extract_audio` pipeline step calls, so one chain admits audio
-    * from mixed A/V corpora. Anything else fails loud with the id. */
+    * [[aviAudioWav]], MP4 via [[mp4AudioWav]], Matroska/WebM via
+    * [[webmAudioWav]] — what the `extract_audio` pipeline step calls,
+    * so one chain admits audio from mixed A/V corpora. Anything else
+    * fails loud with the id. */
   def containerAudioWav(id: Long, bytes: Array[Byte]): Array[Byte] =
     if (isAvi(bytes)) aviAudioWav(id, bytes)
     else if (isMp4(bytes)) mp4AudioWav(id, bytes)
+    else if (isWebm(bytes)) webmAudioWav(id, bytes)
     else throw new IllegalArgumentException(
-      s"doc $id: payload is neither a RIFF/AVI nor an ISO-BMFF container")
+      s"doc $id: payload is not a RIFF/AVI, ISO-BMFF, or EBML/WebM container")
 
   /** Synthetic frame-container videos from an id column: doc `id` has
     * frames `f = 0 .. 1 + id % 3` (2–4 frames), frame `f` being the
@@ -1766,6 +2124,29 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic Matroska/WebM A/V containers from an id column —
+    * [[syntheticAvVideos]]'s content (same frame line, same PCM
+    * formula, so the SAME oracle replays the checksums) packaged
+    * through [[renderWebm]]; odd ids take the `A_PCM/INT/BIG`
+    * byte-swapped soundtrack so both PCM byte orders stay
+    * exercised. */
+  def syntheticWebmVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val frames = (0 to (1 + id % 3).toInt).map { f =>
+          val fid = id + f
+          syntheticPng(fid, (8 + fid % 9).toInt, (8 + fid % 7).toInt)
+        }
+        val samples = Array.tabulate((128 + id % 97).toInt)(i => syntheticSample(id, i))
+        (id, renderWebm(frames, samples, bigEndianAudio = id % 2 == 1))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** Per-container A/V content checksums — the gate shape proving
     * BOTH streams of one real capture demux and decode correctly:
     * `v_sum = Σ_f Σ_i (f+1)·(i+1)·pixel` over the really-decoded RGB
@@ -1786,13 +2167,17 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
           // container dispatch: RIFF/AVI walks LIST chunks, ISO-BMFF
-          // reconstructs the sample tables — both land on the same
-          // (frames, soundtrack-WAV) shape and the same checksums,
-          // and each container demuxes ONCE for both streams
+          // reconstructs the sample tables, EBML/WebM walks the
+          // element tree — all land on the same (frames,
+          // soundtrack-WAV) shape and the same checksums, and each
+          // container demuxes ONCE for both streams
           val (frames, wav) =
             if (isAvi(bytes)) {
               val c = aviDemux(id, bytes)
               (c.frames, aviAudioWavOf(id, c))
+            } else if (isWebm(bytes)) {
+              val c = webmDemux(id, bytes)
+              (webmFramesOf(id, c), webmAudioWavOf(id, c))
             } else {
               val c = mp4Demux(id, bytes)
               (mp4FramesOf(id, c), mp4AudioWavOf(id, c))
