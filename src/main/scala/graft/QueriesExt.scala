@@ -848,6 +848,35 @@ object QueriesExt {
       cents, books, s.read.parquet(s"$tmp/codes"))
   }
 
+  /** STORED OPQ index (FAISS `OPQ{m},PQ{m}` — a learned orthogonal
+    * rotation before the subspace split lifts ADC recall at the same
+    * m-byte code budget): rotation + codebooks trained JOINTLY and
+    * persisted as two model tables, per-vector codes as the third,
+    * queried without retraining. The exact rescore runs in the
+    * original space (the rotation only chooses candidates), so the
+    * same soundness oracle applies; stored ≡ same-seed retrain and
+    * the recall-≥-plain-PQ floor are pinned in SimilaritySpec. */
+  def embedKnnOpqStored(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnOpqStoredRaw(s, dir), emb(s, dir))
+
+  /** The raw stored-OPQ query (joint train + persist all three
+    * tables + reload + search) — Bench times this; the gate wraps it
+    * in the soundness union. */
+  def embedKnnOpqStoredRaw(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = scratchDir(s, "ann-opq")
+    val (rotation, books) = operators.AnnIndex.trainOpq(e, "vec_id", "embedding")
+    rotation.write.mode("overwrite").parquet(s"$tmp/rotation")
+    books.write.mode("overwrite").parquet(s"$tmp/codebooks")
+    val rot = s.read.parquet(s"$tmp/rotation")
+    val cb = s.read.parquet(s"$tmp/codebooks")
+    operators.AnnIndex.encodeOpq(e, "vec_id", "embedding", rot, cb)
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    operators.AnnIndex.opqKnnIndexed(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      rot, cb, s.read.parquet(s"$tmp/codes"))
+  }
+
   /** STORED IVF-SQ8 index (FAISS `IVF,SQ8` — scalar-quantized
     * postings, a quarter the bytes of float postings with no codebook
     * beyond the coarse quantizer): centroids + int8 codes partitioned

@@ -203,6 +203,104 @@ object AnnIndex {
     Similarity.pqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
   }
 
+  // ============================================================== OPQ
+  /** Train an OPQ index (rotation + codebooks, jointly —
+    * [[Similarity.trainOpqModel]]) and return BOTH model tables:
+    * the rotation `(row INT, dim INT, coeffs ARRAY<DOUBLE>)` and the
+    * codebooks in the [[trainPq]] shape. Persist both and reuse via
+    * [[opqKnnIndexed]]; the rotation is the "fourth model table" of
+    * the FAISS `OPQ{m},PQ{m}` layout. */
+  def trainOpq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 10, opqIters: Int = 8
+  ): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = Similarity.trainOpqModel(corpus, idCol, vecCol, m, kCodes, iters, opqIters)
+    val rotation = model.rotation.zipWithIndex
+      .map { case (r, i) => (i, model.pq.dim, r.toSeq) }
+      .toSeq.toDF("row", "dim", "coeffs")
+    val books = (for {
+      j <- 0 until model.pq.m
+      c <- 0 until model.pq.kCodes
+    } yield (j, c, model.pq.dim, model.pq.codebooks(j)(c).toSeq))
+      .toDF("subspace", "code", "dim", "centroid")
+    (rotation, books)
+  }
+
+  /** Load a (rotation, codebooks) table pair back into an
+    * [[Similarity.OpqModel]]. Fails loud on gaps, duplicates, dim
+    * disagreement between the two tables, or a rotation that is not
+    * orthogonal (a filtered or mis-joined rotation would silently
+    * mis-rank EVERY candidate — ADC scores would approximate a
+    * different query). */
+  def opqModel(rotation: DataFrame, codebooks: DataFrame): Similarity.OpqModel = {
+    val pq = pqModel(codebooks)
+    val rows = boundedModelRows(
+      rotation.select(col("row").cast("int"), col("dim").cast("int"), col("coeffs")),
+      "opqModel")
+    require(rows.nonEmpty, "opqModel: empty rotation table")
+    val dims = rows.map(_.getInt(1)).distinct
+    require(dims.length == 1 && dims.head == pq.dim,
+      s"opqModel: rotation dim column (${dims.sorted.mkString(", ")}) does not " +
+        s"match the codebooks' dim ${pq.dim}")
+    require(rows.length == pq.dim,
+      s"opqModel: expected ${pq.dim} rotation rows, got ${rows.length} — " +
+        "gaps or duplicates (was the table filtered?)")
+    val byRow = rows.map(r => r.getInt(0) -> r.getSeq[Double](2).toArray).toMap
+    require(byRow.size == rows.length, "opqModel: duplicate rotation row ids")
+    val rot = Array.tabulate(pq.dim)(i => byRow.getOrElse(i,
+      throw new IllegalArgumentException(
+        s"opqModel: rotation table has ${rows.length} rows but no row $i")))
+    rot.zipWithIndex.foreach { case (r, i) =>
+      require(r.length == pq.dim,
+        s"opqModel: rotation row $i has ${r.length} of ${pq.dim} coefficients")
+    }
+    // orthogonality sanity: R·Rᵀ ≈ I (parquet round-trips doubles
+    // exactly, so only genuine corruption trips this)
+    var a = 0
+    while (a < pq.dim) {
+      var b = 0
+      while (b < pq.dim) {
+        var s = 0.0; var i = 0
+        while (i < pq.dim) { s += rot(a)(i) * rot(b)(i); i += 1 }
+        val want = if (a == b) 1.0 else 0.0
+        require(math.abs(s - want) < 1e-6,
+          s"opqModel: rotation is not orthogonal (R·Rᵀ[$a][$b] = $s) — " +
+            "corrupt or filtered rotation table")
+        b += 1
+      }
+      a += 1
+    }
+    Similarity.OpqModel(rot, pq)
+  }
+
+  /** Encode the corpus against a stored OPQ model: the codes table
+    * `(id, codes ARRAY<INT>)` — m bytes of payload per vector,
+    * scan-local (rotation + codebooks ride the UDF closure). */
+  def encodeOpq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      rotation: DataFrame, codebooks: DataFrame
+  ): DataFrame = {
+    val model = opqModel(rotation, codebooks)
+    corpus.select(col(idCol).as("id"),
+      Similarity.opqEncodeUdf(model)(col(idCol).cast("string"), col(vecCol)).as("codes"))
+  }
+
+  /** Query a STORED OPQ index: identical rows to
+    * [[Similarity.opqKnn]] at the same training params. `corpus`
+    * supplies the raw vectors for the exact rescore (in the ORIGINAL
+    * space — the rotation only chooses candidates). */
+  def opqKnnIndexed(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, rotation: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      shortlist: Int = 32
+  ): DataFrame = {
+    val model = opqModel(rotation, codebooks)
+    val cz = codes.select(col("id").as("neighbor_id"), col("codes"))
+    Similarity.opqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
+  }
+
   // ============================================================== IVF-SQ8
   /** Encode the corpus against a stored quantizer as SCALAR-QUANTIZED
     * postings `(id, cell, scale, q ARRAY<INT>)` — FAISS `IVF,SQ8`:

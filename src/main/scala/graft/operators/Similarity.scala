@@ -842,11 +842,24 @@ object Similarity {
   private[operators] def pqSearchCore(
       corpus: DataFrame, codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, shortlist: Int, model: PqModel
+  ): DataFrame =
+    adcSearchCore(corpus, codes, queries, idCol, vecCol, k, shortlist,
+      pqAdcTableUdf(model), pqAdcLookupUdf(model))
+
+  /** The ADC shortlist machinery itself, parameterized on the
+    * table-building UDF so [[pqSearchCore]] (codebooks over the unit
+    * vector) and [[opqSearchCore]] (codebooks over the ROTATED unit
+    * vector) share one candidate plan — queries and their tables
+    * broadcast, candidates rank by m table lookups, the shortlist
+    * rescoring exactly over the raw corpus. */
+  private def adcSearchCore(
+      corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      tableUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      adcUdf: org.apache.spark.sql.expressions.UserDefinedFunction
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val tableUdf = pqAdcTableUdf(model)
-    val adcUdf = pqAdcLookupUdf(model)
     val qz = queries.select(col(idCol).as("query_id"),
       tableUdf(col(idCol).cast("string"), col(vecCol)).as("qt"))
     val cand = codes
@@ -1213,5 +1226,223 @@ object Similarity {
       .filter(col("arank") <= shortlist)
       .select("query_id", "neighbor_id")
     rescoreExact(corpus, queries, cand, idCol, vecCol, k)
+  }
+
+  // ============================================================== OPQ
+  /** An Optimized Product Quantizer (Ge et al., CVPR 2013 — FAISS's
+    * `OPQ{m},PQ{m}` shape): a learned ORTHOGONAL rotation applied to
+    * the unit vector before the subspace split. A plain PQ quantizes
+    * whatever happens to land in each contiguous dim block; the
+    * rotation redistributes variance across the blocks, so the same
+    * code budget quantizes finer and the ADC shortlist recalls more
+    * of the true top-k. Orthogonality preserves dot products, so the
+    * ADC table approximates the SAME cosine the exact rescore
+    * computes in the original space. Training is deterministic
+    * (identity init, fixed sample order, seeded per-subspace Lloyd,
+    * the SVD running on the same build both times), so a stored index
+    * answers identically to a same-seed retrain. */
+  final case class OpqModel(rotation: Array[Array[Double]], pq: PqModel) {
+    require(rotation.length == pq.dim,
+      s"OpqModel: rotation is ${rotation.length}x? over dim ${pq.dim}")
+    rotation.foreach(r => require(r.length == pq.dim,
+      s"OpqModel: ragged rotation row (${r.length} of ${pq.dim} coefficients)"))
+  }
+
+  /** `R · u` with tight loops (d ≤ a few hundred in practice). */
+  private def rotateVec(r: Array[Array[Double]], u: Array[Double]): Array[Double] = {
+    val d = r.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val ri = r(i); var s = 0.0; var j = 0
+      while (j < d) { s += ri(j) * u(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** Nearest-code reconstruction of an (already rotated) vector —
+    * the training loop's decode step. */
+  private def pqReconstruct(
+      rv: Array[Double], bounds: Array[Int],
+      codebooks: Array[Array[Array[Double]]]): Array[Double] = {
+    val out = new Array[Double](rv.length)
+    var j = 0
+    while (j < codebooks.length) {
+      val lo = bounds(j); val hi = bounds(j + 1)
+      val cb = codebooks(j)
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        var s = 0.0; var i = lo
+        while (i < hi) { val dd = rv(i) - cb(c)(i - lo); s += dd * dd; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      System.arraycopy(cb(best), 0, out, lo, hi - lo)
+      j += 1
+    }
+    out
+  }
+
+  /** Train the rotation + codebooks jointly: alternate per-subspace
+    * Lloyd on the rotated sample with the orthogonal-Procrustes
+    * rotation update `R = U·Vᵀ` of the reconstruction/sample
+    * cross-covariance `M = Σᵢ cᵢ·xᵢᵀ` (the closed-form minimizer of
+    * `Σ ||R·xᵢ − cᵢ||²` over orthogonal R), then retrain the
+    * codebooks once against the final rotation. Everything runs on
+    * the bounded 4096-row driver sample — d×d SVDs at embedding
+    * dims are trivial. */
+  def trainOpqModel(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 10, opqIters: Int = 8
+  ): OpqModel = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(kCodes >= 2, s"kCodes must be >= 2, got $kCodes")
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val prepared = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val sample = normalizedSample(prepared)
+    require(sample.nonEmpty, "opqKnn: no non-null embeddings to train on")
+    val d = sample(0).length
+    sample.find(_.length != d).foreach(v => throw new IllegalArgumentException(
+      s"opqKnn: mixed embedding dimensions in corpus — trained on $d dims, " +
+        s"found a ${v.length}-dim vector in the training sample"))
+    require(m <= d, s"opqKnn: m ($m) subspaces over $d dims")
+    val bounds = Array.tabulate(m + 1)(j => j * d / m)
+    def trainBooks(rx: Array[Array[Double]]): Array[Array[Array[Double]]] =
+      Array.tabulate(m) { j =>
+        Quantizer.lloyd(
+          rx.map(v => java.util.Arrays.copyOfRange(v, bounds(j), bounds(j + 1))),
+          kCodes, iters, seed = 42L + j)
+      }
+    var rot = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var it = 0
+    while (it < opqIters) {
+      val rx = sample.map(v => rotateVec(rot, v))
+      val books = trainBooks(rx)
+      val mm = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+      var i = 0
+      while (i < sample.length) {
+        val c = pqReconstruct(rx(i), bounds, books)
+        val x = sample(i)
+        var a = 0
+        while (a < d) {
+          val ca = c(a); var b = 0
+          while (b < d) { mm(a, b) += ca * x(b); b += 1 }
+          a += 1
+        }
+        i += 1
+      }
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mm)
+      val r2 = u * vt
+      rot = Array.tabulate(d, d)((a, b) => r2(a, b))
+      it += 1
+    }
+    // the loop's last codebooks were trained against the PREVIOUS
+    // rotation — retrain once so the stored pair is self-consistent
+    OpqModel(rot, PqModel(d, m, kCodes,
+      trainBooks(sample.map(v => rotateVec(rot, v)))))
+  }
+
+  /** Scan-local OPQ encoding: normalize → rotate → m argmin-L2 codes.
+    * Shared by the retrain path and [[AnnIndex.encodeOpq]] — ONE
+    * arithmetic, so stored codes equal in-plan codes exactly. */
+  private[operators] def opqEncodeUdf(model: OpqModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rot = model.rotation
+    val bounds = model.pq.bounds; val codebooks = model.pq.codebooks
+    val mV = model.pq.m; val dim = model.pq.dim
+    udf { (id: String, cv: Seq[Float]) =>
+      if (cv == null) null
+      else {
+        if (cv.length != dim) throw new IllegalArgumentException(
+          s"opqKnn: corpus vector $id has ${cv.length} dims, index trained on $dim")
+        val v = cv.toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = rotateVec(rot, if (n > 0) v.map(_ / n) else v)
+        val codes = new Array[Int](mV)
+        var j = 0
+        while (j < mV) {
+          val lo = bounds(j); val hi = bounds(j + 1)
+          val cb = codebooks(j)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cb.length) {
+            var s = 0.0; var i = lo
+            while (i < hi) { val dd = u(i) - cb(c)(i - lo); s += dd * dd; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          codes(j) = best
+          j += 1
+        }
+        codes.toSeq
+      }
+    }
+  }
+
+  /** Per-query OPQ ADC table: the [[pqAdcTableUdf]] math over the
+    * ROTATED unit query — rotation preserves the dot, so the summed
+    * table entries approximate the original-space cosine. */
+  private[operators] def opqAdcTableUdf(model: OpqModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rot = model.rotation
+    val bounds = model.pq.bounds; val codebooks = model.pq.codebooks
+    val mV = model.pq.m; val kC = model.pq.kCodes; val dim = model.pq.dim
+    udf { (id: String, qv: Seq[Float]) =>
+      if (qv == null) null
+      else {
+        if (qv.length != dim) throw new IllegalArgumentException(
+          s"opqKnn: query vector $id has ${qv.length} dims, index trained on $dim")
+        val v = qv.toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = rotateVec(rot, if (n > 0) v.map(_ / n) else v)
+        val t = new Array[Double](mV * kC)
+        var j = 0
+        while (j < mV) {
+          val lo = bounds(j); val hi = bounds(j + 1)
+          val cb = codebooks(j)
+          var c = 0
+          while (c < cb.length) {
+            var s = 0.0; var i = lo
+            while (i < hi) { s += u(i) * cb(c)(i - lo); i += 1 }
+            t(j * kC + c) = s
+            c += 1
+          }
+          j += 1
+        }
+        t.toSeq
+      }
+    }
+  }
+
+  /** The OPQ ADC shortlist + exact-rescore core over already-encoded
+    * `(neighbor_id, codes)` — shared verbatim by [[opqKnn]] and
+    * [[AnnIndex.opqKnnIndexed]], so the two paths return identical
+    * rows. The exact rescore runs in the ORIGINAL space (rotation
+    * only chooses candidates). */
+  private[operators] def opqSearchCore(
+      corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int, model: OpqModel
+  ): DataFrame =
+    adcSearchCore(corpus, codes, queries, idCol, vecCol, k, shortlist,
+      opqAdcTableUdf(model), pqAdcLookupUdf(model.pq))
+
+  /** OPQ ANN, retrain path: train rotation + codebooks, encode, ADC
+    * shortlist, exact rescore. `(query_id, neighbor_id, rank,
+    * cosine)`, every cosine exact. */
+  def opqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, kCodes: Int = 16, shortlist: Int = 32,
+      iters: Int = 10, opqIters: Int = 8
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val model = trainOpqModel(corpus, idCol, vecCol, m, kCodes, iters, opqIters)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      opqEncodeUdf(model)(col(idCol).cast("string"), col(vecCol)).as("codes"))
+    opqSearchCore(corpus, codes, queries, idCol, vecCol, k, shortlist, model)
   }
 }

@@ -1,54 +1,64 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc timing/plan probe (dev/test only, not part of the driver
   * contract): `sbt "Test/runMain graft.Probe"`. Rewritten per
-  * investigation; currently: the round-4 second-batch operators
-  * (sessionize / as-of / chunks / repetition / decontaminate). */
+  * investigation; currently: OPQ vs plain PQ recall across candidate
+  * fixtures + params (round 15 OPQ bring-up). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.Similarity
 
-    def timeNoop3(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
-      def run(): Unit = f.write.format("noop").mode("overwrite").save()
-      run() // warm
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[probe] $name: median ${times(1)}%.3f s (${times.map(t => f"$t%.3f").mkString(", ")})")
-    }
-    val explain = sys.env.get("PROBE_EXPLAIN").contains("1")
-    def probe(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
-      if (explain) { println(s"===== $name ====="); f.explain("formatted") }
-      timeNoop3(name)(f)
+    val dim = 16
+    def fixture(name: String, vec: Int => Array[Float], n: Int = 40): Unit = {
+      val df = (0L until n.toLong).map(i => i -> vec(i.toInt)).toDF("vec_id", "embedding")
+      val queries = df.filter(col("vec_id") < 10)
+      val brute = Similarity.knnBrute(df, queries, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      def recall(hits: Array[org.apache.spark.sql.Row]): Double = {
+        val got = hits.map(r => (r.getLong(0), r.getLong(1))).toSet
+        brute.count(got.contains).toDouble / brute.size
+      }
+      for (m <- Seq(4, 8); kc <- Seq(4, 8); sl <- Seq(5)) {
+        val pq = recall(Similarity.pqKnn(df, queries, "vec_id", "embedding",
+          k = 3, m = m, kCodes = kc, shortlist = sl).collect())
+        val opq = recall(Similarity.opqKnn(df, queries, "vec_id", "embedding",
+          k = 3, m = m, kCodes = kc, shortlist = sl).collect())
+        println(f"[probe] $name m=$m kc=$kc sl=$sl: PQ $pq%.3f  OPQ $opq%.3f  ${if (opq >= pq) "OK" else "WORSE"}")
+      }
     }
 
-    {
-      val df = graft.operators.Profile.moments(
-        sources.ParquetTables.readTable(spark, sfDir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-      df.collect() // warm: analysis + codegen + execution
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); df.collect(); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[probe] moments_collect_memoized: median ${times(1)}%.3f s (${times.map(t => f"$t%.3f").mkString(", ")})")
-      val t1 = System.nanoTime()
-      val df2 = graft.operators.Profile.moments(
-        sources.ParquetTables.readTable(spark, sfDir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-      df2.queryExecution.executedPlan // force planning only
-      println(f"[probe] moments_planning_only: ${(System.nanoTime() - t1) / 1e9}%.3f s")
-    }
+    // A: energy concentrated in first 4 dims
+    fixture("concentrated", seed => Array.tabulate(dim) { d =>
+      (if (d < 4) math.sin(seed * 31 + d * 3)
+       else 0.02 * math.sin(seed * 7 + d)).toFloat
+    })
+    // B: pairwise correlation straddling blocks
+    fixture("straddle", seed => {
+      val base = Array.tabulate(dim / 2)(d => math.sin(seed * 31 + d * 3))
+      Array.tabulate(dim)(d => (base(d % (dim / 2)) + 0.05 * math.sin(seed * 7 + d)).toFloat)
+    })
+    // C: clustered corpus (8 clusters) + noise, energy concentrated
+    fixture("clustered", seed => {
+      val c = seed % 8
+      Array.tabulate(dim) { d =>
+        (if (d < 4) math.sin(c * 131 + d * 5) + 0.15 * math.sin(seed * 31 + d)
+         else 0.02 * math.sin(seed * 7 + d)).toFloat
+      }
+    })
+    // D: smooth line (the existing family fixture)
+    fixture("line", seed => Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat))
     spark.stop()
   }
 }

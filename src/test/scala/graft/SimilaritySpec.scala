@@ -842,6 +842,23 @@ class SimilaritySpec extends SparkSpec {
     assert(storedIvfSq === retrainIvfSq,
       "stored-IVF-SQ8 path diverged from the retrain path")
 
+    // OPQ: rotation + codebooks as two model tables, same bitwise
+    // contract
+    val retrainOpq = collected(
+      Similarity.opqKnn(df, queries, "vec_id", "embedding", k = 3,
+        m = 4, kCodes = 8, shortlist = 10))
+    val (rotT, obooksT) = AnnIndex.trainOpq(df, "vec_id", "embedding", m = 4, kCodes = 8)
+    rotT.write.parquet(s"$dir/opq_rotation")
+    obooksT.write.parquet(s"$dir/opq_codebooks")
+    val orot = spark.read.parquet(s"$dir/opq_rotation")
+    val obooks = spark.read.parquet(s"$dir/opq_codebooks")
+    AnnIndex.encodeOpq(df, "vec_id", "embedding", orot, obooks)
+      .write.parquet(s"$dir/opq_codes")
+    val storedOpq = collected(AnnIndex.opqKnnIndexed(
+      df, queries, "vec_id", "embedding", k = 3,
+      orot, obooks, spark.read.parquet(s"$dir/opq_codes"), shortlist = 10))
+    assert(storedOpq === retrainOpq, "stored-OPQ path diverged from the retrain path")
+
     // model-table validation fails loud: a filtered centroids table
     // (gap), a duplicated codebook row, and a corpus passed as a model
     val gap = intercept[IllegalArgumentException] {
@@ -852,5 +869,57 @@ class SimilaritySpec extends SparkSpec {
       AnnIndex.pqModel(books.union(books.limit(1)))
     }
     assert(dup.getMessage.contains("codebook rows"))
+    // a doctored (non-orthogonal) rotation fails loud — ADC scores
+    // would silently approximate a DIFFERENT query otherwise
+    val doctored = orot.withColumn("coeffs",
+      when(col("row") === 0,
+        org.apache.spark.sql.functions.transform(col("coeffs"), _ * 2.0))
+        .otherwise(col("coeffs")))
+    val badRot = intercept[IllegalArgumentException] {
+      AnnIndex.opqModel(doctored, obooks)
+    }
+    assert(badRot.getMessage.contains("not orthogonal"))
+  }
+
+  test("opqKnn: exhaustive shortlist reproduces brute top-k; the learned rotation beats plain PQ recall on a block-misaligned corpus") {
+    import spark.implicits._
+    val dim = 16
+    // block-misaligned structure: each dim d repeats base(d mod 8),
+    // so the strong pairwise couplings (d, d+8) all STRADDLE the m=4
+    // four-dim block boundaries — a contiguous split quantizes the
+    // coupling twice independently until a rotation re-mixes it.
+    // (Probed across fixtures: the rotation wins consistently when
+    // blocks are >= 4 dims; 2-dim blocks are the degenerate regime
+    // where rotating cannot beat quantizing the raw pairs.)
+    def vec(seed: Int): Array[Float] = {
+      val base = Array.tabulate(dim / 2)(d => math.sin(seed * 31 + d * 3))
+      Array.tabulate(dim)(d =>
+        (base(d % (dim / 2)) + 0.05 * math.sin(seed * 7 + d)).toFloat)
+    }
+    val df = (0L until 40L).map(i => i -> vec(i.toInt)).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    // exhaustive regime: whole-corpus shortlist degenerates to exact
+    // rescoring of everything — must equal brute top-k bit for bit
+    val all = Similarity.opqKnn(df, queries, "vec_id", "embedding",
+      k = 3, m = 4, kCodes = 8, shortlist = 40).collect()
+    val brute = Similarity.knnBrute(df, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(all.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === brute)
+    // production regime: tight shortlist — the rotation must lift
+    // recall over plain PQ at the SAME code budget on this corpus
+    // (deterministic fixture: seeded training, fixed sample order;
+    // measured 0.700 PQ vs 0.833 OPQ)
+    val brutePairs = brute.map(t => (t._1, t._2))
+    def recallOf(hits: Array[org.apache.spark.sql.Row]): Double = {
+      val got = hits.map(r => (r.getLong(0), r.getLong(1))).toSet
+      brutePairs.count(got.contains).toDouble / brutePairs.size
+    }
+    val opqRecall = recallOf(Similarity.opqKnn(df, queries, "vec_id", "embedding",
+      k = 3, m = 4, kCodes = 8, shortlist = 5).collect())
+    val pqRecall = recallOf(Similarity.pqKnn(df, queries, "vec_id", "embedding",
+      k = 3, m = 4, kCodes = 8, shortlist = 5).collect())
+    assert(opqRecall > pqRecall,
+      s"OPQ recall $opqRecall not above plain PQ's $pqRecall at the same budget")
+    assert(opqRecall >= 0.8, s"OPQ recall $opqRecall under the pinned floor")
   }
 }
