@@ -199,7 +199,10 @@ object AnnLifecycle {
     AnnIndex.trainIvfPq(corpus, idCol, vecCol, cents, m, kCodes)
       .write.parquet(s"$dir/books")
     val books = liveBooks(spark, dir)
-    StreamingAnnIndex.initialize(s"$dir/codes", buckets, CodesSchema)
+    // two-level (cell, bucket) layout: the admit anti-join prunes on
+    // buckets, stored queries partition-prune on their probed cells
+    StreamingAnnIndex.initialize(s"$dir/codes", buckets, CodesSchema,
+      partitionCols = Seq("cell", StreamingAnnIndex.BucketCol))
     StreamingAnnIndex.applyBatch(
       corpus.select(col(idCol), col(vecCol)), idCol, s"$dir/codes",
       CodesSchema, buckets,

@@ -2200,7 +2200,14 @@ object CurationPipeline {
           val buckets = c.params.int("buckets", 64)
           if (!java.nio.file.Files.exists(
               java.nio.file.Paths.get(store, "_graft_buckets")))
-            StreamingAnnIndex.initialize(store, buckets, schema)
+            // cell-carrying families take the two-level (cell, bucket)
+            // layout: admit keeps its bucket pruning, and the stored
+            // query's probed-cell filter becomes PARTITION pruning
+            StreamingAnnIndex.initialize(store, buckets, schema,
+              partitionCols =
+                if (schema.contains("cell INT"))
+                  Seq("cell", StreamingAnnIndex.BucketCol)
+                else Seq(StreamingAnnIndex.BucketCol))
           StreamingAnnIndex.applyBatch(
             c.input.select(col(eid), col(vec)), eid, store, schema, buckets,
             newRows => encodeAll(newRows, "id"))

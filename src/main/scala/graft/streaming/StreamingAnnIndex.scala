@@ -66,17 +66,47 @@ object StreamingAnnIndex {
     checkMarkers(storePath,
       StoreFiles.readMarker(storePath, "_graft_buckets", InitHint).trim.toInt,
       schema)
+    // partition columns surface at the END of a partitioned read's
+    // schema regardless of the declared order — re-select the declared
+    // order so positional consumers see the same shape on every layout
+    val declared = schema.split(",").map(_.trim.split("\\s+")(0))
     spark.read.schema(s"$schema, $BucketCol INT").parquet(storePath)
-      .drop(BucketCol)
+      .select(declared.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
+
+  /** The store's on-disk partition layout — a data property recorded
+    * at initialize time (`_graft_partitioning` marker) and read back
+    * by every write, so one store can never mix layouts. */
+  private def partitioning(path: String): Seq[String] =
+    StoreFiles.readMarker(path, "_graft_partitioning", InitHint)
+      .trim.split(",").map(_.trim).toSeq
 
   /** Bootstrap an empty store (markers only; the first batch encodes
     * everything it sees). `schema` pins the store's family for every
-    * later read. */
-  def initialize(storePath: String, numBuckets: Int, schema: String): Unit = {
+    * later read. `partitionCols` pins the physical layout: the default
+    * id-hash bucket only, or — for cell-carrying families — a
+    * two-level `(cell, bucket)` layout, which keeps the admit
+    * anti-join's bucket pruning AND gives stored-index queries
+    * partition pruning on their probed cells (at 1024 cells and
+    * nProbe 3 a query batch reads ~nProbe/nCells of the index
+    * instead of row-filtering a full scan — the
+    * [[graft.operators.AnnIndex]] `partitionBy("cell")` discipline,
+    * now available on the MAINTAINED store too). Must include
+    * [[BucketCol]]; every other column must exist in `schema`. */
+  def initialize(storePath: String, numBuckets: Int, schema: String,
+      partitionCols: Seq[String] = Seq(BucketCol)): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(partitionCols.contains(BucketCol),
+      s"partitionCols must include $BucketCol (the admit anti-join's " +
+        s"bucket pruning depends on it), got ${partitionCols.mkString(", ")}")
+    val schemaCols = schema.split(",").map(_.trim.split("\\s+")(0)).toSet
+    partitionCols.filterNot(_ == BucketCol).foreach(c =>
+      require(schemaCols.contains(c),
+        s"partition column '$c' is not in the store schema '$schema'"))
     StoreFiles.writeMarker(storePath, "_graft_buckets", numBuckets.toString)
     StoreFiles.writeMarker(storePath, "_graft_schema", schema.trim)
+    StoreFiles.writeMarker(storePath, "_graft_partitioning",
+      partitionCols.mkString(","))
   }
 
   /** Encode one batch's NEW vectors and append them. `batch` carries
@@ -131,7 +161,7 @@ object StreamingAnnIndex {
       stored
         .unionByName(encoded.withColumn(BucketCol, bucketOf(numBuckets)))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BucketCol).parquet(storePath)
+        .partitionBy(partitioning(storePath): _*).parquet(storePath)
     } finally guarded.unpersist()
   }
 }

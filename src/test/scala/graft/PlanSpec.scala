@@ -352,6 +352,32 @@ class PlanSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("MAINTAINED lifecycle store: the two-level (cell, bucket) layout partition-prunes stored queries on their probed cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{AnnIndex, AnnLifecycle}
+    val dim = 8
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val emb = (0L until 48L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val state = java.nio.file.Files.createTempDirectory("graft-plan-lc").toString
+    AnnLifecycle.maintainNight(emb, "vec_id", "embedding", state,
+      nCells = 8, m = 4, kCodes = 8, buckets = 4)
+    val idx = s"$state/${AnnLifecycle.IndexDirName}"
+    val out = AnnIndex.ivfPqKnnIndexed(
+      emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", k = 3,
+      AnnLifecycle.liveCentroids(spark, idx), AnnLifecycle.liveBooks(spark, idx),
+      AnnLifecycle.liveCodes(spark, idx), nProbe = 2, shortlist = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("codes")).getOrElse(
+      fail(s"no codes FileScan in plan:\n$plan"))
+    assert(scanLine.contains("PartitionFilters: [") &&
+      scanLine.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+        .contains("cell"),
+      s"the maintained codes scan must prune on the probed cells:\n$scanLine")
+    assert(out.count() > 0)
+  }
+
   test("stored-IVF-PQ query prunes the codes scan to the probed cells (partition filters on the composed index)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
