@@ -275,6 +275,56 @@ object AnnIndex {
     Similarity.OpqModel(rot, pq)
   }
 
+  /** [[trainOpq]]'s two tables folded into ONE — the pipeline's
+    * one-output-per-step shape (FAISS likewise serializes the OPQ
+    * pretransform chained into one index artifact): codebook rows
+    * carry `(subspace, code, dim, centroid, rot_row = NULL)`, rotation
+    * rows `(NULL, NULL, dim, centroid = coefficients, rot_row = i)`.
+    * The `rot_row` column is the family marker `knn_encode`/`knn`
+    * dispatch on. */
+  def trainOpqCombined(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 10, opqIters: Int = 8
+  ): DataFrame = {
+    val (rotation, books) = trainOpq(corpus, idCol, vecCol, m, kCodes, iters, opqIters)
+    books
+      .withColumn("rot_row", lit(null).cast("int"))
+      .unionByName(rotation.select(
+        lit(null).cast("int").as("subspace"), lit(null).cast("int").as("code"),
+        col("dim"), col("coeffs").as("centroid"), col("row").as("rot_row")))
+  }
+
+  /** Split a [[trainOpqCombined]] table back into its halves and load
+    * the model ([[opqModel]]'s fail-loud validation applies). */
+  def opqModelCombined(combined: DataFrame): Similarity.OpqModel = {
+    require(combined.columns.contains("rot_row"),
+      "opqModelCombined: not a combined OPQ table (no rot_row column)")
+    opqModel(
+      combined.filter(col("rot_row").isNotNull)
+        .select(col("rot_row").as("row"), col("dim"), col("centroid").as("coeffs")),
+      combined.filter(col("rot_row").isNull)
+        .select(col("subspace"), col("code"), col("dim"), col("centroid")))
+  }
+
+  /** [[encodeOpq]] over a combined model table. */
+  def encodeOpqCombined(
+      corpus: DataFrame, idCol: String, vecCol: String, combined: DataFrame
+  ): DataFrame = {
+    val model = opqModelCombined(combined)
+    corpus.select(col(idCol).as("id"),
+      Similarity.opqEncodeUdf(model)(col(idCol).cast("string"), col(vecCol)).as("codes"))
+  }
+
+  /** [[opqKnnIndexed]] over a combined model table. */
+  def opqKnnIndexedCombined(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, combined: DataFrame, codes: DataFrame, shortlist: Int = 32
+  ): DataFrame = {
+    val model = opqModelCombined(combined)
+    val cz = codes.select(col("id").as("neighbor_id"), col("codes"))
+    Similarity.opqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
+  }
+
   /** Encode the corpus against a stored OPQ model: the codes table
     * `(id, codes ARRAY<INT>)` — m bytes of payload per vector,
     * scan-local (rotation + codebooks ride the UDF closure). */

@@ -2129,8 +2129,17 @@ object CurationPipeline {
             c.resolve(c.params.reqStr("centroids")),
             c.params.int("m", 8), c.params.int("kCodes", 16),
             c.params.int("iters", 10))
+        case "opq" =>
+          // rotation + codebooks train JOINTLY, so the output is the
+          // combined one-table form (codebook rows + rot_row-marked
+          // pretransform rows) the downstream steps dispatch on
+          require(!c.params.has("nCells") && !c.params.has("centroids"),
+            s"step ${c.stepName}: nCells/centroids apply to other families")
+          graft.operators.AnnIndex.trainOpqCombined(c.input, eid, vec,
+            c.params.int("m", 8), c.params.int("kCodes", 16),
+            c.params.int("iters", 10))
         case other => throw new IllegalArgumentException(
-          s"step ${c.stepName}: family must be ivf, pq, or ivfpq, got '$other'")
+          s"step ${c.stepName}: family must be ivf, pq, ivfpq, or opq, got '$other'")
       }
     }, tableParams = Set("centroids")),
     // persisted ANN index, step 2 of 3 — ENCODE: corpus vectors
@@ -2171,6 +2180,11 @@ object CurationPipeline {
             case other  => throw new IllegalArgumentException(
               s"step ${c.stepName}: quantize must be none or sq8, got '$other'")
           }
+        } else if (model.columns.contains("rot_row")) {
+          // combined OPQ table (codebooks + rot_row-marked rotation)
+          require(!c.params.has("centroids") && !c.params.has("quantize"),
+            s"step ${c.stepName}: centroids/quantize apply to other families")
+          ("opq", "id BIGINT, codes ARRAY<INT>")
         } else if (model.columns.contains("subspace")) {
           require(!c.params.has("quantize"),
             s"step ${c.stepName}: quantize applies to centroid models only " +
@@ -2188,6 +2202,8 @@ object CurationPipeline {
           graft.operators.AnnIndex.encodeIvfSq(df, idc, vec, model)
         else if (family == "ivfpq")
           graft.operators.AnnIndex.encodeIvfPq(df, idc, vec, cents, model)
+        else if (family == "opq")
+          graft.operators.AnnIndex.encodeOpqCombined(df, idc, vec, model)
         else graft.operators.AnnIndex.encodePq(df, idc, vec, model)
       c.params.str("mode", "full") match {
         case "full" =>
@@ -2321,6 +2337,17 @@ object CurationPipeline {
           graft.operators.AnnIndex.ivfKnnIndexed(c.input, eid, vec, k,
             model, codes, c.params.int("nProbe", 3))
         }
+      } else if (model.columns.contains("rot_row")) {
+        // combined OPQ table: rotated ADC shortlist, original-space
+        // exact rescore from the corpus
+        require(!c.params.has("centroids") && !c.params.has("nProbe"),
+          s"step ${c.stepName}: centroids/nProbe apply to ivf-family models")
+        val corpus = c.resolve(c.params.reqStr("corpus"))
+        for (needed <- Seq(eid, vec))
+          require(corpus.columns.contains(needed),
+            s"step ${c.stepName}: corpus table has no column '$needed'")
+        graft.operators.AnnIndex.opqKnnIndexedCombined(corpus, c.input, eid, vec,
+          k, model, codes, c.params.int("shortlist", math.max(32, 2 * k)))
       } else if (model.columns.contains("subspace")) {
         val corpus = c.resolve(c.params.reqStr("corpus"))
         for (needed <- Seq(eid, vec))

@@ -3038,6 +3038,63 @@ class CliSpec extends SparkSpec {
       "incrementally-maintained SQ8 store diverged from a from-scratch encode")
   }
 
+  test("pipeline knn_train family: opq — the combined rotation+codebooks table through train/encode/query equals the direct stored path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnIndex
+    val dim = 12
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val (src, out) = (tempDir(), tempDir())
+    val embs = (0L until 30L).map(i => (i, s"doc $i", vec(i.toInt)))
+      .toDF("vec_id", "text", "embedding")
+    embs.write.parquet(s"$src/embeddings.parquet")
+    embs.filter(col("vec_id") < 3).write.parquet(s"$src/queries.parquet")
+    val y = Files.createTempFile("graft-pipe-opq", ".yaml")
+    Files.writeString(y,
+      """pipeline: ann_opq
+        |id: vec_id
+        |text: text
+        |steps:
+        |  - name: ann_model
+        |    op: knn_train
+        |    input: embeddings
+        |    params: { family: opq, m: "4", kCodes: "8" }
+        |  - name: ann_codes
+        |    op: knn_encode
+        |    input: embeddings
+        |    params: { model: ann_model }
+        |  - name: neighbors
+        |    op: knn
+        |    input: queries
+        |    params: { model: ann_model, codes: ann_codes, corpus: embeddings,
+        |              k: "3", shortlist: "8" }
+        |""".stripMargin)
+    Cli.run(Seq("pipeline", y.toString, src, out), spark)
+    // the model is the combined one-table form: codebook rows plus
+    // rot_row-marked rotation rows (dim of them)
+    val model = spark.read.parquet(s"$out/ann_model")
+    assert(model.filter(col("rot_row").isNotNull).count() === dim.toLong)
+    assert(model.filter(col("rot_row").isNull).count() === 4L * 8L)
+    val codes = spark.read.parquet(s"$out/ann_codes")
+    assert(codes.columns.toSet === Set("id", "codes"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val direct = AnnIndex.opqKnnIndexedCombined(
+      embs, embs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      model, codes, shortlist = 8)
+    assert(rows(spark.read.parquet(s"$out/neighbors")) === rows(direct),
+      "pipeline OPQ chain diverged from the direct stored path")
+    // and the combined table's halves load to the SAME model the
+    // two-table path trains (joint training is deterministic)
+    val (rotT, booksT) = AnnIndex.trainOpq(embs, "vec_id", "embedding", m = 4, kCodes = 8)
+    val viaPair = AnnIndex.opqModel(rotT, booksT)
+    val viaCombined = AnnIndex.opqModelCombined(model)
+    assert(viaCombined.rotation.map(_.toSeq).toSeq === viaPair.rotation.map(_.toSeq).toSeq)
+    assert(viaCombined.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      viaPair.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("pipeline ann nights: change_detect + frozen-model IVF-PQ admission over three nights equals the one-shot stored index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
