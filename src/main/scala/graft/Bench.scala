@@ -319,14 +319,18 @@ object Bench {
     require(threshold > 0 && budgetMs >= 0 && pollMs > 0,
       s"waitForIdle: bad parameters ($threshold, $budgetMs, $pollMs)")
     // an unreadable loadavg (non-Linux) counts as idle: the flag logic
-    // downstream degrades the same way and must not spin the budget
+    // downstream degrades the same way and must not spin the budget.
+    // "idle" mirrors distortedFlag's START trigger exactly (it trips
+    // on load > threshold, so load == threshold is clean): a reading
+    // the flag would not veto must not burn the wait budget either.
     var waited = 0L
-    var idle = read().forall(_ < threshold)
+    def isIdle: Boolean = read().forall(_ <= threshold)
+    var idle = isIdle
     while (!idle && waited < budgetMs) {
       val step = math.min(pollMs, budgetMs - waited)
       sleep(step)
       waited += step
-      idle = read().forall(_ < threshold)
+      idle = isIdle
     }
     (waited / 1000.0, idle)
   }

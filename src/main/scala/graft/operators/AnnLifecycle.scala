@@ -167,18 +167,20 @@ object AnnLifecycle {
     if (row.isNullAt(0)) -1.0 else row.getDouble(0)
   }
 
-  /** Cell occupancy (max, median, skew) over the live codes table —
-    * at most nCells + 1 rows collect (cells come from centroid
-    * assignment; NULL-cell rows carry no geometry and are skipped). */
-  private def occupancy(codes: DataFrame): (Long, Long, Double) = {
-    val counts = codes.filter(col("cell").isNotNull)
-      .groupBy(col("cell")).count()
-      .collect().map(_.getLong(1)).sorted
-    if (counts.isEmpty) (0L, 0L, 1.0)
+  /** Row count + cell occupancy (max, median, skew) of the live codes
+    * table in ONE scan (`groupBy(cell).count` — at most nCells + 1
+    * rows collect; a separate `count()` would pay a second full pass
+    * of the store every night at 100 TB). NULL-cell rows (no
+    * geometry) count toward the total but not the occupancy. */
+  private def codesProfile(codes: DataFrame): (Long, Long, Long, Double) = {
+    val rows = codes.groupBy(col("cell")).count().collect()
+    val total = rows.map(_.getLong(1)).sum
+    val counts = rows.filterNot(_.isNullAt(0)).map(_.getLong(1)).sorted
+    if (counts.isEmpty) (total, 0L, 0L, 1.0)
     else {
       val max = counts.last
       val med = counts(counts.length / 2)
-      (max, med, if (med > 0) max.toDouble / med else 1.0)
+      (total, max, med, if (med > 0) max.toDouble / med else 1.0)
     }
   }
 
@@ -238,7 +240,7 @@ object AnnLifecycle {
       StoreFiles.writeMarker(staged, TrainedRowsMarker, nCorpus.toString)
       StoreFiles.writeMarker(staged, RetrainsMarker, "0")
       graft.exec.Staging.promoteStaged(spark, stateStepDir, IndexDirName, StagedSuffix)
-      val (occMax, occMed, skew) = occupancy(liveCodes(spark, idxDir))
+      val (_, occMax, occMed, skew) = codesProfile(liveCodes(spark, idxDir))
       val recon = reconErrSampled(corpus, idCol, vecCol,
         AnnIndex.ivfModel(liveCentroids(spark, idxDir)),
         AnnIndex.pqModel(liveBooks(spark, idxDir)), sampleMod)
@@ -258,12 +260,11 @@ object AnnLifecycle {
       CodesSchema, buckets,
       newRows => AnnIndex.encodeIvfPq(newRows, "id", vecCol, cents, books))
 
-    // -------- health on the post-admit, pre-decision state
-    val nCodes = liveCodes(spark, idxDir).count()
+    // -------- health on the post-admit, pre-decision state (one scan)
+    val (nCodes, occMax, occMed, skew) = codesProfile(liveCodes(spark, idxDir))
     val trainedBefore = trainedRows(idxDir)
     val retrainsBefore = retrains(idxDir)
     val fresh = nCodes - trainedBefore
-    val (occMax, occMed, skew) = occupancy(liveCodes(spark, idxDir))
     val recon = reconErrSampled(corpus, idCol, vecCol,
       AnnIndex.ivfModel(cents), AnnIndex.pqModel(books), sampleMod)
     // exact integer trigger — an external oracle re-derives it from

@@ -1861,8 +1861,12 @@ object Multimodal {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: WebM parse: $msg")
     if (!isWebm(bytes)) fail("not an EBML payload (no leading EBML header id)")
-    // (vint value, width); `keepMarker` reads ids, else sizes
-    def vintAt(p: Int, end: Int, keepMarker: Boolean, what: String): (Long, Int) = {
+    // (vint value, width); `keepMarker` reads ids, else data. The
+    // all-ones reservation (RFC 8794's unknown-size sentinel) applies
+    // ONLY to element SIZES — a block track number of 127 encoded
+    // minimally as 0xFF is a legal Matroska stream and must parse.
+    def vintAt(p: Int, end: Int, keepMarker: Boolean, what: String,
+        rejectAllOnes: Boolean = false): (Long, Int) = {
       if (p >= end) fail(s"truncated $what VINT at byte $p")
       val b0 = bytes(p) & 0xFF
       if (b0 == 0) fail(s"invalid $what VINT at byte $p (lead byte 0: width > 8)")
@@ -1871,7 +1875,7 @@ object Multimodal {
       var v = if (keepMarker) b0.toLong else (b0 & ((1 << (8 - w)) - 1)).toLong
       var i = 1
       while (i < w) { v = (v << 8) | (bytes(p + i) & 0xFF); i += 1 }
-      if (!keepMarker && v == (1L << (7 * w)) - 1)
+      if (rejectAllOnes && v == (1L << (7 * w)) - 1)
         fail(s"unknown-size element at byte $p — strict tiling needs explicit sizes")
       (v, w)
     }
@@ -1881,7 +1885,8 @@ object Multimodal {
       var off = start
       while (off < end) {
         val (eid, iw) = vintAt(off, end, keepMarker = true, "element id")
-        val (sz, sw) = vintAt(off + iw, end, keepMarker = false, "element size")
+        val (sz, sw) = vintAt(off + iw, end, keepMarker = false, "element size",
+          rejectAllOnes = true)
         val ps = off + iw + sw
         if (ps + sz > end)
           fail(s"element 0x${eid.toHexString} at byte $off runs past its " +
@@ -2008,7 +2013,6 @@ object Multimodal {
       s"doc $id: expected PCM16 mono soundtrack, got ${fmt.bits}-bit " +
         s"${fmt.channels}-channel")
     val n = t.blocks.map(_.length).sum
-    require(n % 2 == 0, s"doc $id: odd PCM16 byte count $n")
     val pcm = new Array[Byte](n)
     var p = 0
     t.blocks.foreach { b =>

@@ -790,6 +790,67 @@ object Similarity {
     PqModel(d, m, kCodes, codebooks)
   }
 
+  /** L2-normalize; zero vectors pass through unchanged (the exact
+    * rescore's NaN guard owns that case). ONE copy of the arithmetic
+    * every PQ-family UDF shares. */
+  private def unitOf(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) v.map(_ / n) else v
+  }
+
+  /** Argmin-L2 code of `u`'s `[lo, hi)` slice against one subspace
+    * codebook — THE quantization step, shared by every encode path
+    * (plain, residual, rotated) and the training-loop reconstruction,
+    * so the families cannot silently diverge. */
+  private def argminCode(
+      u: Array[Double], lo: Int, hi: Int, cb: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cb.length) {
+      var s = 0.0; var i = lo
+      while (i < hi) { val dd = u(i) - cb(c)(i - lo); s += dd * dd; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace argmin codes of a (possibly rotated or residual)
+    * vector. */
+  private def subspaceCodes(
+      u: Array[Double], bounds: Array[Int],
+      codebooks: Array[Array[Array[Double]]]): Array[Int] = {
+    val codes = new Array[Int](codebooks.length)
+    var j = 0
+    while (j < codebooks.length) {
+      codes(j) = argminCode(u, bounds(j), bounds(j + 1), codebooks(j))
+      j += 1
+    }
+    codes
+  }
+
+  /** The flattened m × kCodes ADC dot-product table of a query vector
+    * against the codebooks. */
+  private def adcTableOf(
+      u: Array[Double], bounds: Array[Int],
+      codebooks: Array[Array[Array[Double]]], kC: Int): Array[Double] = {
+    val t = new Array[Double](codebooks.length * kC)
+    var j = 0
+    while (j < codebooks.length) {
+      val lo = bounds(j); val hi = bounds(j + 1)
+      val cb = codebooks(j)
+      var c = 0
+      while (c < cb.length) {
+        var s = 0.0; var i = lo
+        while (i < hi) { s += u(i) * cb(c)(i - lo); i += 1 }
+        t(j * kC + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    t
+  }
+
   /** Scan-local encoding: normalized vector -> m argmin-L2 codes. The
     * UDF carries the row id so a ragged vector names its offender
     * instead of producing silently-partial subspace dots. Shared by
@@ -798,32 +859,13 @@ object Similarity {
   private[operators] def pqEncodeUdf(model: PqModel)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bounds = model.bounds; val codebooks = model.codebooks
-    val mV = model.m; val dim = model.dim
+    val dim = model.dim
     udf { (id: String, cv: Seq[Float]) =>
       if (cv == null) null
       else {
         if (cv.length != dim) throw new IllegalArgumentException(
           s"pqKnn: corpus vector $id has ${cv.length} dims, index trained on $dim")
-        val v = cv.toArray.map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val u = if (n > 0) v.map(_ / n) else v
-        val codes = new Array[Int](mV)
-        var j = 0
-        while (j < mV) {
-          val lo = bounds(j); val hi = bounds(j + 1)
-          val cb = codebooks(j)
-          var best = 0; var bestD = Double.PositiveInfinity
-          var c = 0
-          while (c < cb.length) {
-            var s = 0.0; var i = lo
-            while (i < hi) { val dd = u(i) - cb(c)(i - lo); s += dd * dd; i += 1 }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          codes(j) = best
-          j += 1
-        }
-        codes.toSeq
+        subspaceCodes(unitOf(cv.toArray.map(_.toDouble)), bounds, codebooks).toSeq
       }
     }
   }
@@ -884,30 +926,13 @@ object Similarity {
   private[operators] def pqAdcTableUdf(model: PqModel)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bounds = model.bounds; val codebooks = model.codebooks
-    val mV = model.m; val kC = model.kCodes; val dim = model.dim
+    val kC = model.kCodes; val dim = model.dim
     udf { (id: String, qv: Seq[Float]) =>
       if (qv == null) null
       else {
         if (qv.length != dim) throw new IllegalArgumentException(
           s"pqKnn: query vector $id has ${qv.length} dims, index trained on $dim")
-        val v = qv.toArray.map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val u = if (n > 0) v.map(_ / n) else v
-        val t = new Array[Double](mV * kC)
-        var j = 0
-        while (j < mV) {
-          val lo = bounds(j); val hi = bounds(j + 1)
-          val cb = codebooks(j)
-          var c = 0
-          while (c < cb.length) {
-            var s = 0.0; var i = lo
-            while (i < hi) { s += u(i) * cb(c)(i - lo); i += 1 }
-            t(j * kC + c) = s
-            c += 1
-          }
-          j += 1
-        }
-        t.toSeq
+        adcTableOf(unitOf(qv.toArray.map(_.toDouble)), bounds, codebooks, kC).toSeq
       }
     }
   }
@@ -1050,34 +1075,16 @@ object Similarity {
       centroids: Array[Array[Double]], model: PqModel
   ): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bounds = model.bounds; val codebooks = model.codebooks
-    val mV = model.m; val dim = model.dim
+    val dim = model.dim
     udf { (id: String, cv: Seq[Float], cell: java.lang.Integer) =>
       if (cv == null || cell == null) null
       else {
         if (cv.length != dim) throw new IllegalArgumentException(
           s"ivfPqKnn: corpus vector $id has ${cv.length} dims, index trained on $dim")
-        val v = cv.toArray.map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val u = if (n > 0) v.map(_ / n) else v
+        val u = unitOf(cv.toArray.map(_.toDouble))
         val c = centroids(cell.intValue)
         val r = Array.tabulate(dim)(i => u(i) - (if (i < c.length) c(i) else 0.0))
-        val codes = new Array[Int](mV)
-        var j = 0
-        while (j < mV) {
-          val lo = bounds(j); val hi = bounds(j + 1)
-          val cb = codebooks(j)
-          var best = 0; var bestD = Double.PositiveInfinity
-          var cc = 0
-          while (cc < cb.length) {
-            var s = 0.0; var i = lo
-            while (i < hi) { val dd = r(i) - cb(cc)(i - lo); s += dd * dd; i += 1 }
-            if (s < bestD) { bestD = s; best = cc }
-            cc += 1
-          }
-          codes(j) = best
-          j += 1
-        }
-        codes.toSeq
+        subspaceCodes(r, bounds, codebooks).toSeq
       }
     }
   }
@@ -1263,7 +1270,8 @@ object Similarity {
   }
 
   /** Nearest-code reconstruction of an (already rotated) vector —
-    * the training loop's decode step. */
+    * the training loop's decode step ([[argminCode]], the same
+    * quantization the encoders use). */
   private def pqReconstruct(
       rv: Array[Double], bounds: Array[Int],
       codebooks: Array[Array[Array[Double]]]): Array[Double] = {
@@ -1271,16 +1279,8 @@ object Similarity {
     var j = 0
     while (j < codebooks.length) {
       val lo = bounds(j); val hi = bounds(j + 1)
-      val cb = codebooks(j)
-      var best = 0; var bestD = Double.PositiveInfinity
-      var c = 0
-      while (c < cb.length) {
-        var s = 0.0; var i = lo
-        while (i < hi) { val dd = rv(i) - cb(c)(i - lo); s += dd * dd; i += 1 }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      System.arraycopy(cb(best), 0, out, lo, hi - lo)
+      System.arraycopy(codebooks(j)(argminCode(rv, lo, hi, codebooks(j))),
+        0, out, lo, hi - lo)
       j += 1
     }
     out
@@ -1345,74 +1345,42 @@ object Similarity {
       trainBooks(sample.map(v => rotateVec(rot, v)))))
   }
 
-  /** Scan-local OPQ encoding: normalize → rotate → m argmin-L2 codes.
-    * Shared by the retrain path and [[AnnIndex.encodeOpq]] — ONE
-    * arithmetic, so stored codes equal in-plan codes exactly. */
+  /** Scan-local OPQ encoding: normalize → rotate → m argmin-L2 codes
+    * ([[subspaceCodes]], the plain-PQ arithmetic over the rotated
+    * vector). Shared by the retrain path and [[AnnIndex.encodeOpq]] —
+    * ONE arithmetic, so stored codes equal in-plan codes exactly. */
   private[operators] def opqEncodeUdf(model: OpqModel)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val rot = model.rotation
     val bounds = model.pq.bounds; val codebooks = model.pq.codebooks
-    val mV = model.pq.m; val dim = model.pq.dim
+    val dim = model.pq.dim
     udf { (id: String, cv: Seq[Float]) =>
       if (cv == null) null
       else {
         if (cv.length != dim) throw new IllegalArgumentException(
           s"opqKnn: corpus vector $id has ${cv.length} dims, index trained on $dim")
-        val v = cv.toArray.map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val u = rotateVec(rot, if (n > 0) v.map(_ / n) else v)
-        val codes = new Array[Int](mV)
-        var j = 0
-        while (j < mV) {
-          val lo = bounds(j); val hi = bounds(j + 1)
-          val cb = codebooks(j)
-          var best = 0; var bestD = Double.PositiveInfinity
-          var c = 0
-          while (c < cb.length) {
-            var s = 0.0; var i = lo
-            while (i < hi) { val dd = u(i) - cb(c)(i - lo); s += dd * dd; i += 1 }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          codes(j) = best
-          j += 1
-        }
-        codes.toSeq
+        subspaceCodes(rotateVec(rot, unitOf(cv.toArray.map(_.toDouble))),
+          bounds, codebooks).toSeq
       }
     }
   }
 
-  /** Per-query OPQ ADC table: the [[pqAdcTableUdf]] math over the
-    * ROTATED unit query — rotation preserves the dot, so the summed
-    * table entries approximate the original-space cosine. */
+  /** Per-query OPQ ADC table: the [[pqAdcTableUdf]] math
+    * ([[adcTableOf]]) over the ROTATED unit query — rotation preserves
+    * the dot, so the summed table entries approximate the
+    * original-space cosine. */
   private[operators] def opqAdcTableUdf(model: OpqModel)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val rot = model.rotation
     val bounds = model.pq.bounds; val codebooks = model.pq.codebooks
-    val mV = model.pq.m; val kC = model.pq.kCodes; val dim = model.pq.dim
+    val kC = model.pq.kCodes; val dim = model.pq.dim
     udf { (id: String, qv: Seq[Float]) =>
       if (qv == null) null
       else {
         if (qv.length != dim) throw new IllegalArgumentException(
           s"opqKnn: query vector $id has ${qv.length} dims, index trained on $dim")
-        val v = qv.toArray.map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val u = rotateVec(rot, if (n > 0) v.map(_ / n) else v)
-        val t = new Array[Double](mV * kC)
-        var j = 0
-        while (j < mV) {
-          val lo = bounds(j); val hi = bounds(j + 1)
-          val cb = codebooks(j)
-          var c = 0
-          while (c < cb.length) {
-            var s = 0.0; var i = lo
-            while (i < hi) { s += u(i) * cb(c)(i - lo); i += 1 }
-            t(j * kC + c) = s
-            c += 1
-          }
-          j += 1
-        }
-        t.toSeq
+        adcTableOf(rotateVec(rot, unitOf(qv.toArray.map(_.toDouble))),
+          bounds, codebooks, kC).toSeq
       }
     }
   }

@@ -35,6 +35,12 @@ object StreamingAnnIndex {
 
   private val InitHint = "initialize() the store first"
 
+  /** Field names of a DDL schema string via the real parser — a naive
+    * comma split breaks on parameterized types (`DECIMAL(38,2)`,
+    * `MAP<INT,INT>`) the moment a future family uses one. */
+  private def schemaFieldNames(schema: String): Array[String] =
+    org.apache.spark.sql.types.StructType.fromDDL(schema).fieldNames
+
   // markers through StoreFiles (the shared atomic temp+rename write —
   // a crash mid-write must never leave a truncated payload that still
   // parses). The SCHEMA is a marker too: the store's family is a
@@ -69,16 +75,21 @@ object StreamingAnnIndex {
     // partition columns surface at the END of a partitioned read's
     // schema regardless of the declared order — re-select the declared
     // order so positional consumers see the same shape on every layout
-    val declared = schema.split(",").map(_.trim.split("\\s+")(0))
+    val declared = schemaFieldNames(schema)
     spark.read.schema(s"$schema, $BucketCol INT").parquet(storePath)
       .select(declared.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   /** The store's on-disk partition layout — a data property recorded
     * at initialize time (`_graft_partitioning` marker) and read back
-    * by every write, so one store can never mix layouts. */
+    * by every write, so one store can never mix layouts. A store
+    * initialized before the marker existed IS the bucket-only layout
+    * by construction — defaulting (instead of failing) keeps
+    * long-lived pay-encode-once stores usable across the upgrade. */
   private def partitioning(path: String): Seq[String] =
-    StoreFiles.readMarker(path, "_graft_partitioning", InitHint)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_graft_partitioning"))) Seq(BucketCol)
+    else StoreFiles.readMarker(path, "_graft_partitioning", InitHint)
       .trim.split(",").map(_.trim).toSeq
 
   /** Bootstrap an empty store (markers only; the first batch encodes
@@ -99,7 +110,7 @@ object StreamingAnnIndex {
     require(partitionCols.contains(BucketCol),
       s"partitionCols must include $BucketCol (the admit anti-join's " +
         s"bucket pruning depends on it), got ${partitionCols.mkString(", ")}")
-    val schemaCols = schema.split(",").map(_.trim.split("\\s+")(0)).toSet
+    val schemaCols = schemaFieldNames(schema).toSet
     partitionCols.filterNot(_ == BucketCol).foreach(c =>
       require(schemaCols.contains(c),
         s"partition column '$c' is not in the store schema '$schema'"))

@@ -105,6 +105,12 @@ class BenchFlagSpec extends AnyFunSuite {
     // already idle: no sleep at all, reports reached
     assert(Bench.waitForIdle(2.0, 60000L, 5000L, () => Some(0.5), sleep) === ((0.0, true)))
     assert(slept === 0L)
+    // AT the threshold counts as idle — distortedFlag trips on
+    // strictly-greater, and the wait must mirror it exactly (a
+    // loadavg pinned at cpus/16 must not burn the budget for a
+    // reading the flag would never veto)
+    assert(Bench.waitForIdle(2.0, 60000L, 5000L, () => Some(2.0), sleep) === ((0.0, true)))
+    assert(slept === 0L)
     // decays under the threshold on the third reading: two sleeps
     val readings = Iterator(5.0, 3.0, 1.5)
     val (w1, ok1) = Bench.waitForIdle(2.0, 60000L, 5000L, () => Some(readings.next()), sleep)

@@ -130,6 +130,14 @@ class WebmSpec extends SparkSpec {
     undeclared(aa - 4) = 0x83.toByte
     val eTrack = intercept[IllegalArgumentException](Multimodal.webmDemux(1L, undeclared))
     assert(eTrack.getMessage.contains("undeclared track"), eTrack.getMessage)
+    // track 127 encoded minimally as 0xFF is a LEGAL VINT — RFC 8794's
+    // all-ones (unknown-size) reservation applies to element SIZES
+    // only, so this must parse as a track number and fail as
+    // undeclared, never as "unknown-size"
+    val t127 = webm.clone()
+    t127(aa - 4) = 0xFF.toByte
+    val e127 = intercept[IllegalArgumentException](Multimodal.webmDemux(1L, t127))
+    assert(e127.getMessage.contains("undeclared track 127"), e127.getMessage)
     // non-EBML bytes refuse
     val eMagic = intercept[IllegalArgumentException] {
       Multimodal.webmDemux(1L, "RIFFxxxxAVI ".getBytes("US-ASCII") ++ new Array[Byte](20))
