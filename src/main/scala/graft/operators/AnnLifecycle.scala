@@ -43,15 +43,16 @@ import graft.streaming.{StoreFiles, StreamingAnnIndex}
   * queries BITWISE identical to a same-seed from-scratch build (the
   * `ann_retrain_swap` gate asserts it).
   *
-  * Scale posture (100 TB): every corpus pass is a scan (count, admit
-  * anti-join, sampled reconstruction, re-encode) — nothing persists or
-  * collects the corpus; driver materialization is bounded by
+  * Scale posture (100 TB): every corpus pass is a scan (admit
+  * anti-join, sampled reconstruction, re-encode; the health profile is
+  * ONE `groupBy(cell)` pass) — nothing persists or collects the
+  * corpus; driver materialization is bounded by
   * [[AnnIndex.MaxModelRows]] (models) and nCells (occupancy rows).
-  * The codes store keeps the admit-bucket layout (idempotent replay)
-  * rather than `partitionBy(cell)`; the cell filter still applies
-  * row-level, and a deployment wanting partition pruning on the query
-  * path compacts the swapped store to the [[AnnIndex.encodeIvfPq]]
-  * layout — the two layouts hold identical rows by construction.
+  * The codes store uses [[graft.streaming.StreamingAnnIndex]]'s
+  * two-level `(cell, bucket)` layout: the admit anti-join prunes on
+  * buckets, and a stored query's probed-cell filter is PARTITION
+  * pruning (PlanSpec-pinned), the same selectivity as the one-shot
+  * [[AnnIndex.encodeIvfPq]] `partitionBy("cell")` tables.
   */
 object AnnLifecycle {
 
