@@ -877,6 +877,37 @@ object QueriesExt {
       rot, cb, s.read.parquet(s"$tmp/codes"))
   }
 
+  /** Fully composed STORED OPQ+IVF-PQ index (FAISS
+    * `OPQ{m},IVF{x},PQ{m}`, the standard billion-vector production
+    * shape): four persisted tables — rotation, centroids (trained in
+    * rotated space), residual codebooks, and per-vector codes
+    * partitioned by `cell`. Queries rotate into index space for
+    * probing and ADC only; the exact rescore stays in the original
+    * space, so the same soundness oracle applies. */
+  def embedKnnIvfOpqStored(s: SparkSession, dir: String): DataFrame =
+    knnVerified(embedKnnIvfOpqStoredRaw(s, dir), emb(s, dir))
+
+  /** The raw stored query (train all three models + persist all four
+    * tables + reload + search) — Bench times this; the gate wraps it
+    * in the soundness union. */
+  def embedKnnIvfOpqStoredRaw(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = scratchDir(s, "ann-ivfopq")
+    val (rotation, centroids, books) =
+      operators.AnnIndex.trainIvfOpq(e, "vec_id", "embedding", nCells = 16)
+    rotation.write.mode("overwrite").parquet(s"$tmp/rotation")
+    centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+    books.write.mode("overwrite").parquet(s"$tmp/codebooks")
+    val rot = s.read.parquet(s"$tmp/rotation")
+    val cents = s.read.parquet(s"$tmp/centroids")
+    val cb = s.read.parquet(s"$tmp/codebooks")
+    operators.AnnIndex.encodeIvfOpq(e, "vec_id", "embedding", rot, cents, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    operators.AnnIndex.ivfOpqKnnIndexed(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      rot, cents, cb, s.read.parquet(s"$tmp/codes"))
+  }
+
   /** STORED IVF-SQ8 index (FAISS `IVF,SQ8` — scalar-quantized
     * postings, a quarter the bytes of float postings with no codebook
     * beyond the coarse quantizer): centroids + int8 codes partitioned

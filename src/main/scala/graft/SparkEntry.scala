@@ -272,6 +272,7 @@ object SparkEntry {
     "embed_knn_ivfpq_stored" -> (QueriesExt.embedKnnIvfPqStored _),
     "embed_knn_ivfsq_stored" -> (QueriesExt.embedKnnIvfSqStored _),
     "embed_knn_opq_stored"  -> (QueriesExt.embedKnnOpqStored _),
+    "embed_knn_ivfopq_stored" -> (QueriesExt.embedKnnIvfOpqStored _),
     "ann_nights_stored"     -> (QueriesExt.annNightsStored _),
     // index lifecycle: drift monitor -> thresholded retrain -> atomic
     // whole-index swap (post-swap == from-scratch, asserted in-gate)
@@ -343,6 +344,7 @@ object SparkEntry {
     "embed_knn_ivfpq_stored"     -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_ivfsq_stored"     -> QueriesExt.embedKnnVerifiedSql,
     "embed_knn_opq_stored"       -> QueriesExt.embedKnnVerifiedSql,
+    "embed_knn_ivfopq_stored"    -> QueriesExt.embedKnnVerifiedSql,
     "ann_nights_stored"          -> QueriesExt.annNightsStoredSql,
     "ann_retrain_swap"           -> QueriesExt.annRetrainSwapSql,
     "derive_schemas"            -> Queries.deriveSchemasSql,

@@ -351,6 +351,72 @@ object AnnIndex {
     Similarity.opqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
   }
 
+  // ============================================================ OPQ+IVF-PQ
+  /** Train the fully composed FAISS `OPQ{m},IVF{x},PQ{m}` index: the
+    * OPQ pretransform trains first (joint rotation + throwaway
+    * codebooks on the raw sample), then the coarse quantizer and the
+    * residual codebooks train in ROTATED space — the four-table form
+    * (rotation, centroids, residual codebooks, codes) that is FAISS's
+    * standard billion-vector shape. Returns (rotation, centroids,
+    * books); encode with [[encodeIvfOpq]], query with
+    * [[ivfOpqKnnIndexed]]. */
+  def trainIvfOpq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 10, opqIters: Int = 8, seed: Long = 42L
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val opq = Similarity.trainOpqModel(corpus, idCol, vecCol, m, kCodes, iters, opqIters)
+    val rotation = opq.rotation.zipWithIndex
+      .map { case (r, i) => (i, opq.pq.dim, r.toSeq) }
+      .toSeq.toDF("row", "dim", "coeffs")
+    val rotated = corpus.select(col(idCol),
+      Similarity.rotateFloatUdf(opq.rotation)(col(vecCol)).as(vecCol))
+    val centroids = trainIvf(rotated, idCol, vecCol, nCells, iters, seed)
+    val books = trainIvfPq(rotated, idCol, vecCol, centroids, m, kCodes, iters)
+    (rotation, centroids, books)
+  }
+
+  /** Encode the corpus against a stored OPQ+IVF-PQ index: rotate once,
+    * then the [[encodeIvfPq]] arithmetic verbatim on the rotated
+    * column — `(id, cell, codes)`, m bytes per vector, scan-local.
+    * Write `.partitionBy("cell")` so stored probes prune. */
+  def encodeIvfOpq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      rotation: DataFrame, centroids: DataFrame, codebooks: DataFrame
+  ): DataFrame = {
+    val opq = opqModel(rotation, codebooks) // shared fail-loud validation
+    val rotated = corpus.select(col(idCol),
+      Similarity.rotateFloatUdf(opq.rotation)(col(vecCol)).as(vecCol))
+    encodeIvfPq(rotated, idCol, vecCol, centroids, codebooks)
+  }
+
+  /** Query a STORED OPQ+IVF-PQ index: queries rotate into index space
+    * for probing, ADC tables, and coarse dots; the codes scan
+    * pre-prunes to the probed cells; the exact rescore runs in the
+    * ORIGINAL space (rotation only chooses candidates), so every
+    * returned cosine is the exact original-space value. */
+  def ivfOpqKnnIndexed(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, rotation: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, nProbe: Int = 3, shortlist: Int = 32
+  ): DataFrame = {
+    val opq = opqModel(rotation, codebooks)
+    val cents = ivfModel(centroids)
+    val rq = "__graft_rq"
+    require(!queries.columns.contains(rq),
+      s"queries already carry a '$rq' column — rename it first")
+    val q2 = queries.withColumn(rq,
+      Similarity.rotateFloatUdf(opq.rotation)(col(vecCol)))
+    val cz = codes
+      .filter(col("cell").isin(probedCells(q2, idCol, rq, nProbe, cents): _*))
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+    Similarity.ivfPqSearchCore(
+      corpus, cz, q2, idCol, vecCol, k, shortlist, nProbe, cents, opq.pq,
+      probeVecCol = rq)
+  }
+
   // ============================================================== IVF-SQ8
   /** Encode the corpus against a stored quantizer as SCALAR-QUANTIZED
     * postings `(id, cell, scale, q ARRAY<INT>)` — FAISS `IVF,SQ8`:

@@ -1097,14 +1097,24 @@ object Similarity {
     * candidate is scored ONLY when its cell is probed by the query —
     * O(N · nProbe / nCells) ADC lookups instead of the plain-PQ full
     * pass — and the approx score adds the probe's centroid dot to
-    * the residual table sum (IVFADC). */
+    * the residual table sum (IVFADC).
+    *
+    * `probeVecCol` lets a PRETRANSFORMED query column drive the
+    * approximate side (probing, ADC tables, coarse dots) while the
+    * exact rescore stays on `vecCol` in the ORIGINAL space — the
+    * composed OPQ+IVF-PQ path ([[AnnIndex.ivfOpqKnnIndexed]]) rotates
+    * queries into index space for candidate choice only, so every
+    * returned cosine remains the original-space exact value the
+    * `_verified` oracles pin. */
   private[operators] def ivfPqSearchCore(
       corpus: DataFrame, codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, shortlist: Int, nProbe: Int,
-      centroids: Array[Array[Double]], model: PqModel
+      centroids: Array[Array[Double]], model: PqModel,
+      probeVecCol: String = null
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val probeVec = Option(probeVecCol).getOrElse(vecCol)
     val tableUdf = pqAdcTableUdf(model)
     val adcUdf = pqAdcLookupUdf(model)
     val probeUdf = ivfProbeCellsUdf(centroids, nProbe)
@@ -1129,8 +1139,8 @@ object Similarity {
         java.lang.Double.valueOf(dot)
       }
     }
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      tableUdf(col(idCol).cast("string"), col(vecCol)).as("qt"))
+    val probes = queries.select(col(idCol).as("query_id"), col(probeVec).as("qv"),
+      tableUdf(col(idCol).cast("string"), col(probeVec)).as("qt"))
       .withColumn("cell", explode(probeUdf(col("qv").cast("array<double>"))))
       .withColumn("qcdot", qcDotUdf(col("query_id").cast("string"), col("qv"), col("cell")))
       .select("query_id", "cell", "qt", "qcdot")
@@ -1268,6 +1278,26 @@ object Similarity {
     }
     out
   }
+
+  /** Column-level rotation into index space (float32, the embedding
+    * column's own width): the composed OPQ+IVF-PQ path rotates
+    * corpus vectors once at encode time and query vectors once at
+    * probe time, then reuses EVERY existing IVF-PQ UDF verbatim on
+    * the rotated column — one arithmetic, so stored codes equal
+    * in-plan codes exactly. Rotation preserves norms, so normalizing
+    * the rotated vector (which the downstream UDFs do) equals
+    * rotating the unit vector, float rounding aside — and both the
+    * encode and query paths take the SAME rounding. */
+  private[operators] def rotateFloatUdf(rot: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        require(v.length == rot.length,
+          s"rotate: vector has ${v.length} dims, rotation is ${rot.length}x${rot.length}")
+        rotateVec(rot, v.toArray.map(_.toDouble)).map(_.toFloat).toSeq
+      }
+    }
 
   /** Nearest-code reconstruction of an (already rotated) vector —
     * the training loop's decode step ([[argminCode]], the same

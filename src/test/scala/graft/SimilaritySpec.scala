@@ -881,6 +881,63 @@ class SimilaritySpec extends SparkSpec {
     assert(badRot.getMessage.contains("not orthogonal"))
   }
 
+  test("ivfOpq stored index: exhaustive probes + full shortlist reproduce brute top-k; probed recall holds; rescore is original-space exact") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val dim = 16
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 40L).map(i => i -> vec(i.toInt)) ++
+        Seq(40L -> null.asInstanceOf[Array[Float]],
+          41L -> Array.fill(dim)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3 || col("vec_id") >= 40L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfopq").toString
+    val (rotT, centsT, booksT) = AnnIndex.trainIvfOpq(
+      df, "vec_id", "embedding", nCells = 4, m = 4, kCodes = 8)
+    rotT.write.parquet(s"$dir/rotation")
+    centsT.write.parquet(s"$dir/centroids")
+    booksT.write.parquet(s"$dir/codebooks")
+    val (rot, cents, books) = (spark.read.parquet(s"$dir/rotation"),
+      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/codebooks"))
+    AnnIndex.encodeIvfOpq(df, "vec_id", "embedding", rot, cents, books)
+      .write.partitionBy("cell").parquet(s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes")
+    // exhaustive regime degenerates to exact rescoring of everything —
+    // must equal brute top-k bit for bit, IN THE ORIGINAL SPACE (the
+    // rotated cosines would differ in the last ulps; bitwise equality
+    // here proves the rescore never sees rotated vectors)
+    val all = AnnIndex.ivfOpqKnnIndexed(df, queries, "vec_id", "embedding",
+      k = 3, rot, cents, books, codes, nProbe = 4, shortlist = 40).collect()
+    assert(!all.exists(r => r.getLong(1) >= 40L), "null/zero corpus rows surfaced")
+    assert(!all.exists(r => r.getLong(0) >= 40L), "null/zero queries returned results")
+    val brute = Similarity.knnBrute(
+        df.filter(col("vec_id") < 40L), queries.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(all.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      === brute)
+    // production regime: nProbe < nCells and a tight shortlist
+    val tight = AnnIndex.ivfOpqKnnIndexed(df, queries, "vec_id", "embedding",
+        k = 3, rot, cents, books, codes, nProbe = 2, shortlist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.map(t => (t._1, t._2))
+    val recall = brutePairs.count(tight.contains).toDouble / brutePairs.size
+    assert(recall >= 0.65, s"OPQ+IVF-PQ recall $recall under the pinned floor")
+    // and the probed query partition-prunes the codes scan on cell
+    val plan = AnnIndex.ivfOpqKnnIndexed(df, queries, "vec_id", "embedding",
+      k = 3, rot, cents, books, codes, nProbe = 2, shortlist = 6)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("codes")).getOrElse(
+      fail(s"no codes FileScan in plan:\n$plan"))
+    assert(scanLine.contains("PartitionFilters: [") &&
+      scanLine.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+        .contains("cell"),
+      s"the composed index's codes scan must prune on the probed cells:\n$scanLine")
+  }
+
   test("opqKnn: exhaustive shortlist reproduces brute top-k; the learned rotation beats plain PQ recall on a block-misaligned corpus") {
     import spark.implicits._
     val dim = 16
