@@ -210,6 +210,18 @@ object AnnIndex {
     * codebooks in the [[trainPq]] shape. Persist both and reuse via
     * [[opqKnnIndexed]]; the rotation is the "fourth model table" of
     * the FAISS `OPQ{m},PQ{m}` layout. */
+  /** The rotation table of an OPQ model — ONE schema home
+    * (`row INT, dim INT, coeffs ARRAY<DOUBLE>`), shared by
+    * [[trainOpq]] and [[trainIvfOpq]] so the loader can never see two
+    * divergent shapes. */
+  private def rotationTable(
+      spark: SparkSession, model: Similarity.OpqModel): DataFrame = {
+    import spark.implicits._
+    model.rotation.zipWithIndex
+      .map { case (r, i) => (i, model.pq.dim, r.toSeq) }
+      .toSeq.toDF("row", "dim", "coeffs")
+  }
+
   def trainOpq(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, kCodes: Int = 16, iters: Int = 10, opqIters: Int = 8
@@ -217,15 +229,12 @@ object AnnIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val model = Similarity.trainOpqModel(corpus, idCol, vecCol, m, kCodes, iters, opqIters)
-    val rotation = model.rotation.zipWithIndex
-      .map { case (r, i) => (i, model.pq.dim, r.toSeq) }
-      .toSeq.toDF("row", "dim", "coeffs")
     val books = (for {
       j <- 0 until model.pq.m
       c <- 0 until model.pq.kCodes
     } yield (j, c, model.pq.dim, model.pq.codebooks(j)(c).toSeq))
       .toDF("subspace", "code", "dim", "centroid")
-    (rotation, books)
+    (rotationTable(spark, model), books)
   }
 
   /** Load a (rotation, codebooks) table pair back into an
@@ -363,19 +372,17 @@ object AnnIndex {
   def trainIvfOpq(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
-      iters: Int = 10, opqIters: Int = 8, seed: Long = 42L
+      iters: Int = 10, opqIters: Int = 8
   ): (DataFrame, DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    // every training stage is internally fixed-seed (the family
+    // convention: trainOpqModel / trainIvf / trainIvfPq), so same
+    // (corpus, params) -> byte-identical four-table index
     val opq = Similarity.trainOpqModel(corpus, idCol, vecCol, m, kCodes, iters, opqIters)
-    val rotation = opq.rotation.zipWithIndex
-      .map { case (r, i) => (i, opq.pq.dim, r.toSeq) }
-      .toSeq.toDF("row", "dim", "coeffs")
     val rotated = corpus.select(col(idCol),
       Similarity.rotateFloatUdf(opq.rotation)(col(vecCol)).as(vecCol))
-    val centroids = trainIvf(rotated, idCol, vecCol, nCells, iters, seed)
+    val centroids = trainIvf(rotated, idCol, vecCol, nCells, iters)
     val books = trainIvfPq(rotated, idCol, vecCol, centroids, m, kCodes, iters)
-    (rotation, centroids, books)
+    (rotationTable(corpus.sparkSession, opq), centroids, books)
   }
 
   /** Encode the corpus against a stored OPQ+IVF-PQ index: rotate once,
@@ -386,10 +393,10 @@ object AnnIndex {
       corpus: DataFrame, idCol: String, vecCol: String,
       rotation: DataFrame, centroids: DataFrame, codebooks: DataFrame
   ): DataFrame = {
-    val opq = opqModel(rotation, codebooks) // shared fail-loud validation
+    val opq = opqModel(rotation, codebooks) // fail-loud validation, ONCE
     val rotated = corpus.select(col(idCol),
       Similarity.rotateFloatUdf(opq.rotation)(col(vecCol)).as(vecCol))
-    encodeIvfPq(rotated, idCol, vecCol, centroids, codebooks)
+    encodeIvfPqWith(rotated, idCol, vecCol, ivfModel(centroids), opq.pq)
   }
 
   /** Query a STORED OPQ+IVF-PQ index: queries rotate into index space
@@ -484,9 +491,17 @@ object AnnIndex {
   def encodeIvfPq(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, codebooks: DataFrame
+  ): DataFrame =
+    encodeIvfPqWith(corpus, idCol, vecCol, ivfModel(centroids), pqModel(codebooks))
+
+  /** The cell + residual-codes encode over already-LOADED models —
+    * shared by [[encodeIvfPq]] and [[encodeIvfOpq]] (which validates
+    * its codebooks once through [[opqModel]] and must not pay a
+    * second driver collect of the same table). */
+  private def encodeIvfPqWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], model: Similarity.PqModel
   ): DataFrame = {
-    val cents = ivfModel(centroids)
-    val model = pqModel(codebooks)
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
       Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell"))
     assigned.select(col("id"), col("cell"),
