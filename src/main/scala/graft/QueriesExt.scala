@@ -792,10 +792,12 @@ object QueriesExt {
     val tmp = scratchDir(s, "ann-ivf")
     operators.AnnIndex.trainIvf(e, "vec_id", "embedding", nCells = 16)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
-    val cents = s.read.parquet(s"$tmp/centroids")
-    operators.AnnIndex.encodeIvf(e, "vec_id", "embedding", cents)
+    // load the model table ONCE after its parquet round-trip; encode
+    // and query share the loaded copy
+    val cents = operators.AnnIndex.ivfModel(s.read.parquet(s"$tmp/centroids"))
+    operators.AnnIndex.encodeIvfWith(e, "vec_id", "embedding", cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/postings")
-    operators.AnnIndex.ivfKnnIndexed(
+    operators.AnnIndex.ivfKnnIndexedWith(
       e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       cents, s.read.parquet(s"$tmp/postings"))
   }
@@ -808,10 +810,12 @@ object QueriesExt {
     val tmp = scratchDir(s, "ann-pq")
     operators.AnnIndex.trainPq(e, "vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$tmp/codebooks")
-    val books = s.read.parquet(s"$tmp/codebooks")
-    operators.AnnIndex.encodePq(e, "vec_id", "embedding", books)
+    // load the model table ONCE after its parquet round-trip; encode
+    // and query share the loaded copy
+    val books = operators.AnnIndex.pqModel(s.read.parquet(s"$tmp/codebooks"))
+    operators.AnnIndex.encodePqWith(e, "vec_id", "embedding", books)
       .write.mode("overwrite").parquet(s"$tmp/codes")
-    val out = operators.AnnIndex.pqKnnIndexed(
+    val out = operators.AnnIndex.pqKnnIndexedWith(
       e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       books, s.read.parquet(s"$tmp/codes"))
     knnVerified(out, e)
@@ -837,13 +841,16 @@ object QueriesExt {
     val tmp = scratchDir(s, "ann-ivfpq")
     operators.AnnIndex.trainIvf(e, "vec_id", "embedding", nCells = 16)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
-    val cents = s.read.parquet(s"$tmp/centroids")
-    operators.AnnIndex.trainIvfPq(e, "vec_id", "embedding", cents)
+    // load each model table ONCE after its parquet round-trip; train,
+    // encode and query share the loaded copy (re-collecting the same
+    // bounded table per stage was a per-run scheduler tax)
+    val cents = operators.AnnIndex.ivfModel(s.read.parquet(s"$tmp/centroids"))
+    operators.AnnIndex.trainIvfPqWith(e, "vec_id", "embedding", cents)
       .write.mode("overwrite").parquet(s"$tmp/codebooks")
-    val books = s.read.parquet(s"$tmp/codebooks")
-    operators.AnnIndex.encodeIvfPq(e, "vec_id", "embedding", cents, books)
+    val books = operators.AnnIndex.pqModel(s.read.parquet(s"$tmp/codebooks"))
+    operators.AnnIndex.encodeIvfPqWith(e, "vec_id", "embedding", cents, books)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
-    operators.AnnIndex.ivfPqKnnIndexed(
+    operators.AnnIndex.ivfPqKnnIndexedWith(
       e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       cents, books, s.read.parquet(s"$tmp/codes"))
   }
@@ -870,11 +877,14 @@ object QueriesExt {
     books.write.mode("overwrite").parquet(s"$tmp/codebooks")
     val rot = s.read.parquet(s"$tmp/rotation")
     val cb = s.read.parquet(s"$tmp/codebooks")
-    operators.AnnIndex.encodeOpq(e, "vec_id", "embedding", rot, cb)
+    // load + fail-loud-validate the model ONCE; encode and query share
+    // it (re-collecting the tables per call was a per-run driver tax)
+    val model = operators.AnnIndex.opqModel(rot, cb)
+    operators.AnnIndex.encodeOpqWith(e, "vec_id", "embedding", model)
       .write.mode("overwrite").parquet(s"$tmp/codes")
-    operators.AnnIndex.opqKnnIndexed(
+    operators.AnnIndex.opqKnnIndexedWith(
       e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
-      rot, cb, s.read.parquet(s"$tmp/codes"))
+      model, s.read.parquet(s"$tmp/codes"))
   }
 
   /** Fully composed STORED OPQ+IVF-PQ index (FAISS
@@ -901,11 +911,15 @@ object QueriesExt {
     val rot = s.read.parquet(s"$tmp/rotation")
     val cents = s.read.parquet(s"$tmp/centroids")
     val cb = s.read.parquet(s"$tmp/codebooks")
-    operators.AnnIndex.encodeIvfOpq(e, "vec_id", "embedding", rot, cents, cb)
+    // load + fail-loud-validate both models ONCE; encode and query
+    // share them (re-collecting per call was a per-run driver tax)
+    val opq = operators.AnnIndex.opqModel(rot, cb)
+    val centsArr = operators.AnnIndex.ivfModel(cents)
+    operators.AnnIndex.encodeIvfOpqWith(e, "vec_id", "embedding", opq, centsArr)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
-    operators.AnnIndex.ivfOpqKnnIndexed(
+    operators.AnnIndex.ivfOpqKnnIndexedWith(
       e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
-      rot, cents, cb, s.read.parquet(s"$tmp/codes"))
+      opq, centsArr, s.read.parquet(s"$tmp/codes"))
   }
 
   /** STORED IVF-SQ8 index (FAISS `IVF,SQ8` — scalar-quantized
@@ -925,10 +939,12 @@ object QueriesExt {
     val tmp = scratchDir(s, "ann-ivfsq")
     operators.AnnIndex.trainIvf(e, "vec_id", "embedding", nCells = 16)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
-    val cents = s.read.parquet(s"$tmp/centroids")
-    operators.AnnIndex.encodeIvfSq(e, "vec_id", "embedding", cents)
+    // load the model table ONCE after its parquet round-trip; encode
+    // and query share the loaded copy
+    val cents = operators.AnnIndex.ivfModel(s.read.parquet(s"$tmp/centroids"))
+    operators.AnnIndex.encodeIvfSqWith(e, "vec_id", "embedding", cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
-    operators.AnnIndex.ivfSqKnnIndexed(
+    operators.AnnIndex.ivfSqKnnIndexedWith(
       e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       cents, s.read.parquet(s"$tmp/codes"))
   }

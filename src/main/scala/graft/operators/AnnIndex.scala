@@ -108,12 +108,18 @@ object AnnIndex {
     * carry no geometry; the search join drops them). */
   def encodeIvf(
       corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame
-  ): DataFrame = {
-    val model = ivfModel(centroids)
+  ): DataFrame =
+    encodeIvfWith(corpus, idCol, vecCol, ivfModel(centroids))
+
+  /** [[encodeIvf]] over an already-LOADED centroid model (one collect,
+    * shared across encode and query). */
+  def encodeIvfWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: Array[Array[Double]]
+  ): DataFrame =
     corpus.select(col(idCol).as("id"),
       Similarity.ivfAssignUdf(model)(col(vecCol)).as("cell"),
       col(vecCol).as("vector"))
-  }
 
   /** Query a STORED IVF index: identical rows to
     * [[Similarity.ivfKnn]] at the same training params — no retrain,
@@ -124,8 +130,16 @@ object AnnIndex {
   def ivfKnnIndexed(
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       centroids: DataFrame, postings: DataFrame, nProbe: Int = 3
+  ): DataFrame =
+    ivfKnnIndexedWith(queries, idCol, vecCol, k, ivfModel(centroids),
+      postings, nProbe)
+
+  /** [[ivfKnnIndexed]] over an already-LOADED centroid model (one
+    * collect, shared across encode and query). */
+  def ivfKnnIndexedWith(
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      model: Array[Array[Double]], postings: DataFrame, nProbe: Int = 3
   ): DataFrame = {
-    val model = ivfModel(centroids)
     val assigned = postings.select(
       col("id").as("neighbor_id"), col("vector").as("cv"),
       col("cell").cast("int").as("cell"))
@@ -184,11 +198,17 @@ object AnnIndex {
     * default m=8, scan-local. */
   def encodePq(
       corpus: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame
-  ): DataFrame = {
-    val model = pqModel(codebooks)
+  ): DataFrame =
+    encodePqWith(corpus, idCol, vecCol, pqModel(codebooks))
+
+  /** [[encodePq]] over an already-LOADED model (one collect, shared
+    * across encode and query). */
+  def encodePqWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: Similarity.PqModel
+  ): DataFrame =
     corpus.select(col(idCol).as("id"),
       Similarity.pqEncodeUdf(model)(col(idCol).cast("string"), col(vecCol)).as("codes"))
-  }
 
   /** Query a STORED PQ index: identical rows to [[Similarity.pqKnn]]
     * at the same training params. `corpus` supplies the raw vectors
@@ -197,8 +217,16 @@ object AnnIndex {
   def pqKnnIndexed(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, codebooks: DataFrame, codes: DataFrame, shortlist: Int = 32
+  ): DataFrame =
+    pqKnnIndexedWith(corpus, queries, idCol, vecCol, k, pqModel(codebooks),
+      codes, shortlist)
+
+  /** [[pqKnnIndexed]] over an already-LOADED model (one collect,
+    * shared across encode and query). */
+  def pqKnnIndexedWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: Similarity.PqModel, codes: DataFrame, shortlist: Int = 32
   ): DataFrame = {
-    val model = pqModel(codebooks)
     val cz = codes.select(col("id").as("neighbor_id"), col("codes"))
     Similarity.pqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
   }
@@ -340,11 +368,17 @@ object AnnIndex {
   def encodeOpq(
       corpus: DataFrame, idCol: String, vecCol: String,
       rotation: DataFrame, codebooks: DataFrame
-  ): DataFrame = {
-    val model = opqModel(rotation, codebooks)
+  ): DataFrame =
+    encodeOpqWith(corpus, idCol, vecCol, opqModel(rotation, codebooks))
+
+  /** [[encodeOpq]] over an already-LOADED model (one collect + one
+    * orthogonality validation, shared across encode and query). */
+  def encodeOpqWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: Similarity.OpqModel
+  ): DataFrame =
     corpus.select(col(idCol).as("id"),
       Similarity.opqEncodeUdf(model)(col(idCol).cast("string"), col(vecCol)).as("codes"))
-  }
 
   /** Query a STORED OPQ index: identical rows to
     * [[Similarity.opqKnn]] at the same training params. `corpus`
@@ -354,8 +388,17 @@ object AnnIndex {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, rotation: DataFrame, codebooks: DataFrame, codes: DataFrame,
       shortlist: Int = 32
+  ): DataFrame =
+    opqKnnIndexedWith(corpus, queries, idCol, vecCol, k,
+      opqModel(rotation, codebooks), codes, shortlist)
+
+  /** [[opqKnnIndexed]] over an already-LOADED model (same motivation
+    * as [[encodeOpqWith]]). */
+  def opqKnnIndexedWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: Similarity.OpqModel, codes: DataFrame,
+      shortlist: Int = 32
   ): DataFrame = {
-    val model = opqModel(rotation, codebooks)
     val cz = codes.select(col("id").as("neighbor_id"), col("codes"))
     Similarity.opqSearchCore(corpus, cz, queries, idCol, vecCol, k, shortlist, model)
   }
@@ -392,11 +435,21 @@ object AnnIndex {
   def encodeIvfOpq(
       corpus: DataFrame, idCol: String, vecCol: String,
       rotation: DataFrame, centroids: DataFrame, codebooks: DataFrame
+  ): DataFrame =
+    encodeIvfOpqWith(corpus, idCol, vecCol,
+      opqModel(rotation, codebooks), ivfModel(centroids))
+
+  /** [[encodeIvfOpq]] over already-LOADED models — for callers that
+    * load (and fail-loud validate) the model tables once and reuse
+    * them across encode + query instead of re-collecting the same
+    * tables and re-running the O(d³) orthogonality check per call. */
+  def encodeIvfOpqWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      opq: Similarity.OpqModel, cents: Array[Array[Double]]
   ): DataFrame = {
-    val opq = opqModel(rotation, codebooks) // fail-loud validation, ONCE
     val rotated = corpus.select(col(idCol),
       Similarity.rotateFloatUdf(opq.rotation)(col(vecCol)).as(vecCol))
-    encodeIvfPqWith(rotated, idCol, vecCol, ivfModel(centroids), opq.pq)
+    encodeIvfPqWith(rotated, idCol, vecCol, cents, opq.pq)
   }
 
   /** Query a STORED OPQ+IVF-PQ index: queries rotate into index space
@@ -408,9 +461,19 @@ object AnnIndex {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, rotation: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       codes: DataFrame, nProbe: Int = 3, shortlist: Int = 32
+  ): DataFrame =
+    ivfOpqKnnIndexedWith(corpus, queries, idCol, vecCol, k,
+      opqModel(rotation, codebooks), ivfModel(centroids), codes,
+      nProbe, shortlist)
+
+  /** [[ivfOpqKnnIndexed]] over already-LOADED models (same motivation
+    * as [[encodeIvfOpqWith]]: one collect + one orthogonality
+    * validation per model table, shared across encode and query). */
+  def ivfOpqKnnIndexedWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, opq: Similarity.OpqModel, cents: Array[Array[Double]],
+      codes: DataFrame, nProbe: Int = 3, shortlist: Int = 32
   ): DataFrame = {
-    val opq = opqModel(rotation, codebooks)
-    val cents = ivfModel(centroids)
     val rq = "__graft_rq"
     require(!queries.columns.contains(rq),
       s"queries already carry a '$rq' column — rename it first")
@@ -437,6 +500,14 @@ object AnnIndex {
   ): DataFrame =
     Similarity.sqEncode(corpus, idCol, vecCol, ivfModel(centroids))
 
+  /** [[encodeIvfSq]] over an already-LOADED centroid model (one
+    * collect, shared across encode and query). */
+  def encodeIvfSqWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]
+  ): DataFrame =
+    Similarity.sqEncode(corpus, idCol, vecCol, cents)
+
   /** Query a STORED IVF-SQ8 index: identical rows to
     * [[Similarity.ivfSqKnn]] at the same training params — no
     * retrain, the codes scan PRE-PRUNED to the probed cells (the
@@ -446,8 +517,17 @@ object AnnIndex {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, centroids: DataFrame, codes: DataFrame,
       nProbe: Int = 3, shortlist: Int = 32
+  ): DataFrame =
+    ivfSqKnnIndexedWith(corpus, queries, idCol, vecCol, k,
+      ivfModel(centroids), codes, nProbe, shortlist)
+
+  /** [[ivfSqKnnIndexed]] over an already-LOADED centroid model (one
+    * collect, shared across encode and query). */
+  def ivfSqKnnIndexedWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: Array[Array[Double]], codes: DataFrame,
+      nProbe: Int = 3, shortlist: Int = 32
   ): DataFrame = {
-    val cents = ivfModel(centroids)
     val cz = codes
       .filter(col("cell").isin(probedCells(queries, idCol, vecCol, nProbe, cents): _*))
       .select(col("id").as("neighbor_id"), col("cell"), col("q"))
@@ -468,11 +548,22 @@ object AnnIndex {
   def trainIvfPq(
       corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
       m: Int = 8, kCodes: Int = 16, iters: Int = 10
+  ): DataFrame =
+    trainIvfPqWith(corpus, idCol, vecCol, ivfModel(centroids), m, kCodes, iters)
+
+  /** [[trainIvfPq]] over an already-LOADED centroid model — for callers
+    * (the lifecycle's staged build, the stored-index gates) that load
+    * the centroids table once and reuse it across train/encode/query
+    * instead of paying a fresh driver collect per stage. Same
+    * arithmetic, bitwise-identical output. */
+  def trainIvfPqWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], m: Int = 8, kCodes: Int = 16, iters: Int = 10
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val model = Similarity.trainIvfPqResidualModel(
-      corpus, idCol, vecCol, ivfModel(centroids), m, kCodes, iters)
+      corpus, idCol, vecCol, cents, m, kCodes, iters)
     (for {
       j <- 0 until model.m
       c <- 0 until model.kCodes
@@ -497,8 +588,9 @@ object AnnIndex {
   /** The cell + residual-codes encode over already-LOADED models —
     * shared by [[encodeIvfPq]] and [[encodeIvfOpq]] (which validates
     * its codebooks once through [[opqModel]] and must not pay a
-    * second driver collect of the same table). */
-  private def encodeIvfPqWith(
+    * second driver collect of the same table), and public for callers
+    * that load the model tables once across encode + query. */
+  def encodeIvfPqWith(
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], model: Similarity.PqModel
   ): DataFrame = {
@@ -521,9 +613,17 @@ object AnnIndex {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, centroids: DataFrame, codebooks: DataFrame, codes: DataFrame,
       nProbe: Int = 3, shortlist: Int = 32
+  ): DataFrame =
+    ivfPqKnnIndexedWith(corpus, queries, idCol, vecCol, k,
+      ivfModel(centroids), pqModel(codebooks), codes, nProbe, shortlist)
+
+  /** [[ivfPqKnnIndexed]] over already-LOADED models (one collect per
+    * model table, shared across encode and query). */
+  def ivfPqKnnIndexedWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: Array[Array[Double]], model: Similarity.PqModel,
+      codes: DataFrame, nProbe: Int = 3, shortlist: Int = 32
   ): DataFrame = {
-    val cents = ivfModel(centroids)
-    val model = pqModel(codebooks)
     val cz = codes
       .filter(col("cell").isin(probedCells(queries, idCol, vecCol, nProbe, cents): _*))
       .select(col("id").as("neighbor_id"), col("cell"), col("codes"))

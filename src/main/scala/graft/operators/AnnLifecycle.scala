@@ -190,26 +190,31 @@ object AnnLifecycle {
     * build). The centroids round-trip parquet BEFORE the residual
     * books train — the same arithmetic path a from-scratch
     * store-then-query build takes, which is what makes post-swap ≡
-    * from-scratch bitwise. */
+    * from-scratch bitwise. Returns the encoded row count plus the
+    * LOADED models (each model table is collected exactly once per
+    * build; the encode and the caller's health scan reuse them instead
+    * of paying fresh driver collects). */
   private def buildIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      nCells: Int, m: Int, kCodes: Int, buckets: Int, seed: Long): Unit = {
+      nCells: Int, m: Int, kCodes: Int, buckets: Int, seed: Long
+  ): (Long, Array[Array[Double]], Similarity.PqModel) = {
     val spark = corpus.sparkSession
     StoreFiles.deleteRecursively(Paths.get(dir))
     AnnIndex.trainIvf(corpus, idCol, vecCol, nCells, seed = seed)
       .write.parquet(s"$dir/centroids")
-    val cents = liveCentroids(spark, dir)
-    AnnIndex.trainIvfPq(corpus, idCol, vecCol, cents, m, kCodes)
+    val cents = AnnIndex.ivfModel(liveCentroids(spark, dir))
+    AnnIndex.trainIvfPqWith(corpus, idCol, vecCol, cents, m, kCodes)
       .write.parquet(s"$dir/books")
-    val books = liveBooks(spark, dir)
+    val books = AnnIndex.pqModel(liveBooks(spark, dir))
     // two-level (cell, bucket) layout: the admit anti-join prunes on
     // buckets, stored queries partition-prune on their probed cells
     StreamingAnnIndex.initialize(s"$dir/codes", buckets, CodesSchema,
       partitionCols = Seq("cell", StreamingAnnIndex.BucketCol))
-    StreamingAnnIndex.applyBatch(
+    val n = StreamingAnnIndex.applyBatch(
       corpus.select(col(idCol), col(vecCol)), idCol, s"$dir/codes",
       CodesSchema, buckets,
-      newRows => AnnIndex.encodeIvfPq(newRows, "id", vecCol, cents, books))
+      newRows => AnnIndex.encodeIvfPqWith(newRows, "id", vecCol, cents, books))
+    (n, cents, books)
   }
 
   /** One maintenance night over the CUMULATIVE corpus `(id, vector)`:
@@ -231,20 +236,21 @@ object AnnLifecycle {
   ): Decision = {
     val spark = corpus.sparkSession
     val idxDir = s"$stateStepDir/$IndexDirName"
-    val nCorpus = corpus.count()
-    require(nCorpus > 0, "maintainNight: empty corpus — nothing to index")
+    // cheap emptiness probe (limit-1 scan): the corpus row count itself
+    // comes for free out of the admit pass below — a dedicated full
+    // count() here was one whole extra corpus scan per night
+    require(!corpus.isEmpty, "maintainNight: empty corpus — nothing to index")
 
     if (!Files.exists(Paths.get(idxDir, TrainedRowsMarker))) {
       // -------- bootstrap: first contact trains and publishes
       val staged = idxDir + StagedSuffix
-      buildIndex(corpus, idCol, vecCol, staged, nCells, m, kCodes, buckets, seed)
+      val (nCorpus, bCents, bBooks) =
+        buildIndex(corpus, idCol, vecCol, staged, nCells, m, kCodes, buckets, seed)
       StoreFiles.writeMarker(staged, TrainedRowsMarker, nCorpus.toString)
       StoreFiles.writeMarker(staged, RetrainsMarker, "0")
       graft.exec.Staging.promoteStaged(spark, stateStepDir, IndexDirName, StagedSuffix)
       val (_, occMax, occMed, skew) = codesProfile(liveCodes(spark, idxDir))
-      val recon = reconErrSampled(corpus, idCol, vecCol,
-        AnnIndex.ivfModel(liveCentroids(spark, idxDir)),
-        AnnIndex.pqModel(liveBooks(spark, idxDir)), sampleMod)
+      val recon = reconErrSampled(corpus, idCol, vecCol, bCents, bBooks, sampleMod)
       return Decision(bootstrap = true, nCorpus, nCodes = nCorpus,
         trainedRowsBefore = 0L, freshSinceTrain = 0L,
         occMax, occMed, skew, recon,
@@ -253,21 +259,23 @@ object AnnLifecycle {
         trainedRowsAfter = nCorpus)
     }
 
-    // -------- incremental: admit-encode fresh ids against the frozen model
-    val cents = liveCentroids(spark, idxDir)
-    val books = liveBooks(spark, idxDir)
-    StreamingAnnIndex.applyBatch(
+    // -------- incremental: admit-encode fresh ids against the frozen
+    // model. Each model table is collected ONCE per night and shared by
+    // the encode and the reconstruction-error scan (these collects are
+    // bounded but each was a scheduled job).
+    val cents = AnnIndex.ivfModel(liveCentroids(spark, idxDir))
+    val books = AnnIndex.pqModel(liveBooks(spark, idxDir))
+    val nCorpus = StreamingAnnIndex.applyBatch(
       corpus.select(col(idCol), col(vecCol)), idCol, s"$idxDir/codes",
       CodesSchema, buckets,
-      newRows => AnnIndex.encodeIvfPq(newRows, "id", vecCol, cents, books))
+      newRows => AnnIndex.encodeIvfPqWith(newRows, "id", vecCol, cents, books))
 
     // -------- health on the post-admit, pre-decision state (one scan)
     val (nCodes, occMax, occMed, skew) = codesProfile(liveCodes(spark, idxDir))
     val trainedBefore = trainedRows(idxDir)
     val retrainsBefore = retrains(idxDir)
     val fresh = nCodes - trainedBefore
-    val recon = reconErrSampled(corpus, idCol, vecCol,
-      AnnIndex.ivfModel(cents), AnnIndex.pqModel(books), sampleMod)
+    val recon = reconErrSampled(corpus, idCol, vecCol, cents, books, sampleMod)
     // exact integer trigger — an external oracle re-derives it from
     // row counts alone; float signals are opt-in refinements
     val freshTripped = fresh * 1000L > th.freshPermille * nCodes
@@ -277,7 +285,7 @@ object AnnLifecycle {
     if (freshTripped || skewTripped || reconTripped) {
       // -------- retrain on the full current corpus, staged + swapped
       val staged = idxDir + StagedSuffix
-      buildIndex(corpus, idCol, vecCol, staged, nCells, m, kCodes, buckets, seed)
+      val _ = buildIndex(corpus, idCol, vecCol, staged, nCells, m, kCodes, buckets, seed)
       StoreFiles.writeMarker(staged, TrainedRowsMarker, nCorpus.toString)
       StoreFiles.writeMarker(staged, RetrainsMarker, (retrainsBefore + 1).toString)
       graft.exec.Staging.promoteStaged(spark, stateStepDir, IndexDirName, StagedSuffix)

@@ -2670,6 +2670,13 @@ object CurationPipeline {
       if (stepNames.contains(name)) spark.read.parquet(s"$outDir/$name")
       else graft.sources.ParquetTables.readTable(spark, sourceDir, name)
     Staging.withWriterLease(spark, outDir) {
+      // rows-by-name memo: a chained step's in_rows IS the count its
+      // producer step just recorded (same written parquet), and a
+      // source table read by several steps has one count — without the
+      // memo every step paid two count jobs per run (the counts are
+      // metadata-only but each is still a scheduled job with listing
+      // and footer reads)
+      val countedRows = scala.collection.mutable.Map.empty[String, Long]
       val manifest = ordered.map { s =>
         val in  = s.input.getOrElse(
           spec.steps(spec.steps.indexWhere(_.name == s.name) - 1).name)
@@ -2698,7 +2705,8 @@ object CurationPipeline {
         // make the admission story readable straight off the manifest:
         // in_rows - rows = what this step rejected/dropped this batch.
         val rows = spark.read.parquet(s"$outDir/${s.name}").count()
-        val inRows = ctx.input.count()
+        countedRows(s.name) = rows
+        val inRows = countedRows.getOrElseUpdate(in, ctx.input.count())
         (s, in, inRows, rows, sec)
       }
       // run manifest: the observability record a scheduled pipeline

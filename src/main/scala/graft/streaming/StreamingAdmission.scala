@@ -18,9 +18,10 @@ import graft.operators.Dedup
   *
   * Store layout mirrors [[StreamingUpsert]]: fingerprints partitioned
   * by a fingerprint-hash bucket, so a micro-batch READS only the
-  * buckets its own fingerprints land in and REWRITES only those
-  * (dynamic partition overwrite of the union — set semantics, so a
-  * replay rebuilds byte-identical buckets). The corpus sink is
+  * buckets its own fingerprints land in and APPENDS only fingerprints
+  * the store has never seen (set semantics — a replayed batch
+  * anti-joins empty and appends nothing, and no live file is ever
+  * deleted under a concurrent reader). The corpus sink is
   * partitioned by batch id and each batch overwrites ITS partition —
   * the standard idempotent foreachBatch sink: a replayed batch
   * replaces its own output instead of duplicating it. Both writes are
@@ -84,8 +85,8 @@ object StreamingAdmission {
   /** Admit one micro-batch: anti-join the touched store buckets,
     * in-batch survivor rule, write admitted docs to
     * `corpusOutPath/<BatchCol>=<batchId>` (overwriting that partition
-    * — replay-idempotent) and the union of fingerprints back to the
-    * touched buckets (set semantics — replay-idempotent). Exposed for
+    * — replay-idempotent) and append the never-seen fingerprints to
+    * their buckets (set semantics — replay-idempotent). Exposed for
     * tests and custom sinks. */
   def applyBatch(
       batch: DataFrame, idCol: String, textCol: String,
@@ -122,10 +123,18 @@ object StreamingAdmission {
         .withColumn(BatchCol, lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy(BatchCol).parquet(corpusOutPath)
-      stored.withColumn(BucketCol, bucketOf(numBuckets))
-        .unionByName(withFp.select(col("fingerprint"), col(BucketCol)))
-        .distinct()
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      // APPEND-ONLY store publish: the fingerprint store is a SET, so
+      // only fingerprints it has never seen land — as new files beside
+      // the old ones — instead of dynamic-overwriting every touched
+      // bucket with (stored ∪ batch). A batch's store write is
+      // O(new fingerprints), not O(touched buckets), no live file is
+      // deleted under a concurrent reader, and a replayed batch
+      // anti-joins empty and appends nothing — the same set semantics
+      // and idempotence, cheaper.
+      withFp.select(col("fingerprint"), col(BucketCol)).distinct()
+        .join(stored, Seq("fingerprint"), "left_anti")
+        .repartition(col(BucketCol))
+        .write.mode("append")
         .partitionBy(BucketCol).parquet(fpStorePath)
     } finally withFp.unpersist()
   }

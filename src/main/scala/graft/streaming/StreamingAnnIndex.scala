@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   *
   * Store layout is the [[StreamingAdmission]] bucket discipline:
   * encoded rows partitioned by an id-hash bucket; a batch reads only
-  * the buckets its own ids land in and rewrites only those via
-  * dynamic partition overwrite. Replay idempotent by construction:
-  * encoding is a pure function of (id, vector, model), and a
-  * replayed batch's ids anti-join out against the store, so re-runs
-  * rewrite byte-identical buckets.
+  * the buckets its own ids land in and APPENDS only its new rows
+  * (the store is insert-only by contract — one frozen-model encode
+  * per id, ever — so nothing is rewritten and no live file is ever
+  * deleted under a concurrent reader). Replay idempotent by
+  * construction: encoding is a pure function of (id, vector, model),
+  * and a replayed batch's ids anti-join out against the store, so
+  * re-runs append nothing.
   *
   * The store is family-agnostic — the caller supplies the encode
   * function and the store schema (`id BIGINT, cell INT, vector
@@ -125,12 +127,14 @@ object StreamingAnnIndex {
     * to its encoded shape, which must start with the same `id`
     * values (one row per id). Duplicate ids within a batch fail loud
     * (two embeddings for one id is a corrupt corpus, not a policy
-    * choice). */
+    * choice). Returns the batch's row count (one scheduled pass gives
+    * it for free — callers like [[graft.operators.AnnLifecycle]] would
+    * otherwise pay a separate full corpus `count()` every night). */
   def applyBatch(
       batch: DataFrame, idCol: String, storePath: String, schema: String,
       numBuckets: Int, encode: DataFrame => DataFrame
-  ): Unit = {
-    if (batch.isEmpty) return
+  ): Long = {
+    if (batch.isEmpty) return 0L
     checkMarkers(storePath, numBuckets, schema)
     require(!batch.columns.contains(BucketCol),
       s"input already has a '$BucketCol' column — rename it first")
@@ -155,9 +159,12 @@ object StreamingAnnIndex {
       .withColumn(BucketCol, bucketOf(numBuckets))
     guarded.persist()
     try {
-      // bounded driver materialization: at most numBuckets ints
-      val touched = guarded.select(col(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      // bounded driver materialization: at most numBuckets rows — and
+      // the same pass yields the batch row count, so callers never pay
+      // a second corpus scan just to count what they admitted
+      val bucketCounts = guarded.groupBy(col(BucketCol)).count().collect()
+      val touched = bucketCounts.map(_.getInt(0)).toSeq
+      val nBatch = bucketCounts.map(_.getLong(1)).sum
       val stored = spark.read.schema(s"$schema, $BucketCol INT").parquet(storePath)
         .filter(col(BucketCol).isin(touched: _*))
       // only vectors the store has never seen encode — the model is
@@ -169,10 +176,21 @@ object StreamingAnnIndex {
       require(encoded.columns.headOption.contains("id"),
         "StreamingAnnIndex: encode must return rows keyed by 'id' " +
           s"(got ${encoded.columns.mkString(", ")})")
-      stored
-        .unionByName(encoded.withColumn(BucketCol, bucketOf(numBuckets)))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitioning(storePath): _*).parquet(storePath)
+      // APPEND-ONLY publish: the store is insert-only by contract (one
+      // frozen-model encode per id, ever), so new rows land as new
+      // files BESIDE the old ones instead of dynamic-overwriting every
+      // touched partition. A night's write is O(batch), not O(store),
+      // no live file is ever deleted mid-read (the old rewrite was the
+      // FileNotFoundException source under concurrent readers), and a
+      // replayed batch anti-joins empty and appends nothing — the same
+      // idempotence, cheaper. Clustering by the partition columns
+      // first bounds output files at one per touched partition.
+      val parts = partitioning(storePath)
+      encoded.withColumn(BucketCol, bucketOf(numBuckets))
+        .repartition(parts.map(col): _*)
+        .write.mode("append")
+        .partitionBy(parts: _*).parquet(storePath)
+      nBatch
     } finally guarded.unpersist()
   }
 }
