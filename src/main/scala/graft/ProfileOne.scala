@@ -32,10 +32,22 @@ object ProfileOne {
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String, Int)]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Double, Int, String)]()
     val listener = new SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {s <- si.submissionTime; e <- si.completionTime}
+          yield (e - s) / 1e3).getOrElse(-1.0)
+        val taskSum = si.taskMetrics.executorRunTime / 1e3
+        stages.add((si.stageId, wall, taskSum, si.numTasks, si.name))
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        // prefer an explicit job description (the pipeline runner labels
+        // each step per guide §1.5); fall back to the RDD call site
+        val site = Option(js.properties).flatMap(p =>
+          Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
         val nTasks = js.stageInfos.map(_.numTasks).sum
         starts.put(js.jobId, (System.nanoTime(), site, nTasks))
       }
@@ -58,6 +70,25 @@ object ProfileOne {
     println("-- top 40 jobs by duration --")
     jobs.sortBy(-_._2).take(40).foreach { case (id, sec, site, nTasks) =>
       println(f"job $id%4d  $sec%7.3fs  tasks=$nTasks%4d  $site")
+    }
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES")) {
+      println("-- stages over 0.3s wall --")
+      stages.asScala.toSeq.filter(_._2 > 0.3).sortBy(-_._2).take(40).foreach {
+        case (id, wall, tsum, n, nm) =>
+          println(f"stage $id%5d  wall $wall%7.3fs  tasksum $tsum%7.3fs  tasks=$n%4d  $nm")
+      }
+      println("-- stage-name rollup by wall --")
+      stages.asScala.toSeq.groupBy(_._5.takeWhile(_ != ':')).map { case (nm, ss) =>
+        (ss.map(_._2).sum, ss.map(_._3).sum, ss.size, nm)
+      }.toSeq.sortBy(-_._1).take(25).foreach { case (w, t, n, nm) =>
+        println(f"$w%8.3fs wall  $t%8.3fs tasksum  n=$n%4d  $nm")
+      }
+    }
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_ALL")) {
+      println("-- all jobs in order --")
+      jobs.foreach { case (id, sec, site, nTasks) =>
+        println(f"job $id%4d  $sec%7.3fs  tasks=$nTasks%4d  $site")
+      }
     }
     println("-- rollup by call site --")
     jobs.groupBy(_._3).map { case (site, js) =>

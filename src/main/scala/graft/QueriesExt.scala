@@ -4233,8 +4233,13 @@ object QueriesExt {
       k = 5, cents, books, codes, nProbe = 3, shortlist = 32)
     val hits3 = s.read.parquet(s"$tmp/out3/hits")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-    require(hits3.exceptAll(fromScratch).isEmpty &&
-        fromScratch.exceptAll(hits3).isEmpty,
+    // bitwise multiset equality via TWO bounded collects (k × nQueries
+    // rows each by construction) — the previous symmetric exceptAll
+    // pair evaluated the whole from-scratch search pipeline TWICE and
+    // the parquet read twice for the same answer
+    def multiset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(identity).view.mapValues(_.length).toMap
+    require(multiset(hits3.collect()) == multiset(fromScratch.collect()),
       "ann_retrain_swap: post-swap hits differ from a same-seed " +
         "from-scratch build — the retrain+swap broke determinism")
     def cnt(night: Int, field: String): Long =

@@ -2227,7 +2227,14 @@ object CurationPipeline {
           StreamingAnnIndex.applyBatch(
             c.input.select(col(eid), col(vec)), eid, store, schema, buckets,
             newRows => encodeAll(newRows, "id"))
+          // the step output is the FULL encoded table read back off the
+          // bucketed store — rebalance before the runner writes it, or
+          // the write inherits one tiny output file per store file
+          // (the downstream knn step and the manifest count then pay
+          // the small-file tax again); rebalanced, files target the
+          // AQE advisory size (guide §6's REBALANCE-before-write)
           StreamingAnnIndex.readEncoded(c.input.sparkSession, store, schema)
+            .hint("rebalance")
       }
     }, modes = Set("full", "admit"), tableParams = Set("model", "centroids")),
     // stored-ANN index LIFECYCLE — the monitor → retrain → swap night:
@@ -2624,6 +2631,9 @@ object CurationPipeline {
 
   // ================================================================ execution
 
+  /** Opt-in per-step phase timing to stderr (diagnostic only). */
+  private val StepPhaseTiming = sys.env.contains("SPARK_GRAFT_STEP_TIMING")
+
   /** Run a validated spec: resolve each step's input (an earlier step's
     * WRITTEN output, else a SOURCE_DIR table), execute, stage, promote.
     * Returns the written table names in execution order.
@@ -2683,32 +2693,50 @@ object CurationPipeline {
         val ctx = Ctx(resolve(in), spec.idCol, spec.textCol, resolve,
           new Params(s.name, s.params), s.name, stateDir, batchId, in, outDir)
         val t0  = System.nanoTime()
-        val out = ops(s.op).run(ctx)
+        // label every job this step schedules (UI/profiling attribution —
+        // a pipeline run is dozens of jobs that are otherwise anonymous)
+        spark.sparkContext.setJobDescription(
+          s"pipeline ${spec.name}: step ${s.name} (${s.op})")
+        def phase[A](what: String)(f: => A): A =
+          if (!StepPhaseTiming) f
+          else {
+            val p0 = System.nanoTime()
+            val r = f
+            System.err.println(
+              f"[pipeline-timing] ${s.name}%-12s $what%-8s ${(System.nanoTime() - p0) / 1e9}%7.3fs")
+            r
+          }
+        val out = phase("op")(ops(s.op).run(ctx))
         // plans/<step>.txt — the warehouse path's plan artifact, same
         // contract: the optimized physical plan a reviewer audits for
         // pushdown/broadcast/exchange shape without re-running the job
         val plansDir = java.nio.file.Paths.get(outDir, "plans")
         java.nio.file.Files.createDirectories(plansDir)
-        java.nio.file.Files.write(plansDir.resolve(s"${s.name}.txt"),
+        phase("explain")(java.nio.file.Files.write(plansDir.resolve(s"${s.name}.txt"),
           out.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        if (stagingSuffix.isEmpty) {
-          out.write.mode("overwrite").parquet(s"$outDir/${s.name}")
-        } else {
-          out.write.mode("overwrite").parquet(s"$outDir/${s.name}$stagingSuffix")
-          Staging.promoteStaged(spark, outDir, s.name, stagingSuffix)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        phase("write") {
+          if (stagingSuffix.isEmpty) {
+            out.write.mode("overwrite").parquet(s"$outDir/${s.name}")
+          } else {
+            out.write.mode("overwrite").parquet(s"$outDir/${s.name}$stagingSuffix")
+            Staging.promoteStaged(spark, outDir, s.name, stagingSuffix)
+          }
         }
         val sec = (System.nanoTime() - t0) / 1e9
         // counts on WRITTEN/source parquet: row-group-metadata only
         // (Spark's aggregate pushdown), never a data rescan. Input rows
         // make the admission story readable straight off the manifest:
         // in_rows - rows = what this step rejected/dropped this batch.
-        val rows = spark.read.parquet(s"$outDir/${s.name}").count()
+        val rows = phase("count")(spark.read.parquet(s"$outDir/${s.name}").count())
         countedRows(s.name) = rows
-        val inRows = countedRows.getOrElseUpdate(in, ctx.input.count())
+        val inRows = phase("incount")(
+          countedRows.getOrElseUpdate(in, ctx.input.count()))
         (s, in, inRows, rows, sec)
       }
+      // don't leak the last step's label onto the caller's next jobs
+      spark.sparkContext.setJobDescription(null)
       // run manifest: the observability record a scheduled pipeline
       // needs (which step shrank the corpus, where the time went, what
       // batch this was)

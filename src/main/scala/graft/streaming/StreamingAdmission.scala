@@ -131,9 +131,16 @@ object StreamingAdmission {
       // deleted under a concurrent reader, and a replayed batch
       // anti-joins empty and appends nothing — the same set semantics
       // and idempotence, cheaper.
+      // the partition count is pinned to the session's shuffle
+      // parallelism (not left to AQE): a column-only repartition
+      // coalesces a small batch to ONE post-shuffle partition and the
+      // single writer creates every touched bucket-dir file
+      // sequentially (see StreamingAnnIndex.applyBatch). File count is
+      // one per touched bucket either way.
       withFp.select(col("fingerprint"), col(BucketCol)).distinct()
         .join(stored, Seq("fingerprint"), "left_anti")
-        .repartition(col(BucketCol))
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col(BucketCol))
         .write.mode("append")
         .partitionBy(BucketCol).parquet(fpStorePath)
     } finally withFp.unpersist()

@@ -96,6 +96,13 @@ object StreamingRecrawl {
         lit(null).cast("long").as("fp_ts"),
         lit(null).cast("long").as("prev_fp_ts"))
       .withColumn(BucketCol, bucketOf(numBuckets))
+      // cluster by bucket before the partitioned write: unclustered,
+      // EVERY upstream partition writes a file into EVERY bucket dir
+      // (tasks × buckets tiny files); clustered it is one file per
+      // bucket. Explicit partition count so AQE cannot coalesce the
+      // write to a single sequential task (StreamingAnnIndex note).
+      .repartition(fetchLog.sparkSession.sessionState.conf.numShufflePartitions,
+        col(BucketCol))
       .write.mode("overwrite")
       .partitionBy(BucketCol).parquet(storePath)
     StoreFiles.writeMarker(storePath, "_graft_buckets", numBuckets.toString)
@@ -165,6 +172,12 @@ object StreamingRecrawl {
         verdicts.filter(col("recrawl_due"))
           .drop("recrawl_due", "__url_fp", BucketCol)
           .withColumn(BatchCol, lit(batchId))
+          // AQE-sized sink files: unbalanced, every post-shuffle
+          // partition of the persisted verdicts writes its own tiny
+          // file into the batch dir; rebalanced, files target the
+          // advisory partition size (one at batch scale, split at
+          // cluster scale)
+          .hint("rebalance")
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy(BatchCol).parquet(sinkPath)
         // store advance: due URLs get last_fetch_ts = nowTs with one
@@ -200,6 +213,11 @@ object StreamingRecrawl {
             col("fp_ts"), col("prev_fp_ts"))
         kept.unionByName(advanced)
           .withColumn(BucketCol, bucketOf(numBuckets))
+          // cluster by bucket: one rewritten file per touched bucket
+          // instead of one per (upstream partition × bucket) — see
+          // initialize()'s note
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col(BucketCol))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy(BucketCol).parquet(storePath)
       } finally verdicts.unpersist()
@@ -275,6 +293,8 @@ object StreamingRecrawl {
           .drop("__rd_url")
           .drop("__url_fp", BucketCol)
           .withColumn(BatchCol, lit(batchId))
+          // AQE-sized sink files (see applyBatch's sink note)
+          .hint("rebalance")
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy(BatchCol).parquet(sinkPath)
         val batchFps = verdicts.select(col("__url_fp"),
@@ -316,6 +336,11 @@ object StreamingRecrawl {
             col("__prev_fp_ts").as("prev_fp_ts"))
         kept.unionByName(advanced)
           .withColumn(BucketCol, bucketOf(numBuckets))
+          // cluster by bucket: one rewritten file per touched bucket
+          // instead of one per (upstream partition × bucket) — see
+          // initialize()'s note
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col(BucketCol))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy(BucketCol).parquet(storePath)
       } finally verdicts.unpersist()
