@@ -221,30 +221,68 @@ object Bpe {
       byteLevel: Boolean = false
   ): Seq[(Int, String, String)] = {
     import scala.collection.mutable
-    val syms  = wordFreqs.map { case (w, _) =>
-      mutable.ArrayBuffer.from(symsOf(w, endOfWord, byteLevel)) }.toArray
-    val freqs = wordFreqs.map(_._2).toArray
-    val stats = mutable.HashMap.empty[(String, String), Long]
-    val index = mutable.HashMap.empty[(String, String), mutable.BitSet]
-    def pairsOf(ss: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
-      (0 until ss.length - 1).iterator.map(i => (ss(i), ss(i + 1)))
+    // ---- interned symbol table: the hot loops work on dense Int ids
+    // and packed Long pair keys; strings (and their CACHED UTF-8
+    // bytes — the tie-break comparator used to re-encode both sides on
+    // every heap comparison) are touched only on ties and at the end.
+    val symStr   = mutable.ArrayBuffer.empty[String]
+    val symBytes = mutable.ArrayBuffer.empty[Array[Byte]]
+    val symId    = mutable.HashMap.empty[String, Int]
+    def intern(s: String): Int = symId.getOrElseUpdate(s, {
+      symStr += s
+      symBytes += s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      symStr.length - 1
+    })
+    // unsigned byte-order compare over the cached encodings — the same
+    // total order as [[utf8Lt]] (ids are distinct ⟺ strings are
+    // distinct, so ties cannot occur between different ids)
+    def bytesLt(x: Array[Byte], y: Array[Byte]): Boolean = {
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def pairKey(l: Int, r: Int): Long = (l.toLong << 32) | (r & 0xffffffffL)
+
+    val nWords = wordFreqs.length
+    val syms  = new Array[Array[Int]](nWords) // symbol ids, live prefix
+    val lens  = new Array[Int](nWords)        // live length within syms(wi)
+    val freqs = new Array[Long](nWords)
+    var wi0 = 0
+    wordFreqs.foreach { case (w, f) =>
+      val ss = symsOf(w, endOfWord, byteLevel)
+      val ids = new Array[Int](ss.length)
+      var i = 0
+      while (i < ss.length) { ids(i) = intern(ss(i)); i += 1 }
+      syms(wi0) = ids; lens(wi0) = ids.length; freqs(wi0) = f
+      wi0 += 1
+    }
+
+    val stats = mutable.LongMap.empty[Long]
+    val index = mutable.LongMap.empty[mutable.BitSet]
     // entry ordering: count desc, then (l, rt) asc in UTF-8 byte order
-    final case class Entry(cnt: Long, l: String, rt: String)
+    final case class Entry(cnt: Long, l: Int, rt: Int)
     val pq = mutable.PriorityQueue.empty[Entry](new Ordering[Entry] {
       def compare(a: Entry, b: Entry): Int =
         if (a.cnt != b.cnt) java.lang.Long.compare(a.cnt, b.cnt)
-        else if (a.l != b.l) { if (utf8Lt(a.l, b.l)) 1 else -1 }
-        else if (a.rt != b.rt) { if (utf8Lt(a.rt, b.rt)) 1 else -1 }
+        else if (a.l != b.l) {
+          if (bytesLt(symBytes(a.l), symBytes(b.l))) 1 else -1 }
+        else if (a.rt != b.rt) {
+          if (bytesLt(symBytes(a.rt), symBytes(b.rt))) 1 else -1 }
         else 0
     })
-    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+    def bump(p: Long, delta: Long, wi: Int): Unit = {
       val next = stats.getOrElse(p, 0L) + delta
       if (next <= 0L) { stats.remove(p); index.remove(p) }
       else {
         stats(p) = next
         val ws = index.getOrElseUpdate(p, mutable.BitSet.empty)
         if (delta > 0) ws += wi
-        pq.enqueue(Entry(next, p._1, p._2))
+        pq.enqueue(Entry(next, (p >>> 32).toInt, p.toInt))
       }
     }
     // initial accumulation fills stats/index SILENTLY and enqueues once
@@ -252,14 +290,23 @@ object Bpe {
     // would flood it with one stale entry per pair OCCURRENCE
     // (intermediate partial counts that can never validate), ~10^8
     // dead heap entries at the maxDistinctWords scale
-    syms.indices.foreach { wi =>
-      pairsOf(syms(wi)).foreach { p =>
-        stats(p) = stats.getOrElse(p, 0L) + freqs(wi)
+    var wi = 0
+    while (wi < nWords) {
+      val w = syms(wi); val f = freqs(wi)
+      var i = 0
+      while (i < w.length - 1) {
+        val p = pairKey(w(i), w(i + 1))
+        stats(p) = stats.getOrElse(p, 0L) + f
         index.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
       }
+      wi += 1
     }
-    stats.foreach { case ((l, r), c) => pq.enqueue(Entry(c, l, r)) }
+    stats.foreachEntry((p, c) =>
+      pq.enqueue(Entry(c, (p >>> 32).toInt, p.toInt)))
+
     val merges = mutable.ArrayBuffer.empty[(Int, String, String)]
+    val delta = mutable.LongMap.empty[Long] // reused per touched word
     var r = 0
     while (r < numMerges && stats.nonEmpty) {
       // pop to the first entry that agrees with current stats; every
@@ -268,26 +315,53 @@ object Bpe {
       var top: Entry = null
       while (top == null && pq.nonEmpty) {
         val e = pq.dequeue()
-        if (stats.get((e.l, e.rt)).contains(e.cnt)) top = e
+        if (stats.get(pairKey(e.l, e.rt)).contains(e.cnt)) top = e
       }
       if (top == null) return merges.toSeq  // stats nonEmpty ⇒ unreachable, belt+braces
       val (a, b) = (top.l, top.rt)
-      merges += ((r, a, b))
-      val touched = index.get((a, b)).map(_.toArray).getOrElse(Array.empty[Int])
+      val abKey = pairKey(a, b)
+      merges += ((r, symStr(a), symStr(b)))
+      val merged = intern(symStr(a) + symStr(b))
+      val touched = index.get(abKey).map(_.toArray).getOrElse(Array.empty[Int])
       // the merged pair leaves the pair universe entirely
-      stats.remove((a, b)); index.remove((a, b))
-      touched.foreach { wi =>
-        val before = syms(wi)
-        val after  = mutable.ArrayBuffer.from(applyMerge(before.toSeq, a, b))
-        if (after.length != before.length) {
-          val delta = mutable.HashMap.empty[(String, String), Long]
-          pairsOf(before).foreach(p => delta(p) = delta.getOrElse(p, 0L) - freqs(wi))
-          pairsOf(after).foreach(p => delta(p) = delta.getOrElse(p, 0L) + freqs(wi))
-          syms(wi) = after
-          delta.foreach { case (p, d) =>
-            if (d != 0 && p != ((a, b))) bump(p, d, wi)
-            // d > 0 pairs gain word wi; d < 0 pairs may still occur in
-            // wi (fewer times) — membership stays, harmless: merge
+      stats.remove(abKey); index.remove(abKey)
+      touched.foreach { twi =>
+        val w = syms(twi); val n = lens(twi); val f = freqs(twi)
+        // snapshot the pre-merge content: the merged id's STRING can
+        // already occur as a symbol from an earlier round (two pair
+        // splits can concatenate to the same string), so the original
+        // stream is not recoverable from the rewritten one
+        val before = java.util.Arrays.copyOfRange(w, 0, n)
+        // one greedy left-to-right non-overlapping pass ([[applyMerge]]
+        // semantics), rewriting in place — write never outruns read
+        var rd = 0; var wr = 0
+        while (rd < n) {
+          if (rd + 1 < n && w(rd) == a && w(rd + 1) == b) {
+            w(wr) = merged; rd += 2
+          } else { w(wr) = w(rd); rd += 1 }
+          wr += 1
+        }
+        if (wr != n) {
+          delta.clear()
+          // old pairs leave…
+          var i = 0
+          while (i < n - 1) {
+            val p = pairKey(before(i), before(i + 1))
+            delta(p) = delta.getOrElse(p, 0L) - f
+            i += 1
+          }
+          // …new pairs over the rewritten prefix arrive
+          i = 0
+          while (i < wr - 1) {
+            val p = pairKey(w(i), w(i + 1))
+            delta(p) = delta.getOrElse(p, 0L) + f
+            i += 1
+          }
+          lens(twi) = wr
+          delta.foreachEntry { (p, d) =>
+            if (d != 0 && p != abKey) bump(p, d, twi)
+            // d > 0 pairs gain word twi; d < 0 pairs may still occur in
+            // twi (fewer times) — membership stays, harmless: merge
             // application re-checks the word's actual content
           }
         }

@@ -84,28 +84,96 @@ object Similarity {
   /** Exact-decimal (query, neighbor, cosine) scores for all query ids
     * below `numQueries` — the shared core of [[knnBruteExactSum]] and
     * [[allPairsCosineExact]]. */
+  /** One decimal(30,15) term of the exact-sum arithmetic: the double
+    * product through Spark's double→decimal cast (canonical-string
+    * BigDecimal, HALF_UP to scale 15), returned as the UNSCALED long.
+    * Decimal addition is exact, so summing these longs in any order is
+    * bit-identical to the relational `sum(cast(x*y as decimal(30,15)))`
+    * this replaced (equality pinned in SimilaritySpec). */
+  private def term15(p: Double): Long =
+    java.math.BigDecimal.valueOf(p)
+      .setScale(15, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** `decimal(scale 15) → double` exactly as Spark's Decimal.toDouble. */
+  private def dec15ToDouble(unscaled: Long): Double =
+    java.math.BigDecimal.valueOf(unscaled, 15).doubleValue()
+
   private def exactScored(
       embeddings: DataFrame, idCol: String, vecCol: String, numQueries: Int
   ): DataFrame = {
-    val pos = embeddings.select(
-      col(idCol).as("vid"),
-      posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .select(col("vid"), col("pos"), col("v").cast("double").as("v"))
-    val norms = pos
-      .groupBy("vid")
-      .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("n2"))
-    val q = pos.filter(col("vid") < numQueries)
-      .select(col("vid").as("query_id"), col("pos"), col("v").as("qv"))
-    val dots = q
-      .join(pos.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("v", "cv"), Seq("pos"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum((col("qv") * col("cv")).cast("decimal(30,15)")).as("dot"))
-    dots
-      .join(norms.withColumnRenamed("vid", "query_id").withColumnRenamed("n2", "qn"), "query_id")
-      .join(norms.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("n2", "cn"), "neighbor_id")
-      .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+    // The verification universe is |corpus| × numQueries exact-decimal
+    // cosines. The original form posexploded both sides and joined on
+    // the position key — |corpus|·dim rows through a 64-key join, a
+    // grouped decimal sum per pair, and two norm joins (six exchanges,
+    // ~1.3M intermediate rows at the fixture). Decimal sums are EXACT,
+    // hence order-insensitive, so the same numbers come out of ONE
+    // scan-local pass: the ≤numQueries query vectors ride the closure,
+    // each corpus row emits its (query, cosine) pairs, and every term
+    // goes through [[term15]] — the same double→decimal rounding the
+    // cast applied — accumulated exactly in unscaled-long space.
+    // Per-pair overflow guard: |Σ| < 9.2e3 at scale 15 covers every
+    // sane embedding; anything larger fails loud rather than wrapping.
+    val spark = embeddings.sparkSession
+    val idType = embeddings.schema(embeddings.schema.fieldIndex(idCol)).dataType
+    // bounded collect: ≤ numQueries rows by construction
+    val queries: Array[(Long, Array[Float], Long)] = embeddings
+      .filter(col(idCol) < numQueries)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1)) None
+        else {
+          val v = r.getSeq[Float](1).toArray
+          if (v.isEmpty) None
+          else {
+            var n2 = 0L
+            var i = 0
+            while (i < v.length) {
+              val d = v(i).toDouble
+              n2 = Math.addExact(n2, term15(d * d)); i += 1
+            }
+            Some((r.getLong(0), v, n2))
+          }
+        }
+      }
+    val scoreUdf = udf { (nid: java.lang.Long, cv: Seq[Float]) =>
+      if (nid == null || cv == null || cv.isEmpty) Array.empty[(Long, Double)]
+      else {
+        val c = cv.toArray
+        var cn2 = 0L
+        var i = 0
+        while (i < c.length) {
+          val d = c(i).toDouble
+          cn2 = Math.addExact(cn2, term15(d * d)); i += 1
+        }
+        val cnD = math.sqrt(dec15ToDouble(cn2))
+        val out = new Array[(Long, Double)](queries.length)
+        var k = 0
+        var qi = 0
+        while (qi < queries.length) {
+          val (qid, qv, qn2) = queries(qi)
+          if (qid != nid.longValue) {
+            var dot = 0L
+            val n = math.min(qv.length, c.length)
+            var j = 0
+            while (j < n) {
+              dot = Math.addExact(dot, term15(qv(j).toDouble * c(j).toDouble))
+              j += 1
+            }
+            out(k) = (qid, dec15ToDouble(dot) / (math.sqrt(dec15ToDouble(qn2)) * cnD))
+            k += 1
+          }
+          qi += 1
+        }
+        if (k == out.length) out else java.util.Arrays.copyOfRange(out, 0, k)
+      }
+    }
+    embeddings
+      .select(col(idCol).as("neighbor_id"),
+        explode(scoreUdf(col(idCol).cast("long"), col(vecCol))).as("qc"))
+      .select(col("qc._1").cast(idType).as("query_id"), col("neighbor_id"),
+        col("qc._2").as("cosine"))
   }
 
   def knnBruteExactSum(

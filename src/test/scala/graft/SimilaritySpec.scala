@@ -979,4 +979,54 @@ class SimilaritySpec extends SparkSpec {
       s"OPQ recall $opqRecall not above plain PQ's $pqRecall at the same budget")
     assert(opqRecall >= 0.8, s"OPQ recall $opqRecall under the pinned floor")
   }
+
+  test("allPairsCosineExact: scan-local exact-sum equals the relational " +
+      "posexplode/decimal construction BITWISE (incl. null and ragged rows)") {
+    // the r17 rewrite replaced the position-join + grouped decimal sum
+    // with a closure-side exact accumulation of the SAME decimal terms;
+    // this pins the replacement to the original relational arithmetic,
+    // double-bit for double-bit
+    val s = spark
+    import s.implicits._
+    def relational(embeddings: org.apache.spark.sql.DataFrame,
+        idCol: String, vecCol: String, numQueries: Int) = {
+      val pos = embeddings.select(
+        col(idCol).as("vid"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .select(col("vid"), col("pos"), col("v").cast("double").as("v"))
+      val norms = pos.groupBy("vid")
+        .agg(sum((col("v") * col("v")).cast("decimal(30,15)")).as("n2"))
+      val q = pos.filter(col("vid") < numQueries)
+        .select(col("vid").as("query_id"), col("pos"), col("v").as("qv"))
+      val dots = q
+        .join(pos.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("v", "cv"), Seq("pos"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum((col("qv") * col("cv")).cast("decimal(30,15)")).as("dot"))
+      dots
+        .join(norms.withColumnRenamed("vid", "query_id").withColumnRenamed("n2", "qn"), "query_id")
+        .join(norms.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("n2", "cn"), "neighbor_id")
+        .withColumn("cosine",
+          col("dot").cast("double") / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }
+    def bits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    // fixture corpus
+    assert(bits(Similarity.allPairsCosineExact(emb, "vec_id", "embedding", 10))
+      === bits(relational(emb, "vec_id", "embedding", 10)))
+    // synthetic: null vector, empty vector, ragged dims, a query id gap
+    val odd = Seq[(Long, Array[Float])](
+      (0L, Array(1.0f, 2.0f, -0.5f)),
+      (1L, null),
+      (2L, Array.empty[Float]),
+      (3L, Array(0.25f, -1.5f)), // ragged: shorter than the queries
+      (7L, Array(3.0f, 0.125f, 2.5f, -9.0f)), // ragged: longer
+      (12L, Array(0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(bits(Similarity.allPairsCosineExact(odd, "vec_id", "embedding", 10))
+      === bits(relational(odd, "vec_id", "embedding", 10)))
+  }
 }
