@@ -463,6 +463,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+      // =true was measured here (r17) and REJECTED: it lets AQE
+      // coalesce a persisted mid-size frame to one partition, which
+      // then serializes every downstream stage that touches the cache —
+      // events_pagerank10's 10 iterations over its persisted edge list
+      // went 6.5s → 22.0s in the full-bench A/B. Left at default.
+      // pack small files denser into scan tasks: the default 4 MB
+      // open-cost gives every file its own split as soon as files are
+      // tiny, so a bucketed maintained store (cell × bucket dirs) scans
+      // with one task per file. 128 KB keeps multi-GB production files
+      // at one-split-per-128MB while letting small-file stores pack
+      // ~32 files per task (r17, measured on the ANN store gates).
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       // NOTE on scan parallelism: the testdata tables are single-file,
       // SINGLE-ROW-GROUP parquet (checked), so their scans are
       // unsplittable 1-task reads regardless of

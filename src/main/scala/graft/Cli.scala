@@ -318,6 +318,9 @@ object Cli {
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.extensions", "graft.GraftExtensions")
+      // engine session tuning (see Bench.scala's notes): small files
+      // pack denser into scan tasks
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
